@@ -1,0 +1,16 @@
+package graft.queries
+
+/** Assembles every query module into the single driver-facing catalog. */
+object Catalog {
+  def modules: Seq[Seq[Q]] = Seq(
+    Relational.all,
+    Scalars.all
+  )
+
+  lazy val all: Seq[Q] = {
+    val qs = modules.flatten
+    val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
+    qs.sortBy(_.name)
+  }
+}
