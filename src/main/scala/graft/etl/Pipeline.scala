@@ -1,0 +1,155 @@
+package graft.etl
+
+import java.time.{Instant, ZoneId}
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.util.{Failure, Success, Try}
+
+/** Table-pipeline orchestration: the reference's `process_table` state
+  * machine (ingest.py:702-832) re-expressed with pluggable IO and a
+  * single-pass row counter.
+  *
+  * Scale-relevant deltas from the reference, on purpose:
+  *   - the reference runs `count()` three times mid-pipeline
+  *     (ingest.py:715,720,727), each a full recomputation of the lineage;
+  *     here one `Observation` rides the write job — zero extra scans;
+  *   - emptiness probe is `df.isEmpty` (one-row limit job), not
+  *     `rdd.isEmpty()` (ingest.py:807) which forces RDD conversion;
+  *   - the reference's broken `snowflake_config`/`final_count` names
+  *     (ingest.py:784,800 — NameErrors at runtime) are implemented as
+  *     the evident intent: one sink config, counters that exist.
+  */
+object Pipeline {
+
+  /** Where raw bytes come from. Parquet in tests; JDBC mirrors the prod
+    * PostgreSQL source (sync.py:57-129) — ALWAYS give JDBC a partition
+    * column at scale, the reference's single-partition read
+    * (sync.py:82) serializes the whole table through one task.
+    */
+  trait Source { def load(spark: SparkSession): DataFrame }
+
+  final case class ParquetSource(path: String) extends Source {
+    def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  }
+
+  final case class JdbcSource(
+      url: String, table: String, props: java.util.Properties,
+      partitionColumn: Option[(String, Long, Long, Int)] = None) extends Source {
+    def load(spark: SparkSession): DataFrame = partitionColumn match {
+      case Some((c, lo, hi, n)) => spark.read.jdbc(url, table, c, lo, hi, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+  }
+
+  /** Where conformed rows go. Append + truncate cover the reference's
+    * Snowflake modes (ingest.py:782-820); Parquet stands in for tests.
+    */
+  trait Sink {
+    def append(df: DataFrame): Unit
+    def truncate(spark: SparkSession, schema: StructType): Unit
+  }
+
+  final case class ParquetSink(path: String) extends Sink {
+    def append(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Append).parquet(path)
+    def truncate(spark: SparkSession, schema: StructType): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Write-mode dispatch (ingest.py:781-825). */
+  sealed trait WriteMode
+  final case class Append(truncateFirst: Boolean = false) extends WriteMode
+  case object DeltaInsert extends WriteMode
+
+  /** Watermark persistence: single-line text file per table, format
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS`, missing/corrupt → 1900-01-01
+    * (ingest.py:475-505). The wall-clock-at-write contract (NOT
+    * max(MODIFY_DATE)) is preserved: rows landing between filter and
+    * update re-send next run — at-least-once by design (SURVEY.md §3 EP3).
+    */
+  final class WatermarkStore(dir: String) {
+    private val NY = ZoneId.of("America/New_York")
+    private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(NY)
+    private def path(table: String) = new java.io.File(dir, s"last_runtime_$table.txt")
+
+    def lastRuntime(table: String): Instant =
+      Try {
+        val s = new String(java.nio.file.Files.readAllBytes(path(table).toPath)).trim
+        java.time.LocalDateTime.parse(s, fmt).atZone(NY).toInstant
+      }.getOrElse(Instant.parse("1900-01-01T00:00:00Z"))
+
+    def update(table: String, ts: Instant): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(path(table).toPath, fmt.format(ts).getBytes)
+    }
+  }
+
+  final case class Report(table: String, rowsWritten: Long, skippedEmpty: Boolean = false)
+
+  /** One table end-to-end: load → conform → (mode-specific filter) →
+    * validate → write, with a single observed row count.
+    */
+  def processTable(
+      spark: SparkSession,
+      table: String,
+      source: Source,
+      sink: Sink,
+      mode: WriteMode,
+      watermarks: WatermarkStore,
+      historicalLoad: Boolean = false,
+      clock: Column = Cleanse.now(),
+      wallClock: () => Instant = () => Instant.now()): Report = {
+
+    val conformed = Conform.conform(source.load(spark), table, clock)
+    val obs = Observation(s"graft_$table")
+
+    mode match {
+      case Append(truncateFirst) =>
+        if (truncateFirst) sink.truncate(spark, TableSchemas.schemas(table))
+        val observed = conformed.observe(obs, count(lit(1)).as("rows"))
+        sink.append(observed)
+        Report(table, obs.get("rows").asInstanceOf[Long])
+
+      case DeltaInsert =>
+        val last = watermarks.lastRuntime(table)
+        val keyed = conformed.withColumn(
+          "MODIFY_DATE", coalesce(col("MODIFY_DATE"), col("CREATE_DATE")))
+        val filtered =
+          if (historicalLoad) keyed
+          else keyed.filter(col("MODIFY_DATE") >= lit(java.sql.Timestamp.from(last)))
+        if (filtered.isEmpty) Report(table, 0L, skippedEmpty = true)
+        else {
+          Conform.validate(filtered, table)
+          val observed = filtered.observe(obs, count(lit(1)).as("rows"))
+          sink.append(observed)
+          watermarks.update(table, wallClock())
+          Report(table, obs.get("rows").asInstanceOf[Long])
+        }
+    }
+  }
+
+  /** Multi-table runner with per-table config gate and selectable error
+    * policy: isolate-and-continue (sync.py:169-179) or fail-fast
+    * (ingest.py:829-832).
+    */
+  def run(
+      spark: SparkSession,
+      tables: Seq[String],
+      enabled: Map[String, Boolean],
+      source: String => Source,
+      sink: String => Sink,
+      mode: WriteMode,
+      watermarks: WatermarkStore,
+      historicalLoad: Boolean = false,
+      failFast: Boolean = true): Seq[(String, Try[Report])] =
+    tables.filter(t => enabled.getOrElse(t, false)).map { t =>
+      val r = Try(processTable(spark, t, source(t), sink(t), mode, watermarks, historicalLoad))
+      (r, failFast) match {
+        case (Failure(e), true) => throw e
+        case _ => t -> r
+      }
+    }
+}

@@ -4,7 +4,8 @@ package graft.queries
 object Catalog {
   def modules: Seq[Seq[Q]] = Seq(
     Relational.all,
-    Scalars.all
+    Scalars.all,
+    Etl.all
   )
 
   lazy val all: Seq[Q] = {
