@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large text corpora.
+  *
+  * Scale posture (the whole point of these designs):
+  *   - exact + latest-by-key are single-shuffle hash aggregations;
+  *   - MinHash-LSH replaces the O(n²) pair space with an equi-join on
+  *     band keys — only docs sharing a band collide, so the shuffle
+  *     carries O(n·bands) rows and the join output is ~(candidate
+  *     pairs), not n²;
+  *   - n-gram Jaccard uses an inverted-index self-join (explode on
+  *     shingle), which is exact but O(sum of postings²) per shingle —
+  *     the LSH path is the 100 TB variant, this is the oracle-grade
+  *     exact variant;
+  *   - SimHash reduces each doc to 64 bits; near-dup = small Hamming
+  *     distance, candidate generation via chunk equality (pigeonhole).
+  *
+  * No collect(), no cross join, no UDFs anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: one canonical row (min of `keepKey`) per distinct value
+    * of `on`, plus the duplicate count. Single hash aggregation.
+    */
+  def exact(df: DataFrame, on: Column, keepKey: Column): DataFrame =
+    df.groupBy(md5(on).as("content_hash"))
+      .agg(min(keepKey).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Latest-record dedup: keep the newest row per key (deterministic
+    * tiebreak), the generalization of the reference's watermark intent.
+    */
+  def latestByKey(df: DataFrame, key: Column, orderCol: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCol.desc, tiebreak)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash + LSH near-duplicate pairs, exact-verified.
+    *
+    * docs(idCol, textCol) → pairs (id_a, id_b, jaccard) with
+    * jaccard >= threshold OR sharing an LSH band (banding is the
+    * candidate generator; the final filter keeps verified pairs only).
+    *
+    * numHashes = bands * rowsPerBand. With 16 hashes as 4 bands × 4 rows,
+    * P(candidate | J=0.9) ≈ 1-(1-0.9⁴)⁴ ≈ 0.999; J=0.5 → ≈ 0.23 — tuned
+    * for the "near-identical docs" dedup regime.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      TextHash.wordShingles(col(textCol), shingleSize).as("shingles"))
+    val withBands = base
+      .withColumn("band", explode(
+        TextHash.bandKeys(TextHash.minhashSignature(col("shingles"), k), bands, rowsPerBand)))
+    val a = withBands.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("band"))
+    val b = withBands.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        TextHash.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index self-join: explode
+    * distinct shingles, equi-join on the shingle, count intersections,
+    * derive union from per-doc sizes. Exact — no probabilistic recall.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      TextHash.wordShingles(col(textCol), shingleSize).as("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val inter = posting.select(col("doc_id").as("id_a"), col("g"))
+      .join(posting.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
+    * the pigeonhole trick (maxHamming+1 chunks — any pair within the
+    * bound shares at least one exact chunk), verified by true Hamming
+    * distance. Equi-join on (chunkIdx, chunkValue): no pair explosion.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      TextHash.simhash64(TextHash.tokens(col(textCol))).as("sim"))
+    val chunked = base.withColumn("chunk", explode(array((0 until chunks).map { i =>
+      struct(lit(i).as("idx"),
+        shiftrightunsigned(col("sim"), i * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("v"))
+    }: _*)))
+    val a = chunked.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("chunk"))
+    a.join(b, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextHash.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

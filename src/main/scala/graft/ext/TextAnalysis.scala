@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen, no shuffle, no UDF) — they run in the
+  * same stage as the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny built-in stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately small: the operator is the heuristic's
+    * plumbing; swap lists freely.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ein", "eine", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val hits = size(filter(toks, t => lower(t).isin(stopwords(lang): _*)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Language-ID heuristic: argmax of stopword ratio across the lists,
+    * "und" (undetermined) when every ratio is zero. Deterministic
+    * tiebreak = first lang in lexicographic order.
+    */
+  def langId(toks: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordRatio(toks, l).as("r"), lit(l).as("l")))
+    val best = array_max(array(scored: _*)) // max by (r, then l) struct ordering
+    when(best.getField("r") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: weighted mix of length band, mean word
+    * length band, alpha ratio and digit penalty — the standard
+    * cheap-filter shape for pretraining corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = TextHash.tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val meanWordLen = nChars / nToks
+    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") / greatest(nChars, lit(1.0))
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double") / greatest(nChars, lit(1.0))
+    val lenBand = when(nChars >= 200 && nChars <= 20000, lit(1.0))
+      .when(nChars >= 50, lit(0.5)).otherwise(lit(0.0))
+    val wordBand = when(meanWordLen >= 3.0 && meanWordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    lenBand * 0.4 + wordBand * 0.2 + alpha * 0.3 + (lit(1.0) - digits) * 0.1
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(TextHash.tokens(text)).cast("long")
+
+  /** BPE-ish subword estimate: words + punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's token count).
+    */
+  def subwordCountEstimate(text: Column): Column = {
+    val words = size(filter(split(text, "[^A-Za-z0-9]+"), t => t =!= "")).cast("long")
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+    // long words split into ~4-char subword units; explicit floor —
+    // Spark's double→long cast truncates but DuckDB's ROUNDS
+    val longWordExtra = aggregate(
+      TextHash.tokens(text), lit(0L),
+      (acc, t) => acc +
+        when(length(t) > 4, floor((length(t) - lit(1)) / lit(4)).cast("long")).otherwise(lit(0L)))
+    words + punct + longWordExtra
+  }
+
+  /** Rolling-hash document fingerprint: min of the char-8-gram hashes
+    * (one winnowing window over the whole doc). Identical prose →
+    * identical fingerprint; robust to doc-level reordering of rare
+    * n-grams. Cheap: one pass, 60-bit output.
+    */
+  def fingerprint(text: Column): Column =
+    array_min(transform(TextHash.charShingles(text, 8), s => TextHash.hash64(s)))
+}

@@ -5,7 +5,8 @@ object Catalog {
   def modules: Seq[Seq[Q]] = Seq(
     Relational.all,
     Scalars.all,
-    Etl.all
+    Etl.all,
+    Ext.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis, TextHash}
+import Q._
+
+/** Training-data pipeline operators as oracle-checked queries: dedup
+  * (exact / latest / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search, text analysis. The DuckDB oracles
+  * REPLICATE each algorithm (same md5-derived hashes, same fold order),
+  * so they verify the implementation itself, not just plausibility.
+  */
+object Ext {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** DuckDB replica of TextHash.hash64. */
+  private def hSql(seed: String, v: String): String =
+    s"CAST('0x'||substr(md5($seed||':'||$v),1,15) AS BIGINT)"
+
+  /** DuckDB replica of TextHash.tokens / wordShingles(3). */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val shinglesSql =
+    s"""CASE WHEN len($toksSql) >= 3 THEN
+       |  list_distinct(list_transform(range(1, len($toksSql) - 1),
+       |    i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))
+       |ELSE [] END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q33_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exact(t(s, dir, "documents"), $"text", $"doc_id")
+          .orderBy($"keep_id")
+      },
+      Some("""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_id
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q34_dedup_latest",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.latestByKey(t(s, dir, "events"), $"user_id", $"ts", $"event_id")
+          .select($"user_id", $"event_id", tstr($"ts").as("latest_ts"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+               strftime(us_ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+        FROM (
+          SELECT user_id, event_id, us_ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY us_ts DESC, event_id) AS rn
+          -- truncate to microseconds: the engine reads parquet NANOS as µs
+          FROM (SELECT *, make_timestamp(epoch_ns(ts) // 1000) AS us_ts FROM events)
+        ) WHERE rn = 1
+        ORDER BY user_id
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q35_dedup_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        sig AS (
+          SELECT doc_id, s.seed,
+                 MIN(${hSql("CAST(s.seed AS VARCHAR)", "g")}) AS mh
+          FROM post CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+          GROUP BY 1, 2),
+        sigarr AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sig GROUP BY 1),
+        bandkey AS (
+          SELECT doc_id,
+                 CAST(b AS VARCHAR) || '_' || CAST(sig[4*b+1] AS VARCHAR) || '_' ||
+                 CAST(sig[4*b+2] AS VARCHAR) || '_' || CAST(sig[4*b+3] AS VARCHAR) || '_' ||
+                 CAST(sig[4*b+4] AS VARCHAR) AS key
+          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkey a JOIN bandkey b ON a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+               CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+              CAST(len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q36_dedup_simhash",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+        th AS (SELECT doc_id, ${hSql("'0'", "tk")} AS h FROM tok),
+        bits AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS wt
+          FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY 1, 2),
+        simh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN wt > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                          ELSE 0 END) AS sim
+          FROM bits GROUP BY 1),
+        chunked AS (
+          SELECT doc_id, sim, c,
+                 (sim >> CAST(c * 16 AS INTEGER)) & 65535 AS v
+          FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sim AS sim_a, b.sim AS sim_b
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q37_dedup_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.6
+        ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q38_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, tables = 4, planes = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        buck AS (
+          SELECT vec_id, vec, tb,
+            CAST(tb AS VARCHAR) || '#' || CAST((
+              SELECT SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, len(vec) + 1),
+                         i -> vec[i] * ((${hSql("'0'", "(CAST(tb AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % 1000) / 1000.0 - 0.5))),
+                       (a, x) -> a + x) > 0.0
+                   THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)
+              FROM (SELECT unnest(range(0, 6)) AS p)) AS VARCHAR) AS bucket
+          FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS tb)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                          a.vec AS vec_a, b.vec AS vec_b
+          FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_b[i])), (a, x) -> a + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_a[i])), (a, x) -> a + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(vec_b) + 1), i -> vec_b[i] * vec_b[i])), (a, x) -> a + x))) AS cos
+        FROM cand
+        WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_b[i])), (a, x) -> a + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_a[i])), (a, x) -> a + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(vec_b) + 1), i -> vec_b[i] * vec_b[i])), (a, x) -> a + x))) >= 0.4
+        ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q39_ann_topk",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        q AS (SELECT vec AS q_vec FROM v WHERE vec_id = 0)
+        SELECT vec_id AS neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(vec) + 1), i -> vec[i] * q_vec[i])), (a, x) -> a + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i])), (a, x) -> a + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(q_vec) + 1), i -> q_vec[i] * q_vec[i])), (a, x) -> a + x))) AS cos
+        FROM v CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY cos DESC, neighbor_id
+        LIMIT 10
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q40_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", TextAnalysis.langId(TextHash.tokens($"text")).as("predicted"))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val ratios = langs.map { l =>
+          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(",")
+          s"CAST(len(list_filter($toksSql, x -> lower(x) IN ($words))) AS DOUBLE) / " +
+            s"CAST(greatest(len($toksSql), 1) AS DOUBLE) AS r_$l"
+        }.mkString(", ")
+        // argmax with max-struct semantics: ties go to the LAST lang in
+        // lexicographic order (matches array_max over (ratio, lang) structs)
+        val revLangs = langs.reverse
+        val caseChain = revLangs.map(l => s"WHEN r_$l = best THEN '$l'").mkString(" ")
+        s"""
+        SELECT lang, predicted, COUNT(*) AS n FROM (
+          SELECT lang,
+                 CASE WHEN best = 0.0 THEN 'und' $caseChain END AS predicted
+          FROM (SELECT lang, ${langs.map(l => s"r_$l").mkString(", ")},
+                       greatest(${langs.map(l => s"r_$l").mkString(", ")}) AS best
+                FROM (SELECT lang, $ratios FROM documents)))
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted
+        """
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q41_text_quality",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            TextAnalysis.tokenCount($"text").as("n_tokens"),
+            TextAnalysis.subwordCountEstimate($"text").as("n_subwords"),
+            TextAnalysis.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len($toksSql) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS BIGINT)
+                 + CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+                 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform($toksSql,
+                       t -> CASE WHEN length(t) > 4
+                                 THEN CAST(floor((length(t) - 1) / 4.0) AS BIGINT)
+                                 ELSE 0 END)), (a, x) -> a + x) AS BIGINT) AS n_subwords,
+               -- every literal CAST to DOUBLE: DuckDB otherwise computes
+               -- 0.4/0.2/... in exact DECIMAL and the ulps diverge
+               CAST(CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 1.0
+                     WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END AS DOUBLE) * CAST(0.4 AS DOUBLE)
+               + CAST(CASE WHEN CAST(length(text) AS DOUBLE) / CAST(greatest(len($toksSql), 1) AS DOUBLE)
+                            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS DOUBLE) * CAST(0.2 AS DOUBLE)
+               + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.1 AS DOUBLE) AS quality
+        FROM documents
+        ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    Q(
+      "q42_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               (SELECT MIN(${hSql("'0'", "g")})
+                FROM (SELECT unnest(CASE WHEN length(text) >= 8 THEN
+                        list_distinct(list_transform(range(1, length(text) - 6),
+                          i -> substr(text, CAST(i AS INTEGER), 8)))
+                      ELSE [] END) AS g)) AS fp
+        FROM documents
+        ORDER BY doc_id
+      """))
+  )
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property coverage for the dedup/similarity/text-analysis operators on
+  * controlled inputs (the DuckDB oracle covers engine-parity; this spec
+  * covers the algorithms' semantics).
+  */
+class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("ext-spec", cores = 4)
+  import scala.jdk.CollectionConverters._
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest today"
+  private val unrelated =
+    "completely different words about database systems and query optimization at massive scale"
+
+  test("minhashLshPairs: identical docs → jaccard 1.0; near-dup found; unrelated absent") {
+    val d = docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 1.0), s"identical pair missing: $pairs")
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L) && p._3 > 0.7))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs: identical docs at hamming 0, unrelated docs not within 3 bits") {
+    val d = docs(1L -> base, 2L -> base, 3L -> unrelated)
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs is exact: agrees with set arithmetic") {
+    val d = docs(1L -> base, 2L -> nearDup)
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.1).head()
+    def shingles(s: String) =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (shingles(base), shingles(nearDup))
+    val expect = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    assert(got.getDouble(2) == expect)
+  }
+
+  test("exact dedup: copies collapse to min id with counts") {
+    val d = docs(5L -> base, 3L -> base, 9L -> unrelated)
+    import spark.implicits._
+    val out = Dedup.exact(d, $"text", $"doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(3L -> 2L, 9L -> 1L))
+  }
+
+  test("lshTopK finds most of brute-force top-k on clustered vectors") {
+    import spark.implicits._
+    // 3 clusters of 30 vectors: cluster base + small deterministic jitter
+    val dim = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 30
+    } yield {
+      val id = (c * 30 + i).toLong
+      val vec = Array.tabulate(dim) { d =>
+        val baseV = if (d % 3 == c) 1.0f else 0.1f
+        baseV + 0.01f * ((id * 7 + d * 13) % 11)
+      }
+      (id, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(df, df.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 10, tables = 4, planes = 4)
+      .collect().map(_.getLong(1)).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low: brute=$brute lsh=$lsh")
+  }
+
+  test("langId picks the dominant stopword language; und on no hits") {
+    import spark.implicits._
+    val d = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("el gato es un animal que vive en la casa", "es"),
+      ("zzz qqq www", "und")).toDF("text", "want")
+    val out = d.select(TextAnalysis.langId(TextHash.tokens(col("text"))).as("got"), col("want"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), r.getString(1)))
+  }
+
+  test("quality score stays in [0,1]; fingerprint equal iff same 8-gram min") {
+    import spark.implicits._
+    val d = docs(1L -> base, 2L -> base, 3L -> unrelated)
+    val q = d.select(TextAnalysis.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    q.foreach(v => assert(v >= 0.0 && v <= 1.0 + 1e-9, v))
+    val fps = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("latestByKey keeps exactly one newest row per key") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 11L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 12L), // ts tie → min event_id
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Dedup.latestByKey(d, col("user_id"), col("ts"), col("event_id"))
+      .select("user_id", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 11L, 2L -> 20L))
+  }
+}
