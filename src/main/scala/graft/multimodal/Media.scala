@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video carried as opaque
+  * `binary` columns with a typed metadata struct, plus the
+  * decode / feature-extract / resize / frame-sample operator set.
+  *
+  * The Spark-side plumbing is real: typed Dataset API, mapPartitions
+  * batch execution (one codec init per partition — the Scala analogue of
+  * a pandas-batched UDF), binary-safe schemas, deterministic output.
+  * The CODEC itself is a stub: this container has no image/audio
+  * libraries, so [[Media.decodeStub]] derives features from md5 of the
+  * payload. A real deployment swaps `decodeStub` for a JNI/FFI codec
+  * call — every signature, schema and partitioning decision stays.
+  */
+object Media {
+
+  /** Typed metadata carried beside the payload; unused fields are 0/"". */
+  final case class MediaMeta(
+      kind: String, // "image" | "audio" | "video"
+      width: Int, height: Int,
+      sampleRateHz: Int, durationMs: Long,
+      codec: String)
+
+  final case class MediaRecord(media_id: Long, meta: MediaMeta, bytes: Array[Byte])
+
+  final case class MediaFeatures(media_id: Long, kind: String, dim: Int, features: Array[Float])
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  /** 60-bit seeded hash, identical to graft.ext.TextHash.hash64 (and so
+    * to the DuckDB oracle's arithmetic).
+    */
+  private def hash64(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s"0:$s".getBytes("UTF-8").clone()).take(15), 16)
+
+  /** CODEC STUB — deterministic fake decode. Real codecs (JPEG decode,
+    * PCM resample, H.264 frame grab) are not available in this
+    * environment; the fake derives `dim` floats in [0,1) from the md5 of
+    * the payload so the distributed pipeline around it is fully
+    * verifiable. Swap this single function for the real FFI call.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val h = md5Hex(bytes)
+    Array.tabulate(dim)(i => ((hash64(s"$h:$i") % 1000L).toDouble / 1000.0).toFloat)
+  }
+
+  /** Batched feature extraction: mapPartitions so per-partition setup
+    * (real codecs are expensive to init) happens once per task, not per
+    * row — the JVM shape of a pandas-batched UDF. Output is a typed
+    * Dataset; partitioning of the input is preserved (narrow op).
+    */
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(r => MediaFeatures(r.media_id, r.meta.kind, dim, decodeStub(r.bytes, dim)))
+    }
+  }
+
+  /** Resize planning: target box fit preserving aspect ratio — pure
+    * metadata math (the byte-level resample lives behind the codec stub).
+    */
+  def fitWithin(meta: MediaMeta, maxW: Int, maxH: Int): (Int, Int) = {
+    if (meta.width <= 0 || meta.height <= 0) (0, 0)
+    else {
+      val scale = math.min(1.0, math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+      (math.max(1, (meta.width * scale).toInt), math.max(1, (meta.height * scale).toInt))
+    }
+  }
+
+  /** Frame-sample plan for a video payload: offsets (ms) of frames to
+    * grab, one every `everyMs`, as a pure expression usable in a select
+    * over millions of rows (no UDF).
+    */
+  def frameOffsets(durationMs: org.apache.spark.sql.Column, everyMs: Long): org.apache.spark.sql.Column =
+    when(durationMs > 0,
+      transform(sequence(lit(0L), (durationMs - 1) / lit(everyMs)), i => i * lit(everyMs)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Wrap a DataFrame with (id, binary payload) columns into the typed
+    * media shape with metadata defaults — the ingestion boundary.
+    */
+  def asMedia(df: DataFrame, idCol: String, bytesCol: String, kind: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      struct(
+        lit(kind).as("kind"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
+        lit("stub").as("codec")).as("meta"),
+      col(bytesCol).cast("binary").as("bytes"))
+      .as[MediaRecord]
+  }
+}

@@ -6,7 +6,9 @@ object Catalog {
     Relational.all,
     Scalars.all,
     Etl.all,
-    Ext.all
+    Ext.all,
+    Windows.all,
+    Multimodal.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference's "incremental" path is a batch loop with a persisted
+  * watermark file (ingest.py:475-505,802-822) — at-least-once, wall-clock
+  * watermark. Structured Streaming is the native generalization: the
+  * watermark is data-driven (`withWatermark`), state is managed by the
+  * engine, and exactly-once sinks replace the truncate/on_error
+  * absorption strategy.
+  *
+  * Every transform here is defined on a plain DataFrame so the SAME
+  * function serves batch (testdata parquet, DuckDB-oracle-checkable) and
+  * streaming (readStream) inputs — the Dataset API is identical by
+  * design. Specs drive them through MemoryStream.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate: count + sum(value) per (window, type).
+    * Streaming: late rows beyond `delay` are dropped, state is evicted
+    * once the watermark passes the window end — bounded memory at any
+    * throughput.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window per-type event rate. */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** One user session: bounded by an inactivity gap, aggregated stats. */
+  final case class Session(
+      userId: Long, startTs: Timestamp, endTs: Timestamp, nEvents: Long, total: Double)
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  // State as a tuple (start, last, n, total): tuple encoders survive
+  // whole-stage codegen where a nested private case class trips Janino.
+  private type SessionState = (Long, Long, Long, Double)
+
+  /** Custom stateful operator: gap-based sessionization via
+    * flatMapGroupsWithState with an event-time timeout — the piece the
+    * declarative API can't express (KeyValueGroupedDataset surface).
+    * Emits a session once `gapMs` of event-time passes with no activity.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long, delay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n, total) = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(start), new Timestamp(last), n, total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((start, last, n, total)) if t - last <= gapMs =>
+                  cur = Some((start, math.max(last, t), n + 1, total + e.value))
+                case Some((start, last, n, total)) =>
+                  closed += Session(userId, new Timestamp(start), new Timestamp(last), n, total)
+                  cur = Some((t, t, 1L, e.value))
+                case None =>
+                  cur = Some((t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Wire a streaming source of the events shape from a directory of
+    * parquet (file-source streaming — the prod pattern for landed data).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Standard sink wiring: parquet append with checkpointing (exactly-once
+    * file sink), trigger left to the caller.
+    */
+  def writeEventStream(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+}

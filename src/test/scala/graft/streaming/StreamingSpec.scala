@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Drives the streaming operators through MemoryStream: windowed aggs
+  * with watermark-driven late-data drop, and stateful sessionization.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("streaming-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double): EventStreams.Event =
+    EventStreams.Event(id, ts(t), user, typ, v)
+
+  test("tumbling window with watermark drops late data past the delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in the 00:00 window, one in 00:10
+      input.addData(
+        ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:04:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 00:11:00", 2, "view", 3.0))
+      q.processAllAvailable()
+      // batch 2: advance event time far enough that the watermark
+      // (max ts - 5 min) passes 00:10 → windows 00:00 and 00:10 close
+      input.addData(ev(4, "2024-01-01 00:30:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the already-closed 00:00 window → dropped
+      input.addData(ev(5, "2024-01-01 00:02:00", 9, "click", 99.0))
+      q.processAllAvailable()
+      input.addData(ev(6, "2024-01-01 01:00:00", 1, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, event_type, n, total FROM tumbling")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)),
+        s"closed 00:00 window wrong: ${rows.toSeq}")
+      assert(rows.contains((ts("2024-01-01 00:10:00"), "view", 1L, 3.0)))
+      // the late event must NOT have re-opened or augmented the 00:00 window
+      assert(!rows.exists(r => r._1 == ts("2024-01-01 00:00:00") && r._3 != 2L))
+      assert(!rows.exists(_._4 == 99.0))
+    } finally q.stop()
+  }
+
+  test("sessionization: gap splits sessions, timeout emits them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000, delay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two bursts separated by > gap; user 2: one burst
+      input.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:05:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 00:03:00", 2, "view", 5.0))
+      q.processAllAvailable()
+      input.addData( // second burst for user 1, 30 min later (> 10 min gap)
+        ev(4, "2024-01-01 00:35:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // push watermark far ahead so every open session times out
+      input.addData(ev(5, "2024-01-01 02:00:00", 3, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(6, "2024-01-01 03:00:00", 3, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, startTs, endTs, nEvents, total FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.contains((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"), 2L, 3.0)),
+        s"user1 first session: ${rows.toSeq}")
+      assert(rows.contains((1L, ts("2024-01-01 00:35:00"), ts("2024-01-01 00:35:00"), 1L, 4.0)))
+      assert(rows.contains((2L, ts("2024-01-01 00:03:00"), ts("2024-01-01 00:03:00"), 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("the same tumblingCounts function runs in batch mode (stream/batch unification)") {
+    import spark.implicits._
+    val batch = Seq(
+      ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:04:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 00:11:00", 2, "view", 3.0)).toDF()
+    val out = EventStreams.tumblingCounts(batch, "10 minutes", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 00:10:00"), "view", 1L, 3.0)))
+  }
+}
