@@ -44,33 +44,47 @@ object Dedup {
     * jaccard >= threshold OR sharing an LSH band (banding is the
     * candidate generator; the final filter keeps verified pairs only).
     *
-    * numHashes = bands * rowsPerBand. With 16 hashes as 4 bands × 4 rows,
-    * P(candidate | J=0.9) ≈ 1-(1-0.9⁴)⁴ ≈ 0.999; J=0.5 → ≈ 0.23 — tuned
-    * for the "near-identical docs" dedup regime.
+    * numHashes = bands * rowsPerBand. With 16 hashes as 8 bands × 2 rows,
+    * P(candidate | J) = 1-(1-J²)⁸: ≈ 0.90 at J=0.5, ≈ 0.9995 at J=0.78,
+    * ≈ 1 at J≥0.9 — high recall at the default 0.5 threshold; the extra
+    * low-J candidates are discarded by the exact-Jaccard verify.
     */
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      bands: Int = 4,
-      rowsPerBand: Int = 4,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
     val base = docs.select(
       col(idCol).as("doc_id"),
       TextHash.wordShingles(col(textCol), shingleSize).as("shingles"))
-    val withBands = base
-      .withColumn("band", explode(
-        TextHash.bandKeys(TextHash.minhashSignature(col("shingles"), k), bands, rowsPerBand)))
-    val a = withBands.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("band"))
-    val b = withBands.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("band"))
-    a.join(b, Seq("band"))
+    // Each stage lands in its OWN Project (withColumn) so downstream
+    // multi-references see a cheap attribute: HOF lambdas run
+    // interpreted with no common-subexpression elimination, so an
+    // inlined signature would be rebuilt once per element_at — k² folds.
+    val banded = base
+      .withColumn("hashed", TextHash.hashedShingles(col("shingles")))
+      .withColumn("sig", TextHash.minhashSignature(col("hashed"), k))
+      .select(col("doc_id"), explode(
+        TextHash.bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    // Candidate generation joins (id, band) pairs only — the shuffle
+    // carries ~50-byte rows, not shingle arrays; arrays re-join after
+    // the distinct collapses multi-band collisions.
+    val cand = banded.select(col("doc_id").as("id_a"), col("band"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        TextHash.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

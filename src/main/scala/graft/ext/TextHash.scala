@@ -22,6 +22,17 @@ object TextHash {
   /** Unseeded variant (seed 0). */
   def hash64(c: Column): Column = hash64(c, 0)
 
+  /** Driver-side twin of [[hash64]] — same md5-derived 60-bit value,
+    * computed in plain JVM code. Used to pre-compute data-independent
+    * constants (minhash seeds, LSH hyperplanes) ONCE at plan time
+    * instead of per row at execution time.
+    */
+  def hash64Local(s: String, seed: Int = 0): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$s".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   /** Whitespace tokens with empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
@@ -47,12 +58,38 @@ object TextHash {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: k independent min-hashes over a shingle array.
-    * O(k·|shingles|) per row, embarrassingly parallel, no shuffle.
+  /** Mersenne prime 2^31 - 1: minhash values live in [0, P); affine
+    * products stay < 2^62 so the arithmetic is overflow-free in any
+    * engine with 64-bit ints (the DuckDB oracle replicates it exactly).
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(shingles, s => hash64(s, seed)))): _*)
+  val MinhashPrime: Long = 2147483647L
+
+  /** Per-seed affine parameters (a, b), a in [1, P), b in [0, P),
+    * derived deterministically from md5 so the oracle can inline the
+    * same literals.
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      (hash64Local(s"a:$i") % (MinhashPrime - 1) + 1, hash64Local(s"b:$i") % MinhashPrime)
+    }
+
+  /** One md5 per shingle, reduced into the minhash domain [0, P).
+    * Materialize this ONCE as its own column; the k signature entries
+    * then reuse it via cheap affine arithmetic. (The naive
+    * per-seed-md5 formulation costs k md5s per shingle inside
+    * interpreted HOF lambdas — 16× the work for no statistical gain.)
+    */
+  def hashedShingles(shingles: Column): Column =
+    transform(shingles, s => hash64(s) % MinhashPrime)
+
+  /** MinHash signature from a pre-hashed shingle array ([[hashedShingles]]):
+    * k universal-family min-hashes h_i(x) = (a_i·x + b_i) mod P.
+    * O(k·|shingles|) cheap ops per row, embarrassingly parallel, no shuffle.
+    */
+  def minhashSignature(hashed: Column, k: Int): Column =
+    array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(hashed, h => (h * a + b) % MinhashPrime))
+    }: _*)
 
   /** LSH band keys from a minhash signature: `bands` groups of
     * `rowsPerBand` signature entries, each rendered as one joinable
@@ -67,20 +104,26 @@ object TextHash {
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token
     * hashes, folded with higher-order functions (no explode, no shuffle).
+    * The md5 per token is hoisted into its own transform: HOF lambdas
+    * are interpreted (no codegen), so leaving `hash64(t)` inside the
+    * 64-way bit fold would evaluate 64 md5s per token.
     */
   def simhash64(toks: Column): Column = {
-    val counts = aggregate(
-      toks,
+    val hashes = transform(toks, t => hash64(t))
+    // Bit-packing happens in aggregate's FINISH lambda: there `acc` is a
+    // lambda variable evaluated once; referencing the aggregate result
+    // from 64 sibling expressions would re-run the whole fold per bit.
+    aggregate(
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = hash64(t)
+      (acc, h) =>
         array((0 until 64).map(j =>
           element_at(acc, j + 1) +
-            when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L))): _*)
-      })
-    (0 until 64).map(j =>
-      when(element_at(counts, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+            when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L))): _*),
+      acc =>
+        (0 until 64).map(j =>
+          when(element_at(acc, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExprBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ext.TextHash
+
+/** Native Catalyst expressions for the embedding hot paths.
+  *
+  * Rationale: higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback — every lambda step is an interpreted expression-tree
+  * eval, which makes O(tables·planes·d) per-row math ~100× slower than a
+  * compiled loop. Flattening to literal expression trees explodes plan
+  * size (thousands of nodes) and breaks whole-stage codegen instead.
+  * A custom Expression with `doGenCode` is the idiomatic Spark answer:
+  * tiny plan node, straight-line generated Java, hyperplane matrix
+  * shipped once per task as a reference object.
+  *
+  * Numeric parity contract (mirrored by the DuckDB oracle): every sum is
+  * a 0.0-seeded LEFT fold in element order; float inputs widen exactly
+  * to double; sqrt is IEEE-correctly-rounded in both engines.
+  */
+object VectorExprs {
+  /** Hyperplane components are defined for dims 1..MaxDim; longer
+    * vectors yield the all-zero bucket key (the same degenerate result
+    * as the HOF formulation, whose element_at past MaxDim is null).
+    */
+  val MaxDim = 256
+}
+
+/** array<float|double> → array<string> of `tables` sign-LSH bucket keys
+  * "t#<bits>", where bit p of <bits> is [vec · hyperplane(t,p)] > 0.
+  * Hyperplane components are md5-derived ([[TextHash.hash64Local]]) so
+  * any engine can reproduce them: h(t,p,i) = (md5_60("0:t:p:i") mod
+  * 1000)/1000 - 0.5.
+  */
+case class SignLshBuckets(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val hyper: Array[Array[Double]] =
+    Array.tabulate(tables * planes) { tp =>
+      val (t, p) = (tp / planes, tp % planes)
+      Array.tabulate(VectorExprs.MaxDim)(i =>
+        (TextHash.hash64Local(s"$t:$p:${i + 1}") % 1000L).toDouble / 1000.0 - 0.5)
+    }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_buckets requires array<float|double>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    val n0 = ad.numElements()
+    val n = math.min(n0, VectorExprs.MaxDim)
+    var hasNull = n0 > VectorExprs.MaxDim
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n && !hasNull) {
+      if (ad.isNullAt(i)) hasNull = true
+      else v(i) = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+      i += 1
+    }
+    val keys = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      if (!hasNull) {
+        var p = 0
+        while (p < planes) {
+          val comps = hyper(t * planes + p)
+          var proj = 0.0
+          var j = 0
+          while (j < n) { proj += v(j) * comps(j); j += 1 }
+          if (proj > 0.0) key |= (1L << p)
+          p += 1
+        }
+      }
+      keys(t) = UTF8String.fromString(s"$t#$key")
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val hyperRef = ctx.addReferenceObj("hyper", hyper, "double[][]")
+      val maxDim = VectorExprs.MaxDim
+      val getter = if (isFloat) s"(double) $c.getFloat(j)" else s"$c.getDouble(j)"
+      s"""
+        int n0 = $c.numElements();
+        int n = n0 > $maxDim ? $maxDim : n0;
+        boolean hasNull = n0 > $maxDim;
+        double[] v = new double[n];
+        for (int j = 0; j < n && !hasNull; j++) {
+          if ($c.isNullAt(j)) { hasNull = true; } else { v[j] = $getter; }
+        }
+        Object[] keys = new Object[$tables];
+        for (int t = 0; t < $tables; t++) {
+          long key = 0L;
+          if (!hasNull) {
+            for (int p = 0; p < $planes; p++) {
+              double[] comps = $hyperRef[t * $planes + p];
+              double proj = 0.0;
+              for (int j = 0; j < n; j++) { proj += v[j] * comps[j]; }
+              if (proj > 0.0) { key |= (1L << p); }
+            }
+          }
+          keys[t] = org.apache.spark.unsafe.types.UTF8String.fromString(t + "#" + key);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(keys);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two equal-length float/double arrays: one
+  * compiled pass accumulating dot, |a|², |b|² (each a 0.0-seeded left
+  * fold — bit-identical to three list_reduce folds). Null when lengths
+  * differ or any element is null.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def floatSide(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val leftFloat = floatSide(left)
+  @transient private lazy val rightFloat = floatSide(right)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires two array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (ad, bd) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = ad.numElements()
+    if (n != bd.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < n) {
+      if (ad.isNullAt(j) || bd.isNullAt(j)) return null
+      val x = if (leftFloat) ad.getFloat(j).toDouble else ad.getDouble(j)
+      val y = if (rightFloat) bd.getFloat(j).toDouble else bd.getDouble(j)
+      dot += x * y; na += x * x; nb += y * y
+      j += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getX = if (leftFloat) s"(double) $a.getFloat(j)" else s"$a.getDouble(j)"
+      val getY = if (rightFloat) s"(double) $b.getFloat(j)" else s"$b.getDouble(j)"
+      s"""
+        int n = $a.numElements();
+        boolean bad = n != $b.numElements();
+        double dot = 0.0; double na = 0.0; double nb = 0.0;
+        if (!bad) {
+          for (int j = 0; j < n; j++) {
+            if ($a.isNullAt(j) || $b.isNullAt(j)) { bad = true; break; }
+            double x = $getX; double y = $getY;
+            dot += x * y; na += x * x; nb += y * y;
+          }
+        }
+        if (bad) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Column-API wrappers. */
+object VectorFunctions {
+  def signLshBuckets(vec: Column, tables: Int, planes: Int): Column =
+    GraftExprBridge.column(SignLshBuckets(GraftExprBridge.expression(vec), tables, planes))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftExprBridge.column(CosineSim(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+}

@@ -69,24 +69,27 @@ object Ext {
       (s, dir) => {
         import s.implicits._
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+          shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
           .orderBy($"id_a", $"id_b")
       },
-      Some(s"""
+      Some {
+        val params = TextHash.minhashParams(16)
+        val seedRows = params.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+        s"""
         WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
         post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        hp AS (SELECT doc_id, ${hSql("'0'", "g")} % 2147483647 AS h FROM post),
         sig AS (
-          SELECT doc_id, s.seed,
-                 MIN(${hSql("CAST(s.seed AS VARCHAR)", "g")}) AS mh
-          FROM post CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+          SELECT doc_id, s.seed, MIN((h * s.a + s.b) % 2147483647) AS mh
+          FROM hp CROSS JOIN (VALUES $seedRows) s(seed, a, b)
           GROUP BY 1, 2),
         sigarr AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sig GROUP BY 1),
         bandkey AS (
           SELECT doc_id,
-                 CAST(b AS VARCHAR) || '_' || CAST(sig[4*b+1] AS VARCHAR) || '_' ||
-                 CAST(sig[4*b+2] AS VARCHAR) || '_' || CAST(sig[4*b+3] AS VARCHAR) || '_' ||
-                 CAST(sig[4*b+4] AS VARCHAR) AS key
-          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+                 CAST(b AS VARCHAR) || '_' || CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+                 CAST(sig[2*b+2] AS VARCHAR) AS key
+          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bandkey a JOIN bandkey b ON a.key = b.key AND a.doc_id < b.doc_id)
@@ -99,7 +102,8 @@ object Ext {
               CAST(len(sa.shingles) + len(sb.shingles)
                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5
         ORDER BY id_a, id_b
-      """)),
+      """
+      }),
     // ----------------------------------------------------------------
     Q(
       "q36_dedup_simhash",
