@@ -58,16 +58,17 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // One compiled pass per doc: tokenize → shingle → md5 → [0,P) ints.
+    // All downstream set math (minhash, verify-Jaccard) runs on 8-byte
+    // hashes, never strings.
     val base = docs.select(
       col(idCol).as("doc_id"),
-      TextHash.wordShingles(col(textCol), shingleSize).as("shingles"))
-    // Each stage lands in its OWN Project (withColumn) so downstream
-    // multi-references see a cheap attribute: HOF lambdas run
-    // interpreted with no common-subexpression elimination, so an
-    // inlined signature would be rebuilt once per element_at — k² folds.
+      graft.functions.TextFunctions
+        .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("shingles"))
+    // sig lands in its OWN Project (withColumn) so the 2k element_at
+    // references in bandKeys see a cheap attribute, not an inlined copy.
     val banded = base
-      .withColumn("hashed", TextHash.hashedShingles(col("shingles")))
-      .withColumn("sig", TextHash.minhashSignature(col("hashed"), k))
+      .withColumn("sig", TextHash.minhashSignature(col("shingles"), k))
       .select(col("doc_id"), explode(
         TextHash.bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     // Candidate generation joins (id, band) pairs only — the shuffle
@@ -88,9 +89,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard pairs via inverted-index self-join: explode
-    * distinct shingles, equi-join on the shingle, count intersections,
-    * derive union from per-doc sizes. Exact — no probabilistic recall.
+  /** n-gram Jaccard pairs via inverted-index self-join: explode distinct
+    * shingle HASHES (60-bit md5 → 8-byte join keys instead of ~30-byte
+    * strings), equi-join on the hash, count intersections, derive union
+    * from per-doc sizes. Exact up to 60-bit hash collisions (none at any
+    * realistic corpus size per-document); no probabilistic recall loss.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -100,7 +103,8 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
-      TextHash.wordShingles(col(textCol), shingleSize).as("shingles"))
+      graft.functions.TextFunctions
+        .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("shingles"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
     val inter = posting.select(col("doc_id").as("id_a"), col("g"))
@@ -131,7 +135,10 @@ object Dedup {
     val bitsPer = 64 / chunks
     val base = docs.select(
       col(idCol).as("doc_id"),
-      TextHash.simhash64(TextHash.tokens(col(textCol))).as("sim"))
+      graft.functions.TextFunctions.simhash64(
+        // n=1 shingles = tokens; distinct=false so every occurrence votes
+        graft.functions.TextFunctions.wordShingleHashes(
+          col(textCol), 1, 0L, distinct = false)).as("sim"))
     val chunked = base.withColumn("chunk", explode(array((0 until chunks).map { i =>
       struct(lit(i).as("idx"),
         shiftrightunsigned(col("sim"), i * bitsPer)

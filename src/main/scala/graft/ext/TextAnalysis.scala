@@ -26,16 +26,13 @@ object TextAnalysis {
     hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Language-ID heuristic: argmax of stopword ratio across the lists,
-    * "und" (undetermined) when every ratio is zero. Deterministic
-    * tiebreak = first lang in lexicographic order.
+  /** Language-ID heuristic: argmax of stopword ratio across the lists
+    * (compiled one-pass expression, graft.functions.LangIdExpr), "und"
+    * (undetermined) when every ratio is zero. Tiebreak = max by
+    * (ratio, lang) — the lexicographically last language wins a tie.
     */
-  def langId(toks: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordRatio(toks, l).as("r"), lit(l).as("l")))
-    val best = array_max(array(scored: _*)) // max by (r, then l) struct ordering
-    when(best.getField("r") > 0.0, best.getField("l")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.TextFunctions.langId(text, stopwords)
 
   /** Quality score in [0,1]: weighted mix of length band, mean word
     * length band, alpha ratio and digit penalty — the standard

@@ -83,13 +83,12 @@ object TextHash {
     transform(shingles, s => hash64(s) % MinhashPrime)
 
   /** MinHash signature from a pre-hashed shingle array ([[hashedShingles]]):
-    * k universal-family min-hashes h_i(x) = (a_i·x + b_i) mod P.
-    * O(k·|shingles|) cheap ops per row, embarrassingly parallel, no shuffle.
+    * k universal-family min-hashes h_i(x) = (a_i·x + b_i) mod P, as a
+    * compiled loop (graft.functions.MinhashSig). O(k·|shingles|) per row,
+    * embarrassingly parallel, no shuffle.
     */
   def minhashSignature(hashed: Column, k: Int): Column =
-    array(minhashParams(k).map { case (a, b) =>
-      array_min(transform(hashed, h => (h * a + b) % MinhashPrime))
-    }: _*)
+    graft.functions.TextFunctions.minhashSig(hashed, k)
 
   /** LSH band keys from a minhash signature: `bands` groups of
     * `rowsPerBand` signature entries, each rendered as one joinable
@@ -102,29 +101,12 @@ object TextHash {
         .map(i => element_at(sig, i).cast("string")): _*)
     }: _*)
 
-  /** 64-bit SimHash of a token array: per-bit majority vote of token
-    * hashes, folded with higher-order functions (no explode, no shuffle).
-    * The md5 per token is hoisted into its own transform: HOF lambdas
-    * are interpreted (no codegen), so leaving `hash64(t)` inside the
-    * 64-way bit fold would evaluate 64 md5s per token.
+  /** 64-bit SimHash of a token array: one md5 per token (transform),
+    * then a compiled per-bit majority vote (graft.functions.Simhash64).
+    * No explode, no shuffle.
     */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => hash64(t))
-    // Bit-packing happens in aggregate's FINISH lambda: there `acc` is a
-    // lambda variable evaluated once; referencing the aggregate result
-    // from 64 sibling expressions would re-run the whole fold per bit.
-    aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        array((0 until 64).map(j =>
-          element_at(acc, j + 1) +
-            when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L))): _*),
-      acc =>
-        (0 until 64).map(j =>
-          when(element_at(acc, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _))
-  }
+  def simhash64(toks: Column): Column =
+    graft.functions.TextFunctions.simhash64(transform(toks, t => hash64(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")

@@ -1,0 +1,376 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExprBridge
+import org.apache.spark.sql.types._
+import graft.ext.TextHash
+
+/** Native Catalyst expressions for the text-dedup hot paths — same
+  * motivation as [[VectorExprs]]: the per-element math is trivial, so
+  * interpreted HOF lambda dispatch dominates; a compiled loop removes it
+  * while the DuckDB oracle keeps reproducing every value from the md5
+  * formulas in [[TextHash]].
+  */
+
+/** array<long> (md5-derived shingle hashes in [0, P)) → array<long>
+  * minhash signature of length k: entry i = min over shingles of
+  * (a_i·h + b_i) mod P, with (a_i, b_i) = [[TextHash.minhashParams]].
+  * Empty input (or all-null elements per position) yields null entries —
+  * matching array_min over an empty/null transform.
+  */
+case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  @transient private lazy val params: Array[(Long, Long)] =
+    TextHash.minhashParams(k).toArray
+  @transient private lazy val as: Array[Long] = params.map(_._1)
+  @transient private lazy val bs: Array[Long] = params.map(_._2)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<bigint>, got $other")
+  }
+
+  private val P = TextHash.MinhashPrime
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val mins = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val (a, b) = (as(i), bs(i))
+      var min = Long.MaxValue
+      var seen = false
+      var j = 0
+      while (j < n) {
+        if (!ad.isNullAt(j)) {
+          val v = (ad.getLong(j) * a + b) % P
+          if (v < min) min = v
+          seen = true
+        }
+        j += 1
+      }
+      mins(i) = if (seen) java.lang.Long.valueOf(min) else null
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      // every local through freshName: this snippet inlines into the
+      // enclosing generated method, where bare names collide
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val min = ctx.freshName("min")
+      val seen = ctx.freshName("seen")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $c.numElements();
+        Object[] $mins = new Object[$k];
+        for (int $i = 0; $i < $k; $i++) {
+          long $a = $aRef[$i]; long $b = $bRef[$i];
+          long $min = Long.MAX_VALUE; boolean $seen = false;
+          for (int $j = 0; $j < $n; $j++) {
+            if (!$c.isNullAt($j)) {
+              long $v = ($c.getLong($j) * $a + $b) % ${P}L;
+              if ($v < $min) { $min = $v; }
+              $seen = true;
+            }
+          }
+          $mins[$i] = $seen ? (Object) Long.valueOf($min) : null;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** array<long> (token hashes) → 64-bit SimHash: bit j of the result is
+  * set when Σ over tokens of (hash bit j ? +1 : -1) is positive. A null
+  * element contributes -1 to every bit (the exact fold semantics of the
+  * HOF formulation it replaces). Empty array → 0.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val counts = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      if (ad.isNullAt(j)) {
+        var p = 0
+        while (p < 64) { counts(p) -= 1; p += 1 }
+      } else {
+        val h = ad.getLong(j)
+        var p = 0
+        while (p < 64) {
+          counts(p) += (if (((h >> p) & 1L) == 1L) 1L else -1L)
+          p += 1
+        }
+      }
+      j += 1
+    }
+    var sim = 0L
+    var p = 0
+    while (p < 64) { if (counts(p) > 0) sim |= (1L << p); p += 1 }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val sim = ctx.freshName("sim")
+      s"""
+        int $n = $c.numElements();
+        long[] $counts = new long[64];
+        for (int $j = 0; $j < $n; $j++) {
+          if ($c.isNullAt($j)) {
+            for (int $p = 0; $p < 64; $p++) { $counts[$p] -= 1L; }
+          } else {
+            long $h = $c.getLong($j);
+            for (int $p = 0; $p < 64; $p++) {
+              $counts[$p] += ((($h >> $p) & 1L) == 1L) ? 1L : -1L;
+            }
+          }
+        }
+        long $sim = 0L;
+        for (int $p = 0; $p < 64; $p++) { if ($counts[$p] > 0L) { $sim |= (1L << $p); } }
+        ${ev.value} = $sim;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** string → array<long>: whitespace-tokenize, build word n-gram
+  * shingles, md5-hash each ([[TextHash.hash64Local]] semantics, optional
+  * mod), distinct (post-mod, first-occurrence order). One compiled pass —
+  * replaces a wordShingles→md5-transform chain whose interpreted lambdas
+  * dominate the dedup pipelines. Null text → empty array (the HOF
+  * formulation's CASE/otherwise([]) behavior), so nullable = false.
+  */
+case class WordShingleHashes(child: Expression, n: Int, mod: Long, distinct: Boolean = true)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes requires string, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordShingleHashes.Empty
+    else WordShingleHashes.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, mod, distinct)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull}
+          ? graft.functions.WordShingleHashes.Empty()
+          : graft.functions.WordShingleHashes.compute(${childGen.value}, $n, ${mod}L, $distinct);
+      """
+    ev.copy(code = code"$resultCode", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // Java-friendly accessor for generated code
+  def Empty(): GenericArrayData = EmptyArray
+  private val EmptyArray = new GenericArrayData(Array.empty[Any])
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5-derived 60-bit hash of "0:" + s — identical to
+    * [[TextHash.hash64Local]] / the Column-level md5 formula.
+    */
+  private def hash64(s: String): Long = {
+    val d = digest.get().digest(s"0:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = upper 60 bits of the first 8 bytes except
+    // the low nibble of byte 7
+    var acc = 0L
+    var i = 0
+    while (i < 8) {
+      val hi = (d(i) >> 4) & 0xf
+      val lo = d(i) & 0xf
+      if (i < 7) acc = (acc << 8) | (hi << 4) | lo
+      else acc = (acc << 4) | hi
+      i += 1
+    }
+    acc
+  }
+
+  def compute(text: UTF8String, n: Int, mod: Long, distinct: Boolean): GenericArrayData = {
+    val toks0 = text.toString.split(" ")
+    var nt = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nt += 1; i += 1 }
+    if (nt < n) return EmptyArray
+    val toks = new Array[String](nt)
+    var j = 0
+    i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }
+      i += 1
+    }
+    // distinct=true: first-occurrence-ordered set (dedup semantics);
+    // distinct=false: every occurrence kept (SimHash votes)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val all = if (distinct) null else new Array[Any](nt - n + 1)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= nt - n) {
+      sb.setLength(0)
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(toks(i + w))
+        w += 1
+      }
+      val h0 = hash64(sb.toString)
+      val h = if (mod > 0) h0 % mod else h0
+      if (distinct) out.add(h) else all(i) = h
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(all)
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** string → language code: whitespace-tokenize, lowercase, count
+  * stopword hits per language in one compiled pass, return the argmax
+  * ratio's language — ties to the lexicographically LAST language (the
+  * max-by-(ratio, lang)-struct semantics of the declarative
+  * formulation), "und" when every ratio is zero.
+  */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val names: Array[String] =
+    langs.map(_._1).sorted.toArray
+  @transient private lazy val sets: Array[java.util.HashSet[String]] = {
+    val byName = langs.toMap
+    names.map { l =>
+      val s = new java.util.HashSet[String]()
+      byName(l).foreach(w => s.add(w))
+      s
+    }
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"lang_id requires string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdExpr.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], names, sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val namesRef = ctx.addReferenceObj("langNames", names, "java.lang.String[]")
+      val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+      s"${ev.value} = graft.functions.LangIdExpr.compute($c, $namesRef, $setsRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+object LangIdExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, names: Array[String],
+      sets: Array[java.util.HashSet[String]]): UTF8String = {
+    val toks0 = text.toString.split(" ")
+    val k = names.length
+    val hits = new Array[Int](k)
+    var nToks = 0
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) {
+        nToks += 1
+        val low = toks0(i).toLowerCase(java.util.Locale.ROOT)
+        var l = 0
+        while (l < k) { if (sets(l).contains(low)) hits(l) += 1; l += 1 }
+      }
+      i += 1
+    }
+    val denom = math.max(nToks, 1).toDouble
+    // max by (ratio, lang): ascending scan keeps later (greater) lang on ties
+    var bestR = -1.0
+    var bestL = ""
+    var l = 0
+    while (l < k) {
+      val r = hits(l) / denom
+      if (r > bestR || (r == bestR && names(l) > bestL)) { bestR = r; bestL = names(l) }
+      l += 1
+    }
+    UTF8String.fromString(if (bestR > 0.0) bestL else "und")
+  }
+}
+
+object TextFunctions {
+  def minhashSig(hashed: Column, k: Int): Column =
+    GraftExprBridge.column(MinhashSig(GraftExprBridge.expression(hashed), k))
+
+  def simhash64(hashes: Column): Column =
+    GraftExprBridge.column(Simhash64(GraftExprBridge.expression(hashes)))
+
+  def wordShingleHashes(text: Column, n: Int, mod: Long = 0L, distinct: Boolean = true): Column =
+    GraftExprBridge.column(WordShingleHashes(GraftExprBridge.expression(text), n, mod, distinct))
+
+  def langId(text: Column, langs: Map[String, Seq[String]]): Column =
+    GraftExprBridge.column(LangIdExpr(GraftExprBridge.expression(text), langs.toSeq))
+}

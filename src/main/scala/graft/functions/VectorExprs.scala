@@ -99,29 +99,42 @@ case class SignLshBuckets(child: Expression, tables: Int, planes: Int)
     nullSafeCodeGen(ctx, ev, c => {
       val hyperRef = ctx.addReferenceObj("hyper", hyper, "double[][]")
       val maxDim = VectorExprs.MaxDim
-      val getter = if (isFloat) s"(double) $c.getFloat(j)" else s"$c.getDouble(j)"
+      // every local through freshName: this snippet inlines into the
+      // enclosing generated method, where bare names collide
+      val n0 = ctx.freshName("n0")
+      val n = ctx.freshName("n")
+      val hasNull = ctx.freshName("hasNull")
+      val v = ctx.freshName("v")
+      val j = ctx.freshName("j")
+      val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t")
+      val key = ctx.freshName("key")
+      val p = ctx.freshName("p")
+      val comps = ctx.freshName("comps")
+      val proj = ctx.freshName("proj")
+      val getter = if (isFloat) s"(double) $c.getFloat($j)" else s"$c.getDouble($j)"
       s"""
-        int n0 = $c.numElements();
-        int n = n0 > $maxDim ? $maxDim : n0;
-        boolean hasNull = n0 > $maxDim;
-        double[] v = new double[n];
-        for (int j = 0; j < n && !hasNull; j++) {
-          if ($c.isNullAt(j)) { hasNull = true; } else { v[j] = $getter; }
+        int $n0 = $c.numElements();
+        int $n = $n0 > $maxDim ? $maxDim : $n0;
+        boolean $hasNull = $n0 > $maxDim;
+        double[] $v = new double[$n];
+        for (int $j = 0; $j < $n && !$hasNull; $j++) {
+          if ($c.isNullAt($j)) { $hasNull = true; } else { $v[$j] = $getter; }
         }
-        Object[] keys = new Object[$tables];
-        for (int t = 0; t < $tables; t++) {
-          long key = 0L;
-          if (!hasNull) {
-            for (int p = 0; p < $planes; p++) {
-              double[] comps = $hyperRef[t * $planes + p];
-              double proj = 0.0;
-              for (int j = 0; j < n; j++) { proj += v[j] * comps[j]; }
-              if (proj > 0.0) { key |= (1L << p); }
+        Object[] $keys = new Object[$tables];
+        for (int $t = 0; $t < $tables; $t++) {
+          long $key = 0L;
+          if (!$hasNull) {
+            for (int $p = 0; $p < $planes; $p++) {
+              double[] $comps = $hyperRef[$t * $planes + $p];
+              double $proj = 0.0;
+              for (int $j = 0; $j < $n; $j++) { $proj += $v[$j] * $comps[$j]; }
+              if ($proj > 0.0) { $key |= (1L << $p); }
             }
           }
-          keys[t] = org.apache.spark.unsafe.types.UTF8String.fromString(t + "#" + key);
+          $keys[$t] = org.apache.spark.unsafe.types.UTF8String.fromString($t + "#" + $key);
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(keys);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
       """
     })
 
@@ -171,23 +184,31 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getX = if (leftFloat) s"(double) $a.getFloat(j)" else s"$a.getDouble(j)"
-      val getY = if (rightFloat) s"(double) $b.getFloat(j)" else s"$b.getDouble(j)"
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getX = if (leftFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($j)" else s"$b.getDouble($j)"
       s"""
-        int n = $a.numElements();
-        boolean bad = n != $b.numElements();
-        double dot = 0.0; double na = 0.0; double nb = 0.0;
-        if (!bad) {
-          for (int j = 0; j < n; j++) {
-            if ($a.isNullAt(j) || $b.isNullAt(j)) { bad = true; break; }
-            double x = $getX; double y = $getY;
-            dot += x * y; na += x * x; nb += y * y;
+        int $n = $a.numElements();
+        boolean $bad = $n != $b.numElements();
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        if (!$bad) {
+          for (int $j = 0; $j < $n; $j++) {
+            if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; break; }
+            double $x = $getX; double $y = $getY;
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
         }
-        if (bad) {
+        if ($bad) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
       """
     })

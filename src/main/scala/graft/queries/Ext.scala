@@ -77,12 +77,14 @@ object Ext {
         val seedRows = params.zipWithIndex
           .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
         s"""
-        WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
-        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-        hp AS (SELECT doc_id, ${hSql("'0'", "g")} % 2147483647 AS h FROM post),
+        WITH sh AS (SELECT doc_id,
+                      list_distinct(list_transform($shinglesSql,
+                        g -> ${hSql("'0'", "g")} % 2147483647)) AS shingles
+                    FROM documents),
+        post AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
         sig AS (
           SELECT doc_id, s.seed, MIN((h * s.a + s.b) % 2147483647) AS mh
-          FROM hp CROSS JOIN (VALUES $seedRows) s(seed, a, b)
+          FROM post CROSS JOIN (VALUES $seedRows) s(seed, a, b)
           GROUP BY 1, 2),
         sigarr AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sig GROUP BY 1),
         bandkey AS (
@@ -148,7 +150,10 @@ object Ext {
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""
-        WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+        WITH sh AS (SELECT doc_id,
+                      list_distinct(list_transform($shinglesSql,
+                        g -> ${hSql("'0'", "g")} % 2147483647)) AS shingles
+                    FROM documents),
         post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
         sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
         inter AS (
@@ -233,7 +238,7 @@ object Ext {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .select($"lang", TextAnalysis.langId(TextHash.tokens($"text")).as("predicted"))
+          .select($"lang", TextAnalysis.langId($"text").as("predicted"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted")

@@ -94,7 +94,7 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("the cat sat on the mat and it was happy", "en"),
       ("el gato es un animal que vive en la casa", "es"),
       ("zzz qqq www", "und")).toDF("text", "want")
-    val out = d.select(TextAnalysis.langId(TextHash.tokens(col("text"))).as("got"), col("want"))
+    val out = d.select(TextAnalysis.langId(col("text")).as("got"), col("want"))
       .collect()
     out.foreach(r => assert(r.getString(0) == r.getString(1), r.getString(1)))
   }
