@@ -8,7 +8,8 @@ object Catalog {
     Etl.all,
     Ext.all,
     Windows.all,
-    Multimodal.all
+    Multimodal.all,
+    Extra.all
   )
 
   lazy val all: Seq[Q] = {
