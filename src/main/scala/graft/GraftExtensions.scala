@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSim, LangIdExpr, MinhashSig, SignLshBuckets, Simhash64, WordShingleHashes}
+import graft.ext.TextAnalysis
+
+/** SparkSessionExtensions entry point: exposes the engine's native
+  * Catalyst expressions to SQL (`spark.sql.extensions=graft.GraftExtensions`
+  * or `builder.withExtensions`). The DataFrame API reaches the same
+  * expressions through graft.functions.{TextFunctions, VectorFunctions};
+  * this registration makes them first-class for SQL users — the
+  * extension point SURVEY.md §7.3 reserved.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_sim"),
+      info("graft_cosine_sim", "graft_cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_sign_lsh_buckets"),
+      info("graft_sign_lsh_buckets",
+        "graft_sign_lsh_buckets(vec, tables, planes) - sign-LSH bucket keys"),
+      (args: Seq[Expression]) =>
+        SignLshBuckets(args(0),
+          intArg(args(1), "graft_sign_lsh_buckets"),
+          intArg(args(2), "graft_sign_lsh_buckets"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(hashes, k) - k-entry minhash signature"),
+      (args: Seq[Expression]) => MinhashSig(args(0), intArg(args(1), "graft_minhash_sig"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash of token hashes"),
+      (args: Seq[Expression]) => Simhash64(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingle_hashes"),
+      info("graft_word_shingle_hashes",
+        "graft_word_shingle_hashes(text, n[, mod]) - md5 hashes of word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        WordShingleHashes(args(0),
+          intArg(args(1), "graft_word_shingle_hashes"),
+          if (args.length > 2) longArg(args(2), "graft_word_shingle_hashes") else 0L)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id", "graft_lang_id(text) - stopword-ratio language id"),
+      (args: Seq[Expression]) => LangIdExpr(args(0), TextAnalysis.stopwords.toSeq)))
+  }
+}

@@ -34,7 +34,8 @@ object GraftSession {
     * partition sizing the deployment chose).
     */
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.adaptive.enabled", "true")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // dims (region/nation/supplier/customer at test SF) broadcast freely;

@@ -145,7 +145,9 @@ case class SignLshBuckets(child: Expression, tables: Int, planes: Int)
 /** Cosine similarity of two equal-length float/double arrays: one
   * compiled pass accumulating dot, |a|², |b|² (each a 0.0-seeded left
   * fold — bit-identical to three list_reduce folds). Null when lengths
-  * differ or any element is null.
+  * differ, any element is null, or either norm is zero (double division
+  * by zero is NULL in the DuckDB oracle and an error under Spark ANSI —
+  * null is the portable contract).
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -179,7 +181,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       dot += x * y; na += x * x; nb += y * y
       j += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -192,6 +195,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val j = ctx.freshName("j")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       val getX = if (leftFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
       val getY = if (rightFloat) s"(double) $b.getFloat($j)" else s"$b.getDouble($j)"
       s"""
@@ -205,10 +209,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
             $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
         }
-        if ($bad) {
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        if ($bad || $denom == 0.0) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          ${ev.value} = $dot / $denom;
         }
       """
     })

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ext.TextHash
+
+/** Parity specs for the native expressions: each compiled loop must
+  * produce bit-identical results to a plain-Scala reference built from
+  * the same md5 formulas (the same contract the DuckDB oracle checks
+  * end-to-end at sf0.01).
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("functions-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private val P = TextHash.MinhashPrime
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog tonight",
+    "a b", // below shingle size
+    "", // empty
+    "repeated repeated repeated words words here",
+    "  double  spaced   tokens  everywhere  ")
+
+  private def refShingleHashes(text: String, n: Int, mod: Long): Seq[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) Seq.empty
+    else {
+      val hs = toks.sliding(n).map(w => TextHash.hash64Local(w.mkString(" ")))
+        .map(h => if (mod > 0) h % mod else h).toSeq
+      hs.distinct
+    }
+  }
+
+  test("WordShingleHashes matches the scala md5 reference (distinct + multiset)") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val got = df.select(TextFunctions.wordShingleHashes($"text", 3, P).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val want = texts.map(refShingleHashes(_, 3, P))
+    assert(got.toSeq == want)
+    // non-distinct keeps every occurrence (simhash votes)
+    val gotAll = df.select(TextFunctions.wordShingleHashes($"text", 1, 0L, distinct = false).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val wantAll = texts.map(t => t.split(" ").filter(_.nonEmpty).toSeq.map(TextHash.hash64Local(_)))
+    assert(gotAll.toSeq == wantAll)
+  }
+
+  test("MinhashSig matches the affine-family reference") {
+    import spark.implicits._
+    val params = TextHash.minhashParams(16)
+    val hashes = texts.map(refShingleHashes(_, 3, P))
+    val got = hashes.toDF("h")
+      .select(TextFunctions.minhashSig($"h", 16).as("sig"))
+      .collect().map(r => r.getSeq[Any](0).toSeq)
+    val want = hashes.map { hs =>
+      params.map { case (a, b) =>
+        if (hs.isEmpty) null else hs.map(h => (h * a + b) % P).min
+      }
+    }
+    assert(got.toSeq == want.map(_.toSeq))
+  }
+
+  test("Simhash64 matches the majority-vote reference") {
+    import spark.implicits._
+    val tokenHashes = texts.map(t => t.split(" ").filter(_.nonEmpty).toSeq.map(TextHash.hash64Local(_)))
+    val got = tokenHashes.toDF("h")
+      .select(TextFunctions.simhash64($"h").as("s")).collect().map(_.getLong(0))
+    val want = tokenHashes.map { hs =>
+      (0 until 64).map { j =>
+        val vote = hs.map(h => if (((h >> j) & 1L) == 1L) 1L else -1L).sum
+        if (vote > 0) 1L << j else 0L
+      }.sum
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("CosineSim matches the HOF fold formulation bit-for-bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(0.1f, -0.4f, 0.9f), Array(0.5f, 0.2f, -0.7f)))
+    val df = vecs.toDF("a", "b")
+      .select(transform($"a", _.cast("double")).as("a"), transform($"b", _.cast("double")).as("b"))
+    val got = df.select(VectorFunctions.cosineSim($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    val want = df.select(graft.ext.Similarity.cosine($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    assert(got.zip(want).forall { case (g, w) =>
+      java.lang.Double.doubleToLongBits(g) == java.lang.Double.doubleToLongBits(w)
+    }, s"${got.toSeq} vs ${want.toSeq}")
+    // length mismatch and zero-norm → null (DuckDB /0 semantics)
+    val m = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosineSim($"a", $"b").as("c")).collect()
+    assert(m.forall(_.isNullAt(0)))
+  }
+
+  test("SignLshBuckets matches a scala reference over the same hyperplanes") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array.tabulate(8)(i => (i + 1) * 0.25f),
+      Array.tabulate(8)(i => math.cos(i + 1).toFloat),
+      Array.fill(8)(0.0f))
+    val got = vecs.toDF("v")
+      .select(VectorFunctions.signLshBuckets($"v", 3, 5).as("b"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    val want = vecs.map { v =>
+      (0 until 3).map { t =>
+        var key = 0L
+        for (p <- 0 until 5) {
+          var proj = 0.0
+          for (i <- v.indices) {
+            val comp = (TextHash.hash64Local(s"$t:$p:${i + 1}") % 1000L).toDouble / 1000.0 - 0.5
+            proj += v(i).toDouble * comp
+          }
+          if (proj > 0.0) key |= (1L << p)
+        }
+        s"$t#$key"
+      }
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("interpreted eval path agrees with codegen (direct Expression.eval)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = WordShingleHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(texts.head), org.apache.spark.sql.types.StringType),
+      3, P)
+    val viaEval = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(viaEval == refShingleHashes(texts.head, 3, P))
+  }
+
+  test("expressions are registered for SQL via GraftExtensions") {
+    val one = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()
+    assert(one.head.getDouble(0) == 1.0)
+    val lang = spark.sql("SELECT graft_lang_id('the cat sat on the mat') AS l").collect()
+    assert(lang.head.getString(0) == "en")
+    val sh = spark.sql(
+      s"SELECT graft_word_shingle_hashes('a b c d', 3, ${P}L) AS h").collect()
+    assert(sh.head.getSeq[Long](0).toSeq ==
+      Seq(TextHash.hash64Local("a b c") % P, TextHash.hash64Local("b c d") % P))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape guards: the catalog queries must keep the physical plans
+  * that make them scale — filters reaching the parquet scan, pruned
+  * read schemas, broadcast joins for dims, TakeOrderedAndProject for
+  * top-k, and no accidental cartesian products. A correctness-green
+  * query with the wrong plan is a 100 TB incident waiting to happen.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("plan-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Catalog.all.find(_.name == name).get.build(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 pushes filters into the parquet scan and prunes columns") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_discount"), p)
+    // only the 5 referenced columns are read, not all 16
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03 joins dims via broadcast, no shuffle of the build side") {
+    val p = planOf("q03_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q13_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q39 brute-force ANN is scan + broadcast + TakeOrderedAndProject") {
+    val p = planOf("q39_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("q46 theta join broadcasts the tiny band side") {
+    val p = planOf("q46_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no dedup query degenerates to a cartesian product") {
+    for (name <- Seq("q35_dedup_minhash_lsh", "q36_dedup_simhash",
+        "q37_dedup_ngram_jaccard", "q38_embedding_neardup")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
+  test("q01 aggregation is partial (map-side) before the shuffle") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair ⇒ at least two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
