@@ -79,7 +79,11 @@ object Media {
     */
   def frameOffsets(durationMs: org.apache.spark.sql.Column, everyMs: Long): org.apache.spark.sql.Column =
     when(durationMs > 0,
-      transform(sequence(lit(0L), (durationMs - 1) / lit(everyMs)), i => i * lit(everyMs)))
+      transform(
+        // Column `/` is double division — floor+cast makes it the
+        // integer division sequence() needs (exact for positive ms)
+        sequence(lit(0L), floor((durationMs - 1) / lit(everyMs)).cast("long")),
+        i => i * lit(everyMs)))
       .otherwise(array().cast("array<bigint>"))
 
   /** Wrap a DataFrame with (id, binary payload) columns into the typed

@@ -15,6 +15,36 @@ object Extra {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** DuckDB replica of TextHash.hash64 (seed 0). */
+  private def hSql(v: String): String =
+    s"CAST('0x'||substr(md5('0:'||$v),1,15) AS BIGINT)"
+
+  /** DuckDB replica of the sign-LSH bucket keys (graft.functions
+    * .SignLshBuckets) for `tables` tables × `planes` planes.
+    */
+  private def buckSql(tables: Int, planes: Int): String = s"""
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+    buck AS (
+      SELECT vec_id, vec, tb,
+        CAST(tb AS VARCHAR) || '#' || CAST((
+          SELECT SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(vec) + 1),
+                     i -> vec[i] * ((${hSql("(CAST(tb AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % 1000) / 1000.0 - 0.5))),
+                   (a, x) -> a + x) > 0.0
+               THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)
+          FROM (SELECT unnest(range(0, $planes)) AS p)) AS VARCHAR) AS bucket
+      FROM v CROSS JOIN (SELECT unnest(range(0, $tables)) AS tb))"""
+
+  /** DuckDB replica of the 0.0-seeded left-fold cosine. */
+  private def cosSql(a: String, b: String): String = s"""
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Theta join: part × tiny band table on a range predicate. The band
@@ -137,6 +167,71 @@ object Extra {
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY event_type
         ORDER BY event_type
+      """)),
+    // ----------------------------------------------------------------
+    // Batched ANN, the scale path: LSH-bucket join for candidates,
+    // exact-cosine verify, per-query window top-k. Queries = vec_id < 5.
+    Q(
+      "q51_ann_lsh_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        graft.ext.Similarity.lshTopK(
+          emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 5, tables = 4, planes = 6)
+          .orderBy($"query_id", $"neighbor_id")
+      },
+      Some(s"""
+        WITH ${buckSql(4, 6)},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buck q JOIN buck c ON q.bucket = c.bucket
+          WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ${cosSql("qv.vec", "cv.vec")} AS cos
+          FROM cand JOIN v qv ON qv.vec_id = query_id
+                    JOIN v cv ON cv.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, cos FROM ranked
+        WHERE rn <= 5
+        ORDER BY query_id, neighbor_id
+      """)),
+    // ----------------------------------------------------------------
+    // Multimodal frame-sample planning: pure-expression offsets (no
+    // UDF) from a per-row duration — the plan side of video sampling;
+    // the byte-level frame grab sits behind the stubbed codec.
+    Q(
+      "q52_frame_sampling",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id",
+            // floor before the long cast: Spark's double→long cast
+            // truncates, DuckDB's rounds — floor makes both exact
+            floor($"value" * 1000.0).cast("long").as("duration_ms"))
+          .select($"event_id", $"duration_ms",
+            graft.multimodal.Media.frameOffsets($"duration_ms", 250L).as("offs"))
+          .select($"event_id", $"duration_ms",
+            size($"offs").as("n_frames"),
+            when(size($"offs") > 0, element_at($"offs", -1)).otherwise(lit(-1L)).as("last_off"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, duration_ms,
+               CAST(len(offs) AS INTEGER) AS n_frames,
+               COALESCE(offs[-1], -1) AS last_off
+        FROM (
+          SELECT event_id, duration_ms,
+                 CASE WHEN duration_ms > 0
+                      THEN list_transform(range(0, (duration_ms - 1) // 250 + 1), i -> i * 250)
+                      ELSE [] END AS offs
+          FROM (SELECT event_id, CAST(floor(value * 1000.0) AS BIGINT) AS duration_ms FROM events))
+        ORDER BY event_id
       """))
   )
 }

@@ -84,6 +84,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet in → windowed agg → parquet out, resumes from checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (inDir, outDir, ckDir) = (s"$root/in", s"$root/out", s"$root/ck")
+
+    def writeBatch(rows: Seq[EventStreams.Event]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val in = EventStreams.readEventStream(spark, inDir)
+        .drop("props") // schema declares props; the fixture writes without it
+      val q = EventStreams.writeEventStream(
+        EventStreams.tumblingCounts(in, "10 minutes", "5 minutes"), outDir, ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeBatch(Seq(
+      ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:04:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 00:11:00", 2, "view", 3.0)))
+    runOnce()
+    // second run, new file: watermark passes the earlier windows → they emit;
+    // the checkpoint guarantees the first batch is not reprocessed
+    writeBatch(Seq(ev(4, "2024-01-01 01:00:00", 1, "click", 4.0)))
+    runOnce()
+
+    val out = spark.read.parquet(outDir)
+      .select($"win_start", $"event_type", $"n", $"total")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)), s"got $out")
+    assert(out.contains((ts("2024-01-01 00:10:00"), "view", 1L, 3.0)), s"got $out")
+  }
+
   test("the same tumblingCounts function runs in batch mode (stream/batch unification)") {
     import spark.implicits._
     val batch = Seq(
