@@ -73,11 +73,12 @@ object Dedup {
         TextHash.bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     // Candidate generation joins (id, band) pairs only — the shuffle
     // carries ~50-byte rows, not shingle arrays; arrays re-join after
-    // the distinct collapses multi-band collisions.
-    val cand = banded.select(col("doc_id").as("id_a"), col("band"))
-      .join(banded.select(col("doc_id").as("id_b"), col("band")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // the distinct collapses multi-band collisions. The self-join keeps
+    // BOTH sides the identical plan (alias, not re-projection) so
+    // ReuseExchange computes the shingle→minhash pipeline once.
+    val cand = banded.as("a").join(banded.as("b"), col("a.band") === col("b.band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
       .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
@@ -144,12 +145,11 @@ object Dedup {
         shiftrightunsigned(col("sim"), i * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)).as("v"))
     }: _*)))
-    val a = chunked.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("chunk"))
-    val b = chunked.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("chunk"))
-    a.join(b, Seq("chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextHash.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+    // identical-plan self-join → ReuseExchange computes simhashes once
+    chunked.as("a").join(chunked.as("b"), col("a.chunk") === col("b.chunk"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        TextHash.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -64,10 +64,10 @@ object Similarity {
     // re-join after candidate pairs collapse, keeping the shuffle narrow.
     val bucketed = base.select(col("vid"),
       explode(signLshBuckets(col("vec"), tables, planes)).as("bucket"))
-    val cand = bucketed.select(col("vid").as("id_a"), col("bucket"))
-      .join(bucketed.select(col("vid").as("id_b"), col("bucket")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // identical-plan self-join → ReuseExchange computes buckets once
+    val cand = bucketed.as("a").join(bucketed.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
       .distinct()
     cand
       .join(base.select(col("vid").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
