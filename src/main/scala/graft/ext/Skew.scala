@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation building blocks.
+  *
+  * AQE's skew-join splitting (enabled in GraftSession) handles skewed
+  * JOINS at runtime; these helpers cover the aggregation-side patterns
+  * AQE does not rewrite:
+  *
+  *   - exact count-distinct over a hot key: a single-stage
+  *     `countDistinct` funnels every distinct value of the hot key
+  *     through one reducer. The two-phase form first reduces on
+  *     (key, value) — cardinality-bounded, spread across the cluster —
+  *     then counts per key.
+  *   - salted aggregation for algebraic aggs when one key dominates:
+  *     partial aggregation already combines map-side, so salting only
+  *     matters when the AGG STATE per key is large (collect_list,
+  *     approximate sketches with big buffers). The salt spreads a hot
+  *     key's state over `salts` reducers; the merge stage re-combines.
+  */
+object Skew {
+
+  /** Exact per-key count-distinct as two cardinality-bounded stages:
+    * groupBy(key, value).count → groupBy(key).count. Identical result
+    * to countDistinct(value), skew-safe shuffle profile.
+    */
+  def countDistinctTwoPhase(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.as("__k"), value.as("__v"))
+      .distinct()
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .withColumnRenamed("__k", "key")
+
+  /** Salted two-stage sum: partials on (key, salt), final on key.
+    * For a plain sum this matches Spark's own partial aggregation — the
+    * pattern exists for aggs whose state doesn't shrink map-side.
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+    df.select(key.as("__k"), value.as("__v"),
+        pmod(hash(monotonically_increasing_id()), lit(salts)).as("__s"))
+      .groupBy(col("__k"), col("__s"))
+      .agg(sum(col("__v")).as("__partial"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__partial")).as("total"))
+      .withColumnRenamed("__k", "key")
+}

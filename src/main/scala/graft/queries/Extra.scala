@@ -232,6 +232,62 @@ object Extra {
                       ELSE [] END AS offs
           FROM (SELECT event_id, CAST(floor(value * 1000.0) AS BIGINT) AS duration_ms FROM events))
         ORDER BY event_id
+      """)),
+    // ----------------------------------------------------------------
+    // Skew-safe exact count-distinct: two cardinality-bounded stages
+    // instead of funneling a hot key's values through one reducer.
+    Q(
+      "q53_skew_distinct",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Skew.countDistinctTwoPhase(
+          t(s, dir, "events"), $"event_type", $"user_id")
+          .orderBy($"key")
+      },
+      Some("""
+        SELECT event_type AS key, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events
+        GROUP BY event_type
+        ORDER BY key
+      """)),
+    // ----------------------------------------------------------------
+    // Batch session windows (30-minute inactivity gap per user) via the
+    // native session_window; the DuckDB oracle rebuilds sessions with
+    // gaps-and-islands. The streaming twin is EventStreams.sessionize.
+    Q(
+      "q54_session_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+          .select(
+            $"user_id",
+            tstr($"session_window.start").as("sess_start"),
+            $"n", $"total")
+          .orderBy($"user_id", $"sess_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events),
+        marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        grp AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total
+        FROM grp
+        GROUP BY user_id, sid
+        ORDER BY user_id, sess_start
       """))
   )
 }
