@@ -76,6 +76,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF-style ANN: the corpus is partitioned into `nCells` cells by
+    * nearest centroid (centroids = the deterministic subset vec_id <
+    * nCells — a real deployment would train k-means; the partition/probe
+    * plumbing is identical); each query probes its `nProbe` nearest
+    * cells and ranks exact cosine within them. At 100 TB the assignment
+    * is a one-off materialization (cell column, partitioned storage) and
+    * query batches touch nProbe/nCells of the data — no full-corpus scan
+    * per query, no full-corpus shuffle ever.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent_vec")))
+    def nearestCells(df: DataFrame, idAs: String, vecAs: String, keep: Int) = {
+      val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
+      df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+        .crossJoin(cents)
+        .select(col(idAs), col(vecAs), col("cent_id"),
+          cosineSim(col(vecAs), col("cent_vec")).as("__cc"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(idAs), col(vecAs), col("cent_id").as("cell"))
+    }
+    val assigned = nearestCells(corpus, "cid", "cvec", 1)
+    val probes = nearestCells(queries, "qid", "qvec", nProbe)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Batched ANN: top-k neighbors for EVERY query in a (small) query set,
     * via LSH-bucket join + per-query window top-k. The full-corpus
     * variant of this at 100 TB keeps the corpus bucketed/bucketed-sorted

@@ -288,6 +288,51 @@ object Extra {
         FROM grp
         GROUP BY user_id, sid
         ORDER BY user_id, sess_start
+      """)),
+    // ----------------------------------------------------------------
+    // IVF-style ANN: nearest-centroid partitioning + nProbe-cell search.
+    // Complements the LSH path (q51); centroids are the deterministic
+    // subset vec_id < 16 so the oracle rebuilds the identical index.
+    Q(
+      "q55_ann_ivf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        graft.ext.Similarity.ivfTopK(
+          emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+          .orderBy($"query_id", $"neighbor_id")
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT cid, cvec, cell FROM (
+            SELECT c.vec_id AS cid, c.vec AS cvec, ct.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY ${cosSql("c.vec", "ct.cent_vec")} DESC, ct.cent_id) AS rn
+            FROM v c CROSS JOIN cents ct)
+          WHERE rn = 1),
+        probes AS (
+          SELECT qid, qvec, cell FROM (
+            SELECT q.vec_id AS qid, q.vec AS qvec, ct.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosSql("q.vec", "ct.cent_vec")} DESC, ct.cent_id) AS rn
+            FROM v q CROSS JOIN cents ct WHERE q.vec_id < 5)
+          WHERE rn <= 4),
+        scored AS (
+          SELECT p.qid AS query_id, a.cid AS neighbor_id,
+                 ${cosSql("p.qvec", "a.cvec")} AS cos
+          FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE p.qid <> a.cid),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5
+        ORDER BY query_id, neighbor_id
       """))
   )
 }
