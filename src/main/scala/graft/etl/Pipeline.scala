@@ -59,6 +59,21 @@ object Pipeline {
         .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Generic JDBC sink — the warehouse-parity path (the reference's
+    * Snowflake connector modes, ingest.py:782-820, expressed through
+    * plain JDBC): append = K2/K4; truncate = the K3 "overwrite with an
+    * empty frame + truncate option" trick, which truncates in place
+    * (dialect TRUNCATE TABLE) instead of a drop/recreate round-trip.
+    */
+  final case class JdbcSink(url: String, table: String, props: java.util.Properties)
+      extends Sink {
+    def append(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Append).jdbc(url, table, props)
+    def truncate(spark: SparkSession, schema: StructType): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).option("truncate", "true").jdbc(url, table, props)
+  }
+
   /** Write-mode dispatch (ingest.py:781-825). */
   sealed trait WriteMode
   final case class Append(truncateFirst: Boolean = false) extends WriteMode
