@@ -110,6 +110,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wm.lastRuntime("lead_xref") == before)
   }
 
+  test("conform runs unchanged on a streaming source (stream/batch ETL unification)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = tmp()
+    val outDir = s"${tmp()}/out"
+    val ckDir = s"${tmp()}/ck"
+    val rawSchema = StructType(Seq(
+      StructField("leadxrefguid", StringType),
+      StructField("createdate", StringType),
+      StructField("modifydate", StringType)))
+    spark.createDataFrame(
+      Seq(
+        Row("g1", "2024-01-01 10:00:00", "2024-01-02 11:00:00"),
+        Row("g2", "2024-02-01 10:00:00", null)).asJava, rawSchema)
+      .write.mode("append").parquet(inDir)
+    val fixedClock = lit("2024-06-01 00:00:00").cast(TimestampType)
+    val stream = spark.readStream.schema(rawSchema).parquet(inDir)
+    val q = Conform.conform(stream, "lead_xref", clock = fixedClock)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    // streaming output carries the exact conformed schema, like batch
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      TableSchemas.schemas("lead_xref").fields.map(f => (f.name, f.dataType)).toSeq)
+    val guids = out.select("LEAD_XREF_GUID").collect().map(_.getString(0)).toSet
+    assert(guids == Set("g1", "g2"))
+  }
+
   test("watermark store: corrupt file falls back to 1900, format round-trips") {
     val dir = tmp()
     val wm = new Pipeline.WatermarkStore(dir)

@@ -125,6 +125,27 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want)
   }
 
+  test("WordShingleHashes property: agrees with reference on 200 generated strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const(" "),
+      Gen.oneOf("düber", "καλό", "日本語", "a-b", "x!y"))
+    val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val texts = (0 until 200).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    import spark.implicits._
+    val got = texts.toDF("text")
+      .select(TextFunctions.wordShingleHashes($"text", 2, P).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val want = texts.map { t =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(w => TextHash.hash64Local(w.mkString(" ")) % P).toSeq.distinct
+    }
+    assert(got.toSeq == want)
+  }
+
   test("interpreted eval path agrees with codegen (direct Expression.eval)") {
     import org.apache.spark.unsafe.types.UTF8String
     val e = WordShingleHashes(
