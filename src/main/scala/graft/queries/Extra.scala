@@ -333,6 +333,65 @@ object Extra {
           FROM scored)
         SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5
         ORDER BY query_id, neighbor_id
+      """)),
+    // ----------------------------------------------------------------
+    // Sketch quantiles: approx_percentile is estimation by contract, so
+    // (like q23's HLL) the driver records a rows-only check.
+    Q(
+      "q56_approx_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as("price_quartiles"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+    // ----------------------------------------------------------------
+    // Pivot: wide sum-of-quantity by return flag (explicit value list →
+    // stable output schema), decimal-exact sums.
+    Q(
+      "q57_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum($"l_quantity"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""
+        SELECT l_linestatus,
+               CAST(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS A,
+               CAST(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS N,
+               CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS R
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+      """)),
+    // ----------------------------------------------------------------
+    // Unpivot (melt): wide → long over two measure columns.
+    Q(
+      "q58_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice"),
+            "measure", "val")
+          .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, measure, val FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber, measure
       """))
   )
 }
