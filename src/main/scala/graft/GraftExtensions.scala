@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (args.length > 2) longArg(args(2), "graft_word_shingle_hashes") else 0L)))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint64"),
+      info("graft_fingerprint64", "graft_fingerprint64(text, n) - min char n-gram md5 fingerprint"),
+      (args: Seq[Expression]) =>
+        graft.functions.Fingerprint64(args(0), intArg(args(1), "graft_fingerprint64"))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_lang_id"),
       info("graft_lang_id", "graft_lang_id(text) - stopword-ratio language id"),
       (args: Seq[Expression]) => LangIdExpr(args(0), TextAnalysis.stopwords.toSeq)))

@@ -70,10 +70,10 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: min of the char-8-gram hashes
-    * (one winnowing window over the whole doc). Identical prose →
-    * identical fingerprint; robust to doc-level reordering of rare
-    * n-grams. Cheap: one pass, 60-bit output.
+    * (one winnowing window over the whole doc), as a compiled single
+    * pass (graft.functions.Fingerprint64). Identical prose → identical
+    * fingerprint; robust to doc-level reordering of rare n-grams.
     */
   def fingerprint(text: Column): Column =
-    array_min(transform(TextHash.charShingles(text, 8), s => TextHash.hash64(s)))
+    graft.functions.TextFunctions.fingerprint64(text, 8)
 }

@@ -225,11 +225,11 @@ object WordShingleHashes {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private val HexChars = "0123456789abcdef".toCharArray
-
   /** md5-derived 60-bit hash of "0:" + s — identical to
     * [[TextHash.hash64Local]] / the Column-level md5 formula.
     */
+  def hashOf(s: String): Long = hash64(s)
+
   private def hash64(s: String): Long = {
     val d = digest.get().digest(s"0:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = upper 60 bits of the first 8 bytes except
@@ -361,6 +361,56 @@ object LangIdExpr {
   }
 }
 
+/** string → nullable long: MIN over all char n-gram substrings of the
+  * md5-derived 60-bit hash — the rolling document fingerprint, one
+  * compiled pass with no array materialization (min over the multiset
+  * equals min over the distinct set). Code-point stepping matches
+  * substr()/DuckDB char semantics beyond ASCII. Shorter-than-n or null
+  * text → null (the array_min-over-empty behavior).
+  */
+case class Fingerprint64(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"fingerprint64 requires string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprint64.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+        Long $res = graft.functions.Fingerprint64.compute($c, $n);
+        if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+object Fingerprint64 {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): java.lang.Long = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    if (cps.length < n) return null
+    var min = Long.MaxValue
+    var i = 0
+    while (i <= cps.length - n) {
+      val gram = new String(cps, i, n)
+      val h = WordShingleHashes.hashOf(gram)
+      if (h < min) min = h
+      i += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+}
+
 object TextFunctions {
   def minhashSig(hashed: Column, k: Int): Column =
     GraftExprBridge.column(MinhashSig(GraftExprBridge.expression(hashed), k))
@@ -373,4 +423,7 @@ object TextFunctions {
 
   def langId(text: Column, langs: Map[String, Seq[String]]): Column =
     GraftExprBridge.column(LangIdExpr(GraftExprBridge.expression(text), langs.toSeq))
+
+  def fingerprint64(text: Column, n: Int): Column =
+    GraftExprBridge.column(Fingerprint64(GraftExprBridge.expression(text), n))
 }

@@ -146,6 +146,23 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want)
   }
 
+  test("Fingerprint64 matches the charShingles+hash HOF formulation (incl. non-ASCII)") {
+    import spark.implicits._
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short", // below 8 chars → null
+      "exactly8",
+      "καλημέρα κόσμε unicode content here",
+      "aaaaaaaaaa") // repeated grams collapse to one hash
+    val df = samples.toDF("text")
+    val got = df.select(TextFunctions.fingerprint64($"text", 8).as("fp")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val ref = df.select(
+      array_min(transform(TextHash.charShingles($"text", 8), s => TextHash.hash64(s))).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("interpreted eval path agrees with codegen (direct Expression.eval)") {
     import org.apache.spark.unsafe.types.UTF8String
     val e = WordShingleHashes(
