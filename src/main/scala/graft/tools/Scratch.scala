@@ -1,24 +1,32 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.{GraftSession, Tables}
+import graft.GraftSession
 
+/** Dev-only profiling entry point: edit, `sbt "runMain graft.tools.Scratch"`,
+  * read the [scratch] lines. Not part of the library surface.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.tuned(SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val docs = Tables.load(spark, dir, "documents")
-    val q = graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
-    q.count() // execute so AQE final plan materializes
-    val plan = q.queryExecution.executedPlan.toString
-    println("[scratch] Reused in q35: " + "Reused\\w+".r.findAllIn(plan).toList.distinct)
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    println("[scratch] parquet scans in q35 plan: " + scans)
-    plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("QueryStage") || l.contains("Scan parquet") || l.contains("Generate") || l.contains("Join")).foreach(l => println("[scratch] " + l.take(150)))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+
+    // default: time one catalog query cold/warm (name via args(0))
+    val name = if (args.nonEmpty) args(0) else "q01_pricing_summary"
+    val q = graft.queries.Catalog.all.find(_.name == name).get
+    time(s"$name cold")(q.build(spark, dir).count())
+    time(s"$name warm")(q.build(spark, dir).count())
+    spark.stop()
   }
 }
