@@ -392,6 +392,63 @@ object Extra {
           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
           FROM lineitem)
         ORDER BY l_orderkey, l_linenumber, measure
+      """)),
+    // ----------------------------------------------------------------
+    // Collection aggregates, flattened to a canonical string so both
+    // engines compare exactly (raw array columns hash differently in
+    // the driver's pandas canonicalization).
+    Q(
+      "q59_collect_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(
+            array_join(sort_array(collect_set($"event_type")), ",").as("types"),
+            count(lit(1)).as("n"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """)),
+    // ----------------------------------------------------------------
+    // Statistical aggregates with exact parity: variance/stddev derived
+    // from DECIMAL-exact sums (sum, sum of squares, count) so the only
+    // floating-point ops are the identical final formula in both
+    // engines — built-in stddev implementations differ numerically.
+    Q(
+      "q60_exact_stats",
+      (s, dir) => {
+        import s.implicits._
+        val sx = sum($"l_quantity".cast(Dec)).cast("double")
+        val sxx = sum(($"l_quantity" * $"l_quantity").cast(Dec)).cast("double")
+        val n = count(lit(1)).cast("double")
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+            sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("std_qty"),
+            n.cast("long").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+               sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_qty,
+               CAST(n AS BIGINT) AS n
+        FROM (
+          SELECT l_returnflag,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM lineitem
+          GROUP BY l_returnflag)
+        ORDER BY l_returnflag
       """))
   )
 }
