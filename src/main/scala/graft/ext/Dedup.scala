@@ -90,11 +90,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** n-gram Jaccard pairs via inverted-index self-join: explode distinct
-    * shingle HASHES (60-bit md5 → 8-byte join keys instead of ~30-byte
-    * strings), equi-join on the hash, count intersections, derive union
-    * from per-doc sizes. Exact up to 60-bit hash collisions (none at any
-    * realistic corpus size per-document); no probabilistic recall loss.
+  /** EXACT n-gram Jaccard pairs with prefix filtering (the AllPairs
+    * scheme, Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW'07): shingle sets are 60-bit md5 hashes sorted in a global
+    * canonical order; only the first |d| − ⌈t·|d|⌉ + 1 elements of each
+    * document are indexed. Any pair with Jaccard ≥ t MUST share a
+    * prefix element, so pruned candidates are provably below threshold —
+    * the posting self-join shrinks ~(1−t)² with NO recall loss; the
+    * survivors are verified with the full exact intersection.
+    * ⌈t·|d|⌉ is computed in exact decimal arithmetic: a double ceil of
+    * e.g. 0.6·10 = 6.000000000000001 would over-shorten the prefix and
+    * silently drop borderline pairs.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -106,19 +112,33 @@ object Dedup {
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions
         .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("shingles"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val inter = posting.select(col("doc_id").as("id_a"), col("g"))
-      .join(posting.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+    // Canonical order = rarest-first (ascending document frequency,
+    // hash as tiebreak): prefixes then hold each document's most
+    // selective shingles, so prefix-join candidates approach the true
+    // pair count instead of colliding on boilerplate shingles.
+    val post = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val tDec = lit(java.math.BigDecimal.valueOf(threshold))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val prefix = post.join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= col("__n") - ceil(tDec * col("__n")).cast("int") + 1)
+      .select(col("doc_id"), col("g"), col("__n"))
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.g") === col("b.g"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      // length filter: J ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t
+      .filter(col("b.__n") >= tDec * col("a.__n") && col("a.__n") >= tDec * col("b.__n"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+        (col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
