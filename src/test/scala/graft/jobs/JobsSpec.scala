@@ -1,0 +1,83 @@
+package graft.jobs
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
+
+/** End-to-end runs of the two reference-equivalent jobs: Derby → RAW
+  * parquet (SyncJob), then RAW → conformed staging (IngestJob) with the
+  * incremental mode exercised through the watermark store.
+  */
+class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  System.setProperty("derby.system.home", Files.createTempDirectory("derby-jobs").toString)
+  private val url = "jdbc:derby:memory:jobsdb;create=true"
+
+  lazy val spark: SparkSession = graft.GraftSession.local("jobs-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-jobs").toString
+
+  override def beforeAll(): Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      "CREATE TABLE lead_xref (leadxrefguid VARCHAR(36), createdate VARCHAR(32), modifydate VARCHAR(32))")
+    val ps = conn.prepareStatement("INSERT INTO lead_xref VALUES (?, ?, ?)")
+    for (i <- 0 until 25) {
+      ps.setString(1, s"guid-$i")
+      ps.setString(2, "2024-01-01 10:00:00")
+      ps.setString(3, s"2024-01-${10 + i % 20} 09:30:00")
+      ps.addBatch()
+    }
+    ps.executeBatch()
+    conn.close()
+  }
+
+  test("SyncJob: Derby table lands in the RAW zone with reconciled counts") {
+    val raw = tmp()
+    val out = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw))
+    assert(out == Seq(("lead_xref", 25L, 25L)))
+    assert(spark.read.parquet(s"$raw/lead_xref.parquet").count() == 25)
+
+    // a missing table is isolated, not fatal (sync.py:169-179 behavior)
+    val out2 = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "nope,lead_xref", "dest" -> tmp()))
+    assert(out2.map(_._1) == Seq("lead_xref"))
+  }
+
+  test("IngestJob: full load conforms RAW to the declared schema; incremental appends the delta") {
+    val raw = tmp()
+    SyncJob.run(spark, Map("jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw))
+    val staged = tmp()
+    val wm = tmp()
+
+    val full = IngestJob.run(spark, Map(
+      "source-dir" -> raw, "sink-dir" -> staged, "watermark-dir" -> wm,
+      "tables" -> "lead_xref", "mode" -> "append"))
+    assert(full.map(_._2.rowsWritten) == Seq(25L))
+    val conformed = spark.read.parquet(s"$staged/lead_xref")
+    assert(conformed.count() == 25)
+    assert(conformed.schema.fieldNames.toSeq ==
+      graft.etl.TableSchemas.schemas("lead_xref").fieldNames.toSeq)
+
+    // incremental: watermark dir is fresh → epoch fallback → everything
+    // qualifies as delta; rows APPEND onto the full load (at-least-once)
+    val inc = IngestJob.run(spark, Map(
+      "source-dir" -> raw, "sink-dir" -> staged, "watermark-dir" -> wm,
+      "tables" -> "lead_xref", "mode" -> "delta_insert"))
+    assert(inc.map(_._2.rowsWritten) == Seq(25L))
+    assert(spark.read.parquet(s"$staged/lead_xref").count() == 50)
+
+    // watermark now set to wall clock → immediate re-run ships nothing
+    val inc2 = IngestJob.run(spark, Map(
+      "source-dir" -> raw, "sink-dir" -> staged, "watermark-dir" -> wm,
+      "tables" -> "lead_xref", "mode" -> "delta_insert"))
+    assert(inc2.map(_._2.skippedEmpty) == Seq(true))
+  }
+}
