@@ -97,6 +97,26 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join: match each event with later events of a
+    * second stream for the same user within `withinMs`. Both sides carry
+    * watermarks and the join has a two-sided time-bound condition, so
+    * state on either side is evicted once the watermark passes the
+    * window — bounded memory under unbounded input (the requirement for
+    * any stream-stream join Spark will accept in append mode).
+    */
+  def correlate(clicks: DataFrame, views: DataFrame, withinMs: Long, delay: String): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", delay)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+      .select(col("click_id"), col("view_id"), col("user_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Wire a streaming source of the events shape from a directory of
     * parquet (file-source streaming — the prod pattern for landed data).
     */

@@ -119,6 +119,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains((ts("2024-01-01 00:10:00"), "view", 1L, 3.0)), s"got $out")
   }
 
+  test("stream-stream join correlates clicks to views within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStreams.Event]
+    val views = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.correlate(
+      clicks.toDF(), views.toDF(), withinMs = 10 * 60 * 1000, delay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("correlated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        ev(2, "2024-01-01 00:30:00", 2, "click", 0.0))
+      views.addData(
+        ev(10, "2024-01-01 00:05:00", 1, "view", 0.0), // within 10 min of click 1
+        ev(11, "2024-01-01 00:20:00", 1, "view", 0.0), // too late for click 1
+        ev(12, "2024-01-01 00:29:00", 2, "view", 0.0)) // BEFORE click 2 → no match
+      q.processAllAvailable()
+      // advance both watermarks so matched results emit
+      clicks.addData(ev(3, "2024-01-01 02:00:00", 9, "click", 0.0))
+      views.addData(ev(13, "2024-01-01 02:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, view_id FROM correlated")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 10L)), s"got $rows")
+      assert(!rows.contains((1L, 11L)), s"got $rows")
+      assert(!rows.contains((2L, 12L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: streaming upsert into a JDBC warehouse (Derby)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home", java.nio.file.Files.createTempDirectory("derby-fb").toString)
+    val url = "jdbc:derby:memory:fbdb;create=true"
+    val props = new java.util.Properties()
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+    // the prod pattern for warehouse sinks: per-microbatch JDBC append
+    // keyed by batchId for idempotent retries
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").jdbc(url, "win_counts", props)
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:04:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 01:00:00", 2, "view", 0.0)) // closes the window
+      q.processAllAvailable()
+      val stored = spark.read.jdbc(url, "win_counts", props)
+      val rows = stored.select("event_type", "n", "total")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("the same tumblingCounts function runs in batch mode (stream/batch unification)") {
     import spark.implicits._
     val batch = Seq(
