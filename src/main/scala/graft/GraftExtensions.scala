@@ -73,6 +73,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Fingerprint64(args(0), intArg(args(1), "graft_fingerprint64"))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_lenient_timestamp"),
+      info("graft_lenient_timestamp",
+        "graft_lenient_timestamp(s) - lenient NY-zone timestamp parse, future-clamped"),
+      (args: Seq[Expression]) => graft.functions.LenientTimestamp(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lenient_date"),
+      info("graft_lenient_date", "graft_lenient_date(s) - lenient date parse, future -> null"),
+      (args: Seq[Expression]) => graft.functions.LenientDate(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_lang_id"),
       info("graft_lang_id", "graft_lang_id(text) - stopword-ratio language id"),
       (args: Seq[Expression]) => LangIdExpr(args(0), TextAnalysis.stopwords.toSeq)))

@@ -46,9 +46,10 @@ object Cleanse {
   def defaultEtlTimestamp(c: Column, clock: Column): Column = coalesce(c, clock)
 
   /** Timestamp conform: garbage → null, then native-first parse with a
-    * lenient-UDF fallback (ingest.py:552-570). Native `to_timestamp` wins
-    * on anything it can parse; the UDF only sees its rejects — keeps the
-    * hot path inside whole-stage codegen.
+    * lenient fallback (ingest.py:552-570). Native `to_timestamp` wins on
+    * anything it can parse; the lenient parser (a native expression,
+    * graft.functions.LenientTimestamp — not a UDF, so the whole conform
+    * projection stays one codegen stage) only sees its rejects.
     */
   def toTimestampLenient(c: Column): Column = {
     val cleaned = when(garbageTemporal(c), lit(null)).otherwise(c)
@@ -58,7 +59,7 @@ object Cleanse {
     when(cleaned.isNull, lit(null))
       .otherwise(coalesce(
         try_to_timestamp(cleaned),
-        LenientParse.timestampUdf(cleaned.cast("string"))))
+        graft.functions.ParseFunctions.lenientTimestamp(cleaned.cast("string"))))
   }
 
   /** Date conform: native-first, lenient fallback (ingest.py:573-582). */
@@ -66,7 +67,7 @@ object Cleanse {
     when(c.isNull, lit(null))
       .otherwise(coalesce(
         try_to_date(c),
-        LenientParse.dateUdf(c.cast("string"))))
+        graft.functions.ParseFunctions.lenientDate(c.cast("string"))))
 
   /** Boolean parse: ("true","1","yes")→true, ("false","0","no")→false,
     * single-char t/f, else null (ingest.py:594-608).
