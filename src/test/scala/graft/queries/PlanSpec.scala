@@ -61,6 +61,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("join strategy hints are honored (shuffle_hash beats the SMJ default)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val orders = graft.Tables.load(spark, dir, "orders").hint("shuffle_hash")
+    val p = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q01 aggregation is partial (map-side) before the shuffle") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
