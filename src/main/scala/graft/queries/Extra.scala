@@ -449,6 +449,95 @@ object Extra {
           FROM lineitem
           GROUP BY l_returnflag)
         ORDER BY l_returnflag
+      """)),
+    // ----------------------------------------------------------------
+    // Scalar subquery: parts above the global average price. The scalar
+    // side is a 1-row broadcast; the average goes through the exact
+    // decimal path so both engines compare against the identical double.
+    Q(
+      "q61_scalar_subquery",
+      (s, dir) => {
+        import s.implicits._
+        val avgPrice = t(s, dir, "part")
+          .agg(davg($"p_retailprice").as("avg_price"))
+        t(s, dir, "part")
+          .crossJoin(broadcast(avgPrice))
+          .filter($"p_retailprice" > $"avg_price")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_above"), dsum($"p_retailprice").as("sum_above"))
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_above,
+               CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_above
+        FROM part
+        WHERE p_retailprice > (
+          SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                 / CAST(COUNT(p_retailprice) AS DOUBLE)
+          FROM part)
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """)),
+    // ----------------------------------------------------------------
+    // Null-safe equality join (<=>): NULL keys match NULL keys, unlike
+    // plain =. Keys are made nullable by folding 'click' to NULL.
+    Q(
+      "q62_nullsafe_join",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "events")
+          .select(nullif($"event_type", lit("click")).as("k"), $"value", $"user_id")
+        val a = base.groupBy($"k").agg(count(lit(1)).as("n_a"))
+        val b = base.filter($"user_id" % 2 === 0)
+          .groupBy($"k").agg(count(lit(1)).as("n_b"))
+        a.join(b, a("k") <=> b("k"), "left")
+          .select(a("k").as("k"), $"n_a", coalesce($"n_b", lit(0L)).as("n_b"))
+          .orderBy($"k")
+      },
+      Some("""
+        SELECT a.k AS k, a.n_a, COALESCE(b.n_b, 0) AS n_b
+        FROM (SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_a
+              FROM events GROUP BY 1) a
+        LEFT JOIN (SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_b
+                   FROM events WHERE user_id % 2 = 0 GROUP BY 1) b
+          ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY k NULLS FIRST
+      """)),
+    // ----------------------------------------------------------------
+    // TF/DF scoring: top-3 most distinctive terms per document by
+    // tf/df (one double division — identical in both engines; ln-based
+    // idf is NOT used because libm ulps differ across engines).
+    Q(
+      "q63_tf_top_terms",
+      (s, dir) => {
+        import s.implicits._
+        val tf = t(s, dir, "documents")
+          .select($"doc_id", explode(graft.ext.TextHash.tokens(lower($"text"))).as("term"))
+          .groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy(($"tf".cast("double") / $"df".cast("double")).desc, $"term")
+        tf.join(df_, Seq("term"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"doc_id", $"term", $"tf", $"df", $"rn")
+          .orderBy($"doc_id", $"rn")
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+          FROM documents),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        ranked AS (
+          SELECT doc_id, term, tf, df,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS rn
+          FROM tfc JOIN dfc USING (term))
+        SELECT doc_id, term, tf, df, rn FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn
       """))
   )
 }
