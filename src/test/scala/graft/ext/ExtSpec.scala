@@ -110,6 +110,16 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps(1L) != fps(3L))
   }
 
+  test("salted two-stage sum equals the direct aggregation (exact types)") {
+    import spark.implicits._
+    val d = (1 to 1000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    val direct = d.groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedSum(d, col("k"), col("v"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
   test("latestByKey keeps exactly one newest row per key") {
     import spark.implicits._
     val d = Seq(
