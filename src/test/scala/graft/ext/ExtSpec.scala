@@ -88,6 +88,30 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low: brute=$brute lsh=$lsh")
   }
 
+  test("ivfTopK finds most of brute-force top-k on clustered vectors") {
+    import spark.implicits._
+    val dim = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 30
+    } yield {
+      val id = (c * 30 + i).toLong
+      val vec = Array.tabulate(dim) { d =>
+        val baseV = if (d % 3 == c) 1.0f else 0.1f
+        baseV + 0.01f * ((id * 7 + d * 13) % 11)
+      }
+      (id, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(df, df.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 10, nCells = 9, nProbe = 3)
+      .collect().map(_.getLong(1)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low: brute=$brute ivf=$ivf")
+  }
+
   test("langId picks the dominant stopword language; und on no hits") {
     import spark.implicits._
     val d = Seq(
