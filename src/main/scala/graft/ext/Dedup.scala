@@ -101,6 +101,14 @@ object Dedup {
     * ⌈t·|d|⌉ is computed in exact decimal arithmetic: a double ceil of
     * e.g. 0.6·10 = 6.000000000000001 would over-shorten the prefix and
     * silently drop borderline pairs.
+    *
+    * Scale contract: cost (like the output itself) is quadratic in the
+    * number of docs per near-duplicate cluster — measured 21× time at
+    * 10× docs on a corpus where every doc had 10 exact copies (the true
+    * pair count grew 100×). The production composition is therefore
+    * [[exact]] first (collapse identical docs, O(n)), this on the
+    * canonical survivors; or [[minhashLshPairs]] when probabilistic
+    * recall is acceptable (measured ~5× time at 10× docs).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
