@@ -60,6 +60,27 @@ class CleanseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("boolean parse property: random case variants follow the reference truth table") {
+    // the reference lowercases before the isin checks (ingest.py:596-607),
+    // so every case variant of a recognized word parses; whitespace does NOT
+    // get trimmed — ' true' is unrecognized → null
+    val rnd = new scala.util.Random(7)
+    def randomCase(s: String): String =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    val words = Seq("true" -> true, "yes" -> true, "false" -> false, "no" -> false)
+    val inputs = (0 until 50).map { i =>
+      val (w, want) = words(i % words.length)
+      randomCase(w) -> want
+    } ++ Seq(" true" -> null, "true " -> null, "TRUEE" -> null)
+    val out = strDf(inputs.map(_._1))
+      .select(col("v"), Cleanse.parseBoolean(col("v")).as("b"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1)))
+      .toMap
+    inputs.foreach { case (in, want) =>
+      assert(out(in) == want, s"input '$in'")
+    }
+  }
+
   // tests/unit/test_ingest.py:24-32 — rename + pad
   test("renameAndPad renames mapped columns and materializes every schema field") {
     val src = spark.createDataFrame(
