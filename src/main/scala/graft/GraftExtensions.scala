@@ -76,12 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lenient_timestamp"),
       info("graft_lenient_timestamp",
         "graft_lenient_timestamp(s) - lenient NY-zone timestamp parse, future-clamped"),
-      (args: Seq[Expression]) => graft.functions.LenientTimestamp(args(0))))
+      (args: Seq[Expression]) =>
+        graft.functions.LenientTimestamp(args(0), graft.functions.ParseExprs.nowMicros())))
 
     ext.injectFunction((
       FunctionIdentifier("graft_lenient_date"),
       info("graft_lenient_date", "graft_lenient_date(s) - lenient date parse, future -> null"),
-      (args: Seq[Expression]) => graft.functions.LenientDate(args(0))))
+      (args: Seq[Expression]) =>
+        graft.functions.LenientDate(args(0), graft.functions.ParseExprs.nowMicros())))
 
     ext.injectFunction((
       FunctionIdentifier("graft_lang_id"),

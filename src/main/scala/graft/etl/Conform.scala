@@ -28,9 +28,16 @@ object Conform {
         case None => col(c)
       }
     }
-    val present = df.columns.map(c => mapping.getOrElse(c.toLowerCase, c)).toSet
+    // presence check is case-INSENSITIVE: an unmapped source column that
+    // matches a target field in different case must count as present, or
+    // the pad would create a duplicate that Spark's case-insensitive
+    // resolver later rejects as ambiguous. (The reference's `not in
+    // df.columns` check, ingest.py:664, shares the case-sensitivity bug
+    // this avoids — intent over letter.)
+    val present = df.columns.map(c => mapping.getOrElse(c.toLowerCase, c).toLowerCase).toSet
     val padding = schema.fields.toSeq.collect {
-      case f if !present.contains(f.name) => lit(null).cast(f.dataType).as(f.name)
+      case f if !present.contains(f.name.toLowerCase) =>
+        lit(null).cast(f.dataType).as(f.name)
     }
     df.select(renamed ++ padding: _*)
   }

@@ -29,8 +29,17 @@ import scala.util.matching.Regex
 object LenientParse {
   private val NY: ZoneId = ZoneId.of("America/New_York")
 
-  @volatile private[etl] var clockOverride: Option[Instant] = None
+  @volatile private[graft] var clockOverride: Option[Instant] = None
   private def nowInstant: Instant = clockOverride.getOrElse(Instant.now())
+
+  /** The clock a plan-time caller should CAPTURE once and thread through:
+    * graft.functions.{LenientTimestamp,LenientDate} snapshot this at
+    * expression construction so every row of a query clamps against the
+    * same instant (per-row Instant.now() would make a nominally
+    * deterministic expression yield different values across duplicated
+    * or retried evaluations).
+    */
+  def effectiveNow: Instant = nowInstant
 
   private val months = Map(
     "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
@@ -97,31 +106,35 @@ object LenientParse {
   }
 
   /** Total lenient timestamp parse (ingest.py:390-422): future values are
-    * clamped to now; fuzzy fallback on strict failure.
+    * clamped to `now`; fuzzy fallback on strict failure.
     */
-  def timestamp(s: String): Timestamp = {
+  def timestamp(s: String, now: Instant): Timestamp = {
     if (guard(s)) return null
     val parsed = strict(s) match {
       case Some(z) =>
         val inst = z.toInstant
-        Some(if (inst.isAfter(nowInstant)) nowInstant else inst)
+        Some(if (inst.isAfter(now)) now else inst)
       case None => fuzzy(s).map(_.toInstant) // reference fuzzy path skips the clamp
     }
     parsed.map(Timestamp.from).orNull
   }
 
+  def timestamp(s: String): Timestamp = timestamp(s, nowInstant)
+
   /** Total lenient date parse (ingest.py:424-443): future dates → null. */
-  def date(s: String): Date = {
+  def date(s: String, now: Instant): Date = {
     if (guard(s)) return null
     strict(s) match {
       case Some(z) =>
         val d = z.toLocalDate
-        if (d.isAfter(LocalDate.ofInstant(nowInstant, NY))) null
+        if (d.isAfter(LocalDate.ofInstant(now, NY))) null
         else Date.valueOf(d)
       case None => null
     }
   }
 
-  val timestampUdf: UserDefinedFunction = udf(timestamp _)
-  val dateUdf: UserDefinedFunction = udf(date _)
+  def date(s: String): Date = date(s, nowInstant)
+
+  val timestampUdf: UserDefinedFunction = udf((s: String) => timestamp(s))
+  val dateUdf: UserDefinedFunction = udf((s: String) => date(s))
 }

@@ -116,6 +116,11 @@ object Similarity {
     * via LSH-bucket join + per-query window top-k. The full-corpus
     * variant of this at 100 TB keeps the corpus bucketed/bucketed-sorted
     * on disk so query batches join without reshuffling the corpus.
+    *
+    * Id contract (also [[ivfTopK]]): queries are assumed to be drawn
+    * from the corpus id space — a corpus row whose id EQUALS the query
+    * id is excluded as "itself". Pass disjoint ids (or re-key) when
+    * querying with external vectors.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 2, planes: Int = 8): DataFrame = {

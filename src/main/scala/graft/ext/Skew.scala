@@ -30,7 +30,9 @@ object Skew {
     df.select(key.as("__k"), value.as("__v"))
       .distinct()
       .groupBy(col("__k"))
-      .agg(count(lit(1)).as("n_distinct"))
+      // count(col), not count(*): countDistinct ignores NULL values but
+      // still emits the key row (n = 0 for an all-null key)
+      .agg(count(col("__v")).as("n_distinct"))
       .withColumnRenamed("__k", "key")
 
   /** Salted two-stage sum: partials on (key, salt), final on key.

@@ -110,12 +110,4 @@ object TextHash {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
-
-  /** Exact Jaccard similarity of two shingle arrays (intersection over
-    * union of distinct elements).
-    */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
-  }
 }

@@ -22,7 +22,7 @@ import graft.etl.LenientParse
   * future-clamp clock is injectable and fixed per run), so Catalyst may
   * freely push/duplicate them like any deterministic expression.
   */
-case class LenientTimestamp(child: Expression) extends UnaryExpression {
+case class LenientTimestamp(child: Expression, nowEpochMicros: Long) extends UnaryExpression {
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
 
@@ -32,13 +32,13 @@ case class LenientTimestamp(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    ParseExprs.tsMicros(input.asInstanceOf[UTF8String])
+    ParseExprs.tsMicros(input.asInstanceOf[UTF8String], nowEpochMicros)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val r = ctx.freshName("r")
       s"""
-        Long $r = graft.functions.ParseExprs.tsMicros($c);
+        Long $r = graft.functions.ParseExprs.tsMicros($c, ${nowEpochMicros}L);
         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
       """
     })
@@ -47,7 +47,7 @@ case class LenientTimestamp(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class LenientDate(child: Expression) extends UnaryExpression {
+case class LenientDate(child: Expression, nowEpochMicros: Long) extends UnaryExpression {
   override def dataType: DataType = DateType
   override def nullable: Boolean = true
 
@@ -57,13 +57,13 @@ case class LenientDate(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    ParseExprs.dateDays(input.asInstanceOf[UTF8String])
+    ParseExprs.dateDays(input.asInstanceOf[UTF8String], nowEpochMicros)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val r = ctx.freshName("r")
       s"""
-        Integer $r = graft.functions.ParseExprs.dateDays($c);
+        Integer $r = graft.functions.ParseExprs.dateDays($c, ${nowEpochMicros}L);
         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
       """
     })
@@ -73,23 +73,31 @@ case class LenientDate(child: Expression) extends UnaryExpression {
 }
 
 object ParseExprs {
+  /** The future-clamp clock, captured ONCE at plan construction (driver)
+    * and shipped as a literal — every row, task retry, and duplicated
+    * evaluation of one query clamps against the same instant.
+    */
+  def nowMicros(): Long = DateTimeUtils.instantToMicros(LenientParse.effectiveNow)
+
   /** internal micros-since-epoch, or null when unparseable. */
-  def tsMicros(s: UTF8String): java.lang.Long = {
-    val t = LenientParse.timestamp(s.toString)
+  def tsMicros(s: UTF8String, nowEpochMicros: Long): java.lang.Long = {
+    val t = LenientParse.timestamp(s.toString, DateTimeUtils.microsToInstant(nowEpochMicros))
     if (t == null) null else java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t))
   }
 
   /** internal days-since-epoch, or null when unparseable/future. */
-  def dateDays(s: UTF8String): java.lang.Integer = {
-    val d = LenientParse.date(s.toString)
+  def dateDays(s: UTF8String, nowEpochMicros: Long): java.lang.Integer = {
+    val d = LenientParse.date(s.toString, DateTimeUtils.microsToInstant(nowEpochMicros))
     if (d == null) null else java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d))
   }
 }
 
 object ParseFunctions {
   def lenientTimestamp(c: Column): Column =
-    GraftExprBridge.column(LenientTimestamp(GraftExprBridge.expression(c)))
+    GraftExprBridge.column(
+      LenientTimestamp(GraftExprBridge.expression(c), ParseExprs.nowMicros()))
 
   def lenientDate(c: Column): Column =
-    GraftExprBridge.column(LenientDate(GraftExprBridge.expression(c)))
+    GraftExprBridge.column(
+      LenientDate(GraftExprBridge.expression(c), ParseExprs.nowMicros()))
 }

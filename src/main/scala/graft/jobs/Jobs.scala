@@ -11,10 +11,16 @@ import scala.util.{Failure, Success}
   * ingest.py:25-38; here everything injects).
   */
 private[jobs] object JobArgs {
-  def parse(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") =>
-      k.stripPrefix("--") -> v
+  def parse(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"flags must come in --key value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+      case Array(k, v) =>
+        throw new IllegalArgumentException(s"malformed flag pair: '$k $v'")
     }.toMap
+  }
 
   def session(name: String): SparkSession =
     GraftSession.tuned(SparkSession.builder().appName(name)).getOrCreate()

@@ -79,8 +79,17 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some((start, last, n, total)) if t - last <= gapMs =>
-                  cur = Some((start, math.max(last, t), n + 1, total + e.value))
+                // within the gap of the open session's INTERVAL — a
+                // cross-batch late event may extend it backward, not
+                // just forward
+                case Some((start, last, n, total))
+                    if t >= start - gapMs && t - last <= gapMs =>
+                  cur = Some((math.min(start, t), math.max(last, t), n + 1, total + e.value))
+                // late beyond the open session's reach: emit as its own
+                // closed session (bounded approximation — anything that
+                // could still merge with it is older than the watermark)
+                case Some((start, _, _, _)) if t < start - gapMs =>
+                  closed += Session(userId, new Timestamp(t), new Timestamp(t), 1L, e.value)
                 case Some((start, last, n, total)) =>
                   closed += Session(userId, new Timestamp(start), new Timestamp(last), n, total)
                   cur = Some((t, t, 1L, e.value))
@@ -113,7 +122,9 @@ object EventStreams {
     c.join(v,
       col("user_id") === col("v_user_id") &&
         col("view_ts") >= col("click_ts") &&
-        col("view_ts") <= col("click_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+        // milliseconds, not a /1000 second truncation: a 500 ms window
+        // must not silently become zero
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL $withinMs MILLISECONDS"))
       .select(col("click_id"), col("view_id"), col("user_id"), col("click_ts"), col("view_ts"))
   }
 

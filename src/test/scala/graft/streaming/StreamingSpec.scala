@@ -119,6 +119,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains((ts("2024-01-01 00:10:00"), "view", 1L, 3.0)), s"got $out")
   }
 
+  test("sessionization: a cross-batch late event within the gap extends the session backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000, delay = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, "2024-01-01 01:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // late event 5 min BEFORE the open session's start (within gap):
+      // must extend the session backward, not open a phantom one
+      input.addData(ev(2, "2024-01-01 00:55:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so the session times out and emits
+      input.addData(
+        ev(3, "2024-01-01 06:00:00", 9, "click", 0.0),
+        ev(4, "2024-01-01 09:00:00", 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 12:00:00", 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, startTs, endTs, nEvents, total FROM late_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.contains((1L, ts("2024-01-01 00:55:00"), ts("2024-01-01 01:00:00"), 2L, 3.0)),
+        s"backward-extended session missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join correlates clicks to views within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
