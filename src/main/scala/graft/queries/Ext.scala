@@ -17,17 +17,10 @@ object Ext {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** DuckDB replica of TextHash.hash64. */
-  private def hSql(seed: String, v: String): String =
-    s"CAST('0x'||substr(md5($seed||':'||$v),1,15) AS BIGINT)"
-
-  /** DuckDB replica of TextHash.tokens / wordShingles(3). */
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
-  private val shinglesSql =
-    s"""CASE WHEN len($toksSql) >= 3 THEN
-       |  list_distinct(list_transform(range(1, len($toksSql) - 1),
-       |    i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))
-       |ELSE [] END""".stripMargin
+  // DuckDB formula fragments live ONCE in OracleSql; these are local names.
+  private def hSql(seed: String, v: String): String = OracleSql.hash64(seed, v)
+  private val toksSql = OracleSql.tokens("text")
+  private val shinglesSql = OracleSql.wordShingles3("text")
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -176,36 +169,14 @@ object Ext {
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""
-        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-                   FROM embeddings),
-        buck AS (
-          SELECT vec_id, vec, tb,
-            CAST(tb AS VARCHAR) || '#' || CAST((
-              SELECT SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(range(1, len(vec) + 1),
-                         i -> vec[i] * ((${hSql("'0'", "(CAST(tb AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % 1000) / 1000.0 - 0.5))),
-                       (a, x) -> a + x) > 0.0
-                   THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)
-              FROM (SELECT unnest(range(0, 6)) AS p)) AS VARCHAR) AS bucket
-          FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS tb)),
+        WITH ${OracleSql.embeddingBuckets(4, 6)},
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                           a.vec AS vec_a, b.vec AS vec_b
           FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        SELECT id_a, id_b,
-               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_b[i])), (a, x) -> a + x)
-               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_a[i])), (a, x) -> a + x))
-                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                      list_transform(range(1, len(vec_b) + 1), i -> vec_b[i] * vec_b[i])), (a, x) -> a + x))) AS cos
+        SELECT id_a, id_b, ${OracleSql.cosine("vec_a", "vec_b")} AS cos
         FROM cand
-        WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_b[i])), (a, x) -> a + x)
-               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(range(1, len(vec_a) + 1), i -> vec_a[i] * vec_a[i])), (a, x) -> a + x))
-                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                      list_transform(range(1, len(vec_b) + 1), i -> vec_b[i] * vec_b[i])), (a, x) -> a + x))) >= 0.4
+        WHERE ${OracleSql.cosine("vec_a", "vec_b")} >= 0.4
         ORDER BY id_a, id_b
       """)),
     // ----------------------------------------------------------------
@@ -216,17 +187,11 @@ object Ext {
         Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           queryId = 0L, k = 10)
       },
-      Some("""
+      Some(s"""
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
                    FROM embeddings),
         q AS (SELECT vec AS q_vec FROM v WHERE vec_id = 0)
-        SELECT vec_id AS neighbor_id,
-               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(range(1, len(vec) + 1), i -> vec[i] * q_vec[i])), (a, x) -> a + x)
-               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i])), (a, x) -> a + x))
-                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                      list_transform(range(1, len(q_vec) + 1), i -> q_vec[i] * q_vec[i])), (a, x) -> a + x))) AS cos
+        SELECT vec_id AS neighbor_id, ${OracleSql.cosine("vec", "q_vec")} AS cos
         FROM v CROSS JOIN q
         WHERE vec_id <> 0
         ORDER BY cos DESC, neighbor_id

@@ -15,35 +15,9 @@ object Extra {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** DuckDB replica of TextHash.hash64 (seed 0). */
-  private def hSql(v: String): String =
-    s"CAST('0x'||substr(md5('0:'||$v),1,15) AS BIGINT)"
-
-  /** DuckDB replica of the sign-LSH bucket keys (graft.functions
-    * .SignLshBuckets) for `tables` tables × `planes` planes.
-    */
-  private def buckSql(tables: Int, planes: Int): String = s"""
-    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-          FROM embeddings),
-    buck AS (
-      SELECT vec_id, vec, tb,
-        CAST(tb AS VARCHAR) || '#' || CAST((
-          SELECT SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(range(1, len(vec) + 1),
-                     i -> vec[i] * ((${hSql("(CAST(tb AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % 1000) / 1000.0 - 0.5))),
-                   (a, x) -> a + x) > 0.0
-               THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)
-          FROM (SELECT unnest(range(0, $planes)) AS p)) AS VARCHAR) AS bucket
-      FROM v CROSS JOIN (SELECT unnest(range(0, $tables)) AS tb))"""
-
-  /** DuckDB replica of the 0.0-seeded left-fold cosine. */
-  private def cosSql(a: String, b: String): String = s"""
-    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)
-    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])), (x, y) -> x + y))
-       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
+  // DuckDB formula fragments live ONCE in OracleSql; these are local names.
+  private def buckSql(tables: Int, planes: Int): String = OracleSql.embeddingBuckets(tables, planes)
+  private def cosSql(a: String, b: String): String = OracleSql.cosine(a, b)
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------

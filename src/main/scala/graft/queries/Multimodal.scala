@@ -14,8 +14,7 @@ import Q._
   */
 object Multimodal {
 
-  private def hSql(v: String): String =
-    s"CAST('0x'||substr(md5('0:'||$v),1,15) AS BIGINT)"
+  private def hSql(v: String): String = OracleSql.hash64(v)
 
   val all: Seq[Q] = Seq(
     Q(

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.ext.TextHash
+
+/** The DuckDB replicas of the engine's md5-derived formulas, defined
+  * ONCE: every oracle that re-implements a hash/cosine/bucket must use
+  * these fragments so a formula change lands in exactly two places (the
+  * Scala implementation and its fragment here), never in per-query
+  * copies that can drift.
+  */
+object OracleSql {
+
+  /** Replica of TextHash.hash64 (md5-derived 60-bit), seed as SQL expr. */
+  def hash64(seed: String, v: String): String =
+    s"CAST('0x'||substr(md5($seed||':'||$v),1,15) AS BIGINT)"
+
+  /** Seed-0 variant — TextHash.hash64(c) / hash64Local(s). */
+  def hash64(v: String): String = hash64("'0'", v)
+
+  /** Replica of TextHash.tokens (whitespace split, empties dropped). */
+  def tokens(textCol: String): String =
+    s"list_filter(string_split($textCol, ' '), x -> x <> '')"
+
+  /** Replica of TextHash.wordShingles(text, 3): distinct word 3-grams. */
+  def wordShingles3(textCol: String): String =
+    s"""CASE WHEN len(${tokens(textCol)}) >= 3 THEN
+       |  list_distinct(list_transform(range(1, len(${tokens(textCol)}) - 1),
+       |    i -> array_to_string(list_slice(${tokens(textCol)}, i, i + 2), ' ')))
+       |ELSE [] END""".stripMargin
+
+  /** Replica of functions.WordShingleHashes(text, 3, MinhashPrime). */
+  def hashedShingles3(textCol: String): String =
+    s"""list_distinct(list_transform(${wordShingles3(textCol)},
+       |  g -> ${hash64("g")} % ${TextHash.MinhashPrime}))""".stripMargin
+
+  /** Replica of the 0.0-seeded left-fold cosine (functions.CosineSim). */
+  def cosine(a: String, b: String): String = s"""
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
+
+  /** Replica of functions.SignLshBuckets over the embeddings table:
+    * CTEs `v` (vectors as double lists) and `buck` (one bucket key per
+    * (vector, table)).
+    */
+  def embeddingBuckets(tables: Int, planes: Int): String = s"""
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+    buck AS (
+      SELECT vec_id, vec, tb,
+        CAST(tb AS VARCHAR) || '#' || CAST((
+          SELECT SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(vec) + 1),
+                     i -> vec[i] * ((${hash64("(CAST(tb AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % 1000) / 1000.0 - 0.5))),
+                   (a, x) -> a + x) > 0.0
+               THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)
+          FROM (SELECT unnest(range(0, $planes)) AS p)) AS VARCHAR) AS bucket
+      FROM v CROSS JOIN (SELECT unnest(range(0, $tables)) AS tb))"""
+}
