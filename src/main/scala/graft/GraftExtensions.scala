@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, LangIdExpr, MinhashSig, SignLshBuckets, Simhash64, WordShingleHashes}
+import graft.functions.{ArraySum, CosineSim, LangIdExpr, MinhashSig, SignLshBuckets, Simhash64, WordShingleHashes}
 import graft.ext.TextAnalysis
 
 /** SparkSessionExtensions entry point: exposes the engine's native
@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SignLshBuckets(args(0),
           intArg(args(1), "graft_sign_lsh_buckets"),
           intArg(args(2), "graft_sign_lsh_buckets"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_array_sum"),
+      info("graft_array_sum", "graft_array_sum(v) - left-fold sum of a float/double array"),
+      (args: Seq[Expression]) => ArraySum(args(0))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),

@@ -222,6 +222,62 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Sum of an array<float|double> as a 0.0-seeded left fold in element
+  * order — the compiled replacement for the CodegenFallback HOF
+  * `aggregate(transform(v, cast), 0.0, _+_)`. Null when the array or any
+  * element is null (matching the HOF's null propagation).
+  */
+case class ArraySum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_sum requires array<float|double>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    var sum = 0.0
+    var j = 0
+    while (j < n) {
+      if (ad.isNullAt(j)) return null
+      sum += (if (isFloat) ad.getFloat(j).toDouble else ad.getDouble(j))
+      j += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val j = ctx.freshName("j")
+      val getter = if (isFloat) s"(double) $c.getFloat($j)" else s"$c.getDouble($j)"
+      s"""
+        int $n = $c.numElements();
+        double $sum = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+          $sum += $getter;
+        }
+        if (!${ev.isNull}) { ${ev.value} = $sum; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArraySum =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def signLshBuckets(vec: Column, tables: Int, planes: Int): Column =
@@ -229,4 +285,7 @@ object VectorFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftExprBridge.column(CosineSim(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+
+  def arraySum(vec: Column): Column =
+    GraftExprBridge.column(ArraySum(GraftExprBridge.expression(vec)))
 }

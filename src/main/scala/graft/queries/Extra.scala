@@ -310,7 +310,9 @@ object Extra {
       """)),
     // ----------------------------------------------------------------
     // Sketch quantiles: approx_percentile is estimation by contract, so
-    // (like q23's HLL) the driver records a rows-only check.
+    // (like q23's HLL) the driver records a rows-only check. Quartiles are
+    // flattened to scalar columns (not array<double>) so the driver's
+    // pandas canonicalization can sort the result.
     Q(
       "q56_approx_percentile",
       (s, dir) => {
@@ -318,7 +320,12 @@ object Extra {
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(approx_percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(10000)).as("price_quartiles"))
+            lit(10000)).as("q"))
+          .select(
+            $"l_returnflag",
+            element_at($"q", 1).as("p25"),
+            element_at($"q", 2).as("p50"),
+            element_at($"q", 3).as("p75"))
           .orderBy($"l_returnflag")
       },
       None),

@@ -29,8 +29,7 @@ object Multimodal {
             $"media_id", $"kind", $"dim",
             element_at($"features", 1).cast("double").as("f0"),
             element_at($"features", 8).cast("double").as("f7"),
-            aggregate(transform($"features", f => f.cast("double")),
-              lit(0.0), (a, x) => a + x).as("checksum"))
+            graft.functions.VectorFunctions.arraySum($"features").as("checksum"))
           .orderBy($"media_id")
       },
       Some(s"""

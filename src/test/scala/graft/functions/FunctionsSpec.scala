@@ -99,6 +99,27 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.forall(_.isNullAt(0)))
   }
 
+  test("ArraySum matches the HOF fold formulation bit-for-bit, nulls propagate") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.0f, 2.5f, -3.25f, 0.125f),
+      Array(0.1f, 0.2f, 0.3f),
+      Array.empty[Float])
+    val df = vecs.toDF("v")
+    val got = df.select(VectorFunctions.arraySum($"v").as("s")).collect().map(_.getDouble(0))
+    val want = df.select(
+      aggregate(transform($"v", _.cast("double")), lit(0.0), (a, x) => a + x).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(got.zip(want).forall { case (g, w) =>
+      java.lang.Double.doubleToLongBits(g) == java.lang.Double.doubleToLongBits(w)
+    }, s"${got.toSeq} vs ${want.toSeq}")
+    // null array and null element → null
+    val nulls = spark.sql(
+      "SELECT graft_array_sum(CAST(NULL AS ARRAY<DOUBLE>)) AS a, " +
+        "graft_array_sum(array(1.0D, CAST(NULL AS DOUBLE))) AS b").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("SignLshBuckets matches a scala reference over the same hyperplanes") {
     import spark.implicits._
     val vecs = Seq(

@@ -71,6 +71,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q45 multimodal features plan has no interpreted (CodegenFallback) expression") {
+    val df = Catalog.all.find(_.name == "q45_multimodal_features").get.build(spark, dir)
+    val fallbacks = df.queryExecution.executedPlan.collect {
+      case plan => plan.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+            if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty, s"interpreted expressions in q45: $fallbacks")
+  }
+
   test("q01 aggregation is partial (map-side) before the shuffle") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
