@@ -34,6 +34,16 @@ object Pipeline {
     def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
   }
 
+  /** Format-parameterized file source — the reference's RAW zone is Delta
+    * (sync.py:112-114, ingest.py:636-650); this sandbox has no Delta jars,
+    * so the format string routes through `DataFrameReader.format` and
+    * `delta` works as soon as the jar is on the classpath (see
+    * `graft.jobs.JobArgs.checkFormat`).
+    */
+  final case class FileSource(path: String, format: String = "parquet") extends Source {
+    def load(spark: SparkSession): DataFrame = spark.read.format(format).load(path)
+  }
+
   final case class JdbcSource(
       url: String, table: String, props: java.util.Properties,
       partitionColumn: Option[(String, Long, Long, Int)] = None) extends Source {
@@ -57,6 +67,15 @@ object Pipeline {
     def truncate(spark: SparkSession, schema: StructType): Unit =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Format-parameterized file sink (parquet | orc | delta-when-jarred). */
+  final case class FileSink(path: String, format: String = "parquet") extends Sink {
+    def append(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Append).format(format).save(path)
+    def truncate(spark: SparkSession, schema: StructType): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).format(format).save(path)
   }
 
   /** Generic JDBC sink — the warehouse-parity path (the reference's

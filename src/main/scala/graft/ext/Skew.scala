@@ -38,10 +38,19 @@ object Skew {
   /** Salted two-stage sum: partials on (key, salt), final on key.
     * For a plain sum this matches Spark's own partial aggregation — the
     * pattern exists for aggs whose state doesn't shrink map-side.
+    *
+    * The salt is derived DETERMINISTICALLY from (key, value, saltBy...):
+    * a non-deterministic salt (e.g. monotonically_increasing_id) is a
+    * shuffle-key hazard — if a map stage is partially recomputed after a
+    * fetch failure, rows land in different (key, salt) groups than the
+    * partials already fetched, double-counting or dropping rows. Pass
+    * row-identifying columns in `saltBy` so a hot key whose VALUE also
+    * repeats still spreads over all `salts` reducers.
     */
-  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int,
+      saltBy: Seq[Column] = Nil): DataFrame =
     df.select(key.as("__k"), value.as("__v"),
-        pmod(hash(monotonically_increasing_id()), lit(salts)).as("__s"))
+        pmod(hash((key +: value +: saltBy): _*), lit(salts)).as("__s"))
       .groupBy(col("__k"), col("__s"))
       .agg(sum(col("__v")).as("__partial"))
       .groupBy(col("__k"))

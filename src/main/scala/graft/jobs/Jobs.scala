@@ -33,6 +33,39 @@ private[jobs] object JobArgs {
     p.setProperty("fetchsize", conf.getOrElse("fetchsize", "10000")) // sync.py:74
     p
   }
+
+  /** JSON string escape for log lines — exception messages can carry
+    * quotes/backslashes/newlines that would break downstream log parsers.
+    */
+  def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    if (s != null) s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Validate a `--format` value up front. The reference's RAW zone is
+    * Delta (sync.py:112-114); this environment ships no Delta jars, so
+    * `delta` fails fast with a clear message instead of a mid-job
+    * ClassNotFoundException. parquet/orc/csv/json are Spark built-ins.
+    */
+  def checkFormat(fmt: String): String = fmt match {
+    case "parquet" | "orc" | "csv" | "json" => fmt
+    case "delta" =>
+      if (scala.util.Try(Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource")).isFailure)
+        throw new IllegalArgumentException(
+          "--format delta requires the delta-spark jars on the classpath (absent here); use parquet or orc")
+      fmt
+    case other =>
+      throw new IllegalArgumentException(s"unsupported --format $other (parquet|orc|csv|json|delta)")
+  }
 }
 
 /** Stage 1 — database → columnar RAW zone (the reference's sync.py):
@@ -40,33 +73,74 @@ private[jobs] object JobArgs {
   * reconciliation, per-table error isolation (sync.py:169-179).
   *
   *   --jdbc-url URL --tables t1,t2 --dest DIR
-  *   [--partition-col col:lo:hi:n]  (ALWAYS set in production — the
-  *     reference's unpartitioned read serializes the table through one
-  *     task, sync.py:82)
+  *   [--partition-col col:lo:hi:n | col:n]  (ALWAYS set in production —
+  *     the reference's unpartitioned read serializes the table through
+  *     one task, sync.py:82. The col:n form derives lo/hi per table via
+  *     a MIN/MAX query pushed to the database.)
+  *   [--format parquet|orc|csv|json|delta]  (delta needs the jar)
   *   [--jdbc-driver CLS --jdbc-user U --jdbc-password P --fetchsize N]
   */
 object SyncJob {
+
+  /** One liveness probe before the table loop (sync.py:34-43): a dead
+    * database is one clear failure, not N noisy per-table errors. Derby
+    * has no FROM-less SELECT, hence the VALUES dialect fallback.
+    */
+  private[jobs] def probe(url: String, props: java.util.Properties): Unit = {
+    val sql = if (url.startsWith("jdbc:derby")) "VALUES 1" else "SELECT 1"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+
+  /** lo/hi for the `col:n` partition form — pushed-down MIN/MAX, one
+    * round-trip per table, runs in the database not in Spark.
+    */
+  private[jobs] def autoBounds(
+      url: String, props: java.util.Properties, table: String, col: String): (Long, Long) = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MIN($col), MAX($col) FROM $table")
+        rs.next()
+        (rs.getLong(1), rs.getLong(2))
+      } finally st.close()
+    } finally conn.close()
+  }
+
   def run(spark: SparkSession, conf: Map[String, String]): Seq[(String, Long, Long)] = {
     val url = conf("jdbc-url")
     val dest = conf("dest")
+    val fmt = JobArgs.checkFormat(conf.getOrElse("format", "parquet"))
     val props = JobArgs.jdbcProps(conf)
-    val partition = conf.get("partition-col").map { s =>
-      val Array(c, lo, hi, n) = s.split(":")
-      (c, lo.toLong, hi.toLong, n.toInt)
+    val partSpec = conf.get("partition-col").map { s =>
+      s.split(":") match {
+        case Array(c, lo, hi, n) => (c, Some((lo.toLong, hi.toLong)), n.toInt)
+        case Array(c, n) => (c, None, n.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"--partition-col must be col:lo:hi:n or col:n, got '$s'")
+      }
     }
+    probe(url, props) // fail fast, before any per-table work
     conf("tables").split(",").toSeq.flatMap { table =>
       try {
+        val partition = partSpec.map { case (c, bounds, n) =>
+          val (lo, hi) = bounds.getOrElse(autoBounds(url, props, table, c))
+          (c, lo, hi, n)
+        }
         val df = Pipeline.JdbcSource(url, table, props, partition).load(spark)
         val sourceCount = df.count()
-        df.write.mode("overwrite").parquet(s"$dest/$table.parquet")
-        val written = spark.read.parquet(s"$dest/$table.parquet").count()
+        df.write.mode("overwrite").format(fmt).save(s"$dest/$table.$fmt")
+        val written = spark.read.format(fmt).load(s"$dest/$table.$fmt").count()
         if (written != sourceCount)
           System.err.println(s"""{"job":"sync","table":"$table","warn":"count drift $sourceCount -> $written"}""")
         println(s"""{"job":"sync","table":"$table","source_rows":$sourceCount,"written_rows":$written}""")
         Some((table, sourceCount, written))
       } catch {
         case e: Exception => // isolate-and-continue, sync.py:169-179
-          System.err.println(s"""{"job":"sync","table":"$table","error":"${e.getMessage}"}""")
+          System.err.println(
+            s"""{"job":"sync","table":"$table","error":${JobArgs.jsonStr(e.getMessage)}}""")
           None
       }
     }
@@ -85,12 +159,13 @@ object SyncJob {
   *
   *   --source-dir DIR --sink-dir DIR --watermark-dir DIR
   *   [--tables lead_assignment,lead_xref,lead] [--mode append|delta_insert]
-  *   [--historical true] [--truncate true]
+  *   [--format parquet|orc|csv|json|delta] [--historical true] [--truncate true]
   */
 object IngestJob {
   def run(spark: SparkSession, conf: Map[String, String]): Seq[(String, Pipeline.Report)] = {
     val src = conf("source-dir")
     val dst = conf("sink-dir")
+    val fmt = JobArgs.checkFormat(conf.getOrElse("format", "parquet"))
     val tables = conf.getOrElse("tables", "lead_assignment,lead_xref,lead").split(",").toSeq
     val mode: Pipeline.WriteMode = conf.getOrElse("mode", "append") match {
       case "append" => Pipeline.Append(truncateFirst = conf.get("truncate").contains("true"))
@@ -101,8 +176,8 @@ object IngestJob {
       spark,
       tables = tables,
       enabled = tables.map(_ -> true).toMap,
-      source = t => Pipeline.ParquetSource(s"$src/$t.parquet"),
-      sink = t => Pipeline.ParquetSink(s"$dst/$t"),
+      source = t => Pipeline.FileSource(s"$src/$t.$fmt", fmt),
+      sink = t => Pipeline.FileSink(s"$dst/$t", fmt),
       mode = mode,
       watermarks = new Pipeline.WatermarkStore(conf.getOrElse("watermark-dir", s"$dst/_watermarks")),
       historicalLoad = conf.get("historical").contains("true"),
@@ -111,7 +186,8 @@ object IngestJob {
       case (t, Success(r)) =>
         println(s"""{"job":"ingest","table":"$t","rows":${r.rowsWritten},"skipped_empty":${r.skippedEmpty}}""")
       case (t, Failure(e)) =>
-        System.err.println(s"""{"job":"ingest","table":"$t","error":"${e.getMessage}"}""")
+        System.err.println(
+          s"""{"job":"ingest","table":"$t","error":${JobArgs.jsonStr(e.getMessage)}}""")
     }
     out.collect { case (t, Success(r)) => (t, r) }
   }

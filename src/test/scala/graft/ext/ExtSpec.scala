@@ -142,6 +142,11 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val salted = Skew.saltedSum(d, col("k"), col("v"), salts = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == direct)
+    // hot key with a REPEATED value: saltBy row-id columns still spread it
+    val hot = (1 to 1000).map(i => ("hot", 7L, i.toLong)).toDF("k", "v", "row_id")
+    val spread = Skew.saltedSum(hot, col("k"), col("v"), salts = 8, saltBy = Seq(col("row_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spread == Map("hot" -> 7000L))
   }
 
   test("latestByKey keeps exactly one newest row per key") {

@@ -51,6 +51,64 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.map(_._1) == Seq("lead_xref"))
   }
 
+  test("SyncJob: dead database fails fast at the liveness probe, before any table work") {
+    val dest = tmp()
+    intercept[java.sql.SQLException] {
+      SyncJob.run(spark, Map(
+        "jdbc-url" -> "jdbc:derby:memory:nosuchdb", // no ;create=true → connect fails
+        "tables" -> "lead_xref", "dest" -> dest))
+    }
+    assert(!new java.io.File(dest, "lead_xref.parquet").exists())
+  }
+
+  test("SyncJob: col:n partition form derives bounds via pushed-down MIN/MAX") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE numbered (id BIGINT, payload VARCHAR(16))")
+    val ps = conn.prepareStatement("INSERT INTO numbered VALUES (?, ?)")
+    for (i <- 100 to 199) { ps.setLong(1, i.toLong); ps.setString(2, s"p$i"); ps.addBatch() }
+    ps.executeBatch()
+    conn.close()
+
+    assert(SyncJob.autoBounds(url, new java.util.Properties(), "numbered", "id") == (100L, 199L))
+    val raw = tmp()
+    val out = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "numbered", "dest" -> raw,
+      "partition-col" -> "id:4"))
+    assert(out == Seq(("numbered", 100L, 100L)))
+    // the auto-bounded read really was 4 JDBC partitions
+    val df = graft.etl.Pipeline.JdbcSource(url, "numbered", new java.util.Properties(),
+      Some(("id", 100L, 199L, 4))).load(spark)
+    assert(df.rdd.getNumPartitions == 4)
+  }
+
+  test("SyncJob + IngestJob: --format orc round-trips through both job stages") {
+    val raw = tmp()
+    val out = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw, "format" -> "orc"))
+    assert(out == Seq(("lead_xref", 25L, 25L)))
+    assert(spark.read.orc(s"$raw/lead_xref.orc").count() == 25)
+
+    val staged = tmp()
+    val full = IngestJob.run(spark, Map(
+      "source-dir" -> raw, "sink-dir" -> staged, "watermark-dir" -> tmp(),
+      "tables" -> "lead_xref", "mode" -> "append", "format" -> "orc"))
+    assert(full.map(_._2.rowsWritten) == Seq(25L))
+    assert(spark.read.orc(s"$staged/lead_xref").count() == 25)
+  }
+
+  test("format validation: delta is jar-gated with a clear message, unknown formats rejected") {
+    val e = intercept[IllegalArgumentException](JobArgs.checkFormat("delta"))
+    assert(e.getMessage.contains("delta-spark jars"))
+    intercept[IllegalArgumentException](JobArgs.checkFormat("avro2"))
+    assert(JobArgs.checkFormat("orc") == "orc")
+  }
+
+  test("jsonStr escapes quotes, backslashes and newlines for log lines") {
+    assert(JobArgs.jsonStr("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
+    assert(JobArgs.jsonStr(null) == "\"\"")
+  }
+
   test("IngestJob: full load conforms RAW to the declared schema; incremental appends the delta") {
     val raw = tmp()
     SyncJob.run(spark, Map("jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw))
