@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe for the operators whose cost is data-shape-dependent
+  * (dedup self-joins, ANN candidate joins, the Zipf-skewed q63 term
+  * join): materializes an N× corpus via shifted-id union — every doc
+  * gains N-1 exact copies with distinct ids, the worst case for
+  * pair-producing operators — then times selected catalog queries at 1×
+  * and N× and prints one JSON line per query. Feeds the BASELINE.md
+  * scale-up table.
+  *
+  *   runMain graft.ScaleUp [sfDir] [factor] [q...]
+  */
+object ScaleUp {
+
+  private def scaled(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    val offset = 10000000L
+    (1 until factor).foldLeft(df) { (acc, i) =>
+      acc.unionByName(df.withColumn(idCol, col(idCol) + lit(i * offset)))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val wanted =
+      if (args.length > 2) args.drop(2).toSet
+      else Set("q35_dedup_minhash_lsh", "q36_dedup_simhash", "q37_dedup_ngram_jaccard",
+        "q38_embedding_neardup", "q63_tf_top_terms", "q64_dedup_canonical_neardup")
+    val spark = GraftSession.local("graft-scaleup", cores = 32)
+    val big = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    scaled(Tables.load(spark, sfDir, "documents"), "doc_id", factor)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    scaled(Tables.load(spark, sfDir, "embeddings"), "vec_id", factor)
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    def time(dir: String, name: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = queries.Catalog.all.find(_.name == name).get.build(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    for (name <- queries.Catalog.all.map(_.name).filter(wanted)) {
+      val (t1, n1) = time(sfDir, name)
+      val (tN, nN) = time(big, name)
+      println(f"""{"q":"$name","sec_1x":$t1%.2f,"rows_1x":$n1,"sec_${factor}x":$tN%.2f,"rows_${factor}x":$nN,"factor":${tN / t1}%.1f}""")
+    }
+    spark.stop()
+  }
+}

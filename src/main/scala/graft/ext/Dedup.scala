@@ -150,6 +150,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The PRODUCTION near-dup path: exact dedup first (collapse identical
+    * docs, one O(n) hash aggregation), then exact n-gram Jaccard on the
+    * canonical survivors only. [[ngramJaccardPairs]] is quadratic in the
+    * size of each near-duplicate cluster — on a corpus where every doc
+    * has c exact copies, running it raw costs c² per cluster; collapsing
+    * the copies first removes that factor entirely (measured: 21× time
+    * at 10× docs raw vs ~linear composed, BASELINE.md scale-up table).
+    *
+    * Output: one row per near-dup pair of CANONICAL docs
+    * (id_a, id_b, jaccard, copies_a, copies_b) — copies_x is how many
+    * exact duplicates the canonical doc stands for, so pair weight in
+    * the original corpus is copies_a · copies_b.
+    *
+    * Grouping by md5(text) carries the text through the aggregation
+    * (constant within each group), so no join back to the input is
+    * needed — the corpus is scanned exactly once.
+    */
+  def nearDupCanonical(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val canon = docs
+      .groupBy(md5(col(textCol)).as("__content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        // text is constant per md5 group; min() is a deterministic pick
+        min(col(textCol)).as("__text"),
+        count(lit(1)).as("n_copies"))
+    val copies = canon.select(col("keep_id"), col("n_copies"))
+    ngramJaccardPairs(
+        canon.select(col("keep_id"), col("__text")), "keep_id", "__text",
+        shingleSize, threshold)
+      .join(copies.select(col("keep_id").as("id_a"), col("n_copies").as("copies_a")), Seq("id_a"))
+      .join(copies.select(col("keep_id").as("id_b"), col("n_copies").as("copies_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("copies_a"), col("copies_b"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
     * the pigeonhole trick (maxHamming+1 chunks — any pair within the
     * bound shares at least one exact chunk), verified by true Hamming

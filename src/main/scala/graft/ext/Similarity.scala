@@ -76,20 +76,63 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Seeded Lloyd's k-means over an embedding column, fully
+    * deterministic so an external engine can replicate the exact
+    * centroids: init = the k lowest-id vectors; assignment = max cosine
+    * (spherical k-means — cosine is scale-invariant in the centroid, so
+    * the mean needs no re-normalization), ties to the lowest cent_id;
+    * update = per-dimension mean through exact DECIMAL(38,10) summation
+    * cast to double, then one IEEE double division by the member count
+    * (double summation is order-dependent across engines; exact decimal
+    * is not). A cell that loses all members drops out, identically on
+    * every engine.
+    *
+    * Scale posture: each iteration is one broadcast of k tiny centroid
+    * rows + one partial-aggregating groupBy((cell, pos)) — the corpus is
+    * never shuffled by vector, only (cell, pos, value) triples move. At
+    * 100 TB you train on a sampled subset and persist the centroids;
+    * the iteration count is a fixed small constant, not data-dependent.
+    */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = vecs.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    var cents = base.filter(col("vid") < k)
+      .select(col("vid").as("cent_id"), col("vec").as("cent_vec"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .select(col("vid"), col("vec"), col("cent_id"),
+          cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vid"), col("vec"), col("cent_id").as("cell"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("cent_vec"))
+    }
+    cents
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `nCells` cells by
-    * nearest centroid (centroids = the deterministic subset vec_id <
-    * nCells — a real deployment would train k-means; the partition/probe
-    * plumbing is identical); each query probes its `nProbe` nearest
-    * cells and ranks exact cosine within them. At 100 TB the assignment
-    * is a one-off materialization (cell column, partitioned storage) and
-    * query batches touch nProbe/nCells of the data — no full-corpus scan
+    * nearest trained centroid ([[kmeansCentroids]], seeded Lloyd's);
+    * each query probes its `nProbe` nearest cells and ranks exact
+    * cosine within them. At 100 TB the assignment is a one-off
+    * materialization (cell column, partitioned storage) and query
+    * batches touch nProbe/nCells of the data — no full-corpus scan
     * per query, no full-corpus shuffle ever.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent_vec")))
+    val cents = broadcast(kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters))
     def nearestCells(df: DataFrame, idAs: String, vecAs: String, keep: Int) = {
       val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
       df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))

@@ -160,6 +160,40 @@ object Ext {
         ORDER BY id_a, id_b
       """)),
     // ----------------------------------------------------------------
+    // The production composition (BASELINE.md scale-up table): exact
+    // dedup collapses identical docs BEFORE the quadratic Jaccard pass.
+    Q(
+      "q64_dedup_canonical_neardup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.nearDupCanonical(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH canon AS (
+          SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, COUNT(*) AS n_copies
+          FROM documents GROUP BY md5(text)),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform($shinglesSql,
+                   g -> ${hSql("'0'", "g")} % 2147483647)) AS shingles
+               FROM canon),
+        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b,
+                 CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+          FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.6)
+        SELECT id_a, id_b, jaccard, ca.n_copies AS copies_a, cb.n_copies AS copies_b
+        FROM pairs JOIN canon ca ON ca.doc_id = id_a JOIN canon cb ON cb.doc_id = id_b
+        ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
     Q(
       "q38_embedding_neardup",
       (s, dir) => {

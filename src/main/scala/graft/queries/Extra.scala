@@ -265,8 +265,9 @@ object Extra {
       """)),
     // ----------------------------------------------------------------
     // IVF-style ANN: nearest-centroid partitioning + nProbe-cell search.
-    // Complements the LSH path (q51); centroids are the deterministic
-    // subset vec_id < 16 so the oracle rebuilds the identical index.
+    // Complements the LSH path (q51); centroids are TRAINED (seeded
+    // Lloyd's k-means, 2 iterations, deterministic init vec_id < 16 and
+    // exact-decimal means) so the oracle rebuilds the identical index.
     Q(
       "q55_ann_ivf_topk",
       (s, dir) => {
@@ -274,13 +275,13 @@ object Extra {
         val emb = t(s, dir, "embeddings")
         graft.ext.Similarity.ivfTopK(
           emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 4)
+          k = 5, nCells = 16, nProbe = 4, kmeansIters = 2)
           .orderBy($"query_id", $"neighbor_id")
       },
       Some(s"""
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
                    FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < 16),
+        ${OracleSql.kmeansCents(16, 2)},
         assigned AS (
           SELECT cid, cvec, cell FROM (
             SELECT c.vec_id AS cid, c.vec AS cvec, ct.cent_id AS cell,
@@ -488,6 +489,13 @@ object Extra {
     // TF/DF scoring: top-3 most distinctive terms per document by
     // tf/df (one double division — identical in both engines; ln-based
     // idf is NOT used because libm ulps differ across engines).
+    // Skew posture at 100 TB: the tf⋈df join key is Zipf-distributed
+    // (stopwords dominate), but the df side carries exactly ONE row per
+    // term, so AQE's OptimizeSkewedJoin splits the hot tf partitions and
+    // replicates the matching single-row df partitions — no salting
+    // needed. Measured at 10× docs in BASELINE.md's scale-up table. A
+    // lossy mitigation (pre-filtering terms with df above a stopword
+    // threshold) would change the ranking contract, so it is not applied.
     Q(
       "q63_tf_top_terms",
       (s, dir) => {

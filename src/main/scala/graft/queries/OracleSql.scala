@@ -42,6 +42,40 @@ object OracleSql {
        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
 
+  /** Replica of ext.Similarity.kmeansCentroids: a CTE chain (assumes a
+    * CTE `v(vec_id, vec)` of double lists exists) ending in
+    * `cents(cent_id, cent_vec)`. Same determinism contract as the Scala
+    * side: init = vec_id < k, assignment by max cosine with lowest-id
+    * tiebreak, per-dimension mean via exact DECIMAL(38,10) sum (VARCHAR
+    * round-trip — DuckDB's direct decimal→double cast rounds
+    * differently) divided by the member count in one double division.
+    */
+  def kmeansCents(k: Int, iters: Int): String = {
+    val init = s"cents0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < $k)"
+    val steps = (1 to iters).map { i =>
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+         |  SELECT vid, vec, cell FROM (
+         |    SELECT c.vec_id AS vid, c.vec AS vec, ct.cent_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${cosine("c.vec", "ct.cent_vec")} DESC, ct.cent_id) AS rn
+         |    FROM v c CROSS JOIN $prev ct)
+         |  WHERE rn = 1),
+         |mean$i AS (
+         |  SELECT cell, pos,
+         |         CAST(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         |           / COUNT(*) AS m
+         |  FROM (SELECT cell, unnest(vec) AS val,
+         |               unnest(range(1, len(vec) + 1)) AS pos
+         |        FROM assign$i)
+         |  GROUP BY cell, pos),
+         |cents$i AS (
+         |  SELECT cell AS cent_id, list(m ORDER BY pos) AS cent_vec
+         |  FROM mean$i GROUP BY cell)""".stripMargin
+    }
+    ((init +: steps) :+ s"cents AS (SELECT * FROM cents$iters)").mkString(",\n")
+  }
+
   /** Replica of functions.SignLshBuckets over the embeddings table:
     * CTEs `v` (vectors as double lists) and `buck` (one bucket key per
     * (vector, table)).

@@ -106,6 +106,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch keyed
+    * dropDuplicates (q50). Plain `dropDuplicates` on a stream keeps
+    * every key ever seen (unbounded state); the WithinWatermark variant
+    * guarantees dedup for duplicates arriving within `delay` of the
+    * first sighting and EVICTS the key's state once the watermark
+    * passes it — bounded memory under unbounded input. The contract is
+    * deliberately one-sided: a duplicate re-arriving after eviction is
+    * emitted again (at-least-once dedup), which is the only semantics a
+    * finite-state operator can honor.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Stream-stream inner join: match each event with later events of a
     * second stream for the same user within `withinMs`. Both sides carry
     * watermarks and the join has a two-sided time-bound condition, so

@@ -63,6 +63,40 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("nearDupCanonical: exact copies collapse first, pairs carry copy counts") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val aNear = "the quick brown fox jumps over the lazy dog again and once"
+    val d = Seq(
+      (1L, a), (2L, a), (5L, a),          // 3 exact copies → canonical id 1
+      (3L, aNear),                        // near-dup of the canonical
+      (4L, "completely different content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupCanonical(d, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // exactly ONE pair: canonical(1, 3 copies) × near-dup(3, 1 copy) —
+    // the 3 exact copies never enter the quadratic pair space
+    assert(pairs.toSeq == Seq((3L, 1L, 1L, 3L)) || pairs.toSeq == Seq((1L, 3L, 3L, 1L)),
+      s"got ${pairs.toSeq}")
+  }
+
+  test("kmeansCentroids: deterministic, dimension-preserving, at most k cells") {
+    import spark.implicits._
+    val dim = 8
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(dim)(d => (if (d % 3 == c) 1.0f else 0.0f) + 0.01f * (i % 7)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val c1 = run()
+    assert(c1.nonEmpty && c1.size <= 4)
+    assert(c1.values.forall(_.size == dim))
+    // bit-for-bit reproducible: the oracle-replication contract
+    assert(run() == c1)
+  }
+
   test("lshTopK finds most of brute-force top-k on clustered vectors") {
     import spark.implicits._
     // 3 clusters of 30 vectors: cluster base + small deterministic jitter

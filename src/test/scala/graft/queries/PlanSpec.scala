@@ -56,7 +56,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no dedup query degenerates to a cartesian product") {
     for (name <- Seq("q35_dedup_minhash_lsh", "q36_dedup_simhash",
         "q37_dedup_ngram_jaccard", "q38_embedding_neardup",
-        "q51_ann_lsh_topk", "q55_ann_ivf_topk")) {
+        "q51_ann_lsh_topk", "q55_ann_ivf_topk",
+        "q64_dedup_canonical_neardup")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name: $p")
     }

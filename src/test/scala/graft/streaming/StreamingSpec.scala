@@ -53,6 +53,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup: within-watermark duplicates drop, state evicts after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val deduped = EventStreams.dedupWithinWatermark(input.toDF(), "10 minutes", "event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: id=1 twice in the same batch → one row; id=2 once
+      input.addData(
+        ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:02:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: id=1 again, still within the 10-min watermark → dropped
+      input.addData(ev(1, "2024-01-01 00:05:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: advance event time so the watermark (max ts - 10 min)
+      // passes id=1's expiry → its dedup state is evicted
+      input.addData(ev(3, "2024-01-01 01:00:00", 3, "click", 3.0))
+      q.processAllAvailable()
+      // batch 4: id=1 RE-arrives after eviction → emitted again
+      // (the documented at-least-once contract of finite-state dedup)
+      input.addData(ev(1, "2024-01-01 01:01:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 2, s"expected id=1 twice (pre+post eviction): $ids")
+      assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, s"got $ids")
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits sessions, timeout emits them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
