@@ -69,6 +69,21 @@ object TextAnalysis {
     words + punct + longWordExtra
   }
 
+  /** Redaction scrub for training corpora: URLs, emails and phone-like
+    * digit runs become typed placeholder tokens, then whitespace
+    * collapses to single spaces. A pure codegen'd regexp chain (runs in
+    * the scan stage, no shuffle); patterns are plain greedy constructs
+    * that Java regex and RE2 (DuckDB) evaluate identically, which is
+    * what lets q65 oracle-check the exact output.
+    */
+  def scrub(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noMail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    val noPhone = regexp_replace(noMail, "\\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>")
+    trim(regexp_replace(noPhone, "\\s+", " "))
+  }
+
   /** Rolling-hash document fingerprint: min of the char-8-gram hashes
     * (one winnowing window over the whole doc), as a compiled single
     * pass (graft.functions.Fingerprint64). Identical prose → identical

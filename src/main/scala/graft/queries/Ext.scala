@@ -318,6 +318,62 @@ object Ext {
                       ELSE [] END) AS g)) AS fp
         FROM documents
         ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Redaction scrub: URL/email/phone → typed placeholders, whitespace
+    // collapsed. Pure regexp chain in the scan stage; the patterns are
+    // constructs Java regex and DuckDB's RE2 evaluate identically.
+    Q(
+      "q65_scrub_redact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.scrub($"text").as("clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g'),
+                 '\s+', ' ', 'g')) AS clean
+        FROM documents
+        ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // As-of join via the union-window algorithm (AsOf.join): one shuffle
+    // on the key, no range join, no pair explosion. The oracle uses
+    // DuckDB's NATIVE `ASOF LEFT JOIN` — an independent implementation
+    // of the same point-in-time semantics, not a replica of ours.
+    Q(
+      "q66_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        // one row per (user_id, ts): AsOf.join's determinism precondition
+        val views = ev.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+        graft.ext.AsOf.join(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+          .select($"event_id", $"user_id", tstr($"ts").as("click_ts"),
+            $"view_value_asof".as("last_view_value"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                          event_type, value FROM events),
+        clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        views AS (SELECT user_id, ts, MAX(value) AS view_value FROM e
+                  WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               v.view_value AS last_view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id
       """))
   )
 }

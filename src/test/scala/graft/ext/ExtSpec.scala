@@ -63,6 +63,38 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("scrub redacts urls/emails/phones and collapses whitespace") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "see https://example.com/a?b=1 or mail bob.smith+x@mail.example.org  now"),
+      (2L, "call +1 (555) 123-4567 today"),
+      (3L, "plain   text\tstays   intact"))
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.scrub($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "see <URL> or mail <EMAIL> now")
+    assert(out(2L) == "call <PHONE> today")
+    assert(out(3L) == "plain text stays intact")
+  }
+
+  test("asofJoin picks the latest at-or-before right row per key, null when none") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.5),
+      (10L, ts("2024-01-01 12:00:00"), 2.5), // equal ts → inclusive match
+      (20L, ts("2024-01-01 11:00:00"), 9.9)) // after the only click → no match
+      .toDF("user_id", "ts", "view_value")
+    val out = AsOf.join(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(1L -> Some(1.5), 2L -> Some(2.5), 3L -> None))
+  }
+
   test("nearDupCanonical: exact copies collapse first, pairs carry copy counts") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again"
