@@ -197,3 +197,37 @@ object IngestJob {
     try run(spark, JobArgs.parse(args)) finally spark.stop()
   }
 }
+
+/** Stage 3 — lake maintenance: small-files compaction. A long-running
+  * incremental pipeline (the reference's append mode, ingest.py:782-802)
+  * accretes one small file per micro-batch per partition; at 100 TB the
+  * file count, not the byte count, becomes the scan bottleneck (task
+  * scheduling + footer reads dominate). Rewrite a directory into
+  * ~target-mb files: partition count derives from the SOURCE byte size,
+  * so the job needs no table statistics.
+  *
+  *   --src DIR --dest DIR [--target-mb 128] [--format parquet|orc|csv|json]
+  */
+object CompactJob {
+  def run(spark: SparkSession, conf: Map[String, String]): (Long, Int) = {
+    val src = conf("src")
+    val dest = conf("dest")
+    val fmt = JobArgs.checkFormat(conf.getOrElse("format", "parquet"))
+    val targetBytes = conf.getOrElse("target-mb", "128").toLong * 1024L * 1024L
+    val path = new org.apache.hadoop.fs.Path(src)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.format(fmt).load(src)
+      .repartition(parts)
+      .write.mode("overwrite").format(fmt).save(dest)
+    val rows = spark.read.format(fmt).load(dest).count()
+    println(s"""{"job":"compact","src_bytes":$bytes,"out_files":$parts,"rows":$rows}""")
+    (rows, parts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = JobArgs.session("graft-compact")
+    try run(spark, JobArgs.parse(args)) finally spark.stop()
+  }
+}

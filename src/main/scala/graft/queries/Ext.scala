@@ -374,6 +374,28 @@ object Ext {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY c.event_id
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Column profiler: one scan, one aggregation (multi-distinct via a
+    // single Expand) — the per-load data-quality snapshot. Exact
+    // distincts here (oracle-checkable); approxDistinct=true is the
+    // 100 TB mode.
+    Q(
+      "q67_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy($"col_name")
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+             |       COUNT(DISTINCT $c) AS n_distinct,
+             |       CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      })
   )
 }

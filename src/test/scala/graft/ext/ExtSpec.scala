@@ -63,6 +63,22 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("profile counts rows/nonnulls/distincts and min/max per column in one pass") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "tag")
+    val out = Profile.profile(d, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(out("tag") == ((4L, 3L, 2L, "a", "b")))
+    // approx mode must keep the same shape (the 100 TB path)
+    val approx = Profile.profile(d, Seq("id", "tag"), approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("tag") == 2L)
+  }
+
   test("scrub redacts urls/emails/phones and collapses whitespace") {
     import spark.implicits._
     val d = Seq(

@@ -104,6 +104,24 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JobArgs.checkFormat("orc") == "orc")
   }
 
+  test("CompactJob: 64 small files compact to the byte-derived target count") {
+    import spark.implicits._
+    val src = tmp()
+    (1 to 10000).map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    def files(d: String) =
+      new java.io.File(d).listFiles.count(f => f.getName.startsWith("part-"))
+    assert(files(src) == 64)
+    val dest = tmp()
+    // a huge target-mb forces everything into one file
+    val (rows, parts) = CompactJob.run(spark, Map(
+      "src" -> src, "dest" -> dest, "target-mb" -> "1024"))
+    assert(rows == 10000L && parts == 1 && files(dest) == 1)
+    // row-level parity, not just counts
+    assert(spark.read.parquet(dest).as[(Long, String)].collect().sorted.take(3)
+      .toSeq == Seq((1L, "payload_1"), (2L, "payload_2"), (3L, "payload_3")))
+  }
+
   test("jsonStr escapes quotes, backslashes and newlines for log lines") {
     assert(JobArgs.jsonStr("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
     assert(JobArgs.jsonStr(null) == "\"\"")
