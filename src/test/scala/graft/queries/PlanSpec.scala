@@ -83,6 +83,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fallbacks.isEmpty, s"interpreted expressions in q45: $fallbacks")
   }
 
+  test("q66 as-of join plans as union+window — no join operator at all") {
+    val df = Catalog.all.find(_.name == "q66_asof_join").get.build(spark, dir)
+    val joins = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of join must not plan a physical join: $joins")
+    val p = planOf("q66_asof_join")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q67 profiler reads the table exactly once (one scan for all columns)") {
+    val p = planOf("q67_column_profile")
+    // formatted mode prints one "(n) Scan parquet" detail header per scan node
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected 1 scan node, got $scans:\n$p")
+  }
+
   test("q01 aggregation is partial (map-side) before the shuffle") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
