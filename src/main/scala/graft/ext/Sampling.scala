@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for reproducible training-data
+  * mixes. `df.sample()` draws from a per-partition RNG — the selection
+  * changes with partitioning, retries, and engine version, so a
+  * pipeline re-run yields a different corpus. Here membership is a pure
+  * function of the KEY (md5-derived bucket in [0, Buckets)), so the
+  * same row is in or out on every run, every engine, every cluster
+  * layout — and an external engine can reproduce the exact sample
+  * (q68's DuckDB oracle does). Runs entirely in the scan stage: no
+  * shuffle, prunes with pushed filters.
+  *
+  * Thresholds are exact integers (`floor(fraction * Buckets)`), never a
+  * double comparison, so engines can't disagree on the boundary bucket.
+  */
+object Sampling {
+
+  val Buckets = 10000L
+
+  /** Stable bucket in [0, Buckets) for a key column. */
+  def bucket(key: Column): Column = pmod(TextHash.hash64(key.cast("string")), lit(Buckets))
+
+  /** Keep ~fraction of rows, keyed by `key`. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(bucket(key) < lit(math.floor(fraction * Buckets).toLong))
+
+  /** Stratified variant: per-stratum fractions (default for strata not
+    * in the map), e.g. upsample rare languages / downsample boilerplate
+    * domains while keeping the whole mix reproducible.
+    */
+  def hashSampleBy(
+      df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(
+        lit(math.floor(default * Buckets).toLong)) { case (acc, (s, f)) =>
+      when(strata === lit(s), lit(math.floor(f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(key) < threshold)
+  }
+}

@@ -132,7 +132,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters))
+    // lazy checkpoint = the "train once, persist the index" step in
+    // query form: the k-means chain (which scans the corpus per
+    // iteration) executes ONCE at first action and both downstream
+    // uses (corpus assignment + query probing) read the k cached rows,
+    // instead of re-deriving the training chain per use. Lazy, so the
+    // query stays analyzable/plannable without side effects.
+    val cents = broadcast(
+      kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters).localCheckpoint(false))
     def nearestCells(df: DataFrame, idAs: String, vecAs: String, keep: Int) = {
       val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
       df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))

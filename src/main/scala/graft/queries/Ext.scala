@@ -396,6 +396,25 @@ object Ext {
              |       CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
              |FROM orders""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-      })
+      }),
+    // ----------------------------------------------------------------
+    // Deterministic stratified sampling: membership is a pure function
+    // of the key (md5 bucket), so the training mix reproduces exactly
+    // across runs/engines — df.sample()'s per-partition RNG does not.
+    Q(
+      "q68_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Sampling.hashSampleBy(t(s, dir, "documents"),
+          $"doc_id", $"lang", Map("en" -> 0.5), default = 0.1)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, lang FROM documents
+        WHERE ${hSql("'0'", "CAST(doc_id AS VARCHAR)")} % 10000
+              < CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END
+        ORDER BY doc_id
+      """))
   )
 }

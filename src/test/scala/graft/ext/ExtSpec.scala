@@ -63,6 +63,25 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("hashSample is deterministic, content-keyed, and stratified thresholds hold") {
+    import spark.implicits._
+    val d = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(Sampling.hashSample(d, $"id", 0.3))
+    // same selection on a different partitioning — content-keyed, not RNG
+    assert(ids(Sampling.hashSample(d.repartition(13), $"id", 0.3)) == s1)
+    assert(s1.size > 400 && s1.size < 800, s"~30% of 2000 expected, got ${s1.size}")
+    // membership is per-row: sampling a subset gives the subset of the sample
+    val half = d.filter($"id" <= 1000)
+    assert(ids(Sampling.hashSample(half, $"id", 0.3)) == s1.filter(_ <= 1000L))
+    val strat = Sampling.hashSampleBy(d, $"id", $"lang", Map("en" -> 0.5), default = 0.05)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat("en") > 350 && strat("en") < 650, strat.toString)
+    assert(strat.getOrElse("de", 0L) < 120, strat.toString)
+  }
+
   test("profile counts rows/nonnulls/distincts and min/max per column in one pass") {
     import spark.implicits._
     val d = Seq(

@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 67 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 67)
-    assert(Catalog.all.map(_.name).distinct.size == 67)
+  test("catalog has 68 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 68)
+    assert(Catalog.all.map(_.name).distinct.size == 68)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet == Set("q23_approx_distinct", "q56_approx_percentile"), noOracle)
   }
