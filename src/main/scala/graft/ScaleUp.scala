@@ -35,6 +35,11 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
     scaled(Tables.load(spark, sfDir, "embeddings"), "vec_id", factor)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    // events scale by event_id only: each copy is a distinct event for
+    // the SAME user/ts space — window/session/as-of state per key grows
+    // 10x, the worst case for those operators
+    scaled(Tables.load(spark, sfDir, "events"), "event_id", factor)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
 
     def time(dir: String, name: String): (Double, Long) = {
       val t0 = System.nanoTime()
