@@ -124,14 +124,16 @@ object Dedup {
     // hash as tiebreak): prefixes then hold each document's most
     // selective shingles, so prefix-join candidates approach the true
     // pair count instead of colliding on boilerplate shingles.
-    val post = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    // __n (set size) rides along from BEFORE the explode — computing it
+    // as count().over(partitionBy(doc_id)) after the explode would cost
+    // a second window pass over the whole postings relation
+    val post = sh.select(col("doc_id"), size(col("shingles")).as("__n"),
+      explode(col("shingles")).as("g"))
     val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val wAll = Window.partitionBy(col("doc_id"))
     val prefix = post.join(dfreq, Seq("g"))
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
       .filter(col("__rn") <= col("__n") - ceil(tDec * col("__n")).cast("int") + 1)
       .select(col("doc_id"), col("g"), col("__n"))
     val cand = prefix.as("a").join(prefix.as("b"), col("a.g") === col("b.g"))

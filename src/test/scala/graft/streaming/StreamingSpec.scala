@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stateless ext operators (scrub, hash sampling) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // same Column functions as the batch q65/q68 path, zero changes
+    val cleaned = graft.ext.Sampling.hashSample(
+      docs.select($"doc_id", graft.ext.TextAnalysis.scrub($"text").as("clean")),
+      $"doc_id", fraction = 1.0)
+    val q = cleaned.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "go to https://x.io  now"), (2L, "plain"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, clean FROM scrub_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(1L -> "go to <URL> now", 2L -> "plain"))
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits sessions, timeout emits them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
