@@ -496,6 +496,10 @@ object Extra {
     // needed. Measured at 10× docs in BASELINE.md's scale-up table. A
     // lossy mitigation (pre-filtering terms with df above a stopword
     // threshold) would change the ranking contract, so it is not applied.
+    // Considered and rejected: df as count().over(partitionBy(term)) is
+    // ~10% faster at sf0.1 (drops the build-side exchange) but pins every
+    // row of a hot term into ONE window partition — and AQE can split a
+    // skewed JOIN partition, never a window partition. Join wins at scale.
     Q(
       "q63_tf_top_terms",
       (s, dir) => {
