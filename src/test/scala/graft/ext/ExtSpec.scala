@@ -80,6 +80,11 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(strat("en") > 350 && strat("en") < 650, strat.toString)
     assert(strat.getOrElse("de", 0L) < 120, strat.toString)
+    // monotone nesting: raising the fraction only ADDS rows — a growing
+    // training mix is a superset of every smaller one (bucket < floor(f*B))
+    val fracs = Seq(0.0, 0.1, 0.3, 0.7, 1.0).map(f => ids(Sampling.hashSample(d, $"id", f)))
+    fracs.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
+    assert(fracs.head.isEmpty && fracs.last.size == 2000)
   }
 
   test("profile counts rows/nonnulls/distincts and min/max per column in one pass") {
