@@ -69,6 +69,27 @@ object TextAnalysis {
     words + punct + longWordExtra
   }
 
+  /** Within-document repetition fractions — the standard pretraining
+    * quality signals for template/spam detection: 1 − distinct/total
+    * over tokens and over token 2-grams (0.0 for empty docs). Pure
+    * scan-stage expressions: `array_distinct`/`size` are codegen'd
+    * collection ops and the 2-gram hashes come from the native
+    * WordShingleHashes expression — no lambda HOFs, no shuffle.
+    */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = TextHash.tokens(text)
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def dupBigramFraction(text: Column): Column = {
+    val bi = graft.functions.TextFunctions.wordShingleHashes(text, 2, 0L, distinct = false)
+    when(size(bi) > 0,
+      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Redaction scrub for training corpora: URLs, emails and phone-like
     * digit runs become typed placeholder tokens, then whitespace
     * collapses to single spaces. A pure codegen'd regexp chain (runs in

@@ -415,6 +415,36 @@ object Ext {
         WHERE ${hSql("'0'", "CAST(doc_id AS VARCHAR)")} % 10000
               < CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END
         ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Within-doc repetition fractions (template/spam signal): pure
+    // codegen collection ops in the scan stage, no shuffle.
+    Q(
+      "q69_repetition",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(
+          $"doc_id",
+          TextAnalysis.dupTokenFraction($"text").as("dup_token_frac"),
+          TextAnalysis.dupBigramFraction($"text").as("dup_bigram_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+          CASE WHEN len(toks) > 0 THEN CAST(1.0 AS DOUBLE)
+                 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac,
+          CASE WHEN len(bi) > 0 THEN CAST(1.0 AS DOUBLE)
+                 - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac
+        FROM (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                     i -> ${hSql("'0'", "array_to_string(list_slice(toks, i, i + 1), ' ')")})
+                 ELSE [] END AS bi
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        ORDER BY doc_id
       """))
   )
 }

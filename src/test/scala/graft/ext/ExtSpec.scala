@@ -87,6 +87,24 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fracs.head.isEmpty && fracs.last.size == 2000)
   }
 
+  test("repetition fractions: 0 for all-unique, rises with duplication, 0 on empty") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),            // all unique: both fracs 0
+      (2L, "a a a a"),            // 1 distinct of 4 tokens; 1 distinct of 3 bigrams
+      (3L, ""),                   // empty → 0.0, no division by zero
+      (4L, "x y x y x y"))        // 2/6 tokens distinct; bigrams "x y","y x" → 2/5
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        TextAnalysis.dupTokenFraction($"text").as("t"),
+        TextAnalysis.dupBigramFraction($"text").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L) == ((0.75, 1.0 - 1.0 / 3.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L) == ((1.0 - 2.0 / 6.0, 1.0 - 2.0 / 5.0)))
+  }
+
   test("profile counts rows/nonnulls/distincts and min/max per column in one pass") {
     import spark.implicits._
     val d = Seq(

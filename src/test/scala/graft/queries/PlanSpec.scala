@@ -72,15 +72,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("q45 multimodal features plan has no interpreted (CodegenFallback) expression") {
-    val df = Catalog.all.find(_.name == "q45_multimodal_features").get.build(spark, dir)
-    val fallbacks = df.queryExecution.executedPlan.collect {
-      case plan => plan.expressions.flatMap(_.collect {
-        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-            if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] => e
-      })
-    }.flatten
-    assert(fallbacks.isEmpty, s"interpreted expressions in q45: $fallbacks")
+  test("q45/q69 scan-stage plans have no interpreted (CodegenFallback) expression") {
+    for (name <- Seq("q45_multimodal_features", "q69_repetition")) {
+      val df = Catalog.all.find(_.name == name).get.build(spark, dir)
+      val fallbacks = df.queryExecution.executedPlan.collect {
+        case plan => plan.expressions.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+              if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] => e
+        })
+      }.flatten
+      assert(fallbacks.isEmpty, s"interpreted expressions in $name: $fallbacks")
+    }
   }
 
   test("q66 as-of join plans as union+window — no join operator at all") {
