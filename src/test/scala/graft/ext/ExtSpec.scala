@@ -236,6 +236,23 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low: brute=$brute ivf=$ivf")
   }
 
+  test("trained-IVF recall vs brute force on the real embeddings fixture") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = (0L until 5L).map { qid =>
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      val got = ivf.getOrElse(qid, Array()).map(_._2).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 0.88 with trained centroids at nProbe 4/16 (placeholder
+    // centroids were the round-1 gap); generous floor for fixture drift
+    assert(mean >= 0.6, s"mean recall $mean (per-query: $recalls)")
+  }
+
   test("langId picks the dominant stopword language; und on no hits") {
     import spark.implicits._
     val d = Seq(

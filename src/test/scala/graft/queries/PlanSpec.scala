@@ -72,17 +72,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("q45/q69 scan-stage plans have no interpreted (CodegenFallback) expression") {
-    for (name <- Seq("q45_multimodal_features", "q69_repetition")) {
-      val df = Catalog.all.find(_.name == name).get.build(spark, dir)
-      val fallbacks = df.queryExecution.executedPlan.collect {
+  test("NO catalog query plans an interpreted (CodegenFallback) expression") {
+    // the repo-wide codegen hygiene rule, enforced over every query: a
+    // fallback expression in any hot path re-interprets per row
+    val offenders = Catalog.all.flatMap { q =>
+      val fallbacks = q.build(spark, dir).queryExecution.executedPlan.collect {
         case plan => plan.expressions.flatMap(_.collect {
           case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-              if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] => e
+              if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] =>
+            e.getClass.getSimpleName
         })
-      }.flatten
-      assert(fallbacks.isEmpty, s"interpreted expressions in $name: $fallbacks")
+      }.flatten.distinct
+      if (fallbacks.isEmpty) None else Some(q.name -> fallbacks)
     }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("q66 as-of join plans as union+window — no join operator at all") {
