@@ -445,6 +445,32 @@ object Ext {
                  ELSE [] END AS bi
           FROM (SELECT doc_id, $toksSql AS toks FROM documents))
         ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Grouped top-k as a bounded-heap AGGREGATE (TopKPairs): map-side
+    // partial k-heaps mean the shuffle carries <=k pairs per (key,
+    // task), where the window formulation shuffles every row. The
+    // oracle is the window formulation — same semantics, different
+    // physical plan.
+    Q(
+      "q70_grouped_topk",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TopK.perKey(
+          t(s, dir, "orders"), Seq("o_orderpriority"),
+          $"o_totalprice", $"o_orderkey", k = 3)
+          .select($"o_orderpriority", $"rank",
+            $"id".as("o_orderkey"), $"score".as("o_totalprice"))
+          .orderBy($"o_orderpriority", $"rank")
+      },
+      Some("""
+        SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+          FROM orders)
+        WHERE rank <= 3
+        ORDER BY o_orderpriority, rank
       """))
   )
 }

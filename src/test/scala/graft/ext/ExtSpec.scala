@@ -236,6 +236,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low: brute=$brute ivf=$ivf")
   }
 
+  test("TopK.perKey matches the window formulation exactly (incl. ties)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate scores force the id tiebreak; >1 partition forces merge()
+    val d = (1 to 500).map(i => (s"g${i % 7}", (i % 50).toDouble, i.toLong))
+      .toDF("key", "score", "id").repartition(8)
+    val viaAgg = graft.functions.TopK.perKey(d, Seq("key"), $"score", $"id", k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val viaWindow = d.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"key", $"rank", $"id", $"score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("trained-IVF recall vs brute force on the real embeddings fixture") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")

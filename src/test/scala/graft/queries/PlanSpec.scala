@@ -105,6 +105,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"expected 1 scan node, got $scans:\n$p")
   }
 
+  test("q70 grouped top-k plans as partial ObjectHashAggregate, not a window") {
+    val p = planOf("q70_grouped_topk")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
   test("q01 aggregation is partial (map-side) before the shuffle") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
