@@ -94,5 +94,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lang_id"),
       info("graft_lang_id", "graft_lang_id(text) - stopword-ratio language id"),
       (args: Seq[Expression]) => LangIdExpr(args(0), TextAnalysis.stopwords.toSeq)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_pairs"),
+      info("graft_topk_pairs",
+        "graft_topk_pairs(score, id, k) - aggregate: k best (score desc, id asc) pairs per group as array<struct<score,id>>"),
+      (args: Seq[Expression]) =>
+        graft.functions.TopKPairs(args(0), args(1), intArg(args(2), "graft_topk_pairs"))
+          .toAggregateExpression()))
   }
 }

@@ -204,5 +204,15 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT graft_word_shingle_hashes('a b c d', 3, ${P}L) AS h").collect()
     assert(sh.head.getSeq[Long](0).toSeq ==
       Seq(TextHash.hash64Local("a b c") % P, TextHash.hash64Local("b c d") % P))
+    // the top-k AGGREGATE registers too (toAggregateExpression path)
+    val tk = spark.sql("""
+      SELECT g, graft_topk_pairs(s, i, 2) AS t
+      FROM VALUES ('a', 1.0D, 10L), ('a', 3.0D, 11L), ('a', 2.0D, 12L), ('b', 9.0D, 13L)
+        AS v(g, s, i)
+      GROUP BY g ORDER BY g""").collect()
+    assert(tk(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+      == Seq((3.0, 11L), (2.0, 12L)))
+    assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+      == Seq((9.0, 13L)))
   }
 }
