@@ -191,6 +191,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"), col("copies_a"), col("copies_b"))
   }
 
+  /** Benchmark decontamination: for every training doc, the fraction of
+    * its n-gram shingles that appear ANYWHERE in the benchmark corpus —
+    * the standard eval-leakage gate (drop or flag docs above a
+    * threshold). Inverted-index formulation: the benchmark collapses to
+    * a distinct shingle-hash SET, the join key is the 8-byte hash, and
+    * the shuffle carries (shingle, doc) pairs — never doc×doc pairs, so
+    * cost is linear in corpus shingle volume regardless of how
+    * contaminated it is. Docs with no shingles report 0.0.
+    */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    def sh(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.TextFunctions
+        .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("sh"))
+    val tr = sh(train)
+    val benchSet = sh(bench).select(explode(col("sh")).as("g")).distinct()
+    val overlap = tr.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(benchSet, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__ov"))
+    tr.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("__ov"), lit(0L)).as("n_overlap"),
+        when(col("n_shingles") > 0,
+          coalesce(col("__ov"), lit(0L)).cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
     * the pigeonhole trick (maxHamming+1 chunks — any pair within the
     * bound shares at least one exact chunk), verified by true Hamming

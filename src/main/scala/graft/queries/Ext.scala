@@ -471,6 +471,39 @@ object Ext {
           FROM orders)
         WHERE rank <= 3
         ORDER BY o_orderpriority, rank
+      """)),
+    // ----------------------------------------------------------------
+    // Decontamination: overlap of each training doc's shingles with the
+    // "benchmark" split (doc_id % 50 == 0 here) — inverted-index
+    // semi-join, no doc-pair space.
+    Q(
+      "q71_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Dedup.contamination(
+          docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0),
+          "doc_id", "text", shingleSize = 3)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id,
+                      list_distinct(list_transform($shinglesSql,
+                        g -> ${hSql("'0'", "g")} % 2147483647)) AS sh
+                    FROM documents),
+        tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        ov AS (
+          SELECT doc_id, COUNT(*) AS n_overlap
+          FROM (SELECT doc_id, unnest(sh) AS g FROM tr) p JOIN bench USING (g)
+          GROUP BY 1)
+        SELECT tr.doc_id, len(sh) AS n_shingles,
+               COALESCE(n_overlap, 0) AS n_overlap,
+               CASE WHEN len(sh) > 0
+                    THEN CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS overlap_frac
+        FROM tr LEFT JOIN ov USING (doc_id)
+        ORDER BY tr.doc_id
       """))
   )
 }

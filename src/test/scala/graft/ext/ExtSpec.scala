@@ -153,6 +153,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> Some(1.5), 2L -> Some(2.5), 3L -> None))
   }
 
+  test("contamination: flags shingle overlap with the benchmark set, 0 for clean/empty docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // fully contaminated
+      (2L, "completely unrelated text about something else entirely now"),
+      (3L, "hi"))                                           // < 3 tokens → no shingles
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 == 1.0 && out(1L)._1 == out(1L)._2)
+    assert(out(2L) == ((6L, 0L, 0.0))) // 8 tokens -> 6 distinct trigrams
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("nearDupCanonical: exact copies collapse first, pairs carry copy counts") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again"
