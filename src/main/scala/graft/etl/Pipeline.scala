@@ -34,6 +34,16 @@ object Pipeline {
     def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
   }
 
+  /** Per-format reader/writer options: csv is header-ful and
+    * schema-inferring so column names survive a csv round-trip (the
+    * Spark defaults would silently rename everything to _c0.._cN and
+    * break every name-based transform downstream).
+    */
+  def readOptions(format: String): Map[String, String] =
+    if (format == "csv") Map("header" -> "true", "inferSchema" -> "true") else Map.empty
+  def writeOptions(format: String): Map[String, String] =
+    if (format == "csv") Map("header" -> "true") else Map.empty
+
   /** Format-parameterized file source — the reference's RAW zone is Delta
     * (sync.py:112-114, ingest.py:636-650); this sandbox has no Delta jars,
     * so the format string routes through `DataFrameReader.format` and
@@ -41,7 +51,8 @@ object Pipeline {
     * `graft.jobs.JobArgs.checkFormat`).
     */
   final case class FileSource(path: String, format: String = "parquet") extends Source {
-    def load(spark: SparkSession): DataFrame = spark.read.format(format).load(path)
+    def load(spark: SparkSession): DataFrame =
+      spark.read.options(readOptions(format)).format(format).load(path)
   }
 
   final case class JdbcSource(
@@ -72,10 +83,10 @@ object Pipeline {
   /** Format-parameterized file sink (parquet | orc | delta-when-jarred). */
   final case class FileSink(path: String, format: String = "parquet") extends Sink {
     def append(df: DataFrame): Unit =
-      df.write.mode(SaveMode.Append).format(format).save(path)
+      df.write.mode(SaveMode.Append).options(writeOptions(format)).format(format).save(path)
     def truncate(spark: SparkSession, schema: StructType): Unit =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .write.mode(SaveMode.Overwrite).format(format).save(path)
+        .write.mode(SaveMode.Overwrite).options(writeOptions(format)).format(format).save(path)
   }
 
   /** Generic JDBC sink — the warehouse-parity path (the reference's

@@ -33,12 +33,19 @@ object AsOf {
       rightTs: String,
       carry: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // each carry value travels inside a struct whose presence marker is
+    // non-null even when the VALUE is null: last(_, ignoreNulls) must
+    // stop at the matched right row and surface its null, not skip back
+    // to an older row (DuckDB ASOF returns the matched row's null)
+    def carryType(c: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__v", right.schema(c).dataType)))
     val l = carry.foldLeft(
         left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(carryType(c)))
     }
     val rBase = right
-      .select((keys :+ rightTs).map(col) ++ carry.map(c => col(c).as(s"__r_$c")): _*)
+      .select((keys :+ rightTs).map(col) ++
+        carry.map(c => struct(col(c).as("__v")).as(s"__r_$c")): _*)
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
     // null-pad the left-only columns so the union schemas line up
     val r = leftCols.filterNot(c => keys.contains(c) || c == rightTs).foldLeft(rBase) {
@@ -48,7 +55,8 @@ object AsOf {
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carry.foldLeft(l.unionByName(r)) { (df, c) =>
-        df.withColumn(c + "_asof", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+        df.withColumn(c + "_asof",
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).getField("__v"))
       }
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ carry.map(c => col(c + "_asof")): _*)

@@ -167,7 +167,11 @@ object Dedup {
     *
     * Grouping by md5(text) carries the text through the aggregation
     * (constant within each group), so no join back to the input is
-    * needed — the corpus is scanned exactly once.
+    * needed. The canonical relation feeds three consumers (the Jaccard
+    * input and both copies joins), so it is lazily checkpointed — the
+    * corpus scan + hash aggregation run once and the (much smaller)
+    * canonical rows are reused; a 100 TB deployment would persist the
+    * canonical corpus to storage at this point instead.
     */
   def nearDupCanonical(
       docs: DataFrame,
@@ -182,6 +186,7 @@ object Dedup {
         // text is constant per md5 group; min() is a deterministic pick
         min(col(textCol)).as("__text"),
         count(lit(1)).as("n_copies"))
+      .localCheckpoint(false)
     val copies = canon.select(col("keep_id"), col("n_copies"))
     ngramJaccardPairs(
         canon.select(col("keep_id"), col("__text")), "keep_id", "__text",
@@ -210,18 +215,23 @@ object Dedup {
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions
         .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("sh"))
-    val tr = sh(train)
-    val benchSet = sh(bench).select(explode(col("sh")).as("g")).distinct()
-    val overlap = tr.select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(benchSet, Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__ov"))
-    tr.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(overlap, Seq("doc_id"), "left")
+    val benchSet = sh(bench).select(explode(col("sh")).as("g"))
+      .distinct().withColumn("__hit", lit(1))
+    // ONE pass over the training shingles: the set size rides along
+    // from before the explode (same move as ngramJaccardPairs), and
+    // explode_outer keeps zero-shingle docs (null g never matches, so
+    // they aggregate to n_overlap 0 instead of vanishing). The md5
+    // shingling — the dominant cost — runs once per training doc.
+    val post = sh(train).select(col("doc_id"),
+      size(col("sh")).cast("long").as("__n"), explode_outer(col("sh")).as("g"))
+    post.join(benchSet, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("__n")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
       .select(
-        col("doc_id"), col("n_shingles"),
-        coalesce(col("__ov"), lit(0L)).as("n_overlap"),
+        col("doc_id"), col("n_shingles"), col("n_overlap"),
         when(col("n_shingles") > 0,
-          coalesce(col("__ov"), lit(0L)).cast("double") / col("n_shingles").cast("double"))
+          col("n_overlap").cast("double") / col("n_shingles").cast("double"))
           .otherwise(lit(0.0)).as("overlap_frac"))
   }
 

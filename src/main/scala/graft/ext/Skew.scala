@@ -39,18 +39,23 @@ object Skew {
     * For a plain sum this matches Spark's own partial aggregation — the
     * pattern exists for aggs whose state doesn't shrink map-side.
     *
-    * The salt is derived DETERMINISTICALLY from (key, value, saltBy...):
-    * a non-deterministic salt (e.g. monotonically_increasing_id) is a
-    * shuffle-key hazard — if a map stage is partially recomputed after a
-    * fetch failure, rows land in different (key, salt) groups than the
-    * partials already fetched, double-counting or dropping rows. Pass
-    * row-identifying columns in `saltBy` so a hot key whose VALUE also
-    * repeats still spreads over all `salts` reducers.
+    * The salt is derived DETERMINISTICALLY from (key, value,
+    * spark_partition_id, saltBy...): a freely non-deterministic salt
+    * (e.g. monotonically_increasing_id) is a shuffle-key hazard — if a
+    * map stage is partially recomputed after a fetch failure, rows can
+    * land in different (key, salt) groups than the partials already
+    * fetched, double-counting or dropping rows. spark_partition_id is
+    * stable under recompute of the same partitioning AND spreads a hot
+    * key whose value is constant (e.g. counting with value=1, where
+    * hash(key, value) alone would collapse every row into one salt
+    * bucket) across as many salts as the key spans input partitions.
+    * Pass row-identifying columns in `saltBy` to spread even a hot key
+    * concentrated in a single input partition.
     */
   def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int,
       saltBy: Seq[Column] = Nil): DataFrame =
     df.select(key.as("__k"), value.as("__v"),
-        pmod(hash((key +: value +: saltBy): _*), lit(salts)).as("__s"))
+        pmod(hash((key +: value +: spark_partition_id() +: saltBy): _*), lit(salts)).as("__s"))
       .groupBy(col("__k"), col("__s"))
       .agg(sum(col("__v")).as("__partial"))
       .groupBy(col("__k"))

@@ -127,8 +127,11 @@ object TopK {
         .toAggregateExpression())
 
   /** Long-format grouped top-k: (keys..., rank, id, score), rank 1..k —
-    * semantically identical to row_number-window + filter, physically a
-    * partial-aggregating k-heap (see [[TopKPairs]]).
+    * identical to row_number-window + filter for non-null (score, id)
+    * rows, physically a partial-aggregating k-heap (see [[TopKPairs]]).
+    * Null semantics are the AGGREGATE's, not the window's: rows with a
+    * null score or id are skipped (like max/min), where row_number
+    * ranks them last — a group of only nulls produces no output row.
     */
   def perKey(df: DataFrame, keys: Seq[String], score: Column, id: Column, k: Int): DataFrame =
     df.groupBy(keys.map(col): _*)

@@ -83,14 +83,22 @@ private[jobs] object JobArgs {
 object SyncJob {
 
   /** One liveness probe before the table loop (sync.py:34-43): a dead
-    * database is one clear failure, not N noisy per-table errors. Derby
-    * has no FROM-less SELECT, hence the VALUES dialect fallback.
+    * database is one clear failure, not N noisy per-table errors. Only
+    * the CONNECTION is load-bearing — the trial statement is
+    * best-effort, because dialects disagree on it (Derby wants VALUES 1,
+    * Oracle SELECT 1 FROM DUAL, ...) and a statement-level quirk must
+    * not fail a job the Spark read path would complete. The driver
+    * class is pre-registered like Spark's JDBC path does, so drivers
+    * that don't self-register with DriverManager still probe.
     */
   private[jobs] def probe(url: String, props: java.util.Properties): Unit = {
+    Option(props.getProperty("driver")).foreach(Class.forName(_))
     val sql = if (url.startsWith("jdbc:derby")) "VALUES 1" else "SELECT 1"
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
-    finally conn.close()
+    try {
+      try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+      catch { case _: java.sql.SQLException => () } // dialect quirk; connection is alive
+    } finally conn.close()
   }
 
   /** lo/hi for the `col:n` partition form — pushed-down MIN/MAX, one
@@ -131,8 +139,10 @@ object SyncJob {
         }
         val df = Pipeline.JdbcSource(url, table, props, partition).load(spark)
         val sourceCount = df.count()
-        df.write.mode("overwrite").format(fmt).save(s"$dest/$table.$fmt")
-        val written = spark.read.format(fmt).load(s"$dest/$table.$fmt").count()
+        df.write.mode("overwrite").options(Pipeline.writeOptions(fmt))
+          .format(fmt).save(s"$dest/$table.$fmt")
+        val written = spark.read.options(Pipeline.readOptions(fmt))
+          .format(fmt).load(s"$dest/$table.$fmt").count()
         if (written != sourceCount)
           System.err.println(s"""{"job":"sync","table":"$table","warn":"count drift $sourceCount -> $written"}""")
         println(s"""{"job":"sync","table":"$table","source_rows":$sourceCount,"written_rows":$written}""")
@@ -218,10 +228,10 @@ object CompactJob {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.format(fmt).load(src)
+    spark.read.options(Pipeline.readOptions(fmt)).format(fmt).load(src)
       .repartition(parts)
-      .write.mode("overwrite").format(fmt).save(dest)
-    val rows = spark.read.format(fmt).load(dest).count()
+      .write.mode("overwrite").options(Pipeline.writeOptions(fmt)).format(fmt).save(dest)
+    val rows = spark.read.options(Pipeline.readOptions(fmt)).format(fmt).load(dest).count()
     println(s"""{"job":"compact","src_bytes":$bytes,"out_files":$parts,"rows":$rows}""")
     (rows, parts)
   }

@@ -153,6 +153,20 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> Some(1.5), 2L -> Some(2.5), 3L -> None))
   }
 
+  test("asofJoin surfaces the matched row's NULL instead of skipping to an older value") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (10L, ts("2024-01-01 11:00:00"), None)) // matched row carries NULL
+      .toDF("user_id", "ts", "view_value")
+    val out = AsOf.join(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+      .collect().map(r => Option(r.get(3)))
+    // DuckDB ASOF semantics: the 11:00 row matches; its null is the answer
+    assert(out.toSeq == Seq(None), s"got ${out.toSeq}")
+  }
+
   test("contamination: flags shingle overlap with the benchmark set, 0 for clean/empty docs") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

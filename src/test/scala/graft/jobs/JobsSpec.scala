@@ -97,6 +97,21 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.orc(s"$staged/lead_xref").count() == 25)
   }
 
+  test("SyncJob + IngestJob: --format csv keeps header names through both stages") {
+    val raw = tmp()
+    val out = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw, "format" -> "csv"))
+    assert(out == Seq(("lead_xref", 25L, 25L)))
+    val cols = spark.read.option("header", "true").csv(s"$raw/lead_xref.csv").columns
+    assert(!cols.exists(_.startsWith("_c")), s"headerless csv: ${cols.toSeq}")
+
+    val staged = tmp()
+    val full = IngestJob.run(spark, Map(
+      "source-dir" -> raw, "sink-dir" -> staged, "watermark-dir" -> tmp(),
+      "tables" -> "lead_xref", "mode" -> "append", "format" -> "csv"))
+    assert(full.map(_._2.rowsWritten) == Seq(25L))
+  }
+
   test("format validation: delta is jar-gated with a clear message, unknown formats rejected") {
     val e = intercept[IllegalArgumentException](JobArgs.checkFormat("delta"))
     assert(e.getMessage.contains("delta-spark jars"))
