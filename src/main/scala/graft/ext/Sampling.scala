@@ -27,6 +27,28 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(bucket(key) < lit(math.floor(fraction * Buckets).toLong))
 
+  /** Deterministic DISJOINT split: assigns each row a split label by
+    * carving [0, Buckets) into consecutive integer ranges sized by the
+    * given fractions (ordered as passed; remainder rows after the last
+    * range get the last label, so every row is labeled exactly once).
+    * Two independent [[hashSample]] calls cannot guarantee disjointness
+    * — a train/val/test partition needs the ranges. Fractions must sum
+    * to ~1.
+    */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.floor(f * Buckets).toLong
+    }.tail
+    val b = bucket(key)
+    val labeled = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1)) { case ((name, hi), acc) =>
+        when(b < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", labeled)
+  }
+
   /** Stratified variant: per-stratum fractions (default for strata not
     * in the map), e.g. upsample rare languages / downsample boilerplate
     * domains while keeping the whole mix reproducible.

@@ -504,6 +504,27 @@ object Ext {
                     ELSE CAST(0.0 AS DOUBLE) END AS overlap_frac
         FROM tr LEFT JOIN ov USING (doc_id)
         ORDER BY tr.doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Disjoint deterministic train/val/test split: consecutive bucket
+    // ranges guarantee every row lands in exactly one split.
+    Q(
+      "q72_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Sampling.hashSplit(t(s, dir, "documents"), $"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy($"split").agg(count(lit(1)).as("n"))
+          .orderBy($"split")
+      },
+      Some(s"""
+        SELECT CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n
+        FROM (SELECT ${hSql("'0'", "CAST(doc_id AS VARCHAR)")} % 10000 AS bkt
+              FROM documents)
+        GROUP BY 1 ORDER BY split
       """))
   )
 }

@@ -87,6 +87,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fracs.head.isEmpty && fracs.last.size == 2000)
   }
 
+  test("hashSplit: exhaustive, disjoint, and range-consistent with hashSample") {
+    import spark.implicits._
+    val d = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("id")
+    val split = Sampling.hashSplit(d, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 2000) // every row labeled exactly once
+    val byLabel = split.groupBy(_._2).view.mapValues(_.keySet).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train").size > 1400 && byLabel("train").size < 1800)
+    // the train range IS the 0.8 sample — growing a split preserves the mix
+    val sample80 = Sampling.hashSample(d, $"id", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(byLabel("train") == sample80)
+  }
+
   test("repetition fractions: 0 for all-unique, rises with duplication, 0 on empty") {
     import spark.implicits._
     val d = Seq(
