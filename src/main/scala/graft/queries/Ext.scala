@@ -525,6 +525,30 @@ object Ext {
         FROM (SELECT ${hSql("'0'", "CAST(doc_id AS VARCHAR)")} % 10000 AS bkt
               FROM documents)
         GROUP BY 1 ORDER BY split
+      """)),
+    // ----------------------------------------------------------------
+    // Large×large interval join via bucketing (Ranges.pointInInterval):
+    // the oracle is the PLAIN theta join — bucketing must be invisible.
+    Q(
+      "q73_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val pts = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+        val iv = t(s, dir, "lineitem")
+          .select($"l_extendedprice".as("lo"), ($"l_extendedprice" + 10.0).as("hi"))
+        // width ≈ 2× the interval span (10): ≤2 buckets per interval,
+        // and each point's bucket holds ~30/100000 of the intervals
+        graft.ext.Ranges.pointInInterval(pts, "o_totalprice", iv, "lo", "hi",
+          bucketWidth = 20.0)
+          .groupBy($"o_orderkey").agg(count(lit(1)).as("n_containing"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, COUNT(*) AS n_containing
+        FROM orders JOIN lineitem
+          ON o_totalprice >= l_extendedprice AND o_totalprice <= l_extendedprice + 10.0
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey
       """))
   )
 }

@@ -182,6 +182,19 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(None), s"got ${out.toSeq}")
   }
 
+  test("bucketed interval join equals the naive theta join, incl. bucket-boundary points") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0), (2L, 99.9), (3L, 100.0), (4L, 250.5), (5L, -50.0))
+      .toDF("pid", "p")
+    val iv = Seq((10L, -100.0, 0.0), (20L, 99.9, 100.1), (30L, 90.0, 260.0))
+      .toDF("iid", "lo", "hi")
+    val bucketed = Ranges.pointInInterval(pts, "p", iv, "lo", "hi", bucketWidth = 100.0)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(iv).filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive && naive.nonEmpty, s"bucketed=$bucketed naive=$naive")
+  }
+
   test("contamination: flags shingle overlap with the benchmark set, 0 for clean/empty docs") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

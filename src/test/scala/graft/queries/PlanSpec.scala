@@ -105,6 +105,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"expected 1 scan node, got $scans:\n$p")
   }
 
+  test("q73 large-large interval join plans as an equi-join, not a nested loop") {
+    val p = planOf("q73_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q70 grouped top-k plans as partial ObjectHashAggregate, not a window") {
     val p = planOf("q70_grouped_topk")
     assert(p.contains("ObjectHashAggregate"), p)
