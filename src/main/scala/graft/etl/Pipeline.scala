@@ -34,13 +34,17 @@ object Pipeline {
     def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
   }
 
-  /** Per-format reader/writer options: csv is header-ful and
-    * schema-inferring so column names survive a csv round-trip (the
-    * Spark defaults would silently rename everything to _c0.._cN and
-    * break every name-based transform downstream).
+  /** Per-format reader/writer options: csv is header-ful so column
+    * names survive a round-trip (the Spark defaults silently rename
+    * everything to _c0.._cN and break name-based transforms). NOTE:
+    * deliberately NO inferSchema here — a header-only csv read yields
+    * strings verbatim, which is what count read-backs and layout-only
+    * rewrites (CompactJob) need: inference would re-render values
+    * ('01234' -> 1234) and pay a full extra scan. [[FileSource]], whose
+    * consumers need typed columns for conform/cleanse, opts in below.
     */
   def readOptions(format: String): Map[String, String] =
-    if (format == "csv") Map("header" -> "true", "inferSchema" -> "true") else Map.empty
+    if (format == "csv") Map("header" -> "true") else Map.empty
   def writeOptions(format: String): Map[String, String] =
     if (format == "csv") Map("header" -> "true") else Map.empty
 
@@ -51,8 +55,13 @@ object Pipeline {
     * `graft.jobs.JobArgs.checkFormat`).
     */
   final case class FileSource(path: String, format: String = "parquet") extends Source {
-    def load(spark: SparkSession): DataFrame =
-      spark.read.options(readOptions(format)).format(format).load(path)
+    def load(spark: SparkSession): DataFrame = {
+      // typed consumers (conform/cleanse) need inference for csv; the
+      // canonical fix at scale is an explicit schema from TableSchemas
+      val opts = readOptions(format) ++
+        (if (format == "csv") Map("inferSchema" -> "true") else Map.empty)
+      spark.read.options(opts).format(format).load(path)
+    }
   }
 
   final case class JdbcSource(

@@ -215,23 +215,25 @@ object Dedup {
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions
         .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("sh"))
-    val benchSet = sh(bench).select(explode(col("sh")).as("g"))
-      .distinct().withColumn("__hit", lit(1))
-    // ONE pass over the training shingles: the set size rides along
-    // from before the explode (same move as ngramJaccardPairs), and
-    // explode_outer keeps zero-shingle docs (null g never matches, so
-    // they aggregate to n_overlap 0 instead of vanishing). The md5
-    // shingling — the dominant cost — runs once per training doc.
-    val post = sh(train).select(col("doc_id"),
-      size(col("sh")).cast("long").as("__n"), explode_outer(col("sh")).as("g"))
-    post.join(benchSet, Seq("g"), "left")
-      .groupBy(col("doc_id"))
-      .agg(first(col("__n")).as("n_shingles"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+    // the shingled corpus is lazily checkpointed: the md5 shingling —
+    // the dominant cost — runs once and feeds both the overlap branch
+    // and the per-doc size projection. The overlap aggregation shuffles
+    // ONLY bench-matching postings (a semi-join-sized relation), not
+    // the full exploded corpus; its small result left-joins back to the
+    // un-exploded per-doc rows, so zero-overlap and zero-shingle docs
+    // keep their 0 row.
+    val tr = sh(train).localCheckpoint(false)
+    val benchSet = sh(bench).select(explode(col("sh")).as("g")).distinct()
+    val overlap = tr.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(benchSet, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__ov"))
+    tr.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("__ov"), lit(0L)).as("n_overlap"),
         when(col("n_shingles") > 0,
-          col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+          coalesce(col("__ov"), lit(0L)).cast("double") / col("n_shingles").cast("double"))
           .otherwise(lit(0.0)).as("overlap_frac"))
   }
 

@@ -18,15 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object Ranges {
 
+  /** Null bounds drop the interval (a NULL never satisfies the BETWEEN,
+    * matching the theta join); non-finite bounds or a span wider than
+    * `maxBucketsPerInterval` buckets raise a clear error instead of an
+    * ANSI cast failure / runaway sequence — one sentinel row like
+    * hi = 1e18 must not OOM the whole job silently.
+    */
   def pointInInterval(
       points: DataFrame, pCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val lo = col(loCol).cast("double")
+    val hi = col(hiCol).cast("double")
+    val bLo = floor(lo / bucketWidth).cast("long")
+    val bHi = floor(hi / bucketWidth).cast("long")
+    val buckets =
+      when(lo.isNull || hi.isNull || hi < lo, array().cast("array<bigint>"))
+        .when(isnan(lo) || isnan(hi) ||
+            abs(lo) === lit(Double.PositiveInfinity) ||
+            abs(hi) === lit(Double.PositiveInfinity),
+          raise_error(lit("pointInInterval: non-finite interval bound")))
+        .when(bHi - bLo >= maxBucketsPerInterval,
+          raise_error(concat(lit("pointInInterval: interval spans more than "),
+            lit(maxBucketsPerInterval), lit(" buckets; raise bucketWidth"))))
+        .otherwise(sequence(bLo, bHi))
     val pb = points.withColumn("__b", floor(col(pCol) / bucketWidth).cast("long"))
-    val ib = intervals.withColumn("__b", explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
+    val ib = intervals.withColumn("__b", explode(buckets))
     pb.join(ib, Seq("__b"))
       .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__b")

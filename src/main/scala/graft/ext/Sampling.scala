@@ -33,7 +33,9 @@ object Sampling {
     * range get the last label, so every row is labeled exactly once).
     * Two independent [[hashSample]] calls cannot guarantee disjointness
     * — a train/val/test partition needs the ranges. Fractions must sum
-    * to ~1.
+    * to ~1. Null-keyed rows are DROPPED, consistent with [[hashSample]]
+    * (whose null bucket fails every comparison) — the alternative, a
+    * silent default label, would funnel every null id into one split.
     */
   def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -46,7 +48,7 @@ object Sampling {
       .foldRight(lit(splits.last._1)) { case ((name, hi), acc) =>
         when(b < lit(hi), lit(name)).otherwise(acc)
       }
-    df.withColumn("split", labeled)
+    df.filter(key.isNotNull).withColumn("split", labeled)
   }
 
   /** Stratified variant: per-stratum fractions (default for strata not

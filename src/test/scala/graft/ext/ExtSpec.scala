@@ -195,6 +195,23 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed == naive && naive.nonEmpty, s"bucketed=$bucketed naive=$naive")
   }
 
+  test("hashSplit drops null keys; pointInInterval guards pathological intervals") {
+    import spark.implicits._
+    val dN = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("id")
+    assert(Sampling.hashSplit(dN, $"id", Seq("train" -> 1.0)).count() == 2)
+
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    // null-bound interval silently drops — a NULL never satisfies BETWEEN
+    val nullIv = Seq((1L, Option(0.0), Option.empty[Double])).toDF("iid", "lo", "hi")
+    assert(Ranges.pointInInterval(pts, "p", nullIv, "lo", "hi", 10.0).count() == 0)
+    // non-finite bound and runaway span raise clear errors, not ANSI
+    // cast failures / OOM sequences
+    val inf = Seq((1L, 0.0, Double.PositiveInfinity)).toDF("iid", "lo", "hi")
+    intercept[Exception](Ranges.pointInInterval(pts, "p", inf, "lo", "hi", 10.0).count())
+    val wide = Seq((1L, 0.0, 1e12)).toDF("iid", "lo", "hi")
+    intercept[Exception](Ranges.pointInInterval(pts, "p", wide, "lo", "hi", 10.0).count())
+  }
+
   test("contamination: flags shingle overlap with the benchmark set, 0 for clean/empty docs") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
