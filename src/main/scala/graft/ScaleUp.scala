@@ -40,6 +40,12 @@ object ScaleUp {
     // 10x, the worst case for those operators
     scaled(Tables.load(spark, sfDir, "events"), "event_id", factor)
       .write.mode("overwrite").parquet(s"$big/events.parquet")
+    // orders/lineitem for the top-k aggregate (q70) and the large-large
+    // interval join (q73): both sides of the join grow N×
+    scaled(Tables.load(spark, sfDir, "orders"), "o_orderkey", factor)
+      .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    scaled(Tables.load(spark, sfDir, "lineitem"), "l_orderkey", factor)
+      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
 
     def time(dir: String, name: String): (Double, Long) = {
       val t0 = System.nanoTime()
