@@ -196,6 +196,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"), col("copies_a"), col("copies_b"))
   }
 
+  /** Near-duplicate CLUSTERS: pair generation ([[ngramJaccardPairs]],
+    * exact) followed by transitive closure ([[Graph.connectedComponents]])
+    * — the step that turns pairwise similarity into an actual dedup
+    * decision. A≈B and B≈C collapse into one cluster even when (A, C)
+    * was never emitted as a pair, and the cluster's minimum doc id is
+    * the canonical survivor.
+    *
+    * Output: one row per clustered doc — (doc_id, cluster_id,
+    * cluster_size, is_canonical). Docs in no near-dup pair are trivially
+    * their own canonical singleton and are NOT emitted (at corpus scale
+    * the clustered subset is orders of magnitude smaller than the
+    * corpus; a full dedup keeps `docs` anti-joined with the
+    * `is_canonical = false` rows of this result).
+    *
+    * Scale: pair generation dominates (see [[ngramJaccardPairs]]'s
+    * contract — compose with [[exact]] via [[nearDupCanonical]]-style
+    * collapse first on heavily-copied corpora); the closure itself
+    * iterates on a relation of one row per CLUSTERED doc, converging in
+    * O(log d) rounds for cluster diameter d.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, shingleSize, threshold)
+    val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("comp"))
+      .select(
+        col("id").as("doc_id"),
+        col("comp").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+  }
+
   /** Benchmark decontamination: for every training doc, the fraction of
     * its n-gram shingles that appear ANYWHERE in the benchmark corpus —
     * the standard eval-leakage gate (drop or flag docs above a

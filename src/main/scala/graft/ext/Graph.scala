@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph connectivity for dedup clustering.
+  *
+  * The near-dup generators ([[Dedup.minhashLshPairs]], simhash, Jaccard,
+  * embedding near-dup) emit PAIRS; an actual dedup needs CLUSTERS — a
+  * doc near-dup with B which is near-dup with C must collapse with C
+  * even if (A, C) itself was never emitted. That transitive closure is
+  * connected components over the pair graph.
+  *
+  * Algorithm: hash-to-min label propagation with pointer jumping
+  * ("Connected Components in MapReduce and Beyond", Kiveris et al.,
+  * SoCC'14 — the min-label family). Each round:
+  *
+  *   1. neighbor-min — every node offers its current component label to
+  *      each neighbor; labels relax to the min (one shuffle on node id);
+  *   2. pointer jumping — `comp := comp(comp)` (one self-join on the
+  *      label relation), which halves the length of any remaining label
+  *      chain, so convergence is O(log d) rounds for diameter d, not
+  *      O(d) as plain propagation would be.
+  *
+  * Scale posture: state per round is one (id, comp) row per node — far
+  * smaller than the input corpus — and the edge relation is checkpointed
+  * once and re-read each round. No collect(): the only driver-side value
+  * is the per-round convergence count. Labels only ever decrease, so the
+  * fixpoint (every node labeled with its component's min id) is
+  * deterministic regardless of partitioning.
+  */
+object Graph {
+
+  /** Connected components of an undirected graph given as an edge list.
+    * Returns one row per node that appears in any edge: (id, comp) where
+    * comp is the smallest node id in the component. Self-loops are
+    * ignored; edges are treated as undirected.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    // undirected: keep both orientations so one join propagates both ways
+    val bidir = e.union(e.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .localCheckpoint() // eager: scanned once, re-read every round
+    var lbl = bidir.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val offers = bidir
+        .join(lbl.withColumnRenamed("id", "s"), "s")
+        .select(col("d").as("id"), col("comp"))
+      val relaxed = lbl.union(offers).groupBy("id").agg(min("comp").as("comp"))
+      // every comp value is itself a node id, so the jump join is total
+      val jumped = relaxed
+        .join(
+          relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
+          Seq("comp"))
+        .select(col("id"), col("__cc").as("comp"))
+        .localCheckpoint() // truncate lineage: consumed by the count AND next round
+      changed = jumped.as("n")
+        .join(lbl.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      lbl = jumped
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: no fixpoint after $maxIter rounds (graph diameter > 2^$maxIter?)")
+    lbl
+  }
+}

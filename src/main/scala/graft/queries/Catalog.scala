@@ -9,7 +9,8 @@ object Catalog {
     Ext.all,
     Windows.all,
     Multimodal.all,
-    Extra.all
+    Extra.all,
+    Curation.all
   )
 
   lazy val all: Seq[Q] = {

@@ -63,6 +63,38 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("connectedComponents: chains collapse to min id, components stay separate") {
+    import spark.implicits._
+    // a 10-node chain (diameter 9 — exercises pointer jumping), a
+    // triangle with a redundant edge, an isolated pair, and a self-loop
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L), (40L, 40L)))
+      .toDF("a", "b")
+    val comp = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(comp(_) == 1L), comp.toString)
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+    assert(!comp.contains(40L)) // self-loop only → not in any edge
+    assert(comp.size == 15)
+  }
+
+  test("nearDupClusters: transitive closure groups A~B~C even when (A,C) is no pair") {
+    import spark.implicits._
+    // B overlaps both A and C heavily; A and C differ enough that the
+    // pair generator does NOT emit (A, C) at this threshold.
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = "one two three four five six seven eight nine ten ALPHA BETA"
+    val c = "GAMMA DELTA three four five six seven eight nine ten ALPHA BETA"
+    val d = docs(1L -> a, 2L -> b, 3L -> c, 4L -> unrelated)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture drifted: $pairs")
+    val out = Dedup.nearDupClusters(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet == Set((1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false)))
+  }
+
   test("hashSample is deterministic, content-keyed, and stratified thresholds hold") {
     import spark.implicits._
     val d = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
