@@ -47,28 +47,32 @@ object Graph {
       .filter(col("s") =!= col("d"))
       .distinct()
       .localCheckpoint() // eager: scanned once, re-read every round
-    var lbl = bidir.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Initial labels fold the first relax in: comp = min(id, neighbors).
+    // The plain id-labeled start would spend a whole round reaching this.
+    var lbl = bidir.groupBy(col("s").as("id"))
+      .agg(least(min(col("d")), col("s")).as("comp"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val offers = bidir
         .join(lbl.withColumnRenamed("id", "s"), "s")
-        .select(col("d").as("id"), col("comp"))
-      val relaxed = lbl.union(offers).groupBy("id").agg(min("comp").as("comp"))
+        .select(col("d").as("id"), col("comp"), lit(null).cast("long").as("__old"))
+      // __old rides the round through (exactly one lbl row per id, so
+      // max-ignoring-nulls recovers it) — convergence is then a filter
+      // on the checkpointed output, not a second join against lbl
+      val relaxed = lbl.select(col("id"), col("comp"), col("comp").as("__old"))
+        .union(offers)
+        .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
       // every comp value is itself a node id, so the jump join is total
       val jumped = relaxed
         .join(
           relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
           Seq("comp"))
-        .select(col("id"), col("__cc").as("comp"))
+        .select(col("id"), col("__cc").as("comp"), col("__old"))
         .localCheckpoint() // truncate lineage: consumed by the count AND next round
-      changed = jumped.as("n")
-        .join(lbl.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      lbl = jumped
+      changed = jumped.filter(col("comp") =!= col("__old")).count()
+      lbl = jumped.select("id", "comp")
       iter += 1
     }
     require(changed == 0,
