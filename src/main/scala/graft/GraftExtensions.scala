@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArraySum, CosineSim, LangIdExpr, MinhashSig, SignLshBuckets, Simhash64, WordShingleHashes}
+import graft.functions.{ArraySum, CosineSim, Int8QuantStats, LangIdExpr, MinhashSig, SignLshBuckets, Simhash64, WordShingleHashes}
 import graft.ext.TextAnalysis
 
 /** SparkSessionExtensions entry point: exposes the engine's native
@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_array_sum"),
       info("graft_array_sum", "graft_array_sum(v) - left-fold sum of a float/double array"),
       (args: Seq[Expression]) => ArraySum(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_quant_stats"),
+      info("graft_int8_quant_stats",
+        "graft_int8_quant_stats(v) - struct(scale, code_sum, mae) of symmetric int8 quantization"),
+      (args: Seq[Expression]) => Int8QuantStats(args(0))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),

@@ -1,0 +1,80 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse merge semantics as pure relational plans.
+  *
+  * The reference's incremental mode appends the delta and leaves
+  * last-write-wins to readers (`/root/reference/ingest.py:783-807`,
+  * `write_mode="delta_insert"`); a consumer-facing table needs the
+  * merge itself. Both operators here are single-shuffle formulations —
+  * the MERGE INTO of transactional table formats re-expressed as plans
+  * any sink can materialize.
+  */
+object Merge {
+
+  /** Upsert: rows of `updates` replace same-key rows of `base`; keys
+    * only in one side pass through. Both sides must share the schema
+    * and be unique per key (the usual staging-table contract; enforced
+    * upstream by [[graft.ext.Dedup.latestByKey]] when the delta carries
+    * multiple versions).
+    *
+    * Formulated as union + per-key priority pick, NOT as a full outer
+    * join: one shuffle on the key, no join at all, and the window sort
+    * is (key, prio) — 2 values of prio — so the per-partition sort is
+    * effectively a counting pass. At 100 TB the delta is typically tiny
+    * next to base; AQE splits any hot key's partition. A broadcast
+    * outer join would be the alternative only when base is bucketed on
+    * the key and re-shuffling it is the cost to avoid.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert: schemas differ: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio"))
+    updates.withColumn("__prio", lit(0))
+      .unionByName(base.withColumn("__prio", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prio", "__rn")
+  }
+
+  /** SCD type-2 history from a change log: collapse consecutive
+    * no-op rows (tracked attribute unchanged), then interval-ize —
+    * `valid_from` = first ts of the run, `valid_to` = start of the next
+    * run (null while current), `version` = 1-based run index.
+    *
+    * One shuffle: both windows partition by `key` and order by
+    * (`ts`, tiebreak), so Catalyst plans a single Exchange + Sort and
+    * runs the lag and lead passes over the same sorted partitions.
+    * State never accumulates — this is the batch twin of
+    * sessionization, with attribute-change as the boundary instead of
+    * a gap timeout.
+    *
+    * @param tiebreak total-orders simultaneous events per key (change
+    *                 logs carry same-timestamp rows; without it both
+    *                 the runs and the intervals would be
+    *                 nondeterministic under retry).
+    */
+  def scd2FromChangeLog(
+      log: DataFrame,
+      key: Column,
+      ts: Column,
+      attr: Column,
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val runs = log
+      .select(key.as("key"), ts.as("__ts"), attr.as("attr"), tiebreak.as("__tb"))
+      .withColumn("__prev", lag(col("attr"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("__ts"), col("__tb"))))
+      .filter(col("__prev").isNull || !(col("__prev") <=> col("attr")))
+    val w2 = Window.partitionBy(col("key")).orderBy(col("__ts"), col("__tb"))
+    runs
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w2))
+      .withColumn("version", row_number().over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__ts", "__tb", "__prev")
+  }
+}

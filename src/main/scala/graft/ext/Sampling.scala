@@ -64,4 +64,33 @@ object Sampling {
     }
     df.filter(bucket(key) < threshold)
   }
+
+  /** Square-root temperature resampling: flatten a skewed stratum mix
+    * (source/language/domain imbalance) by keeping each stratum at rate
+    * `sqrt(n_min / n_s)` — the smallest stratum survives whole, a
+    * stratum 100× its size is downsampled 10×. This is the T=2 point of
+    * the `p^(1/T)` temperature family used to balance multilingual /
+    * multi-source training mixes; sqrt specifically (rather than a
+    * tunable pow) keeps the rate bit-reproducible across engines —
+    * IEEE sqrt and long→double casts are correctly rounded everywhere,
+    * `pow(x, 1-alpha)` is not.
+    *
+    * Plan shape at 100 TB: one tiny stratum-count aggregate (rows =
+    * distinct strata), its 1-row min joined back by cross, then a
+    * broadcast join and a scan-stage hash filter — the corpus itself is
+    * never shuffled. Membership is content-keyed like [[hashSample]],
+    * so re-runs and other engines reproduce the exact sample.
+    */
+  def sqrtResample(df: DataFrame, key: Column, strata: Column): DataFrame = {
+    val counts = df.groupBy(strata.as("__stratum")).agg(count(lit(1)).as("__n"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+    val rates = withMin.select(
+      col("__stratum"),
+      floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double")) * Buckets)
+        .cast("long").as("__keep"))
+    df.join(broadcast(rates), strata <=> col("__stratum"))
+      .filter(bucket(key) < col("__keep"))
+      .drop("__stratum", "__keep")
+  }
 }

@@ -105,6 +105,78 @@ object TextAnalysis {
     trim(regexp_replace(noPhone, "\\s+", " "))
   }
 
+  /** Gopher-style repetition/format quality rules ("Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", Rae et
+    * al. 2021, §A1.1) as one scan-stage expression bundle: word count,
+    * mean word length, symbol-to-word ratio (# and ellipsis), bullet-
+    * and ellipsis-line ratios, alphabetic-word ratio and a stopword
+    * hit count. Every metric is a plain regexp/length formula with
+    * identical leftmost-first match semantics in Java regex and RE2,
+    * which is what lets the DuckDB oracle re-derive the exact values.
+    * Denominators are clamped with greatest(..,1): ANSI mode makes
+    * even double division-by-zero an error, and an empty doc should
+    * score 0, not kill the job.
+    */
+  object Gopher {
+    /** Count of non-whitespace runs — the word count. */
+    def wordCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+    private def words(text: Column): Column = greatest(wordCount(text), lit(1)).cast("double")
+
+    def meanWordLen(text: Column): Column =
+      length(regexp_replace(text, "\\s+", "")).cast("double") / words(text)
+
+    /** (# chars + '...' occurrences) per word. */
+    def symbolWordRatio(text: Column): Column =
+      ((length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
+        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("double")) /
+        words(text)
+
+    private def lineCount(text: Column): Column =
+      ((length(text) - length(regexp_replace(text, "\n", ""))) + lit(1)).cast("double")
+
+    /** Fraction of lines that start with a bullet marker. */
+    def bulletLineRatio(text: Column): Column =
+      regexp_count(text, lit("(?m)^\\s*[-*•]")).cast("double") / lineCount(text)
+
+    /** Fraction of lines that end with an ellipsis. */
+    def ellipsisLineRatio(text: Column): Column =
+      regexp_count(text, lit("(?m)\\.\\.\\.$")).cast("double") / lineCount(text)
+
+    /** Fraction of words containing at least one alphabetic character. */
+    def alphaWordRatio(text: Column): Column =
+      regexp_count(text, lit("\\S*[A-Za-z]\\S*")).cast("double") / words(text)
+
+    /** Hits of a tiny English stopword list ("the/and/of/to/in/is"). */
+    def stopwordHits(text: Column): Column =
+      regexp_count(lower(text), lit("\\b(the|and|of|to|in|is)\\b"))
+  }
+
+  /** Token-window chunk plan: one row per (doc, chunk) for splitting
+    * long documents into overlapping `window`-token training chunks
+    * with `window - stride` tokens of overlap. Emits the PLAN (token
+    * offsets), not the text: at 100 TB the slicing belongs next to the
+    * tokenizer, and the plan relation is what the packing/shuffling
+    * stages join against. Pure Generate over a codegen'd sequence — no
+    * shuffle; an empty doc still yields one empty chunk ([0, 0)) so
+    * every document survives into the chunked relation.
+    */
+  def chunkPlan(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      window: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"chunkPlan: need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = (window - overlap).toLong
+    df.select(id.as("doc_id"),
+        Gopher.wordCount(text).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(sequence(lit(0L), greatest(col("n_tok") - 1L, lit(0L)), lit(stride)))
+          .as(Seq("chunk_id", "tok_start")))
+      .withColumn("tok_end", least(col("tok_start") + lit(window.toLong), col("n_tok")))
+  }
+
   /** Rolling-hash document fingerprint: min of the char-8-gram hashes
     * (one winnowing window over the whole doc), as a compiled single
     * pass (graft.functions.Fingerprint64). Identical prose → identical

@@ -278,6 +278,126 @@ case class ArraySum(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Symmetric int8 scalar quantization stats for an embedding column:
+  * struct(scale, code_sum, mae) where scale = max|v|/127, code_i =
+  * clamp(floor(v_i/scale + 0.5), ±127) and mae is the mean absolute
+  * reconstruction error |v_i − code_i·scale|. The stats (not the code
+  * array) are the query-facing shape: they are what a compression
+  * sweep aggregates, and scalar columns hash cleanly in the oracle
+  * harness where array cells don't.
+  *
+  * Rounding is written out as floor(x + 0.5) rather than an engine
+  * round(): Spark's round is HALF_UP, DuckDB's is half-away-from-zero
+  * — they disagree on negative halves, floor(x+0.5) is one IEEE
+  * formula everywhere. The mae sum is a 0.0-seeded left fold in
+  * element order (the module's parity contract). An all-zero vector
+  * quantizes to scale 0 / mae 0 rather than dividing by zero.
+  */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("code_sum", LongType, nullable = false),
+    StructField("mae", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_quant_stats requires array<float|double>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    var maxAbs = 0.0
+    var j = 0
+    while (j < n) {
+      if (ad.isNullAt(j)) return null
+      val v = if (isFloat) ad.getFloat(j).toDouble else ad.getDouble(j)
+      val a = java.lang.Math.abs(v)
+      if (a > maxAbs) maxAbs = a
+      j += 1
+    }
+    if (maxAbs == 0.0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, 0L, 0.0))
+    val scale = maxAbs / 127.0
+    var codeSum = 0L
+    var errSum = 0.0
+    j = 0
+    while (j < n) {
+      val v = if (isFloat) ad.getFloat(j).toDouble else ad.getDouble(j)
+      var code = java.lang.Math.floor(v / scale + 0.5)
+      if (code > 127.0) code = 127.0
+      if (code < -127.0) code = -127.0
+      val c = code.toLong
+      codeSum += c
+      errSum += java.lang.Math.abs(v - c * scale)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, codeSum, errSum / n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val a = ctx.freshName("a")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val code = ctx.freshName("code")
+      val codeL = ctx.freshName("codeL")
+      val codeSum = ctx.freshName("codeSum")
+      val errSum = ctx.freshName("errSum")
+      val out = ctx.freshName("out")
+      val getter = (idx: String) =>
+        if (isFloat) s"(double) $c.getFloat($idx)" else s"$c.getDouble($idx)"
+      s"""
+        int $n = $c.numElements();
+        double $maxAbs = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+          double $a = java.lang.Math.abs(${getter(j)});
+          if ($a > $maxAbs) $maxAbs = $a;
+        }
+        if (!${ev.isNull}) {
+          Object[] $out = new Object[3];
+          if ($maxAbs == 0.0) {
+            $out[0] = 0.0; $out[1] = 0L; $out[2] = 0.0;
+          } else {
+            double $scale = $maxAbs / 127.0;
+            long $codeSum = 0L;
+            double $errSum = 0.0;
+            for (int $j = 0; $j < $n; $j++) {
+              double $v = ${getter(j)};
+              double $code = java.lang.Math.floor($v / $scale + 0.5);
+              if ($code > 127.0) $code = 127.0;
+              if ($code < -127.0) $code = -127.0;
+              long $codeL = (long) $code;
+              $codeSum += $codeL;
+              $errSum += java.lang.Math.abs($v - $codeL * $scale);
+            }
+            $out[0] = $scale; $out[1] = $codeSum; $out[2] = $errSum / $n;
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($out);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def signLshBuckets(vec: Column, tables: Int, planes: Int): Column =
@@ -288,4 +408,7 @@ object VectorFunctions {
 
   def arraySum(vec: Column): Column =
     GraftExprBridge.column(ArraySum(GraftExprBridge.expression(vec)))
+
+  def int8QuantStats(vec: Column): Column =
+    GraftExprBridge.column(Int8QuantStats(GraftExprBridge.expression(vec)))
 }

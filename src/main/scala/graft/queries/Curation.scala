@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.Dedup
+import graft.etl.Merge
+import graft.ext.{Dedup, Sampling, TextAnalysis}
+import graft.functions.{TopK, VectorFunctions}
 import Q._
 
 /** Round-3 corpus-curation surface: dedup clustering (pairs → connected
@@ -59,6 +61,242 @@ object Curation {
         SELECT id AS doc_id, cluster_id, cluster_size,
                (id = cluster_id) AS is_canonical
         FROM comp JOIN csz USING (cluster_id)
+        ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Upsert merge: delta rows replace same-key base rows. The engine
+    // runs the single-shuffle union + priority-pick plan; the oracle is
+    // the INDEPENDENT formulation (full outer join + coalesce).
+    Q(
+      "q75_merge_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val base = o.filter($"o_orderkey" % 2 === 0)
+        val updates = o.filter($"o_orderkey" % 3 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", $"o_totalprice" + 10.0d)
+        Merge.upsert(base, updates, Seq("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0),
+        upd AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        FROM upd u FULL OUTER JOIN base b ON u.o_orderkey = b.o_orderkey
+        ORDER BY o_orderkey
+      """)),
+    // ----------------------------------------------------------------
+    // SCD type-2 history from a change log: collapse consecutive no-op
+    // events per user, interval-ize with lead(), version with
+    // row_number — one shuffle, both window passes share the sort.
+    Q(
+      "q76_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        Merge.scd2FromChangeLog(t(s, dir, "events"),
+            $"user_id", $"ts", $"event_type", $"event_id")
+          .select($"key".as("user_id"), $"attr".as("event_type"),
+            tstr($"valid_from").as("valid_from"), tstr($"valid_to").as("valid_to"),
+            $"version", $"is_current")
+          .orderBy($"user_id", $"version")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 make_timestamp(epoch_ns(ts) // 1000) AS us_ts
+          FROM events),
+        runs AS (
+          SELECT *, LAG(event_type) OVER
+                 (PARTITION BY user_id ORDER BY us_ts, event_id) AS prev
+          FROM e),
+        changes AS (SELECT * FROM runs WHERE prev IS NULL OR prev <> event_type),
+        iv AS (
+          SELECT user_id, event_type, us_ts AS vf,
+                 LEAD(us_ts) OVER (PARTITION BY user_id ORDER BY us_ts, event_id) AS vt,
+                 CAST(ROW_NUMBER() OVER
+                   (PARTITION BY user_id ORDER BY us_ts, event_id) AS INTEGER) AS version
+          FROM changes)
+        SELECT user_id, event_type,
+               strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               version, (vt IS NULL) AS is_current
+        FROM iv ORDER BY user_id, version
+      """)),
+    // ----------------------------------------------------------------
+    // Per-source document cap via the bounded-heap grouped top-k (q70's
+    // aggregate): map-side k-heaps ship <= cap ids per (source, task),
+    // then the narrow survivors re-join their payload — the scale-safe
+    // alternative to a full-shuffle row_number window.
+    Q(
+      "q77_cap_per_source",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        TopK.perKey(docs.select($"source", $"doc_id"), Seq("source"),
+            -$"doc_id".cast("double"), $"doc_id", 10)
+          .select($"source", $"rank", $"id".as("doc_id"))
+          .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+          .select($"source", $"rank", $"doc_id", $"n_chars")
+          .orderBy($"source", $"rank")
+      },
+      Some("""
+        SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10
+        ORDER BY source, rank
+      """)),
+    // ----------------------------------------------------------------
+    // Gopher-style quality rules: every metric a regexp/length formula
+    // with identical leftmost-first semantics in Java regex and RE2, so
+    // the oracle re-derives the exact doubles (no tolerance compare).
+    Q(
+      "q78_gopher_quality",
+      (s, dir) => {
+        import s.implicits._
+        import TextAnalysis.Gopher._
+        val txt = $"text"
+        t(s, dir, "documents").select(
+          $"doc_id",
+          wordCount(txt).cast("long").as("n_words"),
+          meanWordLen(txt).as("mean_word_len"),
+          symbolWordRatio(txt).as("symbol_word_ratio"),
+          bulletLineRatio(txt).as("bullet_line_ratio"),
+          ellipsisLineRatio(txt).as("ellipsis_line_ratio"),
+          alphaWordRatio(txt).as("alpha_word_ratio"),
+          stopwordHits(txt).cast("long").as("stopword_hits"))
+          .withColumn("gopher_pass",
+            $"n_words".between(20, 100000) &&
+              $"mean_word_len".between(3.0, 10.0) &&
+              $"symbol_word_ratio" < 0.1 &&
+              $"bullet_line_ratio" < 0.9 &&
+              $"ellipsis_line_ratio" < 0.3 &&
+              $"alpha_word_ratio" > 0.8 &&
+              $"stopword_hits" >= 2)
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                 CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS words,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+                 CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+                 CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) AS ellipses,
+                 CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS DOUBLE) AS n_lines,
+                 CAST(len(regexp_extract_all(text, '(?m)^\s*[-*' || chr(8226) || ']')) AS DOUBLE) AS bullet_lines,
+                 CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS DOUBLE) AS ellipsis_lines,
+                 CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE) AS alpha_words,
+                 CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS stopword_hits
+          FROM documents)
+        SELECT doc_id, n_words,
+               nonspace / words AS mean_word_len,
+               (hashes + ellipses) / words AS symbol_word_ratio,
+               bullet_lines / n_lines AS bullet_line_ratio,
+               ellipsis_lines / n_lines AS ellipsis_line_ratio,
+               alpha_words / words AS alpha_word_ratio,
+               stopword_hits,
+               (n_words BETWEEN 20 AND 100000
+                AND nonspace / words BETWEEN 3.0 AND 10.0
+                AND (hashes + ellipses) / words < 0.1
+                AND bullet_lines / n_lines < 0.9
+                AND ellipsis_lines / n_lines < 0.3
+                AND alpha_words / words > 0.8
+                AND stopword_hits >= 2) AS gopher_pass
+        FROM m ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Symmetric int8 embedding quantization stats via the codegen'd
+    // Int8QuantStats expression; floor(x+0.5) rounding and left-fold
+    // mae keep the doubles bit-identical across engines.
+    Q(
+      "q79_int8_quant",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"vec_id", VectorFunctions.int8QuantStats($"embedding").as("q"))
+          .select($"vec_id", $"q.scale".as("scale"),
+            $"q.code_sum".as("code_sum"), $"q.mae".as("mae"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
+          FROM embeddings),
+        m AS (
+          SELECT vec_id, vec,
+                 list_max(list_transform(vec, e -> abs(e))) AS maxabs
+          FROM v)
+        SELECT vec_id,
+          CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END AS scale,
+          CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+            list_sum(list_transform(vec, e ->
+              LEAST(127.0, GREATEST(-127.0, floor(e / (maxabs / 127.0) + 0.5)))))
+          END AS BIGINT) AS code_sum,
+          CASE WHEN maxabs = 0 THEN 0.0 ELSE
+            list_sum(list_transform(vec, e ->
+              abs(e - LEAST(127.0, GREATEST(-127.0, floor(e / (maxabs / 127.0) + 0.5)))
+                        * (maxabs / 127.0))))
+            / CAST(len(vec) AS DOUBLE)
+          END AS mae
+        FROM m ORDER BY vec_id
+      """)),
+    // ----------------------------------------------------------------
+    // Token-window chunk plan: Generate over a codegen'd sequence, no
+    // shuffle; window 40 tokens, overlap 10 (stride 30).
+    Q(
+      "q80_chunk_plan",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.chunkPlan(t(s, dir, "documents"), $"doc_id", $"text",
+            window = 40, overlap = 10)
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 unnest(generate_series(0, GREATEST(n_tok - 1, 0), 30)) AS tok_start
+          FROM w)
+        SELECT doc_id, n_tok, CAST(tok_start // 30 AS INTEGER) AS chunk_id,
+               tok_start, LEAST(tok_start + 40, n_tok) AS tok_end
+        FROM c ORDER BY doc_id, chunk_id
+      """)),
+    // ----------------------------------------------------------------
+    // Square-root temperature resampling over the skewed lang mix: the
+    // rarest language survives whole, en is downsampled toward balance.
+    // Membership is content-keyed, so the oracle reproduces the exact
+    // sample (not just its size).
+    Q(
+      "q81_sqrt_resample",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.sqrtResample(
+            t(s, dir, "documents").select($"doc_id", $"lang"),
+            $"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH c AS (SELECT lang AS st, COUNT(*) AS n FROM documents GROUP BY 1),
+        mn AS (SELECT MIN(n) AS nmin FROM c),
+        r AS (
+          SELECT st, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 10000)
+                          AS BIGINT) AS keep
+          FROM c, mn)
+        SELECT doc_id, lang
+        FROM documents JOIN r ON lang = st
+        WHERE ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} % 10000 < keep
         ORDER BY doc_id
       """))
   )

@@ -424,4 +424,72 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 11L, 2L -> 20L))
   }
+
+  test("sqrtResample: rarest stratum survives whole, bigger strata flatten, reruns agree") {
+    import spark.implicits._
+    // 20 rare rows vs 320 common: sqrt flattening keeps rare at 100%
+    // and common at sqrt(20/320) = 25%
+    val d = ((1L to 20L).map(_ -> "rare") ++ (21L to 340L).map(_ -> "common"))
+      .toDF("id", "stratum")
+    val kept = Sampling.sqrtResample(d, col("id"), col("stratum"))
+    val byStratum = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("rare") == 20L, s"rare stratum must survive whole: $byStratum")
+    // hash sampling at rate 0.25 over 320 keys: allow generous tolerance
+    assert(byStratum("common") > 40L && byStratum("common") < 120L, byStratum)
+    // content-keyed → a re-run selects the exact same rows
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sqrtResample(d, col("id"), col("stratum"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("chunkPlan: strided starts, clamped ends, full coverage, empty doc kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 75).map(i => s"w$i").mkString(" ")), // 75 tokens → starts 0,30,60
+      (2L, "one two"), // shorter than a window → one chunk [0,2)
+      (3L, "")) // empty → one [0,0) chunk
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.chunkPlan(d, col("doc_id"), col("text"), window = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(plan.toSeq == Seq(
+      (1L, 0, 0L, 40L), (1L, 1, 30L, 70L), (1L, 2, 60L, 75L),
+      (2L, 0, 0L, 2L),
+      (3L, 0, 0L, 0L)))
+    // consecutive chunks of the same doc overlap by exactly `overlap`
+    // tokens until the tail, and the last chunk always reaches n_tok
+    plan.toSeq.groupBy(_._1).foreach { case (_, chunks) =>
+      chunks.sliding(2).foreach {
+        case Seq((_, _, _, e1), (_, _, s2, _)) => assert(e1 - s2 >= 0)
+        case _ =>
+      }
+    }
+  }
+
+  test("Gopher rules: hand-computed metrics on a crafted doc") {
+    import spark.implicits._
+    import TextAnalysis.Gopher._
+    val text = "the cat sat on the mat\n- bullet item\nwait for it..."
+    val d = Seq(text).toDF("text")
+    val row = d.select(
+      wordCount(col("text")).as("w"),
+      meanWordLen(col("text")).as("mwl"),
+      bulletLineRatio(col("text")).as("blr"),
+      ellipsisLineRatio(col("text")).as("elr"),
+      alphaWordRatio(col("text")).as("awr"),
+      stopwordHits(col("text")).as("sh")).collect().head
+    // words: 6 + 3 + 3 = 12
+    assert(row.getAs[Int]("w") == 12)
+    // non-space chars / 12
+    val nonspace = text.count(c => !c.isWhitespace)
+    assert(row.getAs[Double]("mwl") == nonspace.toDouble / 12.0)
+    assert(row.getAs[Double]("blr") == 1.0 / 3.0) // 1 of 3 lines bulleted
+    assert(row.getAs[Double]("elr") == 1.0 / 3.0) // 1 of 3 lines ends with ...
+    // every word except "-" contains a letter → 11/12
+    assert(row.getAs[Double]("awr") == 11.0 / 12.0)
+    // of the list the|and|of|to|in|is only "the" appears, twice
+    assert(row.getAs[Int]("sh") == 2)
+  }
 }

@@ -184,6 +184,43 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("Int8QuantStats matches a scala reference; zero and null edges hold") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)), // all-zero → scale 0, mae 0
+      (3L, Seq(1e-8f, -1e-8f)), // tiny but nonzero scale
+      (4L, Seq(127.0f, -127.0f, 63.5f)))
+    val out = vecs.toDF("id", "v")
+      .select($"id", VectorFunctions.int8QuantStats($"v").as("q"))
+      .select($"id", $"q.scale", $"q.code_sum", $"q.mae")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def ref(v: Seq[Float]): (Double, Long, Double) = {
+      val d = v.map(_.toDouble)
+      val maxAbs = d.map(math.abs).foldLeft(0.0)(math.max)
+      if (maxAbs == 0.0) (0.0, 0L, 0.0)
+      else {
+        val scale = maxAbs / 127.0
+        val codes = d.map(x => math.min(127.0, math.max(-127.0, math.floor(x / scale + 0.5))).toLong)
+        val err = d.zip(codes).map { case (x, c) => math.abs(x - c * scale) }.foldLeft(0.0)(_ + _)
+        (scale, codes.sum, err / d.length)
+      }
+    }
+    vecs.foreach { case (id, v) => assert(out(id) == ref(v), s"vec $id") }
+    // reconstruction error of any element is bounded by scale/2 → so is the mean
+    vecs.foreach { case (id, v) => assert(out(id)._3 <= out(id)._1 / 2 + 1e-15, s"vec $id mae") }
+    // a null element nulls the row (same contract as ArraySum)
+    val withNull = Seq((1L, Seq(Some(1.0f), None))).toDF("id", "v")
+      .select(VectorFunctions.int8QuantStats($"v").as("q")).collect()
+    assert(withNull.head.isNullAt(0))
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_int8_quant_stats(array(1.0D, -0.5D)).code_sum AS cs").collect()
+    // codes: 1.0 → 127; -0.5 → floor(-63.5 + 0.5) = -63
+    assert(viaSql.head.getLong(0) == 127L - 63L)
+  }
+
   test("interpreted eval path agrees with codegen (direct Expression.eval)") {
     import org.apache.spark.unsafe.types.UTF8String
     val e = WordShingleHashes(
