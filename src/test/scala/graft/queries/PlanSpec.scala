@@ -123,4 +123,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partial + final pair ⇒ at least two HashAggregate nodes
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q75 upsert merge is union + one keyed shuffle — no join operator") {
+    val p = planOf("q75_merge_upsert")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), p)
+    // one Exchange moves the unioned rows to their key; the second is
+    // the presentation orderBy (count node headers — the name repeats
+    // in the detail section)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q76 SCD2 runs both window passes over a single shuffle+sort") {
+    val p = planOf("q76_scd2_history")
+    // one Exchange for the user_id partitioning; the final orderBy adds
+    // a range Exchange — nothing else may shuffle
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q77 per-source cap is a bounded-heap aggregate, not a row_number window") {
+    val p = planOf("q77_cap_per_source")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q78 gopher rules and q80 chunk plan stay in the scan stage (no Exchange before sort)") {
+    for (name <- Seq("q78_gopher_quality", "q80_chunk_plan")) {
+      val p = planOf(name)
+      // only the final presentation orderBy may shuffle
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+    }
+  }
+
+  test("q81 sqrt resample broadcasts the stratum rates; the corpus is never shuffled") {
+    val p = planOf("q81_sqrt_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // shuffles allowed: none for the corpus side. The stratum-count agg
+    // exchanges only (stratum, n) rows; the final orderBy is a range
+    // exchange over the sampled output.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }
