@@ -177,6 +177,39 @@ object TextAnalysis {
       .withColumn("tok_end", least(col("tok_start") + lit(window.toLong), col("n_tok")))
   }
 
+  /** Corpus-statistical quality score: each document's mean corpus
+    * frequency of its tokens ("common-token ratio") — the log-free,
+    * bit-reproducible core of a unigram language-model score. Gibberish
+    * and OOV-heavy documents score near 0; documents of common words
+    * score high. Log-probability variants differ across libm builds,
+    * so the operator stays in exact arithmetic: counts are longs,
+    * per-token frequency is one exact double division, and the per-doc
+    * mean runs through the DECIMAL(38,10) order-insensitive sum.
+    *
+    * Plan shape: explode → token-count aggregate (map-side partial) →
+    * token-keyed join back → per-doc aggregate. The token join key is
+    * Zipf-skewed exactly like q63's TF/DF join and is covered the same
+    * way: the frequency side carries ONE row per token, so AQE
+    * skew-join splits hot partitions cleanly.
+    */
+  def unigramScore(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(TextHash.tokens(lower(text))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (col("__c").cast("double") / col("__t").cast("double")).as("__f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("__f").cast(org.apache.spark.sql.types.DecimalType(38, 10))).cast("double")
+          / count(lit(1)).cast("double")).as("mean_tok_freq"))
+  }
+
   /** Rolling-hash document fingerprint: min of the char-8-gram hashes
     * (one winnowing window over the whole doc), as a compiled single
     * pass (graft.functions.Fingerprint64). Identical prose → identical

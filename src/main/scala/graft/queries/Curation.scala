@@ -298,6 +298,91 @@ object Curation {
         FROM documents JOIN r ON lang = st
         WHERE ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} % 10000 < keep
         ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Corpus-statistical quality: mean corpus frequency of each doc's
+    // tokens (the log-free unigram-LM score — exact arithmetic only, so
+    // the oracle reproduces the doubles bit-for-bit).
+    Q(
+      "q82_unigram_score",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.TextAnalysis.unigramScore(t(s, dir, "documents"), $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT SUM(c) AS t FROM cnt),
+        sc AS (
+          SELECT doc_id, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS f
+          FROM tok JOIN cnt USING (tok) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_toks,
+               CAST(CAST(SUM(CAST(f AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mean_tok_freq
+        FROM sc GROUP BY 1 ORDER BY 1
+      """)),
+    // ----------------------------------------------------------------
+    // Exact grouped percentiles (the exact twin of the q56 approx
+    // sketch): Spark's percentile aggregate vs DuckDB quantile_cont —
+    // both interpolate lower + (upper-lower)*frac at rank p*(n-1).
+    // Exact percentile buffers per-group value counts, so it is for
+    // bounded-domain columns; approx_percentile is the unbounded path.
+    Q(
+      "q83_exact_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").groupBy($"l_returnflag")
+          .agg(
+            percentile($"l_quantity", lit(0.25)).as("p25"),
+            percentile($"l_quantity", lit(0.5)).as("p50"),
+            percentile($"l_quantity", lit(0.95)).as("p95"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.95) AS p95
+        FROM lineitem GROUP BY 1 ORDER BY 1
+      """)),
+    // ----------------------------------------------------------------
+    // Deterministic batch assembly over the chunk plan: shard by
+    // content hash, number within shard, pack 16 chunks per batch.
+    // Batch membership is a pure function of (doc_id, chunk_id).
+    Q(
+      "q84_batch_pack",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Packing.shardedBatches(
+            graft.ext.TextAnalysis.chunkPlan(
+              t(s, dir, "documents"), $"doc_id", $"text", window = 40, overlap = 10),
+            $"doc_id", Seq($"doc_id", $"chunk_id"), shards = 8, batchSize = 16)
+          .select($"doc_id", $"chunk_id", $"shard", $"batch_id")
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+          FROM documents),
+        ch AS (
+          SELECT doc_id, n_tok,
+                 unnest(generate_series(0, GREATEST(n_tok - 1, 0), 30)) AS tok_start
+          FROM w),
+        sh AS (
+          SELECT doc_id, CAST(tok_start // 30 AS INTEGER) AS chunk_id,
+                 ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+          FROM ch),
+        seq AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, chunk_id) AS rn
+          FROM sh)
+        SELECT doc_id, chunk_id, shard,
+               CAST(shard AS VARCHAR) || '-' ||
+                 CAST(CAST((rn - 1) // 16 AS BIGINT) AS VARCHAR) AS batch_id
+        FROM seq ORDER BY doc_id, chunk_id
       """))
   )
 }

@@ -468,6 +468,52 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unigramScore: common-word docs outscore rare-word docs; means are exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the cat"), // mostly the corpus's most common token
+      (2L, "zyx wvu tsr qpo")) // four singletons
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: 8 tokens; "the" freq 3/8, "cat" 1/8, singletons 1/8
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 == (3.0 / 8 * 3 + 1.0 / 8) / 4)
+    assert(out(2L)._2 == 1.0 / 8)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("shardedBatches: deterministic, size-bounded, contiguous within shard") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, i % 7)).toDF("id", "payload")
+    val packed = Packing.shardedBatches(d, col("id"), Seq(col("id")), shards = 4, batchSize = 8)
+    val rows = packed.select("id", "shard", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every batch has at most 8 members and is single-shard
+    val byBatch = rows.groupBy(_._3)
+    byBatch.foreach { case (b, m) =>
+      assert(m.length <= 8, s"batch $b overflows: ${m.length}")
+      assert(m.map(_._2).distinct.length == 1, s"batch $b spans shards")
+    }
+    // batches partition the input
+    assert(rows.length == 100 && rows.map(_._1).distinct.length == 100)
+    // a re-run packs identically (content-hash shard + total order)
+    val again = Packing.shardedBatches(d, col("id"), Seq(col("id")), shards = 4, batchSize = 8)
+      .select("id", "batch_id").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, _, b) => assert(again(id) == b) }
+    // within a shard, batch boundaries follow the sort order: ids in
+    // batch k are all smaller than ids in batch k+1
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      val batches = shardRows.groupBy(_._3).toSeq
+        .sortBy { case (b, _) => b.split("-")(1).toInt }
+        .map { case (_, m) => m.map(_._1) }
+      batches.sliding(2).foreach {
+        case Seq(a, b) => assert(a.max < b.min)
+        case _ =>
+      }
+    }
+  }
+
   test("Gopher rules: hand-computed metrics on a crafted doc") {
     import spark.implicits._
     import TextAnalysis.Gopher._

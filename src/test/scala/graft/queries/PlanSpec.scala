@@ -156,6 +156,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q83 exact percentile aggregates partially before the shuffle") {
+    val p = planOf("q83_exact_percentile")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q84 batch packing shuffles once for the shard windows") {
+    val p = planOf("q84_batch_pack")
+    // shard-window Exchange + presentation orderBy Exchange, nothing else
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q81 sqrt resample broadcasts the stratum rates; the corpus is never shuffled") {
     val p = planOf("q81_sqrt_resample")
     assert(p.contains("BroadcastHashJoin"), p)
