@@ -160,4 +160,56 @@ object EventStreams {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+
+  /** Continuous CDC apply: merge a change-log stream into a
+    * materialized current-state table — the streaming twin of
+    * [[graft.etl.Merge.upsert]] and the native generalization of the
+    * reference's incremental loop (`/root/reference/ingest.py:783-807`,
+    * `delta_insert` + reader-side last-wins).
+    *
+    * Per microbatch: collapse the batch to its newest row per key
+    * ([[graft.ext.Dedup.latestByKey]] — a batch can carry several
+    * versions of one key), read the current table, upsert, write the
+    * merge to a staging directory and swap it in. The swap is
+    * last-wins, not transactional — a concurrent reader can catch the
+    * gap; a transactional table format (Delta/Iceberg, jar-gated here
+    * like the jobs' `--format delta`) is the production sink, and this
+    * parquet swap is the format-free equivalent with the same plan
+    * shape. Restart safety comes from the checkpoint + idempotence:
+    * re-merging an already-applied batch is a no-op upsert.
+    */
+  def cdcApply(
+      changes: DataFrame,
+      key: String,
+      orderCol: String,
+      tiebreak: String,
+      tableDir: String,
+      checkpointDir: String) = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ext.Dedup
+            .latestByKey(batch.toDF(), col(key), col(orderCol), col(tiebreak))
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val table = new org.apache.hadoop.fs.Path(tableDir)
+          val merged =
+            if (fs.exists(table))
+              graft.etl.Merge.upsert(
+                spark.read.parquet(tableDir).select(delta.columns.map(col): _*),
+                delta, Seq(key))
+            else delta
+          // materialize fully to staging BEFORE touching the live dir —
+          // the merge reads the live dir lazily
+          val tmp = new org.apache.hadoop.fs.Path(tableDir + ".staging")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(table)) fs.delete(table, true)
+          fs.rename(tmp, table)
+          ()
+        }
+      }
+  }
 }

@@ -261,6 +261,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("cdcApply: change stream merges continuously into the current-state table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.cdcApply(input.toDF(), "user_id", "ts", "event_id",
+      s"$dir/table", s"$dir/ckpt").start()
+    try {
+      // batch 1: two users; user 1 twice in ONE batch — latest version wins
+      input.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "signup", 1.0),
+        ev(2, "2024-01-01 00:05:00", 1, "upgrade", 2.0),
+        ev(3, "2024-01-01 00:01:00", 2, "signup", 1.0))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(s"$dir/table")
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(after1 == Set((1L, "upgrade", 2.0), (2L, "signup", 1.0)))
+      // batch 2: update user 2, insert user 3; user 1 untouched
+      input.addData(
+        ev(4, "2024-01-01 01:00:00", 2, "purchase", 9.0),
+        ev(5, "2024-01-01 01:01:00", 3, "signup", 1.0))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(s"$dir/table")
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(after2 == Set(
+        (1L, "upgrade", 2.0), (2L, "purchase", 9.0), (3L, "signup", 1.0)))
+    } finally q.stop()
+  }
+
   test("the same tumblingCounts function runs in batch mode (stream/batch unification)") {
     import spark.implicits._
     val batch = Seq(
