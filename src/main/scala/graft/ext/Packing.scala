@@ -19,23 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Adds `shard` and `batch_id` ("shard-seq") columns. `sortBy` must
-    * totally order rows within a shard (e.g. doc_id, chunk_id) or the
-    * packing is nondeterministic under retry.
+  /** Adds `shard` and `batch_id` ("[within-]shard-seq") columns.
+    * `sortBy` must totally order rows within a shard (e.g. doc_id,
+    * chunk_id) or the packing is nondeterministic under retry.
+    * `within` columns (e.g. a train/val/test split label) fence the
+    * packing: a batch never spans two `within` groups.
     */
   def shardedBatches(
       df: DataFrame,
       key: Column,
       sortBy: Seq[Column],
       shards: Int,
-      batchSize: Int): DataFrame = {
+      batchSize: Int,
+      within: Seq[Column] = Nil): DataFrame = {
     require(shards > 0 && batchSize > 0,
       s"shardedBatches: need positive shards/batchSize, got $shards/$batchSize")
-    val w = Window.partitionBy(col("shard")).orderBy(sortBy: _*)
+    val w = Window.partitionBy(within :+ col("shard"): _*).orderBy(sortBy: _*)
     df.withColumn("shard", pmod(TextHash.hash64(key.cast("string")), lit(shards.toLong)))
       .withColumn("__seq", row_number().over(w))
       .withColumn("batch_id",
-        concat(col("shard"), lit("-"), floor((col("__seq") - 1) / lit(batchSize)).cast("long")))
+        concat_ws("-",
+          within ++ Seq(col("shard"),
+            floor((col("__seq") - 1) / lit(batchSize)).cast("long")): _*))
       .drop("__seq")
   }
 }

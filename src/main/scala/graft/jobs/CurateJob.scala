@@ -1,0 +1,114 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** End-to-end corpus curation: the library's training-data operators
+  * composed into one runnable pipeline —
+  *
+  *   scrub → quality gate (Gopher rules) → exact dedup → near-dup
+  *   clustering (canonical survivors) → optional stratum flattening →
+  *   train/val/test split → chunk plan → batch packing
+  *
+  * Every stage is the same operator the catalog oracle-checks
+  * individually (q65, q78, q33, q74, q81, q72, q80, q84); the job is
+  * composition + bookkeeping, deliberately free of its own relational
+  * logic. Determinism end to end: all sampling/splitting/packing is
+  * content-keyed, so a re-run on any cluster layout produces the
+  * byte-identical corpus.
+  *
+  *   --source DIR --dest DIR
+  *   [--min-words N]          quality gate floor       (default 20)
+  *   [--threshold X]          near-dup jaccard         (default 0.6)
+  *   [--balance-by COL]      sqrt-resample stratum    (default: off)
+  *   [--splits a:f,b:f,...]   hash split               (default train:0.9,val:0.05,test:0.05)
+  *   [--chunk-window N --chunk-overlap N]              (default 512/64)
+  *   [--shards N --batch-size N]                       (default 64/256)
+  *   [--format parquet|orc|csv|json|delta]
+  */
+object CurateJob {
+
+  final case class Report(
+      input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long,
+      afterBalance: Long, chunks: Long)
+
+  def run(spark: SparkSession, conf: Map[String, String]): Report = {
+    val source = conf("source")
+    val dest = conf("dest")
+    val minWords = conf.getOrElse("min-words", "20").toInt
+    val threshold = conf.getOrElse("threshold", "0.6").toDouble
+    val fmt = JobArgs.checkFormat(conf.getOrElse("format", "parquet"))
+    val splits = conf.getOrElse("splits", "train:0.9,val:0.05,test:0.05")
+      .split(",").toSeq.map { s =>
+        val Array(n, f) = s.split(":"); n -> f.toDouble
+      }
+    val window = conf.getOrElse("chunk-window", "512").toInt
+    val overlap = conf.getOrElse("chunk-overlap", "64").toInt
+    val shards = conf.getOrElse("shards", "64").toInt
+    val batchSize = conf.getOrElse("batch-size", "256").toInt
+
+    val docs = spark.read.parquet(source)
+    val input = docs.count()
+
+    // 1. scrub PII-shaped spans, then gate on the Gopher rules
+    import TextAnalysis.Gopher._
+    val scrubbed = docs.withColumn("text", TextAnalysis.scrub(col("text")))
+    val quality = scrubbed.filter(
+      wordCount(col("text")) >= minWords &&
+        meanWordLen(col("text")).between(2.0, 12.0) &&
+        alphaWordRatio(col("text")) > 0.5)
+      // localCheckpoint, not cache: three downstream stages (exact
+      // dedup, shingling, cluster join) scan this relation; recomputing
+      // the scrub regexes per scan would triple the dominant cost
+      .localCheckpoint(false)
+    val nQuality = quality.count()
+
+    // 2. exact dedup (content hash), keep the smallest doc_id per text
+    val canon = Dedup.exact(quality, col("text"), col("doc_id"))
+    val exact = quality.join(canon.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      .localCheckpoint(false)
+    val nExact = exact.count()
+
+    // 3. near-dup clustering on the survivors; keep cluster canonicals.
+    //    Docs in no near-dup pair are their own canonical (left anti).
+    val clusters = Dedup.nearDupClusters(exact, "doc_id", "text",
+      shingleSize = 3, threshold = threshold)
+    val nonCanonical = clusters.filter(!col("is_canonical")).select("doc_id")
+    val deduped = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val nNearDup = deduped.count()
+
+    // 4. optional sqrt temperature flattening of a skewed stratum mix
+    val balanced = conf.get("balance-by") match {
+      case Some(c) => Sampling.sqrtResample(deduped, col("doc_id"), col(c))
+      case None => deduped
+    }
+
+    // 5. deterministic disjoint split
+    val split = Sampling.hashSplit(balanced, col("doc_id"), splits)
+    val nBalanced = split.count()
+    split.write.mode("overwrite").format(fmt).save(s"$dest/documents")
+
+    // 6. chunk plan + reproducible batch packing, fenced per split so a
+    //    batch never mixes train and eval chunks
+    val plan = TextAnalysis.chunkPlan(split, col("doc_id"), col("text"), window, overlap)
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val chunks = Packing.shardedBatches(plan, col("doc_id"),
+      Seq(col("doc_id"), col("chunk_id")), shards, batchSize, within = Seq(col("split")))
+    chunks.write.mode("overwrite").format(fmt).save(s"$dest/chunks")
+    val nChunks = spark.read.format(fmt).load(s"$dest/chunks").count()
+
+    Report(input, nQuality, nExact, nNearDup, nBalanced, nChunks)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val conf = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-curate")
+    try {
+      val r = run(spark, conf)
+      println(s"""{"job":"curate","input":${r.input},"quality":${r.afterQuality},""" +
+        s""""exact":${r.afterExact},"neardup":${r.afterNearDup},""" +
+        s""""final":${r.afterBalance},"chunks":${r.chunks}}""")
+    } finally spark.stop()
+  }
+}

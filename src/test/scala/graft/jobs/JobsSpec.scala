@@ -137,6 +137,45 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq((1L, "payload_1"), (2L, "payload_2"), (3L, "payload_3")))
   }
 
+  test("CurateJob: full pipeline runs end-to-end, counts monotone, batches split-fenced") {
+    val dest = tmp()
+    val conf = Map(
+      "source" -> "/root/testdata/sf0.001/documents.parquet",
+      "dest" -> dest,
+      "min-words" -> "5",
+      "threshold" -> "0.6",
+      "balance-by" -> "lang",
+      "splits" -> "train:0.8,val:0.2",
+      "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "4", "batch-size" -> "8")
+    val r = CurateJob.run(spark, conf)
+    assert(r.input > 0)
+    assert(r.afterQuality <= r.input)
+    assert(r.afterExact <= r.afterQuality)
+    assert(r.afterNearDup <= r.afterExact)
+    assert(r.afterBalance <= r.afterNearDup)
+    assert(r.chunks >= r.afterBalance, "every surviving doc yields >= 1 chunk")
+    val docs = spark.read.parquet(s"$dest/documents")
+    assert(docs.columns.contains("split"))
+    val chunks = spark.read.parquet(s"$dest/chunks")
+    // a batch never mixes splits, and batch ids are split-prefixed
+    import org.apache.spark.sql.functions._
+    val mixed = chunks.groupBy("batch_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(mixed == 0)
+    val bad = chunks.filter(!substring_index(col("batch_id"), "-", 1).equalTo(col("split"))).count()
+    assert(bad == 0, "batch_id must be prefixed with its split")
+    // determinism: a re-run produces the identical surviving doc set
+    val r2 = CurateJob.run(spark, Map(
+      "source" -> "/root/testdata/sf0.001/documents.parquet",
+      "dest" -> tmp(), "min-words" -> "5", "threshold" -> "0.6",
+      "balance-by" -> "lang", "splits" -> "train:0.8,val:0.2",
+      "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "4", "batch-size" -> "8"))
+    assert(r2 == r)
+  }
+
   test("jsonStr escapes quotes, backslashes and newlines for log lines") {
     assert(JobArgs.jsonStr("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
     assert(JobArgs.jsonStr(null) == "\"\"")
