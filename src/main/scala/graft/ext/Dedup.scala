@@ -152,6 +152,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: pairs between an INCOMING batch and the
+    * existing corpus (plus pairs inside the batch), never corpus ×
+    * corpus — the daily-ingest shape, where re-pairing the full corpus
+    * with itself every day would be quadratic in corpus size for
+    * answers already known. Same AllPairs prefix filtering as
+    * [[ngramJaccardPairs]] (document frequencies and prefix order are
+    * computed over the union — the pruning bound holds for any pair, so
+    * restricting one join side to the batch loses no recall); the
+    * candidate join is batch-prefix × all-prefix, so cost scales with
+    * batch size × matches, not corpus².
+    *
+    * Returns (id_new, id_b, in_batch, jaccard): one row per qualifying
+    * pair, id_new always from the batch; in_batch says whether the
+    * partner is also new (such pairs appear once, smaller id first).
+    * Ids must be distinct across corpus and batch.
+    */
+  def incrementalNearDupPairs(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def side(df: DataFrame, isNew: Boolean) = df.select(
+      col(idCol).as("doc_id"), col(textCol).as("__text"), lit(isNew).as("is_new"))
+    val all = side(corpus, isNew = false).unionByName(side(incoming, isNew = true))
+    val sh = all.select(col("doc_id"), col("is_new"),
+      graft.functions.TextFunctions
+        .wordShingleHashes(col("__text"), shingleSize, TextHash.MinhashPrime).as("shingles"))
+    val post = sh.select(col("doc_id"), col("is_new"),
+      size(col("shingles")).as("__n"), explode(col("shingles")).as("g"))
+    val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val tDec = lit(java.math.BigDecimal.valueOf(threshold))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = post.join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__n") - ceil(tDec * col("__n")).cast("int") + 1)
+      .select(col("doc_id"), col("is_new"), col("g"), col("__n"))
+    val cand = prefix.filter(col("is_new")).as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          // batch-batch pairs once (smaller id indexes), batch-corpus always
+          (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .filter(col("b.__n") >= tDec * col("a.__n") && col("a.__n") >= tDec * col("b.__n"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_b"),
+        col("b.is_new").as("in_batch"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_new"), col("shingles").as("sh_a")), Seq("id_new"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_new"), col("id_b"), col("in_batch"),
+        (col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The PRODUCTION near-dup path: exact dedup first (collapse identical
     * docs, one O(n) hash aggregation), then exact n-gram Jaccard on the
     * canonical survivors only. [[ngramJaccardPairs]] is quadratic in the

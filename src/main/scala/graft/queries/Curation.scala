@@ -383,6 +383,42 @@ object Curation {
                CAST(shard AS VARCHAR) || '-' ||
                  CAST(CAST((rn - 1) // 16 AS BIGINT) AS VARCHAR) AS batch_id
         FROM seq ORDER BY doc_id, chunk_id
+      """)),
+    // ----------------------------------------------------------------
+    // Incremental near-dup: the daily-ingest shape — batch (doc_id % 4
+    // == 0) against corpus (rest) plus batch-internal pairs, never
+    // corpus × corpus. The oracle is the plain inverted-index join with
+    // the same asymmetric pair predicate.
+    Q(
+      "q85_incremental_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalNearDupPairs(
+            docs.filter($"doc_id" % 4 =!= 0),
+            docs.filter($"doc_id" % 4 === 0),
+            "doc_id", "text", shingleSize = 3, threshold = 0.6)
+          .orderBy($"id_new", $"id_b")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, (doc_id % 4 = 0) AS is_new FROM documents),
+        sh AS (SELECT doc_id, is_new, ${OracleSql.hashedShingles3("text")} AS shingles FROM d),
+        post AS (SELECT doc_id, is_new, unnest(shingles) AS g FROM sh),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_new, b.doc_id AS id_b, b.is_new AS in_batch,
+                 COUNT(*) AS i
+          FROM post a JOIN post b ON a.g = b.g
+          WHERE a.is_new AND a.doc_id <> b.doc_id
+            AND (NOT b.is_new OR a.doc_id < b.doc_id)
+          GROUP BY 1, 2, 3)
+        SELECT id_new, id_b, in_batch,
+               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_new
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6
+        ORDER BY id_new, id_b
       """))
   )
 }

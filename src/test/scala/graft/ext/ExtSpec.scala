@@ -468,6 +468,22 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incrementalNearDupPairs: batch-corpus and batch-batch pairs, never corpus-corpus") {
+    val corpus = docs(1L -> base, 2L -> nearDup) // near-dups of each other
+    val incoming = docs(3L -> base, 4L -> unrelated, 5L -> base)
+    val pairs = Dedup.incrementalNearDupPairs(corpus, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // every pair touches the batch; the corpus-internal (1,2) pair is absent
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+    // batch doc 3 matches corpus docs 1 (exact) and 2 (near)
+    assert(pairs.contains((3L, 1L, false)) && pairs.contains((3L, 2L, false)), pairs)
+    // batch-internal exact pair appears once, smaller id first
+    assert(pairs.contains((3L, 5L, true)) && !pairs.exists(p => p._1 == 5L && p._2 == 3L))
+    // the unrelated batch doc matches nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("unigramScore: common-word docs outscore rare-word docs; means are exact") {
     import spark.implicits._
     val d = Seq(

@@ -57,7 +57,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (name <- Seq("q35_dedup_minhash_lsh", "q36_dedup_simhash",
         "q37_dedup_ngram_jaccard", "q38_embedding_neardup",
         "q51_ann_lsh_topk", "q55_ann_ivf_topk",
-        "q64_dedup_canonical_neardup")) {
+        "q64_dedup_canonical_neardup", "q85_incremental_neardup")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name: $p")
     }
