@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage: edit-distance joins without the cross join.
+  *
+  * A raw `levenshtein(a, b) <= k` theta-join is a cartesian product —
+  * O(|L|·|R|) distance evaluations, a non-starter at corpus scale. The
+  * standard blocking scheme (Gravano et al., "Approximate String Joins
+  * in a Database (Almost) for Free", VLDB'01) generates candidates by
+  * positional q-gram overlap: an edit touches at most q grams, so two
+  * strings within distance k share at least
+  * `max(|a|,|b|) - q + 1 - k*q` q-grams. When that bound is positive
+  * the gram equi-join has PERFECT recall and the expensive verify runs
+  * only on candidates.
+  *
+  * Plan shape: explode distinct q-grams on both sides (scan-stage
+  * Generate), equi-join on the gram (shuffle carries (id, gram) pairs
+  * only), `distinct` collapses multi-gram collisions, strings re-join
+  * narrowly for the levenshtein verify. The gram key is skew-prone
+  * (common substrings) — AQE skew-join covers it, and the distinct
+  * before the re-join bounds the verify at one evaluation per pair.
+  */
+object Linkage {
+
+  /** Distinct character q-grams of a string, as an array column. */
+  def qgramArr(s: Column, q: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(s) - (q - 1), lit(1))),
+      i => s.substr(i, lit(q))))
+
+  /** Pairs (id_l, id_r, dist) with levenshtein(strL, strR) <= maxDist.
+    *
+    * Recall contract: exact whenever
+    * `min(|a|,|b|) - q + 1 - maxDist*q > 0` for every true pair (short
+    * strings below that bound can evade blocking — pre-filter or lower
+    * q for them). With q=3, maxDist=1, names of length >= 7 are covered.
+    */
+  def fuzzyPairs(
+      left: DataFrame, idL: Column, strL: Column,
+      right: DataFrame, idR: Column, strR: Column,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    val l = left.select(idL.as("id_l"), strL.as("s_l"))
+    val r = right.select(idR.as("id_r"), strR.as("s_r"))
+    val lg = l.select(col("id_l"), explode(qgramArr(col("s_l"), q)).as("g"))
+    val rg = r.select(col("id_r"), explode(qgramArr(col("s_r"), q)).as("g"))
+    val cand = lg.join(rg, Seq("g"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+    cand
+      .join(l, Seq("id_l"))
+      .join(r, Seq("id_r"))
+      .select(col("id_l"), col("id_r"), levenshtein(col("s_l"), col("s_r")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}

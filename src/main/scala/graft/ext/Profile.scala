@@ -38,4 +38,61 @@ object Profile {
     }
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Snapshot drift: the per-column profile of `base` joined against
+    * the profile of `cur` — the before/after check a pipeline runs
+    * around every load (the reference reconciles one bare row count,
+    * sync.py:90; this is that idea per column). Each side is one
+    * single-scan aggregate; the join is |cols| rows. Full outer so a
+    * column added or dropped between snapshots still surfaces.
+    */
+  def drift(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) = profile(df, cols.filter(df.columns.contains))
+      .select(col("col_name"), col("n_rows").as(s"n_rows_$tag"),
+        col("n_nonnull").as(s"n_nonnull_$tag"), col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_val").as(s"min_$tag"), col("max_val").as(s"max_$tag"))
+    side(base, "base").join(side(cur, "cur"), Seq("col_name"), "full_outer")
+      .withColumn("rows_delta", coalesce(col("n_rows_cur"), lit(0L)) -
+        coalesce(col("n_rows_base"), lit(0L)))
+      .withColumn("distinct_delta", coalesce(col("n_distinct_cur"), lit(0L)) -
+        coalesce(col("n_distinct_base"), lit(0L)))
+      .withColumn("range_changed",
+        !(col("min_base") <=> col("min_cur")) || !(col("max_base") <=> col("max_cur")))
+  }
+
+  /** All-pairs Pearson correlation of numeric columns in ONE pass over
+    * the input: the aggregate collects n plus exact-decimal Σx, Σx²,
+    * and Σxy for every pair, then the textbook formula
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) runs on the
+    * 1-row result. Built-in `corr` streams double accumulators whose
+    * value depends on reduction order — fine for analytics, useless
+    * against a cross-engine oracle; exact decimal sums make the final
+    * doubles bit-identical on every engine (all inputs must be
+    * non-null; nulls would need pairwise n's, turning O(c) sums into
+    * O(c²) counts).
+    *
+    * Output is long format: (col_a, col_b, corr) for a < b.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val dec = DecimalType(38, 10)
+    def s1(c: String) = sum(col(c).cast("double").cast(dec)).cast("double").as(s"__s_$c")
+    def s2(c: String) = sum((col(c).cast("double") * col(c).cast("double")).cast(dec))
+      .cast("double").as(s"__ss_$c")
+    def sxy(a: String, b: String) =
+      sum((col(a).cast("double") * col(b).cast("double")).cast(dec))
+        .cast("double").as(s"__sp_${a}__$b")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
+    val aggs = cols.map(s1) ++ cols.map(s2) ++ pairs.map { case (a, b) => sxy(a, b) }
+    val one = df.agg(count(lit(1)).cast("double").as("__n"), aggs: _*)
+    val stacked = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val den = sqrt(n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")) *
+        sqrt(n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("corr"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
 }

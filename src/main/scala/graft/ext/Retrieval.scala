@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse lexical retrieval over a document corpus: BM25-family
+  * scoring for a fixed term set, top-k by score. In a training-data
+  * pipeline this is the data-selection primitive — "rank the corpus by
+  * relevance to this probe set" (targeted subset mining, contamination
+  * triage, domain weighting all reduce to it).
+  *
+  * Scoring is the BM25 shape (Robertson/Sparck Jones): per term,
+  * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). One deliberate
+  * deviation, shared with [[TextAnalysis.unigramScore]]: the idf factor
+  * is the RATIONAL odds (N − df + 0.5)/(df + 0.5), not its log —
+  * `ln` differs across libm builds, so a log-scored operator could
+  * never hash-match an external oracle. The ranking this produces is
+  * monotone in the same per-term statistics; swap in `log(...)` when
+  * bit-reproducibility across engines doesn't matter.
+  *
+  * Plan shape: tokenize+explode (scan stage) → filter to the probe
+  * terms BEFORE any shuffle (the postings relation carries only probe
+  * terms, a ~|terms|/|vocab| reduction) → (doc, term) tf aggregate →
+  * broadcast term stats (|terms| rows) → per-doc decimal-exact sum →
+  * TakeOrderedAndProject for the top-k. Document length and avgdl come
+  * from one corpus-level aggregate; nothing ever shuffles the corpus
+  * by anything but doc id.
+  */
+object Retrieval {
+
+  def bm25TopK(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty term set")
+    val lowered = terms.map(_.toLowerCase)
+    val base = docs.select(id.as("doc_id"), TextHash.tokens(lower(text)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+    // corpus stats: N and exact-decimal avgdl in one tiny aggregate
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("dl").cast(DecimalType(38, 10))).cast("double") /
+        count(lit(1)).cast("double")).as("__avgdl"))
+    // postings restricted to probe terms before the (doc, term) shuffle
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(lowered: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // rational idf (see scaladoc) × the standard tf saturation
+        (((col("__n").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)) *
+          (col("tf").cast("double") * (k1 + 1.0) /
+            (col("tf").cast("double") +
+              k1 * (1.0 - b + b * col("dl").cast("double") / col("__avgdl"))))).as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("__s").cast(DecimalType(38, 10))).cast("double").as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+}

@@ -65,6 +65,39 @@ object Sampling {
     df.filter(bucket(key) < threshold)
   }
 
+  /** Weighted deterministic Bernoulli sampling: keep each row with
+    * probability proportional to its weight, `p_i = min(1, targetRate ·
+    * w_i / mean(w))` — importance sampling for training mixes (quality
+    * scores, dollar values, engagement weights) with E[kept] ≈
+    * targetRate · n while membership stays a pure function of the key.
+    * High-weight rows (w ≥ mean/targetRate) are always kept.
+    *
+    * Why not Efraimidis–Spirakis top-n (u^(1/w) priorities): `pow` is
+    * not correctly rounded in IEEE 754, so priority ORDER could differ
+    * across engines and the sample would not be reproducible. Here the
+    * per-row threshold is `floor(p_i · Buckets)` computed from exact
+    * inputs with one double multiply/divide chain — every engine
+    * computes the identical integer.
+    *
+    * Plan shape: one tiny 1-row aggregate (exact-decimal mean weight)
+    * broadcast back, then a scan-stage hash filter — the corpus is
+    * never shuffled. Negative/null weights are treated as 0 (never
+    * sampled).
+    */
+  def weightedHashSample(
+      df: DataFrame, key: Column, weight: Column, targetRate: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(targetRate > 0 && targetRate <= 1, s"targetRate in (0,1], got $targetRate")
+    val w = greatest(coalesce(weight.cast("double"), lit(0.0)), lit(0.0))
+    val meanW = df.agg(
+      (sum(w.cast(DecimalType(38, 10))).cast("double") /
+        count(lit(1)).cast("double")).as("__meanw"))
+    df.crossJoin(broadcast(meanW))
+      .filter(bucket(key) <
+        floor(least(lit(1.0), lit(targetRate) * w / col("__meanw")) * Buckets).cast("long"))
+      .drop("__meanw")
+  }
+
   /** Square-root temperature resampling: flatten a skewed stratum mix
     * (source/language/domain imbalance) by keeping each stratum at rate
     * `sqrt(n_min / n_s)` — the smallest stratum survives whole, a

@@ -121,6 +121,47 @@ object Similarity {
     cents
   }
 
+  /** Semantic (embedding-space) near-duplicate pairs, cluster-scoped —
+    * the SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023):
+    * k-means the corpus ([[kmeansCentroids]], deterministic seeded
+    * Lloyd's), then compare pairs ONLY within each cluster. Near-
+    * duplicates land in the same cell with high probability, so the
+    * pair space shrinks from O(n²) to Σ|cell|² — with balanced cells a
+    * ~nCells× reduction, and each cell's pairing is an independent
+    * task. Complements [[cosineNearDupPairs]] (sign-LSH buckets): LSH
+    * is oblivious and per-vector-cheap; clustering adapts to the data's
+    * actual density and gives the dedup a semantic partition to
+    * report against (`cell` rides along in the output).
+    *
+    * The self-join is cell-keyed with vectors in place (cells are few
+    * and every candidate needs its vector verified, so a narrow
+    * id-only join would just re-join the vectors immediately). At
+    * 100 TB: assign once to cell-partitioned storage and run the
+    * pairing per cell on bucketed reads — no re-shuffle per run, and a
+    * skewed mega-cell splits under AQE or a finer nCells.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      kmeansCentroids(df, idCol, vecCol, nCells, kmeansIters).localCheckpoint(false))
+    val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+    val assigned = df
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+      .crossJoin(cents)
+      .select(col("vid"), col("vec"), col("cent_id"),
+        cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vid"), col("vec"), col("cent_id").as("cell"))
+    assigned.as("a").join(assigned.as("b"), col("a.cell") === col("b.cell"))
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.cell").as("cell"), col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        cosineSim(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `nCells` cells by
     * nearest trained centroid ([[kmeansCentroids]], seeded Lloyd's);
     * each query probes its `nProbe` nearest cells and ranks exact

@@ -210,6 +210,49 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("mean_tok_freq"))
   }
 
+  /** Cross-document boilerplate measurement: for each document, the
+    * fraction of its distinct word n-grams that occur in at least
+    * `minDocs` documents corpus-wide (itself included — minDocs=2 means
+    * "shared with at least one other doc") — the corpus-level signal
+    * behind C4-style boilerplate filtering (navigation chrome, license
+    * headers, templated listings score high; original prose scores
+    * low). The within-doc twins are [[dupTokenFraction]]/
+    * [[dupBigramFraction]]; this one needs the corpus.
+    *
+    * Plan shape: one compiled shingle pass per doc (distinct hashes) →
+    * explode → n-gram document-frequency aggregate (map-side partial;
+    * one row per distinct n-gram) → join back on the hash → per-doc
+    * aggregate. Same Zipf-skew posture as [[unigramScore]]: the
+    * frequency side is one row per n-gram, so AQE splits hot
+    * partitions cleanly. Docs too short for a single n-gram keep a
+    * 0.0 fraction via the left join back to the base relation.
+    */
+  def boilerplateFractions(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      shingleSize: Int = 3,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      graft.functions.TextFunctions
+        .wordShingleHashes(text, shingleSize, TextHash.MinhashPrime).as("__sh"))
+    val post = base.select(col("doc_id"), explode(col("__sh")).as("g"))
+    // distinct hashes per doc ⇒ COUNT(*) per gram == document frequency
+    val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val perDoc = post.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("boiler_frac"))
+  }
+
   /** Rolling-hash document fingerprint: min of the char-8-gram hashes
     * (one winnowing window over the whole doc), as a compiled single
     * pass (graft.functions.Fingerprint64). Identical prose → identical

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series regularization: per-key resampling onto a fixed step
+  * grid with forward fill — the standard "make an event stream
+  * plottable/joinable" operator (metrics rollups, feature snapshots at
+  * training time, gap detection). The reference's watermark protocol
+  * reasons about event time but never regularizes it; this closes that
+  * gap for the analytics surface.
+  *
+  * Plan shape (scale posture): one hash aggregation per (key, bucket)
+  * collapses raw events to at most one row per grid cell (map-side
+  * partial, `max_by` picks the latest observation deterministically);
+  * one tiny per-key min/max aggregate sizes the grid; the grid itself
+  * is a Generate (`sequence` + `explode`) — never a driver loop; the
+  * fill is a single running `last(ignoreNulls)` window per key. Every
+  * shuffle is on the key column, and state per key is the grid length,
+  * not the event count. At 100 TB the dense-grid contract is the thing
+  * to watch: a key spanning years at 1s steps explodes the grid — the
+  * `maxCellsPerKey` guard fails fast instead of OOMing an executor.
+  */
+object TimeSeries {
+
+  /** Resample `df` onto a `stepSeconds` grid per `key`, carrying the
+    * latest observation of each attr forward across empty cells.
+    *
+    * Output: (key, bucket_ts, is_observed, attrs...) — one row per key
+    * per grid cell between that key's first and last event (inclusive),
+    * `is_observed` false on gap cells whose attrs were carried forward.
+    *
+    * Determinism: the per-cell survivor is max by (ts, tiebreak) —
+    * pass a unique tiebreak (e.g. an event id) so engines can't
+    * disagree on equal-ts events.
+    */
+  def resampleFill(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      attrs: Seq[(String, Column)],
+      stepSeconds: Long,
+      maxCellsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    // floor of an exact double division (unix seconds < 2^53): identical
+    // to integer floor-division in any engine for the positive domain
+    def bucketOf(t: Column): Column = floor(unix_timestamp(t) / stepSeconds).cast("long")
+    val obs = df.select(
+      (key.as("__k") +: bucketOf(ts).as("__b") +:
+        ts.as("__ts") +: tiebreak.as("__tb") +:
+        attrs.map { case (n, c) => c.as(n) }): _*)
+    // one row per touched cell: the latest observation wins
+    val cellLast = obs
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(
+        struct(attrs.map { case (n, _) => col(n) }: _*),
+        struct(col("__ts"), col("__tb"))).as("__o"))
+    // grid bounds are a tiny per-key aggregate; the guard keeps a
+    // years-long key at a 1s step from materializing a runaway Generate
+    val grid = df.groupBy(key.as("__k"))
+      .agg(min(bucketOf(ts)).as("__lo"), max(bucketOf(ts)).as("__hi"))
+      .select(col("__k"),
+        explode(sequence(
+          col("__lo"),
+          when(col("__hi") - col("__lo") < maxCellsPerKey, col("__hi"))
+            .otherwise(raise_error(concat(
+              lit(s"resampleFill: key "), col("__k").cast("string"),
+              lit(s" spans more than $maxCellsPerKey cells at step ${stepSeconds}s")))))
+        ).as("__b"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid
+      .join(cellLast, Seq("__k", "__b"), "left")
+      .select(
+        (col("__k") +: col("__b") +: col("__o").isNotNull.as("is_observed") +:
+          attrs.map { case (n, _) =>
+            last(col("__o").getField(n), ignoreNulls = true).over(w).as(n)
+          }): _*)
+    filled.select(
+      (col("__k").as("key") +:
+        timestamp_seconds(col("__b") * stepSeconds).as("bucket_ts") +:
+        col("is_observed") +:
+        attrs.map { case (n, _) => col(n) }): _*)
+  }
+}
