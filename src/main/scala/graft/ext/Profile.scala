@@ -61,15 +61,21 @@ object Profile {
   }
 
   /** All-pairs Pearson correlation of numeric columns in ONE pass over
-    * the input: the aggregate collects n plus exact-decimal Σx, Σx²,
-    * and Σxy for every pair, then the textbook formula
-    * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) runs on the
-    * 1-row result. Built-in `corr` streams double accumulators whose
-    * value depends on reduction order — fine for analytics, useless
-    * against a cross-engine oracle; exact decimal sums make the final
-    * doubles bit-identical on every engine (all inputs must be
-    * non-null; nulls would need pairwise n's, turning O(c) sums into
-    * O(c²) counts).
+    * the input: the aggregate collects n plus decimal Σx, Σx², and Σxy
+    * for every pair, then the textbook formula
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) runs on
+    * the 1-row result. Built-in `corr` streams double accumulators
+    * whose value depends on reduction order — fine for analytics,
+    * useless against a cross-engine oracle. Here the per-row products
+    * are IEEE doubles (rounded once, identically everywhere) and the
+    * SUMS are exact decimal, so the final doubles are reproducible
+    * across engines — order-independent, not infinitely precise. All
+    * inputs must be non-null; nulls would need pairwise n's, turning
+    * O(c) sums into O(c²) counts.
+    *
+    * A constant column has zero variance ⇒ denominator 0 ⇒ corr is
+    * undefined; those pairs yield null rather than a divide error
+    * under ANSI mode.
     *
     * Output is long format: (col_a, col_b, corr) for a < b.
     */
@@ -91,7 +97,8 @@ object Profile {
       val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
       val den = sqrt(n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")) *
         sqrt(n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("corr"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(den > 0, num / den).otherwise(lit(null).cast("double")).as("corr"))
     }
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }

@@ -39,7 +39,12 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty term set")
     val lowered = terms.map(_.toLowerCase)
-    val base = docs.select(id.as("doc_id"), TextHash.tokens(lower(text)).as("__toks"))
+    // Null-text docs are not in the index: they can never be scored, and
+    // counting them would bias N up and avgdl down (size(null) is -1
+    // under the legacy sizeOfNull default). Empty-but-non-null docs stay
+    // — they are real corpus members with dl = 0.
+    val base = docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), TextHash.tokens(lower(text)).as("__toks"))
       .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
     // corpus stats: N and exact-decimal avgdl in one tiny aggregate
     val stats = base.agg(
@@ -62,7 +67,8 @@ object Retrieval {
           (col("df").cast("double") + 0.5)) *
           (col("tf").cast("double") * (k1 + 1.0) /
             (col("tf").cast("double") +
-              k1 * (1.0 - b + b * col("dl").cast("double") / col("__avgdl"))))).as("__s"))
+              lit(k1) * (lit(1.0 - b) +
+                col("dl").cast("double") / col("__avgdl") * b)))).as("__s"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_terms"),

@@ -92,9 +92,16 @@ object Sampling {
     val meanW = df.agg(
       (sum(w.cast(DecimalType(38, 10))).cast("double") /
         count(lit(1)).cast("double")).as("__meanw"))
+    // Guard the degenerate all-zero-weight corpus: mean 0 would make the
+    // divide yield null, least(1.0, null) = 1.0, and EVERY row kept (or an
+    // ANSI-mode error). The contract is the opposite: weightless ⇒ nothing
+    // is sampled.
     df.crossJoin(broadcast(meanW))
       .filter(bucket(key) <
-        floor(least(lit(1.0), lit(targetRate) * w / col("__meanw")) * Buckets).cast("long"))
+        when(col("__meanw") > 0,
+          floor(least(lit(1.0), lit(targetRate) * w / col("__meanw")) * Buckets)
+            .cast("long"))
+          .otherwise(lit(0L)))
       .drop("__meanw")
   }
 

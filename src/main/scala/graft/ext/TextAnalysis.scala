@@ -233,9 +233,12 @@ object TextAnalysis {
       text: Column,
       shingleSize: Int = 3,
       minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    // mod = 0 ⇒ full 60-bit hash space. The corpus-wide distinct-gram count
+    // exceeds 2^31 at multi-TB scale, so hashing into MinhashPrime (2^31−1)
+    // would make cross-doc collisions — false "boilerplate" — systematic.
     val base = df.select(id.as("doc_id"),
       graft.functions.TextFunctions
-        .wordShingleHashes(text, shingleSize, TextHash.MinhashPrime).as("__sh"))
+        .wordShingleHashes(text, shingleSize, 0L).as("__sh"))
     val post = base.select(col("doc_id"), explode(col("__sh")).as("g"))
     // distinct hashes per doc ⇒ COUNT(*) per gram == document frequency
     val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("__df"))

@@ -10,7 +10,8 @@ object Catalog {
     Windows.all,
     Multimodal.all,
     Extra.all,
-    Curation.all
+    Curation.all,
+    Mining.all
   )
 
   lazy val all: Seq[Q] = {

@@ -33,6 +33,21 @@ object OracleSql {
     s"""list_distinct(list_transform(${wordShingles3(textCol)},
        |  g -> ${hash64("g")} % ${TextHash.MinhashPrime}))""".stripMargin
 
+  /** Replica of functions.WordShingleHashes(text, 3, mod = 0): the full
+    * 60-bit hash space (no modulus) — corpus-level document-frequency
+    * operators use this so cross-doc collisions stay negligible.
+    */
+  def hashedShingles3Full(textCol: String): String =
+    s"""list_distinct(list_transform(${wordShingles3(textCol)},
+       |  g -> ${hash64("g")}))""".stripMargin
+
+  /** Exact-decimal double sum: Spark's sum(cast(x as decimal(38,10)))
+    * cast back to double. The VARCHAR round-trip matters — DuckDB's
+    * direct decimal→double cast rounds differently from Spark's.
+    */
+  def dsum(expr: String): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
   /** Replica of the 0.0-seeded left-fold cosine (functions.CosineSim). */
   def cosine(a: String, b: String): String = s"""
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
