@@ -363,4 +363,94 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Frequency-capped soft dedup: keep at most `cap` documents of each
+    * near-dup cluster instead of collapsing to one canonical survivor
+    * ([[nearDupClusters]]' `is_canonical`). Training mixes often WANT a
+    * couple of near-duplicate variants (paraphrases, quote-with-
+    * commentary) while still bounding how much one viral page can
+    * dominate the corpus — this is the dedup twin of the per-source cap
+    * (q77). Docs outside any cluster are their own cluster of one and
+    * always survive.
+    *
+    * Survivor pick is the bounded-heap grouped top-k aggregate
+    * ([[graft.functions.TopK.perKey]]): map-side k-heaps ship ≤ cap ids
+    * per (cluster, task) — no full-shuffle row_number window over the
+    * corpus. Deterministic: lowest `cap` doc ids per cluster win.
+    */
+  def capPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cap: Int,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, shingleSize, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val labeled = docs.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    graft.functions.TopK
+      .perKey(labeled, Seq("cluster_id"), -col("doc_id").cast("double"), col("doc_id"), cap)
+      .select(col("cluster_id"), col("rank"), col("id").as("doc_id"))
+  }
+
+  /** Passage-level exact-substring dedup: find the SPANS (token
+    * offsets) of each document covered by a `window`-token passage that
+    * also occurs verbatim in at least `minDocs − 1` other documents —
+    * the within-doc-granular signal behind suffix-array substring dedup
+    * (syndicated paragraphs, license blocks, quoted chunks inside
+    * otherwise-unique pages), where whole-doc dedup sees nothing.
+    *
+    * Plan shape at 100 TB: one compiled tokenize pass → window hashes
+    * via `transform(sequence)` in the scan stage (full 60-bit space, no
+    * modulus) → hash-keyed distinct-doc aggregate (map-side partial;
+    * one row per distinct passage) → narrow (hash, doc, start) join
+    * back → per-doc overlapping-window merge with ONE window pass. The
+    * corpus text itself never shuffles — only (doc_id, start, hash)
+    * triples, and only for windows that pass the frequency gate.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) per maximal
+    * merged span, token offsets, end exclusive.
+    */
+  def passageDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = col("__toks")
+    val wins = docs
+      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= window)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(toks) - window, lit(stride)),
+        st => struct(st.cast("long").as("start"),
+          TextHash.hash64(concat_ws(" ", slice(toks, st + 1, lit(window)))).as("h"))))
+        .as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.h").as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("h")
+    val marked = wins.join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("start"), (col("start") + window).as("end"))
+    // merge overlapping/adjacent windows into maximal spans: a window
+    // starts a new span iff it begins after every earlier window's end
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    marked
+      .withColumn("__prevmax",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("__prevmax").isNull || col("start") > col("__prevmax")).cast("long"))
+      .withColumn("__span",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
 }

@@ -102,4 +102,66 @@ object Profile {
     }
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Median/MAD factor: 1/Φ⁻¹(3/4), makes MAD a consistent estimator
+    * of σ for normal data. Written as the conventional 4-decimal
+    * literal so every engine uses the identical double.
+    */
+  val MadSigma = 1.4826
+
+  /** Robust per-group outlier detection: flag rows whose
+    * |x − median| / (1.4826·MAD) exceeds `k`. Median/MAD instead of
+    * mean/stddev because training-data value columns are exactly the
+    * distributions that break moment-based z-scores — a single 10^9
+    * outlier inflates σ until nothing else is an outlier. Exact
+    * `percentile` (not the sketch) so the oracle reproduces the cut
+    * bit-for-bit; at unbounded-domain 100 TB scale, swap
+    * `approx_percentile` in and the contract becomes rows-only.
+    *
+    * Plan: two tiny per-group aggregates (|groups| rows each, both
+    * broadcast back) + one scan-stage filter — the input shuffles only
+    * for the percentile aggregates, never for the flagging pass.
+    * Groups whose MAD is 0 (over half the values identical) flag
+    * nothing — a degenerate spread gives no robust scale to judge by.
+    */
+  def robustOutliers(
+      df: DataFrame, groups: Seq[String], value: Column, k: Double): DataFrame = {
+    val gcols = groups.map(col)
+    val v = value.cast("double")
+    val med = df.groupBy(gcols: _*).agg(percentile(v, lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), groups)
+    val mad = dev.groupBy(gcols: _*)
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), groups)
+      .filter(col("__mad") > 0 &&
+        abs(v - col("__med")) / (col("__mad") * MadSigma) > k)
+      .withColumn("robust_z", (v - col("__med")) / (col("__mad") * MadSigma))
+      .drop("__med", "__mad")
+  }
+
+  /** Per-group z-score normalization (feature scaling for training
+    * mixes): z = (x − mean)/std with exact-decimal Σx and Σx² so the
+    * doubles are reproducible across engines, sample std
+    * (n−1 denominator) matching the q60 stats convention. Zero-variance
+    * groups yield null z rather than a divide error. One tiny per-group
+    * aggregate broadcast back — the input itself is never shuffled.
+    */
+  def zscoreNormalize(
+      df: DataFrame, groups: Seq[String], value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val v = value.cast("double")
+    val stats = df.groupBy(groups.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(v.cast(dec)).cast("double").as("__s"),
+      sum((v * v).cast(dec)).cast("double").as("__ss"))
+    df.join(broadcast(stats), groups)
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__var",
+        (col("__ss") - col("__s") * col("__s") / col("__n")) / (col("__n") - 1.0))
+      .withColumn("z",
+        when(col("__var") > 0, (v - col("__mean")) / sqrt(col("__var")))
+          .otherwise(lit(null).cast("double")))
+      .drop("__n", "__s", "__ss", "__mean", "__var")
+  }
 }

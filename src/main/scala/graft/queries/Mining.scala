@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Profile, Retrieval, Sampling, TextAnalysis}
+import graft.ext.{Dedup, Joins, Profile, Retrieval, Sampling, TextAnalysis}
 import Q._
 
 /** Round-5 data-selection / corpus-mining surface: BM25 probe-set
@@ -159,6 +159,175 @@ object Mining {
                     ELSE 0.0 END AS boiler_frac
         FROM documents d LEFT JOIN pd USING (doc_id)
         ORDER BY d.doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Bloom-pruned semi-join: the fact table is filtered in the scan
+    // stage by a bloom of the dim keys BEFORE the exact shuffle
+    // semi-join. The bloom only passes false positives and the exact
+    // join removes them, so the result is byte-identical to the plain
+    // semi-join the oracle runs.
+    Q(
+      "q90_bloom_semijoin",
+      (s, dir) => {
+        import s.implicits._
+        Joins.bloomPrunedSemiJoin(
+            t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+            $"l_orderkey",
+            t(s, dir, "orders").filter($"o_totalprice" > 150000.0),
+            $"o_orderkey",
+            expectedItems = 100000L)
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey IN
+              (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+        ORDER BY l_orderkey, l_linenumber
+      """)),
+    // ----------------------------------------------------------------
+    // Passage-level exact-substring dedup: maximal per-doc spans
+    // covered by a 10-token window that occurs verbatim in >= 2 docs.
+    // The oracle recomputes the same window hashes and merges islands
+    // with the same running-max formulation.
+    Q(
+      "q91_passage_spans",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.passageDupSpans(t(s, dir, "documents"), "doc_id", "text",
+            window = 10, stride = 5)
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, ${OracleSql.tokens("text")} AS toks FROM documents),
+        wins AS (
+          SELECT doc_id, CAST(st AS BIGINT) AS s,
+                 ${OracleSql.hash64("array_to_string(list_slice(toks, st + 1, st + 10), ' ')")} AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 10, 5)) AS st
+                FROM base WHERE len(toks) >= 10)),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        m AS (SELECT doc_id, s, s + 10 AS e FROM wins JOIN dup USING (h)),
+        isl AS (
+          SELECT doc_id, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM m),
+        isl2 AS (
+          SELECT doc_id, s, e,
+                 SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM isl)
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM isl2 GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+      """)),
+    // ----------------------------------------------------------------
+    // Frequency-capped soft dedup: at most 2 docs survive per near-dup
+    // cluster; singletons always survive. The oracle closes the pair
+    // graph with a recursive CTE (independent connectivity
+    // formulation) and caps with row_number.
+    Q(
+      "q92_cap_per_cluster",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.capPerCluster(t(s, dir, "documents"), "doc_id", "text",
+            cap = 2, shingleSize = 3, threshold = 0.6)
+          .orderBy($"cluster_id", $"rank")
+      },
+      Some(s"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, ${OracleSql.hashedShingles3("text")} AS shingles
+          FROM documents),
+        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.6),
+        bidir AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lab) AS (
+          SELECT DISTINCT s, s FROM bidir
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN bidir e ON e.s = r.id),
+        comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        lab AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        rk AS (
+          SELECT cluster_id,
+                 CAST(ROW_NUMBER() OVER
+                   (PARTITION BY cluster_id ORDER BY doc_id) AS INTEGER) AS rank,
+                 doc_id
+          FROM lab)
+        SELECT cluster_id, rank, doc_id FROM rk WHERE rank <= 2
+        ORDER BY cluster_id, rank
+      """)),
+    // ----------------------------------------------------------------
+    // Robust outlier detection: |x - median| / (1.4826 * MAD) > 3 per
+    // event type. Exact percentile both sides -> identical medians ->
+    // identical robust z doubles.
+    Q(
+      "q93_robust_outliers",
+      (s, dir) => {
+        import s.implicits._
+        Profile.robustOutliers(
+            t(s, dir, "events").select($"event_id", $"event_type", $"value"),
+            Seq("event_type"), $"value", k = 3.0)
+          .select($"event_id", $"event_type", $"value", $"robust_z")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT event_id, e.event_type, CAST(value AS DOUBLE) AS v, med
+          FROM events e JOIN m USING (event_type)),
+        md AS (
+          SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+          FROM d GROUP BY 1)
+        SELECT event_id, event_type, v AS value,
+               (v - med) / (mad * 1.4826) AS robust_z
+        FROM d JOIN md USING (event_type)
+        WHERE mad > 0 AND abs(v - med) / (mad * 1.4826) > 3.0
+        ORDER BY event_id
+      """)),
+    // ----------------------------------------------------------------
+    // Per-group z-score normalization with exact-decimal moment sums;
+    // sample std (n-1), zero-variance -> null. The broadcast-stats
+    // plan never shuffles the input itself.
+    Q(
+      "q94_zscore_norm",
+      (s, dir) => {
+        import s.implicits._
+        Profile.zscoreNormalize(
+            t(s, dir, "lineitem")
+              .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity"),
+            Seq("l_returnflag"), $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${OracleSql.dsum("l_quantity")} AS s,
+                 ${OracleSql.dsum("l_quantity * l_quantity")} AS ss
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               CASE WHEN (ss - s * s / n) / (n - 1.0) > 0
+                    THEN (l_quantity - s / n) / sqrt((ss - s * s / n) / (n - 1.0))
+                    ELSE NULL END AS z
+        FROM lineitem JOIN st USING (l_returnflag)
+        ORDER BY l_orderkey, l_linenumber
       """))
   )
 }

@@ -91,6 +91,101 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.weightedHashSample(dn, $"id", $"w", 0.5).isEmpty)
   }
 
+  test("bloomPrunedSemiJoin: identical to plain semi-join; bloom filter sits below the join") {
+    import spark.implicits._
+    val fact = (1L to 5000L).map(i => (i % 1000, i)).toDF("k", "payload")
+    val dim = (0L to 999L).filter(_ % 7 == 0).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val out = Joins.bloomPrunedSemiJoin(fact, $"k", dim, $"dk", expectedItems = 1000)
+    val expected = fact.join(dim, $"k" === $"dk", "left_semi")
+    assert(out.select("k", "payload").except(expected.select("k", "payload")).isEmpty)
+    assert(expected.select("k", "payload").except(out.select("k", "payload")).isEmpty)
+    // the bloom probe must run BEFORE the join (scan-stage pruning).
+    // LocalRelation inputs constant-fold the filter at plan time, so
+    // assert on a file-backed fact — the production shape.
+    val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    fact.write.mode("overwrite").parquet(s"$dir/fact")
+    val filePlan = Joins.bloomPrunedSemiJoin(
+        spark.read.parquet(s"$dir/fact"), $"k", dim, $"dk", 1000)
+      .queryExecution.executedPlan.toString
+    val filterAt = filePlan.indexOf("bloom_might_contain")
+    val joinAt = filePlan.indexOf("Join")
+    assert(filterAt >= 0, filePlan.take(2000))
+    assert(joinAt >= 0 && joinAt < filterAt, s"bloom probe above the join:\n$filePlan")
+    // string keys probe the string path
+    val sFact = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val sDim = Seq("a", "c").toDF("dk")
+    assert(Joins.bloomPrunedSemiJoin(sFact, $"k", sDim, $"dk", 10)
+      .select("k").as[String].collect().sorted.toSeq == Seq("a", "c"))
+    // null fact keys never match (parity with semi-join null semantics)
+    val nFact = Seq(Some(1L), None).map(Tuple1(_)).toDF("k")
+    assert(Joins.bloomPrunedSemiJoin(nFact, $"k", Seq(1L).toDF("dk"), $"dk", 10)
+      .count() == 1)
+  }
+
+  test("passageDupSpans: shared passage found, overlapping windows merge, unique doc absent") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val d = docs(
+      1L -> s"alpha beta $shared gamma delta epsilon",
+      2L -> s"zeta eta theta iota $shared kappa",
+      3L -> "entirely unique tokens that never repeat anywhere else at all today friend")
+    val out = Dedup.passageDupSpans(d, "doc_id", "text", window = 10, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 shares nothing
+    assert(!out.exists(_._1 == 3L))
+    // each of docs 1 and 2 has exactly ONE maximal span (overlapping
+    // windows merged), and it covers the shared 12 tokens
+    val spans1 = out.filter(_._1 == 1L)
+    val spans2 = out.filter(_._1 == 2L)
+    assert(spans1.length == 1 && spans2.length == 1, out.mkString(","))
+    // doc1: shared tokens at offsets 2..13; dup windows are starts 2,4
+    // (stride 2, window 10 fully inside the shared run) → span [2, 14)
+    assert(spans1.head._2 == 2L && spans1.head._3 == 14L)
+    // doc2: shared at 4..15 → starts 4,6 → span [4, 16)
+    assert(spans2.head._2 == 4L && spans2.head._3 == 16L)
+  }
+
+  test("capPerCluster: cluster capped, singletons survive, deterministic") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val d = docs(
+      1L -> a, 2L -> a, 3L -> a, // exact cluster of 3
+      9L -> "completely different text about query optimization at tremendous scale today")
+    val out = Dedup.capPerCluster(d, "doc_id", "text", cap = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._1)
+    // cluster 1 keeps exactly docs 1,2 (lowest ids), rank 1,2
+    assert(byCluster(1L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+    // singleton doc 9 survives as its own cluster
+    assert(byCluster(9L).map(_._3).toSeq == Seq(9L))
+    assert(out.length == 3)
+  }
+
+  test("robustOutliers: flags the planted outlier only; MAD-0 group flags nothing") {
+    import spark.implicits._
+    val d = ((1 to 99).map(i => ("a", i.toLong, 100.0 + (i % 11))) :+ (("a", 999L, 100000.0)))
+      .++((1 to 50).map(i => ("b", 1000L + i, 7.0))) // constant group: MAD 0
+      .toDF("g", "id", "v")
+    val out = Profile.robustOutliers(d, Seq("g"), $"v", k = 3.0)
+      .select("id", "robust_z").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(999L), out.mkString(","))
+    assert(out.head._2 > 1000.0)
+  }
+
+  test("zscoreNormalize: hand-computed z; zero-variance group is null") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 5.0), ("c", 5.0))
+      .toDF("g", "v")
+    val out = Profile.zscoreNormalize(d, Seq("g"), $"v")
+      .select("g", "v", "z").collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // group a: mean 2, sample std 1 → z = v - 2
+    assert(out.filter(_._1 == "a").map(t => t._2 -> t._3.get).toMap ==
+      Map(1.0 -> -1.0, 2.0 -> 0.0, 3.0 -> 1.0))
+    // constant group: zero variance → null, not error
+    assert(out.filter(_._1 == "c").forall(_._3.isEmpty))
+  }
+
   test("boilerplateFractions: shared 3-gram counted, unique prose zero, short doc zero") {
     import spark.implicits._
     val chrome = "copyright acme corp all rights reserved"

@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 89 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 89)
-    assert(Catalog.all.map(_.name).distinct.size == 89)
+  test("catalog has 94 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 94)
+    assert(Catalog.all.map(_.name).distinct.size == 94)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet == Set("q23_approx_distinct", "q56_approx_percentile"), noOracle)
   }
