@@ -133,4 +133,29 @@ object Sampling {
       .filter(bucket(key) < col("__keep"))
       .drop("__stratum", "__keep")
   }
+
+  /** Deterministic EXACT-size stratified sample: exactly `n` rows per
+    * stratum (fewer only when the stratum is smaller), chosen by hash
+    * order of the key. Rate-based sampling ([[hashSampleBy]]) gives
+    * E[kept] but a fixed training-mix budget wants exact counts per
+    * source/language — this is "give me 10k docs from every stratum,
+    * reproducibly, on any engine".
+    *
+    * Selection = the `n` smallest `hash64(key) >> 10` values per
+    * stratum (50-bit scores stay exact in the heap's double; ties —
+    * only possible via a 50-bit collision — break by id ascending,
+    * mirrored in the oracle). Runs as the bounded-heap grouped top-k
+    * aggregate: map-side heaps ship ≤ n ids per (stratum, task), so
+    * the full corpus never shuffles — the same scale posture as the
+    * per-source cap (q77).
+    */
+  def exactStratifiedSample(
+      df: DataFrame, key: Column, strata: Column, n: Int): DataFrame = {
+    val keyed = df.select(strata.as("stratum"), key.as("__id"))
+      .withColumn("__score",
+        -shiftrightunsigned(TextHash.hash64(col("__id").cast("string")), 10)
+          .cast("double"))
+    graft.functions.TopK.perKey(keyed, Seq("stratum"), col("__score"), col("__id"), n)
+      .select(col("stratum"), col("rank"), col("id"))
+  }
 }

@@ -105,6 +105,22 @@ object TextAnalysis {
     trim(regexp_replace(noPhone, "\\s+", " "))
   }
 
+  /** Canonical text form for hash-based dedup: lowercase → collapse
+    * whitespace runs to single spaces → trim → Unicode NFC
+    * (precomposed code points). Formatting/encoding variants of the
+    * same prose — trailing spaces, CRLF vs LF, combining vs composed
+    * accents — hash identically after this, so exact/minhash dedup
+    * catches them. Pure scan-stage expression chain; the NFC step is a
+    * compiled [[graft.functions.NfcNormalize]] with an O(n)
+    * already-normalized fast path (all-ASCII text never allocates).
+    * DuckDB replicates with `nfc_normalize` — both implement UAX #15.
+    */
+  def canonicalize(text: Column): Column =
+    // collapse BEFORE trim: trim strips only 0x20, so a trailing tab or
+    // newline must first become a space for trim to remove it
+    graft.functions.TextFunctions.nfcNormalize(
+      trim(regexp_replace(lower(text), "\\s+", " ")))
+
   /** Gopher-style repetition/format quality rules ("Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", Rae et
     * al. 2021, §A1.1) as one scan-stage expression bundle: word count,

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftExprBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import graft.ext.TextHash
 
 /** Native Catalyst expressions for the text-dedup hot paths — same
@@ -411,9 +412,48 @@ object Fingerprint64 {
   }
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition): "é" as
+  * e+combining-acute and "é" as the precomposed code point are the SAME
+  * text to a human and to a search index, but different bytes to every
+  * hash-based dedup operator. Normalizing before fingerprint/minhash
+  * keeps encoding-variant duplicates from escaping dedup. Spark has no
+  * builtin for this; the JDK's `java.text.Normalizer` implements the
+  * same Unicode standard DuckDB's `nfc_normalize` does. Fast path:
+  * `Normalizer.isNormalized` is O(n) with no allocation and almost all
+  * real text (all ASCII) is already NFC.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextFunctions {
   def minhashSig(hashed: Column, k: Int): Column =
     GraftExprBridge.column(MinhashSig(GraftExprBridge.expression(hashed), k))
+
+  def nfcNormalize(text: Column): Column =
+    GraftExprBridge.column(NfcNormalize(GraftExprBridge.expression(text)))
 
   def simhash64(hashes: Column): Column =
     GraftExprBridge.column(Simhash64(GraftExprBridge.expression(hashes)))

@@ -11,7 +11,8 @@ object Catalog {
     Multimodal.all,
     Extra.all,
     Curation.all,
-    Mining.all
+    Mining.all,
+    Scale.all
   )
 
   lazy val all: Seq[Q] = {

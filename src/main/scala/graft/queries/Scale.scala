@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Layout, Sampling, TextAnalysis, TextHash}
+import Q._
+
+/** Round-5 scale-infrastructure surface: Z-order layout keys, exact
+  * stratified sampling, canonical text fingerprints, and mergeable HLL
+  * sketch algebra.
+  */
+object Scale {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** DuckDB replica of Layout.mortonKey(Seq(b0, b1), 8): column j bit i
+    * lands at output bit i·2 + j.
+    */
+  private def morton2Sql(b0: String, b1: String): String =
+    (0 until 8).flatMap { i =>
+      Seq(s"((($b0 >> $i) & 1) << ${2 * i})", s"((($b1 >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** DuckDB replica of Layout.rangeBucket(x, lo, hi, 8). */
+  private def bucketSql(x: String, lo: String, hi: String): String =
+    s"""LEAST(GREATEST(CAST(floor((CAST($x AS DOUBLE) - $lo) / ($hi - $lo) * 256.0)
+       | AS BIGINT), 0), 255)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Z-order (Morton) clustering key: bucketize each layout column to
+    // its [min,max] range, interleave the bits. Writing range-
+    // partitioned + sorted by this key tiles files into near-square
+    // min/max boxes, so predicates on ANY z-column prune files. The
+    // oracle re-derives bucket ids and the interleave bit-for-bit.
+    Q(
+      "q95_zorder_key",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val stats = o.agg(
+          min($"o_custkey").as("__lo0"), max($"o_custkey").as("__hi0"),
+          min($"o_totalprice").as("__lo1"), max($"o_totalprice").as("__hi1"))
+        o.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .crossJoin(broadcast(stats))
+          .select(
+            $"o_orderkey",
+            Layout.rangeBucket($"o_custkey", $"__lo0", $"__hi0", 8).as("b_cust"),
+            Layout.rangeBucket($"o_totalprice", $"__lo1", $"__hi1", 8).as("b_price"))
+          .withColumn("zkey", Layout.mortonKey(Seq(col("b_cust"), col("b_price")), 8))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo0, CAST(MAX(o_custkey) AS DOUBLE) AS hi0,
+                 CAST(MIN(o_totalprice) AS DOUBLE) AS lo1, CAST(MAX(o_totalprice) AS DOUBLE) AS hi1
+          FROM orders),
+        b AS (
+          SELECT o_orderkey,
+                 ${bucketSql("o_custkey", "lo0", "hi0")} AS b_cust,
+                 ${bucketSql("o_totalprice", "lo1", "hi1")} AS b_price
+          FROM orders, st)
+        SELECT o_orderkey, b_cust, b_price,
+               ${morton2Sql("b_cust", "b_price")} AS zkey
+        FROM b ORDER BY o_orderkey
+      """)),
+    // ----------------------------------------------------------------
+    // Exact-size stratified sample: exactly 20 docs per language by
+    // hash order — fixed per-stratum training budgets, reproducible on
+    // any engine. Bounded-heap top-k: the corpus never full-shuffles.
+    Q(
+      "q96_exact_stratified",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.exactStratifiedSample(
+            t(s, dir, "documents").select($"doc_id", $"lang"),
+            $"doc_id", $"lang", n = 20)
+          .select($"stratum".as("lang"), $"rank", $"id".as("doc_id"))
+          .orderBy($"lang", $"rank")
+      },
+      Some(s"""
+        SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} >> 10,
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 20
+        ORDER BY lang, rank
+      """)),
+    // ----------------------------------------------------------------
+    // Canonical-form fingerprint: trim/lower/collapse-whitespace/NFC
+    // then hash — formatting and encoding variants of the same prose
+    // collapse to one fingerprint. DuckDB's nfc_normalize implements
+    // the same UAX #15 normalization as the compiled NfcNormalize.
+    Q(
+      "q97_canonical_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(
+          $"doc_id",
+          length(TextAnalysis.canonicalize($"text")).cast("long").as("canon_len"),
+          TextHash.hash64(TextAnalysis.canonicalize($"text")).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ct
+          FROM documents)
+        SELECT doc_id, CAST(length(ct) AS BIGINT) AS canon_len,
+               ${OracleSql.hash64("ct")} AS fp
+        FROM c ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Mergeable HLL sketch algebra (Datasketches): per-nation customer
+    // sketches union up to region estimates WITHOUT re-scanning —
+    // the incremental-stats primitive at 100 TB (per-partition
+    // sketches persist; any rollup is a cheap union). Approx by
+    // contract: rows-only check, like q23.
+    Q(
+      "q98_hll_union",
+      (s, dir) => {
+        import s.implicits._
+        val perNation = t(s, dir, "customer")
+          .groupBy($"c_nationkey")
+          .agg(hll_sketch_agg($"c_custkey").as("sk"))
+        perNation
+          .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_regionkey")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_customers"))
+          .orderBy($"n_regionkey")
+      },
+      None)
+  )
+}

@@ -24,11 +24,12 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 94 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 94)
-    assert(Catalog.all.map(_.name).distinct.size == 94)
+  test("catalog has 98 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 98)
+    assert(Catalog.all.map(_.name).distinct.size == 98)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.toSet == Set("q23_approx_distinct", "q56_approx_percentile"), noOracle)
+    assert(noOracle.toSet ==
+      Set("q23_approx_distinct", "q56_approx_percentile", "q98_hll_union"), noOracle)
   }
 
   test("every query result can drive the driver contract (non-empty column set, stable names)") {
