@@ -50,4 +50,51 @@ object Ranges {
       .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Large×large interval OVERLAP join: pairs whose [lo, hi] ranges
+    * intersect (`aLo <= bHi && bLo <= aHi`) — temporal entity overlap,
+    * session co-occurrence, genomic-style range intersection. Same
+    * bucket trick as [[pointInInterval]], plus the standard
+    * emit-once rule that replaces a post-join `distinct` (a full
+    * shuffle of the output): a pair meets in every shared bucket, but
+    * is EMITTED only in the bucket that contains the overlap's start
+    * (`floor(max(aLo, bLo)/w)`) — which both sides' bucket lists
+    * always contain. Each qualifying pair therefore appears exactly
+    * once, with no dedup stage.
+    *
+    * Column names must be disjoint between the two inputs (standard
+    * for the ext joins); bounds/width contract as in
+    * [[pointInInterval]].
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(loCol: String, hiCol: String) = {
+      val lo = col(loCol).cast("double")
+      val hi = col(hiCol).cast("double")
+      val bLo = floor(lo / bucketWidth).cast("long")
+      val bHi = floor(hi / bucketWidth).cast("long")
+      when(lo.isNull || hi.isNull || hi < lo, array().cast("array<bigint>"))
+        .when(isnan(lo) || isnan(hi) ||
+            abs(lo) === lit(Double.PositiveInfinity) ||
+            abs(hi) === lit(Double.PositiveInfinity),
+          raise_error(lit("intervalOverlapJoin: non-finite interval bound")))
+        .when(bHi - bLo >= maxBucketsPerInterval,
+          raise_error(concat(lit("intervalOverlapJoin: interval spans more than "),
+            lit(maxBucketsPerInterval), lit(" buckets; raise bucketWidth"))))
+        .otherwise(sequence(bLo, bHi))
+    }
+    val lb = left.withColumn("__b", explode(buckets(lLoCol, lHiCol)))
+    val rb = right.withColumn("__b", explode(buckets(rLoCol, rHiCol)))
+    lb.join(rb, Seq("__b"))
+      .filter(
+        col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+          col("__b") === floor(
+            greatest(col(lLoCol).cast("double"), col(rLoCol).cast("double")) /
+              bucketWidth).cast("long"))
+      .drop("__b")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Layout, Sampling, TextAnalysis, TextHash}
+import graft.ext.{Layout, Ranges, Sampling, TextAnalysis, TextHash}
 import Q._
 
 /** Round-5 scale-infrastructure surface: Z-order layout keys, exact
@@ -134,6 +134,42 @@ object Scale {
           .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_customers"))
           .orderBy($"n_regionkey")
       },
-      None)
+      None),
+    // ----------------------------------------------------------------
+    // Large x large interval OVERLAP join: bucket equi-join with the
+    // emit-once rule (pair surfaces only in the bucket holding the
+    // overlap's start) — no post-join distinct. The oracle is the
+    // plain theta join.
+    Q(
+      "q99_interval_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        def side(m: Int, pid: String, plo: String, phi: String) = e
+          .filter($"event_id" % m === 0 && $"value".isNotNull)
+          .select($"event_id".as(pid), $"value".cast("double").as(plo),
+            ($"value".cast("double") + 10.0).as(phi))
+        Ranges.intervalOverlapJoin(
+            side(50, "l_id", "l_lo", "l_hi"),
+            "l_lo", "l_hi",
+            side(47, "r_id", "r_lo", "r_hi"),
+            "r_lo", "r_hi",
+            bucketWidth = 10.0)
+          .select($"l_id", $"r_id", $"l_lo", $"r_lo")
+          .orderBy($"l_id", $"r_id")
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id AS l_id, CAST(value AS DOUBLE) AS l_lo,
+                 CAST(value AS DOUBLE) + 10.0 AS l_hi
+          FROM events WHERE event_id % 50 = 0 AND value IS NOT NULL),
+        r AS (
+          SELECT event_id AS r_id, CAST(value AS DOUBLE) AS r_lo,
+                 CAST(value AS DOUBLE) + 10.0 AS r_hi
+          FROM events WHERE event_id % 47 = 0 AND value IS NOT NULL)
+        SELECT l_id, r_id, l_lo, r_lo
+        FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        ORDER BY l_id, r_id
+      """))
   )
 }

@@ -143,6 +143,21 @@ object EventStreams {
       .select(col("click_id"), col("view_id"), col("user_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static gate: drop incoming rows whose key appears in a
+    * STATIC reference relation — the streaming shape of benchmark
+    * decontamination (live ingest vs a fixed eval-fingerprint table)
+    * and of block-list filtering. A left-anti stream-static join is
+    * stateless on the stream side (no watermark bookkeeping: the
+    * static side is a plain relation Spark re-plans per micro-batch,
+    * broadcast when small enough), so throughput is scan-speed. The
+    * mirror `keep = true` flips to an allow-list semi-join.
+    */
+  def staticKeyGate(
+      stream: DataFrame, static: DataFrame, keyCol: String,
+      keep: Boolean = false): DataFrame =
+    stream.join(static.select(col(keyCol)).distinct(), Seq(keyCol),
+      if (keep) "left_semi" else "left_anti")
+
   /** Wire a streaming source of the events shape from a directory of
     * parquet (file-source streaming — the prod pattern for landed data).
     */

@@ -227,6 +227,28 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed == naive && naive.nonEmpty, s"bucketed=$bucketed naive=$naive")
   }
 
+  test("intervalOverlapJoin equals naive theta join; emit-once across shared buckets") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 95.0), (2L, 99.9, 100.1), (3L, 300.0, 300.0), (4L, 500.0, 501.0))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 50.0, 350.0), (20L, 100.1, 120.0), (30L, 400.0, 499.9))
+      .toDF("bid", "blo", "bhi")
+    val bucketed = Ranges.intervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi", 100.0)
+      .select($"aid", $"bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.crossJoin(b).filter($"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .select($"aid", $"bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // equal as SETS and as BAGS: interval 1 shares buckets 0 and 1(+)
+    // with interval 10 but must be emitted exactly once
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq && naive.nonEmpty,
+      s"bucketed=${bucketed.toSeq} naive=${naive.toSeq}")
+    // touching endpoints count as overlap (2 meets 20 at exactly 100.1)
+    assert(bucketed.contains((2L, 20L)))
+    // null bounds drop the row, matching the theta join
+    val nullB = Seq((99L, Option(0.0), Option.empty[Double])).toDF("bid", "blo", "bhi")
+    assert(Ranges.intervalOverlapJoin(a, "alo", "ahi", nullB, "blo", "bhi", 100.0)
+      .count() == 0)
+  }
+
   test("hashSplit drops null keys; pointInInterval guards pathological intervals") {
     import spark.implicits._
     val dN = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("id")

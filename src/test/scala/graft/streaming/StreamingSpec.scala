@@ -292,6 +292,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("staticKeyGate: stream rows matching the static block-list never reach the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val blocked = Seq(2L, 4L).toDF("user_id")
+    val input = MemoryStream[EventStreams.Event]
+    val gated = EventStreams.staticKeyGate(input.toDF(), blocked, "user_id")
+    val q = gated.writeStream.format("memory").queryName("gated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:02:00", 2, "click", 1.0),
+        ev(3, "2024-01-01 00:03:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      // second micro-batch re-plans the same static side
+      input.addData(
+        ev(4, "2024-01-01 00:04:00", 4, "click", 1.0),
+        ev(5, "2024-01-01 00:05:00", 5, "click", 1.0))
+      q.processAllAvailable()
+      val seen = spark.sql("SELECT event_id FROM gated").as[Long].collect().sorted
+      assert(seen.toSeq == Seq(1L, 3L, 5L))
+      // allow-list mode keeps exactly the complement
+      val input2 = MemoryStream[EventStreams.Event]
+      val kept = EventStreams.staticKeyGate(input2.toDF(), blocked, "user_id", keep = true)
+      val q2 = kept.writeStream.format("memory").queryName("kept")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input2.addData(
+          ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+          ev(2, "2024-01-01 00:02:00", 2, "click", 1.0),
+          ev(4, "2024-01-01 00:03:00", 4, "click", 1.0))
+        q2.processAllAvailable()
+        assert(spark.sql("SELECT event_id FROM kept").as[Long].collect().sorted.toSeq ==
+          Seq(2L, 4L))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("the same tumblingCounts function runs in batch mode (stream/batch unification)") {
     import spark.implicits._
     val batch = Seq(
