@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ordered-sequence analytics over an event log: funnel completion and
+  * cohort retention. The reference's event surface stops at windowed
+  * counts (`ingest.py` has no sequence operators at all); these close
+  * the "did A then B then C" and "how many came back week N" questions
+  * every event warehouse gets asked.
+  *
+  * Scale posture: both operators shuffle ONLY on the user key, once —
+  * funnel steps are sequential `min`-over-partition windows that all
+  * share the same partitioning (one Exchange, reused by every Window
+  * node), and retention is a per-user window followed by a
+  * (cohort, offset) count. No self-joins, no per-step passes over the
+  * log, state per user is O(steps). A 100 TB event log funnels in one
+  * shuffle wave.
+  */
+object Funnel {
+
+  /** Earliest ordered completion time of each funnel step per user.
+    *
+    * Step `i` counts only at-or-after step `i-1`'s completion time
+    * (the defining funnel constraint — a purchase before the first
+    * view is not a funnel conversion), and, when `maxSpanSeconds` is
+    * set, within that span of step 1. Ties on the timestamp resolve
+    * toward completion (`>=`), matching the common analytics
+    * convention that a same-instant next step converts.
+    *
+    * Output: (user, t1..tk timestamps, steps_completed) — one row per
+    * user that completed at least step 1.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      etype: Column,
+      steps: Seq[String],
+      maxSpanSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: empty step list")
+    val w = Window.partitionBy(col("__u"))
+    val base = events.select(user.as("__u"), ts.as("__ts"), etype.as("__e"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("__e") === step
+        else {
+          val afterPrev = col("__e") === step && col("__ts") >= col(s"t${i}")
+          maxSpanSeconds match {
+            case Some(span) =>
+              afterPrev && col("__ts") <= col("t1") + expr(s"INTERVAL $span SECONDS")
+            case None => afterPrev
+          }
+        }
+      df.withColumn(s"t${i + 1}", min(when(cond, col("__ts"))).over(w))
+    }
+    // step columns are window constants per user — max() just collapses
+    // the per-event rows to one row per user
+    val aggCols = steps.indices.map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    val completed = steps.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    withSteps
+      .groupBy(col("__u").as("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(col("t1").isNotNull)
+      .withColumn("steps_completed", completed)
+  }
+
+  /** Weekly-style cohort retention: users bucketed by their first-ever
+    * activity period, counted once per (cohort, offset) they were
+    * active in.
+    *
+    * Output: (cohort_date, period, n_users) — `cohort_date` is the
+    * first day of the user's first activity period, `period` counts
+    * `unitDays`-day periods since it. (Not named `offset`: that is a
+    * reserved word in several engines, DuckDB included.)
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      unitDays: Int): DataFrame = {
+    require(unitDays > 0, s"retentionCohorts: unitDays must be positive, got $unitDays")
+    val w = Window.partitionBy(col("__u"))
+    events
+      .select(user.as("__u"), to_date(ts).as("__d"))
+      .withColumn("cohort_date", min(col("__d")).over(w))
+      .select(
+        col("__u"),
+        col("cohort_date"),
+        floor(datediff(col("__d"), col("cohort_date")) / unitDays).cast("int").as("period"))
+      .distinct()
+      .groupBy(col("cohort_date"), col("period"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

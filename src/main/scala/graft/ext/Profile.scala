@@ -164,4 +164,30 @@ object Profile {
           .otherwise(lit(null).cast("double")))
       .drop("__n", "__s", "__ss", "__mean", "__var")
   }
+
+  /** Equal-frequency binning: exact percentile edges (same
+    * interpolation contract q83/q93 verified against DuckDB
+    * quantile_cont), then bin = 1 + #edges strictly below the value —
+    * values equal to an edge land in the LOWER bin, a rule both engines
+    * evaluate identically on the identical interpolated doubles.
+    *
+    * The edges come from one exact-percentile aggregate (a single
+    * 1-row result broadcast into the scan stage), so the data itself
+    * never shuffles for the assignment; the per-bin stats are one
+    * `nBins`-cardinality hash aggregate. Null values get bin null.
+    *
+    * Output: per-row `df` plus a `bin` column in [1, nBins].
+    */
+  def quantileBins(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"quantileBins: need at least 2 bins, got $nBins")
+    val v = value.cast("double")
+    val fractions = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val edges = df.agg(percentile(v, fractions).as("__edges"))
+    val binExpr = (1 until nBins)
+      .map(i => when(v > element_at(col("__edges"), i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin", when(v.isNotNull, binExpr).otherwise(lit(null).cast("int")))
+      .drop("__edges")
+  }
 }

@@ -279,4 +279,67 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.TextFunctions.fingerprint64(text, 8)
+
+  /** Token-level blocklist hits per document — the wordlist-filter
+    * primitive (NSFW/spam/PII-keyword gates run exactly this shape).
+    *
+    * Token-exact by design: `isin` over whitespace tokens, not a
+    * substring regex, so "classic" never trips a "ass" entry (the
+    * classic wordlist-filter false positive). The match runs as a
+    * scan-stage explode + literal IN-set filter (codegen'd hash-set
+    * probe — no join, no broadcast table needed at any blocklist size
+    * that fits a literal list), then one keyed aggregate per doc.
+    *
+    * Output: (doc_id, hits, n_terms) for documents with at least one
+    * hit — anti-join the source against it to apply the gate, or join
+    * to annotate.
+    */
+  def blocklistHits(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "blocklistHits: empty blocklist")
+    df.select(id.as("doc_id"), explode(TextHash.tokens(text)).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("hits"),
+        count_distinct(col("__t")).as("n_terms"))
+  }
+
+  /** Frequency-ranked vocabulary with stable integer ids — the
+    * tokenizer-training precursor (a BPE trainer starts from exactly
+    * this table). Rank order is (occurrences desc, token asc): total,
+    * so ids are reproducible on any engine.
+    *
+    * Two cardinality-bounded aggregates — (doc, token) then token — so
+    * the shuffle carries type counts, not token instances, and df
+    * (document frequency) comes free from the first level. The global
+    * rank window runs AFTER the top-`vocabSize` cut, over at most
+    * `vocabSize` rows on one task — never over the full vocabulary.
+    *
+    * Output: (vocab_id 0-based, token, n_occ, n_docs).
+    */
+  def buildVocab(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"buildVocab: vocabSize must be positive, got $vocabSize")
+    val perDoc = df
+      .select(id.as("__id"), explode(TextHash.tokens(text)).as("token"))
+      .groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+    val ranked = perDoc
+      .groupBy(col("token"))
+      .agg(sum(col("__n")).as("n_occ"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(vocabSize)
+    ranked
+      .withColumn("vocab_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("token"))) - 1).cast("long"))
+      .select(col("vocab_id"), col("token"), col("n_occ"), col("n_docs"))
+  }
 }

@@ -84,4 +84,33 @@ object TimeSeries {
         col("is_observed") +:
         attrs.map { case (n, _) => col(n) }): _*)
   }
+
+  /** Per-key gap statistics on the `stepSeconds` grid WITHOUT
+    * materializing the grid: observed cells only, a lag window per key,
+    * gap = distance between consecutive observed cells minus one.
+    *
+    * Output: (key, n_observed, missing_cells, max_gap_cells) — a key
+    * with no gaps reports 0/0. Cost is one keyed shuffle over the
+    * DISTINCT (key, cell) set (at most span/step rows per key), so it
+    * is safe to run as a health check where the full
+    * [[resampleFill]] grid would be too large to materialize.
+    */
+  def gapStats(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val cells = df
+      .select(key.as("__k"), floor(unix_timestamp(ts) / stepSeconds).cast("long").as("__b"))
+      .distinct()
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    cells
+      .select(col("__k"), (col("__b") - lag(col("__b"), 1).over(w) - 1L).as("__gap"))
+      .groupBy(col("__k").as("key"))
+      .agg(
+        count(lit(1)).as("n_observed"),
+        coalesce(sum(col("__gap")), lit(0L)).as("missing_cells"),
+        coalesce(max(col("__gap")), lit(0L)).as("max_gap_cells"))
+  }
 }

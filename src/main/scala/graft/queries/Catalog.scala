@@ -12,7 +12,9 @@ object Catalog {
     Extra.all,
     Curation.all,
     Mining.all,
-    Scale.all
+    Scale.all,
+    Temporal.all,
+    Lexical.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+/** Contract coverage for the round-5 temporal operators: grid
+  * resampling with forward fill, gap statistics, funnel completion,
+  * cohort retention. The DuckDB oracles (q101-q103, q108) cover engine
+  * parity; this spec covers the algorithms' contracts on controlled
+  * inputs.
+  */
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("temporal-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t, e, v), i) => (i.toLong, u, ts(t), e, v) }
+      .toDF("event_id", "user_id", "ts", "etype", "value")
+  }
+
+  test("resampleFill: grid spans first..last cell, gaps carry the last observation") {
+    import spark.implicits._
+    val df = events(
+      (1L, "2024-01-01 00:10:00", "view", 1.0),
+      (1L, "2024-01-01 00:50:00", "view", 2.0), // same hour cell — later wins
+      (1L, "2024-01-01 03:05:00", "click", 9.0)) // cells 1 and 2 are gaps
+    val out = TimeSeries.resampleFill(
+        df, $"user_id", $"ts", $"event_id",
+        Seq("v" -> $"value", "e" -> $"etype"), stepSeconds = 3600L)
+      .orderBy($"bucket_ts")
+      .select($"is_observed", $"v", $"e")
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 4) // hours 00,01,02,03 — inclusive bounds
+    assert(out(0) == ((true, 2.0, "view"))) // in-cell survivor = latest ts
+    assert(out(1) == ((false, 2.0, "view"))) // gap: carried forward
+    assert(out(2) == ((false, 2.0, "view")))
+    assert(out(3) == ((true, 9.0, "click")))
+  }
+
+  test("resampleFill: per-cell survivor ties on ts resolve by the tiebreak column") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, 1L, ts("2024-01-01 00:00:00"), "a", 1.0),
+      (9L, 1L, ts("2024-01-01 00:00:00"), "b", 2.0))
+      .toDF("event_id", "user_id", "ts", "etype", "value")
+    val out = TimeSeries.resampleFill(
+        df, $"user_id", $"ts", $"event_id",
+        Seq("e" -> $"etype"), 3600L)
+      .select($"e").as[String].collect()
+    assert(out.toSeq == Seq("b")) // max (ts, event_id) → event 9
+  }
+
+  test("resampleFill: runaway grid fails fast instead of materializing") {
+    import spark.implicits._
+    val df = events(
+      (1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, "2026-01-01 00:00:00", "view", 2.0))
+    val ex = intercept[Exception] {
+      TimeSeries.resampleFill(df, $"user_id", $"ts", $"event_id",
+        Seq("v" -> $"value"), stepSeconds = 60L, maxCellsPerKey = 1000L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("gapStats: observed counts, total missing, longest gap; dense key reports zeros") {
+    import spark.implicits._
+    val df = events(
+      (1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, "2024-01-01 03:00:00", "view", 1.0), // gap of 2 cells
+      (1L, "2024-01-01 04:00:00", "view", 1.0),
+      (2L, "2024-01-01 00:00:00", "view", 1.0),
+      (2L, "2024-01-01 01:30:00", "view", 1.0)) // adjacent cells — no gap
+    val out = TimeSeries.gapStats(df, $"user_id", $"ts", 3600L)
+      .orderBy($"key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 3L, 2L, 2L)))
+    assert(out(1) == ((2L, 2L, 0L, 0L)))
+  }
+
+  test("funnelSteps: order constraint — a step before its predecessor does not convert") {
+    import spark.implicits._
+    val df = events(
+      // user 1: click BEFORE view, then click after → t2 = the later click
+      (1L, "2024-01-01 00:00:00", "click", 0.0),
+      (1L, "2024-01-01 01:00:00", "view", 0.0),
+      (1L, "2024-01-01 02:00:00", "click", 0.0),
+      // user 2: full funnel in order, same-instant purchase converts (>=)
+      (2L, "2024-01-01 00:00:00", "view", 0.0),
+      (2L, "2024-01-01 00:30:00", "click", 0.0),
+      (2L, "2024-01-01 00:30:00", "purchase", 0.0),
+      // user 3: never views → absent
+      (3L, "2024-01-01 00:00:00", "purchase", 0.0))
+    val out = Funnel.funnelSteps(df, $"user_id", $"ts", $"etype",
+        Seq("view", "click", "purchase"))
+      .orderBy($"user_id")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val u1 = out(0)
+    assert(u1.getTimestamp(1) == ts("2024-01-01 01:00:00"))
+    assert(u1.getTimestamp(2) == ts("2024-01-01 02:00:00"))
+    assert(u1.isNullAt(3) && u1.getInt(4) == 2)
+    val u2 = out(1)
+    assert(u2.getInt(4) == 3)
+    assert(u2.getTimestamp(3) == ts("2024-01-01 00:30:00"))
+  }
+
+  test("funnelSteps: maxSpan excludes conversions beyond the window from step 1") {
+    import spark.implicits._
+    val df = events(
+      (1L, "2024-01-01 00:00:00", "view", 0.0),
+      (1L, "2024-01-01 02:30:00", "click", 0.0)) // 2.5h after view
+    def run(span: Long) =
+      Funnel.funnelSteps(df, $"user_id", $"ts", $"etype",
+        Seq("view", "click"), maxSpanSeconds = Some(span))
+        .collect()(0).getInt(3)
+    assert(run(3600L) == 1) // 1h window: click out of span
+    assert(run(10800L) == 2) // 3h window: click converts
+  }
+
+  test("funnelSteps: all step windows share one user_id exchange (no per-step shuffles)") {
+    import spark.implicits._
+    val df = events((1L, "2024-01-01 00:00:00", "view", 0.0))
+    val plan = Funnel.funnelSteps(df, $"user_id", $"ts", $"etype",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected a single keyed exchange, got $exchanges:\n$plan")
+  }
+
+  test("retentionCohorts: first-activity cohort, one count per active period") {
+    import spark.implicits._
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "view", 0.0), // cohort 2024-01-01
+      (1L, "2024-01-02 10:00:00", "view", 0.0), // same week — dedup
+      (1L, "2024-01-16 10:00:00", "view", 0.0), // week 2
+      (2L, "2024-01-08 10:00:00", "view", 0.0)) // cohort 2024-01-08
+    val out = Funnel.retentionCohorts(df, $"user_id", $"ts", unitDays = 7)
+      .orderBy($"cohort_date", $"period")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L), ("2024-01-08", 0, 1L)))
+  }
+}
