@@ -106,6 +106,46 @@ object EventStreams {
       }
   }
 
+  /** A silence alert: `userId` produced nothing for `silenceMs` of
+    * event time after `lastTs`. */
+  final case class GapAlert(userId: Long, lastTs: Timestamp, deadlineTs: Timestamp)
+
+  /** Silent-key detection — the streaming twin of the batch gap
+    * statistics (q108 `TimeSeries.gapStats`). Emits one [[GapAlert]]
+    * when a key goes `silenceMs` of EVENT TIME without an event; a new
+    * event after the alert re-arms the key, so each silence episode
+    * alerts exactly once. State per key is one (lastTs) long, evicted
+    * at alert time — bounded by the live-key count, not history.
+    *
+    * Timeout semantics worth spelling out: flatMapGroupsWithState's
+    * event-time timeout fires only for groups with NO data in the
+    * triggering batch, so a key whose next event arrives in the same
+    * batch that crosses its deadline is (correctly) not alerted — the
+    * event proves it wasn't silent.
+    */
+  def gapAlerts(events: Dataset[Event], silenceMs: Long, delay: String): Dataset[GapAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(
+              GapAlert(userId, new Timestamp(last), new Timestamp(last + silenceMs)))
+          } else {
+            val latest = rows.map(_.ts.getTime).max
+            val last = math.max(latest, state.getOption.getOrElse(Long.MinValue))
+            state.update(last)
+            state.setTimeoutTimestamp(last + silenceMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch keyed
     * dropDuplicates (q50). Plain `dropDuplicates` on a stream keeps
     * every key ever seen (unbounded state); the WithinWatermark variant

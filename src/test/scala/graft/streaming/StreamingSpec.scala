@@ -342,4 +342,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
       (ts("2024-01-01 00:10:00"), "view", 1L, 3.0)))
   }
+
+  test("gapAlerts: one alert per silence episode; an in-deadline event re-arms silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val alerts = EventStreams.gapAlerts(
+      input.toDS(), silenceMs = 30 * 60 * 1000, delay = "1 minute")
+    val q = alerts.writeStream.format("memory").queryName("gap_alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(2, "2024-01-01 10:00:00", 2, "view", 0.0))
+      q.processAllAvailable()
+      // user 1 speaks again BEFORE its 10:30 deadline — re-arms, no
+      // alert; the batch's watermark (10:59) crosses user 2's deadline
+      input.addData(ev(3, "2024-01-01 11:00:00", 1, "view", 0.0))
+      q.processAllAvailable()
+      // advance the watermark past user 1's re-armed 11:30 deadline
+      input.addData(ev(4, "2024-01-01 13:00:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, lastTs, deadlineTs FROM gap_alerts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set(
+        (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+        (1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"))),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
