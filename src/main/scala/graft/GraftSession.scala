@@ -46,4 +46,11 @@ object GraftSession {
       // testdata events.parquet stores TIMESTAMP(NANOS); read as long
       // (converted back to TimestampType in Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees localCheckpoint blocks only after a DRIVER
+      // GC proves them unreachable; on a large heap the driver may not
+      // GC for the whole run, so iterative operators (k-means, connected
+      // components) would accumulate dead checkpoint blocks and bleed
+      // storage/GC pressure into later queries. Default is 30min —
+      // far longer than a whole bench run.
+      .config("spark.cleaner.periodicGC.interval", "1min")
 }

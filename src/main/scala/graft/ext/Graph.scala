@@ -41,17 +41,34 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    // Eager localCheckpoint blocks are freed by the ContextCleaner only
+    // after a DRIVER GC proves the RDD unreachable — on a big heap that
+    // can be "never", so each superseded round's blocks are unpersisted
+    // EXPLICITLY the moment the next round is materialized. The id diff
+    // around the checkpoint call assumes rounds run single-threaded
+    // (they do: the loop is sequential) — worst case a concurrent
+    // caller's block id lands in the diff and its cache is dropped,
+    // a recompute, never a wrong answer.
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     // undirected: keep both orientations so one join propagates both ways
-    val bidir = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .filter(col("s") =!= col("d"))
-      .distinct()
-      .localCheckpoint() // eager: scanned once, re-read every round
+    val (bidir, bidirIds) = checkpointed(
+      e.union(e.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d"))
+        .distinct()) // eager: scanned once, re-read every round
     // Initial labels fold the first relax in: comp = min(id, neighbors).
     // The plain id-labeled start would spend a whole round reaching this.
-    var lbl = bidir.groupBy(col("s").as("id"))
-      .agg(least(min(col("d")), col("s")).as("comp"))
-      .localCheckpoint()
+    var (lbl, lblIds) = checkpointed(
+      bidir.groupBy(col("s").as("id"))
+        .agg(least(min(col("d")), col("s")).as("comp")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -65,18 +82,21 @@ object Graph {
         .union(offers)
         .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
       // every comp value is itself a node id, so the jump join is total
-      val jumped = relaxed
-        .join(
-          relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
-          Seq("comp"))
-        .select(col("id"), col("__cc").as("comp"), col("__old"))
-        .localCheckpoint() // truncate lineage: consumed by the count AND next round
+      val (jumped, jumpedIds) = checkpointed( // truncate lineage: consumed twice
+        relaxed
+          .join(
+            relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
+            Seq("comp"))
+          .select(col("id"), col("__cc").as("comp"), col("__old")))
       changed = jumped.filter(col("comp") =!= col("__old")).count()
+      free(lblIds) // previous round fully consumed — drop its blocks now
       lbl = jumped.select("id", "comp")
+      lblIds = jumpedIds
       iter += 1
     }
     require(changed == 0,
       s"connectedComponents: no fixpoint after $maxIter rounds (graph diameter > 2^$maxIter?)")
+    free(bidirIds) // the fixpoint labels no longer need the edge relation
     lbl
   }
 }

@@ -175,6 +175,12 @@ object Profile {
     * 1-row result broadcast into the scan stage), so the data itself
     * never shuffles for the assignment; the per-bin stats are one
     * `nBins`-cardinality hash aggregate. Null values get bin null.
+    * The exact edge aggregate holds per-partition value maps — the
+    * honest cost of exact edges (it dominates this operator's
+    * runtime). Where the distinct-value domain is unbounded and edges
+    * may be approximate, substitute `approx_percentile` for
+    * `percentile` — the assignment pass is unchanged (q56 is the
+    * sketch twin of this operator's edge step).
     *
     * Output: per-row `df` plus a `bin` column in [1, nBins].
     */
