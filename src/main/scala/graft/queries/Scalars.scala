@@ -187,6 +187,63 @@ object Scalars {
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT 50
+      """)),
+    // ----------------------------------------------------------------
+    // Conditional/boolean aggregate completion: count_if, bool_and,
+    // bool_or, max_by/min_by. The max_by/min_by ordering key is the
+    // UNIQUE c_custkey — with a non-unique key the pick is tie-broken
+    // by partition order and no oracle could reproduce it.
+    Q(
+      "q110_conditional_aggs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_nationkey")
+          .agg(
+            count_if($"c_acctbal" > 0).as("n_positive"),
+            expr("bool_and(c_acctbal > -1000.0)").as("none_deep_debt"),
+            expr("bool_or(c_acctbal > 9000.0)").as("any_rich"),
+            max_by($"c_name", $"c_custkey").as("newest_name"),
+            min_by($"c_name", $"c_custkey").as("oldest_name"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey,
+               CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_positive,
+               bool_and(c_acctbal > -1000.0) AS none_deep_debt,
+               bool_or(c_acctbal > 9000.0) AS any_rich,
+               arg_max(c_name, c_custkey) AS newest_name,
+               arg_min(c_name, c_custkey) AS oldest_name
+        FROM customer
+        GROUP BY c_nationkey ORDER BY c_nationkey
+      """)),
+    // ----------------------------------------------------------------
+    // regexp_extract_all surface: every >=6-letter token, flattened to
+    // a joined string (array cells don't canonicalize in the harness —
+    // the q59 flatten rule). Pattern stays in the RE2-and-Java-common
+    // subset, same contract as q65/q78.
+    Q(
+      "q111_regexp_extract_all",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            array_join(regexp_extract_all($"text", lit("[a-z]{6,}"), lit(0)), " ")
+              .as("long_words"),
+            size(regexp_extract_all($"text", lit("[a-z]{6,}"), lit(0)))
+              .cast("long").as("n_long"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+               COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ' '), '')
+                 AS long_words,
+               CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+                 AS n_long
+        FROM documents ORDER BY doc_id
       """))
   )
 }

@@ -64,6 +64,40 @@ object Windows {
         FROM blown
         GROUP BY 1, 2
         ORDER BY win_start, event_type
+      """)),
+    // ----------------------------------------------------------------
+    // Rank-family completion: percent_rank / cume_dist / nth_value.
+    // Sort key carries the o_orderkey tiebreak so every rank function
+    // is a total function of the data (no tie nondeterminism), and the
+    // partition-wide nth_value frame is explicit — Spark's default
+    // frame with an ORDER BY is unbounded-preceding..current-row,
+    // which would null the leading rows.
+    Q(
+      "q109_window_rank_family",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+        val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(
+            $"o_custkey", $"o_orderkey",
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            nth_value($"o_orderkey", 2).over(whole).as("second_key"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
       """))
   )
 }
