@@ -2,17 +2,18 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
 
 /** End-to-end corpus curation: the library's training-data operators
   * composed into one runnable pipeline —
   *
-  *   scrub → quality gate (Gopher rules) → exact dedup → near-dup
-  *   clustering (canonical survivors) → optional stratum flattening →
+  *   scrub → quality gate (Gopher rules) → optional blocklist gate →
+  *   optional bigram-LM floor → exact dedup → near-dup clustering
+  *   (canonical survivors) → optional stratum flattening →
   *   train/val/test split → chunk plan → batch packing
   *
   * Every stage is the same operator the catalog oracle-checks
-  * individually (q65, q78, q33, q74, q81, q72, q80, q84); the job is
+  * individually (q65, q78, q104, q107, q33, q74, q81, q72, q80, q84); the job is
   * composition + bookkeeping, deliberately free of its own relational
   * logic. Determinism end to end: all sampling/splitting/packing is
   * content-keyed, so a re-run on any cluster layout produces the
@@ -20,6 +21,9 @@ import graft.ext.{Dedup, Packing, Sampling, TextAnalysis}
   *
   *   --source DIR --dest DIR
   *   [--min-words N]          quality gate floor       (default 20)
+  *   [--blocklist t1,t2,...]  drop docs with any token-exact hit (default: off)
+  *   [--min-lm-ppb X]         drop docs whose mean bigram conditional
+  *                            (q107 score) is below X (default: off)
   *   [--threshold X]          near-dup jaccard         (default 0.6)
   *   [--balance-by COL]      sqrt-resample stratum    (default: off)
   *   [--splits a:f,b:f,...]   hash split               (default train:0.9,val:0.05,test:0.05)
@@ -30,8 +34,8 @@ import graft.ext.{Dedup, Packing, Sampling, TextAnalysis}
 object CurateJob {
 
   final case class Report(
-      input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long,
-      afterBalance: Long, chunks: Long)
+      input: Long, afterQuality: Long, afterGates: Long, afterExact: Long,
+      afterNearDup: Long, afterBalance: Long, chunks: Long)
 
   def run(spark: SparkSession, conf: Map[String, String]): Report = {
     val source = conf("source")
@@ -64,9 +68,34 @@ object CurateJob {
       .localCheckpoint(false)
     val nQuality = quality.count()
 
+    // 1b. optional content gates: token-exact blocklist (anti-join on
+    //     q104's hit relation), then the corpus-statistical bigram-LM
+    //     floor (q107's score — the log-free perplexity-filter shape).
+    //     The LM model is estimated on the post-blocklist corpus, as a
+    //     perplexity filter would be.
+    val blocked = conf.get("blocklist") match {
+      case Some(terms) =>
+        val hits = TextAnalysis.blocklistHits(
+          quality, col("doc_id"), col("text"), terms.split(",").toSeq)
+        quality.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => quality
+    }
+    val gated0 = conf.get("min-lm-ppb") match {
+      case Some(floor) =>
+        val ok = LangModel.bigramCondProbScore(blocked, col("doc_id"), col("text"))
+          .filter(col("mean_p_ppb") >= floor.toDouble)
+        blocked.join(ok.select("doc_id"), Seq("doc_id"))
+      case None => blocked
+    }
+    val gatesOn = conf.contains("blocklist") || conf.contains("min-lm-ppb")
+    // same checkpoint rationale as the quality stage — but only when a
+    // gate actually rewrote the relation
+    val gated = if (gatesOn) gated0.localCheckpoint(false) else gated0
+    val nGates = if (gatesOn) gated.count() else nQuality
+
     // 2. exact dedup (content hash), keep the smallest doc_id per text
-    val canon = Dedup.exact(quality, col("text"), col("doc_id"))
-    val exact = quality.join(canon.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val canon = Dedup.exact(gated, col("text"), col("doc_id"))
+    val exact = gated.join(canon.select(col("keep_id").as("doc_id")), Seq("doc_id"))
       .localCheckpoint(false)
     val nExact = exact.count()
 
@@ -98,7 +127,7 @@ object CurateJob {
     chunks.write.mode("overwrite").format(fmt).save(s"$dest/chunks")
     val nChunks = spark.read.format(fmt).load(s"$dest/chunks").count()
 
-    Report(input, nQuality, nExact, nNearDup, nBalanced, nChunks)
+    Report(input, nQuality, nGates, nExact, nNearDup, nBalanced, nChunks)
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,7 +136,7 @@ object CurateJob {
     try {
       val r = run(spark, conf)
       println(s"""{"job":"curate","input":${r.input},"quality":${r.afterQuality},""" +
-        s""""exact":${r.afterExact},"neardup":${r.afterNearDup},""" +
+        s""""gates":${r.afterGates},"exact":${r.afterExact},"neardup":${r.afterNearDup},""" +
         s""""final":${r.afterBalance},"chunks":${r.chunks}}""")
     } finally spark.stop()
   }

@@ -151,7 +151,8 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = CurateJob.run(spark, conf)
     assert(r.input > 0)
     assert(r.afterQuality <= r.input)
-    assert(r.afterExact <= r.afterQuality)
+    assert(r.afterGates == r.afterQuality, "no gates configured — stage is identity")
+    assert(r.afterExact <= r.afterGates)
     assert(r.afterNearDup <= r.afterExact)
     assert(r.afterBalance <= r.afterNearDup)
     assert(r.chunks >= r.afterBalance, "every surviving doc yields >= 1 chunk")
@@ -174,6 +175,29 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "chunk-window" -> "40", "chunk-overlap" -> "10",
       "shards" -> "4", "batch-size" -> "8"))
     assert(r2 == r)
+  }
+
+  test("CurateJob: blocklist and LM-floor gates drop the right docs") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val base = Map(
+      "source" -> src, "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:1.0", "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "2", "batch-size" -> "8")
+    val off = CurateJob.run(spark, base + ("dest" -> tmp()))
+    // blocklist: every surviving doc is free of the term, and at least
+    // one doc was dropped (the term occurs in the fixture corpus)
+    val dest = tmp()
+    val on = CurateJob.run(spark, base + ("dest" -> dest, "blocklist" -> "slow"))
+    assert(on.afterGates < off.afterGates)
+    val survivors = spark.read.parquet(s"$dest/documents")
+    assert(survivors.filter(array_contains(split(col("text"), " "), "slow")).count() == 0)
+    // LM floor at the maximum possible score (1e9) kills every doc
+    // whose transitions aren't all deterministic — a strictly smaller
+    // corpus than the ungated run on this fixture
+    val lm = CurateJob.run(spark,
+      base + ("dest" -> tmp(), "min-lm-ppb" -> "1000000000"))
+    assert(lm.afterGates < off.afterGates)
   }
 
   test("jsonStr escapes quotes, backslashes and newlines for log lines") {
