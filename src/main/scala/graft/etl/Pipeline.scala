@@ -98,6 +98,32 @@ object Pipeline {
         .write.mode(SaveMode.Overwrite).options(writeOptions(format)).format(format).save(path)
   }
 
+  /** Partition-scoped refresh sink. `refresh` overwrites ONLY the
+    * partitions present in the incoming frame (dynamic partition
+    * overwrite) — the scale-correct replacement for the reference's
+    * whole-table overwrite (`/root/reference/sync.py:112-114`): a daily
+    * re-run rewrites the touched dates, never the accumulated history.
+    * At 100 TB this is the difference between an O(day) and an
+    * O(table) write job.
+    */
+  final case class PartitionedSink(
+      path: String, parts: Seq[String], format: String = "parquet") extends Sink {
+    require(parts.nonEmpty, "PartitionedSink: no partition columns")
+    def append(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Append).partitionBy(parts: _*)
+        .options(writeOptions(format)).format(format).save(path)
+    def truncate(spark: SparkSession, schema: StructType): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+        .options(writeOptions(format)).format(format).save(path)
+    /** Replace exactly the partitions `df` carries; all others intact. */
+    def refresh(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(parts: _*)
+        .options(writeOptions(format)).format(format).save(path)
+  }
+
   /** Generic JDBC sink — the warehouse-parity path (the reference's
     * Snowflake connector modes, ingest.py:782-820, expressed through
     * plain JDBC): append = K2/K4; truncate = the K3 "overwrite with an

@@ -151,6 +151,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wm.lastRuntime("t") == ts)
   }
 
+  test("PartitionedSink.refresh rewrites only the partitions the frame carries") {
+    import spark.implicits._
+    val path = tmp() + "/events_by_day"
+    val sink = Pipeline.PartitionedSink(path, Seq("day"))
+    sink.append(Seq(
+      ("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 3L, "c")).toDF("day", "id", "v"))
+    // refresh day 2 with a corrected frame; day 1 must be untouched
+    sink.refresh(Seq(("2024-01-02", 30L, "c2"), ("2024-01-02", 31L, "c3"))
+      .toDF("day", "id", "v"))
+    val out = spark.read.parquet(path)
+      .select($"day", $"id").as[(String, Long)].collect().toSet
+    assert(out == Set(("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 30L), ("2024-01-02", 31L)))
+    // a full overwrite of the same frame WITHOUT dynamic mode would
+    // have dropped day 1 — pin the distinction
+    Seq(("2024-01-02", 99L, "x")).toDF("day", "id", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("day").parquet(path)
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("validate rejects missing and mistyped columns with all errors listed") {
     val bad = spark.createDataFrame(
       Seq(Row("x", 1)).asJava,

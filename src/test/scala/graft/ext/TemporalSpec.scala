@@ -85,6 +85,32 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == ((2L, 2L, 0L, 0L)))
   }
 
+  test("gapStats agrees with resampleFill's grid on a spread fixture (cross-operator consistency)") {
+    import spark.implicits._
+    // deterministic pseudo-random spread: 5 users, hours scattered by a
+    // multiplicative hash so gap shapes differ per user
+    val rows = for (u <- 1L to 5L; i <- 0L until 40L) yield {
+      val hour = (u * 7919L + i * 104729L) % 300L
+      (u * 1000L + i, u, new Timestamp(1704067200000L + hour * 3600000L), "e", 1.0)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "etype", "value")
+    val grid = TimeSeries.resampleFill(
+      df, $"user_id", $"ts", $"event_id", Seq("v" -> $"value"), 3600L)
+    val fromGrid = grid.groupBy($"key")
+      .agg(sum(when($"is_observed", 1L).otherwise(0L)).as("n_observed"),
+        sum(when(!$"is_observed", 1L).otherwise(0L)).as("missing_cells"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stats = TimeSeries.gapStats(df, $"user_id", $"ts", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.length == 5)
+    stats.foreach { case (k, nObs, missing, maxGap) =>
+      val (gObs, gMiss) = fromGrid(k)
+      assert(nObs == gObs, s"key $k observed")
+      assert(missing == gMiss, s"key $k missing")
+      assert(maxGap <= missing && (missing == 0L || maxGap >= 1L), s"key $k max gap bounds")
+    }
+  }
+
   test("funnelSteps: order constraint — a step before its predecessor does not convert") {
     import spark.implicits._
     val df = events(
