@@ -23,7 +23,10 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *   [--min-words N]          quality gate floor       (default 20)
   *   [--blocklist t1,t2,...]  drop docs with any token-exact hit (default: off)
   *   [--min-lm-ppb X]         drop docs whose mean bigram conditional
-  *                            (q107 score) is below X (default: off)
+  *                            (q107 score) is below X; docs with no
+  *                            bigram (< 2 tokens) have no score and are
+  *                            dropped too — in practice unreachable
+  *                            behind any min-words >= 2 (default: off)
   *   [--threshold X]          near-dup jaccard         (default 0.6)
   *   [--balance-by COL]      sqrt-resample stratum    (default: off)
   *   [--splits a:f,b:f,...]   hash split               (default train:0.9,val:0.05,test:0.05)

@@ -161,6 +161,35 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 1, s"expected a single keyed exchange, got $exchanges:\n$plan")
   }
 
+  test("funnelSteps: invariants hold on seeded random event soups") {
+    import spark.implicits._
+    val types = Array("view", "click", "purchase", "error")
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 400).map { i =>
+        (i.toLong, 1L + rnd.nextInt(20),
+          new Timestamp(1704067200000L + rnd.nextInt(200) * 600000L),
+          types(rnd.nextInt(types.length)), 0.0)
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "etype", "value")
+      val out = Funnel.funnelSteps(df, $"user_id", $"ts", $"etype",
+        Seq("view", "click", "purchase")).collect()
+      out.foreach { r =>
+        val ts123 = (1 to 3).map(i => Option(r.getTimestamp(i)))
+        // completion times are ordered and contiguous: no step without
+        // its predecessor, t_{i} >= t_{i-1}
+        assert(ts123.head.isDefined, s"seed $seed: row without t1")
+        ts123.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(b.isEmpty || a.isDefined, s"seed $seed: gap in step chain")
+            for (x <- a; y <- b) assert(!y.before(x), s"seed $seed: unordered steps")
+          case _ =>
+        }
+        assert(r.getInt(4) == ts123.count(_.isDefined))
+      }
+    }
+  }
+
   test("retentionCohorts: first-activity cohort, one count per active period") {
     import spark.implicits._
     val df = events(
