@@ -27,7 +27,13 @@ object Funnel {
     * view is not a funnel conversion), and, when `maxSpanSeconds` is
     * set, within that span of step 1. Ties on the timestamp resolve
     * toward completion (`>=`), matching the common analytics
-    * convention that a same-instant next step converts.
+    * convention that a same-instant next step converts — EXCEPT when a
+    * step repeats its predecessor's event type (a view → view repeat
+    * funnel), where the comparison is strict (`>`) so one single event
+    * can never complete two steps. (A second same-type event at the
+    * identical timestamp is indistinguishable from the first at this
+    * granularity and does not convert; disambiguate upstream if that
+    * matters.)
     *
     * Output: (user, t1..tk timestamps, steps_completed) — one row per
     * user that completed at least step 1.
@@ -46,7 +52,11 @@ object Funnel {
       val cond =
         if (i == 0) col("__e") === step
         else {
-          val afterPrev = col("__e") === step && col("__ts") >= col(s"t${i}")
+          // strict for a repeated step type: one event, one step
+          val after =
+            if (step == steps(i - 1)) col("__ts") > col(s"t${i}")
+            else col("__ts") >= col(s"t${i}")
+          val afterPrev = col("__e") === step && after
           maxSpanSeconds match {
             case Some(span) =>
               afterPrev && col("__ts") <= col("t1") + expr(s"INTERVAL $span SECONDS")

@@ -46,15 +46,21 @@ object Graph {
     // after a DRIVER GC proves the RDD unreachable — on a big heap that
     // can be "never", so each superseded round's blocks are unpersisted
     // EXPLICITLY the moment the next round is materialized. The id diff
-    // around the checkpoint call assumes rounds run single-threaded
-    // (they do: the loop is sequential) — worst case a concurrent
-    // caller's block id lands in the diff and its cache is dropped,
-    // a recompute, never a wrong answer.
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val pre = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
-    }
+    // around the checkpoint call is serialized through a JVM-wide lock
+    // so concurrent graft operators can't interleave their ids into
+    // each other's diffs. CAVEAT (unfixable at the public-API level —
+    // RDD ids carry no ownership): a NON-graft thread calling
+    // localCheckpoint on the same SparkContext inside the lock window
+    // would have its id mis-captured, and unpersisting a checkpointed
+    // RDD is unrecoverable (the blocks ARE the data once lineage is
+    // truncated). Callers sharing a session with alien checkpointing
+    // threads should serialize externally.
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      Graph.checkpointLock.synchronized {
+        val pre = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
+      }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
@@ -71,32 +77,46 @@ object Graph {
         .agg(least(min(col("d")), col("s")).as("comp")))
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val offers = bidir
-        .join(lbl.withColumnRenamed("id", "s"), "s")
-        .select(col("d").as("id"), col("comp"), lit(null).cast("long").as("__old"))
-      // __old rides the round through (exactly one lbl row per id, so
-      // max-ignoring-nulls recovers it) — convergence is then a filter
-      // on the checkpointed output, not a second join against lbl
-      val relaxed = lbl.select(col("id"), col("comp"), col("comp").as("__old"))
-        .union(offers)
-        .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
-      // every comp value is itself a node id, so the jump join is total
-      val (jumped, jumpedIds) = checkpointed( // truncate lineage: consumed twice
-        relaxed
-          .join(
-            relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
-            Seq("comp"))
-          .select(col("id"), col("__cc").as("comp"), col("__old")))
-      changed = jumped.filter(col("comp") =!= col("__old")).count()
-      free(lblIds) // previous round fully consumed — drop its blocks now
-      lbl = jumped.select("id", "comp")
-      lblIds = jumpedIds
-      iter += 1
+    var converged = false
+    try {
+      while (changed > 0 && iter < maxIter) {
+        val offers = bidir
+          .join(lbl.withColumnRenamed("id", "s"), "s")
+          .select(col("d").as("id"), col("comp"), lit(null).cast("long").as("__old"))
+        // __old rides the round through (exactly one lbl row per id, so
+        // max-ignoring-nulls recovers it) — convergence is then a filter
+        // on the checkpointed output, not a second join against lbl
+        val relaxed = lbl.select(col("id"), col("comp"), col("comp").as("__old"))
+          .union(offers)
+          .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
+        // every comp value is itself a node id, so the jump join is total
+        val (jumped, jumpedIds) = checkpointed( // truncate lineage: consumed twice
+          relaxed
+            .join(
+              relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
+              Seq("comp"))
+            .select(col("id"), col("__cc").as("comp"), col("__old")))
+        changed = jumped.filter(col("comp") =!= col("__old")).count()
+        free(lblIds) // previous round fully consumed — drop its blocks now
+        lbl = jumped.select("id", "comp")
+        lblIds = jumpedIds
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents: no fixpoint after $maxIter rounds (graph diameter > 2^$maxIter?)")
+      converged = true
+      lbl
+    } finally {
+      // explicit-free invariant holds on error paths too: the edge
+      // relation is always done with; the label blocks are kept only
+      // when they back the returned fixpoint
+      free(bidirIds)
+      if (!converged) free(lblIds)
     }
-    require(changed == 0,
-      s"connectedComponents: no fixpoint after $maxIter rounds (graph diameter > 2^$maxIter?)")
-    free(bidirIds) // the fixpoint labels no longer need the edge relation
-    lbl
   }
+
+  /** Serializes the persistent-RDD id diff in [[connectedComponents]]
+    * across graft threads (see the CAVEAT there).
+    */
+  private val checkpointLock = new Object
 }

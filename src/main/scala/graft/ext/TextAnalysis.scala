@@ -283,12 +283,16 @@ object TextAnalysis {
   /** Token-level blocklist hits per document — the wordlist-filter
     * primitive (NSFW/spam/PII-keyword gates run exactly this shape).
     *
-    * Token-exact by design: `isin` over whitespace tokens, not a
-    * substring regex, so "classic" never trips a "ass" entry (the
-    * classic wordlist-filter false positive). The match runs as a
-    * scan-stage explode + literal IN-set filter (codegen'd hash-set
-    * probe — no join, no broadcast table needed at any blocklist size
-    * that fits a literal list), then one keyed aggregate per doc.
+    * Token-exact by design: an IN-set over tokens, not a substring
+    * regex, so "classic" never trips a "ass" entry (the classic
+    * wordlist-filter false positive). Tokens are matched in canonical
+    * form — [[canonicalize]]d text, then leading/trailing
+    * non-letter/digit characters stripped — so "Slow." and "slow"
+    * both hit a "slow" entry while interior characters stay exact.
+    * Blocklist terms are lowercased at plan time to match. The match
+    * runs as a scan-stage explode + codegen'd regexp strip + literal
+    * IN-set filter (no join at any blocklist size that fits a literal
+    * list), then one keyed aggregate per doc.
     *
     * Output: (doc_id, hits, n_terms) for documents with at least one
     * hit — anti-join the source against it to apply the gate, or join
@@ -300,8 +304,12 @@ object TextAnalysis {
       text: Column,
       terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "blocklistHits: empty blocklist")
-    df.select(id.as("doc_id"), explode(TextHash.tokens(text)).as("__t"))
-      .filter(col("__t").isin(terms: _*))
+    val lowered = terms.map(_.toLowerCase)
+    df.select(id.as("doc_id"), explode(TextHash.tokens(canonicalize(text))).as("__raw"))
+      .select(col("doc_id"),
+        regexp_replace(col("__raw"),
+          "^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$", "").as("__t"))
+      .filter(col("__t") =!= "" && col("__t").isin(lowered: _*))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("hits"),

@@ -78,8 +78,10 @@ object CurateJob {
     //     perplexity filter would be.
     val blocked = conf.get("blocklist") match {
       case Some(terms) =>
+        val parsed = terms.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(parsed.nonEmpty, s"--blocklist parsed to no terms: '$terms'")
         val hits = TextAnalysis.blocklistHits(
-          quality, col("doc_id"), col("text"), terms.split(",").toSeq)
+          quality, col("doc_id"), col("text"), parsed)
         quality.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
       case None => quality
     }

@@ -62,8 +62,13 @@ object Lexical {
       },
       Some(s"""
         SELECT doc_id, COUNT(*) AS hits, COUNT(DISTINCT tok) AS n_terms
-        FROM (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents)
-        WHERE tok IN ('slow', 'dup', 'legacy')
+        FROM (
+          SELECT doc_id,
+                 regexp_replace(raw, '^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$$', '', 'g')
+                   AS tok
+          FROM (SELECT doc_id, unnest(${toksSql(OracleSql.canonical("text"))}) AS raw
+                FROM documents))
+        WHERE tok <> '' AND tok IN ('slow', 'dup', 'legacy')
         GROUP BY doc_id ORDER BY doc_id
       """)),
     // ----------------------------------------------------------------

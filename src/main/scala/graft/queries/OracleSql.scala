@@ -21,6 +21,12 @@ object OracleSql {
   def tokens(textCol: String): String =
     s"list_filter(string_split($textCol, ' '), x -> x <> '')"
 
+  /** Replica of TextAnalysis.canonicalize: lower → collapse whitespace
+    * → trim → NFC.
+    */
+  def canonical(textCol: String): String =
+    s"nfc_normalize(trim(regexp_replace(lower($textCol), '\\s+', ' ', 'g')))"
+
   /** Replica of TextHash.wordShingles(text, 3): distinct word 3-grams. */
   def wordShingles3(textCol: String): String =
     s"""CASE WHEN len(${tokens(textCol)}) >= 3 THEN

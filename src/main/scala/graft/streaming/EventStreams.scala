@@ -124,6 +124,9 @@ object EventStreams {
     * event proves it wasn't silent.
     */
   def gapAlerts(events: Dataset[Event], silenceMs: Long, delay: String): Dataset[GapAlert] = {
+    // a non-positive silence would set timeouts at-or-before the
+    // watermark, which Spark rejects MID-BATCH — fail fast instead
+    require(silenceMs > 0, s"gapAlerts: silenceMs must be positive, got $silenceMs")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", delay)

@@ -74,6 +74,18 @@ class LexiconSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((2L, 2L, 1L)))
   }
 
+  test("blocklistHits: case and edge punctuation cannot smuggle a term past the gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the service was very Slow."), // capitalized + trailing period
+      (2L, "(slow) but steady"), // wrapped in parens
+      (3L, "slowness is different")) // interior chars stay exact — no hit
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistHits(docs, $"doc_id", $"text", Seq("SLOW"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("buildVocab: rank by (count desc, token), 0-based contiguous ids, df from distinct docs") {
     import spark.implicits._
     val docs = Seq(

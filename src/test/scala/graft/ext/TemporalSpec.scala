@@ -161,6 +161,21 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 1, s"expected a single keyed exchange, got $exchanges:\n$plan")
   }
 
+  test("funnelSteps: a repeated step type needs a strictly later event — one event, one step") {
+    import spark.implicits._
+    val one = events((1L, "2024-01-01 00:00:00", "view", 0.0))
+    val r1 = Funnel.funnelSteps(one, $"user_id", $"ts", $"etype", Seq("view", "view"))
+      .collect()(0)
+    assert(r1.getInt(3) == 1, "a single view must not complete view->view")
+    val two = events(
+      (1L, "2024-01-01 00:00:00", "view", 0.0),
+      (1L, "2024-01-01 00:05:00", "view", 0.0))
+    val r2 = Funnel.funnelSteps(two, $"user_id", $"ts", $"etype", Seq("view", "view"))
+      .collect()(0)
+    assert(r2.getInt(3) == 2)
+    assert(r2.getTimestamp(2) == ts("2024-01-01 00:05:00"))
+  }
+
   test("funnelSteps: invariants hold on seeded random event soups") {
     import spark.implicits._
     val types = Array("view", "click", "purchase", "error")
