@@ -184,6 +184,55 @@ object Profile {
     *
     * Output: per-row `df` plus a `bin` column in [1, nBins].
     */
+  /** Distribution drift between two snapshots of the same column, as
+    * per-bin frequency deltas over equal-frequency bins derived from
+    * the BASE snapshot — the shape behind PSI monitoring, except the
+    * per-bin statistic is the absolute frequency difference, not
+    * `(p−q)·ln(p/q)`: `ln` differs across libm builds, so a PSI score
+    * could never hash-match an external oracle, while |p−q| ranks
+    * drifted columns the same way (sum/2 = total variation distance).
+    *
+    * Base-derived edges are the point: a drifted current snapshot
+    * shows uneven fractions against bins that were 1/n each at base
+    * time. Bins with no current rows report 0. Cost: one exact-edge
+    * aggregate on base (see [[quantileBins]]) + one nBins-cardinality
+    * count per side; the snapshots themselves never shuffle.
+    *
+    * Output: (bin, n_base, n_cur, frac_base, frac_cur, l1) — one row
+    * per bin in [1, nBins].
+    */
+  def binDrift(base: DataFrame, cur: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"binDrift: need at least 2 bins, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val v = value.cast("double")
+    val fractions = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val edges = base.agg(percentile(v, fractions).as("__edges"))
+    val binExpr = (1 until nBins)
+      .map(i => when(v > element_at(col("__edges"), i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    def counts(df: DataFrame, as: String) = df
+      .crossJoin(broadcast(edges))
+      .filter(v.isNotNull)
+      .select(binExpr.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val bins = base.sparkSession.range(1, nBins + 1L)
+      .select(col("id").cast("int").as("bin"))
+    val whole = Window.partitionBy()
+    bins
+      .join(counts(base, "__nb"), Seq("bin"), "left")
+      .join(counts(cur, "__nc"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__nb"), lit(0L)).as("n_base"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+      // the window spans nBins rows — a driver-free way to divide by
+      // each side's total without a second pass over the snapshots
+      .withColumn("frac_base",
+        col("n_base").cast("double") / sum(col("n_base")).over(whole).cast("double"))
+      .withColumn("frac_cur",
+        col("n_cur").cast("double") / sum(col("n_cur")).over(whole).cast("double"))
+      .withColumn("l1", abs(col("frac_base") - col("frac_cur")))
+  }
+
   def quantileBins(df: DataFrame, value: Column, nBins: Int): DataFrame = {
     require(nBins >= 2, s"quantileBins: need at least 2 bins, got $nBins")
     val v = value.cast("double")

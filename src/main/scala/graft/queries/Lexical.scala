@@ -126,6 +126,53 @@ object Lexical {
         FROM b GROUP BY bin ORDER BY bin
       """)),
     // ----------------------------------------------------------------
+    // Distribution drift monitor: price distribution of late shipments
+    // against equal-frequency bins derived from the pre-1997 base —
+    // the PSI shape with an oracle-matchable |p−q| statistic.
+    Q(
+      "q112_bin_drift",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val pivot = to_timestamp(lit("1997-01-01 00:00:00"))
+        Profile.binDrift(
+            li.filter($"l_shipdate" < pivot),
+            li.filter($"l_shipdate" >= pivot),
+            $"l_extendedprice", nBins = 4)
+          .orderBy($"bin")
+      },
+      Some(s"""
+        WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+                      WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+        cur AS (SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'),
+        e AS (SELECT quantile_cont(p, [0.25, 0.5, 0.75]) AS ed FROM base),
+        nb AS (SELECT bin, COUNT(*) AS n_base FROM (
+                 SELECT CAST(1 + (CASE WHEN p > ed[1] THEN 1 ELSE 0 END)
+                          + (CASE WHEN p > ed[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN p > ed[3] THEN 1 ELSE 0 END) AS INTEGER) AS bin
+                 FROM base, e WHERE p IS NOT NULL) GROUP BY bin),
+        nc AS (SELECT bin, COUNT(*) AS n_cur FROM (
+                 SELECT CAST(1 + (CASE WHEN p > ed[1] THEN 1 ELSE 0 END)
+                          + (CASE WHEN p > ed[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN p > ed[3] THEN 1 ELSE 0 END) AS INTEGER) AS bin
+                 FROM cur, e WHERE p IS NOT NULL) GROUP BY bin),
+        j AS (SELECT b.bin,
+                     CAST(COALESCE(nb.n_base, 0) AS BIGINT) AS n_base,
+                     CAST(COALESCE(nc.n_cur, 0) AS BIGINT) AS n_cur
+              FROM (SELECT unnest(range(1, 5)) AS bin) b
+              LEFT JOIN nb ON b.bin = nb.bin LEFT JOIN nc ON b.bin = nc.bin),
+        f AS (SELECT bin, n_base, n_cur,
+                     CAST(n_base AS DOUBLE) / CAST(SUM(n_base) OVER () AS DOUBLE)
+                       AS frac_base,
+                     CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE)
+                       AS frac_cur
+              FROM j)
+        SELECT bin, n_base, n_cur, frac_base, frac_cur,
+               abs(frac_base - frac_cur) AS l1
+        FROM f ORDER BY bin
+      """)),
+    // ----------------------------------------------------------------
     // Bigram-LM quality score: mean MLE conditional probability of the
     // doc's token transitions, in exact integer parts-per-billion
     // (see LangModel scaladoc for why not double→decimal).

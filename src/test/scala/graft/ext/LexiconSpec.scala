@@ -121,6 +121,24 @@ class LexiconSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bins(4.0) == 2 && bins(5.0) == 3)
   }
 
+  test("binDrift: identical snapshots show zero drift; a shift concentrates mass in the top bin") {
+    import spark.implicits._
+    val base = (1 to 8).map(_.toDouble).map(Tuple1(_)).toDF("v")
+    val same = Profile.binDrift(base, base, $"v", 4)
+      .orderBy($"bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(same.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(same.forall(x => x._2 == 2L && x._3 == 2L && x._4 == 0.0))
+    // base edges of 1..8 are (2.75, 4.5, 6.25); a 100..103 snapshot
+    // lands entirely above them → bin 4 holds all current mass
+    val cur = (100 to 103).map(_.toDouble).map(Tuple1(_)).toDF("v")
+    val drift = Profile.binDrift(base, cur, $"v", 4)
+      .orderBy($"bin")
+      .collect().map(r => (r.getInt(0), r.getDouble(4), r.getDouble(5)))
+    assert(drift.toSeq == Seq(
+      (1, 0.0, 0.25), (2, 0.0, 0.25), (3, 0.0, 0.25), (4, 1.0, 0.75)))
+  }
+
   test("bigramCondProbScore: hand-computed MLE conditionals, exact ppb arithmetic") {
     import spark.implicits._
     val docs = Seq(
