@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * Precondition for determinism: the right side has at most one row per
   * (keys, rightTs) — pre-aggregate if it doesn't (the window tiebreak
   * would otherwise pick an arbitrary equal-ts right row).
+  *
+  * `direction = "forward"` flips the match to the EARLIEST right row
+  * with `rightTs >= leftTs` (next quote after the order, first
+  * telemetry after the fault) — same union-window plan, the running
+  * scan just walks time backwards; equal timestamps still match
+  * (DuckDB `ASOF JOIN ... ON l.ts <= r.ts` semantics).
   */
 object AsOf {
 
@@ -31,7 +37,10 @@ object AsOf {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // each carry value travels inside a struct whose presence marker is
     // non-null even when the VALUE is null: last(_, ignoreNulls) must
@@ -51,8 +60,12 @@ object AsOf {
     val r = leftCols.filterNot(c => keys.contains(c) || c == rightTs).foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l.columns.map(col): _*)
+    // either direction scans right-before-left at equal timestamps, so
+    // an equal-ts right row is visible to its left row (inclusive match)
+    val timeOrder =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carry.foldLeft(l.unionByName(r)) { (df, c) =>
         df.withColumn(c + "_asof",

@@ -376,6 +376,37 @@ object Ext {
         ORDER BY c.event_id
       """)),
     // ----------------------------------------------------------------
+    // Forward as-of: the NEXT view at-or-after each click (follow-up
+    // attribution). Same union-window plan walking time backwards;
+    // DuckDB's native ASOF with <= is the independent oracle.
+    Q(
+      "q113_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val views = ev.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+        graft.ext.AsOf.join(clicks, views, Seq("user_id"), "ts", "ts",
+            Seq("view_value"), direction = "forward")
+          .select($"event_id", $"user_id", tstr($"ts").as("click_ts"),
+            $"view_value_asof".as("next_view_value"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                          event_type, value FROM events),
+        clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        views AS (SELECT user_id, ts, MAX(value) AS view_value FROM e
+                  WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               v.view_value AS next_view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts <= v.ts
+        ORDER BY c.event_id
+      """)),
+    // ----------------------------------------------------------------
     // Column profiler: one scan, one aggregation (multi-distinct via a
     // single Expand) — the per-load data-quality snapshot. Exact
     // distincts here (oracle-checkable); approxDistinct=true is the

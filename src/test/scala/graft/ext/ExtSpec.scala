@@ -200,6 +200,25 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> Some(1.5), 2L -> Some(2.5), 3L -> None))
   }
 
+  test("asofJoin forward picks the earliest at-or-after right row, null when none") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // next view at 12:00
+      (2L, 10L, ts("2024-01-01 12:00:00")), // equal ts → inclusive match
+      (3L, 20L, ts("2024-01-01 12:00:00"))) // only view was earlier → none
+      .toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.5),
+      (10L, ts("2024-01-01 12:00:00"), 2.5),
+      (20L, ts("2024-01-01 11:00:00"), 9.9))
+      .toDF("user_id", "ts", "view_value")
+    val out = AsOf.join(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("view_value"), direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(1L -> Some(2.5), 2L -> Some(2.5), 3L -> None))
+  }
+
   test("asofJoin surfaces the matched row's NULL instead of skipping to an older value") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 112 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 112)
-    assert(Catalog.all.map(_.name).distinct.size == 112)
+  test("catalog has 113 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 113)
+    assert(Catalog.all.map(_.name).distinct.size == 113)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet ==
       Set("q23_approx_distinct", "q56_approx_percentile", "q98_hll_union"), noOracle)
