@@ -136,6 +136,23 @@ object Scale {
       },
       None),
     // ----------------------------------------------------------------
+    // Sketched heavy hitters: approx_top_k over the token stream —
+    // the bounded-memory twin of the exact vocabulary build (q105).
+    // Approx by contract → rows-only, like the other sketches; the
+    // array output is flattened to scalar rows (the q56 lesson: array
+    // cells don't canonicalize in the harness).
+    Q(
+      "q115_approx_topk",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(TextHash.tokens($"text")).as("tok"))
+          .agg(expr("approx_top_k(tok, 10)").as("top"))
+          .select(posexplode($"top").as(Seq("rank", "e")))
+          .select($"rank", $"e.item".as("token"), $"e.count".as("est_count"))
+      },
+      None),
+    // ----------------------------------------------------------------
     // Large x large interval OVERLAP join: bucket equi-join with the
     // emit-once rule (pair surfaces only in the bucket holding the
     // overlap's start) — no post-join distinct. The oracle is the

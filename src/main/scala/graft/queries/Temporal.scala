@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Funnel, TimeSeries}
+import graft.ext.{Funnel, Profile, TimeSeries}
 import Q._
 
 /** Round-5 temporal-analytics surface: grid resampling with forward
@@ -139,6 +139,45 @@ object Temporal {
         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         WHERE t1 IS NOT NULL
         ORDER BY user_id
+      """)),
+    // ----------------------------------------------------------------
+    // Event-rate anomaly detection: hourly counts per type, z-scored
+    // against that type's own hourly distribution (decimal-exact
+    // moments — q94's contract), anomalous hours = |z| > 2. The
+    // spike/outage detector over any event stream.
+    Q(
+      "q114_rate_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("h"), $"event_type", $"n")
+        Profile.zscoreNormalize(hourly, Seq("event_type"), $"n")
+          .filter(abs($"z") > 2.0)
+          .select($"event_type", tstr($"h").as("hour_ts"), $"n", $"z")
+          .orderBy($"event_type", $"hour_ts")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT event_type,
+                 make_timestamp((epoch_ns(ts) // 1000 // 3600000000) * 3600000000) AS hr,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS cnt,
+                 ${OracleSql.dsum("n")} AS s,
+                 ${OracleSql.dsum("n * n")} AS ss
+          FROM h GROUP BY 1),
+        z AS (
+          SELECT h.event_type, h.hr, h.n,
+                 CASE WHEN (ss - s * s / cnt) / (cnt - 1.0) > 0
+                      THEN (h.n - s / cnt) / sqrt((ss - s * s / cnt) / (cnt - 1.0))
+                      ELSE NULL END AS z
+          FROM h JOIN st USING (event_type))
+        SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, n, z
+        FROM z WHERE abs(z) > 2.0
+        ORDER BY event_type, hour_ts
       """)),
     // ----------------------------------------------------------------
     // Weekly cohort retention: users bucketed by first-activity date,

@@ -24,12 +24,12 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 113 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 113)
-    assert(Catalog.all.map(_.name).distinct.size == 113)
+  test("catalog has 115 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 115)
+    assert(Catalog.all.map(_.name).distinct.size == 115)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet ==
-      Set("q23_approx_distinct", "q56_approx_percentile", "q98_hll_union"), noOracle)
+      Set("q23_approx_distinct", "q56_approx_percentile", "q98_hll_union", "q115_approx_topk"), noOracle)
   }
 
   test("every query result can drive the driver contract (non-empty column set, stable names)") {
