@@ -77,4 +77,43 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__ts", "__tb", "__prev")
   }
+
+  /** Snapshot diff: the row-level changelog between two versions of the
+    * same table — what a CDC feed would have carried, recovered from
+    * the states themselves. The audit/backfill primitive: "what did
+    * yesterday's load actually change?"
+    *
+    * One full-outer join on the key (a single keyed shuffle — both
+    * snapshots co-partition); change detection is null-safe
+    * column-wise equality (`<=>`), so a value flipping to/from NULL is
+    * an update, not a no-op. Rows equal in every non-key column are
+    * omitted. Keys must be non-null and unique per snapshot.
+    *
+    * Output: key columns + `change_type` ('insert' | 'delete' |
+    * 'update') + `n_changed` (changed non-key columns; 0 for
+    * insert/delete, where the row has no counterpart).
+    */
+  def snapshotDiff(base: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: no key columns")
+    val valCols = cur.columns.toSeq.filterNot(keys.contains)
+    require(base.columns.toSeq == cur.columns.toSeq,
+      "snapshotDiff: snapshots must share a schema")
+    val b = base.select(
+      keys.map(col) ++ (lit(1).as("__in_b") +: valCols.map(c => col(c).as(s"__b_$c"))): _*)
+    val c = cur.select(
+      keys.map(col) ++ (lit(1).as("__in_c") +: valCols.map(c0 => col(c0).as(s"__c_$c0"))): _*)
+    val changed = valCols
+      .map(v => when(!(col(s"__b_$v") <=> col(s"__c_$v")), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    b.join(c, keys, "full_outer")
+      .withColumn("__n_changed", changed)
+      .withColumn("change_type",
+        when(col("__in_b").isNull, lit("insert"))
+          .when(col("__in_c").isNull, lit("delete"))
+          .when(col("__n_changed") > 0, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type") :+
+        when(col("change_type") === "update", col("__n_changed"))
+          .otherwise(lit(0)).as("n_changed"): _*)
+  }
 }

@@ -419,6 +419,54 @@ object Curation {
         JOIN sz sb ON sb.doc_id = id_b
         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6
         ORDER BY id_new, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // Snapshot diff: recover the row-level changelog between two table
+    // versions (deterministically derived here: ~10% deleted, every
+    // 7th key's price bumped, ~10% re-inserted under new keys). One
+    // full-outer keyed join; null-safe column compare.
+    Q(
+      "q116_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            $"o_totalprice".cast("double").as("o_totalprice"), $"o_orderstatus")
+        val cur = o.filter($"o_orderkey" % 10 =!= 3)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))
+          .unionByName(o.filter($"o_orderkey" % 10 === 5)
+            .withColumn("o_orderkey", $"o_orderkey" + 100000000L))
+        graft.etl.Merge.snapshotDiff(o, cur, Seq("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS p,
+                          o_orderstatus FROM orders),
+        cur AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN p + 1.0 ELSE p END AS p,
+                 o_orderstatus
+          FROM o WHERE o_orderkey % 10 <> 3
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_custkey, p, o_orderstatus
+          FROM o WHERE o_orderkey % 10 = 5),
+        j AS (
+          SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS k,
+                 b.o_orderkey IS NULL AS ins, c.o_orderkey IS NULL AS del,
+                 (CASE WHEN b.o_custkey IS DISTINCT FROM c.o_custkey THEN 1 ELSE 0 END
+                  + CASE WHEN b.p IS DISTINCT FROM c.p THEN 1 ELSE 0 END
+                  + CASE WHEN b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+                    THEN 1 ELSE 0 END) AS nch
+          FROM o b FULL OUTER JOIN cur c ON b.o_orderkey = c.o_orderkey)
+        SELECT k AS o_orderkey,
+               CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                    WHEN nch > 0 THEN 'update' END AS change_type,
+               CASE WHEN NOT ins AND NOT del AND nch > 0
+                    THEN CAST(nch AS INTEGER) ELSE 0 END AS n_changed
+        FROM j WHERE ins OR del OR nch > 0
+        ORDER BY o_orderkey
       """))
   )
 }

@@ -54,6 +54,26 @@ class MergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "x", "01-01", None, 1, true)))
   }
 
+  test("snapshotDiff: inserts/deletes/updates classified; null flips count as changes") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // value update
+      (3L, Some("c"), Some(3.0)), // deleted
+      (4L, None, Some(4.0))) // null -> value update
+      .toDF("k", "s", "v")
+    val cur = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.5)),
+      (4L, Some("d"), None), // both columns change (incl. value -> null)
+      (5L, Some("e"), Some(5.0))) // inserted
+      .toDF("k", "s", "v")
+    val out = graft.etl.Merge.snapshotDiff(base, cur, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(
+      (2L, "update", 1), (3L, "delete", 0), (4L, "update", 2), (5L, "insert", 0)))
+  }
+
   test("scd2: same-timestamp events totally ordered by the tiebreak") {
     import spark.implicits._
     val log = Seq(
