@@ -28,9 +28,10 @@ object Funnel {
     * set, within that span of step 1. Ties on the timestamp resolve
     * toward completion (`>=`), matching the common analytics
     * convention that a same-instant next step converts — EXCEPT when a
-    * step repeats its predecessor's event type (a view → view repeat
-    * funnel), where the comparison is strict (`>`) so one single event
-    * can never complete two steps. (A second same-type event at the
+    * step repeats the event type of ANY earlier step (view → view, or
+    * view → click → view): the repeat must land strictly after the
+    * earlier same-type step's completion time, so one single event can
+    * never complete two steps. (A second same-type event at the
     * identical timestamp is indistinguishable from the first at this
     * granularity and does not convert; disambiguate upstream if that
     * matters.)
@@ -52,11 +53,15 @@ object Funnel {
       val cond =
         if (i == 0) col("__e") === step
         else {
-          // strict for a repeated step type: one event, one step
-          val after =
-            if (step == steps(i - 1)) col("__ts") > col(s"t${i}")
-            else col("__ts") >= col(s"t${i}")
-          val afterPrev = col("__e") === step && after
+          val after = col("__ts") >= col(s"t${i}")
+          // one event, one step: a repeated type must be strictly
+          // after EVERY earlier same-type step's completion time —
+          // checking only the immediate predecessor would let
+          // view → click → view reuse step 1's view at equal ts
+          val pastRepeats = (0 until i)
+            .filter(j => steps(j) == step)
+            .map(j => col("__ts") > col(s"t${j + 1}"))
+          val afterPrev = (Seq(col("__e") === step, after) ++ pastRepeats).reduce(_ && _)
           maxSpanSeconds match {
             case Some(span) =>
               afterPrev && col("__ts") <= col("t1") + expr(s"INTERVAL $span SECONDS")

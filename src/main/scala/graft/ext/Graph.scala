@@ -42,23 +42,25 @@ object Graph {
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    // Eager localCheckpoint blocks are freed by the ContextCleaner only
+    // localCheckpoint blocks are freed by the ContextCleaner only
     // after a DRIVER GC proves the RDD unreachable — on a big heap that
     // can be "never", so each superseded round's blocks are unpersisted
-    // EXPLICITLY the moment the next round is materialized. The id diff
-    // around the checkpoint call is serialized through a JVM-wide lock
-    // so concurrent graft operators can't interleave their ids into
-    // each other's diffs. CAVEAT (unfixable at the public-API level —
-    // RDD ids carry no ownership): a NON-graft thread calling
-    // localCheckpoint on the same SparkContext inside the lock window
-    // would have its id mis-captured, and unpersisting a checkpointed
-    // RDD is unrecoverable (the blocks ARE the data once lineage is
-    // truncated). Callers sharing a session with alien checkpointing
-    // threads should serialize externally.
+    // EXPLICITLY the moment the next round is materialized. The
+    // checkpoint is LAZY (eager = false): persist registration happens
+    // synchronously at the call — that's what the id diff captures,
+    // inside a JVM-wide lock held only for plan construction, never for
+    // a Spark job — while the blocks themselves materialize at the
+    // round's count() action, outside the lock. CAVEAT (unfixable at
+    // the public-API level — RDD ids carry no ownership): a NON-graft
+    // thread calling localCheckpoint on the same SparkContext inside
+    // the (tiny) lock window would have its id mis-captured, and
+    // unpersisting a checkpointed RDD is unrecoverable (the blocks ARE
+    // the data once lineage is truncated). Callers sharing a session
+    // with alien checkpointing threads should serialize externally.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
       Graph.checkpointLock.synchronized {
         val pre = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint()
+        val out = df.localCheckpoint(eager = false)
         (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
       }
     def free(ids: Set[Int]): Unit =
@@ -75,6 +77,11 @@ object Graph {
     var (lbl, lblIds) = checkpointed(
       bidir.groupBy(col("s").as("id"))
         .agg(least(min(col("d")), col("s")).as("comp")))
+    // every label-generation checkpoint id currently persisted — ids
+    // leave this set ONLY via free(), so a mid-round failure (e.g. the
+    // count() aborting after the new round's checkpoint registered)
+    // still frees everything in the finally
+    var liveIds = lblIds
     var iter = 0
     var changed = 1L
     var converged = false
@@ -96,8 +103,10 @@ object Graph {
               relaxed.select(col("id").as("comp"), col("comp").as("__cc")),
               Seq("comp"))
             .select(col("id"), col("__cc").as("comp"), col("__old")))
+        liveIds ++= jumpedIds
         changed = jumped.filter(col("comp") =!= col("__old")).count()
         free(lblIds) // previous round fully consumed — drop its blocks now
+        liveIds --= lblIds
         lbl = jumped.select("id", "comp")
         lblIds = jumpedIds
         iter += 1
@@ -108,10 +117,10 @@ object Graph {
       lbl
     } finally {
       // explicit-free invariant holds on error paths too: the edge
-      // relation is always done with; the label blocks are kept only
-      // when they back the returned fixpoint
+      // relation is always done with; label-generation blocks are kept
+      // only when they back the returned fixpoint
       free(bidirIds)
-      if (!converged) free(lblIds)
+      if (!converged) free(liveIds)
     }
   }
 

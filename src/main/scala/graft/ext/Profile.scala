@@ -165,11 +165,26 @@ object Profile {
       .drop("__n", "__s", "__ss", "__mean", "__var")
   }
 
+  /** Exact equal-frequency percentile edges of `v` as a 1-row aggregate
+    * (`__edges` array column) — the shared edge rule of [[quantileBins]]
+    * and [[binDrift]], defined once so the two can't diverge.
+    */
+  private def percentileEdges(df: DataFrame, v: Column, nBins: Int): DataFrame =
+    df.agg(percentile(v,
+      array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)).as("__edges"))
+
+  /** bin = 1 + #edges strictly below the value — values equal to an
+    * edge land in the LOWER bin, a rule both engines evaluate
+    * identically on the identical interpolated doubles.
+    */
+  private def binOf(v: Column, nBins: Int): Column =
+    (1 until nBins)
+      .map(i => when(v > element_at(col("__edges"), i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+
   /** Equal-frequency binning: exact percentile edges (same
     * interpolation contract q83/q93 verified against DuckDB
-    * quantile_cont), then bin = 1 + #edges strictly below the value —
-    * values equal to an edge land in the LOWER bin, a rule both engines
-    * evaluate identically on the identical interpolated doubles.
+    * quantile_cont), then lower-bin-on-edge assignment ([[binOf]]).
     *
     * The edges come from one exact-percentile aggregate (a single
     * 1-row result broadcast into the scan stage), so the data itself
@@ -184,6 +199,15 @@ object Profile {
     *
     * Output: per-row `df` plus a `bin` column in [1, nBins].
     */
+  def quantileBins(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"quantileBins: need at least 2 bins, got $nBins")
+    val v = value.cast("double")
+    df.crossJoin(broadcast(percentileEdges(df, v, nBins)))
+      .withColumn("bin",
+        when(v.isNotNull, binOf(v, nBins)).otherwise(lit(null).cast("int")))
+      .drop("__edges")
+  }
+
   /** Distribution drift between two snapshots of the same column, as
     * per-bin frequency deltas over equal-frequency bins derived from
     * the BASE snapshot — the shape behind PSI monitoring, except the
@@ -194,8 +218,11 @@ object Profile {
     *
     * Base-derived edges are the point: a drifted current snapshot
     * shows uneven fractions against bins that were 1/n each at base
-    * time. Bins with no current rows report 0. Cost: one exact-edge
-    * aggregate on base (see [[quantileBins]]) + one nBins-cardinality
+    * time. Bins with no current rows report 0. An EMPTY side (or one
+    * with only nulls) yields null fractions and null l1 — the repo's
+    * clamped-denominator convention — rather than 0/0 NaNs that would
+    * flow silently into downstream alerts. Cost: one exact-edge
+    * aggregate on base ([[percentileEdges]]) + one nBins-cardinality
     * count per side; the snapshots themselves never shuffle.
     *
     * Output: (bin, n_base, n_cur, frac_base, frac_cur, l1) — one row
@@ -205,19 +232,20 @@ object Profile {
     require(nBins >= 2, s"binDrift: need at least 2 bins, got $nBins")
     import org.apache.spark.sql.expressions.Window
     val v = value.cast("double")
-    val fractions = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
-    val edges = base.agg(percentile(v, fractions).as("__edges"))
-    val binExpr = (1 until nBins)
-      .map(i => when(v > element_at(col("__edges"), i), 1).otherwise(0))
-      .reduce(_ + _) + 1
+    val edges = percentileEdges(base, v, nBins)
     def counts(df: DataFrame, as: String) = df
       .crossJoin(broadcast(edges))
       .filter(v.isNotNull)
-      .select(binExpr.as("bin"))
+      .select(binOf(v, nBins).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(as))
     val bins = base.sparkSession.range(1, nBins + 1L)
       .select(col("id").cast("int").as("bin"))
     val whole = Window.partitionBy()
+    def frac(n: String): Column = {
+      val total = sum(col(n)).over(whole)
+      when(total > 0, col(n).cast("double") / total.cast("double"))
+        .otherwise(lit(null).cast("double"))
+    }
     bins
       .join(counts(base, "__nb"), Seq("bin"), "left")
       .join(counts(cur, "__nc"), Seq("bin"), "left")
@@ -226,23 +254,8 @@ object Profile {
         coalesce(col("__nc"), lit(0L)).as("n_cur"))
       // the window spans nBins rows — a driver-free way to divide by
       // each side's total without a second pass over the snapshots
-      .withColumn("frac_base",
-        col("n_base").cast("double") / sum(col("n_base")).over(whole).cast("double"))
-      .withColumn("frac_cur",
-        col("n_cur").cast("double") / sum(col("n_cur")).over(whole).cast("double"))
+      .withColumn("frac_base", frac("n_base"))
+      .withColumn("frac_cur", frac("n_cur"))
       .withColumn("l1", abs(col("frac_base") - col("frac_cur")))
-  }
-
-  def quantileBins(df: DataFrame, value: Column, nBins: Int): DataFrame = {
-    require(nBins >= 2, s"quantileBins: need at least 2 bins, got $nBins")
-    val v = value.cast("double")
-    val fractions = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
-    val edges = df.agg(percentile(v, fractions).as("__edges"))
-    val binExpr = (1 until nBins)
-      .map(i => when(v > element_at(col("__edges"), i), 1).otherwise(0))
-      .reduce(_ + _) + 1
-    df.crossJoin(broadcast(edges))
-      .withColumn("bin", when(v.isNotNull, binExpr).otherwise(lit(null).cast("int")))
-      .drop("__edges")
   }
 }

@@ -289,7 +289,10 @@ object TextAnalysis {
     * form — [[canonicalize]]d text, then leading/trailing
     * non-letter/digit characters stripped — so "Slow." and "slow"
     * both hit a "slow" entry while interior characters stay exact.
-    * Blocklist terms are lowercased at plan time to match. The match
+    * Blocklist terms get the IDENTICAL normalization at plan time
+    * (lowercase, NFC, edge strip) — an asymmetry here would make a
+    * term like "slow." or an NFD-typed "café" silently unmatchable,
+    * a gate that reports success while dropping nothing. The match
     * runs as a scan-stage explode + codegen'd regexp strip + literal
     * IN-set filter (no join at any blocklist size that fits a literal
     * list), then one keyed aggregate per doc.
@@ -304,7 +307,13 @@ object TextAnalysis {
       text: Column,
       terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "blocklistHits: empty blocklist")
-    val lowered = terms.map(_.toLowerCase)
+    val lowered = terms.map { t =>
+      java.text.Normalizer
+        .normalize(t.toLowerCase, java.text.Normalizer.Form.NFC)
+        .replaceAll("^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$", "")
+    }.filter(_.nonEmpty).distinct
+    require(lowered.nonEmpty,
+      s"blocklistHits: every term normalized to empty: ${terms.mkString(",")}")
     df.select(id.as("doc_id"), explode(TextHash.tokens(canonicalize(text))).as("__raw"))
       .select(col("doc_id"),
         regexp_replace(col("__raw"),

@@ -86,6 +86,24 @@ class LexiconSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, 1L), (2L, 1L)))
   }
 
+  test("blocklistHits: terms get the same normalization as tokens (punct/NFD terms still match)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the café was slow today")).toDF("doc_id", "text")
+    // term with edge punctuation — must still match the clean token
+    val p = TextAnalysis.blocklistHits(docs, $"doc_id", $"text", Seq("slow."))
+      .collect()
+    assert(p.length == 1 && p(0).getLong(1) == 1L)
+    // term typed in NFD (e + combining acute) — doc text is NFC
+    val nfd = "café"
+    val n = TextAnalysis.blocklistHits(docs, $"doc_id", $"text", Seq(nfd))
+      .collect()
+    assert(n.length == 1 && n(0).getLong(1) == 1L)
+    // a blocklist that normalizes to nothing is a config error, not a no-op
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(docs, $"doc_id", $"text", Seq("...", "!!"))
+    }
+  }
+
   test("buildVocab: rank by (count desc, token), 0-based contiguous ids, df from distinct docs") {
     import spark.implicits._
     val docs = Seq(

@@ -174,6 +174,22 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(r2.getInt(3) == 2)
     assert(r2.getTimestamp(2) == ts("2024-01-01 00:05:00"))
+    // NON-adjacent repeat: view -> click -> view with one view and one
+    // same-instant click must not reuse step 1's view for step 3
+    val vcv = events(
+      (1L, "2024-01-01 00:00:00", "view", 0.0),
+      (1L, "2024-01-01 00:00:00", "click", 0.0))
+    val r3 = Funnel.funnelSteps(vcv, $"user_id", $"ts", $"etype",
+      Seq("view", "click", "view")).collect()(0)
+    assert(r3.getInt(4) == 2, "a single view must not complete steps 1 AND 3")
+    // a genuinely later second view does complete the repeat
+    val vcv2 = events(
+      (1L, "2024-01-01 00:00:00", "view", 0.0),
+      (1L, "2024-01-01 00:00:00", "click", 0.0),
+      (1L, "2024-01-01 00:10:00", "view", 0.0))
+    val r4 = Funnel.funnelSteps(vcv2, $"user_id", $"ts", $"etype",
+      Seq("view", "click", "view")).collect()(0)
+    assert(r4.getInt(4) == 3)
   }
 
   test("funnelSteps: invariants hold on seeded random event soups") {
