@@ -110,4 +110,42 @@ object Funnel {
       .groupBy(col("cohort_date"), col("period"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order state-transition matrix over a keyed event sequence:
+    * for every consecutive (prev → next) event-type pair within a key
+    * (ordered by timestamp, ties broken by `tieBreak` — pass a unique
+    * id or the result depends on physical row order), the pair count
+    * and the conditional probability P(next | prev) in exact
+    * parts-per-billion (`n·10⁹ div n_from` integer floor-division, the
+    * same engine-portable convention as
+    * [[LangModel.bigramCondProbScore]] — a double ratio could land on
+    * a representability boundary and hash-differently across engines).
+    *
+    * The Markov-chain summary of an event log: session-flow analysis,
+    * next-action prediction features, anomalous-transition detection.
+    *
+    * Scale posture: ONE exchange on the key for the lag window, then
+    * two aggregations whose cardinality is bounded by |states|² —
+    * never by the log. The totals side is one row per state, joined
+    * back by broadcast.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      state: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    val pairs = events
+      .select(key.as("__k"), ts.as("__ts"), tieBreak.as("__tb"), state.as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .filter(col("from_state").isNotNull && col("to_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_state")).agg(sum(col("n")).as("__tot"))
+    counts
+      .join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000000L div __tot").as("prob_ppb"))
+  }
 }

@@ -103,6 +103,59 @@ object Profile {
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Per-group distribution-shape moments: n, mean, population
+    * variance, skewness, and excess kurtosis, all derived from raw
+    * power sums (Σx, Σx², Σx³, Σx⁴) collected in ONE pass with exact
+    * DECIMAL(38,10) accumulation — the same reproducibility contract as
+    * [[corrMatrix]]: per-row powers are IEEE doubles (rounded once,
+    * identically on every engine), the sums are order-independent
+    * decimals, and the closing formulas are a FIXED sequence of double
+    * operations, so an external oracle replaying the identical op
+    * order reproduces the result bit-for-bit.
+    *
+    * Central moments from raw sums (μ = S1/n):
+    *   m2 = S2 − μ·S1
+    *   m3 = S3 − 3μ·S2 + 2μ²·S1
+    *   m4 = S4 − 4μ·S3 + 6μ²·S2 − 3μ³·S1
+    * skewness = (m3/n) / ((m2/n)·√(m2/n))   (population g1; v^1.5 is
+    * written v·√v — `pow` is not correctly rounded in IEEE 754, sqrt
+    * and multiply are), kurtosis = (m4/n)/((m2/n)²) − 3 (excess).
+    * Zero-variance groups yield null skewness/kurtosis rather than an
+    * ANSI divide error.
+    *
+    * The shape screen for training-data value columns: heavy tails and
+    * asymmetry are exactly what mean/stddev profiling misses.
+    *
+    * Scale: one partial-aggregable pass, output is one row per group.
+    */
+  def moments(df: DataFrame, groups: Seq[String], value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val x = value.cast("double")
+    val agged = df.groupBy(groups.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x.cast(dec)).cast("double").as("__s1"),
+      sum((x * x).cast(dec)).cast("double").as("__s2"),
+      sum((x * x * x).cast(dec)).cast("double").as("__s3"),
+      sum((x * x * x * x).cast(dec)).cast("double").as("__s4"))
+    val n = col("__n")
+    val mu = col("__s1") / n
+    val m2 = col("__s2") - mu * col("__s1")
+    val m3 = col("__s3") - lit(3.0) * mu * col("__s2") + lit(2.0) * mu * mu * col("__s1")
+    val m4 = col("__s4") - lit(4.0) * mu * col("__s3") + lit(6.0) * mu * mu * col("__s2") -
+      lit(3.0) * mu * mu * mu * col("__s1")
+    val v = m2 / n
+    agged.select(
+      groups.map(col) ++ Seq(
+        n.cast("long").as("n"),
+        mu.as("mean"),
+        v.as("variance"),
+        when(m2 > 0, (m3 / n) / (v * sqrt(v))).otherwise(lit(null).cast("double"))
+          .as("skewness"),
+        when(m2 > 0, (m4 / n) / (v * v) - lit(3.0)).otherwise(lit(null).cast("double"))
+          .as("kurtosis")): _*)
+  }
+
   /** Median/MAD factor: 1/Φ⁻¹(3/4), makes MAD a consistent estimator
     * of σ for normal data. Written as the conventional 4-decimal
     * literal so every engine uses the identical double.

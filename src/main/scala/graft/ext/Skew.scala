@@ -35,6 +35,52 @@ object Skew {
       .agg(count(col("__v")).as("n_distinct"))
       .withColumnRenamed("__k", "key")
 
+  /** Salted shuffle join for a-priori-known key skew: the big side gets
+    * a deterministic salt in [0, salts), the small side is replicated
+    * once per salt value, and the join runs on (keys..., salt) — a hot
+    * key's rows spread over `salts` reducers instead of funneling
+    * through one.
+    *
+    * When to reach for this instead of letting AQE handle it: AQE's
+    * skew split rewrites sort-merge/shuffled-hash joins at RUNTIME by
+    * splitting oversized map-output chunks — which covers most cases,
+    * but (a) it cannot split below its chunk granularity when a single
+    * key's rows arrive pre-concentrated, (b) it does nothing for a
+    * plan that must avoid AQE (streaming, or a pinned physical plan),
+    * and (c) it is reactive — a planned salt bounds the reducer size
+    * BEFORE the first run. The cost is explicit: the small side is
+    * materialized `salts` times, so this is for small-but-not-
+    * broadcastable dimensions (or broadcast-disabled joins), never for
+    * large×large.
+    *
+    * The salt must be DETERMINISTIC per row (same recompute hazard as
+    * [[saltedSum]]): pass row-identifying columns in `saltBy` (a unique
+    * id is ideal) and the salt is `pmod(hash(saltBy...), salts)`.
+    *
+    * Only join types that keep the big side's rows unique are allowed
+    * (`inner`, `left`, `left_semi`, `left_anti`): a right or full join
+    * would see the replicated small side's unmatched copies `salts`
+    * times.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBy: Seq[Column],
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"saltedJoin: salts must be positive, got $salts")
+    require(saltBy.nonEmpty,
+      "saltedJoin: saltBy columns required (row-identifying, for a deterministic salt)")
+    val allowed = Set("inner", "left", "left_outer", "left_semi", "left_anti")
+    require(allowed(joinType.toLowerCase),
+      s"saltedJoin: joinType must be one of $allowed (small side is replicated), got $joinType")
+    val salted = big.withColumn("__salt", pmod(hash(saltBy: _*), lit(salts)))
+    val replicated = small.withColumn(
+      "__salt", explode(array((0 until salts).map(i => lit(i)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Salted two-stage sum: partials on (key, salt), final on key.
     * For a plain sum this matches Spark's own partial aggregation — the
     * pattern exists for aggs whose state doesn't shrink map-side.

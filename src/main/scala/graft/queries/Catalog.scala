@@ -14,7 +14,8 @@ object Catalog {
     Mining.all,
     Scale.all,
     Temporal.all,
-    Lexical.all
+    Lexical.all,
+    Analytics.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics coverage for the round-6 analytics operators: salted join
+  * (result-invisible skew mitigation), transition matrix, moments.
+  */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("analytics-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def big: DataFrame = {
+    import spark.implicits._
+    // 100 rows over 3 hot keys + one key absent from the dim
+    (1L to 100L).map(i => (i, s"k${(i % 3) + 1}", i * 1.0)).toDF("id", "k", "v")
+      .union(Seq((101L, "orphan", 1.0)).toDF("id", "k", "v"))
+  }
+
+  private def dim: DataFrame = {
+    import spark.implicits._
+    Seq(("k1", 10.0), ("k2", 20.0), ("k3", 30.0)).toDF("k", "w")
+  }
+
+  test("saltedJoin: inner join parity with the plain join") {
+    import spark.implicits._
+    val plain = big.join(dim, Seq("k"))
+      .select($"id", $"k", $"v", $"w").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), Seq($"id"), salts = 4)
+      .select($"id", $"k", $"v", $"w").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 100)
+  }
+
+  test("saltedJoin: left join keeps unmatched big rows exactly once") {
+    import spark.implicits._
+    val out = Skew.saltedJoin(big, dim, Seq("k"), Seq($"id"), salts = 4, "left")
+    assert(out.count() == 101)
+    assert(out.filter($"k" === "orphan" && $"w".isNull).count() == 1)
+  }
+
+  test("saltedJoin: left_semi / left_anti parity; replicated types rejected") {
+    import spark.implicits._
+    assert(Skew.saltedJoin(big, dim, Seq("k"), Seq($"id"), 4, "left_semi").count() == 100)
+    assert(Skew.saltedJoin(big, dim, Seq("k"), Seq($"id"), 4, "left_anti").count() == 1)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, dim, Seq("k"), Seq($"id"), 4, "full")
+    }
+  }
+
+  test("saltedJoin: under a shuffle_hash hint the physical join keys carry the salt") {
+    import spark.implicits._
+    val plan = Skew.saltedJoin(big, dim.hint("shuffle_hash"), Seq("k"), Seq($"id"), 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
+    assert(plan.contains("__salt"), s"expected salted keys in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"unexpected broadcast in:\n$plan")
+  }
+
+  test("transitionMatrix: hand-computed pairs, counts, and exact ppb") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (2L, 1L, "B"), (2L, 2L, "B")).toDF("user_id", "seq", "etype")
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("seq")))
+    val got = Funnel.transitionMatrix(ev, col("user_id"), col("ts"), col("etype"), col("seq"))
+      .orderBy("from_state", "to_state")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("A", "B", 1L, 1000000000L),
+      ("B", "A", 1L, 500000000L),
+      ("B", "B", 1L, 500000000L)))
+  }
+
+  test("transitionMatrix: same-timestamp ties resolve by the tie-break column") {
+    import spark.implicits._
+    val ts0 = to_timestamp(lit("2026-01-01 00:00:00"))
+    val ev = Seq((1L, 1L, "X"), (1L, 2L, "Y")).toDF("user_id", "seq", "etype")
+      .withColumn("ts", ts0)
+    val got = Funnel.transitionMatrix(ev, col("user_id"), col("ts"), col("etype"), col("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("X", "Y")))
+  }
+
+  test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
+      ("c", 5.0), ("c", 5.0)).toDF("grp", "x")
+    val rows = Profile.moments(df, Seq("grp"), col("x"))
+      .orderBy("grp").collect()
+    val c = rows(0); val g = rows(1)
+    assert(g.getLong(1) == 3L && g.getDouble(2) == 2.0)
+    assert(math.abs(g.getDouble(3) - 2.0 / 3.0) < 1e-15)      // population variance
+    assert(g.getDouble(4) == 0.0)                             // symmetric → skew 0 exactly
+    assert(math.abs(g.getDouble(5) - (-1.5)) < 1e-12)         // uniform-3 excess kurtosis
+    assert(c.getDouble(2) == 5.0 && c.getDouble(3) == 0.0)
+    assert(c.isNullAt(4) && c.isNullAt(5))                    // zero variance → null shape
+  }
+}
