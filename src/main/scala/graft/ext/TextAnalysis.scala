@@ -359,4 +359,19 @@ object TextAnalysis {
           .orderBy(col("n_occ").desc, col("token"))) - 1).cast("long"))
       .select(col("vocab_id"), col("token"), col("n_occ"), col("n_docs"))
   }
+
+  /** Per-document character-class distribution, one compiled pass per
+    * doc ([[graft.functions.CharClassStats]]): code-point count, ASCII
+    * count, whitespace/digit/alpha/upper counts, distinct-ASCII count,
+    * and the max single-character occurrence — the log-free entropy
+    * proxy (top_ascii_count/n_ascii high ⇒ one character dominates;
+    * n_distinct_ascii low ⇒ tiny alphabet; both mark mash/padding).
+    * Scan-stage only: no explode, no shuffle, no `log`.
+    */
+  def charStats(df: org.apache.spark.sql.DataFrame, id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame =
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        graft.functions.TextFunctions.charClassStats(text).as("__cs"))
+      .select(col("doc_id"), col("__cs.*"))
 }

@@ -448,6 +448,77 @@ object NfcNormalize {
   }
 }
 
+/** string → struct of character-class counts in ONE compiled pass:
+  * total code points, ASCII count, whitespace/digit/alpha/upper counts
+  * (explicit ASCII classes — ' ', TAB, LF, CR; 0-9; A-Za-z; A-Z — so
+  * every engine agrees; Java's `\s` and RE2's `\s` do NOT), distinct
+  * ASCII code points, and the max occurrence count of any single ASCII
+  * code point. The log-free entropy proxy for quality filtering: a
+  * doc whose top character dominates, or whose distinct-character set
+  * is tiny, is keyboard-mash or padding — and none of it needs a
+  * per-character explode (which would shuffle 100 TB of text by
+  * individual characters) or a `log` call (whose libm variance breaks
+  * cross-engine hashing).
+  */
+case class CharClassStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType => L}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", L, nullable = false),
+    StructField("n_ascii", L, nullable = false),
+    StructField("n_ws", L, nullable = false),
+    StructField("n_digit", L, nullable = false),
+    StructField("n_alpha", L, nullable = false),
+    StructField("n_upper", L, nullable = false),
+    StructField("n_distinct_ascii", L, nullable = false),
+    StructField("top_ascii_count", L, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"char_class_stats requires string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    CharClassStats.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharClassStats.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharClassStats =
+    copy(child = newChild)
+  override def prettyName: String = "char_class_stats"
+}
+
+object CharClassStats {
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = text.toString
+    val hist = new Array[Int](128)
+    var nChars = 0L; var nAscii = 0L; var nWs = 0L
+    var nDigit = 0L; var nAlpha = 0L; var nUpper = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (cp < 128) {
+        nAscii += 1
+        hist(cp) += 1
+        if (cp == 32 || cp == 9 || cp == 10 || cp == 13) nWs += 1
+        else if (cp >= 48 && cp <= 57) nDigit += 1
+        else if (cp >= 65 && cp <= 90) { nAlpha += 1; nUpper += 1 }
+        else if (cp >= 97 && cp <= 122) nAlpha += 1
+      }
+      i += Character.charCount(cp)
+    }
+    var distinct = 0L; var top = 0L
+    var c = 0
+    while (c < 128) {
+      if (hist(c) > 0) {
+        distinct += 1
+        if (hist(c) > top) top = hist(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nAscii, nWs, nDigit, nAlpha, nUpper, distinct, top))
+  }
+}
+
 object TextFunctions {
   def minhashSig(hashed: Column, k: Int): Column =
     GraftExprBridge.column(MinhashSig(GraftExprBridge.expression(hashed), k))
@@ -466,4 +537,7 @@ object TextFunctions {
 
   def fingerprint64(text: Column, n: Int): Column =
     GraftExprBridge.column(Fingerprint64(GraftExprBridge.expression(text), n))
+
+  def charClassStats(text: Column): Column =
+    GraftExprBridge.column(CharClassStats(GraftExprBridge.expression(text)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Funnel, Profile, Skew}
+import graft.ext.{Funnel, Profile, Skew, TextAnalysis, TextHash}
 import Q._
 
 /** Round-6 analytics surface: planned skew mitigation (salted join),
@@ -113,6 +113,103 @@ object Analytics {
                CASE WHEN m2 > 0
                     THEN (m4 / n) / ((m2 / n) * (m2 / n)) - 3.0 END AS kurtosis
         FROM m ORDER BY l_returnflag
+      """)),
+    // ----------------------------------------------------------------
+    // Correlated EXISTS / NOT EXISTS: orders with at least one
+    // high-quantity line and no returned line. Catalyst decorrelates
+    // both subqueries into one semi- and one anti-join — the SQL
+    // surface every warehouse migration exercises first.
+    Q(
+      "q120_exists_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q120_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("q120_lineitem")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice FROM q120_orders o
+          WHERE EXISTS (SELECT 1 FROM q120_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+            AND NOT EXISTS (SELECT 1 FROM q120_lineitem l2
+                            WHERE l2.l_orderkey = o.o_orderkey
+                              AND l2.l_returnflag = 'R')
+          ORDER BY o_orderkey
+        """)
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = o.o_orderkey
+                            AND l2.l_returnflag = 'R')
+        ORDER BY o_orderkey
+      """)),
+    // ----------------------------------------------------------------
+    // Character-class distribution per doc: one compiled scan-stage
+    // pass (no explode, no log). The oracle rebuilds the histogram the
+    // expensive way — per-character unnest — which is exactly why the
+    // engine side must not.
+    Q(
+      "q121_char_stats",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.charStats(t(s, dir, "documents"), $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id, unicode(c) AS u
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM d)
+          WHERE unicode(c) >= 0),
+        cls AS (
+          SELECT doc_id, COUNT(*) AS n_chars,
+                 COUNT(*) FILTER (WHERE u < 128) AS n_ascii,
+                 COUNT(*) FILTER (WHERE u IN (32, 9, 10, 13)) AS n_ws,
+                 COUNT(*) FILTER (WHERE u BETWEEN 48 AND 57) AS n_digit,
+                 COUNT(*) FILTER (WHERE u BETWEEN 65 AND 90
+                                     OR u BETWEEN 97 AND 122) AS n_alpha,
+                 COUNT(*) FILTER (WHERE u BETWEEN 65 AND 90) AS n_upper
+          FROM ch GROUP BY doc_id),
+        hist AS (
+          SELECT doc_id, u, COUNT(*) AS cnt
+          FROM ch WHERE u < 128 GROUP BY doc_id, u),
+        h AS (
+          SELECT doc_id, COUNT(*) AS n_distinct_ascii, MAX(cnt) AS top_ascii_count
+          FROM hist GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(cls.n_chars, 0) AS n_chars,
+               COALESCE(cls.n_ascii, 0) AS n_ascii,
+               COALESCE(cls.n_ws, 0) AS n_ws,
+               COALESCE(cls.n_digit, 0) AS n_digit,
+               COALESCE(cls.n_alpha, 0) AS n_alpha,
+               COALESCE(cls.n_upper, 0) AS n_upper,
+               COALESCE(h.n_distinct_ascii, 0) AS n_distinct_ascii,
+               COALESCE(h.top_ascii_count, 0) AS top_ascii_count
+        FROM d LEFT JOIN cls USING (doc_id) LEFT JOIN h USING (doc_id)
+        ORDER BY d.doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // posexplode: tokens with their in-document ordinal (the generator
+    // that carries position — explode alone loses it), first three
+    // tokens per doc.
+    Q(
+      "q122_pos_tokens",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            posexplode(TextHash.tokens(lower($"text"))).as(Seq("pos", "tok")))
+          .filter($"pos" < 3)
+          .orderBy($"doc_id", $"pos")
+      },
+      Some(s"""
+        SELECT doc_id, CAST(ord - 1 AS INTEGER) AS pos, tok
+        FROM (
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+          FROM (SELECT doc_id, ${OracleSql.tokens("lower(text)")} AS toks
+                FROM documents))
+        WHERE ord <= 3
+        ORDER BY doc_id, pos
       """))
   )
 }

@@ -84,6 +84,29 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("X", "Y")))
   }
 
+  test("charStats: hand-computed classes; non-ASCII and supplementary code points") {
+    import spark.implicits._
+    // A a ␠ b b 9 ␠ A é 😀 ␉ — 11 code points, 9 ASCII (é and the
+    // supplementary emoji excluded from every ASCII-scoped stat)
+    val df = Seq((1L, "Aa bb9 Aé😀\t"), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.charStats(df, $"doc_id", $"text").orderBy("doc_id").collect()
+    assert(rows(0).toSeq == Seq(1L, 11L, 9L, 3L, 1L, 5L, 2L, 6L, 2L))
+    assert(rows(1).toSeq == Seq(2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // codegen path agrees with the direct helper
+    val direct = graft.functions.CharClassStats.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("Aa bb9 Aé😀\t"))
+    assert((0 until 8).map(direct.getLong) == Seq(11L, 9L, 3L, 1L, 5L, 2L, 6L, 2L))
+  }
+
+  test("charStats: scan-stage plan — no Generate, no per-character explode") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val plan = TextAnalysis.charStats(df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"unexpected Generate in:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected Exchange in:\n$plan")
+  }
+
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
     import spark.implicits._
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
