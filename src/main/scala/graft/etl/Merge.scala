@@ -40,6 +40,33 @@ object Merge {
       .drop("__prio", "__rn")
   }
 
+  /** Change-log apply with delete tombstones: like [[upsert]], but
+    * each change row carries an op marker — `"U"` replaces/inserts,
+    * `"D"` removes the key. The same single-shuffle union +
+    * per-key-priority formulation (no join): the winning row per key
+    * is the change if one exists, and a winning delete drops the key
+    * entirely. Deleting an absent key is a no-op, as MERGE semantics
+    * require. `changes` must share `base`'s schema plus the op column
+    * and be unique per key ([[graft.ext.Dedup.latestByKey]] upstream
+    * when a batch carries several versions).
+    */
+  def applyChangeLog(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String): DataFrame = {
+    require(changes.columns.contains(opCol), s"applyChangeLog: changes lacks op column $opCol")
+    require(base.columns.sorted.sameElements(changes.columns.filterNot(_ == opCol).sorted),
+      s"applyChangeLog: schemas differ: ${base.columns.mkString(",")} vs " +
+        s"${changes.columns.filterNot(_ == opCol).mkString(",")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio"))
+    changes.withColumn("__op", col(opCol)).drop(opCol).withColumn("__prio", lit(0))
+      .unionByName(base.withColumn("__op", lit("U")).withColumn("__prio", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .drop("__prio", "__rn", "__op")
+  }
+
   /** SCD type-2 history from a change log: collapse consecutive
     * no-op rows (tracked attribute unchanged), then interval-ize —
     * `valid_from` = first ts of the run, `valid_to` = start of the next

@@ -124,6 +124,62 @@ object Graph {
     }
   }
 
+  /** Damped PageRank over an edge list, a FIXED number of iterations,
+    * in EXACT integer arithmetic: ranks are parts-per-million longs,
+    * per-edge contribution is `rank div out_degree` (integer floor
+    * division), and the damped update is
+    * `(10⁶ − dampPpm) div N + (dampPpm · inflow) div 10⁶` — every
+    * operation is integer, so the result is bit-identical on any
+    * engine (a double-valued PageRank never is: the inflow sum is
+    * order-dependent). The price is floor-truncation of ≤1 ppm per
+    * arithmetic step — negligible against the ranking use, decisive
+    * for verifiability.
+    *
+    * Ranked nodes are the nodes WITH out-edges (rank mass reaching a
+    * dangling node leaks — the standard non-redistributing treatment);
+    * for an undirected graph pass both orientations and every node
+    * ranks. Self-loops count like any edge.
+    *
+    * Scale posture: per iteration one join of the edge list with the
+    * O(N)-row rank relation (both hash-partitioned on the source key,
+    * so consecutive iterations reuse the partitioning), one
+    * (dst)-keyed aggregation, one broadcast-size left join back to the
+    * node list. State is one row per node; the edge list is scanned
+    * once per iteration — persist it upstream when iterating many
+    * times. The only driver-side action is the node COUNT (a scalar,
+    * same contract as [[connectedComponents]]'s convergence count).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"pageRank: iters in [1,50], got $iters")
+    require(dampPpm >= 0L && dampPpm <= 1000000L,
+      s"pageRank: dampPpm in [0, 1e6], got $dampPpm")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val n = deg.count()
+    require(n > 0, "pageRank: no edges")
+    var r = deg.select(col("__src").as("node"), lit(1000000L / n).as("rank_ppm"))
+    val baseR = (1000000L - dampPpm) / n
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(r.withColumnRenamed("node", "__src"), "__src")
+        .join(deg, "__src")
+        .select(col("__dst"), expr("rank_ppm div __deg").as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).as("__s"))
+      r = deg.select(col("__src").as("node"))
+        .join(inflow.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseR) + expr(s"${dampPpm}L * coalesce(__s, 0L) div 1000000L"))
+            .as("rank_ppm"))
+    }
+    r
+  }
+
   /** Serializes the persistent-RDD id diff in [[connectedComponents]]
     * across graft threads (see the CAVEAT there).
     */

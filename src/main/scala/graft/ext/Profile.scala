@@ -156,6 +156,27 @@ object Profile {
           .as("kurtosis")): _*)
   }
 
+  /** EXACT join-output cardinality per key, computed WITHOUT running
+    * the join: |A⋈B| on key k is n_A(k)·n_B(k), so two per-key count
+    * aggregates and a (distinct-key)-sized inner join give every key's
+    * output contribution. The pre-flight check before a suspicious
+    * join at 100 TB — a hot key about to produce 10¹² rows shows up
+    * here as one number, at the cost of two count aggregates instead
+    * of the explosion itself. Feed the hot keys this reveals into
+    * [[Skew.saltedJoin]] or an AQE-covered plan.
+    *
+    * Output: (key, left_rows, right_rows, out_rows), one row per key
+    * present on BOTH sides (keys on one side only contribute 0 to an
+    * inner join). Aggregate downstream for totals/max.
+    */
+  def joinCardinality(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame =
+    left.groupBy(leftKey.as("key")).agg(count(lit(1)).as("left_rows"))
+      .join(right.groupBy(rightKey.as("key")).agg(count(lit(1)).as("right_rows")), Seq("key"))
+      .select(col("key"), col("left_rows"), col("right_rows"),
+        (col("left_rows") * col("right_rows")).as("out_rows"))
+
   /** Median/MAD factor: 1/Φ⁻¹(3/4), makes MAD a consistent estimator
     * of σ for normal data. Written as the conventional 4-decimal
     * literal so every engine uses the identical double.

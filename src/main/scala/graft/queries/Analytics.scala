@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Funnel, Profile, Skew, TextAnalysis, TextHash}
+import graft.ext.{Funnel, Graph, Profile, Skew, TextAnalysis, TextHash}
+import graft.etl.Merge
 import Q._
 
 /** Round-6 analytics surface: planned skew mitigation (salted join),
@@ -210,6 +211,102 @@ object Analytics {
                 FROM documents))
         WHERE ord <= 3
         ORDER BY doc_id, pos
+      """)),
+    // ----------------------------------------------------------------
+    // PageRank (3 damped iterations, exact ppm integer arithmetic)
+    // over the undirected customer↔supplier trade graph. The oracle
+    // unrolls the iterations as a CTE chain — every operation is
+    // integer, so the two engines agree bit-for-bit.
+    Q(
+      "q123_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val pair = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select(concat(lit("c"), $"o_custkey".cast("string")).as("a"),
+            concat(lit("s"), $"l_suppkey".cast("string")).as("b"))
+          .distinct()
+        val edges = pair.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(pair.select($"b".as("src"), $"a".as("dst")))
+        Graph.pageRank(edges, "src", "dst", iters = 3).orderBy($"node")
+      },
+      Some {
+        def inflow(i: Int) = s"""
+          i$i AS (
+            SELECT e.dst AS node, CAST(SUM(r.r // deg.d) AS BIGINT) AS s
+            FROM e JOIN r${i - 1} r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+            GROUP BY e.dst),
+          r$i AS (
+            SELECT deg.src AS node,
+                   CAST(150000 // nn.n
+                        + (850000 * COALESCE(i$i.s, 0)) // 1000000 AS BIGINT) AS r
+            FROM deg CROSS JOIN nn LEFT JOIN i$i ON deg.src = i$i.node)"""
+        s"""
+        WITH pair AS (
+          SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                          's' || CAST(l.l_suppkey AS VARCHAR) AS b
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        e AS (SELECT a AS src, b AS dst FROM pair
+              UNION SELECT b AS src, a AS dst FROM pair),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT deg.src AS node, CAST(1000000 // nn.n AS BIGINT) AS r
+               FROM deg CROSS JOIN nn),
+        ${inflow(1)},
+        ${inflow(2)},
+        ${inflow(3)}
+        SELECT node, r AS rank_ppm FROM r3 ORDER BY node
+        """
+      }),
+    // ----------------------------------------------------------------
+    // Exact join-output cardinality WITHOUT running the join: the
+    // pre-flight skew check. Self-join of events on user_id — every
+    // key's contribution is n², summarized to one row.
+    Q(
+      "q124_join_cardinality",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        Profile.joinCardinality(ev, $"user_id", ev, $"user_id")
+          .agg(sum($"out_rows").as("total_rows"),
+            max($"out_rows").as("max_key_rows"),
+            count(lit(1)).as("n_keys"))
+      },
+      Some("""
+        WITH a AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+        SELECT CAST(SUM(n * n) AS BIGINT) AS total_rows,
+               CAST(MAX(n * n) AS BIGINT) AS max_key_rows,
+               COUNT(*) AS n_keys
+        FROM a
+      """)),
+    // ----------------------------------------------------------------
+    // Change-log apply with delete tombstones: orders keys ≡0 (mod 10)
+    // deleted, ≡1/2 updated (+1 price), rest pass through — MERGE
+    // WHEN MATCHED THEN DELETE semantics as one keyed shuffle, no join.
+    Q(
+      "q125_apply_changelog",
+      (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+        val changes = orders.filter($"o_orderkey" % 10 < 3)
+          .withColumn("o_totalprice", $"o_totalprice" + lit(1.0))
+          .withColumn("op", when($"o_orderkey" % 10 === 0, "D").otherwise("U"))
+        Merge.applyChangeLog(orders, changes, Seq("o_orderkey"), "op")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT o_orderkey, o_totalprice + 1.0 AS newp,
+                 CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM orders WHERE o_orderkey % 10 < 3)
+        SELECT o.o_orderkey,
+               COALESCE(ch.newp, o.o_totalprice) AS o_totalprice,
+               o.o_orderstatus
+        FROM orders o LEFT JOIN ch USING (o_orderkey)
+        WHERE ch.op IS NULL OR ch.op = 'U'
+        ORDER BY o_orderkey
       """))
   )
 }

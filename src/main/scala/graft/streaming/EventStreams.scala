@@ -242,7 +242,8 @@ object EventStreams {
       orderCol: String,
       tiebreak: String,
       tableDir: String,
-      checkpointDir: String) = {
+      checkpointDir: String,
+      opCol: Option[String] = None) = {
     val spark = changes.sparkSession
     changes.writeStream
       .outputMode(OutputMode.Append())
@@ -254,12 +255,20 @@ object EventStreams {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
           val table = new org.apache.hadoop.fs.Path(tableDir)
+          // with opCol set, rows marked "D" are delete tombstones
+          // (Merge.applyChangeLog); the in-batch latest-by-key collapse
+          // runs FIRST, so an update then delete of one key in a single
+          // batch correctly deletes
+          val dataCols = delta.columns.filterNot(opCol.contains).map(col).toSeq
           val merged =
-            if (fs.exists(table))
-              graft.etl.Merge.upsert(
-                spark.read.parquet(tableDir).select(delta.columns.map(col): _*),
-                delta, Seq(key))
-            else delta
+            if (fs.exists(table)) {
+              val base = spark.read.parquet(tableDir).select(dataCols: _*)
+              opCol match {
+                case Some(op) => graft.etl.Merge.applyChangeLog(base, delta, Seq(key), op)
+                case None => graft.etl.Merge.upsert(base, delta, Seq(key))
+              }
+            } else
+              opCol.map(op => delta.filter(col(op) =!= "D").drop(op)).getOrElse(delta)
           // materialize fully to staging BEFORE touching the live dir —
           // the merge reads the live dir lazily
           val tmp = new org.apache.hadoop.fs.Path(tableDir + ".staging")

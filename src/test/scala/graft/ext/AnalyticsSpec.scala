@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import graft.etl.Merge
 
 /** Semantics coverage for the round-6 analytics operators: salted join
   * (result-invisible skew mitigation), transition matrix, moments.
@@ -105,6 +106,50 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"unexpected Generate in:\n$plan")
     assert(!plan.contains("Exchange"), s"unexpected Exchange in:\n$plan")
+  }
+
+  test("pageRank: hand-computed one-iteration ranks on a path graph") {
+    import spark.implicits._
+    // undirected a—b—c, both orientations; deg a=1 b=2 c=1, N=3,
+    // init 333333, base 50000
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 1)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    // inflow a = 333333 div 2 = 166666 → 50000 + 850000·166666 div 10⁶ = 191666
+    // inflow b = 333333 + 333333 → 50000 + 566666 = 616666
+    assert(r == Map("a" -> 191666L, "b" -> 616666L, "c" -> 191666L))
+  }
+
+  test("pageRank: only nodes with out-edges are ranked (dangling leak documented)") {
+    import spark.implicits._
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 2)
+      .collect().map(x => x.getString(0)).toSeq
+    assert(r == Seq("a"))
+  }
+
+  test("joinCardinality: per-key n·m without running the join") {
+    import spark.implicits._
+    val l = Seq("x", "x", "y").toDF("k")
+    val r = Seq("x", "y", "y", "z").toDF("k")
+    val got = Profile.joinCardinality(l, col("k"), r, col("k"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(got.toSet == Set(("x", 2L, 1L, 2L), ("y", 1L, 2L, 2L)))
+    assert(got.map(_._4).sum == l.join(r, Seq("k")).count())
+  }
+
+  test("applyChangeLog: updates replace, deletes remove, absent-key delete is a no-op") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "B", "U"),   // update
+      (3L, "c", "D"),   // delete
+      (5L, "e", "U"),   // insert
+      (6L, "x", "D")    // delete of an absent key: no-op
+    ).toDF("id", "v", "op")
+    val got = Merge.applyChangeLog(base, changes, Seq("id"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")))
   }
 
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {

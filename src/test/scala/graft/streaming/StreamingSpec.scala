@@ -292,6 +292,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("cdcApply: delete tombstones remove keys; in-batch upsert-then-delete deletes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_del").toString
+    val input = MemoryStream[EventStreams.Event]
+    // event_type "gone" marks the tombstone op
+    import org.apache.spark.sql.functions.{col, when}
+    val withOp = input.toDF()
+      .withColumn("op", when(col("event_type") === "gone", "D").otherwise("U"))
+    val q = EventStreams.cdcApply(withOp, "user_id", "ts", "event_id",
+      s"$dir/table", s"$dir/ckpt", opCol = Some("op")).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "signup", 1.0),
+        ev(2, "2024-01-01 00:01:00", 2, "signup", 1.0))
+      q.processAllAvailable()
+      // update user 1, tombstone user 2, and user 3 appears and is
+      // tombstoned within ONE batch (latest-by-key first, so it deletes)
+      input.addData(
+        ev(3, "2024-01-01 01:00:00", 1, "upgrade", 2.0),
+        ev(4, "2024-01-01 01:01:00", 2, "gone", 0.0),
+        ev(5, "2024-01-01 01:02:00", 3, "signup", 1.0),
+        ev(6, "2024-01-01 01:03:00", 3, "gone", 0.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/table")
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "upgrade", 2.0)))
+      // the op column never lands in the table
+      assert(!spark.read.parquet(s"$dir/table").columns.contains("op"))
+    } finally q.stop()
+  }
+
   test("staticKeyGate: stream rows matching the static block-list never reach the sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
