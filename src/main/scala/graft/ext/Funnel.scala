@@ -148,4 +148,38 @@ object Funnel {
       .select(col("from_state"), col("to_state"), col("n"),
         expr("n * 1000000000L div __tot").as("prob_ppb"))
   }
+
+  /** Frequent event paths: sliding length-`n` windows of each key's
+    * event-type sequence (ordered by ts, ties by `tieBreak`), counted
+    * corpus-wide — "view > click > purchase happened 1 932 times". The
+    * sequence-mining complement of [[transitionMatrix]] (n = 2
+    * recovers its pair counts). Rows with a null state are excluded —
+    * a null is an unknown step, and a path through an unknown is not a
+    * path.
+    *
+    * Scale posture: ONE key Exchange shared by all n−1 lead windows
+    * (same partitioning, same ordering ⇒ one Sort), then a hash
+    * aggregate whose cardinality is bounded by |states|ⁿ, never by the
+    * log.
+    */
+  def pathNgrams(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      state: Column,
+      tieBreak: Column,
+      n: Int): DataFrame = {
+    require(n >= 2 && n <= 5, s"pathNgrams: n in [2,5], got $n")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    val base = events
+      .filter(state.isNotNull)
+      .select(key.as("__k"), ts.as("__ts"), tieBreak.as("__tb"), state.as("__s0"))
+    val withLeads = (1 until n).foldLeft(base)(
+      (acc, i) => acc.withColumn(s"__s$i", lead(col("__s0"), i).over(w)))
+    withLeads
+      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" > ", (0 until n).map(i => col(s"__s$i")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -239,6 +239,35 @@ object Profile {
       .drop("__n", "__s", "__ss", "__mean", "__var")
   }
 
+  /** Percentile winsorization: clamp each value into [p_lo, p_hi] of
+    * its GROUP — the standard outlier treatment when rows must survive
+    * (clipping, not dropping; [[robustOutliers]] is the flag-and-drop
+    * twin). Exact `percentile` with the q83-verified DuckDB
+    * quantile_cont interpolation parity; on an unbounded-domain 100 TB
+    * column swap `approx_percentile` in and the contract becomes
+    * rows-only. Null values stay null (Spark's greatest/least SKIP
+    * nulls, so the guard is explicit).
+    *
+    * Plan: one per-group exact-percentile aggregate (|groups| rows,
+    * broadcast back) + a scan-stage clamp — the data itself shuffles
+    * only for the aggregate.
+    */
+  def winsorize(
+      df: DataFrame, groups: Seq[String], value: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"winsorize: need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val v = value.cast("double")
+    val qs = df.groupBy(groups.map(col): _*).agg(
+      percentile(v, lit(lo)).as("__plo"),
+      percentile(v, lit(hi)).as("__phi"))
+    df.join(broadcast(qs), groups)
+      .withColumn("winsorized",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__plo")), col("__phi"))))
+      .drop("__plo", "__phi")
+  }
+
   /** Exact equal-frequency percentile edges of `v` as a 1-row aggregate
     * (`__edges` array column) — the shared edge rule of [[quantileBins]]
     * and [[binDrift]], defined once so the two can't diverge.

@@ -307,6 +307,57 @@ object Analytics {
         FROM orders o LEFT JOIN ch USING (o_orderkey)
         WHERE ch.op IS NULL OR ch.op = 'U'
         ORDER BY o_orderkey
+      """)),
+    // ----------------------------------------------------------------
+    // Percentile winsorization of event values per type: clamp into
+    // [p05, p95] of the group — outlier treatment that preserves row
+    // count. Exact percentile edges (quantile_cont parity, q83's
+    // contract).
+    Q(
+      "q126_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        Profile.winsorize(
+            t(s, dir, "events"), Seq("event_type"), $"value", 0.05, 0.95)
+          .select($"event_id", $"event_type", $"value", $"winsorized")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH q AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS plo,
+                 quantile_cont(value, 0.95) AS phi
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.value IS NULL THEN NULL
+                    ELSE LEAST(GREATEST(e.value, q.plo), q.phi) END AS winsorized
+        FROM events e JOIN q USING (event_type)
+        ORDER BY e.event_id
+      """)),
+    // ----------------------------------------------------------------
+    // Frequent 3-step session paths: sliding event-type trigrams per
+    // user, counted corpus-wide, top 20 (total order: count desc then
+    // path). The sequence-mining complement of q118.
+    Q(
+      "q127_path_ngrams",
+      (s, dir) => {
+        import s.implicits._
+        Funnel.pathNgrams(
+            t(s, dir, "events"), $"user_id", $"ts", $"event_type", $"event_id", n = 3)
+          .orderBy($"n".desc, $"path")
+          .limit(20)
+      },
+      Some("""
+        WITH o AS (
+          SELECT event_type AS s0,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS s1,
+                 LEAD(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS s2
+          FROM events WHERE event_type IS NOT NULL)
+        SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, COUNT(*) AS n
+        FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        GROUP BY path ORDER BY n DESC, path LIMIT 20
       """))
   )
 }

@@ -152,6 +152,39 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")))
   }
 
+  test("winsorize: clamps into group percentiles, preserves rows, nulls stay null") {
+    import spark.implicits._
+    // group g: 0..100 → p10 = 10.0, p90 = 90.0 (exact interpolation on
+    // the integer grid)
+    val df = (0 to 100).map(i => ("g", Some(i.toDouble))).toDF("grp", "x")
+      .union(Seq(("g", None: Option[Double])).toDF("grp", "x"))
+    val out = Profile.winsorize(df, Seq("grp"), col("x"), 0.10, 0.90)
+    assert(out.count() == 102)
+    val w = out.filter(col("x").isNotNull)
+      .select(col("x"), col("winsorized"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(w(0.0) == 10.0 && w(5.0) == 10.0)      // low tail clamped up
+    assert(w(50.0) == 50.0)                        // interior untouched
+    assert(w(95.0) == 90.0 && w(100.0) == 90.0)    // high tail clamped down
+    assert(out.filter(col("x").isNull && col("winsorized").isNotNull).count() == 0)
+  }
+
+  test("pathNgrams: trigram counts; n=2 recovers transitionMatrix pair counts") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "C")).toDF("user_id", "seq", "etype")
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("seq")))
+    val tri = Funnel.pathNgrams(ev, col("user_id"), col("ts"), col("etype"), col("seq"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tri == Map("A > B > C" -> 2L, "B > C > B" -> 1L))
+    val bi = Funnel.pathNgrams(ev, col("user_id"), col("ts"), col("etype"), col("seq"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val tm = Funnel.transitionMatrix(ev, col("user_id"), col("ts"), col("etype"), col("seq"))
+      .collect().map(r => (s"${r.getString(0)} > ${r.getString(1)}", r.getLong(2))).toMap
+    assert(bi == tm)
+  }
+
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
     import spark.implicits._
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
