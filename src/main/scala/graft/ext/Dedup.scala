@@ -453,4 +453,49 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
+
+  /** Measured MinHash-LSH recall on a deterministic sample — the
+    * "measure, don't guess" gate before trusting LSH parameters on a
+    * real corpus: LSH's miss probability depends on the corpus's OWN
+    * similarity distribution (pairs barely above threshold are exactly
+    * the ones bands miss), so the only honest recall number is one
+    * measured on the data.
+    *
+    * Mechanics: hash-sample the corpus ([[Sampling.hashSample]] — the
+    * sample is a pure function of the id, so reruns and other engines
+    * probe the identical subset), compute ground truth with the EXACT
+    * [[ngramJaccardPairs]] (affordable BECAUSE of the sample — that is
+    * the sample's whole purpose), run [[minhashLshPairs]] with the
+    * candidate parameters on the same sample, and count. Both
+    * operators share one shingle universe and one verify formula, so
+    * LSH pairs ⊆ truth pairs by construction and the single number
+    * that can differ is recall. Output (1 row):
+    * (n_true_pairs, n_found_pairs, recall_ppb) — recall in exact
+    * parts-per-billion (integer floor-division, the engine-portable
+    * convention), null when the sample has no qualifying pairs.
+    */
+  def lshRecallProbe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sampleRate: Double,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"lshRecallProbe: sampleRate in (0,1], got $sampleRate")
+    val sample = Sampling.hashSample(docs, col(idCol), sampleRate)
+    val truth = ngramJaccardPairs(sample, idCol, textCol, shingleSize, threshold)
+      .select(col("id_a"), col("id_b"))
+    val lsh = minhashLshPairs(sample, idCol, textCol, shingleSize, bands,
+      rowsPerBand, threshold).select(col("id_a"), col("id_b"))
+    val found = truth.join(lsh, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found_pairs"))))
+      .select(col("n_true_pairs"), col("n_found_pairs"),
+        when(col("n_true_pairs") > 0,
+          expr("n_found_pairs * 1000000000L div n_true_pairs"))
+          .otherwise(lit(null).cast("long")).as("recall_ppb"))
+  }
 }

@@ -180,6 +180,37 @@ object Graph {
     r
   }
 
+  /** Bipartite projection: link right-side nodes that share a
+    * left-side neighbor, weighted by how many neighbors they share —
+    * co-purchase, co-occurrence, co-authorship graphs all reduce to
+    * this. Output edges satisfy a < b (each undirected pair once).
+    *
+    * The operator is QUADRATIC in per-left-key degree by construction
+    * (a left key of degree d emits d·(d−1)/2 pairs), so `maxDegree`
+    * is mandatory: left keys above it are EXCLUDED ENTIRELY — the
+    * standard treatment in co-occurrence mining, where hub keys (the
+    * customer who bought everything, the stopword) carry no signal and
+    * would otherwise dominate both cost and output. The per-key pair
+    * bound is maxDegree²; run [[Profile.joinCardinality]] first when
+    * the degree distribution is unknown.
+    */
+  def bipartiteProject(
+      edges: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, s"bipartiteProject: maxDegree >= 2 required, got $maxDegree")
+    val e = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r")).distinct()
+    val deg = e.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
+    val kept = e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))
+      .select(col("__l"), col("__r"))
+    kept.select(col("__l"), col("__r").as("a"))
+      .join(kept.select(col("__l"), col("__r").as("b")), Seq("__l"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Serializes the persistent-RDD id diff in [[connectedComponents]]
     * across graft threads (see the CAVEAT there).
     */

@@ -239,6 +239,39 @@ object Profile {
       .drop("__n", "__s", "__ss", "__mean", "__var")
   }
 
+  /** Join-key overlap diagnostic: how much of each side's key space —
+    * and row volume — actually meets the other side. One row out:
+    * distinct keys on each side and in the intersection, plus matched/
+    * unmatched ROW counts per side (a key diagnostic alone misleads
+    * when one hot key carries half the rows). The companion to
+    * [[joinCardinality]]: that one asks "how big is the join", this
+    * one asks "how much of my data joins at all" — the two pre-flight
+    * questions before any 100 TB join.
+    *
+    * Cost: one per-key count aggregate per side (cardinality-bounded)
+    * + a full outer join of the two key relations. The inputs
+    * themselves never shuffle.
+    */
+  def keyOverlap(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val la = left.groupBy(leftKey.as("key")).agg(count(lit(1)).as("__ln"))
+    val ra = right.groupBy(rightKey.as("key")).agg(count(lit(1)).as("__rn"))
+    la.join(ra, Seq("key"), "full_outer")
+      .agg(
+        count(col("__ln")).as("n_keys_left"),
+        count(col("__rn")).as("n_keys_right"),
+        count(when(col("__ln").isNotNull && col("__rn").isNotNull, 1)).as("n_keys_both"),
+        coalesce(sum(when(col("__rn").isNotNull, col("__ln"))), lit(0L))
+          .as("rows_left_matched"),
+        coalesce(sum(when(col("__rn").isNull, col("__ln"))), lit(0L))
+          .as("rows_left_unmatched"),
+        coalesce(sum(when(col("__ln").isNotNull, col("__rn"))), lit(0L))
+          .as("rows_right_matched"),
+        coalesce(sum(when(col("__ln").isNull, col("__rn"))), lit(0L))
+          .as("rows_right_unmatched"))
+  }
+
   /** Percentile winsorization: clamp each value into [p_lo, p_hi] of
     * its GROUP — the standard outlier treatment when rows must survive
     * (clipping, not dropping; [[robustOutliers]] is the flag-and-drop

@@ -97,4 +97,43 @@ object Ranges {
               bucketWidth).cast("long"))
       .drop("__b")
   }
+
+  /** Merge overlapping-or-touching intervals per key (gaps-and-
+    * islands): an island breaks where an interval starts strictly
+    * after the running max of all earlier ends — `[1,5]` and `[5,8]`
+    * touch and merge, `[1,5]` and `[6,8]` do not. Output one row per
+    * island: (key, start, end, n_merged). The coverage/availability
+    * reduction — maintenance windows, sensor uptime, booked slots —
+    * and the interval-algebra complement of [[intervalOverlap]] (that
+    * one finds pairs ACROSS relations, this one collapses WITHIN one).
+    *
+    * `tieBreak` totally orders identical (start, end) rows so the
+    * island numbering is deterministic under retry. One Exchange on
+    * the key, two Window passes over the same sort, one aggregate.
+    * Works on any ordered type (dates, timestamps, numerics) — bounds
+    * are compared, never subtracted.
+    */
+  def intervalMerge(
+      df: DataFrame,
+      key: org.apache.spark.sql.Column,
+      start: org.apache.spark.sql.Column,
+      end: org.apache.spark.sql.Column,
+      tieBreak: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__s"), col("__e"), col("__tb"))
+    val base = df
+      .filter(start.isNotNull && end.isNotNull)
+      .select(key.as("key"), start.as("__s"), end.as("__e"), tieBreak.as("__tb"))
+    base
+      .withColumn("__pm",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__isl",
+        sum(when(col("__pm").isNull || col("__s") > col("__pm"), 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("key"), col("__isl"))
+      .agg(min(col("__s")).as("start"), max(col("__e")).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__isl")
+  }
 }

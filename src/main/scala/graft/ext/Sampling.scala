@@ -158,4 +158,35 @@ object Sampling {
     graft.functions.TopK.perKey(keyed, Seq("stratum"), col("__score"), col("__id"), n)
       .select(col("stratum"), col("rank"), col("id"))
   }
+
+  /** Temporal train/test split with an embargo gap — the leakage-safe
+    * split for time-series and event data, where a random (hash) split
+    * would let the model see the future: train is everything at or
+    * before the exact `trainFrac` time quantile, test is everything
+    * strictly after `cut + embargoSeconds`, and the embargo span in
+    * between is EXCLUDED (split = null) so windowed/lagged features
+    * computed near the boundary cannot straddle it.
+    *
+    * The cut is the exact interpolated percentile of epoch seconds
+    * (q83's quantile_cont parity contract), so the same data yields
+    * the same split on any engine. Plan: one 1-row percentile
+    * aggregate broadcast back, then a scan-stage label — the data
+    * itself never shuffles.
+    */
+  def splitByTime(
+      df: DataFrame,
+      ts: Column,
+      trainFrac: Double,
+      embargoSeconds: Long): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"splitByTime: trainFrac in (0,1), got $trainFrac")
+    require(embargoSeconds >= 0, s"splitByTime: embargoSeconds >= 0, got $embargoSeconds")
+    val t = unix_timestamp(ts).cast("double")
+    val cut = df.agg(percentile(t, lit(trainFrac)).as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(t <= col("__cut"), "train")
+          .when(t > col("__cut") + embargoSeconds.toDouble, "test")
+          .otherwise(lit(null).cast("string")))
+      .drop("__cut")
+  }
 }

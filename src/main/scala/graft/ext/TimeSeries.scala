@@ -113,4 +113,47 @@ object TimeSeries {
         coalesce(sum(col("__gap")), lit(0L)).as("missing_cells"),
         coalesce(max(col("__gap")), lit(0L)).as("max_gap_cells"))
   }
+
+  /** Per-key lag/rolling feature generation — the standard supervised
+    * time-series feature block (lag_k columns plus rolling
+    * count/mean/min/max over the trailing `rollWindow` rows), all from
+    * ONE Exchange: every window shares the same (key) partitioning and
+    * (ts, tieBreak) ordering, so Catalyst plans a single Sort and the
+    * rolling aggregates share one Window node. The rolling mean is
+    * exact-decimal sum over the frame divided by the frame count once
+    * — the module's cross-engine reproducibility contract (a double
+    * running sum is frame-order-dependent).
+    *
+    * `tieBreak` totally orders same-timestamp rows per key; without a
+    * unique tiebreak the lag columns would be nondeterministic under
+    * retry. Null values pass through: lags carry them, the rolling
+    * count/sum skip them (SQL aggregate semantics on both engines).
+    */
+  def lagFeatures(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tieBreak: Column,
+      lags: Seq[Int],
+      rollWindow: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lags.nonEmpty && lags.forall(l => l >= 1 && l <= 10000),
+      s"lagFeatures: lags must be in [1, 10000], got $lags")
+    require(rollWindow >= 2 && rollWindow <= 100000,
+      s"lagFeatures: rollWindow in [2, 100000], got $rollWindow")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tiebreak"))
+    val roll = w.rowsBetween(-(rollWindow - 1), 0)
+    val base = df.select(key.as("key"), ts.as("ts"), tieBreak.as("tiebreak"),
+      value.cast("double").as("value"))
+    val withLags = lags.foldLeft(base)(
+      (acc, l) => acc.withColumn(s"lag_$l", lag(col("value"), l).over(w)))
+    withLags
+      .withColumn("roll_n", count(col("value")).over(roll))
+      .withColumn("roll_mean",
+        sum(col("value").cast(DecimalType(38, 10))).over(roll).cast("double") /
+          col("roll_n").cast("double"))
+      .withColumn("roll_min", min(col("value")).over(roll))
+      .withColumn("roll_max", max(col("value")).over(roll))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Funnel, Graph, Profile, Skew, TextAnalysis, TextHash}
+import graft.ext.{Dedup, Funnel, Graph, Profile, Ranges, Sampling, Skew, TextAnalysis, TextHash, TimeSeries}
 import graft.etl.Merge
 import Q._
 
@@ -358,6 +358,224 @@ object Analytics {
         SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, COUNT(*) AS n
         FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         GROUP BY path ORDER BY n DESC, path LIMIT 20
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Lag/rolling feature block per user: lag_1, lag_3, trailing-5
+    // count/mean/min/max — all windows share ONE Exchange + Sort. The
+    // rolling mean is exact-decimal sum / count (frame-order-free).
+    Q(
+      "q128_lag_features",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.lagFeatures(
+            t(s, dir, "events"), $"user_id", $"ts", $"value", $"event_id",
+            lags = Seq(1, 3), rollWindow = 5)
+          .select($"key", tstr($"ts").as("ts"), $"tiebreak".as("event_id"),
+            $"value", $"lag_1", $"lag_3", $"roll_n", $"roll_mean",
+            $"roll_min", $"roll_max")
+          .orderBy($"key", $"ts", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id AS key, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                 event_id, CAST(value AS DOUBLE) AS value
+          FROM events)
+        SELECT key, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id, value,
+               LAG(value, 1) OVER w AS lag_1,
+               LAG(value, 3) OVER w AS lag_3,
+               COUNT(value) OVER wr AS roll_n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER wr AS VARCHAR)
+                    AS DOUBLE)
+                 / CAST(COUNT(value) OVER wr AS DOUBLE) AS roll_mean,
+               MIN(value) OVER wr AS roll_min,
+               MAX(value) OVER wr AS roll_max
+        FROM e
+        WINDOW w AS (PARTITION BY key ORDER BY ts, event_id),
+               wr AS (PARTITION BY key ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY key, strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
+      """)),
+    // ----------------------------------------------------------------
+    // Bipartite projection: suppliers linked by shared customers,
+    // hub customers (degree > 30) excluded by contract — the
+    // co-occurrence graph builder with its quadratic cost capped.
+    Q(
+      "q129_bipartite_project",
+      (s, dir) => {
+        import s.implicits._
+        val pair = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey", $"l_suppkey")
+        Graph.bipartiteProject(pair, "o_custkey", "l_suppkey", maxDegree = 30)
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT l, COUNT(*) AS d FROM e GROUP BY l),
+        kept AS (SELECT e.l, e.r FROM e JOIN deg USING (l) WHERE deg.d <= 30),
+        p AS (SELECT k1.r AS a, k2.r AS b
+              FROM kept k1 JOIN kept k2 USING (l) WHERE k1.r < k2.r)
+        SELECT a, b, COUNT(*) AS weight FROM p GROUP BY a, b ORDER BY a, b
+      """)),
+    // ----------------------------------------------------------------
+    // Join-key overlap diagnostic: customers vs orders — distinct keys
+    // per side / in both, plus matched/unmatched ROW volume per side.
+    Q(
+      "q130_key_overlap",
+      (s, dir) => {
+        import s.implicits._
+        Profile.keyOverlap(
+          t(s, dir, "customer"), $"c_custkey",
+          t(s, dir, "orders"), $"o_custkey")
+      },
+      Some("""
+        WITH la AS (SELECT c_custkey AS key, COUNT(*) AS ln FROM customer GROUP BY 1),
+        ra AS (SELECT o_custkey AS key, COUNT(*) AS rn FROM orders GROUP BY 1),
+        j AS (SELECT la.ln, ra.rn FROM la FULL OUTER JOIN ra USING (key))
+        SELECT COUNT(ln) AS n_keys_left, COUNT(rn) AS n_keys_right,
+               COUNT(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL THEN 1 END)
+                 AS n_keys_both,
+               CAST(COALESCE(SUM(CASE WHEN rn IS NOT NULL THEN ln END), 0) AS BIGINT)
+                 AS rows_left_matched,
+               CAST(COALESCE(SUM(CASE WHEN rn IS NULL THEN ln END), 0) AS BIGINT)
+                 AS rows_left_unmatched,
+               CAST(COALESCE(SUM(CASE WHEN ln IS NOT NULL THEN rn END), 0) AS BIGINT)
+                 AS rows_right_matched,
+               CAST(COALESCE(SUM(CASE WHEN ln IS NULL THEN rn END), 0) AS BIGINT)
+                 AS rows_right_unmatched
+        FROM j
+      """)),
+    // ----------------------------------------------------------------
+    // Temporal train/test split with a 1-hour embargo: train ≤ the
+    // exact p80 time cut, test > cut + 3600 s, the embargo span
+    // excluded (null) so boundary-straddling features can't leak.
+    Q(
+      "q131_split_by_time",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.splitByTime(t(s, dir, "events"), $"ts", 0.8, 3600L)
+          .select($"event_id", $"split")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT quantile_cont(CAST(epoch_ns(ts) // 1000000000 AS DOUBLE), 0.8)
+            AS cut
+          FROM events)
+        SELECT e.event_id,
+               CASE WHEN CAST(epoch_ns(e.ts) // 1000000000 AS DOUBLE) <= c.cut
+                    THEN 'train'
+                    WHEN CAST(epoch_ns(e.ts) // 1000000000 AS DOUBLE)
+                         > c.cut + 3600.0
+                    THEN 'test' END AS split
+        FROM events e CROSS JOIN c
+        ORDER BY e.event_id
+      """)),
+    // ----------------------------------------------------------------
+    // Merge overlapping shipping-week intervals per order
+    // (gaps-and-islands): each line covers [shipdate, shipdate+7d];
+    // touching intervals merge, one row per coverage island.
+    Q(
+      "q132_interval_merge",
+      (s, dir) => {
+        import s.implicits._
+        val iv = t(s, dir, "lineitem")
+          .select($"l_orderkey", to_date($"l_shipdate").as("l_shipday"),
+            date_add(to_date($"l_shipdate"), 7).as("l_shipend"), $"l_linenumber")
+        Ranges.intervalMerge(iv,
+            $"l_orderkey", $"l_shipday", $"l_shipend", $"l_linenumber")
+          .select($"key".as("l_orderkey"),
+            $"start".cast("string").as("start_date"),
+            $"end".cast("string").as("end_date"), $"n_merged")
+          .orderBy($"l_orderkey", $"start_date")
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_orderkey AS k, CAST(l_shipdate AS DATE) AS s,
+                 CAST(l_shipdate AS DATE) + 7 AS e,
+                 l_linenumber AS tb
+          FROM lineitem),
+        w1 AS (
+          SELECT k, s, e, tb,
+                 MAX(e) OVER (PARTITION BY k ORDER BY s, e, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM b),
+        w2 AS (
+          SELECT k, s, e,
+                 SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY k ORDER BY s, e, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM w1)
+        SELECT k AS l_orderkey, CAST(MIN(s) AS VARCHAR) AS start_date,
+               CAST(MAX(e) AS VARCHAR) AS end_date, COUNT(*) AS n_merged
+        FROM w2 GROUP BY k, isl
+        ORDER BY l_orderkey, start_date
+      """)),
+    // ----------------------------------------------------------------
+    // Measured LSH recall on a 70% hash sample: exact Jaccard pairs
+    // as ground truth, the q35 LSH parameters as candidate, recall in
+    // exact ppb. The oracle replays the full composition (sample →
+    // shingles → truth join → minhash/band/verify → counts).
+    Q(
+      "q133_lsh_recall_probe",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.lshRecallProbe(t(s, dir, "documents"), "doc_id", "text",
+          sampleRate = 0.7, shingleSize = 3, bands = 8, rowsPerBand = 2,
+          threshold = 0.5)
+      },
+      Some {
+        val params = TextHash.minhashParams(16)
+        val seedRows = params.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+        val h = OracleSql.hash64("'0'", "g")
+        s"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE ${OracleSql.hash64("'0'", "CAST(doc_id AS VARCHAR)")} % 10000 < 7000),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(${OracleSql.wordShingles3("text")},
+                   g -> $h % 2147483647)) AS shingles
+               FROM d),
+        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b
+          FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        sig AS (
+          SELECT doc_id, s.seed, MIN((g * s.a + s.b) % 2147483647) AS mh
+          FROM post CROSS JOIN (VALUES $seedRows) s(seed, a, b)
+          GROUP BY 1, 2),
+        sigarr AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sig GROUP BY 1),
+        bandkey AS (
+          SELECT doc_id,
+                 CAST(b AS VARCHAR) || '_' || CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+                 CAST(sig[2*b+2] AS VARCHAR) AS key
+          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkey a JOIN bandkey b ON a.key = b.key AND a.doc_id < b.doc_id),
+        lsh AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c JOIN sz sa ON sa.doc_id = c.id_a
+                      JOIN sz sb ON sb.doc_id = c.id_b
+                      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          WHERE CAST(i.inter AS DOUBLE)
+                / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5),
+        fnd AS (SELECT * FROM truth INTERSECT SELECT * FROM lsh)
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+               (SELECT COUNT(*) FROM fnd) AS n_found_pairs,
+               CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                    THEN (SELECT COUNT(*) FROM fnd) * 1000000000
+                         // (SELECT COUNT(*) FROM truth) END AS recall_ppb
+        """
+      })
   )
 }

@@ -185,6 +185,82 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bi == tm)
   }
 
+  test("lagFeatures: hand-computed lags and rolling stats; one Exchange in the plan") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (2L, 1L, 5.0))
+      .toDF("user_id", "seq", "v")
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("seq")))
+    val out = TimeSeries.lagFeatures(ev, col("user_id"), col("ts"), col("v"),
+      col("seq"), lags = Seq(1), rollWindow = 2)
+    val rows = out.orderBy("key", "tiebreak")
+      .select("key", "lag_1", "roll_n", "roll_mean", "roll_min", "roll_max")
+      .collect()
+    assert(rows(0).isNullAt(1) && rows(0).getLong(2) == 1L && rows(0).getDouble(3) == 10.0)
+    assert(rows(1).getDouble(1) == 10.0 && rows(1).getDouble(3) == 15.0
+      && rows(1).getDouble(4) == 10.0 && rows(1).getDouble(5) == 20.0)
+    assert(rows(2).getDouble(1) == 20.0 && rows(2).getDouble(3) == 25.0)
+    assert(rows(3).isNullAt(1) && rows(3).getDouble(3) == 5.0)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, s"expected one Exchange, got $exchanges")
+  }
+
+  test("bipartiteProject: shared-neighbor weights; hub keys excluded entirely") {
+    import spark.implicits._
+    // c1 → {s1, s2}, c2 → {s1, s2}, hub → {s1, s2, s3} with maxDegree 2
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c2", "s2"),
+      ("hub", "s1"), ("hub", "s2"), ("hub", "s3")).toDF("l", "r")
+    val got = Graph.bipartiteProject(e, "l", "r", maxDegree = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(got == Set(("s1", "s2", 2L))) // hub's s1-s3/s2-s3 pairs absent
+  }
+
+  test("keyOverlap: key and row volumes on both sides of a partial overlap") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")      // keys 1,2,3; rows 2,1,1
+    val r = Seq(2L, 2L, 2L, 4L).toDF("k")      // keys 2,4;   rows 3,1
+    val row = Profile.keyOverlap(l, col("k"), r, col("k")).head()
+    assert(row.toSeq == Seq(3L, 2L, 1L, 1L, 3L, 3L, 1L))
+  }
+
+  test("splitByTime: train/embargo/test partition at the exact time quantile") {
+    import spark.implicits._
+    // 10 events at t=1..10 → p50 of epoch seconds = 5.5; embargo 2s
+    // → train {1..5}, excluded (5.5, 7.5], test {8, 9, 10}
+    val ev = (1L to 10L).map(i => (i, i)).toDF("id", "sec")
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("sec")))
+    val got = Sampling.splitByTime(ev, col("ts"), 0.5, 2L)
+      .select(col("id"), col("split"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert((1L to 5L).forall(got(_) == Some("train")))
+    assert(got(6L).isEmpty && got(7L).isEmpty)
+    assert((8L to 10L).forall(got(_) == Some("test")))
+  }
+
+  test("intervalMerge: touching intervals merge, disjoint stay, per-key islands") {
+    import spark.implicits._
+    val iv = Seq(
+      ("k1", 1, 5, 1), ("k1", 5, 8, 2),   // touch → one island [1,8]
+      ("k1", 10, 12, 3),                   // disjoint island
+      ("k1", 2, 3, 4),                     // nested inside [1,8]
+      ("k2", 1, 2, 5)).toDF("k", "s", "e", "tb")
+    val got = Ranges.intervalMerge(iv, col("k"), col("s"), col("e"), col("tb"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == Set(("k1", 1, 8, 3L), ("k1", 10, 12, 1L), ("k2", 1, 2, 1L)))
+  }
+
+  test("lshRecallProbe: found never exceeds truth; recall is the exact ppb ratio") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val near = "the quick brown fox jumps over the lazy dog and runs far away into the green forest today"
+    val other = "completely different words about database systems and query optimization at massive scale"
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("doc_id", "text")
+    val row = Dedup.lshRecallProbe(docs, "doc_id", "text", sampleRate = 1.0).head()
+    val (nTrue, nFound) = (row.getLong(0), row.getLong(1))
+    assert(nTrue >= 1L && nFound <= nTrue)
+    assert(row.getLong(2) == nFound * 1000000000L / nTrue)
+  }
+
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
     import spark.implicits._
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
