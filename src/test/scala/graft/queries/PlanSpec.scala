@@ -177,4 +177,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exchange over the sampled output.
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q120 correlated EXISTS/NOT EXISTS decorrelates to semi + anti joins") {
+    val p = planOf("q120_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q126 winsorize broadcasts the percentile edges; the data never sort-merges") {
+    val p = planOf("q126_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q131 time split is a scan-stage label behind one broadcast cut") {
+    val p = planOf("q131_split_by_time")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q123 PageRank never plans a cartesian product; rank totals broadcast back") {
+    val p = planOf("q123_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q129 bipartite projection joins on the left key, no cartesian") {
+    val p = planOf("q129_bipartite_project")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
