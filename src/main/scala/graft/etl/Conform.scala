@@ -157,4 +157,39 @@ object Conform {
     val withMeta = addMetadata(special, table, clock)
     finalSweep(reorder(withMeta, table), table, clock)
   }
+
+  /** One schema change detected by [[schemaDiff]]: `change` is
+    * "added" (observed only), "removed" (expected only), or "retyped"
+    * (both, different type). Types are Spark DDL strings.
+    */
+  final case class SchemaChange(
+      column: String,
+      change: String,
+      expectedType: Option[String],
+      observedType: Option[String])
+
+  /** Schema drift report between the declared (expected) schema and an
+    * observed one — the check a production sync runs BEFORE loading,
+    * so an upstream ALTER TABLE surfaces as one structured report
+    * instead of a mid-load cast failure. Name matching is
+    * case-insensitive (the conform module's own P1 rename rule);
+    * nullability changes are deliberately ignored (the reference pads
+    * missing fields with nulls, so nullability is not load-breaking).
+    * Driver-side metadata only — no Spark job runs.
+    */
+  def schemaDiff(expected: StructType, observed: StructType): Seq[SchemaChange] = {
+    val exp = expected.fields.map(f => f.name.toLowerCase -> f).toMap
+    val obs = observed.fields.map(f => f.name.toLowerCase -> f).toMap
+    val removed = expected.fields.filterNot(f => obs.contains(f.name.toLowerCase))
+      .map(f => SchemaChange(f.name, "removed", Some(f.dataType.sql), None))
+    val added = observed.fields.filterNot(f => exp.contains(f.name.toLowerCase))
+      .map(f => SchemaChange(f.name, "added", None, Some(f.dataType.sql)))
+    val retyped = expected.fields.flatMap { f =>
+      obs.get(f.name.toLowerCase).collect {
+        case o if o.dataType != f.dataType =>
+          SchemaChange(f.name, "retyped", Some(f.dataType.sql), Some(o.dataType.sql))
+      }
+    }
+    (removed ++ added ++ retyped).sortBy(c => (c.column, c.change))
+  }
 }

@@ -49,4 +49,38 @@ object Joins {
       .filter(BloomFunctions.mightContain(factKey, bytes))
       .join(keys, factKey === col("__k"), "left_semi")
   }
+
+  /** Large×large numeric band join — pairs with |a − b| ≤ eps — as a
+    * bucketed EQUI-join, never a nested loop: the right side lands in
+    * its own width-`eps` bucket, the left side probes its bucket ± 1
+    * (a match at distance ≤ eps can live nowhere else), and the exact
+    * predicate verifies the survivors. Each qualifying pair meets in
+    * EXACTLY one bucket (the right row's own), so no dedup pass is
+    * needed. Shuffle volume is 3 rows per left row + 1 per right row;
+    * at no point does any executor hold more than one bucket
+    * neighborhood — this is the numeric twin of
+    * [[Ranges.pointInInterval]]'s contract, and the plan a BNLJ-based
+    * theta join cannot give past broadcast size.
+    *
+    * Self-joining a relation with itself returns both orientations and
+    * self-pairs — filter `id_a < id_b` downstream for unordered pairs.
+    */
+  def bandJoin(
+      left: DataFrame, leftId: Column, leftVal: Column,
+      right: DataFrame, rightId: Column, rightVal: Column,
+      eps: Double): DataFrame = {
+    require(eps > 0 && java.lang.Double.isFinite(eps), s"bandJoin: eps > 0 required, got $eps")
+    val r = right
+      .select(rightId.as("id_b"), rightVal.cast("double").as("val_b"))
+      .filter(col("val_b").isNotNull)
+      .withColumn("__b", floor(col("val_b") / eps).cast("long"))
+    val lb = floor(col("val_a") / eps).cast("long")
+    val l = left
+      .select(leftId.as("id_a"), leftVal.cast("double").as("val_a"))
+      .filter(col("val_a").isNotNull)
+      .withColumn("__b", explode(array(lb - 1, lb, lb + 1)))
+    l.join(r, Seq("__b"))
+      .filter(abs(col("val_a") - col("val_b")) <= eps)
+      .select(col("id_a"), col("val_a"), col("id_b"), col("val_b"))
+  }
 }

@@ -360,6 +360,52 @@ object TextAnalysis {
       .select(col("vocab_id"), col("token"), col("n_occ"), col("n_docs"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of each probe doc's distinct word n-grams that the
+    * corpus has never seen — the memorization/regurgitation triage
+    * signal ([[graft.ext.Dedup.contamination]] asks "does my training
+    * set contain the benchmark"; this asks "how much of this output is
+    * actually new"). Novelty 0 = every phrase exists in the corpus;
+    * novelty 1 = entirely unseen text.
+    *
+    * Shingles hash in the FULL 60-bit space (mod = 0 — the
+    * [[boilerplateFractions]] rationale: at corpus scale a 31-bit
+    * space would alias unseen grams onto seen ones and deflate
+    * novelty systematically). Scale posture: the corpus collapses to
+    * one distinct-hash relation (one aggregate); the probe side joins
+    * on the hash with ONE row per distinct corpus gram on the build
+    * side, so AQE splits hot partitions cleanly. Docs too short for a
+    * single n-gram report novelty 0.0 via the left join back.
+    */
+  def ngramNovelty(
+      probes: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      corpus: org.apache.spark.sql.DataFrame,
+      corpusText: Column,
+      shingleSize: Int = 3): org.apache.spark.sql.DataFrame = {
+    val base = probes.select(id.as("doc_id"),
+      graft.functions.TextFunctions
+        .wordShingleHashes(text, shingleSize, 0L).as("__sh"))
+    val post = base.select(col("doc_id"), explode(col("__sh")).as("g"))
+    val seen = corpus
+      .select(explode(graft.functions.TextFunctions
+        .wordShingleHashes(corpusText, shingleSize, 0L)).as("g"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    val perDoc = post.join(seen, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("novelty_frac"))
+  }
+
   /** Per-document character-class distribution, one compiled pass per
     * doc ([[graft.functions.CharClassStats]]): code-point count, ASCII
     * count, whitespace/digit/alpha/upper counts, distinct-ASCII count,

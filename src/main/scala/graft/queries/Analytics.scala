@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Funnel, Graph, Profile, Ranges, Sampling, Skew, TextAnalysis, TextHash, TimeSeries}
+import graft.ext.{Dedup, Funnel, Graph, Joins, Profile, Ranges, Sampling, Skew, TextAnalysis, TextHash, TimeSeries}
 import graft.etl.Merge
 import Q._
 
@@ -576,6 +576,68 @@ object Analytics {
                     THEN (SELECT COUNT(*) FROM fnd) * 1000000000
                          // (SELECT COUNT(*) FROM truth) END AS recall_ppb
         """
-      })
+      }),
+    // ----------------------------------------------------------------
+    // n-gram novelty of odd docs against the even-doc corpus: the
+    // memorization triage signal — fraction of each probe's distinct
+    // trigrams the corpus has never seen (full 60-bit hash space).
+    Q(
+      "q134_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        TextAnalysis.ngramNovelty(
+            docs.filter($"doc_id" % 2 === 1), $"doc_id", $"text",
+            docs.filter($"doc_id" % 2 === 0), $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, ${OracleSql.hashedShingles3Full("text")} AS sh
+          FROM documents WHERE doc_id % 2 = 1),
+        post AS (SELECT doc_id, unnest(sh) AS g FROM base),
+        seen AS (
+          SELECT DISTINCT unnest(${OracleSql.hashedShingles3Full("text")}) AS g,
+                 1 AS fl
+          FROM documents WHERE doc_id % 2 = 0),
+        pd AS (
+          SELECT p.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN seen.fl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+          FROM post p LEFT JOIN seen ON p.g = seen.g
+          GROUP BY p.doc_id)
+        SELECT b.doc_id,
+               COALESCE(pd.n_grams, 0) AS n_grams,
+               COALESCE(pd.n_novel, 0) AS n_novel,
+               CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                    THEN CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+                    ELSE 0.0 END AS novelty_frac
+        FROM base b LEFT JOIN pd USING (doc_id)
+        ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Numeric band join |a−b| ≤ 0.01 over purchase values as a
+    // bucketed equi-join (bucket ± 1 probe) — the large×large near-
+    // join BNLJ can't do past broadcast size. Oracle is the plain
+    // theta join.
+    Q(
+      "q135_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "events").filter($"event_type" === "purchase")
+        Joins.bandJoin(p, $"event_id", $"value", p, $"event_id", $"value",
+            eps = 0.01)
+          .filter($"id_a" < $"id_b")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL)
+        SELECT a.event_id AS id_a, a.v AS val_a, b.event_id AS id_b, b.v AS val_b
+        FROM p a JOIN p b
+          ON abs(a.v - b.v) <= 0.01 AND a.event_id < b.event_id
+        ORDER BY id_a, id_b
+      """))
   )
 }

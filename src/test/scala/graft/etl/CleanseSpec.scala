@@ -219,4 +219,24 @@ class CleanseSpec extends AnyFunSuite with BeforeAndAfterAll {
     val planDepth = out.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(planDepth < 12, s"optimized plan has $planDepth nodes")
   }
+
+  test("schemaDiff: added/removed/retyped columns; case-insensitive; nullability ignored") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("amount", DoubleType),
+      StructField("created", TimestampType)))
+    val observed = StructType(Seq(
+      StructField("ID", LongType, nullable = false),      // case + nullability: no change
+      StructField("name", StringType),
+      StructField("amount", StringType),                  // retyped
+      StructField("extra", IntegerType)))                 // added; created removed
+    val diff = Conform.schemaDiff(expected, observed)
+    assert(diff == Seq(
+      Conform.SchemaChange("amount", "retyped", Some("DOUBLE"), Some("STRING")),
+      Conform.SchemaChange("created", "removed", Some("TIMESTAMP"), None),
+      Conform.SchemaChange("extra", "added", None, Some("INT"))))
+    assert(Conform.schemaDiff(expected, expected).isEmpty)
+  }
 }

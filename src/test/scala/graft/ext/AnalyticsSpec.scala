@@ -261,6 +261,36 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == nFound * 1000000000L / nTrue)
   }
 
+  test("bandJoin: boundary-inclusive matches across bucket edges, no nested loop") {
+    import spark.implicits._
+    val l = Seq((1L, 0.999), (2L, 5.0), (3L, 10.0)).toDF("id", "v")
+    val r = Seq((10L, 1.005), (20L, 5.02), (30L, 10.0)).toDF("id", "v")
+    val out = Joins.bandJoin(l, col("id"), col("v"), r, col("id"), col("v"), eps = 0.01)
+    val got = out.collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    // 0.999 vs 1.005: in band AND in different buckets (99 vs 100) —
+    // only the bucket±1 probe finds it; 5.0 vs 5.02 out of band;
+    // 10.0 vs 10.0 distance 0
+    assert(got == Set((1L, 10L), (3L, 30L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ngramNovelty: seen text scores 0, unseen text 1, short docs 0 with no grams") {
+    import spark.implicits._
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "alpha beta gamma delta"),          // all trigrams seen
+      (2L, "one two three four five"),          // all novel
+      (3L, "hi there")).toDF("doc_id", "text")  // too short for a trigram
+    val got = TextAnalysis.ngramNovelty(probes, col("doc_id"), col("text"),
+        corpus, col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 2L, 0L, 0.0)))
+    assert(got(1) == ((2L, 3L, 3L, 1.0)))
+    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
     import spark.implicits._
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),

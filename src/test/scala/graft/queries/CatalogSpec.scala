@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 133 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 133)
-    assert(Catalog.all.map(_.name).distinct.size == 133)
+  test("catalog has 135 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 135)
+    assert(Catalog.all.map(_.name).distinct.size == 135)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet ==
       Set("q23_approx_distinct", "q56_approx_percentile", "q98_hll_union", "q115_approx_topk"), noOracle)
