@@ -186,6 +186,32 @@ object EventStreams {
       .select(col("click_id"), col("view_id"), col("user_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER correlate: like [[correlate]], but a
+    * click with NO view inside the window still emits — with null view
+    * columns — once the watermark passes the point where a matching
+    * view could still arrive. The attribution shape ("which clicks
+    * never converted") that an inner join silently drops; Spark holds
+    * the unmatched left rows in state until the time bound + watermark
+    * expire them, so state stays bounded by the window, not the
+    * stream. Both event-time bounds on the join condition are REQUIRED
+    * for that eviction — without them the state would grow forever and
+    * unmatched rows would never emit.
+    */
+  def correlateLeftOuter(
+      clicks: DataFrame, views: DataFrame, withinMs: Long, delay: String): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", delay)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL $withinMs MILLISECONDS"),
+      "left_outer")
+      .select(col("click_id"), col("view_id"), col("user_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Stream-static gate: drop incoming rows whose key appears in a
     * STATIC reference relation — the streaming shape of benchmark
     * decontamination (live ingest vs a fixed eval-fingerprint table)

@@ -325,6 +325,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("correlateLeftOuter: unmatched clicks emit with null views after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStreams.Event]
+    val views = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.correlateLeftOuter(
+      clicks.toDF(), views.toDF(), withinMs = 60000L, delay = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("louter")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 clicks and never sees a view; user 2 clicks and converts
+      clicks.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:00:00", 2, "click", 1.0))
+      views.addData(ev(3, "2024-01-01 00:00:30", 2, "view", 1.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click_ts + window + delay so
+      // the unmatched left row is provably expired and must emit
+      clicks.addData(ev(8, "2024-01-01 02:00:00", 9, "click", 1.0))
+      views.addData(ev(9, "2024-01-01 02:00:00", 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("louter")
+        .select("click_id", "view_id", "user_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(rows.contains((2L, Some(3L), 2L)), s"matched pair missing: $rows")
+      assert(rows.contains((1L, None, 1L)), s"unmatched click not emitted: $rows")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog and stops on its own") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("avnow").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    val q = EventStreams.readEventStream(spark, s"$dir/in")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("staticKeyGate: stream rows matching the static block-list never reach the sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
