@@ -171,11 +171,17 @@ object Profile {
     */
   def joinCardinality(
       left: DataFrame, leftKey: Column,
-      right: DataFrame, rightKey: Column): DataFrame =
+      right: DataFrame, rightKey: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // out_rows is DECIMAL(38,0), not long×long: a single key with
+    // >3×10⁹ rows per side would silently wrap a long product — and a
+    // key that hot is precisely what this operator exists to expose
+    val dec = DecimalType(38, 0)
     left.groupBy(leftKey.as("key")).agg(count(lit(1)).as("left_rows"))
       .join(right.groupBy(rightKey.as("key")).agg(count(lit(1)).as("right_rows")), Seq("key"))
       .select(col("key"), col("left_rows"), col("right_rows"),
-        (col("left_rows") * col("right_rows")).as("out_rows"))
+        (col("left_rows").cast(dec) * col("right_rows").cast(dec)).as("out_rows"))
+  }
 
   /** Median/MAD factor: 1/Φ⁻¹(3/4), makes MAD a consistent estimator
     * of σ for normal data. Written as the conventional 4-decimal

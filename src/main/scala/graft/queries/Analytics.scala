@@ -268,9 +268,12 @@ object Analytics {
       (s, dir) => {
         import s.implicits._
         val ev = t(s, dir, "events")
+        // out_rows is decimal(38,0) (overflow-safe at corpus scale);
+        // the long casts here are for the oracle hash only and are
+        // exact at the test scale factors
         Profile.joinCardinality(ev, $"user_id", ev, $"user_id")
-          .agg(sum($"out_rows").as("total_rows"),
-            max($"out_rows").as("max_key_rows"),
+          .agg(sum($"out_rows").cast("long").as("total_rows"),
+            max($"out_rows").cast("long").as("max_key_rows"),
             count(lit(1)).as("n_keys"))
       },
       Some("""

@@ -133,7 +133,10 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l = Seq("x", "x", "y").toDF("k")
     val r = Seq("x", "y", "y", "z").toDF("k")
     val got = Profile.joinCardinality(l, col("k"), r, col("k"))
-      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDecimal(3).longValueExact()))
+      .toSeq
     assert(got.toSet == Set(("x", 2L, 1L, 2L), ("y", 1L, 2L, 2L)))
     assert(got.map(_._4).sum == l.join(r, Seq("k")).count())
   }
