@@ -184,9 +184,22 @@ object Conform {
       .map(f => SchemaChange(f.name, "removed", Some(f.dataType.sql), None))
     val added = observed.fields.filterNot(f => exp.contains(f.name.toLowerCase))
       .map(f => SchemaChange(f.name, "added", None, Some(f.dataType.sql)))
+    // Recursive nullability normalization before comparing: plain
+    // DataType equality (and even the .sql form) carries NESTED
+    // nullable flags inside struct/array/map, which the contract
+    // promises to ignore at every depth
+    def norm(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          StructField(f.name, norm(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+      case other => other
+    }
     val retyped = expected.fields.flatMap { f =>
       obs.get(f.name.toLowerCase).collect {
-        case o if o.dataType != f.dataType =>
+        case o if norm(o.dataType) != norm(f.dataType) =>
           SchemaChange(f.name, "retyped", Some(f.dataType.sql), Some(o.dataType.sql))
       }
     }

@@ -50,6 +50,18 @@ object Merge {
     * and be unique per key ([[graft.ext.Dedup.latestByKey]] upstream
     * when a batch carries several versions).
     */
+  /** Runtime guard for change-log op markers: anything but 'U'/'D'
+    * (including NULL) raises a clear error at execution. Without this
+    * a NULL op would WIN the priority window and then fail the
+    * `=!= "D"` filter as three-valued NULL — the key silently
+    * disappears, which is data loss, not merge semantics.
+    */
+  private[graft] def validatedOp(op: Column): Column =
+    when(op.isin("U", "D"), op)
+      .otherwise(raise_error(concat(
+        lit("applyChangeLog: op must be 'U' or 'D', got "),
+        coalesce(op, lit("NULL")))))
+
   def applyChangeLog(
       base: DataFrame,
       changes: DataFrame,
@@ -60,7 +72,8 @@ object Merge {
       s"applyChangeLog: schemas differ: ${base.columns.mkString(",")} vs " +
         s"${changes.columns.filterNot(_ == opCol).mkString(",")}")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio"))
-    changes.withColumn("__op", col(opCol)).drop(opCol).withColumn("__prio", lit(0))
+    changes.withColumn("__op", validatedOp(col(opCol))).drop(opCol)
+      .withColumn("__prio", lit(0))
       .unionByName(base.withColumn("__op", lit("U")).withColumn("__prio", lit(1)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") =!= "D")

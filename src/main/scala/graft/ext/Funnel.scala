@@ -153,9 +153,11 @@ object Funnel {
     * event-type sequence (ordered by ts, ties by `tieBreak`), counted
     * corpus-wide — "view > click > purchase happened 1 932 times". The
     * sequence-mining complement of [[transitionMatrix]] (n = 2
-    * recovers its pair counts). Rows with a null state are excluded —
-    * a null is an unknown step, and a path through an unknown is not a
-    * path.
+    * recovers its pair counts — including on null-bearing logs). A
+    * null state stays IN the sequence and breaks every window that
+    * touches it (the [[transitionMatrix]] rule): dropping null rows
+    * first would invent phantom adjacencies between the events on
+    * either side of an unknown step.
     *
     * Scale posture: ONE key Exchange shared by all n−1 lead windows
     * (same partitioning, same ordering ⇒ one Sort), then a hash
@@ -172,12 +174,11 @@ object Funnel {
     require(n >= 2 && n <= 5, s"pathNgrams: n in [2,5], got $n")
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
     val base = events
-      .filter(state.isNotNull)
       .select(key.as("__k"), ts.as("__ts"), tieBreak.as("__tb"), state.as("__s0"))
     val withLeads = (1 until n).foldLeft(base)(
       (acc, i) => acc.withColumn(s"__s$i", lead(col("__s0"), i).over(w)))
     withLeads
-      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .filter((0 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
       .select(concat_ws(" > ", (0 until n).map(i => col(s"__s$i")): _*).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n"))

@@ -131,9 +131,15 @@ object Graph {
     * `(10⁶ − dampPpm) div N + (dampPpm · inflow) div 10⁶` — every
     * operation is integer, so the result is bit-identical on any
     * engine (a double-valued PageRank never is: the inflow sum is
-    * order-dependent). The price is floor-truncation of ≤1 ppm per
-    * arithmetic step — negligible against the ranking use, decisive
-    * for verifiability.
+    * order-dependent). The price is floor-truncation of ≤1 rank unit
+    * per arithmetic step — negligible against the ranking use,
+    * decisive for verifiability. The resolution bound is explicit:
+    * `rankUnit div N` is the initial per-node rank, so the operator
+    * FAILS FAST when `rankUnit ≤ N` (the ranks would all floor to 0
+    * and propagate zeros silently) — raise `rankUnit` to 10⁹ or
+    * beyond for graphs past a million ranked nodes; the damping
+    * arithmetic is unit-independent (dampPpm stays parts-per-million
+    * of whatever unit is chosen).
     *
     * Ranked nodes are the nodes WITH out-edges (rank mass reaching a
     * dangling node leaks — the standard non-redistributing treatment);
@@ -154,16 +160,23 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      dampPpm: Long = 850000L): DataFrame = {
+      dampPpm: Long = 850000L,
+      rankUnit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pageRank: iters in [1,50], got $iters")
     require(dampPpm >= 0L && dampPpm <= 1000000L,
       s"pageRank: dampPpm in [0, 1e6], got $dampPpm")
+    require(rankUnit >= 1000000L && rankUnit % 1000000L == 0L &&
+      rankUnit <= 1000000000000L,
+      s"pageRank: rankUnit must be a multiple of 1e6 in [1e6, 1e12], got $rankUnit")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val n = deg.count()
     require(n > 0, "pageRank: no edges")
-    var r = deg.select(col("__src").as("node"), lit(1000000L / n).as("rank_ppm"))
-    val baseR = (1000000L - dampPpm) / n
+    require(rankUnit / n > 0,
+      s"pageRank: rankUnit=$rankUnit gives zero initial rank for $n nodes — " +
+        "every rank would floor to 0; raise rankUnit (e.g. 10^9 for graphs past 10^6 nodes)")
+    var r = deg.select(col("__src").as("node"), lit(rankUnit / n).as("rank_ppm"))
+    val baseR = (rankUnit / 1000000L * (1000000L - dampPpm)) / n
     for (_ <- 1 to iters) {
       val inflow = e
         .join(r.withColumnRenamed("node", "__src"), "__src")

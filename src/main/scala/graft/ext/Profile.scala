@@ -121,7 +121,9 @@ object Profile {
     * written v·√v — `pow` is not correctly rounded in IEEE 754, sqrt
     * and multiply are), kurtosis = (m4/n)/((m2/n)²) − 3 (excess).
     * Zero-variance groups yield null skewness/kurtosis rather than an
-    * ANSI divide error.
+    * ANSI divide error. Null values are excluded from BOTH the count
+    * and the sums. Domain bound: |x| must stay below ~10⁷ or x⁴
+    * exceeds DECIMAL(38,10) — rescale wider-domain columns first.
     *
     * The shape screen for training-data value columns: heavy tails and
     * asymmetry are exactly what mean/stddev profiling misses.
@@ -132,8 +134,10 @@ object Profile {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 10)
     val x = value.cast("double")
+    // count(x), not count(*): the power sums skip nulls, so n must too
+    // or every null-bearing group gets silently wrong moments
     val agged = df.groupBy(groups.map(col): _*).agg(
-      count(lit(1)).cast("double").as("__n"),
+      count(x).cast("double").as("__n"),
       sum(x.cast(dec)).cast("double").as("__s1"),
       sum((x * x).cast(dec)).cast("double").as("__s2"),
       sum((x * x * x).cast(dec)).cast("double").as("__s3"),
@@ -300,11 +304,17 @@ object Profile {
     val qs = df.groupBy(groups.map(col): _*).agg(
       percentile(v, lit(lo)).as("__plo"),
       percentile(v, lit(hi)).as("__phi"))
-    df.join(broadcast(qs), groups)
+    // null-safe group match: a null-group row must meet its own
+    // percentile row, not silently vanish from a row-preserving
+    // operator (groupBy emits the null group; plain equality would
+    // never rejoin it)
+    val qr = groups.foldLeft(qs)((acc, g) => acc.withColumnRenamed(g, s"__g_$g"))
+    val cond = groups.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _)
+    df.join(broadcast(qr), cond)
       .withColumn("winsorized",
         when(v.isNull, lit(null).cast("double"))
           .otherwise(least(greatest(v, col("__plo")), col("__phi"))))
-      .drop("__plo", "__phi")
+      .drop(groups.map(g => s"__g_$g") ++ Seq("__plo", "__phi"): _*)
   }
 
   /** Exact equal-frequency percentile edges of `v` as a 1-row aggregate

@@ -92,7 +92,7 @@ object Analytics {
       Some(s"""
         WITH a AS (
           SELECT l_returnflag,
-                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(COUNT(x) AS DOUBLE) AS n,
                  ${OracleSql.dsum("x")} AS s1,
                  ${OracleSql.dsum("x * x")} AS s2,
                  ${OracleSql.dsum("x * x * x")} AS s3,
@@ -357,9 +357,9 @@ object Analytics {
                    ORDER BY ts, event_id) AS s1,
                  LEAD(event_type, 2) OVER (PARTITION BY user_id
                    ORDER BY ts, event_id) AS s2
-          FROM events WHERE event_type IS NOT NULL)
+          FROM events)
         SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, COUNT(*) AS n
-        FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        FROM o WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
         GROUP BY path ORDER BY n DESC, path LIMIT 20
       """)),
     // ----------------------------------------------------------------

@@ -294,7 +294,9 @@ object EventStreams {
                 case None => graft.etl.Merge.upsert(base, delta, Seq(key))
               }
             } else
-              opCol.map(op => delta.filter(col(op) =!= "D").drop(op)).getOrElse(delta)
+              opCol.map(op =>
+                delta.filter(graft.etl.Merge.validatedOp(col(op)) =!= "D").drop(op))
+                .getOrElse(delta)
           // materialize fully to staging BEFORE touching the live dir —
           // the merge reads the live dir lazily
           val tmp = new org.apache.hadoop.fs.Path(tableDir + ".staging")

@@ -238,5 +238,11 @@ class CleanseSpec extends AnyFunSuite with BeforeAndAfterAll {
       Conform.SchemaChange("created", "removed", Some("TIMESTAMP"), None),
       Conform.SchemaChange("extra", "added", None, Some("INT"))))
     assert(Conform.schemaDiff(expected, expected).isEmpty)
+    // NESTED nullability must be ignored too, not just top-level
+    val nested = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("a", IntegerType, nullable = true))))))
+    val nestedObs = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("a", IntegerType, nullable = false))))))
+    assert(Conform.schemaDiff(nested, nestedObs).isEmpty)
   }
 }

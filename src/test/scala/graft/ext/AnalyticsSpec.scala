@@ -294,6 +294,60 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("winsorize: rows in a NULL group survive and clamp against their own percentiles") {
+    import spark.implicits._
+    val df = Seq((Some("g"), 1.0), (Some("g"), 2.0),
+      (None: Option[String], 10.0), (None, 20.0), (None, 30.0)).toDF("grp", "x")
+    val out = Profile.winsorize(df, Seq("grp"), col("x"), 0.25, 0.75)
+    assert(out.count() == 5)
+    val nullGrp = out.filter(col("grp").isNull)
+      .select("x", "winsorized")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    // null group alone: p25 = 15, p75 = 25
+    assert(nullGrp(10.0) == 15.0 && nullGrp(20.0) == 20.0 && nullGrp(30.0) == 25.0)
+  }
+
+  test("moments: null values are excluded from n, not just from the sums") {
+    import spark.implicits._
+    val df = Seq(("g", Some(2.0)), ("g", None: Option[Double])).toDF("grp", "x")
+    val row = Profile.moments(df, Seq("grp"), col("x")).head()
+    assert(row.getLong(1) == 1L)          // n counts the non-null value only
+    assert(row.getDouble(2) == 2.0)       // mean of the present value
+    assert(row.getDouble(3) == 0.0)       // variance 0, not phantom spread
+  }
+
+  test("applyChangeLog: a NULL/invalid op fails fast instead of silently deleting") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val bad = Seq((1L, "x", null: String)).toDF("id", "v", "op")
+    val ex = intercept[Exception] {
+      Merge.applyChangeLog(base, bad, Seq("id"), "op").collect()
+    }
+    assert(ex.getMessage.contains("op must be 'U' or 'D'"), ex.getMessage)
+  }
+
+  test("pathNgrams: a null state breaks the path — no phantom adjacency") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, Some("A")), (1L, 2L, None: Option[String]), (1L, 3L, Some("B")))
+      .toDF("user_id", "seq", "etype")
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("seq")))
+    val got = Funnel.pathNgrams(ev, col("user_id"), col("ts"), col("etype"), col("seq"), 2)
+      .collect()
+    assert(got.isEmpty, s"phantom path emitted: ${got.mkString(",")}")
+  }
+
+  test("pageRank: rankUnit too small for the node count fails fast, not zeros") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    // legal call works at a larger unit and scales ranks accordingly
+    val r = Graph.pageRank(e, "src", "dst", iters = 1, rankUnit = 1000000000L)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r.values.forall(_ > 100000000L), r.toString) // ~unit/2 each
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 1, rankUnit = 999999L)
+    }
+  }
+
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
     import spark.implicits._
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),

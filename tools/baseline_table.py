@@ -8,7 +8,14 @@ sorted by query name. Dev tool only.
 import json, statistics, sys
 
 runs = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
-qs = runs[0]["queries"].keys()
+# intersect across runs: a JSONL mixing catalog versions must not
+# KeyError (new run first) or silently drop new queries (old run first)
+qs = set(runs[0]["queries"])
+for r in runs[1:]:
+    qs &= set(r["queries"])
+dropped = {q for r in runs for q in r["queries"]} - qs
+if dropped:
+    print(f"# WARNING: not in every run, excluded: {sorted(dropped)}")
 med = {q: statistics.median([r["queries"][q] for r in runs]) for q in qs}
 print(f"# runs: {len(runs)}  totals: {[round(r['value'], 1) for r in runs]}")
 print(f"# per-query-median total: {sum(med.values()):.1f} s  queries: {len(med)}")
