@@ -150,10 +150,15 @@ object Graph {
     * O(N)-row rank relation (both hash-partitioned on the source key,
     * so consecutive iterations reuse the partitioning), one
     * (dst)-keyed aggregation, one broadcast-size left join back to the
-    * node list. State is one row per node; the edge list is scanned
-    * once per iteration — persist it upstream when iterating many
-    * times. The only driver-side action is the node COUNT (a scalar,
-    * same contract as [[connectedComponents]]'s convergence count).
+    * node list. State is one row per node; the (distinct) edge
+    * relation is locally checkpointed ONCE and re-read each iteration
+    * — without that every iteration would recompute the whole
+    * upstream edge derivation (joins, distinct) from scratch, iters×
+    * over. The blocks are freed by the ContextCleaner once the result
+    * is unreachable (GraftSession runs periodic driver GC for exactly
+    * this). Driver-side actions: the checkpoint materialization and
+    * the node COUNT (a scalar, same contract as
+    * [[connectedComponents]]'s convergence count).
     */
   def pageRank(
       edges: DataFrame,
@@ -168,7 +173,9 @@ object Graph {
     require(rankUnit >= 1000000L && rankUnit % 1000000L == 0L &&
       rankUnit <= 1000000000000L,
       s"pageRank: rankUnit must be a multiple of 1e6 in [1e6, 1e12], got $rankUnit")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+      .localCheckpoint()
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val n = deg.count()
     require(n > 0, "pageRank: no edges")
