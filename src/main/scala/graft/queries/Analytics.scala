@@ -641,6 +641,72 @@ object Analytics {
         FROM p a JOIN p b
           ON abs(a.v - b.v) <= 0.01 AND a.event_id < b.event_id
         ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // Time-interval RANGE frame: per-user trailing-1-hour event count
+    // and exact-decimal value sum — the "rolling window by TIME, not
+    // by rows" shape q49's numeric RANGE frame doesn't cover.
+    Q(
+      "q136_time_range_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+          .orderBy(unix_timestamp($"ts"))
+          .rangeBetween(-3600L, 0L)
+        t(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"value",
+            count(lit(1)).over(w).as("n_1h"),
+            sum($"value".cast(Dec)).over(w).cast("double").as("sum_1h"))
+          .select($"user_id", tstr($"ts").as("ts"), $"event_id", $"value",
+            $"n_1h", $"sum_1h")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                 event_id, value,
+                 epoch_ns(ts) // 1000000000 AS sec
+          FROM events)
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id, value,
+               COUNT(*) OVER w AS n_1h,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS VARCHAR)
+                    AS DOUBLE) AS sum_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
+      """)),
+    // ----------------------------------------------------------------
+    // LOCF gap-fill (last observation carried forward): values < 10
+    // masked to null, then filled from the latest preceding non-null
+    // per user — the IGNORE NULLS window surface (q101 uses it inside
+    // resampleFill; this is the bare operator on the raw event grid).
+    Q(
+      "q137_locf",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .withColumn("observed", when($"value" >= 10.0, $"value"))
+          .select($"user_id", tstr($"ts").as("ts"), $"event_id", $"observed",
+            last($"observed", ignoreNulls = true).over(w).as("filled"))
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id,
+                 CASE WHEN value >= 10.0 THEN value END AS observed
+          FROM events)
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id, observed,
+               LAST_VALUE(observed IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM e
+        ORDER BY user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
       """))
   )
 }
