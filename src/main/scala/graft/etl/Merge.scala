@@ -40,16 +40,6 @@ object Merge {
       .drop("__prio", "__rn")
   }
 
-  /** Change-log apply with delete tombstones: like [[upsert]], but
-    * each change row carries an op marker — `"U"` replaces/inserts,
-    * `"D"` removes the key. The same single-shuffle union +
-    * per-key-priority formulation (no join): the winning row per key
-    * is the change if one exists, and a winning delete drops the key
-    * entirely. Deleting an absent key is a no-op, as MERGE semantics
-    * require. `changes` must share `base`'s schema plus the op column
-    * and be unique per key ([[graft.ext.Dedup.latestByKey]] upstream
-    * when a batch carries several versions).
-    */
   /** Runtime guard for change-log op markers: anything but 'U'/'D'
     * (including NULL) raises a clear error at execution. Without this
     * a NULL op would WIN the priority window and then fail the
@@ -62,6 +52,16 @@ object Merge {
         lit("applyChangeLog: op must be 'U' or 'D', got "),
         coalesce(op, lit("NULL")))))
 
+  /** Change-log apply with delete tombstones: like [[upsert]], but
+    * each change row carries an op marker — `"U"` replaces/inserts,
+    * `"D"` removes the key. The same single-shuffle union +
+    * per-key-priority formulation (no join): the winning row per key
+    * is the change if one exists, and a winning delete drops the key
+    * entirely. Deleting an absent key is a no-op, as MERGE semantics
+    * require. `changes` must share `base`'s schema plus the op column
+    * and be unique per key ([[graft.ext.Dedup.latestByKey]] upstream
+    * when a batch carries several versions).
+    */
   def applyChangeLog(
       base: DataFrame,
       changes: DataFrame,

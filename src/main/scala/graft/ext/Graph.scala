@@ -134,10 +134,12 @@ object Graph {
     * order-dependent). The price is floor-truncation of ≤1 rank unit
     * per arithmetic step — negligible against the ranking use,
     * decisive for verifiability. The resolution bound is explicit:
-    * `rankUnit div N` is the initial per-node rank, so the operator
-    * FAILS FAST when `rankUnit ≤ N` (the ranks would all floor to 0
-    * and propagate zeros silently) — raise `rankUnit` to 10⁹ or
-    * beyond for graphs past a million ranked nodes; the damping
+    * `rankUnit div N` is the initial per-node rank, and each
+    * floor-division (per-degree split, teleport term) can eat one
+    * unit of it — so the operator FAILS FAST unless
+    * `rankUnit div N ≥ 100` (≤1% truncation error per step; anything
+    * lower lets ranks silently decay toward zero). Raise `rankUnit`
+    * to 10⁹ or beyond for graphs past ~10⁴ nodes; the damping
     * arithmetic is unit-independent (dampPpm stays parts-per-million
     * of whatever unit is chosen).
     *
@@ -173,15 +175,23 @@ object Graph {
     require(rankUnit >= 1000000L && rankUnit % 1000000L == 0L &&
       rankUnit <= 1000000000000L,
       s"pageRank: rankUnit must be a multiple of 1e6 in [1e6, 1e12], got $rankUnit")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-      .localCheckpoint()
+    // lazy checkpoint registered under the module lock (it would
+    // otherwise race connectedComponents' persistent-RDD id diff — a
+    // mis-captured id gets unpersisted from under us, and checkpointed
+    // blocks ARE the data); materialization happens at the count()
+    // below, OUTSIDE the lock, per the lock's no-jobs contract
+    val e = Graph.checkpointLock.synchronized {
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .distinct()
+        .localCheckpoint(eager = false)
+    }
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val n = deg.count()
     require(n > 0, "pageRank: no edges")
-    require(rankUnit / n > 0,
-      s"pageRank: rankUnit=$rankUnit gives zero initial rank for $n nodes — " +
-        "every rank would floor to 0; raise rankUnit (e.g. 10^9 for graphs past 10^6 nodes)")
+    require(rankUnit / n >= 100L,
+      s"pageRank: rankUnit=$rankUnit gives only ${rankUnit / n} units of rank per node " +
+        s"for $n nodes (need >= 100, or floor-truncation silently decays every rank " +
+        "toward 0); raise rankUnit (e.g. 10^9 for graphs past ~10^4 nodes)")
     var r = deg.select(col("__src").as("node"), lit(rankUnit / n).as("rank_ppm"))
     val baseR = (rankUnit / 1000000L * (1000000L - dampPpm)) / n
     for (_ <- 1 to iters) {

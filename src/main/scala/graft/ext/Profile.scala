@@ -213,10 +213,10 @@ object Profile {
     val gcols = groups.map(col)
     val v = value.cast("double")
     val med = df.groupBy(gcols: _*).agg(percentile(v, lit(0.5)).as("__med"))
-    val dev = df.join(broadcast(med), groups)
+    val dev = rejoinStats(df, med, groups)
     val mad = dev.groupBy(gcols: _*)
       .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
-    dev.join(broadcast(mad), groups)
+    rejoinStats(dev, mad, groups)
       .filter(col("__mad") > 0 &&
         abs(v - col("__med")) / (col("__mad") * MadSigma) > k)
       .withColumn("robust_z", (v - col("__med")) / (col("__mad") * MadSigma))
@@ -235,11 +235,13 @@ object Profile {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 10)
     val v = value.cast("double")
+    // count(v), not count(*): the sums skip nulls, n must too (the
+    // moments contract); null-group rows rejoin null-safely
     val stats = df.groupBy(groups.map(col): _*).agg(
-      count(lit(1)).cast("double").as("__n"),
+      count(v).cast("double").as("__n"),
       sum(v.cast(dec)).cast("double").as("__s"),
       sum((v * v).cast(dec)).cast("double").as("__ss"))
-    df.join(broadcast(stats), groups)
+    rejoinStats(df, stats, groups)
       .withColumn("__mean", col("__s") / col("__n"))
       .withColumn("__var",
         (col("__ss") - col("__s") * col("__s") / col("__n")) / (col("__n") - 1.0))
@@ -282,6 +284,22 @@ object Profile {
           .as("rows_right_unmatched"))
   }
 
+  /** Join per-group stats back onto the input NULL-SAFELY. groupBy
+    * emits a stats row for the null group, but a plain column-name
+    * equi-join can never rejoin it — so a row-preserving operator
+    * would silently DROP every null-group input row, and a flagging
+    * operator would never judge them. Every stats-rejoin in this
+    * module goes through here so the null-group contract can't drift
+    * between operators.
+    */
+  private def rejoinStats(
+      df: DataFrame, stats: DataFrame, groups: Seq[String]): DataFrame = {
+    val renamed = groups.foldLeft(stats)(
+      (acc, g) => acc.withColumnRenamed(g, s"__g_$g"))
+    val cond = groups.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _)
+    df.join(broadcast(renamed), cond).drop(groups.map(g => s"__g_$g"): _*)
+  }
+
   /** Percentile winsorization: clamp each value into [p_lo, p_hi] of
     * its GROUP — the standard outlier treatment when rows must survive
     * (clipping, not dropping; [[robustOutliers]] is the flag-and-drop
@@ -304,17 +322,11 @@ object Profile {
     val qs = df.groupBy(groups.map(col): _*).agg(
       percentile(v, lit(lo)).as("__plo"),
       percentile(v, lit(hi)).as("__phi"))
-    // null-safe group match: a null-group row must meet its own
-    // percentile row, not silently vanish from a row-preserving
-    // operator (groupBy emits the null group; plain equality would
-    // never rejoin it)
-    val qr = groups.foldLeft(qs)((acc, g) => acc.withColumnRenamed(g, s"__g_$g"))
-    val cond = groups.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _)
-    df.join(broadcast(qr), cond)
+    rejoinStats(df, qs, groups)
       .withColumn("winsorized",
         when(v.isNull, lit(null).cast("double"))
           .otherwise(least(greatest(v, col("__plo")), col("__phi"))))
-      .drop(groups.map(g => s"__g_$g") ++ Seq("__plo", "__phi"): _*)
+      .drop("__plo", "__phi")
   }
 
   /** Exact equal-frequency percentile edges of `v` as a 1-row aggregate

@@ -228,7 +228,10 @@ object Analytics {
           .distinct()
         val edges = pair.select($"a".as("src"), $"b".as("dst"))
           .unionByName(pair.select($"b".as("src"), $"a".as("dst")))
-        Graph.pageRank(edges, "src", "dst", iters = 3).orderBy($"node")
+        // rankUnit 10⁹: the graph has ~16k nodes at sf0.1 — the default
+        // ppm unit would leave <100 rank units per node (guard-rejected)
+        Graph.pageRank(edges, "src", "dst", iters = 3,
+          rankUnit = 1000000000L).orderBy($"node")
       },
       Some {
         def inflow(i: Int) = s"""
@@ -239,7 +242,7 @@ object Analytics {
             GROUP BY e.dst),
           r$i AS (
             SELECT deg.src AS node,
-                   CAST(150000 // nn.n
+                   CAST(150000000 // nn.n
                         + (850000 * COALESCE(i$i.s, 0)) // 1000000 AS BIGINT) AS r
             FROM deg CROSS JOIN nn LEFT JOIN i$i ON deg.src = i$i.node)"""
         s"""
@@ -251,7 +254,7 @@ object Analytics {
               UNION SELECT b AS src, a AS dst FROM pair),
         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         nn AS (SELECT COUNT(*) AS n FROM deg),
-        r0 AS (SELECT deg.src AS node, CAST(1000000 // nn.n AS BIGINT) AS r
+        r0 AS (SELECT deg.src AS node, CAST(1000000000 // nn.n AS BIGINT) AS r
                FROM deg CROSS JOIN nn),
         ${inflow(1)},
         ${inflow(2)},
@@ -334,7 +337,7 @@ object Analytics {
         SELECT e.event_id, e.event_type, e.value,
                CASE WHEN e.value IS NULL THEN NULL
                     ELSE LEAST(GREATEST(e.value, q.plo), q.phi) END AS winsorized
-        FROM events e JOIN q USING (event_type)
+        FROM events e JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type
         ORDER BY e.event_id
       """)),
     // ----------------------------------------------------------------

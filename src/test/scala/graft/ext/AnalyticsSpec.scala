@@ -307,6 +307,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullGrp(10.0) == 15.0 && nullGrp(20.0) == 20.0 && nullGrp(30.0) == 25.0)
   }
 
+  test("zscoreNormalize: null-group rows survive; null values excluded from n") {
+    import spark.implicits._
+    val df = Seq((Some("g"), Some(1.0)), (Some("g"), Some(3.0)),
+      (None: Option[String], Some(10.0)), (None, Some(20.0)),
+      (Some("g"), None: Option[Double])).toDF("grp", "x")
+    val out = Profile.zscoreNormalize(df, Seq("grp"), col("x"))
+    assert(out.count() == 5)                       // row-preserving incl. null group
+    val nullG = out.filter(col("grp").isNull).select("x", "z")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    // null group: mean 15, sample std sqrt(50) → z = ±5/sqrt(50)
+    assert(math.abs(nullG(10.0) + 5.0 / math.sqrt(50.0)) < 1e-12)
+    // group g: the null value must not inflate n — mean 2, std sqrt(2)
+    val g = out.filter(col("grp") === "g" && col("x") === 1.0).head()
+    assert(math.abs(g.getAs[Double]("z") + 1.0 / math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("robustOutliers: a null-group outlier is judged, not silently skipped") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => (None: Option[String], i.toDouble / 10.0)) :+
+      ((None: Option[String], 1000.0))).toDF("grp", "x")
+    val hits = Profile.robustOutliers(df, Seq("grp"), col("x"), k = 3.0)
+      .collect()
+    assert(hits.length == 1 && hits(0).getDouble(1) == 1000.0, hits.mkString(","))
+  }
+
   test("moments: null values are excluded from n, not just from the sums") {
     import spark.implicits._
     val df = Seq(("g", Some(2.0)), ("g", None: Option[Double])).toDF("grp", "x")
@@ -343,9 +368,19 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Graph.pageRank(e, "src", "dst", iters = 1, rankUnit = 1000000000L)
       .collect().map(x => (x.getString(0), x.getLong(1))).toMap
     assert(r.values.forall(_ > 100000000L), r.toString) // ~unit/2 each
+    // non-multiple-of-1e6 unit rejected outright
     intercept[IllegalArgumentException] {
       Graph.pageRank(e, "src", "dst", iters = 1, rankUnit = 999999L)
     }
+    // resolution guard: 20k nodes at the default ppm unit leaves only
+    // 50 rank units per node (< 100) — must fail, not decay to zeros
+    val n = 20000
+    val ring = Seq.tabulate(n)(i => (s"n$i", s"n${(i + 1) % n}"))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(ring, "src", "dst", iters = 1)
+    }
+    assert(ex.getMessage.contains("raise rankUnit"), ex.getMessage)
   }
 
   test("moments: hand-computed mean/variance/skewness/kurtosis; zero-variance null") {
