@@ -710,6 +710,56 @@ object Analytics {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         FROM e
         ORDER BY user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
+      """)),
+    // ----------------------------------------------------------------
+    // explode_outer: docs whose filtered token array is EMPTY survive
+    // with a null token — the generator variant plain explode silently
+    // drops (q29's twin with row preservation). Tokens longer
+    // than 6 chars; short-token-only docs keep their row.
+    Q(
+      "q138_explode_outer",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            explode_outer(filter(TextHash.tokens(lower($"text")),
+              t => length(t) > 6)).as("long_tok"))
+          .orderBy($"doc_id", $"long_tok")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(${OracleSql.tokens("lower(text)")},
+                   x -> length(x) > 6) AS toks
+          FROM documents)
+        SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE u.tok END AS long_tok
+        FROM d LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) u ON TRUE
+        ORDER BY doc_id, long_tok
+      """)),
+    // ----------------------------------------------------------------
+    // unionByName with missing columns: two differently-shaped event
+    // projections union by NAME (not position), absent columns
+    // null-padded — the schema-evolution union the reference's
+    // positional unions can't express.
+    Q(
+      "q139_union_missing_cols",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val a = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"value")
+        val b = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"event_type")
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, value, NULL AS event_type
+        FROM events WHERE event_type = 'click'
+        UNION ALL BY NAME
+        SELECT event_id, user_id, NULL AS value, event_type
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY event_id
       """))
   )
 }

@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 137 uniquely named queries; only the approx sketches lack oracles") {
-    assert(Catalog.all.size == 137)
-    assert(Catalog.all.map(_.name).distinct.size == 137)
+  test("catalog has 139 uniquely named queries; only the approx sketches lack oracles") {
+    assert(Catalog.all.size == 139)
+    assert(Catalog.all.map(_.name).distinct.size == 139)
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet ==
       Set("q23_approx_distinct", "q56_approx_percentile", "q98_hll_union", "q115_approx_topk"), noOracle)
