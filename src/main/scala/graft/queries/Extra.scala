@@ -310,26 +310,42 @@ object Extra {
         ORDER BY query_id, neighbor_id
       """)),
     // ----------------------------------------------------------------
-    // Sketch quantiles: approx_percentile is estimation by contract, so
-    // (like q23's HLL) the driver records a rows-only check. Quartiles are
-    // flattened to scalar columns (not array<double>) so the driver's
-    // pandas canonicalization can sort the result.
+    // Sketch quantiles, self-verifying envelope: approx_percentile
+    // (accuracy=10000 → rank error ≤ n/10000) runs next to its exact
+    // twin (q83's percentile/quantile_cont interpolation contract) in
+    // ONE aggregate; the emitted row is the exact quartiles plus the
+    // deterministic within-5%-envelope verdict on the sketch. The
+    // oracle replays the exact side + TRUE, so the row hash-matches
+    // while the sketch is still exercised and bounded every round.
     Q(
       "q56_approx_percentile",
       (s, dir) => {
         import s.implicits._
+        val price = $"l_extendedprice".cast("double")
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(10000)).as("q"))
+          .agg(
+            approx_percentile(price, array(lit(0.25), lit(0.5), lit(0.75)),
+              lit(10000)).as("q"),
+            percentile(price, lit(0.25)).as("p25"),
+            percentile(price, lit(0.5)).as("p50"),
+            percentile(price, lit(0.75)).as("p75"))
           .select(
-            $"l_returnflag",
-            element_at($"q", 1).as("p25"),
-            element_at($"q", 2).as("p50"),
-            element_at($"q", 3).as("p75"))
+            $"l_returnflag", $"p25", $"p50", $"p75",
+            (abs(element_at($"q", 1) - $"p25") <= abs($"p25") * 0.05 &&
+              abs(element_at($"q", 2) - $"p50") <= abs($"p50") * 0.05 &&
+              abs(element_at($"q", 3) - $"p75") <= abs($"p75") * 0.05)
+              .as("within_5pct"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75,
+               TRUE AS within_5pct
+        FROM lineitem GROUP BY 1 ORDER BY 1
+      """)),
     // ----------------------------------------------------------------
     // Pivot: wide sum-of-quantity by return flag (explicit value list →
     // stable output schema), decimal-exact sums.

@@ -539,17 +539,33 @@ object Relational {
         ORDER BY c_mktsegment
       """)),
     // ----------------------------------------------------------------
-    // approx_count_distinct: HLL implementations differ between engines
-    // by design — no value oracle, driver records a rows-only check.
+    // approx_count_distinct self-verifying envelope: HLL estimates
+    // differ between engines by design, so the emitted row carries the
+    // EXACT distinct count plus a deterministic within-5%-envelope
+    // verdict on the rsd=0.01 sketch (theoretical std error ~1%; 5%
+    // is a >4-sigma bound). The oracle replays the exact side and the
+    // always-true bound, so the row hash-matches while the sketch
+    // still runs and is still checked every round.
     Q(
       "q23_approx_distinct",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+          .agg(
+            approx_count_distinct($"l_orderkey", 0.01).as("approx"),
+            countDistinct($"l_orderkey").as("exact_orders"))
+          .select(
+            $"l_returnflag",
+            $"exact_orders",
+            (abs($"approx" - $"exact_orders") <= $"exact_orders" * 0.05)
+              .as("within_5pct"))
           .orderBy($"l_returnflag")
       },
-      None)
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS within_5pct
+        FROM lineitem GROUP BY 1 ORDER BY 1
+      """))
   )
 }

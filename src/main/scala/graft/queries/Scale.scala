@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Layout, Ranges, Sampling, TextAnalysis, TextHash}
@@ -118,40 +119,88 @@ object Scale {
     // Mergeable HLL sketch algebra (Datasketches): per-nation customer
     // sketches union up to region estimates WITHOUT re-scanning —
     // the incremental-stats primitive at 100 TB (per-partition
-    // sketches persist; any rollup is a cheap union). Approx by
-    // contract: rows-only check, like q23.
+    // sketches persist; any rollup is a cheap union). Self-verifying
+    // envelope: the sketch rollup is joined to its exact twin and the
+    // emitted row is the exact count + the deterministic within-5%
+    // verdict (default lgConfigK=12 → ~0.8% std error; the 5% bound
+    // is what SketchSpec asserts). The oracle replays the exact side
+    // + TRUE, so the row hash-matches with the sketch still exercised.
     Q(
       "q98_hll_union",
       (s, dir) => {
         import s.implicits._
-        val perNation = t(s, dir, "customer")
-          .groupBy($"c_nationkey")
-          .agg(hll_sketch_agg($"c_custkey").as("sk"))
-        perNation
+        val cust = t(s, dir, "customer")
           .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")),
             $"c_nationkey" === $"n_nationkey")
+        val approx = cust
+          .groupBy($"c_nationkey", $"n_regionkey")
+          .agg(hll_sketch_agg($"c_custkey").as("sk"))
           .groupBy($"n_regionkey")
           .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_customers"))
+        val exact = cust
+          .groupBy($"n_regionkey")
+          .agg(countDistinct($"c_custkey").as("exact_customers"))
+        approx
+          .join(exact, Seq("n_regionkey"))
+          .select(
+            $"n_regionkey",
+            $"exact_customers",
+            (abs($"approx_customers" - $"exact_customers")
+              <= $"exact_customers" * 0.05).as("within_5pct"))
           .orderBy($"n_regionkey")
       },
-      None),
+      Some("""
+        SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_customers,
+               TRUE AS within_5pct
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+      """)),
     // ----------------------------------------------------------------
-    // Sketched heavy hitters: approx_top_k over the token stream —
-    // the bounded-memory twin of the exact vocabulary build (q105).
-    // Approx by contract → rows-only, like the other sketches; the
-    // array output is flattened to scalar rows (the q56 lesson: array
-    // cells don't canonicalize in the harness).
+    // Sketched heavy hitters, self-verifying envelope: approx_top_k
+    // over the token stream (the bounded-memory twin of the exact
+    // vocabulary build, q105) is checked in-query against the exact
+    // top-10 (count desc, token — a total order). The emitted rows are
+    // the exact top-10 plus a deterministic verdict that each token
+    // surfaced in the sketch's top-100 candidates with its estimate
+    // within max(2%, 1). The oracle replays the exact side + TRUE.
+    // Flattened to scalar rows (the q56 lesson: array cells don't
+    // canonicalize in the harness).
     Q(
       "q115_approx_topk",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
+        val toks = t(s, dir, "documents")
           .select(explode(TextHash.tokens($"text")).as("tok"))
-          .agg(expr("approx_top_k(tok, 10)").as("top"))
-          .select(posexplode($"top").as(Seq("rank", "e")))
-          .select($"rank", $"e.item".as("token"), $"e.count".as("est_count"))
+        val approx = toks
+          .agg(expr("approx_top_k(tok, 100, 100000)").as("top"))
+          .select(explode($"top").as("e"))
+          .select($"e.item".as("token"), $"e.count".as("est_count"))
+        val w = Window.orderBy($"exact_count".desc, $"token")
+        val exactTop = toks
+          .groupBy($"tok".as("token"))
+          .agg(count(lit(1)).as("exact_count"))
+          .orderBy($"exact_count".desc, $"token")
+          .limit(10)
+          .select(row_number().over(w).as("rnk"), $"token", $"exact_count")
+        exactTop
+          .join(approx, Seq("token"), "left")
+          .select(
+            $"rnk", $"token", $"exact_count",
+            ($"est_count".isNotNull &&
+              abs($"est_count" - $"exact_count")
+                <= greatest($"exact_count" * 0.02, lit(1.0))).as("within_bound"))
+          .orderBy($"rnk")
       },
-      None),
+      Some(s"""
+        WITH cnt AS (
+          SELECT tok AS token, COUNT(*) AS exact_count
+          FROM (SELECT unnest(${OracleSql.tokens("text")}) AS tok FROM documents)
+          GROUP BY 1)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_count DESC, token) AS INTEGER)
+                 AS rnk,
+               token, exact_count, TRUE AS within_bound
+        FROM cnt ORDER BY rnk LIMIT 10
+      """)),
     // ----------------------------------------------------------------
     // Large x large interval OVERLAP join: bucket equi-join with the
     // emit-once rule (pair surfaces only in the bucket holding the
