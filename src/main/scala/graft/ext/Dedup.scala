@@ -109,13 +109,27 @@ object Dedup {
     * [[exact]] first (collapse identical docs, O(n)), this on the
     * canonical survivors; or [[minhashLshPairs]] when probabilistic
     * recall is acceptable (measured ~5× time at 10× docs).
+    *
+    * That contract is MECHANICAL, not advisory: before the candidate
+    * self-join runs, a [[Profile.joinCardinality]] preflight estimates
+    * the ordered candidate space Σ_g c_g² over the prefix postings and
+    * fails fast above `maxCandidatePairs` (same spirit as pageRank's
+    * resolution guard — a misuse dies in one cheap job, not a 10¹²-row
+    * explosion). The prefix relation is lazily localCheckpointed and
+    * materialized by the preflight, so the guarded query is CHEAPER
+    * than the unguarded one: the self-join's two sides re-read the
+    * checkpointed blocks instead of recomputing the posting window
+    * twice. Pass `maxCandidatePairs <= 0` to disable (fully lazy, no
+    * checkpoint), e.g. after an [[exact]] collapse has already bounded
+    * the pair space.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidatePairs: Long = 100000000L): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions
@@ -136,7 +150,24 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__n") - ceil(tDec * col("__n")).cast("int") + 1)
       .select(col("doc_id"), col("g"), col("__n"))
-    val cand = prefix.as("a").join(prefix.as("b"), col("a.g") === col("b.g"))
+    val indexed =
+      if (maxCandidatePairs <= 0) prefix
+      else {
+        val ck = prefix.localCheckpoint(false)
+        val est = Profile.joinCardinality(ck, col("g"), ck, col("g"))
+          .agg(sum(col("out_rows")).as("est"))
+          .head().getDecimal(0)
+        require(est == null ||
+            est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+          s"ngramJaccardPairs: estimated candidate space $est exceeds " +
+            s"maxCandidatePairs=$maxCandidatePairs — the verified-pair space is " +
+            "quadratic in per-cluster duplication. Collapse identical docs first " +
+            "(Dedup.exact / nearDupCanonical, the q64 composition), use " +
+            "minhashLshPairs for probabilistic recall, or raise/disable the " +
+            "bound (maxCandidatePairs <= 0) if the cost is intended")
+        ck
+      }
+    val cand = indexed.as("a").join(indexed.as("b"), col("a.g") === col("b.g"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       // length filter: J ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t
       .filter(col("b.__n") >= tDec * col("a.__n") && col("a.__n") >= tDec * col("b.__n"))

@@ -55,6 +55,24 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getDouble(2) == expect)
   }
 
+  test("ngramJaccardPairs preflight trips on a duplicated corpus, disabled bound passes") {
+    // 40 copies of the same doc → prefix postings pile onto the same
+    // shingles → estimated candidate space ≥ 40² per prefix shingle
+    val dup = docs((1L to 40L).map(i => i -> base): _*)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(dup, "doc_id", "text", threshold = 0.5,
+        maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("nearDupCanonical"), e.getMessage)
+    // maxCandidatePairs <= 0 disables the guard; result is still exact
+    val n = Dedup.ngramJaccardPairs(dup, "doc_id", "text", threshold = 0.5,
+      maxCandidatePairs = 0L).count()
+    assert(n == 40L * 39L / 2L, s"expected all-pairs of 40 copies, got $n")
+    // the default bound admits the small corpus
+    assert(Dedup.ngramJaccardPairs(dup, "doc_id", "text", threshold = 0.5)
+      .count() == 40L * 39L / 2L)
+  }
+
   test("exact dedup: copies collapse to min id with counts") {
     val d = docs(5L -> base, 3L -> base, 9L -> unrelated)
     import spark.implicits._
