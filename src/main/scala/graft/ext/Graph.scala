@@ -57,14 +57,8 @@ object Graph {
     // unpersisting a checkpointed RDD is unrecoverable (the blocks ARE
     // the data once lineage is truncated). Callers sharing a session
     // with alien checkpointing threads should serialize externally.
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      Graph.checkpointLock.synchronized {
-        val pre = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint(eager = false)
-        (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
-      }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = checkpointTracked(df)
+    def free(ids: Set[Int]): Unit = freeIds(sc, ids)
 
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     // undirected: keep both orientations so one join propagates both ways
@@ -180,11 +174,10 @@ object Graph {
     // mis-captured id gets unpersisted from under us, and checkpointed
     // blocks ARE the data); materialization happens at the count()
     // below, OUTSIDE the lock, per the lock's no-jobs contract
-    val e = Graph.checkpointLock.synchronized {
+    val sc = edges.sparkSession.sparkContext
+    val e = checkpointTracked(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-        .distinct()
-        .localCheckpoint(eager = false)
-    }
+        .distinct())._1
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val n = deg.count()
     require(n > 0, "pageRank: no edges")
@@ -194,20 +187,39 @@ object Graph {
         "toward 0); raise rankUnit (e.g. 10^9 for graphs past ~10^4 nodes)")
     var r = deg.select(col("__src").as("node"), lit(rankUnit / n).as("rank_ppm"))
     val baseR = (rankUnit / 1000000L * (1000000L - dampPpm)) / n
-    for (_ <- 1 to iters) {
-      val inflow = e
-        .join(r.withColumnRenamed("node", "__src"), "__src")
-        .join(deg, "__src")
-        .select(col("__dst"), expr("rank_ppm div __deg").as("__c"))
-        .groupBy(col("__dst"))
-        .agg(sum(col("__c")).as("__s"))
-      r = deg.select(col("__src").as("node"))
-        .join(inflow.withColumnRenamed("__dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(baseR) + expr(s"${dampPpm}L * coalesce(__s, 0L) div 1000000L"))
-            .as("rank_ppm"))
+    // Each round adds 3 joins to the rank lineage; at iters=50 an
+    // uncheckpointed chain would nest a 150-join analyzer tree and a
+    // task retry would recompute the whole history. Cadence checkpoint:
+    // every 5 rounds truncate the lineage (materialized by an explicit
+    // count) and free the superseded round's blocks — the same
+    // explicit-free invariant as connectedComponents. The final round's
+    // blocks are kept: they back the returned (lazy) relation.
+    var ckIds = Set.empty[Int]
+    try {
+      for (i <- 1 to iters) {
+        val inflow = e
+          .join(r.withColumnRenamed("node", "__src"), "__src")
+          .join(deg, "__src")
+          .select(col("__dst"), expr("rank_ppm div __deg").as("__c"))
+          .groupBy(col("__dst"))
+          .agg(sum(col("__c")).as("__s"))
+        r = deg.select(col("__src").as("node"))
+          .join(inflow.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(baseR) + expr(s"${dampPpm}L * coalesce(__s, 0L) div 1000000L"))
+              .as("rank_ppm"))
+        if (i % 5 == 0 && i < iters) {
+          val (ck, ids) = checkpointTracked(r)
+          ck.count()
+          freeIds(sc, ckIds)
+          ckIds = ids
+          r = ck
+        }
+      }
+      r
+    } catch {
+      case t: Throwable => freeIds(sc, ckIds); throw t
     }
-    r
   }
 
   /** Bipartite projection: link right-side nodes that share a
@@ -241,8 +253,27 @@ object Graph {
       .agg(count(lit(1)).as("weight"))
   }
 
-  /** Serializes the persistent-RDD id diff in [[connectedComponents]]
-    * across graft threads (see the CAVEAT there).
+  /** Serializes the persistent-RDD id diff in [[checkpointTracked]]
+    * across graft threads (see the CAVEAT in [[connectedComponents]]).
     */
   private val checkpointLock = new Object
+
+  /** Lazy localCheckpoint + the persistent-RDD ids it registered, captured
+    * under [[checkpointLock]] so concurrent graft checkpoints don't
+    * mis-attribute each other's ids. Blocks materialize at the caller's
+    * next action, outside the lock (no Spark job runs while it is held).
+    */
+  private[ext] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    checkpointLock.synchronized {
+      val sc = df.sparkSession.sparkContext
+      val pre = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager = false)
+      (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
+    }
+
+  /** Explicitly drop checkpoint blocks the ContextCleaner would otherwise
+    * hold until a driver GC proves them unreachable.
+    */
+  private[ext] def freeIds(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 }

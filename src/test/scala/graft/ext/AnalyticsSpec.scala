@@ -120,6 +120,24 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map("a" -> 191666L, "b" -> 616666L, "c" -> 191666L))
   }
 
+  test("pageRank: iters=25 keeps a bounded plan via cadence checkpoints, ranks exact") {
+    import spark.implicits._
+    // symmetric 12-ring at rankUnit=12e6: u = 1e6 per node and the
+    // damped update has the exact integer fixpoint 150000 + 850000 = u,
+    // so EVERY iteration (checkpointed or not) must return exactly u
+    val n = 12
+    val ring = Seq.tabulate(n)(i => (s"n$i", s"n${(i + 1) % n}"))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r = Graph.pageRank(ring, "src", "dst", iters = 25, rankUnit = 12000000L)
+    // cadence: last checkpoint at i=20 → the returned lineage holds at
+    // most 5 rounds × 3 joins (2 inflow + 1 update); an uncheckpointed
+    // run would hold 75
+    val joins = "Join".r.findAllIn(r.queryExecution.optimizedPlan.toString).length
+    assert(joins <= 15, s"rank lineage not truncated: $joins joins in plan")
+    val ranks = r.collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(ranks.size == n && ranks.values.forall(_ == 1000000L), ranks.toString)
+  }
+
   test("pageRank: only nodes with out-edges are ranked (dangling leak documented)") {
     import spark.implicits._
     val e = Seq(("a", "b")).toDF("src", "dst")
