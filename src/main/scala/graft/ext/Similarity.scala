@@ -140,12 +140,31 @@ object Similarity {
     * 100 TB: assign once to cell-partitioned storage and run the
     * pairing per cell on bucketed reads — no re-shuffle per run, and a
     * skewed mega-cell splits under AQE or a finer nCells.
+    *
+    * Cell-count contract: `nCells = 0` (the default) derives the count
+    * from the corpus as ⌈n / targetCellSize⌉ (one count() preflight),
+    * so balanced-cell pair cost Σ|cell|² ≈ n·targetCellSize stays
+    * LINEAR in corpus size — a fixed cell count would go quadratic the
+    * moment the corpus outgrows it. An explicit `nCells > 0` skips the
+    * preflight and takes the stated cost. Flat k-means itself bounds
+    * the derived count: past ~10⁵ cells the broadcast centroid table
+    * is the limit — shard the corpus or use [[cosineNearDupPairs]].
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 16, kmeansIters: Int = 2): DataFrame = {
+      threshold: Double, nCells: Int = 0, kmeansIters: Int = 2,
+      targetCellSize: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(targetCellSize >= 2,
+      s"semanticNearDupPairs: targetCellSize >= 2 required, got $targetCellSize")
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = df.count()
+        require(n > 0, "semanticNearDupPairs: empty corpus")
+        derivedCells(n, targetCellSize)
+      }
     val cents = broadcast(
-      kmeansCentroids(df, idCol, vecCol, nCells, kmeansIters).localCheckpoint(false))
+      kmeansCentroids(df, idCol, vecCol, cells, kmeansIters).localCheckpoint(false))
     val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
     val assigned = df
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
@@ -236,4 +255,13 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** ⌈n / targetCellSize⌉ clamped to [2, 2²⁰] — the
+    * [[semanticNearDupPairs]] cell-count derivation, exposed for the
+    * sizing spec. The upper clamp is a sanity rail only; flat k-means
+    * degrades well before it (see the scaladoc there).
+    */
+  private[ext] def derivedCells(n: Long, targetCellSize: Long): Int =
+    // (n-1)/t + 1 is ⌈n/t⌉ without the n+t-1 overflow at huge n
+    math.max(2L, math.min((n - 1) / targetCellSize + 1, 1L << 20)).toInt
 }

@@ -352,6 +352,30 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run() == c1)
   }
 
+  test("semanticNearDupPairs derives nCells from corpus size; explicit count still honored") {
+    import spark.implicits._
+    // derivation math: ⌈n/target⌉, floor 2, ceiling 2^20
+    assert(Similarity.derivedCells(100000L, 1024L) == 98)
+    assert(Similarity.derivedCells(10L, 1024L) == 2)
+    assert(Similarity.derivedCells(Long.MaxValue, 2L) == (1 << 20))
+    // end-to-end: 90 vectors at targetCellSize=30 → 3 derived cells;
+    // identical copies land in one cell and surface as cos≈1 pairs
+    val dim = 8
+    val rows = for { c <- 0 until 3; i <- 0 until 30 } yield {
+      val id = (c * 30 + i).toLong
+      (id, Array.tabulate(dim)(d => (if (d % 3 == c) 1.0f else 0.1f) + 0.01f * (i % 5)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val derived = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, targetCellSize = 30L)
+    val cellsUsed = derived.select("cell").distinct().count()
+    assert(cellsUsed <= 3, s"derived run used $cellsUsed cells, expected <= 3")
+    // the same explicit count reproduces the derived result exactly
+    val explicit = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, nCells = 3)
+    assert(derived.collect().toSet == explicit.collect().toSet)
+  }
+
   test("lshTopK finds most of brute-force top-k on clustered vectors") {
     import spark.implicits._
     // 3 clusters of 30 vectors: cluster base + small deterministic jitter
