@@ -17,7 +17,8 @@ object Joins {
     *
     * Plan: build the bloom with one distributed pass over the dim keys
     * (`DataFrameStatFunctions.bloomFilter`, a treeAggregate), ship it
-    * to every task as a reference object, filter the fact in the SCAN
+    * once per executor via `sparkContext.broadcast` (the expression
+    * carries only the handle), filter the fact in the SCAN
     * stage ([[graft.functions.BloomMightContain]], codegen), then run
     * the exact shuffle semi-join on the survivors. The bloom can only
     * pass false POSITIVES, and the exact join removes them — the
@@ -45,8 +46,12 @@ object Joins {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // broadcast, not an expression literal: the filter ships to each
+    // executor once (torrent), instead of riding the serialized task
+    // closure of every stage that probes it
+    val bc = fact.sparkSession.sparkContext.broadcast(bytes)
     fact
-      .filter(BloomFunctions.mightContain(factKey, bytes))
+      .filter(BloomFunctions.mightContain(factKey, bc))
       .join(keys, factKey === col("__k"), "left_semi")
   }
 
@@ -64,17 +69,31 @@ object Joins {
     *
     * Self-joining a relation with itself returns both orientations and
     * self-pairs — filter `id_a < id_b` downstream for unordered pairs.
+    *
+    * Domain bound: the bucket id is `floor(val/eps)` as a long, so
+    * |val|/eps must stay below 2⁶² — a tiny eps against huge values
+    * raises a clear per-row error instead of overflowing the cast
+    * (ANSI: mid-job cast failure; non-ANSI: silent null bucket =
+    * silently dropped pairs).
     */
   def bandJoin(
       left: DataFrame, leftId: Column, leftVal: Column,
       right: DataFrame, rightId: Column, rightVal: Column,
       eps: Double): DataFrame = {
     require(eps > 0 && java.lang.Double.isFinite(eps), s"bandJoin: eps > 0 required, got $eps")
+    // 2^62: comfortably inside long even after the ±1 probe offsets
+    def bucket(v: Column): Column = {
+      val ratio = v / eps
+      when(abs(ratio) < lit(4.611686018427388e18), floor(ratio).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"bandJoin: |val|/eps exceeds the long bucket domain (eps=$eps, val="),
+          v.cast("string"), lit(")"))))
+    }
     val r = right
       .select(rightId.as("id_b"), rightVal.cast("double").as("val_b"))
       .filter(col("val_b").isNotNull)
-      .withColumn("__b", floor(col("val_b") / eps).cast("long"))
-    val lb = floor(col("val_a") / eps).cast("long")
+      .withColumn("__b", bucket(col("val_b")))
+    val lb = bucket(col("val_a"))
     val l = left
       .select(leftId.as("id_a"), leftVal.cast("double").as("val_a"))
       .filter(col("val_a").isNotNull)

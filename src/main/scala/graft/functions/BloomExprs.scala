@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExprBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -12,18 +13,23 @@ import org.apache.spark.util.sketch.BloomFilter
   * codegen expression.
   *
   * This is the scan-stage half of the bloom-pruned semi-join
-  * ([[graft.ext.Joins.bloomPrunedSemiJoin]]): the filter bytes ship
-  * once per task as a reference object (exactly how Spark's own
-  * runtime-bloom rewrite ships its `might_contain`), deserialization
-  * happens once per task, and the per-row work is a handful of xxhash
-  * probes — no UDF, no boxing, stays inside WholeStageCodegen.
+  * ([[graft.ext.Joins.bloomPrunedSemiJoin]]): the expression carries a
+  * `Broadcast` HANDLE to the filter bytes, not the bytes themselves —
+  * the serialized task binary stays a few bytes and the filter ships
+  * to each executor ONCE over the torrent broadcast path, however many
+  * stages and task retries reference it. (Embedding the bytes as an
+  * expression literal would re-ship them inside every task closure —
+  * at the documented 10^8-key sizing that is ~10^2 MB per stage.)
+  * Deserialization happens once per task, and the per-row work is a
+  * handful of xxhash probes — no UDF, no boxing, stays inside
+  * WholeStageCodegen.
   *
   * False positives are expected and harmless by contract: callers MUST
   * follow with an exact join. False negatives cannot happen, so the
   * composed result is exact.
   */
 case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    bloomBytes: Array[Byte])
+    bloomBc: Broadcast[Array[Byte]])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -37,7 +43,7 @@ case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Ex
   }
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBc.value))
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case StringType => bloom.mightContainString(v.toString)
@@ -45,7 +51,8 @@ case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Ex
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
+    val bcClass = classOf[Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc, bcClass)
     val bfClass = classOf[BloomFilter].getName
     val bf = ctx.addMutableState(bfClass, "graftBloom")
     val probe = child.dataType match {
@@ -56,7 +63,8 @@ case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Ex
       s"""
          |if ($bf == null) {
          |  try {
-         |    $bf = $bfClass.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+         |    $bf = $bfClass.readFrom(
+         |      new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));
          |  } catch (java.io.IOException e) { throw new RuntimeException(e); }
          |}
          |${ev.value} = ${probe(v)};
@@ -72,7 +80,9 @@ case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Ex
 }
 
 object BloomFunctions {
-  /** Column API for [[BloomMightContain]]. */
-  def mightContain(key: Column, bloomBytes: Array[Byte]): Column =
-    GraftExprBridge.column(BloomMightContain(GraftExprBridge.expression(key), bloomBytes))
+  /** Column API for [[BloomMightContain]] — takes the already-broadcast
+    * filter bytes so one broadcast serves every stage that probes it.
+    */
+  def mightContain(key: Column, bloomBc: Broadcast[Array[Byte]]): Column =
+    GraftExprBridge.column(BloomMightContain(GraftExprBridge.expression(key), bloomBc))
 }
