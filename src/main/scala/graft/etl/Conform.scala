@@ -178,6 +178,17 @@ object Conform {
     * Driver-side metadata only — no Spark job runs.
     */
   def schemaDiff(expected: StructType, observed: StructType): Seq[SchemaChange] = {
+    // case-insensitive matching needs case-UNIQUE names: a schema with
+    // "Id" and "ID" would collapse in the lowercase map (last wins) and
+    // a real field would silently vanish from the report — fail loud
+    def collisions(st: StructType): Seq[String] =
+      st.fields.groupBy(_.name.toLowerCase).collect {
+        case (_, fs) if fs.length > 1 => fs.map(_.name).mkString("/")
+      }.toSeq.sorted
+    val (expColl, obsColl) = (collisions(expected), collisions(observed))
+    require(expColl.isEmpty && obsColl.isEmpty,
+      "schemaDiff: case-insensitive name collisions — expected: " +
+        s"[${expColl.mkString(", ")}]; observed: [${obsColl.mkString(", ")}]")
     val exp = expected.fields.map(f => f.name.toLowerCase -> f).toMap
     val obs = observed.fields.map(f => f.name.toLowerCase -> f).toMap
     val removed = expected.fields.filterNot(f => obs.contains(f.name.toLowerCase))

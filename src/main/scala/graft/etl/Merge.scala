@@ -68,9 +68,21 @@ object Merge {
       keys: Seq[String],
       opCol: String): DataFrame = {
     require(changes.columns.contains(opCol), s"applyChangeLog: changes lacks op column $opCol")
-    require(base.columns.sorted.sameElements(changes.columns.filterNot(_ == opCol).sorted),
-      s"applyChangeLog: schemas differ: ${base.columns.mkString(",")} vs " +
-        s"${changes.columns.filterNot(_ == opCol).mkString(",")}")
+    // names AND types: a retyped column would pass a name-only check
+    // and then silently widen under unionByName (or fail late in
+    // analysis), changing base's output schema
+    val baseTypes = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val changeTypes = changes.schema.fields.filterNot(_.name == opCol)
+      .map(f => f.name -> f.dataType).toMap
+    val mismatches = (baseTypes.keySet ++ changeTypes.keySet).toSeq.sorted.flatMap { n =>
+      (baseTypes.get(n), changeTypes.get(n)) match {
+        case (Some(a), Some(b)) if a == b => None
+        case (a, b) => Some(s"$n: ${a.map(_.sql).getOrElse("missing")} vs " +
+          s"${b.map(_.sql).getOrElse("missing")}")
+      }
+    }
+    require(mismatches.isEmpty,
+      s"applyChangeLog: schemas differ (base vs changes) — ${mismatches.mkString("; ")}")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio"))
     changes.withColumn("__op", validatedOp(col(opCol))).drop(opCol)
       .withColumn("__prio", lit(0))

@@ -112,6 +112,11 @@ object Ranges {
     * the key, two Window passes over the same sort, one aggregate.
     * Works on any ordered type (dates, timestamps, numerics) — bounds
     * are compared, never subtracted.
+    *
+    * Rows with a null start OR end bound no interval and are dropped
+    * (they cannot contribute coverage). An INVERTED interval
+    * (start > end) raises a clear per-row error — sorted by its start
+    * it would silently seed an island whose end precedes its start.
     */
   def intervalMerge(
       df: DataFrame,
@@ -125,6 +130,12 @@ object Ranges {
     val base = df
       .filter(start.isNotNull && end.isNotNull)
       .select(key.as("key"), start.as("__s"), end.as("__e"), tieBreak.as("__tb"))
+      .withColumn("__ok",
+        when(col("__s") <= col("__e"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("intervalMerge: inverted interval: start "), col("__s").cast("string"),
+            lit(" > end "), col("__e").cast("string")))))
+      .filter(col("__ok")).drop("__ok")
     base
       .withColumn("__pm",
         max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))

@@ -375,7 +375,12 @@ object TextAnalysis {
     * one distinct-hash relation (one aggregate); the probe side joins
     * on the hash with ONE row per distinct corpus gram on the build
     * side, so AQE splits hot partitions cleanly. Docs too short for a
-    * single n-gram report novelty 0.0 via the left join back.
+    * single n-gram (or with null text) come back via the left join
+    * with n_grams = 0 and novelty_frac NULL — "no evidence", not
+    * "entirely seen" (the repo's clamped-denominator convention, cf.
+    * binDrift), so a keep-novel gate can decide their fate explicitly
+    * instead of silently dropping them. Probe ids are assumed unique:
+    * a duplicated id fans out one output row per input row.
     */
   def ngramNovelty(
       probes: org.apache.spark.sql.DataFrame,
@@ -403,7 +408,7 @@ object TextAnalysis {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         when(coalesce(col("n_grams"), lit(0L)) > 0,
           col("n_novel").cast("double") / col("n_grams").cast("double"))
-          .otherwise(lit(0.0)).as("novelty_frac"))
+          .as("novelty_frac"))
   }
 
   /** Per-document character-class distribution, one compiled pass per

@@ -617,7 +617,7 @@ object Analytics {
                COALESCE(pd.n_novel, 0) AS n_novel,
                CASE WHEN COALESCE(pd.n_grams, 0) > 0
                     THEN CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
-                    ELSE 0.0 END AS novelty_frac
+                    END AS novelty_frac
         FROM base b LEFT JOIN pd USING (doc_id)
         ORDER BY doc_id
       """)),
@@ -760,6 +760,46 @@ object Analytics {
         SELECT event_id, user_id, NULL AS value, event_type
         FROM events WHERE event_type = 'purchase'
         ORDER BY event_id
+      """)),
+    // ----------------------------------------------------------------
+    // The higher-order functions q28 doesn't touch: zip_with (pairwise
+    // combine of two arrays — the self-reverse dot and an index-
+    // weighted sum), and map_filter (entry-wise predicate over a map
+    // built with map_from_arrays). All codegen scan-stage work, no
+    // shuffle, same fixed 0.0-seeded left-fold contract as q28 so the
+    // oracle reproduces the exact IEEE doubles.
+    Q(
+      "q140_higher_order",
+      (s, dir) => {
+        import s.implicits._
+        val d = transform($"embedding", x => x.cast("double"))
+        val idx = sequence(lit(1), size($"embedding"))
+        t(s, dir, "embeddings")
+          .select(
+            $"vec_id",
+            aggregate(zip_with(d, reverse(d), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x).as("rev_dot"),
+            size(map_filter(map_from_arrays(idx, d), (_, v) => v > 0.0))
+              .cast("long").as("n_pos_entries"),
+            aggregate(zip_with(d, transform(idx, i => i.cast("double")),
+                (a, i) => a * i),
+              lit(0.0), (acc, x) => acc + x).as("pos_weighted_sum"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+          FROM embeddings)
+        SELECT vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(d)+1), i -> d[i] * d[len(d)+1-i])),
+                 (a,b) -> a+b) AS rev_dot,
+               CAST(len(list_filter(d, x -> x > 0.0)) AS BIGINT) AS n_pos_entries,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(d)+1), i -> d[i] * CAST(i AS DOUBLE))),
+                 (a,b) -> a+b) AS pos_weighted_sum
+        FROM e
+        ORDER BY vec_id
       """))
   )
 }

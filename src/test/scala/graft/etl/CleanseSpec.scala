@@ -245,4 +245,15 @@ class CleanseSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructType(Seq(StructField("a", IntegerType, nullable = false))))))
     assert(Conform.schemaDiff(nested, nestedObs).isEmpty)
   }
+
+  test("schemaDiff: case-only duplicate names fail loud instead of vanishing") {
+    import org.apache.spark.sql.types._
+    val clean = StructType(Seq(StructField("id", LongType)))
+    val dup = StructType(Seq(
+      StructField("Id", LongType), StructField("ID", StringType)))
+    val e = intercept[IllegalArgumentException] { Conform.schemaDiff(clean, dup) }
+    assert(e.getMessage.contains("collision") && e.getMessage.contains("Id/ID"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] { Conform.schemaDiff(dup, clean) }
+    assert(e2.getMessage.contains("collision"), e2.getMessage)
+  }
 }

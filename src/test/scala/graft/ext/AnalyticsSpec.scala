@@ -296,7 +296,47 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("ngramNovelty: seen text scores 0, unseen text 1, short docs 0 with no grams") {
+  test("bandJoin: |val|/eps beyond the long bucket domain fails loud, not silent") {
+    import spark.implicits._
+    val l = Seq((1L, 1.0e18)).toDF("id", "v")
+    val r = Seq((10L, 1.0e18)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Joins.bandJoin(l, col("id"), col("v"), r, col("id"), col("v"), eps = 1e-9).collect()
+    }
+    assert(e.getMessage.contains("bandJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("bandJoin")), e.toString)
+    // same magnitudes with a sane eps still work
+    assert(Joins.bandJoin(l, col("id"), col("v"), r, col("id"), col("v"), eps = 1.0)
+      .count() == 1)
+  }
+
+  test("applyChangeLog: a retyped column fails the schema require, not unionByName") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val retyped = Seq((2L, 7, "U")).toDF("id", "v", "op") // v: int, base has string
+    val e = intercept[IllegalArgumentException] {
+      Merge.applyChangeLog(base, retyped, Seq("id"), "op")
+    }
+    assert(e.getMessage.contains("schemas differ") && e.getMessage.contains("v:"), e.getMessage)
+  }
+
+  test("intervalMerge: an inverted interval raises; null-bound rows are dropped") {
+    import spark.implicits._
+    val bad = Seq(("k", 5, 1, 1)).toDF("k", "s", "e", "tb")
+    val e = intercept[Exception] {
+      Ranges.intervalMerge(bad, col("k"), col("s"), col("e"), col("tb")).collect()
+    }
+    assert(e.getMessage.contains("inverted interval") ||
+      Option(e.getCause).exists(_.getMessage.contains("inverted interval")), e.toString)
+    val withNulls = Seq(
+      ("k", Some(1), Some(3), 1), ("k", None, Some(9), 2), ("k", Some(4), None, 3))
+      .toDF("k", "s", "e", "tb")
+    val got = Ranges.intervalMerge(withNulls, col("k"), col("s"), col("e"), col("tb"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("k", 1, 3, 1L)))
+  }
+
+  test("ngramNovelty: seen text scores 0, unseen text 1, short docs null with no grams") {
     import spark.implicits._
     val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val probes = Seq(
@@ -306,10 +346,12 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = TextAnalysis.ngramNovelty(probes, col("doc_id"), col("text"),
         corpus, col("text"))
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(got(0) == ((1L, 2L, 0L, 0.0)))
-    assert(got(1) == ((2L, 3L, 3L, 1.0)))
-    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got(0) == ((1L, 2L, 0L, Some(0.0))))
+    assert(got(1) == ((2L, 3L, 3L, Some(1.0))))
+    // no grams = no evidence → null, not "entirely seen"
+    assert(got(2) == ((3L, 0L, 0L, None)))
   }
 
   test("winsorize: rows in a NULL group survive and clamp against their own percentiles") {
