@@ -48,6 +48,28 @@ class JdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.select("id").collect().map(_.getInt(0)).sorted.toSeq == (0 until 100))
   }
 
+  test("JDBC scan pushes predicates and prunes columns down to the database") {
+    import org.apache.spark.sql.functions.col
+    // prod parity with the reference's warehouse scan (sync.py:82): at
+    // scale the database must see the WHERE and the column list, or
+    // every partition ships the full table over JDBC
+    val parts = Pipeline.JdbcSource(url, "src", props,
+      partitionColumn = Some(("id", 0L, 100L, 4))).load(spark)
+    val q = parts.filter(col("amount") > 50.0).select("id", "name")
+    assert(q.count() == 66) // amount = i*1.5 > 50 → i in 34..99
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.toUpperCase.contains("GREATERTHAN(AMOUNT,50.0)"), plan)
+    // pruning: the scan's output carries only the projected columns —
+    // AMOUNT is consumed by the pushed filter inside the database
+    val scanLine = plan.linesIterator.find(_.contains("JDBCRelation")).getOrElse("")
+    assert(!scanLine.toUpperCase.matches(".*\\[.*AMOUNT.*\\].*PUSHED.*"), scanLine)
+    assert(scanLine.toUpperCase.contains("ID") && scanLine.toUpperCase.contains("NAME"), scanLine)
+    // limit pushdown is NOT assertable on Derby: Spark's DerbyDialect
+    // getLimitClause returns "" (no LIMIT syntax), so Spark correctly
+    // declines to push — other dialects (Postgres/MySQL) do push it.
+  }
+
   test("JdbcSink append + truncate modes with count reconciliation") {
     val df = Pipeline.JdbcSource(url, "src", props).load(spark)
     val sink = Pipeline.JdbcSink(url, "dst", props)
