@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Funnel, Graph, Joins, Profile, Ranges, Sampling, Skew, TextAnalysis, TextHash, TimeSeries}
+import graft.ext.{Dedup, Funnel, Graph, Joins, Profile, Ranges, Sampling, Similarity, Skew, TextAnalysis, TextHash, TimeSeries}
 import graft.etl.Merge
 import Q._
 
@@ -800,6 +800,41 @@ object Analytics {
                  (a,b) -> a+b) AS pos_weighted_sum
         FROM e
         ORDER BY vec_id
+      """)),
+    // ----------------------------------------------------------------
+    // SemDeDup semantic near-dup pairs with the CORPUS-DERIVED cell
+    // count (targetCellSize=64 → ⌈n/64⌉ cells, clamped [2, 2^20]):
+    // the q55 k-means chain, but the sizing contract itself is under
+    // oracle — DuckDB re-derives k from its own COUNT(*), so a drift
+    // in the derivation (the thing that keeps Σ|cell|² linear at
+    // 100 TB) breaks the hash, not just a unit test.
+    Q(
+      "q141_semantic_neardup",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.semanticNearDupPairs(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.3, targetCellSize = 64L)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        ${OracleSql.kmeansCents(
+          "SELECT GREATEST(2, LEAST((COUNT(*) - 1) // 64 + 1, 1048576)) FROM v", 2)},
+        assigned AS (
+          SELECT vid, vec, cell FROM (
+            SELECT c.vec_id AS vid, c.vec AS vec, ct.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY ${OracleSql.cosine("c.vec", "ct.cent_vec")} DESC, ct.cent_id) AS rn
+            FROM v c CROSS JOIN cents ct)
+          WHERE rn = 1)
+        SELECT cell, id_a, id_b, cos FROM (
+          SELECT a.cell AS cell, a.vid AS id_a, b.vid AS id_b,
+                 ${OracleSql.cosine("a.vec", "b.vec")} AS cos
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid)
+        WHERE cos >= 0.3
+        ORDER BY id_a, id_b
       """))
   )
 }

@@ -71,8 +71,14 @@ object OracleSql {
     * round-trip — DuckDB's direct decimal→double cast rounds
     * differently) divided by the member count in one double division.
     */
-  def kmeansCents(k: Int, iters: Int): String = {
-    val init = s"cents0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < $k)"
+  def kmeansCents(k: Int, iters: Int): String = kmeansCents(k.toString, iters)
+
+  /** Same chain with `k` as a SQL scalar expression — lets the oracle
+    * replicate [[graft.ext.Similarity.derivedCells]]'s corpus-derived
+    * cell count (q141) instead of a fixed literal.
+    */
+  def kmeansCents(k: String, iters: Int): String = {
+    val init = s"cents0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < ($k))"
     val steps = (1 to iters).map { i =>
       val prev = s"cents${i - 1}"
       s"""assign$i AS (

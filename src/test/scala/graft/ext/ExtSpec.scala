@@ -374,6 +374,11 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val explicit = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
       threshold = 0.999, nCells = 3)
     assert(derived.collect().toSet == explicit.collect().toSet)
+    // plan shape: centroids ride a broadcast; the pair join is
+    // cell-keyed (equi), never a cartesian over the corpus
+    val plan = derived.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("lshTopK finds most of brute-force top-k on clustered vectors") {
