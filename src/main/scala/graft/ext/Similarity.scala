@@ -146,9 +146,16 @@ object Similarity {
     * so balanced-cell pair cost Σ|cell|² ≈ n·targetCellSize stays
     * LINEAR in corpus size — a fixed cell count would go quadratic the
     * moment the corpus outgrows it. An explicit `nCells > 0` skips the
-    * preflight and takes the stated cost. Flat k-means itself bounds
-    * the derived count: past ~10⁵ cells the broadcast centroid table
-    * is the limit — shard the corpus or use [[cosineNearDupPairs]].
+    * preflight and takes the stated cost.
+    *
+    * The next bound up (measured at 100×: 55.6× time, output-linear
+    * pair stage): with k derived as n/target, flat k-means ASSIGNMENT
+    * is n·k = n²/target cosine evaluations. At true 100 TB scale train
+    * the centroids on a fixed-size sample and make assignment two-level
+    * — a coarse ⌈√k⌉-cell quantizer first, then the fine cell within it
+    * — which cuts assignment to O(n·√k) (the IVF coarse-quantizer
+    * pattern); or fall back to [[cosineNearDupPairs]], whose sign-LSH
+    * bucketing is per-vector O(planes·d) with no trained state.
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 0, kmeansIters: Int = 2,
