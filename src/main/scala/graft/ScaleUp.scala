@@ -57,6 +57,20 @@ object ScaleUp {
       val (tN, nN) = time(big, name)
       println(f"""{"q":"$name","sec_1x":$t1%.2f,"rows_1x":$n1,"sec_${factor}x":$tN%.2f,"rows_${factor}x":$nN,"factor":${tN / t1}%.1f}""")
     }
+    // non-catalog scale probe: the two-level (O(n·√k) assignment)
+    // semantic near-dup, timed against the same corpus as q141
+    if (wanted("twolevel")) {
+      def timeTL(dir: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = ext.Similarity.semanticNearDupPairsScaled(
+          Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, targetCellSize = 64L).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (t1, n1) = timeTL(sfDir)
+      val (tN, nN) = timeTL(big)
+      println(f"""{"q":"twolevel_semantic_neardup","sec_1x":$t1%.2f,"rows_1x":$n1,"sec_${factor}x":$tN%.2f,"rows_${factor}x":$nN,"factor":${tN / t1}%.1f}""")
+    }
     spark.stop()
   }
 }

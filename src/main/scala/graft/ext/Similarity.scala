@@ -271,4 +271,108 @@ object Similarity {
   private[ext] def derivedCells(n: Long, targetCellSize: Long): Int =
     // (n-1)/t + 1 is ⌈n/t⌉ without the n+t-1 overflow at huge n
     math.max(2L, math.min((n - 1) / targetCellSize + 1, 1L << 20)).toInt
+
+  /** Two-level (coarse → fine) deterministic cell assignment — the
+    * IVF-coarse-quantizer escape from [[semanticNearDupPairs]]'s n·k
+    * assignment bound. Level 1 trains ⌈√k⌉ coarse centroids globally
+    * ([[kmeansCentroids]], same seeded Lloyd's); level 2 trains
+    * ⌈k/⌈√k⌉⌉ FINE centroids independently INSIDE each coarse cell
+    * (one grouped aggregate trains all coarse cells' fine centroids in
+    * parallel — init = the k₂ lowest-id members per coarse cell, the
+    * per-cell twin of the global init). Every vector then compares to
+    * ⌈√k⌉ coarse + its cell's ≤k₂ fine centroids: O(n·√k) cosine
+    * evaluations instead of O(n·k), with the same deterministic
+    * decimal-mean/lowest-id-tiebreak contract at both levels.
+    *
+    * Output: (vid, vec, cell) where `cell` is the composite
+    * "coarse:fine" string key — unique across coarse cells because
+    * fine ids only resolve within their coarse parent.
+    *
+    * Scale posture: both centroid tables stay broadcast-sized (√k and
+    * k rows); the corpus is never shuffled by vector — level-2
+    * training moves (ccell, fcell, pos, value) triples through
+    * partial-aggregating groupBys exactly like the flat trainer. At
+    * 100 TB train both levels on a hash-sample
+    * ([[graft.ext.Sampling.hashSample]]) and reuse the centroids.
+    */
+  def twoLevelCells(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, kmeansIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, s"twoLevelCells: k >= 2 required, got $k")
+    val kCoarse = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kFine = (k + kCoarse - 1) / kCoarse
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+
+    // level 1: global coarse assignment, n·√k
+    val coarseCents = broadcast(
+      kmeansCentroids(df, idCol, vecCol, kCoarse, kmeansIters).localCheckpoint(false))
+    val wc = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+    val coarse = base.crossJoin(coarseCents)
+      .select(col("vid"), col("vec"), col("cent_id"),
+        cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") === 1)
+      .select(col("vid"), col("vec"), col("cent_id").as("ccell"))
+      .localCheckpoint(false)
+
+    // level 2: per-coarse-cell fine centroids, trained for ALL cells in
+    // one grouped chain (keys carry ccell alongside cent_id)
+    val wInit = Window.partitionBy(col("ccell")).orderBy(col("vid"))
+    var fine = coarse
+      .withColumn("__rn", row_number().over(wInit))
+      .filter(col("__rn") <= kFine)
+      .select(col("ccell"), col("__rn").as("cent_id"), col("vec").as("cent_vec"))
+    val wf = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+    for (_ <- 1 to kmeansIters) {
+      val assigned = coarse.join(broadcast(fine), Seq("ccell"))
+        .select(col("ccell"), col("vid"), col("vec"), col("cent_id"),
+          cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+        .withColumn("__rn", row_number().over(wf))
+        .filter(col("__rn") === 1)
+        .select(col("ccell"), col("vid"), col("vec"), col("cent_id").as("fcell"))
+      fine = assigned
+        .select(col("ccell"), col("fcell"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("ccell"), col("fcell"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("ccell"), col("fcell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("ccell"), col("fcell").as("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("cent_vec"))
+    }
+    coarse.join(broadcast(fine), Seq("ccell"))
+      .select(col("ccell"), col("vid"), col("vec"), col("cent_id"),
+        cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+      .withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") === 1)
+      .select(col("vid"), col("vec"),
+        concat(col("ccell").cast("string"), lit(":"),
+          col("cent_id").cast("string")).as("cell"))
+  }
+
+  /** [[semanticNearDupPairs]] with [[twoLevelCells]] assignment — the
+    * form whose assignment cost is O(n·√k), for corpora where the
+    * derived k makes flat assignment (n·k) the bottleneck. Same pair
+    * semantics: exact cosine within each (coarse, fine) cell, pairs
+    * meeting `threshold`. Slightly different cells than the flat
+    * trainer (coarse boundaries quantize first), so this is a recall/
+    * cost trade documented by the ExtSpec parity case, not a
+    * bit-identical drop-in.
+    */
+  def semanticNearDupPairsScaled(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, kmeansIters: Int = 2,
+      targetCellSize: Long = 1024L): DataFrame = {
+    require(targetCellSize >= 2,
+      s"semanticNearDupPairsScaled: targetCellSize >= 2 required, got $targetCellSize")
+    val n = df.count()
+    require(n > 0, "semanticNearDupPairsScaled: empty corpus")
+    val assigned = twoLevelCells(df, idCol, vecCol,
+      derivedCells(n, targetCellSize), kmeansIters)
+    assigned.as("a").join(assigned.as("b"), col("a.cell") === col("b.cell"))
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.cell").as("cell"), col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        cosineSim(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

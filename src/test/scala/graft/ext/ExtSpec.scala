@@ -381,6 +381,59 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("semanticNearDupPairsScaled: identical copies always pair; deterministic; recall vs flat") {
+    import spark.implicits._
+    // same fixture as the derived-cells case: vectors with equal
+    // (cluster, i%5) are bit-identical — 3 clusters x 5 variants x
+    // C(6,2) = 225 identical pairs that NO deterministic assignment
+    // can split across cells
+    val dim = 8
+    val rows = for { c <- 0 until 3; i <- 0 until 30 } yield {
+      val id = (c * 30 + i).toLong
+      (id, Array.tabulate(dim)(d => (if (d % 3 == c) 1.0f else 0.1f) + 0.01f * (i % 5)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val expected = (for {
+      c <- 0 until 3; m <- 0 until 5
+      ids = (0 until 30).filter(_ % 5 == m).map(i => (c * 30 + i).toLong)
+      a <- ids; b <- ids if a < b
+    } yield (a, b)).toSet
+    assert(expected.size == 225)
+    def idPairs(out: org.apache.spark.sql.DataFrame) = out
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = Similarity.semanticNearDupPairsScaled(df, "vec_id", "embedding",
+      threshold = 0.999, targetCellSize = 30L)
+    val got = idPairs(scaled)
+    assert(expected.subsetOf(got),
+      s"missing identical-copy pairs: ${(expected -- got).take(5)}")
+    val flat = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, targetCellSize = 30L)
+    assert(expected.subsetOf(idPairs(flat)))
+    // deterministic under re-run
+    val again = idPairs(Similarity.semanticNearDupPairsScaled(df, "vec_id", "embedding",
+      threshold = 0.999, targetCellSize = 30L))
+    assert(again == got)
+    // plan shape: fine-centroid join is cell-keyed broadcast, pair join
+    // equi on the composite cell — no cartesian anywhere
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("semanticNearDupPairsScaled recall vs flat trainer on the real embeddings fixture") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(out: org.apache.spark.sql.DataFrame) = out
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = pairs(Similarity.semanticNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.3, targetCellSize = 64L))
+    val scaled = pairs(Similarity.semanticNearDupPairsScaled(
+      emb, "vec_id", "embedding", threshold = 0.3, targetCellSize = 64L))
+    val recall = flat.intersect(scaled).size.toDouble / flat.size
+    info(f"recall vs flat: $recall%.3f (flat ${flat.size}, scaled ${scaled.size})")
+    // coarse quantization first loses some cross-boundary pairs — the
+    // documented recall/cost trade; generous floor for fixture drift
+    assert(recall >= 0.4, s"recall vs flat: $recall (flat ${flat.size}, scaled ${scaled.size})")
+  }
+
   test("lshTopK finds most of brute-force top-k on clustered vectors") {
     import spark.implicits._
     // 3 clusters of 30 vectors: cluster base + small deterministic jitter
