@@ -46,6 +46,10 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$big/orders.parquet")
     scaled(Tables.load(spark, sfDir, "lineitem"), "l_orderkey", factor)
       .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    // dimensions ride along unscaled (the realistic shape: fact growth
+    // against a fixed dim) so every catalog query can run at N×
+    Seq("part", "customer", "region", "nation", "supplier").foreach(t =>
+      Tables.load(spark, sfDir, t).write.mode("overwrite").parquet(s"$big/$t.parquet"))
 
     def time(dir: String, name: String): (Double, Long) = {
       val t0 = System.nanoTime()

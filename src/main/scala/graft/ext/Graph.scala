@@ -253,6 +253,60 @@ object Graph {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Triangle census of an undirected graph: one row with node, edge,
+    * wedge, and triangle counts plus the global clustering coefficient
+    * 3·T / wedges (null on a wedge-free graph).
+    *
+    * Algorithm: degree-oriented wedge enumeration (Schank & Wagner,
+    * WEA'05 — the "forward"/compact-forward family). Each undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the
+    * higher; wedges are pairs of out-edges from one source; a wedge
+    * closes iff its two far endpoints are themselves an edge. Under
+    * this orientation every triangle is counted EXACTLY once (at its
+    * minimum-(degree, id) corner) and every out-degree is O(√m), so
+    * the wedge space is O(m^1.5) worst-case instead of Σ deg² — the
+    * property that keeps hub nodes (degree 10⁶ in a 100 TB co-purchase
+    * graph) from exploding the self-join: a hub is always the wedge
+    * FAR endpoint, never the enumeration source.
+    *
+    * Shuffle census: dedup (u,v), degree groupBy, two degree joins,
+    * the out-edge self-join on the source key, and the closing-edge
+    * join on the (min, max) pair key — all keyed exchanges, no
+    * cartesian anywhere. Output is a single row built by crossJoin of
+    * 1-row aggregates (broadcast, not a driver collect).
+    */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient: u<v always, so (d_u, u) < (d_v, v) reduces to d_u <= d_v
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"))
+    val wedges = oriented.select(col("s"), col("t").as("b"))
+      .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
+      .filter(col("b") < col("c"))
+    val tri = wedges
+      .join(e, least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1L) div 2L")).as("n_wedges"))
+    val eAgg = e.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(eAgg).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0L,
+          lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          .as("global_cc"))
+  }
+
   /** Serializes the persistent-RDD id diff in [[checkpointTracked]]
     * across graft threads (see the CAVEAT in [[connectedComponents]]).
     */

@@ -160,6 +160,51 @@ object Profile {
           .as("kurtosis")): _*)
   }
 
+  /** Grouped simple linear regression (OLS of y on x): per group —
+    * observation count, slope, intercept, and R². The "does this
+    * numeric drive that one, per segment" question (feature screening,
+    * trend fits) answered without leaving the engine.
+    *
+    * One aggregation over one scan, same shape as [[moments]]: the
+    * five power/cross sums accumulate as exact DECIMAL(38,10) (double
+    * summation is order-dependent across partitionings; the per-row
+    * products are plain IEEE doubles, deterministic everywhere), and
+    * the closed-form OLS algebra runs on the resulting doubles. Rows
+    * where either side is null are excluded (count(x*y) semantics).
+    * Degenerate groups are null, not garbage: slope/intercept null
+    * when x is constant (n·Sxx = Sx²), R² additionally null when y is
+    * constant. Scale posture: one keyed exchange of 6 numbers per
+    * group — group count, not row count, bounds the shuffle.
+    */
+  def groupedOls(
+      df: DataFrame,
+      groups: Seq[String],
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val x = when(yCol.isNotNull, xCol.cast("double"))
+    val y = when(xCol.isNotNull, yCol.cast("double"))
+    val agged = df.groupBy(groups.map(col): _*).agg(
+      count(x * y).cast("double").as("__n"),
+      sum(x.cast(dec)).cast("double").as("__sx"),
+      sum(y.cast(dec)).cast("double").as("__sy"),
+      sum((x * x).cast(dec)).cast("double").as("__sxx"),
+      sum((x * y).cast(dec)).cast("double").as("__sxy"),
+      sum((y * y).cast(dec)).cast("double").as("__syy"))
+    val n = col("__n")
+    val covn = n * col("__sxy") - col("__sx") * col("__sy")
+    val varxn = n * col("__sxx") - col("__sx") * col("__sx")
+    val varyn = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = covn / varxn
+    agged.select(
+      groups.map(col) ++ Seq(
+        n.cast("long").as("n_obs"),
+        when(varxn > 0, slope).as("slope"),
+        when(varxn > 0, (col("__sy") - slope * col("__sx")) / n).as("intercept"),
+        when(varxn > 0 && varyn > 0, (covn * covn) / (varxn * varyn)).as("r2")): _*)
+  }
+
   /** EXACT join-output cardinality per key, computed WITHOUT running
     * the join: |A⋈B| on key k is n_A(k)·n_B(k), so two per-key count
     * aggregates and a (distinct-key)-sized inner join give every key's

@@ -411,6 +411,44 @@ object TextAnalysis {
           .as("novelty_frac"))
   }
 
+  /** Per-document TOKEN-distribution diversity — the log-free twins of
+    * entropy that curation gates actually threshold on:
+    *
+    *   - `concentration` — Σc²/n² (Simpson/Herfindahl index; 1.0 = one
+    *     token repeated, →1/n_types under a uniform distribution);
+    *   - `top_frac` — max c / n (the single dominating token's share);
+    *   - `ttr` — type–token ratio n_types/n (template spam ≪ prose).
+    *
+    * All three are ratios of exact integers evaluated once in IEEE
+    * doubles, so they hash-match any engine — no `log`, whose last-ulp
+    * disagreement between libm and the JVM is why the repo's quality
+    * family ([[unigramScore]], [[charStats]]) is log-free by
+    * convention. Docs with no tokens (null/blank text) are ABSENT from
+    * the output, matching [[ngramNovelty]]'s no-evidence contract.
+    *
+    * Two keyed shuffles, both on doc-sized keys: (doc, token) counts,
+    * then the per-doc rollup. Token counts per doc bound the state;
+    * nothing is corpus-global, so 100 TB shards clean.
+    */
+  def tokenDiversity(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), explode(TextHash.tokens(text)).as("__tok"))
+      .groupBy(col("doc_id"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("__c")).as("__maxc"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("__c2").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("concentration"),
+        (col("__maxc").cast("double") / col("n_tokens").cast("double")).as("top_frac"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+
   /** Per-document character-class distribution, one compiled pass per
     * doc ([[graft.functions.CharClassStats]]): code-point count, ASCII
     * count, whitespace/digit/alpha/upper counts, distinct-ASCII count,

@@ -15,7 +15,8 @@ object Catalog {
     Scale.all,
     Temporal.all,
     Lexical.all,
-    Analytics.all
+    Analytics.all,
+    Insights.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ext.{Assoc, Graph, Profile, TextAnalysis}
+import Q._
+
+/** Round-6 analytical surface: grouped regression, deterministic mode,
+  * bitwise rollups, ordered listagg, association rules, triangle
+  * census, token-diversity curation signals, lateral top-k, and the
+  * arrays_zip/inline generator pair.
+  */
+object Insights {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Grouped OLS (y = extendedprice on x = quantity per returnflag):
+    // one aggregation, five exact-decimal power/cross sums, closed-form
+    // algebra in doubles — the moments (q119) discipline applied to
+    // regression. Null guards: slope/intercept null on constant x,
+    // R² additionally on constant y.
+    Q(
+      "q142_grouped_ols",
+      (s, dir) => {
+        import s.implicits._
+        Profile.groupedOls(t(s, dir, "lineitem"),
+            Seq("l_returnflag"), $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""
+        WITH sums AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(l_quantity * l_extendedprice) AS DOUBLE) AS n,
+                 ${OracleSql.dsum("l_quantity")} AS sx,
+                 ${OracleSql.dsum("l_extendedprice")} AS sy,
+                 ${OracleSql.dsum("l_quantity * l_quantity")} AS sxx,
+                 ${OracleSql.dsum("l_quantity * l_extendedprice")} AS sxy,
+                 ${OracleSql.dsum("l_extendedprice * l_extendedprice")} AS syy
+          FROM lineitem GROUP BY l_returnflag),
+        alg AS (
+          SELECT l_returnflag, n,
+                 n * sxy - sx * sy AS covn,
+                 n * sxx - sx * sx AS varxn,
+                 n * syy - sy * sy AS varyn,
+                 sx, sy
+          FROM sums)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_obs,
+               CASE WHEN varxn > 0 THEN covn / varxn END AS slope,
+               CASE WHEN varxn > 0 THEN (sy - covn / varxn * sx) / n END AS intercept,
+               CASE WHEN varxn > 0 AND varyn > 0
+                    THEN (covn * covn) / (varxn * varyn) END AS r2
+        FROM alg ORDER BY l_returnflag
+      """)),
+    // ----------------------------------------------------------------
+    // Grouped mode with a DETERMINISTIC tie-break (max count, then
+    // smallest value) — Spark's native `mode` aggregate is explicitly
+    // nondeterministic on ties, so the portable form is the count +
+    // row_number pick: one keyed aggregation, one window over
+    // group-count-sized input, never a corpus shuffle.
+    Q(
+      "q143_grouped_mode",
+      (s, dir) => {
+        import s.implicits._
+        val cnts = t(s, dir, "events")
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"user_id").orderBy($"cnt".desc, $"event_type")
+        cnts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"user_id", $"event_type".as("mode_event"), $"cnt".as("mode_count"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, event_type AS mode_event, cnt AS mode_count FROM (
+          SELECT user_id, event_type, COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1 ORDER BY user_id
+      """)),
+    // ----------------------------------------------------------------
+    // Bitwise aggregates — AND/OR/XOR rollups of a flag word per group
+    // (permission masks, feature-bit unions, parity checks). Exact
+    // integer semantics, map-side partial aggregation like any sum.
+    Q(
+      "q144_bitwise_agg",
+      (s, dir) => {
+        import s.implicits._
+        val flags = ($"event_id" % 65536L).cast("long")
+        t(s, dir, "events").groupBy($"event_type")
+          .agg(bit_and(flags).as("flags_and"),
+            bit_or(flags).as("flags_or"),
+            bit_xor(flags).as("flags_xor"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               BIT_AND(CAST(event_id % 65536 AS BIGINT)) AS flags_and,
+               BIT_OR(CAST(event_id % 65536 AS BIGINT)) AS flags_or,
+               BIT_XOR(CAST(event_id % 65536 AS BIGINT)) AS flags_xor
+        FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+    // ----------------------------------------------------------------
+    // Ordered listagg / string_agg: the deterministic form is
+    // array_sort(collect_list) → array_join — partition order never
+    // leaks into the result, which is what makes a listagg
+    // hash-checkable at all (Spark's listagg without WITHIN GROUP
+    // inherits arrival order). Per-group state is the group's values:
+    // cap group size upstream at 100 TB (q77's per-source caps).
+    Q(
+      "q145_listagg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "region")
+          .join(t(s, dir, "nation"), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(array_join(array_sort(collect_list($"n_name")), "|").as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy($"r_name")
+      },
+      Some("""
+        SELECT r.r_name,
+               string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+      """)),
+    // ----------------------------------------------------------------
+    // Association rules over (user, day) baskets of event types:
+    // support / confidence / lift at the 2-itemset level. Baskets
+    // above maxBasketSize are excluded entirely (the hub-key rule —
+    // none are at size 32 over 5 event types, and the oracle replays
+    // the same filter so the contract itself is under test).
+    Q(
+      "q146_assoc_rules",
+      (s, dir) => {
+        import s.implicits._
+        Assoc.associationRules(t(s, dir, "events"),
+            concat_ws("|", $"user_id", to_date($"ts")), $"event_type",
+            maxBasketSize = 32)
+          .orderBy($"ante", $"cons")
+      },
+      Some("""
+        WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+                   FROM events),
+        deg AS (SELECT user_id, d FROM b GROUP BY user_id, d
+                HAVING COUNT(*) <= 32),
+        kept AS (SELECT b.* FROM b JOIN deg USING (user_id, d)),
+        tot AS (SELECT COUNT(*) AS nb FROM deg),
+        sup AS (SELECT event_type, COUNT(*) AS cnt FROM kept GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ante, c.event_type AS cons, COUNT(*) AS n_both
+          FROM kept a JOIN kept c
+            ON a.user_id = c.user_id AND a.d = c.d AND a.event_type < c.event_type
+          GROUP BY 1, 2)
+        SELECT p.ante, p.cons, p.n_both,
+               CAST(p.n_both AS DOUBLE) / CAST(sa.cnt AS DOUBLE) AS confidence,
+               CAST(p.n_both AS DOUBLE) * CAST(t.nb AS DOUBLE) /
+                 (CAST(sa.cnt AS DOUBLE) * CAST(sc.cnt AS DOUBLE)) AS lift
+        FROM pairs p
+        JOIN sup sa ON sa.event_type = p.ante
+        JOIN sup sc ON sc.event_type = p.cons
+        CROSS JOIN tot t
+        ORDER BY p.ante, p.cons
+      """)),
+    // ----------------------------------------------------------------
+    // Triangle census of the co-purchase graph (parts sharing an
+    // order, restricted to three brands so the wedge space stays
+    // bench-sized — the full-catalog graph at sf0.1 has 148M wedges).
+    // Edges via bipartiteProject, census via degree-oriented wedge
+    // enumeration; the oracle replays the whole composition including
+    // the orientation rule.
+    Q(
+      "q147_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val pk = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+          .select($"p_partkey")
+        val ip = t(s, dir, "lineitem")
+          .join(pk, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey")
+        val edges = Graph.bipartiteProject(ip, "l_orderkey", "l_partkey",
+          maxDegree = 64)
+        Graph.triangleCount(edges, "a", "b")
+      },
+      Some("""
+        WITH ip AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
+                 HAVING COUNT(*) <= 64),
+        kept AS (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM kept a JOIN kept b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        deg AS (SELECT id, COUNT(*) AS d FROM (
+                  SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+                GROUP BY 1),
+        oriented AS (
+          SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+                 CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
+          FROM edges e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM (SELECT o1.t AS b, o2.t AS c
+                FROM oriented o1 JOIN oriented o2 ON o1.s = o2.s AND o1.t < o2.t) w
+          JOIN edges e ON e.u = LEAST(w.b, w.c) AND e.v = GREATEST(w.b, w.c))
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM edges) AS n_edges,
+               (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0 THEN
+                 (3.0 * CAST((SELECT n_triangles FROM tri) AS DOUBLE)) /
+                   CAST((SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS DOUBLE)
+               END AS global_cc
+      """)),
+    // ----------------------------------------------------------------
+    // Token-diversity curation signals: Simpson concentration, top-
+    // token share, type-token ratio — the log-free entropy family
+    // (ratios of exact longs, hash-stable across engines). Docs with
+    // no tokens are absent by the no-evidence contract.
+    Q(
+      "q148_token_diversity",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.tokenDiversity(t(s, dir, "documents"), $"doc_id", lower($"text"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS tok
+          FROM documents),
+        cnts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * c) AS DOUBLE) /
+                 CAST(SUM(c) * SUM(c) AS DOUBLE) AS concentration,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+        FROM cnts GROUP BY doc_id ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Correlated LATERAL top-k — "each customer's 2 biggest orders"
+    // via Dataset.lateralJoin with a correlated ORDER BY ... LIMIT
+    // subquery (the SQL:2016 LATERAL surface; Catalyst decorrelates
+    // it to a keyed window, so the plan is one shuffle, not a
+    // per-customer loop).
+    Q(
+      "q149_lateral_topk",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val inner = t(s, dir, "orders")
+          .where($"o_custkey" === $"c_custkey".outer())
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(2)
+          .select($"o_orderkey", $"o_totalprice")
+        c.lateralJoin(inner).orderBy($"c_custkey", $"o_orderkey")
+      },
+      Some("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_orderkey
+      """)),
+    // ----------------------------------------------------------------
+    // arrays_zip + inline: zip an array with its 1-based index into an
+    // array of structs and explode the structs into columns — the
+    // generator pair q122 (posexplode) and q138 (explode_outer) don't
+    // touch. Scan-stage only; the filter keeps output sparse.
+    Q(
+      "q150_zip_inline",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"vec_id", inline(arrays_zip(
+            sequence(lit(1), size($"embedding")).as("idx"),
+            transform($"embedding", x => x.cast("double")).as("val"))))
+          .filter($"val" > 0.3)
+          .orderBy($"vec_id", $"idx")
+      },
+      Some("""
+        SELECT vec_id, CAST(i AS INT) AS idx, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        WHERE CAST(embedding[i] AS DOUBLE) > 0.3
+        ORDER BY vec_id, idx
+      """))
+  )
+}

@@ -208,4 +208,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q149 lateral top-k decorrelates to WindowGroupLimit, not a per-row loop") {
+    val p = planOf("q149_lateral_topk")
+    // WindowGroupLimit = rank pushed below the shuffle (map-side partial
+    // top-k); a BroadcastNestedLoopJoin here would mean Catalyst fell
+    // back to re-running the subquery per outer row
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q147 triangle census keys every join in the wedge space") {
+    val p = planOf("q147_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop joins are the two deliberate 1-row stat
+    // combiners at the root (degAgg × eAgg × tri); the wedge self-join
+    // and the closing-edge join must stay keyed hash joins
+    // tree lines only (formatted mode also lists each op in the details
+    // section); Cross = the deliberate combiners, anything else fails
+    val bnlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size
+    val bnljAll = p.linesIterator.count(_.matches(".*BroadcastNestedLoopJoin \\w.*"))
+    assert(bnlj == 2 && bnljAll == 2,
+      s"expected exactly the 2 one-row cross combiners, got $bnlj cross / $bnljAll total:\n$p")
+  }
+
+  test("q148 token diversity aggregates partially before each keyed exchange") {
+    val p = planOf("q148_token_diversity")
+    // two HashAggregate pairs (doc,tok) → (doc); generate stays scan-stage
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
