@@ -183,4 +183,59 @@ object Funnel {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent PRECEDING non-conversion event of the same key within
+    * a lookback window, or to `"direct"` when no touch exists inside
+    * it. Output per touch channel: conversion count and exact-decimal
+    * value sum — the marketing-attribution primitive (and, in a
+    * training-data pipeline, "which upstream signal preceded this
+    * label" provenance).
+    *
+    * Strictly-preceding is a ROWS frame to 1 PRECEDING over
+    * (ts, tieBreak) — a same-instant touch converts (it precedes in
+    * the total order), and the unique tieBreak makes "most recent"
+    * deterministic under timestamp ties, which a RANGE frame could
+    * not be (all peers share one frame). The lookback is applied to
+    * the carried touch timestamp AFTER the window, so one window pass
+    * serves any horizon.
+    *
+    * Scale posture: one Exchange on the key shared by both IGNORE
+    * NULLS `last` windows (same partitioning and sort), then a
+    * channel-cardinality aggregate. The log shuffles once, per-key
+    * window state is O(1) — the frame only ever materializes the
+    * running last non-null.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      eventType: Column,
+      value: Column,
+      conversion: String,
+      tieBreak: Column,
+      lookbackDays: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lookbackDays >= 1, s"lastTouchAttribution: lookbackDays >= 1, got $lookbackDays")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("__t") =!= lit(conversion), col("__t"))
+    val touchTs = when(col("__t") =!= lit(conversion), col("__ts"))
+    events
+      .filter(key.isNotNull && ts.isNotNull && eventType.isNotNull)
+      .select(key.as("__k"), ts.as("__ts"), eventType.as("__t"),
+        value.as("__v"), tieBreak.as("__tb"))
+      .withColumn("__touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__touch_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("__t") === lit(conversion))
+      .select(
+        coalesce(
+          when(col("__touch_ts") >= col("__ts") - expr(s"INTERVAL $lookbackDays DAYS"),
+            col("__touch")),
+          lit("direct")).as("touch"),
+        col("__v"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(col("__v").cast(DecimalType(38, 10))).cast("double").as("value_sum"))
+  }
 }

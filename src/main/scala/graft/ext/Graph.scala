@@ -307,6 +307,76 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Hop-bounded multi-source BFS: minimum hop distance from any seed
+    * node, for every node within `maxHops` undirected hops. Output
+    * (id, dist) — nodes beyond the horizon are absent (the no-evidence
+    * contract; an unreachable node has no distance, not distance ∞).
+    *
+    * Level-synchronous frontier expansion — the textbook distributed
+    * BFS (Pregel's canonical example): round h joins the CURRENT
+    * frontier (nodes first reached at h-1) against the edge relation,
+    * anti-joins the already-settled set, and labels survivors h. Each
+    * round is two keyed shuffles (join on the frontier key, anti-join
+    * on the settled key); the frontier — not the graph — bounds the
+    * per-round work, which is what makes hop-bounded neighborhoods
+    * cheap on a 100 TB graph where the FULL transitive closure would
+    * not be.
+    *
+    * Both the frontier and the settled set are locally checkpointed
+    * per round with explicit unpersist of superseded blocks (the
+    * [[connectedComponents]] discipline): each round's plan references
+    * the previous round twice (expansion + anti-join), so an
+    * uncheckpointed lineage doubles per hop.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30,
+      s"bfsDistances: maxHops in [1, 30] required, got $maxHops")
+    val sc = edges.sparkSession.sparkContext
+    val e = edges.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+    val (bidir, bidirIds) = checkpointTracked(
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+    var (frontier, frontierIds) = checkpointTracked(
+      seeds.select(col(seedCol).as("id")).filter(col("id").isNotNull).distinct())
+    var (dist, distIds) = checkpointTracked(
+      frontier.select(col("id"), lit(0).as("dist")))
+    var liveIds = bidirIds ++ frontierIds ++ distIds
+    try {
+      var h = 1
+      var frontierSize = 1L
+      while (h <= maxHops && frontierSize > 0) {
+        val (next, nextIds) = checkpointTracked(
+          frontier.join(bidir, frontier("id") === bidir("u"))
+            .select(col("v").as("id")).distinct()
+            .join(dist, Seq("id"), "left_anti"))
+        liveIds ++= nextIds
+        frontierSize = next.count() // materializes the round
+        val (nd, ndIds) = checkpointTracked(
+          dist.unionAll(next.select(col("id"), lit(h).as("dist"))))
+        liveIds ++= ndIds
+        nd.count() // settle before freeing the relations it read
+        freeIds(sc, frontierIds ++ distIds)
+        liveIds --= frontierIds ++ distIds
+        frontier = next; frontierIds = nextIds
+        dist = nd; distIds = ndIds
+        h += 1
+      }
+      dist
+    } finally {
+      // the returned frame's blocks (distIds) stay live; everything
+      // superseded or auxiliary is freed here even on abort — except
+      // bidir, which the caller's action no longer needs either
+      freeIds(sc, liveIds -- distIds)
+    }
+  }
+
   /** Serializes the persistent-RDD id diff in [[checkpointTracked]]
     * across graft threads (see the CAVEAT in [[connectedComponents]]).
     */

@@ -205,6 +205,92 @@ object Profile {
         when(varxn > 0 && varyn > 0, (covn * covn) / (varxn * varyn)).as("r2")): _*)
   }
 
+  /** Chi-square test of independence between two categorical columns,
+    * one row out: observation count, contingency dimensions, the χ²
+    * statistic, and Cramér's V = √(χ²/(n·min(r-1, c-1))) — the
+    * bounded-[0,1] effect size that makes χ² comparable across
+    * feature pairs (the categorical twin of [[corrMatrix]], for
+    * feature screening over segment/label columns).
+    *
+    * Computed as χ² = n·Σ o²/(rᵢ·cⱼ) − n — algebraically identical to
+    * Σ(o−e)²/e over ALL r×c cells but summing only OBSERVED cells: a
+    * zero cell's o²/(rᵢcⱼ) term is zero, where the (o−e)²/e form would
+    * need the full cross product of categories materialized (the naive
+    * observed-cells-only sum silently DROPS every zero cell's e
+    * contribution and understates χ²). Observed counts are exact longs;
+    * the per-cell terms evaluate once in IEEE doubles (identical on any
+    * engine), and the term SUM — the only order-dependent step —
+    * accumulates via DECIMAL(38,10), the repo's reproducible-sum
+    * contract. √ is correctly rounded in IEEE 754, so even the effect
+    * size is hash-stable. Null rows on either column are excluded.
+    *
+    * Scale: one (r, c) cell aggregate over one scan — cell count, not
+    * row count, bounds every downstream relation; the row/column
+    * marginals join back to cells broadcast-sized.
+    */
+  def chiSquare(df: DataFrame, rCol: Column, cCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val o = df.filter(rCol.isNotNull && cCol.isNotNull)
+      .groupBy(rCol.as("__r"), cCol.as("__c")).agg(count(lit(1)).as("__o"))
+    val tot = o.agg(
+      sum(col("__o")).cast("double").as("__n"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc"))
+    val rt = o.groupBy(col("__r")).agg(sum(col("__o")).cast("double").as("__rsum"))
+    val ct = o.groupBy(col("__c")).agg(sum(col("__o")).cast("double").as("__csum"))
+    val term = col("__o").cast("double") * col("__o").cast("double") /
+      (col("__rsum") * col("__csum"))
+    val chi2 = o.join(rt, "__r").join(ct, "__c")
+      .agg(sum(term.cast(dec)).cast("double").as("__s"))
+      .crossJoin(tot)
+      .select((col("__n") * col("__s") - col("__n")).as("__chi2"))
+    tot.crossJoin(chi2).select(
+      col("__n").cast("long").as("n_obs"),
+      col("__nr").as("n_rows"),
+      col("__nc").as("n_cols"),
+      col("__chi2").as("chi2"),
+      when(least(col("__nr"), col("__nc")) > 1L,
+        sqrt(col("__chi2") /
+          (col("__n") * least(col("__nr") - 1L, col("__nc") - 1L).cast("double"))))
+        .as("cramers_v"))
+  }
+
+  /** Equi-WIDTH histogram: `nBins` equal value-range bins over the
+    * global [min, max], per bin the row count and exact-decimal sum.
+    * The distribution-shape complement of [[quantileBins]] (equi-DEPTH
+    * = equal counts, data-dependent edges; equi-width = fixed edges,
+    * data-dependent counts — the form monitoring dashboards plot).
+    *
+    * Bin of x is ⌊(x-lo)/((hi-lo)/nBins)⌋ clamped to nBins-1 (the max
+    * value closes the last bin, matching width_bucket convention); a
+    * degenerate domain (hi = lo, including a single-row input) puts
+    * everything in bin 0. Nulls are excluded. The division runs in IEEE
+    * doubles — identical on any engine — so bin assignment, unlike a
+    * libm log-scale histogram, is hash-stable.
+    *
+    * Scale: the [min, max] probe is a 1-row aggregate broadcast back
+    * via crossJoin (never a driver collect); binning is a scan-stage
+    * expression and the bin aggregate carries nBins rows.
+    */
+  def equiWidthHistogram(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBins >= 1 && nBins <= 100000,
+      s"equiWidthHistogram: nBins in [1, 100000] required, got $nBins")
+    val dec = DecimalType(38, 10)
+    val v = value.cast("double")
+    val rows = df.filter(v.isNotNull).select(v.as("__v"))
+    val bounds = rows.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(nBins.toDouble)
+    val bin = when(col("__hi") > col("__lo"),
+      least(floor((col("__v") - col("__lo")) / width), lit(nBins - 1L)))
+      .otherwise(lit(0L))
+    rows.crossJoin(bounds)
+      .select(bin.cast("int").as("bin"), col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__v").cast(dec)).cast("double").as("sum_value"))
+  }
+
   /** EXACT join-output cardinality per key, computed WITHOUT running
     * the join: |A⋈B| on key k is n_A(k)·n_B(k), so two per-key count
     * aggregates and a (distinct-key)-sized inner join give every key's

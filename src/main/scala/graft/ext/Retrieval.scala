@@ -75,4 +75,55 @@ object Retrieval {
         sum(col("__s").cast(DecimalType(38, 10))).cast("double").as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09): merge N
+    * rankings of the same id space into one by Σᵢ 1/(c + rankᵢ),
+    * summing only over the lists that contain the id. The standard
+    * way to combine lexical and vector retrieval (BM25 list + ANN
+    * list) without score calibration — only ranks matter.
+    *
+    * Each input is (id, score); ranks come from RANK() over
+    * (score DESC, id) — the id tiebreak makes ranking total, and
+    * ranking on an exact (decimal/long) score column is engine-
+    * independent by construction. The per-list terms 1/(c+rank) are
+    * single IEEE divisions; their cross-list SUM — the one
+    * order-dependent step — accumulates via DECIMAL(38,10), the
+    * repo's reproducible-sum contract. Output: (id, n_lists,
+    * best_rank, rrf).
+    *
+    * Scale posture: RRF inputs are top-N retrieval LISTS, not corpora
+    * — each window ranks one bounded list (the global window's single
+    * partition is list-sized by contract, enforced by `maxListSize`);
+    * the fuse itself is one keyed aggregate over Σ|list| rows.
+    */
+  def rrfFuse(lists: Seq[DataFrame], c: Int = 60, maxListSize: Long = 10000000L): DataFrame = {
+    require(lists.size >= 2, s"rrfFuse: >= 2 lists required, got ${lists.size}")
+    require(c >= 1, s"rrfFuse: c >= 1 required, got $c")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lists.map { df =>
+      require(df.columns.length == 2,
+        s"rrfFuse: each list must be (id, score), got ${df.columns.mkString(", ")}")
+      val Array(idName, scoreName) = df.columns
+      val guarded = df.crossJoin(
+        df.agg(count(lit(1)).as("__sz"))
+          .select(when(col("__sz") <= maxListSize, lit(1))
+            .otherwise(raise_error(concat(lit(
+              s"rrfFuse: list exceeds maxListSize=$maxListSize — RRF ranks " +
+                "a single partition; fuse top-N lists, not corpora (size="),
+              col("__sz"), lit(")")))).as("__ok")))
+      guarded
+        .select(col(idName).as("id"),
+          // ×1 keeps the guard in the plan: an unused guard column
+          // would be pruned and the raise_error never evaluated
+          (rank().over(Window.orderBy(col(scoreName).desc, col(idName))) *
+            col("__ok")).as("__rank"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        min(col("__rank")).as("best_rank"),
+        sum((lit(1.0) / (lit(c.toDouble) + col("__rank").cast("double")))
+          .cast(DecimalType(38, 10))).cast("double").as("rrf"))
+  }
 }

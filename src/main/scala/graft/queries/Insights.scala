@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.ext.{Assoc, Graph, Profile, TextAnalysis}
+import graft.ext.{Assoc, Funnel, Graph, Profile, Retrieval, TextAnalysis}
 import Q._
 
 /** Round-6 analytical surface: grouped regression, deterministic mode,
@@ -297,6 +297,208 @@ object Insights {
         FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
         WHERE CAST(embedding[i] AS DOUBLE) > 0.3
         ORDER BY vec_id, idx
+      """)),
+    // ----------------------------------------------------------------
+    // Multiset set ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+    // multiplicity (q14-q17 cover the DISTINCT forms). Spark plans
+    // both as a count-aggregate + generate, one keyed shuffle each —
+    // never a join on the raw multiset.
+    Q(
+      "q151_set_ops_all",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val a = li.filter($"l_quantity" > 10).select($"l_partkey", $"l_suppkey")
+        val b = li.filter($"l_returnflag" === "R").select($"l_partkey", $"l_suppkey")
+        a.exceptAll(b).select(lit("except").as("op"), $"l_partkey", $"l_suppkey")
+          .unionAll(a.intersectAll(b)
+            .select(lit("intersect").as("op"), $"l_partkey", $"l_suppkey"))
+          .orderBy($"op", $"l_partkey", $"l_suppkey")
+      },
+      Some("""
+        SELECT 'except' AS op, l_partkey, l_suppkey FROM (
+          SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 10
+          EXCEPT ALL
+          SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        UNION ALL
+        SELECT 'intersect' AS op, l_partkey, l_suppkey FROM (
+          SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 10
+          INTERSECT ALL
+          SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        ORDER BY op, l_partkey, l_suppkey
+      """)),
+    // ----------------------------------------------------------------
+    // Last-touch attribution: purchases credited to the most recent
+    // preceding non-purchase event of the same user within 7 days,
+    // else "direct". One user-keyed window pass (ROWS to 1 PRECEDING,
+    // event_id tiebreak), channel-cardinality aggregate.
+    Q(
+      "q152_attribution",
+      (s, dir) => {
+        import s.implicits._
+        Funnel.lastTouchAttribution(t(s, dir, "events"),
+            $"user_id", $"ts", $"event_type", $"value",
+            conversion = "purchase", tieBreak = $"event_id", lookbackDays = 7)
+          .orderBy($"touch")
+      },
+      Some(s"""
+        WITH touched AS (
+          SELECT event_type, ts, value,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS) OVER w AS touch_type,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                   IGNORE NULLS) OVER w AS touch_ts
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type END,
+                        'direct') AS touch,
+               COUNT(*) AS conversions,
+               ${OracleSql.dsum("value")} AS value_sum
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+      """)),
+    // ----------------------------------------------------------------
+    // Hop-bounded multi-source BFS over the q147 co-purchase graph:
+    // min distance <= 3 hops from the 5 smallest part nodes. The
+    // frontier, not the graph, bounds each round's two keyed shuffles;
+    // the DuckDB oracle replays it as a depth-bounded recursive CTE.
+    Q(
+      "q153_bfs_khop",
+      (s, dir) => {
+        import s.implicits._
+        val pk = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+          .select($"p_partkey")
+        val ip = t(s, dir, "lineitem")
+          .join(pk, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey")
+        val edges = Graph.bipartiteProject(ip, "l_orderkey", "l_partkey",
+          maxDegree = 64)
+        val seeds = edges.select(least($"a", $"b").as("id"))
+          .unionAll(edges.select(greatest($"a", $"b").as("id")))
+          .distinct().orderBy($"id").limit(5)
+        Graph.bfsDistances(edges, "a", "b", seeds, "id", maxHops = 3)
+          .orderBy($"id")
+      },
+      Some("""
+        WITH ip AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
+                 HAVING COUNT(*) <= 64),
+        kept AS (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM kept a JOIN kept b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        bidir AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        seeds AS (SELECT DISTINCT u AS id FROM bidir ORDER BY id LIMIT 5),
+        bfs AS (
+          WITH RECURSIVE r(node, d) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT b.v, r.d + 1 FROM r JOIN bidir b ON b.u = r.node WHERE r.d < 3)
+          SELECT node, MIN(d) AS dist FROM r GROUP BY node)
+        SELECT node AS id, CAST(dist AS INT) AS dist FROM bfs ORDER BY id
+      """)),
+    // ----------------------------------------------------------------
+    // Chi-square independence of event_type x day-of-week + Cramér's V,
+    // via the zero-cell-exact identity chi2 = n·Σ o²/(rᵢ·cⱼ) − n.
+    // Exact cell counts, decimal-exact term sum, IEEE sqrt — the whole
+    // statistic is hash-stable. DuckDB's dayofweek is 0-6 vs Spark's
+    // 1-7, aligned explicitly in the oracle.
+    Q(
+      "q154_chi_square",
+      (s, dir) => {
+        import s.implicits._
+        Profile.chiSquare(t(s, dir, "events"), $"event_type", dayofweek($"ts"))
+      },
+      Some("""
+        WITH o AS (SELECT event_type AS r, dayofweek(ts) + 1 AS c, COUNT(*) AS o
+                   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                   GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n,
+                       CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+                       CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM o),
+        chi AS (
+          SELECT tot.n * CAST(CAST(SUM(CAST(
+                   CAST(o.o AS DOUBLE) * CAST(o.o AS DOUBLE) / (rt.rsum * ct.csum)
+                 AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) - tot.n AS chi2
+          FROM o
+          JOIN (SELECT r, CAST(SUM(o) AS DOUBLE) AS rsum FROM o GROUP BY 1) rt USING (r)
+          JOIN (SELECT c, CAST(SUM(o) AS DOUBLE) AS csum FROM o GROUP BY 1) ct USING (c)
+          CROSS JOIN tot GROUP BY tot.n)
+        SELECT CAST(tot.n AS BIGINT) AS n_obs, tot.nr AS n_rows, tot.nc AS n_cols,
+               chi.chi2 AS chi2,
+               CASE WHEN LEAST(tot.nr, tot.nc) > 1 THEN
+                 sqrt(chi.chi2 / (tot.n * CAST(LEAST(tot.nr - 1, tot.nc - 1) AS DOUBLE)))
+               END AS cramers_v
+        FROM tot CROSS JOIN chi
+      """)),
+    // ----------------------------------------------------------------
+    // Reciprocal-rank fusion of two part rankings (total quantity vs
+    // total revenue): ranks over exact decimal sums, per-list terms
+    // 1/(60+rank), decimal-exact cross-list sum. Top 100 fused.
+    Q(
+      "q155_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(38, 10)
+        val li = t(s, dir, "lineitem")
+        val byQty = li.groupBy($"l_partkey")
+          .agg(sum($"l_quantity".cast(dec)).as("s")).select($"l_partkey", $"s")
+        val byRev = li.groupBy($"l_partkey")
+          .agg(sum($"l_extendedprice".cast(dec)).as("s")).select($"l_partkey", $"s")
+        Retrieval.rrfFuse(Seq(byQty, byRev), c = 60)
+          .withColumnRenamed("id", "l_partkey")
+          .orderBy($"rrf".desc, $"l_partkey").limit(100)
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(38,10))) AS qty_s,
+                 SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS rev_s
+          FROM lineitem GROUP BY 1),
+        r AS (
+          SELECT l_partkey,
+                 RANK() OVER (ORDER BY qty_s DESC, l_partkey) AS r1,
+                 RANK() OVER (ORDER BY rev_s DESC, l_partkey) AS r2
+          FROM m)
+        SELECT l_partkey, CAST(2 AS BIGINT) AS n_lists,
+               CAST(LEAST(r1, r2) AS INT) AS best_rank,
+               CAST(CAST(CAST(1.0 / (60 + CAST(r1 AS DOUBLE)) AS DECIMAL(38,10)) +
+                         CAST(1.0 / (60 + CAST(r2 AS DOUBLE)) AS DECIMAL(38,10))
+                    AS VARCHAR) AS DOUBLE) AS rrf
+        FROM r ORDER BY rrf DESC, l_partkey LIMIT 100
+      """)),
+    // ----------------------------------------------------------------
+    // Equi-width histogram of l_extendedprice, 20 bins over the global
+    // [min, max] (1-row broadcast bounds, scan-stage binning) — the
+    // equi-DEPTH complement is q106.
+    Q(
+      "q156_histogram",
+      (s, dir) => {
+        import s.implicits._
+        Profile.equiWidthHistogram(t(s, dir, "lineitem"), $"l_extendedprice", 20)
+          .orderBy($"bin")
+      },
+      Some(s"""
+        WITH b AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+                          CAST(MAX(l_extendedprice) AS DOUBLE) AS hi FROM lineitem)
+        SELECT CAST(CASE WHEN b.hi > b.lo THEN
+                 LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - b.lo) /
+                             ((b.hi - b.lo) / 20)), 19)
+               ELSE 0 END AS INT) AS bin,
+               COUNT(*) AS n,
+               ${OracleSql.dsum("CAST(l_extendedprice AS DOUBLE)")} AS sum_value
+        FROM lineitem CROSS JOIN b
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }

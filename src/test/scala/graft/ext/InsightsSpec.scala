@@ -92,6 +92,105 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cy.getDouble(2) == 0.0 && cy.isNullAt(4)) // slope 0, R² undefined
   }
 
+  test("bfsDistances: hand graph — min dist wins, horizon cuts, unreachable absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-4; island 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 10L))
+      .toDF("x", "y")
+    val seeds = Seq(1L).toDF("id")
+    val d = Graph.bfsDistances(edges, "x", "y", seeds, "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4 via the shortcut is 1 hop, NOT 3; 5 is 2 via shortcut; island absent
+    assert(d == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    val d1 = Graph.bfsDistances(edges, "x", "y", seeds, "id", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    intercept[IllegalArgumentException] {
+      Graph.bfsDistances(edges, "x", "y", seeds, "id", maxHops = 0)
+    }
+  }
+
+  test("chiSquare: perfect association and exact independence; degenerate 1-level guard") {
+    import spark.implicits._
+    // perfect association, 2x2, n=40: chi2 = n, V = 1
+    val perfect = (Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("b", "y"))).toDF("r", "c")
+    val p = Profile.chiSquare(perfect, col("r"), col("c")).collect().head
+    assert(p.getLong(0) == 40 && p.getLong(1) == 2 && p.getLong(2) == 2)
+    assert(math.abs(p.getDouble(3) - 40.0) < 1e-9)
+    assert(math.abs(p.getDouble(4) - 1.0) < 1e-9)
+    // exact independence: chi2 = 0, V = 0
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 10 }
+      yield (r, c)).toDF("r", "c")
+    val i = Profile.chiSquare(indep, col("r"), col("c")).collect().head
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+    // single-level column: V undefined (null), chi2 still 0
+    val one = Seq(("a", "x"), ("a", "y")).toDF("r", "c")
+    val o = Profile.chiSquare(one, col("r"), col("c")).collect().head
+    assert(o.isNullAt(4))
+  }
+
+  test("lastTouchAttribution: window credit, lookback expiry, direct fallback") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      // u1: view then purchase 1 day later -> view credited
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "purchase", 10.0),
+      // u2: click 10 days before purchase -> outside 7d lookback -> direct
+      (3L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0),
+      (4L, ts("2024-01-11 00:00:00"), 2L, "purchase", 5.0),
+      // u3: purchase with no prior event at all -> direct
+      (5L, ts("2024-01-05 00:00:00"), 3L, "purchase", 2.5),
+      // u4: same-instant touch precedes via event_id tiebreak
+      (6L, ts("2024-01-03 00:00:00"), 4L, "signup", 0.0),
+      (7L, ts("2024-01-03 00:00:00"), 4L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Funnel.lastTouchAttribution(ev, col("user_id"), col("ts"),
+        col("event_type"), col("value"), "purchase", col("event_id"), 7)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == Map(
+      "view" -> ((1L, 10.0)), "signup" -> ((1L, 1.0)), "direct" -> ((2L, 7.5))))
+  }
+
+  test("rrfFuse: hand ranks incl. tie; partial membership; oversize list guard trips") {
+    import spark.implicits._
+    // score tie between 20 and 30: the id tiebreak makes ranking TOTAL,
+    // so 20 (smaller id) ranks 2 and 30 ranks 3 — no shared ranks
+    val l1 = Seq((10L, 5.0), (20L, 3.0), (30L, 3.0)).toDF("id", "s")
+    val l2 = Seq((20L, 9.0), (40L, 1.0)).toDF("id", "s")
+    val r = Retrieval.rrfFuse(Seq(l1, l2), c = 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2), x.getDouble(3))))
+      .toMap
+    // rrf values are quantized to 1e-10 by the DECIMAL(38,10) sum
+    // contract, so compare with tolerance
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(r(10L)._1 == 1L && r(10L)._2 == 1 && close(r(10L)._3, 1.0 / 11))
+    assert(r(20L)._1 == 2L && r(20L)._2 == 1)
+    assert(close(r(20L)._3, 1.0 / 12 + 1.0 / 11))
+    assert(r(30L)._1 == 1L && r(30L)._2 == 3 && close(r(30L)._3, 1.0 / 13))
+    assert(r(40L)._1 == 1L && r(40L)._2 == 2 && close(r(40L)._3, 1.0 / 12))
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(l1)) }
+    val boom = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(l1, l2), c = 60, maxListSize = 2L).collect()
+    }
+    assert(boom.getMessage.contains("maxListSize"), boom.getMessage)
+  }
+
+  test("equiWidthHistogram: fixed edges, max closes last bin, constant column -> bin 0") {
+    import spark.implicits._
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Profile.equiWidthHistogram(df, col("v"), 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // width 10: bins 0..8 get 10 values, bin 9 gets 11 (90..100, max closes)
+    assert(h == (0 to 9).map(b => b -> (if (b == 9) 11L else 10L)).toMap)
+    val const = Seq(4.2, 4.2, 4.2).toDF("v")
+    val hc = Profile.equiWidthHistogram(const, col("v"), 10).collect()
+    assert(hc.length == 1 && hc.head.getInt(0) == 0 && hc.head.getLong(1) == 3L)
+    intercept[IllegalArgumentException] {
+      Profile.equiWidthHistogram(df, col("v"), 0)
+    }
+  }
+
   test("tokenDiversity: hand counts; no-token docs absent by the no-evidence contract") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, ""), (3L, null), (4L, "x")).toDF("id", "txt")

@@ -233,6 +233,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly the 2 one-row cross combiners, got $bnlj cross / $bnljAll total:\n$p")
   }
 
+  test("q151 multiset set-ops plan as keyed aggregates, never a join") {
+    val p = planOf("q151_set_ops_all")
+    // Spark plans EXCEPT ALL / INTERSECT ALL as +1/-1 count aggregates
+    // + replicate-rows Generate — one keyed shuffle per side, no join
+    // of the raw multisets
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q152 attribution shares one user Exchange across both windows") {
+    val p = planOf("q152_attribution")
+    // both IGNORE NULLS last() windows ride the same (key, sort) — one
+    // hash Exchange for the window, one for the channel aggregate
+    // formatted mode lists Exchange args in the details section
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q148 token diversity aggregates partially before each keyed exchange") {
     val p = planOf("q148_token_diversity")
     // two HashAggregate pairs (doc,tok) → (doc); generate stays scan-stage
