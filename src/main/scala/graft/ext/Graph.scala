@@ -377,6 +377,75 @@ object Graph {
     }
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree within the surviving subgraph is below `k` until the
+    * set is stable (the classic Matula-Beck peel, round-parallelized).
+    * Returns the surviving core: one row per node with its degree
+    * counted inside the core — every returned `core_degree >= k`, and
+    * the set is the UNIQUE maximal subgraph with that property, so the
+    * result is deterministic regardless of partitioning or peel order.
+    *
+    * In a curation pipeline this is the graph-shaped quality gate: the
+    * k-core of a co-purchase / co-citation / near-dup graph is its
+    * densely-connected backbone, with bridge and tendril nodes (the
+    * ones a clustering would glue into noise) peeled away.
+    *
+    * Each round is two keyed shuffles — a semi-join of the edge list
+    * against the active set on BOTH endpoints, then a degree
+    * aggregate — and the active relation (one row per surviving node)
+    * is localCheckpoint'd per round with the previous round's blocks
+    * freed explicitly, the [[connectedComponents]] pattern. Rounds
+    * stop at stability or `maxRounds`, whichever first; a stable set
+    * is a fixpoint of the round function, so early exit returns
+    * exactly what running all `maxRounds` rounds would. Peeling
+    * removes at least one node per non-stable round, but in practice
+    * collapses in a handful of rounds: each round removes the ENTIRE
+    * current shell, not one node. The only driver-side value is the
+    * per-round surviving-node count. Self-loops are ignored; edges are
+    * undirected; nodes with no edges are never in any core (k >= 1).
+    */
+  def kCore(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"kCore: k >= 1 required, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds >= 1 required, got $maxRounds")
+    val sc = edges.sparkSession.sparkContext
+    val e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val (bidir, bidirIds) = checkpointTracked(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var (active, activeIds) = checkpointTracked(bidir.select(col("u").as("node")).distinct())
+    var n = active.count()
+    var rounds = 0
+    var stable = false
+    while (rounds < maxRounds && !stable) {
+      val (next, nextIds) = checkpointTracked(
+        bidir
+          .join(active.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(active.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k)
+          .select(col("node")))
+      val m = next.count()
+      freeIds(sc, activeIds)
+      active = next; activeIds = nextIds
+      stable = m == n
+      n = m
+      rounds += 1
+    }
+    val out = bidir
+      .join(active.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(active.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
+    val materialized = out.localCheckpoint()
+    freeIds(sc, activeIds ++ bidirIds)
+    materialized
+  }
+
   /** Serializes the persistent-RDD id diff in [[checkpointTracked]]
     * across graft threads (see the CAVEAT in [[connectedComponents]]).
     */

@@ -256,6 +256,121 @@ object Profile {
         .as("cramers_v"))
   }
 
+  /** Gini coefficient of a non-negative value distribution per group —
+    * the inequality/concentration diagnostic: 0 = perfectly even, →1 =
+    * one row holds everything. For a data pipeline this is the skew
+    * meter (token-frequency concentration, per-key row concentration,
+    * revenue concentration) that tells you whether a key space needs
+    * salting BEFORE the skewed shuffle, with a bounded score instead
+    * of an eyeballed top-k list.
+    *
+    * Rank formulation: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
+    * ascending and i the 1-based rank. Ties in x make individual ranks
+    * nondeterministic, but the statistic is tie-invariant: permuting
+    * equal x values across their rank run changes no term of Σ i·xᵢ
+    * (x·Σi is fixed), so the result is deterministic and
+    * oracle-exact. Both Σ accumulate in DECIMAL(38,10), the repo's
+    * reproducible-sum contract; the final expression is a fixed IEEE
+    * tree. Null and negative values are excluded (Gini is defined on
+    * non-negative support); a group whose sum is zero yields null.
+    *
+    * Scale: one keyed sort (the rank window) + one aggregate per
+    * group — the same shuffle any grouped percentile pays.
+    */
+  def giniConcentration(df: DataFrame, grp: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val v = value.cast("double")
+    val rows = df.filter(v.isNotNull && v >= 0 && grp.isNotNull)
+      .select(grp.as("grp"), v.as("__x"))
+    val i = row_number().over(Window.partitionBy(col("grp")).orderBy(col("__x"))).cast("double")
+    rows
+      .select(col("grp"), col("__x"), (i * col("__x")).as("__ix"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).cast("double").as("__sx"),
+        sum(col("__ix").cast(dec)).cast("double").as("__six"))
+      .select(col("grp"), col("n"),
+        when(col("__sx") > 0,
+          lit(2.0) * col("__six") / (col("n").cast("double") * col("__sx")) -
+            (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+          .as("gini"))
+  }
+
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group's total weight — the
+    * robust center estimate when rows carry unequal mass (tokens per
+    * doc, quantity per line), where the unweighted median silently
+    * answers a different question.
+    *
+    * Cumulative and total weights accumulate in DECIMAL(38,10) and the
+    * threshold test compares decimals exactly (2·cw >= tw), so the
+    * boundary row never flips on engine-specific float rounding. Ties
+    * in the value column are safe: whether a tied run crosses the
+    * threshold depends only on the run's TOTAL weight (order within
+    * the run is irrelevant), and every row of the run carries the same
+    * value, so min() over qualifying rows is deterministic. Rows with
+    * null value/weight or weight <= 0 are excluded.
+    *
+    * Scale: one keyed sort window + one aggregate — no broadcast of
+    * per-group totals needed (the partition-total window shares the
+    * sort's exchange).
+    */
+  def weightedMedian(df: DataFrame, grp: Column, value: Column, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val v = value.cast("double")
+    val w = weight.cast("double")
+    val rows = df.filter(v.isNotNull && w.isNotNull && w > 0 && grp.isNotNull)
+      .select(grp.as("grp"), v.as("__x"), w.cast(dec).as("__w"))
+    val byGrp = Window.partitionBy(col("grp"))
+    val cw = sum(col("__w")).over(byGrp.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tw = sum(col("__w")).over(byGrp)
+    rows
+      .select(col("grp"), col("__x"), cw.as("__cw"), tw.as("__tw"))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col("grp"))
+      .agg(min(col("__x")).as("wmedian"))
+  }
+
+  /** Functional-dependency profile: for each candidate (determinant →
+    * dependent) column pair, the number of determinant keys, how many
+    * of them map to MORE than one distinct dependent value (the
+    * violations), and the kept fraction `strength` = 1 − violations /
+    * keys. strength = 1.0 certifies the dependency holds exactly —
+    * the schema-inference / data-quality probe that catches a
+    * supposedly-functional mapping (order → status, id → email)
+    * drifting into a one-to-many before a downstream join fans out.
+    *
+    * Scale: one (det, countDistinct dep) aggregate per pair — each a
+    * single keyed shuffle whose width is the pair's distinct-key
+    * count, never the row count. Pairs are independent aggregates over
+    * the same scan (Spark schedules them as parallel stages); profile
+    * a bounded pair list, not the n² column cross product.
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdProfile: at least one (det, dep) pair required")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull && col(dep).isNotNull)
+        .groupBy(col(det).as("__det"))
+        .agg(countDistinct(col(dep)).as("__nd"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("__nd") > 1, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+        .select(
+          lit(s"$det->$dep").as("fd"),
+          col("n_keys"),
+          col("n_violations"),
+          when(col("n_keys") > 0,
+            lit(1.0) - col("n_violations").cast("double") / col("n_keys").cast("double"))
+            .as("strength"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Equi-WIDTH histogram: `nBins` equal value-range bins over the
     * global [min, max], per bin the row count and exact-decimal sum.
     * The distribution-shape complement of [[quantileBins]] (equi-DEPTH

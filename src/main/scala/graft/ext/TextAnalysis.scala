@@ -463,4 +463,93 @@ object TextAnalysis {
       .select(id.as("doc_id"),
         graft.functions.TextFunctions.charClassStats(text).as("__cs"))
       .select(col("doc_id"), col("__cs.*"))
+
+  /** Corpus-wide adjacent token-pair counts, top `topK` by frequency —
+    * the counting step a BPE/WordPiece tokenizer trainer iterates:
+    * every merge round asks exactly "which adjacent pair is most
+    * frequent". Pair extraction is a scan-stage zip_with over each
+    * doc's token array (no self-join, no window): tokens t₁..tₙ emit
+    * (tᵢ, tᵢ₊₁) for i < n. The top-k order is fully deterministic —
+    * count desc, then (a, b) lexicographic — so the k-boundary never
+    * depends on partitioning. Docs with < 2 tokens contribute nothing.
+    *
+    * Scale: one (a, b)-keyed count aggregate (map-side partial
+    * combine bounds the shuffle at distinct-pair counts, ~vocab², not
+    * token count) + a TakeOrdered top-k, which ships k rows per
+    * partition. A full trainer loops this operator, rewriting the
+    * token arrays after each merge.
+    */
+  def bpePairCounts(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"bpePairCounts: topK >= 1 required, got $topK")
+    val toks = TextHash.tokens(text)
+    val pairs = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+    df.filter(text.isNotNull && size(toks) >= 2)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Total-variation distance between the unigram distributions of two
+    * corpus slices: TV = ½ Σ_t |p_t − q_t| over the union vocabulary,
+    * plus the union vocabulary size. THE distribution-drift number for
+    * text — bounded [0, 1], exactly 0 iff the term distributions
+    * match, and (unlike KL/JS) log-free — the text twin of
+    * [[Profile.binDrift]]. Compare a new crawl snapshot against the
+    * training corpus, or any two `source` slices.
+    *
+    * Exactness: the naive Σ|n/T_A − m/T_B| runs per-term float
+    * divisions whose decimal accumulation is NOT engine-stable (a
+    * double→high-scale-decimal cast rounds through double arithmetic
+    * on some engines). Instead everything stays in integer decimals —
+    * Σ|n_t·T_B − m_t·T_A| with (18,0) operands (products bounded by
+    * 10^37, fine past 10^13 tokens/slice) — and floating point enters
+    * exactly twice, in the final fixed-shape division
+    * S / (T_A·T_B) / 2. Hash-exact on any engine.
+    *
+    * Scale: two token-keyed count aggregates + one union-vocab
+    * aggregate — all bounded by vocabulary size, not token count;
+    * 1-row totals ride a broadcast join.
+    */
+  def termDrift(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      sliceCol: Column,
+      a: String,
+      b: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d18 = DecimalType(18, 0)
+    val cnt = df.filter(text.isNotNull && sliceCol.isin(a, b))
+      .select(sliceCol.as("__s"), explode(TextHash.tokens(text)).as("__tok"))
+      .groupBy(col("__s"), col("__tok")).agg(count(lit(1)).as("__n"))
+    val tot = cnt.groupBy(col("__s")).agg(sum(col("__n")).as("__t"))
+    val totA = when(col("__s") === a, col("__t"))
+    val totB = when(col("__s") === b, col("__t"))
+    cnt.join(broadcast(tot), Seq("__s"))
+      .groupBy(col("__tok"))
+      .agg(
+        coalesce(max(when(col("__s") === a, col("__n"))), lit(0L)).as("__na"),
+        coalesce(max(when(col("__s") === b, col("__n"))), lit(0L)).as("__nb"))
+      .crossJoin(broadcast(tot.agg(
+        max(totA).as("__ta"), max(totB).as("__tb"))))
+      .agg(
+        sum(abs(col("__na").cast(d18) * col("__tb").cast(d18) -
+                col("__nb").cast(d18) * col("__ta").cast(d18))).as("__sum"),
+        count(lit(1)).as("n_terms"),
+        max(col("__ta")).as("__ta"),
+        max(col("__tb")).as("__tb"))
+      .select(
+        (col("__sum").cast("double") /
+          (col("__ta").cast("double") * col("__tb").cast("double")) / 2)
+          .as("tv_distance"),
+        col("n_terms"))
+  }
 }

@@ -156,4 +156,40 @@ object TimeSeries {
       .withColumn("roll_min", min(col("value")).over(roll))
       .withColumn("roll_max", max(col("value")).over(roll))
   }
+
+  /** Trailing-window distinct entities per day — "7-day active users":
+    * for every day in the data's span, the count of distinct `entity`
+    * values with at least one event in the `windowDays` days ending
+    * that day (inclusive). The standard engagement/coverage metric a
+    * naive implementation computes with a per-day self-join or a
+    * window over raw events — both of which melt at scale.
+    *
+    * Plan: collapse raw events to distinct (day, entity) FIRST (the
+    * aggregate a 100 TB stream shrinks by orders of magnitude), then
+    * Generate each surviving pair onto the `windowDays` days it covers
+    * (bounded fanout = window length, a scan-stage sequence+explode,
+    * never a range self-join), clip to the observed span, and count
+    * distinct per day. Shuffles: the (day, entity) dedup and the final
+    * per-day count — both keyed; the 1-row span bound rides a
+    * broadcast crossJoin.
+    */
+  def slidingDistinct(
+      df: DataFrame,
+      ts: Column,
+      entity: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3660,
+      s"slidingDistinct: windowDays in [1, 3660], got $windowDays")
+    val du = df.filter(ts.isNotNull && entity.isNotNull)
+      .select(to_date(ts).as("__d"), entity.as("__e"))
+      .distinct()
+    val span = du.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+    du.select(
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1))).as("day"),
+        col("__e"))
+      .crossJoin(broadcast(span))
+      .filter(col("day") >= col("__lo") && col("day") <= col("__hi"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__e")).as("active_entities"))
+  }
 }

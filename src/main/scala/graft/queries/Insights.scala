@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.ext.{Assoc, Funnel, Graph, Profile, Retrieval, TextAnalysis}
+import graft.ext.{Assoc, Funnel, Graph, Profile, Retrieval, TextAnalysis, TimeSeries}
 import Q._
 
 /** Round-6 analytical surface: grouped regression, deterministic mode,
@@ -499,6 +499,213 @@ object Insights {
         FROM lineitem CROSS JOIN b
         WHERE l_extendedprice IS NOT NULL
         GROUP BY 1 ORDER BY 1
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // BPE-style adjacent token-pair counts, top 50 — the counting step
+    // a tokenizer trainer iterates. Scan-stage zip_with pair
+    // extraction, (a, b)-keyed count, fully-tiebroken top-k.
+    Q(
+      "q157_bpe_pairs",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.bpePairCounts(t(s, dir, "documents"), $"text", topK = 50)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT ${OracleSql.tokens("text")} AS t
+          FROM documents WHERE text IS NOT NULL),
+        pairs AS (
+          SELECT t[i] AS a, t[i+1] AS b
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+          WHERE len(t) >= 2)
+        SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+        ORDER BY n DESC, a, b LIMIT 50
+      """)),
+    // ----------------------------------------------------------------
+    // Trailing 7-day distinct active users per day: distinct
+    // (day, user) first, bounded 7-day Generate fanout, per-day
+    // distinct count — never a range self-join over raw events.
+    Q(
+      "q158_sliding_distinct",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.slidingDistinct(t(s, dir, "events"), $"ts", $"user_id", windowDays = 7)
+          .orderBy($"day")
+      },
+      Some("""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        fan AS (
+          SELECT d + CAST(o AS INTEGER) AS day, user_id
+          FROM du, LATERAL (SELECT unnest(range(0, 7)) AS o)),
+        span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM du)
+        SELECT day, COUNT(DISTINCT user_id) AS active_entities
+        FROM fan, span WHERE day BETWEEN lo AND hi
+        GROUP BY day ORDER BY day
+      """)),
+    // ----------------------------------------------------------------
+    // Term-distribution drift between two corpus slices: total
+    // variation distance over the union vocabulary — log-free, so
+    // hash-exact (the text twin of q112's numeric bin drift).
+    Q(
+      "q159_term_drift",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.termDrift(t(s, dir, "documents"), $"text", $"source", "src0", "src1")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT source, unnest(${OracleSql.tokens("text")}) AS tok
+          FROM documents WHERE text IS NOT NULL AND source IN ('src0', 'src1')),
+        cnt AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        tot AS (SELECT source, SUM(n) AS t FROM cnt GROUP BY 1),
+        nm AS (SELECT tok,
+                 COALESCE(MAX(CASE WHEN source = 'src0' THEN n END), 0) AS na,
+                 COALESCE(MAX(CASE WHEN source = 'src1' THEN n END), 0) AS nb
+               FROM cnt GROUP BY tok),
+        tt AS (SELECT MAX(CASE WHEN source = 'src0' THEN t END) AS ta,
+                      MAX(CASE WHEN source = 'src1' THEN t END) AS tb FROM tot)
+        SELECT CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) / 2 AS tv_distance,
+               n_terms
+        FROM (SELECT SUM(abs(CAST(na AS DECIMAL(18,0)) * CAST(tb AS DECIMAL(18,0)) -
+                             CAST(nb AS DECIMAL(18,0)) * CAST(ta AS DECIMAL(18,0)))) AS s,
+                     COUNT(*) AS n_terms, MAX(ta) AS ta, MAX(tb) AS tb
+              FROM nm CROSS JOIN tt)
+      """)),
+    // ----------------------------------------------------------------
+    // Gini concentration of line revenue per return flag — the
+    // bounded skew meter (rank formulation, tie-invariant, exact
+    // decimal sums).
+    Q(
+      "q160_gini",
+      (s, dir) => {
+        import s.implicits._
+        Profile.giniConcentration(t(s, dir, "lineitem"), $"l_returnflag", $"l_extendedprice")
+          .orderBy($"grp")
+      },
+      Some("""
+        WITH v AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+                     AND l_returnflag IS NOT NULL),
+        rk AS (SELECT grp, x,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS DOUBLE) AS i
+               FROM v),
+        agg AS (SELECT grp, COUNT(*) AS n,
+                CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+                CAST(CAST(SUM(CAST(i * x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS six
+                FROM rk GROUP BY grp)
+        SELECT grp, n,
+               CASE WHEN sx > 0 THEN
+                 2.0 * six / (CAST(n AS DOUBLE) * sx)
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+               END AS gini
+        FROM agg ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // Exact weighted median of price weighted by quantity per return
+    // flag — decimal cumulative weights, exact decimal threshold
+    // compare (no float boundary flip).
+    Q(
+      "q161_weighted_median",
+      (s, dir) => {
+        import s.implicits._
+        Profile.weightedMedian(t(s, dir, "lineitem"),
+            $"l_returnflag", $"l_extendedprice", $"l_quantity")
+          .orderBy($"grp")
+      },
+      Some("""
+        WITH v AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x,
+                          CAST(l_quantity AS DECIMAL(38,10)) AS w
+                   FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                     AND l_quantity > 0 AND l_returnflag IS NOT NULL),
+        cum AS (SELECT grp, x,
+                SUM(w) OVER (PARTITION BY grp ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                SUM(w) OVER (PARTITION BY grp) AS tw
+                FROM v)
+        SELECT grp, MIN(x) AS wmedian FROM cum WHERE cw * 2 >= tw
+        GROUP BY grp ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // Functional-dependency profile over three candidate dependencies
+    // — keys, violations, strength per pair; each pair one keyed
+    // countDistinct aggregate.
+    Q(
+      "q162_fd_profile",
+      (s, dir) => {
+        import s.implicits._
+        Profile.fdProfile(t(s, dir, "lineitem"),
+            Seq("l_orderkey" -> "l_returnflag",
+                "l_orderkey" -> "l_linestatus",
+                "l_partkey" -> "l_suppkey"))
+          .orderBy($"fd")
+      },
+      Some(Seq(
+        ("l_orderkey", "l_returnflag"),
+        ("l_orderkey", "l_linestatus"),
+        ("l_partkey", "l_suppkey")).map { case (det, dep) => s"""
+        SELECT '$det->$dep' AS fd, COUNT(*) AS n_keys,
+               CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_violations,
+               CASE WHEN COUNT(*) > 0 THEN
+                 1.0 - CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) END AS strength
+        FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd FROM lineitem
+              WHERE $det IS NOT NULL AND $dep IS NOT NULL GROUP BY $det)"""
+      }.mkString("", " UNION ALL ", " ORDER BY fd"))),
+    // ----------------------------------------------------------------
+    // 4-core of the q153-style co-purchase graph: iterative peel to
+    // the densely-connected backbone, surviving nodes with their
+    // in-core degree. The oracle unrolls the peel as materialized
+    // CTE rounds (12 >= the peel's convergence depth here; the Spark
+    // side stops at the fixpoint, which the extra oracle rounds leave
+    // unchanged).
+    Q(
+      "q163_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val pk = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2"))
+          .select($"p_partkey")
+        val ip = t(s, dir, "lineitem")
+          .join(pk, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey")
+        val edges = Graph.bipartiteProject(ip, "l_orderkey", "l_partkey", maxDegree = 64)
+        Graph.kCore(edges, "a", "b", k = 4, maxRounds = 20)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 12).map(i => s""",
+        a$i AS MATERIALIZED (
+          SELECT e.u AS node FROM bidir e
+          JOIN a${i - 1} pu ON pu.node = e.u
+          JOIN a${i - 1} pv ON pv.node = e.v
+          GROUP BY e.u HAVING COUNT(*) >= 4)""").mkString
+        s"""
+        WITH ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IN ('Brand#1', 'Brand#2')),
+        deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
+                 HAVING COUNT(*) <= 64),
+        kept AS MATERIALIZED (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM kept a JOIN kept b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        bidir AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bidir)$rounds
+        SELECT e.u AS node, COUNT(*) AS core_degree
+        FROM bidir e
+        JOIN a12 pu ON pu.node = e.u
+        JOIN a12 pv ON pv.node = e.v
+        GROUP BY e.u ORDER BY e.u
+      """
+      })
   )
 }

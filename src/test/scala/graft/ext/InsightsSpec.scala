@@ -201,6 +201,98 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(conc == 5.0 / 9.0 && top == 2.0 / 3.0 && ttr == 2.0 / 3.0)
     assert(m(4L) == ((1L, 1L, 1.0, 1.0, 1.0)))
   }
+
+  test("kCore: triangle with a tail — 2-core is exactly the triangle; 3-core empty") {
+    import spark.implicits._
+    // triangle 1-2-3 plus tail 3-4-5 (path); self-loop and dup edges noise
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (4L, 4L)).toDF("x", "y")
+    val core2 = Graph.kCore(edges, "x", "y", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graph.kCore(edges, "x", "y", k = 3).count() == 0)
+  }
+
+  test("kCore: peel cascades — removing the shell can dequalify inner nodes") {
+    import spark.implicits._
+    // path 1-2-3-4: every node peels at k=2 (ends first, then the middle)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    assert(Graph.kCore(path, "x", "y", k = 2).count() == 0)
+    // K4 with a pendant: 4-clique survives k=3, pendant (and only it) drops
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+    val g = (k4 :+ (4L, 9L)).toDF("x", "y")
+    val core = Graph.kCore(g, "x", "y", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("bpePairCounts: hand pairs; short docs skipped; deterministic tie order") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "b a", "x", "", null).toDF("txt")
+    val r = TextAnalysis.bpePairCounts(docs, col("txt"), topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    // "a b a b" → (a,b) (b,a) (a,b); "b a" → (b,a): counts a,b=2 b,a=2
+    // tie on n=2 broken lexicographically: (a,b) before (b,a)
+    assert(r.toSeq == Seq(("a", "b", 2L), ("b", "a", 2L)))
+  }
+
+  test("termDrift: identical slices → 0; disjoint vocabularies → 1; union vocab counted") {
+    import spark.implicits._
+    val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("src", "txt")
+    val r0 = TextAnalysis.termDrift(same, col("txt"), col("src"), "s1", "s2").collect().head
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 3L)
+    val disj = Seq(("s1", "a a b"), ("s2", "x y z")).toDF("src", "txt")
+    val r1 = TextAnalysis.termDrift(disj, col("txt"), col("src"), "s1", "s2").collect().head
+    assert(r1.getDouble(0) == 1.0 && r1.getLong(1) == 5L)
+  }
+
+  test("slidingDistinct: trailing window accumulates and expires; span clipped") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 1L), // dup (day,user)
+      ("2024-01-02 09:00:00", 2L),
+      ("2024-01-05 09:00:00", 3L))
+      .toDF("ts_s", "uid").select(to_timestamp($"ts_s").as("ts"), $"uid")
+    val m = TimeSeries.slidingDistinct(ev, col("ts"), col("uid"), windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day1: {1}; day2: {1,2}; day3: {1,2}; day4: {2}; day5: {3}
+    assert(m == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L, "2024-01-03" -> 2L,
+      "2024-01-04" -> 1L, "2024-01-05" -> 1L))
+  }
+
+  test("giniConcentration: uniform → 0, single holder → (n-1)/n, negatives excluded") {
+    import spark.implicits._
+    val df = Seq(("u", 5.0), ("u", 5.0), ("u", 5.0), ("u", 5.0),
+      ("c", 0.0), ("c", 0.0), ("c", 0.0), ("c", 10.0),
+      ("neg", -1.0), ("neg", 2.0), ("neg", 2.0)).toDF("g", "v")
+    val m = Profile.giniConcentration(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m("u") == ((4L, 0.0)))
+    assert(m("c") == ((4L, 0.75))) // one row holds all: (n-1)/n
+    assert(m("neg") == ((2L, 0.0))) // the -1 row excluded, remaining uniform
+  }
+
+  test("weightedMedian: mass at the center wins; exact half-threshold picks the lower") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 5.0), ("a", 3.0, 1.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), // exact half at x=1 → lower median
+      ("z", 7.0, 0.0), ("z", 9.0, 2.0)) // zero-weight row excluded
+      .toDF("g", "v", "w")
+    val m = Profile.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 2.0, "b" -> 1.0, "z" -> 9.0))
+  }
+
+  test("fdProfile: exact dependency certifies 1.0; violations counted per key") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"), (3L, "x", "p"),
+      (3L, "x", "p")).toDF("k", "dep_ok", "dep_bad")
+    val m = Profile.fdProfile(df, Seq("k" -> "dep_ok", "k" -> "dep_bad"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m("k->dep_ok") == ((3L, 0L, 1.0)))
+    assert(m("k->dep_bad") == ((3L, 1L, 1.0 - 1.0 / 3.0))) // key 1 maps to {p,q}
+  }
 }
 
 /** Collects tokenDiversity output into a comparable map. */

@@ -259,4 +259,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q157 BPE pair counts: scan-stage Generate, partial agg, TakeOrdered top-k") {
+    val p = planOf("q157_bpe_pairs")
+    // pair extraction is zip_with+explode in the scan stage (no
+    // self-join), the (a,b) count is a partial-then-final
+    // HashAggregate, and the top-50 ships k rows per partition
+    assert(p.contains("Generate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange (the pair count), got $hashEx:\n$p")
+  }
+
+  test("q158 sliding distinct: dedup before fanout, span broadcast, no range self-join") {
+    val p = planOf("q158_sliding_distinct")
+    // the only join is the 1-row span bound riding a broadcast; the
+    // window fanout is a Generate over the DEDUPED (day, user) pairs
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q160/q161 grouped rank stats share the window sort with the final aggregate") {
+    for (q <- Seq("q160_gini", "q161_weighted_median")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), s"$q:\n$p")
+      // one keyed exchange feeds window + aggregate; no corpus re-shuffle
+      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: expected <= 2 hash exchanges, got $hashEx:\n$p")
+    }
+  }
 }
