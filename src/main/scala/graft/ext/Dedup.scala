@@ -183,6 +183,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment near-dup pairs: C(A, B) = |A∩B| / |A| >= threshold
+    * with A the smaller shingle set — the asymmetric twin of
+    * [[ngramJaccardPairs]] that catches doc-INSIDE-doc duplication
+    * (a quote, a boilerplate-wrapped article, a page embedding a whole
+    * smaller page), where resemblance J = |∩|/|∪| stays low because
+    * the big doc's size dominates the union. The containment family is
+    * the contract behind quote-aware dedup and contamination sweeps.
+    *
+    * Candidate generation is prefix-filtered ON THE CONTAINED SIDE
+    * only: C(A, B) >= t forces |A∩B| >= ⌈t·|A|⌉, so A must share one
+    * of its |A| − ⌈t·|A|⌉ + 1 rarest shingles with B — but no bound
+    * restricts B (anything can contain A), so B joins with its FULL
+    * posting list and there is no symmetric length filter. That makes
+    * the candidate space df-bounded, not size-filtered; the same
+    * mechanical [[Profile.joinCardinality]] preflight as
+    * [[ngramJaccardPairs]] fails fast when boilerplate shingles would
+    * explode it. Pairs with |A| = |B| emit once (smaller id as A).
+    *
+    * Verification is exact set intersection on the candidate pairs;
+    * output (id_small, id_big, containment), deterministic.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxCandidatePairs: Long = 100000000L): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      graft.functions.TextFunctions
+        .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("shingles"))
+    val post = sh.select(col("doc_id"), size(col("shingles")).as("__n"),
+      explode(col("shingles")).as("g"))
+    val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val tDec = lit(java.math.BigDecimal.valueOf(threshold))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = post.join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__n") - ceil(tDec * col("__n")).cast("int") + 1)
+      .select(col("doc_id"), col("g"), col("__n"))
+    val full = post
+    val indexed =
+      if (maxCandidatePairs <= 0) prefix
+      else {
+        // the preflight's job materializes the checkpointed prefix, so
+        // the candidate join re-reads blocks instead of re-running the
+        // posting window (the q37 pattern)
+        val ck = prefix.localCheckpoint(false)
+        val est = Profile.joinCardinality(ck, col("g"), full, col("g"))
+          .agg(sum(col("out_rows")).as("est"))
+          .head().getDecimal(0)
+        require(est == null ||
+            est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+          s"containmentPairs: estimated candidate space $est exceeds " +
+            s"maxCandidatePairs=$maxCandidatePairs — prefix-side postings are " +
+            "colliding on common shingles. Collapse identical docs first " +
+            "(Dedup.exact), raise the shingle size, or disable the bound " +
+            "(maxCandidatePairs <= 0) if the cost is intended")
+        ck
+      }
+    val cand = indexed.as("a").join(full.as("b"),
+        col("a.g") === col("b.g") &&
+          (col("b.__n") > col("a.__n") ||
+            (col("b.__n") === col("a.__n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("id_small"), col("b.doc_id").as("id_big"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_small"), col("shingles").as("sh_a")), Seq("id_small"))
+      .join(sh.select(col("doc_id").as("id_big"), col("shingles").as("sh_b")), Seq("id_big"))
+      .select(col("id_small"), col("id_big"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental near-dup: pairs between an INCOMING batch and the
     * existing corpus (plus pairs inside the batch), never corpus ×
     * corpus — the daily-ingest shape, where re-pairing the full corpus

@@ -412,6 +412,117 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Cohen's kappa between two categorical label columns — observed
+    * agreement corrected for the agreement two independent raters
+    * would hit by chance: κ = (p_o − p_e)/(1 − p_e), with p_o the
+    * exact-match fraction and p_e = Σ_k (r_k/N)(c_k/N) over the union
+    * category space. THE inter-annotator / model-vs-gold agreement
+    * number for labeling pipelines (raw accuracy flatters any rater
+    * pair on a skewed label distribution; κ doesn't).
+    *
+    * Exactness: all counts are exact longs; Σ r_k·c_k accumulates in
+    * DECIMAL(38,0) (never a float product), and floating point enters
+    * only in the final fixed expression tree — hash-stable on any
+    * engine. Rows with a null on either side are excluded; κ is null
+    * when p_e = 1 (a single category on both sides — agreement is
+    * vacuous and the correction degenerate).
+    *
+    * Scale: two marginal aggregates + one agreement count, each a
+    * keyed shuffle bounded by category cardinality; the join of the
+    * marginals is category × category, broadcast-sized.
+    */
+  def agreementKappa(df: DataFrame, r1: Column, r2: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(r1.isNotNull && r2.isNotNull)
+      .select(r1.as("__a"), r2.as("__b"))
+    val base = rows.agg(
+      count(lit(1)).as("__nn"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree"))
+    val ra = rows.groupBy(col("__a").as("__k")).agg(count(lit(1)).as("__r"))
+    val cb = rows.groupBy(col("__b").as("__k")).agg(count(lit(1)).as("__c"))
+    val pe = ra.join(cb, Seq("__k"), "full_outer")
+      .agg(
+        sum(coalesce(col("__r"), lit(0L)).cast(dec) *
+            coalesce(col("__c"), lit(0L)).cast(dec)).as("__rc"),
+        count(lit(1)).as("__ncat"))
+    base.crossJoin(pe).select(
+      col("__nn").as("n_obs"),
+      col("__ncat").as("n_categories"),
+      (col("__agree").cast("double") / col("__nn").cast("double")).as("po"),
+      (col("__rc").cast("double") /
+        (col("__nn").cast("double") * col("__nn").cast("double"))).as("pe"))
+      .select(col("n_obs"), col("n_categories"), col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
+  /** Benford first-significant-digit profile over values >= 1: per
+    * digit 1-9 the observed count, observed fraction, the Benford
+    * expectation log10(1+1/d), and the signed deviation — the
+    * fabricated-data / broken-feed screen for amount-like columns
+    * (naturally-occurring multi-magnitude data follows Benford;
+    * uniform generators and hand-typed numbers don't).
+    *
+    * The first digit comes from the INTEGER part via a long→string
+    * cast — deliberately: every engine formats integers as plain
+    * digits, where double→string formatting (scientific-notation
+    * cutoffs) and 10^floor(log10 x) normalization (libm last-ulp at
+    * exact powers) are engine-dependent. The expectations are nine
+    * shared double literals, not a runtime log. Restricting to
+    * x >= 1 is the operator's contract, not a shortcut — Benford
+    * screening applies to magnitude-spanning amounts, and the
+    * sub-1 rows are reported nowhere else than `n_skipped`-style
+    * checks a profiler ([[profile]]) already covers.
+    *
+    * Scale: one scan-stage digit expression + a 9-row aggregate; the
+    * 1-row total rides a broadcast.
+    */
+  def benfordProfile(df: DataFrame, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val fsd = substring(floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    val d = df.filter(v.isNotNull && v >= 1).select(fsd.as("fsd"))
+    val tot = d.agg(count(lit(1)).as("__t"))
+    val expected = (1 to 9).map(i => (i, math.log10(1.0 + 1.0 / i)))
+      .map { case (i, e) => when(col("fsd") === i, lit(e)) }
+      .reduceRight(_ otherwise _)
+    d.crossJoin(broadcast(tot))
+      .groupBy(col("fsd"))
+      .agg(count(lit(1)).as("n"), max(col("__t")).as("__t"))
+      .select(col("fsd"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("frac"),
+        expected.as("expected"))
+      .withColumn("dev", col("frac") - col("expected"))
+  }
+
+  /** 2-D Pareto frontier (skyline): the distinct (x, y) points not
+    * dominated by any other — no point with x' <= x and y' >= y and
+    * at least one strict (x minimized, y maximized; flip signs for
+    * other orientations). The multi-objective "best tradeoffs"
+    * operator: cost-vs-quality corpus pruning, price-vs-volume
+    * supplier screens.
+    *
+    * Plan: per-x max(y) first (dominated same-x points die in a keyed
+    * aggregate), then one ascending pass over the DISTINCT-x relation
+    * keeping points whose y exceeds the running max so far — the
+    * classic sort-scan skyline, exact for 2-D. The only serial state
+    * is the distinct-x relation; with continuous x at corpus scale,
+    * quantize x first (the [[equiWidthHistogram]] bin) or accept the
+    * distinct-x bound. Ties: equal-x keeps max y; equal (x, y)
+    * collapses to one output row. Null x/y rows are excluded.
+    */
+  def paretoFront(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = xCol.cast("double")
+    val gx = df.filter(x.isNotNull && yCol.isNotNull)
+      .groupBy(x.as("x")).agg(max(yCol).as("__ymax"))
+    val prevMax = max(col("__ymax")).over(Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1))
+    gx.select(col("x"), col("__ymax"), prevMax.as("__prev"))
+      .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
+      .select(col("x"), col("__ymax").as("y"))
+  }
+
   /** Equi-WIDTH histogram: `nBins` equal value-range bins over the
     * global [min, max], per bin the row count and exact-decimal sum.
     * The distribution-shape complement of [[quantileBins]] (equi-DEPTH

@@ -126,4 +126,36 @@ object Retrieval {
         sum((lit(1.0) / (lit(c.toDouble) + col("__rank").cast("double")))
           .cast(DecimalType(38, 10))).cast("double").as("rrf"))
   }
+
+  /** Positional inverted index for a probe term set: per (term, doc)
+    * the 1-based token positions and term frequency — the structure
+    * phrase/proximity retrieval queries, and the complement of
+    * [[bm25TopK]]'s frequency-only scoring (BM25 can't see that
+    * "machine learning" is adjacent; positions can).
+    *
+    * Postings are restricted to `terms` — an index build is per-probe
+    * /per-vocabulary-shard by contract, so output is bounded by the
+    * probe's posting lists, not the corpus token count (full-vocab
+    * builds shard the term space and loop). Positions are
+    * posexplode-derived and sorted, so the list is deterministic
+    * regardless of partitioning.
+    *
+    * Scale: scan-stage tokenize+posexplode with an IN-set filter that
+    * drops every non-probe token BEFORE the shuffle; one
+    * (term, doc)-keyed aggregate whose state is the posting length.
+    */
+  def positionalIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "positionalIndex: at least one probe term required")
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"), posexplode(TextHash.tokens(text)).as(Seq("__p", "__tok")))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(col("__tok").as("term"), col("doc_id"))
+      .agg(
+        array_sort(collect_list((col("__p") + 1).cast("long"))).as("positions"),
+        count(lit(1)).as("tf"))
+  }
 }

@@ -375,4 +375,36 @@ object Similarity {
         cosineSim(col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Per-group embedding centroids in long format: (group, dim, 1-based
+    * dimension index, exact-mean component) — the class/source
+    * prototype vectors that seed centroid-init k-means, power
+    * nearest-centroid classification, and feed per-slice drift checks
+    * (centroid shift between two crawl snapshots).
+    *
+    * Long format is deliberate: the (group, dim)-keyed mean is one
+    * aggregate with map-side partials and needs no array re-assembly
+    * (callers that want arrays sort-collect per group; callers that
+    * want drift join two long relations on (group, dim)). Components
+    * are NANO-QUANTIZED before summing: each rounds to an integer
+    * count of 1e-9 units (one IEEE multiply + round, identical on any
+    * engine; a tie at the cut is impossible for a dyadic input), the
+    * sum runs in exact DECIMAL(38,0) integers, and one division
+    * recovers the mean — raw embedding floats have arbitrary binary
+    * tails, which a direct fixed-scale decimal cast rounds
+    * engine-dependently. Null vectors are excluded; ragged dimensions
+    * simply contribute to the dims they have.
+    *
+    * Scale: one posexplode (scan-stage Generate) + one keyed
+    * aggregate; shuffle width is groups × dims, never row count.
+    */
+  def groupCentroids(df: DataFrame, grp: Column, vecCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.filter(vecCol.isNotNull && grp.isNotNull)
+      .select(grp.as("grp"), posexplode(vecCol).as(Seq("__p", "__v")))
+      .groupBy(col("grp"), (col("__p") + 1).cast("long").as("dim"))
+      .agg((sum(round(col("__v").cast("double") * lit(1.0e9))
+          .cast(DecimalType(38, 0))).cast("double") /
+        count(lit(1)).cast("double") / lit(1.0e9)).as("centroid"))
+  }
 }

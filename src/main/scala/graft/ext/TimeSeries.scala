@@ -192,4 +192,66 @@ object TimeSeries {
       .groupBy(col("day"))
       .agg(countDistinct(col("__e")).as("active_entities"))
   }
+
+  /** Time-decayed sum per group — every observation weighted by
+    * 2^(−age/halfLife) with age in whole days behind the data's max
+    * date (integer division: the weight halves stepwise every
+    * `halfLifeDays`). The recency-weighted aggregate feature stores
+    * serve ("decayed 30-day spend"), computable as one scan +
+    * aggregate because the decay is anchored at a fixed as-of date,
+    * not per-row recursion.
+    *
+    * Exactness contract: ages are exact integers, so every weight is
+    * an exact power of two (2^(−k) is dyadic; any engine's pow(2, −k)
+    * is exact — no libm last-ulp hazard, which is why the base is 2
+    * and the exponent integer rather than a smooth e^(−λt)); each
+    * value·weight product is one IEEE multiply. The decayed sum is
+    * then MICRO-QUANTIZED: each term rounds to an integer count of
+    * 1e-6 units and the sum runs in exact DECIMAL(38,0) integers,
+    * divided back once at the end. The quantization is the
+    * reproducibility contract, not a shortcut — a decayed product has
+    * an arbitrary binary tail, and casting such doubles straight to a
+    * fixed-scale decimal rounds differently across engines at the
+    * scale digit (a tie can't exist — x·10^6 half-integral requires a
+    * 5^6 denominator, impossible for a dyadic — so round-to-nearest
+    * agrees everywhere). Rows older than `maxAgeDays` are excluded
+    * outright; null ts/value/group rows are excluded.
+    *
+    * Scale: the as-of date is a 1-row broadcast; everything else is a
+    * scan-stage expression + one keyed aggregate with map-side
+    * partials.
+    */
+  def decayedSum(
+      df: DataFrame,
+      grp: Column,
+      ts: Column,
+      value: Column,
+      halfLifeDays: Int,
+      maxAgeDays: Int = 3650): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(halfLifeDays >= 1, s"decayedSum: halfLifeDays >= 1 required, got $halfLifeDays")
+    require(maxAgeDays >= 1, s"decayedSum: maxAgeDays >= 1 required, got $maxAgeDays")
+    val dec = DecimalType(38, 10)
+    val v = value.cast("double")
+    val rows = df.filter(ts.isNotNull && v.isNotNull && grp.isNotNull)
+      .select(grp.as("grp"), to_date(ts).as("__d"), v.as("__v"))
+    val asOf = rows.agg(max(col("__d")).as("__md"))
+    val age = datediff(col("__md"), col("__d"))
+    rows.crossJoin(broadcast(asOf))
+      .filter(age <= maxAgeDays)
+      .select(col("grp"),
+        // floor(age/hl) is exact: integer-valued quotients of exact
+        // small ints divide exactly in IEEE, and fractional ones sit
+        // a full fraction away from the floor boundary
+        round(col("__v") *
+            pow(lit(2.0), -floor(age / lit(halfLifeDays.toDouble)).cast("double")) *
+            lit(1000000.0))
+          .cast(DecimalType(38, 0)).as("__dvMicro"),
+        col("__v"))
+      .groupBy(col("grp"))
+      .agg(
+        (sum(col("__dvMicro")).cast("double") / lit(1000000.0)).as("decayed_sum"),
+        sum(col("__v").cast(dec)).cast("double").as("plain_sum"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -706,6 +706,199 @@ object Insights {
         JOIN a12 pv ON pv.node = e.v
         GROUP BY e.u ORDER BY e.u
       """
-      })
+      }),
+    // ----------------------------------------------------------------
+    // Benford first-digit profile of line amounts — integer-part digit
+    // (format-stable), shared literal expectations, 9-row aggregate.
+    Q(
+      "q164_benford",
+      (s, dir) => {
+        import s.implicits._
+        Profile.benfordProfile(t(s, dir, "lineitem"), $"l_extendedprice")
+          .orderBy($"fsd")
+      },
+      Some {
+        val expect = (1 to 9).map(i =>
+          s"WHEN fsd = $i THEN CAST('${math.log10(1.0 + 1.0 / i)}' AS DOUBLE)").mkString(" ")
+        s"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS fsd
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND CAST(l_extendedprice AS DOUBLE) >= 1),
+        tot AS (SELECT COUNT(*) AS t FROM d),
+        g AS (SELECT fsd, COUNT(*) AS n, CAST(MAX(t) AS BIGINT) AS t
+              FROM d CROSS JOIN tot GROUP BY fsd)
+        SELECT fsd, n, frac, expected, frac - expected AS dev
+        FROM (SELECT fsd, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS frac,
+                     CASE $expect END AS expected
+              FROM g)
+        ORDER BY fsd
+      """
+      }),
+    // ----------------------------------------------------------------
+    // Positional inverted index for a 3-term probe — postings with
+    // 1-based positions and tf, scan-stage IN-set filter before the
+    // shuffle.
+    Q(
+      "q165_positional_index",
+      (s, dir) => {
+        import s.implicits._
+        Retrieval.positionalIndex(t(s, dir, "documents"), $"doc_id", $"text",
+            Seq("data", "model", "table"))
+          .orderBy($"term", $"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${OracleSql.tokens("text")} AS t
+          FROM documents WHERE text IS NOT NULL),
+        pos AS (
+          SELECT doc_id, t[i] AS term, i
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+          WHERE t[i] IN ('data', 'model', 'table'))
+        SELECT term, doc_id, list(i ORDER BY i) AS positions, COUNT(*) AS tf
+        FROM pos GROUP BY term, doc_id ORDER BY term, doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Pareto frontier of (min price, total quantity) per part — per-x
+    // keyed aggregate, then one running-max pass over the distinct-x
+    // relation.
+    Q(
+      "q166_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val pts = t(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(min($"l_extendedprice").as("x"), sum($"l_quantity".cast("long")).as("y"))
+        Profile.paretoFront(pts, $"x", $"y").orderBy($"x")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT l_partkey, CAST(MIN(l_extendedprice) AS DOUBLE) AS x,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+          FROM lineitem GROUP BY l_partkey),
+        gx AS (SELECT x, MAX(y) AS ymax FROM pts GROUP BY x),
+        rm AS (SELECT x, ymax, MAX(ymax) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM gx)
+        SELECT x, ymax AS y FROM rm WHERE prevmax IS NULL OR ymax > prevmax
+        ORDER BY x
+      """)),
+    // ----------------------------------------------------------------
+    // Time-decayed event value per type: daily half-life (exact
+    // power-of-two weights), decayed vs plain sum side by side.
+    Q(
+      "q167_decayed_sum",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.decayedSum(t(s, dir, "events"), $"event_type", $"ts", $"value",
+            halfLifeDays = 1, maxAgeDays = 50)
+          .orderBy($"grp")
+      },
+      Some(s"""
+        WITH rows_ AS (
+          SELECT event_type AS grp, CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        mx AS (SELECT MAX(d) AS md FROM rows_),
+        w AS (SELECT grp,
+                CAST(round(v * pow(2.0, -FLOOR(CAST(date_diff('day', d, md) AS DOUBLE) / 1.0))
+                           * 1000000.0) AS DECIMAL(38,0)) AS dvm,
+                v
+              FROM rows_ CROSS JOIN mx
+              WHERE date_diff('day', d, md) <= 50)
+        SELECT grp,
+               CAST(SUM(dvm) AS DOUBLE) / 1000000.0 AS decayed_sum,
+               ${OracleSql.dsum("v")} AS plain_sum,
+               COUNT(*) AS n
+        FROM w GROUP BY grp ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // Containment near-dup pairs — |A∩B|/|A| with A the smaller
+    // shingle set: catches doc-inside-doc where Jaccard stays low.
+    // Prefix-filtered on the contained side only, preflight-guarded.
+    Q(
+      "q168_containment",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, threshold = 0.8)
+          .orderBy($"id_small", $"id_big")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, ${OracleSql.hashedShingles3("text")} AS shingles
+                    FROM documents),
+        post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS o
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_small, ib AS id_big, o, sa.n AS na
+          FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+          WHERE sb.n > sa.n OR (sb.n = sa.n AND ia < ib))
+        SELECT id_small, id_big, CAST(o AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+        FROM pairs WHERE CAST(o AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8
+        ORDER BY id_small, id_big
+      """)),
+    // ----------------------------------------------------------------
+    // Cohen's kappa between two threshold raters over lineitem —
+    // chance-corrected agreement, exact-integer marginal products.
+    Q(
+      "q169_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_quantity".isNotNull && $"l_extendedprice".isNotNull)
+        Profile.agreementKappa(li,
+          when($"l_quantity" > 25, "high").otherwise("low"),
+          when($"l_extendedprice" > 50000, "high").otherwise("low"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS a,
+                 CASE WHEN l_extendedprice > 50000 THEN 'high' ELSE 'low' END AS b
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        base AS (SELECT COUNT(*) AS nn,
+                        CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+                 FROM r),
+        ra AS (SELECT a AS k, COUNT(*) AS rr FROM r GROUP BY a),
+        cb AS (SELECT b AS k, COUNT(*) AS cc FROM r GROUP BY b),
+        pe AS (SELECT CAST(CAST(SUM(CAST(COALESCE(rr, 0) AS DECIMAL(38,0)) *
+                                    CAST(COALESCE(cc, 0) AS DECIMAL(38,0)))
+                       AS VARCHAR) AS DOUBLE) AS rc,
+                      COUNT(*) AS ncat
+               FROM ra FULL OUTER JOIN cb USING (k))
+        SELECT nn AS n_obs, ncat AS n_categories,
+               CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+               rc / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe,
+               CASE WHEN rc / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) < 1.0 THEN
+                 (CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)
+                    - rc / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                 / (1.0 - rc / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+               END AS kappa
+        FROM base CROSS JOIN pe
+      """)),
+    // ----------------------------------------------------------------
+    // Per-label embedding centroids, long format — exact decimal
+    // component sums over one posexplode + keyed aggregate.
+    Q(
+      "q170_centroids",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Similarity.groupCentroids(t(s, dir, "embeddings"), $"label", $"embedding")
+          .orderBy($"grp", $"dim")
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT label AS grp, CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+          WHERE embedding IS NOT NULL AND label IS NOT NULL)
+        SELECT grp, dim,
+               CAST(SUM(CAST(round(v * 1.0E9) AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1.0E9 AS centroid
+        FROM pos GROUP BY grp, dim ORDER BY grp, dim
+      """))
   )
 }

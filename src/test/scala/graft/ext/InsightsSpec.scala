@@ -283,6 +283,93 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map("a" -> 2.0, "b" -> 1.0, "z" -> 9.0))
   }
 
+  test("benfordProfile: hand digits, sub-1 rows excluded, expectations are the log10 table") {
+    import spark.implicits._
+    val df = Seq(1.5, 19.0, 190.5, 2.0, 0.5, 9000.0).toDF("v") // fsd: 1,1,1,2,skip,9
+    val m = Profile.benfordProfile(df, col("v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(m.keySet == Set(1, 2, 9))
+    assert(m(1) == ((3L, 0.6, math.log10(2.0))))
+    assert(m(2)._1 == 1L && m(2)._3 == math.log10(1.5))
+    assert(m(9)._1 == 1L && m(9)._3 == math.log10(10.0 / 9.0))
+  }
+
+  test("paretoFront: dominated points die, same-x keeps max y, frontier ascends") {
+    import spark.implicits._
+    val pts = Seq((1.0, 5L), (1.0, 3L), (2.0, 4L), (2.0, 7L), (3.0, 7L), (4.0, 9L),
+      (5.0, 1L)).toDF("x", "y")
+    val r = Profile.paretoFront(pts, col("x"), col("y"))
+      .orderBy(col("x")).collect().map(p => (p.getDouble(0), p.getLong(1))).toSeq
+    // (1,5) survives; (2,7) beats (2,4) and 5; (3,7) ties prev max -> dominated;
+    // (4,9) new max; (5,1) dominated
+    assert(r == Seq((1.0, 5L), (2.0, 7L), (4.0, 9L)))
+  }
+
+  test("positionalIndex: 1-based sorted positions, probe-set restriction, tf counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c a"), (2L, "c c"), (3L, null)).toDF("id", "txt")
+    val r = Retrieval.positionalIndex(docs, col("id"), col("txt"), Seq("a", "c"))
+      .orderBy(col("term"), col("doc_id"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getSeq[Long](2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("a", 1L, Seq(1L, 3L, 5L), 3L),
+      ("c", 1L, Seq(4L), 1L),
+      ("c", 2L, Seq(1L, 2L), 2L)))
+  }
+
+  test("decayedSum: power-of-two weights, staircase half-life, max-age cutoff") {
+    import spark.implicits._
+    val ev = Seq(
+      ("g", "2024-01-10 00:00:00", 8.0),  // age 0 → w 1
+      ("g", "2024-01-09 00:00:00", 8.0),  // age 1, hl 2 → floor(1/2)=0 → w 1
+      ("g", "2024-01-08 00:00:00", 8.0),  // age 2 → w 1/2
+      ("g", "2024-01-04 00:00:00", 8.0),  // age 6 → w 1/8
+      ("g", "2023-01-01 00:00:00", 999.0)) // age > maxAge → excluded
+      .toDF("g", "ts_s", "v").select($"g", to_timestamp($"ts_s").as("ts"), $"v")
+    val r = TimeSeries.decayedSum(ev, col("g"), col("ts"), col("v"),
+      halfLifeDays = 2, maxAgeDays = 30).collect().head
+    assert(r.getDouble(1) == 8.0 + 8.0 + 4.0 + 1.0)
+    assert(r.getDouble(2) == 32.0 && r.getLong(3) == 4L)
+  }
+
+  test("containmentPairs: doc-inside-doc found where Jaccard misses; direction is small-in-big") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"           // 4 shingles
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, "unrelated text entirely here now"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((2L, 1L, 1.0))) // small fully contained in big
+    // and the Jaccard twin at the same threshold finds nothing
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8).count() == 0)
+  }
+
+  test("agreementKappa: perfect agreement → 1, independence → ~0, degenerate → null") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = Profile.agreementKappa(perfect, col("a"), col("b")).collect().head
+    assert(p.getDouble(4) == 1.0 && p.getLong(0) == 3L && p.getLong(1) == 2L)
+    // marginals independent: po = pe exactly -> kappa 0
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")).toDF("a", "b")
+    val i = Profile.agreementKappa(indep, col("a"), col("b")).collect().head
+    assert(i.getDouble(2) == 0.5 && i.getDouble(3) == 0.5 && i.getDouble(4) == 0.0)
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Profile.agreementKappa(degen, col("a"), col("b")).collect().head.isNullAt(4))
+  }
+
+  test("groupCentroids: exact per-dim means, 1-based dims, null vectors excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 6.0f)),
+      (2, Array(10.0f, 0.0f)), (2, null.asInstanceOf[Array[Float]]))
+      .toDF("lbl", "vec")
+    val m = graft.ext.Similarity.groupCentroids(df, col("lbl"), col("vec"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m == Map((1, 1L) -> 2.0, (1, 2L) -> 4.0, (2, 1L) -> 10.0, (2, 2L) -> 0.0))
+  }
+
   test("fdProfile: exact dependency certifies 1.0; violations counted per key") {
     import spark.implicits._
     val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"), (3L, "x", "p"),
