@@ -377,6 +377,50 @@ object Graph {
     }
   }
 
+  /** Item-item cosine similarity from co-occurrence (the Ochiai
+    * coefficient): for items a, b co-occurring in `co` baskets out of
+    * n_a and n_b total baskets each, cos = co / √(n_a·n_b) — cosine
+    * of the binary basket-membership vectors. The classic
+    * item-based-CF / related-terms score, and the normalization that
+    * makes raw co-counts comparable across popularity levels.
+    *
+    * Built on [[bipartiteProject]]'s capped pair generation (hub
+    * baskets excluded, pair space maxDegree²-bounded); per-item
+    * basket counts come from the same capped edge relation, so the
+    * numerator and denominator see the same universe. √ is correctly
+    * rounded in IEEE 754 and the score is one fixed expression tree —
+    * hash-stable. `minCo` prunes the noise floor (pairs seen once are
+    * not evidence); items only ever appear as (min, max) pairs.
+    *
+    * Scale: bipartiteProject's keyed joins + two broadcast-sized
+    * count joins; no new shuffle over the pair relation.
+    */
+  def cooccurrenceCosine(
+      edges: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxDegree: Int,
+      minCo: Long = 2L): DataFrame = {
+    require(minCo >= 1, s"cooccurrenceCosine: minCo >= 1 required, got $minCo")
+    val e = edges.select(col(basketCol).as("__l"), col(itemCol).as("__r")).distinct()
+    val deg = e.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
+    val kept = e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))
+      .select(col("__l"), col("__r"))
+    val pairs = kept.select(col("__l"), col("__r").as("a"))
+      .join(kept.select(col("__l"), col("__r").as("b")), Seq("__l"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val n = kept.groupBy(col("__r").as("__item")).agg(count(lit(1)).as("__n"))
+    pairs
+      .join(n.select(col("__item").as("a"), col("__n").as("__na")), Seq("a"))
+      .join(n.select(col("__item").as("b"), col("__n").as("__nb")), Seq("b"))
+      .select(col("a"), col("b"), col("co"),
+        (col("co").cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double"))).as("cos"))
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop nodes
     * whose degree within the surviving subgraph is below `k` until the
     * set is stable (the classic Matula-Beck peel, round-parallelized).

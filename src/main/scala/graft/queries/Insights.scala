@@ -899,6 +899,33 @@ object Insights {
                CAST(SUM(CAST(round(v * 1.0E9) AS DECIMAL(38,0))) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) / 1.0E9 AS centroid
         FROM pos GROUP BY grp, dim ORDER BY grp, dim
+      """)),
+    // ----------------------------------------------------------------
+    // Item-item co-occurrence cosine (Ochiai) over order baskets —
+    // capped pair generation + popularity normalization, top 100 by
+    // score with full tiebreak.
+    Q(
+      "q171_cooccurrence",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+        Graph.cooccurrenceCosine(li, "l_orderkey", "l_partkey",
+            maxDegree = 64, minCo = 2)
+          .orderBy($"cos".desc, $"a", $"b").limit(100)
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem),
+        deg AS (SELECT l FROM e GROUP BY l HAVING COUNT(*) <= 64),
+        kept AS (SELECT e.* FROM e JOIN deg USING (l)),
+        pairs AS (
+          SELECT a.r AS a, b.r AS b, COUNT(*) AS co
+          FROM kept a JOIN kept b ON a.l = b.l AND a.r < b.r
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        n AS (SELECT r AS item, COUNT(*) AS nn FROM kept GROUP BY r)
+        SELECT a, b, co,
+               CAST(co AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+        FROM pairs JOIN n na ON na.item = a JOIN n nb ON nb.item = b
+        ORDER BY cos DESC, a, b LIMIT 100
       """))
   )
 }

@@ -370,6 +370,21 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map((1, 1L) -> 2.0, (1, 2L) -> 4.0, (2, 1L) -> 10.0, (2, 2L) -> 0.0))
   }
 
+  test("cooccurrenceCosine: Ochiai normalization, minCo floor, hub basket excluded") {
+    import spark.implicits._
+    // baskets: b1={x,y}, b2={x,y}, b3={x,z}, b4={x,z}, hub={x,y,z,w} (cap 3)
+    val e = Seq(("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "z"), ("b4", "x"), ("b4", "z"),
+      ("h", "x"), ("h", "y"), ("h", "z"), ("h", "w")).toDF("bk", "it")
+    val r = Graph.cooccurrenceCosine(e, "bk", "it", maxDegree = 3, minCo = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> ((x.getLong(2), x.getDouble(3))))
+      .toMap
+    // kept universe: n_x=4, n_y=2, n_z=2; co(x,y)=2, co(x,z)=2; (y,z) never co-occur
+    assert(r.keySet == Set(("x", "y"), ("x", "z")))
+    assert(r(("x", "y")) == ((2L, 2.0 / math.sqrt(8.0))))
+    assert(r(("x", "z")) == ((2L, 2.0 / math.sqrt(8.0))))
+  }
+
   test("fdProfile: exact dependency certifies 1.0; violations counted per key") {
     import spark.implicits._
     val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"), (3L, "x", "p"),
