@@ -402,6 +402,7 @@ object Graph {
       maxDegree: Int,
       minCo: Long = 2L): DataFrame = {
     require(minCo >= 1, s"cooccurrenceCosine: minCo >= 1 required, got $minCo")
+    require(maxDegree >= 2, s"cooccurrenceCosine: maxDegree >= 2 required, got $maxDegree")
     val e = edges.select(col(basketCol).as("__l"), col(itemCol).as("__r")).distinct()
     val deg = e.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
     val kept = e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))

@@ -446,12 +446,16 @@ object Profile {
         sum(coalesce(col("__r"), lit(0L)).cast(dec) *
             coalesce(col("__c"), lit(0L)).cast(dec)).as("__rc"),
         count(lit(1)).as("__ncat"))
+    // n_obs = 0 leaves po/pe null rather than tripping ANSI
+    // divide-by-zero on the empty-input row an aggregate always emits
     base.crossJoin(pe).select(
       col("__nn").as("n_obs"),
       col("__ncat").as("n_categories"),
-      (col("__agree").cast("double") / col("__nn").cast("double")).as("po"),
-      (col("__rc").cast("double") /
-        (col("__nn").cast("double") * col("__nn").cast("double"))).as("pe"))
+      when(col("__nn") > 0,
+        col("__agree").cast("double") / col("__nn").cast("double")).as("po"),
+      when(col("__nn") > 0,
+        col("__rc").cast("double") /
+          (col("__nn").cast("double") * col("__nn").cast("double"))).as("pe"))
       .select(col("n_obs"), col("n_categories"), col("po"), col("pe"),
         when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
           .as("kappa"))
