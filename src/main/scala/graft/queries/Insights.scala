@@ -746,6 +746,10 @@ object Insights {
         import s.implicits._
         Retrieval.positionalIndex(t(s, dir, "documents"), $"doc_id", $"text",
             Seq("data", "model", "table"))
+          // The driver's oracle compare hashes via pandas, which cannot
+          // factorize array cells — serialize the posting list to a
+          // canonical comma-joined string (same info, hashable).
+          .withColumn("positions", concat_ws(",", $"positions".cast("array<string>")))
           .orderBy($"term", $"doc_id")
       },
       Some(s"""
@@ -756,7 +760,9 @@ object Insights {
           SELECT doc_id, t[i] AS term, i
           FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
           WHERE t[i] IN ('data', 'model', 'table'))
-        SELECT term, doc_id, list(i ORDER BY i) AS positions, COUNT(*) AS tf
+        SELECT term, doc_id,
+               string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS positions,
+               COUNT(*) AS tf
         FROM pos GROUP BY term, doc_id ORDER BY term, doc_id
       """)),
     // ----------------------------------------------------------------
