@@ -605,4 +605,64 @@ object Dedup {
           expr("n_found_pairs * 1000000000L div n_true_pairs"))
           .otherwise(lit(null).cast("long")).as("recall_ppb"))
   }
+
+  /** Sorted-neighborhood near-duplicate pairs (Hernández & Stolfo,
+    * SIGMOD'95 merge/purge): sort docs by a canonical key, compare each
+    * doc only with its next `windowSize − 1` neighbors in that order,
+    * keep pairs whose exact token-set Jaccard clears `minJaccard`.
+    * Near-identical texts canonicalize to near-identical keys and land
+    * adjacent, so a tiny window catches them at LINEAR pair cost —
+    * the third candidate generator next to [[minhashLshPairs]]
+    * (probabilistic, join-based) and [[ngramJaccardPairs]] (exact,
+    * quadratic in cluster size): deterministic, join-FREE, and immune
+    * to cluster-size blowup — a 10⁶-copy cluster emits
+    * windowSize−1 pairs per member, never the 10¹² of a pair join.
+    * The price is sort-order recall only: a pair whose keys diverge in
+    * the first `blockPrefix` chars (e.g. a different leading word) is
+    * never compared. Run it as the cheap first pass, LSH for the rest.
+    *
+    * Plan: ONE window shuffle, zero joins. Docs hash-partition by the
+    * first `blockPrefix` chars of the canonical key (the sliding
+    * window runs inside each block — unbounded-key global sorts don't
+    * exist at 100 TB; a block boundary costs at most windowSize−1
+    * candidate pairs) and sort by (key, id) within the block; each row
+    * carries its `windowSize − 1` lead neighbors out of the window
+    * operator, and the verify — array_intersect on distinct token
+    * sets, fixed-shape double division — is scan-stage. Pairs are
+    * emitted (least, greatest) so output ids are canonically ordered
+    * regardless of sort position; the same unordered pair can only
+    * appear once (forward-only leads from a total order).
+    */
+  def sortedNeighborPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowSize: Int = 4,
+      blockPrefix: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(windowSize >= 2 && windowSize <= 64,
+      s"sortedNeighborPairs: windowSize in [2, 64], got $windowSize")
+    require(blockPrefix >= 1, s"sortedNeighborPairs: blockPrefix >= 1 required")
+    val key = TextAnalysis.canonicalize(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), key.as("__key"),
+        array_distinct(TextHash.tokens(key)).as("__toks"))
+      .withColumn("__blk", substring(col("__key"), 1, blockPrefix))
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__key"), col("doc_id"))
+    val leads = array((1 until windowSize).map(j =>
+      lead(struct(col("doc_id").as("id"), col("__toks").as("toks")), j).over(w)): _*)
+    val inter = size(array_intersect(col("__toks"), col("__nb.toks"))).cast("double")
+    base
+      // window expressions can't sit under a Generate — materialize the
+      // neighbor array in its own Project, then explode the attribute
+      .select(col("doc_id"), col("__toks"), leads.as("__nbs"))
+      .select(col("doc_id"), col("__toks"), explode(col("__nbs")).as("__nb"))
+      .filter(col("__nb").isNotNull)
+      .select(
+        least(col("doc_id"), col("__nb.id")).as("id_a"),
+        greatest(col("doc_id"), col("__nb.id")).as("id_b"),
+        (inter / (size(col("__toks")) + size(col("__nb.toks")) - inter).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

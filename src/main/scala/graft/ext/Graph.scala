@@ -307,6 +307,52 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** LOCAL clustering coefficient: per node — degree, incident-triangle
+    * count, and cc = 2·t/(d·(d−1)), the per-node refinement of
+    * [[triangleCount]]'s single global number. The community-structure
+    * probe: cc ≈ 1 marks nodes inside cliques (dense dup clusters,
+    * tight co-purchase pockets), cc ≈ 0 marks pure hubs/bridges —
+    * ranking nodes by (degree, cc) separates genuinely embedded
+    * entities from star centers that merely touch everything.
+    *
+    * Same degree-oriented wedge enumeration and O(m^1.5) bound as
+    * [[triangleCount]] — triangles are found once at their
+    * minimum-(degree, id) corner — then each closed triangle (s, b, c)
+    * is unpivoted to its three corners (inline, scan-stage) and
+    * counted per node; nodes in no triangle keep t = 0 via the left
+    * join back to the degree relation. Degree-1 nodes (no wedge) get
+    * null cc, matching the global null-on-no-wedges convention.
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("degree").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), Seq("v"))
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"))
+    val wedges = oriented.select(col("s"), col("t").as("b"))
+      .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
+      .filter(col("b") < col("c"))
+    val triCorners = wedges
+      .join(e, least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"))
+      .select(explode(array(col("s"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(triCorners, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .as("local_cc"))
+  }
+
   /** Hop-bounded multi-source BFS: minimum hop distance from any seed
     * node, for every node within `maxHops` undirected hops. Output
     * (id, dist) — nodes beyond the horizon are absent (the no-evidence

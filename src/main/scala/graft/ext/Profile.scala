@@ -205,6 +205,66 @@ object Profile {
         when(varxn > 0 && varyn > 0, (covn * covn) / (varxn * varyn)).as("r2")): _*)
   }
 
+  /** Welch's two-sample t-test between two slices of one metric column
+    * — the unequal-variance A/B test (never the pooled Student form:
+    * real slices never share a variance). One row out: per-slice
+    * count/mean/sample-variance, the t statistic, and the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * [[groupedOls]] discipline throughout: the only order-dependent
+    * step (the power sums) accumulates as exact DECIMAL(38,10) and is
+    * cast to double once; every downstream formula — mean = Sx/n,
+    * s² = (n·Sxx − Sx²)/(n·(n−1)), se² = s²A/nA + s²B/nB,
+    * t = (mA − mB)/√se², df = se⁴/((s²A/nA)²/(nA−1) + (s²B/nB)²/(nB−1))
+    * — is a fixed shape of IEEE double ops the oracle reproduces
+    * verbatim. Degenerate inputs are null, not garbage: variance null
+    * below 2 observations, t/df null unless both slices have ≥ 2 and
+    * se² > 0 (two constant slices have a mean difference but no
+    * sampling error to scale it by). Null metric rows are excluded.
+    *
+    * Scale: ONE scan, one conditional aggregate — six numbers cross
+    * the wire regardless of row count; no join, no window.
+    */
+  def welchTTest(
+      df: DataFrame,
+      sliceCol: Column,
+      value: Column,
+      a: String,
+      b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val x = value.cast("double")
+    def side(tag: String, suffix: String): Seq[Column] = {
+      val v = when(sliceCol === tag, x)
+      Seq(
+        count(v).cast("double").as(s"__n$suffix"),
+        sum(v.cast(dec)).cast("double").as(s"__sx$suffix"),
+        sum((v * v).cast(dec)).cast("double").as(s"__sxx$suffix"))
+    }
+    val sums = side(a, "a") ++ side(b, "b")
+    val agged = df.filter(x.isNotNull && sliceCol.isin(a, b))
+      .agg(sums.head, sums.tail: _*)
+    def stats(s: String): (Column, Column, Column) = {
+      val (n, sx, sxx) = (col(s"__n$s"), col(s"__sx$s"), col(s"__sxx$s"))
+      val varr = (n * sxx - sx * sx) / (n * (n - lit(1.0)))
+      (n, sx / n, when(n >= 2, varr))
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    val dfDen = (va / na) * (va / na) / (na - lit(1.0)) +
+      (vb / nb) * (vb / nb) / (nb - lit(1.0))
+    agged.select(
+      na.cast("long").as("n_a"),
+      nb.cast("long").as("n_b"),
+      when(na >= 1, ma).as("mean_a"),
+      when(nb >= 1, mb).as("mean_b"),
+      va.as("var_a"),
+      vb.as("var_b"),
+      when(na >= 2 && nb >= 2 && se2 > 0, (ma - mb) / sqrt(se2)).as("t_stat"),
+      when(na >= 2 && nb >= 2 && se2 > 0 && dfDen > 0, se2 * se2 / dfDen).as("welch_df"))
+  }
+
   /** Chi-square test of independence between two categorical columns,
     * one row out: observation count, contingency dimensions, the χ²
     * statistic, and Cramér's V = √(χ²/(n·min(r-1, c-1))) — the

@@ -464,6 +464,42 @@ object TextAnalysis {
         graft.functions.TextFunctions.charClassStats(text).as("__cs"))
       .select(col("doc_id"), col("__cs.*"))
 
+  /** Per-document sentence-shape signals: terminator-run count (a run
+    * of `.!?` ends one sentence — "Wait...!?" is one boundary, not
+    * five), token count, mean tokens per sentence, and whether the doc
+    * ends at a sentence boundary — the C4/Gopher-family gates that
+    * kill marquee text, nav fragments, and truncated crawls (prose
+    * runs 10–30 tokens/sentence and ends terminated; listings don't).
+    *
+    * Everything is counts and one fixed-shape division — the quality
+    * family's log-free, engine-stable discipline — and every regex is
+    * RE2-safe (character classes only, no lookaround: DuckDB's RE2 has
+    * no lookbehind, so a split on `(?<=[.!?])` could never be
+    * replicated by the oracle). The end-of-doc check strips trailing
+    * whitespace by regex (NOT rtrim, which both engines limit to
+    * spaces) and tests the last character. Docs with zero terminators
+    * report null mean (no sentence evidence — the no-evidence
+    * convention), not a div-by-zero.
+    *
+    * Scale: scan-stage only — no explode, no shuffle, no join.
+    */
+  def sentenceStats(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val nSent = regexp_count(text, lit("[.!?]+")).cast("long")
+    val nTok = size(TextHash.tokens(text)).cast("long")
+    val lastChar = substring(regexp_replace(text, "[\\s]+$", ""), -1, 1)
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"), nSent.as("n_sentences"), nTok.as("n_tokens"),
+        lastChar.isin(".", "!", "?").as("ends_terminal"))
+      .withColumn("mean_sent_tokens",
+        when(col("n_sentences") > 0,
+          col("n_tokens").cast("double") / col("n_sentences").cast("double")))
+      .select(col("doc_id"), col("n_sentences"), col("n_tokens"),
+        col("mean_sent_tokens"), col("ends_terminal"))
+  }
+
   /** Corpus-wide adjacent token-pair counts, top `topK` by frequency —
     * the counting step a BPE/WordPiece tokenizer trainer iterates:
     * every merge round asks exactly "which adjacent pair is most

@@ -254,4 +254,104 @@ object TimeSeries {
         sum(col("__v").cast(dec)).cast("double").as("plain_sum"),
         count(lit(1)).as("n"))
   }
+
+  /** Per-key grid resampling with LINEAR interpolation — the numeric
+    * complement of [[resampleFill]]'s carry-forward: empty grid cells
+    * between two observed cells get the straight-line value
+    * v_prev + (b − b_prev)·(v_next − v_prev)/(b_next − b_prev); cells
+    * before the first or after the last observation stay null (LOCF
+    * extrapolates a state; a measurement should not be extrapolated).
+    *
+    * The per-cell anchor observation is max by (ts, tiebreak) among
+    * the cell's NON-NULL values — null measurements don't anchor, they
+    * get interpolated across like missing cells. `is_observed` marks
+    * cells that had a non-null observation.
+    *
+    * Determinism: the interpolation expression is a fixed shape of
+    * IEEE double ops — ((b−bp)·(vn−vp))/(bn−bp) then +vp — reproduced
+    * verbatim by the oracle, so no accumulation-order hazard exists
+    * (nothing is summed in floating point).
+    *
+    * Scale: identical plan to [[resampleFill]] — per-key grid bounds
+    * (guarded by `maxCellsPerKey`), one grid join, and FOUR window
+    * expressions that all share one (key) Exchange and one (bucket)
+    * Sort: two backward (last non-null value/bucket) and two forward
+    * (first non-null value/bucket) frames.
+    */
+  def interpolateFill(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column,
+      stepSeconds: Long,
+      maxCellsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    def bucketOf(t: Column): Column = floor(unix_timestamp(t) / stepSeconds).cast("long")
+    val v = value.cast("double")
+    val obs = df.filter(ts.isNotNull && v.isNotNull).select(
+      key.as("__k"), bucketOf(ts).as("__b"), ts.as("__ts"), tiebreak.as("__tb"), v.as("__v"))
+    val cellLast = obs
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__v"), struct(col("__ts"), col("__tb"))).as("__v"))
+    val grid = obs.groupBy(col("__k"))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col("__k"),
+        explode(sequence(
+          col("__lo"),
+          when(col("__hi") - col("__lo") < maxCellsPerKey, col("__hi"))
+            .otherwise(raise_error(concat(
+              lit(s"interpolateFill: key "), col("__k").cast("string"),
+              lit(s" spans more than $maxCellsPerKey cells at step ${stepSeconds}s")))))
+        ).as("__b"))
+    val wPrev = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val joined = grid.join(cellLast, Seq("__k", "__b"), "left")
+    val bp = last(when(col("__v").isNotNull, col("__b")), ignoreNulls = true).over(wPrev)
+    val vp = last(when(col("__v").isNotNull, col("__v")), ignoreNulls = true).over(wPrev)
+    val bn = first(when(col("__v").isNotNull, col("__b")), ignoreNulls = true).over(wNext)
+    val vn = first(when(col("__v").isNotNull, col("__v")), ignoreNulls = true).over(wNext)
+    joined
+      .select(col("__k"), col("__b"), col("__v"),
+        bp.as("__bp"), vp.as("__vp"), bn.as("__bn"), vn.as("__vn"))
+      .select(
+        col("__k").as("key"),
+        timestamp_seconds(col("__b") * stepSeconds).as("bucket_ts"),
+        col("__v").isNotNull.as("is_observed"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(when(col("__vp").isNotNull && col("__vn").isNotNull,
+            col("__vp") +
+              ((col("__b") - col("__bp")).cast("double") * (col("__vn") - col("__vp"))) /
+                (col("__bn") - col("__bp")).cast("double")))
+          .as("value_interp"))
+  }
+
+  /** New-entity curve: per grid day, how many entities appear for the
+    * FIRST time, and the running total — the corpus/user growth view
+    * every ingest dashboard opens with, and the denominator for
+    * retention ratios.
+    *
+    * Dedup-first discipline (cf. [[slidingDistinct]]): the corpus
+    * collapses to one (entity → first day) row via min-aggregate
+    * BEFORE anything touches a window, so the windowed relation is
+    * bounded by distinct days, not events. The running sum is an
+    * unpartitioned window over that day-sized relation — thousands of
+    * rows at any corpus scale (documented single-partition step; the
+    * event-scale work is all in the keyed first-seen aggregate).
+    */
+  def firstSeenCumulative(
+      df: DataFrame,
+      entity: Column,
+      ts: Column): DataFrame = {
+    val firstDay = df.filter(ts.isNotNull && entity.isNotNull)
+      .select(entity.as("__e"), to_date(ts).as("__d"))
+      .groupBy(col("__e")).agg(min(col("__d")).as("__d0"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("__d0").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cumulative", sum(col("n_new")).over(w))
+  }
 }

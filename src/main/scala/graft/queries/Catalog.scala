@@ -16,7 +16,8 @@ object Catalog {
     Temporal.all,
     Lexical.all,
     Analytics.all,
-    Insights.all
+    Insights.all,
+    Signals.all
   )
 
   lazy val all: Seq[Q] = {

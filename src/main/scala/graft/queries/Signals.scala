@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Graph, Profile, TextAnalysis, TimeSeries}
+import graft.functions.LinkageFunctions
+import Q._
+
+/** Round-7 surface: sorted-neighborhood dedup, per-node clustering
+  * coefficient, linear-interpolation resampling, Welch's t-test,
+  * first-seen growth curves, Jaro–Winkler linkage, sentence-shape
+  * quality signals.
+  */
+object Signals {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Hourly bucket id over the micro-precision parquet timestamps —
+    * exact integer floor-division replica of the Scala side's
+    * floor(unix_timestamp / 3600) (same fragment as Temporal's).
+    */
+  private val HourBucket = "(epoch_ns(ts) // 1000000000) // 3600"
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Sorted-neighborhood near-dup pairs: canonical-key sort, compare
+    // each doc with its next windowSize-1 neighbors inside a key-prefix
+    // block, verify by exact token-set Jaccard. One window shuffle,
+    // zero joins — the linear-cost candidate generator. The oracle
+    // replays the composition with per-offset LEAD windows.
+    Q(
+      "q172_sorted_neighbors",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.sortedNeighborPairs(t(s, dir, "documents"), "doc_id", "text",
+            windowSize = 3, blockPrefix = 4, minJaccard = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val leads = (1 to 2).map { j =>
+          s"""SELECT doc_id AS ida, toks AS ta,
+             |  LEAD(doc_id, $j) OVER (PARTITION BY blk ORDER BY k, doc_id) AS idb,
+             |  LEAD(toks, $j) OVER (PARTITION BY blk ORDER BY k, doc_id) AS tb
+             |FROM b""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""
+        WITH base AS (
+          SELECT doc_id, ${OracleSql.canonical("text")} AS k,
+                 list_distinct(${OracleSql.tokens(OracleSql.canonical("text"))}) AS toks
+          FROM documents WHERE text IS NOT NULL),
+        b AS (SELECT doc_id, k, toks, substr(k, 1, 4) AS blk FROM base),
+        cand AS ($leads),
+        pairs AS (
+          SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b,
+                 CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+                   CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE)
+                   AS jaccard
+          FROM cand WHERE idb IS NOT NULL)
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+      """
+      }),
+    // ----------------------------------------------------------------
+    // Per-node clustering coefficient of the brand-restricted
+    // co-purchase graph (q147's edge relation): degree, incident
+    // triangles, 2t/(d(d-1)) — null below degree 2. The oracle extends
+    // the q147 orientation replica with the three-corner unpivot.
+    Q(
+      "q173_local_cc",
+      (s, dir) => {
+        import s.implicits._
+        val pk = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+          .select($"p_partkey")
+        val ip = t(s, dir, "lineitem")
+          .join(pk, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey")
+        val edges = Graph.bipartiteProject(ip, "l_orderkey", "l_partkey",
+          maxDegree = 64)
+        Graph.clusteringCoefficient(edges, "a", "b").orderBy($"id")
+      },
+      Some("""
+        WITH ip AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
+                 HAVING COUNT(*) <= 64),
+        kept AS (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM kept a JOIN kept b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        deg AS (SELECT id, COUNT(*) AS d FROM (
+                  SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+                GROUP BY 1),
+        oriented AS (
+          SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+                 CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
+          FROM edges e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        tri AS (
+          SELECT w.s AS s, w.b AS b, w.c AS c
+          FROM (SELECT o1.s AS s, o1.t AS b, o2.t AS c
+                FROM oriented o1 JOIN oriented o2 ON o1.s = o2.s AND o1.t < o2.t) w
+          JOIN edges e ON e.u = LEAST(w.b, w.c) AND e.v = GREATEST(w.b, w.c)),
+        corners AS (
+          SELECT s AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri),
+        tc AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+        SELECT deg.id AS id, deg.d AS degree,
+               CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+               CASE WHEN deg.d >= 2 THEN
+                 2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE) /
+                   CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS local_cc
+        FROM deg LEFT JOIN tc ON tc.id = deg.id ORDER BY id
+      """)),
+    // ----------------------------------------------------------------
+    // Per-user hourly grid with LINEAR interpolation across empty
+    // cells (null before first / after last observation — measurements
+    // are not extrapolated). The q101 grid replica plus four
+    // IGNORE NULLS anchor windows and the verbatim fixed-shape
+    // interpolation expression.
+    Q(
+      "q174_interpolate_fill",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.interpolateFill(
+            t(s, dir, "events"),
+            $"user_id", $"ts", $"value", $"event_id",
+            stepSeconds = 3600L)
+          .select($"key".as("user_id"), tstr($"bucket_ts").as("bucket_ts"),
+            $"is_observed", $"value_interp")
+          .orderBy($"user_id", $"bucket_ts")
+      },
+      Some(s"""
+        WITH obs AS (
+          SELECT user_id AS k, $HourBucket AS b,
+                 make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id, value
+          FROM events WHERE value IS NOT NULL),
+        cell AS (
+          SELECT k, b, value FROM (
+            SELECT k, b, value,
+                   ROW_NUMBER() OVER (PARTITION BY k, b
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM obs)
+          WHERE rn = 1),
+        bounds AS (SELECT k, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY k),
+        grid AS (SELECT k, unnest(range(lo, hi + 1)) AS b FROM bounds),
+        g AS (
+          SELECT g.k, g.b, c.value AS v,
+            LAST_VALUE(c.b IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bp,
+            LAST_VALUE(c.value IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+            FIRST_VALUE(c.b IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.b
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS bn,
+            FIRST_VALUE(c.value IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.b
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn
+          FROM grid g LEFT JOIN cell c ON g.k = c.k AND g.b = c.b)
+        SELECT k AS user_id,
+               strftime(make_timestamp(b * 3600 * 1000000), '%Y-%m-%d %H:%M:%S')
+                 AS bucket_ts,
+               v IS NOT NULL AS is_observed,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+                      vp + (CAST(b - bp AS DOUBLE) * (vn - vp)) /
+                        CAST(bn - bp AS DOUBLE)
+               END AS value_interp
+        FROM g ORDER BY user_id, bucket_ts
+      """)),
+    // ----------------------------------------------------------------
+    // Welch's unequal-variance t-test: purchase vs view event values.
+    // One conditional aggregate; the oracle replays the decimal power
+    // sums and the identical double algebra.
+    Q(
+      "q175_welch_ttest",
+      (s, dir) => {
+        import s.implicits._
+        Profile.welchTTest(t(s, dir, "events"), $"event_type", $"value",
+          a = "purchase", b = "view")
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT
+            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE) AS na,
+            ${OracleSql.dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS sxa,
+            ${OracleSql.dsum(
+              "CASE WHEN event_type = 'purchase' THEN value END * CASE WHEN event_type = 'purchase' THEN value END")} AS sxxa,
+            CAST(COUNT(CASE WHEN event_type = 'view' THEN value END) AS DOUBLE) AS nb,
+            ${OracleSql.dsum("CASE WHEN event_type = 'view' THEN value END")} AS sxb,
+            ${OracleSql.dsum(
+              "CASE WHEN event_type = 'view' THEN value END * CASE WHEN event_type = 'view' THEN value END")} AS sxxb
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+        alg AS (
+          SELECT na, nb, sxa / na AS ma, sxb / nb AS mb,
+                 CASE WHEN na >= 2 THEN (na * sxxa - sxa * sxa) / (na * (na - 1.0)) END AS va,
+                 CASE WHEN nb >= 2 THEN (nb * sxxb - sxb * sxb) / (nb * (nb - 1.0)) END AS vb
+          FROM s)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CASE WHEN na >= 1 THEN ma END AS mean_a,
+               CASE WHEN nb >= 1 THEN mb END AS mean_b,
+               va AS var_a, vb AS var_b,
+               CASE WHEN na >= 2 AND nb >= 2 AND (va / na + vb / nb) > 0 THEN
+                 (ma - mb) / sqrt(va / na + vb / nb) END AS t_stat,
+               CASE WHEN na >= 2 AND nb >= 2 AND (va / na + vb / nb) > 0
+                     AND ((va / na) * (va / na) / (na - 1.0) +
+                          (vb / nb) * (vb / nb) / (nb - 1.0)) > 0 THEN
+                 (va / na + vb / nb) * (va / na + vb / nb) /
+                   ((va / na) * (va / na) / (na - 1.0) +
+                    (vb / nb) * (vb / nb) / (nb - 1.0)) END AS welch_df
+        FROM alg
+      """)),
+    // ----------------------------------------------------------------
+    // First-seen growth curve: new users per day + running total.
+    // Event-scale work is one keyed min-aggregate; the running sum
+    // windows over the day-sized relation.
+    Q(
+      "q176_first_seen",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.firstSeenCumulative(t(s, dir, "events"), $"user_id", $"ts")
+          .orderBy($"day")
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY user_id),
+        d AS (SELECT d0 AS day, COUNT(*) AS n_new FROM f GROUP BY d0)
+        SELECT day, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_cumulative
+        FROM d ORDER BY day
+      """)),
+    // ----------------------------------------------------------------
+    // Jaro–Winkler fuzzy part-name linkage, blocked on the first name
+    // token (never all-pairs). Scores are micro-quantized to integers
+    // BEFORE the threshold filter so a last-ulp disagreement between
+    // the compiled expression and DuckDB's rapidfuzz can neither flip
+    // a hash nor flip set membership at the boundary.
+    Q(
+      "q177_jaro_winkler",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part")
+          .select($"p_partkey", $"p_name", split($"p_name", " ").getItem(0).as("__blk"))
+        p.as("a").join(p.as("b"),
+            col("a.__blk") === col("b.__blk") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(
+            col("a.p_partkey").as("key_a"),
+            col("b.p_partkey").as("key_b"),
+            round(LinkageFunctions.jaroWinkler(col("a.p_name"), col("b.p_name")) *
+              lit(1000000.0), 0).cast("long").as("jw_micro"))
+          .filter($"jw_micro" >= 950000L)
+          // deterministic top-k (total order: keys are unique) keeps the
+          // result bounded at any SF — TakeOrdered, never a full sort
+          .orderBy($"jw_micro".desc, $"key_a", $"key_b")
+          .limit(200)
+      },
+      Some("""
+        WITH p AS (
+          SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part),
+        pairs AS (
+          SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                 CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000.0)
+                   AS BIGINT) AS jw_micro
+          FROM p a JOIN p b
+            ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        SELECT key_a, key_b, jw_micro FROM pairs
+        WHERE jw_micro >= 950000
+        ORDER BY jw_micro DESC, key_a, key_b LIMIT 200
+      """)),
+    // ----------------------------------------------------------------
+    // Sentence-shape quality signals: terminator-run sentence count,
+    // token count, mean tokens/sentence, ends-at-boundary flag — all
+    // RE2-safe regex counts and one fixed-shape division.
+    Q(
+      "q178_sentence_stats",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.sentenceStats(t(s, dir, "documents"), $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+               CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS n_tokens,
+               CASE WHEN len(regexp_extract_all(text, '[.!?]+')) > 0 THEN
+                 CAST(len(${OracleSql.tokens("text")}) AS DOUBLE) /
+                   CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE)
+               END AS mean_sent_tokens,
+               substr(regexp_replace(text, '[\\s]+$$', '', 'g'), -1, 1)
+                 IN ('.', '!', '?') AS ends_terminal
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+      """))
+  )
+}

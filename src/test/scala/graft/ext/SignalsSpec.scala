@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics coverage for the round-7 signal operators: sorted-
+  * neighborhood dedup, local clustering coefficient, linear
+  * interpolation, Welch's t-test, first-seen curves, Jaro–Winkler,
+  * sentence stats.
+  */
+class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("signals-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  test("sortedNeighborPairs: adjacent near-dups found; cross-block pair never compared") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"), // same block, adjacent, J=4/5
+      (3L, "alpha beta gamma"),               // same block, J(1,3)=3/4 within window 3
+      (4L, "zeta eta theta")                  // different block prefix — never compared
+    ).toDF("id", "text")
+    val got = Dedup.sortedNeighborPairs(docs, "id", "text",
+        windowSize = 3, blockPrefix = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sort order by canonical key: doc3 < doc1 < doc2 ("alpha beta gamma" <
+    // "... delta" < "... delta epsilon"); window 3 pairs each with next 2
+    assert(got.keySet == Set((1L, 3L), (1L, 2L), (2L, 3L)))
+    assert(got((1L, 2L)) == 4.0 / 5.0)
+    assert(got((1L, 3L)) == 3.0 / 4.0)
+    assert(got((2L, 3L)) == 3.0 / 5.0)
+  }
+
+  test("sortedNeighborPairs: zero joins in the physical plan; window guard") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c d")).toDF("id", "text")
+    val plan = Dedup.sortedNeighborPairs(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborPairs(docs, "id", "text", windowSize = 1)
+    }
+  }
+
+  test("clusteringCoefficient: K4 all 1.0; star hub 0.0 with null leaves; path middle 0.0") {
+    import spark.implicits._
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("x", "y")
+    val ccK4 = Graph.clusteringCoefficient(k4, "x", "y").collect()
+    assert(ccK4.length == 4)
+    ccK4.foreach { r =>
+      assert(r.getLong(1) == 3 && r.getLong(2) == 3 && r.getDouble(3) == 1.0)
+    }
+    val star = (1L to 5L).map(i => (0L, i)).toDF("x", "y")
+    val ccStar = Graph.clusteringCoefficient(star, "x", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(ccStar(0L).getLong(1) == 5 && ccStar(0L).getDouble(3) == 0.0)
+    (1L to 5L).foreach { i =>
+      assert(ccStar(i).getLong(1) == 1 && ccStar(i).isNullAt(3))
+    }
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    val mid = Graph.clusteringCoefficient(path, "x", "y")
+      .filter(col("id") === 2L).collect().head
+    assert(mid.getLong(1) == 2 && mid.getLong(2) == 0 && mid.getDouble(3) == 0.0)
+  }
+
+  test("interpolateFill: straight line across the gap; edges stay null; nulls don't anchor") {
+    import spark.implicits._
+    // key "k": observed at buckets 0 (v=1.0) and 3 (v=4.0); bucket 1 has
+    // a NULL-value event (must not anchor); buckets before/after nothing
+    val rows = Seq(
+      ("k", 0L, Some(1.0), 1L),
+      ("k", 70L, None, 2L), // bucket 1 at step 60 — null value, no anchor
+      ("k", 190L, Some(4.0), 3L)) // bucket 3
+    val df = rows.toDF("k", "sec", "v", "id")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"),
+        col("v"), col("id"))
+    val got = TimeSeries.interpolateFill(df, col("k"), col("ts"), col("v"),
+        col("id"), stepSeconds = 60L)
+      .orderBy(col("bucket_ts"))
+      .collect()
+    assert(got.length == 4) // buckets 0..3
+    assert(got(0).getBoolean(2) && got(0).getDouble(3) == 1.0)
+    assert(!got(1).getBoolean(2) && got(1).getDouble(3) == 2.0)
+    assert(!got(2).getBoolean(2) && got(2).getDouble(3) == 3.0)
+    assert(got(3).getBoolean(2) && got(3).getDouble(3) == 4.0)
+  }
+
+  test("interpolateFill: latest observation wins a cell; lone observation interpolates nothing") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L, 5.0, 1L), ("a", 50L, 7.0, 2L), // same bucket 0: id2 later
+      ("b", 0L, 9.0, 9L))
+      .toDF("k", "sec", "v", "id")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"), col("id"))
+    val got = TimeSeries.interpolateFill(df, col("k"), col("ts"), col("v"),
+        col("id"), 60L)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got("a") == 7.0 && got("b") == 9.0)
+  }
+
+  test("welchTTest: hand-checked t and df; singleton slice nulls variance") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("s", "v")
+    val r = Profile.welchTTest(df, col("s"), col("v"), "a", "b").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 4.0) < 1e-12)
+    assert(math.abs(r.getDouble(6) - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 50.0 / 17.0) < 1e-12)
+    val single = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("s", "v")
+    val r2 = Profile.welchTTest(single, col("s"), col("v"), "a", "b").collect().head
+    assert(r2.getLong(0) == 1 && r2.isNullAt(4) && r2.isNullAt(6) && r2.isNullAt(7))
+  }
+
+  test("firstSeenCumulative: first day only; running total accumulates") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"), // user 1 first on d1
+      (2L, "2024-01-01 23:00:00"),
+      (3L, "2024-01-03 05:00:00"))
+      .toDF("u", "tss").select(col("u"), to_timestamp(col("tss")).as("ts"))
+    val got = TimeSeries.firstSeenCumulative(df, col("u"), col("ts"))
+      .orderBy(col("day")).collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 2)
+    assert(got(1).getLong(1) == 1 && got(1).getLong(2) == 3)
+  }
+
+  test("jaroWinkler: textbook values, boost gating, empty-string contract") {
+    import spark.implicits._
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.LinkageFunctions.jaroWinkler(col("a"), col("b")))
+        .collect().head.getDouble(0)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0) // no matches
+    // below the 0.7 boost threshold the shared prefix must NOT be rewarded
+    val plain = jw("abcdefgh", "abzzzzzz")
+    assert(plain <= 0.7 + 1e-12)
+  }
+
+  test("sentenceStats: terminator runs count once; no-terminator doc gets null mean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One two. Three four! Five..."),
+      (2L, "no terminator here"),
+      (3L, "Ends clean.   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 3 && d1.getLong(2) == 5)
+    assert(d1.getDouble(3) == 5.0 / 3.0 && d1.getBoolean(4))
+    val d2 = got(2L)
+    assert(d2.getLong(1) == 0 && d2.isNullAt(3) && !d2.getBoolean(4))
+    assert(got(3L).getBoolean(4)) // trailing whitespace stripped before the check
+  }
+}
