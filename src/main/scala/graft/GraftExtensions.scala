@@ -102,6 +102,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => LangIdExpr(args(0), TextAnalysis.stopwords.toSeq)))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (0.7-gated prefix boost)"),
+      (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk_pairs"),
       info("graft_topk_pairs",
         "graft_topk_pairs(score, id, k) - aggregate: k best (score desc, id asc) pairs per group as array<struct<score,id>>"),

@@ -606,6 +606,85 @@ object Dedup {
           .otherwise(lit(null).cast("long")).as("recall_ppb"))
   }
 
+  /** Per-source exact-duplication report: for each source slice —
+    * document count, documents whose canonical content hash occurs
+    * MORE THAN ONCE in the WHOLE corpus (not just within the source),
+    * and the duplicated fraction. The dedup dashboard number that
+    * decides which feed gets the aggressive near-dup pass and which
+    * gets a pass-through: a crawl dump at 40% exact-dup is a different
+    * problem than a curated set at 0.1%.
+    *
+    * Corpus-wide by design: a doc duplicated ACROSS sources counts in
+    * both — that is the number that predicts cross-source dedup yield.
+    * Null-text docs are excluded (no content, no duplication
+    * evidence).
+    *
+    * Scale: one hash-keyed count aggregate (map-side partials), one
+    * equi-join back on the hash (AQE-handled like any skewed key), one
+    * source-keyed rollup — all keyed shuffles, output is
+    * source-count-sized.
+    */
+  def dupRateBySource(
+      df: DataFrame,
+      source: Column,
+      textCol: Column): DataFrame = {
+    val h = md5(TextAnalysis.canonicalize(textCol))
+    val base = df.filter(textCol.isNotNull)
+      .select(source.as("__src"), h.as("__h"))
+    val counts = base.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    base.join(counts, Seq("__h"))
+      .groupBy(col("__src").as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** Cross-source n-gram-overlap pairs: for every source pair — the
+    * number of DISTINCT word-shingle hashes present in both, and that
+    * count as a fraction of the smaller side's distinct shingle
+    * vocabulary (containment, so a small feed whose content is
+    * entirely re-treaded by a big one reads 1.0, where a symmetric
+    * Jaccard would hide it). The "which dumps duplicate each other"
+    * matrix that decides source precedence before a cross-source dedup
+    * pass — n-gram-level rather than whole-doc hashes because real
+    * feeds share boilerplate and passages long before they share
+    * byte-identical documents.
+    *
+    * Scale: the corpus collapses to DISTINCT (shingle, source) rows
+    * first (bounded by per-source shingle vocabulary, not token
+    * volume), so the hash-keyed self-join fans out per shingle only
+    * over the sources that share it — with S sources a
+    * universally-shared shingle costs C(S,2) rows, never doc×doc;
+    * per-source totals ride a broadcast.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      source: Column,
+      textCol: Column,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = df.filter(textCol.isNotNull && source.isNotNull)
+      .select(source.as("__src"),
+        explode(graft.functions.TextFunctions
+          .wordShingleHashes(TextAnalysis.canonicalize(textCol), shingleSize, 0L))
+          .as("__h"))
+      .distinct()
+    val totals = sh.groupBy(col("__src")).agg(count(lit(1)).as("__tot"))
+    sh.select(col("__h"), col("__src").as("source_a"))
+      .join(sh.select(col("__h"), col("__src").as("source_b")), Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("__src").as("source_a"), col("__tot").as("__ta"))),
+        Seq("source_a"))
+      .join(broadcast(totals.select(col("__src").as("source_b"), col("__tot").as("__tb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("__ta"), col("__tb")).cast("double")).as("containment"))
+  }
+
   /** Sorted-neighborhood near-duplicate pairs (Hernández & Stolfo,
     * SIGMOD'95 merge/purge): sort docs by a canonical key, compare each
     * doc only with its next `windowSize − 1` neighbors in that order,

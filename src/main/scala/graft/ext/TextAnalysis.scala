@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. All pure
@@ -532,6 +533,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(topK)
+  }
+
+  /** Vocabulary growth curve (the Heaps-law probe): per ingest bucket —
+    * token volume, NEW types (tokens first seen in that bucket), and
+    * the running distinct-type total. The saturation signal a corpus
+    * build watches: when cum_types flattens while n_tokens keeps
+    * climbing, new data is re-treading the existing vocabulary
+    * (diminishing diversity returns; time to change sources).
+    *
+    * Dedup-first discipline (the [[TimeSeries.firstSeenCumulative]]
+    * pattern generalized to tokens): each token collapses to one
+    * (token → first bucket) row via min-aggregate BEFORE any window,
+    * so the running sum sees only bucket-count rows. Buckets with
+    * tokens but no new types report 0 (evidence of saturation is
+    * still evidence — unlike docless buckets, which are absent).
+    *
+    * Scale: two token-keyed aggregates (both vocabulary-bounded after
+    * map-side partials) + one bucket-keyed count; the unpartitioned
+    * running-sum window is over the bucket-sized relation (thousands
+    * of rows at any corpus size — documented single-partition step).
+    */
+  def vocabGrowth(
+      df: org.apache.spark.sql.DataFrame,
+      bucket: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val tokBucket = df.filter(text.isNotNull && bucket.isNotNull)
+      .select(bucket.as("__b"), explode(TextHash.tokens(text)).as("__t"))
+    val newTypes = tokBucket.groupBy(col("__t")).agg(min(col("__b")).as("__b0"))
+      .groupBy(col("__b0").as("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val tokCounts = tokBucket.groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
   }
 
   /** Total-variation distance between the unigram distributions of two

@@ -328,6 +328,70 @@ object TimeSeries {
           .as("value_interp"))
   }
 
+  /** Single change-point detection per key: the split of the ordered
+    * series that maximizes |mean(left) − mean(right)| with both
+    * segments at least `minSegment` rows — the binary-segmentation
+    * step stat (CUSUM family) that flags level shifts in a metric
+    * stream (deploy regressions, feed cutovers, sensor drift).
+    *
+    * Output per key: split position (1-based, the LAST row of the left
+    * segment), its timestamp, both segment means, and the statistic.
+    * Keys with fewer than 2·minSegment rows have no eligible split and
+    * are absent (no-evidence contract). Tie-break: the EARLIEST
+    * position among equal statistics, via one max_by over
+    * (stat, −position) — deterministic because positions are unique.
+    *
+    * Determinism: prefix sums accumulate in exact DECIMAL(38,10)
+    * (exact and associative, so frame evaluation order is irrelevant)
+    * and every per-row formula — c/i, (S−c)/(n−i), abs of the
+    * difference — is a fixed shape of IEEE doubles the oracle
+    * reproduces verbatim.
+    *
+    * Scale: ONE keyed Exchange and one sort serve all four windows
+    * (row_number, prefix sum, partition count/total); the candidate
+    * relation then collapses key-wise in a single max_by aggregate.
+    * Per-key serial state is O(1) per row — no per-key materialized
+    * segment pairs, no self-join over split candidates.
+    */
+  def changePoint(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column,
+      minSegment: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(minSegment >= 1, s"changePoint: minSegment >= 1 required, got $minSegment")
+    val dec = DecimalType(38, 10)
+    val v = value.cast("double")
+    val rows = df.filter(ts.isNotNull && v.isNotNull)
+      .select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"), v.as("__v"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__k"))
+    val scored = rows
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__c", sum(col("__v").cast(dec)).over(wCum).cast("double"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__v").cast(dec)).over(wAll).cast("double"))
+    val i = col("__i").cast("double")
+    val n = col("__n").cast("double")
+    val meanL = col("__c") / i
+    val meanR = (col("__s") - col("__c")) / (n - i)
+    scored
+      .filter(col("__i") >= minSegment && col("__i") <= col("__n") - minSegment)
+      .select(col("__k"), col("__i"), col("__ts"),
+        meanL.as("__ml"), meanR.as("__mr"), abs(meanL - meanR).as("__stat"))
+      .groupBy(col("__k").as("key"))
+      .agg(max_by(
+        struct(col("__i").as("split_idx"), col("__ts").as("split_ts"),
+          col("__ml").as("mean_left"), col("__mr").as("mean_right"),
+          col("__stat").as("stat")),
+        struct(col("__stat"), (-col("__i")).as("__negi"))).as("__best"))
+      .select(col("key"), col("__best.split_idx"), col("__best.split_ts"),
+        col("__best.mean_left"), col("__best.mean_right"), col("__best.stat"))
+  }
+
   /** New-entity curve: per grid day, how many entities appear for the
     * FIRST time, and the running total — the corpus/user growth view
     * every ingest dashboard opens with, and the denominator for

@@ -299,6 +299,134 @@ object Signals {
                substr(regexp_replace(text, '[\\s]+$$', '', 'g'), -1, 1)
                  IN ('.', '!', '?') AS ends_terminal
         FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Single change-point per user: the split maximizing
+    // |mean(left) − mean(right)| with both segments >= 10 rows —
+    // decimal-exact prefix sums, fixed-shape double algebra, earliest-
+    // position tie-break. One keyed Exchange serves all four windows.
+    Q(
+      "q179_change_point",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.changePoint(t(s, dir, "events"),
+            $"user_id", $"ts", $"value", $"event_id", minSegment = 10)
+          .select($"key".as("user_id"), $"split_idx",
+            tstr($"split_ts").as("split_ts"),
+            $"mean_left", $"mean_right", $"stat")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id AS k, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                 event_id, value
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        w AS (
+          SELECT k, ts, value,
+            CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, event_id)
+              AS BIGINT) AS i,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(38,10)))
+                OVER (PARTITION BY k ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS c,
+            COUNT(*) OVER (PARTITION BY k) AS n,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY k)
+              AS VARCHAR) AS DOUBLE) AS s
+          FROM r),
+        cand AS (
+          SELECT k, i, ts,
+                 c / CAST(i AS DOUBLE) AS ml,
+                 (s - c) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) AS mr,
+                 abs(c / CAST(i AS DOUBLE) -
+                     (s - c) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS stat
+          FROM w WHERE i >= 10 AND i <= n - 10),
+        best AS (
+          SELECT k, i, ts, ml, mr, stat,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY stat DESC, i) AS rn
+          FROM cand)
+        SELECT k AS user_id, i AS split_idx,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS split_ts,
+               ml AS mean_left, mr AS mean_right, stat
+        FROM best WHERE rn = 1 ORDER BY user_id
+      """)),
+    // ----------------------------------------------------------------
+    // Vocabulary growth over ingest buckets of 50 docs: token volume,
+    // new types, cumulative types — the Heaps-law saturation probe.
+    Q(
+      "q180_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.vocabGrowth(t(s, dir, "documents"),
+            expr("CAST(doc_id AS BIGINT) div 50"), $"text")
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        WITH tb AS (
+          SELECT doc_id // 50 AS b, unnest(${OracleSql.tokens("text")}) AS t
+          FROM documents WHERE text IS NOT NULL),
+        nt AS (SELECT b0 AS bucket, COUNT(*) AS n_new_types FROM (
+                 SELECT t, MIN(b) AS b0 FROM tb GROUP BY t) GROUP BY b0),
+        tc AS (SELECT b AS bucket, COUNT(*) AS n_tokens FROM tb GROUP BY b)
+        SELECT tc.bucket, tc.n_tokens,
+               CAST(COALESCE(nt.n_new_types, 0) AS BIGINT) AS n_new_types,
+               CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY tc.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_types
+        FROM tc LEFT JOIN nt ON nt.bucket = tc.bucket ORDER BY tc.bucket
+      """)),
+    // ----------------------------------------------------------------
+    // Per-source exact-dup report: corpus-wide canonical-hash counts,
+    // joined back and rolled up per source.
+    Q(
+      "q181_dup_rate_by_source",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.dupRateBySource(t(s, dir, "documents"), $"source", $"text")
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT source AS src, md5(${OracleSql.canonical("text")}) AS h
+          FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT h, COUNT(*) AS cnt FROM base GROUP BY h),
+        j AS (SELECT base.src, c.cnt FROM base JOIN c ON base.h = c.h),
+        agg AS (
+          SELECT src AS source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+          FROM j GROUP BY src)
+        SELECT source, n_docs, n_dup_docs,
+               CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+        FROM agg ORDER BY source
+      """)),
+    // ----------------------------------------------------------------
+    // Cross-source n-gram-overlap matrix: distinct canonical 3-gram
+    // shingle hashes shared per source pair, plus containment vs the
+    // smaller side's shingle vocabulary.
+    Q(
+      "q182_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.sourceOverlap(t(s, dir, "documents"), $"source", $"text")
+          .orderBy($"source_a", $"source_b")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT DISTINCT src, h FROM (
+            SELECT source AS src,
+                   unnest(${OracleSql.hashedShingles3Full(OracleSql.canonical("text"))}) AS h
+            FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)),
+        tot AS (SELECT src, COUNT(*) AS t FROM sh GROUP BY src),
+        p AS (
+          SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+          FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+          GROUP BY 1, 2)
+        SELECT p.source_a, p.source_b, p.n_shared,
+               CAST(p.n_shared AS DOUBLE) / CAST(LEAST(ta.t, tb.t) AS DOUBLE)
+                 AS containment
+        FROM p JOIN tot ta ON ta.src = p.source_a
+               JOIN tot tb ON tb.src = p.source_b
+        ORDER BY source_a, source_b
       """))
   )
 }

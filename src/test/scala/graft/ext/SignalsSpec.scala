@@ -150,6 +150,71 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain <= 0.7 + 1e-12)
   }
 
+  test("changePoint: finds the level shift; short keys absent; earliest-position tie-break") {
+    import spark.implicits._
+    // key "s": 4 rows at 1.0 then 4 rows at 5.0 — best split at i=4
+    val shift = (1 to 4).map(i => ("s", i.toLong, 1.0)) ++
+      (5 to 8).map(i => ("s", i.toLong, 5.0))
+    // key "t": constant series — all stats 0.0, tie broken at i=minSegment
+    val const = (1 to 8).map(i => ("t", i.toLong, 2.0))
+    // key "u": too short for two segments of 2
+    val short = Seq(("u", 1L, 1.0), ("u", 2L, 9.0), ("u", 3L, 1.0))
+    val df = (shift ++ const ++ short).toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"),
+        col("sec").as("id"))
+    val got = TimeSeries.changePoint(df, col("k"), col("ts"), col("v"),
+        col("id"), minSegment = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("s", "t"))
+    val s = got("s")
+    assert(s.getLong(1) == 4 && s.getDouble(3) == 1.0 && s.getDouble(4) == 5.0)
+    assert(s.getDouble(5) == 4.0)
+    assert(got("t").getLong(1) == 2 && got("t").getDouble(5) == 0.0)
+  }
+
+  test("vocabGrowth: new types land in their first bucket; saturation bucket reports 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b a"),       // bucket 0: 3 tokens, types {a, b}
+      (1L, "b c"),         // bucket 1: 2 tokens, new {c}
+      (2L, "a b c a"))     // bucket 2: 4 tokens, new {} → 0
+      .toDF("bk", "text")
+    val got = TextAnalysis.vocabGrowth(df, col("bk"), col("text"))
+      .orderBy(col("bucket")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L, 4L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 1L, 0L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(2L, 3L, 3L))
+  }
+
+  test("dupRateBySource: corpus-wide hash counts; cross-source dup counts in both sources") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", "Same   Doc"), ("books", "same doc"), // canonical dups across sources
+      ("web", "unique one"), ("books", "unique two"), ("books", "unique three"))
+      .toDF("source", "text")
+    val got = Dedup.dupRateBySource(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("web") == ((2L, 1L, 0.5)))
+    assert(got("books") == ((3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("sourceOverlap: shared distinct shingles with containment vs the smaller side") {
+    import spark.implicits._
+    val df = Seq(
+      // source a: shingles {xyz, yzw, pqr} (3 distinct)
+      ("a", "x y z w"), ("a", "p q r"), ("a", "p Q r"), // canonical dup shingle
+      // source b: shingles {xyz, yzw} — both shared with a → containment 1.0
+      ("b", "x y z"), ("b", "y z w"),
+      // source c: no shared shingle → absent
+      ("c", "m n o"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(df, col("source"), col("text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 2 && r.getDouble(3) == 1.0)
+  }
+
   test("sentenceStats: terminator runs count once; no-terminator doc gets null mean") {
     import spark.implicits._
     val df = Seq(
