@@ -239,25 +239,32 @@ object Signals {
         FROM d ORDER BY day
       """)),
     // ----------------------------------------------------------------
-    // Jaro–Winkler fuzzy part-name linkage, blocked on the first name
-    // token (never all-pairs). Scores are micro-quantized to integers
-    // BEFORE the threshold filter so a last-ulp disagreement between
-    // the compiled expression and DuckDB's rapidfuzz can neither flip
-    // a hash nor flip set membership at the boundary.
+    // Jaro–Winkler fuzzy part-name linkage, blocked on the first TWO
+    // name tokens (the synthetic palette has ~8 first words, so
+    // one-word blocks go quadratic — measured 25M pairs at sf0.1; two
+    // words keep Σ|block|² linear-ish). Scores are micro-quantized to
+    // integers BEFORE the threshold filter so a last-ulp disagreement
+    // between the compiled expression and DuckDB's rapidfuzz can
+    // neither flip a hash nor flip set membership at the boundary —
+    // via floor(x·10⁶ + ½) (exact double ops, half-up for the positive
+    // domain), NOT round(), whose double path allocates a BigDecimal
+    // per row (measured 3× the cost of the JW scorer itself).
     Q(
       "q177_jaro_winkler",
       (s, dir) => {
         import s.implicits._
+        val w = split($"p_name", " ")
         val p = t(s, dir, "part")
-          .select($"p_partkey", $"p_name", split($"p_name", " ").getItem(0).as("__blk"))
+          .select($"p_partkey", $"p_name",
+            concat_ws(" ", w.getItem(0), w.getItem(1)).as("__blk"))
         p.as("a").join(p.as("b"),
             col("a.__blk") === col("b.__blk") &&
               col("a.p_partkey") < col("b.p_partkey"))
           .select(
             col("a.p_partkey").as("key_a"),
             col("b.p_partkey").as("key_b"),
-            round(LinkageFunctions.jaroWinkler(col("a.p_name"), col("b.p_name")) *
-              lit(1000000.0), 0).cast("long").as("jw_micro"))
+            floor(LinkageFunctions.jaroWinkler(col("a.p_name"), col("b.p_name")) *
+              lit(1000000.0) + lit(0.5)).cast("long").as("jw_micro"))
           .filter($"jw_micro" >= 950000L)
           // deterministic top-k (total order: keys are unique) keeps the
           // result bounded at any SF — TakeOrdered, never a full sort
@@ -266,11 +273,13 @@ object Signals {
       },
       Some("""
         WITH p AS (
-          SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part),
+          SELECT p_partkey, p_name,
+                 split_part(p_name, ' ', 1) || ' ' || split_part(p_name, ' ', 2) AS blk
+          FROM part),
         pairs AS (
           SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-                 CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000.0)
-                   AS BIGINT) AS jw_micro
+                 CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000.0
+                   + 0.5) AS BIGINT) AS jw_micro
           FROM p a JOIN p b
             ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
         SELECT key_a, key_b, jw_micro FROM pairs

@@ -299,4 +299,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows == 2, s"expected 2 Window ops, got $windows:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q174 interpolation: all four anchor windows run in ONE Window op, no cartesian") {
+    val p = planOf("q174_interpolate_fill")
+    assert(!p.contains("CartesianProduct"), p)
+    // same (key) partition + (bucket) order ⇒ Catalyst fuses the two
+    // backward and two forward anchor frames into a single Window node
+    val windows = "\\(\\d+\\) Window\\n".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window op, got $windows:\n$p")
+  }
+
+  test("q179 change point: windows and the per-key pick share one keyed Exchange") {
+    val p = planOf("q179_change_point")
+    assert(!p.contains("Join"), p)
+    // one hash Exchange partitions by key for the windows; the max_by
+    // aggregate regroups on the SAME key, so no second hash shuffle —
+    // only the presentation orderBy's range exchange remains
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx <= 1, s"expected <= 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q177 jaro-winkler linkage: blocked equi-join + TakeOrdered, never a cartesian") {
+    val p = planOf("q177_jaro_winkler")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the compiled expression must stay inside whole-stage codegen
+    assert(p.contains("jaro_winkler"), p)
+  }
+
+  test("q182 source overlap: shingle-keyed equi-join with broadcast totals, no cartesian") {
+    val p = planOf("q182_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
