@@ -27,6 +27,12 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *                            bigram (< 2 tokens) have no score and are
   *                            dropped too — in practice unreachable
   *                            behind any min-words >= 2 (default: off)
+  *   [--min-sentences N]      drop docs with fewer than N terminator-
+  *                            ended sentences or not ending at a
+  *                            sentence boundary (q178)  (default: off)
+  *   [--report-sources COL]   write per-source dup rates (q181) and the
+  *                            cross-source overlap matrix (q182) under
+  *                            dest/reports/              (default: off)
   *   [--threshold X]          near-dup jaccard         (default 0.6)
   *   [--balance-by COL]      sqrt-resample stratum    (default: off)
   *   [--splits a:f,b:f,...]   hash split               (default train:0.9,val:0.05,test:0.05)
@@ -85,18 +91,44 @@ object CurateJob {
         quality.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
       case None => quality
     }
-    val gated0 = conf.get("min-lm-ppb") match {
+    val lmGated = conf.get("min-lm-ppb") match {
       case Some(floor) =>
         val ok = LangModel.bigramCondProbScore(blocked, col("doc_id"), col("text"))
           .filter(col("mean_p_ppb") >= floor.toDouble)
         blocked.join(ok.select("doc_id"), Seq("doc_id"))
       case None => blocked
     }
-    val gatesOn = conf.contains("blocklist") || conf.contains("min-lm-ppb")
+    // 1c. optional sentence-shape gate (q178's signals): keep docs with
+    //     at least N terminator-ended sentences that END at a sentence
+    //     boundary — the prose-vs-listing screen. Scan-stage per doc,
+    //     applied as a semi-join on the surviving ids.
+    val gated0 = conf.get("min-sentences") match {
+      case Some(n) =>
+        val ok = TextAnalysis.sentenceStats(lmGated, col("doc_id"), col("text"))
+          .filter(col("n_sentences") >= n.toInt && col("ends_terminal"))
+        lmGated.join(ok.select("doc_id"), Seq("doc_id"))
+      case None => lmGated
+    }
+    val gatesOn = conf.contains("blocklist") || conf.contains("min-lm-ppb") ||
+      conf.contains("min-sentences")
     // same checkpoint rationale as the quality stage — but only when a
     // gate actually rewrote the relation
     val gated = if (gatesOn) gated0.localCheckpoint(false) else gated0
     val nGates = if (gatesOn) gated.count() else nQuality
+
+    // 1d. optional pre-dedup duplication report (q181/q182's operators):
+    //     per-source exact-dup rates + the cross-source n-gram overlap
+    //     matrix, written as side outputs — the evidence a curator reads
+    //     before deciding source precedence. Reports only; the corpus
+    //     relation is untouched.
+    conf.get("report-sources").foreach { c =>
+      Dedup.dupRateBySource(gated, col(c), col("text"))
+        .coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/reports/dup_rate_by_source")
+      Dedup.sourceOverlap(gated, col(c), col("text"))
+        .coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/reports/source_overlap")
+    }
 
     // 2. exact dedup (content hash), keep the smallest doc_id per text
     val canon = Dedup.exact(gated, col("text"), col("doc_id"))

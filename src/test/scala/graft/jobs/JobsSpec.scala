@@ -200,6 +200,47 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lm.afterGates < off.afterGates)
   }
 
+  test("CurateJob: sentence gate drops boundary-less docs; source reports written") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // purpose-built corpus: the driver fixtures carry no punctuation at
+    // all (the q178 signal still hash-checks there, but a sentence GATE
+    // on them is all-or-nothing), so the gate's selectivity needs its
+    // own docs — including a cross-source exact dup for the reports
+    val src = tmp()
+    Seq(
+      (1L, "web", "Good prose sample. It ends well."),
+      (2L, "web", "no punctuation here at all"), // gate victim
+      (3L, "books", "Good prose sample. It ends well."), // exact dup of 1
+      (4L, "books", "Trailing junk that ends with a bang!   "),
+      (5L, "books", "Another fine doc here. Quite fine!"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite").parquet(src)
+    val dest = tmp()
+    val r = CurateJob.run(spark, Map(
+      "source" -> src, "dest" -> dest, "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:1.0", "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "2", "batch-size" -> "8",
+      "min-sentences" -> "1", "report-sources" -> "source"))
+    assert(r.afterQuality == 5 && r.afterGates == 4, r)
+    assert(r.afterExact == 3, "the cross-source dup must collapse") // 1/3 -> one
+    // every survivor ends at a sentence boundary
+    val survivors = spark.read.parquet(s"$dest/documents")
+    assert(survivors
+      .filter(!substring(regexp_replace(col("text"), "[\\s]+$", ""), -1, 1)
+        .isin(".", "!", "?")).count() == 0)
+    // dup report: computed on the gated corpus — web {1}, books {3,4,5};
+    // docs 1 and 3 share a canonical hash, so each side reports 1 dup
+    val dup = spark.read.parquet(s"$dest/reports/dup_rate_by_source")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(dup == Map("web" -> ((1L, 1L)), "books" -> ((3L, 1L))))
+    // overlap: web's whole shingle vocabulary is contained in books'
+    val ov = spark.read.parquet(s"$dest/reports/source_overlap").collect()
+    assert(ov.length == 1)
+    assert(ov.head.getAs[String]("source_a") == "books" &&
+      ov.head.getAs[String]("source_b") == "web" &&
+      ov.head.getAs[Double]("containment") == 1.0)
+  }
+
   test("jsonStr escapes quotes, backslashes and newlines for log lines") {
     assert(JobArgs.jsonStr("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
     assert(JobArgs.jsonStr(null) == "\"\"")
