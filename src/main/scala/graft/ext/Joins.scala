@@ -102,4 +102,58 @@ object Joins {
       .filter(abs(col("val_a") - col("val_b")) <= eps)
       .select(col("id_a"), col("val_a"), col("id_b"), col("val_b"))
   }
+
+  /** Longest-prefix-match join — the IP-routing-table / hierarchical
+    * dictionary shape: each probe key matches every route whose prefix
+    * equals the key's top `prefixLen` bits, and the MOST SPECIFIC
+    * (longest) match wins.
+    *
+    * Plan: one equi-join per DISTINCT prefix length (the lengths set
+    * is small and fixed — e.g. /16,/20,/24 — never per-row), probe key
+    * shifted down to each length in the scan stage, all candidates
+    * unioned, then one argmax-by-length aggregate per probe. The
+    * routes side is broadcast per length slice (a routing table is
+    * KB–MB); the probe table — the 100 TB side — is never shuffled
+    * until the final partial-aggregating argmax, and that aggregate
+    * carries at most |lengths| rows per probe. A range/theta join
+    * formulation (`probe BETWEEN lo AND hi`) would BNLJ; this stays
+    * equi all the way.
+    *
+    * Routes carrying the same (length, prefix) twice are collapsed to
+    * the minimum target (deterministic); probes matching no route are
+    * absent from the output (left-join downstream if the miss rows
+    * matter). `keyBits` is the width of the probe key space; every
+    * length must lie in (0, keyBits].
+    */
+  def longestPrefixMatch(
+      probes: DataFrame, probeId: Column, probeKey: Column,
+      routes: DataFrame, prefix: Column, prefixLen: Column, target: Column,
+      keyBits: Int, lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths == lengths.distinct,
+      s"longestPrefixMatch: non-empty distinct lengths required, got $lengths")
+    require(lengths.forall(l => l > 0 && l <= keyBits),
+      s"longestPrefixMatch: lengths must lie in (0, $keyBits], got $lengths")
+    val r = routes
+      .select(prefixLen.cast("int").as("__len"), prefix.cast("long").as("__pfx"),
+        target.as("__tgt"))
+      .filter(col("__pfx").isNotNull && col("__len").isin(lengths.map(Integer.valueOf): _*))
+      .groupBy(col("__len"), col("__pfx"))
+      .agg(min(col("__tgt")).as("__tgt"))
+    val p = probes.select(probeId.as("probe_id"), probeKey.cast("long").as("__key"))
+      .filter(col("__key").isNotNull)
+    val candidates = lengths.map { l =>
+      p.withColumn("__probe_pfx", shiftright(col("__key"), keyBits - l))
+        .join(broadcast(r.filter(col("__len") === l)),
+          col("__probe_pfx") === col("__pfx"))
+        .select(col("probe_id"), col("__key"), col("__len"), col("__pfx"), col("__tgt"))
+    }.reduce(_ unionAll _)
+    candidates
+      .groupBy(col("probe_id"), col("__key"))
+      // (len, pfx, tgt) is unique per probe+len after the route dedup,
+      // so lexicographic struct-max == longest length, deterministically
+      .agg(max(struct(col("__len"), col("__pfx"), col("__tgt"))).as("__m"))
+      .select(col("probe_id"), col("__key").as("probe_key"),
+        col("__m.__len").as("match_len"), col("__m.__pfx").as("match_prefix"),
+        col("__m.__tgt").as("target"))
+  }
 }

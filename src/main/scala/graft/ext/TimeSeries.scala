@@ -418,4 +418,148 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_new"))
       .withColumn("n_cumulative", sum(col("n_new")).over(w))
   }
+
+  /** OHLC (open/high/low/close) bars: per key per `stepSeconds` bucket,
+    * the first and last observation plus extremes and exact volume —
+    * the canonical downsampling for any metered value stream (ticks,
+    * sensor readings, spend counters).
+    *
+    * ONE hash aggregate, no window: open/close ride a lexicographic
+    * struct-min/max over (ts, tiebreak, value) — with a unique
+    * tiebreak the survivor is deterministic even on equal timestamps,
+    * and the aggregate partials combine map-side (a window formulation
+    * would shuffle every raw row into a per-key sort instead).
+    * Volume is the exact-decimal sum cast to double once.
+    */
+  def ohlcBars(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column,
+      stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(stepSeconds > 0, s"ohlcBars: stepSeconds > 0 required, got $stepSeconds")
+    val dec = DecimalType(38, 10)
+    df.filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("__k"),
+        floor(unix_timestamp(ts) / stepSeconds).cast("long").as("__b"),
+        ts.as("__ts"), tiebreak.as("__tb"), value.cast("double").as("__v"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(
+        min(struct(col("__ts"), col("__tb"), col("__v"))).as("__first"),
+        max(struct(col("__ts"), col("__tb"), col("__v"))).as("__last"),
+        min(col("__v")).as("low"),
+        max(col("__v")).as("high"),
+        sum(col("__v").cast(dec)).cast("double").as("volume"),
+        count(lit(1)).as("n"))
+      .select(col("__k").as("key"), col("__b").as("bucket"),
+        col("__first.__v").as("open"), col("high"), col("low"),
+        col("__last.__v").as("close"), col("volume"), col("n"))
+  }
+
+  /** Rolling least-squares slope of `value` against event-time seconds,
+    * over the trailing `windowRows` observations per key — the trend
+    * feature a drift monitor or a feature-store backfill computes per
+    * reading. Closed-form OLS over window sums; every sum is
+    * exact-decimal cast to double once, and the final slope is ONE
+    * fixed-shape double expression (n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx), so
+    * two engines computing it from the same sums agree bit-for-bit.
+    * Null when the window holds < 2 rows or zero x-variance (equal
+    * timestamps throughout).
+    *
+    * `epochOffsetSeconds` translates event time toward zero before the
+    * regression (slope is translation-invariant). This is both a
+    * numerics and a portability lever: with x−offset and value
+    * integer-valued, every summed term (x, y, x², xy) is an
+    * integer-valued double below 2⁵³, whose decimal cast is EXACT in
+    * any engine — raw epoch seconds squared (~10¹⁸) survive Spark's
+    * exact BigDecimal path but lose low digits in engines that scale
+    * through a double multiply. Pass the dataset era (e.g. Jan 1 of
+    * the first year) and a pre-scaled integer value column for
+    * cross-engine bit-reproducibility; with the default 0 the result
+    * is still exact within Spark.
+    *
+    * One Exchange + one Sort per key feeds all five window sums (same
+    * frame, same ordering — Spark computes them in a single
+    * WindowExec). Ordering ties are broken by `tiebreak` so the frame
+    * contents are deterministic.
+    */
+  def rollingSlope(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column,
+      windowRows: Int,
+      epochOffsetSeconds: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(windowRows >= 2 && windowRows <= 100000,
+      s"rollingSlope: windowRows in [2, 100000] required, got $windowRows")
+    val dec = DecimalType(38, 10)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    def dsumW(c: Column): Column = sum(c.cast(dec)).over(w).cast("double")
+    val base = df.filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
+        (unix_timestamp(ts) - lit(epochOffsetSeconds)).cast("double").as("__x"),
+        value.cast("double").as("__y"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    base
+      .withColumn("__n", count(lit(1)).over(w).cast("double"))
+      .withColumn("__sx", dsumW(col("__x")))
+      .withColumn("__sy", dsumW(col("__y")))
+      .withColumn("__sxx", dsumW(col("__x") * col("__x")))
+      .withColumn("__sxy", dsumW(col("__x") * col("__y")))
+      .select(col("__k").as("key"), col("__ts").as("ts"), col("__tb").as("tiebreak"),
+        col("__y").as("value"),
+        when(col("__n") >= 2 && den =!= 0.0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / den)
+          .as("slope"))
+  }
+
+  /** Time-weighted average of a sampled value per key — trapezoidal
+    * integration between consecutive observations divided by the
+    * observed span, the correct mean for irregularly-sampled gauges
+    * (a plain avg() over-weights bursts of samples).
+    *
+    * One LEAD window per key (ordered by ts with a unique tiebreak)
+    * forms the segments; segment areas accumulate through the exact
+    * decimal path and the result is ONE double division:
+    * Σ((vᵢ+vᵢ₊₁)·Δtᵢ) / (2·(t_n − t_0)). Keys with a single
+    * observation (zero span) yield null — no integration evidence.
+    *
+    * Cross-engine bit-reproducibility contract (cf. [[rollingSlope]]):
+    * pass an integer-valued `value` (pre-scaled, e.g. centi-units) so
+    * each trapezoid term (v+v′)·Δt is an integer-valued double whose
+    * decimal cast is exact everywhere; rescale the result downstream.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    val base = df.filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
+        unix_timestamp(ts).cast("double").as("__t"),
+        value.cast("double").as("__v"))
+      .withColumn("__tn", lead(col("__t"), 1).over(w))
+      .withColumn("__vn", lead(col("__v"), 1).over(w))
+    base.groupBy(col("__k"))
+      .agg(
+        sum(when(col("__tn").isNotNull,
+          ((col("__v") + col("__vn")) * (col("__tn") - col("__t"))).cast(dec)))
+          .cast("double").as("__area2"),
+        min(col("__t")).as("__t0"), max(col("__t")).as("__t1"),
+        count(lit(1)).as("n_samples"))
+      .select(col("__k").as("key"),
+        when(col("__t1") > col("__t0"),
+          col("__area2") / (lit(2.0) * (col("__t1") - col("__t0"))))
+          .as("twa"),
+        col("n_samples"))
+  }
 }

@@ -17,7 +17,8 @@ object Catalog {
     Lexical.all,
     Analytics.all,
     Insights.all,
-    Signals.all
+    Signals.all,
+    Spatial.all
   )
 
   lazy val all: Seq[Q] = {
