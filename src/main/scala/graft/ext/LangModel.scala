@@ -69,4 +69,80 @@ object LangModel {
         (sum(col("__ppb")).cast("double") /
           count(lit(1)).cast("double")).as("mean_p_ppb"))
   }
+
+  /** Trigram LM score with Stupid Backoff (Brants et al., EMNLP'07):
+    * each scored trigram takes p(w3|w1w2) = c(w1w2w3)/c(w1w2·) when the
+    * trigram was seen in TRAINING, else backs off to 0.4·c(w2w3)/c(w2·),
+    * else to 0.4²·c(w3)/N — the web-scale recipe that skips normalized
+    * smoothing because the fixed backoff factor preserves the ranking.
+    * Train and score are SEPARATE relations (held-out scoring is what
+    * makes backoff fire at all; scoring a corpus on itself never leaves
+    * the top level).
+    *
+    * Integer-portable like [[bigramCondProbScore]]: every conditional
+    * is parts-per-billion floor-division and the 0.4 factors are ·2 div
+    * 5 — no double→decimal casts anywhere. Unigrams unseen even at the
+    * bottom level score 0 ppb (no normalization debt).
+    *
+    * Plan: two lead windows (train + score token streams, the only
+    * event-scale shuffles), five cardinality-bounded count aggregates
+    * off the train stream, five LEFT equi-joins keyed by the n-gram
+    * (Zipf-skewed heads → AQE skew-join, the q63/q107 posture), a
+    * 1-row broadcast for N, one per-doc aggregate.
+    *
+    * Output: (doc_id, n_trigrams, n_tri_hits, n_bi_backoff,
+    * n_uni_backoff, mean_p_ppb); scored docs with < 3 tokens are
+    * absent.
+    */
+  def trigramBackoffScore(
+      train: DataFrame, score: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    def tokStream(df: DataFrame) = df
+      .select(id.as("doc_id"), posexplode(TextHash.tokens(text)).as(Seq("pos", "w")))
+    def triStream(df: DataFrame) = {
+      val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      tokStream(df)
+        .withColumn("w2", lead(col("w"), 1).over(perDoc))
+        .withColumn("w3", lead(col("w"), 2).over(perDoc))
+        .filter(col("w3").isNotNull)
+        .select(col("doc_id"), col("w").as("w1"), col("w2"), col("w3"))
+    }
+    val trainToks = tokStream(train)
+    val triTr = triStream(train)
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bgTr = trainToks
+      .withColumn("b", lead(col("w"), 1).over(perDoc))
+      .filter(col("b").isNotNull)
+      .select(col("w").as("a"), col("b"))
+    val ct3 = triTr.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("__c3"))
+    val ct2 = triTr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val cb2 = bgTr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("__cb"))
+    val cb1 = bgTr.groupBy(col("a")).agg(count(lit(1)).as("__cb1"))
+    val cu = trainToks.groupBy(col("w")).agg(count(lit(1)).as("__cu"))
+    val n = trainToks.agg(count(lit(1)).as("__nt"))
+    val scored = triStream(score)
+      .join(ct3, Seq("w1", "w2", "w3"), "left")
+      .join(ct2, Seq("w1", "w2"), "left")
+      .join(cb2.withColumnRenamed("a", "w2").withColumnRenamed("b", "w3"),
+        Seq("w2", "w3"), "left")
+      .join(cb1.withColumnRenamed("a", "w2"), Seq("w2"), "left")
+      .join(cu.withColumnRenamed("w", "w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(col("__c3").isNotNull, lit(0))
+          .when(col("__cb").isNotNull, lit(1))
+          .otherwise(lit(2)).as("__lvl"),
+        when(col("__c3").isNotNull, expr("__c3 * 1000000000L div __c2"))
+          .when(col("__cb").isNotNull, expr("(__cb * 1000000000L div __cb1) * 2 div 5"))
+          .otherwise(expr("((coalesce(__cu, 0L) * 1000000000L div __nt) * 2 div 5) * 2 div 5"))
+          .as("__ppb"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("__lvl") === 0, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("__lvl") === 1, 1L).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("__lvl") === 2, 1L).otherwise(0L)).as("n_uni_backoff"),
+        (sum(col("__ppb")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_p_ppb"))
+  }
 }

@@ -158,4 +158,68 @@ object Retrieval {
         array_sort(collect_list((col("__p") + 1).cast("long"))).as("positions"),
         count(lit(1)).as("tf"))
   }
+
+  /** All-pairs sparse cosine similarity over a document-frequency-
+    * pruned inverted index — the classic "similar documents without a
+    * quadratic corpus join" (Bayardo et al., WWW'07 family). Terms are
+    * word 3-gram shingles with multiplicity (tf); any term whose
+    * posting list exceeds `maxDf` is dropped from the VECTOR SPACE
+    * ENTIRELY (norms included — similarity is defined over the pruned
+    * space, the standard stopword-analogue cut), and candidate pairs
+    * come from a self-join of the surviving postings on the term.
+    *
+    * Scale contract: the joined pair space is Σ_term df² ≤ maxDf ·
+    * Σ_term df = maxDf · |postings| — LINEAR in the corpus for a fixed
+    * cap, against the |docs|² of a naive corpus self-join. The cap is
+    * the knob: it bounds both the pair space and each join task's
+    * in-bucket fan-out (AQE splits any residual hot term).
+    *
+    * Determinism: tf products and squared norms are exact integer
+    * sums; the only float ops are one sqrt (IEEE-exact everywhere) per
+    * doc and one division per pair, micro-quantized before the
+    * threshold compare so a last-ulp divergence can't flip membership.
+    *
+    * Output: (id_a, id_b, cos) with id_a < id_b, cos ≥ minCos,
+    * millionth-quantized.
+    */
+  def sparseCosinePairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      maxDf: Int,
+      minCos: Double): DataFrame = {
+    require(maxDf >= 1, s"sparseCosinePairs: maxDf >= 1 required, got $maxDf")
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"sparseCosinePairs: minCos in (0, 1] required, got $minCos")
+    val toks = TextHash.tokens(text)
+    // shingles WITH multiplicity (unlike TextHash.wordShingles) — tf matters
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs.filter(text.isNotNull)
+      .select(id.as("__id"), explode(grams).as("__g"))
+      .groupBy(col("__id"), col("__g"))
+      .agg(count(lit(1)).as("__tf"))
+    val kept = tf.join(
+      tf.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(col("__g")),
+      Seq("__g"))
+    val norms = kept.groupBy(col("__id"))
+      .agg(sqrt(sum(col("__tf") * col("__tf")).cast("double")).as("__n"))
+    val dots = kept.select(col("__g"), col("__id").as("id_a"), col("__tf").as("__tfa"))
+      .join(kept.select(col("__g"), col("__id").as("id_b"), col("__tf").as("__tfb")),
+        Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__tfa") * col("__tfb")).as("__dot"))
+    dots
+      .join(norms.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("__dot").cast("double") / (col("__na") * col("__nb"))
+          * 1000000.0 + 0.5) / 1000000.0).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

@@ -626,4 +626,77 @@ object TextAnalysis {
           .as("tv_distance"),
         col("n_terms"))
   }
+
+  /** Zipf head/tail concentration profile per corpus slice — the
+    * log-free rank-frequency summary (a faithful Zipf exponent needs a
+    * log-log regression; the ratios below carry the same screening
+    * signal with exact integer arithmetic): top-1 and top-10 token
+    * share, hapax (freq-1) type fraction, and type count. A natural
+    * corpus sits near top1≈6–7% ("the") with a long hapax tail ≳40%;
+    * template/boilerplate slices collapse the tail, synthetic slices
+    * flatten the head — both directions are anomalies a curator reads
+    * off this one row per slice.
+    *
+    * Plan: one (slice, token) count aggregate (map-side combined; the
+    * only event-scale shuffle), then a rank window over TYPE rows —
+    * bounded by vocabulary, not corpus — and one per-slice fold.
+    */
+  def zipfProfile(df: org.apache.spark.sql.DataFrame, slice: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val cnt = df.filter(text.isNotNull)
+      .select(slice.as("slice"), explode(TextHash.tokens(text)).as("__tok"))
+      .groupBy(col("slice"), col("__tok")).agg(count(lit(1)).as("__n"))
+    val byFreq = Window.partitionBy(col("slice"))
+      .orderBy(col("__n").desc, col("__tok"))
+    cnt
+      .withColumn("__rk", row_number().over(byFreq))
+      .groupBy(col("slice"))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__rk") === 1, col("__n")).otherwise(0L)).as("__top1"),
+        sum(when(col("__rk") <= 10, col("__n")).otherwise(0L)).as("__top10"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("__hapax"))
+      .select(col("slice"), col("n_tokens"), col("n_types"),
+        (col("__top1").cast("double") / col("n_tokens").cast("double")).as("top1_share"),
+        (col("__top10").cast("double") / col("n_tokens").cast("double")).as("top10_share"),
+        (col("__hapax").cast("double") / col("n_types").cast("double")).as("hapax_frac"))
+  }
+
+  /** Bytes-per-token compression proxy per corpus slice: total UTF-8
+    * bytes over total whitespace tokens (the cheap stand-in for
+    * tokenizer fertility — a slice whose bytes/token drifts high is
+    * binary junk or an unsegmented language; drifting low is
+    * single-char noise), plus the distinct-token byte share (how much
+    * of the byte volume survives type-level dedup — a vocabulary-
+    * compressibility signal).
+    *
+    * Everything is two integer aggregates off one token explode (doc
+    * bytes ride a separate scan-stage aggregate so multi-space runs
+    * between tokens still count); the divisions are the only doubles.
+    */
+  def byteTokenStats(df: org.apache.spark.sql.DataFrame, slice: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val base = df.filter(text.isNotNull)
+    val docAgg = base
+      .select(slice.as("slice"), octet_length(text).cast("long").as("__b"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__b")).as("total_bytes"))
+    val tokAgg = base
+      .select(slice.as("slice"), explode(TextHash.tokens(text)).as("__tok"))
+      .withColumn("__tb", octet_length(col("__tok")).cast("long"))
+      .groupBy(col("slice"), col("__tok"))
+      .agg(count(lit(1)).as("__n"), max(col("__tb")).as("__tb"))
+      .groupBy(col("slice"))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        sum(col("__tb") * col("__n")).as("__tok_bytes"),
+        sum(col("__tb")).as("__type_bytes"))
+    docAgg.join(tokAgg, Seq("slice"))
+      .select(col("slice"), col("n_docs"), col("total_bytes"), col("n_tokens"),
+        (col("total_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"),
+        (col("__type_bytes").cast("double") / col("__tok_bytes").cast("double"))
+          .as("type_byte_share"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Graph, Profile, TextAnalysis, TimeSeries}
+import graft.ext.{Dedup, Graph, LangModel, Profile, Retrieval, TextAnalysis, TimeSeries}
 import graft.functions.LinkageFunctions
 import Q._
 
@@ -436,6 +436,174 @@ object Signals {
         FROM p JOIN tot ta ON ta.src = p.source_a
                JOIN tot tb ON tb.src = p.source_b
         ORDER BY source_a, source_b
+      """)),
+    // ----------------------------------------------------------------
+    // Trigram Stupid-Backoff LM scoring: even docs train, odd docs are
+    // scored held-out (backoff can actually fire). Integer ppb
+    // conditionals, 0.4 backoff as ·2 div 5 — engine-portable exactly.
+    Q(
+      "q189_trigram_backoff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        LangModel.trigramBackoffScore(
+            docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+            $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, t, i FROM (
+            SELECT doc_id, unnest(toks) AS t,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS toks
+                  FROM documents WHERE text IS NOT NULL))),
+        ttr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        tsc AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+        tri_tr AS (
+          SELECT w1, w2, w3 FROM (
+            SELECT t AS w1, LEAD(t, 1) OVER win AS w2, LEAD(t, 2) OVER win AS w3
+            FROM ttr WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+          WHERE w3 IS NOT NULL),
+        bg_tr AS (
+          SELECT a, b FROM (
+            SELECT t AS a, LEAD(t) OVER win AS b
+            FROM ttr WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+          WHERE b IS NOT NULL),
+        ct3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri_tr GROUP BY 1, 2, 3),
+        ct2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tri_tr GROUP BY 1, 2),
+        cb2 AS (SELECT a, b, COUNT(*) AS cb FROM bg_tr GROUP BY 1, 2),
+        cb1 AS (SELECT a, COUNT(*) AS cb1 FROM bg_tr GROUP BY 1),
+        cu AS (SELECT t, COUNT(*) AS cu FROM ttr GROUP BY t),
+        nt AS (SELECT COUNT(*) AS n_total FROM ttr),
+        tri_sc AS (
+          SELECT doc_id, w1, w2, w3 FROM (
+            SELECT doc_id, t AS w1, LEAD(t, 1) OVER win AS w2, LEAD(t, 2) OVER win AS w3
+            FROM tsc WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+          WHERE w3 IS NOT NULL),
+        sc AS (
+          SELECT s.doc_id,
+                 CASE WHEN ct3.c3 IS NOT NULL THEN 0
+                      WHEN cb2.cb IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+                 CASE WHEN ct3.c3 IS NOT NULL THEN (ct3.c3 * 1000000000) // ct2.c2
+                      WHEN cb2.cb IS NOT NULL
+                        THEN ((cb2.cb * 1000000000) // cb1.cb1) * 2 // 5
+                      ELSE (((COALESCE(cu.cu, 0) * 1000000000) // nt.n_total)
+                        * 2 // 5) * 2 // 5 END AS ppb
+          FROM tri_sc s
+          LEFT JOIN ct3 ON ct3.w1 = s.w1 AND ct3.w2 = s.w2 AND ct3.w3 = s.w3
+          LEFT JOIN ct2 ON ct2.w1 = s.w1 AND ct2.w2 = s.w2
+          LEFT JOIN cb2 ON cb2.a = s.w2 AND cb2.b = s.w3
+          LEFT JOIN cb1 ON cb1.a = s.w2
+          LEFT JOIN cu ON cu.t = s.w3
+          CROSS JOIN nt)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoff,
+               CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+               CAST(SUM(ppb) AS DOUBLE) / COUNT(*) AS mean_p_ppb
+        FROM sc GROUP BY doc_id ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // All-pairs sparse cosine over a DF-pruned shingle inverted index:
+    // pair space Σdf² ≤ maxDf·|postings| (linear for a fixed cap),
+    // integer dot/norm sums, one quantized division per pair.
+    Q(
+      "q190_sparse_cosine_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Retrieval.sparseCosinePairs(t(s, dir, "documents"),
+            $"doc_id", $"text", maxDf = 20, minCos = 0.05)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+          FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS toks
+                FROM documents WHERE text IS NOT NULL)),
+        tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        kept AS (
+          SELECT tf.* FROM tf
+          JOIN (SELECT g FROM tf GROUP BY g HAVING COUNT(*) <= 20) d USING (g)),
+        norms AS (
+          SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+          FROM kept GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        c AS (
+          SELECT id_a, id_b,
+                 floor(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)
+                   * 1000000.0 + 0.5) / 1000000.0 AS cos
+          FROM dots JOIN norms na ON na.doc_id = id_a
+                    JOIN norms nb ON nb.doc_id = id_b)
+        SELECT id_a, id_b, cos FROM c WHERE cos >= 0.05 ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // Zipf head/tail concentration per source: top-1/top-10 token
+    // share + hapax type fraction — the log-free rank-frequency screen.
+    Q(
+      "q191_zipf_profile",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.zipfProfile(t(s, dir, "documents"), $"source", $"text")
+          .orderBy($"slice")
+      },
+      Some(s"""
+        WITH cnt AS (
+          SELECT slice, tok, COUNT(*) AS n FROM (
+            SELECT source AS slice, unnest(${OracleSql.tokens("text")}) AS tok
+            FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY slice
+                ORDER BY n DESC, tok) AS rk FROM cnt),
+        a AS (
+          SELECT slice, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN rk = 1 THEN n ELSE 0 END) AS BIGINT) AS top1,
+                 CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+          FROM r GROUP BY slice)
+        SELECT slice, n_tokens, n_types,
+               CAST(top1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top1_share,
+               CAST(top10 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top10_share,
+               CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
+        FROM a ORDER BY slice
+      """)),
+    // ----------------------------------------------------------------
+    // Bytes-per-token + type-byte share per source — the tokenizer-
+    // fertility / vocabulary-compressibility screen.
+    Q(
+      "q192_byte_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.byteTokenStats(t(s, dir, "documents"), $"source", $"text")
+          .orderBy($"slice")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source AS slice, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+          FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        t0 AS (
+          SELECT source AS slice, tok, strlen(tok) AS tb FROM (
+            SELECT source, unnest(${OracleSql.tokens("text")}) AS tok
+            FROM documents WHERE text IS NOT NULL) u(source, tok)),
+        g AS (SELECT slice, tok, COUNT(*) AS n, MAX(tb) AS tb
+              FROM t0 GROUP BY 1, 2),
+        ta AS (
+          SELECT slice, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 CAST(SUM(tb * n) AS BIGINT) AS tok_bytes,
+                 CAST(SUM(tb) AS BIGINT) AS type_bytes
+          FROM g GROUP BY slice)
+        SELECT slice, n_docs, total_bytes, n_tokens,
+               CAST(total_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS bytes_per_token,
+               CAST(type_bytes AS DOUBLE) / CAST(tok_bytes AS DOUBLE)
+                 AS type_byte_share
+        FROM d JOIN ta USING (slice) ORDER BY slice
       """))
   )
 }

@@ -230,4 +230,62 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2.getLong(1) == 0 && d2.isNullAt(3) && !d2.getBoolean(4))
     assert(got(3L).getBoolean(4)) // trailing whitespace stripped before the check
   }
+
+  test("trigramBackoffScore: hand hits and both backoff levels, integer-exact") {
+    import spark.implicits._
+    val train = Seq((0L, "a b c d")).toDF("id", "text")
+    val score = Seq(
+      (1L, "a b c x"),  // (a,b,c) tri hit p=1; (b,c,x) unseen everywhere -> 0
+      (3L, "x b c"),    // (x,b,c): tri miss, bigram (b,c) hit -> 0.4*1
+      (5L, "c d a a")   // (c,d,a): uni backoff on a: 0.16*c(a)/N = 0.16/4
+    ).toDF("id", "text")
+    val got = LangModel.trigramBackoffScore(train, score, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0L, 1L, 5.0e8)))
+    assert(got(3L) == ((1L, 0L, 1L, 0L, 4.0e8)))
+    // (c,d,a): (1*1e9 div 4)*2 div 5*2 div 5 = 4.0e7; (d,a,a) unigram a
+    // seen too -> same 4.0e7 per trigram
+    assert(got(5L) == ((2L, 0L, 0L, 2L, 4.0e7)))
+  }
+
+  test("sparseCosinePairs: identical docs 1.0, one shared shingle 0.5, df cap prunes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "w2 w3 w4 w5"),
+      // the "s1 s2 s3" shingle sits in 4 docs -> df 4 > maxDf 3 -> pruned,
+      // so these share NOTHING in the kept space
+      (4L, "s1 s2 s3"), (5L, "s1 s2 s3"), (6L, "s1 s2 s3"), (7L, "s1 s2 s3")
+    ).toDF("id", "text")
+    val got = Retrieval.sparseCosinePairs(docs, col("id"), col("text"),
+        maxDf = 3, minCos = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == 1.0, "quantization must absorb the sqrt ulp")
+    assert(got((1L, 3L)) == 0.5 && got((2L, 3L)) == 0.5)
+    val plan = Retrieval.sparseCosinePairs(docs, col("id"), col("text"), 3, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("zipfProfile and byteTokenStats: hand aggregates") {
+    import spark.implicits._
+    val docs = Seq(("s", "a a a b"), ("s", "b c")).toDF("src", "text")
+    val z = TextAnalysis.zipfProfile(docs, col("src"), col("text")).collect()
+    assert(z.length == 1)
+    val r = z.head
+    assert(r.getLong(1) == 6 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 3.0 / 6.0)   // top1 = 'a'
+    assert(r.getDouble(4) == 1.0)          // <=10 types -> full mass
+    assert(r.getDouble(5) == 1.0 / 3.0)    // hapax: only 'c'
+    val b = TextAnalysis.byteTokenStats(
+        Seq(("s", "aa bb"), ("s", "aa")).toDF("src", "text"),
+        col("src"), col("text")).collect()
+    assert(b.length == 1)
+    val rb = b.head
+    assert(rb.getLong(1) == 2 && rb.getLong(2) == 7 && rb.getLong(3) == 3)
+    assert(rb.getDouble(4) == 7.0 / 3.0)
+    assert(rb.getDouble(5) == 4.0 / 6.0) // type bytes aa+bb over token bytes
+  }
 }
