@@ -168,4 +168,42 @@ object Merge {
         when(col("change_type") === "update", col("__n_changed"))
           .otherwise(lit(0)).as("n_changed"): _*)
   }
+
+  /** Field-level survivorship ("golden record", the merge/purge
+    * endgame): one row per key where EACH requested field
+    * independently carries its value from the latest record — by
+    * (orderCol, tiebreak) — in which that field was non-null. This is
+    * the MDM consolidation rule "most recent non-null wins, per
+    * field": a key whose newest record has a null email but an older
+    * one has it keeps the older email alongside the newer phone.
+    *
+    * ONE hash aggregate, no window, no per-field joins: each field
+    * rides a lexicographic struct-max over (order, tiebreak, value)
+    * gated to its non-null rows — partials combine map-side, so at
+    * 100 TB the shuffle carries one candidate struct per (key, field,
+    * task) instead of every record. The unique tiebreak makes equal-
+    * order survivors deterministic.
+    *
+    * Output: (key, <fields...>, n_records); a field null in every
+    * record stays null.
+    */
+  def goldenRecord(
+      df: DataFrame,
+      key: Column,
+      orderCol: Column,
+      tiebreak: Column,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord: at least one field required")
+    val base = df.filter(key.isNotNull)
+      .select(key.as("key") +: orderCol.as("__o") +: tiebreak.as("__t") +:
+        fields.map(col): _*)
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col("__o").as("o"), col("__t").as("t"), col(f).as("v")))).as(s"__m_$f")
+    } :+ count(lit(1)).as("n_records")
+    base.groupBy(col("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("key") +: fields.map(f => col(s"__m_$f.v").as(f)) :+
+        col("n_records"): _*)
+  }
 }

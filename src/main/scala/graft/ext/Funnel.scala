@@ -238,4 +238,76 @@ object Funnel {
       .agg(count(lit(1)).as("conversions"),
         sum(col("__v").cast(DecimalType(38, 10))).cast("double").as("value_sum"))
   }
+
+  /** Multi-touch TIME-DECAY attribution: every conversion splits one
+    * unit of credit across ALL its preceding touches inside the
+    * lookback, each touch weighted by a geometric half-life decay of
+    * its age — the standard position-free alternative to
+    * [[lastTouchAttribution]].
+    *
+    * Engine-portable arithmetic, the q107/q189 discipline: the decay
+    * weight is an integer right-shift, 10⁹ >> (age div halfLife) (a
+    * power-of-two halving per elapsed half-life — no pow(), no libm),
+    * and each pair's normalized credit is integer parts-per-billion
+    * (w·10⁹ div Σw over the conversion). Credit sums are then exact
+    * integer sums; the /10⁹ at the end is the only float op.
+    *
+    * Pair generation is a BUCKETED range self-join, never a windowed
+    * collect and never a BNLJ: touches replicate into lookbackSteps+1
+    * half-life buckets (the fixed small factor), conversions land in
+    * their own bucket, and the join is equi on (key, bucket) with the
+    * exact 0 ≤ Δ ≤ lookback filter behind it — the
+    * [[graft.ext.Ranges]] decomposition applied to event time. Per
+    * 100 TB posture: the replication factor is a constant the caller
+    * chose, every shuffle is keyed, and the per-conversion Σw window
+    * partitions on the conversion id (event-scale rows, O(touches-in-
+    * lookback) state).
+    *
+    * Conversions with no touch in the lookback (Σw = 0 or no pair)
+    * are absent — route them to "direct" with the last-touch op if
+    * completeness matters.
+    */
+  def decayAttribution(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      eventType: Column,
+      tiebreak: Column,
+      conversion: String,
+      halfLifeSeconds: Long,
+      lookbackSteps: Int): DataFrame = {
+    require(halfLifeSeconds >= 1, s"decayAttribution: halfLifeSeconds >= 1, got $halfLifeSeconds")
+    require(lookbackSteps >= 1 && lookbackSteps <= 29,
+      s"decayAttribution: lookbackSteps in [1, 29] (10^9 >> 30 = 0), got $lookbackSteps")
+    val base = events
+      .filter(key.isNotNull && ts.isNotNull && eventType.isNotNull)
+      .select(key.as("__k"), unix_timestamp(ts).as("__t"),
+        eventType.as("__e"), tiebreak.as("__tb"))
+    val conv = base.filter(col("__e") === lit(conversion))
+      .select(col("__k"), col("__t").as("__tc"), col("__tb").as("__cid"),
+        (col("__t") - (col("__t") % halfLifeSeconds)).as("__b"))
+    val touches = base.filter(col("__e") =!= lit(conversion))
+      .select(col("__k"), col("__t").as("__tt"), col("__e").as("channel"))
+      .withColumn("__step", explode(sequence(lit(0), lit(lookbackSteps))))
+      .select(col("__k"), col("__tt"), col("channel"),
+        (col("__tt") - (col("__tt") % halfLifeSeconds) +
+          col("__step") * halfLifeSeconds).as("__b"))
+    val lookback = halfLifeSeconds * lookbackSteps
+    val pairs = touches.join(conv, Seq("__k", "__b"))
+      .filter(col("__tc") >= col("__tt") && col("__tc") - col("__tt") <= lookback)
+      .select(col("__k"), col("__cid"), col("channel"),
+        expr(s"shiftright(1000000000L, cast((__tc - __tt) div $halfLifeSeconds as int))")
+          .as("__w"))
+    val perConv = Window.partitionBy(col("__k"), col("__cid"))
+    pairs
+      .withColumn("__sw", sum(col("__w")).over(perConv))
+      .filter(col("__sw") > 0)
+      .select(col("__k"), col("__cid"), col("channel"),
+        expr("__w * 1000000000L div __sw").as("__ppb"))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("__k"), col("__cid")).as("n_conversions"),
+        (sum(col("__ppb")).cast("double") / lit(1000000000.0)).as("credit"))
+  }
 }

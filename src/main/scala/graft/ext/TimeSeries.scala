@@ -562,4 +562,96 @@ object TimeSeries {
           .as("twa"),
         col("n_samples"))
   }
+
+  /** Seasonal-naive anomaly scoring: each event is compared against
+    * the mean and spread of its OWN phase-of-week slot (hour index mod
+    * 168) for its key — the "same hour last weeks" baseline that
+    * catches a metric spiking at 3am Tuesday without flagging every
+    * Friday peak. Residual = value − slot baseline; anomalous when
+    * |residual| > 3·slot-sd.
+    *
+    * The phase bucket is a pure integer expression off epoch seconds
+    * (div 3600 mod 168) — deliberately not calendar-local (no tz/DST
+    * logic in the hot path); slot statistics come from exact decimal
+    * sums, and baseline/sd are micro-quantized before the residual
+    * and the 3σ compare so engine-specific FMA contraction of
+    * n·Σv² − (Σv)² can't flip a flag.
+    *
+    * Plan: one (key, phase) aggregate (at most 168·|keys| rows,
+    * broadcast back via the stats join), residuals in the scan stage.
+    * Degenerate slots (n < 2 or zero variance) flag nothing.
+    */
+  def seasonalNaiveResidual(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    def q6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+    val base = df.filter(ts.isNotNull && value.isNotNull && key.isNotNull)
+      .select(key.as("key"), ts.as("__ts"), tiebreak.as("__tb"),
+        value.cast("double").as("__v"),
+        (floor(unix_timestamp(ts) / 3600).cast("long") % 168L).as("phase"))
+    val stats = base.groupBy(col("key"), col("phase"))
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__v").cast(dec)).cast("double").as("__s1"),
+        sum((col("__v") * col("__v")).cast(dec)).cast("double").as("__s2"))
+      .select(col("key"), col("phase"), col("__n"),
+        q6(col("__s1") / col("__n")).as("baseline"),
+        when(col("__n") >= 2,
+          q6(sqrt(greatest((col("__n") * col("__s2") - col("__s1") * col("__s1")) /
+            (col("__n") * col("__n")), lit(0.0)))))
+          .as("__sd"))
+    base.join(stats, Seq("key", "phase"))
+      .select(col("key"), col("phase"), col("__ts").as("ts"), col("__tb").as("tiebreak"),
+        col("__v").as("value"), col("baseline"),
+        (col("__v") - col("baseline")).as("residual"),
+        coalesce(abs(col("__v") - col("baseline")) > lit(3.0) * col("__sd"),
+          lit(false)).as("is_anomaly"))
+  }
+
+  /** Inter-arrival profile per key: gap count, mean gap, coefficient
+    * of variation and Goh–Barabási burstiness B = (σ−μ)/(σ+μ) over
+    * the seconds between consecutive events — the standard telemetry
+    * screen separating periodic (B→−1), Poisson (B≈0) and bursty
+    * (B→1) sources (cf. [[gapStats]], which thresholds large gaps;
+    * this characterizes the whole distribution).
+    *
+    * Gaps are exact integer second diffs (one LAG window per key), so
+    * Σd and Σd² accumulate exactly through the decimal path; σ is
+    * micro-quantized before the ratio forms (the FMA-contraction
+    * guard). Keys with < 2 events have no gaps and are absent; zero
+    * mean (all simultaneous) yields null cv/burstiness.
+    */
+  def interArrivalProfile(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val w = Window.partitionBy(col("key")).orderBy(col("__ts"), col("__tb"))
+    val base = df.filter(ts.isNotNull && key.isNotNull)
+      .select(key.as("key"), ts.as("__ts"), tiebreak.as("__tb"),
+        unix_timestamp(ts).as("__t"))
+      .withColumn("__d", (col("__t") - lag(col("__t"), 1).over(w)).cast("double"))
+      .filter(col("__d").isNotNull)
+    base.groupBy(col("key"))
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__d").cast(dec)).cast("double").as("__s1"),
+        sum((col("__d") * col("__d")).cast(dec)).cast("double").as("__s2"))
+      .select(col("key"), col("__n").cast("long").as("n_gaps"),
+        (col("__s1") / col("__n")).as("mean_gap"),
+        (floor(sqrt(greatest((col("__n") * col("__s2") - col("__s1") * col("__s1")) /
+          (col("__n") * col("__n")), lit(0.0))) * 1000000.0 + 0.5) / 1000000.0).as("sd_gap"))
+      .select(col("key"), col("n_gaps"), col("mean_gap"), col("sd_gap"),
+        when(col("mean_gap") > 0, col("sd_gap") / col("mean_gap")).as("cv"),
+        when(col("sd_gap") + col("mean_gap") > 0,
+          (col("sd_gap") - col("mean_gap")) / (col("sd_gap") + col("mean_gap")))
+          .as("burstiness"))
+  }
 }

@@ -23,6 +23,9 @@ object Signals {
     */
   private val HourBucket = "(epoch_ns(ts) // 1000000000) // 3600"
 
+  /** Raw epoch seconds off the nanos parquet timestamps. */
+  private val EpochSec = "(epoch_ns(ts) // 1000000000)"
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Sorted-neighborhood near-dup pairs: canonical-key sort, compare
@@ -604,6 +607,149 @@ object Signals {
                CAST(type_bytes AS DOUBLE) / CAST(tok_bytes AS DOUBLE)
                  AS type_byte_share
         FROM d JOIN ta USING (slice) ORDER BY slice
+      """)),
+    // ----------------------------------------------------------------
+    // Golden-record survivorship: per user, each field independently
+    // keeps its latest non-null value — one struct-max hash aggregate,
+    // no window, no per-field join. The oracle replays it with
+    // IGNORE-NULLS last_value windows.
+    Q(
+      "q193_golden_record",
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "events").select($"user_id", $"ts", $"event_id",
+          when($"event_type" === "click", $"value").as("f_click"),
+          when($"event_type" === "purchase", $"value").as("f_purchase"),
+          when($"event_type" === "signup", $"value").as("f_signup"))
+        graft.etl.Merge.goldenRecord(src, $"user_id", $"ts", $"event_id",
+            Seq("f_click", "f_purchase", "f_signup"))
+          .orderBy($"key")
+      },
+      Some("""
+        WITH src AS (
+          SELECT user_id AS key, ts, event_id,
+                 CASE WHEN event_type = 'click' THEN value END AS f_click,
+                 CASE WHEN event_type = 'purchase' THEN value END AS f_purchase,
+                 CASE WHEN event_type = 'signup' THEN value END AS f_signup
+          FROM events),
+        g AS (
+          SELECT key,
+                 last_value(f_click IGNORE NULLS) OVER w AS f_click,
+                 last_value(f_purchase IGNORE NULLS) OVER w AS f_purchase,
+                 last_value(f_signup IGNORE NULLS) OVER w AS f_signup,
+                 COUNT(*) OVER (PARTITION BY key) AS n_records,
+                 row_number() OVER (PARTITION BY key
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM src
+          WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT key, f_click, f_purchase, f_signup,
+               CAST(n_records AS BIGINT) AS n_records
+        FROM g WHERE rn = 1 ORDER BY key
+      """)),
+    // ----------------------------------------------------------------
+    // Seasonal-naive anomaly: each event vs its phase-of-week slot's
+    // mean ± 3σ (slot stats micro-quantized — the FMA guard).
+    Q(
+      "q194_seasonal_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val r = TimeSeries.seasonalNaiveResidual(t(s, dir, "events"),
+          $"event_type", $"ts", $"value", $"event_id")
+        r.select($"key", $"phase", tstr($"ts").as("ts"), $"tiebreak",
+            $"value", $"baseline", $"residual", $"is_anomaly")
+          .orderBy($"key", $"ts", $"tiebreak")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT event_type AS key, ts, event_id AS tiebreak, value AS v,
+                 ($EpochSec // 3600) % 168 AS phase
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        st AS (
+          SELECT key, phase, CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${OracleSql.dsum("v")} AS s1, ${OracleSql.dsum("v * v")} AS s2
+          FROM base GROUP BY 1, 2),
+        stq AS (
+          SELECT key, phase,
+                 floor(s1 / n * 1000000.0 + 0.5) / 1000000.0 AS baseline,
+                 CASE WHEN n >= 2 THEN
+                   floor(sqrt(greatest((n * s2 - s1 * s1) / (n * n), 0.0))
+                     * 1000000.0 + 0.5) / 1000000.0 END AS sd
+          FROM st)
+        SELECT b.key, b.phase, strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               b.tiebreak, b.v AS value, q.baseline,
+               b.v - q.baseline AS residual,
+               COALESCE(abs(b.v - q.baseline) > 3.0 * q.sd, false) AS is_anomaly
+        FROM base b JOIN stq q USING (key, phase)
+        ORDER BY key, ts, tiebreak
+      """)),
+    // ----------------------------------------------------------------
+    // Time-decay multi-touch attribution: bucketed range self-join,
+    // integer half-life weights (10^9 >> steps), ppb-normalized credit
+    // per conversion — exact integer sums end to end.
+    Q(
+      "q195_decay_attribution",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Funnel.decayAttribution(t(s, dir, "events"),
+            $"user_id", $"ts", $"event_type", $"event_id",
+            conversion = "purchase", halfLifeSeconds = 86400L, lookbackSteps = 7)
+          .orderBy($"channel")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT user_id AS k, $EpochSec AS t, event_type AS e, event_id AS tb
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL),
+        conv AS (SELECT k, t AS tc, tb AS cid FROM base WHERE e = 'purchase'),
+        tch AS (SELECT k, t AS tt, e AS channel FROM base WHERE e <> 'purchase'),
+        pairs AS (
+          SELECT t.k, c.cid, t.channel,
+                 CAST(1000000000 AS BIGINT) >> CAST((c.tc - t.tt) // 86400 AS INTEGER) AS w
+          FROM tch t JOIN conv c ON t.k = c.k
+          WHERE c.tc >= t.tt AND c.tc - t.tt <= 604800),
+        n AS (SELECT k, cid, channel,
+                (w * 1000000000) // SUM(w) OVER (PARTITION BY k, cid) AS ppb
+              FROM pairs)
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT (k, cid)) AS BIGINT) AS n_conversions,
+               CAST(SUM(ppb) AS DOUBLE) / 1000000000.0 AS credit
+        FROM n GROUP BY channel ORDER BY channel
+      """)),
+    // ----------------------------------------------------------------
+    // Inter-arrival burstiness profile per user: integer gap moments,
+    // micro-quantized σ, Goh–Barabási B = (σ−μ)/(σ+μ).
+    Q(
+      "q196_interarrival_profile",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.interArrivalProfile(t(s, dir, "events"),
+            $"user_id", $"ts", $"event_id")
+          .orderBy($"key")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id AS key, ts, event_id, $EpochSec AS t
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        d AS (
+          SELECT key, CAST(t - LAG(t) OVER (PARTITION BY key
+                   ORDER BY ts, event_id) AS DOUBLE) AS d
+          FROM e QUALIFY d IS NOT NULL),
+        a AS (
+          SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${OracleSql.dsum("d")} AS s1, ${OracleSql.dsum("d * d")} AS s2
+          FROM d GROUP BY key),
+        b AS (
+          SELECT key, CAST(n AS BIGINT) AS n_gaps, s1 / n AS mean_gap,
+                 floor(sqrt(greatest((n * s2 - s1 * s1) / (n * n), 0.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sd_gap
+          FROM a)
+        SELECT key, n_gaps, mean_gap, sd_gap,
+               CASE WHEN mean_gap > 0 THEN sd_gap / mean_gap END AS cv,
+               CASE WHEN sd_gap + mean_gap > 0 THEN
+                 (sd_gap - mean_gap) / (sd_gap + mean_gap) END AS burstiness
+        FROM b ORDER BY key
       """))
   )
 }

@@ -85,4 +85,25 @@ class MergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getAs[String]("attr"), r.getAs[Boolean]("is_current")))
     assert(hist.toSeq == Seq(("a", false), ("b", true)))
   }
+
+  test("goldenRecord: per-field latest non-null wins; all-null stays null; order ties by tiebreak") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, 1L, 1L, Some(10.0), None),
+      (1L, 2L, 1L, None, Some(20.0)),
+      (1L, 3L, 1L, Some(30.0), None),
+      // key 2: equal order 1, tiebreak decides f1; f2 never set
+      (2L, 1L, 1L, Some(5.0), None),
+      (2L, 1L, 2L, Some(7.0), None)
+    ).toDF("k", "o", "tb", "f1", "f2")
+    val got = Merge.goldenRecord(recs, $"k", $"o", $"tb", Seq("f1", "f2"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(got(1L) == ((Some(30.0), Some(20.0), 3L)))
+    assert(got(2L) == ((Some(7.0), None, 2L)))
+    // single hash aggregate: no window, no join in the plan
+    val plan = Merge.goldenRecord(recs, $"k", $"o", $"tb", Seq("f1", "f2"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), s"plan:\n$plan")
+  }
 }

@@ -288,4 +288,66 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rb.getDouble(4) == 7.0 / 3.0)
     assert(rb.getDouble(5) == 4.0 / 6.0) // type bytes aa+bb over token bytes
   }
+
+  test("seasonalNaiveResidual: 3-sigma flag fires on the slot outlier only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 11 weekly samples in ONE phase slot: 10 at 10.0 and one at 1000.0.
+    // z(outlier) = sqrt(10) > 3 -> flagged; normals z ~ 0.3 -> not.
+    val t0 = Timestamp.valueOf("2024-01-01 00:30:00").getTime
+    val ev = (0 until 11).map { i =>
+      (i.toLong, "m", new Timestamp(t0 + i * 7L * 86400_000L),
+        if (i == 10) 1000.0 else 10.0)
+    }.toDF("event_id", "k", "ts", "v")
+    val got = TimeSeries.seasonalNaiveResidual(ev, $"k", $"ts", $"v", $"event_id")
+      .collect().map(r => r.getLong(3) -> ((r.getDouble(5), r.getBoolean(7)))).toMap
+    assert(got.size == 11)
+    assert(got(10L)._2, "outlier must flag")
+    assert(got(10L)._1 == 100.0, "baseline mean is exact")
+    (0L to 9L).foreach(i => assert(!got(i)._2, s"normal row $i must not flag"))
+  }
+
+  test("decayAttribution: halving weights, ppb normalization, lookback cut") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(daysAgo: Int) =
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime - daysAgo * 86400_000L)
+    val ev = Seq(
+      (1L, 1L, ts(2), "click"),    // 2 half-lives before conv -> w = 1e9>>2
+      (2L, 1L, ts(1), "view"),     // 1 half-life  -> w = 1e9>>1
+      (3L, 1L, ts(8), "signup"),   // outside 7-step lookback -> dropped
+      (4L, 1L, ts(-1), "view"),    // AFTER the conversion -> dropped
+      (5L, 1L, ts(0), "purchase")
+    ).toDF("event_id", "u", "ts", "t")
+    val got = graft.ext.Funnel.decayAttribution(ev, $"u", $"ts", $"t", $"event_id",
+        conversion = "purchase", halfLifeSeconds = 86400L, lookbackSteps = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("click", "view"))
+    // w_click = 250M, w_view = 500M, sum = 750M
+    assert(got("click") == ((1L, 1L, 250000000L * 1000000000L / 750000000L / 1e9)))
+    assert(got("view") == ((1L, 1L, 500000000L * 1000000000L / 750000000L / 1e9)))
+  }
+
+  test("interArrivalProfile: periodic key hits B = -1; singleton absent") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(s: Long) = new Timestamp(t0 + s * 1000L)
+    val ev = (Seq(0L, 10L, 20L, 30L).map(s => (s, 1L, at(s))) ++
+      Seq((100L, 2L, at(0))) ++                 // singleton -> no gaps
+      Seq((200L, 3L, at(0)), (201L, 3L, at(1)), (202L, 3L, at(100))))
+      .toDF("event_id", "k", "ts")
+    val got = TimeSeries.interArrivalProfile(ev, $"k", $"ts", $"event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    val (n1, m1, s1, b1) = got(1L)
+    assert(n1 == 3 && m1 == 10.0 && s1 == 0.0 && b1.contains(-1.0))
+    // key 3: gaps 1, 99 -> mean 50, sd 49 -> B = (49-50)/99
+    val (n3, m3, s3, b3) = got(3L)
+    assert(n3 == 2 && m3 == 50.0 && s3 == 49.0)
+    assert(b3.contains((49.0 - 50.0) / 99.0))
+  }
 }
