@@ -36,13 +36,28 @@ object Bench {
     val p1 = pass()
     val p2 = pass()
     val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
-    // 3-decimal values keep the JSON line short enough that log-tail
-    // capture doesn't truncate the leading queries
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // Full-fidelity JSON (long names, 3 decimals) goes to a file and to an
+    // early stdout line; the log-tail capture that produces BENCH_r{N}.json
+    // keeps only the last ~3 KB of output, which truncated the leading
+    // queries of the 196-entry line in round 7 ("parsed": null).
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(fullLine)
+    // Compact final line sized to survive tail capture: keys shortened to
+    // the qNN prefix (unique by construction), values at 2 decimals.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qsShort,"failed":$fs,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

@@ -104,7 +104,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler",
-        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (0.7-gated prefix boost)"),
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity over Unicode code points (0.7-gated prefix boost)"),
       (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1))))
 
     ext.injectFunction((

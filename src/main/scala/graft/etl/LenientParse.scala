@@ -2,8 +2,6 @@ package graft.etl
 
 import java.sql.{Date, Timestamp}
 import java.time._
-import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import scala.util.matching.Regex
 
 /** Lenient timestamp/date parsing — the JVM re-expression of the
@@ -134,7 +132,4 @@ object LenientParse {
   }
 
   def date(s: String): Date = date(s, nowInstant)
-
-  val timestampUdf: UserDefinedFunction = udf((s: String) => timestamp(s))
-  val dateUdf: UserDefinedFunction = udf((s: String) => date(s))
 }

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *     latitude the data can contain (`maxAbsLatDeg`), else a
   *     within-radius pair could sit 2 cells apart and be missed —
   *     `require`d at plan time from the three scalars;
-  *   - longitudes must stay inside (-180, 180) with no antimeridian
-  *     adjacency (cells do not wrap; wrap-around needs modular cell
-  *     ids on a fixed grid width, noted for a real-globe deployment).
+  *   - cell x-ids are MODULAR on a fixed 360/cellDeg grid width, so
+  *     the antimeridian is an ordinary cell boundary — in-radius pairs
+  *     straddling ±180 are found by the same one-ring argument as any
+  *     other pair. This requires `cellDeg` to tile 360° exactly,
+  *     `require`d in [[Geo.gridWidth]] (a sliver seam cell would
+  *     silently break the ring guarantee).
   *
   * Determinism: distances are micro-quantized (`floor(d·1e6 + 0.5)`,
   * i.e. millimeter resolution) before any compare or argmin, so a
@@ -103,9 +106,35 @@ object Geo {
         (col("__m.dist_km") <= g).as("guaranteed"))
   }
 
+  /** Grid width in cells: `cellDeg` must tile 360° exactly, or the
+    * seam cell would be narrower than every other cell and the
+    * one-ring guarantee would break right at the wrap (a pair within
+    * radius could span the sliver cell and land 2 cells apart).
+    */
+  def gridWidth(cellDeg: Double): Long = {
+    val w = math.round(360.0 / cellDeg)
+    require(math.abs(w * cellDeg - 360.0) < 1e-9,
+      s"cellDeg=$cellDeg does not evenly divide 360 - the antimeridian seam " +
+        "cell would be narrower than the ring guarantee assumes; pick a " +
+        "divisor of 360 (e.g. 1, 2, 2.5, 3, 4, 5, 6, ...)")
+    w
+  }
+
+  /** Longitude cell id on the wrapping grid: ±180 map to the same
+    * cell, and ring offsets applied before the wrap stay adjacent
+    * across the seam — the modular-cell-id treatment that makes the
+    * antimeridian an ordinary cell boundary. (Latitude cells need no
+    * wrap; the poles are excluded by `maxAbsLatDeg < 90`.)
+    */
+  private def wrapCx(raw: Column, w: Long): Column =
+    ((raw % w) + w) % w
+
   /** Shared candidate generator: one equi-join on (cell_x, cell_y)
     * between un-replicated points and ×9-replicated POIs, distance
     * attached. Null island (null coords) is dropped on both sides.
+    * Cell x-ids wrap modulo [[gridWidth]], so pairs straddling ±180
+    * are found like any cell-boundary pair; [[haversineKm]] needs no
+    * wrap handling (sin²(Δlon/2) is 360°-periodic).
     */
   private def candidates(
       points: DataFrame, pointId: Column, pLat: Column, pLon: Column,
@@ -113,19 +142,20 @@ object Geo {
       cellDeg: Double): DataFrame = {
     val ss = points.sparkSession
     import ss.implicits._
+    val w = gridWidth(cellDeg)
     val offs = broadcast(
       (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)).toDF("__dx", "__dy"))
     val p = points
       .select(pointId.as("point_id"), pLat.as("__plat"), pLon.as("__plon"))
       .filter($"__plat".isNotNull && $"__plon".isNotNull)
-      .withColumn("__cx", floor($"__plon" / cellDeg).cast("long"))
+      .withColumn("__cx", wrapCx(floor($"__plon" / cellDeg).cast("long"), w))
       .withColumn("__cy", floor($"__plat" / cellDeg).cast("long"))
     val q = pois
       .select(poiId.as("poi_id"), qLat.as("__qlat"), qLon.as("__qlon"))
       .filter($"__qlat".isNotNull && $"__qlon".isNotNull)
       .crossJoin(offs)
       .select($"poi_id", $"__qlat", $"__qlon",
-        (floor($"__qlon" / cellDeg).cast("long") + $"__dx").as("__cx"),
+        wrapCx(floor($"__qlon" / cellDeg).cast("long") + $"__dx", w).as("__cx"),
         (floor($"__qlat" / cellDeg).cast("long") + $"__dy").as("__cy"))
     p.join(q, Seq("__cx", "__cy"))
       .withColumn("dist_km", haversineKm($"__plat", $"__plon", $"__qlat", $"__qlon"))

@@ -490,7 +490,9 @@ object TextAnalysis {
       text: Column): org.apache.spark.sql.DataFrame = {
     val nSent = regexp_count(text, lit("[.!?]+")).cast("long")
     val nTok = size(TextHash.tokens(text)).cast("long")
-    val lastChar = substring(regexp_replace(text, "[\\s]+$", ""), -1, 1)
+    // explicit class, not \s: Java's \s includes vertical tab (\x0B),
+    // RE2's does not — an explicit [ \t\n\f\r] is identical in both
+    val lastChar = substring(regexp_replace(text, "[ \\t\\n\\f\\r]+$", ""), -1, 1)
     df.filter(text.isNotNull)
       .select(id.as("doc_id"), nSent.as("n_sentences"), nTok.as("n_tokens"),
         lastChar.isin(".", "!", "?").as("ends_terminal"))

@@ -24,24 +24,43 @@ import org.apache.spark.unsafe.types.UTF8String
   *     common prefix capped at 4;
   *   - both empty → 1.0, one empty → 0.0.
   *
-  * Operates on the UTF-8 BYTE sequence (one compiled pass, zero
-  * allocation beyond two flag arrays): identical to character semantics
-  * for ASCII data — the linkage domain (names, codes) — and to DuckDB
-  * over ASCII, which is what the oracle contract needs. The final
-  * arithmetic is a fixed shape of IEEE double ops; catalog queries round
-  * the score (both sides) so a last-ulp libm difference can't flip a
-  * hash.
+  * Operates on Unicode CODE POINTS, not UTF-8 bytes: multi-byte
+  * characters compare as single units, matching DuckDB/rapidfuzz's
+  * character-level semantics on any input (byte-wise comparison would
+  * score non-ASCII names wrongly and could spuriously match
+  * continuation bytes across different characters). ASCII input — the
+  * dominant linkage domain — takes a widening copy of the byte array
+  * with no decode; only non-ASCII strings pay a real UTF-8 decode,
+  * once per value. The final arithmetic is a fixed shape of IEEE
+  * double ops; catalog queries round the score (both sides) so a
+  * last-ulp libm difference can't flip a hash.
   */
 object JaroWinklerImpl {
+
+  /** UTF-8 → code points; ASCII fast path widens bytes without decoding. */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (i < bytes.length && ascii) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val out = new Array[Int](bytes.length)
+      i = 0
+      while (i < bytes.length) { out(i) = bytes(i); i += 1 }
+      out
+    } else s.toString.codePoints().toArray
+  }
+
   /** Static entry shared by interpreted eval and generated code. */
   def sim(a: UTF8String, b: UTF8String): Double = {
-    val x = a.getBytes
-    val y = b.getBytes
+    val x = codePoints(a)
+    val y = codePoints(b)
     val la = x.length
     val lb = y.length
     if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
     val bound = math.max(0, math.max(la, lb) / 2 - 1)
+    // the matched-flag arrays below index code points, not bytes
     val mx = new Array[Boolean](la)
     val my = new Array[Boolean](lb)
     var m = 0

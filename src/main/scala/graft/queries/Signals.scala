@@ -308,7 +308,7 @@ object Signals {
                  CAST(len(${OracleSql.tokens("text")}) AS DOUBLE) /
                    CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE)
                END AS mean_sent_tokens,
-               substr(regexp_replace(text, '[\\s]+$$', '', 'g'), -1, 1)
+               substr(regexp_replace(text, '[ \\t\\n\\f\\r]+$$', '', 'g'), -1, 1)
                  IN ('.', '!', '?') AS ends_terminal
         FROM documents WHERE text IS NOT NULL ORDER BY doc_id
       """)),
@@ -631,7 +631,8 @@ object Signals {
                  CASE WHEN event_type = 'click' THEN value END AS f_click,
                  CASE WHEN event_type = 'purchase' THEN value END AS f_purchase,
                  CASE WHEN event_type = 'signup' THEN value END AS f_signup
-          FROM events),
+          FROM events
+          WHERE user_id IS NOT NULL),
         g AS (
           SELECT key,
                  last_value(f_click IGNORE NULLS) OVER w AS f_click,
@@ -641,7 +642,8 @@ object Signals {
                  row_number() OVER (PARTITION BY key
                    ORDER BY ts DESC, event_id DESC) AS rn
           FROM src
-          WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+          WINDOW w AS (PARTITION BY key
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         SELECT key, f_click, f_purchase, f_signup,
                CAST(n_records AS BIGINT) AS n_records

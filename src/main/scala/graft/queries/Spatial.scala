@@ -38,20 +38,24 @@ object Spatial {
        |  cos(radians($plat)) * cos(radians($qlat)) *
        |  pow(sin(radians($qlon - $plon) / 2), 2))) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
 
-  private def ptsPoisSql(cellDeg: Double) =
+  private def ptsPoisSql(cellDeg: Double) = {
+    // cell x-ids wrap modulo the grid width (identical double-mod shape
+    // to Geo.wrapCx) so the antimeridian is an ordinary cell boundary
+    val w = graft.ext.Geo.gridWidth(cellDeg)
     s"""pts AS (
        |  SELECT c_custkey AS point_id, $PLat AS plat, $PLon AS plon FROM customer),
        |pois AS (
        |  SELECT s_suppkey AS poi_id, $QLat AS qlat, $QLon AS qlon FROM supplier),
-       |p AS (SELECT *, CAST(floor(plon / $cellDeg) AS BIGINT) AS cx,
+       |p AS (SELECT *, ((CAST(floor(plon / $cellDeg) AS BIGINT) % $w) + $w) % $w AS cx,
        |               CAST(floor(plat / $cellDeg) AS BIGINT) AS cy FROM pts),
        |q AS (SELECT poi_id, qlat, qlon,
-       |             CAST(floor(qlon / $cellDeg) AS BIGINT) + dx.o AS cx,
+       |             (((CAST(floor(qlon / $cellDeg) AS BIGINT) + dx.o) % $w) + $w) % $w AS cx,
        |             CAST(floor(qlat / $cellDeg) AS BIGINT) + dy.o AS cy
        |      FROM pois, range(-1, 2) dx(o), range(-1, 2) dy(o)),
        |cand AS (SELECT point_id, poi_id,
        |    ${havSql("plat", "plon", "qlat", "qlon")} AS dist_km
        |  FROM p JOIN q USING (cx, cy))""".stripMargin
+  }
 
   private val EpochSec = "(epoch_ns(ts) // 1000000000)"
 

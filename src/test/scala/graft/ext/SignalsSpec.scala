@@ -148,6 +148,16 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // below the 0.7 boost threshold the shared prefix must NOT be rewarded
     val plain = jw("abcdefgh", "abzzzzzz")
     assert(plain <= 0.7 + 1e-12)
+    // code-point semantics: multi-byte characters are single units, so
+    // a one-codepoint substitution in a 6-char name scores exactly as
+    // its ASCII twin does (byte-wise matching would see 2-3 byte
+    // subunits and inflate/deflate the score)
+    assert(math.abs(jw("MÜLLER", "MULLER") - jw("MXLLER", "MULLER")) < 1e-12)
+    assert(jw("日本語", "日本語") == 1.0)
+    // continuation bytes of different characters must not match:
+    // é (C3 A9) vs ù (C3 B9) share a lead byte; as code points they
+    // are simply two different single units → no match at all
+    assert(jw("é", "ù") == 0.0)
   }
 
   test("changePoint: finds the level shift; short keys absent; earliest-position tie-break") {

@@ -17,6 +17,32 @@ class SpatialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("gridRadiusJoin: cells wrap at the antimeridian; non-divisor cellDeg rejected") {
+    import spark.implicits._
+    // in-radius pair straddling ±180: 179.7 vs -179.9 is 0.4° ≈ 44.5 km
+    // apart at the equator — modular cell ids must find it (a non-
+    // wrapping grid would place them ~359 cells apart and miss it)
+    val pts = Seq((1L, 0.0, 179.7), (2L, 0.0, 170.0)).toDF("id", "lat", "lon")
+    val pois = Seq((10L, 0.0, -179.9)).toDF("id", "lat", "lon")
+    val got = Geo.gridRadiusJoin(pts, $"id", $"lat", $"lon", pois, $"id", $"lat", $"lon",
+        radiusKm = 50.0, cellDeg = 1.0, maxAbsLatDeg = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L)))
+    // ±180 land in the same wrapped cell (one meridian, two spellings)
+    val same = Geo.gridRadiusJoin(
+      Seq((1L, 0.0, 180.0)).toDF("id", "lat", "lon"), $"id", $"lat", $"lon",
+      Seq((10L, 0.0, -180.0)).toDF("id", "lat", "lon"), $"id", $"lat", $"lon",
+      radiusKm = 50.0, cellDeg = 1.0, maxAbsLatDeg = 10.0).collect()
+    assert(same.length == 1 && same.head.getDouble(2) == 0.0)
+    // a cell size that leaves a sliver seam cell breaks the ring
+    // guarantee at the wrap — rejected at plan time
+    val ex = intercept[IllegalArgumentException] {
+      Geo.gridRadiusJoin(pts, $"id", $"lat", $"lon", pois, $"id", $"lat", $"lon",
+        radiusKm = 50.0, cellDeg = 7.0, maxAbsLatDeg = 10.0)
+    }
+    assert(ex.getMessage.contains("divide 360"))
+  }
+
   test("gridRadiusJoin: in-radius pair found across a cell boundary; far pair excluded") {
     import spark.implicits._
     // equator: 1° lon ≈ 111.32 km. Point at lon 0.99 sits in cell 0,

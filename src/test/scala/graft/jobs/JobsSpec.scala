@@ -226,7 +226,7 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every survivor ends at a sentence boundary
     val survivors = spark.read.parquet(s"$dest/documents")
     assert(survivors
-      .filter(!substring(regexp_replace(col("text"), "[\\s]+$", ""), -1, 1)
+      .filter(!substring(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+$", ""), -1, 1)
         .isin(".", "!", "?")).count() == 0)
     // dup report: computed on the gated corpus — web {1}, books {3,4,5};
     // docs 1 and 3 share a canonical hash, so each side reports 1 dup
