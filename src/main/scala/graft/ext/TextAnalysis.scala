@@ -537,6 +537,93 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE/WordPiece-style tokenizer TRAINING loop: `rounds` iterations
+    * of (count adjacent pairs → argmax with deterministic tie-break →
+    * merge every greedy left-to-right occurrence in the corpus).
+    * Returns the learned merge table `(round, a, b, merged, n)` —
+    * the artifact a tokenizer trainer persists. [[bpePairCounts]] is
+    * one round's counting step; this is the loop that makes it a
+    * trainer.
+    *
+    * Representation: each doc is ONE string with every token wrapped
+    * in \u0001 delimiters (`␁tok₁␁␁tok₂␁…`). A merge of pair (a, b)
+    * is then a plain `replace` of `␁a␁␁b␁` with `␁a b␁` — and because
+    * `replace` substitutes non-overlapping occurrences left to right,
+    * it IS the greedy BPE merge ("a a a" merges once, not twice), with
+    * per-token wrapping guaranteeing adjacent matches never consume a
+    * shared boundary character ("a b a b" merges twice). Merged tokens
+    * spell `a + " " + b`; base tokens are space-split so the joiner
+    * can never collide with a pre-existing token.
+    *
+    * Determinism: integer counts end-to-end; argmax tie-break is
+    * (count desc, a asc, b asc) — the merge sequence is a pure
+    * function of the corpus. The per-round argmax is a TakeOrdered
+    * limit-1 collect (one row per round — the learned merge itself,
+    * not a data-path collect; the corpus state never leaves the
+    * executors). Training stops early if no pair remains.
+    *
+    * Scale: per round, one scan-stage pair explode + one (a, b)-keyed
+    * count (map-side partial combine bounds the shuffle at distinct
+    * adjacent pairs, ~vocab², not token volume) + one map-stage
+    * `replace` rewrite. Corpus state is localCheckpoint-ed per round
+    * and the superseded round's blocks freed explicitly — the
+    * [[Graph.connectedComponents]] iterative-state discipline. A
+    * production trainer runs this on a sampled sub-corpus (vocab
+    * learning saturates long before 100 TB) and persists the merge
+    * table once.
+    */
+  def bpeTrain(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 4096,
+      s"bpeTrain: 1 <= rounds <= 4096 required, got $rounds")
+    val ss = df.sparkSession
+    val sc = ss.sparkContext
+    val D = "\u0001"
+    val toks = TextHash.tokens(text)
+    var (docs, docsIds) = Graph.checkpointTracked(
+      df.filter(text.isNotNull && size(toks) >= 2)
+        .select(concat(lit(D), array_join(toks, D + D), lit(D)).as("s")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val tArr = split(trim(col("s"), D), D + D)
+        val pairs = zip_with(
+          slice(tArr, lit(1), size(tArr) - 1),
+          slice(tArr, lit(2), size(tArr) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))
+        val best = docs
+          .select(explode(pairs).as("__p"))
+          .select(col("__p.a").as("a"), col("__p.b").as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val a = best.head.getString(0)
+          val b = best.head.getString(1)
+          merges += ((r.toLong, a, b, a + " " + b, best.head.getLong(2)))
+          val (next, nextIds) = Graph.checkpointTracked(docs.select(
+            replace(col("s"),
+              lit(D + a + D + D + b + D), lit(D + a + " " + b + D)).as("s")))
+          next.count() // materialize before freeing the round it reads
+          Graph.freeIds(sc, docsIds)
+          docs = next
+          docsIds = nextIds
+        }
+        r += 1
+      }
+    } finally Graph.freeIds(sc, docsIds)
+    import ss.implicits._
+    merges.toSeq.toDF("round", "a", "b", "merged", "n")
+  }
+
   /** Vocabulary growth curve (the Heaps-law probe): per ingest bucket —
     * token volume, NEW types (tokens first seen in that bucket), and
     * the running distinct-type total. The saturation signal a corpus

@@ -18,7 +18,8 @@ object Catalog {
     Analytics.all,
     Insights.all,
     Signals.all,
-    Spatial.all
+    Spatial.all,
+    Training.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.TextAnalysis
+import Q._
+
+/** Round-8 batch: trainable-pipeline operators — the BPE tokenizer
+  * merge loop and its companions. Each oracle replays the exact
+  * integer/string semantics in DuckDB (no floats anywhere in this
+  * family, so parity is structural, not numeric).
+  */
+object Training {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Rounds the catalog entry trains; the oracle unrolls the same
+    * number of CTE rounds. Small enough to keep the oracle SQL
+    * readable, large enough that ties and merged-token re-merges
+    * (round N consuming round M<N's output) are exercised.
+    */
+  private val BpeRounds = 8
+
+  /** One DuckDB merge round: pair counts from the delimited corpus
+    * string, argmax with the (n desc, a, b) tie-break, greedy
+    * left-to-right merge via non-overlapping `replace`. MATERIALIZED
+    * is load-bearing twice over: `d{r}` and `b{r}` are each referenced
+    * more than once, and DuckDB inlines plain CTEs — un-materialized,
+    * the doc-state chain re-expands every upstream round per reference
+    * (exponential scans of the base table).
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"d${r - 1}"
+    s"""t$r AS (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM $prev),
+       |p$r AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+       |        FROM t$r WHERE len(t) >= 2),
+       |b$r AS MATERIALIZED (
+       |  SELECT a, b, COUNT(*) AS n FROM p$r GROUP BY a, b
+       |  ORDER BY n DESC, a, b LIMIT 1),
+       |d$r AS MATERIALIZED (SELECT replace(s,
+       |    chr(1)||(SELECT a FROM b$r)||chr(1)||chr(1)||(SELECT b FROM b$r)||chr(1),
+       |    chr(1)||(SELECT a FROM b$r)||' '||(SELECT b FROM b$r)||chr(1)) AS s
+       |  FROM $prev)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // BPE tokenizer-training merge loop: 8 rounds of count-argmax-
+    // merge over the documents corpus, integer counts end-to-end,
+    // per-round checkpoint+free. The oracle unrolls all 8 rounds as
+    // materialized CTEs over the same ␁-delimited string encoding, so
+    // the greedy-merge semantics (non-overlapping left-to-right
+    // replace) are replayed mechanically, not re-derived.
+    Q(
+      "q197_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.bpeTrain(t(s, dir, "documents"), $"text", rounds = BpeRounds)
+          .orderBy($"round")
+      },
+      Some(s"""
+        WITH d0 AS MATERIALIZED (
+          SELECT chr(1) || array_to_string(${OracleSql.tokens("text")},
+                   chr(1)||chr(1)) || chr(1) AS s
+          FROM documents
+          WHERE text IS NOT NULL AND len(${OracleSql.tokens("text")}) >= 2),
+        ${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")}
+        SELECT * FROM (
+          ${(1 to BpeRounds).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, a, b, a||' '||b AS merged, " +
+            s"CAST(n AS BIGINT) AS n FROM b$r").mkString(" UNION ALL ")})
+        ORDER BY round
+      """))
+  )
+}

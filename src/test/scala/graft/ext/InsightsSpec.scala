@@ -236,6 +236,29 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == Seq(("a", "b", 2L), ("b", "a", 2L)))
   }
 
+  test("bpeTrain: greedy non-overlap, merged tokens re-merge, tie-break, early stop") {
+    import spark.implicits._
+    val docs = Seq("c c c c", "a b a b", "a b c", "x", "", null).toDF("txt")
+    // round 1: (a,b)=3 ties (c,c)=3 → lexicographic tie-break picks (a,b)
+    // round 2: (c,c)=3; GREEDY merge turns "c c c c" into two "c c"
+    //          (3 adjacent pairs, but only 2 non-overlapping merges)
+    // round 3: all pairs n=1 → ("a b","a b") wins the tie — a merged
+    //          token merging with itself
+    // round 4: ("a b","c") — merged token merging with a base token
+    // round 5: ("c c","c c")
+    // round 6: no pairs remain → early stop at 5 merges despite rounds=8
+    val got = TextAnalysis.bpeTrain(docs, col("txt"), rounds = 8)
+      .orderBy(col("round"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "a b", 3L),
+      (2L, "c", "c", "c c", 3L),
+      (3L, "a b", "a b", "a b a b", 1L),
+      (4L, "a b", "c", "a b c", 1L),
+      (5L, "c c", "c c", "c c c c", 1L)))
+  }
+
   test("termDrift: identical slices → 0; disjoint vocabularies → 1; union vocab counted") {
     import spark.implicits._
     val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("src", "txt")
