@@ -537,6 +537,47 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Mojibake signature regex — UTF-8 text that was decoded as
+    * Latin-1/CP1252 and re-encoded, the classic double-encoding scar:
+    * `Ã` followed by any Latin-1 symbol (the continuation-byte range
+    * as characters), the CP1252 smart-quote lead `â€`, and `Â` glued
+    * to the NBSP/degree/guillemet family. RE2-safe (code-point classes
+    * and literal alternation only), and the three alternatives start
+    * with distinct characters, so leftmost-first and leftmost-longest
+    * engines count identically.
+    */
+  val MojibakePattern: String = "Ã[¡-¿]|â€|Â[ °·«»©®]"
+
+  /** Encoding-sanity screen — step zero of curation, BEFORE langId or
+    * any quality gate: per doc, character count, structurally invalid
+    * UTF-8 byte count, U+FFFD replacement-char count, C0-control count
+    * (via the compiled [[graft.functions.Utf8Stats]] state machine over
+    * the re-encoded bytes) and mojibake-signature count
+    * ([[MojibakePattern]]). `suspect` is an all-integer decision — any
+    * invalid byte, any control char, replacement density > 1/1000
+    * chars, or mojibake density > 1/200 chars — so both engines agree
+    * exactly (no float thresholds).
+    *
+    * Scale: pure scan-stage expressions, one pass per doc, no shuffle.
+    */
+  def utf8Screen(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.EncodingFunctions.utf8Stats(encode(text, "UTF-8"))
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"), length(text).cast("long").as("n_chars"),
+        st.as("__s"),
+        regexp_count(text, lit(MojibakePattern)).cast("long").as("n_moji"))
+      .select(col("doc_id"), col("n_chars"),
+        col("__s.n_invalid").as("n_invalid"),
+        col("__s.n_replacement").as("n_replacement"),
+        col("__s.n_ctl").as("n_ctl"), col("n_moji"),
+        (col("__s.n_invalid") > 0 || col("__s.n_ctl") > 0 ||
+          col("__s.n_replacement") * 1000 > col("n_chars") ||
+          col("n_moji") * 200 > col("n_chars")).as("suspect"))
+  }
+
   /** BPE/WordPiece-style tokenizer TRAINING loop: `rounds` iterations
     * of (count adjacent pairs → argmax with deterministic tie-break →
     * merge every greedy left-to-right occurrence in the corpus).

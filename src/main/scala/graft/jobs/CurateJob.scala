@@ -7,10 +7,10 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
 /** End-to-end corpus curation: the library's training-data operators
   * composed into one runnable pipeline —
   *
-  *   scrub → quality gate (Gopher rules) → optional blocklist gate →
-  *   optional bigram-LM floor → exact dedup → near-dup clustering
-  *   (canonical survivors) → optional stratum flattening →
-  *   train/val/test split → chunk plan → batch packing
+  *   encoding screen (q198) → scrub → quality gate (Gopher rules) →
+  *   optional blocklist gate → optional bigram-LM floor → exact dedup →
+  *   near-dup clustering (canonical survivors) → optional stratum
+  *   flattening → train/val/test split → chunk plan → batch packing
   *
   * Every stage is the same operator the catalog oracle-checks
   * individually (q65, q78, q104, q107, q33, q74, q81, q72, q80, q84); the job is
@@ -64,9 +64,19 @@ object CurateJob {
     val docs = spark.read.parquet(source)
     val input = docs.count()
 
+    // 0. encoding screen — step zero, BEFORE any text interpretation:
+    //    drop docs with invalid UTF-8 bytes, control chars, replacement-
+    //    char scars or mojibake density (q198's operator). Everything
+    //    downstream (langId, Gopher regexes, shingles) assumes clean
+    //    text; screening after the fact would launder garbage through
+    //    the gates. Scan-stage semi-join on the surviving ids.
+    val encOk = TextAnalysis.utf8Screen(docs, col("doc_id"), col("text"))
+      .filter(!col("suspect")).select("doc_id")
+    val clean = docs.join(encOk, Seq("doc_id"))
+
     // 1. scrub PII-shaped spans, then gate on the Gopher rules
     import TextAnalysis.Gopher._
-    val scrubbed = docs.withColumn("text", TextAnalysis.scrub(col("text")))
+    val scrubbed = clean.withColumn("text", TextAnalysis.scrub(col("text")))
     val quality = scrubbed.filter(
       wordCount(col("text")) >= minWords &&
         meanWordLen(col("text")).between(2.0, 12.0) &&

@@ -72,6 +72,52 @@ object Training {
             s"SELECT CAST($r AS BIGINT) AS round, a, b, a||' '||b AS merged, " +
             s"CAST(n AS BIGINT) AS n FROM b$r").mkString(" UNION ALL ")})
         ORDER BY round
+      """)),
+    // ----------------------------------------------------------------
+    // UTF-8 / encoding-sanity screen over documents with PLANTED
+    // defects: a deterministic subset of docs gets a mojibake burst, a
+    // replacement-char run, or a control byte appended (same CASE
+    // chain in both engines), and the screen must count and flag
+    // exactly those. n_invalid/n_replacement/n_ctl flow through the
+    // compiled Utf8Stats byte-level state machine on the Spark side
+    // and are re-derived with regexp counts in DuckDB (valid text
+    // makes the two definitions coincide; the invalid-byte path is
+    // spec-covered with raw byte arrays — a SQL engine cannot even
+    // hold invalid UTF-8 in a VARCHAR).
+    Q(
+      "q198_utf8_screen",
+      (s, dir) => {
+        import s.implicits._
+        val planted = when($"doc_id" % 7 === 0,
+            concat($"text", lit(" Ã©Ã¨â€™Â° Ã¼Ã± â€œquotedâ€ Ã¤")))
+          .when($"doc_id" % 11 === 3,
+            concat($"text", lit(" \uFFFD\uFFFD\uFFFD\uFFFD\uFFFD")))
+          .when($"doc_id" % 13 === 5, concat($"text", lit("\u0007")))
+          .otherwise($"text")
+        val src = t(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id", planted.as("text"))
+        TextAnalysis.utf8Screen(src, $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' Ã©Ã¨â€™Â° Ã¼Ã± â€œquotedâ€ Ã¤'
+                      WHEN doc_id % 11 = 3 THEN text || ' ' || repeat(chr(65533), 5)
+                      WHEN doc_id % 13 = 5 THEN text || chr(7)
+                      ELSE text END AS t
+          FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+                 CAST(0 AS BIGINT) AS n_invalid,
+                 CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS n_replacement,
+                 CAST(len(regexp_extract_all(t, '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_ctl,
+                 CAST(len(regexp_extract_all(t, '${TextAnalysis.MojibakePattern}')) AS BIGINT) AS n_moji
+          FROM src)
+        SELECT doc_id, n_chars, n_invalid, n_replacement, n_ctl, n_moji,
+               (n_invalid > 0 OR n_ctl > 0 OR n_replacement * 1000 > n_chars
+                OR n_moji * 200 > n_chars) AS suspect
+        FROM m ORDER BY doc_id
       """))
   )
 }

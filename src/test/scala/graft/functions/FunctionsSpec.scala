@@ -231,6 +231,59 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaEval == refShingleHashes(texts.head, 3, P))
   }
 
+  test("Utf8Stats: RFC 3629 state machine on hand-built byte sequences") {
+    def stats(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+      val r = Utf8Stats.compute(bytes)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // clean ASCII with allowed whitespace
+    assert(stats("ok\tfine\nyes\r".getBytes("UTF-8")) == (12L, 0L, 0L, 0L))
+    // BEL is a C0 control; tab/LF/CR are not counted
+    assert(stats("a\u0007b".getBytes("UTF-8")) == (3L, 0L, 0L, 1L))
+    // valid 2/3/4-byte sequences: é, €, emoji
+    assert(stats("é€😀".getBytes("UTF-8")) == (9L, 0L, 0L, 0L))
+    // U+FFFD replacement char = EF BF BD
+    assert(stats("x\uFFFDy\uFFFD".getBytes("UTF-8")) == (8L, 0L, 2L, 0L))
+    // overlong encoding C0 AF: lead invalid, then stray continuation
+    assert(stats(Array(0x41, 0xC0, 0xAF).map(_.toByte)) == (3L, 2L, 0L, 0L))
+    // stray continuation alone
+    assert(stats(Array(0x80).map(_.toByte)) == (1L, 1L, 0L, 0L))
+    // truncated 3-byte lead at end of input: E2 80
+    assert(stats(Array(0xE2, 0x80).map(_.toByte)) == (2L, 2L, 0L, 0L))
+    // CESU-8 surrogate ED A0 80 is invalid UTF-8 (3 bad bytes after resync)
+    assert(stats(Array(0xED, 0xA0, 0x80).map(_.toByte)) == (3L, 3L, 0L, 0L))
+    // E0 overlong guard: E0 9F BF is overlong, E0 A0 80 (U+0800) is valid
+    assert(stats(Array(0xE0, 0x9F, 0xBF).map(_.toByte))._2 == 3L)
+    assert(stats(Array(0xE0, 0xA0, 0x80).map(_.toByte)) == (3L, 0L, 0L, 0L))
+    // F4 90 80 80 is above U+10FFFF; F4 8F BF BF (U+10FFFF) is valid
+    assert(stats(Array(0xF4, 0x90, 0x80, 0x80).map(_.toByte))._2 == 4L)
+    assert(stats(Array(0xF4, 0x8F, 0xBF, 0xBF).map(_.toByte)) == (4L, 0L, 0L, 0L))
+    // F5..FF are never valid leads
+    assert(stats(Array(0xF5, 0xFF).map(_.toByte)) == (2L, 2L, 0L, 0L))
+  }
+
+  test("utf8Screen: planted mojibake/replacement/control flag exactly as designed") {
+    import spark.implicits._
+    val clean = "perfectly ordinary prose that says nothing unusual at all"
+    val docs = Seq(
+      (1L, clean),
+      (2L, clean + " Ã©Ã¨ â€™ Â°"), // mojibake burst: 4 signature hits
+      (3L, clean + " \uFFFD"), // one replacement char in a short doc
+      (4L, clean + "\u0007"), // any control char flags
+      (5L, "x" * 5000 + " \uFFFD") // 1 repl in 5002 chars: under density
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.utf8Screen(docs, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L, false),
+      (2L, 0L, 0L, 0L, 4L, true),
+      (3L, 0L, 1L, 0L, 0L, true),
+      (4L, 0L, 0L, 1L, 0L, true),
+      (5L, 0L, 1L, 0L, 0L, false)))
+  }
+
   test("expressions are registered for SQL via GraftExtensions") {
     val one = spark.sql(
       "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()

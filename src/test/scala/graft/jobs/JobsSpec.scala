@@ -177,6 +177,24 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == r)
   }
 
+  test("CurateJob: encoding screen drops mojibake/control docs before any gate") {
+    import spark.implicits._
+    val src = tmp()
+    Seq(
+      (1L, "A clean sample document. This one stays in the corpus for sure."),
+      (2L, "Bad doc Ã©Ã¨ â€™ Â° mojibake everywhere in this one now."),
+      (3L, "Control char doc with a bell hidden inside it today."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val dest = tmp()
+    val r = CurateJob.run(spark, Map(
+      "source" -> src, "dest" -> dest, "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:1.0", "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "2", "batch-size" -> "8"))
+    assert(r.input == 3 && r.afterQuality == 1, r)
+    val survivors = spark.read.parquet(s"$dest/documents")
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("CurateJob: blocklist and LM-floor gates drop the right docs") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001/documents.parquet"
