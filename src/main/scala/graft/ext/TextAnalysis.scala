@@ -578,6 +578,56 @@ object TextAnalysis {
           col("n_moji") * 200 > col("n_chars")).as("suspect"))
   }
 
+  /** Card-number candidate span: digits possibly separated by
+    * spaces/dashes, 12–22 chars. RE2-safe (plain classes + bounded
+    * greedy repeat); both engines extract leftmost non-overlapping
+    * greedy matches identically.
+    */
+  val CardCandidatePattern: String = "[0-9][0-9 -]{10,20}[0-9]"
+
+  /** Compact IBAN candidate: country code, two check digits, 11–30
+    * alphanumerics. RE2-safe.
+    */
+  val IbanCandidatePattern: String = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+
+  /** Checksum-validated PII screen (q199): regexes PROPOSE card/IBAN
+    * candidate spans, integer checksums CONFIRM them — Luhn mod-10 for
+    * cards, ISO 13616 mod-97 for IBANs, both as compiled expressions
+    * ([[graft.functions.LuhnValid]]/[[graft.functions.IbanValid]]).
+    * This is what separates a real leaked identifier from an order id
+    * or hash that merely looks like one: a random 16-digit run passes
+    * the regex 100% of the time and Luhn only 10%.
+    *
+    * Output per doc: candidate and checksum-valid counts per family
+    * plus `has_pii` (any valid hit). All integer — the DuckDB oracle
+    * replays the same regexes and the same checksums (unrolled
+    * mod-97 chunk arithmetic) exactly.
+    *
+    * Scale: scan-stage; candidate arrays are near-empty on clean text,
+    * so the interpreted HOF filter over them costs nothing next to the
+    * regex scan itself.
+    */
+  def piiScreen(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    import graft.functions.PiiFunctions
+    // idx 0 = the whole match: the patterns are group-free, and Spark's
+    // two-arg form defaults to group 1 (DuckDB's to group 0)
+    val cards = regexp_extract_all(text, lit(CardCandidatePattern), lit(0))
+    val ibans = regexp_extract_all(text, lit(IbanCandidatePattern), lit(0))
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        size(cards).cast("long").as("n_card_cand"),
+        size(filter(cards, c => PiiFunctions.luhnValid(c))).cast("long")
+          .as("n_card_valid"),
+        size(ibans).cast("long").as("n_iban_cand"),
+        size(filter(ibans, c => PiiFunctions.ibanValid(c))).cast("long")
+          .as("n_iban_valid"))
+      .withColumn("has_pii",
+        col("n_card_valid") > 0 || col("n_iban_valid") > 0)
+  }
+
   /** BPE/WordPiece-style tokenizer TRAINING loop: `rounds` iterations
     * of (count adjacent pairs → argmax with deterministic tie-break →
     * merge every greedy left-to-right occurrence in the corpus).

@@ -30,6 +30,13 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *   [--min-sentences N]      drop docs with fewer than N terminator-
   *                            ended sentences or not ending at a
   *                            sentence boundary (q178)  (default: off)
+  *   [--pii-screen on]        drop docs containing a CHECKSUM-valid
+  *                            card number (Luhn) or IBAN (mod-97) —
+  *                            q199's screen; the regex-shaped spans
+  *                            the scrub stage redacts are a superset,
+  *                            but a checksum hit means a REAL
+  *                            identifier leaked and the doc itself is
+  *                            untrustworthy           (default: off)
   *   [--report-sources COL]   write per-source dup rates (q181) and the
   *                            cross-source overlap matrix (q182) under
   *                            dest/reports/              (default: off)
@@ -74,9 +81,20 @@ object CurateJob {
       .filter(!col("suspect")).select("doc_id")
     val clean = docs.join(encOk, Seq("doc_id"))
 
+    // 0b. optional checksum-PII screen — BEFORE the scrub rewrites the
+    //     very spans the checksums need to read. Candidate regexes
+    //     propose, Luhn/mod-97 confirm; only confirmed leaks drop the
+    //     doc (regex-only spans are merely redacted by the scrub).
+    val piiScreened =
+      if (conf.contains("pii-screen")) {
+        val hits = TextAnalysis.piiScreen(clean, col("doc_id"), col("text"))
+          .filter(col("has_pii")).select("doc_id")
+        clean.join(hits, Seq("doc_id"), "left_anti")
+      } else clean
+
     // 1. scrub PII-shaped spans, then gate on the Gopher rules
     import TextAnalysis.Gopher._
-    val scrubbed = clean.withColumn("text", TextAnalysis.scrub(col("text")))
+    val scrubbed = piiScreened.withColumn("text", TextAnalysis.scrub(col("text")))
     val quality = scrubbed.filter(
       wordCount(col("text")) >= minWords &&
         meanWordLen(col("text")).between(2.0, 12.0) &&

@@ -45,6 +45,40 @@ object Training {
        |  FROM $prev)""".stripMargin
   }
 
+  /** DuckDB replica of [[graft.functions.LuhnValid]] over a candidate
+    * expression: strip separators, 13–19 digits, doubled-every-second-
+    * from-the-right sum mod 10. Pure integer SQL.
+    */
+  private def luhnSql(c: String): String = {
+    val d = s"replace(replace($c,' ',''),'-','')"
+    s"""(len($d) BETWEEN 13 AND 19 AND
+       | list_sum(list_transform(range(1, len($d)+1), i ->
+       |   CASE WHEN (len($d) - i) % 2 = 0 THEN CAST($d[i] AS INTEGER)
+       |        ELSE CASE WHEN CAST($d[i] AS INTEGER)*2 > 9
+       |                  THEN CAST($d[i] AS INTEGER)*2 - 9
+       |                  ELSE CAST($d[i] AS INTEGER)*2 END END)) % 10 = 0)"""
+      .stripMargin.linesIterator.mkString(" ")
+  }
+
+  /** DuckDB replica of [[graft.functions.IbanValid]]: rotate the first
+    * four chars to the end, map letters A=10..Z=35 via 26 nested
+    * replaces, left-pad the digit string to 70 (mod-97-invariant) and
+    * fold ten unrolled 7-digit chunks through `% 97`. BIGINT-bounded
+    * at every step — the same incremental-mod argument the compiled
+    * expression uses.
+    */
+  private def ibanSql(c: String): String = {
+    val rotated = s"(substr($c,5) || substr($c,1,4))"
+    val digits = ('A' to 'Z').foldLeft(rotated) { (acc, ch) =>
+      s"replace($acc,'$ch','${ch - 'A' + 10}')"
+    }
+    val padded = s"lpad($digits, 70, '0')"
+    val acc = (0 until 10).foldLeft("0") { (acc, k) =>
+      s"(($acc)*10000000 + CAST(substr($padded,${1 + 7 * k},7) AS BIGINT)) % 97"
+    }
+    s"(len($c) BETWEEN 15 AND 34 AND ($acc) = 1)"
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // BPE tokenizer-training merge loop: 8 rounds of count-argmax-
@@ -117,6 +151,55 @@ object Training {
         SELECT doc_id, n_chars, n_invalid, n_replacement, n_ctl, n_moji,
                (n_invalid > 0 OR n_ctl > 0 OR n_replacement * 1000 > n_chars
                 OR n_moji * 200 > n_chars) AS suspect
+        FROM m ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Checksum-validated PII screen with PLANTED identifiers: a
+    // deterministic doc subset gets a Luhn-valid card, a corrupted
+    // card (last digit bumped — regex still matches, checksum must
+    // reject), a valid IBAN, or a corrupted IBAN. Regexes propose,
+    // integer checksums confirm — both replayed exactly in DuckDB
+    // (Luhn as a list_transform sum, mod-97 as unrolled chunk
+    // arithmetic), so every count and flag is hash-checked.
+    Q(
+      "q199_pii_checksum",
+      (s, dir) => {
+        import s.implicits._
+        val planted = when($"doc_id" % 7 === 0,
+            concat($"text", lit(" card 4532 0151 1283 0366 on file")))
+          .when($"doc_id" % 7 === 1,
+            concat($"text", lit(" card 4532 0151 1283 0367 on file")))
+          .when($"doc_id" % 7 === 2,
+            concat($"text", lit(" iban DE89370400440532013000 ok")))
+          .when($"doc_id" % 7 === 3,
+            concat($"text", lit(" iban DE89370400440532013001 bad")))
+          .otherwise($"text")
+        val src = t(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id", planted.as("text"))
+        TextAnalysis.piiScreen(src, $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' card 4532 0151 1283 0366 on file'
+                      WHEN doc_id % 7 = 1 THEN text || ' card 4532 0151 1283 0367 on file'
+                      WHEN doc_id % 7 = 2 THEN text || ' iban DE89370400440532013000 ok'
+                      WHEN doc_id % 7 = 3 THEN text || ' iban DE89370400440532013001 bad'
+                      ELSE text END AS t
+          FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT doc_id,
+                 regexp_extract_all(t, '${TextAnalysis.CardCandidatePattern}') AS cc,
+                 regexp_extract_all(t, '${TextAnalysis.IbanCandidatePattern}') AS ic
+          FROM src)
+        SELECT doc_id,
+               CAST(len(cc) AS BIGINT) AS n_card_cand,
+               CAST(len(list_filter(cc, c -> ${luhnSql("c")})) AS BIGINT) AS n_card_valid,
+               CAST(len(ic) AS BIGINT) AS n_iban_cand,
+               CAST(len(list_filter(ic, c -> ${ibanSql("c")})) AS BIGINT) AS n_iban_valid,
+               (len(list_filter(cc, c -> ${luhnSql("c")})) > 0 OR
+                len(list_filter(ic, c -> ${ibanSql("c")})) > 0) AS has_pii
         FROM m ORDER BY doc_id
       """))
   )

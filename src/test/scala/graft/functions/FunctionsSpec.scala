@@ -284,6 +284,27 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 0L, 1L, 0L, 0L, false)))
   }
 
+  test("LuhnValid/IbanValid: published test vectors, separators, corruption, shape edges") {
+    import spark.implicits._
+    def luhn(s: String): Boolean =
+      Seq(s).toDF("c").select(PiiFunctions.luhnValid(col("c"))).collect().head.getBoolean(0)
+    def iban(s: String): Boolean =
+      Seq(s).toDF("c").select(PiiFunctions.ibanValid(col("c"))).collect().head.getBoolean(0)
+    assert(luhn("4532015112830366"))
+    assert(luhn("4532 0151 1283 0366")) // separators skipped
+    assert(luhn("4532-0151-1283-0366"))
+    assert(!luhn("4532015112830367")) // one digit off
+    assert(luhn("378282246310005")) // 15-digit Amex shape
+    assert(!luhn("49927398716")) // valid checksum but 11 digits — too short
+    assert(!luhn("4532a15112830366")) // stray letter fails outright
+    assert(iban("DE89370400440532013000"))
+    assert(iban("GB82WEST12345698765432")) // letters in the BBAN
+    assert(iban("FR1420041010050500013M02606")) // 27 chars
+    assert(!iban("DE89370400440532013001"))
+    assert(!iban("DE8937040044")) // under 15 chars
+    assert(!iban("DE89 37040044 0532013000")) // spaces are not in contract
+  }
+
   test("expressions are registered for SQL via GraftExtensions") {
     val one = spark.sql(
       "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()

@@ -195,6 +195,34 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("CurateJob: pii-screen drops checksum-valid leaks, keeps lookalike numbers") {
+    import spark.implicits._
+    val src = tmp()
+    Seq(
+      (1L, "An ordinary document with plenty of harmless words in it today."),
+      // Luhn-valid card → a real leak, doc dropped
+      (2L, "Contact me and charge card 4532 0151 1283 0366 for the rest."),
+      // same shape, checksum fails → kept (scrub will redact the span)
+      (3L, "Order reference 4532 0151 1283 0367 shipped yesterday evening."),
+      // valid IBAN → dropped
+      (4L, "Wire the funds to DE89370400440532013000 before next friday."),
+      // corrupted IBAN → kept
+      (5L, "Tracking code DE89370400440532013001 means nothing to anyone."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val base = Map(
+      "source" -> src, "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:1.0", "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "2", "batch-size" -> "8")
+    val off = CurateJob.run(spark, base + ("dest" -> tmp()))
+    assert(off.afterQuality == 5)
+    val dest = tmp()
+    val on = CurateJob.run(spark, base + ("dest" -> dest, "pii-screen" -> "on"))
+    assert(on.afterQuality == 3, on)
+    val ids = spark.read.parquet(s"$dest/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L))
+  }
+
   test("CurateJob: blocklist and LM-floor gates drop the right docs") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001/documents.parquet"
