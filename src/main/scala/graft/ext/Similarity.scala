@@ -407,4 +407,122 @@ object Similarity {
           .cast(DecimalType(38, 0))).cast("double") /
         count(lit(1)).cast("double") / lit(1.0e9)).as("centroid"))
   }
+
+  /** Squared L2 distance as MICRO-units (⌊d²·10⁶ + 0.5⌋, long): a
+    * left-fold of per-dimension squared diffs — the identical
+    * operation shape DuckDB's `list_reduce` replays — then one
+    * quantization, so downstream sums and compares are exact integer
+    * arithmetic on every engine (the q177 rule applied to distances).
+    */
+  private def sqDistMicro(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v) * 1000000.0 + 0.5).cast("long")
+
+  /** Seeded Lloyd's k-means under squared-L2 over pre-sliced
+    * subvectors — the codebook trainer for [[pqTopK]]. Same
+    * determinism contract as [[kmeansCentroids]] (init = the k
+    * lowest-id vectors, exact-decimal means, ties to the lowest
+    * cent_id) but with micro-quantized L2 assignment, the metric PQ
+    * codebooks are trained under (subvector norms carry information —
+    * cosine would erase them).
+    */
+  private def kmeansSubCentroids(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    var cents = sub.filter(col("vid") < ksub)
+      .select(col("vid").as("cent_id"), col("svec").as("cent_vec"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("__d"), col("cent_id"))
+    for (_ <- 1 to iters) {
+      val assigned = sub.crossJoin(broadcast(cents))
+        .select(col("vid"), col("svec"), col("cent_id"),
+          sqDistMicro(col("svec"), col("cent_vec")).as("__d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vid"), col("svec"), col("cent_id").as("cell"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("cent_vec"))
+    }
+    cents
+  }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011) with
+    * ADC scoring — the third leg of the ANN family next to sign-LSH
+    * (q51) and IVF (q55), and the 100 TB embedding-store pattern IVF
+    * alone doesn't give: vectors live as `m` one-byte-ish codes, not
+    * floats, so the exhaustive scan runs in the compressed domain.
+    *
+    *   - TRAIN: the D dims split into `m` contiguous subspaces of
+    *     `subDim` each; each subspace learns `ksub` codewords by
+    *     seeded L2 Lloyd's ([[kmeansSubCentroids]] — deterministic, so
+    *     an external engine rebuilds the identical codebooks).
+    *   - ENCODE: every corpus vector → `m` codes (nearest codeword per
+    *     subspace, micro-L2, ties to the lowest code).
+    *   - ADC: each query precomputes its `m × ksub` distance table to
+    *     every codeword; a candidate's approximate distance is the sum
+    *     of `m` table lookups — INTEGER micro-unit sums, so the
+    *     ranking is bit-stable across engines.
+    *
+    * Scale: codebooks and query tables are tiny broadcasts (`m·ksub`
+    * rows); the corpus moves once to encode (scan-stage after a
+    * broadcast join) and the ADC scan is a narrow (cid, subspace,
+    * code) relation joined to the broadcast table — no vector ever
+    * shuffles after encoding. Production composes with IVF: coarse
+    * cells prune candidates, PQ codes rank them; here the scan is
+    * exhaustive by design (the ground-truth-shaped variant).
+    *
+    * Id contracts: codebook init needs ids 0..ksub-1 present per
+    * subspace (the corpus id space, same as q55); queries are drawn
+    * from the corpus and never match themselves.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, subDim: Int, ksub: Int = 8, kmeansIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && subDim >= 1 && ksub >= 1 && k >= 1, "degenerate PQ shape")
+    val base = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    // one codebook per subspace, trained independently, then stacked
+    val codebooks = (0 until m).map { j =>
+      val sub = base.select(col("vid"),
+        slice(col("vec"), j * subDim + 1, subDim).as("svec"))
+      kmeansSubCentroids(sub, ksub, kmeansIters).withColumn("subspace", lit(j))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val cb = broadcast(codebooks)
+    def subspaces(df: DataFrame, idAs: String): DataFrame = df
+      .select(col(idCol).as(idAs), asDouble(col(vecCol)).as("vec"))
+      .select(col(idAs), posexplode(
+        array((0 until m).map(j => slice(col("vec"), j * subDim + 1, subDim)): _*))
+        .as(Seq("subspace", "svec")))
+    // ENCODE: nearest codeword per (corpus vector, subspace)
+    val wEnc = Window.partitionBy(col("cid"), col("subspace"))
+      .orderBy(col("__d"), col("cent_id"))
+    val codes = subspaces(base.select(col("vid").as(idCol), col("vec").as(vecCol)), "cid")
+      .join(cb, Seq("subspace"))
+      .select(col("cid"), col("subspace"), col("cent_id"),
+        sqDistMicro(col("svec"), col("cent_vec")).as("__d"))
+      .withColumn("__rn", row_number().over(wEnc))
+      .filter(col("__rn") === 1)
+      .select(col("cid"), col("subspace"), col("cent_id").as("code"))
+    // per-query ADC lookup table: distance to EVERY codeword
+    val qtable = subspaces(queries, "qid")
+      .join(cb, Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("cent_id").as("code"),
+        sqDistMicro(col("svec"), col("cent_vec")).as("dmicro"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    codes.join(broadcast(qtable), Seq("subspace", "code"))
+      .groupBy(col("qid").as("query_id"), col("cid").as("neighbor_id"))
+      .agg(sum(col("dmicro")).as("adc_micro"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("adc_micro").cast("double") / 1000000.0).as("adc"))
+  }
 }

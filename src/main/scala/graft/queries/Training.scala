@@ -79,6 +79,71 @@ object Training {
     s"(len($c) BETWEEN 15 AND 34 AND ($acc) = 1)"
   }
 
+  /** DuckDB replica of Similarity's micro-quantized squared L2: the
+    * identical left-fold shape, then one floor-quantization to BIGINT.
+    */
+  private def l2micro(a: String, b: String): String =
+    s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT)"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  /** DuckDB replica of [[graft.ext.Similarity.pqTopK]]'s training +
+    * encode + ADC chain (assumes CTE `v(vec_id, vec)`): per subspace,
+    * seeded L2 Lloyd's unrolled `iters` times (exact-decimal means,
+    * micro-L2 assignment, lowest-id ties), stacked into a MATERIALIZED
+    * `cb(subspace, cent_id, cent_vec)` (referenced twice — encode and
+    * query tables — and the training chain must not re-expand), then
+    * `codes` and `qt` with dynamic subvector slices.
+    */
+  private def pqChainSql(m: Int, subDim: Int, ksub: Int, iters: Int, nQueries: Int): String = {
+    val perSubspace = (0 until m).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      val sub = s"sub$j AS (SELECT vec_id AS vid, vec[$lo:$hi] AS svec FROM v)"
+      val init = s"cb${j}_0 AS (SELECT vid AS cent_id, svec AS cent_vec FROM sub$j WHERE vid < $ksub)"
+      val steps = (1 to iters).map { i =>
+        s"""as$j$i AS (
+           |  SELECT vid, svec, cell FROM (
+           |    SELECT s.vid, s.svec, c.cent_id AS cell,
+           |           ROW_NUMBER() OVER (PARTITION BY s.vid
+           |             ORDER BY ${l2micro("s.svec", "c.cent_vec")}, c.cent_id) AS rn
+           |    FROM sub$j s CROSS JOIN cb${j}_${i - 1} c)
+           |  WHERE rn = 1),
+           |mn$j$i AS (
+           |  SELECT cell, pos,
+           |         CAST(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           |           / COUNT(*) AS m
+           |  FROM (SELECT cell, unnest(svec) AS val,
+           |               unnest(range(1, len(svec) + 1)) AS pos
+           |        FROM as$j$i)
+           |  GROUP BY cell, pos),
+           |cb${j}_$i AS (
+           |  SELECT cell AS cent_id, list(m ORDER BY pos) AS cent_vec
+           |  FROM mn$j$i GROUP BY cell)""".stripMargin
+      }
+      (sub +: init +: steps).mkString(",\n")
+    }
+    val stack = (0 until m)
+      .map(j => s"SELECT $j AS subspace, cent_id, cent_vec FROM cb${j}_$iters")
+      .mkString(" UNION ALL ")
+    val dynSlice = s"s.vec[(c.subspace*$subDim+1):((c.subspace+1)*$subDim)]"
+    val dynSliceQ = s"q.vec[(c.subspace*$subDim+1):((c.subspace+1)*$subDim)]"
+    s"""${perSubspace.mkString(",\n")},
+       |cb AS MATERIALIZED ($stack),
+       |codes AS (
+       |  SELECT cid, subspace, code FROM (
+       |    SELECT s.vec_id AS cid, c.subspace, c.cent_id AS code,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, c.subspace
+       |             ORDER BY ${l2micro(dynSlice, "c.cent_vec")}, c.cent_id) AS rn
+       |    FROM v s CROSS JOIN cb c)
+       |  WHERE rn = 1),
+       |qt AS (
+       |  SELECT q.vec_id AS qid, c.subspace, c.cent_id AS code,
+       |         ${l2micro(dynSliceQ, "c.cent_vec")} AS dmicro
+       |  FROM v q CROSS JOIN cb c WHERE q.vec_id < $nQueries)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // BPE tokenizer-training merge loop: 8 rounds of count-argmax-
@@ -201,6 +266,38 @@ object Training {
                (len(list_filter(cc, c -> ${luhnSql("c")})) > 0 OR
                 len(list_filter(ic, c -> ${ibanSql("c")})) > 0) AS has_pii
         FROM m ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Product-quantization ANN with ADC scoring: 64 dims → 4 subspaces
+    // × 16 dims, 8 codewords each (seeded L2 Lloyd's, 2 iterations),
+    // queries = the 5 lowest ids, k = 5 — the same shape as q55's IVF
+    // so the two index families stay comparable. Every distance is a
+    // micro-quantized integer, so training, encoding and the ADC sums
+    // replay exactly in DuckDB (the full chain is generated CTEs).
+    Q(
+      "q200_ann_pq_adc",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        graft.ext.Similarity.pqTopK(
+          emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 5, m = 4, subDim = 16, ksub = 8, kmeansIters = 2)
+          .orderBy($"query_id", $"neighbor_id")
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        ${pqChainSql(m = 4, subDim = 16, ksub = 8, iters = 2, nQueries = 5)},
+        scored AS (
+          SELECT qid AS query_id, cid AS neighbor_id, CAST(SUM(dmicro) AS BIGINT) AS am
+          FROM codes JOIN qt USING (subspace, code)
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, am / 1000000.0 AS adc FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY am, neighbor_id) AS rn
+          FROM scored WHERE query_id <> neighbor_id)
+        WHERE rn <= 5
+        ORDER BY query_id, neighbor_id
       """))
   )
 }

@@ -483,6 +483,57 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low: brute=$brute ivf=$ivf")
   }
 
+  test("pqTopK: with one codeword per vector ADC degenerates to exact L2 (order + values)") {
+    import spark.implicits._
+    // ksub >= n makes every vector its own codeword after seeded init,
+    // so the m per-subspace lookups sum to the exact (micro-quantized)
+    // squared distance — PQ with no compression must equal brute force
+    val rows = (0L until 12L).map { id =>
+      (id, Array.tabulate(8)(d => ((id * 5 + d * 3) % 13).toFloat / 13.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 11, m = 2, subDim = 4, ksub = 12, kmeansIters = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    def micro(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val q = rows.head._2.map(_.toDouble)
+    val want = rows.tail.map { case (id, v) =>
+      // per-subspace quantization mirrors the ADC table construction
+      val d = (0 until 2).map { j =>
+        micro((0 until 4).map(i => math.pow(v(j * 4 + i) - q(j * 4 + i), 2)).sum)
+      }.sum
+      (id, math.floor(d * 1e6 + 0.5) / 1e6)
+    }.sortBy(x => (x._2, x._1))
+    assert(got.toSeq == want)
+  }
+
+  test("pqTopK recall vs exact L2 on clustered vectors") {
+    import spark.implicits._
+    val dim = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 30
+    } yield {
+      val id = (c * 30 + i).toLong
+      val vec = Array.tabulate(dim) { d =>
+        val baseV = if (d % 3 == c) 1.0f else 0.1f
+        baseV + 0.01f * ((id * 7 + d * 13) % 11)
+      }
+      (id, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // exact L2 ground truth, computed on the driver (90 vectors)
+    val q = rows.head._2.map(_.toDouble)
+    val exact = rows.tail.map { case (id, v) =>
+      (id, v.map(_.toDouble).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val pq = Similarity.pqTopK(df, df.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 10, m = 4, subDim = 4, ksub = 8, kmeansIters = 2)
+      .collect().map(_.getLong(1)).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low: exact=$exact pq=$pq")
+  }
+
   test("TopK.perKey matches the window formulation exactly (incl. ties)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
