@@ -145,4 +145,86 @@ object LangModel {
         (sum(col("__ppb")).cast("double") /
           count(lit(1)).cast("double")).as("mean_p_ppb"))
   }
+
+  /** Multinomial Naive Bayes text classifier, trained and scored in
+    * ONE all-integer pipeline — the trainable gate a curation pipeline
+    * puts next to the Gopher heuristics (train on a labeled slice,
+    * e.g. curated-vs-rejected or per-domain, score the rest).
+    *
+    * TRAIN (per class y): token counts c(w,y), class token totals
+    * N_y, vocabulary size V (distinct training tokens), doc priors
+    * docs_y/D. SCORE: each token contributes the Laplace-smoothed
+    * conditional as parts-per-billion floor-division
+    * `(c(w,y)+1)·10⁹ div (N_y+V)`; the class prior joins as ONE
+    * pseudo-token (`docs_y·10⁹ div D`), and a doc's class score is the
+    * integer mean over (n_tokens + 1) contributions. Decision =
+    * argmax score, ties to the lexicographically smallest label.
+    *
+    * This is deliberately the ARITHMETIC-mean-likelihood variant, not
+    * the log-sum posterior: logs are libm territory (the catalog's
+    * log-free discipline — an oracle on another engine could diverge
+    * in the last ulp and flip an argmax), while floor-division ppb
+    * arithmetic is bit-identical everywhere. The ranking it induces
+    * favors the class whose unigram distribution overlaps the doc
+    * most, which is exactly the gate semantics; the spec pins the
+    * decision boundary on a hand corpus.
+    *
+    * Plan shape: two explodes (train/score token streams); the count
+    * aggregates are vocabulary- or class-bounded after map-side
+    * partials; scoring joins are token-keyed equi-joins (Zipf-skewed
+    * heads → AQE skew-join, the q63/q107 posture) with the per-class
+    * fanout a broadcast of the tiny class relation; one per-(doc,
+    * class) aggregate and one per-doc argmax window.
+    *
+    * Output: (doc_id, predicted, score_ppb, n_tokens) — one row per
+    * scored doc with non-null text.
+    */
+  def naiveBayesClassify(
+      train: DataFrame, score: DataFrame,
+      label: Column, id: Column, text: Column): DataFrame = {
+    val trainToks = train
+      .filter(label.isNotNull && text.isNotNull)
+      .select(label.as("y"), explode(TextHash.tokens(text)).as("w"))
+    val cwy = trainToks.groupBy(col("w"), col("y")).agg(count(lit(1)).as("__cwy"))
+    val ny = trainToks.groupBy(col("y")).agg(count(lit(1)).as("__ny"))
+    val vocab = trainToks.agg(countDistinct(col("w")).as("__v"))
+    val priors = train.filter(label.isNotNull && text.isNotNull)
+      .groupBy(label.as("y")).agg(count(lit(1)).as("__dy"))
+    val total = train.filter(label.isNotNull && text.isNotNull)
+      .agg(count(lit(1)).as("__d"))
+    // every (class) row, with its denominator and prior pre-joined —
+    // a tiny relation (|classes| rows), broadcast into the token scan
+    val classes = priors
+      .join(ny, Seq("y"))
+      .crossJoin(vocab)
+      .crossJoin(total)
+      .select(col("y"), col("__ny"), col("__v"),
+        expr("__dy * 1000000000L div __d").as("__prior_ppb"))
+    val scoreToks = score.filter(text.isNotNull)
+      .select(id.as("doc_id"), explode(TextHash.tokens(text)).as("w"))
+    val perTok = scoreToks
+      .crossJoin(broadcast(classes))
+      .join(cwy, Seq("w", "y"), "left")
+      .select(col("doc_id"), col("y"), col("__prior_ppb"),
+        expr("(coalesce(__cwy, 0L) + 1L) * 1000000000L div (__ny + __v)").as("__ppb"))
+    // zero-token docs still classify (by prior alone): re-attach every
+    // scored doc × class so the aggregate never loses them
+    val docClass = score.filter(text.isNotNull).select(id.as("doc_id"))
+      .crossJoin(broadcast(classes.select(col("y"), col("__prior_ppb"))))
+    val perClass = docClass
+      .join(perTok.groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("__ppb")).as("__sum"), count(lit(1)).as("__n")),
+        Seq("doc_id", "y"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        expr("(__prior_ppb + coalesce(__sum, 0L)) div (coalesce(__n, 0L) + 1L)")
+          .as("score_ppb"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppb").desc, col("y"))
+    perClass
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("y").as("predicted"),
+        col("score_ppb"), col("n_tokens"))
+  }
 }

@@ -298,6 +298,62 @@ object Training {
           FROM scored WHERE query_id <> neighbor_id)
         WHERE rn <= 5
         ORDER BY query_id, neighbor_id
+      """)),
+    // ----------------------------------------------------------------
+    // Multinomial Naive Bayes over the documents table: train on the
+    // even doc_ids (labels = lang), classify the held-out odd ids.
+    // All-integer Laplace ppb arithmetic (the q107 machinery), prior
+    // folded in as one pseudo-token, argmax with lexicographic ties —
+    // every score and decision replays exactly in DuckDB.
+    Q(
+      "q201_naive_bayes",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.ext.LangModel.naiveBayesClassify(
+            docs.filter($"doc_id" % 2 === 0),
+            docs.filter($"doc_id" % 2 === 1),
+            $"lang", $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tr AS (
+          SELECT lang AS y, text FROM documents
+          WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+        sc AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        trtok AS (SELECT y, unnest(${OracleSql.tokens("text")}) AS w FROM tr),
+        cwy AS (SELECT w, y, COUNT(*) AS cwy FROM trtok GROUP BY 1, 2),
+        ny AS (SELECT y, COUNT(*) AS ny FROM trtok GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT w) AS v FROM trtok),
+        pri AS (SELECT y, COUNT(*) AS dy FROM tr GROUP BY 1),
+        dd AS (SELECT COUNT(*) AS d FROM tr),
+        cls AS (
+          SELECT y, ny, v, dy * 1000000000 // d AS prior_ppb
+          FROM pri JOIN ny USING (y) CROSS JOIN vv CROSS JOIN dd),
+        sctok AS (SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS w FROM sc),
+        pertok AS (
+          SELECT s.doc_id, c.y,
+                 (coalesce(k.cwy, 0) + 1) * 1000000000 // (c.ny + c.v) AS ppb
+          FROM sctok s CROSS JOIN cls c
+          LEFT JOIN cwy k ON k.w = s.w AND k.y = c.y),
+        agg0 AS (
+          SELECT doc_id, y, SUM(ppb) AS s, COUNT(*) AS n
+          FROM pertok GROUP BY 1, 2),
+        percls AS (
+          SELECT dc.doc_id, dc.y,
+                 coalesce(a.n, 0) AS n_tokens,
+                 (dc.prior_ppb + coalesce(a.s, 0)) // (coalesce(a.n, 0) + 1) AS score_ppb
+          FROM (SELECT doc_id, y, prior_ppb FROM sc CROSS JOIN cls) dc
+          LEFT JOIN agg0 a ON a.doc_id = dc.doc_id AND a.y = dc.y)
+        SELECT doc_id, y AS predicted,
+               CAST(score_ppb AS BIGINT) AS score_ppb,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_ppb DESC, y) AS rn FROM percls)
+        WHERE rn = 1
+        ORDER BY doc_id
       """))
   )
 }

@@ -176,6 +176,34 @@ class LexiconSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == 750000000.0)
   }
 
+  test("naiveBayesClassify: hand-computed ppb scores, prior pseudo-token, tie to smallest label") {
+    import spark.implicits._
+    // train: 8 tokens per class, V = 11, priors 2/4 → 500000000 ppb,
+    // Laplace denominator N_y + V = 19 for both classes
+    val train = Seq(
+      ("spam", "buy cheap pills now"),
+      ("spam", "cheap pills cheap deals"),
+      ("ham", "meeting notes for tomorrow"),
+      ("ham", "notes from the meeting")).toDF("label", "text")
+    val score = Seq(
+      (10L, "cheap pills here"),
+      (11L, "meeting notes"),
+      (12L, "")).toDF("doc_id", "text")
+    val got = LangModel.naiveBayesClassify(
+        train, score, col("label"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 10 spam: ((3+1)e9÷19 + (2+1)e9÷19 + (0+1)e9÷19 + prior) ÷ 4
+    //            = (210526315 + 157894736 + 52631578 + 500000000) ÷ 4 = 230263157
+    // doc 11 ham: (2×157894736 + 500000000) ÷ 3 = 271929824 beats spam's 201754385
+    // doc 12: zero tokens → both classes score the bare prior; the
+    //         lexicographic tie-break must pick "ham"
+    assert(got.toSeq == Seq(
+      (10L, "spam", 230263157L, 3L),
+      (11L, "ham", 271929824L, 2L),
+      (12L, "ham", 500000000L, 0L)))
+  }
+
   test("bigramCondProbScore: repetitive text scores higher than varied text") {
     import spark.implicits._
     // heads must compete for the signal to exist: "the" continues three

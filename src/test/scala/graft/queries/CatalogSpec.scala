@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 200 uniquely named queries, every one oracle-checked") {
-    assert(Catalog.all.size == 200)
-    assert(Catalog.all.map(_.name).distinct.size == 200)
+  test("catalog has 201 uniquely named queries, every one oracle-checked") {
+    assert(Catalog.all.size == 201)
+    assert(Catalog.all.map(_.name).distinct.size == 201)
     // since round 6 the approx sketches are self-verifying envelope
     // checks (exact twin + bounded-error verdict in the row), so no
     // catalog entry is allowed to lack an oracle
