@@ -108,6 +108,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize",
+        "graft_nfc_normalize(s) - Unicode NFC normalization (UAX #15), ASCII fast path"),
+      (args: Seq[Expression]) => graft.functions.NfcNormalize(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_class_stats"),
+      info("graft_char_class_stats",
+        "graft_char_class_stats(s) - struct of char/ascii/ws/digit/alpha/upper/distinct/top counts"),
+      (args: Seq[Expression]) => graft.functions.CharClassStats(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_utf8_stats"),
+      info("graft_utf8_stats",
+        "graft_utf8_stats(bytes) - struct(n_bytes, n_invalid, n_replacement, n_ctl) from the RFC 3629 state machine"),
+      (args: Seq[Expression]) => graft.functions.Utf8Stats(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_luhn_valid"),
+      info("graft_luhn_valid",
+        "graft_luhn_valid(s) - Luhn mod-10 over a card candidate (space/dash separators allowed)"),
+      (args: Seq[Expression]) => graft.functions.LuhnValid(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_iban_valid"),
+      info("graft_iban_valid",
+        "graft_iban_valid(s) - ISO 13616 IBAN mod-97 over a compact candidate"),
+      (args: Seq[Expression]) => graft.functions.IbanValid(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(key, filter_bytes) - probe a serialized spark BloomFilter (foldable bytes)"),
+      (args: Seq[Expression]) =>
+        graft.functions.BloomMightContainBytes(args(0), args(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk_pairs"),
       info("graft_topk_pairs",
         "graft_topk_pairs(score, id, k) - aggregate: k best (score desc, id asc) pairs per group as array<struct<score,id>>"),

@@ -79,6 +79,55 @@ case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Ex
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** SQL-facing sibling of [[BloomMightContain]]: the serialized filter
+  * arrives as a FOLDABLE binary expression (a literal or parameter)
+  * instead of a Broadcast handle, so the function is registrable via
+  * SparkSessionExtensions. The filter deserializes once per expression
+  * instance (lazily, on first row), never per row; for big production
+  * filters prefer the broadcast-based Column API — a SQL literal ships
+  * the bytes inside the plan itself.
+  */
+case class BloomMightContainBytes(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType | IntegerType | ShortType | ByteType | StringType, BinaryType)
+        if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain needs (integral or string key, foldable binary filter), got $other")
+  }
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+      right.eval(null).asInstanceOf[Array[Byte]]))
+
+  /** Shared by interpreted eval and generated code (autoboxed there). */
+  def might(v: Any): Boolean = left.dataType match {
+    case StringType => bloom.mightContainString(v.toString)
+    case _ => bloom.mightContainLong(v.asInstanceOf[Number].longValue())
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = might(l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBytesExpr", this,
+      classOf[BloomMightContainBytes].getName)
+    nullSafeCodeGen(ctx, ev, (l, _) => s"${ev.value} = $ref.might($l);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): BloomMightContainBytes =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "bloom_might_contain"
+}
+
 object BloomFunctions {
   /** Column API for [[BloomMightContain]] — takes the already-broadcast
     * filter bytes so one broadcast serves every stage that probes it.

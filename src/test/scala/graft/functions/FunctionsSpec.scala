@@ -315,6 +315,35 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT graft_word_shingle_hashes('a b c d', 3, ${P}L) AS h").collect()
     assert(sh.head.getSeq[Long](0).toSeq ==
       Seq(TextHash.hash64Local("a b c") % P, TextHash.hash64Local("b c d") % P))
+    // round-8 registrations: parity with the Column API on each
+    val nfc = spark.sql("SELECT graft_nfc_normalize('éclair') AS s").collect()
+    assert(nfc.head.getString(0) == "éclair")
+    val ccs = spark.sql("SELECT graft_char_class_stats('Ab1 x').n_alpha AS a").collect()
+    assert(ccs.head.getLong(0) == 3L)
+    // X'6F6BEFBFBD' = "ok" + the U+FFFD triple, as a raw binary literal
+    val u8 = spark.sql(
+      "SELECT graft_utf8_stats(X'6F6BEFBFBD').n_replacement AS r, " +
+        "graft_utf8_stats(X'6F6BEFBFBD').n_bytes AS b, " +
+        "graft_utf8_stats(X'80C0').n_invalid AS i").collect().head
+    assert(u8.getLong(0) == 1L && u8.getLong(1) == 5L && u8.getLong(2) == 2L)
+    val pii = spark.sql(
+      "SELECT graft_luhn_valid('4532 0151 1283 0366') AS c, " +
+        "graft_iban_valid('DE89370400440532013000') AS i, " +
+        "graft_luhn_valid('4532 0151 1283 0367') AS cb, " +
+        "graft_iban_valid('DE89370400440532013001') AS ib").collect().head
+    assert(pii.getBoolean(0) && pii.getBoolean(1) && !pii.getBoolean(2) && !pii.getBoolean(3))
+    // bloom probe over a foldable binary literal (hex form of a tiny
+    // serialized filter): present keys hit, absent keys can miss
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(42L); bf.putLong(7L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val hex = bos.toByteArray.map("%02X".format(_)).mkString
+    val bl = spark.sql(
+      s"SELECT graft_bloom_might_contain(42L, X'$hex') AS yes, " +
+        s"graft_bloom_might_contain(99999L, X'$hex') AS no").collect().head
+    assert(bl.getBoolean(0))
+    assert(!bl.getBoolean(1), "99999 must miss in a 2-key 1% filter")
     // the top-k AGGREGATE registers too (toAggregateExpression path)
     val tk = spark.sql("""
       SELECT g, graft_topk_pairs(s, i, 2) AS t
