@@ -55,6 +55,59 @@ object EventStreams {
   // whole-stage codegen where a nested private case class trips Janino.
   private type SessionState = (Long, Long, Long, Double)
 
+  /** One prequentially-scored event from [[seasonalAnomalies]]. */
+  final case class SlotScore(
+      event_type: String, phase: Long, ts: Timestamp, event_id: Long,
+      value: Double, baseline: Double, is_anomaly: Boolean)
+
+  /** Streaming twin of the batch seasonal-naive anomaly screen
+    * (q194, [[graft.ext.TimeSeries.seasonalNaiveResidual]]): per
+    * (event_type, hour-of-week slot), a running (n, Σv, Σv²) state
+    * scores each arriving event PREQUENTIALLY — against the slot
+    * statistics accumulated from all earlier events only — then folds
+    * it in. `|v − mean| > 3σ` flags, gated on `minObs` prior
+    * observations so a cold slot never alarms. Within a micro-batch,
+    * rows are scored in (ts, event_id) order, so a replay of the same
+    * feed produces the identical verdict sequence.
+    *
+    * The batch operator answers "which events were anomalous against
+    * the season's final statistics"; this one answers the question a
+    * live monitor actually asks — "was this event anomalous given what
+    * we knew when it arrived".
+    *
+    * State is deliberately NoTimeout: the key space is bounded by
+    * construction (168 slots × |event types|), so there is nothing to
+    * evict — the state is the model. flatMapGroupsWithState because
+    * the declarative API has no score-then-update primitive
+    * (aggregation would fold the event in before scoring it).
+    */
+  def seasonalAnomalies(
+      events: Dataset[Event], minObs: Long, delay: String): Dataset[SlotScore] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(e => (e.event_type, (e.ts.getTime / 1000L / 3600L) % 168L))
+      .flatMapGroupsWithState[(Long, Double, Double), SlotScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((etype, phase), rows, state) =>
+          var (n, s1, s2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val baseline = if (n >= 1) s1 / n else e.value
+            val sd =
+              if (n >= 2)
+                math.sqrt(math.max((n * s2 - s1 * s1) / (n.toDouble * n), 0.0))
+              else 0.0
+            val anomaly = n >= minObs && math.abs(e.value - baseline) > 3.0 * sd
+            n += 1
+            s1 += e.value
+            s2 += e.value * e.value
+            SlotScore(etype, phase, e.ts, e.event_id, e.value, baseline, anomaly)
+          }
+          state.update((n, s1, s2))
+          out.iterator
+      }
+  }
+
   /** Custom stateful operator: gap-based sessionization via
     * flatMapGroupsWithState with an event-time timeout — the piece the
     * declarative API can't express (KeyValueGroupedDataset surface).

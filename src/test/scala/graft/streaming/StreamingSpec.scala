@@ -199,6 +199,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("seasonal anomalies: prequential slot scoring across batches, warm-up gate, slot isolation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val scored = EventStreams.seasonalAnomalies(input.toDS(), minObs = 4L, delay = "1 hour")
+    val q = scored.writeStream.format("memory").queryName("slots")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // slot A: Mondays 01:00 (2024-01-01 is a Monday) — 4 calm weeks
+      def week(k: Int, id: Long, v: Double) =
+        EventStreams.Event(id, new Timestamp(
+          ts("2024-01-01 01:00:00").getTime + k * 168L * 3600L * 1000L), 1L, "m", v)
+      input.addData(week(0, 1, 10.0), week(1, 2, 10.2), week(2, 3, 9.8), week(3, 4, 10.0))
+      q.processAllAvailable()
+      // week 5: a spike in the SAME slot — warm (n=4 ≥ minObs), must flag;
+      // plus a first event in a DIFFERENT slot (02:00) — cold, never flags
+      input.addData(week(4, 5, 50.0),
+        EventStreams.Event(6L, ts("2024-01-01 02:00:00"), 1L, "m", 50.0))
+      q.processAllAvailable()
+      // week 6, back to normal in slot A: the spike joined the stats but
+      // 10.0 is still within 3σ of the updated mean → not anomalous
+      input.addData(week(5, 7, 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, phase, is_anomaly FROM slots")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      // warm-up: the first four never flag (n < minObs when scored)
+      assert((1L to 4L).forall(id => !rows(id)._2), rows)
+      assert(rows(5L)._2, s"spike must flag: $rows")
+      assert(!rows(6L)._2, "cold slot must stay silent")
+      assert(!rows(7L)._2, s"recovery must not flag: $rows")
+      // the weekly events all share one slot; the 02:00 event does not
+      assert(Seq(1L, 2L, 3L, 4L, 5L, 7L).map(rows(_)._1).distinct.size == 1)
+      assert(rows(6L)._1 != rows(5L)._1)
+    } finally q.stop()
+  }
+
   test("stream-stream join correlates clicks to views within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
