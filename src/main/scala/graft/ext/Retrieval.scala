@@ -222,4 +222,58 @@ object Retrieval {
           * 1000000.0 + 0.5) / 1000000.0).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Count–min sketch term-frequency estimation (Cormode & Muthu-
+    * krishnan, J. Algorithms 2005) with a SELF-VERIFYING envelope —
+    * the q56 sketch pattern applied to token counts: build a d×w
+    * sketch over the token stream, estimate the top-`topK` exact
+    * terms from it, and emit the deterministic envelope verdict next
+    * to both numbers. `est ≥ exact` is the CMS structural guarantee
+    * (hash collisions only ever ADD); the width bound checks the
+    * overcount stays within `3N/w` — generous vs the e/w expectation,
+    * and computed identically by any engine, so the row hash-matches
+    * while the sketch is genuinely exercised every round.
+    *
+    * Everything is integer: buckets come from the md5-derived
+    * [[TextHash.hash64]] (seeded per row r — the d pairwise-
+    * independent-ish hash family), counts are plain longs.
+    *
+    * Scale: the sketch is a (d·w)-bounded aggregate (map-side combine
+    * absorbs the token volume — THE point of a sketch: d·w cells
+    * summarize any stream); the estimate join touches topK·d rows.
+    * At 100 TB the sketch relation is mergeable across partitions/
+    * days by cell-wise addition, which is what makes it the
+    * streaming/windowed heavy-hitter primitive.
+    */
+  def countMinTopTerms(
+      df: DataFrame,
+      text: Column,
+      depth: Int,
+      width: Int,
+      topK: Int): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1, "degenerate CMS shape")
+    val toks = df.filter(text.isNotNull)
+      .select(explode(TextHash.tokens(text)).as("w"))
+    val n = toks.agg(count(lit(1)).as("__n"))
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("w")).limit(topK)
+    def buckets(c: Column): Column =
+      array((0 until depth).map(r =>
+        pmod(TextHash.hash64(c, r), lit(width.toLong))): _*)
+    val sketch = toks
+      .select(posexplode(buckets(col("w"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    exact
+      .select(col("w"), col("exact"),
+        posexplode(buckets(col("w"))).as(Seq("r", "bucket")))
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy(col("w").as("term"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("exact"), col("est"),
+        (col("est") >= col("exact") &&
+          (col("est") - col("exact")) * width <= lit(3L) * col("__n"))
+          .as("within_bound"))
+  }
 }

@@ -715,6 +715,46 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "a", "b", "merged", "n")
   }
 
+  /** BPE tokenizer ENCODE — the inference half of [[bpeTrain]]: apply
+    * a learned merge table to new text, in merge-priority order (the
+    * standard BPE apply rule: merges replay in the order they were
+    * learned, each greedily left-to-right). Same ␁-delimited string
+    * representation and non-overlapping `replace` mechanics as
+    * training, so train-then-encode on the training corpus itself
+    * reproduces the trainer's final state exactly.
+    *
+    * The merge table IS the model — R tiny (a, b) rows collected once
+    * and folded into the plan as literals; at 100 TB this is the
+    * operator that actually runs corpus-wide (training happens once,
+    * on a sample). Output per doc: raw/encoded token counts, the
+    * integer ppm compression ratio, and the first 5 encoded tokens as
+    * a `|`-joined sample (array cells can't be hash-compared — the
+    * q165 stringify rule).
+    *
+    * Scale: scan-stage only — R chained `replace` calls compile into
+    * one codegen stage; no shuffle, no join, no state.
+    */
+  def bpeEncode(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val D = "\u0001"
+    val toks = TextHash.tokens(text)
+    val enc0 = concat(lit(D), array_join(toks, D + D), lit(D))
+    val encS = merges.foldLeft(enc0) { case (c, (a, b)) =>
+      replace(c, lit(D + a + D + D + b + D), lit(D + a + " " + b + D))
+    }
+    val encToks = split(trim(encS, D), D + D)
+    df.filter(text.isNotNull && size(toks) >= 1)
+      .select(id.as("doc_id"), size(toks).cast("long").as("n_raw"),
+        size(encToks).cast("long").as("n_enc"),
+        concat_ws("|", slice(encToks, 1, 5)).as("head_tokens"))
+      .withColumn("ratio_ppm", expr("n_enc * 1000000L div n_raw"))
+      .select(col("doc_id"), col("n_raw"), col("n_enc"), col("ratio_ppm"),
+        col("head_tokens"))
+  }
+
   /** Vocabulary growth curve (the Heaps-law probe): per ingest bucket —
     * token volume, NEW types (tokens first seen in that bucket), and
     * the running distinct-type total. The saturation signal a corpus

@@ -354,6 +354,98 @@ object Training {
                 ORDER BY score_ppb DESC, y) AS rn FROM percls)
         WHERE rn = 1
         ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // BPE ENCODE — the inference half of q197, and the operator that
+    // actually runs corpus-wide at scale: train 8 merges on the even
+    // doc_ids, apply them in learned order to the held-out odd ids.
+    // The Spark side folds the collected merge table into R chained
+    // replaces (one codegen stage); the oracle re-derives the same
+    // merges (the q197 CTE chain over the training half) and replays
+    // the replace chain with scalar subqueries. Outputs are integer
+    // counts + a '|'-joined token sample (the array-stringify rule).
+    Q(
+      "q202_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merges = graft.ext.TextAnalysis
+          .bpeTrain(docs.filter($"doc_id" % 2 === 0), $"text", rounds = BpeRounds)
+          .orderBy($"round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ext.TextAnalysis.bpeEncode(
+            docs.filter($"doc_id" % 2 === 1), $"doc_id", $"text", merges)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH d0 AS MATERIALIZED (
+          SELECT chr(1) || array_to_string(${OracleSql.tokens("text")},
+                   chr(1)||chr(1)) || chr(1) AS s
+          FROM documents
+          WHERE text IS NOT NULL AND len(${OracleSql.tokens("text")}) >= 2
+            AND doc_id % 2 = 0),
+        ${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+        a0 AS (
+          SELECT doc_id, ${OracleSql.tokens("text")} AS toks,
+                 chr(1) || array_to_string(${OracleSql.tokens("text")},
+                   chr(1)||chr(1)) || chr(1) AS s
+          FROM documents
+          WHERE text IS NOT NULL AND len(${OracleSql.tokens("text")}) >= 1
+            AND doc_id % 2 = 1),
+        ${(1 to BpeRounds).map { r =>
+          s"""a$r AS (SELECT doc_id, toks, replace(s,
+             |    chr(1)||(SELECT a FROM b$r)||chr(1)||chr(1)||(SELECT b FROM b$r)||chr(1),
+             |    chr(1)||(SELECT a FROM b$r)||' '||(SELECT b FROM b$r)||chr(1)) AS s
+             |  FROM a${r - 1})""".stripMargin
+        }.mkString(",\n")},
+        enc AS (
+          SELECT doc_id, toks,
+                 string_split(trim(s, chr(1)), chr(1)||chr(1)) AS e
+          FROM a$BpeRounds)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_raw,
+               CAST(len(e) AS BIGINT) AS n_enc,
+               CAST(len(e) * 1000000 // len(toks) AS BIGINT) AS ratio_ppm,
+               array_to_string(e[1:5], '|') AS head_tokens
+        FROM enc ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Count-min sketch heavy hitters with the q56 self-verifying
+    // envelope: a 4×1024 sketch over the token stream, the top-20
+    // exact terms estimated from it, est>=exact (structural CMS
+    // guarantee) and overcount <= 3N/w checked as a deterministic
+    // column both engines compute identically. Seeded md5 buckets, so
+    // DuckDB rebuilds the identical sketch cell for cell.
+    Q(
+      "q203_countmin_topterms",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Retrieval.countMinTopTerms(
+            t(s, dir, "documents"), $"text", depth = 4, width = 1024, topK = 20)
+          .orderBy($"term")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(${OracleSql.tokens("text")}) AS w
+          FROM documents WHERE text IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM toks),
+        ex AS (
+          SELECT w, COUNT(*) AS exact FROM toks
+          GROUP BY w ORDER BY exact DESC, w LIMIT 20),
+        sk AS (
+          SELECT u.r AS r,
+                 ${OracleSql.hash64("CAST(u.r AS VARCHAR)", "w")} % 1024 AS bucket,
+                 COUNT(*) AS cnt
+          FROM toks CROSS JOIN range(0, 4) u(r)
+          GROUP BY 1, 2),
+        est AS (
+          SELECT e.w AS term, e.exact, MIN(s.cnt) AS est
+          FROM ex e CROSS JOIN range(0, 4) u(r)
+          JOIN sk s ON s.r = u.r
+            AND s.bucket = ${OracleSql.hash64("CAST(u.r AS VARCHAR)", "e.w")} % 1024
+          GROUP BY 1, 2)
+        SELECT term, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+               (est >= exact AND (est - exact) * 1024 <= 3 * n) AS within_bound
+        FROM est CROSS JOIN nn ORDER BY term
       """))
   )
 }

@@ -259,6 +259,47 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, "c c", "c c", "c c c c", 1L)))
   }
 
+  test("bpeEncode: merges replay in learned order; train-then-encode reproduces trainer state") {
+    import spark.implicits._
+    val docs = Seq((1L, "c c c c"), (2L, "a b a b"), (3L, "a b c"))
+      .toDF("doc_id", "txt")
+    val merges = TextAnalysis.bpeTrain(docs, col("txt"), rounds = 8)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // 5 learned merges (see the bpeTrain spec); applying them in order
+    // to the training corpus itself must land on the trainer's final
+    // state: every doc collapses to ONE merged token
+    val got = TextAnalysis.bpeEncode(docs, col("doc_id"), col("txt"), merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 250000L, "c c c c"),
+      (2L, 4L, 1L, 250000L, "a b a b"),
+      (3L, 3L, 1L, 333333L, "a b c")))
+    // out-of-vocabulary text passes through unmerged
+    val oov = TextAnalysis.bpeEncode(
+        Seq((9L, "x y z")).toDF("doc_id", "txt"), col("doc_id"), col("txt"), merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(oov.toSeq == Seq((3L, 3L, "x|y|z")))
+  }
+
+  test("countMinTopTerms: wide sketch is exact; narrow sketch only ever overcounts") {
+    import spark.implicits._
+    val docs = Seq("a a a b b", "a a b c", "").toDF("txt")
+    // width 1024 over a 3-term vocab: no collisions, est == exact
+    val wide = graft.ext.Retrieval
+      .countMinTopTerms(docs, col("txt"), depth = 4, width = 1024, topK = 3)
+      .orderBy(col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(wide.toSeq == Seq(("a", 5L, 5L, true), ("b", 3L, 3L, true), ("c", 1L, 1L, true)))
+    // width 2, depth 1: collisions force overcounts — never undercounts
+    val narrow = graft.ext.Retrieval
+      .countMinTopTerms(docs, col("txt"), depth = 1, width = 2, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(narrow.forall { case (_, exact, est) => est >= exact })
+    assert(narrow.map(_._2).sum == 9L)
+  }
+
   test("termDrift: identical slices → 0; disjoint vocabularies → 1; union vocab counted") {
     import spark.implicits._
     val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("src", "txt")
