@@ -884,4 +884,46 @@ object Profile {
       .withColumn("frac_cur", frac("n_cur"))
       .withColumn("l1", abs(col("frac_base") - col("frac_cur")))
   }
+
+  /** Classifier evaluation: per-class confusion counts with INTEGER
+    * ppm precision / recall / F1 — the operator that closes a
+    * train→classify loop (e.g. q201's Naive Bayes) with an
+    * oracle-exact scorecard. One narrow (actual, predicted) relation,
+    * three class-bounded count aggregates, a full-outer class stitch:
+    *
+    *   - `precision_ppm = tp·10⁶ div n_predicted` (null when the class
+    *     was never predicted — no evidence, not zero);
+    *   - `recall_ppm = tp·10⁶ div n_actual` (null when absent from
+    *     truth);
+    *   - `f1_ppm = 2·p·r div (p + r)` on the ppm values (null when
+    *     either side is null or both are zero) — the harmonic mean
+    *     computed entirely in ≤2·10¹² longs, no doubles anywhere.
+    *
+    * Scale: the input is one row per scored doc; every aggregate is
+    * class-bounded after map-side partials. Nothing here can be the
+    * bottleneck of any pipeline that produced the predictions.
+    */
+  def confusionStats(
+      df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val pairs = df.filter(actual.isNotNull && predicted.isNotNull)
+      .select(actual.as("a"), predicted.as("p"))
+    val na = pairs.groupBy(col("a").as("cls")).agg(count(lit(1)).as("n_actual"))
+    val np = pairs.groupBy(col("p").as("cls")).agg(count(lit(1)).as("n_predicted"))
+    val tp = pairs.filter(col("a") === col("p"))
+      .groupBy(col("a").as("cls")).agg(count(lit(1)).as("tp"))
+    na.join(np, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_predicted") > 0, expr("tp * 1000000L div n_predicted")))
+      .withColumn("recall_ppm",
+        when(col("n_actual") > 0, expr("tp * 1000000L div n_actual")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          col("precision_ppm") + col("recall_ppm") > 0,
+          expr("2L * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
+  }
 }

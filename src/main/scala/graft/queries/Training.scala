@@ -144,6 +144,42 @@ object Training {
        |  FROM v q CROSS JOIN cb c WHERE q.vec_id < $nQueries)""".stripMargin
   }
 
+  /** DuckDB replica of [[graft.ext.LangModel.naiveBayesClassify]]'s
+    * train+score chain on the even/odd documents split, ending in CTE
+    * `percls(doc_id, y, n_tokens, score_ppb)` — shared by q201 (the
+    * per-doc decisions) and q204 (the confusion evaluation on top).
+    */
+  private val NbChainSql: String = s"""tr AS (
+          SELECT lang AS y, text FROM documents
+          WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+        sc AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        trtok AS (SELECT y, unnest(${OracleSql.tokens("text")}) AS w FROM tr),
+        cwy AS (SELECT w, y, COUNT(*) AS cwy FROM trtok GROUP BY 1, 2),
+        ny AS (SELECT y, COUNT(*) AS ny FROM trtok GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT w) AS v FROM trtok),
+        pri AS (SELECT y, COUNT(*) AS dy FROM tr GROUP BY 1),
+        dd AS (SELECT COUNT(*) AS d FROM tr),
+        cls AS (
+          SELECT y, ny, v, dy * 1000000000 // d AS prior_ppb
+          FROM pri JOIN ny USING (y) CROSS JOIN vv CROSS JOIN dd),
+        sctok AS (SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS w FROM sc),
+        pertok AS (
+          SELECT s.doc_id, c.y,
+                 (coalesce(k.cwy, 0) + 1) * 1000000000 // (c.ny + c.v) AS ppb
+          FROM sctok s CROSS JOIN cls c
+          LEFT JOIN cwy k ON k.w = s.w AND k.y = c.y),
+        agg0 AS (
+          SELECT doc_id, y, SUM(ppb) AS s, COUNT(*) AS n
+          FROM pertok GROUP BY 1, 2),
+        percls AS (
+          SELECT dc.doc_id, dc.y,
+                 coalesce(a.n, 0) AS n_tokens,
+                 (dc.prior_ppb + coalesce(a.s, 0)) // (coalesce(a.n, 0) + 1) AS score_ppb
+          FROM (SELECT doc_id, y, prior_ppb FROM sc CROSS JOIN cls) dc
+          LEFT JOIN agg0 a ON a.doc_id = dc.doc_id AND a.y = dc.y)"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // BPE tokenizer-training merge loop: 8 rounds of count-argmax-
@@ -317,36 +353,7 @@ object Training {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH tr AS (
-          SELECT lang AS y, text FROM documents
-          WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
-        sc AS (
-          SELECT doc_id, text FROM documents
-          WHERE doc_id % 2 = 1 AND text IS NOT NULL),
-        trtok AS (SELECT y, unnest(${OracleSql.tokens("text")}) AS w FROM tr),
-        cwy AS (SELECT w, y, COUNT(*) AS cwy FROM trtok GROUP BY 1, 2),
-        ny AS (SELECT y, COUNT(*) AS ny FROM trtok GROUP BY 1),
-        vv AS (SELECT COUNT(DISTINCT w) AS v FROM trtok),
-        pri AS (SELECT y, COUNT(*) AS dy FROM tr GROUP BY 1),
-        dd AS (SELECT COUNT(*) AS d FROM tr),
-        cls AS (
-          SELECT y, ny, v, dy * 1000000000 // d AS prior_ppb
-          FROM pri JOIN ny USING (y) CROSS JOIN vv CROSS JOIN dd),
-        sctok AS (SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS w FROM sc),
-        pertok AS (
-          SELECT s.doc_id, c.y,
-                 (coalesce(k.cwy, 0) + 1) * 1000000000 // (c.ny + c.v) AS ppb
-          FROM sctok s CROSS JOIN cls c
-          LEFT JOIN cwy k ON k.w = s.w AND k.y = c.y),
-        agg0 AS (
-          SELECT doc_id, y, SUM(ppb) AS s, COUNT(*) AS n
-          FROM pertok GROUP BY 1, 2),
-        percls AS (
-          SELECT dc.doc_id, dc.y,
-                 coalesce(a.n, 0) AS n_tokens,
-                 (dc.prior_ppb + coalesce(a.s, 0)) // (coalesce(a.n, 0) + 1) AS score_ppb
-          FROM (SELECT doc_id, y, prior_ppb FROM sc CROSS JOIN cls) dc
-          LEFT JOIN agg0 a ON a.doc_id = dc.doc_id AND a.y = dc.y)
+        WITH $NbChainSql
         SELECT doc_id, y AS predicted,
                CAST(score_ppb AS BIGINT) AS score_ppb,
                CAST(n_tokens AS BIGINT) AS n_tokens
@@ -446,6 +453,67 @@ object Training {
         SELECT term, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
                (est >= exact AND (est - exact) * 1024 <= 3 * n) AS within_bound
         FROM est CROSS JOIN nn ORDER BY term
+      """)),
+    // ----------------------------------------------------------------
+    // Classifier evaluation closing the q201 loop: the NB predictions
+    // on the held-out half joined back to the true lang labels, per-
+    // class confusion counts with integer ppm precision/recall/F1.
+    // The oracle reuses the shared NB CTE chain and stacks the same
+    // full-outer class stitch on top — every number is an integer or
+    // an integer floor-division.
+    Q(
+      "q204_nb_confusion",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pred = graft.ext.LangModel.naiveBayesClassify(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1),
+          $"lang", $"doc_id", $"text")
+        val joined = pred.join(
+          docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"lang"),
+          Seq("doc_id"))
+        graft.ext.Profile.confusionStats(joined, $"lang", $"predicted")
+          .orderBy($"cls")
+      },
+      Some(s"""
+        WITH $NbChainSql,
+        nbpred AS (
+          SELECT doc_id, y AS predicted
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score_ppb DESC, y) AS rn FROM percls)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT d.lang AS a, p.predicted AS p
+          FROM nbpred p JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL),
+        na AS (SELECT a AS cls, COUNT(*) AS n_actual FROM pairs GROUP BY 1),
+        np AS (SELECT p AS cls, COUNT(*) AS n_predicted FROM pairs GROUP BY 1),
+        tpc AS (SELECT a AS cls, COUNT(*) AS tp FROM pairs WHERE a = p GROUP BY 1),
+        st AS (
+          SELECT cls,
+                 coalesce(n_actual, 0) AS n_actual,
+                 coalesce(n_predicted, 0) AS n_predicted,
+                 coalesce(tp, 0) AS tp
+          FROM na FULL OUTER JOIN np USING (cls)
+          LEFT JOIN tpc USING (cls)),
+        pr AS (
+          SELECT cls, n_actual, n_predicted, tp,
+                 CASE WHEN n_predicted > 0 THEN tp * 1000000 // n_predicted END
+                   AS precision_ppm,
+                 CASE WHEN n_actual > 0 THEN tp * 1000000 // n_actual END
+                   AS recall_ppm
+          FROM st)
+        SELECT cls, CAST(n_actual AS BIGINT) AS n_actual,
+               CAST(n_predicted AS BIGINT) AS n_predicted,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(precision_ppm AS BIGINT) AS precision_ppm,
+               CAST(recall_ppm AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+                         AND precision_ppm + recall_ppm > 0
+                    THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+                    END AS BIGINT) AS f1_ppm
+        FROM pr ORDER BY cls
       """))
   )
 }

@@ -300,6 +300,29 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(narrow.map(_._2).sum == 9L)
   }
 
+  test("confusionStats: hand confusion matrix; phantom/unseen classes get null metrics") {
+    import spark.implicits._
+    // actual:    a a a b b c
+    // predicted: a a b b b d   — c never predicted, d never actual
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "d"))
+      .toDF("act", "pred")
+    val got = Profile.confusionStats(df, col("act"), col("pred"))
+      .orderBy(col("cls")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // a: tp=2, predicted 2 → p=1.0; actual 3 → r=2/3; f1=2pr/(p+r)=800000
+      ("a", 3L, 2L, 2L, 1000000L, 666666L, 799999L),
+      // b: tp=2, predicted 3 → p=666666; actual 2 → r=1.0
+      ("b", 2L, 3L, 2L, 666666L, 1000000L, 799999L),
+      // c: never predicted → precision null; recall 0; f1 null (p null)
+      ("c", 1L, 0L, 0L, -1L, 0L, -1L),
+      // d: never actual → recall null; precision 0; f1 null
+      ("d", 0L, 1L, 0L, 0L, -1L, -1L)))
+  }
+
   test("termDrift: identical slices → 0; disjoint vocabularies → 1; union vocab counted") {
     import spark.implicits._
     val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("src", "txt")
