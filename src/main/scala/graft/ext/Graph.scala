@@ -537,6 +537,60 @@ object Graph {
     materialized
   }
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007) over an undirected edge
+    * list, made fully deterministic: every node starts labeled with
+    * its own id; each round, ALL nodes simultaneously adopt the most
+    * frequent label among their neighbors' previous-round labels,
+    * ties to the smallest label; a FIXED round count (the classic
+    * async sweep converges faster but its result depends on visit
+    * order — useless under an exactness contract). Communities are
+    * finer-grained than [[connectedComponents]]: a bridge edge joins
+    * components but rarely flips a majority.
+    *
+    * Scale: per round, one keyed join (neighbor labels) + one
+    * (node, label)-counted aggregate + one per-node argmax window —
+    * all edge-bound; label state is node-bound and checkpoint+freed
+    * per round (the CC discipline). Round count is a small constant,
+    * not data-dependent.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 64, s"labelPropagation: 1 <= rounds <= 64, got $rounds")
+    val sc = edges.sparkSession.sparkContext
+    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val (bidir, bidirIds) = checkpointTracked(
+      e.union(e.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d"))
+        .distinct())
+    var (lbl, lblIds) = checkpointTracked(
+      bidir.select(col("s").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    try {
+      val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to rounds) {
+        val next = bidir
+          .join(lbl.withColumnRenamed("id", "d"), "d")
+          .select(col("s").as("id"), col("lbl"))
+          .groupBy(col("id"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("id"), col("lbl"))
+        val (ck, ids) = checkpointTracked(next)
+        ck.count() // materialize before freeing the round it reads
+        freeIds(sc, lblIds)
+        lbl = ck
+        lblIds = ids
+      }
+      lbl.select(col("id").as("node"), col("lbl").as("community"))
+    } finally freeIds(sc, bidirIds)
+  }
+
   /** Serializes the persistent-RDD id diff in [[checkpointTracked]]
     * across graft threads (see the CAVEAT in [[connectedComponents]]).
     */

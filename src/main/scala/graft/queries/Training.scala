@@ -180,6 +180,21 @@ object Training {
           FROM (SELECT doc_id, y, prior_ppb FROM sc CROSS JOIN cls) dc
           LEFT JOIN agg0 a ON a.doc_id = dc.doc_id AND a.y = dc.y)"""
 
+  /** One synchronous label-propagation round in DuckDB: neighbor
+    * labels from the previous round, (node, label) counts, per-node
+    * argmax with the (count desc, label asc) tie-break.
+    */
+  private def lpRoundSql(t: Int): String =
+    s"""n$t AS (
+       |  SELECT b.s AS id, l.lbl, COUNT(*) AS c
+       |  FROM bid b JOIN l${t - 1} l ON l.id = b.d
+       |  GROUP BY 1, 2),
+       |l$t AS MATERIALIZED (
+       |  SELECT id, lbl FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY c DESC, lbl) AS rn FROM n$t)
+       |  WHERE rn = 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // BPE tokenizer-training merge loop: 8 rounds of count-argmax-
@@ -514,6 +529,47 @@ object Training {
                     THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
                     END AS BIGINT) AS f1_ppm
         FROM pr ORDER BY cls
+      """)),
+    // ----------------------------------------------------------------
+    // Label-propagation communities (Raghavan '07) over the q147
+    // co-purchase graph: 4 synchronous rounds, ties to the smallest
+    // label — fully deterministic, so the oracle unrolls the rounds
+    // and must land on the identical community assignment node for
+    // node. Complements q74's connected components (finer partition).
+    Q(
+      "q205_label_prop",
+      (s, dir) => {
+        import s.implicits._
+        val pk = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+          .select($"p_partkey")
+        val ip = t(s, dir, "lineitem")
+          .join(pk, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey")
+        val edges = graft.ext.Graph.bipartiteProject(ip, "l_orderkey", "l_partkey",
+          maxDegree = 64)
+        graft.ext.Graph.labelPropagation(edges, "a", "b", rounds = 4)
+          .orderBy($"node")
+      },
+      Some(s"""
+        WITH ip AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
+                 HAVING COUNT(*) <= 64),
+        kept AS (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM kept a JOIN kept b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        bid AS MATERIALIZED (
+          SELECT u AS s, v AS d FROM edges
+          UNION SELECT v AS s, u AS d FROM edges),
+        l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT s AS id FROM bid)),
+        ${(1 to 4).map(lpRoundSql).mkString(",\n")}
+        SELECT id AS node, lbl AS community FROM l4 ORDER BY node
       """))
   )
 }

@@ -323,6 +323,23 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d", 0L, 1L, 0L, 0L, -1L, -1L)))
   }
 
+  test("labelPropagation: bridged triangles settle into two communities; deterministic ties") {
+    import spark.implicits._
+    // triangle {1,2,3} — bridge 3-10 — triangle {10,11,12}: connected
+    // components would merge everything; majority propagation keeps
+    // the two dense cores apart (hand-traced: labels 1 and 3 after 4
+    // synchronous rounds with smallest-label ties)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L), got)
+    // one extra round: the assignment is a fixed point
+    val again = Graph.labelPropagation(edges, "a", "b", rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("termDrift: identical slices → 0; disjoint vocabularies → 1; union vocab counted") {
     import spark.implicits._
     val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("src", "txt")
