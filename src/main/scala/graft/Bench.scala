@@ -42,22 +42,26 @@ object Bench {
     val total = results.map(_._2).sum
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
-    // Full-fidelity JSON (long names, 3 decimals) goes to a file and to an
-    // early stdout line; the log-tail capture that produces BENCH_r{N}.json
-    // keeps only the last ~3 KB of output, which truncated the leading
-    // queries of the 196-entry line in round 7 ("parsed": null).
+    // The log-tail capture that produces BENCH_r{N}.json keeps only the
+    // LAST 2000 characters of output (measured from round 7, where the
+    // single 196-entry line lost its head and parsed as null). Emission
+    // order is therefore: (a) the full-fidelity line to a file and an
+    // early stdout line; (b) per-query chunk lines of ~30 entries each
+    // (whatever the window holds, it holds complete parseable lines);
+    // (c) a SHORT total line LAST — always inside the window, always
+    // parseable, pointing at the file with the per-query data.
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(fullLine)
-    // Compact final line sized to survive tail capture: keys shortened to
-    // the qNN prefix (unique by construction), values at 2 decimals.
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qsShort,"failed":$fs,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    results.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      val qsChunk = chunk.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"chunk","part":${i + 1},"queries":$qsChunk}""")
+    }
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":{},"n_queries":${results.size},"failed":$fs,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }
