@@ -591,6 +591,87 @@ object Graph {
     } finally freeIds(sc, bidirIds)
   }
 
+  /** Hop-bounded single-source shortest paths over a weighted
+    * undirected edge list — Bellman–Ford with the frontier (delta)
+    * optimization: round h relaxes only edges incident to nodes whose
+    * distance IMPROVED in round h-1, and after h rounds `dist` is
+    * exactly the minimum cost over paths of at most h edges from any
+    * seed (the textbook invariant; the delta form reaches the same
+    * per-round state because a node's improvement is propagated the
+    * round after it happens and min is idempotent). Early exit at an
+    * empty frontier is a fixpoint, so the result equals the full
+    * `maxHops`-round answer — which is what the oracle unrolls.
+    *
+    * Weights are integral (cast to long) and may repeat per node pair;
+    * parallel edges collapse to their MINIMUM weight up front, the only
+    * one min-plus can ever use. Hop-bounding is the 100 TB posture for
+    * the same reason as [[bfsDistances]]: k-hop weighted neighborhoods
+    * are frontier-bound, while full SSSP on a planetary graph is not a
+    * single-query operation.
+    *
+    * Scale: per round one keyed join (frontier × adjacency, edge-
+    * degree-bound), one min-aggregate keyed on the node, one left join
+    * against the settled map to keep only improvements. Frontier and
+    * dist are localCheckpoint'd per round with superseded blocks freed
+    * (the [[connectedComponents]] discipline); the only driver values
+    * are the per-round frontier counts that drive early exit.
+    */
+  def weightedShortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30,
+      s"weightedShortestPaths: maxHops in [1, 30] required, got $maxHops")
+    val sc = edges.sparkSession.sparkContext
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+    val (adj, adjIds) = checkpointTracked(
+      e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(min(col("w")).as("w")))
+    var (dist, distIds) = checkpointTracked(
+      seeds.select(col(seedCol).cast("long").as("id")).filter(col("id").isNotNull)
+        .distinct().select(col("id"), lit(0L).as("dist")))
+    var (frontier, frontierIds) = checkpointTracked(dist)
+    var liveIds = adjIds ++ distIds ++ frontierIds
+    try {
+      var h = 1
+      var frontierSize = 1L
+      while (h <= maxHops && frontierSize > 0) {
+        val relaxed = frontier.join(adj, frontier("id") === adj("u"))
+          .select(col("v").as("id"), (col("dist") + col("w")).as("__cand"))
+          .groupBy(col("id")).agg(min(col("__cand")).as("__cand"))
+        val (improved, improvedIds) = checkpointTracked(
+          relaxed.join(dist.withColumnRenamed("dist", "__old"), Seq("id"), "left")
+            .filter(col("__old").isNull || col("__cand") < col("__old"))
+            .select(col("id"), col("__cand").as("dist")))
+        liveIds ++= improvedIds
+        frontierSize = improved.count() // materializes the round
+        val (nd, ndIds) = checkpointTracked(
+          dist.join(improved.select(col("id")), Seq("id"), "left_anti")
+            .unionAll(improved))
+        liveIds ++= ndIds
+        nd.count() // settle before freeing the relations it read
+        freeIds(sc, frontierIds ++ distIds)
+        liveIds --= frontierIds ++ distIds
+        frontier = improved; frontierIds = improvedIds
+        dist = nd; distIds = ndIds
+        h += 1
+      }
+      dist.select(col("id").as("node"), col("dist"))
+    } finally {
+      // the returned frame's blocks stay live; everything superseded
+      // or auxiliary (adjacency included) is freed even on abort
+      freeIds(sc, liveIds -- distIds)
+    }
+  }
+
   /** Serializes the persistent-RDD id diff in [[checkpointTracked]]
     * across graft threads (see the CAVEAT in [[connectedComponents]]).
     */

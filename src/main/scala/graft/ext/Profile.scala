@@ -926,4 +926,46 @@ object Profile {
           col("precision_ppm") + col("recall_ppm") > 0,
           expr("2L * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney, IJUFKS'02; Machanavajj-
+    * hala et al., ICDE'06) — the privacy gate a dataset passes before
+    * release: group rows into EQUIVALENCE CLASSES by their quasi-
+    * identifier combination and report, per class, its size (k-
+    * anonymity: every class must reach `k` — any smaller class is a
+    * re-identification handle) and the number of distinct sensitive
+    * values it contains (l-diversity: a class whose sensitive column
+    * is constant leaks the attribute even at k, the homogeneity
+    * attack). Classes with a NULL in any quasi column are ordinary
+    * classes (null is an observable value to an attacker, grouped
+    * under SQL's group-by null semantics — identical in both engines);
+    * null SENSITIVE values carry no attribute to leak and don't count
+    * toward diversity.
+    *
+    * Output, one row per equivalence class: the quasi columns (under
+    * their given aliases), `n`, `n_sensitive`, `k_anonymous`,
+    * `l_diverse` — the per-class ledger from which suppression lists
+    * (`NOT k_anonymous`) and release metrics (min class size, violator
+    * row share) both derive.
+    *
+    * Scale: ONE hash aggregate keyed on the quasi tuple; the distinct-
+    * sensitive count rides the same shuffle as a two-level partial
+    * (Spark plans count(distinct) as expand + two aggregates, still
+    * class-keyed). Nothing is quadratic, nothing collects.
+    */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      k: Int,
+      l: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityAudit: at least one quasi-identifier column")
+    require(k >= 2, s"kAnonymityAudit: k >= 2 required, got $k")
+    require(l >= 2 && l <= k, s"kAnonymityAudit: 2 <= l <= k required, got ($l, $k)")
+    df.groupBy(quasi: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
 }

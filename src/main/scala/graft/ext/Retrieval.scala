@@ -276,4 +276,55 @@ object Retrieval {
           (col("est") - col("exact")) * width <= lit(3L) * col("__n"))
           .as("within_bound"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    * RANDOM'02; Beyer et al., SIGMOD'07) per group, with the q56/q203
+    * self-verifying envelope: hash every value into a 2⁴⁰-point space,
+    * keep the k smallest DISTINCT hashes per group, estimate
+    * |distinct| as (k-1)·2⁴⁰ / h₍k₎ (the unbiased KMV estimator), and
+    * emit the exact count next to a deterministic relative-error
+    * verdict (3/√(k-2) ≈ 3σ) that both engines compute identically —
+    * the sketch is genuinely exercised while the row still hashes.
+    * Groups with fewer than k distinct hashes report exactly (the KMV
+    * degenerate case — the sketch IS the value set).
+    *
+    * "Exact" here means distinct HASHES — at 2⁴⁰ points a collision
+    * needs ~10⁶ distinct values per group to reach p≈10⁻³, and using
+    * the same definition on both sides keeps parity unconditional.
+    * All arithmetic is 64-bit integral ((k-1)·2⁴⁰ < 2⁶³ for k ≤ 2²²;
+    * the division is `div`, floor semantics, = DuckDB's `//`).
+    *
+    * Scale: one distinct aggregate keyed on (group, hash) — map-side
+    * combine absorbs value multiplicity — then one per-group window
+    * for the k smallest (WindowGroupLimit prunes per partition before
+    * the shuffle) and a group-count aggregate. The sketch itself is
+    * what you'd persist at 100 TB: per-partition k-min sets merge by
+    * "union then re-take k smallest", the classic mergeable-summary
+    * property, so per-day/per-shard sketches compose without rescans.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      k: Int): DataFrame = {
+    require(k >= 8 && k <= 4194304, s"kmvDistinct: k in [8, 2^22] required, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val Space = 1L << 40
+    val h = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("grp"), pmod(TextHash.hash64(value), lit(Space)).as("__h"))
+      .distinct()
+    val n = h.groupBy(col("grp")).agg(count(lit(1)).as("exact"))
+    val kth = h
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("__h"))))
+      .filter(col("__rn") === k)
+      .select(col("grp"), col("__h").as("kth_hash"))
+    val boundPpm = (3.0e6 / math.sqrt((k - 2).toDouble)).toLong
+    n.join(kth, Seq("grp"), "left")
+      .select(col("grp"), col("exact"), col("kth_hash"),
+        when(col("exact") <= k || col("kth_hash").isNull, col("exact"))
+          .otherwise(expr(s"${(k - 1) * Space}L div kth_hash")).as("est"))
+      .withColumn("within_bound",
+        abs(col("est") - col("exact")) * lit(1000000L) <= lit(boundPpm) * col("exact"))
+  }
 }

@@ -159,6 +159,62 @@ object Sampling {
       .select(col("stratum"), col("rank"), col("id"))
   }
 
+  /** Token-budget mixture sampling — the operator that assembles an
+    * LLM training mix: given per-source mixture WEIGHTS and a total
+    * TOKEN budget, allocate each source an integer budget
+    * `total · wₛ / Σw` (floor division — allocations never overshoot)
+    * and take, per source, the greedy prefix of documents in hash
+    * order whose running token count stays within it. Rate- and
+    * count-based samplers ([[hashSampleBy]], [[exactStratifiedSample]])
+    * control ROWS; training mixes are specified in TOKENS ("300B
+    * tokens: 50% web, 30% code, 20% books"), and doc length varies by
+    * orders of magnitude, so the budget must be enforced on the token
+    * sum itself.
+    *
+    * Determinism: the per-source order is (hash64(id), id) — content-
+    * keyed like every sampler here, so the same corpus yields the same
+    * mix on any engine/run — and the running sum is an integer window
+    * sum, so the cut is exact: kept ⇔ cumulative tokens ≤ budget. The
+    * first doc that would cross the line is dropped, not truncated
+    * (document-level sampling; chunking is q80's job). Sources absent
+    * from `weights` are excluded; weights are plain integers (ratios,
+    * ppm, anything — only proportions matter).
+    *
+    * Scale: token counts are scan-stage; the only shuffle is ONE
+    * hash-partitioned window keyed on the source. Per-source ordering
+    * is the window's in-partition sort — no global sort, no collect;
+    * the weight table is a broadcast of |sources| rows.
+    */
+  def budgetMixtureSample(
+      df: DataFrame,
+      id: Column,
+      source: Column,
+      nTokens: Column,
+      weights: Seq[(String, Long)],
+      totalBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"budgetMixtureSample: positive weights required, got $weights")
+    require(totalBudget > 0, s"budgetMixtureSample: totalBudget > 0 required")
+    val wsum = weights.map(_._2).sum
+    val budgets = weights.map { case (s, w) => (s, totalBudget * w / wsum) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toDF("__src", "budget"))
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(id.isNotNull && source.isNotNull)
+      .select(id.as("doc_id"), source.as("__src"),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"),
+        TextHash.hash64(id.cast("string")).as("__h"))
+      .join(bdf, Seq("__src"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("__src").as("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget"))
+  }
+
   /** Temporal train/test split with an embargo gap — the leakage-safe
     * split for time-series and event data, where a random (hash) split
     * would let the model see the future: train is everything at or

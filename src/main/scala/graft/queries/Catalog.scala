@@ -19,7 +19,8 @@ object Catalog {
     Insights.all,
     Signals.all,
     Spatial.all,
-    Training.all
+    Training.all,
+    Frontier.all
   )
 
   lazy val all: Seq[Q] = {
