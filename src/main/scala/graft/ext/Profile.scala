@@ -952,6 +952,57 @@ object Profile {
     * (Spark plans count(distinct) as expand + two aggregates, still
     * class-keyed). Nothing is quadratic, nothing collects.
     */
+  /** Quantile normalization across groups (the microarray-era Bolstad
+    * '03 method, distribution-matching generally): replace each value
+    * by the GLOBAL quantile at its within-group percentile, so every
+    * group ends up with the same marginal distribution — the cross-
+    * source length/score equalizer a mixed-corpus pipeline applies
+    * before thresholds tuned on one source are applied to all.
+    *
+    * Mechanics, all deterministic: within each group, `p_ppm` is the
+    * integer percent-rank `(rn−1)·10⁶ div (n−1)` over (value, id)
+    * order (singleton groups sit at the median, 500000); the global
+    * reference is a `resolution`-point exact interpolated quantile
+    * table (`percentile` — the q83 quantile_cont parity contract, at
+    * dyadic points so the probe literals are float-exact); the
+    * normalized value is one array lookup at `p_ppm·R div 10⁶`. No
+    * value arithmetic ever happens — output values ARE reference
+    * quantiles, so cross-engine parity reduces to the (proven)
+    * percentile contract plus integer indexing.
+    *
+    * Scale: ONE group-keyed shuffle carries both windows (rank and
+    * group size share the partitioning); the reference table is a
+    * 1-row aggregate broadcast back. Exact `percentile` buffers
+    * per-value counts — the bounded-domain caveat of q83; swap in
+    * `approx_percentile` for unbounded-domain columns at 100 TB.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      id: Column,
+      group: Column,
+      value: Column,
+      resolution: Int = 256): DataFrame = {
+    require(resolution >= 2 && (resolution & (resolution - 1)) == 0,
+      s"quantileNormalize: resolution must be a power of two >= 2, got $resolution")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(id.isNotNull && group.isNotNull && value.isNotNull)
+      .select(id.as("id"), group.as("grp"), value.cast("double").as("value"))
+    val w = Window.partitionBy(col("grp"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w.orderBy(col("value"), col("id"))))
+      .withColumn("__ns", count(lit(1)).over(w))
+      .withColumn("p_ppm",
+        when(col("__ns") === 1, lit(500000L))
+          .otherwise(expr("(__rn - 1) * 1000000L div (__ns - 1)")))
+    val probes = array((0 to resolution).map(i => lit(i.toDouble / resolution)): _*)
+    val edges = base.agg(percentile(col("value"), probes).as("__edges"))
+    ranked.crossJoin(broadcast(edges))
+      .select(col("id"), col("grp"), col("value"), col("p_ppm"),
+        element_at(col("__edges"),
+          (expr(s"p_ppm * $resolution div 1000000") + 1).cast("int"))
+          .as("norm_value"))
+  }
+
   def kAnonymityAudit(
       df: DataFrame,
       quasi: Seq[Column],

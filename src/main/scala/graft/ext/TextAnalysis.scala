@@ -919,4 +919,87 @@ object TextAnalysis {
         (col("__type_bytes").cast("double") / col("__tok_bytes").cast("double"))
           .as("type_byte_share"))
   }
+
+  /** Readability profile — Flesch Reading Ease with the standard
+    * vowel-group syllable heuristic, in INTEGER MILLIPOINTS:
+    * `206835 − 1015·W div S − 84600·Y div W` (the classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+    * ×1000, each ratio a single floor division). Syllables = runs of
+    * `[aeiouy]+` in the lowercased text (whitespace breaks runs, so
+    * counting over the whole doc equals the per-word sum); sentences
+    * = runs of terminal punctuation, floored at 1 so fragments score
+    * rather than divide by zero. Both patterns are RE2-safe literal
+    * classes — identical in Java and DuckDB regex engines.
+    *
+    * A curation pipeline uses the band as a quality/complexity facet
+    * (alongside Gopher q78 and LM scores): very-low FRE flags run-on
+    * boilerplate and OCR sludge, implausibly-high FRE flags token
+    * salad. Scale: pure scan-stage expressions, no shuffle at all.
+    */
+  def readability(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        size(TextHash.tokens(text)).cast("long").as("n_words"),
+        greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sents"),
+        regexp_count(lower(text), lit("[aeiouy]+")).cast("long").as("n_syll"))
+      .withColumn("fre_milli",
+        when(col("n_words") > 0,
+          lit(206835L) - expr("1015L * n_words div n_sents") -
+            expr("84600L * n_syll div n_words"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("band",
+        when(col("fre_milli").isNull, lit(null).cast("string"))
+          .when(col("fre_milli") >= 90000L, lit("very_easy"))
+          .when(col("fre_milli") >= 70000L, lit("easy"))
+          .when(col("fre_milli") >= 50000L, lit("standard"))
+          .when(col("fre_milli") >= 30000L, lit("difficult"))
+          .otherwise(lit("very_difficult")))
+  }
+
+  /** URL pattern: scheme then everything up to ASCII whitespace — the
+    * explicit class, not `\\s` (Java's `\\s` includes VT, RE2's does
+    * not; the q178 lesson).
+    */
+  val UrlPattern: String = "https?://[^ \\t\\n\\f\\r]+"
+
+  /** Per-domain URL census over a document corpus — the link-profile
+    * facet of web curation: which hosts a corpus cites, how often,
+    * from how many docs, and how deep the cited paths run. Domain
+    * blocklists (q104 is term-level), spam-host down-weighting, and
+    * citation-density features all read from this table.
+    *
+    * URLs are extracted with [[UrlPattern]], the domain is the
+    * authority up to the first `/`, the path depth counts `/`
+    * segments after it — every step a RE2-safe regex or a length
+    * difference, integers end to end.
+    *
+    * Scale: scan-stage extract+explode; ONE domain-keyed aggregate
+    * (distinct doc count rides the same shuffle as a two-level
+    * partial). Output is domain-bounded, not corpus-bounded.
+    */
+  def urlDomainProfile(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val urls = df.filter(text.isNotNull)
+      .select(id.as("__id"),
+        explode(regexp_extract_all(text, lit(UrlPattern), lit(0))).as("__url"))
+      .select(col("__id"),
+        regexp_extract(col("__url"), "^https?://([^/]+)", 1).as("domain"),
+        regexp_extract(col("__url"), "^https?://[^/]+(.*)$", 1).as("__path"))
+      .filter(col("domain") =!= "")
+    urls
+      .withColumn("__depth",
+        (length(col("__path")) -
+          length(regexp_replace(col("__path"), "/", ""))).cast("long"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("__id")).as("n_docs"),
+        sum(col("__depth")).as("total_path_depth"))
+  }
 }

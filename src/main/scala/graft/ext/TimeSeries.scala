@@ -654,4 +654,57 @@ object TimeSeries {
           (col("sd_gap") - col("mean_gap")) / (col("sd_gap") + col("mean_gap")))
           .as("burstiness"))
   }
+
+  /** Rolling-median / MAD anomaly screen — the robust sibling of the
+    * mean±3σ slot screen (q194): per key, each point is compared to
+    * the MEDIAN of its trailing `window` points and flagged when it
+    * deviates by more than `k`× the window's median absolute
+    * deviation. Median/MAD don't move when the anomaly itself enters
+    * the window — the masking problem that makes mean/σ screens miss
+    * bursts of outliers — which is why process-control pipelines run
+    * the Hampel-style filter this implements.
+    *
+    * Both medians are LOWER medians (element (n+1)÷2 of the sorted
+    * window — no midpoint averaging), so the outputs are VALUES FROM
+    * THE DATA, never derived floats; the only arithmetic is the
+    * |x−med| deviations and the k·mad compare, single IEEE ops any
+    * engine rounds identically. Warm-up rows (fewer than `minPoints`
+    * in the window) never flag.
+    *
+    * Scale: one key-partitioned window; per-row state is the K-bounded
+    * frame buffer (collect_list + two in-row array sorts, O(K log K)
+    * per point with K a small constant) — no second shuffle, nothing
+    * corpus-bounded in memory.
+    */
+  def rollingMedianMad(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column,
+      window: Int,
+      k: Double = 3.0,
+      minPoints: Int = 5): DataFrame = {
+    require(window >= 2 && window <= 4096,
+      s"rollingMedianMad: window in [2, 4096] required, got $window")
+    require(minPoints >= 1 && minPoints <= window,
+      s"rollingMedianMad: 1 <= minPoints <= window required, got $minPoints")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("__tb"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val medIdx = (arr: Column) => ((size(arr) + 1) / 2).cast("int")
+    df.filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .select(key.as("key"), ts.as("ts"), tiebreak.as("__tb"),
+        value.cast("double").as("value"))
+      .withColumn("__arr", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("n_win", size(col("__arr")).cast("long"))
+      .withColumn("med", element_at(col("__arr"), medIdx(col("__arr"))))
+      .withColumn("mad",
+        element_at(
+          array_sort(transform(col("__arr"), x => abs(x - col("med")))),
+          medIdx(col("__arr"))))
+      .withColumn("is_anomaly",
+        col("n_win") >= minPoints && abs(col("value") - col("med")) > lit(k) * col("mad"))
+      .select(col("key"), col("ts"), col("__tb").as("tiebreak"), col("value"),
+        col("n_win"), col("med"), col("mad"), col("is_anomaly"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Graph, Profile, Retrieval, Sampling, TextHash}
+import graft.ext.{Graph, Profile, Retrieval, Sampling, TextHash, TimeSeries}
 import Q._
 
 /** Round-8 expansion batch: weighted graph distances, mergeable
@@ -190,6 +190,165 @@ object Frontier {
         FROM customer
         GROUP BY 1, 2
         ORDER BY c_nationkey, bal_bucket
+      """)),
+    // ----------------------------------------------------------------
+    // Quantile normalization of per-source doc lengths to the global
+    // length distribution: integer percent-ranks within each source, a
+    // 257-point exact interpolated global quantile table (the q83
+    // quantile_cont parity contract at dyadic probe points), one array
+    // lookup per row. Output values ARE global quantiles — no value
+    // arithmetic to diverge on.
+    Q(
+      "q210_quantile_norm",
+      (s, dir) => {
+        import s.implicits._
+        Profile.quantileNormalize(t(s, dir, "documents"),
+            $"doc_id", $"source", $"n_chars", resolution = 256)
+          .select(col("id").as("doc_id"), col("grp").as("source"),
+            col("value").as("n_chars"), col("p_ppm"), col("norm_value"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS value
+          FROM documents
+          WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL),
+        ranked AS (
+          SELECT doc_id, source, value,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY value, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS ns
+          FROM base),
+        e AS (
+          SELECT quantile_cont(value,
+            [${(0 to 256).map(i => (i / 256.0).toString).mkString(", ")}]) AS edges
+          FROM base),
+        p AS (
+          SELECT doc_id, source, value,
+                 CASE WHEN ns = 1 THEN 500000
+                      ELSE (rn - 1) * 1000000 // (ns - 1) END AS p_ppm
+          FROM ranked)
+        SELECT doc_id, source, value AS n_chars, CAST(p_ppm AS BIGINT) AS p_ppm,
+               edges[CAST(p_ppm * 256 // 1000000 AS INTEGER) + 1] AS norm_value
+        FROM p CROSS JOIN e ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Rolling-median / MAD (Hampel-style) anomaly screen over each
+    // user's event-value series: trailing-15 window, lower medians
+    // (values from the data, never derived floats), 3×MAD flag with a
+    // 5-point warm-up. The robust complement of q194's mean±3σ slots.
+    Q(
+      "q211_rolling_mad",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.rollingMedianMad(t(s, dir, "events"),
+            $"user_id", $"ts", $"value", $"event_id", window = 15)
+          .select(col("key").as("user_id"), tstr(col("ts")).as("ts"),
+            col("tiebreak").as("event_id"), col("value"), col("n_win"),
+            col("med"), col("mad"), col("is_anomaly"))
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT user_id AS key, ts, event_id, CAST(value AS DOUBLE) AS value
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        l AS (
+          SELECT key, ts, event_id, value,
+                 list(value) OVER (PARTITION BY key ORDER BY ts, event_id
+                   ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS arr
+          FROM base),
+        m AS (SELECT *, list_sort(arr) AS sa, len(arr) AS n FROM l),
+        m2 AS (SELECT *, sa[(n + 1) // 2] AS med FROM m),
+        m3 AS (SELECT *,
+                 list_sort(list_transform(sa, x -> abs(x - med))) AS dv
+               FROM m2)
+        SELECT key AS user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+               value, CAST(n AS BIGINT) AS n_win, med, dv[(n + 1) // 2] AS mad,
+               (n >= 5 AND abs(value - med) > 3.0 * mad) AS is_anomaly
+        FROM m3
+        ORDER BY user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
+      """)),
+    // ----------------------------------------------------------------
+    // Readability profile: Flesch Reading Ease in integer millipoints
+    // from RE2-safe counts (vowel-group syllables, terminal-
+    // punctuation sentences), plus the banded label. Scan-stage only.
+    Q(
+      "q212_readability",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.TextAnalysis.readability(t(s, dir, "documents"),
+            $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS BIGINT) AS n_sents,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syll
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT doc_id, n_words, n_sents, n_syll,
+                 CASE WHEN n_words > 0
+                      THEN 206835 - (1015 * n_words // n_sents)
+                                  - (84600 * n_syll // n_words) END AS fre_milli
+          FROM m)
+        SELECT doc_id, n_words, n_sents, n_syll, CAST(fre_milli AS BIGINT) AS fre_milli,
+               CASE WHEN fre_milli IS NULL THEN NULL
+                    WHEN fre_milli >= 90000 THEN 'very_easy'
+                    WHEN fre_milli >= 70000 THEN 'easy'
+                    WHEN fre_milli >= 50000 THEN 'standard'
+                    WHEN fre_milli >= 30000 THEN 'difficult'
+                    ELSE 'very_difficult' END AS band
+        FROM f ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Per-domain URL census with PLANTED links (the q198/q199 planting
+    // pattern — the synthetic corpus has no URLs of its own): a
+    // deterministic doc subset gets example.com / cdn.example.com /
+    // data.example.org links appended, and the census must count
+    // URLs, citing docs, and path depths exactly.
+    Q(
+      "q213_url_domains",
+      (s, dir) => {
+        import s.implicits._
+        val planted = when($"doc_id" % 5 === 0,
+            concat($"text",
+              lit(" ref https://example.com/a/b/c and https://cdn.example.com/x.png")))
+          .when($"doc_id" % 5 === 1,
+            concat($"text", lit(" see http://data.example.org/d")))
+          .when($"doc_id" % 5 === 2, concat($"text", lit(" home https://example.com/")))
+          .otherwise($"text")
+        val src = t(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id", planted.as("text"))
+        graft.ext.TextAnalysis.urlDomainProfile(src, $"doc_id", $"text")
+          .orderBy($"domain")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text ||
+                        ' ref https://example.com/a/b/c and https://cdn.example.com/x.png'
+                      WHEN doc_id % 5 = 1 THEN text || ' see http://data.example.org/d'
+                      WHEN doc_id % 5 = 2 THEN text || ' home https://example.com/'
+                      ELSE text END AS t
+          FROM documents WHERE text IS NOT NULL),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(t, '${graft.ext.TextAnalysis.UrlPattern}'))
+                   AS url
+          FROM src),
+        d AS (
+          SELECT doc_id,
+                 regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+                 regexp_extract(url, '^https?://[^/]+(.*)$$', 1) AS path
+          FROM u)
+        SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(SUM(len(path) - len(replace(path, '/', ''))) AS BIGINT)
+                 AS total_path_depth
+        FROM d WHERE domain <> '' GROUP BY 1 ORDER BY domain
       """))
   )
 }

@@ -116,4 +116,74 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       Profile.kAnonymityAudit(rows, Seq(col("q1")), col("s"), k = 3, l = 4)
     }
   }
+
+  test("quantileNormalize: hand distributions map to global quantiles; singleton at median") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 5.0), ("b", 6L, 100.0))
+      .toDF("g", "id", "v")
+    val out = Profile.quantileNormalize(rows, col("id"), col("g"), col("v"),
+        resolution = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    // global sorted = [1,2,3,4,5,100]; quantile_cont at (0,.25,.5,.75,1)
+    // = [1, 2.25, 3.5, 4.75, 100]
+    assert(out(1L) == ((0L, 1.0)))
+    assert(out(2L) == ((250000L, 2.25)))
+    assert(out(3L) == ((500000L, 3.5)))
+    assert(out(4L) == ((750000L, 4.75)))
+    assert(out(5L) == ((1000000L, 100.0)))
+    assert(out(6L) == ((500000L, 3.5))) // singleton group -> global median
+    intercept[IllegalArgumentException] {
+      Profile.quantileNormalize(rows, col("id"), col("g"), col("v"), resolution = 100)
+    }
+  }
+
+  test("rollingMedianMad: spike flags against an unmoved median; warm-up never flags") {
+    import spark.implicits._
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 100.0, 10.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+    }.toDF("k", "ts", "eid", "v")
+    val out = TimeSeries.rollingMedianMad(rows, col("k"), col("ts"), col("v"),
+        col("eid"), window = 5)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    // the spike: window [10,10,10,10,100] -> med 10, devs [0,0,0,0,90] -> mad 0
+    assert(out(5L) == ((5L, 10.0, 0.0, true)))
+    // after it: window [10,10,10,100,10] sorted same -> med 10, mad 0; value 10 normal
+    assert(out(6L) == ((5L, 10.0, 0.0, false)))
+    // warm-up: fewer than minPoints in window -> never flags
+    assert((0L to 3L).forall(i => !out(i)._4 && out(i)._1 == i + 1))
+  }
+
+  test("readability: hand counts and banding; zero-word doc is null; scan-stage plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat. It ran!"), (2L, ""))
+      .toDF("id", "txt")
+    val df = TextAnalysis.readability(docs, col("id"), col("txt"))
+    val out = df.collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5 && r1.getLong(2) == 2 && r1.getLong(3) == 5)
+    // 206835 - 1015*5 div 2 - 84600*5 div 5 = 206835 - 2537 - 84600
+    assert(r1.getLong(4) == 119698L && r1.getString(5) == "very_easy")
+    assert(out(2L).getLong(1) == 0 && out(2L).isNullAt(4) && out(2L).isNullAt(5))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("urlDomainProfile: domain counts, distinct docs, path depths; no-URL docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://a.example/x/y and https://a.example/z plus http://b.example"),
+      (2L, "again https://a.example/only"),
+      (3L, "no links at all"))
+      .toDF("id", "txt")
+    val out = TextAnalysis.urlDomainProfile(docs, col("id"), col("txt"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a.example") == ((3L, 2L, 4L))) // depths 2 + 1 + 1
+    assert(out("b.example") == ((1L, 1L, 0L))) // no path
+    assert(out.size == 2)
+  }
 }
