@@ -591,6 +591,82 @@ object Graph {
     } finally freeIds(sc, bidirIds)
   }
 
+  /** Personalized (topic-sensitive) PageRank — Haveliwala WWW'02: the
+    * restart mass lands ONLY on the seed set instead of uniformly, so
+    * ranks measure proximity to the seeds rather than global
+    * centrality ("importance from the point of view of these nodes" —
+    * the related-entity / trust-propagation primitive). Same exact
+    * integer rank-unit arithmetic as [[pageRank]] (every round's
+    * state is a long per node, floor divisions only, so an external
+    * engine replays it bit-for-bit), same cadence checkpoint; the
+    * only differences are r₀ = rankUnit/|S| on seeds (0 elsewhere)
+    * and the (1−d) restart term being seed-gated.
+    *
+    * Scale: identical to [[pageRank]] — per round one keyed join of
+    * edges against ranks plus one destination-keyed sum; seed
+    * membership is a broadcast-sized boolean join.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      dampPpm: Long = 850000L,
+      rankUnit: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"personalizedPageRank: iters in [1,50], got $iters")
+    require(dampPpm >= 0L && dampPpm <= 1000000L,
+      s"personalizedPageRank: dampPpm in [0, 1e6], got $dampPpm")
+    val sc = edges.sparkSession.sparkContext
+    val e = checkpointTracked(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .distinct())._1
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val sd = seeds.select(col(seedCol).as("__src")).distinct()
+      .join(deg.select(col("__src")), Seq("__src"), "left_semi")
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
+    require(rankUnit / nSeeds >= 100L,
+      s"personalizedPageRank: rankUnit=$rankUnit gives only ${rankUnit / nSeeds} units " +
+        s"per seed for $nSeeds seeds (need >= 100); raise rankUnit")
+    val seedMark = broadcast(sd.select(col("__src").as("node"), lit(1L).as("__seed")))
+    val baseS = (rankUnit / 1000000L * (1000000L - dampPpm)) / nSeeds
+    var r = deg.select(col("__src").as("node"))
+      .join(seedMark, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(rankUnit / nSeeds)).otherwise(lit(0L))
+          .as("rank_ppm"))
+    var ckIds = Set.empty[Int]
+    try {
+      for (i <- 1 to iters) {
+        val inflow = e
+          .join(r.withColumnRenamed("node", "__src"), "__src")
+          .join(deg, "__src")
+          .select(col("__dst"), expr("rank_ppm div __deg").as("__c"))
+          .groupBy(col("__dst"))
+          .agg(sum(col("__c")).as("__s"))
+        r = deg.select(col("__src").as("node"))
+          .join(inflow.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+          .join(seedMark, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("__seed").isNotNull, lit(baseS)).otherwise(lit(0L)) +
+              expr(s"${dampPpm}L * coalesce(__s, 0L) div 1000000L"))
+              .as("rank_ppm"))
+        if (i % 5 == 0 && i < iters) {
+          val (ck, ids) = checkpointTracked(r)
+          ck.count()
+          freeIds(sc, ckIds)
+          ckIds = ids
+          r = ck
+        }
+      }
+      r
+    } catch {
+      case t: Throwable => freeIds(sc, ckIds); throw t
+    }
+  }
+
   /** Hop-bounded single-source shortest paths over a weighted
     * undirected edge list — Bellman–Ford with the frontier (delta)
     * optimization: round h relaxes only edges incident to nodes whose

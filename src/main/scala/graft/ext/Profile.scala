@@ -952,6 +952,91 @@ object Profile {
     * (Spark plans count(distinct) as expand + two aggregates, still
     * class-keyed). Nothing is quadratic, nothing collects.
     */
+  /** Order-independent dataset fingerprint — content-level
+    * reconciliation between systems: per group, the XOR of md5-derived
+    * row hashes plus row count and hash extrema. XOR is commutative/
+    * associative with no overflow, so the fingerprint is independent
+    * of partitioning, ordering, and engine — two sides of a sync
+    * (source DB vs warehouse, yesterday vs today, Spark vs anything
+    * that can md5) agree iff the row MULTISETS agree up to pairs of
+    * identical rows (an even number of copies of the same row XORs
+    * out — the count column catches that case). This is the
+    * content-level upgrade of the reference's count-only verify
+    * protocol (`sync.py:90-121` counts rows; this fingerprints them).
+    *
+    * Callers pass the row rendering (`rowRepr`) — a deterministic
+    * string built from STABLE renderings only (longs, formatted
+    * timestamps, scaled-integer decimals; never raw double→string,
+    * whose shortest-round-trip formatting differs across engines).
+    *
+    * Scale: ONE group-keyed aggregate; XOR/min/max/count all combine
+    * map-side. The fingerprint relation is group-bounded and itself
+    * mergeable (XOR of XORs), so per-partition fingerprints roll up
+    * without a rescan — the incremental-audit property.
+    */
+  def datasetFingerprint(
+      df: DataFrame,
+      group: Column,
+      rowRepr: Column): DataFrame = {
+    df.select(group.as("grp"), graft.ext.TextHash.hash64(rowRepr).as("__h"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_fp"),
+        min(col("__h")).as("min_hash"),
+        max(col("__h")).as("max_hash"))
+  }
+
+  /** Calibration curve (reliability diagram) for an integer-scored
+    * classifier: rank the evaluation rows by score, cut them into
+    * `buckets` equal-depth bins, and report per bin the support,
+    * empirical accuracy (ppm), and mean score — the table that says
+    * whether "the model scored this high" actually means "the model
+    * is right this often" (Naive Bayes q201 is famously confident;
+    * this quantifies by how much). All integer: bin =
+    * `(rn−1)·B div n`, accuracy and mean score are floor divisions.
+    *
+    * Contract: the input is an EVALUATION set (thousands of rows, not
+    * a corpus) — ranking uses one global window, the same bounded-
+    * list contract as [[Retrieval.rrfFuse]], enforced by
+    * `maxEvalSize` in-plan (raise_error, not a silent cap).
+    */
+  def calibrationCurve(
+      df: DataFrame,
+      score: Column,
+      correct: Column,
+      tiebreak: Column,
+      buckets: Int = 10,
+      maxEvalSize: Long = 10000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"calibrationCurve: buckets in [2, 1000] required, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val guarded = df.crossJoin(
+      broadcast(df.agg(count(lit(1)).as("__sz"))
+        .select(col("__sz"),
+          when(col("__sz") <= maxEvalSize, lit(1L))
+            .otherwise(raise_error(concat(lit(
+              s"calibrationCurve: eval set exceeds maxEvalSize=$maxEvalSize (size="),
+              col("__sz"), lit(")")))).as("__ok"))))
+    guarded
+      .select(score.cast("long").as("__score"),
+        correct.cast("boolean").as("__correct"), tiebreak.as("__tb"),
+        col("__sz"), col("__ok"))
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__score"), col("__tb"))) * col("__ok"))
+      .withColumn("bucket", expr(s"(__rn - 1) * $buckets div __sz"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__correct"), 1L).otherwise(0L)).as("n_correct"),
+        min(col("__score")).as("min_score"),
+        max(col("__score")).as("max_score"),
+        sum(col("__score")).as("__ssum"))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000L div n"))
+      .withColumn("mean_score", expr("__ssum div n"))
+      .drop("__ssum")
+  }
+
   /** Quantile normalization across groups (the microarray-era Bolstad
     * '03 method, distribution-matching generally): replace each value
     * by the GLOBAL quantile at its within-group percentile, so every

@@ -676,6 +676,58 @@ object TimeSeries {
     * per point with K a small constant) — no second shuffle, nothing
     * corpus-bounded in memory.
     */
+  /** SAX-style symbolization (Lin/Keogh DMKD'07, with data-driven
+    * breakpoints): per key, the value series in time order is cut
+    * into fixed-length segments, each segment reduced to its PAA mean
+    * (Piecewise Aggregate Approximation — the exact-decimal mean, the
+    * repo's reproducible-sum contract), and each mean discretized
+    * into one of four symbols a–d by the GLOBAL PAA quartiles. The
+    * classic SAX uses Gaussian breakpoints on a z-normalized series;
+    * the quartile variant keeps every number an exact percentile of
+    * real data (the q83 parity contract) — equal-probability symbols
+    * without assuming normality, and nothing an external engine can't
+    * replay. Downstream, symbol words feed motif counting, anomaly
+    * grammars, and cheap series similarity (symbols match ⇒ PAA
+    * distance bounded — the SAX lower-bounding idea).
+    *
+    * Scale: one key-ordered window (row index), one (key, segment)
+    * aggregate on the same partitioning, one 1-row broadcast of the
+    * three breakpoints. Exact `percentile` carries q83's bounded-
+    * domain caveat; swap approx_percentile past that.
+    */
+  def saxSymbols(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tiebreak: Column,
+      segLen: Int): DataFrame = {
+    require(segLen >= 2 && segLen <= 65536,
+      s"saxSymbols: segLen in [2, 65536] required, got $segLen")
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("key")).orderBy(col("__ts"), col("__tb"))
+    val paa = df.filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .select(key.as("key"), ts.as("__ts"), tiebreak.as("__tb"),
+        value.cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("segment", expr(s"(__rn - 1) div $segLen"))
+      .groupBy(col("key"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        (sum(col("__v").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1)).cast("double")).as("paa"))
+    val bps = paa.agg(
+      percentile(col("paa"), lit(0.25)).as("__b1"),
+      percentile(col("paa"), lit(0.5)).as("__b2"),
+      percentile(col("paa"), lit(0.75)).as("__b3"))
+    paa.crossJoin(broadcast(bps))
+      .select(col("key"), col("segment"), col("n_points"), col("paa"),
+        when(col("paa") <= col("__b1"), "a")
+          .when(col("paa") <= col("__b2"), "b")
+          .when(col("paa") <= col("__b3"), "c")
+          .otherwise("d").as("symbol"))
+  }
+
   def rollingMedianMad(
       df: DataFrame,
       key: Column,

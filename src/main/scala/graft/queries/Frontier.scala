@@ -349,6 +349,140 @@ object Frontier {
                CAST(SUM(len(path) - len(replace(path, '/', ''))) AS BIGINT)
                  AS total_path_depth
         FROM d WHERE domain <> '' GROUP BY 1 ORDER BY domain
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Order-independent dataset fingerprint per order status: XOR of
+    // md5 row hashes + count + hash extrema. The row rendering uses
+    // only stable formats (longs, cent-scaled price, formatted
+    // timestamp) — never raw double→string. The content-level upgrade
+    // of the reference's count-only reconciliation.
+    Q(
+      "q214_dataset_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val repr = concat_ws("\u0001",
+          $"o_orderkey".cast("string"),
+          $"o_custkey".cast("string"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").cast("string"),
+          tstr($"o_orderdate"),
+          $"o_orderpriority")
+        Profile.datasetFingerprint(t(s, dir, "orders"), $"o_orderstatus", repr)
+          .select(col("grp").as("o_orderstatus"), col("n_rows"), col("xor_fp"),
+            col("min_hash"), col("max_hash"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT o_orderstatus,
+                 ${OracleSql.hash64(
+                   "concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), " +
+                   "CAST(o_custkey AS VARCHAR), " +
+                   "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), " +
+                   "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)")}
+                   AS h
+          FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               bit_xor(h) AS xor_fp, MIN(h) AS min_hash, MAX(h) AS max_hash
+        FROM h GROUP BY 1 ORDER BY o_orderstatus
+      """)),
+    // ----------------------------------------------------------------
+    // SAX symbolization of each user's event-value series: trailing
+    // row index → 8-point segments → exact-decimal PAA means →
+    // global-quartile symbols a–d (the q83 percentile parity
+    // contract). Feeds motif counting and cheap series similarity.
+    Q(
+      "q216_sax_symbols",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.saxSymbols(t(s, dir, "events"),
+            $"user_id", $"ts", $"value", $"event_id", segLen = 8)
+          .select(col("key").as("user_id"), col("segment"), col("n_points"),
+            col("paa"), col("symbol"))
+          .orderBy($"user_id", $"segment")
+      },
+      Some("""
+        WITH base AS (
+          SELECT user_id AS key, ts, event_id, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        r AS (
+          SELECT key, v,
+                 (ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, event_id) - 1)
+                   // 8 AS segment
+          FROM base),
+        paa AS (
+          SELECT key, segment, COUNT(*) AS n_points,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS paa
+          FROM r GROUP BY 1, 2),
+        b AS (
+          SELECT quantile_cont(paa, 0.25) AS b1, quantile_cont(paa, 0.5) AS b2,
+                 quantile_cont(paa, 0.75) AS b3
+          FROM paa)
+        SELECT key AS user_id, segment, CAST(n_points AS BIGINT) AS n_points, paa,
+               CASE WHEN paa <= b1 THEN 'a' WHEN paa <= b2 THEN 'b'
+                    WHEN paa <= b3 THEN 'c' ELSE 'd' END AS symbol
+        FROM paa CROSS JOIN b ORDER BY user_id, segment
+      """)),
+    // ----------------------------------------------------------------
+    // Personalized PageRank from the three lowest suppliers over the
+    // q123 customer↔supplier trade graph: restart mass on the seeds
+    // only, 3 damped iterations of exact rank-unit integers. Ranks
+    // measure proximity to the seed suppliers, not global centrality
+    // — compare q123's uniform restart on the same graph.
+    Q(
+      "q217_personalized_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val pair = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select(concat(lit("c"), $"o_custkey".cast("string")).as("a"),
+            concat(lit("s"), $"l_suppkey".cast("string")).as("b"))
+          .distinct()
+        val edges = pair.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(pair.select($"b".as("src"), $"a".as("dst")))
+        val seeds = t(s, dir, "supplier").filter($"s_suppkey" <= 3)
+          .select(concat(lit("s"), $"s_suppkey".cast("string")).as("sid"))
+        Graph.personalizedPageRank(edges, "src", "dst", seeds, "sid",
+            iters = 3, rankUnit = 1000000000L)
+          .orderBy($"node")
+      },
+      Some {
+        def round(i: Int) = s"""
+          i$i AS (
+            SELECT e.dst AS node, CAST(SUM(r.r // deg.d) AS BIGINT) AS s
+            FROM e JOIN r${i - 1} r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+            GROUP BY e.dst),
+          r$i AS (
+            SELECT deg.src AS node,
+                   CAST(CASE WHEN sd.node IS NOT NULL
+                             THEN (1000000000 // 1000000 * 150000) // ns.n
+                             ELSE 0 END
+                        + (850000 * COALESCE(i$i.s, 0)) // 1000000 AS BIGINT) AS r
+            FROM deg CROSS JOIN ns
+                 LEFT JOIN sd ON deg.src = sd.node
+                 LEFT JOIN i$i ON deg.src = i$i.node)"""
+        s"""
+        WITH pair AS (
+          SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                          's' || CAST(l.l_suppkey AS VARCHAR) AS b
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        e AS (SELECT a AS src, b AS dst FROM pair
+              UNION SELECT b AS src, a AS dst FROM pair),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+               FROM supplier WHERE s_suppkey <= 3),
+        ns AS (SELECT COUNT(*) AS n FROM sd JOIN deg ON sd.node = deg.src),
+        r0 AS (SELECT deg.src AS node,
+                      CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000000 // ns.n
+                                ELSE 0 END AS BIGINT) AS r
+               FROM deg CROSS JOIN ns LEFT JOIN sd ON deg.src = sd.node),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+        SELECT node, r AS rank_ppm FROM r3 ORDER BY node
+        """
+      })
   )
 }

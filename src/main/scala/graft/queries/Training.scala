@@ -570,6 +570,54 @@ object Training {
         l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT s AS id FROM bid)),
         ${(1 to 4).map(lpRoundSql).mkString(",\n")}
         SELECT id AS node, lbl AS community FROM l4 ORDER BY node
+      """)),
+    // ----------------------------------------------------------------
+    // Calibration curve for the q201 Naive Bayes scores: held-out
+    // predictions joined to truth, ranked by winning score, cut into
+    // 10 equal-depth bins — per bin the support, empirical accuracy
+    // (ppm) and score stats, all integer floor-divisions. The oracle
+    // shares the NB CTE chain and replays the rank/bin arithmetic.
+    Q(
+      "q215_nb_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pred = graft.ext.LangModel.naiveBayesClassify(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1),
+          $"lang", $"doc_id", $"text")
+        val joined = pred.join(
+            docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"lang"),
+            Seq("doc_id"))
+          .filter($"lang".isNotNull)
+        graft.ext.Profile.calibrationCurve(joined,
+            $"score_ppb", $"predicted" === $"lang", $"doc_id", buckets = 10)
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        WITH $NbChainSql,
+        nbsc AS (
+          SELECT doc_id, y AS predicted, score_ppb
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score_ppb DESC, y) AS rn FROM percls)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT p.doc_id, p.score_ppb AS sc, (p.predicted = d.lang) AS ok
+          FROM nbsc p JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL),
+        tot AS (SELECT COUNT(*) AS sz FROM pairs),
+        rk AS (
+          SELECT sc, ok,
+                 (ROW_NUMBER() OVER (ORDER BY sc, doc_id) - 1) * 10 // sz AS bucket
+          FROM pairs CROSS JOIN tot)
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(MIN(sc) AS BIGINT) AS min_score,
+               CAST(MAX(sc) AS BIGINT) AS max_score,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                 AS BIGINT) AS accuracy_ppm,
+               CAST(CAST(SUM(sc) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_score
+        FROM rk GROUP BY 1 ORDER BY bucket
       """))
   )
 }

@@ -186,4 +186,70 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("b.example") == ((1L, 1L, 0L))) // no path
     assert(out.size == 2)
   }
+
+  test("personalizedPageRank: hand path graph, exact integers; off-graph seed ignored") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("id") // 99 not in the graph
+    val r = Graph.personalizedPageRank(edges, "s", "d", seeds, "id", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // nSeeds=1; r0 = (1e6, 0, 0); baseS = 150000
+    // r1 = (150000, 850000, 0)
+    // r2: inflow(1) = 850000/2 -> 150000 + 850000*425000/1e6 = 511250
+    //     inflow(2) = 150000/1 -> 0 + 127500; inflow(3) = 425000 -> 361250
+    assert(r == Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "s", "d", Seq(99L).toDF("id"), "id", 2)
+    }
+  }
+
+  test("datasetFingerprint: XOR matches a driver-side replay; identical-pair caveat shows in count") {
+    import spark.implicits._
+    val rows = Seq(("g1", "r1"), ("g1", "r2"), ("g1", "r3"),
+      ("g2", "same"), ("g2", "same")).toDF("g", "repr")
+    val out = Profile.datasetFingerprint(rows, col("g"), col("repr"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val h = Seq("r1", "r2", "r3").map(TextHash.hash64Local(_))
+    assert(out("g1") == ((3L, h.reduce(_ ^ _), h.min, h.max)))
+    // two identical rows XOR to 0 — the count column is the tell
+    val hs = TextHash.hash64Local("same")
+    assert(out("g2") == ((2L, 0L, hs, hs)))
+  }
+
+  test("calibrationCurve: equal-depth bins with integer accuracy/means; size guard raises") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => (i.toLong, i.toLong, i >= 6)).toDF("id", "sc", "ok")
+    val out = Profile.calibrationCurve(rows, col("sc"), col("ok"), col("id"),
+        buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out(0L) == ((5L, 0L, 1L, 5L, 0L, 3L)))
+    assert(out(1L) == ((5L, 5L, 6L, 10L, 1000000L, 8L)))
+    val ex = intercept[Exception] {
+      Profile.calibrationCurve(rows, col("sc"), col("ok"), col("id"),
+        buckets = 2, maxEvalSize = 5L).collect()
+    }
+    assert(ex.getMessage.contains("maxEvalSize"), ex.getMessage)
+  }
+
+  test("saxSymbols: PAA means and quartile symbols on a hand series") {
+    import spark.implicits._
+    def series(k: Long, vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (k, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+    }
+    val rows = (series(1L, Seq(1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0,
+      9.0, 9.0, 9.0, 9.0)) ++ series(2L, Seq(5.0, 5.0, 5.0, 5.0)))
+      .toDF("k", "ts", "eid", "v")
+    val out = TimeSeries.saxSymbols(rows, col("k"), col("ts"), col("v"),
+        col("eid"), segLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    // PAA set {1,2,9,5}; quartiles of [1,2,5,9] = (1.75, 3.5, 6.0)
+    assert(out((1L, 0L)) == ((4L, 1.0, "a")))
+    assert(out((1L, 1L)) == ((4L, 2.0, "b")))
+    assert(out((1L, 2L)) == ((4L, 9.0, "d")))
+    assert(out((2L, 0L)) == ((4L, 5.0, "c")))
+  }
 }
