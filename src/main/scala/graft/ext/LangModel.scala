@@ -176,10 +176,14 @@ object LangModel {
     * fanout a broadcast of the tiny class relation; one per-(doc,
     * class) aggregate and one per-doc argmax window.
     *
-    * Output: (doc_id, predicted, score_ppb, n_tokens) — one row per
-    * scored doc with non-null text.
+    * Output: [[naiveBayesScores]] is the full per-class table
+    * (doc_id, y, n_tokens, score_ppb) — one row per (scored doc with
+    * non-null text, class) — for score-consuming evaluations
+    * (one-vs-rest AUC, per-class calibration); [[naiveBayesClassify]]
+    * reduces it to the per-doc argmax row
+    * (doc_id, predicted, score_ppb, n_tokens).
     */
-  def naiveBayesClassify(
+  def naiveBayesScores(
       train: DataFrame, score: DataFrame,
       label: Column, id: Column, text: Column): DataFrame = {
     val trainToks = train
@@ -219,9 +223,16 @@ object LangModel {
         coalesce(col("__n"), lit(0L)).as("n_tokens"),
         expr("(__prior_ppb + coalesce(__sum, 0L)) div (coalesce(__n, 0L) + 1L)")
           .as("score_ppb"))
+    perClass
+      .select(col("doc_id"), col("y"), col("n_tokens"), col("score_ppb"))
+  }
+
+  def naiveBayesClassify(
+      train: DataFrame, score: DataFrame,
+      label: Column, id: Column, text: Column): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppb").desc, col("y"))
-    perClass
+    naiveBayesScores(train, score, label, id, text)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("y").as("predicted"),

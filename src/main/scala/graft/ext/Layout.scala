@@ -63,6 +63,30 @@ object Layout {
     * sort that feeds the writer directly. That is the same shuffle any
     * global sort pays; the interleave itself is free arithmetic.
     */
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar '98, the consistent-placement scheme behind cache
+    * rings and shard maps: a key goes to the shard whose
+    * `hash(shard:key)` is highest. The property that matters: when a
+    * shard is ADDED, a key either stays put or moves TO the new shard
+    * (its old winner's hash didn't change — only a new, higher hash
+    * can take over), so a k→k+1 resize relocates ~1/(k+1) of keys
+    * instead of the (k−1)/k a modulo partitioner reshuffles.
+    *
+    * Pure scan-stage Column arithmetic: |shards| md5 hashes and one
+    * lexicographic array_max per row — no shuffle, no state, engine-
+    * replayable (ties, were a 60-bit collision ever to happen, break
+    * to the lexicographically largest shard name on both sides).
+    */
+  def rendezvousShard(key: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      s"rendezvousShard: non-empty distinct shard names required, got $shards")
+    array_max(array(shards.map { s =>
+      struct(
+        TextHash.hash64(concat(lit(s), lit(":"), key.cast("string"))).as("h"),
+        lit(s).as("shard"))
+    }: _*)).getField("shard")
+  }
+
   def zorderLayout(
       df: DataFrame, cols: Seq[String], numFiles: Int, bitsPer: Int = 16): DataFrame = {
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>

@@ -987,6 +987,56 @@ object Profile {
         max(col("__h")).as("max_hash"))
   }
 
+  /** Exact tie-aware ROC AUC via the Mann–Whitney rank identity:
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). Computed WITHOUT
+    * the quadratic positive×negative join: group rows by distinct
+    * score, one ascending window for cumulative negatives, then
+    * Σ n⁺(s)·(2·neg_below(s) + neg_equal(s)) — twice the U statistic,
+    * kept ×2 so ties stay integral. `auc_ppm = auc_x2·10⁶ div
+    * (2·n⁺·n⁻)`; one output row (n_pos, n_neg, auc_x2, auc_ppm —
+    * null when a class is empty). Everything is a long, so the number
+    * is engine-exact including tie handling (where a row_number-based
+    * "AUC" would silently depend on the tiebreak).
+    *
+    * Contract: an EVALUATION operator — the window orders the
+    * distinct-score relation, bounded by score cardinality ≤ eval
+    * size (the [[calibrationCurve]] contract), enforced in-plan by
+    * `maxDistinctScores`; the ×10⁶ numerator stays in longs for eval
+    * sets under ~4·10⁶ rows.
+    */
+  def aucExact(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      maxDistinctScores: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("long").as("__s"), label.cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+    val guarded = g.crossJoin(broadcast(
+      g.agg(count(lit(1)).as("__k"))
+        .select(when(col("__k") <= maxDistinctScores, lit(1L))
+          .otherwise(raise_error(concat(lit(
+            s"aucExact: distinct scores exceed maxDistinctScores=$maxDistinctScores " +
+              "— this is an evaluation operator, not a corpus one (count="),
+            col("__k"), lit(")")))).as("__ok"))))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    guarded
+      .withColumn("__cumn", sum(col("__nn")).over(w) * col("__ok"))
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * (col("__cumn") - col("__nn")) + col("__nn")))
+          .as("auc_x2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_x2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("auc_x2 * 1000000L div (2L * n_pos * n_neg)")).as("auc_ppm"))
+  }
+
   /** Calibration curve (reliability diagram) for an integer-scored
     * classifier: rank the evaluation rows by score, cut them into
     * `buckets` equal-depth bins, and report per bin the support,

@@ -483,6 +483,49 @@ object Frontier {
         ${round(3)}
         SELECT node, r AS rank_ppm FROM r3 ORDER BY node
         """
+      }),
+    // ----------------------------------------------------------------
+    // Rendezvous (HRW) sharding stability: assign every doc under 4
+    // shards and under 5, report the transition matrix — and the HRW
+    // guarantee as a SELF-VERIFYING column: a doc either stays put or
+    // moves to the NEW shard (valid_move), never between old shards.
+    Q(
+      "q219_rendezvous_shards",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            graft.ext.Layout.rendezvousShard($"doc_id",
+              (0 until 4).map(i => s"n$i")).as("shard_before"),
+            graft.ext.Layout.rendezvousShard($"doc_id",
+              (0 until 5).map(i => s"n$i")).as("shard_after"))
+          .groupBy($"shard_before", $"shard_after")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("valid_move",
+            $"shard_before" === $"shard_after" || $"shard_after" === "n4")
+          .orderBy($"shard_before", $"shard_after")
+      },
+      Some {
+        def assign(cte: String, tbl: String, as: String) = s"""
+          $cte AS (
+            SELECT doc_id, shard AS $as FROM (
+              SELECT i.doc_id, s.shard,
+                     ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY
+                       ${OracleSql.hash64("(s.shard || ':' || CAST(i.doc_id AS VARCHAR))")}
+                       DESC, s.shard DESC) AS rn
+              FROM ids i CROSS JOIN $tbl s)
+            WHERE rn = 1)"""
+        s"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        sh4(shard) AS (VALUES ('n0'), ('n1'), ('n2'), ('n3')),
+        sh5(shard) AS (VALUES ('n0'), ('n1'), ('n2'), ('n3'), ('n4')),
+        ${assign("a4", "sh4", "shard_before")},
+        ${assign("a5", "sh5", "shard_after")}
+        SELECT shard_before, shard_after, COUNT(*) AS n_docs,
+               (shard_before = shard_after OR shard_after = 'n4') AS valid_move
+        FROM a4 JOIN a5 USING (doc_id)
+        GROUP BY 1, 2 ORDER BY shard_before, shard_after
+        """
       })
   )
 }

@@ -618,6 +618,48 @@ object Training {
                  AS BIGINT) AS accuracy_ppm,
                CAST(CAST(SUM(sc) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_score
         FROM rk GROUP BY 1 ORDER BY bucket
+      """)),
+    // ----------------------------------------------------------------
+    // Exact tie-aware one-vs-rest AUC for the q201 scores: "is this
+    // doc English", scored by the NB en-class ppb score. Mann–Whitney
+    // rank identity over distinct-score groups — ×2 integers so ties
+    // stay exact; the oracle replays the identical cumulative window.
+    Q(
+      "q218_nb_auc",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val scores = graft.ext.LangModel.naiveBayesScores(
+            docs.filter($"doc_id" % 2 === 0),
+            docs.filter($"doc_id" % 2 === 1),
+            $"lang", $"doc_id", $"text")
+          .filter($"y" === "en")
+        val joined = scores.join(
+            docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"lang"),
+            Seq("doc_id"))
+          .filter($"lang".isNotNull)
+        graft.ext.Profile.aucExact(joined, $"score_ppb", $"lang" === "en")
+      },
+      Some(s"""
+        WITH $NbChainSql,
+        en AS (SELECT doc_id, score_ppb FROM percls WHERE y = 'en'),
+        pairs AS (
+          SELECT e.score_ppb AS s, (d.lang = 'en') AS y
+          FROM en e JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL),
+        g AS (
+          SELECT s, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+                 SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          FROM pairs GROUP BY s),
+        c AS (
+          SELECT *, SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cumn
+          FROM g)
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2 * (cumn - nn) + nn)) AS BIGINT) AS auc_x2,
+               CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+                    THEN SUM(np * (2 * (cumn - nn) + nn)) * 1000000
+                         // (2 * SUM(np) * SUM(nn)) END AS BIGINT) AS auc_ppm
+        FROM c
       """))
   )
 }

@@ -252,4 +252,65 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((1L, 2L)) == ((4L, 9.0, "d")))
     assert(out((2L, 0L)) == ((4L, 5.0, "c")))
   }
+
+  test("aucExact: hand ties, perfect separation, degenerate class, size guard") {
+    import spark.implicits._
+    // pos {3,2}, neg {1,2}: 3 clean wins + one tie -> AUC 3.5/4
+    val mixed = Seq((3L, true), (2L, true), (1L, false), (2L, false)).toDF("sc", "y")
+    val r = Profile.aucExact(mixed, col("sc"), col("y")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 7 && r.getLong(3) == 875000L)
+    val perfect = Seq((10L, true), (9L, true), (1L, false)).toDF("sc", "y")
+    assert(Profile.aucExact(perfect, col("sc"), col("y"))
+      .collect().head.getLong(3) == 1000000L)
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("sc", "y")
+    assert(Profile.aucExact(onlyPos, col("sc"), col("y")).collect().head.isNullAt(3))
+    val big = (1 to 100).map(i => (i.toLong, i % 2 == 0)).toDF("sc", "y")
+    val ex = intercept[Exception] {
+      Profile.aucExact(big, col("sc"), col("y"), maxDistinctScores = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxDistinctScores"), ex.getMessage)
+  }
+
+  test("rendezvousShard: matches a driver-side argmax replay; k->k+1 moves only TO the new shard") {
+    import spark.implicits._
+    val s4 = (0 until 4).map(i => s"n$i")
+    val s5 = (0 until 5).map(i => s"n$i")
+    val df = (1L to 500L).toDF("id")
+      .select(col("id"),
+        Layout.rendezvousShard(col("id"), s4).as("b4"),
+        Layout.rendezvousShard(col("id"), s5).as("b5"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def replay(id: Long, shards: Seq[String]): String =
+      shards.map(s => (TextHash.hash64Local(s"$s:$id"), s)).max._2
+    rows.take(20).foreach { case (id, b4, b5) =>
+      assert(b4 == replay(id, s4) && b5 == replay(id, s5), s"id=$id")
+    }
+    // HRW stability: every move lands on the new shard
+    assert(rows.forall { case (_, b4, b5) => b4 == b5 || b5 == "n4" })
+    val moved = rows.count { case (_, b4, b5) => b4 != b5 }
+    assert(moved > 0 && moved < 250, s"moved=$moved") // ~1/5 expected
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard(col("id"), Seq("a", "a"))
+    }
+  }
+
+  test("naiveBayesScores: classify argmax equals max over the exposed score table") {
+    import spark.implicits._
+    val train = Seq(("en", "the cat"), ("de", "die katze"), ("en", "the dog"))
+      .toDF("lang", "text").withColumn("doc_id", monotonically_increasing_id())
+    val score = Seq((100L, "the the"), (101L, "die die")).toDF("doc_id", "text")
+      .withColumn("lang", lit(null).cast("string"))
+    val scores = LangModel.naiveBayesScores(train, score,
+      col("lang"), col("doc_id"), col("text")).collect()
+    val best = scores.groupBy(_.getLong(0)).map { case (d, rs) =>
+      d -> rs.sortBy(r => (-r.getLong(3), r.getString(1))).head.getString(1)
+    }
+    val pred = LangModel.naiveBayesClassify(train, score,
+        col("lang"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(100L) == "en" && pred(101L) == "de")
+    assert(scores.length == 4) // 2 docs x 2 classes
+    assert(best(100L) == pred(100L))
+  }
 }
