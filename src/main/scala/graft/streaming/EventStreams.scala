@@ -108,6 +108,59 @@ object EventStreams {
       }
   }
 
+  /** One per-key sketch update from [[kmvDistinctUsers]]. */
+  final case class KmvEstimate(
+      event_type: String, n_seen: Long, n_state: Int, est: Long)
+
+  /** Streaming KMV distinct-user sketch — the live twin of the batch
+    * q207 operator ([[graft.ext.Retrieval.kmvDistinct]]): per event
+    * type, a `mapGroupsWithState` keeps the k smallest distinct
+    * 2⁴⁰-space user-id hashes and emits the updated cardinality
+    * estimate every micro-batch. Same hash, same (k−1)·2⁴⁰/h₍k₎
+    * estimator, same sub-k-is-exact degenerate case, so after the
+    * feed drains the streaming estimate EQUALS the batch sketch on
+    * the same data — the mergeable-summary property exercised live
+    * (each micro-batch is "union new hashes, re-take k smallest",
+    * exactly how per-shard sketches compose at rest).
+    *
+    * State is NoTimeout and k-bounded per key (k longs — there is
+    * nothing to evict; the sketch IS the state), which is the entire
+    * point: distinct-counting a 100 TB stream in O(k·|keys|) memory.
+    */
+  def kmvDistinctUsers(
+      events: Dataset[Event], k: Int, delay: String): Dataset[KmvEstimate] = {
+    require(k >= 8 && k <= 65536, s"kmvDistinctUsers: k in [8, 65536], got $k")
+    import events.sparkSession.implicits._
+    val space = 1L << 40
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Long, Array[Long]), KmvEstimate](
+        GroupStateTimeout.NoTimeout()) {
+        case (etype, rows, state) =>
+          // overflowed=1 once a (k+1)-th distinct hash was ever seen —
+          // below that the sketch IS the distinct set and est is exact,
+          // the same boundary the batch operator draws at exact <= k
+          val (seen0, over0, arr0) =
+            state.getOption.getOrElse((0L, 0L, Array.empty[Long]))
+          val merged = scala.collection.mutable.TreeSet[Long](
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(arr0): _*)
+          var seen = seen0
+          var over = over0
+          rows.foreach { e =>
+            seen += 1
+            merged += graft.ext.TextHash.hash64Local(e.user_id.toString) % space
+            if (merged.size > k) { merged -= merged.last; over = 1L }
+          }
+          val arr = merged.toArray
+          state.update((seen, over, arr))
+          val est =
+            if (over == 0L) arr.length.toLong
+            else (k - 1).toLong * space / arr.last
+          KmvEstimate(etype, seen, arr.length, est)
+      }
+  }
+
   /** Custom stateful operator: gap-based sessionization via
     * flatMapGroupsWithState with an event-time timeout — the piece the
     * declarative API can't express (KeyValueGroupedDataset surface).

@@ -105,6 +105,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch: incremental estimates converge to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val est = EventStreams.kmvDistinctUsers(input.toDS(), k = 16, "10 minutes")
+    val q = est.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // clicks: 100 distinct users split across three micro-batches
+      // (with repeats — multiplicity must not move the sketch);
+      // views: 5 distinct users, below k -> exact
+      input.addData((1L to 40L).map(u =>
+        ev(u, "2024-01-01 00:01:00", u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((30L to 70L).map(u =>
+        ev(100 + u, "2024-01-01 00:02:00", u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(((61L to 100L).map(u =>
+        ev(300 + u, "2024-01-01 00:03:00", u, "click", 1.0)) ++
+        (1L to 5L).map(u => ev(500 + u, "2024-01-01 00:03:30", u, "view", 1.0))): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_seen, n_state, est FROM kmv_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      // one Update row per (key, batch) it appeared in
+      assert(rows.count(_._1 == "click") == 3 && rows.count(_._1 == "view") == 1)
+      val finalClick = rows.filter(_._1 == "click").maxBy(_._2)
+      val finalView = rows.filter(_._1 == "view").maxBy(_._2)
+      assert(finalClick._2 == 121L && finalClick._3 == 16) // 40+41+40 events seen
+      assert(finalView == (("view", 5L, 5, 5L))) // sub-k -> exact
+      // the drained streaming estimate equals the batch q207 sketch on
+      // the same (type, user) data — the mergeable-summary property
+      val batch = graft.ext.Retrieval.kmvDistinct(
+          ((1L to 100L).map(u => ("click", u)) ++ (1L to 5L).map(u => ("view", u)))
+            .toDF("t", "u"),
+          $"t", $"u", k = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(finalClick._4 == batch("click"), s"stream=$finalClick batch=$batch")
+      assert(finalView._4 == batch("view"))
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits sessions, timeout emits them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
