@@ -987,6 +987,51 @@ object Profile {
         max(col("__h")).as("max_hash"))
   }
 
+  /** Merkle-style bucket diff between two snapshots — the rsync idea
+    * at table scale: bucket rows by KEY hash (a changed row stays in
+    * its bucket), fingerprint each bucket on each side with the
+    * [[datasetFingerprint]] XOR, and report per bucket whether the
+    * two sides agree. Comparing 100 TB against 100 TB then costs two
+    * scans and a |buckets|-row join — and re-syncing touches only the
+    * buckets that differ (each side's per-bucket counts and
+    * fingerprints localize the damage to n/B rows per differing
+    * bucket, recursively subdividable).
+    *
+    * `differs` is true on any count or fingerprint mismatch; the XOR
+    * caveat (an even number of copies of one row cancels) is caught
+    * by the count column exactly as in [[datasetFingerprint]].
+    *
+    * Scale: one bucket-keyed aggregate per side (map-side XOR/count
+    * combine), one B-row full-outer join. Keys absent on one side
+    * surface as 0-count buckets, not dropped rows.
+    */
+  def bucketDiff(
+      a: DataFrame,
+      b: DataFrame,
+      key: Column,
+      rowRepr: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"bucketDiff: buckets in [2, 2^20] required, got $buckets")
+    def side(df: DataFrame, suffix: String): DataFrame =
+      df.select(
+          pmod(graft.ext.TextHash.hash64(key.cast("string")), lit(buckets.toLong))
+            .as("bucket"),
+          graft.ext.TextHash.hash64(rowRepr).as("__h"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as(s"n_$suffix"),
+          expr("bit_xor(__h)").as(s"fp_$suffix"))
+    side(a, "a").join(side(b, "b"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("fp_a"), lit(0L)).as("fp_a"),
+        coalesce(col("fp_b"), lit(0L)).as("fp_b"))
+      .withColumn("differs",
+        col("n_a") =!= col("n_b") || col("fp_a") =!= col("fp_b"))
+  }
+
   /** Exact tie-aware ROC AUC via the Mann–Whitney rank identity:
     * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). Computed WITHOUT
     * the quadratic positive×negative join: group rows by distinct

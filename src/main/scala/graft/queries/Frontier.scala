@@ -526,6 +526,88 @@ object Frontier {
         FROM a4 JOIN a5 USING (doc_id)
         GROUP BY 1, 2 ORDER BY shard_before, shard_after
         """
-      })
+      }),
+    // ----------------------------------------------------------------
+    // Merkle-style bucket diff: orders vs a tampered snapshot (one row
+    // deleted, every 97th price bumped), 64 key-hash buckets, XOR
+    // fingerprints per side — differing buckets localize the damage.
+    // Row rendering = the q214 stable formats.
+    Q(
+      "q220_bucket_diff",
+      (s, dir) => {
+        import s.implicits._
+        def repr = concat_ws("\u0001",
+          $"o_orderkey".cast("string"),
+          $"o_custkey".cast("string"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").cast("string"),
+          tstr($"o_orderdate"),
+          $"o_orderpriority")
+        val a = t(s, dir, "orders")
+        val b = t(s, dir, "orders").filter($"o_orderkey" =!= 7)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 97 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))
+        Profile.bucketDiff(a, b, $"o_orderkey", repr, buckets = 64)
+          .orderBy($"bucket")
+      },
+      Some {
+        val repr = "concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), " +
+          "CAST(o_custkey AS VARCHAR), " +
+          "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), " +
+          "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)"
+        def side(src: String, sfx: String) = s"""
+          g$sfx AS (
+            SELECT ${OracleSql.hash64("CAST(o_orderkey AS VARCHAR)")} % 64 AS bucket,
+                   COUNT(*) AS n_$sfx, bit_xor(${OracleSql.hash64(repr)}) AS fp_$sfx
+            FROM $src GROUP BY 1)"""
+        s"""
+        WITH bsnap AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey <> 7),
+        ${side("orders", "a")},
+        ${side("bsnap", "b")}
+        SELECT bucket,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+               coalesce(fp_a, 0) AS fp_a, coalesce(fp_b, 0) AS fp_b,
+               (coalesce(n_a, 0) <> coalesce(n_b, 0)
+                OR coalesce(fp_a, 0) <> coalesce(fp_b, 0)) AS differs
+        FROM ga FULL OUTER JOIN gb USING (bucket)
+        ORDER BY bucket
+        """
+      }),
+    // ----------------------------------------------------------------
+    // Diversified top-k (composition, not a new operator): global
+    // top-20 orders by price with AT MOST 2 per customer — the
+    // diversity constraint every retrieval/recommendation surface
+    // applies. Per-customer rank prunes via WindowGroupLimit before
+    // the shuffle; the global cut is a TakeOrderedAndProject.
+    Q(
+      "q221_diversified_topk",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("cust_rank", row_number().over(w))
+          .filter($"cust_rank" <= 2)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"cust_rank")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(20)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, CAST(rn AS INTEGER) AS cust_rank
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 2
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+      """))
   )
 }

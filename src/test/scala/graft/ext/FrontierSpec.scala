@@ -295,6 +295,33 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketDiff: identical snapshots agree; edits/deletes localize; even-copy caveat caught by count") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, s"row$i")).toDF("k", "payload")
+    def diff(b: org.apache.spark.sql.DataFrame) =
+      Profile.bucketDiff(a, b, col("k"), col("payload"), buckets = 8)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(5)))).toMap
+    // identical -> no bucket differs
+    assert(diff(a).values.forall(!_._3))
+    // one edited row -> exactly its key's bucket differs (same counts)
+    val edited = a.withColumn("payload",
+      when(col("k") === 42L, lit("tampered")).otherwise(col("payload")))
+    val d1 = diff(edited)
+    val b42 = TextHash.hash64Local("42") % 8
+    assert(d1.count(_._2._3) == 1 && d1(b42)._3)
+    assert(d1(b42)._1 == d1(b42)._2) // fingerprint, not count, caught it
+    // one deleted row -> its bucket differs with a count mismatch
+    val d2 = diff(a.filter(col("k") =!= 7L))
+    val b7 = TextHash.hash64Local("7") % 8
+    assert(d2.count(_._2._3) == 1 && d2(b7)._1 == d2(b7)._2 + 1)
+    // two extra copies of an existing row XOR out -> count flags it anyway
+    val dup = a.unionAll(a.filter(col("k") === 9L)).unionAll(a.filter(col("k") === 9L))
+    val b9 = TextHash.hash64Local("9") % 8
+    val d3 = diff(dup)
+    assert(d3(b9)._3 && d3(b9)._2 == d3(b9)._1 + 2)
+  }
+
   test("naiveBayesScores: classify argmax equals max over the exposed score table") {
     import spark.implicits._
     val train = Seq(("en", "the cat"), ("de", "die katze"), ("en", "the dog"))

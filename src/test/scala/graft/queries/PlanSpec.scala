@@ -219,6 +219,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q221 diversified top-k prunes per-customer via WindowGroupLimit and cuts via TakeOrdered") {
+    val p = planOf("q221_diversified_topk")
+    // the per-customer cap must prune map-side (WindowGroupLimit) and the
+    // global cut must be a TakeOrderedAndProject, never a full sort
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q147 triangle census keys every join in the wedge space") {
     val p = planOf("q147_triangles")
     assert(!p.contains("CartesianProduct"), p)
