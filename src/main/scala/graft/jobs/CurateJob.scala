@@ -7,10 +7,12 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
 /** End-to-end corpus curation: the library's training-data operators
   * composed into one runnable pipeline —
   *
-  *   encoding screen (q198) → scrub → quality gate (Gopher rules) →
-  *   optional blocklist gate → optional bigram-LM floor → exact dedup →
-  *   near-dup clustering (canonical survivors) → optional stratum
-  *   flattening → train/val/test split → chunk plan → batch packing
+  *   encoding screen (q198) → optional PII/domain screens (q199, q213)
+  *   → scrub → quality gate (Gopher rules) → optional blocklist /
+  *   LM-floor / sentence / readability gates → exact dedup → near-dup
+  *   clustering (canonical survivors) → optional stratum flattening →
+  *   optional token-budget mixture (q208) → train/val/test split →
+  *   chunk plan → batch packing
   *
   * Every stage is the same operator the catalog oracle-checks
   * individually (q65, q78, q104, q107, q33, q74, q81, q72, q80, q84); the job is
@@ -37,6 +39,19 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *                            but a checksum hit means a REAL
   *                            identifier leaked and the doc itself is
   *                            untrustworthy           (default: off)
+  *   [--min-fre-milli N]      drop docs whose Flesch Reading Ease
+  *                            (q212, integer millipoints) is below N —
+  *                            the run-on-boilerplate / OCR-sludge
+  *                            screen                   (default: off)
+  *   [--domain-blocklist d,..] drop docs citing a URL on a blocklisted
+  *                            domain (q213's extraction — HOST-level,
+  *                            where --blocklist is token-level)
+  *                                                     (default: off)
+  *   [--token-budget N --mix-weights s:w,...]  after dedup/balance,
+  *                            assemble the final mix under a total
+  *                            token budget with per-source weights
+  *                            (q208); sources absent from the weight
+  *                            list are EXCLUDED        (default: off)
   *   [--report-sources COL]   write per-source dup rates (q181) and the
   *                            cross-source overlap matrix (q182) under
   *                            dest/reports/              (default: off)
@@ -92,9 +107,29 @@ object CurateJob {
         clean.join(hits, Seq("doc_id"), "left_anti")
       } else clean
 
+    // 0c. optional host-level blocklist (q213's URL extraction) —
+    //     BEFORE the scrub replaces URLs with placeholders: where
+    //     --blocklist drops on token hits, this drops docs that CITE
+    //     a blocklisted domain (the spam-host screen). Its drops are
+    //     counted in afterQuality, like the other pre-scrub screens.
+    val domGated = conf.get("domain-blocklist") match {
+      case Some(domains) =>
+        val bad = domains.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(bad.nonEmpty, s"--domain-blocklist parsed to no domains: '$domains'")
+        val cited = piiScreened.select(col("doc_id"),
+            explode(regexp_extract_all(col("text"),
+              lit(TextAnalysis.UrlPattern), lit(0))).as("__url"))
+          .select(col("doc_id"),
+            regexp_extract(col("__url"), "^https?://([^/]+)", 1).as("__dom"))
+          .filter(col("__dom").isin(bad: _*))
+          .select("doc_id").distinct()
+        piiScreened.join(cited, Seq("doc_id"), "left_anti")
+      case None => piiScreened
+    }
+
     // 1. scrub PII-shaped spans, then gate on the Gopher rules
     import TextAnalysis.Gopher._
-    val scrubbed = piiScreened.withColumn("text", TextAnalysis.scrub(col("text")))
+    val scrubbed = domGated.withColumn("text", TextAnalysis.scrub(col("text")))
     val quality = scrubbed.filter(
       wordCount(col("text")) >= minWords &&
         meanWordLen(col("text")).between(2.0, 12.0) &&
@@ -130,15 +165,25 @@ object CurateJob {
     //     at least N terminator-ended sentences that END at a sentence
     //     boundary — the prose-vs-listing screen. Scan-stage per doc,
     //     applied as a semi-join on the surviving ids.
-    val gated0 = conf.get("min-sentences") match {
+    val sentGated = conf.get("min-sentences") match {
       case Some(n) =>
         val ok = TextAnalysis.sentenceStats(lmGated, col("doc_id"), col("text"))
           .filter(col("n_sentences") >= n.toInt && col("ends_terminal"))
         lmGated.join(ok.select("doc_id"), Seq("doc_id"))
       case None => lmGated
     }
+    // 1c'. optional readability floor (q212): integer-millipoint Flesch
+    //      Reading Ease — very low FRE is run-on boilerplate/OCR sludge.
+    val freGated = conf.get("min-fre-milli") match {
+      case Some(floor) =>
+        val ok = TextAnalysis.readability(sentGated, col("doc_id"), col("text"))
+          .filter(col("fre_milli") >= floor.toLong)
+        sentGated.join(ok.select("doc_id"), Seq("doc_id"))
+      case None => sentGated
+    }
+    val gated0 = freGated
     val gatesOn = conf.contains("blocklist") || conf.contains("min-lm-ppb") ||
-      conf.contains("min-sentences")
+      conf.contains("min-sentences") || conf.contains("min-fre-milli")
     // same checkpoint rationale as the quality stage — but only when a
     // gate actually rewrote the relation
     val gated = if (gatesOn) gated0.localCheckpoint(false) else gated0
@@ -173,9 +218,28 @@ object CurateJob {
     val nNearDup = deduped.count()
 
     // 4. optional sqrt temperature flattening of a skewed stratum mix
-    val balanced = conf.get("balance-by") match {
+    val balanced0 = conf.get("balance-by") match {
       case Some(c) => Sampling.sqrtResample(deduped, col("doc_id"), col(c))
       case None => deduped
+    }
+
+    // 4b. optional token-budget mixture assembly (q208): the final mix
+    //     is specified in TOKENS per source, not rows — floor-allocated
+    //     budgets, greedy hash-ordered prefixes, sources without a
+    //     weight excluded. Applied LAST among content selectors so the
+    //     budget buys deduplicated, gated documents.
+    val balanced = conf.get("token-budget") match {
+      case Some(budget) =>
+        val weights = conf.getOrElse("mix-weights",
+          sys.error("--token-budget requires --mix-weights src:w,..."))
+          .split(",").toSeq.map { s =>
+            val Array(src, w) = s.split(":"); (src.trim, w.trim.toLong)
+          }
+        val kept = Sampling.budgetMixtureSample(balanced0,
+          col("doc_id"), col("source"),
+          size(graft.ext.TextHash.tokens(col("text"))), weights, budget.toLong)
+        balanced0.join(kept.select("doc_id"), Seq("doc_id"))
+      case None => balanced0
     }
 
     // 5. deterministic disjoint split

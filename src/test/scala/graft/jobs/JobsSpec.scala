@@ -246,6 +246,51 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lm.afterGates < off.afterGates)
   }
 
+  test("CurateJob: readability floor, domain blocklist, and token-budget mixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 50 alphabetic words, zero terminators: passes the Gopher gates
+    // (alpha ratio 1.0, mean len 5) but FRE is deeply negative
+    val runOn = Seq.fill(50)("lorem").mkString(" ")
+    val src = tmp()
+    Seq(
+      (1L, "web", "The cat sat on the mat. It was a good day."),
+      (2L, "web", runOn), // readability victim (FRE deep negative)
+      (3L, "web", "See https://spam.example/bad for junk deals. It is bad stuff."),
+      (4L, "books", "Nice prose lives here today. See https://ok.example/page for more."),
+      (5L, "books", "Plain and simple words make this fine. All is well."))
+      .toDF("doc_id", "source", "text").write.mode("overwrite").parquet(src)
+    val base = Map(
+      "source" -> src, "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:1.0", "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "2", "batch-size" -> "8")
+    // gates: domain drop is pre-scrub (counted in afterQuality), the
+    // FRE floor is a content gate (counted in afterGates)
+    val dest = tmp()
+    val r = CurateJob.run(spark, base + ("dest" -> dest,
+      "min-fre-milli" -> "50000", "domain-blocklist" -> "spam.example"))
+    assert(r.afterQuality == 4, r) // doc 3 cited spam.example
+    assert(r.afterGates == 3, r) // doc 2 failed the FRE floor
+    val ids = spark.read.parquet(s"$dest/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L, 5L))
+    // token budget: only weighted sources survive, within their budgets
+    val dest2 = tmp()
+    val r2 = CurateJob.run(spark, base + ("dest" -> dest2,
+      "token-budget" -> "30", "mix-weights" -> "web:1,books:2"))
+    val mixed = spark.read.parquet(s"$dest2/documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[(String, Long)].collect()
+    assert(r2.afterBalance == mixed.length.toLong && mixed.nonEmpty)
+    val bySrc = mixed.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySrc.getOrElse("web", 0L) <= 10L) // 30*1/3
+    assert(bySrc.getOrElse("books", 0L) <= 20L) // 30*2/3
+    // budget requires weights
+    intercept[RuntimeException] {
+      CurateJob.run(spark, base + ("dest" -> tmp(), "token-budget" -> "30"))
+    }
+  }
+
   test("CurateJob: sentence gate drops boundary-less docs; source reports written") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
