@@ -676,6 +676,76 @@ object TimeSeries {
     * per point with K a small constant) — no second shuffle, nothing
     * corpus-bounded in memory.
     */
+  /** Classical additive seasonal-trend decomposition (the moving-
+    * average decomposition underlying STL, Kendall/Cleveland lineage):
+    * value = trend + seasonal + residual, computed per key over an
+    * ORDINAL series —
+    *
+    *   - trend: the standard 2×P centered moving average for even
+    *     period P (full-window sum with half-weighted endpoints),
+    *     null at the P/2 edges;
+    *   - seasonal: per ordinal phase (rowidx mod P), the mean of the
+    *     detrended values, CENTERED by subtracting the cross-phase
+    *     mean so the component sums to ~0 over a cycle;
+    *   - residual: value − trend − seasonal.
+    *
+    * Every mean runs through the exact-decimal sum contract and every
+    * derived double is micro-quantized (the q186 FMA-contraction
+    * guard), so the decomposition replays bit-identically elsewhere.
+    * The series is ordinal by contract — the caller supplies regular
+    * samples (compose [[resampleFill]] first for gappy data); phase is
+    * row-index-derived, so gaps shift phase ALIGNMENT, never
+    * determinism.
+    *
+    * Scale: one key-partitioned window pass (row index, MA sums,
+    * lag/lead endpoints — one Exchange+Sort), one (key, phase)
+    * aggregate, one key-level P-row mean joined back broadcast-sized.
+    */
+  def decompose(
+      df: DataFrame,
+      key: Column,
+      t: Column,
+      value: Column,
+      period: Int): DataFrame = {
+    require(period >= 4 && period % 2 == 0 && period <= 8192,
+      s"decompose: even period in [4, 8192] required, got $period")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val q6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val k = period / 2
+    val ord = Window.partitionBy(col("key")).orderBy(col("t"))
+    val ma = ord.rowsBetween(-k, k)
+    val based = df.filter(key.isNotNull && t.isNotNull && value.isNotNull)
+      .select(key.as("key"), t.as("t"), value.cast("double").as("value"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("phase", expr(s"(rn - 1) % $period"))
+      .withColumn("__full", sum(col("value").cast(dec)).over(ma).cast("double"))
+      .withColumn("__cnt", count(lit(1)).over(ma))
+      .withColumn("__el", lag(col("value"), k).over(ord))
+      .withColumn("__er", lead(col("value"), k).over(ord))
+      .withColumn("trend",
+        when(col("__cnt") === period + 1,
+          q6((col("__full") - lit(0.5) * col("__el") - lit(0.5) * col("__er"))
+            / period)))
+      .withColumn("__det", col("value") - col("trend"))
+    val phaseMeans = based.filter(col("__det").isNotNull)
+      .groupBy(col("key"), col("phase"))
+      .agg((sum(col("__det").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("__sp"))
+    val centers = phaseMeans.groupBy(col("key"))
+      .agg((sum(col("__sp").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("__c"))
+    based
+      .join(phaseMeans, Seq("key", "phase"), "left")
+      .join(broadcast(centers), Seq("key"), "left")
+      .withColumn("seasonal", q6(col("__sp") - col("__c")))
+      .withColumn("residual",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          q6(col("value") - col("trend") - col("seasonal"))))
+      .select(col("key"), col("t"), col("rn"), col("phase"), col("value"),
+        col("trend"), col("seasonal"), col("residual"))
+  }
+
   /** SAX-style symbolization (Lin/Keogh DMKD'07, with data-driven
     * breakpoints): per key, the value series in time order is cut
     * into fixed-length segments, each segment reduced to its PAA mean

@@ -608,6 +608,75 @@ object Frontier {
         WHERE rn <= 2
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20
+      """)),
+    // ----------------------------------------------------------------
+    // Classical additive seasonal-trend decomposition over each event
+    // type's hourly mean series: 2×24 centered-MA trend (half-weighted
+    // endpoints), centered ordinal-phase seasonal, residual — every
+    // mean exact-decimal, every derived double micro-quantized. The
+    // oracle replays the identical window/phase chain.
+    Q(
+      "q222_stl_decompose",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = t(s, dir, "events")
+          .filter($"ts".isNotNull && $"value".isNotNull)
+          .groupBy($"event_type",
+            floor(unix_timestamp($"ts") / 3600).cast("long").as("hour"))
+          .agg((sum($"value".cast(Dec)).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        TimeSeries.decompose(hourly, $"event_type", $"hour", $"v", period = 24)
+          .select(col("key").as("event_type"), col("t").as("hour"), col("rn"),
+            col("phase"), col("value"), col("trend"), col("seasonal"),
+            col("residual"))
+          .orderBy($"event_type", $"hour")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type AS key, (epoch_ns(ts) // 1000000000) // 3600 AS t,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS v
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2),
+        w AS (
+          SELECT key, t, v,
+                 ROW_NUMBER() OVER pk AS rn,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) OVER
+                   (PARTITION BY key ORDER BY t
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS VARCHAR)
+                   AS DOUBLE) AS mfull,
+                 COUNT(*) OVER (PARTITION BY key ORDER BY t
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cnt,
+                 LAG(v, 12) OVER pk AS el, LEAD(v, 12) OVER pk AS er
+          FROM hourly
+          WINDOW pk AS (PARTITION BY key ORDER BY t)),
+        b AS (
+          SELECT *, (rn - 1) % 24 AS phase,
+                 CASE WHEN cnt = 25 THEN
+                   floor((mfull - 0.5 * el - 0.5 * er) / 24 * 1000000.0 + 0.5)
+                     / 1000000.0 END AS trend
+          FROM w),
+        d AS (SELECT *, v - trend AS det FROM b),
+        pm AS (
+          SELECT key, phase,
+                 CAST(CAST(SUM(CAST(det AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS sp
+          FROM d WHERE det IS NOT NULL GROUP BY 1, 2),
+        ce AS (
+          SELECT key,
+                 CAST(CAST(SUM(CAST(sp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS c
+          FROM pm GROUP BY 1)
+        SELECT d.key AS event_type, CAST(d.t AS BIGINT) AS hour,
+               CAST(rn AS INTEGER) AS rn, CAST(d.phase AS INTEGER) AS phase,
+               v AS value, trend,
+               floor((sp - c) * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+               CASE WHEN trend IS NOT NULL AND sp IS NOT NULL THEN
+                 floor((v - trend - floor((sp - c) * 1000000.0 + 0.5) / 1000000.0)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS residual
+        FROM d LEFT JOIN pm ON d.key = pm.key AND d.phase = pm.phase
+               LEFT JOIN ce ON d.key = ce.key
+        ORDER BY event_type, hour
       """))
   )
 }

@@ -145,40 +145,46 @@ object Training {
   }
 
   /** DuckDB replica of [[graft.ext.LangModel.naiveBayesClassify]]'s
-    * train+score chain on the even/odd documents split, ending in CTE
-    * `percls(doc_id, y, n_tokens, score_ppb)` — shared by q201 (the
-    * per-doc decisions) and q204 (the confusion evaluation on top).
+    * train+score chain, ending in CTE `percls$sfx(doc_id, y,
+    * n_tokens, score_ppb)`. Parameterized by the TRAINING predicate
+    * and a CTE-name suffix so several chains (q223's learning curve
+    * trains three nested subsets) can coexist in one query;
+    * [[NbChainSql]] is the unsuffixed even/odd instance shared by
+    * q201/q204/q215/q218.
     */
-  private val NbChainSql: String = s"""tr AS (
+  private def nbChainSql(sfx: String, trainPred: String): String = s"""tr$sfx AS (
           SELECT lang AS y, text FROM documents
-          WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
-        sc AS (
+          WHERE ($trainPred) AND lang IS NOT NULL AND text IS NOT NULL),
+        sc$sfx AS (
           SELECT doc_id, text FROM documents
           WHERE doc_id % 2 = 1 AND text IS NOT NULL),
-        trtok AS (SELECT y, unnest(${OracleSql.tokens("text")}) AS w FROM tr),
-        cwy AS (SELECT w, y, COUNT(*) AS cwy FROM trtok GROUP BY 1, 2),
-        ny AS (SELECT y, COUNT(*) AS ny FROM trtok GROUP BY 1),
-        vv AS (SELECT COUNT(DISTINCT w) AS v FROM trtok),
-        pri AS (SELECT y, COUNT(*) AS dy FROM tr GROUP BY 1),
-        dd AS (SELECT COUNT(*) AS d FROM tr),
-        cls AS (
+        trtok$sfx AS (SELECT y, unnest(${OracleSql.tokens("text")}) AS w FROM tr$sfx),
+        cwy$sfx AS (SELECT w, y, COUNT(*) AS cwy FROM trtok$sfx GROUP BY 1, 2),
+        ny$sfx AS (SELECT y, COUNT(*) AS ny FROM trtok$sfx GROUP BY 1),
+        vv$sfx AS (SELECT COUNT(DISTINCT w) AS v FROM trtok$sfx),
+        pri$sfx AS (SELECT y, COUNT(*) AS dy FROM tr$sfx GROUP BY 1),
+        dd$sfx AS (SELECT COUNT(*) AS d FROM tr$sfx),
+        cls$sfx AS (
           SELECT y, ny, v, dy * 1000000000 // d AS prior_ppb
-          FROM pri JOIN ny USING (y) CROSS JOIN vv CROSS JOIN dd),
-        sctok AS (SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS w FROM sc),
-        pertok AS (
+          FROM pri$sfx JOIN ny$sfx USING (y) CROSS JOIN vv$sfx CROSS JOIN dd$sfx),
+        sctok$sfx AS (SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS w FROM sc$sfx),
+        pertok$sfx AS (
           SELECT s.doc_id, c.y,
                  (coalesce(k.cwy, 0) + 1) * 1000000000 // (c.ny + c.v) AS ppb
-          FROM sctok s CROSS JOIN cls c
-          LEFT JOIN cwy k ON k.w = s.w AND k.y = c.y),
-        agg0 AS (
+          FROM sctok$sfx s CROSS JOIN cls$sfx c
+          LEFT JOIN cwy$sfx k ON k.w = s.w AND k.y = c.y),
+        agg0$sfx AS (
           SELECT doc_id, y, SUM(ppb) AS s, COUNT(*) AS n
-          FROM pertok GROUP BY 1, 2),
-        percls AS (
+          FROM pertok$sfx GROUP BY 1, 2),
+        percls$sfx AS (
           SELECT dc.doc_id, dc.y,
                  coalesce(a.n, 0) AS n_tokens,
                  (dc.prior_ppb + coalesce(a.s, 0)) // (coalesce(a.n, 0) + 1) AS score_ppb
-          FROM (SELECT doc_id, y, prior_ppb FROM sc CROSS JOIN cls) dc
-          LEFT JOIN agg0 a ON a.doc_id = dc.doc_id AND a.y = dc.y)"""
+          FROM (SELECT doc_id, y, prior_ppb FROM sc$sfx CROSS JOIN cls$sfx) dc
+          LEFT JOIN agg0$sfx a ON a.doc_id = dc.doc_id AND a.y = dc.y)"""
+
+  /** The unsuffixed even/odd instance (q201/q204/q215/q218). */
+  private val NbChainSql: String = nbChainSql("", "doc_id % 2 = 0")
 
   /** One synchronous label-propagation round in DuckDB: neighbor
     * labels from the previous round, (node, label) counts, per-node
@@ -660,6 +666,66 @@ object Training {
                     THEN SUM(np * (2 * (cumn - nn) + nn)) * 1000000
                          // (2 * SUM(np) * SUM(nn)) END AS BIGINT) AS auc_ppm
         FROM c
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Sample-efficiency learning curve: NB trained on three NESTED
+    // subsets of the training half (doc_id % 8 / % 4 / % 2 = 0 — each
+    // a superset of the last), scored on the same held-out odd half —
+    // accuracy vs training size, the table that says whether more
+    // curated data is still buying model quality. The oracle
+    // instantiates the suffixed NB chain three times.
+    Q(
+      "q223_nb_learning_curve",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val test = docs.filter($"doc_id" % 2 === 1)
+        val truth = test.select($"doc_id", $"lang")
+        Seq(8, 4, 2).map { m =>
+          val train = docs.filter($"doc_id" % m === 0)
+          val nTrain = train.filter($"lang".isNotNull && $"text".isNotNull)
+            .agg(count(lit(1)).as("n_train"))
+          graft.ext.LangModel.naiveBayesClassify(train, test,
+              $"lang", $"doc_id", $"text")
+            .join(truth, Seq("doc_id")).filter($"lang".isNotNull)
+            .agg(count(lit(1)).as("n_scored"),
+              sum(when($"predicted" === $"lang", 1L).otherwise(0L)).as("n_correct"))
+            .crossJoin(broadcast(nTrain))
+            .select(lit(m.toLong).as("modulus"), col("n_train"), col("n_scored"),
+              col("n_correct"),
+              expr("n_correct * 1000000L div n_scored").as("accuracy_ppm"))
+        }.reduce(_ unionAll _).orderBy($"modulus")
+      },
+      Some {
+        def arm(m: Int) = s"""
+          pred$m AS (
+            SELECT doc_id, y FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_ppb DESC, y) AS rn FROM percls$m)
+            WHERE rn = 1),
+          acc$m AS (
+            SELECT COUNT(*) AS n_scored,
+                   SUM(CASE WHEN p.y = d.lang THEN 1 ELSE 0 END) AS n_correct
+            FROM pred$m p JOIN documents d USING (doc_id)
+            WHERE d.lang IS NOT NULL),
+          tn$m AS (
+            SELECT COUNT(*) AS n_train FROM documents
+            WHERE doc_id % $m = 0 AND lang IS NOT NULL AND text IS NOT NULL)"""
+        def row(m: Int) =
+          s"""SELECT CAST($m AS BIGINT) AS modulus, n_train, n_scored,
+                     CAST(n_correct AS BIGINT) AS n_correct,
+                     CAST(n_correct * 1000000 // n_scored AS BIGINT) AS accuracy_ppm
+              FROM acc$m CROSS JOIN tn$m"""
+        s"""
+        WITH ${nbChainSql("8", "doc_id % 8 = 0")},
+        ${nbChainSql("4", "doc_id % 4 = 0")},
+        ${nbChainSql("2", "doc_id % 2 = 0")},
+        ${arm(8)},
+        ${arm(4)},
+        ${arm(2)}
+        ${Seq(8, 4, 2).map(row).mkString(" UNION ALL ")}
+        ORDER BY modulus
+        """
+      })
   )
 }

@@ -253,6 +253,27 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((2L, 0L)) == ((4L, 5.0, "c")))
   }
 
+  test("decompose: square wave splits into flat trend + alternating seasonal + zero residual") {
+    import spark.implicits._
+    // period-2 square wave decomposed at period 4: trend is the flat
+    // midline 5, seasonal alternates ±5, residual vanishes
+    val rows = (1 to 12).map(i => (1L, i.toLong, if (i % 2 == 1) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.decompose(rows, col("k"), col("t"), col("v"), period = 4)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // edges (rn 1,2 and 11,12) have no full MA window
+    assert(Seq(1L, 2L, 11L, 12L).forall(t => out(t).isNullAt(5)))
+    (3L to 10L).foreach { t =>
+      val r = out(t)
+      assert(r.getDouble(5) == 5.0, s"trend at $t")
+      assert(r.getDouble(6) == (if (t % 2 == 1) -5.0 else 5.0), s"seasonal at $t")
+      assert(r.getDouble(7) == 0.0, s"residual at $t")
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.decompose(rows, col("k"), col("t"), col("v"), period = 5)
+    }
+  }
+
   test("aucExact: hand ties, perfect separation, degenerate class, size guard") {
     import spark.implicits._
     // pos {3,2}, neg {1,2}: 3 clean wins + one tie -> AUC 3.5/4
