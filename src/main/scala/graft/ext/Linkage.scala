@@ -54,4 +54,49 @@ object Linkage {
       .select(col("id_l"), col("id_r"), levenshtein(col("s_l"), col("s_r")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Blocking-quality scorecard (Christen's record-linkage metrics):
+    * given a TRUTH pair set and the CANDIDATE pairs a blocking scheme
+    * generated, report
+    *
+    *   - `pair_completeness_ppm` = |truth ∩ candidates| / |truth| —
+    *     the recall a downstream matcher can at best achieve;
+    *   - `reduction_ratio_ppm` = 1 − |candidates| / C(n,2) — how much
+    *     of the quadratic comparison space the blocking eliminated.
+    *
+    * The two numbers ARE the blocking trade-off: a scheme is only as
+    * good as its position on this frontier, and tuning window/prefix
+    * parameters (q172) without this scorecard is guesswork. Both
+    * pair frames are taken positionally as (a, b) canonical pairs and
+    * deduplicated defensively; counts go through DECIMAL(38,0) before
+    * the ppm divisions so the C(n,2) denominator can't overflow at
+    * any corpus size.
+    *
+    * Scale: two pair-keyed distincts, one semi-join, four 1-row
+    * aggregates cross-joined — cost is pair-space-bound, never n².
+    */
+  def blockingQuality(
+      truthPairs: DataFrame,
+      candidatePairs: DataFrame,
+      records: DataFrame): DataFrame = {
+    def pairs(df: DataFrame): DataFrame = {
+      require(df.columns.length == 2,
+        s"blockingQuality: pair frame must be (a, b), got ${df.columns.mkString(",")}")
+      df.select(col(df.columns(0)).as("a"), col(df.columns(1)).as("b")).distinct()
+    }
+    val t = pairs(truthPairs)
+    val c = pairs(candidatePairs)
+    records.agg(count(lit(1)).as("n_records"))
+      .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(t.join(c, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_records"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0, expr("n_hit * 1000000L div n_truth"))
+          .as("pair_completeness_ppm"),
+        when(col("n_records") >= 2,
+          lit(1000000L) - expr("CAST(n_cand AS DECIMAL(38,0)) * 2000000 div " +
+            "(CAST(n_records AS DECIMAL(38,0)) * (n_records - 1))"))
+          .as("reduction_ratio_ppm"))
+  }
 }

@@ -987,6 +987,48 @@ object Profile {
         max(col("__h")).as("max_hash"))
   }
 
+  /** Per-column cardinality / concentration profile — the skew
+    * diagnosis that decides physical strategy per column: `n_distinct`
+    * (dictionary-encodability, join-key selectivity), `top_share_ppm`
+    * (the single hottest value — the salting trigger), and `hhi_ppm`
+    * (Herfindahl Σ share², the concentration index: 10⁶/n_distinct
+    * for uniform columns, →10⁶ as one value dominates). A column with
+    * high HHI as a join/group key is a skew incident; as a filter
+    * column it's a partition-pruning candidate.
+    *
+    * All integer: counts are longs, the two ppm ratios go through
+    * DECIMAL(38,0) `div` so Σcnt²·10⁶ can't overflow at any corpus
+    * size. Values compare as strings (one canonical rendering per
+    * engine for ints/strings; callers pre-render floats per the q214
+    * stable-rendering rule).
+    *
+    * Scale: one (column, value) aggregate (map-side combine) + one
+    * column-keyed rollup — the classic two-level distinct shape; the
+    * unpivot multiplies the scan by |cols|, not the shuffle (value
+    * counts bound the exchange).
+    */
+  def concentrationProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "concentrationProfile: at least one column")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.column_name").as("column_name"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+    stacked.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column_name"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_count"),
+        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("__ss"))
+      .select(col("column_name"), col("n"), col("n_distinct"), col("top_count"),
+        expr("CAST(top_count AS DECIMAL(38,0)) * 1000000 div n").as("top_share_ppm"),
+        expr("__ss * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)").as("hhi_ppm"))
+  }
+
   /** Merkle-style bucket diff between two snapshots — the rsync idea
     * at table scale: bucket rows by KEY hash (a changed row stays in
     * its bucket), fingerprint each bucket on each side with the

@@ -677,6 +677,109 @@ object Frontier {
         FROM d LEFT JOIN pm ON d.key = pm.key AND d.phase = pm.phase
                LEFT JOIN ce ON d.key = ce.key
         ORDER BY event_type, hour
+      """)),
+    // ----------------------------------------------------------------
+    // Blocking-quality scorecard over a PLANTED-duplicate corpus
+    // (every 10th doc re-enters with a shifted id): truth = canonical-
+    // text-equality pairs, candidates = q172's sorted-neighborhood
+    // blocking — pair completeness vs reduction ratio, the frontier
+    // that judges any blocking scheme.
+    Q(
+      "q224_blocking_quality",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").filter($"text".isNotNull)
+          .select($"doc_id", $"text")
+        val aug = docs.unionByName(
+          docs.filter($"doc_id" % 10 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        val keyed = aug.select($"doc_id",
+          TextHash.hash64(graft.ext.TextAnalysis.canonicalize($"text")).as("__k"))
+        val truth = keyed.as("x").join(keyed.as("y"),
+            col("x.__k") === col("y.__k") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        val cand = graft.ext.Dedup.sortedNeighborPairs(aug, "doc_id", "text",
+            windowSize = 3, blockPrefix = 4, minJaccard = 0.5)
+          .select($"id_a", $"id_b")
+        graft.ext.Linkage.blockingQuality(truth, cand, aug)
+      },
+      Some {
+        val leads = (1 to 2).map { j =>
+          s"""SELECT doc_id AS ida, toks AS ta,
+             |  LEAD(doc_id, $j) OVER (PARTITION BY blk ORDER BY k, doc_id) AS idb,
+             |  LEAD(toks, $j) OVER (PARTITION BY blk ORDER BY k, doc_id) AS tb
+             |FROM b""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""
+        WITH docs0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        aug AS (
+          SELECT doc_id, text FROM docs0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM docs0 WHERE doc_id % 10 = 0),
+        keyed AS (
+          SELECT doc_id, ${OracleSql.hash64(OracleSql.canonical("text"))} AS hk
+          FROM aug),
+        truth AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM keyed x JOIN keyed y ON x.hk = y.hk AND x.doc_id < y.doc_id),
+        base AS (
+          SELECT doc_id, ${OracleSql.canonical("text")} AS k,
+                 list_distinct(${OracleSql.tokens(OracleSql.canonical("text"))}) AS toks
+          FROM aug),
+        b AS (SELECT doc_id, k, toks, substr(k, 1, 4) AS blk FROM base),
+        cand0 AS ($leads),
+        cp AS (
+          SELECT DISTINCT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b
+          FROM cand0
+          WHERE idb IS NOT NULL AND
+            CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+              CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE)
+              >= 0.5),
+        tc AS (SELECT COUNT(*) AS n_truth FROM truth),
+        cc AS (SELECT COUNT(*) AS n_cand FROM cp),
+        hc AS (SELECT COUNT(*) AS n_hit FROM truth JOIN cp USING (id_a, id_b)),
+        rc AS (SELECT COUNT(*) AS n_records FROM aug)
+        SELECT n_records, n_truth, n_cand, n_hit,
+               CAST(CASE WHEN n_truth > 0 THEN n_hit * 1000000 // n_truth END
+                 AS BIGINT) AS pair_completeness_ppm,
+               CAST(CASE WHEN n_records >= 2 THEN 1000000 -
+                 CAST(n_cand AS HUGEINT) * 2000000 //
+                   (CAST(n_records AS HUGEINT) * (n_records - 1)) END
+                 AS BIGINT) AS reduction_ratio_ppm
+        FROM rc CROSS JOIN tc CROSS JOIN cc CROSS JOIN hc
+        """
+      }),
+    // ----------------------------------------------------------------
+    // Per-column cardinality/concentration profile over customer:
+    // distinct counts, hottest-value share, Herfindahl index — the
+    // numbers that pick salting/bucketing/pruning strategy per column.
+    Q(
+      "q225_column_concentration",
+      (s, dir) => {
+        import s.implicits._
+        Profile.concentrationProfile(t(s, dir, "customer"),
+            Seq("c_mktsegment", "c_nationkey", "c_name"))
+          .orderBy($"column_name")
+      },
+      Some("""
+        WITH st AS (
+          SELECT 'c_mktsegment' AS column_name, CAST(c_mktsegment AS VARCHAR) AS v
+          FROM customer
+          UNION ALL
+          SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'c_name', CAST(c_name AS VARCHAR) FROM customer),
+        counts AS (
+          SELECT column_name, v, COUNT(*) AS cnt FROM st
+          WHERE v IS NOT NULL GROUP BY 1, 2)
+        SELECT column_name, CAST(SUM(cnt) AS BIGINT) AS n,
+               COUNT(*) AS n_distinct,
+               CAST(MAX(cnt) AS BIGINT) AS top_count,
+               CAST(CAST(MAX(cnt) AS HUGEINT) * 1000000 // SUM(cnt) AS BIGINT)
+                 AS top_share_ppm,
+               CAST(SUM(CAST(cnt AS HUGEINT) * cnt) * 1000000 //
+                 (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT) AS hhi_ppm
+        FROM counts GROUP BY 1 ORDER BY column_name
       """))
   )
 }

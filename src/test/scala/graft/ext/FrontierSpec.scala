@@ -316,6 +316,34 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("blockingQuality: hand truth/candidate sets; shape guard") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("x", "y")
+    val cand = Seq((1L, 2L), (5L, 6L), (5L, 6L)).toDF("p", "q") // dup collapses
+    val records = (1L to 4L).toDF("id")
+    val r = Linkage.blockingQuality(truth, cand, records).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getLong(4) == 500000L) // 1 of 2 truth pairs survived blocking
+    assert(r.getLong(5) == 1000000L - 2L * 2000000L / (4L * 3L)) // 666667
+    intercept[IllegalArgumentException] {
+      Linkage.blockingQuality(truth.withColumn("z", lit(1)), cand, records)
+    }
+  }
+
+  test("concentrationProfile: hand shares and Herfindahl; nulls dropped; uniform = 1e6/k") {
+    import spark.implicits._
+    val df = Seq(("a", "w"), ("a", "x"), ("a", "y"),
+      ("b", "z"), (null.asInstanceOf[String], "w"))
+      .toDF("skewed", "uniform")
+    val out = Profile.concentrationProfile(df, Seq("skewed", "uniform"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // skewed: a,a,a,b (null dropped) -> hhi = (9+1)*1e6 div 16
+    assert(out("skewed") == ((4L, 2L, 3L, 750000L, 625000L)))
+    // uniform: w,x,y,z,w -> top 2/5, hhi = (4+1+1+1)*1e6 div 25
+    assert(out("uniform") == ((5L, 4L, 2L, 400000L, 280000L)))
+  }
+
   test("bucketDiff: identical snapshots agree; edits/deletes localize; even-copy caveat caught by count") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, s"row$i")).toDF("k", "payload")
