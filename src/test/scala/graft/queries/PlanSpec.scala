@@ -219,6 +219,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-8 expansion queries never degenerate to cartesian products") {
+    for (name <- Seq("q207_kmv_distinct", "q208_budget_mixture", "q209_k_anonymity",
+        "q210_quantile_norm", "q211_rolling_mad", "q213_url_domains",
+        "q214_dataset_fingerprint", "q216_sax_symbols", "q219_rendezvous_shards",
+        "q220_bucket_diff", "q222_stl_decompose", "q225_column_concentration")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("q214 fingerprint is ONE group-keyed aggregate (plus the presentation sort)") {
+    val p = planOf("q214_dataset_fingerprint")
+    // map-side XOR/min/max/count combine -> one hash exchange; the
+    // orderBy adds a range exchange — nothing else may shuffle
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q225 concentration profile is the two-level distinct shape") {
+    val p = planOf("q225_column_concentration")
+    // (column, value) partial -> column rollup -> presentation sort
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q210 quantile normalization broadcasts the 257-cell reference, one group window") {
+    val p = planOf("q210_quantile_norm")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row edges attach
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q221 diversified top-k prunes per-customer via WindowGroupLimit and cuts via TakeOrdered") {
     val p = planOf("q221_diversified_topk")
     // the per-customer cap must prune map-side (WindowGroupLimit) and the
