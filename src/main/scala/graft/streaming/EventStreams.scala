@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -158,6 +158,45 @@ object EventStreams {
             if (over == 0L) arr.length.toLong
             else (k - 1).toLong * space / arr.last
           KmvEstimate(etype, seen, arr.length, est)
+      }
+  }
+
+  /** One per-bucket update from [[runningFingerprint]]. */
+  final case class BucketFingerprint(bucket: Long, n_rows: Long, xor_fp: Long)
+
+  /** Streaming XOR dataset fingerprint — the live twin of the batch
+    * q214/q220 reconciliation operators: per key-hash bucket, a
+    * running (count, XOR-of-row-hashes) state updated each
+    * micro-batch. XOR is commutative/associative/self-inverse, so
+    * after any prefix of the feed the state EQUALS the batch
+    * [[graft.ext.Profile.datasetFingerprint]] of the rows seen so far
+    * — a continuously-maintained merkle layer: compare the live
+    * buckets against a warehouse snapshot's and only differing
+    * buckets need a rescan. State is exactly 2 longs per bucket
+    * (B-bounded, NoTimeout — the fingerprint IS the state).
+    */
+  def runningFingerprint(
+      rows: DataFrame, ts: String, key: Column, rowRepr: Column,
+      buckets: Int, delay: String): Dataset[BucketFingerprint] = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"runningFingerprint: buckets in [2, 2^20], got $buckets")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .withWatermark(ts, delay)
+      .select(
+        pmod(graft.ext.TextHash.hash64(key.cast("string")), lit(buckets.toLong))
+          .as("bucket"),
+        graft.ext.TextHash.hash64(rowRepr).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), BucketFingerprint](
+        GroupStateTimeout.NoTimeout()) {
+        case (bucket, rs, state) =>
+          var (n, fp) = state.getOption.getOrElse((0L, 0L))
+          rs.foreach { case (_, h) => n += 1; fp ^= h }
+          state.update((n, fp))
+          BucketFingerprint(bucket, n, fp)
       }
   }
 

@@ -146,6 +146,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming fingerprint: running bucket XOR equals the batch fingerprint of the fed rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val fp = EventStreams.runningFingerprint(input.toDF(), "ts",
+      col("event_id"), concat_ws(":", col("event_id"), col("event_type")),
+      buckets = 4, delay = "10 minutes")
+    val q = fp.writeStream.format("memory").queryName("fp_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L to 40L).map(i =>
+        ev(i, "2024-01-01 00:01:00", i, s"t${i % 3}", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((41L to 100L).map(i =>
+        ev(i, "2024-01-01 00:02:00", i, s"t${i % 3}", 1.0)): _*)
+      q.processAllAvailable()
+      // latest state per bucket = the rows with the highest n_rows
+      val live = spark.sql("SELECT bucket, n_rows, xor_fp FROM fp_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (b, rs) => b -> rs.maxBy(_._2) }
+      val batch = graft.ext.Profile.datasetFingerprint(
+          (1L to 100L).map(i => (i, s"$i:t${i % 3}")).toDF("id", "repr")
+            .select(pmod(graft.ext.TextHash.hash64(col("id").cast("string")), lit(4L))
+              .as("bucket"), col("repr")),
+          col("bucket"), col("repr"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(live.keySet == batch.keySet)
+      live.foreach { case (b, (_, n, x)) =>
+        assert((n, x) == batch(b), s"bucket $b: stream=($n,$x) batch=${batch(b)}")
+      }
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits sessions, timeout emits them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
