@@ -112,7 +112,7 @@ object Frontier {
       Some(s"""
         WITH toks AS (
           SELECT source, unnest(${OracleSql.tokens("text")}) AS tok
-          FROM documents WHERE text IS NOT NULL),
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
         h AS (
           SELECT DISTINCT source, ${OracleSql.hash64("tok")} % $KmvSpace AS h
           FROM toks),
@@ -155,7 +155,8 @@ object Frontier {
           SELECT doc_id, source,
                  CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS n_tokens,
                  ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} AS h
-          FROM documents WHERE text IS NOT NULL),
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL),
         c AS (
           SELECT doc_id, source, n_tokens,
                  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -189,7 +190,7 @@ object Frontier {
                COUNT(DISTINCT c_mktsegment) >= 3 AS l_diverse
         FROM customer
         GROUP BY 1, 2
-        ORDER BY c_nationkey, bal_bucket
+        ORDER BY c_nationkey NULLS FIRST, bal_bucket NULLS FIRST
       """)),
     // ----------------------------------------------------------------
     // Quantile normalization of per-source doc lengths to the global
@@ -302,7 +303,7 @@ object Frontier {
                     WHEN fre_milli >= 50000 THEN 'standard'
                     WHEN fre_milli >= 30000 THEN 'difficult'
                     ELSE 'very_difficult' END AS band
-        FROM f ORDER BY doc_id
+        FROM f ORDER BY doc_id NULLS FIRST
       """)),
     // ----------------------------------------------------------------
     // Per-domain URL census with PLANTED links (the q198/q199 planting
