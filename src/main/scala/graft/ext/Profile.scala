@@ -987,6 +987,68 @@ object Profile {
         max(col("__h")).as("max_hash"))
   }
 
+  /** Grouped TWO-feature least squares — y = b0 + b1·x1 + b2·x2 per
+    * group, solved in closed form from the 3×3 normal equations by
+    * Cramer's rule. The one-feature [[groupedOls]] can't separate
+    * correlated drivers (quantity and discount both move price); two
+    * features is where "regression as an aggregate" starts answering
+    * attribution questions, and the closed form keeps it ONE pass +
+    * ONE hash aggregate — no iterative solver, no feature matrix.
+    *
+    * Determinism: the nine raw moments go through the exact-decimal
+    * sum contract; the four 3×3 determinants are fixed expression
+    * trees over those doubles (first-column cofactor expansion,
+    * identical text on both engines), and the coefficients are
+    * micro-quantized after the single division (the q186 contraction
+    * guard). Groups whose normal matrix is singular (det exactly 0 —
+    * constant or collinear features) report null coefficients.
+    */
+  def groupedOls2(
+      df: DataFrame,
+      groups: Seq[String],
+      x1Col: Column,
+      x2Col: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val q6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    def ds(c: Column) = sum(c.cast(dec)).cast("double")
+    val base = df.filter(x1Col.isNotNull && x2Col.isNotNull && yCol.isNotNull)
+      .select((groups.map(col) ++ Seq(x1Col.cast("double").as("__x1"),
+        x2Col.cast("double").as("__x2"), yCol.cast("double").as("__y"))): _*)
+    val s = (n: String) => col(n)
+    base.groupBy(groups.map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        ds(col("__x1")).as("s1"), ds(col("__x2")).as("s2"), ds(col("__y")).as("sy"),
+        ds(col("__x1") * col("__x1")).as("s11"),
+        ds(col("__x1") * col("__x2")).as("s12"),
+        ds(col("__x2") * col("__x2")).as("s22"),
+        ds(col("__x1") * col("__y")).as("s1y"),
+        ds(col("__x2") * col("__y")).as("s2y"))
+      .withColumn("__det",
+        s("n") * (s("s11") * s("s22") - s("s12") * s("s12")) -
+          s("s1") * (s("s1") * s("s22") - s("s12") * s("s2")) +
+          s("s2") * (s("s1") * s("s12") - s("s11") * s("s2")))
+      .withColumn("__det0",
+        s("sy") * (s("s11") * s("s22") - s("s12") * s("s12")) -
+          s("s1y") * (s("s1") * s("s22") - s("s12") * s("s2")) +
+          s("s2y") * (s("s1") * s("s12") - s("s11") * s("s2")))
+      .withColumn("__det1",
+        s("n") * (s("s1y") * s("s22") - s("s2y") * s("s12")) -
+          s("s1") * (s("sy") * s("s22") - s("s2y") * s("s2")) +
+          s("s2") * (s("sy") * s("s12") - s("s1y") * s("s2")))
+      .withColumn("__det2",
+        s("n") * (s("s11") * s("s2y") - s("s12") * s("s1y")) -
+          s("s1") * (s("s1") * s("s2y") - s("s12") * s("sy")) +
+          s("s2") * (s("s1") * s("s1y") - s("s11") * s("sy")))
+      .select((groups.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        when(col("__det") =!= 0.0, q6(col("__det0") / col("__det"))).as("b0"),
+        when(col("__det") =!= 0.0, q6(col("__det1") / col("__det"))).as("b1"),
+        when(col("__det") =!= 0.0, q6(col("__det2") / col("__det"))).as("b2"))): _*)
+  }
+
   /** Per-column cardinality / concentration profile — the skew
     * diagnosis that decides physical strategy per column: `n_distinct`
     * (dictionary-encodability, join-key selectivity), `top_share_ppm`

@@ -676,6 +676,58 @@ object TimeSeries {
     * per point with K a small constant) — no second shuffle, nothing
     * corpus-bounded in memory.
     */
+  /** Lead–lag cross-correlation screen: Pearson r between series `a`
+    * at time t and series `b` at time t+lag, for every integer lag in
+    * [0, maxLag] — the "does A lead B, and by how much" table (ad
+    * spend → purchases, errors → churn, clicks → signups). The peak
+    * lag is the lead time; r at lag 0 is plain contemporaneous
+    * correlation.
+    *
+    * Determinism: the five sums per lag go through the exact-decimal
+    * contract; r's numerator/denominator are fixed expression trees
+    * and the final ratio is micro-quantized (q186 guard). Lags with
+    * fewer than 2 overlapping points or a degenerate variance report
+    * null. Both inputs are (t, v) relations with integer time indexes
+    * — compose the hourly-mean resample first, as q227 does.
+    *
+    * Scale: the `a` side replicates ×(maxLag+1) (a broadcast-sized
+    * constant), then ONE equi-join on the shifted time key and one
+    * lag-keyed aggregate — never a range join, never a window over
+    * the full series.
+    */
+  def crossCorrelation(
+      a: DataFrame, ta: Column, va: Column,
+      b: DataFrame, tb: Column, vb: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 10000,
+      s"crossCorrelation: maxLag in [0, 10000] required, got $maxLag")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 10)
+    val q6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    def ds(c: Column) = sum(c.cast(dec)).cast("double")
+    val left = a.filter(ta.isNotNull && va.isNotNull)
+      .select(ta.cast("long").as("__t"), va.cast("double").as("__va"))
+      .select(col("__t"), col("__va"), explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      .select((col("__t") + col("lag")).as("__tb"), col("lag").cast("long").as("lag"),
+        col("__va"))
+    val right = b.filter(tb.isNotNull && vb.isNotNull)
+      .select(tb.cast("long").as("__tb"), vb.cast("double").as("__vb"))
+    left.join(right, Seq("__tb"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        ds(col("__va")).as("sa"), ds(col("__vb")).as("sb"),
+        ds(col("__va") * col("__va")).as("saa"),
+        ds(col("__vb") * col("__vb")).as("sbb"),
+        ds(col("__va") * col("__vb")).as("sab"))
+      .withColumn("__d1", col("n") * col("saa") - col("sa") * col("sa"))
+      .withColumn("__d2", col("n") * col("sbb") - col("sb") * col("sb"))
+      .select(col("lag"), col("n").cast("long").as("n"),
+        when(col("n") >= 2.0 && col("__d1") > 0.0 && col("__d2") > 0.0,
+          q6((col("n") * col("sab") - col("sa") * col("sb")) /
+            sqrt(col("__d1") * col("__d2")))).as("r"))
+  }
+
   /** Classical additive seasonal-trend decomposition (the moving-
     * average decomposition underlying STL, Kendall/Cleveland lineage):
     * value = trend + seasonal + residual, computed per key over an

@@ -781,6 +781,144 @@ object Frontier {
                CAST(SUM(CAST(cnt AS HUGEINT) * cnt) * 1000000 //
                  (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT) AS hhi_ppm
         FROM counts GROUP BY 1 ORDER BY column_name
+      """)),
+    // ----------------------------------------------------------------
+    // Grouped two-feature least squares: price ~ quantity + discount
+    // per return flag, closed-form Cramer over nine exact-decimal raw
+    // moments, micro-quantized coefficients. The oracle evaluates the
+    // IDENTICAL determinant expression trees.
+    Q(
+      "q226_grouped_ols2",
+      (s, dir) => {
+        import s.implicits._
+        Profile.groupedOls2(t(s, dir, "lineitem"), Seq("l_returnflag"),
+            $"l_quantity", $"l_discount", $"l_extendedprice")
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            AND l_extendedprice IS NOT NULL),
+        a AS (
+          SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${OracleSql.dsum("x1")} AS s1, ${OracleSql.dsum("x2")} AS s2,
+                 ${OracleSql.dsum("y")} AS sy,
+                 ${OracleSql.dsum("x1*x1")} AS s11, ${OracleSql.dsum("x1*x2")} AS s12,
+                 ${OracleSql.dsum("x2*x2")} AS s22,
+                 ${OracleSql.dsum("x1*y")} AS s1y, ${OracleSql.dsum("x2*y")} AS s2y
+          FROM base GROUP BY 1),
+        d AS (
+          SELECT *,
+            n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+            sy*(s11*s22 - s12*s12) - s1y*(s1*s22 - s12*s2) + s2y*(s1*s12 - s11*s2) AS det0,
+            n*(s1y*s22 - s2y*s12) - s1*(sy*s22 - s2y*s2) + s2*(sy*s12 - s1y*s2) AS det1,
+            n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s12*sy) + s2*(s1*s1y - s11*sy) AS det2
+          FROM a)
+        SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+               CASE WHEN det <> 0 THEN floor(det0/det*1000000.0+0.5)/1000000.0 END AS b0,
+               CASE WHEN det <> 0 THEN floor(det1/det*1000000.0+0.5)/1000000.0 END AS b1,
+               CASE WHEN det <> 0 THEN floor(det2/det*1000000.0+0.5)/1000000.0 END AS b2
+        FROM d ORDER BY l_returnflag
+      """)),
+    // ----------------------------------------------------------------
+    // Lead-lag cross-correlation: click-rate vs purchase-rate hourly
+    // series at lags 0..6 — Pearson r per lag from exact-decimal
+    // sums, micro-quantized. The peak lag is the lead time.
+    Q(
+      "q227_cross_correlation",
+      (s, dir) => {
+        import s.implicits._
+        def hourly(typ: String) = t(s, dir, "events")
+          .filter($"ts".isNotNull && $"value".isNotNull && $"event_type" === typ)
+          .groupBy(floor(unix_timestamp($"ts") / 3600).cast("long").as("hour"))
+          .agg((sum($"value".cast(Dec)).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        TimeSeries.crossCorrelation(hourly("click"), $"hour", $"v",
+            hourly("purchase"), $"hour", $"v", maxLag = 6)
+          .orderBy($"lag")
+      },
+      Some(s"""
+        WITH ha AS (
+          SELECT (epoch_ns(ts) // 1000000000) // 3600 AS t,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS v
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type = 'click'
+          GROUP BY 1),
+        hb AS (
+          SELECT (epoch_ns(ts) // 1000000000) // 3600 AS t,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS v
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type = 'purchase'
+          GROUP BY 1),
+        l AS (
+          SELECT ha.t + g.lag AS tb, g.lag, ha.v AS va
+          FROM ha CROSS JOIN (SELECT unnest(range(0, 7)) AS lag) g),
+        j AS (SELECT l.lag, l.va, hb.v AS vb FROM l JOIN hb ON hb.t = l.tb),
+        a AS (
+          SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${OracleSql.dsum("va")} AS sa, ${OracleSql.dsum("vb")} AS sb,
+                 ${OracleSql.dsum("va*va")} AS saa, ${OracleSql.dsum("vb*vb")} AS sbb,
+                 ${OracleSql.dsum("va*vb")} AS sab
+          FROM j GROUP BY 1),
+        d AS (SELECT *, n*saa - sa*sa AS d1, n*sbb - sb*sb AS d2 FROM a)
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+               CASE WHEN n >= 2 AND d1 > 0 AND d2 > 0 THEN
+                 floor((n*sab - sa*sb)/sqrt(d1*d2)*1000000.0+0.5)/1000000.0 END AS r
+        FROM d ORDER BY lag
+      """)),
+    // ----------------------------------------------------------------
+    // Grid-cell density clustering (DBSCAN-lite) over the q183
+    // synthetic customer points: 10-degree cells, minPts 5, clusters =
+    // connected components over 8-adjacent dense cells (modular x, so
+    // antimeridian clusters stay whole). The oracle closes the cell
+    // graph with WITH RECURSIVE (the q74 pattern).
+    Q(
+      "q228_grid_dbscan",
+      (s, dir) => {
+        import s.implicits._
+        val pts = t(s, dir, "customer").select(
+          ((($"c_custkey" * 37) % 1200).cast("double") / 10.0 - 60.0).as("plat"),
+          ((($"c_custkey" * 91) % 3600).cast("double") / 10.0 - 180.0).as("plon"))
+        graft.ext.Geo.gridDbscan(pts, $"plat", $"plon", cellDeg = 10.0, minPts = 5)
+          .orderBy($"cell_x", $"cell_y")
+      },
+      Some("""
+        WITH RECURSIVE pts AS (
+          SELECT CAST((c_custkey * 37) % 1200 AS DOUBLE) / 10.0 - 60.0 AS plat,
+                 CAST((c_custkey * 91) % 3600 AS DOUBLE) / 10.0 - 180.0 AS plon
+          FROM customer),
+        cells AS (
+          SELECT ((CAST(floor(plon / 10.0) AS BIGINT) % 36) + 36) % 36 AS cell_x,
+                 CAST(floor(plat / 10.0) AS BIGINT) AS cell_y,
+                 COUNT(*) AS n_points
+          FROM pts WHERE plat IS NOT NULL AND plon IS NOT NULL
+          GROUP BY 1, 2),
+        dense AS (
+          SELECT cell_x, cell_y, n_points,
+                 (cell_y + 100000) * 36 + cell_x AS cid
+          FROM cells WHERE n_points >= 5),
+        offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+        edges AS (
+          SELECT a.cid AS s, b.cid AS d
+          FROM dense a CROSS JOIN offs o
+          JOIN dense b
+            ON b.cell_x = (((a.cell_x + o.dx) % 36) + 36) % 36
+           AND b.cell_y = a.cell_y + o.dy),
+        reach(id, lab) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+        comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+        SELECT d2.cell_x, d2.cell_y, CAST(d2.n_points AS BIGINT) AS n_points,
+               coalesce(c.comp, d2.cid) AS cluster_id
+        FROM dense d2 LEFT JOIN comp c ON c.id = d2.cid
+        ORDER BY cell_x, cell_y
       """))
   )
 }

@@ -371,6 +371,61 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3(b9)._3 && d3(b9)._2 == d3(b9)._1 + 2)
   }
 
+  test("groupedOls2: exact plane recovered; collinear group reports nulls") {
+    import spark.implicits._
+    // y = 2 + 3*x1 + 5*x2 exactly -> coefficients recover exactly
+    val plane = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, 1.0))
+      .map { case (x1, x2) => ("ok", x1, x2, 2.0 + 3.0 * x1 + 5.0 * x2) }
+    // x2 = x1 -> singular normal matrix
+    val coll = Seq(0.0, 1.0, 2.0).map(x => ("bad", x, x, x))
+    val out = Profile.groupedOls2((plane ++ coll).toDF("g", "x1", "x2", "y"),
+        Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ok = out("ok")
+    assert(ok.getLong(1) == 5 && ok.getDouble(2) == 2.0 &&
+      ok.getDouble(3) == 3.0 && ok.getDouble(4) == 5.0)
+    val bad = out("bad")
+    assert(bad.isNullAt(2) && bad.isNullAt(3) && bad.isNullAt(4))
+  }
+
+  test("crossCorrelation: exact affine lead at its lag; constant series degenerates to null") {
+    import spark.implicits._
+    val pattern = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 0.0)
+    val a = pattern.zipWithIndex.map { case (v, t) => (t.toLong, v) }.toDF("t", "v")
+    // b at t+2 is an exact affine image of a at t -> r(lag 2) = 1.0
+    val b = pattern.zipWithIndex.map { case (v, t) => (t.toLong + 2, 2.0 * v + 3.0) }
+      .toDF("t", "v")
+    val r = TimeSeries.crossCorrelation(a, col("t"), col("v"), b, col("t"), col("v"),
+        maxLag = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), if (x.isNullAt(2)) None
+        else Some(x.getDouble(2))))).toMap
+    assert(r(2L) == ((10L, Some(1.0))))
+    assert(r(0L)._1 == 8 && r(0L)._2.exists(_ < 1.0)) // partial overlap, imperfect
+    val const = (0L to 9L).map(t => (t, 4.0)).toDF("t", "v")
+    val rc = TimeSeries.crossCorrelation(a, col("t"), col("v"), const, col("t"),
+      col("v"), maxLag = 1).collect()
+    assert(rc.forall(_.isNullAt(2))) // zero variance on one side
+  }
+
+  test("gridDbscan: adjacent dense cells merge (incl. across the x wrap); sparse cells are noise") {
+    import spark.implicits._
+    def burst(lat: Double, lon: Double, n: Int) = Seq.fill(n)((lat, lon))
+    val pts = (burst(5.0, -5.0, 3) ++ burst(5.0, 2.0, 3) ++ // wrap pair x=35 & x=0
+      burst(45.0, 105.0, 3) ++ // isolated dense cell
+      burst(25.0, 55.0, 2)) // below minPts -> absent
+      .toDF("plat", "plon")
+    val out = Geo.gridDbscan(pts, col("plat"), col("plon"), cellDeg = 10.0, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 3)
+    val cidA = (0L + 100000L) * 36 + 0 // cell (x=0, y=0) encoded
+    assert(out((35L, 0L)) == ((3L, cidA))) // merged across the wrap, min id wins
+    assert(out((0L, 0L)) == ((3L, cidA)))
+    val cidB = (4L + 100000L) * 36 + 10
+    assert(out((10L, 4L)) == ((3L, cidB))) // singleton keeps its own id
+    assert(!out.contains((5L, 2L))) // the 2-point cell is noise
+  }
+
   test("naiveBayesScores: classify argmax equals max over the exposed score table") {
     import spark.implicits._
     val train = Seq(("en", "the cat"), ("de", "die katze"), ("en", "the dog"))
