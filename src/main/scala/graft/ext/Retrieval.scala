@@ -302,6 +302,51 @@ object Retrieval {
     * "union then re-take k smallest", the classic mergeable-summary
     * property, so per-day/per-shard sketches compose without rescans.
     */
+  /** The k-minimum-values SET itself, per group — the mergeable form
+    * of [[kmvDistinct]]'s summary: a sorted array of the ≤k smallest
+    * distinct hashes. This is what you PERSIST per shard/day at
+    * 100 TB; [[kmvMergeEstimate]] composes two of them.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      k: Int): DataFrame = {
+    require(k >= 8 && k <= 65536, s"kmvSketch: k in [8, 65536] required, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val Space = 1L << 40
+    df.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("grp"), pmod(TextHash.hash64(value), lit(Space)).as("__h"))
+      .distinct()
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("__h"))))
+      .filter(col("__rn") <= k)
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(col("__h"))).as("hashes"))
+  }
+
+  /** Merge two [[kmvSketch]] relations and estimate: union the hash
+    * sets, re-take the k smallest — the KMV merge rule, which makes
+    * per-shard sketches compose into EXACTLY the sketch of the union
+    * (min-of-mins commutes with union). Output per group:
+    * (grp, hashes, est) with the [[kmvDistinct]] estimator; groups
+    * present on one side only pass through.
+    */
+  def kmvMergeEstimate(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 8 && k <= 65536, s"kmvMergeEstimate: k in [8, 65536], got $k")
+    val Space = 1L << 40
+    val empty = array().cast("array<long>")
+    a.select(col("grp"), col("hashes").as("__ha"))
+      .join(b.select(col("grp"), col("hashes").as("__hb")), Seq("grp"), "full")
+      .withColumn("hashes",
+        slice(array_sort(array_distinct(
+          concat(coalesce(col("__ha"), empty), coalesce(col("__hb"), empty)))), 1, k))
+      .withColumn("est",
+        when(size(col("hashes")) < k, size(col("hashes")).cast("long"))
+          .otherwise(expr(s"${(k - 1) * Space}L div element_at(hashes, $k)")))
+      .select(col("grp"), col("hashes"), col("est"))
+  }
+
   def kmvDistinct(
       df: DataFrame,
       group: Column,

@@ -62,6 +62,35 @@ object Skew {
     * would see the replicated small side's unmatched copies `salts`
     * times.
     */
+  /** Salt advisor — closes the measure→prescribe loop of the skew
+    * family: per join/group key, its row count, traffic share (ppm),
+    * and the SALT FACTOR that would spread it across tasks —
+    * `ceil(count · parts / total)`, i.e. how many tasks' worth of
+    * rows the key carries (1 = harmless, ≥2 = would straggle a
+    * `parts`-way shuffle; feed it to [[saltedJoin]]/[[saltedSum]] as
+    * the per-key salt count). `minShare` ppm prunes the long tail so
+    * the advisory table is head-bounded, not key-bounded.
+    *
+    * All integer arithmetic (ceil division via `(a + b − 1) div b`),
+    * one key-keyed aggregate + a 1-row broadcast total. This is the
+    * operator a pipeline runs BEFORE the big join, on the cheap side,
+    * instead of discovering the hot key from a straggling stage.
+    */
+  def saltAdvisor(
+      df: DataFrame, key: Column, parts: Int, minSharePpm: Long = 1000L): DataFrame = {
+    require(parts >= 2 && parts <= 1000000, s"saltAdvisor: parts in [2, 1e6], got $parts")
+    require(minSharePpm >= 0 && minSharePpm <= 1000000L,
+      s"saltAdvisor: minSharePpm in [0, 1e6], got $minSharePpm")
+    val counts = df.filter(key.isNotNull)
+      .groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__total"))))
+      .withColumn("share_ppm", expr("n * 1000000L div __total"))
+      .filter(col("share_ppm") >= minSharePpm)
+      .withColumn("salt", expr(s"(n * ${parts}L + __total - 1L) div __total"))
+      .select(col("key"), col("n"), col("share_ppm"), col("salt"))
+  }
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,

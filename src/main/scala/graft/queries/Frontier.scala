@@ -919,6 +919,105 @@ object Frontier {
                coalesce(c.comp, d2.cid) AS cluster_id
         FROM dense d2 LEFT JOIN comp c ON c.id = d2.cid
         ORDER BY cell_x, cell_y
+      """)),
+    // ----------------------------------------------------------------
+    // KMV sketch-merge identity, oracle-checked: sketch the even and
+    // odd doc halves separately, merge (union + re-take k smallest),
+    // and assert per source that the merged sketch EQUALS the
+    // whole-corpus sketch — min-of-mins commutes with union, the
+    // property that lets per-shard sketches compose at 100 TB without
+    // rescans. sketch_equal is the self-verifying verdict.
+    Q(
+      "q229_kmv_merge",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"source".isNotNull && $"doc_id".isNotNull)
+          .select($"doc_id", $"source", explode(TextHash.tokens($"text")).as("tok"))
+        val whole = Retrieval.kmvSketch(toks, $"source", $"tok", k = KmvK)
+        val even = Retrieval.kmvSketch(toks.filter($"doc_id" % 2 === 0),
+          $"source", $"tok", KmvK)
+        val odd = Retrieval.kmvSketch(toks.filter($"doc_id" % 2 === 1),
+          $"source", $"tok", KmvK)
+        val merged = Retrieval.kmvMergeEstimate(even, odd, KmvK)
+        whole.select($"grp".as("source"),
+            size($"hashes").cast("long").as("n_whole"), $"hashes".as("__hw"))
+          .join(merged.select($"grp".as("source"),
+            size($"hashes").cast("long").as("n_merged"),
+            $"est".as("est_merged"), $"hashes".as("__hm")), Seq("source"))
+          .select($"source", $"n_whole", $"n_merged", $"est_merged",
+            ($"__hw" === $"__hm").as("sketch_equal"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(${OracleSql.tokens("text")}) AS tok
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+        hw AS (SELECT DISTINCT source, ${OracleSql.hash64("tok")} % $KmvSpace AS h
+               FROM toks),
+        whole AS (
+          SELECT source, list(h ORDER BY h) AS hs FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hw)
+          WHERE rn <= $KmvK GROUP BY source),
+        he AS (SELECT DISTINCT source, ${OracleSql.hash64("tok")} % $KmvSpace AS h
+               FROM toks WHERE doc_id % 2 = 0),
+        ho AS (SELECT DISTINCT source, ${OracleSql.hash64("tok")} % $KmvSpace AS h
+               FROM toks WHERE doc_id % 2 = 1),
+        se AS (
+          SELECT source, list(h ORDER BY h) AS hs FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM he)
+          WHERE rn <= $KmvK GROUP BY source),
+        so AS (
+          SELECT source, list(h ORDER BY h) AS hs FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM ho)
+          WHERE rn <= $KmvK GROUP BY source),
+        m AS (
+          SELECT source,
+                 list_slice(list_sort(list_distinct(
+                   coalesce(se.hs, CAST([] AS BIGINT[])) ||
+                   coalesce(so.hs, CAST([] AS BIGINT[])))), 1, $KmvK) AS hs
+          FROM se FULL OUTER JOIN so USING (source))
+        SELECT w.source, CAST(len(w.hs) AS BIGINT) AS n_whole,
+               CAST(len(m.hs) AS BIGINT) AS n_merged,
+               CAST(CASE WHEN len(m.hs) < $KmvK THEN len(m.hs)
+                    ELSE ${(KmvK - 1) * KmvSpace} // m.hs[$KmvK] END AS BIGINT)
+                 AS est_merged,
+               (w.hs = m.hs) AS sketch_equal
+        FROM whole w JOIN m USING (source)
+        ORDER BY source
+      """)),
+    // ----------------------------------------------------------------
+    // Salt advisor over the event-type key: per key its count, ppm
+    // share, and the ceil(count·parts/total) salt factor a 32-way
+    // shuffle needs — the measure→prescribe closer of the q53/q117
+    // skew family, run on the cheap side BEFORE the big join.
+    Q(
+      "q230_salt_advisor",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Skew.saltAdvisor(t(s, dir, "events"), $"event_type",
+            parts = 32, minSharePpm = 10000L)
+          .select($"key".as("event_type"), $"n", $"share_ppm", $"salt")
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type AS k, COUNT(*) AS n FROM events
+          WHERE event_type IS NOT NULL GROUP BY 1),
+        t AS (SELECT SUM(n) AS total FROM c)
+        SELECT k AS event_type, n,
+               CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+               CAST((n * 32 + total - 1) // total AS BIGINT) AS salt
+        FROM c CROSS JOIN t
+        WHERE n * 1000000 // total >= 10000
+        ORDER BY event_type
       """))
   )
 }

@@ -371,6 +371,43 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3(b9)._3 && d3(b9)._2 == d3(b9)._1 + 2)
   }
 
+  test("kmvSketch merge: union of half-sketches equals the whole sketch; one-sided groups pass through") {
+    import spark.implicits._
+    val space = 1L << 40
+    val rows = (1 to 500).map(i => ("g", s"v$i", i % 2)) ++
+      (1 to 5).map(i => ("solo", s"s$i", 0))
+    val df = rows.toDF("grp0", "v", "half")
+    def sk(f: org.apache.spark.sql.DataFrame) =
+      Retrieval.kmvSketch(f, col("grp0"), col("v"), k = 16)
+    val whole = sk(df).collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val merged = Retrieval.kmvMergeEstimate(
+        sk(df.filter(col("half") === 0)), sk(df.filter(col("half") === 1)), k = 16)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+    merged.foreach { case (g, hs, est) =>
+      assert(hs == whole(g), s"merge identity broke for $g")
+      if (g == "solo") assert(est == 5L) // sub-k -> exact
+      else {
+        val exp = (1 to 500).map(i => TextHash.hash64Local(s"v$i") % space)
+          .distinct.sorted
+        assert(est == 15L * space / exp(15))
+      }
+    }
+  }
+
+  test("saltAdvisor: ceil salt factors for heavy keys; tail pruned by share floor") {
+    import spark.implicits._
+    val df = (Seq.fill(70)("A") ++ Seq.fill(25)("B") ++ Seq.fill(5)("C")).toDF("k")
+    val out = Skew.saltAdvisor(df, col("k"), parts = 10, minSharePpm = 60000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("A") == ((70L, 700000L, 7L)))
+    assert(out("B") == ((25L, 250000L, 3L))) // ceil(2.5)
+    assert(!out.contains("C")) // 5% < the 6% share floor
+    intercept[IllegalArgumentException] {
+      Skew.saltAdvisor(df, col("k"), parts = 1)
+    }
+  }
+
   test("groupedOls2: exact plane recovered; collinear group reports nulls") {
     import spark.implicits._
     // y = 2 + 3*x1 + 5*x2 exactly -> coefficients recover exactly
