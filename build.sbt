@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout through RAW (no sbt `[info] ` line prefix): the
+// bench driver strict-parses the final JSON line of `sbt runMain
+// graft.Bench` output, and the logger prefix breaks that parse.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing `[success] Total time: ...` line so the
+// bench's final JSON total line is the LAST line of stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
