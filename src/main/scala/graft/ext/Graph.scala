@@ -618,6 +618,12 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"personalizedPageRank: iters in [1,50], got $iters")
     require(dampPpm >= 0L && dampPpm <= 1000000L,
       s"personalizedPageRank: dampPpm in [0, 1e6], got $dampPpm")
+    // Same contract as pageRank: baseS floors rankUnit/1e6 FIRST, so a
+    // rankUnit below 1e6 (or not a multiple of it) silently zeroes the
+    // restart term and all rank mass decays to 0 over iterations.
+    require(rankUnit >= 1000000L && rankUnit % 1000000L == 0L &&
+      rankUnit <= 1000000000000L,
+      s"personalizedPageRank: rankUnit must be a multiple of 1e6 in [1e6, 1e12], got $rankUnit")
     val sc = edges.sparkSession.sparkContext
     val e = checkpointTracked(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
@@ -716,6 +722,7 @@ object Graph {
         .distinct().select(col("id"), lit(0L).as("dist")))
     var (frontier, frontierIds) = checkpointTracked(dist)
     var liveIds = adjIds ++ distIds ++ frontierIds
+    var returned = false
     try {
       var h = 1
       var frontierSize = 1L
@@ -740,11 +747,13 @@ object Graph {
         dist = nd; distIds = ndIds
         h += 1
       }
+      returned = true
       dist.select(col("id").as("node"), col("dist"))
     } finally {
-      // the returned frame's blocks stay live; everything superseded
-      // or auxiliary (adjacency included) is freed even on abort
-      freeIds(sc, liveIds -- distIds)
+      // On success the returned frame's blocks stay live; on an abort
+      // no frame escapes, so the current dist checkpoint is freed too
+      // (otherwise its blocks leak on the failure path).
+      freeIds(sc, if (returned) liveIds -- distIds else liveIds)
     }
   }
 

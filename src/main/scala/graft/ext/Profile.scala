@@ -1150,8 +1150,8 @@ object Profile {
     * Contract: an EVALUATION operator — the window orders the
     * distinct-score relation, bounded by score cardinality ≤ eval
     * size (the [[calibrationCurve]] contract), enforced in-plan by
-    * `maxDistinctScores`; the ×10⁶ numerator stays in longs for eval
-    * sets under ~4·10⁶ rows.
+    * `maxDistinctScores`; the ×10⁶ ppm division runs in DECIMAL(38,0)
+    * so it stays exact at any eval size the guard admits.
     */
   def aucExact(
       df: DataFrame,
@@ -1182,8 +1182,14 @@ object Profile {
         sum(col("__np") * (lit(2L) * (col("__cumn") - col("__nn")) + col("__nn")))
           .as("auc_x2"))
       .select(col("n_pos"), col("n_neg"), col("auc_x2"),
+        // ppm division in DECIMAL(38,0): auc_x2·10⁶ overflows Long once
+        // n_pos·n_neg passes ~4.6e12 (a 10M-row eval set with few
+        // distinct scores passes maxDistinctScores yet would yield a
+        // garbage ppm in long math) — mirror blockingQuality's exact
+        // decimal route; IntegralDivide lands back on Long.
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("auc_x2 * 1000000L div (2L * n_pos * n_neg)")).as("auc_ppm"))
+          expr("CAST(auc_x2 AS DECIMAL(38,0)) * 1000000 div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)")).as("auc_ppm"))
   }
 
   /** Calibration curve (reliability diagram) for an integer-scored

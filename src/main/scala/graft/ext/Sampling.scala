@@ -197,7 +197,13 @@ object Sampling {
       s"budgetMixtureSample: positive weights required, got $weights")
     require(totalBudget > 0, s"budgetMixtureSample: totalBudget > 0 required")
     val wsum = weights.map(_._2).sum
-    val budgets = weights.map { case (s, w) => (s, totalBudget * w / wsum) }
+    // BigInt intermediate: totalBudget·w overflows Long at the scales
+    // both factors are specified in (a 3e11-token budget × ppm-style
+    // weights already passes 2^63), which would yield negative budgets
+    // that silently drop every document of a source.
+    val budgets = weights.map { case (s, w) =>
+      (s, (BigInt(totalBudget) * w / wsum).toLong)
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val bdf = broadcast(budgets.toDF("__src", "budget"))

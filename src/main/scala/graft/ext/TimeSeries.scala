@@ -747,7 +747,9 @@ object TimeSeries {
     * The series is ordinal by contract — the caller supplies regular
     * samples (compose [[resampleFill]] first for gappy data); phase is
     * row-index-derived, so gaps shift phase ALIGNMENT, never
-    * determinism.
+    * determinism. Duplicate (key, t) rows would make the t-order
+    * nondeterministic, so uniqueness is enforced in-plan (raise_error
+    * on a same-window lag probe), not merely documented.
     *
     * Scale: one key-partitioned window pass (row index, MA sums,
     * lag/lead endpoints — one Exchange+Sort), one (key, phase)
@@ -769,7 +771,16 @@ object TimeSeries {
     val ma = ord.rowsBetween(-k, k)
     val based = df.filter(key.isNotNull && t.isNotNull && value.isNotNull)
       .select(key.as("key"), t.as("t"), value.cast("double").as("value"))
-      .withColumn("rn", row_number().over(ord))
+      // Unique-(key, t) precondition enforced in-plan: with duplicate
+      // timestamps the t-ordered row_number/phase/lag/lead — hence
+      // trend, seasonal, residual — would be nondeterministic. The
+      // lag probe rides the SAME window spec (no extra Exchange).
+      .withColumn("rn",
+        when(lag(col("t"), 1).over(ord) === col("t"),
+          raise_error(concat(lit("decompose: duplicate (key, t) at key="),
+            col("key").cast("string"), lit(", t="), col("t").cast("string"),
+            lit(" — the series must be unique per (key, t); resampleFill first"))))
+          .otherwise(row_number().over(ord)))
       .withColumn("phase", expr(s"(rn - 1) % $period"))
       .withColumn("__full", sum(col("value").cast(dec)).over(ma).cast("double"))
       .withColumn("__cnt", count(lit(1)).over(ma))
