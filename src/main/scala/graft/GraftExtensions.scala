@@ -145,6 +145,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BloomMightContainBytes(args(0), args(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_luma_grid"),
+      info("graft_luma_grid",
+        "graft_luma_grid(bytes) - 64-cell box-filter luma grid of a binary payload"),
+      (args: Seq[Expression]) => graft.functions.LumaGrid(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_ahash64"),
+      info("graft_ahash64", "graft_ahash64(grid) - 64-bit average perceptual hash of a 64-cell grid"),
+      (args: Seq[Expression]) => graft.functions.AHash64(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_dhash64"),
+      info("graft_dhash64", "graft_dhash64(grid) - 64-bit difference perceptual hash of a 64-cell grid"),
+      (args: Seq[Expression]) => graft.functions.DHash64(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk_pairs"),
       info("graft_topk_pairs",
         "graft_topk_pairs(score, id, k) - aggregate: k best (score desc, id asc) pairs per group as array<struct<score,id>>"),

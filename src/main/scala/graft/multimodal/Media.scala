@@ -86,6 +86,59 @@ object Media {
         i => i * lit(everyMs)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Perceptual hashes of a binary payload column: the 8×8 box-filter
+    * luma grid ([[graft.functions.LumaGrid]]) plus the 64-bit
+    * average-hash and difference-hash over it — the integer-exact
+    * image-fingerprint pair (aHash tracks global brightness shape,
+    * dHash local gradients; dedup uses dHash, retrieval filters often
+    * want both). Scan-stage, codegen, no shuffle.
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    import graft.functions.MediaFunctions._
+    df.select(col(idCol).as("media_id"),
+        lumaGrid(col(bytesCol).cast("binary")).as("luma"))
+      .select(col("media_id"), col("luma"),
+        aHash64(col("luma")).as("ahash"), dHash64(col("luma")).as("dhash"))
+  }
+
+  /** Binary near-duplicate pairs by dHash Hamming distance — the image
+    * twin of [[graft.ext.Dedup.simhashPairs]], same pigeonhole
+    * bucketing: split the 64-bit dHash into maxHamming+1 disjoint
+    * chunks, equi-join on (chunkIdx, chunkValue) — any pair within the
+    * Hamming bound shares at least one exact chunk — then verify with
+    * the true popcount. No pair explosion: the join is a keyed
+    * equi-join on chunk values, never payload×payload.
+    *
+    * Scale: hashes are scan-stage; the shuffle carries (chunks per
+    * media) 16-byte rows. An identical-plan self-join lets
+    * ReuseExchange compute the hashes once.
+    */
+  def phashPairs(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"phashPairs: maxHamming in [0, 15] required, got $maxHamming")
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val base = df.select(col(idCol).as("media_id"),
+      graft.functions.MediaFunctions.dHash64(
+        graft.functions.MediaFunctions.lumaGrid(col(bytesCol).cast("binary")))
+        .as("dh"))
+    val chunked = base.withColumn("chunk", explode(array((0 until chunks).map { i =>
+      struct(lit(i).as("idx"),
+        shiftrightunsigned(col("dh"), i * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("v"))
+    }: _*)))
+    chunked.as("a").join(chunked.as("b"), col("a.chunk") === col("b.chunk"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        graft.ext.TextHash.hamming64(col("a.dh"), col("b.dh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Wrap a DataFrame with (id, binary payload) columns into the typed
     * media shape with metadata defaults — the ingestion boundary.
     */

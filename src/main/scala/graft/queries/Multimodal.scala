@@ -45,6 +45,65 @@ object Multimodal {
                  list_transform(features, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS checksum
         FROM f
         ORDER BY media_id
+      """)),
+    // ----------------------------------------------------------------
+    // Perceptual-hash binary near-dup: payloads are document bytes plus
+    // a PLANTED near-identical variant per document (a small local byte
+    // edit — the first 8 bytes uppercased — the image analogue of a
+    // re-encoded corner region). dHash over the 8×8 box-filter luma
+    // grid, pigeonhole Hamming bucketing (5 disjoint 12-bit chunks for
+    // maxHamming 4), popcount verify. At sf0.01 every planted pair
+    // lands at Hamming 0-3 while the closest unrelated pair sits at 15
+    // (measured) — the operator separates local byte edits from
+    // different content. All integer math; the oracle replays each
+    // grid cell, hash bit, and bucket exactly.
+    Q(
+      "q231_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val media = docs
+          .select(($"doc_id" * 2).as("media_id"), $"text".cast("binary").as("payload"))
+          .unionAll(docs.select(($"doc_id" * 2 + 1).as("media_id"),
+            concat(upper(substring($"text", 1, 8)), expr("substring(text, 9)"))
+              .cast("binary").as("payload")))
+        Media.phashPairs(media, "media_id", "payload", maxHamming = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id*2 AS media_id, text AS payload FROM documents
+          UNION ALL
+          SELECT doc_id*2+1, upper(payload[1:8]) || payload[9:]
+          FROM (SELECT doc_id, text AS payload FROM documents)),
+        pb AS (
+          SELECT media_id, (i*64)//length(payload) AS c,
+                 unicode(payload[CAST(i+1 AS INT):CAST(i+1 AS INT)]) AS b
+          FROM (SELECT media_id, payload,
+                       unnest(range(0, length(payload))) AS i FROM media)),
+        nonempty AS (SELECT media_id, c, SUM(b)//COUNT(*) AS lum FROM pb GROUP BY 1, 2),
+        grid AS (SELECT media_id, unnest(range(0, 64)) AS c FROM media),
+        cells AS (
+          SELECT g.media_id, g.c, COALESCE(n.lum, 0) AS lum
+          FROM grid g LEFT JOIN nonempty n ON g.media_id = n.media_id AND g.c = n.c),
+        g8 AS (SELECT media_id, list(lum ORDER BY c) AS g FROM cells GROUP BY media_id),
+        hash AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN g[CAST((i//8)*8 + ((i%8)+1)%8 + 1 AS INT)] > g[CAST(i+1 AS INT)]
+              THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
+              ELSE 0 END) AS BIGINT) AS dh
+          FROM g8 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+        chunked AS (
+          SELECT media_id, dh, c, (dh >> CAST(c*12 AS INTEGER)) & 4095 AS v
+          FROM hash CROSS JOIN (SELECT unnest(range(0, 5)) AS c)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.dh AS ha, b.dh AS hb
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        ORDER BY id_a, id_b
       """))
   )
 }

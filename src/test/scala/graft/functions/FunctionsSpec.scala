@@ -354,5 +354,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq((3.0, 11L), (2.0, 12L)))
     assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
       == Seq((9.0, 13L)))
+    // round-9 perceptual-hash registrations: 64 bytes of 0x64 → a flat
+    // grid of 100s → no strict inequalities → both hashes 0
+    val ph = spark.sql(
+      s"SELECT graft_ahash64(graft_luma_grid(X'${"64" * 64}')) AS a, " +
+        s"graft_dhash64(graft_luma_grid(X'${"64" * 64}')) AS d, " +
+        s"size(graft_luma_grid(X'${"64" * 64}')) AS n").collect().head
+    assert(ph.getLong(0) == 0L && ph.getLong(1) == 0L && ph.getInt(2) == 64)
   }
 }

@@ -50,4 +50,74 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stub codec range contract
     assert(feats.flatMap(_.features).forall(f => f >= 0.0f && f < 1.0f))
   }
+
+  test("lumaGrid: 64 cells, box-filter means, empty cells 0, locality") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    // 128 bytes of value 100 → every cell holds exactly two bytes → 100
+    val flat = Array.fill(128)(100.toByte)
+    // short payload (32 bytes): positions map to every other cell; the
+    // 32 untouched cells read 0
+    val short = Array.fill(32)(100.toByte)
+    val rows = Seq((1L, flat), (2L, short), (3L, Array.empty[Byte]))
+      .toDF("id", "b")
+      .select($"id", lumaGrid($"b").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows(1L) == Seq.fill(64)(100))
+    assert(rows(2L).count(_ == 100) == 32 && rows(2L).count(_ == 0) == 32)
+    assert(rows(3L) == Seq.fill(64)(0))
+    // locality: editing the first 8 of 512 bytes moves ONLY cell 0
+    val base = Array.tabulate(512)(i => (i % 251).toByte)
+    val edited = base.clone(); (0 until 8).foreach(i => edited(i) = 255.toByte)
+    val Seq(g1, g2) = Seq((1L, base), (2L, edited)).toDF("id", "b")
+      .orderBy($"id").select(lumaGrid($"b")).collect()
+      .map(_.getSeq[Int](0)).toSeq
+    assert(g1.zip(g2).zipWithIndex.count { case ((a, b), _) => a != b } == 1)
+    assert(g1.drop(1) == g2.drop(1))
+  }
+
+  test("aHash/dHash: integer-exact bits, null off-contract grids") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    // grid: cell i = i → mean floor(2016/64)=31; aHash bits 32..63 set
+    val ramp = Array.tabulate(256)(i => (i / 4).toByte) // cell c = c
+    val out = Seq((1L, ramp)).toDF("id", "b")
+      .select(aHash64(lumaGrid($"b")).as("a"), dHash64(lumaGrid($"b")).as("d"))
+      .collect().head
+    val expectA = (32 until 64).map(1L << _).reduce(_ | _)
+    assert(out.getLong(0) == expectA)
+    // ramp rows: within each row cells strictly increase; the wraparound
+    // bit (col 7 → col 0) is the only unset bit per row
+    val expectD = (0 until 64).filter(i => i % 8 != 7).map(1L << _).foldLeft(0L)(_ | _)
+    assert(out.getLong(1) == expectD)
+    // non-64-cell grid → null hash
+    val bad = Seq((1L, Seq(1, 2, 3))).toDF("id", "g")
+      .select(aHash64($"g").as("a"), dHash64($"g").as("d")).collect().head
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
+  test("phashPairs: planted local edits found, different content excluded, no cartesian") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val body = Array.tabulate(400)(j => (((i * 131 + j * 17) % 83) + 40).toByte)
+      (i.toLong * 2, body)
+    }
+    val variants = docs.map { case (id, b) =>
+      val v = b.clone(); (0 until 6).foreach(i => v(i) = (v(i) + 60).toByte); (id + 1, v)
+    }
+    val df = (docs ++ variants).toDF("media_id", "payload")
+    val pairs = Media.phashPairs(df, "media_id", "payload", maxHamming = 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted (2i, 2i+1) pair present with small hamming
+    val planted = got.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(planted.length == 40)
+    assert(planted.forall(_._3 <= 4))
+    // identical payloads → hamming 0
+    val twin = Seq((1L, "same-bytes"), (2L, "same-bytes"), (3L, "other-content"))
+      .toDF("id", "p").select($"id", $"p".cast("binary").as("p"))
+    val tp = Media.phashPairs(twin, "id", "p", maxHamming = 0).collect()
+    assert(tp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
+  }
 }
