@@ -347,6 +347,105 @@ object Retrieval {
       .select(col("grp"), col("hashes"), col("est"))
   }
 
+  /** Persisted mergeable quantile sketch ("KLL-lite"): each row draws a
+    * deterministic geometric LEVEL from its id hash — l = trailing zero
+    * bits of the 60-bit md5 hash, so P(l ≥ j) = 2⁻ʲ over the hash
+    * randomness — and the sketch keeps, per group, every row at level
+    * ≥ t for the smallest threshold t that fits the `k`-item budget.
+    * Kept items therefore form a deterministic 2⁻ᵗ row sample
+    * (coordinated/bottom-sampling lineage — Cohen–Kaplan; the level
+    * trick is the same geometric coin KLL compaction flips, decided
+    * per-item by hash so the sketch is ORDER-INSENSITIVE), and
+    * est_rank(v) = 2ᵗ · |{items ≤ v}| with rank error O(√(n·2ᵗ)).
+    *
+    * The mergeable-summary property is EXACT, like [[kmvSketch]]:
+    * levels are per-item constants, so sketch(A ∪ B) =
+    * re-threshold(sketch(A) ∪ sketch(B)) cell-for-cell — per-shard /
+    * per-day sketches compose without rescans ([[quantileSketchMerge]];
+    * q232 proves the identity against the whole-data sketch).
+    *
+    * Output: (grp, n, t, items) with items = array<struct<v,h,l>>
+    * sorted by (v, h); n is the exact row count (mergeable by sum).
+    * Values are longs by contract (pre-quantize doubles, q79-style).
+    *
+    * Scale: one scan + one level-count aggregate (41 rows per group)
+    * + one filtered collect of ≤ k items per group — the sketch, not
+    * the data, crosses the wire.
+    */
+  def quantileSketch(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      id: Column,
+      k: Int): DataFrame = {
+    require(k >= 16 && k <= 65536, s"quantileSketch: k in [16, 65536] required, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(group.isNotNull && value.isNotNull && id.isNotNull)
+      .select(group.as("grp"), value.cast("long").as("v"),
+        TextHash.hash64(id.cast("string")).as("h"))
+      .withColumn("l",
+        when(col("h") === 0L, lit(40))
+          .otherwise(least(lit(40), log2(col("h").bitwiseAND(-col("h"))).cast("int"))))
+    val counts = base.groupBy(col("grp"), col("l")).agg(count(lit(1)).as("__c"))
+    val cum = counts.withColumn("__ge",
+      sum(col("__c")).over(Window.partitionBy(col("grp"))
+        .orderBy(col("l").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // t = (max level whose ≥-count still exceeds k) + 1; 0 when none
+    val ts = cum.groupBy(col("grp")).agg(
+      (coalesce(max(when(col("__ge") > k, col("l"))), lit(-1)) + 1).as("t"),
+      sum(col("__c")).as("n"))
+    base.join(ts, Seq("grp"))
+      .filter(col("l") >= col("t"))
+      .groupBy(col("grp"), col("n"), col("t"))
+      .agg(array_sort(collect_list(struct(col("v"), col("h"), col("l")))).as("items"))
+      .select(col("grp"), col("n"), col("t"), col("items"))
+  }
+
+  /** Merge two [[quantileSketch]] relations: union the item buffers,
+    * re-pick the smallest threshold t ≥ max(tₐ, t_b) whose filtered
+    * buffer fits `k`, and sum the counts — which reconstructs EXACTLY
+    * the sketch the whole data would produce (levels are per-item
+    * constants, so the union at threshold t contains precisely the
+    * whole-data items at level ≥ t). Groups on one side pass through.
+    */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 16 && k <= 65536, s"quantileSketchMerge: k in [16, 65536], got $k")
+    val empty = expr("CAST(array() AS array<struct<v: bigint, h: bigint, l: int>>)")
+    a.select(col("grp"), col("n").as("__na"), col("t").as("__ta"), col("items").as("__ia"))
+      .join(b.select(col("grp"), col("n").as("__nb"), col("t").as("__tb"),
+        col("items").as("__ib")), Seq("grp"), "full")
+      .withColumn("__u", concat(coalesce(col("__ia"), empty), coalesce(col("__ib"), empty)))
+      .withColumn("__tmin", greatest(coalesce(col("__ta"), lit(0)), coalesce(col("__tb"), lit(0))))
+      .withColumn("t", expr(
+        s"element_at(filter(sequence(__tmin, 40), T -> size(filter(__u, x -> x.l >= T)) <= $k), 1)"))
+      .select(col("grp"),
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).as("n"),
+        col("t"),
+        array_sort(expr("filter(__u, x -> x.l >= t)")).as("items"))
+  }
+
+  /** Quantile estimates from a [[quantileSketch]]: for each requested
+    * q (ppm), target rank r = ⌈q·n⌉ (floored at 1), estimate = the
+    * item at sketch position ⌈r / 2ᵗ⌉ (each kept item stands for 2ᵗ
+    * rows). Integer floor arithmetic throughout.
+    */
+  def quantileSketchQuantiles(sketch: DataFrame, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 0L && q <= 1000000L),
+      s"quantileSketchQuantiles: q_ppm values in [0, 1e6] required, got $qsPpm")
+    sketch
+      .withColumn("q_ppm", explode(array(qsPpm.map(lit): _*)))
+      .withColumn("__p2t", expr("shiftleft(CAST(1 AS BIGINT), t)"))
+      .withColumn("target_rank",
+        greatest(lit(1L), expr("(q_ppm * n + 999999) div 1000000")))
+      .withColumn("__idx",
+        least(size(col("items")).cast("long"),
+          expr("(target_rank + __p2t - 1) div __p2t")).cast("int"))
+      .select(col("grp"), col("q_ppm"), col("n"), col("t"),
+        size(col("items")).cast("long").as("n_sketch"),
+        col("target_rank"),
+        expr("element_at(items, __idx).v").as("est_v"))
+  }
+
   def kmvDistinct(
       df: DataFrame,
       group: Column,

@@ -20,7 +20,8 @@ object Catalog {
     Signals.all,
     Spatial.all,
     Training.all,
-    Frontier.all
+    Frontier.all,
+    Horizon.all
   )
 
   lazy val all: Seq[Q] = {

@@ -463,6 +463,45 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains((5L, 2L))) // the 2-point cell is noise
   }
 
+  test("quantileSketch: exact below budget (t=0), merge identity, estimates hit exact ranks") {
+    import spark.implicits._
+    // 200 rows, one group → n ≤ k=256 keeps everything: t=0, est exact
+    val rows = (1 to 200).map(i => ("g", i.toLong, s"id$i"))
+    val df = rows.toDF("grp", "v", "id")
+    val sk = Retrieval.quantileSketch(df, $"grp", $"v", $"id", k = 256).collect().head
+    assert(sk.getLong(1) == 200L && sk.getInt(2) == 0)
+    assert(sk.getSeq[org.apache.spark.sql.Row](3).size == 200)
+    val est = Retrieval.quantileSketchQuantiles(
+      Retrieval.quantileSketch(df, $"grp", $"v", $"id", 256),
+      Seq(500000L, 900000L)).collect()
+      .map(r => r.getLong(1) -> r.getLong(6)).toMap
+    assert(est(500000L) == 100L) // exact median of 1..200 at ceil-rank 100
+    assert(est(900000L) == 180L)
+    // forced compaction (k=16): merge of thirds == whole, cell-for-cell
+    val big = (1 to 900).map(i => ("g", (i * 37 % 500).toLong, s"k$i")).toDF("grp", "v", "id")
+    val whole = Retrieval.quantileSketch(big, $"grp", $"v", $"id", 16)
+    val m = Retrieval.quantileSketchMerge(
+      Retrieval.quantileSketchMerge(
+        Retrieval.quantileSketch(big.filter($"id".substr(2, 10).cast("long") % 3 === 0),
+          $"grp", $"v", $"id", 16),
+        Retrieval.quantileSketch(big.filter($"id".substr(2, 10).cast("long") % 3 === 1),
+          $"grp", $"v", $"id", 16), 16),
+      Retrieval.quantileSketch(big.filter($"id".substr(2, 10).cast("long") % 3 === 2),
+        $"grp", $"v", $"id", 16), 16)
+    val (w, g) = (whole.collect().head, m.collect().head)
+    assert(w.getLong(1) == g.getLong(1), "n merges by sum")
+    assert(w.getInt(2) > 0, "k=16 over 900 rows must compact")
+    assert(w.getInt(2) == g.getInt(2), "threshold identity")
+    assert(w.getSeq[org.apache.spark.sql.Row](3) == g.getSeq[org.apache.spark.sql.Row](3),
+      "item buffers identical cell-for-cell")
+    // one-sided group passes through merge
+    val solo = Retrieval.quantileSketchMerge(
+      Retrieval.quantileSketch(df, $"grp", $"v", $"id", 256),
+      Retrieval.quantileSketch(df.filter(lit(false)), $"grp", $"v", $"id", 256), 256)
+      .collect().head
+    assert(solo.getLong(1) == 200L && solo.getSeq[Any](3).size == 200)
+  }
+
   test("naiveBayesScores: classify argmax equals max over the exposed score table") {
     import spark.implicits._
     val train = Seq(("en", "the cat"), ("de", "die katze"), ("en", "the dog"))
