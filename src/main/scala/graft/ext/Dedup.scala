@@ -38,6 +38,83 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** LSH band plan S-curve table — the PRESCRIPTIVE half of the
+    * blocking family (q224 scores a scheme after the fact; this picks
+    * one before): for every (bands b, rows r) factorization of the
+    * signature length, the banding catch probability
+    * P(candidate | J=s) = 1 − (1 − sʳ)ᵇ at the target Jaccard
+    * threshold and at a stated false-positive level, the gap between
+    * them, and the chosen operating point (max gap, fewest bands on
+    * ties — fewer bands = fewer bucket rows shuffled). All powers are
+    * ppm integer folds (x·s div 10⁶ per step), so the S-curve is
+    * engine-exact, not float-approximate.
+    *
+    * Data-independent (a plan, not a scan) — the relation exists so
+    * the choice is auditable and oracle-checkable; [[lshPlan]] is the
+    * driver-side twin that [[minhashLshPairsAuto]] wires into the LSH
+    * defaults.
+    */
+  def lshBandPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      sigLen: Int,
+      targetPpm: Long,
+      fpPpm: Long): DataFrame = {
+    require(sigLen >= 2 && sigLen <= 4096, s"lshBandPlan: sigLen in [2, 4096], got $sigLen")
+    require(targetPpm > 0L && targetPpm < 1000000L,
+      s"lshBandPlan: targetPpm in (0, 1e6), got $targetPpm")
+    require(fpPpm >= 0L && fpPpm < targetPpm,
+      s"lshBandPlan: fpPpm in [0, targetPpm), got $fpPpm")
+    import spark.implicits._
+    val pairs = (1 to sigLen).filter(sigLen % _ == 0).map(b => (b, sigLen / b))
+    def catchP(sPpm: Long): Column = expr(
+      s"""1000000 - aggregate(sequence(1, bands), CAST(1000000 AS BIGINT),
+         |  (acc, i) -> acc * (1000000 - aggregate(sequence(1, rows_per_band),
+         |      CAST(1000000 AS BIGINT), (a2, j) -> a2 * ${sPpm}L div 1000000))
+         |    div 1000000)""".stripMargin)
+    val w = Window.orderBy(col("gap_ppm").desc, col("bands").asc)
+    pairs.toDF("bands", "rows_per_band")
+      .withColumn("p_catch_ppm", catchP(targetPpm))
+      .withColumn("p_fp_ppm", catchP(fpPpm))
+      .withColumn("gap_ppm", col("p_catch_ppm") - col("p_fp_ppm"))
+      .withColumn("chosen", row_number().over(w) === 1)
+  }
+
+  /** Driver-side twin of [[lshBandPlan]]'s selection rule: the (bands,
+    * rows-per-band) with the widest catch-vs-fp gap, fewest bands on
+    * ties — identical ppm fold, usable at plan-construction time.
+    */
+  def lshPlan(sigLen: Int, targetPpm: Long, fpPpm: Long): (Int, Int) = {
+    require(sigLen >= 2 && sigLen <= 4096 && targetPpm > 0L && targetPpm < 1000000L &&
+      fpPpm >= 0L && fpPpm < targetPpm,
+      s"lshPlan: bad arguments (sigLen=$sigLen, targetPpm=$targetPpm, fpPpm=$fpPpm)")
+    def pow(x: Long, k: Int): Long = (1 to k).foldLeft(1000000L)((a, _) => a * x / 1000000L)
+    val cands = (1 to sigLen).filter(sigLen % _ == 0).map { b =>
+      val r = sigLen / b
+      val gap = (1000000L - pow(1000000L - pow(targetPpm, r), b)) -
+        (1000000L - pow(1000000L - pow(fpPpm, r), b))
+      (b, r, gap)
+    }
+    val best = cands.maxBy(t => (t._3, -t._1))
+    (best._1, best._2)
+  }
+
+  /** [[minhashLshPairs]] with the banding auto-tuned by [[lshPlan]]
+    * for the requested threshold: state the signature budget and the
+    * verify threshold, get the widest-gap (bands, rows) operating
+    * point — the defaults stop being folklore.
+    */
+  def minhashLshPairsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      sigLen: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val tPpm = math.round(threshold * 1e6)
+    val (b, r) = lshPlan(sigLen, tPpm, tPpm / 2)
+    minhashLshPairs(docs, idCol, textCol, shingleSize, b, r, threshold)
+  }
+
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
     * docs(idCol, textCol) → pairs (id_a, id_b, jaccard) with

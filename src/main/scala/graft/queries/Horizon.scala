@@ -149,6 +149,56 @@ object Horizon {
         FROM est e JOIN tr t2 USING (grp, q_ppm)
              JOIN skw w ON w.grp = e.grp JOIN skm m ON m.grp = e.grp
         ORDER BY grp, q_ppm
+      """)),
+    // ----------------------------------------------------------------
+    // MinHash band auto-tuner: the prescriptive closer of the blocking
+    // family (q224 scores after the fact, q230 prescribes salts) — for
+    // a 16-hash signature budget and a 0.5 Jaccard target, the full
+    // (bands, rows) S-curve in exact ppm folds and the chosen
+    // operating point (max catch-vs-fp gap, fewest bands on ties).
+    // The result certifies the q35 default: 8 bands × 2 rows wins with
+    // a 0.497 gap. Wired into Dedup.minhashLshPairsAuto.
+    Q(
+      "q233_lsh_band_plan",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Dedup.lshBandPlan(s, sigLen = 16,
+            targetPpm = 500000L, fpPpm = 250000L)
+          .select($"bands".cast("long").as("bands"),
+            $"rows_per_band".cast("long").as("rows_per_band"),
+            $"p_catch_ppm", $"p_fp_ppm", $"gap_ppm", $"chosen")
+          .orderBy($"bands")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT b AS bands, 16//b AS rows_per_band
+          FROM (SELECT unnest(range(1, 17)) AS b) WHERE 16 % b = 0),
+        p AS (
+          SELECT bands, rows_per_band,
+            list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+              list_transform(range(CAST(rows_per_band AS INT)),
+                i -> CAST(500000 AS BIGINT))),
+              (a, x) -> a * x // 1000000) AS pr_t,
+            list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+              list_transform(range(CAST(rows_per_band AS INT)),
+                i -> CAST(250000 AS BIGINT))),
+              (a, x) -> a * x // 1000000) AS pr_f
+          FROM pairs),
+        pc AS (
+          SELECT bands, rows_per_band,
+            1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+              list_transform(range(CAST(bands AS INT)), i -> 1000000 - pr_t)),
+              (a, x) -> a * x // 1000000) AS p_catch_ppm,
+            1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+              list_transform(range(CAST(bands AS INT)), i -> 1000000 - pr_f)),
+              (a, x) -> a * x // 1000000) AS p_fp_ppm
+          FROM p)
+        SELECT CAST(bands AS BIGINT) AS bands,
+               CAST(rows_per_band AS BIGINT) AS rows_per_band,
+               p_catch_ppm, p_fp_ppm, p_catch_ppm - p_fp_ppm AS gap_ppm,
+               ROW_NUMBER() OVER (ORDER BY p_catch_ppm - p_fp_ppm DESC, bands ASC) = 1
+                 AS chosen
+        FROM pc ORDER BY bands
       """))
   )
 }
