@@ -755,6 +755,125 @@ object TextAnalysis {
         col("head_tokens"))
   }
 
+  /** Unigram-LM tokenizer TRAINER (SentencePiece-style, Kudo ACL'18) —
+    * the second dominant tokenizer family next to BPE ([[bpeTrain]]):
+    * instead of growing merges bottom-up, start from a rich substring
+    * inventory and let hard-EM rounds re-segment and prune it down to
+    * a vocabulary.
+    *
+    *   1. SEED: every character substring of length ≤ maxPieceLen of
+    *      every distinct word, usage-weighted by word frequency;
+    *      score_ppb(p) = usage·10⁹ div Σusage.
+    *   2. E-STEP (Viterbi, [[graft.functions.UnigramSegment]]): each
+    *      distinct word re-segments under the current scores with the
+    *      additive integer objective Σ(score − λ) — the q201 trick
+    *      generalized: λ is the −log-base surrogate, so likelihood
+    *      maximization runs in exact longs with no float products.
+    *   3. M-STEP + PRUNE: piece usage = word-frequency-weighted count
+    *      over the canonical segmentations; keep every single char
+    *      (the UNK-free floor) plus the top `vocabSize` multi-char
+    *      pieces (usage desc, piece asc); rescore ppb over the kept
+    *      total. Repeat.
+    *
+    * The vocab table is the MODEL: the driver holds only piece→score
+    * maps (bounded by the seed inventory / vocab cap — the
+    * [[bpeTrain]] merge-table contract); every corpus-sized pass is a
+    * distributed aggregate. The E-step runs on the DISTINCT-WORD
+    * relation — the shape SentencePiece itself trains on — so at
+    * 100 TB the per-round cost is one token-count aggregate (vocab-
+    * bounded after map-side partials) plus vocab-sized segmentation.
+    *
+    * Output: the final model relation (piece, usage, score_ppb,
+    * is_char). Deterministic end-to-end: floor divisions, canonical
+    * tie-breaks, no randomness.
+    */
+  def unigramLmTrain(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      vocabSize: Int,
+      rounds: Int,
+      maxPieceLen: Int = 4,
+      lambdaPpb: Long = 10000000000L): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= (1 << 18),
+      s"unigramLmTrain: vocabSize in [1, 2^18], got $vocabSize")
+    require(rounds >= 1 && rounds <= 16, s"unigramLmTrain: rounds in [1, 16], got $rounds")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"unigramLmTrain: maxPieceLen in [2, 16], got $maxPieceLen")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val words = df.filter(text.isNotNull)
+      .select(explode(TextHash.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // every round re-reads it; cut the corpus scan
+    val subs = expr(
+      s"""flatten(transform(sequence(1, length(w)),
+         |  i -> transform(sequence(i, least(length(w), i + ${maxPieceLen - 1})),
+         |    j -> substring(w, i, j - i + 1))))""".stripMargin)
+    def rescoreAndPrune(usage: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+      // model-sized collect (the bpeTrain merge-table contract)
+      val rows = usage.collect().map(r => (r.getString(0), r.getLong(1)))
+      require(rows.length <= (1 << 22),
+        s"unigramLmTrain: piece inventory ${rows.length} exceeds the model bound")
+      val chars = rows.filter(_._1.length == 1)
+      val multi = rows.filter(_._1.length > 1).filter(_._2 > 0L)
+        .sortBy { case (p, u) => (-u, p) }.take(vocabSize)
+      val kept = chars ++ multi
+      val total = kept.map(_._2).sum.max(1L)
+      kept.map { case (p, u) => (p, u * 1000000000L / total) }
+    }
+    var model = rescoreAndPrune(
+      words.select(explode(subs).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("usage")))
+    var usageFinal: Map[String, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val seg = graft.functions.TokenizerFunctions
+        .unigramSegment(col("w"), model, lambdaPpb, maxPieceLen)
+      val usage = words.select(explode(seg).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+      usageFinal = usage.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      model = rescoreAndPrune(usage)
+    }
+    model.map { case (p, s) =>
+      (p, usageFinal.getOrElse(p, 0L), s, p.length == 1)
+    }.toDF("piece", "usage", "score_ppb", "is_char")
+  }
+
+  /** Unigram-LM tokenizer ENCODE — the inference half of
+    * [[unigramLmTrain]] (the [[bpeEncode]] twin): Viterbi-segment new
+    * text under a trained piece table. The heavy DP runs ONCE per
+    * DISTINCT word (vocab-bounded relation), then broadcast-joins back
+    * to the token stream — at 100 TB the corpus-side cost is one
+    * scan + one broadcast join, not per-token DP. Output per doc:
+    * raw token count, total piece count, ppm expansion ratio, and the
+    * first word's pieces as a `|`-joined sample (the q165 stringify
+    * rule).
+    */
+  def unigramLmEncode(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      model: Seq[(String, Long)],
+      maxPieceLen: Int = 4,
+      lambdaPpb: Long = 10000000000L): org.apache.spark.sql.DataFrame = {
+    require(model.nonEmpty, "unigramLmEncode: empty model")
+    val toks = TextHash.tokens(text)
+    val base = df.filter(text.isNotNull && size(toks) >= 1)
+      .select(id.as("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+    val wordSeg = base.select(col("w")).distinct()
+      .withColumn("pieces",
+        graft.functions.TokenizerFunctions.unigramSegment(
+          col("w"), model, lambdaPpb, maxPieceLen))
+      .select(col("w"), size(col("pieces")).cast("long").as("k"),
+        array_join(col("pieces"), "|").as("enc"))
+    base.join(broadcast(wordSeg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("k")).as("n_pieces"),
+        max(when(col("pos") === 0, col("enc"))).as("head_pieces"))
+      .withColumn("ratio_ppm", expr("n_pieces * 1000000L div n_raw"))
+      .select(col("doc_id"), col("n_raw"), col("n_pieces"), col("ratio_ppm"),
+        col("head_pieces"))
+  }
+
   /** Vocabulary growth curve (the Heaps-law probe): per ingest bucket —
     * token volume, NEW types (tokens first seen in that bucket), and
     * the running distinct-type total. The saturation signal a corpus

@@ -21,6 +21,100 @@ object Horizon {
     */
   private val QsK = 1024
 
+  /** q234/q235 unigram-LM trainer configuration. */
+  private val UniV = 24          // multi-char vocab slots
+  private val UniRounds = 2      // hard-EM rounds
+  private val UniLam = 10000000000L
+
+  /** One prune+rescore step: every single char survives; top-V
+    * multi-char pieces by (usage desc, piece asc); ppb scores over
+    * the KEPT total — the exact `rescoreAndPrune` floor math.
+    */
+  private def uniPruneSql(src: String, kept: String, scored: String): String =
+    s"""$kept AS (
+       |  SELECT piece, usage FROM $src WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, usage FROM (
+       |    SELECT piece, usage, ROW_NUMBER() OVER (ORDER BY usage DESC, piece) AS rk
+       |    FROM $src WHERE length(piece) > 1 AND usage > 0)
+       |  WHERE rk <= $UniV),
+       |$scored AS (SELECT piece,
+       |  usage * 1000000000 // (SELECT SUM(usage) FROM $kept) AS score FROM $kept)"""
+      .stripMargin
+
+  /** One hard-EM round: score every segmentation of every distinct
+    * word (mask-enumerated over the shared `um` relation) under the
+    * previous round's scores with the additive Σ(score − λ) objective,
+    * pick the canonical argmax — (value DESC, boundaries-from-right
+    * ASC), the enumeration twin of the Spark Viterbi backtrace — and
+    * re-count piece usage word-frequency-weighted.
+    */
+  /** Canonical segmentation of every distinct word under `prevScores`:
+    * score every cut-mask of the shared `um` relation with the
+    * additive Σ(score − λ) objective and keep the (value DESC,
+    * boundaries-from-right ASC) argmax — the enumeration twin of the
+    * Spark Viterbi backtrace.
+    */
+  private def uniSegSql(r: Int, prevScores: String): String =
+    s"""ue$r AS (
+       |  SELECT p0.w, p0.cnt, p0.mask,
+       |         BOOL_AND(length(p0.piece) <= 4 AND
+       |                  (v.score IS NOT NULL OR length(p0.piece) = 1)) AS valid,
+       |         SUM(COALESCE(v.score, 0) - $UniLam) AS val
+       |  FROM (SELECT w, cnt, mask, unnest(pieces) AS piece FROM um) p0
+       |  LEFT JOIN $prevScores v ON v.piece = p0.piece
+       |  GROUP BY 1, 2, 3),
+       |useg$r AS (
+       |  SELECT w, cnt, pieces FROM (
+       |    SELECT e.w, e.cnt, m.pieces,
+       |           ROW_NUMBER() OVER (PARTITION BY e.w
+       |             ORDER BY e.val DESC, m.btkey) AS rn
+       |    FROM ue$r e JOIN um m ON m.w = e.w AND m.mask = e.mask
+       |    WHERE e.valid) WHERE rn = 1)""".stripMargin
+
+  private def uniRoundSql(r: Int, prevScores: String): String =
+    s"""${uniSegSql(r, prevScores)},
+       |uu$r AS (SELECT piece, SUM(cnt) AS usage FROM (
+       |          SELECT w, cnt, unnest(pieces) AS piece FROM useg$r) GROUP BY 1),
+       |${uniPruneSql(s"uu$r", s"uv$r", s"us$r")}""".stripMargin
+
+  /** The full trainer chain: distinct-word counts → substring seed →
+    * prune/rescore → `UniRounds` hard-EM rounds. `um` enumerates every
+    * cut-mask segmentation ONCE (words here are ≤ 8 chars → ≤ 128
+    * masks); both EM rounds and the encode twin reuse it.
+    */
+  private val UniChainSql: String = {
+    val rounds = (1 to UniRounds)
+      .map(r => uniRoundSql(r, if (r == 1) "us0" else s"us${r - 1}"))
+      .mkString(",\n")
+    s"""uwords AS MATERIALIZED (
+       |  SELECT t AS w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(${OracleSql.tokens("text")}) AS t
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1),
+       |useed AS (
+       |  SELECT piece, SUM(cnt) AS usage FROM (
+       |    SELECT w, cnt, substring(w, CAST(i AS INT), CAST(d AS INT)) AS piece
+       |    FROM uwords,
+       |         (SELECT unnest(range(1, 9)) AS i),
+       |         (SELECT unnest(range(1, 5)) AS d)
+       |    WHERE i + d - 1 <= length(w))
+       |  GROUP BY 1),
+       |${uniPruneSql("useed", "uv0", "us0")},
+       |um AS MATERIALIZED (
+       |  SELECT w, cnt, mask,
+       |         [substring(w, CAST(bounds[i]+1 AS INT), CAST(bounds[i+1]-bounds[i] AS INT))
+       |          FOR i IN range(1, len(bounds))] AS pieces,
+       |         list_append(list_reverse(list_sort([p FOR p IN range(1, length(w))
+       |            IF (mask >> CAST(p-1 AS INT)) & 1 = 1])), 0) AS btkey
+       |  FROM (SELECT w, cnt, mask,
+       |           list_prepend(0, list_append([p FOR p IN range(1, length(w))
+       |              IF (mask >> CAST(p-1 AS INT)) & 1 = 1], length(w))) AS bounds
+       |        FROM uwords, (SELECT unnest(range(0, 128)) AS mask)
+       |        WHERE mask < (1 << CAST(length(w)-1 AS INT)))),
+       |$rounds""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Persisted mergeable quantile sketch + merge identity + rank
@@ -199,6 +293,70 @@ object Horizon {
                ROW_NUMBER() OVER (ORDER BY p_catch_ppm - p_fp_ppm DESC, bands ASC) = 1
                  AS chosen
         FROM pc ORDER BY bands
+      """)),
+    // ----------------------------------------------------------------
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINER: substring
+    // seed inventory → 2 hard-EM rounds (integer Viterbi E-step under
+    // the additive Σ(score_ppb − λ) objective, usage-recount M-step,
+    // prune to every-char + top-24 multi pieces). The oracle replays
+    // the EM by enumerating every cut-mask segmentation per distinct
+    // word and applying the canonical (value DESC, boundaries-from-
+    // right ASC) argmax — provably the same segmentation the Spark
+    // backtrace picks. Output: the final model relation.
+    Q(
+      "q234_unigram_lm_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.TextAnalysis.unigramLmTrain(
+            t(s, dir, "documents"), $"text",
+            vocabSize = UniV, rounds = UniRounds, maxPieceLen = 4,
+            lambdaPpb = UniLam)
+          .orderBy($"piece")
+      },
+      Some(s"""
+        WITH $UniChainSql
+        SELECT v.piece, CAST(v.usage AS BIGINT) AS usage,
+               CAST(s.score AS BIGINT) AS score_ppb,
+               length(v.piece) = 1 AS is_char
+        FROM uv$UniRounds v JOIN us$UniRounds s USING (piece)
+        ORDER BY piece
+      """)),
+    // ----------------------------------------------------------------
+    // Unigram-LM ENCODE — the inference twin (the q202 pattern):
+    // train on the corpus, then Viterbi-encode the corpus under the
+    // learned piece table. The heavy DP runs once per DISTINCT word
+    // and broadcast-joins back to the token stream; per doc the raw
+    // token count, total piece count, ppm expansion and the first
+    // word's pieces.
+    Q(
+      "q235_unigram_lm_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val model = graft.ext.TextAnalysis.unigramLmTrain(
+            docs, $"text", vocabSize = UniV, rounds = UniRounds,
+            maxPieceLen = 4, lambdaPpb = UniLam)
+          .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+        graft.ext.TextAnalysis.unigramLmEncode(
+            docs, $"doc_id", $"text", model, maxPieceLen = 4,
+            lambdaPpb = UniLam)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $UniChainSql,
+        ${uniSegSql(UniRounds + 1, s"us$UniRounds")},
+        toks AS (
+          SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS w
+          FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts
+                FROM documents WHERE text IS NOT NULL
+                  AND len(${OracleSql.tokens("text")}) >= 1))
+        SELECT t.doc_id, COUNT(*) AS n_raw,
+               CAST(SUM(len(g.pieces)) AS BIGINT) AS n_pieces,
+               CAST(SUM(len(g.pieces)) * 1000000 // COUNT(*) AS BIGINT) AS ratio_ppm,
+               MAX(CASE WHEN t.pos = 0
+                   THEN array_to_string(g.pieces, '|') END) AS head_pieces
+        FROM toks t JOIN useg${UniRounds + 1} g ON g.w = t.w
+        GROUP BY 1 ORDER BY doc_id
       """))
   )
 }

@@ -31,6 +31,67 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Dedup.lshPlan(16, 0L, 0L) }
   }
 
+  test("UnigramSegment: additive Viterbi with canonical longest-last-piece tie-break") {
+    import spark.implicits._
+    import graft.functions.TokenizerFunctions.unigramSegment
+    val lam = 10000000000L
+    // "abc"=9e8; "ab"=5e8, "cd"=4e8: ["ab","cd"] ties ["abc","d"] at
+    // Σ=9e8 over 2 pieces — backtrace picks the smaller predecessor
+    // (longer LAST piece), so "cd" wins the last slot
+    val model = Seq(("abc", 900000000L), ("ab", 500000000L), ("cd", 400000000L))
+    val out = Seq("abcd", "abc", "zq", "x").toDF("w")
+      .select($"w", unigramSegment($"w", model, lam, 4).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("abcd") == List("ab", "cd"))
+    assert(out("abc") == List("abc")) // 1 piece beats any 2-piece split
+    assert(out("zq") == List("z", "q")) // OOV chars segment at score 0
+    assert(out("x") == List("x"))
+    // fewer pieces always dominate: a low-score vocab piece beats two
+    // high-score halves
+    val m2 = Seq(("abcd", 1L), ("ab", 999999999L), ("cd", 999999999L))
+    val one = Seq("abcd").toDF("w")
+      .select(unigramSegment($"w", m2, lam, 4)).collect().head.getSeq[String](0)
+    assert(one == Seq("abcd"))
+  }
+
+  test("unigramLmTrain/Encode: chars always kept, vocab cap, deterministic, encode joins back") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark sql sql sql plan"),
+      (2L, "spark plan plan sql scanner"),
+      (3L, "scanner scans spark")).toDF("doc_id", "text")
+    val model = graft.ext.TextAnalysis.unigramLmTrain(
+      docs, $"text", vocabSize = 3, rounds = 2)
+    val rows = model.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val (chars, multi) = rows.partition(_._4)
+    assert(multi.length <= 3, s"vocab cap: $multi")
+    assert(chars.map(_._1).forall(_.length == 1))
+    // deterministic: a second run produces the identical model
+    val again = graft.ext.TextAnalysis.unigramLmTrain(
+      docs, $"text", vocabSize = 3, rounds = 2).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // scores are a ppb distribution over the kept vocabulary
+    assert(rows.map(_._3).sum <= 1000000000L)
+    assert(rows.forall(_._3 >= 0L))
+    // encode: piece counts add up per doc; ratio floor-exact
+    val enc = graft.ext.TextAnalysis.unigramLmEncode(
+        docs, $"doc_id", $"text", rows.map(r => (r._1, r._3)).toSeq)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(enc(1L)._1 == 6L) // 6 raw tokens
+    assert(enc.values.forall { case (raw, pieces, ratio, _) =>
+      pieces >= raw && ratio == pieces * 1000000L / raw
+    })
+    assert(enc(1L)._4.nonEmpty) // first word's pieces sample
+    // plan guard: the word-segmentation join is broadcast, no cartesian
+    val plan = graft.ext.TextAnalysis.unigramLmEncode(
+      docs, $"doc_id", $"text", rows.map(r => (r._1, r._3)).toSeq)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
