@@ -185,6 +185,23 @@ object Sampling {
     * is the window's in-partition sort — no global sort, no collect;
     * the weight table is a broadcast of |sources| rows.
     */
+  /** Floor-allocated per-source token budgets: total·wₛ div Σw.
+    * BigInt intermediate: totalBudget·w overflows Long at the scales
+    * both factors are specified in (a 3e11-token budget × ppm-style
+    * weights already passes 2^63), which would yield negative budgets
+    * that silently drop every document of a source. Shared by the
+    * batch cut and the streaming admission twin
+    * ([[graft.streaming.EventStreams.budgetAdmission]]).
+    */
+  def budgetAllocations(
+      weights: Seq[(String, Long)], totalBudget: Long): Seq[(String, Long)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"budgetAllocations: positive weights required, got $weights")
+    require(totalBudget > 0, "budgetAllocations: totalBudget > 0 required")
+    val wsum = weights.map(_._2).sum
+    weights.map { case (s, w) => (s, (BigInt(totalBudget) * w / wsum).toLong) }
+  }
+
   def budgetMixtureSample(
       df: DataFrame,
       id: Column,
@@ -196,14 +213,7 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"budgetMixtureSample: positive weights required, got $weights")
     require(totalBudget > 0, s"budgetMixtureSample: totalBudget > 0 required")
-    val wsum = weights.map(_._2).sum
-    // BigInt intermediate: totalBudget·w overflows Long at the scales
-    // both factors are specified in (a 3e11-token budget × ppm-style
-    // weights already passes 2^63), which would yield negative budgets
-    // that silently drop every document of a source.
-    val budgets = weights.map { case (s, w) =>
-      (s, (BigInt(totalBudget) * w / wsum).toLong)
-    }
+    val budgets = budgetAllocations(weights, totalBudget)
     val spark = df.sparkSession
     import spark.implicits._
     val bdf = broadcast(budgets.toDF("__src", "budget"))

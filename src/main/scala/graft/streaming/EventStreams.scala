@@ -161,6 +161,79 @@ object EventStreams {
       }
   }
 
+  /** One doc arriving at the admission gate. */
+  final case class DocArrival(source: String, doc_id: Long, n_tokens: Long, ts: Timestamp)
+
+  /** One per-source admission summary from [[budgetAdmission]]. */
+  final case class AdmissionUpdate(
+      source: String, budget: Long, n_seen: Long,
+      n_admitted: Long, tokens_admitted: Long, cut_hash: Long)
+
+  /** Streaming token-budget admission — the live twin of the batch
+    * [[graft.ext.Sampling.budgetMixtureSample]] cut: per source, a
+    * `mapGroupsWithState` maintains EXACTLY the set the batch operator
+    * would keep over the docs seen so far — the maximal
+    * (hash64(doc_id), doc_id)-ordered prefix whose token sum fits the
+    * source's budget — and emits a summary every micro-batch.
+    *
+    * Order-insensitivity argument (why the final state equals the
+    * batch cut regardless of arrival order): inserting a doc into the
+    * hash-ordered set only INCREASES prefix sums at later positions,
+    * so a doc outside the cut can never re-enter, and a doc inside
+    * can only be displaced by smaller-hash arrivals — the invariant
+    * "state = batch cut of everything seen" holds per arrival by
+    * induction. The admitted (count, cut_hash) pair identifies the
+    * set: the cut is by construction a hash-order prefix of the feed.
+    *
+    * State is O(admitted docs) per source — what any admission
+    * controller must hold (it has to know who is in) — with budget /
+    * min-token-size as the hard ceiling. Budgets come from the same
+    * [[graft.ext.Sampling.budgetAllocations]] floor split as the
+    * batch cut.
+    */
+  def budgetAdmission(
+      docs: Dataset[DocArrival],
+      weights: Seq[(String, Long)],
+      totalBudget: Long): Dataset[AdmissionUpdate] = {
+    import docs.sparkSession.implicits._
+    val budgets = graft.ext.Sampling.budgetAllocations(weights, totalBudget).toMap
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[(Long, Array[Long], Array[Long], Array[Long]), AdmissionUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state) =>
+          val budget = budgets.getOrElse(src, 0L)
+          val (seen0, hs0, ids0, toks0) =
+            state.getOption.getOrElse((0L, Array.empty[Long], Array.empty[Long], Array.empty[Long]))
+          // merge the batch's arrivals into the (hash, id)-sorted state
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var i = 0
+          while (i < hs0.length) { buf += ((hs0(i), ids0(i), toks0(i))); i += 1 }
+          var seen = seen0
+          rows.foreach { d =>
+            seen += 1
+            if (budget > 0L)
+              buf += ((graft.ext.TextHash.hash64Local(d.doc_id.toString),
+                d.doc_id, math.max(0L, d.n_tokens)))
+          }
+          val sorted = buf.sortBy(t => (t._1, t._2))
+          // re-cut: the maximal prefix within budget (the batch rule —
+          // the first doc that would cross is dropped, and everything
+          // after it, since the running sum never decreases)
+          var cum = 0L
+          var kept = 0
+          while (kept < sorted.length && cum + sorted(kept)._3 <= budget) {
+            cum += sorted(kept)._3
+            kept += 1
+          }
+          val cut = sorted.take(kept)
+          state.update((seen, cut.map(_._1).toArray, cut.map(_._2).toArray,
+            cut.map(_._3).toArray))
+          AdmissionUpdate(src, budget, seen, kept.toLong, cum,
+            if (kept > 0) cut(kept - 1)._1 else -1L)
+      }
+  }
+
   /** One per-bucket update from [[runningFingerprint]]. */
   final case class BucketFingerprint(bucket: Long, n_rows: Long, xor_fp: Long)
 

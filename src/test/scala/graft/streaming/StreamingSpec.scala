@@ -146,6 +146,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming budget admission: final state equals the batch budgetMixtureSample cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // two weighted sources + one unlisted; docs arrive SHUFFLED across
+    // three micro-batches — arrival order must not move the final cut
+    val all = (1 to 60).map { i =>
+      EventStreams.DocArrival(Seq("web", "code", "junk")(i % 3), i.toLong,
+        (i % 5 + 1).toLong, ts("2024-01-01 00:01:00"))
+    }
+    val shuffled = all.sortBy(d => graft.ext.TextHash.hash64Local(s"arrival:${d.doc_id}"))
+    val weights = Seq(("web", 2L), ("code", 1L))
+    val input = MemoryStream[EventStreams.DocArrival]
+    val adm = EventStreams.budgetAdmission(input.toDS(), weights, totalBudget = 45L)
+    val q = adm.writeStream.format("memory").queryName("admission")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      shuffled.grouped(20).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.sql(
+        "SELECT source, budget, n_seen, n_admitted, tokens_admitted, cut_hash FROM admission")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val fin = rows.groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._3) }
+      // floor allocation: web 45*2/3 = 30, code 45*1/3 = 15; junk: no budget
+      assert(fin("web")._2 == 30L && fin("code")._2 == 15L && fin("junk")._2 == 0L)
+      assert(fin("junk")._4 == 0L && fin("junk")._5 == 0L)
+      // batch twin over the same (unshuffled) feed
+      val batch = graft.ext.Sampling.budgetMixtureSample(
+          all.toDF(), col("doc_id"), col("source"), col("n_tokens"),
+          weights, totalBudget = 45L)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+      for (s <- Seq("web", "code")) {
+        val kept = batch.filter(_._1 == s)
+        assert(fin(s)._4 == kept.length.toLong, s"$s admitted count")
+        assert(fin(s)._5 == kept.map(_._3).max, s"$s token sum") // max cum = total
+        val maxHash = kept.map(k => graft.ext.TextHash.hash64Local(k._2.toString)).max
+        assert(fin(s)._6 == maxHash, s"$s cut hash")
+      }
+    } finally q.stop()
+  }
+
   test("streaming fingerprint: running bucket XOR equals the batch fingerprint of the fed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
