@@ -1049,6 +1049,139 @@ object Profile {
         when(col("__det") =!= 0.0, q6(col("__det2") / col("__det"))).as("b2"))): _*)
   }
 
+  /** Grouped 2-feature logistic regression via IRLS — the classifier
+    * closer of the classical-stats family (q142/q226 are linear-only):
+    * per group, `iters` fixed rounds of iteratively-reweighted least
+    * squares, each round ONE full-scan weighted-moment aggregate plus
+    * the q226 Cramer 3×3 solve. Engine-exact by construction:
+    *
+    *   - the link is the ALGEBRAIC sigmoid σ(η) = ½(1 + η/(1+|η|)) in
+    *     ppm fixed point — same S-shape, no libm exp (whose last-ulp
+    *     differences would make the fit engine-dependent);
+    *   - row-level η/μ/w/z are integer ppm; the one signed division
+    *     (the working response) truncates toward zero in both engines
+    *     (`div` here, `//` there), and the sigmoid's numerator is
+    *     arranged non-negative so floor-vs-trunc can never diverge;
+    *   - weighted moments are DECIMAL(38,0)-exact sums, cast once to
+    *     double for the Cramer solve (correctly-rounded IEEE ops),
+    *     and the new β rounds back to ppm longs.
+    *
+    * Features are clamped to ±10⁶ units and β to ±10⁹ ppm (pre-scale
+    * wider features) — the clamp bounds every intermediate inside
+    * long/decimal range at any corpus size. The normal-equation
+    * diagonal is inflated by `ridgePct`% (multiplicative — the
+    * scale-free Levenberg–Marquardt conditioning), so near-collinear
+    * features and separable groups shrink instead of diverging;
+    * exactly collinear groups (det = 0) freeze at β = 0. Output per group: n, n_pos, the three
+    * ppm coefficients, and the training accuracy of the final
+    * ½-threshold classifier.
+    *
+    * Scale: `iters`+1 scans, each a map-side-combinable aggregate to
+    * |groups| rows; β travels as a broadcast relation, never through
+    * the driver.
+    */
+  def groupedLogit2(
+      df: DataFrame,
+      groups: Seq[String],
+      x1Col: Column,
+      x2Col: Column,
+      yCol: Column,
+      iters: Int = 3,
+      ridgePct: Int = 5): DataFrame = {
+    require(groups.nonEmpty, "groupedLogit2: at least one group column")
+    require(iters >= 1 && iters <= 6, s"groupedLogit2: iters in [1, 6], got $iters")
+    require(ridgePct >= 0 && ridgePct <= 100,
+      s"groupedLogit2: ridgePct in [0, 100], got $ridgePct")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def dsum(c: Column) = sum(c.cast(dec)).cast("double")
+    val M = 1000000L
+    val clampX = (c: Column) =>
+      greatest(least(c.cast("long"), lit(M)), lit(-M))
+    val base = df.filter(x1Col.isNotNull && x2Col.isNotNull && yCol.isNotNull)
+      .select((groups.map(col) ++ Seq(
+        clampX(x1Col).as("__x1"), clampX(x2Col).as("__x2"),
+        when(yCol.cast("boolean"), lit(M)).otherwise(lit(0L)).as("__y"))): _*)
+    // one IRLS round: join β in, integer link math, exact moments,
+    // double Cramer, ppm β out
+    def step(beta: DataFrame): DataFrame = {
+      val joined = base.join(broadcast(beta), groups)
+        .withColumn("__eta",
+          col("__b0") + col("__b1") * col("__x1") + col("__b2") * col("__x2"))
+        // algebraic sigmoid, numerator kept non-negative so floor==trunc
+        .withColumn("__mu", expr(
+          s"(500000L * (${M}L + abs(__eta) + __eta)) div (${M}L + abs(__eta))"))
+        .withColumn("__w",
+          greatest(expr(s"__mu * (${M}L - __mu) div ${M}L"), lit(1L)))
+        // working response; `div` truncates toward zero — the same
+        // semantics as DuckDB's `//` — so the signed division is
+        // engine-exact without a floor detour
+        .withColumn("__z", col("__eta") + expr(
+          s"(__y - __mu) * ${M}L div __w"))
+      val s = (n: String) => col(n)
+      // w is cast to decimal BEFORE the products: w·x·z in raw longs
+      // can overflow at the clamp extremes
+      val wd = col("__w").cast(dec)
+      joined.groupBy(groups.map(col): _*)
+        .agg(
+          dsum(wd).as("sw"),
+          dsum(wd * col("__x1")).as("s1"),
+          dsum(wd * col("__x2")).as("s2"),
+          dsum(wd * col("__x1") * col("__x1")).as("s11"),
+          dsum(wd * col("__x1") * col("__x2")).as("s12"),
+          dsum(wd * col("__x2") * col("__x2")).as("s22"),
+          dsum(wd * col("__z")).as("sz"),
+          dsum(wd * col("__x1") * col("__z")).as("s1z"),
+          dsum(wd * col("__x2") * col("__z")).as("s2z"))
+        // multiplicative ridge on the diagonal — double multiply by an
+        // exact small constant, identical in any IEEE engine
+        .withColumn("sw", col("sw") * lit(1.0 + ridgePct / 100.0))
+        .withColumn("s11", col("s11") * lit(1.0 + ridgePct / 100.0))
+        .withColumn("s22", col("s22") * lit(1.0 + ridgePct / 100.0))
+        .withColumn("__det",
+          s("sw") * (s("s11") * s("s22") - s("s12") * s("s12")) -
+            s("s1") * (s("s1") * s("s22") - s("s12") * s("s2")) +
+            s("s2") * (s("s1") * s("s12") - s("s11") * s("s2")))
+        .withColumn("__d0",
+          s("sz") * (s("s11") * s("s22") - s("s12") * s("s12")) -
+            s("s1z") * (s("s1") * s("s22") - s("s12") * s("s2")) +
+            s("s2z") * (s("s1") * s("s12") - s("s11") * s("s2")))
+        .withColumn("__d1",
+          s("sw") * (s("s1z") * s("s22") - s("s2z") * s("s12")) -
+            s("s1") * (s("sz") * s("s22") - s("s2z") * s("s2")) +
+            s("s2") * (s("sz") * s("s12") - s("s1z") * s("s2")))
+        .withColumn("__d2",
+          s("sw") * (s("s11") * s("s2z") - s("s12") * s("s1z")) -
+            s("s1") * (s("s1") * s("s2z") - s("s12") * s("sz")) +
+            s("s2") * (s("s1") * s("s1z") - s("s11") * s("sz")))
+        .select((groups.map(col) ++ Seq("__d0", "__d1", "__d2").zipWithIndex.map {
+          case (d, i) =>
+            when(col("__det") =!= 0.0,
+              greatest(least(
+                // z is ppm, x raw units -> the solved beta is ALREADY
+                // ppm-per-unit; no further scaling
+                floor(col(d) / col("__det") + 0.5).cast("long"),
+                lit(1000000000L)), lit(-1000000000L)))
+              .otherwise(lit(0L)).as(s"__b$i")
+        }): _*)
+    }
+    val beta0 = base.select(groups.map(col): _*).distinct()
+      .select((groups.map(col) ++ Seq(lit(0L).as("__b0"),
+        lit(0L).as("__b1"), lit(0L).as("__b2"))): _*)
+    val betaN = (1 to iters).foldLeft(beta0)((b, _) => step(b))
+    base.join(broadcast(betaN), groups)
+      .withColumn("__eta",
+        col("__b0") + col("__b1") * col("__x1") + col("__b2") * col("__x2"))
+      .withColumn("__ok",
+        when((col("__eta") >= 0L) === (col("__y") === M), 1L).otherwise(0L))
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === M, 1L).otherwise(0L)).as("n_pos"),
+        max(col("__b0")).as("b0_ppm"), max(col("__b1")).as("b1_ppm"),
+        max(col("__b2")).as("b2_ppm"),
+        expr("sum(__ok) * 1000000L div count(1)").as("acc_ppm"))
+  }
+
   /** Per-column cardinality / concentration profile — the skew
     * diagnosis that decides physical strategy per column: `n_distinct`
     * (dictionary-encodability, join-key selectivity), `top_share_ppm`

@@ -115,6 +115,60 @@ object Horizon {
        |$rounds""".stripMargin
   }
 
+  /** One IRLS round in DuckDB — the exact twin of groupedLogit2's
+    * `step`: integer ppm link math (`//` truncates toward zero, the
+    * same semantics as Spark's `div`; the sigmoid numerator is
+    * non-negative by construction), HUGEINT-exact weighted moments
+    * cast to double, the 5%-ridged Cramer 3×3, β back to clamped ppm
+    * longs.
+    */
+  private def irlsRoundSql(r: Int): String =
+    s"""lit$r AS (
+       |  SELECT w.grp, w.x1, w.x2, w.y,
+       |         b.b0 + b.b1 * w.x1 + b.b2 * w.x2 AS eta
+       |  FROM lrows w JOIN lb${r - 1} b USING (grp)),
+       |lmu$r AS (
+       |  SELECT *, (500000 * (1000000 + abs(eta) + eta)) // (1000000 + abs(eta)) AS mu
+       |  FROM lit$r),
+       |lwz$r AS (
+       |  SELECT grp, x1, x2, w,
+       |         eta + ((y - mu) * 1000000 // w) AS z
+       |  FROM (SELECT *, GREATEST(mu * (1000000 - mu) // 1000000, 1) AS w FROM lmu$r)),
+       |lagg$r AS (
+       |  SELECT grp,
+       |    CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) * 1.05 AS sw,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x1) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x2) AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x1 * x1) AS DOUBLE) * 1.05 AS s11,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x1 * x2) AS DOUBLE) AS s12,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x2 * x2) AS DOUBLE) * 1.05 AS s22,
+       |    CAST(SUM(CAST(w AS HUGEINT) * z) AS DOUBLE) AS sz,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x1 * z) AS DOUBLE) AS s1z,
+       |    CAST(SUM(CAST(w AS HUGEINT) * x2 * z) AS DOUBLE) AS s2z
+       |  FROM lwz$r GROUP BY 1),
+       |lb$r AS (
+       |  SELECT grp,
+       |    CASE WHEN det <> 0 THEN GREATEST(LEAST(
+       |        CAST(floor(d0 / det + 0.5) AS BIGINT),
+       |        1000000000), -1000000000) ELSE 0 END AS b0,
+       |    CASE WHEN det <> 0 THEN GREATEST(LEAST(
+       |        CAST(floor(d1 / det + 0.5) AS BIGINT),
+       |        1000000000), -1000000000) ELSE 0 END AS b1,
+       |    CASE WHEN det <> 0 THEN GREATEST(LEAST(
+       |        CAST(floor(d2 / det + 0.5) AS BIGINT),
+       |        1000000000), -1000000000) ELSE 0 END AS b2
+       |  FROM (
+       |    SELECT grp,
+       |      sw * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |        + s2 * (s1 * s12 - s11 * s2) AS det,
+       |      sz * (s11 * s22 - s12 * s12) - s1z * (s1 * s22 - s12 * s2)
+       |        + s2z * (s1 * s12 - s11 * s2) AS d0,
+       |      sw * (s1z * s22 - s2z * s12) - s1 * (sz * s22 - s2z * s2)
+       |        + s2 * (sz * s12 - s1z * s2) AS d1,
+       |      sw * (s11 * s2z - s12 * s1z) - s1 * (s1 * s2z - s12 * sz)
+       |        + s2 * (s1 * s1z - s11 * sz) AS d2
+       |    FROM lagg$r))""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Persisted mergeable quantile sketch + merge identity + rank
@@ -357,6 +411,50 @@ object Horizon {
                    THEN array_to_string(g.pieces, '|') END) AS head_pieces
         FROM toks t JOIN useg${UniRounds + 1} g ON g.w = t.w
         GROUP BY 1 ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Grouped logistic regression via IRLS — the trainable classifier
+    // beyond Naive Bayes (q201): per source, 3 IRLS rounds fitting
+    // P(lang = en) from (n_chars/10, token count), every round one
+    // weighted-moment aggregate + the 5%-ridged q226 Cramer solve.
+    // Integer-ppm
+    // algebraic-sigmoid link + floor divisions + HUGEINT/decimal
+    // moments make all three rounds AND the final accuracy replay
+    // bit-for-bit in DuckDB (the unrolled lb1..lb3 CTEs).
+    Q(
+      "q236_grouped_logit",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"lang".isNotNull && $"source".isNotNull)
+          .withColumn("grp", $"source")
+        graft.ext.Profile.groupedLogit2(
+            docs, Seq("grp"),
+            expr("n_chars div 10"),
+            size(graft.ext.TextHash.tokens($"text")),
+            $"lang" === "en", iters = 3)
+          .orderBy($"grp")
+      },
+      Some(s"""
+        WITH lrows AS MATERIALIZED (
+          SELECT source AS grp,
+                 n_chars // 10 AS x1,
+                 CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS x2,
+                 CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+        lb0 AS (SELECT DISTINCT grp, 0 AS b0, 0 AS b1, 0 AS b2 FROM lrows),
+        ${(1 to 3).map(irlsRoundSql).mkString(",\n")}
+        SELECT w.grp, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN w.y = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(MAX(b.b0) AS BIGINT) AS b0_ppm,
+               CAST(MAX(b.b1) AS BIGINT) AS b1_ppm,
+               CAST(MAX(b.b2) AS BIGINT) AS b2_ppm,
+               CAST(SUM(CASE WHEN (b.b0 + b.b1 * w.x1 + b.b2 * w.x2 >= 0)
+                                = (w.y = 1000000) THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS acc_ppm
+        FROM lrows w JOIN lb3 b USING (grp)
+        GROUP BY 1 ORDER BY grp
       """))
   )
 }

@@ -92,6 +92,42 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("groupedLogit2: separable data classifies, collinear group stays finite, deterministic") {
+    import spark.implicits._
+    // group "sep": y = x1 > 10, x2 pure noise-ish; group "col": x2 = 2*x1
+    val rows =
+      (1 to 40).map(i => ("sep", i.toLong % 20 + 1, (i * 7 % 13).toLong,
+        (i % 20 + 1) > 10)) ++
+      (1 to 40).map(i => ("col", i.toLong % 20 + 1, 2L * (i % 20 + 1),
+        (i % 20 + 1) > 10))
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val out = Profile.groupedLogit2(df, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val sep = out("sep")
+    assert(sep._1 == 40L && sep._2 == 20L)
+    // ridge shrinkage keeps the boundary soft: near-perfect, not exact
+    assert(sep._6 >= 950000L, s"separable group must classify near-perfectly, got $sep")
+    assert(sep._4 > 0L, "x1 carries the signal -> positive coefficient")
+    // perfectly collinear features: ridge keeps the solve finite and
+    // the classifier still works (combined direction carries signal)
+    val cln = out("col")
+    assert(math.abs(cln._4) < 1000000000L && math.abs(cln._5) < 1000000000L,
+      s"ridge must keep collinear betas off the clamp: $cln")
+    assert(cln._6 >= 950000L)
+    // deterministic across runs
+    val again = Profile.groupedLogit2(df, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("sep") == sep._3 && again("col") == cln._3)
+    intercept[IllegalArgumentException] {
+      Profile.groupedLogit2(df, Seq(), col("x1"), col("x2"), col("y"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.groupedLogit2(df, Seq("g"), col("x1"), col("x2"), col("y"), iters = 0)
+    }
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
