@@ -234,6 +234,61 @@ object EventStreams {
       }
   }
 
+  /** One per-key quantile-sketch update from [[quantileSketchState]]. */
+  final case class QuantileSketchUpdate(
+      event_type: String, n: Long, t: Int, n_items: Int,
+      p50_est: Long, p90_est: Long)
+
+  /** Streaming mergeable quantile sketch — the live twin of the batch
+    * q232 operator ([[graft.ext.Retrieval.quantileSketch]]): per event
+    * type, a `mapGroupsWithState` holds the hash-leveled sketch
+    * (items at level ≥ t for the smallest t fitting the k budget) and
+    * emits updated p50/p90 estimates every micro-batch. Levels are
+    * per-row constants of the row id hash, so "insert then
+    * re-threshold" is EXACTLY the batch merge rule — after the feed
+    * drains, (n, t, items) equal the batch sketch of the same rows,
+    * whatever the arrival order (the q229→KMV-state pattern for rank
+    * queries). State is ≤ k (value, hash, level) triples per key.
+    */
+  def quantileSketchState(
+      events: Dataset[Event], k: Int, delay: String): Dataset[QuantileSketchUpdate] = {
+    require(k >= 16 && k <= 65536, s"quantileSketchState: k in [16, 65536], got $k")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Int, Array[Long], Array[Long], Array[Int]), QuantileSketchUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        case (etype, rows, state) =>
+          val (n0, t0, vs0, hs0, ls0) = state.getOption
+            .getOrElse((0L, 0, Array.empty[Long], Array.empty[Long], Array.empty[Int]))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var i = 0
+          while (i < vs0.length) { buf += ((vs0(i), hs0(i), ls0(i))); i += 1 }
+          var n = n0
+          var t = t0
+          rows.foreach { e =>
+            n += 1
+            val h = graft.ext.TextHash.hash64Local(e.event_id.toString)
+            val l = if (h == 0L) 40 else math.min(40, java.lang.Long.numberOfTrailingZeros(h))
+            // value truncates toward zero — the batch cast("long") rule
+            if (l >= t) buf += ((e.value.toLong, h, l))
+          }
+          // re-threshold: smallest t' >= t whose filtered buffer fits k
+          while (buf.count(_._3 >= t) > k) t += 1
+          val kept = buf.filter(_._3 >= t).sortBy(x => (x._1, x._2)).toArray
+          state.update((n, t, kept.map(_._1), kept.map(_._2), kept.map(_._3)))
+          def estAt(qPpm: Long): Long = {
+            if (kept.isEmpty) return 0L
+            val target = math.max(1L, (qPpm * n + 999999L) / 1000000L)
+            val p2t = 1L << t
+            val idx = math.min(kept.length.toLong, (target + p2t - 1) / p2t).toInt
+            kept(idx - 1)._1
+          }
+          QuantileSketchUpdate(etype, n, t, kept.length, estAt(500000L), estAt(900000L))
+      }
+  }
+
   /** One per-bucket update from [[runningFingerprint]]. */
   final case class BucketFingerprint(bucket: Long, n_rows: Long, xor_fp: Long)
 

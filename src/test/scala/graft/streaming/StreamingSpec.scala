@@ -146,6 +146,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: drained state equals the batch sketch, any arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // 600 rows, one key, k=64 -> forced compaction (t > 0); arrival
+    // shuffled across three micro-batches
+    val all = (1 to 600).map(i =>
+      ev(i.toLong, "2024-01-01 00:01:00", i.toLong, "m", (i * 37 % 500).toDouble))
+    val shuffled = all.sortBy(e => graft.ext.TextHash.hash64Local(s"arr:${e.event_id}"))
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.quantileSketchState(input.toDS(), k = 64, "10 minutes")
+      .writeStream.format("memory").queryName("qsketch")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      shuffled.grouped(200).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val fin = spark.sql("SELECT n, t, n_items, p50_est, p90_est FROM qsketch")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4))).maxBy(_._1)
+      assert(fin._1 == 600L)
+      assert(fin._2 > 0, "k=64 over 600 rows must compact")
+      // batch twin on the same rows (event_id as the row id, value as v)
+      val batch = graft.ext.Retrieval.quantileSketch(
+        all.map(e => ("m", e.value.toLong, e.event_id.toString)).toDF("g", "v", "id"),
+        col("g"), col("v"), col("id"), k = 64)
+      val b = batch.collect().head
+      assert(fin._2 == b.getInt(2), "threshold identity")
+      assert(fin._3 == b.getSeq[Any](3).size, "item count identity")
+      val est = graft.ext.Retrieval.quantileSketchQuantiles(batch, Seq(500000L, 900000L))
+        .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+      assert(fin._4 == est(500000L) && fin._5 == est(900000L),
+        s"stream=$fin batch=$est")
+    } finally q.stop()
+  }
+
   test("streaming budget admission: final state equals the batch budgetMixtureSample cut") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
