@@ -1182,6 +1182,67 @@ object Profile {
         expr("sum(__ok) * 1000000L div count(1)").as("acc_ppm"))
   }
 
+  /** Kaplan–Meier survival curve per group (the product-limit
+    * estimator, Kaplan & Meier JASA 1958) with right-censoring — the
+    * churn/retention/time-to-failure primitive: at each distinct
+    * duration t, the at-risk count n(t) (subjects with duration ≥ t),
+    * event count d(t), censored count c(t), and the survival estimate
+    * S(t) = Π_{t'≤t} (n(t')−d(t'))/n(t') as an integer ppm fold
+    * (S·(n−d) div n per step — non-negative floor division, so any
+    * engine replays every step exactly; no float products).
+    *
+    * Scale: one (group, duration) aggregate + ONE group-keyed window
+    * for the descending at-risk cumulative — both event-scale with
+    * map-side partials. The per-group step table then folds as an
+    * ARRAY (collect_list + HOF): survival curves are evaluation
+    * artifacts with bounded resolution, enforced in-plan by
+    * `maxSteps` (raise_error, not a silent cap) exactly like
+    * [[aucExact]]'s distinct-score bound.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      group: Column,
+      duration: Column,
+      event: Column,
+      maxSteps: Int = 10000): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 100000,
+      s"kaplanMeier: maxSteps in [1, 100000], got $maxSteps")
+    import org.apache.spark.sql.expressions.Window
+    val steps = df.filter(group.isNotNull && duration.isNotNull && event.isNotNull)
+      .select(group.as("grp"), duration.cast("long").as("t"),
+        event.cast("boolean").as("__e"))
+      .filter(col("t") >= 0L)
+      .groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("__e"), 1L).otherwise(0L)).as("c"))
+      .withColumn("n", sum(col("d") + col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val guarded = steps.crossJoin(broadcast(
+      steps.agg(count(lit(1)).as("__k"))
+        .select(when(col("__k") <= maxSteps, lit(1L))
+          .otherwise(raise_error(concat(lit(
+            s"kaplanMeier: step count exceeds maxSteps=$maxSteps — survival curves " +
+              "are evaluation artifacts; bucket the duration first (count="),
+            col("__k"), lit(")")))).as("__ok"))))
+    guarded
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct((col("t") * col("__ok")).as("t"),
+        col("n"), col("d"), col("c")))).as("__steps"))
+      .select(col("grp"), expr(
+        """explode(transform(sequence(1, size(__steps)), i -> struct(
+          |  element_at(__steps, i).t AS t,
+          |  element_at(__steps, i).n AS n_risk,
+          |  element_at(__steps, i).d AS d_events,
+          |  element_at(__steps, i).c AS c_censored,
+          |  aggregate(slice(__steps, 1, i), CAST(1000000 AS BIGINT),
+          |    (acc, x) -> acc * (x.n - x.d) div x.n) AS surv_ppm)))""".stripMargin)
+        .as("__s"))
+      .select(col("grp"), col("__s.t").as("t"), col("__s.n_risk").as("n_risk"),
+        col("__s.d_events").as("d_events"), col("__s.c_censored").as("c_censored"),
+        col("__s.surv_ppm").as("surv_ppm"))
+  }
+
   /** Per-column cardinality / concentration profile — the skew
     * diagnosis that decides physical strategy per column: `n_distinct`
     * (dictionary-encodability, join-key selectivity), `top_share_ppm`

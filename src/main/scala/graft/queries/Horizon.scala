@@ -455,6 +455,62 @@ object Horizon {
                     // COUNT(*) AS BIGINT) AS acc_ppm
         FROM lrows w JOIN lb3 b USING (grp)
         GROUP BY 1 ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // Kaplan–Meier survival per user segment: cohort = per-user
+    // (activity span in hours, churn = silent > 1 day before the
+    // observation end), then the product-limit estimator with
+    // right-censoring — at-risk counts from ONE descending window,
+    // survival as an exact integer ppm fold. The oracle replays the
+    // fold with a recursive CTE; every at-risk/event/censor count and
+    // every floor product matches bit-for-bit.
+    Q(
+      "q237_kaplan_meier",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .filter($"ts".isNotNull && $"user_id".isNotNull)
+        val per = ev.groupBy($"user_id")
+          .agg(min(unix_timestamp($"ts")).as("f"), max(unix_timestamp($"ts")).as("l"))
+        val cohort = per.crossJoin(broadcast(per.agg(max($"l").as("obs_end"))))
+          .select(($"user_id" % 3).as("seg"),
+            expr("(l - f) div 3600").as("dur"),
+            ($"l" < $"obs_end" - 86400L).as("churned"))
+        graft.ext.Profile.kaplanMeier(cohort, $"seg", $"dur", $"churned",
+            maxSteps = 100000)
+          .select($"grp".as("seg"), $"t", $"n_risk", $"d_events",
+            $"c_censored", $"surv_ppm")
+          .orderBy($"seg", $"t")
+      },
+      Some("""
+        WITH RECURSIVE pu AS (
+          SELECT user_id, CAST(floor(MIN(epoch(ts))) AS BIGINT) AS f,
+                 CAST(floor(MAX(epoch(ts))) AS BIGINT) AS l
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+        oe AS (SELECT MAX(l) AS obs_end FROM pu),
+        cohort AS (
+          SELECT user_id % 3 AS seg, (l - f) // 3600 AS dur,
+                 (l < obs_end - 86400) AS churned
+          FROM pu CROSS JOIN oe),
+        st AS (SELECT seg, dur AS t,
+                      SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+                      SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS c
+               FROM cohort GROUP BY 1, 2),
+        sn AS (SELECT *, SUM(d + c) OVER (PARTITION BY seg ORDER BY t DESC
+                 ROWS UNBOUNDED PRECEDING) AS n FROM st),
+        sr AS (SELECT seg, t, n, d, c,
+                      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY t) AS rn
+               FROM sn),
+        rec AS (
+          SELECT seg, t, n, d, c, rn, 1000000 * (n - d) // n AS surv
+          FROM sr WHERE rn = 1
+          UNION ALL
+          SELECT s.seg, s.t, s.n, s.d, s.c, s.rn, r.surv * (s.n - s.d) // s.n
+          FROM sr s JOIN rec r ON s.seg = r.seg AND s.rn = r.rn + 1)
+        SELECT seg, t, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+               CAST(c AS BIGINT) AS c_censored, CAST(surv AS BIGINT) AS surv_ppm
+        FROM rec ORDER BY seg, t
       """))
   )
 }

@@ -128,6 +128,34 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kaplanMeier: textbook product-limit hand case, censoring, step guard") {
+    import spark.implicits._
+    // durations: 1 event, 2 censored, 3 event, 4 event, 5 censored
+    val df = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 4L, true), ("g", 5L, false)).toDF("g", "dur", "ev")
+    val out = Profile.kaplanMeier(df, col("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((5L, 1L, 0L, 800000L)))
+    assert(out(2L) == ((4L, 0L, 1L, 800000L))) // censoring leaves S unchanged
+    assert(out(3L) == ((3L, 1L, 0L, 533333L))) // 800000*2 div 3
+    assert(out(4L) == ((2L, 1L, 0L, 266666L))) // 533333*1 div 2
+    assert(out(5L) == ((1L, 0L, 1L, 266666L)))
+    // ties at one duration: both counted at that step
+    val tied = Seq(("g", 2L, true), ("g", 2L, true), ("g", 3L, false))
+      .toDF("g", "dur", "ev")
+    val t2 = Profile.kaplanMeier(tied, col("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(t2(2L) == 333333L) // (3-2)/3
+    // in-plan step guard raises, not truncates
+    val wide = (1 to 50).map(i => ("g", i.toLong, true)).toDF("g", "dur", "ev")
+    val ex = intercept[Exception] {
+      Profile.kaplanMeier(wide, col("g"), col("dur"), col("ev"), maxSteps = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxSteps") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxSteps")))
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
