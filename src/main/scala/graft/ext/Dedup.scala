@@ -115,6 +115,49 @@ object Dedup {
     minhashLshPairs(docs, idCol, textCol, shingleSize, b, r, threshold)
   }
 
+  /** Train/val/test near-dup LEAKAGE audit — the report a training
+    * pipeline must run before shipping a split: a hash split assigns
+    * docs to partitions independently of content, so near-duplicate
+    * pairs straddle split boundaries at the background rate, and every
+    * cross-split pair is evaluation contamination (the test set
+    * contains a paraphrase of a training doc). Composes
+    * [[graft.ext.Sampling.hashSplit]] with [[minhashLshPairs]] and
+    * reports, per unordered (split, split) combination, the verified
+    * near-dup pair count, whether it crosses the boundary, and its ppm
+    * share of all pairs.
+    *
+    * Scale: the LSH pair machinery bounds the pair space (banded
+    * signatures, no all-pairs); split labels join onto pairs as two
+    * id-keyed projections of the already-tiny pair relation; the
+    * share denominator is a 1-row broadcast (the q230 pattern).
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Double)],
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val lbl = Sampling.hashSplit(docs.select(col(idCol)), col(idCol), splits)
+      .select(col(idCol).as("__sid"), col("split"))
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleSize, bands,
+      rowsPerBand, threshold)
+    val tagged = pairs
+      .join(lbl.select(col("__sid").as("id_a"), col("split").as("__la")), Seq("id_a"))
+      .join(lbl.select(col("__sid").as("id_b"), col("split").as("__lb")), Seq("id_b"))
+      .select(least(col("__la"), col("__lb")).as("split_a"),
+        greatest(col("__la"), col("__lb")).as("split_b"))
+    val counts = tagged.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_pairs")).as("__tot"))))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("cross"),
+        expr("n_pairs * 1000000L div __tot").as("share_ppm"))
+  }
+
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
     * docs(idCol, textCol) → pairs (id_a, id_b, jaccard) with

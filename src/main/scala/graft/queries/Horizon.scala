@@ -511,6 +511,70 @@ object Horizon {
         SELECT seg, t, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
                CAST(c AS BIGINT) AS c_censored, CAST(surv AS BIGINT) AS surv_ppm
         FROM rec ORDER BY seg, t
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Train/val/test near-dup leakage audit: hash split (q72) ×
+    // verified MinHash-LSH pairs (q35) → per unordered split
+    // combination the pair count, cross-boundary flag, and ppm share.
+    // Every cross row is evaluation contamination the split shipped.
+    Q(
+      "q238_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Dedup.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy($"split_a", $"split_b")
+      },
+      Some {
+        val params = graft.ext.TextHash.minhashParams(16)
+        val seedRows = params.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+        val h = (v: String) => OracleSql.hash64("'0'", v)
+        s"""
+        WITH sh AS (SELECT doc_id,
+                      list_distinct(list_transform(${OracleSql.wordShingles3("text")},
+                        g -> ${h("g")} % 2147483647)) AS shingles
+                    FROM documents),
+        post AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+        sig AS (
+          SELECT doc_id, s.seed, MIN((h * s.a + s.b) % 2147483647) AS mh
+          FROM post CROSS JOIN (VALUES $seedRows) s(seed, a, b)
+          GROUP BY 1, 2),
+        sigarr AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sig GROUP BY 1),
+        bandkey AS (
+          SELECT doc_id,
+                 CAST(b AS VARCHAR) || '_' || CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+                 CAST(sig[2*b+2] AS VARCHAR) AS key
+          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkey a JOIN bandkey b ON a.key = b.key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= 0.5),
+        lbl AS (
+          SELECT doc_id,
+                 CASE WHEN bkt < 8000 THEN 'train'
+                      WHEN bkt < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, ${h("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt
+                FROM documents)),
+        tagged AS (
+          SELECT LEAST(la.split, lb.split) AS split_a,
+                 GREATEST(la.split, lb.split) AS split_b
+          FROM verified v JOIN lbl la ON la.doc_id = v.id_a
+                          JOIN lbl lb ON lb.doc_id = v.id_b),
+        counts AS (
+          SELECT split_a, split_b, COUNT(*) AS n_pairs FROM tagged GROUP BY 1, 2),
+        tot AS (SELECT SUM(n_pairs) AS t FROM counts)
+        SELECT split_a, split_b, n_pairs, split_a <> split_b AS cross,
+               CAST(n_pairs * 1000000 // t AS BIGINT) AS share_ppm
+        FROM counts CROSS JOIN tot
+        ORDER BY split_a, split_b
+      """
+      })
   )
 }

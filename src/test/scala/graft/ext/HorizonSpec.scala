@@ -156,6 +156,34 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(ex.getCause).exists(_.getMessage.contains("maxSteps")))
   }
 
+  test("splitLeakage: agrees with composing the public split + pair operators") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again extra words here"
+    val docs = (1 to 30).map { i =>
+      if (i % 3 == 0) (i.toLong, base + s" tail$i")      // near-dup family
+      else (i.toLong, s"unique document number $i about topic ${i * 7} with its own words")
+    }.toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = Dedup.splitLeakage(docs, "doc_id", "text", splits)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    // independent composition of the two public operators
+    val lbl = Sampling.hashSplit(docs.select(col("doc_id")), col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val expect = pairs.groupBy { case (a, b) =>
+      val (la, lb) = (lbl(a), lbl(b))
+      (if (la <= lb) la else lb, if (la <= lb) lb else la)
+    }.map { case (k, v) => k -> v.size.toLong }
+    assert(out.map { case (k, v) => k -> v._1 } == expect)
+    // cross flag and ppm shares: floor shares sum to <= 1e6
+    assert(out.forall { case ((a, b), (_, cross, _)) => cross == (a != b) })
+    assert(out.values.map(_._3).sum <= 1000000L)
+    assert(out.values.map(_._1).sum == pairs.length.toLong)
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
