@@ -55,6 +55,13 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *   [--report-sources COL]   write per-source dup rates (q181) and the
   *                            cross-source overlap matrix (q182) under
   *                            dest/reports/              (default: off)
+  *   [--leakage-report on]    write the cross-split near-dup leakage
+  *                            audit (q238) under dest/reports/
+  *                                                       (default: off)
+  *   [--train-tokenizer V]    train a V-piece unigram-LM tokenizer
+  *                            (q234) on the final corpus; model under
+  *                            dest/tokenizer/, per-doc encode stats
+  *                            (q235) under dest/reports/ (default: off)
   *   [--threshold X]          near-dup jaccard         (default 0.6)
   *   [--balance-by COL]      sqrt-resample stratum    (default: off)
   *   [--splits a:f,b:f,...]   hash split               (default train:0.9,val:0.05,test:0.05)
@@ -246,6 +253,35 @@ object CurateJob {
     val split = Sampling.hashSplit(balanced, col("doc_id"), splits)
     val nBalanced = split.count()
     split.write.mode("overwrite").format(fmt).save(s"$dest/documents")
+
+    // 5b. optional split-leakage audit (q238): near-dup pairs that
+    //     straddle the split boundary are evaluation contamination the
+    //     release would ship. Report only — a curator decides whether
+    //     to regroup near-dup clusters into one split or tighten dedup.
+    //     Uses the SAME hashSplit labels as stage 5 (same function,
+    //     same key, same fractions).
+    if (conf.get("leakage-report").contains("on")) {
+      Dedup.splitLeakage(balanced, "doc_id", "text", splits,
+          threshold = threshold)
+        .coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/reports/split_leakage")
+    }
+
+    // 5c. optional unigram-LM tokenizer training (q234) on the FINAL
+    //     corpus (post-dedup, post-budget — training a tokenizer on
+    //     the mix it will tokenize), with per-doc encode stats (q235)
+    //     as a side report. The model table is the artifact a
+    //     downstream trainer loads.
+    conf.get("train-tokenizer").foreach { v =>
+      val model = TextAnalysis.unigramLmTrain(split, col("text"),
+        vocabSize = v.toInt, rounds = 2)
+      model.coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/tokenizer/model")
+      val table = model.collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      TextAnalysis.unigramLmEncode(split, col("doc_id"), col("text"), table)
+        .coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/reports/token_stats")
+    }
 
     // 6. chunk plan + reproducible batch packing, fenced per split so a
     //    batch never mixes train and eval chunks

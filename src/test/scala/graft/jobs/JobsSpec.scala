@@ -177,6 +177,33 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == r)
   }
 
+  test("CurateJob: leakage report and tokenizer artifacts materialize and are sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dest = tmp()
+    CurateJob.run(spark, Map(
+      "source" -> "/root/testdata/sf0.001/documents.parquet",
+      "dest" -> dest, "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:0.8,val:0.2",
+      "leakage-report" -> "on", "train-tokenizer" -> "8",
+      "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "4", "batch-size" -> "8"))
+    val leak = spark.read.parquet(s"$dest/reports/split_leakage")
+    assert(leak.columns.toSeq ==
+      Seq("split_a", "split_b", "n_pairs", "cross", "share_ppm"))
+    // shares are a floor-ppm distribution; cross flag matches labels
+    val rows = leak.collect()
+    assert(rows.map(_.getLong(4)).sum <= 1000000L)
+    assert(rows.forall(r => r.getBoolean(3) == (r.getString(0) != r.getString(1))))
+    val model = spark.read.parquet(s"$dest/tokenizer/model")
+    assert(model.filter(col("is_char")).count() > 0)
+    assert(model.filter(!col("is_char")).count() <= 8)
+    val stats = spark.read.parquet(s"$dest/reports/token_stats")
+    val surviving = spark.read.parquet(s"$dest/documents").count()
+    assert(stats.count() == surviving)
+    assert(stats.filter(col("n_pieces") < col("n_raw")).count() == 0)
+  }
+
   test("CurateJob: encoding screen drops mojibake/control docs before any gate") {
     import spark.implicits._
     val src = tmp()
