@@ -1243,6 +1243,96 @@ object Profile {
         col("__s.surv_ppm").as("surv_ppm"))
   }
 
+  /** Log-rank test between survival curves (Mantel–Cox) for every
+    * unordered group pair — the "are these churn curves actually
+    * different" companion to [[kaplanMeier]]: at each pooled event
+    * time, group A's observed events are compared against the
+    * hypergeometric expectation d·n₁/n, and χ² = (O₁−E₁)²/V with
+    * V = Σ d·n₁·n₂·(n−d) / (n²·(n−1)).
+    *
+    * Engine-exact integer/decimal arithmetic: E₁ accumulates as
+    * ⌊d·n₁·10⁶/n⌋ ppm terms, V as ⌊·10¹²⌋ terms, both in
+    * DECIMAL(38,0), and χ² emerges as an integral division — no float
+    * sums whose order could differ. At-risk counts at the OTHER
+    * group's event times fill via a descending LOCF window (at-risk
+    * is right-continuous), the q137 idiom.
+    *
+    * Scale: one (group, duration) aggregate + one group-keyed window
+    * (both event-scale, map-side partials), then pair-tagged step
+    * relations bounded by `maxSteps` in-plan — survival comparison is
+    * an evaluation artifact, like [[aucExact]].
+    */
+  def logRankTest(
+      df: DataFrame,
+      group: Column,
+      duration: Column,
+      event: Column,
+      maxSteps: Int = 10000): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 100000,
+      s"logRankTest: maxSteps in [1, 100000], got $maxSteps")
+    import org.apache.spark.sql.expressions.Window
+    val steps = df.filter(group.isNotNull && duration.isNotNull && event.isNotNull)
+      .select(group.cast("string").as("g"), duration.cast("long").as("t"),
+        event.cast("boolean").as("__e"))
+      .filter(col("t") >= 0L)
+      .groupBy(col("g"), col("t"))
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__tot"))
+      .withColumn("n", sum(col("__tot")).over(
+        Window.partitionBy(col("g")).orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("g"), col("t"), col("d"), col("n"))
+    val guarded = steps.crossJoin(broadcast(
+      steps.agg(count(lit(1)).as("__k"))
+        .select(when(col("__k") <= maxSteps, lit(1L))
+          .otherwise(raise_error(concat(lit(
+            s"logRankTest: step count exceeds maxSteps=$maxSteps — bucket the " +
+              "duration first (count="), col("__k"), lit(")")))).as("__ok"))))
+      .select(col("g"), (col("t") * col("__ok")).as("t"), col("d"), col("n"))
+    val gs = steps.select(col("g")).distinct()
+    val pairs = gs.as("a").join(gs.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"))
+    // side-tagged steps per pair, then one aggregate per (pair, t)
+    val tagged = guarded.join(pairs, col("g") === col("ga") || col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("t"),
+        when(col("g") === col("ga"), col("n")).as("__n1"),
+        when(col("g") === col("ga"), col("d")).otherwise(lit(0L)).as("__d1"),
+        when(col("g") === col("gb"), col("n")).as("__n2"),
+        when(col("g") === col("gb"), col("d")).otherwise(lit(0L)).as("__d2"))
+      .groupBy(col("ga"), col("gb"), col("t"))
+      .agg(max(col("__n1")).as("__n1"), sum(col("__d1")).as("d1"),
+        max(col("__n2")).as("__n2"), sum(col("__d2")).as("d2"))
+    // at-risk at the other group's times: LOCF over DESCENDING t
+    // (at-risk(t) = at-risk at the smallest own step time >= t; 0 past
+    // the group's largest time)
+    val wDesc = Window.partitionBy(col("ga"), col("gb")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = tagged
+      .withColumn("n1", coalesce(last(col("__n1"), ignoreNulls = true).over(wDesc), lit(0L)))
+      .withColumn("n2", coalesce(last(col("__n2"), ignoreNulls = true).over(wDesc), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0L)
+    filled
+      .withColumn("__e1",
+        expr("CAST(d AS DECIMAL(38,0)) * n1 * 1000000 div n"))
+      .withColumn("__v",
+        when(col("n") > 1L, expr(
+          "CAST(d AS DECIMAL(38,0)) * n1 * n2 * (n - d) * 1000000000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))")).otherwise(lit(0L)))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+        sum(col("__e1").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__E1"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__V"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("o1"), col("o2"),
+        expr("CAST(__E1 AS BIGINT)").as("e1_ppm"),
+        when(col("__V") > 0, expr(
+          "(CAST(o1 AS DECIMAL(38,0)) * 1000000 - __E1) * " +
+            "(CAST(o1 AS DECIMAL(38,0)) * 1000000 - __E1) * 1000 div __V"))
+          .as("chi2_milli"))
+  }
+
   /** Per-column cardinality / concentration profile — the skew
     * diagnosis that decides physical strategy per column: `n_distinct`
     * (dictionary-encodability, join-key selectivity), `top_share_ppm`

@@ -575,6 +575,82 @@ object Horizon {
         FROM counts CROSS JOIN tot
         ORDER BY split_a, split_b
       """
-      })
+      }),
+    // ----------------------------------------------------------------
+    // Log-rank (Mantel–Cox) test between the q237 segments' churn
+    // curves, every unordered pair: observed vs hypergeometric-expected
+    // events at pooled event times, χ² as an exact integral division
+    // over ppm/pp12 decimal sums. At-risk counts at the other group's
+    // times fill via the q137 LOCF idiom over descending t.
+    Q(
+      "q239_log_rank",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .filter($"ts".isNotNull && $"user_id".isNotNull)
+        val per = ev.groupBy($"user_id")
+          .agg(min(unix_timestamp($"ts")).as("f"), max(unix_timestamp($"ts")).as("l"))
+        val cohort = per.crossJoin(broadcast(per.agg(max($"l").as("obs_end"))))
+          .select(($"user_id" % 3).cast("string").as("seg"),
+            expr("(l - f) div 3600").as("dur"),
+            ($"l" < $"obs_end" - 86400L).as("churned"))
+        graft.ext.Profile.logRankTest(cohort, $"seg", $"dur", $"churned")
+          .orderBy($"group_a", $"group_b")
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id, CAST(floor(MIN(epoch(ts))) AS BIGINT) AS f,
+                 CAST(floor(MAX(epoch(ts))) AS BIGINT) AS l
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+        oe AS (SELECT MAX(l) AS obs_end FROM pu),
+        cohort AS (
+          SELECT CAST(user_id % 3 AS VARCHAR) AS g, (l - f) // 3600 AS t,
+                 (l < obs_end - 86400) AS e
+          FROM pu CROSS JOIN oe),
+        st AS (SELECT g, t, SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+                      COUNT(*) AS tot
+               FROM cohort GROUP BY 1, 2),
+        sn AS (SELECT g, t, d, SUM(tot) OVER (PARTITION BY g ORDER BY t DESC
+                 ROWS UNBOUNDED PRECEDING) AS n FROM st),
+        gs AS (SELECT DISTINCT g FROM sn),
+        prs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        tagged AS (
+          SELECT ga, gb, t,
+                 MAX(CASE WHEN g = ga THEN n END) AS rn1,
+                 SUM(CASE WHEN g = ga THEN d ELSE 0 END) AS d1,
+                 MAX(CASE WHEN g = gb THEN n END) AS rn2,
+                 SUM(CASE WHEN g = gb THEN d ELSE 0 END) AS d2
+          FROM sn JOIN prs ON g = ga OR g = gb
+          GROUP BY 1, 2, 3),
+        filled AS (
+          SELECT ga, gb, t, d1, d2,
+                 COALESCE(LAST_VALUE(rn1 IGNORE NULLS) OVER (
+                   PARTITION BY ga, gb ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n1,
+                 COALESCE(LAST_VALUE(rn2 IGNORE NULLS) OVER (
+                   PARTITION BY ga, gb ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n2
+          FROM tagged),
+        terms AS (
+          SELECT ga, gb, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n
+          FROM filled WHERE d1 + d2 > 0),
+        agg AS (
+          SELECT ga, gb, SUM(d1) AS o1, SUM(d2) AS o2,
+                 SUM(CAST(d AS HUGEINT) * n1 * 1000000 // n) AS e1,
+                 SUM(CASE WHEN n > 1 THEN
+                     CAST(d AS HUGEINT) * n1 * n2 * (n - d) * 1000000000000
+                       // (CAST(n AS HUGEINT) * n * (n - 1))
+                     ELSE 0 END) AS v
+          FROM terms GROUP BY 1, 2)
+        SELECT ga AS group_a, gb AS group_b,
+               CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2,
+               CAST(e1 AS BIGINT) AS e1_ppm,
+               CASE WHEN v > 0 THEN CAST(
+                 (CAST(o1 AS HUGEINT) * 1000000 - e1) *
+                 (CAST(o1 AS HUGEINT) * 1000000 - e1) * 1000 // v AS BIGINT)
+               END AS chi2_milli
+        FROM agg ORDER BY group_a, group_b
+      """))
   )
 }

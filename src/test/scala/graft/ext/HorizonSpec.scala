@@ -184,6 +184,33 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._1).sum == pairs.length.toLong)
   }
 
+  test("logRankTest: hand hypergeometric terms; identical curves score ~0") {
+    import spark.implicits._
+    // A churns at 1,2; B churns at 3,4 — fully separated curves.
+    // t=1: n=(2,2) d1=1 -> e1=500000, v=1*2*2*3e12/(16*3)
+    // t=2: n=(1,2) d1=1 -> e1=333333, v=1*1*2*2e12/(9*2)
+    // t=3,4: n1=0 -> e1 += 0, v += 0
+    val df = Seq(("A", 1L, true), ("A", 2L, true), ("B", 3L, true), ("B", 4L, true))
+      .toDF("g", "dur", "ev")
+    val r = Profile.logRankTest(df, col("g"), col("dur"), col("ev")).collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 833333L)
+    val v = 250000000000L + 222222222222L
+    val chi = (BigInt(2000000L - 833333L).pow(2) * 1000 / BigInt(v)).toLong
+    assert(r.getLong(5) == chi, s"expected chi2_milli=$chi got $r")
+    // identical curves (same durations, one censored each): chi2 = 0
+    val same = Seq(("A", 1L, true), ("A", 2L, false), ("B", 1L, true), ("B", 2L, false))
+      .toDF("g", "dur", "ev")
+    val r2 = Profile.logRankTest(same, col("g"), col("dur"), col("ev")).collect().head
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 1L)
+    assert(r2.getLong(4) == 1000000L) // e1 = d*n1*1e6 div n = 2*2e6/4
+    assert(r2.getLong(5) == 0L)
+    // three groups -> three pair rows
+    val three = df.union(Seq(("C", 5L, false)).toDF("g", "dur", "ev"))
+    assert(Profile.logRankTest(three, col("g"), col("dur"), col("ev")).count() == 3L)
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
