@@ -446,6 +446,58 @@ object Retrieval {
         expr("element_at(items, __idx).v").as("est_v"))
   }
 
+  /** nDCG@k per query — the graded-relevance quality metric for the
+    * retrieval family (BM25/RRF produce runs; this scores them):
+    * DCG@k = Σ_{r≤k} (2^rel − 1)·disc(r) against the ideal ordering's
+    * IDCG. The log₂ discounts are pre-computed MICRO-FIXED-POINT
+    * constants (⌊10⁶/log₂(r+1)+½⌋ for r = 1..k) folded into the plan
+    * as literals, so the whole metric is integer arithmetic — exact,
+    * order-free sums, no libm in any engine. Ranking ties break on
+    * the item id (deterministic run), ideal ties on id as well.
+    *
+    * Scale: two row_number windows per query (run order, ideal order)
+    * over the top-k-bounded result relation + one query-keyed
+    * aggregate. Output: (query, n_ranked, dcg_micro, idcg_micro,
+    * ndcg_ppm — null for queries with zero total gain).
+    */
+  def ndcgAtK(
+      df: DataFrame,
+      query: Column,
+      item: Column,
+      score: Column,
+      rel: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"ndcgAtK: k in [1, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val discs = (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1) / math.log(2)) + 0.5).toLong)
+    val discArr = array(discs.map(lit): _*)
+    val base = df.filter(query.isNotNull && item.isNotNull &&
+        score.isNotNull && rel.isNotNull)
+      .select(query.as("q"), item.as("i"), score.as("s"),
+        rel.cast("long").as("r"))
+    val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(least(greatest(r, 0), 30) AS INT)) - 1")
+    val wRun = Window.partitionBy(col("q")).orderBy(col("s").desc, col("i"))
+    val wIdeal = Window.partitionBy(col("q")).orderBy(col("r").desc, col("i"))
+    val ranked = base
+      .withColumn("__g", gain)
+      .withColumn("__rr", row_number().over(wRun))
+      .withColumn("__ri", row_number().over(wIdeal))
+      .withColumn("__dcg",
+        when(col("__rr") <= k, col("__g") * element_at(discArr, col("__rr")))
+          .otherwise(lit(0L)))
+      .withColumn("__idcg",
+        when(col("__ri") <= k, col("__g") * element_at(discArr, col("__ri")))
+          .otherwise(lit(0L)))
+    ranked.groupBy(col("q").as("query"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("__dcg")).as("dcg_micro"),
+        sum(col("__idcg")).as("idcg_micro"))
+      .select(col("query"), col("n_ranked"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0L,
+          expr("dcg_micro * 1000000L div idcg_micro")).as("ndcg_ppm"))
+  }
+
   def kmvDistinct(
       df: DataFrame,
       group: Column,

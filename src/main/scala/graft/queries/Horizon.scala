@@ -651,6 +651,59 @@ object Horizon {
                  (CAST(o1 AS HUGEINT) * 1000000 - e1) * 1000 // v AS BIGINT)
                END AS chi2_milli
         FROM agg ORDER BY group_a, group_b
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // nDCG@10 per source: a deterministic retrieval run (docs ranked
+    // by n_chars within each source) scored against graded language
+    // relevance (en=3, de=2, fr=1, else 0). The log2 discounts are
+    // micro-fixed-point literals shared verbatim by both engines, so
+    // the whole metric — gains, DCG, IDCG, the ppm ratio — is integer
+    // arithmetic with zero libm exposure.
+    Q(
+      "q240_ndcg_at_k",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"source".isNotNull && $"doc_id".isNotNull &&
+            $"n_chars".isNotNull && $"lang".isNotNull)
+        graft.ext.Retrieval.ndcgAtK(docs, $"source", $"doc_id", $"n_chars",
+            when($"lang" === "en", 3L).when($"lang" === "de", 2L)
+              .when($"lang" === "fr", 1L).otherwise(0L), k = 10)
+          .orderBy($"query")
+      },
+      Some {
+        val discs = (1 to 10).map(r =>
+          math.floor(1e6 / (math.log(r + 1) / math.log(2)) + 0.5).toLong)
+        val discRows = discs.zipWithIndex
+          .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+        s"""
+        WITH base AS (
+          SELECT source AS q, doc_id AS i, n_chars AS s,
+                 CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2
+                           WHEN 'fr' THEN 1 ELSE 0 END AS r
+          FROM documents
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL
+            AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        rk AS (
+          SELECT q, i,
+                 (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST(r, 0), 30) AS INT)) - 1 AS g,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, i) AS rr,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY r DESC, i) AS ri
+          FROM base),
+        dt AS (SELECT * FROM (VALUES $discRows) d(rnk, disc)),
+        agg AS (
+          SELECT q, COUNT(*) AS n_ranked,
+                 SUM(COALESCE(g * da.disc, 0)) AS dcg,
+                 SUM(COALESCE(g * di.disc, 0)) AS idcg
+          FROM rk LEFT JOIN dt da ON da.rnk = rk.rr
+                  LEFT JOIN dt di ON di.rnk = rk.ri
+          GROUP BY 1)
+        SELECT q AS query, n_ranked, CAST(dcg AS BIGINT) AS dcg_micro,
+               CAST(idcg AS BIGINT) AS idcg_micro,
+               CASE WHEN idcg > 0
+                 THEN CAST(dcg * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
+        FROM agg ORDER BY query
+      """
+      })
   )
 }

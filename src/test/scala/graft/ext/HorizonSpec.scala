@@ -211,6 +211,38 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Profile.logRankTest(three, col("g"), col("dur"), col("ev")).count() == 3L)
   }
 
+  test("ndcgAtK: perfect run = 1e6 ppm, reversed run scores the hand DCG ratio") {
+    import spark.implicits._
+    // rels 3,2,1 ranked perfectly by score -> ndcg = 1e6 exactly
+    val perfect = Seq(("q", 1L, 30L, 3L), ("q", 2L, 20L, 2L), ("q", 3L, 10L, 1L))
+      .toDF("q", "i", "s", "r")
+    val p = Retrieval.ndcgAtK(perfect, col("q"), col("i"), col("s"), col("r"), k = 10)
+      .collect().head
+    assert(p.getLong(1) == 3L && p.getLong(2) == p.getLong(3) && p.getLong(4) == 1000000L)
+    // reversed ordering: dcg = 1*d1 + 3*d2 + 7*d3, idcg = 7*d1 + 3*d2 + 1*d3
+    val discs = (1 to 3).map(r =>
+      math.floor(1e6 / (math.log(r + 1) / math.log(2)) + 0.5).toLong)
+    val rev = Seq(("q", 1L, 30L, 1L), ("q", 2L, 20L, 2L), ("q", 3L, 10L, 3L))
+      .toDF("q", "i", "s", "r")
+    val v = Retrieval.ndcgAtK(rev, col("q"), col("i"), col("s"), col("r"), k = 10)
+      .collect().head
+    val dcg = 1L * discs(0) + 3L * discs(1) + 7L * discs(2)
+    val idcg = 7L * discs(0) + 3L * discs(1) + 1L * discs(2)
+    assert(v.getLong(2) == dcg && v.getLong(3) == idcg)
+    assert(v.getLong(4) == dcg * 1000000L / idcg)
+    // all-zero relevance: idcg = 0 -> ndcg null, counts intact
+    val zero = Seq(("q", 1L, 5L, 0L)).toDF("q", "i", "s", "r")
+    val z = Retrieval.ndcgAtK(zero, col("q"), col("i"), col("s"), col("r"), k = 5)
+      .collect().head
+    assert(z.getLong(1) == 1L && z.isNullAt(4))
+    // beyond-k results contribute nothing
+    val wide = (1 to 30).map(i => ("q", i.toLong, (100 - i).toLong, 1L))
+      .toDF("q", "i", "s", "r")
+    val w = Retrieval.ndcgAtK(wide, col("q"), col("i"), col("s"), col("r"), k = 10)
+      .collect().head
+    assert(w.getLong(1) == 30L && w.getLong(4) == 1000000L) // top-10 = ideal top-10
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
