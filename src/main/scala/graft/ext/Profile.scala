@@ -1333,6 +1333,52 @@ object Profile {
           .as("chi2_milli"))
   }
 
+  /** Probabilistic-score calibration summary per group: Brier score
+    * and Expected Calibration Error, both exact integers — the
+    * "should I trust this model's probabilities" verdict for any
+    * scorer that emits ppm probabilities ([[groupedLogit2]]'s sigmoid,
+    * a calibrated NB, anything).
+    *
+    *   - brier_ppb = Σ(μ_ppm − y_ppm)² div (n·1000) — the mean squared
+    *     probability error on the 0..1 scale, in parts-per-billion;
+    *   - ece_ppm: decile bins by μ (bin = min(9, μ div 10⁵)); per bin
+    *     |Σμ − 10⁶·Σy| (predicted-vs-observed mass gap in ppm·rows);
+    *     ECE = Σ gaps div n.
+    *
+    * All sums run in DECIMAL(38,0); no float enters the metric, so an
+    * external engine replays every bin and both scores bit-for-bit.
+    * Scale: one group-keyed aggregate for Brier + one (group, bin)
+    * aggregate collapsing to a second group-keyed pass — both
+    * map-side-combinable at any row count.
+    */
+  def probCalibration(
+      df: DataFrame,
+      group: Column,
+      muPpm: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val base = df.filter(group.isNotNull && muPpm.isNotNull && label.isNotNull)
+      .select(group.as("grp"), muPpm.cast("long").as("__mu"),
+        when(label.cast("boolean"), lit(1000000L)).otherwise(lit(0L)).as("__y"))
+      .withColumn("__mu", greatest(least(col("__mu"), lit(1000000L)), lit(0L)))
+      .withColumn("__bin", least(lit(9L), expr("__mu div 100000")))
+    val bins = base.groupBy(col("grp"), col("__bin"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__mu").cast(dec)).as("__smu"),
+        sum(when(col("__y") === 1000000L, 1L).otherwise(0L)).as("__sy"),
+        sum(((col("__mu") - col("__y")).cast(dec) *
+          (col("__mu") - col("__y"))).cast(dec)).as("__sq"))
+    bins.groupBy(col("grp"))
+      .agg(sum(col("__nb")).as("n"),
+        sum(col("__sy")).as("n_pos"),
+        sum(col("__sq").cast(dec)).as("__sqsum"),
+        sum(abs(col("__smu") - col("__sy").cast(dec) * 1000000).cast(dec)).as("__gap"))
+      .select(col("grp"), col("n"), col("n_pos"),
+        expr("__sqsum div (CAST(n AS DECIMAL(38,0)) * 1000)").as("brier_ppb"),
+        expr("__gap div CAST(n AS DECIMAL(38,0))").as("ece_ppm"))
+  }
+
   /** Per-column cardinality / concentration profile — the skew
     * diagnosis that decides physical strategy per column: `n_distinct`
     * (dictionary-encodability, join-key selectivity), `top_share_ppm`

@@ -704,6 +704,68 @@ object Horizon {
                  THEN CAST(dcg * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
         FROM agg ORDER BY query
       """
-      })
+      }),
+    // ----------------------------------------------------------------
+    // Brier score + Expected Calibration Error for the q236 logistic
+    // model, per source: train (3 ridged IRLS rounds), score every doc
+    // with the integer sigmoid, then decile-bin calibration — the
+    // probabilistic twin of q215's NB reliability diagram, integer
+    // end-to-end (ppm probabilities, ppb Brier, ppm ECE).
+    Q(
+      "q241_logit_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"lang".isNotNull && $"source".isNotNull)
+          .select($"source".as("grp"),
+            expr("n_chars div 10").as("x1"),
+            size(graft.ext.TextHash.tokens($"text")).cast("long").as("x2"),
+            ($"lang" === "en").as("y"))
+        val model = graft.ext.Profile.groupedLogit2(
+          docs, Seq("grp"), $"x1", $"x2", $"y", iters = 3)
+        val scored = docs
+          .join(broadcast(model.select($"grp", $"b0_ppm", $"b1_ppm", $"b2_ppm")),
+            Seq("grp"))
+          .withColumn("__eta",
+            $"b0_ppm" + $"b1_ppm" * $"x1" + $"b2_ppm" * $"x2")
+          .withColumn("mu", expr(
+            "(500000L * (1000000L + abs(__eta) + __eta)) div (1000000L + abs(__eta))"))
+        graft.ext.Profile.probCalibration(scored, $"grp", $"mu", $"y")
+          .select($"grp".as("source"), $"n", $"n_pos", $"brier_ppb", $"ece_ppm")
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH lrows AS MATERIALIZED (
+          SELECT source AS grp,
+                 n_chars // 10 AS x1,
+                 CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS x2,
+                 CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+        lb0 AS (SELECT DISTINCT grp, 0 AS b0, 0 AS b1, 0 AS b2 FROM lrows),
+        ${(1 to 3).map(irlsRoundSql).mkString(",\n")},
+        scored AS (
+          SELECT w.grp, w.y,
+                 b.b0 + b.b1 * w.x1 + b.b2 * w.x2 AS eta
+          FROM lrows w JOIN lb3 b USING (grp)),
+        mus AS (
+          SELECT grp, y,
+                 GREATEST(LEAST(
+                   (500000 * (1000000 + abs(eta) + eta)) // (1000000 + abs(eta)),
+                   1000000), 0) AS mu
+          FROM scored),
+        binned AS (
+          SELECT grp, LEAST(9, mu // 100000) AS bin, COUNT(*) AS nb,
+                 SUM(CAST(mu AS HUGEINT)) AS smu,
+                 SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS sy,
+                 SUM(CAST(mu - y AS HUGEINT) * (mu - y)) AS sq
+          FROM mus GROUP BY 1, 2)
+        SELECT grp AS source, CAST(SUM(nb) AS BIGINT) AS n,
+               CAST(SUM(sy) AS BIGINT) AS n_pos,
+               CAST(SUM(sq) // (SUM(nb) * 1000) AS BIGINT) AS brier_ppb,
+               CAST(SUM(abs(smu - CAST(sy AS HUGEINT) * 1000000)) // SUM(nb) AS BIGINT)
+                 AS ece_ppm
+        FROM binned GROUP BY 1 ORDER BY source
+      """))
   )
 }

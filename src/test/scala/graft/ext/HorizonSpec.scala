@@ -243,6 +243,28 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.getLong(1) == 30L && w.getLong(4) == 1000000L) // top-10 = ideal top-10
   }
 
+  test("probCalibration: perfect probabilities score 0; hand Brier/ECE; clamping") {
+    import spark.implicits._
+    // perfectly calibrated and perfectly confident: mu = y exactly
+    val perfect = Seq(("g", 1000000L, true), ("g", 0L, false)).toDF("g", "mu", "y")
+    val p = Profile.probCalibration(perfect, col("g"), col("mu"), col("y"))
+      .collect().head
+    assert(p.getLong(1) == 2L && p.getLong(2) == 1L)
+    assert(p.getLong(3) == 0L && p.getLong(4) == 0L)
+    // hand case: mu=600000 y=1, mu=600000 y=0 -> same bin (6)
+    // brier = ((4e5)^2 + (6e5)^2) / (2*1000) ppb; ece = |1.2e6 - 1e6| / 2
+    val hand = Seq(("g", 600000L, true), ("g", 600000L, false)).toDF("g", "mu", "y")
+    val h = Profile.probCalibration(hand, col("g"), col("mu"), col("y"))
+      .collect().head
+    val brier = (400000L * 400000L + 600000L * 600000L) / (2L * 1000L)
+    assert(h.getLong(3) == brier)
+    assert(h.getLong(4) == (1200000L - 1000000L) / 2L)
+    // out-of-range mu clamps instead of corrupting bins
+    val oob = Seq(("g", 1500000L, true), ("g", -7L, false)).toDF("g", "mu", "y")
+    val o = Profile.probCalibration(oob, col("g"), col("mu"), col("y")).collect().head
+    assert(o.getLong(3) == 0L) // clamped to exactly y
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
