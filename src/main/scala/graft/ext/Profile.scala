@@ -1379,6 +1379,57 @@ object Profile {
         expr("__gap div CAST(n AS DECIMAL(38,0))").as("ece_ppm"))
   }
 
+  /** Two-proportion z-test per group pair — the experimentation
+    * primitive ("did variant B convert better, and is it real"):
+    * for every unordered pair of variants, conversion counts, the
+    * ppm rate difference, and the pooled z² statistic
+    *
+    *   z² = (c₁n₂ − c₂n₁)²·N / (n₁·n₂·c·(N−c))   (c = c₁+c₂, N = n₁+n₂)
+    *
+    * — the common-denominator form, so the whole statistic is ONE
+    * exact integral division over DECIMAL(38,0) products (no float
+    * rates, no libm; z²≥3.84 ⇔ p<0.05 two-sided). Degenerate pools
+    * (all or none converted) report null.
+    *
+    * Scale: one variant-keyed aggregate (map-side combinable at any
+    * event volume) + a |variants|² pair join over that tiny relation.
+    */
+  def proportionTest(
+      df: DataFrame,
+      variant: Column,
+      converted: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val agg = df.filter(variant.isNotNull && converted.isNotNull)
+      .groupBy(variant.cast("string").as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(converted.cast("boolean"), 1L).otherwise(0L)).as("c"))
+    agg.as("a").join(agg.as("b"), col("a.v") < col("b.v"))
+      .select(col("a.v").as("variant_a"), col("b.v").as("variant_b"),
+        col("a.n").as("n_a"), col("a.c").as("conv_a"),
+        col("b.n").as("n_b"), col("b.c").as("conv_b"))
+      .withColumn("rate_a_ppm", expr("conv_a * 1000000L div n_a"))
+      .withColumn("rate_b_ppm", expr("conv_b * 1000000L div n_b"))
+      .withColumn("__c", col("conv_a") + col("conv_b"))
+      .withColumn("__N", col("n_a") + col("n_b"))
+      // the 4th-power denominator outgrows DECIMAL(38) at web scale, so
+      // the RATIO runs in doubles over exact decimal factors (the q226
+      // Cramer pattern: casts and ×/÷ are correctly-rounded IEEE on
+      // identical expression trees — engine-exact without the overflow)
+      .withColumn("__dd", expr(
+        "CAST(CAST(conv_a AS DECIMAL(38,0)) * n_b - CAST(conv_b AS DECIMAL(38,0)) * n_a AS DOUBLE)"))
+      .withColumn("__den", expr(
+        "CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * __c * (__N - __c) AS DOUBLE)"))
+      .withColumn("z2_milli",
+        when(col("__c") > 0L && col("__c") < col("__N"),
+          floor(col("__dd") * col("__dd") * col("__N").cast("double") /
+            col("__den") * 1000.0 + 0.5).cast("long")))
+      .select(col("variant_a"), col("variant_b"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"), col("rate_a_ppm"), col("rate_b_ppm"),
+        col("z2_milli"),
+        (col("z2_milli").isNotNull && col("z2_milli") >= 3841L).as("significant_95"))
+  }
+
   /** Per-column cardinality / concentration profile — the skew
     * diagnosis that decides physical strategy per column: `n_distinct`
     * (dictionary-encodability, join-key selectivity), `top_share_ppm`

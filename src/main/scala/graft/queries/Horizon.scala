@@ -766,6 +766,57 @@ object Horizon {
                CAST(SUM(abs(smu - CAST(sy AS HUGEINT) * 1000000)) // SUM(nb) AS BIGINT)
                  AS ece_ppm
         FROM binned GROUP BY 1 ORDER BY source
+      """)),
+    // ----------------------------------------------------------------
+    // Two-proportion z-test: variants = user_id parity, conversion =
+    // "heavy purchaser" (>= 14 purchase events); per variant pair the
+    // counts, ppm rates, and
+    // the pooled z² in milli (z² ≥ 3.841 ⇔ p < .05) — the A/B readout,
+    // exact decimal factors with one deterministic double ratio.
+    Q(
+      "q242_ab_proportion_test",
+      (s, dir) => {
+        import s.implicits._
+        val perUser = t(s, dir, "events")
+          .filter($"user_id".isNotNull)
+          .groupBy($"user_id")
+          .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("__p"))
+          .select(($"user_id" % 2).cast("string").as("variant"),
+            ($"__p" >= 14L).as("conv"))
+        graft.ext.Profile.proportionTest(perUser, $"variant", $"conv")
+          .orderBy($"variant_a", $"variant_b")
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS v,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        agg AS (SELECT v, COUNT(*) AS n,
+                       SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS c
+                FROM pu GROUP BY 1),
+        pr AS (
+          SELECT a.v AS variant_a, b.v AS variant_b,
+                 a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+                 a.c + b.c AS cc, a.n + b.n AS nn
+          FROM agg a JOIN agg b ON a.v < b.v),
+        z AS (
+          SELECT *,
+                 CAST(CAST(conv_a AS HUGEINT) * n_b
+                      - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) AS dd,
+                 CAST(CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc) AS DOUBLE) AS den
+          FROM pr)
+        SELECT variant_a, variant_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+               CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+               CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+               CASE WHEN cc > 0 AND cc < nn THEN
+                 CAST(floor(dd * dd * CAST(nn AS DOUBLE) / den * 1000.0 + 0.5) AS BIGINT)
+               END AS z2_milli,
+               (cc > 0 AND cc < nn AND
+                floor(dd * dd * CAST(nn AS DOUBLE) / den * 1000.0 + 0.5) >= 3841)
+                 AS significant_95
+        FROM z ORDER BY variant_a, variant_b
       """))
   )
 }

@@ -265,6 +265,28 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o.getLong(3) == 0L) // clamped to exactly y
   }
 
+  test("proportionTest: textbook z2, degenerate pools null, symmetric pair rows") {
+    import spark.implicits._
+    // A: 30/100, B: 50/100 -> z2 = (30*100-50*100)^2*200/(100*100*80*120)
+    val rows = (1 to 100).map(i => ("A", i <= 30)) ++ (1 to 100).map(i => ("B", i <= 50))
+    val df = rows.toDF("v", "c")
+    val r = Profile.proportionTest(df, col("v"), col("c")).collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 100L && r.getLong(3) == 30L && r.getLong(5) == 50L)
+    assert(r.getLong(6) == 300000L && r.getLong(7) == 500000L)
+    val dd = (30.0 * 100 - 50.0 * 100)
+    val z2 = math.floor(dd * dd * 200.0 / (100.0 * 100 * 80 * 120) * 1000.0 + 0.5).toLong
+    assert(r.getLong(8) == z2 && r.getBoolean(9) == (z2 >= 3841L))
+    assert(z2 == 8333L) // 8.33 > 3.841 -> significant
+    // all-converted pool: z2 undefined, not zero
+    val dg = (Seq(("A", true), ("B", true))).toDF("v", "c")
+    val d = Profile.proportionTest(dg, col("v"), col("c")).collect().head
+    assert(d.isNullAt(8) && !d.getBoolean(9))
+    // three variants -> three pair rows
+    val three = rows ++ (1 to 50).map(i => ("C", i <= 10))
+    assert(Profile.proportionTest(three.toDF("v", "c"), col("v"), col("c")).count() == 3L)
+  }
+
   test("minhashLshPairsAuto: auto plan reproduces the tuned-default pair set") {
     import spark.implicits._
     val docs = Seq(
