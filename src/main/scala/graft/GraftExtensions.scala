@@ -167,5 +167,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.TopKPairs(args(0), args(1), intArg(args(2), "graft_topk_pairs"))
           .toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_km_fold_ppm"),
+      info("graft_km_fold_ppm",
+        "graft_km_fold_ppm(steps) - linear Kaplan-Meier product-limit fold: " +
+          "array<struct<...,n,d,...>> sorted by time -> running survival ppm array"),
+      (args: Seq[Expression]) => graft.functions.KmFoldPpm(args(0))))
   }
 }

@@ -276,10 +276,16 @@ object Graph {
     * 1-row aggregates (broadcast, not a driver collect).
     */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // localCheckpoint (lazy): e feeds the degree groupBy, both
+    // orientation joins, the closing-edge join, and the edge-count
+    // aggregate; oriented feeds BOTH sides of the wedge self-join.
+    // Without pinning, pressure-evicted shuffle blocks re-run the
+    // dedup/degree chain up to 4× (the round-9 3.2× bench reading).
     val e = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .distinct()
+      .localCheckpoint(false)
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     // orient: u<v always, so (d_u, u) < (d_v, v) reduces to d_u <= d_v
@@ -289,6 +295,7 @@ object Graph {
       .select(
         when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(false)
     val wedges = oriented.select(col("s"), col("t").as("b"))
       .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
       .filter(col("b") < col("c"))
@@ -324,10 +331,13 @@ object Graph {
     * null cc, matching the global null-on-no-wedges convention.
     */
   def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Same pinning rationale as [[triangleCount]]: e and oriented are
+    // multi-consumer relations in the wedge/closing joins.
     val e = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .distinct()
+      .localCheckpoint(false)
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     val oriented = e
@@ -336,6 +346,7 @@ object Graph {
       .select(
         when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(false)
     val wedges = oriented.select(col("s"), col("t").as("b"))
       .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
       .filter(col("b") < col("c"))

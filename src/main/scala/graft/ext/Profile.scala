@@ -1229,14 +1229,18 @@ object Profile {
       .groupBy(col("grp"))
       .agg(array_sort(collect_list(struct((col("t") * col("__ok")).as("t"),
         col("n"), col("d"), col("c")))).as("__steps"))
+      // one LINEAR pass per group (KmFoldPpm) instead of the former
+      // aggregate(slice(__steps, 1, i)) prefix re-fold, which was
+      // O(steps²) long ops inside a single task
+      .withColumn("__surv",
+        graft.functions.StatFunctions.kmFoldPpm(col("__steps")))
       .select(col("grp"), expr(
         """explode(transform(sequence(1, size(__steps)), i -> struct(
           |  element_at(__steps, i).t AS t,
           |  element_at(__steps, i).n AS n_risk,
           |  element_at(__steps, i).d AS d_events,
           |  element_at(__steps, i).c AS c_censored,
-          |  aggregate(slice(__steps, 1, i), CAST(1000000 AS BIGINT),
-          |    (acc, x) -> acc * (x.n - x.d) div x.n) AS surv_ppm)))""".stripMargin)
+          |  element_at(__surv, i) AS surv_ppm)))""".stripMargin)
         .as("__s"))
       .select(col("grp"), col("__s.t").as("t"), col("__s.n_risk").as("n_risk"),
         col("__s.d_events").as("d_events"), col("__s.c_censored").as("c_censored"),
@@ -1540,12 +1544,19 @@ object Profile {
       label: Column,
       maxDistinctScores: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint (lazy): g feeds BOTH the main window path and the
+    // guard's count aggregate below — without it the whole upstream
+    // scoring chain (e.g. q218's NB train+score) is computed twice, and
+    // under memory pressure the second pass recomputes instead of
+    // reusing shuffle output (the bimodal bench readings of rounds 8-9).
+    // The relation is ≤ maxDistinctScores rows, so the blocks are tiny.
     val g = df.filter(score.isNotNull && label.isNotNull)
       .select(score.cast("long").as("__s"), label.cast("boolean").as("__y"))
       .groupBy(col("__s"))
       .agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+      .localCheckpoint(false)
     val guarded = g.crossJoin(broadcast(
       g.agg(count(lit(1)).as("__k"))
         .select(when(col("__k") <= maxDistinctScores, lit(1L))

@@ -384,8 +384,14 @@ object Retrieval {
       .select(group.as("grp"), value.cast("long").as("v"),
         TextHash.hash64(id.cast("string")).as("h"))
       .withColumn("l",
-        when(col("h") === 0L, lit(40))
-          .otherwise(least(lit(40), log2(col("h").bitwiseAND(-col("h"))).cast("int"))))
+        // trailing-zero count as pure integer math: ntz(h) =
+        // bit_count((h & -h) - 1) — no libm log2, whose last-ulp
+        // behavior could differ between engines (parity rule); matches
+        // the streaming twin's Long.numberOfTrailingZeros. h = 0 and
+        // h = Long.MinValue (where -h overflows) pin to the 40 cap.
+        when(col("h") === 0L || col("h") === Long.MinValue, lit(40))
+          .otherwise(least(lit(40),
+            bit_count(col("h").bitwiseAND(-col("h")) - 1L))))
     val counts = base.groupBy(col("grp"), col("l")).agg(count(lit(1)).as("__c"))
     val cum = counts.withColumn("__ge",
       sum(col("__c")).over(Window.partitionBy(col("grp"))

@@ -88,10 +88,18 @@ object Horizon {
       .map(r => uniRoundSql(r, if (r == 1) "us0" else s"us${r - 1}"))
       .mkString(",\n")
     s"""uwords AS MATERIALIZED (
-       |  SELECT t AS w, COUNT(*) AS cnt FROM (
-       |    SELECT unnest(${OracleSql.tokens("text")}) AS t
-       |    FROM documents WHERE text IS NOT NULL)
-       |  GROUP BY 1),
+       |  -- LOUD bound check: the seed range(1,9) and 128-mask cut
+       |  -- enumeration below cover words up to 8 chars only (the Spark
+       |  -- trainer handles any length); a longer token must fail fast
+       |  -- here, not silently shrink the segmentation space.
+       |  SELECT CASE WHEN length(w0) <= 8 THEN w0
+       |              ELSE error('unigram oracle: word exceeds the 8-char '
+       |                         || 'enumeration bound: ' || w0) END AS w,
+       |         cnt FROM (
+       |    SELECT t AS w0, COUNT(*) AS cnt FROM (
+       |      SELECT unnest(${OracleSql.tokens("text")}) AS t
+       |      FROM documents WHERE text IS NOT NULL)
+       |    GROUP BY 1)),
        |useed AS (
        |  SELECT piece, SUM(cnt) AS usage FROM (
        |    SELECT w, cnt, substring(w, CAST(i AS INT), CAST(d AS INT)) AS piece
@@ -228,8 +236,8 @@ object Horizon {
           WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
         base AS (
           SELECT grp, v, ok, ${OracleSql.hash64("id")} AS h FROM raw),
-        lvl AS (SELECT *, CASE WHEN h = 0 THEN 40
-                               ELSE LEAST(40, CAST(log2(h & (-h)) AS INT)) END AS l
+        lvl AS (SELECT *, CASE WHEN h = 0 OR h = -9223372036854775808 THEN 40
+                               ELSE LEAST(40, CAST(bit_count((h & (-h)) - 1) AS INT)) END AS l
                 FROM base),
         cgw AS (SELECT grp, T, COUNT(*) FILTER (l >= T) AS cnt
                 FROM lvl CROSS JOIN (SELECT unnest(range(0,41)) AS T) GROUP BY 1,2),
@@ -437,9 +445,12 @@ object Horizon {
       },
       Some(s"""
         WITH lrows AS MATERIALIZED (
+          -- mirror groupedLogit2's ±1e6 feature clamp (clampX) so a
+          -- corpus with n_chars >= 1e7 keeps bit-parity of every round
           SELECT source AS grp,
-                 n_chars // 10 AS x1,
-                 CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS x2,
+                 GREATEST(LEAST(n_chars // 10, 1000000), -1000000) AS x1,
+                 GREATEST(LEAST(CAST(len(${OracleSql.tokens("text")}) AS BIGINT),
+                   1000000), -1000000) AS x2,
                  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
           FROM documents
           WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
@@ -736,9 +747,12 @@ object Horizon {
       },
       Some(s"""
         WITH lrows AS MATERIALIZED (
+          -- mirror groupedLogit2's ±1e6 feature clamp (clampX) so a
+          -- corpus with n_chars >= 1e7 keeps bit-parity of every round
           SELECT source AS grp,
-                 n_chars // 10 AS x1,
-                 CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS x2,
+                 GREATEST(LEAST(n_chars // 10, 1000000), -1000000) AS x1,
+                 GREATEST(LEAST(CAST(len(${OracleSql.tokens("text")}) AS BIGINT),
+                   1000000), -1000000) AS x2,
                  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
           FROM documents
           WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),

@@ -72,10 +72,22 @@ object Multimodal {
       },
       Some("""
         WITH media AS (
-          SELECT doc_id*2 AS media_id, text AS payload FROM documents
+          -- LOUD encoding guard: this oracle walks CHARACTERS
+          -- (length/unicode) while Spark hashes UTF-8 BYTES — identical
+          -- only for pure-ASCII text. A multi-byte character must fail
+          -- fast here, not silently shift every grid cell.
+          SELECT doc_id*2 AS media_id,
+                 CASE WHEN octet_length(encode(text)) = length(text) THEN text
+                      ELSE error('q231 oracle: non-ASCII text in doc_id '
+                                 || CAST(doc_id AS VARCHAR)) END AS payload
+          FROM documents
           UNION ALL
           SELECT doc_id*2+1, upper(payload[1:8]) || payload[9:]
-          FROM (SELECT doc_id, text AS payload FROM documents)),
+          FROM (SELECT doc_id,
+                  CASE WHEN octet_length(encode(text)) = length(text) THEN text
+                       ELSE error('q231 oracle: non-ASCII text in doc_id '
+                                  || CAST(doc_id AS VARCHAR)) END AS payload
+                FROM documents)),
         pb AS (
           SELECT media_id, (i*64)//length(payload) AS c,
                  unicode(payload[CAST(i+1 AS INT):CAST(i+1 AS INT)]) AS b

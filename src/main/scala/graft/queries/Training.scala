@@ -635,11 +635,16 @@ object Training {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
+        // localCheckpoint (lazy): pin the full NB train+score chain to
+        // storage before the docs join + AUC window so a pressure-evicted
+        // shuffle block spills instead of re-running the chain (the
+        // round-8/9 bimodal bench signature on this query).
         val scores = graft.ext.LangModel.naiveBayesScores(
             docs.filter($"doc_id" % 2 === 0),
             docs.filter($"doc_id" % 2 === 1),
             $"lang", $"doc_id", $"text")
           .filter($"y" === "en")
+          .localCheckpoint(false)
         val joined = scores.join(
             docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"lang"),
             Seq("doc_id"))
