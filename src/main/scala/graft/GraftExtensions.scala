@@ -169,6 +169,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_pack_bytes"),
+      info("graft_pack_bytes",
+        "graft_pack_bytes(ints) - binary from the low byte of each array element"),
+      (args: Seq[Expression]) => graft.functions.PackBytes(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_pnm_decode"),
+      info("graft_pnm_decode",
+        "graft_pnm_decode(bytes) - decode raw PGM/PPM (P5/P6): struct(fmt, width, height, maxval, gray)"),
+      (args: Seq[Expression]) => graft.functions.PnmDecode(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_luma_grid_2d"),
+      info("graft_luma_grid_2d",
+        "graft_luma_grid_2d(pixels, width, height) - 64-cell 2-D box-filter grid of row-major pixels"),
+      (args: Seq[Expression]) => graft.functions.LumaGrid2D(args(0), args(1), args(2))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_km_fold_ppm"),
       info("graft_km_fold_ppm",
         "graft_km_fold_ppm(steps) - linear Kaplan-Meier product-limit fold: " +

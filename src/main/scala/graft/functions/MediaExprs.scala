@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftExprBridge
@@ -199,6 +200,244 @@ case class DHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<int> → binary: each element's low byte, in order — the
+  * constructor side of the binary-payload plumbing (build raster bytes
+  * from computed integer pixels without a UDF). Null input → null.
+  */
+case class PackBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pack_bytes requires array<int>, got $other")
+  }
+
+  /** Public so codegen can call it. */
+  def pack(ad: ArrayData): Array[Byte] = {
+    val n = ad.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (ad.getInt(i) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packBytes", this, classOf[PackBytes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.pack($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackBytes =
+    copy(child = newChild)
+}
+
+/** Pure-JVM decoder for binary (raw) PNM images — PGM "P5" (grayscale)
+  * and PPM "P6" (RGB), the uncompressed Netpbm formats whose decode is
+  * deterministic integer math end to end (header token scan + fixed-
+  * layout raster), so it needs no image library and any SQL engine can
+  * replay it bit for bit. This replaces the md5 stub codec as the REAL
+  * pixel source for the perceptual-hash family.
+  *
+  * Spec coverage (Netpbm pgm(5)/ppm(5)):
+  *   - magic "P5"/"P6"; header ints (width, height, maxval) separated
+  *     by arbitrary whitespace with `#`-to-end-of-line comments;
+  *   - exactly ONE whitespace byte after maxval, then the raster;
+  *   - samples are 1 byte for maxval < 256, 2 bytes big-endian for
+  *     maxval in [256, 65535];
+  *   - P6 pixels reduce to luma by the Rec. 709 integer surrogate
+  *     ⌊(2126·R + 7152·G + 722·B) / 10000⌋ — exact floor division, no
+  *     float weights;
+  *   - trailing bytes after the raster are ignored (multi-image
+  *     streams are out of scope).
+  *
+  * Output: struct(fmt 5|6, width, height, maxval, gray array<int> of
+  * width·height row-major luma samples). Any malformed payload — bad
+  * magic, non-numeric header, maxval outside [1, 65535], truncated
+  * raster — decodes to NULL (decode failure is data, not an error:
+  * a 100 TB media scan must not abort on one corrupt blob). Payloads
+  * above 2²⁴ pixels also decode to NULL — an in-plan bomb guard: a
+  * 16 MP cap bounds per-row memory at ~64 MB while covering any
+  * thumbnail/preview pipeline; full-resolution assets should be
+  * tile-split upstream.
+  */
+case class PnmDecode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fmt", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("maxval", IntegerType, nullable = false),
+    StructField("gray", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pnm_decode requires binary, got $other")
+  }
+
+  /** Full parse; null on any malformation. Public so codegen can call it. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val n = bytes.length
+    if (n < 2 || bytes(0) != 'P') return null
+    val fmt = bytes(1) match {
+      case '5' => 5
+      case '6' => 6
+      case _ => return null
+    }
+    var pos = 2
+
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+
+    // skip whitespace and #-comments; false on EOF
+    def skipWs(): Boolean = {
+      var inComment = false
+      while (pos < n) {
+        val b = bytes(pos)
+        if (inComment) {
+          if (b == '\n' || b == '\r') inComment = false
+          pos += 1
+        } else if (b == '#') { inComment = true; pos += 1 }
+        else if (isWs(b)) pos += 1
+        else return true
+      }
+      false
+    }
+
+    // non-negative decimal int; -1 on malformation
+    def readInt(): Int = {
+      if (!skipWs()) return -1
+      var v = 0L
+      var any = false
+      while (pos < n && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10L + (bytes(pos) - '0')
+        if (v > Int.MaxValue) return -1
+        any = true
+        pos += 1
+      }
+      if (any) v.toInt else -1
+    }
+
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return null
+    val pixels = w.toLong * h
+    if (pixels > (1L << 24)) return null
+    // exactly one whitespace byte separates maxval from the raster
+    if (pos >= n || !isWs(bytes(pos))) return null
+    pos += 1
+    val two = maxval > 255
+    val perSample = if (two) 2 else 1
+    val perPixel = perSample * (if (fmt == 6) 3 else 1)
+    if (n - pos < pixels * perPixel) return null
+
+    def sample(off: Int): Int =
+      if (two) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      else bytes(off) & 0xff
+
+    val gray = new Array[Int](pixels.toInt)
+    var i = 0
+    var p = pos
+    while (i < gray.length) {
+      if (fmt == 5) {
+        gray(i) = sample(p)
+        p += perSample
+      } else {
+        val r = sample(p)
+        val g = sample(p + perSample)
+        val b = sample(p + 2 * perSample)
+        p += perPixel
+        gray(i) = ((2126L * r + 7152L * g + 722L * b) / 10000L).toInt
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](fmt, w, h, maxval, new GenericArrayData(gray)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pnmDecode", this, classOf[PnmDecode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.decode($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PnmDecode =
+    copy(child = newChild)
+}
+
+/** (pixels array<int>, width, height) → 64-cell 8×8 luma grid: cell
+  * (R, C) is the floor mean of pixels (r, c) with ⌊r·8/h⌋ = R and
+  * ⌊c·8/w⌋ = C — the standard 2-D box-filter downscale, the REAL-pixel
+  * replacement for the 1-D byte-stream [[LumaGrid]]. Cells with no
+  * source pixel (w or h < 8) read 0, matching the 1-D convention.
+  * Null when the array length is not width·height (or w/h ≤ 0).
+  */
+case class LumaGrid2D(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"luma_grid_2d requires (array<int>, int, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on shape mismatch. */
+  def grid(ad: ArrayData, w: Int, h: Int): GenericArrayData = {
+    if (w <= 0 || h <= 0 || ad.numElements() != w.toLong * h) return null
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var r = 0
+    while (r < h) {
+      val rr = ((r.toLong * 8L) / h).toInt * 8
+      var c = 0
+      while (c < w) {
+        val cell = rr + ((c.toLong * 8L) / w).toInt
+        sums(cell) += ad.getInt(r * w + c)
+        counts(cell) += 1L
+        c += 1
+      }
+      r += 1
+    }
+    val out = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0L) out(i) = (sums(i) / counts(i)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(px: Any, w: Any, h: Any): Any =
+    grid(px.asInstanceOf[ArrayData], w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lumaGrid2d", this, classOf[LumaGrid2D].getName)
+    nullSafeCodeGen(ctx, ev, (px, w, h) => s"""
+      ${ev.value} = $ref.grid($px, $w, $h);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LumaGrid2D =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-API wrappers for the media perceptual-hash expressions. */
 object MediaFunctions {
   def lumaGrid(bytes: Column): Column =
@@ -207,4 +446,13 @@ object MediaFunctions {
     GraftExprBridge.column(AHash64(GraftExprBridge.expression(grid)))
   def dHash64(grid: Column): Column =
     GraftExprBridge.column(DHash64(GraftExprBridge.expression(grid)))
+  def packBytes(ints: Column): Column =
+    GraftExprBridge.column(PackBytes(GraftExprBridge.expression(ints)))
+  def pnmDecode(bytes: Column): Column =
+    GraftExprBridge.column(PnmDecode(GraftExprBridge.expression(bytes)))
+  def lumaGrid2d(pixels: Column, width: Column, height: Column): Column =
+    GraftExprBridge.column(LumaGrid2D(
+      GraftExprBridge.expression(pixels),
+      GraftExprBridge.expression(width),
+      GraftExprBridge.expression(height)))
 }

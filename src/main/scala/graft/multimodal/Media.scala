@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real: typed Dataset API, mapPartitions
   * batch execution (one codec init per partition — the Scala analogue of
   * a pandas-batched UDF), binary-safe schemas, deterministic output.
-  * The CODEC itself is a stub: this container has no image/audio
-  * libraries, so [[Media.decodeStub]] derives features from md5 of the
-  * payload. A real deployment swaps `decodeStub` for a JNI/FFI codec
-  * call — every signature, schema and partitioning decision stays.
+  *
+  * Codecs: UNCOMPRESSED images (raw PNM — PGM "P5" / PPM "P6") decode
+  * for REAL via the pure-JVM [[graft.functions.PnmDecode]] expression
+  * (header parse + raster read + Rec. 709 integer luma) — see
+  * [[pnmPhashPairs]] for the end-to-end real-pixel near-dup path.
+  * COMPRESSED formats (JPEG, PCM resample, H.264 frame grab) need
+  * codec libraries this container lacks, so [[Media.decodeStub]]
+  * stands in for them, deriving features from md5 of the payload; a
+  * real deployment swaps that one function for the JNI/FFI call —
+  * every signature, schema and partitioning decision stays.
   */
 object Media {
 
@@ -117,15 +123,45 @@ object Media {
       df: DataFrame,
       idCol: String,
       bytesCol: String,
+      maxHamming: Int = 4): DataFrame =
+    dhashNeardupPairs(
+      df.select(col(idCol).as("media_id"),
+        graft.functions.MediaFunctions.dHash64(
+          graft.functions.MediaFunctions.lumaGrid(col(bytesCol).cast("binary")))
+          .as("dh")),
+      maxHamming)
+
+  /** [[phashPairs]] over REAL pixels: payloads are raw PNM images
+    * (PGM "P5" / PPM "P6"), decoded by the pure-JVM
+    * [[graft.functions.PnmDecode]] expression, box-filtered 2-D onto
+    * the 8×8 grid ([[graft.functions.LumaGrid2D]]), dHashed, and
+    * pigeonhole-bucketed exactly like the byte-stream variant.
+    * Undecodable payloads (corrupt header, truncated raster) drop out
+    * — decode failure is data, not an abort. Same scale shape:
+    * scan-stage hashes, keyed chunk join, no pair blowup.
+    */
+  def pnmPhashPairs(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
       maxHamming: Int = 4): DataFrame = {
+    import graft.functions.MediaFunctions._
+    val base = df
+      .select(col(idCol).as("media_id"),
+        pnmDecode(col(bytesCol).cast("binary")).as("__pnm"))
+      .select(col("media_id"),
+        dHash64(lumaGrid2d(col("__pnm.gray"), col("__pnm.width"), col("__pnm.height")))
+          .as("dh"))
+      .filter(col("dh").isNotNull)
+    dhashNeardupPairs(base, maxHamming)
+  }
+
+  /** Shared pigeonhole Hamming machinery over a (media_id, dh) relation. */
+  private def dhashNeardupPairs(base: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"phashPairs: maxHamming in [0, 15] required, got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val base = df.select(col(idCol).as("media_id"),
-      graft.functions.MediaFunctions.dHash64(
-        graft.functions.MediaFunctions.lumaGrid(col(bytesCol).cast("binary")))
-        .as("dh"))
     val chunked = base.withColumn("chunk", explode(array((0 until chunks).map { i =>
       struct(lit(i).as("idx"),
         shiftrightunsigned(col("dh"), i * bitsPer)

@@ -116,6 +116,80 @@ object Multimodal {
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 4
         ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // REAL-pixel perceptual near-dup: each document becomes a 16×16
+    // 8-bit PGM image (pixels = md5-hash-derived bytes, so grids are
+    // independent across docs) serialized as actual "P5" bytes
+    // (header + raster via PackBytes), plus a planted variant with a
+    // +40 brightness patch on the top-left 2×4-pixel region — the
+    // image analogue of a re-encoded corner. The pipeline then runs
+    // the PURE-JVM PNM decoder (PnmDecode: header token scan, raster
+    // read) on those bytes, 2-D box-filters the decoded pixels onto
+    // the 8×8 grid (LumaGrid2D), dHashes, and pigeonhole-buckets —
+    // so a decoder mis-parse of any byte breaks the oracle match. The
+    // patch moves only grid cells (0,0)/(0,1), keeping planted pairs
+    // within Hamming 4 while unrelated docs sit near 32. The oracle
+    // replays the pixel formula, every 2-D cell mean, hash bit, and
+    // bucket in exact integer math.
+    Q(
+      "q243_pnm_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.packBytes
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        def px(variant: Boolean) =
+          transform(sequence(lit(0), lit(255)), { i =>
+            val p = (graft.ext.TextHash.hash64(
+              concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
+              % 256).cast("int")
+            if (variant)
+              when(i < 32 && i % 16 < 4, least(lit(255), p + 40)).otherwise(p)
+            else p
+          })
+        val header = lit("P5\n16 16\n255\n").cast("binary")
+        val media = docs
+          .select(($"doc_id" * 2).as("media_id"),
+            concat(header, packBytes(px(variant = false))).as("payload"))
+          .unionAll(docs.select(($"doc_id" * 2 + 1).as("media_id"),
+            concat(header, packBytes(px(variant = true))).as("payload")))
+        Media.pnmPhashPairs(media, "media_id", "payload", maxHamming = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH basepx AS (
+          SELECT doc_id, i,
+                 ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 256 AS p
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)),
+        px AS (
+          SELECT doc_id*2 AS media_id, i, p FROM basepx
+          UNION ALL
+          SELECT doc_id*2+1, i,
+                 CASE WHEN i < 32 AND i % 16 < 4 THEN LEAST(255, p + 40) ELSE p END
+          FROM basepx),
+        cells AS (
+          SELECT media_id,
+                 (((i // 16) * 8) // 16) * 8 + (((i % 16) * 8) // 16) AS c,
+                 SUM(p) // COUNT(*) AS lum
+          FROM px GROUP BY 1, 2),
+        g8 AS (SELECT media_id, list(lum ORDER BY c) AS g FROM cells GROUP BY media_id),
+        hash AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN g[CAST((i//8)*8 + ((i%8)+1)%8 + 1 AS INT)] > g[CAST(i+1 AS INT)]
+              THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
+              ELSE 0 END) AS BIGINT) AS dh
+          FROM g8 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+        chunked AS (
+          SELECT media_id, dh, c, (dh >> CAST(c*12 AS INTEGER)) & 4095 AS v
+          FROM hash CROSS JOIN (SELECT unnest(range(0, 5)) AS c)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.dh AS ha, b.dh AS hb
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        ORDER BY id_a, id_b
       """))
   )
 }

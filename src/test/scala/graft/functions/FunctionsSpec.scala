@@ -361,5 +361,21 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"graft_dhash64(graft_luma_grid(X'${"64" * 64}')) AS d, " +
         s"size(graft_luma_grid(X'${"64" * 64}')) AS n").collect().head
     assert(ph.getLong(0) == 0L && ph.getLong(1) == 0L && ph.getInt(2) == 64)
+    // round-10 registrations: PNM decode chain + KM fold.
+    // "P5\n2 2\n255\n" = 50 35 0A 32 20 32 0A 32 35 35 0A, raster 01 02 03 04
+    val pnm = spark.sql(
+      "SELECT graft_pnm_decode(X'50350A3220320A3235350A01020304').gray AS g, " +
+        "graft_pnm_decode(X'00FF').fmt AS bad, " +
+        "graft_pack_bytes(array(80, 256 + 53)) AS pk, " + // low bytes → 'P5'
+        "size(graft_luma_grid_2d(array(1, 2, 3, 4), 2, 2)) AS n2").collect().head
+    assert(pnm.getSeq[Int](0).toSeq == Seq(1, 2, 3, 4))
+    assert(pnm.isNullAt(1))
+    assert(new String(pnm.getAs[Array[Byte]](2), "US-ASCII") == "P5")
+    assert(pnm.getInt(3) == 64)
+    val km = spark.sql(
+      "SELECT graft_km_fold_ppm(array(named_struct('n', 10L, 'd', 1L), " +
+        "named_struct('n', 9L, 'd', 3L))) AS s").collect().head
+    // 1e6*9//10 = 900000; 900000*6//9 = 600000
+    assert(km.getSeq[Long](0).toSeq == Seq(900000L, 600000L))
   }
 }

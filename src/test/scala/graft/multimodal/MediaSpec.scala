@@ -96,6 +96,132 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
 
+  private def pgm(header: String, raster: Array[Byte]): Array[Byte] =
+    header.getBytes("US-ASCII") ++ raster
+
+  test("pnmDecode: P5 header variants — comments, whitespace runs, trailing bytes") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    val raster = Array.tabulate(6)(i => (i * 10).toByte) // 3x2
+    val plain = pgm("P5\n3 2\n255\n", raster)
+    val comments = pgm("P5 # format\n# a comment line\n 3 # width\n\t2\r255\n", raster)
+    val trailing = pgm("P5\n3 2\n255\n", raster ++ Array[Byte](9, 9, 9))
+    val rows = Seq((1L, plain), (2L, comments), (3L, trailing))
+      .toDF("id", "b").select($"id", pnmDecode($"b").as("d"))
+      .select($"id", $"d.fmt", $"d.width", $"d.height", $"d.maxval", $"d.gray")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getSeq[Int](5).toSeq))).toMap
+    val expect = (5, 3, 2, 255, Seq(0, 10, 20, 30, 40, 50))
+    assert(rows(1L) == expect)
+    assert(rows(2L) == expect)
+    assert(rows(3L) == expect) // bytes past the raster are ignored
+  }
+
+  test("pnmDecode: P6 Rec.709 integer luma and 2-byte big-endian samples") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    // one RGB pixel (200, 100, 50): luma = (2126*200+7152*100+722*50)//10000 = 117
+    val p6 = pgm("P6\n1 1\n255\n", Array(200.toByte, 100.toByte, 50.toByte))
+    // maxval 65535 → 2-byte samples: P5 pixel 0x1234 = 4660
+    val p5wide = pgm("P5\n1 1\n65535\n", Array(0x12.toByte, 0x34.toByte))
+    // P6 wide: (256, 512, 1024) → (2126*256+7152*512+722*1024)//10000 = 494
+    val p6wide = pgm("P6\n1 1\n65535\n",
+      Array(0x01, 0x00, 0x02, 0x00, 0x04, 0x00).map(_.toByte))
+    val rows = Seq((1L, p6), (2L, p5wide), (3L, p6wide))
+      .toDF("id", "b").select($"id", pnmDecode($"b").as("d"))
+      .select($"id", $"d.gray").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(rows(1L) == Seq((2126 * 200 + 7152 * 100 + 722 * 50) / 10000))
+    assert(rows(2L) == Seq(0x1234))
+    assert(rows(3L) == Seq((2126L * 256 + 7152L * 512 + 722L * 1024).toInt / 10000))
+  }
+
+  test("pnmDecode: malformed payloads decode to null, not errors") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    val good = pgm("P5\n2 2\n255\n", Array[Byte](1, 2, 3, 4))
+    val cases = Seq(
+      2L -> pgm("P4\n2 2\n255\n", Array[Byte](1, 2, 3, 4)), // unsupported magic
+      3L -> pgm("P5\n2 2\n255\n", Array[Byte](1, 2, 3)), // truncated raster
+      4L -> pgm("P5\n2 2\n", Array[Byte](1, 2, 3, 4)), // missing maxval
+      5L -> pgm("P5\n2 2\n70000\n", Array[Byte](1, 2, 3, 4)), // maxval > 65535
+      6L -> pgm("P5\n0 2\n255\n", Array[Byte](1, 2, 3, 4)), // zero width
+      7L -> pgm("P5\n2 2\n255", Array[Byte](1, 2, 3, 4)), // no ws after maxval
+      8L -> pgm("P5\n99999 99999\n255\n", Array[Byte](1)), // > 2^24 pixel bomb
+      9L -> Array.empty[Byte],
+      10L -> pgm("P5\n-2 2\n255\n", Array[Byte](1, 2, 3, 4))) // negative width
+    val rows = ((1L -> good) +: cases).toDF("id", "b")
+      .select($"id", pnmDecode($"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L))
+    cases.foreach { case (id, _) => assert(rows(id), s"case $id should be null") }
+  }
+
+  test("lumaGrid2d: 2-D box-filter means, small images, shape mismatch null") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    // 16x16 ramp by row: pixel(r,c) = r → cell(R,C) = (2R + 2R+1)/2 = 2R
+    val ramp = (0 until 256).map(i => i / 16)
+    // 4x4 (smaller than the grid): pixels land on even (R,C) cells only
+    val tiny = (0 until 16).map(_ => 7)
+    val rows = Seq((1L, ramp, 16, 16), (2L, tiny, 4, 4), (3L, ramp, 16, 15))
+      .toDF("id", "px", "w", "h")
+      .select($"id", lumaGrid2d($"px", $"w", $"h").as("g")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1).toSeq)).toMap
+    assert(rows(1L) == (0 until 64).map(i => (i / 8) * 2))
+    val tinyGrid = rows(2L)
+    assert(tinyGrid.count(_ == 7) == 16 && tinyGrid.count(_ == 0) == 48)
+    assert(rows(3L) == null) // 256 pixels != 16*15
+    // locality: a patch confined to pixels (r<2, c<4) moves only cells (0,0),(0,1)
+    val base = (0 until 256).map(i => (i * 37) % 251)
+    val patched = base.zipWithIndex.map { case (p, i) =>
+      if (i < 32 && i % 16 < 4) math.min(255, p + 40) else p }
+    val Seq(gb, gp) = Seq((1L, base), (2L, patched)).toDF("id", "px")
+      .orderBy($"id").select(lumaGrid2d($"px", lit(16), lit(16))).collect()
+      .map(_.getSeq[Int](0).toSeq).toSeq
+    val moved = gb.zip(gp).zipWithIndex.filter { case ((a, b), _) => a != b }.map(_._2)
+    assert(moved.toSet.subsetOf(Set(0, 1)) && moved.nonEmpty)
+  }
+
+  test("packBytes round-trips through pnmDecode") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions._
+    val px = (0 until 256).map(i => (i * 7) % 256)
+    val out = Seq(Tuple1(px)).toDF("px")
+      .select(concat(lit("P5\n16 16\n255\n").cast("binary"), packBytes($"px")).as("b"))
+      .select(pnmDecode($"b").as("d"))
+      .select($"d.width", $"d.height", $"d.gray").collect().head
+    assert(out.getInt(0) == 16 && out.getInt(1) == 16)
+    assert(out.getSeq[Int](2).toSeq == px)
+  }
+
+  test("pnmPhashPairs: planted PGM patches found over real decode, corrupt dropped, no cartesian") {
+    import spark.implicits._
+    val header = "P5\n16 16\n255\n"
+    val docs = (0 until 30).map { i =>
+      val px = Array.tabulate(256)(j =>
+        (graft.ext.TextHash.hash64Local(s"$i:$j") % 256).toByte)
+      (i.toLong * 2, pgm(header, px))
+    }
+    val variants = docs.map { case (id, b) =>
+      val v = b.clone()
+      val off = header.length
+      (0 until 32).foreach { j =>
+        if (j % 16 < 4) v(off + j) = math.min(255, (v(off + j) & 0xff) + 40).toByte }
+      (id + 1, v)
+    }
+    val corrupt = Seq((1000L, pgm("P5\n16 16\n255\n", Array[Byte](1, 2, 3))))
+    val df = (docs ++ variants ++ corrupt).toDF("media_id", "payload")
+    val pairs = Media.pnmPhashPairs(df, "media_id", "payload", maxHamming = 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = got.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(planted.length == 30)
+    assert(planted.forall(_._3 <= 4))
+    assert(!got.exists { case (a, b, _) => a == 1000L || b == 1000L })
+  }
+
   test("phashPairs: planted local edits found, different content excluded, no cartesian") {
     import spark.implicits._
     val docs = (0 until 40).map { i =>
