@@ -474,9 +474,10 @@ object Similarity {
     * rows); the corpus moves once to encode (scan-stage after a
     * broadcast join) and the ADC scan is a narrow (cid, subspace,
     * code) relation joined to the broadcast table — no vector ever
-    * shuffles after encoding. Production composes with IVF: coarse
-    * cells prune candidates, PQ codes rank them; here the scan is
-    * exhaustive by design (the ground-truth-shaped variant).
+    * shuffles after encoding. Production composes with IVF — coarse
+    * cells prune candidates, PQ codes rank them — which is exactly
+    * [[ivfPqTopK]]; here the scan is exhaustive by design (the
+    * ground-truth-shaped variant).
     *
     * Id contracts: codebook init needs ids 0..ksub-1 present per
     * subspace (the corpus id space, same as q55); queries are drawn
@@ -487,39 +488,126 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(m >= 1 && subDim >= 1 && ksub >= 1 && k >= 1, "degenerate PQ shape")
     val base = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
-    // one codebook per subspace, trained independently, then stacked
-    val codebooks = (0 until m).map { j =>
-      val sub = base.select(col("vid"),
-        slice(col("vec"), j * subDim + 1, subDim).as("svec"))
-      kmeansSubCentroids(sub, ksub, kmeansIters).withColumn("subspace", lit(j))
-    }.reduce(_ unionByName _).localCheckpoint(false)
-    val cb = broadcast(codebooks)
-    def subspaces(df: DataFrame, idAs: String): DataFrame = df
-      .select(col(idCol).as(idAs), asDouble(col(vecCol)).as("vec"))
-      .select(col(idAs), posexplode(
-        array((0 until m).map(j => slice(col("vec"), j * subDim + 1, subDim)): _*))
-        .as(Seq("subspace", "svec")))
-    // ENCODE: nearest codeword per (corpus vector, subspace)
-    val wEnc = Window.partitionBy(col("cid"), col("subspace"))
-      .orderBy(col("__d"), col("cent_id"))
-    val codes = subspaces(base.select(col("vid").as(idCol), col("vec").as(vecCol)), "cid")
-      .join(cb, Seq("subspace"))
-      .select(col("cid"), col("subspace"), col("cent_id"),
-        sqDistMicro(col("svec"), col("cent_vec")).as("__d"))
-      .withColumn("__rn", row_number().over(wEnc))
-      .filter(col("__rn") === 1)
-      .select(col("cid"), col("subspace"), col("cent_id").as("code"))
-    // per-query ADC lookup table: distance to EVERY codeword
-    val qtable = subspaces(queries, "qid")
-      .join(cb, Seq("subspace"))
-      .select(col("qid"), col("subspace"), col("cent_id").as("code"),
-        sqDistMicro(col("svec"), col("cent_vec")).as("dmicro"))
+    val qbase = queries.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    val cb = broadcast(pqCodebooks(base, m, subDim, ksub, kmeansIters))
+    val codes = pqEncode(base, cb, m, subDim)
+    val qtable = pqQueryTable(qbase, cb, m, subDim)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_micro"), col("neighbor_id"))
     codes.join(broadcast(qtable), Seq("subspace", "code"))
       .groupBy(col("qid").as("query_id"), col("cid").as("neighbor_id"))
       .agg(sum(col("dmicro")).as("adc_micro"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("adc_micro").cast("double") / 1000000.0).as("adc"))
+  }
+
+  /** One codebook per subspace, trained independently ([[kmeansSubCentroids]])
+    * and stacked as (subspace, cent_id, cent_vec); lazily checkpointed —
+    * the train-once step shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqCodebooks(base: DataFrame, m: Int, subDim: Int, ksub: Int,
+      iters: Int): DataFrame =
+    (0 until m).map { j =>
+      val sub = base.select(col("vid"),
+        slice(col("vec"), j * subDim + 1, subDim).as("svec"))
+      kmeansSubCentroids(sub, ksub, iters).withColumn("subspace", lit(j))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+
+  /** (id, subspace, svec) slices of a (vid, vec) relation — scan-stage. */
+  private def pqSubspaces(base: DataFrame, idAs: String, m: Int, subDim: Int): DataFrame =
+    base.select(col("vid").as(idAs), posexplode(
+      array((0 until m).map(j => slice(col("vec"), j * subDim + 1, subDim)): _*))
+      .as(Seq("subspace", "svec")))
+
+  /** ENCODE: nearest codeword per (corpus vector, subspace) — micro-L2,
+    * ties to the lowest code. Output (cid, subspace, code).
+    */
+  private def pqEncode(base: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wEnc = Window.partitionBy(col("cid"), col("subspace"))
+      .orderBy(col("__d"), col("cent_id"))
+    pqSubspaces(base, "cid", m, subDim)
+      .join(cb, Seq("subspace"))
+      .select(col("cid"), col("subspace"), col("cent_id"),
+        sqDistMicro(col("svec"), col("cent_vec")).as("__d"))
+      .withColumn("__rn", row_number().over(wEnc))
+      .filter(col("__rn") === 1)
+      .select(col("cid"), col("subspace"), col("cent_id").as("code"))
+  }
+
+  /** Per-query ADC lookup table: micro-L2 distance to EVERY codeword —
+    * (qid, subspace, code, dmicro), `m·ksub` rows per query.
+    */
+  private def pqQueryTable(qbase: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqSubspaces(qbase, "qid", m, subDim)
+      .join(cb, Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("cent_id").as("code"),
+        sqDistMicro(col("svec"), col("cent_vec")).as("dmicro"))
+
+  /** Composed IVF + PQ ANN — the production billion-vector
+    * configuration (IVFADC, Jégou/Douze/Schmid TPAMI 2011 §V, here in
+    * the direct-coding variant — codes quantize the raw vectors, not
+    * cell residuals, so both halves reuse the q55/q200 machinery
+    * verbatim and every distance stays engine-replayable): the trained
+    * coarse quantizer ([[kmeansCentroids]], the q55 index) prunes
+    * candidates to each query's `nProbe` nearest cells, and PQ codes
+    * ([[pqTopK]]'s codebooks, the q200 index) rank ONLY those survivors
+    * by ADC table lookups in the compressed domain.
+    *
+    * What the composition buys at 10⁹ vectors: IVF alone still ranks
+    * its probed cells with full float vectors (memory- and
+    * scan-bound); PQ alone scans every code in the corpus. Composed,
+    * a query touches nProbe/nCells of the corpus AND reads only `m`
+    * bytes-ish per candidate — the two cost cuts multiply.
+    *
+    * Scale shape: both trainings are broadcast-sized chains
+    * (checkpointed once); the corpus moves once to assign cells and
+    * once to encode — at 100 TB both are one-off materializations to
+    * cell-partitioned storage, and a query batch shuffles only the
+    * (qid, cid) candidate relation, never vectors (the ADC join is
+    * against a broadcast query table). Same id contracts as q55/q200.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, m: Int = 4, subDim: Int = 16,
+      ksub: Int = 8, kmeansIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && subDim >= 1 && ksub >= 1 && k >= 1 &&
+      nCells >= 1 && nProbe >= 1, "degenerate IVF+PQ shape")
+    val base = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    val qbase = queries.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    // coarse quantizer (the q55 index), trained once
+    val cents = broadcast(
+      kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters).localCheckpoint(false))
+    def cells(df: DataFrame, idAs: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
+      df.select(col("vid").as(idAs), col("vec"))
+        .crossJoin(cents)
+        .select(col(idAs), col("cent_id"),
+          cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(idAs), col("cent_id").as("cell"))
+    }
+    val assigned = cells(base, "cid", 1)
+    val probes = cells(qbase, "qid", nProbe)
+    // fine quantizer (the q200 index), trained once
+    val cb = broadcast(pqCodebooks(base, m, subDim, ksub, kmeansIters))
+    val codes = pqEncode(base, cb, m, subDim)
+    val qtable = pqQueryTable(qbase, cb, m, subDim)
+    // candidates = probed cells only; (qid, cid) is unique by
+    // construction (one cell per corpus vector, distinct probe cells)
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    cand.join(codes, Seq("cid"))
+      .join(broadcast(qtable), Seq("qid", "subspace", "code"))
+      .groupBy(col("qid").as("query_id"), col("cid").as("neighbor_id"))
+      .agg(sum(col("dmicro")).as("adc_micro"))
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"),

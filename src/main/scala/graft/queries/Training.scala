@@ -357,6 +357,61 @@ object Training {
         ORDER BY query_id, neighbor_id
       """)),
     // ----------------------------------------------------------------
+    // Composed IVF+PQ (IVFADC, direct coding): q55's trained coarse
+    // quantizer prunes each query to its 4 nearest of 16 cells, q200's
+    // PQ codebooks rank ONLY those survivors by integer ADC sums — the
+    // billion-vector production configuration, assembled from the two
+    // separately-proven index halves. The oracle stacks both trained
+    // chains (coarse Lloyd's CTEs + per-subspace codebook CTEs) and
+    // replays cell probing, candidate pruning, and every ADC lookup.
+    Q(
+      "q244_ann_ivf_pq",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        graft.ext.Similarity.ivfPqTopK(
+          emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4, m = 4, subDim = 16, ksub = 8,
+          kmeansIters = 2)
+          .orderBy($"query_id", $"neighbor_id")
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        ${OracleSql.kmeansCents(16, 2)},
+        assigned AS (
+          SELECT cid, cell FROM (
+            SELECT c.vec_id AS cid, ct.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY ${OracleSql.cosine("c.vec", "ct.cent_vec")} DESC, ct.cent_id) AS rn
+            FROM v c CROSS JOIN cents ct)
+          WHERE rn = 1),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, ct.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${OracleSql.cosine("q.vec", "ct.cent_vec")} DESC, ct.cent_id) AS rn
+            FROM v q CROSS JOIN cents ct WHERE q.vec_id < 5)
+          WHERE rn <= 4),
+        ${pqChainSql(m = 4, subDim = 16, ksub = 8, iters = 2, nQueries = 5)},
+        cand AS (
+          SELECT p.qid, a.cid FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE p.qid <> a.cid),
+        scored AS (
+          SELECT cn.qid AS query_id, cn.cid AS neighbor_id,
+                 CAST(SUM(q.dmicro) AS BIGINT) AS am
+          FROM cand cn
+          JOIN codes co ON co.cid = cn.cid
+          JOIN qt q ON q.qid = cn.qid AND q.subspace = co.subspace AND q.code = co.code
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, am / 1000000.0 AS adc FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY am, neighbor_id) AS rn
+          FROM scored)
+        WHERE rn <= 5
+        ORDER BY query_id, neighbor_id
+      """)),
+    // ----------------------------------------------------------------
     // Multinomial Naive Bayes over the documents table: train on the
     // even doc_ids (labels = lang), classify the held-out odd ids.
     // All-integer Laplace ppb arithmetic (the q107 machinery), prior

@@ -534,6 +534,61 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low: exact=$exact pq=$pq")
   }
 
+  test("ivfPqTopK: recall floor vs exact L2, pruning really prunes, no cartesian") {
+    import spark.implicits._
+    val dim = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 30
+    } yield {
+      val id = (c * 30 + i).toLong
+      val vec = Array.tabulate(dim) { d =>
+        val baseV = if (d % 3 == c) 1.0f else 0.1f
+        baseV + 0.01f * ((id * 7 + d * 13) % 11)
+      }
+      (id, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // exact L2 ground truth on the driver (90 vectors)
+    val q = rows.head._2.map(_.toDouble)
+    val exact = rows.tail.map { case (id, v) =>
+      (id, v.map(_.toDouble).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val composed = Similarity.ivfPqTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 10, nCells = 9, nProbe = 3,
+      m = 4, subDim = 4, ksub = 8, kmeansIters = 2)
+    val plan = composed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF+PQ must never go cartesian")
+    val got = composed.collect().map(_.getLong(1)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low: exact=$exact got=$got")
+    // composition really composes: with every cell probed, IVF+PQ must
+    // return EXACTLY the exhaustive pqTopK ranking (same codebooks,
+    // same ADC integers — the coarse stage only gates candidates)
+    val allProbes = Similarity.ivfPqTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 10, nCells = 9, nProbe = 9,
+      m = 4, subDim = 4, ksub = 8, kmeansIters = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val exhaustive = Similarity.pqTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 10, m = 4, subDim = 4, ksub = 8, kmeansIters = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(allProbes == exhaustive)
+    // pruning really prunes: nProbe 1 considers a strict subset of the
+    // corpus, so its k-list can differ, but every returned neighbor's
+    // ADC must also appear in the exhaustive scoring (scores unchanged)
+    val one = Similarity.ivfPqTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 90, nCells = 9, nProbe = 1,
+      m = 4, subDim = 4, ksub = 8, kmeansIters = 2).collect()
+    val exhaustiveAll = Similarity.pqTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 90, m = 4, subDim = 4, ksub = 8, kmeansIters = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(one.length < 89, "nProbe=1 must not scan the whole corpus")
+    one.foreach { r =>
+      assert(exhaustiveAll(r.getLong(1)) == r.getDouble(2),
+        s"ADC for ${r.getLong(1)} differs between pruned and exhaustive")
+    }
+  }
+
   test("TopK.perKey matches the window formulation exactly (incl. ties)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
