@@ -681,6 +681,86 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** Cross-document exact-substring dedup: for every PAIR of documents
+    * sharing a verbatim `window`-token passage, the maximal ALIGNED
+    * span in each — the train-set repeated-sequence operator (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — there via suffix arrays; here the distributed
+    * window-hash formulation): [[passageDupSpans]] says WHERE a doc
+    * repeats the corpus, this says WITH WHOM and span-for-span, the
+    * shape needed to actually cut one side of each repeat (keep the
+    * span in the lower-id doc, drop it from the higher).
+    *
+    * Mechanics: window hashes at stride 1 (alignment-exact — matched
+    * substrings land on a common hash regardless of where they sit in
+    * each doc) → posting-list df gate `2 ≤ distinct docs ≤ maxDf` →
+    * hash-keyed self-join emits (id_a, id_b, start_a, start_b) matched
+    * windows → per (pair, DIAGONAL start_b − start_a), overlapping
+    * windows merge into maximal islands (one window pass — the q91
+    * running-max idiom); a diagonal run of w matched windows is a
+    * (w + window − 1)-token verbatim match.
+    *
+    * The df cap is the Σdf² pair-cost bound (the q190 rule): a viral
+    * passage in d docs would emit d² pairs, so hashes past `maxDf`
+    * are EXCLUDED from pairing BY DESIGN — boilerplate that common is
+    * [[passageDupSpans]]'/q104-blocklist territory, not pairwise
+    * surgery (Lee et al. cap identically). The cap is a documented
+    * semantic, not a silent truncation: pass maxDf = Int.MaxValue to
+    * disable and accept the quadratic cost.
+    *
+    * Scale: the text never shuffles — (h, doc, start) triples do,
+    * and only for hashes that pass the df gate; the island merge
+    * windows over (pair, diag) keys. Output: (id_a, id_b, a_start,
+    * a_end, b_start, b_end, n_windows), token offsets, end exclusive.
+    */
+  def crossDocDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      maxDf: Int = 64): DataFrame = {
+    require(window > 0, s"need window > 0, got $window")
+    require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    val toks = col("__toks")
+    // lazy checkpoint: wins feeds the df gate AND the postings join
+    val wins = docs
+      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= window)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(toks) - window, lit(1)),
+        st => struct(st.cast("long").as("start"),
+          TextHash.hash64(concat_ws(" ", slice(toks, st + 1, lit(window)))).as("h"))))
+        .as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.h").as("h"))
+      .localCheckpoint(false)
+    val okHashes = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__docs"))
+      .filter(col("__docs") >= 2 && col("__docs") <= maxDf)
+      .select("h")
+    val posts = wins.join(okHashes, Seq("h"))
+    val matched = posts.as("a").join(posts.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.start").as("start_a"),
+        (col("b.start") - col("a.start")).as("__diag"))
+    val w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("start_a")
+    matched
+      .withColumn("__end_a", col("start_a") + window)
+      .withColumn("__prevmax",
+        max(col("__end_a")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("__prevmax").isNull || col("start_a") > col("__prevmax")).cast("long"))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__island"))
+      .agg(min(col("start_a")).as("a_start"), max(col("__end_a")).as("a_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id_a"), col("id_b"), col("a_start"), col("a_end"),
+        (col("a_start") + col("__diag")).as("b_start"),
+        (col("a_end") + col("__diag")).as("b_end"),
+        col("n_windows"))
+  }
+
   /** Measured MinHash-LSH recall on a deterministic sample — the
     * "measure, don't guess" gate before trusting LSH parameters on a
     * real corpus: LSH's miss probability depends on the corpus's OWN

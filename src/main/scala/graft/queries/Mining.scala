@@ -226,6 +226,69 @@ object Mining {
         ORDER BY doc_id, span_start
       """)),
     // ----------------------------------------------------------------
+    // Cross-document exact-substring dedup (the Lee et al. '22 span
+    // operator): PLANTED cross-doc repeats — each doc_id % 20 < 2 pair
+    // shares a unique 10-token passage appended to otherwise-unrelated
+    // texts — must come back as aligned per-pair spans. Window hashes
+    // at stride 1 (alignment-exact), df gate 2..8 (the Σdf² bound;
+    // natural exact-dup clusters in the corpus stay under it, a
+    // hypothetical viral passage is excluded by design), hash-keyed
+    // pair join, diagonal island merge. The oracle replays hashes,
+    // gate, pairs, and the running-max merge verbatim.
+    Q(
+      "q245_crossdoc_spans",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = expr("doc_id div 20")
+        val passage = concat_ws(" ",
+          (0 until 10).map(j =>
+            concat(lit("p"), bucket.cast("string"), lit(s"_$j"))): _*)
+        val src = t(s, dir, "documents").select($"doc_id",
+          when($"doc_id" % 20 < 2, concat($"text", lit(" "), passage))
+            .otherwise($"text").as("text"))
+        Dedup.crossDocDupSpans(src, "doc_id", "text", window = 8, maxDf = 8)
+          .orderBy($"id_a", $"id_b", $"a_start", $"b_start")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 20 < 2 THEN text || ' ' ||
+                   ${(0 until 10).map(j => s"'p' || CAST(doc_id // 20 AS VARCHAR) || '_$j'")
+                     .mkString(" || ' ' || ")}
+                 ELSE text END AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id, ${OracleSql.tokens("text")} AS toks FROM src),
+        wins AS (
+          SELECT doc_id, CAST(st AS BIGINT) AS s,
+                 ${OracleSql.hash64("array_to_string(list_slice(toks, st + 1, st + 8), ' ')")} AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 8, 1)) AS st
+                FROM base WHERE len(toks) >= 8)),
+        ok AS (SELECT h FROM wins GROUP BY h
+               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
+        posts AS (SELECT doc_id, s, h FROM wins JOIN ok USING (h)),
+        m AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.s AS sa, a.s + 8 AS ea, b.s - a.s AS diag
+          FROM posts a JOIN posts b
+            ON a.h = b.h AND a.doc_id < b.doc_id),
+        isl AS (
+          SELECT *, MAX(ea) OVER (PARTITION BY id_a, id_b, diag ORDER BY sa
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM m),
+        isl2 AS (
+          SELECT *, SUM(CASE WHEN pm IS NULL OR sa > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id_a, id_b, diag ORDER BY sa
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM isl)
+        SELECT id_a, id_b, MIN(sa) AS a_start, MAX(ea) AS a_end,
+               MIN(sa) + diag AS b_start, MAX(ea) + diag AS b_end,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM isl2 GROUP BY id_a, id_b, diag, island
+        ORDER BY id_a, id_b, a_start, b_start
+      """)),
+    // ----------------------------------------------------------------
     // Frequency-capped soft dedup: at most 2 docs survive per near-dup
     // cluster; singletons always survive. The oracle closes the pair
     // graph with a recursive CTE (independent connectivity

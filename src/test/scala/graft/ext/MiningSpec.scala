@@ -145,6 +145,36 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans2.head._2 == 4L && spans2.head._3 == 16L)
   }
 
+  test("crossDocDupSpans: aligned pair spans, diagonal merge, df cap, no cartesian") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val viral = (1 to 9).map(i => s"v$i").mkString(" ") // in MORE docs than maxDf
+    val d = docs(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"zeta eta theta iota $shared kappa",
+      3L -> s"unique3 stuff3 only3 here3 nothing3 repeats3 $viral",
+      4L -> s"unique4 stuff4 only4 here4 nothing4 repeats4 $viral",
+      5L -> s"unique5 stuff5 only5 here5 nothing5 repeats5 $viral",
+      6L -> s"unique6 stuff6 only6 here6 nothing6 repeats6 $viral")
+    val spans = Dedup.crossDocDupSpans(d, "doc_id", "text", window = 8, maxDf = 3)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val out = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // the 12-token shared run: doc1 offsets 2..13, doc2 offsets 4..15;
+    // stride-1 window-8 starts 2,3,4,5,6 (doc1) all on diagonal +2 →
+    // ONE island [2,14) aligned to [4,16), 5 windows
+    assert(out.filter(p => p._1 == 1L && p._2 == 2L).toSeq ==
+      Seq((1L, 2L, 2L, 14L, 4L, 16L, 5L)))
+    // the viral 9-token block sits in 4 docs > maxDf 3 → excluded
+    assert(!out.exists(p => p._1 >= 3L || p._2 >= 3L), out.mkString(","))
+    // raising the cap brings the pairwise spans back, all 6 pairs
+    val uncapped = Dedup.crossDocDupSpans(d, "doc_id", "text", window = 8, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.count(p => p._1 >= 3L && p._2 >= 3L) == 6)
+  }
+
   test("capPerCluster: cluster capped, singletons survive, deterministic") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"
