@@ -58,6 +58,19 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *   [--leakage-report on]    write the cross-split near-dup leakage
   *                            audit (q238) under dest/reports/
   *                                                       (default: off)
+  *   [--profile-report on]    write standing per-stage monitoring
+  *                            artifacts under dest/reports/: a dataset
+  *                            fingerprint (q214 — n/xor/min/max of the
+  *                            content hash) and a mergeable token-count
+  *                            quantile sketch (q232) for every pipeline
+  *                            stage. Both are deterministic pure
+  *                            functions of each stage's content, so a
+  *                            re-run DIFFS against the prior artifacts
+  *                            (the q220 bucket-diff discipline) instead
+  *                            of rescanning to find what moved; the
+  *                            sketches merge across incremental runs
+  *                            ([[graft.ext.Retrieval.quantileSketchMerge]])
+  *                                                       (default: off)
   *   [--train-tokenizer V]    train a V-piece unigram-LM tokenizer
   *                            (q234) on the final corpus; model under
   *                            dest/tokenizer/, per-doc encode stats
@@ -253,6 +266,37 @@ object CurateJob {
     val split = Sampling.hashSplit(balanced, col("doc_id"), splits)
     val nBalanced = split.count()
     split.write.mode("overwrite").format(fmt).save(s"$dest/documents")
+
+    // 5a'. optional standing profile artifacts (q214 + q232): one
+    //      fingerprint row and one token-count quantile sketch PER
+    //      STAGE, written as two stage-keyed relations. The value is
+    //      longitudinal: each artifact is a deterministic function of
+    //      its stage's content, so tomorrow's run compares artifacts
+    //      (q220-style) to see which gate's behavior moved — without
+    //      re-reading yesterday's corpus — and per-shard sketches
+    //      merge into the fleet view by the q232 merge identity.
+    if (conf.get("profile-report").contains("on")) {
+      val stages: Seq[(String, DataFrame)] = Seq(
+        "0_input" -> docs, "1_quality" -> quality, "2_gates" -> gated,
+        "3_exact" -> exact, "4_neardup" -> deduped, "5_final" -> balanced)
+      val repr = concat_ws("",
+        col("doc_id").cast("string"), coalesce(col("text"), lit("")))
+      stages.map { case (nm, df) =>
+        graft.ext.Profile.datasetFingerprint(df, lit(nm), repr)
+      }.reduce(_ unionByName _)
+        .select(col("grp").as("stage"), col("n_rows"), col("xor_fp"),
+          col("min_hash"), col("max_hash"))
+        .coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/reports/profile_fingerprint")
+      stages.map { case (nm, df) =>
+        graft.ext.Retrieval.quantileSketch(df, lit(nm),
+          size(graft.ext.TextHash.tokens(col("text"))).cast("long"),
+          col("doc_id"), k = 256)
+      }.reduce(_ unionByName _)
+        .select(col("grp").as("stage"), col("n"), col("t"), col("items"))
+        .coalesce(1).write.mode("overwrite").format(fmt)
+        .save(s"$dest/reports/profile_sketch")
+    }
 
     // 5b. optional split-leakage audit (q238): near-dup pairs that
     //     straddle the split boundary are evaluation contamination the

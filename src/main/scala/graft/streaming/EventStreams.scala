@@ -289,6 +289,104 @@ object EventStreams {
       }
   }
 
+  /** One confirmed cross-boundary near-dup from [[leakageGate]]. */
+  final case class LeakFlag(doc_id: Long, eval_id: Long, eval_split: String, jaccard: Double)
+
+  /** Streaming split-leakage gate — the live twin of the batch q238
+    * audit ([[graft.ext.Dedup.splitLeakage]]): incoming candidate
+    * TRAIN documents are checked, at admission time, against a frozen
+    * eval-split LSH band index; a doc that verifies as a near-dup of
+    * any val/test doc is flagged BEFORE it enters the corpus, instead
+    * of surfacing in next release's leakage report.
+    *
+    * Identical machinery to the batch path, so the twin equality is
+    * exact: the streaming side computes the SAME compiled
+    * shingle → minhash → band-key expressions in its scan stage, the
+    * eval index holds the same band keys, and the verify is the same
+    * distinct-shingle Jaccard (`|∩| / (|A|+|B|−|∩|)`, NaN on empty
+    * sets fails the threshold on both sides) — a (train, eval) pair
+    * is flagged here iff [[graft.ext.Dedup.minhashLshPairs]] emits it
+    * over the union corpus.
+    *
+    * Grouping is by doc_id, not band key: one owner per doc means
+    * multi-band candidate collisions dedup inside the group function
+    * (the batch `.distinct()`), and the Boolean state drops re-
+    * delivered ids (the dedupWithinWatermark discipline; NoTimeout —
+    * admission decisions must not expire). The eval index is a
+    * closure-captured plan-time constant — the broadcast contract:
+    * eval sets are frozen and orders smaller than the corpus
+    * (`maxEvalDocs` fail-fast guards the collect, exactly like the
+    * tokenizer-model and centroid collects).
+    */
+  def leakageGate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSplitCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      maxEvalDocs: Int = 100000): Dataset[LeakFlag] = {
+    import docs.sparkSession.implicits._
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .select(Seq(
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextFunctions.wordShingleHashes(
+          col(textCol), shingleSize, graft.ext.TextHash.MinhashPrime).as("shingles")) ++
+        extra: _*)
+      .withColumn("sig", graft.ext.TextHash.minhashSignature(col("shingles"), k))
+      .withColumn("bands", graft.ext.TextHash.bandKeys(col("sig"), bands, rowsPerBand))
+    val evalRows = prep(evalDocs, Seq(col(evalSplitCol).cast("string").as("esplit")))
+      .select(col("doc_id"), col("esplit"), col("shingles"), col("bands"))
+      .collect()
+    require(evalRows.length <= maxEvalDocs,
+      s"leakageGate: eval index ${evalRows.length} docs exceeds maxEvalDocs=$maxEvalDocs " +
+        "— the index is a broadcast-sized model artifact, not a corpus")
+    val index: Map[String, Array[(Long, String, Array[Long])]] = evalRows
+      .flatMap { r =>
+        val entry = (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray)
+        r.getSeq[String](3).distinct.map(b => b -> entry)
+      }
+      .groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }
+    prep(docs, Nil)
+      .select(col("doc_id"), col("shingles"), col("bands"))
+      .as[(Long, Seq[Long], Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LeakFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (docId, rows, state) =>
+          if (state.exists || !rows.hasNext) Iterator.empty
+          else {
+            state.update(true)
+            val (_, shingles, bandKeys) = rows.next()
+            val mine = new java.util.HashSet[java.lang.Long](shingles.length * 2)
+            shingles.foreach(h => mine.add(java.lang.Long.valueOf(h)))
+            val seen = scala.collection.mutable.Set.empty[Long]
+            val out = scala.collection.mutable.ArrayBuffer.empty[LeakFlag]
+            bandKeys.foreach { b =>
+              index.getOrElse(b, Array.empty).foreach { case (eid, esplit, esh) =>
+                if (eid != docId && seen.add(eid)) {
+                  var inter = 0
+                  var i = 0
+                  while (i < esh.length) {
+                    if (mine.contains(java.lang.Long.valueOf(esh(i)))) inter += 1
+                    i += 1
+                  }
+                  // the batch verify expression: double division, so an
+                  // empty-vs-empty 0/0 is NaN and fails the threshold
+                  val j = inter.toDouble / (shingles.length + esh.length - inter).toDouble
+                  if (j >= threshold) out += LeakFlag(docId, eid, esplit, j)
+                }
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** One per-bucket update from [[runningFingerprint]]. */
   final case class BucketFingerprint(bucket: Long, n_rows: Long, xor_fp: Long)
 

@@ -204,6 +204,41 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.filter(col("n_pieces") < col("n_raw")).count() == 0)
   }
 
+  test("CurateJob: profile report writes per-stage fingerprints + sketches, deterministic") {
+    import org.apache.spark.sql.functions._
+    val base = Map(
+      "source" -> "/root/testdata/sf0.001/documents.parquet",
+      "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:0.8,val:0.2",
+      "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "4", "batch-size" -> "8", "profile-report" -> "on")
+    val dest = tmp()
+    val r = CurateJob.run(spark, base + ("dest" -> dest))
+    val fp = spark.read.parquet(s"$dest/reports/profile_fingerprint")
+    assert(fp.columns.toSeq == Seq("stage", "n_rows", "xor_fp", "min_hash", "max_hash"))
+    val byStage = fp.collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(byStage.keySet == Set("0_input", "1_quality", "2_gates",
+      "3_exact", "4_neardup", "5_final"))
+    // the fingerprint counts ARE the report counts — same relations
+    assert(byStage("0_input") == r.input && byStage("1_quality") == r.afterQuality &&
+      byStage("3_exact") == r.afterExact && byStage("5_final") == r.afterBalance)
+    val sk = spark.read.parquet(s"$dest/reports/profile_sketch")
+    assert(sk.columns.toSeq == Seq("stage", "n", "t", "items"))
+    val skN = sk.collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    // every doc has tokens (post-tokenize nulls excluded only at input)
+    assert(skN("5_final") == r.afterBalance)
+    assert(skN.values.forall(_ > 0))
+    assert(sk.filter(size(col("items")) > 256).count() == 0, "sketch budget respected")
+    // determinism: a re-run writes bit-identical artifacts (the diff
+    // discipline depends on it)
+    val dest2 = tmp()
+    CurateJob.run(spark, base + ("dest" -> dest2))
+    val fp2 = spark.read.parquet(s"$dest2/reports/profile_fingerprint")
+    assert(fp.collect().toSet == fp2.collect().toSet)
+    val sk2 = spark.read.parquet(s"$dest2/reports/profile_sketch")
+    assert(sk.collect().map(_.toString).toSet == sk2.collect().map(_.toString).toSet)
+  }
+
   test("CurateJob: encoding screen drops mojibake/control docs before any gate") {
     import spark.implicits._
     val src = tmp()

@@ -224,6 +224,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("leakage gate: streamed train docs flag exactly the batch cross-split near-dup pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // 30 unique base docs; docs 100+i exactly copy doc i (i<10); docs
+    // 200+i near-copy doc i (i in 10..14, last 3 of 12 tokens changed)
+    def baseText(i: Int) = (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+    def nearText(i: Int) =
+      ((0 until 9).map(j => s"tok${i}_$j") ++ (0 until 3).map(j => s"alt${i}_$j")).mkString(" ")
+    val corpus = ((0 until 30).map(i => (i.toLong, baseText(i))) ++
+      (0 until 10).map(i => (100L + i, baseText(i))) ++
+      (10 until 15).map(i => (200L + i, nearText(i)))).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val labeled = graft.ext.Sampling.hashSplit(corpus, col("doc_id"), splits)
+      .localCheckpoint(false)
+    val lbl = labeled.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val evalDocs = labeled.filter(col("split") =!= "train")
+    val trainRows = labeled.filter(col("split") === "train")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val gate = EventStreams.leakageGate(
+      input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text", "split",
+      threshold = 0.5)
+    val q = gate.writeStream.format("memory").queryName("leak_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // shuffled micro-batches + one doc re-delivered in a later batch
+      val shuffled = trainRows.sortBy(d => graft.ext.TextHash.hash64Local(s"arr:${d._1}"))
+      shuffled.grouped(math.max(1, shuffled.length / 3)).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      input.addData(shuffled.head); q.processAllAvailable() // re-delivery
+      val flags = spark.sql("SELECT doc_id, eval_id, eval_split, jaccard FROM leak_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      assert(flags.length == flags.distinct.length, "re-delivery must not duplicate flags")
+      // batch twin: the verified LSH pairs of the union corpus with one
+      // train and one eval side — identical bands, identical verify
+      val want = graft.ext.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .flatMap { case (a, b, j) =>
+          (lbl(a), lbl(b)) match {
+            case ("train", e) if e != "train" => Some((a, b, e, j))
+            case (e, "train") if e != "train" => Some((b, a, e, j))
+            case _ => None
+          }
+        }.toSet
+      assert(want.nonEmpty, s"fixture must produce cross pairs (labels: $lbl)")
+      assert(flags.toSet == want)
+      // and the per-split counts agree with the q238 audit's cross rows
+      val audit = graft.ext.Dedup.splitLeakage(corpus, "doc_id", "text",
+          splits, threshold = 0.5)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      for (e <- Seq("test", "val")) {
+        val pair = if (e < "train") (e, "train") else ("train", e)
+        val fromAudit = audit.getOrElse(pair, 0L)
+        assert(flags.count(_._3 == e).toLong == fromAudit, s"split $e count")
+      }
+    } finally q.stop()
+  }
+
   test("streaming fingerprint: running bucket XOR equals the batch fingerprint of the fed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
