@@ -222,6 +222,80 @@ object Graph {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99): mutual-reinforcement
+    * scoring of a directed graph — a node is a good authority when
+    * good hubs point at it, a good hub when it points at good
+    * authorities. The complement to [[pageRank]]'s single-score
+    * endorsement walk: HITS separates "collects the good stuff" from
+    * "is the good stuff", the shape that matters on bipartite
+    * curation graphs (consumers → producers, queries → documents).
+    *
+    * Integer power iteration, engine-exact: scores live in ppm longs;
+    * each half-round is one keyed join + one aggregate, then an
+    * ℓ∞ normalization (score·10⁶ div max) so the iteration can't
+    * decay or overflow — the same fixed-point discipline as
+    * [[pageRank]]'s rankUnit. Aggregates accumulate in DECIMAL(38,0):
+    * a 10⁹-degree authority at ppm scale tops out near 10²¹, past a
+    * long but nowhere near the decimal rail.
+    *
+    * Scale: the distinct edge relation is locally checkpointed ONCE
+    * and re-read every half-round (2·iters consumers — the q123/q147
+    * multi-consumer-pin lesson); per round the shuffle is
+    * edge-count-bound, state is one (node, score) row per side.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"hits: iters in [1,50], got $iters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val sc = edges.sparkSession.sparkContext
+    // blocks stay live: the returned lazy relation re-reads them (the
+    // pageRank contract — freeing here would pull the data out from
+    // under the caller's plan)
+    val e = checkpointTracked(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct())._1
+    require(e.count() > 0, "hits: no edges")
+    // ℓ∞-normalize a raw (node, __r) relation to ppm via one
+    // single-row broadcast of the max — no driver round-trip
+    def norm(raw: DataFrame, as: String): DataFrame = raw
+      .crossJoin(broadcast(raw.agg(max(col("__r")).as("__mx"))))
+      .select(col("node"),
+        expr("CAST(__r * 1000000 div __mx AS BIGINT)").as(as))
+    var hub = e.select(col("__s").as("node")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    // each half-round's raw aggregate feeds BOTH the max broadcast and
+    // the normalized output (two consumers), so it is checkpointed
+    // before norm() — the q147/q218 multi-consumer-pin lesson; the
+    // superseded round's node-sized blocks are freed one round later
+    // (the round-i join reads round-(i−1) state during its own
+    // materialization), and the final round's blocks stay to back the
+    // returned lazy relation
+    var prevIds = Set.empty[Int]
+    for (i <- 1 to iters) {
+      val (rawA, idsA) = checkpointTracked(
+        e.join(hub.withColumnRenamed("node", "__s"), "__s")
+          .groupBy(col("__d").as("node"))
+          .agg(sum(col("h").cast(dec)).as("__r")))
+      rawA.count()
+      auth = norm(rawA, "a")
+      val (rawH, idsH) = checkpointTracked(
+        e.join(auth.withColumnRenamed("node", "__d"), "__d")
+          .groupBy(col("__s").as("node"))
+          .agg(sum(col("a").cast(dec)).as("__r")))
+      rawH.count()
+      hub = norm(rawH, "h")
+      freeIds(sc, prevIds)
+      prevIds = idsA ++ idsH
+    }
+    auth.select(lit("auth").as("side"), col("node"), col("a").as("score_ppm"))
+      .unionByName(
+        hub.select(lit("hub").as("side"), col("node"), col("h").as("score_ppm")))
+  }
+
   /** Bipartite projection: link right-side nodes that share a
     * left-side neighbor, weighted by how many neighbors they share —
     * co-purchase, co-occurrence, co-authorship graphs all reduce to

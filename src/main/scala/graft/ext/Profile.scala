@@ -1701,4 +1701,212 @@ object Profile {
       .withColumn("k_anonymous", col("n") >= k)
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
+
+  /** Doubled tie-averaged ranks of `v` within each group — the shared
+    * rank relation under [[spearmanCorr]] and [[mannWhitney]]. The
+    * average rank of a tie block [min..max] is (min+max)/2, which is
+    * half-integral; doubling keeps it exactly integral:
+    * 2·avg = 2·cum − cnt + 1 where cum is the running count through
+    * the block and cnt the block size.
+    *
+    * Scale: ranks are computed on the (grp, value) DISTINCT relation —
+    * the window sorts value-cardinality rows, not data rows — then
+    * joined back, so a 100 TB column with a bounded value domain ranks
+    * over the domain, and the join is a keyed equi-join Catalyst can
+    * plan as broadcast when the domain is small.
+    */
+  private def doubledRanks(
+      df: DataFrame, grp: Column, v: Column, as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(grp.as("__g"), v.as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .select(col("__g"), col("__v"),
+        (col("__cum") * 2L - col("__cnt") + 1L).as(as),
+        col("__cnt").as(s"${as}_cnt"))
+  }
+
+  /** Spearman rank correlation between two columns per group (Spearman
+    * 1904): Pearson's r over tie-averaged ranks — the monotone-
+    * association readout that is invariant to any order-preserving
+    * transform of either metric, the robust complement to the q87
+    * moment correlation.
+    *
+    * Exactness: ranks are doubled to stay integral under ties
+    * ([[doubledRanks]]); all five power sums accumulate in
+    * DECIMAL(38,0); the single closing ratio runs in doubles over
+    * exact integer factors — casts, ×, ÷ and sqrt are correctly
+    * rounded IEEE on identical expression trees in both engines
+    * (the q226 Cramér pattern).
+    *
+    * Scale: two distinct-value windows + two keyed joins + ONE
+    * map-side-combinable aggregate; nothing is driver-side.
+    */
+  def spearmanCorr(
+      df: DataFrame,
+      grp: Column,
+      x: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(grp.isNotNull && x.isNotNull && y.isNotNull)
+      .select(grp.as("__g"), x.as("__x"), y.as("__y"))
+    val rx = doubledRanks(rows, col("__g"), col("__x"), "rx2")
+      .select(col("__g"), col("__v").as("__x"), col("rx2"))
+    val ry = doubledRanks(rows, col("__g"), col("__y"), "ry2")
+      .select(col("__g"), col("__v").as("__y"), col("ry2"))
+    rows.join(rx, Seq("__g", "__x")).join(ry, Seq("__g", "__y"))
+      .groupBy(col("__g").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2").cast(dec)).as("__sx"),
+        sum(col("ry2").cast(dec)).as("__sy"),
+        sum((col("rx2") * col("rx2")).cast(dec)).as("__sxx"),
+        sum((col("ry2") * col("ry2")).cast(dec)).as("__syy"),
+        sum((col("rx2") * col("ry2")).cast(dec)).as("__sxy"))
+      .withColumn("__num",
+        (col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast("double"))
+      .withColumn("__d1",
+        (col("n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__d2",
+        (col("n").cast(dec) * col("__syy") - col("__sy") * col("__sy")).cast("double"))
+      .select(col("grp"), col("n"),
+        when(col("__d1") > 0.0 && col("__d2") > 0.0,
+          floor(col("__num") / sqrt(col("__d1") * col("__d2")) * 1000000.0 + 0.5)
+            .cast("long")).as("rho_ppm"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) per group:
+    * does the `isA` sample stochastically dominate its complement on
+    * `v`? The distribution-free two-sample test — no normality
+    * assumption, the standard A/B readout for heavy-tailed metrics
+    * (latencies, token counts) where Welch's t (q124 lineage) is
+    * fragile.
+    *
+    * Integer-exact: doubled tie-averaged ranks give 2·R_A and
+    * 2·U = 2·R_A − n_A(n_A+1) exactly; the tie-corrected z² folds to
+    *   z² = (2U − n_A·n_B)² · 3·N·(N−1)
+    *        / (n_A·n_B · ((N+1)·N·(N−1) − Σ(t³−t)))
+    * — every factor exact in DECIMAL(38,0), one closing double ratio
+    * (q242 discipline), reported as z²·10³ with the 3.841 (p<.05)
+    * verdict.
+    *
+    * Scale: one distinct-value window + one aggregate; the tie term
+    * Σ(t³−t) falls out of the same (grp, value) relation for free.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      grp: Column,
+      isA: Column,
+      v: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.filter(grp.isNotNull && isA.isNotNull && v.isNotNull)
+      .select(grp.as("__g"), isA.cast("boolean").as("__a"), v.as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__avg2", col("__cum") * 2L - col("__cnt") + 1L)
+    val agg = ranked.groupBy(col("__g").as("grp"))
+      .agg(sum(col("__ca")).as("n_a"),
+        sum(col("__cnt") - col("__ca")).as("n_b"),
+        sum((col("__ca") * col("__avg2")).cast(dec)).as("__r2a"),
+        sum(col("__cnt").cast(dec) * col("__cnt") * col("__cnt") - col("__cnt"))
+          .as("__ties"))
+      .withColumn("__N", col("n_a") + col("n_b"))
+    agg
+      .withColumn("u2",
+        (col("__r2a") - (col("n_a").cast(dec) * (col("n_a") + 1L))).cast("long"))
+      .withColumn("__dev",
+        (col("u2").cast(dec) - col("n_a").cast(dec) * col("n_b")).cast("double"))
+      .withColumn("__den",
+        (col("n_a").cast(dec) * col("n_b") *
+          (col("__N").cast(dec) * (col("__N") + 1L) * (col("__N") - 1L) - col("__ties")))
+          .cast("double"))
+      .withColumn("z2_milli",
+        when(col("n_a") > 0L && col("n_b") > 0L && col("__den") > 0.0,
+          floor(col("__dev") * col("__dev") *
+            (col("__N").cast(dec) * (col("__N") - 1L) * 3L).cast("double") /
+            col("__den") * 1000.0 + 0.5).cast("long")))
+      .select(col("grp"), col("n_a"), col("n_b"), col("u2"), col("z2_milli"),
+        (col("z2_milli").isNotNull && col("z2_milli") >= 3841L).as("significant_95"))
+  }
+
+  /** Poisson(1) CDF in ppm — the deterministic weight ladder for
+    * [[bootstrapCi]]. Public constants of e⁻¹·Σ1/k!; shared verbatim
+    * with the oracle so both engines draw identical weights.
+    */
+  val PoissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+
+  /** Deterministic Poisson bootstrap confidence interval for a group
+    * mean (Efron 1979; Poisson approximation to the multinomial
+    * resample — the form that distributes, used by web-scale A/B
+    * systems because each row draws its replica weights independently
+    * of every other row). Replica b gives row i weight
+    * w ~ Poisson(1) via the md5-derived uniform
+    * hash(id:b) mod 10⁶ pushed through the fixed CDF ladder
+    * [[PoissonCdfPpm]] — fully deterministic, engine-portable, no RNG
+    * state.
+    *
+    * Output per group: the point mean (micro), the B replica means'
+    * empirical CI at ranks lo = ⌈0.025·B⌉+1 and hi = B−⌈0.025·B⌉
+    * (B=40 → 2nd and 39th order statistic), and B itself. Integer
+    * end-to-end: micro-means via DECIMAL div.
+    *
+    * Scale: the explode multiplies the SCAN by B but the shuffle
+    * carries only (grp, b) partial sums — map-side combine collapses
+    * the blowup; the CI pick is a tiny B-row-per-group window.
+    */
+  def bootstrapCi(
+      df: DataFrame,
+      grp: Column,
+      id: Column,
+      v: Column,
+      b: Int = 40): DataFrame = {
+    require(b >= 8 && b <= 256, s"bootstrapCi: B in [8, 256], got $b")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cdf = PoissonCdfPpm
+    val rows = df.filter(grp.isNotNull && id.isNotNull && v.isNotNull)
+      .select(grp.as("__g"), id.cast("string").as("__id"),
+        v.cast("long").as("__v"))
+    val point = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(__v AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
+          .as("mean_micro"))
+    val weighted = rows
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u",
+        pmod(TextHash.hash64(concat(col("__id"), lit(":"), col("__b"))), lit(1000000L)))
+      .withColumn("__w",
+        cdf.zipWithIndex.foldRight(lit(cdf.length.toLong): Column) {
+          case ((t, i), rest) => when(col("__u") < t, i.toLong).otherwise(rest)
+        })
+    val means = weighted.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum((col("__w") * col("__v")).cast(dec)).as("__sv"))
+      .filter(col("__sw") > 0L)
+      .withColumn("__m",
+        expr("CAST(__sv * 1000000 div CAST(__sw AS DECIMAL(38,0)) AS BIGINT)"))
+    val lo = math.ceil(0.025 * b).toInt + 1
+    val hi = b - math.ceil(0.025 * b).toInt
+    val wRank = Window.partitionBy(col("__g")).orderBy(col("__m"), col("__b"))
+    val ci = means
+      .withColumn("__rn", row_number().over(wRank))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_replicas"),
+        max(when(col("__rn") === lo, col("__m"))).as("ci_lo_micro"),
+        max(when(col("__rn") === hi, col("__m"))).as("ci_hi_micro"))
+    point.join(ci, Seq("__g"))
+      .select(col("__g").as("grp"), col("n"), col("mean_micro"),
+        col("n_replicas"), col("ci_lo_micro"), col("ci_hi_micro"))
+  }
 }

@@ -504,6 +504,54 @@ object Retrieval {
           expr("dcg_micro * 1000000L div idcg_micro")).as("ndcg_ppm"))
   }
 
+  /** MAP@k and MRR@k per query — the binary-relevance complements to
+    * [[ndcgAtK]] (one retrieval run is scored by all three in
+    * practice; TREC lineage). For each query's ranking (score desc,
+    * item asc tiebreak, the q240 convention):
+    *
+    *   - AP@k  = Σ_{hits i ≤ k} P@i / min(n_rel, k), with each
+    *     precision term floored to micro units FIRST
+    *     (⌊10⁶·cumRel_i/i⌋) and the final division an integer div —
+    *     term-wise fixed-point, so both engines replay the identical
+    *     integer fold with zero float exposure;
+    *   - RR@k  = ⌊10⁶ / firstHitRank⌋, 0 when no hit lands in the
+    *     top k (the MRR@k convention).
+    *
+    * Output one row per query (n_ranked, n_rel, ap_micro, rr_micro);
+    * the corpus MAP/MRR is the caller's one further average.
+    *
+    * Scale: one query-keyed window (rank + running hit count share a
+    * single sort) and one aggregate — shuffle is ranked-pair-bound.
+    */
+  def mapMrrAtK(
+      df: DataFrame,
+      query: Column,
+      item: Column,
+      score: Column,
+      rel: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"mapMrrAtK: k in [1, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q")).orderBy(col("s").desc, col("i"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.filter(query.isNotNull && item.isNotNull &&
+        score.isNotNull && rel.isNotNull)
+      .select(query.as("q"), item.as("i"), score.as("s"),
+        rel.cast("boolean").as("r"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cum", sum(when(col("r"), 1L).otherwise(0L)).over(wRun))
+    ranked.groupBy(col("q").as("query"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("r") && col("__rk") <= k,
+          expr("__cum * 1000000L div __rk")).otherwise(0L)).as("__apnum"),
+        min(when(col("r") && col("__rk") <= k, col("__rk"))).as("__first"))
+      .select(col("query"), col("n_ranked"), col("n_rel"),
+        when(col("n_rel") > 0L,
+          expr(s"__apnum div least(n_rel, ${k}L)")).as("ap_micro"),
+        coalesce(expr("1000000L div __first"), lit(0L)).as("rr_micro"))
+  }
+
   def kmvDistinct(
       df: DataFrame,
       group: Column,

@@ -613,4 +613,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (col("adc_micro").cast("double") / 1000000.0).as("adc"))
   }
+
+  /** Dominant principal component by power iteration (von Mises &
+    * Pollaczek-Geiringer 1929; the PCA workhorse at matrix scale —
+    * iterate v ← XᵀX·v, normalize): the direction of maximum variance
+    * of an embedding corpus. The whitening / drift-probe primitive:
+    * projecting onto it gives the 1-D shadow used for embedding-drift
+    * monitoring and coarse semantic binning, and deflating it is the
+    * first step of any top-m PCA.
+    *
+    * Engine-exact integer pipeline: embeddings quantize to integer
+    * grid units (⌊x·quantUnit⌋ — float→double cast is exact, floor is
+    * exact), center by the integer per-dimension mean (Σ div n), and
+    * iterate with ℓ∞ ppm normalization (w·10⁶ div max|w|) — the same
+    * fixed-point discipline as [[graft.ext.Graph.hits]]. XᵀX is never
+    * materialized (d² would be fine, but X is tall: two aggregates
+    * per round beat a d×d build at corpus scale).
+    *
+    * Scale: ONE posexplode posting relation, locally checkpointed
+    * (2·iters consumers); per round one broadcast join with the d-row
+    * vector + a row-keyed aggregate, then a d-keyed aggregate whose
+    * ℓ∞ norm rides a single-partition window over d rows —
+    * dimension-bounded, safe at any corpus size. Row dots stay in
+    * longs (d·maxq·quantUnit·10⁶ ≪ 2⁶³ for d ≤ 10⁴); the d-keyed
+    * sums accumulate in DECIMAL(38,0).
+    */
+  def powerIterationPC(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 3,
+      quantUnit: Long = 1000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"powerIterationPC: iters in [1,20], got $iters")
+    require(quantUnit >= 1L && quantUnit <= 1000000L,
+      s"powerIterationPC: quantUnit in [1, 1e6], got $quantUnit")
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val posting = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .select(col("__id"), col("pos"),
+        floor(col("__x").cast("double") * quantUnit.toDouble).cast("long").as("__xq"))
+    // d rows, but three consumers (centering join, v₀, final output)
+    // each re-aggregating the full corpus — pin it
+    val means = posting.groupBy(col("pos"))
+      .agg(expr("CAST(sum(CAST(__xq AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+        .as("mean_q"))
+      .localCheckpoint()
+    val centered = posting
+      .join(broadcast(means), Seq("pos"))
+      .select(col("__id"), col("pos"), (col("__xq") - col("mean_q")).as("__xc"))
+      .localCheckpoint()
+    val wNorm = Window.partitionBy(lit(0))
+    var v = means.select(col("pos")).withColumn("v_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val s = centered.join(broadcast(v), Seq("pos"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__xc") * col("v_ppm")).as("__s"))
+      v = centered.join(s, Seq("__id"))
+        .groupBy(col("pos"))
+        .agg(sum((col("__xc") * col("__s")).cast(dec)).as("__w"))
+        .withColumn("__mx", max(abs(col("__w"))).over(wNorm))
+        .select(col("pos"),
+          expr("CAST(__w * 1000000 div __mx AS BIGINT)").as("v_ppm"))
+    }
+    v.join(broadcast(means), Seq("pos"))
+      .select(col("pos").as("dim"), col("mean_q"), col("v_ppm"))
+  }
 }

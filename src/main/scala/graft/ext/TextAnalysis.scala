@@ -1121,4 +1121,55 @@ object TextAnalysis {
         countDistinct(col("__id")).as("n_docs"),
         sum(col("__depth")).as("total_path_depth"))
   }
+
+  /** Collocation mining by lift (Church & Hanks CL'90's PMI family,
+    * reported as the log-free monotone equivalent): for each adjacent
+    * token bigram, lift = p(xy) / (p(x)·p(y)) = c_xy·N / (c_x·c_y),
+    * with the marginals taken over the SAME bigram relation (c_x =
+    * occurrences as a left word, c_y = as a right word, N = total
+    * bigrams). lift·10⁶ ranks exactly as PMI does — a fixed phrase
+    * ("hong kong") scores orders of magnitude above chance — without
+    * ever calling log, so the ranking is integer-exact on both
+    * engines. `minCount` is the standard low-frequency gate: a
+    * 1-occurrence pair of two rare words has sky-high lift and zero
+    * evidence.
+    *
+    * The phrase-mining step that feeds tokenizer vocabularies (q197's
+    * BPE pair counts are the UNGATED first iteration of this) and
+    * stopword/boilerplate diagnosis.
+    *
+    * Scale: one scan-stage explode → one (w1, w2) aggregate; the pair
+    * relation is locally checkpointed because three consumers fold it
+    * (two marginals + the join), then everything downstream is
+    * pair-vocabulary-bound, not corpus-bound. N rides a single-row
+    * broadcast.
+    */
+  def collocations(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"collocations: minCount >= 1, got $minCount")
+    val toks = df.filter(text.isNotNull)
+      .select(TextHash.tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val pairs = toks
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val left = pairs.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val total = pairs.agg(sum(col("c_xy")).as("__N"))
+    pairs.filter(col("c_xy") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * __N * 1000000 div " +
+          "(CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)").as("lift_ppm"))
+  }
 }

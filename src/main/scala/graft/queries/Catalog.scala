@@ -21,7 +21,8 @@ object Catalog {
     Spatial.all,
     Training.all,
     Frontier.all,
-    Horizon.all
+    Horizon.all,
+    Zenith.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: oracle_check.py SF_DIR OUT_DIR
+Usage: oracle_check.py SF_DIR OUT_DIR [only_csv]
   SF_DIR  — testdata dir (e.g. /root/testdata/sf0.01)
   OUT_DIR — Verify output dir (parquet per query + oracle_sql.json)
 
@@ -28,10 +28,13 @@ def frame_rows(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
