@@ -192,5 +192,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_km_fold_ppm(steps) - linear Kaplan-Meier product-limit fold: " +
           "array<struct<...,n,d,...>> sorted by time -> running survival ppm array"),
       (args: Seq[Expression]) => graft.functions.KmFoldPpm(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_decode"),
+      info("graft_wav_decode",
+        "graft_wav_decode(bytes) - decode RIFF/WAVE PCM (8/16-bit): " +
+          "struct(sample_rate, channels, bits, n_samples, samples)"),
+      (args: Seq[Expression]) => graft.functions.WavDecode(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_amplitude_envelope"),
+      info("graft_amplitude_envelope",
+        "graft_amplitude_envelope(samples, n_windows) - box-filter mean-|amplitude| envelope"),
+      (args: Seq[Expression]) => graft.functions.AmplitudeEnvelope(args(0), args(1))))
   }
 }

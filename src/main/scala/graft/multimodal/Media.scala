@@ -175,6 +175,91 @@ object Media {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-clip audio QA stats over RIFF/WAVE PCM payloads, decoded for
+    * REAL by the pure-JVM [[graft.functions.WavDecode]] expression —
+    * the audio row of the quality-screen family: duration, peak,
+    * energy (Σs², the exact integer form of RMS²·n), hard-clipping
+    * count (samples pinned at the rail — the recording-chain defect
+    * detector), and zero crossings (the coarse pitch/noisiness
+    * proxy). Undecodable payloads drop out (decode failure is data).
+    *
+    * Everything after the decode is array HOFs over the samples —
+    * scan-stage codegen, zero shuffle at any scale; energy peaks at
+    * 2²² samples · 32768² ≈ 2⁵² — inside a long by construction of
+    * the decoder's bomb guard.
+    */
+  def audioStats(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    import graft.functions.AudioFunctions._
+    df.select(col(idCol).as("media_id"),
+        wavDecode(col(bytesCol).cast("binary")).as("__wav"))
+      .filter(col("__wav").isNotNull)
+      .select(col("media_id"),
+        col("__wav.sample_rate").as("sample_rate"),
+        col("__wav.channels").as("channels"),
+        col("__wav.bits").as("bits"),
+        col("__wav.n_samples").cast("long").as("n_samples"),
+        col("__wav.samples").as("__s"))
+      .withColumn("__hi", when(col("bits") === 16, 32767).otherwise(127))
+      .withColumn("__lo", when(col("bits") === 16, -32768).otherwise(-128))
+      .select(col("media_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_samples"),
+        expr("n_samples * 1000L div sample_rate").as("duration_ms"),
+        coalesce(array_max(transform(col("__s"),
+          x => when(x < 0, -x).otherwise(x))).cast("long"), lit(0L)).as("peak"),
+        aggregate(col("__s"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")).as("energy"),
+        size(filter(col("__s"),
+          x => x >= col("__hi") || x <= col("__lo"))).cast("long").as("clip_count"),
+        when(col("n_samples") < 2L, lit(0L)).otherwise(
+          size(filter(sequence(lit(1), col("n_samples").cast("int") - 1),
+            i => (element_at(col("__s"), i) < 0) =!=
+              (element_at(col("__s"), i + 1) < 0))).cast("long"))
+          .as("zero_crossings"))
+  }
+
+  /** Audio near-duplicate pairs: decode (WavDecode) → 64-window
+    * amplitude envelope ([[graft.functions.AmplitudeEnvelope]] — the
+    * level structure that survives re-encoding) → dHash64 over the
+    * envelope → the same pigeonhole Hamming machinery as the image
+    * family. Scan-stage fingerprints, keyed chunk join, no pair
+    * blowup.
+    */
+  def audioNeardupPairs(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 4): DataFrame = {
+    import graft.functions.AudioFunctions._
+    import graft.functions.MediaFunctions.dHash64
+    val base = df
+      .select(col(idCol).as("media_id"),
+        wavDecode(col(bytesCol).cast("binary")).as("__wav"))
+      .filter(col("__wav").isNotNull)
+      .select(col("media_id"),
+        dHash64(amplitudeEnvelope(col("__wav.samples"), lit(64))).as("dh"))
+      .filter(col("dh").isNotNull)
+    dhashNeardupPairs(base, maxHamming)
+  }
+
+  /** Canonical RIFF/WAVE header for a PCM clip — plan-time constant
+    * builder for tests and in-plan payload synthesis (the raster is
+    * appended via PackBytes).
+    */
+  def wavHeader(nSamples: Int, sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
+    val blockAlign = channels * (bits / 8)
+    val dataSize = nSamples * blockAlign
+    val riffSize = 36 + dataSize
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.array()
+  }
+
   /** Wrap a DataFrame with (id, binary payload) columns into the typed
     * media shape with metadata defaults — the ingestion boundary.
     */

@@ -190,6 +190,134 @@ object Multimodal {
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 4
         ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // REAL audio decode + QA stats: each document becomes a canonical
+    // RIFF/WAVE clip (16-bit PCM mono 8 kHz, 256 samples of clamped
+    // hash noise — ~9% of samples pin at each rail by construction)
+    // serialized as actual container bytes (44-byte header + LE
+    // raster via PackBytes), then decoded back by the pure-JVM
+    // WavDecode expression (RIFF walk, fmt parse, channel-0 raster)
+    // and screened: duration, peak, energy (Σs²), hard-clip count,
+    // zero crossings — all array HOFs after the decode, zero shuffle.
+    // The oracle replays the sample formula and every stat exactly, so
+    // a decoder mis-parse of any byte or field breaks the match.
+    Q(
+      "q253_wav_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.packBytes
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val header = lit(graft.multimodal.Media.wavHeader(
+          nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
+        val samples = transform(sequence(lit(0), lit(255)), { i =>
+          val raw = (graft.ext.TextHash.hash64(
+            concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
+            % 80001 - 40000).cast("int")
+          greatest(lit(-32768), least(lit(32767), raw))
+        })
+        val payload = concat(header, packBytes(
+          flatten(transform(samples, x => array(x, shiftright(x, 8))))))
+        val media = docs.select($"doc_id".as("media_id"), payload.as("payload"))
+        graft.multimodal.Media.audioStats(media, "media_id", "payload")
+          .orderBy($"media_id")
+      },
+      Some(s"""
+        WITH sm AS MATERIALIZED (
+          SELECT doc_id AS media_id, i,
+                 GREATEST(-32768, LEAST(32767,
+                   ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                     % 80001 - 40000)) AS s
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)),
+        lst AS (SELECT media_id, list(s ORDER BY i) AS ss FROM sm GROUP BY 1)
+        SELECT media_id,
+               8000 AS sample_rate, 1 AS channels, 16 AS bits,
+               CAST(256 AS BIGINT) AS n_samples,
+               CAST(32 AS BIGINT) AS duration_ms,
+               CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT) AS peak,
+               CAST(list_sum(list_transform(ss, x -> CAST(x AS BIGINT) * x))
+                 AS BIGINT) AS energy,
+               CAST(len(list_filter(ss, x -> x >= 32767 OR x <= -32768))
+                 AS BIGINT) AS clip_count,
+               CAST(len(list_filter(range(1, 256),
+                 i -> (ss[CAST(i AS INT)] < 0) <> (ss[CAST(i + 1 AS INT)] < 0)))
+                 AS BIGINT) AS zero_crossings
+        FROM lst ORDER BY media_id
+      """)),
+    // ----------------------------------------------------------------
+    // Audio near-dup over REAL decoded samples: base clips as in q253
+    // plus a planted variant with the first 8 samples offset +6000
+    // (clamped) — a level bump on the first two envelope windows, the
+    // audio analogue of q243's corner patch. Envelope cells 0-1 are
+    // the only ones that can move, so only dHash bits {0, 1, 7} can
+    // flip: every planted pair sits within Hamming 3 while unrelated
+    // clips (independent hash noise) live near 32. The pipeline runs
+    // WavDecode → 64-window amplitude envelope → dHash → pigeonhole
+    // buckets; the oracle replays the formula, each envelope mean,
+    // hash bit, and bucket in exact integer math.
+    Q(
+      "q254_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.packBytes
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val header = lit(graft.multimodal.Media.wavHeader(
+          nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
+        def samples(variant: Boolean) =
+          transform(sequence(lit(0), lit(255)), { i =>
+            val raw = (graft.ext.TextHash.hash64(
+              concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
+              % 80001 - 40000).cast("int")
+            val adj = if (variant) when(i < 8, raw + 6000).otherwise(raw) else raw
+            greatest(lit(-32768), least(lit(32767), adj))
+          })
+        def payload(variant: Boolean) = concat(header, packBytes(
+          flatten(transform(samples(variant), x => array(x, shiftright(x, 8))))))
+        val media = docs
+          .select(($"doc_id" * 2).as("media_id"), payload(variant = false).as("payload"))
+          .unionAll(docs.select(($"doc_id" * 2 + 1).as("media_id"),
+            payload(variant = true).as("payload")))
+        graft.multimodal.Media.audioNeardupPairs(media, "media_id", "payload",
+            maxHamming = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH basepx AS MATERIALIZED (
+          SELECT doc_id, i,
+                 ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                   % 80001 - 40000 AS raw
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)),
+        px AS MATERIALIZED (
+          SELECT doc_id*2 AS media_id, i,
+                 GREATEST(-32768, LEAST(32767, raw)) AS s
+          FROM basepx
+          UNION ALL
+          SELECT doc_id*2+1, i,
+                 CASE WHEN i < 8
+                   THEN GREATEST(-32768, LEAST(32767, raw + 6000))
+                   ELSE GREATEST(-32768, LEAST(32767, raw)) END
+          FROM basepx),
+        env AS (
+          SELECT media_id, (i * 64) // 256 AS c, SUM(abs(s)) // COUNT(*) AS lum
+          FROM px GROUP BY 1, 2),
+        g8 AS (SELECT media_id, list(lum ORDER BY c) AS g FROM env GROUP BY media_id),
+        hash AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN g[CAST((i//8)*8 + ((i%8)+1)%8 + 1 AS INT)] > g[CAST(i+1 AS INT)]
+              THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
+              ELSE 0 END) AS BIGINT) AS dh
+          FROM g8 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+        chunked AS (
+          SELECT media_id, dh, c, (dh >> CAST(c*12 AS INTEGER)) & 4095 AS v
+          FROM hash CROSS JOIN (SELECT unnest(range(0, 5)) AS c)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.dh AS ha, b.dh AS hb
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        ORDER BY id_a, id_b
       """))
   )
 }

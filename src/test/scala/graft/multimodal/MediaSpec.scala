@@ -246,4 +246,142 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tp = Media.phashPairs(twin, "id", "p", maxHamming = 0).collect()
     assert(tp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
+
+  /** Canonical WAV bytes: header + little-endian PCM raster. */
+  private def wav(samples: Seq[Int], rate: Int = 8000, channels: Int = 1,
+      bits: Int = 16): Array[Byte] = {
+    val frames = samples.length / channels
+    val header = Media.wavHeader(frames, rate, channels, bits)
+    val body =
+      if (bits == 16) samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+      else samples.map(s => ((s + 128) & 0xff).toByte)
+    header ++ body
+  }
+
+  test("wavDecode: 16-bit mono round-trip — header fields and signed LE samples") {
+    import spark.implicits._
+    import graft.functions.AudioFunctions._
+    val s = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
+    val out = Seq(Tuple1(wav(s))).toDF("b")
+      .select(wavDecode($"b").as("d"))
+      .select($"d.sample_rate", $"d.channels", $"d.bits", $"d.n_samples", $"d.samples")
+      .collect().head
+    assert(out.getInt(0) == 8000 && out.getInt(1) == 1 && out.getInt(2) == 16)
+    assert(out.getInt(3) == s.length)
+    assert(out.getSeq[Int](4).toSeq == s)
+  }
+
+  test("wavDecode: 8-bit recentring, stereo channel-0, chunk skipping with odd-size pad") {
+    import spark.implicits._
+    import graft.functions.AudioFunctions._
+    // 8-bit: stored unsigned, decoded re-centered
+    val b8 = wav(Seq(0, 127, -128, 50), bits = 8)
+    // stereo 16-bit: frames (L,R) — channel 0 only
+    val st = wav(Seq(10, -99, 20, -99, 30, -99), channels = 2)
+    // an alien odd-sized chunk between "WAVE" and "fmt " must be
+    // skipped with its pad byte
+    val base = wav(Seq(7, -7))
+    val alien = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val withAlien = base.take(12) ++ alien ++ base.drop(12)
+    val rows = Seq((1L, b8), (2L, st), (3L, withAlien)).toDF("id", "b")
+      .select($"id", wavDecode($"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(rows(1L).getInt(2) == 8 && rows(1L).getSeq[Int](4).toSeq == Seq(0, 127, -128, 50))
+    assert(rows(2L).getInt(1) == 2 && rows(2L).getSeq[Int](4).toSeq == Seq(10, 20, 30))
+    assert(rows(3L).getSeq[Int](4).toSeq == Seq(7, -7))
+  }
+
+  test("wavDecode: malformed payloads decode to null, not errors") {
+    import spark.implicits._
+    import graft.functions.AudioFunctions._
+    val good = wav(Seq(1, 2, 3))
+    def patch(b: Array[Byte], off: Int, v: Byte) = { val c = b.clone(); c(off) = v; c }
+    val cases = Seq(
+      2L -> patch(good, 0, 'X'),                  // bad RIFF magic
+      3L -> patch(good, 8, 'X'),                  // bad WAVE form
+      4L -> patch(good, 20, 3),                   // audioFormat != 1 (PCM)
+      5L -> patch(good, 34, 24),                  // bits = 24 unsupported
+      6L -> good.dropRight(1),                    // truncated raster
+      7L -> patch(good, 22, 0),                   // zero channels
+      8L -> good.take(36),                        // data header cut off
+      9L -> Array.empty[Byte],
+      // data chunk before any fmt chunk
+      10L -> (good.take(12) ++ good.drop(36) ++ good.slice(12, 36)))
+    val rows = ((1L -> good) +: cases).toDF("id", "b")
+      .select($"id", wavDecode($"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L))
+    cases.foreach { case (id, _) => assert(rows(id), s"case $id should be null") }
+  }
+
+  test("wavDecode: sample-count bomb guard nulls a >2^22-sample clip") {
+    import spark.implicits._
+    import graft.functions.AudioFunctions._
+    val n = (1 << 22) + 1
+    val header = Media.wavHeader(n, 8000, 1, 8)
+    val big = header ++ Array.fill[Byte](n)(0)
+    val ok = Media.wavHeader(1 << 22, 8000, 1, 8) ++ Array.fill[Byte](1 << 22)(0)
+    val rows = Seq((1L, big), (2L, ok)).toDF("id", "b")
+      .select($"id", wavDecode($"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows(1L) && !rows(2L))
+  }
+
+  test("amplitudeEnvelope: rectified box-filter means, short input zero-fills") {
+    import spark.implicits._
+    import graft.functions.AudioFunctions._
+    // 8 samples into 4 windows of 2: means of |x|
+    val out = Seq(Tuple1(Seq(1, -3, 10, 20, -5, -5, 0, 7))).toDF("s")
+      .select(amplitudeEnvelope($"s", lit(4)).as("e")).collect().head.getSeq[Int](0)
+    assert(out.toSeq == Seq(2, 15, 5, 3))
+    // 2 samples into 4 windows: windows 0 and 2 hit, others 0
+    val sparse = Seq(Tuple1(Seq(9, -9))).toDF("s")
+      .select(amplitudeEnvelope($"s", lit(4)).as("e")).collect().head.getSeq[Int](0)
+    assert(sparse.toSeq == Seq(9, 0, 9, 0))
+    val bad = Seq(Tuple1(Seq(1))).toDF("s")
+      .select(amplitudeEnvelope($"s", lit(0)).as("e")).collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("audioStats: hand-folded peak, energy, clips, zero crossings; corrupt dropped") {
+    import spark.implicits._
+    val s = Seq(0, 100, -100, 32767, -32768, 50, -50, 0)
+    val df = Seq((1L, wav(s)), (2L, Array[Byte](1, 2, 3))).toDF("id", "b")
+    val rows = Media.audioStats(df, "id", "b").collect()
+    assert(rows.length == 1) // corrupt clip dropped, not errored
+    val r = rows.head
+    assert(r.getLong(4) == 8L)                        // n_samples
+    assert(r.getLong(5) == 1L)                        // 8 * 1000 div 8000
+    assert(r.getLong(6) == 32768L)                    // peak |−32768|
+    assert(r.getLong(7) ==
+      100L * 100 * 2 + 32767L * 32767 + 32768L * 32768 + 50L * 50 * 2)
+    assert(r.getLong(8) == 2L)                        // rail-pinned samples
+    assert(r.getLong(9) == 6L)                        // sign flips
+  }
+
+  test("audioNeardupPairs: planted level bumps found over real decode, no cartesian") {
+    import spark.implicits._
+    val docs = (0 until 25).map { i =>
+      val s = Seq.tabulate(256)(j =>
+        ((graft.ext.TextHash.hash64Local(s"$i:$j") % 80001L) - 40000L).toInt
+          .max(-32768).min(32767))
+      (i.toLong * 2, wav(s))
+    }
+    val variants = (0 until 25).map { i =>
+      val s = Seq.tabulate(256) { j =>
+        val raw = ((graft.ext.TextHash.hash64Local(s"$i:$j") % 80001L) - 40000L).toInt
+        val adj = if (j < 8) raw + 6000 else raw
+        adj.max(-32768).min(32767)
+      }
+      (i.toLong * 2 + 1, wav(s))
+    }
+    val df = (docs ++ variants).toDF("media_id", "payload")
+    val pairs = Media.audioNeardupPairs(df, "media_id", "payload", maxHamming = 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = got.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(planted.length == 25)
+    assert(planted.forall(_._3 <= 3)) // only envelope cells 0-1 can move
+  }
 }
