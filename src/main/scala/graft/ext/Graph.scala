@@ -296,6 +296,59 @@ object Graph {
         hub.select(lit("hub").as("side"), col("node"), col("h").as("score_ppm")))
   }
 
+  /** Degree assortativity coefficient (Newman PRL'02): the Pearson
+    * correlation of endpoint degrees over all directed edge
+    * orientations of an undirected graph — positive when hubs attach
+    * to hubs (social cores), negative when hubs fan out to leaves
+    * (star/bipartite infrastructure). The one-number mixing summary
+    * that predicts how a graph fragments under node removal and how
+    * fast dedup clusters percolate.
+    *
+    * Exactness: degrees are exact integers from the distinct
+    * bidirectional edge relation; the five Pearson power sums
+    * accumulate in DECIMAL(38,0); one closing IEEE-identical double
+    * ratio (the q246 Spearman fold). Output: one row
+    * (n_pairs = 2·|E|, r_ppm; null r on a degree-regular graph where
+    * the variance vanishes).
+    *
+    * Scale: the bidirectional relation is checkpointed once (two
+    * consumers: the degree aggregate and the pair join); degrees join
+    * back by node key — two keyed equi-joins + ONE aggregate, no
+    * quadratic anything.
+    */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val bidir = checkpointTracked(
+      e.union(e.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d"))
+        .distinct())._1
+    val deg = bidir.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    bidir
+      .join(deg.select(col("node").as("s"), col("deg").as("__du")), Seq("s"))
+      .join(deg.select(col("node").as("d"), col("deg").as("__dv")), Seq("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__du").cast(dec)).as("__sx"),
+        sum(col("__dv").cast(dec)).as("__sy"),
+        sum((col("__du") * col("__du")).cast(dec)).as("__sxx"),
+        sum((col("__dv") * col("__dv")).cast(dec)).as("__syy"),
+        sum((col("__du") * col("__dv")).cast(dec)).as("__sxy"))
+      .withColumn("__num",
+        (col("n_pairs").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast("double"))
+      .withColumn("__d1",
+        (col("n_pairs").cast(dec) * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__d2",
+        (col("n_pairs").cast(dec) * col("__syy") - col("__sy") * col("__sy")).cast("double"))
+      .select(col("n_pairs"),
+        when(col("__d1") > 0.0 && col("__d2") > 0.0,
+          floor(col("__num") / sqrt(col("__d1") * col("__d2")) * 1000000.0 + 0.5)
+            .cast("long")).as("r_ppm"))
+  }
+
   /** Bipartite projection: link right-side nodes that share a
     * left-side neighbor, weighted by how many neighbors they share —
     * co-purchase, co-occurrence, co-authorship graphs all reduce to

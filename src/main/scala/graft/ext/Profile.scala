@@ -1838,6 +1838,63 @@ object Profile {
         (col("z2_milli").isNotNull && col("z2_milli") >= 3841L).as("significant_95"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test per group (Smirnov 1939): the
+    * maximum gap between the two samples' empirical CDFs — the
+    * distribution-SHAPE complement to [[mannWhitney]]'s location test
+    * (a variance change that leaves the medians alone slips past U but
+    * not D). Same input shape: per group, the `isA` sample against its
+    * complement on `v`.
+    *
+    * Integer-exact: at each distinct value, the CDF gap cross-
+    * multiplies to |c₁·n₂ − c₂·n₁| (an integer — no fractions ever
+    * materialize); D_ppm = maxGap·10⁶ div (n₁·n₂), and the α=0.05
+    * verdict compares maxGap²·10⁶ against c²·n₁·n₂·(n₁+n₂) with
+    * c²(.05) = 1.844466 (Smirnov's asymptotic √(−ln(α/2)/2), shared
+    * ppm literal) entirely in DECIMAL(38,0).
+    *
+    * Scale: one distinct-value running-sum window + one aggregate —
+    * identical cost shape to [[mannWhitney]]; at 100 TB the window
+    * sorts the value DOMAIN, not the rows.
+    */
+  def ksTest(
+      df: DataFrame,
+      grp: Column,
+      isA: Column,
+      v: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("__g"))
+    val cum = df.filter(grp.isNotNull && isA.isNotNull && v.isNotNull)
+      .select(grp.as("__g"), isA.cast("boolean").as("__a"), v.as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__c1", sum(col("__ca")).over(w))
+      .withColumn("__c2", sum(col("__cb")).over(w))
+      .withColumn("__n1", sum(col("__ca")).over(wg))
+      .withColumn("__n2", sum(col("__cb")).over(wg))
+      .withColumn("__gap",
+        abs(col("__c1").cast(dec) * col("__n2") - col("__c2").cast(dec) * col("__n1")))
+    cum.groupBy(col("__g").as("grp"))
+      .agg(max(col("__n1")).as("n_a"), max(col("__n2")).as("n_b"),
+        max(col("__gap")).as("__gap"))
+      .withColumn("d_ppm",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("CAST(__gap * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")))
+      // α=.05 verdict in doubles over exact integer factors (identical
+      // expression trees both engines — the q247 discipline):
+      // gap²·10⁶ ≥ c²ppm · n₁·n₂·(n₁+n₂)
+      .withColumn("significant_95",
+        col("n_a") > 0L && col("n_b") > 0L &&
+          col("__gap").cast("double") * col("__gap").cast("double") * 1000000.0 >=
+          lit(1844466.0) *
+            (col("n_a").cast(dec) * col("n_b") * (col("n_a") + col("n_b"))).cast("double"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("d_ppm"), col("significant_95"))
+  }
+
   /** Poisson(1) CDF in ppm — the deterministic weight ladder for
     * [[bootstrapCi]]. Public constants of e⁻¹·Σ1/k!; shared verbatim
     * with the oracle so both engines draw identical weights.

@@ -614,6 +614,59 @@ object Similarity {
         (col("adc_micro").cast("double") / 1000000.0).as("adc"))
   }
 
+  /** Per-cluster simplified silhouette (Rousseeuw'87's silhouette with
+    * the centroid surrogate — the O(n·k) form that scales where the
+    * O(n²) pairwise original cannot): after a deterministic
+    * [[kmeansCentroids]] fit, each vector scores
+    * s = (c₁ − c₂) / (1 − c₂) where c₁/c₂ are its best/second-best
+    * centroid cosines — 10⁶ means "far inside its cluster", 0 means
+    * "on the boundary". The cluster-quality gate a SemDeDup/IVF
+    * pipeline runs before trusting its cells (q55/q141/q200 all
+    * inherit this fit).
+    *
+    * Parity: cosines evaluate on identical expression trees in both
+    * engines (the q55 contract); per-vector s floors to ppm FIRST,
+    * then per-cluster means are integer divisions — no float
+    * aggregation anywhere.
+    *
+    * Scale: one broadcast crossJoin against k centroids + one
+    * per-vector two-row aggregate + one cluster aggregate; the fit
+    * itself is the proven q55 trainer.
+    */
+  def silhouetteScore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 65536, s"silhouetteScore: k in [2, 65536], got $k")
+    import org.apache.spark.sql.expressions.Window
+    // no null screen: the fit ([[kmeansCentroids]]) sees the same
+    // unfiltered relation, so scorer and trainer stay aligned (the
+    // q55 contract — cosine of a null vector is null and drops in rank)
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    val cents = broadcast(kmeansCentroids(df, idCol, vecCol, k, iters))
+    val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+    val ranked = base.crossJoin(cents)
+      .select(col("vid"), col("cent_id"),
+        cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val perVec = ranked.groupBy(col("vid"))
+      .agg(max(when(col("__rn") === 1, col("cent_id"))).as("cell"),
+        max(when(col("__rn") === 1, col("__cc"))).as("__c1"),
+        max(when(col("__rn") === 2, col("__cc"))).as("__c2"))
+      .withColumn("__s",
+        when(lit(1.0) - col("__c2") > 0.0,
+          floor((col("__c1") - col("__c2")) / (lit(1.0) - col("__c2")) * 1000000.0 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+    perVec.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"))
+      .select(col("cell"), col("n"),
+        expr("CAST(__ss div n AS BIGINT)").as("mean_s_ppm"))
+  }
+
   /** Dominant principal component by power iteration (von Mises &
     * Pollaczek-Geiringer 1929; the PCA workhorse at matrix scale —
     * iterate v ← XᵀX·v, normalize): the direction of maximum variance

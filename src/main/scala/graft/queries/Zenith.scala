@@ -325,6 +325,187 @@ object Zenith {
         ${(1 to 3).map(pcRoundSql).mkString(",\n")}
         SELECT m.pos AS dim, mean_q, v3.v AS v_ppm
         FROM v3 JOIN m ON v3.pos = m.pos ORDER BY dim
+      """)),
+    // ----------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov per source (en vs rest on doc
+    // length): max CDF gap via integer cross-multiplication, ppm D,
+    // Smirnov asymptotic 95% verdict — the shape-sensitive complement
+    // to q247's rank-location test on the same samples.
+    Q(
+      "q255_ks_test",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Profile.ksTest(
+            t(s, dir, "documents").filter($"lang".isNotNull),
+            $"source", $"lang" === "en", $"n_chars")
+          .orderBy($"grp")
+      },
+      Some("""
+        WITH rws AS MATERIALIZED (
+          SELECT source AS g, (lang = 'en') AS a, n_chars AS v
+          FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL),
+        cv AS (SELECT g, v,
+                      SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                      SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+               FROM rws GROUP BY 1, 2),
+        cum AS (SELECT g, ca, cb,
+          SUM(ca) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+          SUM(cb) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+          SUM(ca) OVER (PARTITION BY g) AS n1,
+          SUM(cb) OVER (PARTITION BY g) AS n2
+          FROM cv),
+        agg AS (SELECT g, MAX(n1) AS na, MAX(n2) AS nb,
+                 MAX(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS gap
+                FROM cum GROUP BY 1)
+        SELECT g AS grp, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST(gap * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+               END AS d_ppm,
+               (na > 0 AND nb > 0 AND
+                CAST(CAST(gap AS VARCHAR) AS DOUBLE) *
+                  CAST(CAST(gap AS VARCHAR) AS DOUBLE) * 1000000.0 >=
+                1844466.0 *
+                  CAST(CAST(CAST(na AS HUGEINT) * nb * (na + nb) AS VARCHAR) AS DOUBLE))
+                 AS significant_95
+        FROM agg ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // Degree assortativity of the customer↔supplier fulfillment graph
+    // (suppliers offset into their own id space): strongly negative by
+    // construction — a bipartite hub-and-spoke — the mixing summary
+    // that flags star topology before a percolation-style dedup run.
+    Q(
+      "q256_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+          .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"),
+            ($"l_suppkey" + 1000000000L).as("dst"))
+          .filter($"src".isNotNull && $"dst".isNotNull)
+        graft.ext.Graph.assortativity(e, "src", "dst")
+      },
+      Some("""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS s, l.l_suppkey + 1000000000 AS d
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
+        bid AS MATERIALIZED (
+          SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0)
+          WHERE s <> d),
+        deg AS (SELECT s AS node, COUNT(*) AS deg FROM bid GROUP BY 1),
+        pj AS (SELECT du.deg AS x, dv.deg AS y
+               FROM bid
+               JOIN deg du ON bid.s = du.node
+               JOIN deg dv ON bid.d = dv.node),
+        agg AS (SELECT COUNT(*) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+          SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM pj),
+        f AS (SELECT n,
+          CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+          CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS d1,
+          CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS d2
+          FROM agg)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN d1 > 0 AND d2 > 0 THEN
+                 CAST(floor(num / sqrt(d1 * d2) * 1000000.0 + 0.5) AS BIGINT)
+               END AS r_ppm
+        FROM f
+      """)),
+    // ----------------------------------------------------------------
+    // Simplified silhouette per cluster over the q55 k-means fit:
+    // s = (c₁−c₂)/(1−c₂) floored to ppm per vector, integer cluster
+    // means — the cell-quality gate for the SemDeDup/IVF family.
+    Q(
+      "q257_silhouette",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Similarity.silhouetteScore(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+          .orderBy($"cell")
+      },
+      Some(s"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        ${OracleSql.kmeansCents(8, 2)},
+        sc AS MATERIALIZED (
+          SELECT c.vec_id AS vid, ct.cent_id,
+                 ${OracleSql.cosine("c.vec", "ct.cent_vec")} AS cc,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY ${OracleSql.cosine("c.vec", "ct.cent_vec")} DESC,
+                            ct.cent_id) AS rn
+          FROM v c CROSS JOIN cents ct),
+        ab AS (SELECT a.vid, a.cent_id AS cell, a.cc AS c1, b.cc AS c2
+               FROM sc a JOIN sc b ON a.vid = b.vid
+               WHERE a.rn = 1 AND b.rn = 2),
+        sv AS (SELECT cell,
+                 CASE WHEN 1.0 - c2 > 0 THEN
+                   CAST(floor((c1 - c2) / (1.0 - c2) * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END AS s
+               FROM ab)
+        SELECT cell, COUNT(*) AS n, CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s_ppm
+        FROM sv GROUP BY 1 ORDER BY cell
+      """)),
+    // ----------------------------------------------------------------
+    // Per-label projection onto the q252 dominant component: the 1-D
+    // semantic shadow (count / mean / min / max of the integer
+    // projection) — the embedding-drift readout a corpus monitor
+    // compares release-over-release.
+    Q(
+      "q258_pc_projection",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+          .filter($"vec_id".isNotNull && $"embedding".isNotNull && $"label".isNotNull)
+        val pc = graft.ext.Similarity.powerIterationPC(
+          emb, "vec_id", "embedding", iters = 3)
+        val posting = emb
+          .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "__x")))
+          .select($"vec_id", $"label", $"dim",
+            floor($"__x".cast("double") * 1000.0).cast("long").as("__xq"))
+        posting.join(broadcast(pc), Seq("dim"))
+          .groupBy($"vec_id", $"label")
+          .agg(sum(($"__xq" - $"mean_q") * $"v_ppm").as("__proj"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(CAST(__proj AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+              .as("mean_proj"),
+            min($"__proj").as("min_proj"),
+            max($"__proj").as("max_proj"))
+          .orderBy($"label")
+      },
+      Some(s"""
+        WITH p AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 CAST(unnest(range(1, len(embedding) + 1)) - 1 AS INTEGER) AS pos,
+                 unnest(list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT))) AS xq
+          FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL),
+        m AS MATERIALIZED (
+          SELECT pos, CAST(SUM(CAST(xq AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_q
+          FROM p GROUP BY 1),
+        pc AS MATERIALIZED (SELECT id, p.pos, xq - mean_q AS xc FROM p JOIN m USING (pos)),
+        v0 AS (SELECT pos, 1000000 AS v FROM m),
+        ${(1 to 3).map(pcRoundSql).mkString(",\n")},
+        proj AS (SELECT id, SUM(xc * v) AS pr
+                 FROM pc JOIN v3 USING (pos) GROUP BY 1),
+        lab AS (SELECT vec_id AS id, label FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL)
+        SELECT label, COUNT(*) AS n,
+               CAST(SUM(CAST(pr AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_proj,
+               CAST(MIN(pr) AS BIGINT) AS min_proj,
+               CAST(MAX(pr) AS BIGINT) AS max_proj
+        FROM proj JOIN lab USING (id) GROUP BY 1 ORDER BY label
       """))
   )
 }

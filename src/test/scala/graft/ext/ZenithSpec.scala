@@ -138,6 +138,53 @@ class ZenithSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._2 == 0L)
   }
 
+  test("ksTest: separated samples hit D = 1e6; identical samples hit 0; small n not significant") {
+    import spark.implicits._
+    val sep = (Seq(1, 2, 3).map(v => ("g", true, v.toLong)) ++
+      Seq(4, 5, 6).map(v => ("g", false, v.toLong))).toDF("g", "a", "v")
+    val r = Profile.ksTest(sep, $"g", $"a", $"v").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 1000000L)          // disjoint supports: max gap
+    assert(!r.getBoolean(4))                  // n=3+3 is far below the 95% line
+    val same = (Seq(1, 2, 3).map(v => ("g", true, v.toLong)) ++
+      Seq(1, 2, 3).map(v => ("g", false, v.toLong))).toDF("g", "a", "v")
+    val r2 = Profile.ksTest(same, $"g", $"a", $"v").collect().head
+    assert(r2.getLong(3) == 0L && !r2.getBoolean(4))
+  }
+
+  test("ksTest: a large separated sample clears the 95% line") {
+    import spark.implicits._
+    val df = (Seq.tabulate(60)(i => ("g", true, i.toLong)) ++
+      Seq.tabulate(60)(i => ("g", false, 100L + i))).toDF("g", "a", "v")
+    val r = Profile.ksTest(df, $"g", $"a", $"v").collect().head
+    assert(r.getLong(3) == 1000000L && r.getBoolean(4))
+  }
+
+  test("assortativity: star graph = -1e6, degree-regular cycle = null") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").collect().head
+    assert(r.getLong(0) == 6L)                // both orientations of 3 edges
+    assert(r.getLong(1) == -1000000L)         // perfectly disassortative
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("s", "d")
+    val r2 = Graph.assortativity(cycle, "s", "d").collect().head
+    assert(r2.getLong(0) == 8L && r2.isNullAt(1)) // zero degree variance
+  }
+
+  test("silhouetteScore: two orthogonal tight clusters score near 1e6 each") {
+    import spark.implicits._
+    // ids 0 and 1 seed one centroid in each cluster (init = vid < k)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.2f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f)), (5L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteScore(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out.values.forall(_._1 == 3L))
+    assert(out.values.forall(_._2 > 600000L), s"tight clusters should score high: $out")
+  }
+
   test("powerIterationPC: centering removes a common offset from the component") {
     import spark.implicits._
     // same cloud as above but shifted +10 on dim1: PC must not tilt
