@@ -1895,6 +1895,84 @@ object Profile {
       .select(col("grp"), col("n_a"), col("n_b"), col("d_ppm"), col("significant_95"))
   }
 
+  /** One-way ANOVA F per group (Fisher 1925): does the metric's mean
+    * differ across cells? For each analysis group, cells contribute
+    * exact (n_j, Σv, Σv²) triples; the between/within sum-of-squares
+    * split runs in micro fixed-point — each cell's s_j²·10⁶ div n_j
+    * floors FIRST (the q250 term-wise discipline, so no
+    * order-dependent float summation ever happens), then
+    * F = SSB·(N−k) / (SSW·(k−1)) closes as one double ratio over
+    * exact decimal factors, reported as f_milli with both dofs (the
+    * caller brings the F-table; no libm CDF here).
+    *
+    * Scale: one (grp, cell) aggregate + one grp aggregate — map-side
+    * combinable end to end, no window, no join.
+    */
+  def oneWayAnova(
+      df: DataFrame,
+      grp: Column,
+      cell: Column,
+      v: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cells = df.filter(grp.isNotNull && cell.isNotNull && v.isNotNull)
+      .select(grp.as("__g"), cell.as("__c"), v.cast("long").as("__v"))
+      .groupBy(col("__g"), col("__c"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v") * col("__v")).cast(dec)).as("__q"))
+      // milli (not micro) fixed point: s²·10³ keeps the decimal rail
+      // safe out to Σv ≈ 6·10¹⁷ per cell — comfortably past 100 TB
+      .withColumn("__t", expr("__s * __s * 1000 div CAST(__n AS DECIMAL(38,0))"))
+    cells.groupBy(col("__g").as("grp"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("__n")).as("n"),
+        sum(col("__s")).as("__S"),
+        sum(col("__q")).as("__Q"),
+        sum(col("__t")).as("__B"))
+      .withColumn("__ssb",
+        col("__B") - expr("__S * __S * 1000 div CAST(n AS DECIMAL(38,0))"))
+      .withColumn("__ssw", col("__Q") * lit(1000L) - col("__B"))
+      .withColumn("f_milli",
+        when(col("k") > 1L && col("n") > col("k") && col("__ssw") > 0,
+          floor(col("__ssb").cast("double") *
+            (col("n") - col("k")).cast("double") /
+            (col("__ssw").cast("double") * (col("k") - 1L).cast("double")) *
+            1000.0 + 0.5).cast("long")))
+      .select(col("grp"), col("k"), col("n"), col("f_milli"))
+  }
+
+  /** Brown–Forsythe test per group (Brown & Forsythe JASA'74 — the
+    * robust Levene variant): equality of SPREAD across cells, run as
+    * [[oneWayAnova]] on |v − median_cell| with the exact lower median
+    * (the ⌈n/2⌉-th order statistic, deterministic under ties). A
+    * variance change that leaves means alone slips past ANOVA but not
+    * this — the dispersion row of the test family.
+    *
+    * Scale: one cell-keyed window to pick medians (the q83 exact-
+    * percentile posture) + one keyed join + the ANOVA aggregates.
+    */
+  def brownForsythe(
+      df: DataFrame,
+      grp: Column,
+      cell: Column,
+      v: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(grp.isNotNull && cell.isNotNull && v.isNotNull)
+      .select(grp.as("__g0"), cell.as("__c0"), v.cast("long").as("__v0"))
+    val w = Window.partitionBy(col("__g0"), col("__c0")).orderBy(col("__v0"))
+    val wc = Window.partitionBy(col("__g0"), col("__c0"))
+    val med = rows
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .filter(col("__rn").cast("long") === expr("(__cnt + 1) div 2"))
+      .select(col("__g0"), col("__c0"), col("__v0").as("__med"))
+    val z = rows.join(med, Seq("__g0", "__c0"))
+      .select(col("__g0"), col("__c0"),
+        abs(col("__v0") - col("__med")).as("__z"))
+    oneWayAnova(z, col("__g0"), col("__c0"), col("__z"))
+  }
+
   /** Poisson(1) CDF in ppm — the deterministic weight ladder for
     * [[bootstrapCi]]. Public constants of e⁻¹·Σ1/k!; shared verbatim
     * with the oracle so both engines draw identical weights.

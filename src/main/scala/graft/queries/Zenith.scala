@@ -30,6 +30,32 @@ object Zenith {
        |  CAST(r * 1000000 // (SELECT MAX(r) FROM h${r}r) AS BIGINT) AS sc
        |  FROM h${r}r)""".stripMargin
 
+  /** The one-way-ANOVA oracle chain over a CTE `arows(g, c, v)` —
+    * shared by q259 (raw metric) and q260 (|v − median| transform).
+    * Mirrors [[graft.ext.Profile.oneWayAnova]]'s milli fixed point:
+    * cell terms s²·10³ // n floor FIRST, then one double ratio.
+    */
+  private val anovaTailSql: String =
+    s"""cl AS (SELECT g, c, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+       |              SUM(CAST(v AS HUGEINT) * v) AS q
+       |       FROM arows GROUP BY 1, 2),
+       |ct AS (SELECT g, c, n, s, q, s * s * 1000 // n AS t FROM cl),
+       |ag AS (SELECT g, COUNT(*) AS k, SUM(n) AS n, SUM(s) AS ts,
+       |              SUM(q) AS tq, SUM(t) AS b
+       |       FROM ct GROUP BY 1),
+       |ff AS (SELECT g, k, n,
+       |              b - ts * ts * 1000 // n AS ssb,
+       |              tq * 1000 - b AS ssw
+       |       FROM ag)
+       |SELECT g AS grp, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       |       CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+       |         CAST(floor(CAST(CAST(ssb AS VARCHAR) AS DOUBLE) *
+       |           CAST(n - k AS DOUBLE) /
+       |           (CAST(CAST(ssw AS VARCHAR) AS DOUBLE) * CAST(k - 1 AS DOUBLE)) *
+       |           1000.0 + 0.5) AS BIGINT)
+       |       END AS f_milli
+       |FROM ff ORDER BY grp""".stripMargin
+
   /** One power-iteration round as oracle CTEs (reads v{r-1} over pc). */
   private def pcRoundSql(r: Int): String =
     s"""s$r AS MATERIALIZED (
@@ -506,6 +532,55 @@ object Zenith {
                CAST(MIN(pr) AS BIGINT) AS min_proj,
                CAST(MAX(pr) AS BIGINT) AS max_proj
         FROM proj JOIN lab USING (id) GROUP BY 1 ORDER BY label
+      """)),
+    // ----------------------------------------------------------------
+    // One-way ANOVA F per source: does mean doc length differ across
+    // languages? Milli fixed-point sum-of-squares split, one double
+    // ratio, dofs in the row — the mean-difference complement to
+    // q247/q255 on the same cells.
+    Q(
+      "q259_anova",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Profile.oneWayAnova(t(s, dir, "documents"),
+            $"source", $"lang", $"n_chars")
+          .orderBy($"grp")
+      },
+      Some(s"""
+        WITH arows AS MATERIALIZED (
+          SELECT source AS g, lang AS c, n_chars AS v
+          FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL),
+        $anovaTailSql
+      """)),
+    // ----------------------------------------------------------------
+    // Brown–Forsythe (robust Levene) per source: equality of SPREAD
+    // across languages — the q259 machinery on |v − cell median| with
+    // the exact lower median, catching dispersion shifts that leave
+    // means alone.
+    Q(
+      "q260_levene",
+      (s, dir) => {
+        import s.implicits._
+        graft.ext.Profile.brownForsythe(t(s, dir, "documents"),
+            $"source", $"lang", $"n_chars")
+          .orderBy($"grp")
+      },
+      Some(s"""
+        WITH rws AS MATERIALIZED (
+          SELECT source AS g, lang AS c, n_chars AS v
+          FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL),
+        med AS (SELECT g, c, v AS m FROM (
+                  SELECT g, c, v,
+                         ROW_NUMBER() OVER (PARTITION BY g, c ORDER BY v) AS rn,
+                         COUNT(*) OVER (PARTITION BY g, c) AS cnt
+                  FROM rws)
+                WHERE rn = (cnt + 1) // 2),
+        arows AS MATERIALIZED (
+          SELECT r.g, r.c, abs(r.v - med.m) AS v
+          FROM rws r JOIN med ON r.g = med.g AND r.c = med.c),
+        $anovaTailSql
       """))
   )
 }

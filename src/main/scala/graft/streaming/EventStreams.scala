@@ -387,6 +387,76 @@ object EventStreams {
       }
   }
 
+  /** One admission decision from [[audioAdmissionGate]]. */
+  final case class AudioVerdict(
+      media_id: Long, admitted: Boolean, reason: String,
+      duration_ms: Long, clip_ppm: Long)
+
+  /** Streaming audio admission gate — the multimodal row of the
+    * admission family (q253's QA screen applied at ingest time, the
+    * way [[leakageGate]] applies q238): each incoming clip is decoded
+    * by the same pure-JVM [[graft.functions.WavDecode]] expression in
+    * the scan stage and admitted or rejected BEFORE it enters the
+    * corpus, with the reason attached:
+    *
+    *   - `undecodable` — the RIFF walk failed (corrupt container,
+    *     non-PCM, truncated raster): decode failure is data;
+    *   - `too_short`  — duration below `minDurationMs`;
+    *   - `clipped`    — rail-pinned sample share above `maxClipPpm`
+    *     (the recording-chain-defect screen);
+    *   - `ok`         — admitted.
+    *
+    * Thresholds evaluate on the SAME integer formulas as the batch
+    * [[graft.multimodal.Media.audioStats]] (duration = n·10³ div
+    * rate; clip share = clips·10⁶ div n), so the stream's verdict for
+    * any clip equals the batch screen's — the twin contract. State is
+    * one Boolean per media_id for re-delivery dedup (NoTimeout:
+    * admission decisions must not expire), exactly the
+    * [[leakageGate]] discipline.
+    */
+  def audioAdmissionGate(
+      clips: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      minDurationMs: Long,
+      maxClipPpm: Long): Dataset[AudioVerdict] = {
+    import clips.sparkSession.implicits._
+    import graft.functions.AudioFunctions._
+    val scored = clips
+      .select(col(idCol).cast("long").as("media_id"),
+        wavDecode(col(bytesCol).cast("binary")).as("__wav"))
+      .withColumn("__hi", when(col("__wav.bits") === 16, 32767).otherwise(127))
+      .withColumn("__lo", when(col("__wav.bits") === 16, -32768).otherwise(-128))
+      .select(col("media_id"),
+        col("__wav").isNotNull.as("__ok"),
+        coalesce(expr("CAST(__wav.n_samples AS BIGINT) * 1000L div __wav.sample_rate"),
+          lit(0L)).as("duration_ms"),
+        coalesce(
+          when(col("__wav.n_samples") > 0,
+            size(filter(col("__wav.samples"),
+              x => x >= col("__hi") || x <= col("__lo"))).cast("long") * lit(1000000L)),
+          lit(0L)).as("__clips_x1m"),
+        coalesce(col("__wav.n_samples").cast("long"), lit(0L)).as("__n"))
+      .select(col("media_id"), col("__ok"), col("duration_ms"),
+        when(col("__n") > 0L, expr("__clips_x1m div __n")).otherwise(lit(0L))
+          .as("clip_ppm"))
+      .withColumn("reason",
+        when(!col("__ok"), "undecodable")
+          .when(col("duration_ms") < minDurationMs, "too_short")
+          .when(col("clip_ppm") > maxClipPpm, "clipped")
+          .otherwise("ok"))
+      .select(col("media_id"), (col("reason") === "ok").as("admitted"),
+        col("reason"), col("duration_ms"), col("clip_ppm"))
+      .as[AudioVerdict]
+    scored.groupByKey(_.media_id)
+      .flatMapGroupsWithState[Boolean, AudioVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          if (state.exists || !rows.hasNext) Iterator.empty
+          else { state.update(true); Iterator.single(rows.next()) }
+      }
+  }
+
   /** One per-bucket update from [[runningFingerprint]]. */
   final case class BucketFingerprint(bucket: Long, n_rows: Long, xor_fp: Long)
 

@@ -185,6 +185,27 @@ class ZenithSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.forall(_._2 > 600000L), s"tight clusters should score high: $out")
   }
 
+  test("oneWayAnova: hand-folded F for separated means; identical cells give 0") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3).map(v => ("g", "A", v.toLong)) ++
+      Seq(7, 8, 9).map(v => ("g", "B", v.toLong))).toDF("g", "c", "v")
+    val r = Profile.oneWayAnova(df, $"g", $"c", $"v").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 54000L) // F = 54 exactly in the milli fold
+    val same = (Seq(1, 2, 3).map(v => ("g", "A", v.toLong)) ++
+      Seq(1, 2, 3).map(v => ("g", "B", v.toLong))).toDF("g", "c", "v")
+    assert(Profile.oneWayAnova(same, $"g", $"c", $"v").collect().head.getLong(3) == 0L)
+  }
+
+  test("brownForsythe: catches a spread shift that plain ANOVA misses (equal means)") {
+    import spark.implicits._
+    val df = (Seq(5, 5, 5).map(v => ("g", "A", v.toLong)) ++
+      Seq(1, 5, 9).map(v => ("g", "B", v.toLong))).toDF("g", "c", "v")
+    assert(Profile.oneWayAnova(df, $"g", $"c", $"v").collect().head.getLong(3) == 0L)
+    val lv = Profile.brownForsythe(df, $"g", $"c", $"v").collect().head
+    assert(lv.getLong(3) == 4000L) // hand fold: F = 4 on |v − median|
+  }
+
   test("powerIterationPC: centering removes a common offset from the component") {
     import spark.implicits._
     // same cloud as above but shifted +10 on dim1: PC must not tilt

@@ -369,4 +369,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("round-10 rank/eval/media queries never plan a cartesian product") {
+    for (name <- Seq("q246_spearman_corr", "q247_mann_whitney", "q248_bootstrap_ci",
+        "q250_map_mrr", "q254_audio_neardup", "q255_ks_test", "q256_assortativity")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+    }
+  }
+
+  test("q253 audio stats stay join-free: scan-stage decode + HOFs, one presentation sort") {
+    val p = planOf("q253_wav_stats")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("wav_decode") || p.contains("wavdecode") ||
+      p.toLowerCase.contains("wavdecode"), p)
+  }
+
+  test("q251 collocations: the only nested-loop is the single-row totals broadcast") {
+    val p = planOf("q251_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted explain names each node twice (tree + details) — count
+    // distinct node ids instead
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"expected at most the 1-row totals broadcast, got $bnl:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p) // global top-50, not a full sort
+  }
+
+  test("q258 PC projection joins the 64-row component by broadcast") {
+    val p = planOf("q258_pc_projection")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

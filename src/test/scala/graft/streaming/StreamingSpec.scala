@@ -285,6 +285,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("audio admission gate: per-clip verdicts match the batch q253 screen, re-delivery inert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val header = graft.multimodal.Media.wavHeader(samples.length, 8000, 1, 16)
+      header ++ samples.flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    }
+    val good = (1L, wav(Seq.tabulate(256)(i => (i % 200) - 100)))
+    val short = (2L, wav(Seq(5, -5, 5, -5)))            // 0 ms at 8 kHz
+    val clipped = (3L, wav(Seq.fill(256)(32767)))       // 100% rail-pinned
+    val corrupt = (4L, Array[Byte](1, 2, 3))
+    val clips = Seq(good, short, clipped, corrupt)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val gate = EventStreams.audioAdmissionGate(
+      input.toDS().toDF("media_id", "payload"), "media_id", "payload",
+      minDurationMs = 10L, maxClipPpm = 200000L)
+    val q = gate.writeStream.format("memory").queryName("audio_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(clips: _*); q.processAllAvailable()
+      input.addData(good, corrupt); q.processAllAvailable() // re-delivery
+      val got = spark.sql(
+        "SELECT media_id, admitted, reason, duration_ms, clip_ppm FROM audio_gate")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got.size == 4, "one verdict per clip, re-delivery emits nothing")
+      assert(got(1L) == ((true, "ok", 32L, 0L)))
+      assert(got(2L) == ((false, "too_short", 0L, 0L)))
+      assert(got(3L) == ((false, "clipped", 32L, 1000000L)))
+      assert(got(4L)._2 == "undecodable" && !got(4L)._1)
+      // batch twin: duration/clip numbers equal the q253 screen's
+      val batch = graft.multimodal.Media.audioStats(
+          clips.toDF("media_id", "payload"), "media_id", "payload")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(5), r.getLong(8) * 1000000L / r.getLong(4)))).toMap
+      for (id <- Seq(1L, 2L, 3L)) {
+        assert(got(id)._3 == batch(id)._1, s"duration twin for $id")
+        assert(got(id)._4 == batch(id)._2, s"clip share twin for $id")
+      }
+    } finally q.stop()
+  }
+
   test("streaming fingerprint: running bucket XOR equals the batch fingerprint of the fed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
