@@ -296,6 +296,75 @@ object Graph {
         hub.select(lit("hub").as("side"), col("node"), col("h").as("score_ppm")))
   }
 
+  /** Stationary distribution of a finite Markov chain by integer power
+    * iteration (π ← πP — von Mises again, on the q118 transition
+    * relation): where does the process spend its time in the long
+    * run? The chain-level summary behind session-mix forecasting and
+    * steady-state capacity planning, and the undamped cousin of
+    * [[pageRank]] (damping 1, empirical transition probabilities
+    * instead of uniform out-edges).
+    *
+    * Input is any (from, to, prob_ppb) relation (the
+    * [[graft.ext.Funnel.transitionMatrix]] output shape). States =
+    * DISTINCT from-values; transitions into unknown states (absorbing
+    * sinks with no outgoing row) drop their mass, and the per-round
+    * ℓ₁ renormalization (π·10⁶ div Σ) restores it proportionally —
+    * the standard taboo-state treatment, documented rather than
+    * hidden. All integer: round mass Σπᵢ·p div 10⁹ in DECIMAL(38,0),
+    * the normalizer a broadcast single-row sum (no driver
+    * round-trip). States never reached by any transition report 0.
+    *
+    * Scale: the gated transition relation is checkpointed once
+    * (iters consumers); each round is one keyed join + one aggregate
+    * on a |states|²-bounded relation, state is one row per state —
+    * the [[hits]] pin/free discipline throughout.
+    */
+  def stationaryDistribution(
+      trans: DataFrame,
+      fromCol: String,
+      toCol: String,
+      probPpbCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"stationaryDistribution: iters in [1,50], got $iters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val sc = trans.sparkSession.sparkContext
+    val t0 = trans.select(col(fromCol).cast("string").as("__f"),
+      col(toCol).cast("string").as("__t"), col(probPpbCol).cast("long").as("__p"))
+    // states = every from-state; transitions gated to known states;
+    // a state whose every outgoing edge leaves the chain (dangling
+    // after the gate) gets an implicit self-loop so its mass persists
+    // instead of annihilating the normalizer — the pageRank dangling-
+    // node treatment. Blocks stay live for the returned lazy relation
+    // (the pageRank contract).
+    val states = checkpointTracked(
+      t0.select(col("__f").as("state")).distinct())._1
+    val gated = t0.join(states.select(col("state").as("__t")), Seq("__t"))
+    val dangling = states
+      .join(gated.select(col("__f").as("state")).distinct(), Seq("state"), "left_anti")
+      .select(col("state").as("__t"), col("state").as("__f"),
+        lit(1000000000L).as("__p"))
+    val e = checkpointTracked(gated.unionByName(dangling))._1
+    require(e.count() > 0, "stationaryDistribution: no transitions between known states")
+    var pi = states.withColumn("pi_ppm", lit(1000000L))
+    var prevIds = Set.empty[Int]
+    for (i <- 1 to iters) {
+      val (raw, ids) = checkpointTracked(
+        e.join(pi.withColumnRenamed("state", "__f"), Seq("__f"))
+          .groupBy(col("__t").as("state"))
+          .agg(expr("CAST(sum(CAST(pi_ppm AS DECIMAL(38,0)) * __p) div 1000000000 AS BIGINT)")
+            .as("__r")))
+      raw.count()
+      pi = raw
+        .crossJoin(broadcast(raw.agg(sum(col("__r").cast(dec)).as("__s"))))
+        .select(col("state"), expr("CAST(__r * 1000000 div __s AS BIGINT)").as("pi_ppm"))
+      freeIds(sc, prevIds)
+      prevIds = ids
+    }
+    states.join(pi, Seq("state"), "left")
+      .select(col("state"), coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
+  }
+
   /** Degree assortativity coefficient (Newman PRL'02): the Pearson
     * correlation of endpoint degrees over all directed edge
     * orientations of an undirected graph — positive when hubs attach

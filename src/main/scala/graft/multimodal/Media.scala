@@ -241,6 +241,55 @@ object Media {
     dhashNeardupPairs(base, maxHamming)
   }
 
+  /** Per-clip fundamental-period estimate by autocorrelation peak
+    * (the classic time-domain pitch detector — Rabiner '77 lineage):
+    * decode (WavDecode), then over lags L ∈ [minLag, maxLag] compute
+    * the integer autocorrelation r_L = Σ sᵢ·sᵢ₊L and report the
+    * arg-max lag (ties to the SMALLEST lag — the fundamental beats
+    * its harmonics because shorter lags keep more overlap terms),
+    * the implied frequency f₀ = rate div period, and the peak value.
+    * The audio QA feature behind voiced/unvoiced screens and
+    * duplicate-speaker heuristics.
+    *
+    * All integer, all array HOFs after the scan-stage decode — the
+    * O(n·L) work (n ≤ 2²² by the decoder's bomb guard, L bounded by
+    * `maxLag` ≤ 2048) runs inside the scan task, no shuffle. Clips
+    * shorter than maxLag+2 samples drop out (no meaningful lag
+    * range), as do undecodables.
+    */
+  def audioPitch(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      minLag: Int,
+      maxLag: Int): DataFrame = {
+    require(minLag >= 1 && maxLag > minLag && maxLag <= 2048,
+      s"audioPitch: need 1 <= minLag < maxLag <= 2048, got ($minLag, $maxLag)")
+    import graft.functions.AudioFunctions._
+    val lagCorr = transform(sequence(lit(minLag), lit(maxLag)), l =>
+      struct(
+        aggregate(sequence(lit(1), col("__n") - l), lit(0L),
+          (acc, i) => acc +
+            element_at(col("__s"), i).cast("long") *
+            element_at(col("__s"), i + l).cast("long")).as("r"),
+        l.as("lag")))
+    df.select(col(idCol).as("media_id"),
+        graft.functions.AudioFunctions.wavDecode(col(bytesCol).cast("binary")).as("__wav"))
+      .filter(col("__wav").isNotNull)
+      .select(col("media_id"),
+        col("__wav.sample_rate").as("sample_rate"),
+        col("__wav.n_samples").as("__n"),
+        col("__wav.samples").as("__s"))
+      .filter(col("__n") >= maxLag + 2)
+      .withColumn("__best",
+        aggregate(lagCorr, struct(lit(Long.MinValue).as("r"), lit(0).as("lag")),
+          (best, x) => when(x.getField("r") > best.getField("r"), x).otherwise(best)))
+      .select(col("media_id"),
+        col("__best.lag").as("period"),
+        expr("CAST(sample_rate AS BIGINT) div __best.lag").as("f0_hz"),
+        col("__best.r").as("peak_corr"))
+  }
+
   /** Canonical RIFF/WAVE header for a PCM clip — plan-time constant
     * builder for tests and in-plan payload synthesis (the raster is
     * appended via PackBytes).

@@ -318,6 +318,54 @@ object Multimodal {
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 4
         ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // Autocorrelation pitch over REAL decoded audio: each doc becomes
+    // a sawtooth clip whose true period is 20 + (doc_id % 16) samples;
+    // the pipeline decodes the WAV bytes (WavDecode) and picks the
+    // arg-max integer autocorrelation lag in [16, 64] — which must
+    // recover exactly that period. The oracle replays the sample
+    // formula, every lag product, and the (r DESC, lag) arg-max.
+    Q(
+      "q262_audio_pitch",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.packBytes
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id").filter($"doc_id".isNotNull)
+        val header = lit(graft.multimodal.Media.wavHeader(
+          nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
+        val samples = transform(sequence(lit(0), lit(255)), { i =>
+          ((i % (lit(20) + ($"doc_id" % 16).cast("int"))) * 1200 - 9000).cast("int")
+        })
+        val payload = concat(header, packBytes(
+          flatten(transform(samples, x => array(x, shiftright(x, 8))))))
+        val media = docs.select($"doc_id".as("media_id"), payload.as("payload"))
+        graft.multimodal.Media.audioPitch(media, "media_id", "payload",
+            minLag = 16, maxLag = 64)
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH sm AS MATERIALIZED (
+          SELECT doc_id AS media_id, i,
+                 (i % (20 + doc_id % 16)) * 1200 - 9000 AS s
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)
+          WHERE doc_id IS NOT NULL),
+        lst AS MATERIALIZED (
+          SELECT media_id, list(s ORDER BY i) AS ss FROM sm GROUP BY 1),
+        rr AS (SELECT media_id, lag,
+                 list_sum(list_transform(range(1, 256 - lag + 1),
+                   i -> CAST(ss[CAST(i AS INT)] AS BIGINT) *
+                        ss[CAST(i + lag AS INT)])) AS r
+               FROM lst CROSS JOIN (SELECT unnest(range(16, 65)) AS lag)),
+        bst AS (SELECT media_id, lag, r,
+                  ROW_NUMBER() OVER (PARTITION BY media_id
+                    ORDER BY r DESC, lag) AS rn
+                FROM rr)
+        SELECT media_id, CAST(lag AS INT) AS period,
+               CAST(8000 // lag AS BIGINT) AS f0_hz,
+               CAST(r AS BIGINT) AS peak_corr
+        FROM bst WHERE rn = 1 ORDER BY media_id
       """))
   )
 }

@@ -581,6 +581,57 @@ object Zenith {
           SELECT r.g, r.c, abs(r.v - med.m) AS v
           FROM rws r JOIN med ON r.g = med.g AND r.c = med.c),
         $anovaTailSql
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Stationary distribution of the per-user event-type Markov chain:
+    // the q118 transition matrix powered to steady state by integer
+    // ppm iteration with l1 renormalization — where the session
+    // process spends its long-run time.
+    Q(
+      "q261_stationary_dist",
+      (s, dir) => {
+        import s.implicits._
+        val tm = graft.ext.Funnel.transitionMatrix(
+          t(s, dir, "events"), $"user_id", $"ts", $"event_type", $"event_id")
+        graft.ext.Graph.stationaryDistribution(
+            tm, "from_state", "to_state", "prob_ppb", iters = 6)
+          .orderBy($"state")
+      },
+      Some {
+        def round(r: Int): String =
+          s"""r${r}r AS MATERIALIZED (
+             |  SELECT e.t AS state,
+             |         CAST(SUM(CAST(pi AS HUGEINT) * p) // 1000000000 AS BIGINT) AS r
+             |  FROM e JOIN pi${r - 1} ON e.f = pi${r - 1}.state GROUP BY 1),
+             |pi$r AS MATERIALIZED (SELECT state,
+             |  CAST(r * 1000000 // (SELECT SUM(r) FROM r${r}r) AS BIGINT) AS pi
+             |  FROM r${r}r)""".stripMargin
+        s"""
+        WITH pr AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS f,
+                 event_type AS t
+          FROM events),
+        cn AS (SELECT f, t, COUNT(*) AS n FROM pr WHERE f IS NOT NULL GROUP BY 1, 2),
+        tt AS (SELECT f, SUM(n) AS tot FROM cn GROUP BY 1),
+        tm AS (SELECT cn.f, CAST(cn.t AS VARCHAR) AS t,
+                      n * 1000000000 // tot AS p
+               FROM cn JOIN tt USING (f)),
+        st AS MATERIALIZED (SELECT DISTINCT CAST(f AS VARCHAR) AS state FROM tm),
+        e0 AS MATERIALIZED (
+          SELECT CAST(tm.f AS VARCHAR) AS f, tm.t, tm.p
+          FROM tm JOIN st ON tm.t = st.state),
+        e AS MATERIALIZED (
+          SELECT f, t, p FROM e0
+          UNION ALL
+          -- dangling after the gate: implicit self-loop keeps the mass
+          SELECT state, state, 1000000000 FROM st
+          WHERE state NOT IN (SELECT DISTINCT f FROM e0)),
+        pi0 AS (SELECT state, 1000000 AS pi FROM st),
+        ${(1 to 6).map(round).mkString(",\n")}
+        SELECT st.state, COALESCE(pi6.pi, 0) AS pi_ppm
+        FROM st LEFT JOIN pi6 USING (state) ORDER BY state
+      """
+      })
   )
 }

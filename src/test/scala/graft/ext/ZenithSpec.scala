@@ -206,6 +206,23 @@ class ZenithSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lv.getLong(3) == 4000L) // hand fold: F = 4 on |v − median|
   }
 
+  test("stationaryDistribution: converges to the hand-solved chain; sink mass renormalizes") {
+    import spark.implicits._
+    // A: 0.5 self, 0.5 -> B; B: 1.0 -> A  =>  pi = (2/3, 1/3)
+    val tm = Seq(("A", "A", 500000000L), ("A", "B", 500000000L), ("B", "A", 1000000000L))
+      .toDF("f", "t", "p")
+    val pi = Graph.stationaryDistribution(tm, "f", "t", "p", iters = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(pi("A") - 666666L) < 20000L, pi.toString)
+    assert(math.abs(pi("A") + pi("B") - 1000000L) <= 2L)
+    // a transition into an unknown state drops its mass: A -> B kept,
+    // B -> C dropped (C never emits), so all mass ends on B
+    val sink = Seq(("A", "B", 1000000000L), ("B", "C", 1000000000L)).toDF("f", "t", "p")
+    val pi2 = Graph.stationaryDistribution(sink, "f", "t", "p", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pi2 == Map("A" -> 0L, "B" -> 1000000L), pi2.toString)
+  }
+
   test("powerIterationPC: centering removes a common offset from the component") {
     import spark.implicits._
     // same cloud as above but shifted +10 on dim1: PC must not tilt

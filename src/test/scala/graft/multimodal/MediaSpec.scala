@@ -359,6 +359,22 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(9) == 6L)                        // sign flips
   }
 
+  test("audioPitch: recovers a square wave's true period; short and corrupt clips drop") {
+    import spark.implicits._
+    val square = Seq.tabulate(256)(i => if (i % 24 < 12) 8000 else -8000)
+    val df = Seq(
+      (1L, wav(square)),
+      (2L, wav(Seq.fill(40)(100))),     // shorter than maxLag+2
+      (3L, Array[Byte](9, 9, 9)))       // undecodable
+      .toDF("id", "b")
+    val rows = Media.audioPitch(df, "id", "b", minLag = 16, maxLag = 64).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(1) == 24, s"period: $r")       // the fundamental, not 48
+    assert(r.getLong(2) == 8000L / 24)             // f0 = rate div period
+    assert(r.getLong(3) > 0L)
+  }
+
   test("audioNeardupPairs: planted level bumps found over real decode, no cartesian") {
     import spark.implicits._
     val docs = (0 until 25).map { i =>
