@@ -1,0 +1,136 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+import graft.ext.Graph
+
+/** End-to-end MULTIMODAL curation: the media twin of [[CurateJob]],
+  * composing the oracle-checked decode / QA / perceptual-dedup
+  * operators into one job over a mixed (media_id, kind, payload)
+  * corpus:
+  *
+  *   1. decode screen — REAL parsers ([[graft.functions.PnmDecode]]
+  *      for raw PNM images, [[graft.functions.WavDecode]] for
+  *      RIFF/WAVE PCM audio); undecodable payloads drop here (decode
+  *      failure is data, the q243/q253 contract);
+  *   2. QA gates — images: minimum dimensions (thumbnails and
+  *      stub-sized assets carry no training signal); audio: minimum
+  *      duration and maximum rail-pinned clip share (q253's screen,
+  *      the same integer formulas as the streaming admission gate);
+  *   3. perceptual near-dup — dHash over the 8×8 luma grid (images,
+  *      q243) / 64-window amplitude envelope (audio, q254), pigeonhole
+  *      Hamming bucketing, pair graph → connected components → the
+  *      LOWEST media_id of each component survives (the q64 canonical-
+  *      survivor rule);
+  *   4. outputs — survivors with kind + per-item stats under
+  *      `dest/media/<kind>`, and a per-(kind, stage) count summary
+  *      under `dest/reports/media_summary` (the monotone-count
+  *      evidence a re-run diffs against).
+  *
+  * Usage (all thresholds optional):
+  *   --source DIR --dest DIR [--format parquet]
+  *   [--min-dim 8] [--min-duration-ms 10] [--max-clip-ppm 200000]
+  *   [--max-hamming 4]
+  *
+  * Scale posture: every stage is an already-proven catalog operator —
+  * scan-stage decodes, fingerprint-sized shuffles, keyed chunk joins,
+  * label-propagation components with pinned edge relations. The job
+  * adds only composition and localCheckpoint fences between stages.
+  */
+object MediaCurateJob {
+
+  final case class Report(
+      input: Long, decodable: Long, afterQa: Long, afterNearDup: Long,
+      images: Long, audio: Long)
+
+  def run(spark: SparkSession, conf: Map[String, String]): Report = {
+    val source = conf("source")
+    val dest = conf("dest")
+    val fmt = JobArgs.checkFormat(conf.getOrElse("format", "parquet"))
+    val minDim = conf.getOrElse("min-dim", "8").toInt
+    val minDurationMs = conf.getOrElse("min-duration-ms", "10").toLong
+    val maxClipPpm = conf.getOrElse("max-clip-ppm", "200000").toLong
+    val maxHamming = conf.getOrElse("max-hamming", "4").toInt
+
+    val media = spark.read.parquet(source)
+      .select(col("media_id").cast("long").as("media_id"),
+        col("kind").cast("string").as("kind"),
+        col("payload").cast("binary").as("payload"))
+    val input = media.count()
+    val img = media.filter(col("kind") === "image")
+    val aud = media.filter(col("kind") === "audio")
+
+    // 1. decode screen + per-item stats. Pinned: each stats relation
+    //    feeds the QA gate, the survivor join, and the final write
+    //    (multi-consumer — the q218 lesson).
+    import graft.functions.MediaFunctions.pnmDecode
+    val imgStats = img
+      .select(col("media_id"), pnmDecode(col("payload")).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("media_id"), col("__p.width").as("width"),
+        col("__p.height").as("height"), col("__p.maxval").as("maxval"))
+      .localCheckpoint()
+    val audStats = Media.audioStats(aud, "media_id", "payload")
+      .withColumn("clip_ppm",
+        when(col("n_samples") > 0L, expr("clip_count * 1000000L div n_samples"))
+          .otherwise(lit(0L)))
+      .localCheckpoint()
+    val decodable = imgStats.count() + audStats.count()
+
+    // 2. QA gates
+    val imgOk = imgStats.filter(col("width") >= minDim && col("height") >= minDim)
+    val audOk = audStats.filter(col("duration_ms") >= minDurationMs &&
+      col("clip_ppm") <= maxClipPpm)
+    val afterQa = imgOk.count() + audOk.count()
+
+    // 3. perceptual near-dup among QA survivors; lowest id per
+    //    component survives. Components only see ids that appear in a
+    //    pair, so singletons pass through the anti-join untouched.
+    def dropDupes(kept: DataFrame, pairs: DataFrame): DataFrame = {
+      val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+      val losers = comp.filter(col("id") =!= col("comp"))
+        .select(col("id").as("media_id"))
+      kept.join(losers, Seq("media_id"), "left_anti")
+    }
+    val imgKeptMedia = img.join(imgOk.select("media_id"), Seq("media_id"))
+    val audKeptMedia = aud.join(audOk.select("media_id"), Seq("media_id"))
+    val imgFinal = dropDupes(imgOk,
+      Media.pnmPhashPairs(imgKeptMedia, "media_id", "payload", maxHamming))
+    val audFinal = dropDupes(audOk,
+      Media.audioNeardupPairs(audKeptMedia, "media_id", "payload", maxHamming))
+    val images = imgFinal.count()
+    val audio = audFinal.count()
+
+    // 4. outputs: survivors with their stats, one directory per kind,
+    //    plus the per-(kind, stage) summary
+    imgFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/image")
+    audFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/audio")
+    val summary = Seq(
+      ("image", "0_input", img.count()),
+      ("image", "1_decodable", imgStats.count()),
+      ("image", "2_qa", imgOk.count()),
+      ("image", "3_neardup", images),
+      ("audio", "0_input", aud.count()),
+      ("audio", "1_decodable", audStats.count()),
+      ("audio", "2_qa", audOk.count()),
+      ("audio", "3_neardup", audio))
+    import spark.implicits._
+    summary.toDF("kind", "stage", "n")
+      .coalesce(1).write.mode("overwrite").format(fmt)
+      .save(s"$dest/reports/media_summary")
+
+    Report(input, decodable, afterQa, images + audio, images, audio)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val conf = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-media-curate")
+    try {
+      val r = run(spark, conf)
+      println(s"""{"job":"media-curate","input":${r.input},"decodable":${r.decodable},""" +
+        s""""qa":${r.afterQa},"neardup":${r.afterNearDup},""" +
+        s""""images":${r.images},"audio":${r.audio}}""")
+    } finally spark.stop()
+  }
+}

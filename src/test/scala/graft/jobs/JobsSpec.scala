@@ -239,6 +239,69 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sk.collect().map(_.toString).toSet == sk2.collect().map(_.toString).toSet)
   }
 
+  test("MediaCurateJob: mixed corpus end-to-end — decode screen, QA gates, perceptual dedup") {
+    import spark.implicits._
+    def pgm(px: Array[Byte]): Array[Byte] =
+      "P5\n16 16\n255\n".getBytes("US-ASCII") ++ px
+    def imgPixels(seed: Int): Array[Byte] = Array.tabulate(256)(j =>
+      (graft.ext.TextHash.hash64Local(s"img$seed:$j") % 256).toByte)
+    def patched(px: Array[Byte]): Array[Byte] = {
+      val v = px.clone()
+      (0 until 32).foreach(j =>
+        if (j % 16 < 4) v(j) = math.min(255, (v(j) & 0xff) + 40).toByte)
+      v
+    }
+    def wav(samples: Seq[Int]): Array[Byte] =
+      graft.multimodal.Media.wavHeader(samples.length, 8000, 1, 16) ++
+        samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    def noise(seed: Int): Seq[Int] = Seq.tabulate(256)(j =>
+      (((graft.ext.TextHash.hash64Local(s"aud$seed:$j") % 80001L) - 40000L).toInt)
+        .max(-32768).min(32767))
+    def bumped(s: Seq[Int]): Seq[Int] =
+      s.zipWithIndex.map { case (v, j) =>
+        if (j < 8) (v + 6000).min(32767) else v }
+
+    val base10 = imgPixels(1)
+    val base20 = noise(1)
+    val corpus = Seq(
+      (10L, "image", pgm(base10)),                   // survivor
+      (11L, "image", pgm(patched(base10))),          // near-dup of 10 -> dropped
+      (12L, "image", pgm(imgPixels(2))),             // distinct survivor
+      (13L, "image", "P5\n4 4\n255\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](16)(7)),                    // below min-dim gate
+      (14L, "image", Array[Byte](1, 2, 3)),          // undecodable
+      (20L, "audio", wav(base20)),                   // survivor
+      (21L, "audio", wav(bumped(base20))),           // near-dup of 20 -> dropped
+      (22L, "audio", wav(noise(2))),                 // distinct survivor
+      (23L, "audio", wav(Seq(5, -5, 5, -5))),        // too short
+      (24L, "audio", wav(Seq.fill(256)(32767))),     // fully clipped
+      (25L, "audio", Array[Byte](9, 9)))             // undecodable
+    val src = tmp() + "/media_src"
+    corpus.toDF("media_id", "kind", "payload").write.parquet(src)
+    val dest = tmp()
+    val conf = Map("source" -> src, "dest" -> dest,
+      "min-dim" -> "8", "min-duration-ms" -> "10", "max-clip-ppm" -> "300000")
+    val r = MediaCurateJob.run(spark, conf)
+    assert(r.input == 11L && r.decodable == 9L && r.afterQa == 6L)
+    assert(r.afterNearDup == 4L && r.images == 2L && r.audio == 2L)
+    val img = spark.read.parquet(s"$dest/media/image")
+    assert(img.select("media_id").collect().map(_.getLong(0)).toSet == Set(10L, 12L))
+    assert(img.columns.contains("width") && img.columns.contains("height"))
+    val aud = spark.read.parquet(s"$dest/media/audio")
+    assert(aud.select("media_id").collect().map(_.getLong(0)).toSet == Set(20L, 22L))
+    assert(aud.columns.contains("clip_ppm") && aud.columns.contains("duration_ms"))
+    val sumy = spark.read.parquet(s"$dest/reports/media_summary")
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+    assert(sumy(("image", "0_input")) == 5L && sumy(("image", "1_decodable")) == 4L)
+    assert(sumy(("image", "2_qa")) == 3L && sumy(("image", "3_neardup")) == 2L)
+    assert(sumy(("audio", "0_input")) == 6L && sumy(("audio", "1_decodable")) == 5L)
+    assert(sumy(("audio", "2_qa")) == 3L && sumy(("audio", "3_neardup")) == 2L)
+    // counts are monotone per kind, and a re-run is deterministic
+    val dest2 = tmp()
+    val r2 = MediaCurateJob.run(spark, conf + ("dest" -> dest2))
+    assert(r == r2)
+  }
+
   test("CurateJob: encoding screen drops mojibake/control docs before any gate") {
     import spark.implicits._
     val src = tmp()
