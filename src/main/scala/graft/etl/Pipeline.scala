@@ -4,7 +4,7 @@ import java.time.{Instant, ZoneId}
 import java.time.format.DateTimeFormatter
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import scala.util.{Failure, Success, Try}
 
 /** Table-pipeline orchestration: the reference's `process_table` state
@@ -54,13 +54,28 @@ object Pipeline {
     * `delta` works as soon as the jar is on the classpath (see
     * `graft.jobs.JobArgs.checkFormat`).
     */
-  final case class FileSource(path: String, format: String = "parquet") extends Source {
+  final case class FileSource(path: String, format: String = "parquet",
+      schema: Option[StructType] = None) extends Source {
     def load(spark: SparkSession): DataFrame = {
-      // typed consumers (conform/cleanse) need inference for csv; the
-      // canonical fix at scale is an explicit schema from TableSchemas
-      val opts = readOptions(format) ++
-        (if (format == "csv") Map("inferSchema" -> "true") else Map.empty)
-      spark.read.options(opts).format(format).load(path)
+      val reader = spark.read.options(readOptions(format))
+      schema match {
+        case Some(s) => reader.schema(s).format(format).load(path)
+        case None if format == "csv" =>
+          // NO inferSchema: inference is a full extra pass over the
+          // data that re-renders values ('01234' -> 1234). Column
+          // NAMES come from a 1-row header probe (a limit-1 text job,
+          // not a scan); every column lands as the verbatim string the
+          // source VARCHAR held — exactly what the conform/cleanse
+          // lenient parsers are built to consume. Callers with typed
+          // raw zones pass `schema` explicitly. (Header probe assumes
+          // unquoted identifier headers — true of every RAW table
+          // SyncJob writes.)
+          val header = spark.read.text(path).head().getString(0)
+          val names = header.split(",", -1).map(_.trim)
+          val s = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+          reader.schema(s).format(format).load(path)
+        case None => reader.format(format).load(path)
+      }
     }
   }
 

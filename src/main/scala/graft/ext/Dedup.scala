@@ -706,7 +706,11 @@ object Dedup {
     * [[passageDupSpans]]'/q104-blocklist territory, not pairwise
     * surgery (Lee et al. cap identically). The cap is a documented
     * semantic, not a silent truncation: pass maxDf = Int.MaxValue to
-    * disable and accept the quadratic cost.
+    * disable and accept the quadratic cost. `maxPerDoc` is the
+    * WITHIN-doc twin: only the first maxPerDoc start-ordered
+    * occurrences of a hash inside one doc enter pairing, so
+    * intra-doc repetition contributes at most maxPerDoc² windows per
+    * pair instead of k².
     *
     * Scale: the text never shuffles — (h, doc, start) triples do,
     * and only for hashes that pass the df gate; the island merge
@@ -718,9 +722,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       window: Int,
-      maxDf: Int = 64): DataFrame = {
+      maxDf: Int = 64,
+      maxPerDoc: Int = 8): DataFrame = {
     require(window > 0, s"need window > 0, got $window")
     require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    require(maxPerDoc >= 1, s"need maxPerDoc >= 1, got $maxPerDoc")
     val toks = col("__toks")
     // lazy checkpoint: wins feeds the df gate AND the postings join
     val wins = docs
@@ -737,7 +743,18 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("__docs"))
       .filter(col("__docs") >= 2 && col("__docs") <= maxDf)
       .select("h")
+    // WITHIN-doc multiplicity cap: the df gate bounds cross-doc
+    // fan-out, but a passage repeated k times inside each of two docs
+    // would still emit k² matched windows per pair. Keep only the
+    // first `maxPerDoc` occurrences of each (doc, hash) — start-order,
+    // deterministic — so the pair cost bound Σdf² holds with the
+    // per-posting constant maxPerDoc² even on adversarially
+    // repetitive docs (the case Lee et al.'s suffix arrays absorb).
     val posts = wins.join(okHashes, Seq("h"))
+      .withColumn("__occ", row_number().over(
+        Window.partitionBy(col("doc_id"), col("h")).orderBy(col("start"))))
+      .filter(col("__occ") <= maxPerDoc)
+      .drop("__occ")
     val matched = posts.as("a").join(posts.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -1763,9 +1763,11 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         sum(col("rx2").cast(dec)).as("__sx"),
         sum(col("ry2").cast(dec)).as("__sy"),
-        sum((col("rx2") * col("rx2")).cast(dec)).as("__sxx"),
-        sum((col("ry2") * col("ry2")).cast(dec)).as("__syy"),
-        sum((col("rx2") * col("ry2")).cast(dec)).as("__sxy"))
+        // cast to decimal BEFORE the product: doubled ranks reach 2n,
+        // so a long×long square overflows past n ≈ 1.5·10⁹ rows/group
+        sum(col("rx2").cast(dec) * col("rx2").cast(dec)).as("__sxx"),
+        sum(col("ry2").cast(dec) * col("ry2").cast(dec)).as("__syy"),
+        sum(col("rx2").cast(dec) * col("ry2").cast(dec)).as("__sxy"))
       .withColumn("__num",
         (col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast("double"))
       .withColumn("__d1",
@@ -1921,17 +1923,33 @@ object Profile {
       .agg(count(lit(1)).as("__n"),
         sum(col("__v").cast(dec)).as("__s"),
         sum((col("__v") * col("__v")).cast(dec)).as("__q"))
-      // milli (not micro) fixed point: s²·10³ keeps the decimal rail
-      // safe out to Σv ≈ 6·10¹⁷ per cell — comfortably past 100 TB
-      .withColumn("__t", expr("__s * __s * 1000 div CAST(__n AS DECIMAL(38,0))"))
+      // milli (not micro) fixed point: s²·10³ stays under the
+      // DECIMAL(38,0) rail for |Σv| ≤ ~3.16·10¹⁷ per cell
+      // (s²·10³ ≤ 10³⁸ ⇔ |s| ≤ √10³⁵). Past the rail Spark's
+      // non-ANSI overflow would null the term while DuckDB HUGEINT
+      // diverges differently — so fail LOUDLY instead of silently
+      // corrupting the F statistic.
+      .withColumn("__t",
+        when(abs(col("__s")) > lit(316000000000000000L).cast(dec),
+          expr("raise_error('one_way_anova: cell sum exceeds the " +
+            "DECIMAL(38,0) fixed-point rail (|sum(v)| > 3.16e17); " +
+            "rescale the metric')").cast(dec))
+          .otherwise(expr("__s * __s * 1000 div CAST(__n AS DECIMAL(38,0))")))
     cells.groupBy(col("__g").as("grp"))
       .agg(count(lit(1)).as("k"),
         sum(col("__n")).as("n"),
         sum(col("__s")).as("__S"),
         sum(col("__q")).as("__Q"),
         sum(col("__t")).as("__B"))
+      // same rail as the per-cell term: the GROUP total Σv can breach
+      // it even when every cell is under — guard both levels.
       .withColumn("__ssb",
-        col("__B") - expr("__S * __S * 1000 div CAST(n AS DECIMAL(38,0))"))
+        when(abs(col("__S")) > lit(316000000000000000L).cast(dec),
+          expr("raise_error('one_way_anova: group sum exceeds the " +
+            "DECIMAL(38,0) fixed-point rail (|sum(v)| > 3.16e17); " +
+            "rescale the metric')").cast(dec))
+          .otherwise(
+            col("__B") - expr("__S * __S * 1000 div CAST(n AS DECIMAL(38,0))")))
       .withColumn("__ssw", col("__Q") * lit(1000L) - col("__B"))
       .withColumn("f_milli",
         when(col("k") > 1L && col("n") > col("k") && col("__ssw") > 0,

@@ -666,16 +666,28 @@ object TextAnalysis {
   def bpeTrain(
       df: org.apache.spark.sql.DataFrame,
       text: Column,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      rounds: Int,
+      maxTrainDocs: Int = 1000000): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && rounds <= 4096,
       s"bpeTrain: 1 <= rounds <= 4096 required, got $rounds")
+    require(maxTrainDocs >= 1, s"bpeTrain: maxTrainDocs >= 1, got $maxTrainDocs")
     val ss = df.sparkSession
     val sc = ss.sparkContext
     val D = "\u0001"
     val toks = TextHash.tokens(text)
+    val trainable = df.filter(text.isNotNull && size(toks) >= 2)
+    // fail-fast BEFORE the R-round training loop if pointed at a
+    // corpus: training is sample-scoped by contract (the leakageGate
+    // maxEvalDocs discipline). limit(n+1).count() stops scanning at
+    // the bound instead of counting 100 TB just to reject it.
+    val probed = trainable.limit(maxTrainDocs + 1).count()
+    require(probed <= maxTrainDocs,
+      s"bpeTrain: > $maxTrainDocs training docs -- the trainer runs $rounds " +
+        "sequential full-relation rounds and is sample-scoped by contract; " +
+        "train on a hashSample and encode the corpus with bpeEncode " +
+        "(or raise maxTrainDocs explicitly)")
     var (docs, docsIds) = Graph.checkpointTracked(
-      df.filter(text.isNotNull && size(toks) >= 2)
-        .select(concat(lit(D), array_join(toks, D + D), lit(D)).as("s")))
+      trainable.select(concat(lit(D), array_join(toks, D + D), lit(D)).as("s")))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     try {
@@ -793,14 +805,24 @@ object TextAnalysis {
       vocabSize: Int,
       rounds: Int,
       maxPieceLen: Int = 4,
-      lambdaPpb: Long = 10000000000L): org.apache.spark.sql.DataFrame = {
+      lambdaPpb: Long = 10000000000L,
+      maxTrainDocs: Int = 1000000): org.apache.spark.sql.DataFrame = {
     require(vocabSize >= 1 && vocabSize <= (1 << 18),
       s"unigramLmTrain: vocabSize in [1, 2^18], got $vocabSize")
     require(rounds >= 1 && rounds <= 16, s"unigramLmTrain: rounds in [1, 16], got $rounds")
     require(maxPieceLen >= 2 && maxPieceLen <= 16,
       s"unigramLmTrain: maxPieceLen in [2, 16], got $maxPieceLen")
+    require(maxTrainDocs >= 1, s"unigramLmTrain: maxTrainDocs >= 1, got $maxTrainDocs")
     val ss = df.sparkSession
     import ss.implicits._
+    // sample-scoped trainer contract (the bpeTrain guard): stop the
+    // scan at the bound, don't count a corpus to reject it
+    val probed = df.filter(text.isNotNull).limit(maxTrainDocs + 1).count()
+    require(probed <= maxTrainDocs,
+      s"unigramLmTrain: > $maxTrainDocs training docs — the trainer collects " +
+        "the piece-usage table and is sample-scoped by contract; train on a " +
+        "hashSample and encode the corpus with unigramEncode " +
+        "(or raise maxTrainDocs explicitly)")
     val words = df.filter(text.isNotNull)
       .select(explode(TextHash.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

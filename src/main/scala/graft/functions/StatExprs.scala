@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   */
 case class KmFoldPpm(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   @transient private lazy val (nIdx: Int, dIdx: Int, numFields: Int) =
     child.dataType match {
@@ -44,21 +44,37 @@ case class KmFoldPpm(child: Expression) extends UnaryExpression {
       s"km_fold_ppm requires array<struct<..., n: bigint, d: bigint, ...>>, got $other")
   }
 
-  /** One linear pass; public so codegen can call it. */
+  /** One linear pass; public so codegen can call it.
+    *
+    * A step with n ≤ 0 (or a null element that slipped past analysis)
+    * has no defined product-limit factor: its output — and every
+    * later step's, since the accumulator is poisoned — is null,
+    * matching what the former SQL `div`-by-zero fold produced.
+    */
   def fold(arr: ArrayData): GenericArrayData = {
     val k = arr.numElements()
     val out = new Array[Any](k)
     var acc = 1000000L
+    var poisoned = false
     var i = 0
     while (i < k) {
-      val row = arr.getStruct(i, numFields)
-      val n = row.getLong(nIdx)
-      val d = row.getLong(dIdx)
-      // n ≥ d + 1 by construction (at-risk includes this step's
-      // events); floorDiv keeps parity with SQL div on the
-      // non-negative operands.
-      acc = Math.floorDiv(acc * (n - d), n)
-      out(i) = acc
+      if (!poisoned) {
+        if (arr.isNullAt(i)) { poisoned = true }
+        else {
+          val row = arr.getStruct(i, numFields)
+          val n = row.getLong(nIdx)
+          val d = row.getLong(dIdx)
+          if (n <= 0L) { poisoned = true }
+          else {
+            // n ≥ d + 1 by construction (at-risk includes this step's
+            // events); floorDiv keeps parity with SQL div on the
+            // non-negative operands.
+            acc = Math.floorDiv(acc * (n - d), n)
+            out(i) = acc
+          }
+        }
+      }
+      if (poisoned) out(i) = null
       i += 1
     }
     new GenericArrayData(out)

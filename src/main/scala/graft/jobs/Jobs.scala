@@ -117,6 +117,25 @@ object SyncJob {
     } finally conn.close()
   }
 
+  /** Pushed-down source count (sync.py:45-55, the reference's S2): one
+    * single-row `SELECT COUNT(*)` that runs IN the database, like
+    * [[autoBounds]]. The former `df.count()` here was a second full
+    * partitioned JDBC extraction per table — at warehouse scale that
+    * doubles both source-database load and job wall time.
+    */
+  private[jobs] def pushedCount(
+      url: String, props: java.util.Properties, table: String): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next()
+        rs.getLong(1)
+      } finally st.close()
+    } finally conn.close()
+  }
+
   def run(spark: SparkSession, conf: Map[String, String]): Seq[(String, Long, Long)] = {
     val url = conf("jdbc-url")
     val dest = conf("dest")
@@ -138,9 +157,9 @@ object SyncJob {
           (c, lo, hi, n)
         }
         val df = Pipeline.JdbcSource(url, table, props, partition).load(spark)
-        val sourceCount = df.count()
+        val sourceCount = pushedCount(url, props, table) // S2: counts in the DB
         df.write.mode("overwrite").options(Pipeline.writeOptions(fmt))
-          .format(fmt).save(s"$dest/$table.$fmt")
+          .format(fmt).save(s"$dest/$table.$fmt") // the ONLY Spark extraction
         val written = spark.read.options(Pipeline.readOptions(fmt))
           .format(fmt).load(s"$dest/$table.$fmt").count()
         if (written != sourceCount)

@@ -57,7 +57,14 @@ object MediaCurateJob {
       .select(col("media_id").cast("long").as("media_id"),
         col("kind").cast("string").as("kind"),
         col("payload").cast("binary").as("payload"))
-    val input = media.count()
+    // ONE scan yields input + per-kind counts (the former
+    // media.count() / img.count() / aud.count() trio re-read the
+    // source parquet three times)
+    val kindCounts = media.groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val input = kindCounts.valuesIterator.sum
+    val nImg = kindCounts.getOrElse("image", 0L)
+    val nAud = kindCounts.getOrElse("audio", 0L)
     val img = media.filter(col("kind") === "image")
     val aud = media.filter(col("kind") === "audio")
 
@@ -76,13 +83,19 @@ object MediaCurateJob {
         when(col("n_samples") > 0L, expr("clip_count * 1000000L div n_samples"))
           .otherwise(lit(0L)))
       .localCheckpoint()
-    val decodable = imgStats.count() + audStats.count()
+    // each stage count computed ONCE into a local val and reused by
+    // both the Report and the summary rows below
+    val nImgStats = imgStats.count()
+    val nAudStats = audStats.count()
+    val decodable = nImgStats + nAudStats
 
     // 2. QA gates
     val imgOk = imgStats.filter(col("width") >= minDim && col("height") >= minDim)
     val audOk = audStats.filter(col("duration_ms") >= minDurationMs &&
       col("clip_ppm") <= maxClipPpm)
-    val afterQa = imgOk.count() + audOk.count()
+    val nImgOk = imgOk.count()
+    val nAudOk = audOk.count()
+    val afterQa = nImgOk + nAudOk
 
     // 3. perceptual near-dup among QA survivors; lowest id per
     //    component survives. Components only see ids that appear in a
@@ -107,13 +120,13 @@ object MediaCurateJob {
     imgFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/image")
     audFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/audio")
     val summary = Seq(
-      ("image", "0_input", img.count()),
-      ("image", "1_decodable", imgStats.count()),
-      ("image", "2_qa", imgOk.count()),
+      ("image", "0_input", nImg),
+      ("image", "1_decodable", nImgStats),
+      ("image", "2_qa", nImgOk),
       ("image", "3_neardup", images),
-      ("audio", "0_input", aud.count()),
-      ("audio", "1_decodable", audStats.count()),
-      ("audio", "2_qa", audOk.count()),
+      ("audio", "0_input", nAud),
+      ("audio", "1_decodable", nAudStats),
+      ("audio", "2_qa", nAudOk),
       ("audio", "3_neardup", audio))
     import spark.implicits._
     summary.toDF("kind", "stage", "n")

@@ -246,7 +246,8 @@ object Mining {
         val src = t(s, dir, "documents").select($"doc_id",
           when($"doc_id" % 20 < 2, concat($"text", lit(" "), passage))
             .otherwise($"text").as("text"))
-        Dedup.crossDocDupSpans(src, "doc_id", "text", window = 8, maxDf = 8)
+        Dedup.crossDocDupSpans(src, "doc_id", "text", window = 8, maxDf = 8,
+            maxPerDoc = 8)
           .orderBy($"id_a", $"id_b", $"a_start", $"b_start")
       },
       Some(s"""
@@ -267,7 +268,12 @@ object Mining {
                 FROM base WHERE len(toks) >= 8)),
         ok AS (SELECT h FROM wins GROUP BY h
                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
-        posts AS (SELECT doc_id, s, h FROM wins JOIN ok USING (h)),
+        posts AS (
+          SELECT doc_id, s, h FROM (
+            SELECT doc_id, s, h,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, h ORDER BY s) AS occ
+            FROM wins JOIN ok USING (h))
+          WHERE occ <= 8),
         m AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.s AS sa, a.s + 8 AS ea, b.s - a.s AS diag

@@ -345,12 +345,24 @@ object EventStreams {
     require(evalRows.length <= maxEvalDocs,
       s"leakageGate: eval index ${evalRows.length} docs exceeds maxEvalDocs=$maxEvalDocs " +
         "— the index is a broadcast-sized model artifact, not a corpus")
+    // doc COUNT alone doesn't bound driver/executor memory: 100k docs
+    // of book-length text is GBs of shingle hashes. Cap total index
+    // payload at 8 bytes per hash against the same order of budget
+    // (~80 MB at the default maxEvalDocs) and fail loudly past it.
+    val totalShingles = evalRows.iterator.map(_.getSeq[Long](2).length.toLong).sum
+    require(totalShingles <= 100L * maxEvalDocs,
+      s"leakageGate: eval index carries $totalShingles shingle hashes " +
+        s"(> ${100L * maxEvalDocs} = 100 x maxEvalDocs) — " +
+        "the index must stay broadcast-sized; shrink the eval set or raise maxEvalDocs")
     val index: Map[String, Array[(Long, String, Array[Long])]] = evalRows
       .flatMap { r =>
         val entry = (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray)
         r.getSeq[String](3).distinct.map(b => b -> entry)
       }
       .groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }
+    // ship the index ONCE per executor as an explicit broadcast, not
+    // once per task inside the state-function closure
+    val indexBc = docs.sparkSession.sparkContext.broadcast(index)
     prep(docs, Nil)
       .select(col("doc_id"), col("shingles"), col("bands"))
       .as[(Long, Seq[Long], Seq[String])]
@@ -367,7 +379,7 @@ object EventStreams {
             val seen = scala.collection.mutable.Set.empty[Long]
             val out = scala.collection.mutable.ArrayBuffer.empty[LeakFlag]
             bandKeys.foreach { b =>
-              index.getOrElse(b, Array.empty).foreach { case (eid, esplit, esh) =>
+              indexBc.value.getOrElse(b, Array.empty).foreach { case (eid, esplit, esh) =>
                 if (eid != docId && seen.add(eid)) {
                   var inter = 0
                   var i = 0

@@ -54,6 +54,16 @@ class HorizonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == Seq("abcd"))
   }
 
+  test("unigramLmTrain: maxTrainDocs fail-fast guard trips before training") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.unigramLmTrain(
+        docs, $"text", vocabSize = 3, rounds = 1, maxTrainDocs = 2)
+    }
+    assert(e.getMessage.contains("maxTrainDocs"))
+  }
+
   test("unigramLmTrain/Encode: chars always kept, vocab cap, deterministic, encode joins back") {
     import spark.implicits._
     val docs = Seq(

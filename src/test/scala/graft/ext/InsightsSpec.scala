@@ -259,6 +259,18 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, "c c", "c c", "c c c c", 1L)))
   }
 
+  test("bpeTrain: maxTrainDocs fail-fast guard trips before the training loop") {
+    import spark.implicits._
+    val docs = Seq("a b", "c d", "e f").toDF("txt")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(docs, col("txt"), rounds = 2, maxTrainDocs = 2)
+    }
+    assert(e.getMessage.contains("maxTrainDocs"))
+    // at the bound it trains normally
+    assert(TextAnalysis.bpeTrain(docs, col("txt"), rounds = 1, maxTrainDocs = 3)
+      .count() == 1L)
+  }
+
   test("bpeEncode: merges replay in learned order; train-then-encode reproduces trainer state") {
     import spark.implicits._
     val docs = Seq((1L, "c c c c"), (2L, "a b a b"), (3L, "a b c"))

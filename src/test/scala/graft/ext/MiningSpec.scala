@@ -175,6 +175,25 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped.count(p => p._1 >= 3L && p._2 >= 3L) == 6)
   }
 
+  test("crossDocDupSpans: maxPerDoc caps within-doc window multiplicity (k^2 guard)") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ") // exactly one window
+    // the passage repeats 3x inside EACH doc: uncapped that is 3x3 = 9
+    // matched windows for the pair; maxPerDoc = 1 keeps only the first
+    // start-ordered occurrence per doc → exactly 1 matched window
+    val d = docs(
+      1L -> s"a1 b1 $passage c1 $passage d1 $passage",
+      2L -> s"x2 $passage y2 $passage z2 $passage w2")
+    val capped = Dedup.crossDocDupSpans(d, "doc_id", "text", window = 8,
+        maxDf = 8, maxPerDoc = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
+    assert(capped.toSeq == Seq((1L, 2L, 1L)), capped.mkString(","))
+    val uncapped = Dedup.crossDocDupSpans(d, "doc_id", "text", window = 8,
+        maxDf = 8, maxPerDoc = 8)
+      .collect().map(r => r.getLong(6)).sum
+    assert(uncapped == 9L, s"expected 9 matched windows uncapped, got $uncapped")
+  }
+
   test("capPerCluster: cluster capped, singletons survive, deterministic") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"

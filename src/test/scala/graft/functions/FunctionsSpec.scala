@@ -378,4 +378,19 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 1e6*9//10 = 900000; 900000*6//9 = 600000
     assert(km.getSeq[Long](0).toSeq == Seq(900000L, 600000L))
   }
+
+  test("graft_km_fold_ppm: n=0 step poisons the tail with nulls instead of crashing") {
+    // malformed input is data, not an error (the pnm_decode contract):
+    // a zero at-risk count has no product-limit factor — that step and
+    // every later one come back null, like the former SQL div fold
+    val r = spark.sql(
+      "SELECT graft_km_fold_ppm(array(named_struct('n', 4L, 'd', 1L), " +
+        "named_struct('n', 0L, 'd', 0L), named_struct('n', 3L, 'd', 1L))) AS s")
+      .collect().head.getSeq[Any](0).toSeq
+    assert(r == Seq(750000L, null, null))
+    // null input → null output, no exception
+    assert(spark.sql(
+      "SELECT graft_km_fold_ppm(CAST(NULL AS ARRAY<STRUCT<n: BIGINT, d: BIGINT>>)) AS s")
+      .collect().head.isNullAt(0))
+  }
 }

@@ -51,6 +51,39 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.map(_._1) == Seq("lead_xref"))
   }
 
+  test("SyncJob: exactly ONE Spark JDBC extraction per table (count is pushed down)") {
+    // the reference's S2: the reconciliation count runs IN the database
+    // (sync.py:45-55); the write is the only Spark pull. Evidence: of
+    // all query executions the job triggers, exactly one plan scans a
+    // JDBCRelation (the write), and the other scan is the file re-read.
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = SyncJob.run(spark, Map(
+        "jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> tmp()))
+      assert(out == Seq(("lead_xref", 25L, 25L))) // reconciliation unchanged
+      // the listener bus is async: wait for BOTH executions (write +
+      // re-read) to arrive before counting
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(plans.size >= 2, s"expected >=2 query executions, saw ${plans.size}")
+      val jdbcScans = plans.asScala.count(_.contains("JDBCRelation"))
+      assert(jdbcScans == 1,
+        s"expected exactly 1 JDBC extraction, saw $jdbcScans:\n${plans.asScala.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("SyncJob: pushedCount counts in the database, matching the table size") {
+    assert(SyncJob.pushedCount(url, new java.util.Properties(), "lead_xref") == 25L)
+  }
+
   test("SyncJob: dead database fails fast at the liveness probe, before any table work") {
     val dest = tmp()
     intercept[java.sql.SQLException] {

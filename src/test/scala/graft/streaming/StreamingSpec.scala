@@ -285,6 +285,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("leakage gate: shingle-volume guard trips on an oversized eval index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // 2 docs <= maxEvalDocs=2, but together they carry > 100 x 2
+    // shingle hashes — the BYTE bound must trip even when the doc
+    // COUNT bound passes
+    val longText = (0 until 250).map(i => s"w$i").mkString(" ") // ~248 shingles
+    val evalDocs = Seq((1L, longText, "test"), (2L, longText, "val"))
+      .toDF("doc_id", "text", "split")
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.leakageGate(
+        input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text", "split",
+        maxEvalDocs = 2)
+    }
+    assert(e.getMessage.contains("shingle"), e.getMessage)
+  }
+
   test("audio admission gate: per-clip verdicts match the batch q253 screen, re-delivery inert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
