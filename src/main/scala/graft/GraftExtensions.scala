@@ -205,5 +205,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_amplitude_envelope",
         "graft_amplitude_envelope(samples, n_windows) - box-filter mean-|amplitude| envelope"),
       (args: Seq[Expression]) => graft.functions.AmplitudeEnvelope(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_png_encode"),
+      info("graft_png_encode",
+        "graft_png_encode(rgb_pixels, width, height) - lossless PNG bytes from " +
+          "row-major packed 0xRRGGBB ints (JDK javax.imageio encoder)"),
+      (args: Seq[Expression]) => graft.functions.PngEncode(args(0), args(1), args(2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_imageio_decode"),
+      info("graft_imageio_decode",
+        "graft_imageio_decode(bytes) - decode PNG/JPEG/BMP/GIF via JDK javax.imageio: " +
+          "struct(fmt, width, height, gray)"),
+      (args: Seq[Expression]) => graft.functions.ImageIoDecode(args(0))))
   }
 }

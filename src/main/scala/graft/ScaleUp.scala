@@ -29,7 +29,8 @@ object ScaleUp {
       if (args.length > 2) args.drop(2).toSet
       else Set("q35_dedup_minhash_lsh", "q36_dedup_simhash", "q37_dedup_ngram_jaccard",
         "q38_embedding_neardup", "q63_tf_top_terms", "q64_dedup_canonical_neardup",
-        "q231_phash_neardup", "q243_pnm_phash_neardup", "q245_crossdoc_spans")
+        "q231_phash_neardup", "q243_pnm_phash_neardup", "q245_crossdoc_spans",
+        "q263_png_phash_neardup")
     val spark = GraftSession.local("graft-scaleup", cores = 32)
     val big = java.nio.file.Files.createTempDirectory("graft_scale").toString
     scaled(Tables.load(spark, sfDir, "documents"), "doc_id", factor)

@@ -438,6 +438,156 @@ case class LumaGrid2D(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** (pixels array<int> of 0xRRGGBB, width, height) → binary PNG via the
+  * JDK's built-in encoder (javax.imageio ships in java.desktop — no
+  * external jar). PNG is LOSSLESS: decode(encode(px)) == px exactly,
+  * which is what makes the compressed-image path oracle-checkable —
+  * the oracle replays the PIXEL formula while Spark round-trips the
+  * actual container bytes. Null when the array length ≠ width·height
+  * (or w/h ≤ 0, or > 2²⁴ pixels — the same bomb rail as the decoders).
+  */
+case class PngEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"png_encode requires (array<int>, int, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on shape mismatch. */
+  def encode(ad: ArrayData, w: Int, h: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24) ||
+      ad.numElements() != w.toLong * h) return null
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      img.setRGB(i % w, i / w, ad.getInt(i))
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(64 + n * 3)
+    // MemoryCacheImageOutputStream: no disk-cache temp files per row
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "png", ios)) return null
+      ios.flush()
+    } finally ios.close()
+    out.toByteArray
+  }
+
+  override protected def nullSafeEval(px: Any, w: Any, h: Any): Any =
+    encode(px.asInstanceOf[ArrayData], w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pngEncode", this, classOf[PngEncode].getName)
+    nullSafeCodeGen(ctx, ev, (px, w, h) => s"""
+      ${ev.value} = $ref.encode($px, $w, $h);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PngEncode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Compressed-image decode via the JDK-builtin `javax.imageio` readers
+  * (PNG / JPEG / BMP / GIF / WBMP — java.desktop, no external jar):
+  * binary → struct(fmt, width, height, gray array<int>), gray being the
+  * same Rec. 709 integer surrogate ⌊(2126·R + 7152·G + 722·B)/10000⌋
+  * per pixel as [[PnmDecode]], over the decoder's 8-bit sRGB output.
+  * This retires the md5 stub for images: PNM covers the byte-exact
+  * oracle path, ImageIoDecode the real-world container formats.
+  *
+  * Robustness contract (identical to PnmDecode): any malformed payload
+  * — unknown magic, truncated stream, decoder exception — is NULL, not
+  * an error. The bomb guard reads width/height from the HEADER first
+  * (ImageReader.getWidth/getHeight are metadata peeks, not decodes) and
+  * nulls anything above 2²⁴ pixels BEFORE allocating the raster, so a
+  * decompression bomb costs a header parse, never memory.
+  *
+  * Determinism: PNG/BMP/GIF decode is bit-exact by spec. JPEG inverse
+  * DCT may vary across JDK builds — fine for near-dup fingerprints
+  * (grid means absorb ±1 pixel noise), not for an oracle; oracle
+  * queries use PNG (lossless) payloads only.
+  */
+case class ImageIoDecode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fmt", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("gray", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"imageio_decode requires binary, got $other")
+  }
+
+  /** Header-guarded decode; null on any malformation. Public for codegen. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length == 0) return null
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0) // header peek, no raster allocation
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+        val img = reader.read(0)
+        val fmt = org.apache.spark.unsafe.types.UTF8String.fromString(
+          reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            gray(y * w + x) = ((2126L * r + 7152L * g + 722L * b) / 10000L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        new GenericInternalRow(Array[Any](fmt, w, h, new GenericArrayData(gray)))
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => null // decode failure is data
+    } finally iis.close()
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imageIoDecode", this, classOf[ImageIoDecode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.decode($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageIoDecode =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the media perceptual-hash expressions. */
 object MediaFunctions {
   def lumaGrid(bytes: Column): Column =
@@ -455,4 +605,11 @@ object MediaFunctions {
       GraftExprBridge.expression(pixels),
       GraftExprBridge.expression(width),
       GraftExprBridge.expression(height)))
+  def pngEncode(pixels: Column, width: Column, height: Column): Column =
+    GraftExprBridge.column(PngEncode(
+      GraftExprBridge.expression(pixels),
+      GraftExprBridge.expression(width),
+      GraftExprBridge.expression(height)))
+  def imageIoDecode(bytes: Column): Column =
+    GraftExprBridge.column(ImageIoDecode(GraftExprBridge.expression(bytes)))
 }

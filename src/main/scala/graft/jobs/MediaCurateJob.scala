@@ -10,10 +10,12 @@ import graft.ext.Graph
   * operators into one job over a mixed (media_id, kind, payload)
   * corpus:
   *
-  *   1. decode screen — REAL parsers ([[graft.functions.PnmDecode]]
-  *      for raw PNM images, [[graft.functions.WavDecode]] for
-  *      RIFF/WAVE PCM audio); undecodable payloads drop here (decode
-  *      failure is data, the q243/q253 contract);
+  *   1. decode screen — REAL parsers ([[graft.multimodal.Media.imageDecode]]:
+  *      raw PNM via [[graft.functions.PnmDecode]] plus PNG/JPEG/BMP/GIF
+  *      via the JDK-builtin [[graft.functions.ImageIoDecode]];
+  *      [[graft.functions.WavDecode]] for RIFF/WAVE PCM audio);
+  *      undecodable payloads drop here (decode failure is data, the
+  *      q243/q253 contract);
   *   2. QA gates — images: minimum dimensions (thumbnails and
   *      stub-sized assets carry no training signal); audio: minimum
   *      duration and maximum rail-pinned clip share (q253's screen,
@@ -68,15 +70,16 @@ object MediaCurateJob {
     val img = media.filter(col("kind") === "image")
     val aud = media.filter(col("kind") === "audio")
 
-    // 1. decode screen + per-item stats. Pinned: each stats relation
-    //    feeds the QA gate, the survivor join, and the final write
-    //    (multi-consumer — the q218 lesson).
-    import graft.functions.MediaFunctions.pnmDecode
+    // 1. decode screen + per-item stats. Container-agnostic: raw PNM
+    //    through the byte-exact parser, PNG/JPEG/BMP/GIF through the
+    //    JDK-builtin ImageIO readers (Media.imageDecode). Pinned: each
+    //    stats relation feeds the QA gate, the survivor join, and the
+    //    final write (multi-consumer — the q218 lesson).
     val imgStats = img
-      .select(col("media_id"), pnmDecode(col("payload")).as("__p"))
+      .select(col("media_id"), Media.imageDecode(col("payload")).as("__p"))
       .filter(col("__p").isNotNull)
-      .select(col("media_id"), col("__p.width").as("width"),
-        col("__p.height").as("height"), col("__p.maxval").as("maxval"))
+      .select(col("media_id"), col("__p.fmt").as("fmt"),
+        col("__p.width").as("width"), col("__p.height").as("height"))
       .localCheckpoint()
     val audStats = Media.audioStats(aud, "media_id", "payload")
       .withColumn("clip_ppm",
@@ -109,7 +112,7 @@ object MediaCurateJob {
     val imgKeptMedia = img.join(imgOk.select("media_id"), Seq("media_id"))
     val audKeptMedia = aud.join(audOk.select("media_id"), Seq("media_id"))
     val imgFinal = dropDupes(imgOk,
-      Media.pnmPhashPairs(imgKeptMedia, "media_id", "payload", maxHamming))
+      Media.imagePhashPairs(imgKeptMedia, "media_id", "payload", maxHamming))
     val audFinal = dropDupes(audOk,
       Media.audioNeardupPairs(audKeptMedia, "media_id", "payload", maxHamming))
     val images = imgFinal.count()

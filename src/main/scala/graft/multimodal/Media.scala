@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   * batch execution (one codec init per partition — the Scala analogue of
   * a pandas-batched UDF), binary-safe schemas, deterministic output.
   *
-  * Codecs: UNCOMPRESSED images (raw PNM — PGM "P5" / PPM "P6") decode
-  * for REAL via the pure-JVM [[graft.functions.PnmDecode]] expression
-  * (header parse + raster read + Rec. 709 integer luma) — see
-  * [[pnmPhashPairs]] for the end-to-end real-pixel near-dup path.
-  * COMPRESSED formats (JPEG, PCM resample, H.264 frame grab) need
-  * codec libraries this container lacks, so [[Media.decodeStub]]
-  * stands in for them, deriving features from md5 of the payload; a
-  * real deployment swaps that one function for the JNI/FFI call —
-  * every signature, schema and partitioning decision stays.
+  * Codecs: IMAGES decode for REAL — raw PNM (PGM "P5"/PPM "P6") via
+  * the pure-JVM [[graft.functions.PnmDecode]] expression (header parse
+  * + raster read + Rec. 709 integer luma), and compressed containers
+  * (PNG/JPEG/BMP/GIF) via the JDK-builtin
+  * [[graft.functions.ImageIoDecode]] (javax.imageio ships in
+  * java.desktop); [[imageDecode]] unifies both behind one struct.
+  * AUDIO (RIFF/WAVE PCM) decodes for real via
+  * [[graft.functions.WavDecode]]. Only VIDEO (H.264 frame grab) and
+  * PCM resampling still need codec libraries this container lacks, so
+  * [[Media.decodeStub]] stands in for those, deriving features from
+  * md5 of the payload; a real deployment swaps that one function for
+  * the JNI/FFI call — every signature, schema and partitioning
+  * decision stays.
   */
 object Media {
 
@@ -151,6 +155,51 @@ object Media {
         pnmDecode(col(bytesCol).cast("binary")).as("__pnm"))
       .select(col("media_id"),
         dHash64(lumaGrid2d(col("__pnm.gray"), col("__pnm.width"), col("__pnm.height")))
+          .as("dh"))
+      .filter(col("dh").isNotNull)
+    dhashNeardupPairs(base, maxHamming)
+  }
+
+  /** Unified image decode over mixed-container payloads: raw PNM (PGM
+    * "P5"/PPM "P6") through the byte-exact [[graft.functions.PnmDecode]]
+    * scan, everything else (PNG/JPEG/BMP/GIF) through the JDK-builtin
+    * [[graft.functions.ImageIoDecode]]. One output shape —
+    * struct(fmt string, width, height, gray) — so every downstream
+    * operator (QA gates, 2-D luma grid, dHash) is container-agnostic.
+    * Evaluation is lazy per row: the cheap PNM header scan runs first
+    * and ImageIO is only consulted when it rejects. Undecodable
+    * payloads are NULL (decode failure is data, the q243 contract).
+    */
+  def imageDecode(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.MediaFunctions._
+    val pnm = pnmDecode(bytes)
+    when(pnm.isNotNull,
+      struct(
+        concat(lit("p"), pnm.getField("fmt").cast("string")).as("fmt"),
+        pnm.getField("width").as("width"),
+        pnm.getField("height").as("height"),
+        pnm.getField("gray").as("gray")))
+      .otherwise(imageIoDecode(bytes))
+  }
+
+  /** [[pnmPhashPairs]] generalized to mixed containers via
+    * [[imageDecode]]: PNM and PNG/JPEG/BMP/GIF payloads hash into ONE
+    * fingerprint space, so a re-encoded copy (PNM original, PNG
+    * variant) still pairs. Same scale shape: scan-stage decode+hash,
+    * keyed chunk join, no pair blowup.
+    */
+  def imagePhashPairs(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 4): DataFrame = {
+    import graft.functions.MediaFunctions._
+    val base = df
+      .select(col(idCol).as("media_id"),
+        imageDecode(col(bytesCol).cast("binary")).as("__img"))
+      .filter(col("__img").isNotNull)
+      .select(col("media_id"),
+        dHash64(lumaGrid2d(col("__img.gray"), col("__img.width"), col("__img.height")))
           .as("dh"))
       .filter(col("dh").isNotNull)
     dhashNeardupPairs(base, maxHamming)

@@ -366,6 +366,90 @@ object Multimodal {
                CAST(8000 // lag AS BIGINT) AS f0_hz,
                CAST(r AS BIGINT) AS peak_corr
         FROM bst WHERE rn = 1 ORDER BY media_id
+      """)),
+    // ----------------------------------------------------------------
+    // COMPRESSED-container near-dup over REAL codec round-trips: each
+    // doc becomes a 16×16 RGB image (channels carved from one 60-bit
+    // hash per pixel), ENCODED to actual PNG bytes by the JDK encoder
+    // (PngEncode) and DECODED back by the JDK readers (ImageIoDecode,
+    // Rec. 709 integer luma) — PNG is lossless, so the decoded gray
+    // must equal the formula's gray exactly, and the oracle never
+    // touches a codec: it replays pixel → luma → 2-D grid → dHash →
+    // pigeonhole buckets in pure integer SQL. The planted variant adds
+    // +40 (clamped) per channel on the top-left 2×4-pixel region (the
+    // q243 corner patch), keeping planted pairs within Hamming 4. A
+    // single mis-decoded byte anywhere in the zlib/filter/raster walk
+    // breaks the hash match — this is the retirement proof for the
+    // compressed-image stub.
+    Q(
+      "q263_png_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.Column
+        import graft.functions.MediaFunctions.pngEncode
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        def px(variant: Boolean) =
+          transform(sequence(lit(0), lit(255)), { i =>
+            val h = graft.ext.TextHash.hash64(
+              concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
+            def ch(sh: Int): Column =
+              shiftrightunsigned(h, sh).bitwiseAND(lit(255L)).cast("int")
+            def adj(c: Column): Column =
+              if (variant) when(i < 32 && i % 16 < 4, least(lit(255), c + 40))
+                .otherwise(c)
+              else c
+            (shiftleft(adj(ch(0)), 16) + shiftleft(adj(ch(8)), 8) + adj(ch(16)))
+              .cast("int")
+          })
+        val media = docs
+          .select(($"doc_id" * 2).as("media_id"),
+            pngEncode(px(variant = false), lit(16), lit(16)).as("payload"))
+          .unionAll(docs.select(($"doc_id" * 2 + 1).as("media_id"),
+            pngEncode(px(variant = true), lit(16), lit(16)).as("payload")))
+        Media.imagePhashPairs(media, "media_id", "payload", maxHamming = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH basepx AS MATERIALIZED (
+          SELECT doc_id, i,
+                 h % 256 AS r, (h // 256) % 256 AS g, (h // 65536) % 256 AS b
+          FROM (SELECT doc_id, i,
+                       ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
+                FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i))),
+        px AS (
+          SELECT doc_id*2 AS media_id, i,
+                 (2126*r + 7152*g + 722*b) // 10000 AS p
+          FROM basepx
+          UNION ALL
+          SELECT doc_id*2+1, i,
+                 CASE WHEN i < 32 AND i % 16 < 4
+                   THEN (2126*LEAST(255, r+40) + 7152*LEAST(255, g+40)
+                         + 722*LEAST(255, b+40)) // 10000
+                   ELSE (2126*r + 7152*g + 722*b) // 10000 END
+          FROM basepx),
+        cells AS (
+          SELECT media_id,
+                 (((i // 16) * 8) // 16) * 8 + (((i % 16) * 8) // 16) AS c,
+                 SUM(p) // COUNT(*) AS lum
+          FROM px GROUP BY 1, 2),
+        g8 AS (SELECT media_id, list(lum ORDER BY c) AS g FROM cells GROUP BY media_id),
+        hash AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN g[CAST((i//8)*8 + ((i%8)+1)%8 + 1 AS INT)] > g[CAST(i+1 AS INT)]
+              THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
+              ELSE 0 END) AS BIGINT) AS dh
+          FROM g8 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+        chunked AS (
+          SELECT media_id, dh, c, (dh >> CAST(c*12 AS INTEGER)) & 4095 AS v
+          FROM hash CROSS JOIN (SELECT unnest(range(0, 5)) AS c)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.dh AS ha, b.dh AS hb
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        ORDER BY id_a, id_b
       """))
   )
 }

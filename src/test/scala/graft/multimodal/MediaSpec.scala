@@ -400,4 +400,108 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.length == 25)
     assert(planted.forall(_._3 <= 3)) // only envelope cells 0-1 can move
   }
+
+  test("pngEncode/imageIoDecode: lossless RGB round-trip, Rec.709 luma, format name") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{pngEncode, imageIoDecode}
+    // 4x2 image with known channel values, including rails
+    val px = Seq(0x000000, 0xFFFFFF, 0xFF0000, 0x00FF00,
+      0x0000FF, 0x102030, 0x7F7F7F, 0x010203)
+    val want = px.map { p =>
+      val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      ((2126L * r + 7152L * g + 722L * b) / 10000L).toInt
+    }
+    val row = Seq(1).toDF("x")
+      .select(imageIoDecode(pngEncode(
+        typedLit(px), lit(4), lit(2))).as("d"))
+      .select($"d.fmt", $"d.width", $"d.height", $"d.gray")
+      .collect().head
+    assert(row.getString(0) == "png")
+    assert(row.getInt(1) == 4 && row.getInt(2) == 2)
+    assert(row.getSeq[Int](3).toSeq == want)
+  }
+
+  test("imageIoDecode: malformed payloads and header bombs decode to null, not errors") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{pngEncode, imageIoDecode}
+    val realPng = {
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val truncated = realPng.take(realPng.length / 2)
+    // PNG header DECLARING 8192x8192 (> 2^24 pixels) with no raster: the
+    // bomb guard must null it from the header peek alone
+    val bomb = {
+      val sig = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      val ihdrBody = java.nio.ByteBuffer.allocate(17)
+      ihdrBody.put("IHDR".getBytes("US-ASCII"))
+        .putInt(8192).putInt(8192).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      val crc = new java.util.zip.CRC32(); crc.update(ihdrBody.array())
+      val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+      val crcB = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      sig ++ len ++ ihdrBody.array() ++ crcB
+    }
+    val rows = Seq(
+      ("garbage", "not an image at all".getBytes("UTF-8")),
+      ("empty", Array.empty[Byte]),
+      ("truncated", truncated),
+      ("bomb", bomb),
+      ("ok", realPng)).toDF("name", "payload")
+      .select($"name", imageIoDecode($"payload").as("d"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(rows("garbage") && rows("empty") && rows("truncated") && rows("bomb"))
+    assert(!rows("ok"))
+    // encoder-side shape guards: bad dims / wrong length / bomb dims
+    val enc = Seq(1).toDF("x").select(
+      pngEncode(typedLit(Seq(1, 2)), lit(3), lit(1)).as("badlen"),
+      pngEncode(typedLit(Seq(1)), lit(0), lit(1)).as("zerow"),
+      pngEncode(typedLit(Seq(1)), lit(8192), lit(8192)).as("bomb"))
+      .collect().head
+    assert(enc.isNullAt(0) && enc.isNullAt(1) && enc.isNullAt(2))
+  }
+
+  test("imageDecode unifies PNM and ImageIO containers; imagePhashPairs pairs across formats") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{pngEncode, packBytes}
+    // the SAME 16x16 grayscale pixels shipped twice: once as raw PGM
+    // bytes, once as an RGB PNG (r=g=b → identical luma) — the decoded
+    // grids match exactly, so the pair lands at Hamming 0
+    def pix(i: Int, j: Int) =
+      ((graft.ext.TextHash.hash64Local(s"img$i:$j") % 256L) + 256L).toInt % 256
+    val rows = (0 until 8).flatMap { i =>
+      val px = Seq.tabulate(256)(j => pix(i, j))
+      val pgm = s"P5\n16 16\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+      Seq((i.toLong * 2, pgm, "pgm"))
+    }
+    val pngDf = (0 until 8).map(i => i.toLong * 2 + 1 -> i).toDF("media_id", "i")
+      .select($"media_id", pngEncode(
+        transform(sequence(lit(0), lit(255)), { j =>
+          val p = (graft.ext.TextHash.hash64(
+            concat(lit("img"), ($"media_id" / 2).cast("int").cast("string"),
+              lit(":"), j.cast("string"))) % 256).cast("int")
+          (shiftleft(p, 16) + shiftleft(p, 8) + p).cast("int")
+        }), lit(16), lit(16)).as("payload"))
+    val pgmDf = rows.map(r => (r._1, r._2)).toDF("media_id", "payload")
+    val media = pgmDf.unionByName(pngDf)
+    // decode screen sees both containers
+    val decoded = media.select($"media_id",
+        graft.multimodal.Media.imageDecode($"payload").as("d"))
+      .filter($"d".isNotNull)
+      .select($"media_id", $"d.fmt".as("fmt")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded.size == 16)
+    assert(decoded(0L) == "p5" && decoded(1L) == "png")
+    // cross-format pairing at Hamming 0
+    val pairs = graft.multimodal.Media
+      .imagePhashPairs(media, "media_id", "payload", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(planted.length == 8, pairs.mkString(","))
+    assert(planted.forall(_._3 == 0L))
+  }
 }
