@@ -214,6 +214,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.PngEncode(args(0), args(1), args(2))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_html_extract"),
+      info("graft_html_extract",
+        "graft_html_extract(html) - main-content extraction: strip tags, drop " +
+          "script/style/comment blocks, decode core entities, collapse whitespace"),
+      (args: Seq[Expression]) => graft.functions.HtmlExtract(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_imageio_decode"),
       info("graft_imageio_decode",
         "graft_imageio_decode(bytes) - decode PNG/JPEG/BMP/GIF via JDK javax.imageio: " +

@@ -29,6 +29,12 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *                            bigram (< 2 tokens) have no score and are
   *                            dropped too — in practice unreachable
   *                            behind any min-words >= 2 (default: off)
+  *   [--html-extract on]      run markup main-content extraction FIRST
+  *                            (HtmlExtract: tag strip, script/style/
+  *                            comment drop, entity decode, whitespace
+  *                            collapse) — the stage every raw web
+  *                            corpus needs before any text gate
+  *                                                     (default: off)
   *   [--min-sentences N]      drop docs with fewer than N terminator-
   *                            ended sentences or not ending at a
   *                            sentence boundary (q178)  (default: off)
@@ -103,8 +109,21 @@ object CurateJob {
     val shards = conf.getOrElse("shards", "64").toInt
     val batchSize = conf.getOrElse("batch-size", "256").toInt
 
-    val docs = spark.read.parquet(source)
-    val input = docs.count()
+    val raw = spark.read.parquet(source)
+    val input = raw.count()
+
+    // -1. optional markup extraction (--html-extract on) — the TRUE
+    //     first stage of a web corpus: strip tags, drop script/style/
+    //     comment blocks, decode core entities, collapse whitespace
+    //     (HtmlExtract, one linear scan-stage pass per doc). Every
+    //     gate below assumes running text; measuring Gopher ratios or
+    //     shingles over raw markup would gate on chrome, not content.
+    //     Off by default: already-clean corpora must not pay the scan.
+    val docs =
+      if (conf.contains("html-extract"))
+        raw.withColumn("text",
+          graft.functions.HtmlFunctions.htmlExtract(col("text")))
+      else raw
 
     // 0. encoding screen — step zero, BEFORE any text interpretation:
     //    drop docs with invalid UTF-8 bytes, control chars, replacement-

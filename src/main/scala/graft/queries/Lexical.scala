@@ -200,6 +200,66 @@ object Lexical {
                  AS mean_p_ppb
         FROM bg JOIN cb USING (w, w2) JOIN c1 USING (w)
         GROUP BY bg.doc_id ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // HTML main-content extraction — the FIRST stage of web-corpus
+    // curation: each doc's text is wrapped in a realistic page (title,
+    // style block, script block containing a '<' that must NOT open a
+    // tag, header with entities, comment, nbsp padding), then
+    // HtmlExtract strips tags, drops script/style/comment blocks,
+    // decodes the core entities, and collapses whitespace in one
+    // scan-stage codegen pass. The expression is DEFINED as equal to
+    // an RE2 regex pipeline, which the oracle replays verbatim
+    // (DuckDB regexp_replace is RE2) — tag-clean input text by
+    // fixture, so every byte of the extraction is checked.
+    Q(
+      "q264_html_extract",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HtmlFunctions.htmlExtract
+        val html = concat(
+          lit("<html><head><title>T"), $"doc_id".cast("string"),
+          lit("</title><STYLE>p { color: red; }</STYLE>" +
+            "<script>if (a < b) { go(); }</script></head>" +
+            "<body><h1 class=\"x\">H &amp; &lt;tag&gt; &#65;</h1>" +
+            "<!-- hidden chrome -->\n<p>"),
+          $"text",
+          lit("</p>&nbsp;<br/></body></html>"))
+        t(s, dir, "documents")
+          .select($"doc_id", htmlExtract(html).as("extracted"))
+          .withColumn("n_words", size(split($"extracted", " ")).cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH page AS (
+          SELECT doc_id,
+                 '<html><head><title>T' || CAST(doc_id AS VARCHAR) ||
+                 '</title><STYLE>p { color: red; }</STYLE>' ||
+                 '<script>if (a < b) { go(); }</script></head>' ||
+                 '<body><h1 class="x">H &amp; &lt;tag&gt; &#65;</h1>' ||
+                 '<!-- hidden chrome -->' || chr(10) || '<p>' ||
+                 text || '</p>&nbsp;<br/></body></html>' AS html
+          FROM documents),
+        ext AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(replace(
+                     regexp_replace(
+                     regexp_replace(
+                     regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&#65;', 'A'), '&nbsp;', ' '),
+                     '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS extracted
+          FROM page)
+        SELECT doc_id, extracted,
+               CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
+        FROM ext ORDER BY doc_id
       """))
   )
 }

@@ -379,6 +379,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km.getSeq[Long](0).toSeq == Seq(900000L, 600000L))
   }
 
+  test("graft_html_extract: tags, blocks, entities, whitespace — the state-machine contract") {
+    import org.apache.spark.sql.functions.lit
+    def x(html: String): String = spark.range(1)
+      .select(graft.functions.HtmlFunctions.htmlExtract(lit(html)).as("t"))
+      .collect().head.getString(0)
+    // tag strip emits a separator space; whitespace collapses; trims
+    assert(x("<p>a</p><p>b</p>") == "a b")
+    assert(x("  <div> a \n\n b </div>  ") == "a b")
+    // script/style/comment blocks drop WHOLESALE, case-insensitive,
+    // including '<' inside script that must not open a tag
+    assert(x("a<script>if (x < y) { no(); }</script>b") == "a b")
+    assert(x("a<SCRIPT type=\"x\">ignored</SCRIPT>b") == "a b")
+    assert(x("a<style>p { c: d; }</style>b") == "a b")
+    assert(x("a<!-- <p>hidden</p> -->b") == "a b")
+    // unclosed blocks/tags drop to EOF
+    assert(x("keep<script>lost forever") == "keep")
+    assert(x("keep<!-- lost") == "keep")
+    assert(x("keep<unclosed") == "keep")
+    // entities: named core set, numeric dec/hex, amp decoded ONCE
+    assert(x("&lt;x&gt; &amp; &quot;q&quot; &apos;a&apos;") == "<x> & \"q\" 'a'")
+    assert(x("&#65;&#x42;") == "AB")
+    assert(x("&amp;lt;") == "&lt;") // no double decode
+    assert(x("a&nbsp;&nbsp;b") == "a b") // nbsp is whitespace, collapses
+    // unrecognized entities stay verbatim
+    assert(x("AT&T &bogus; &#; &") == "AT&T &bogus; &#; &")
+    // scriptify lookalikes are ordinary tags, not blocks
+    assert(x("<scripty>inner</scripty>") == "inner")
+    // astral-plane numeric entity survives
+    assert(x("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    // null in, null out
+    assert(spark.sql("SELECT graft_html_extract(CAST(NULL AS STRING)) AS t")
+      .collect().head.isNullAt(0))
+  }
+
   test("graft_km_fold_ppm: n=0 step poisons the tail with nulls instead of crashing") {
     // malformed input is data, not an error (the pnm_decode contract):
     // a zero at-risk count has no product-limit factor — that step and

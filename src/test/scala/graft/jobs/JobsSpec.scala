@@ -210,6 +210,35 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == r)
   }
 
+  test("CurateJob: --html-extract strips markup BEFORE the gates and outputs clean text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = tmp()
+    // doc 1: real content wrapped in page chrome (script/style/comment
+    // must not reach the gates); doc 2: chrome-only page — after
+    // extraction it has too few words and must be gated OUT
+    Seq(
+      (1L, "<html><head><style>p{}</style><script>drop() < now</script></head>" +
+        "<body><h1>Title &amp; More</h1><p>alpha beta gamma delta epsilon " +
+        "zeta eta theta</p><!-- x --></body></html>", "en", "web"),
+      (2L, "<html><body><script>only chrome here nothing else at all" +
+        "</script><p>tiny</p></body></html>", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(src)
+    val dest = tmp()
+    val r = CurateJob.run(spark, Map(
+      "source" -> src, "dest" -> dest, "html-extract" -> "on",
+      "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:1.0", "chunk-window" -> "40",
+      "chunk-overlap" -> "10", "shards" -> "1", "batch-size" -> "8"))
+    assert(r.input == 2 && r.afterQuality == 1, r)
+    val out = spark.read.parquet(s"$dest/documents")
+      .select("doc_id", "text").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) ==
+      "Title & More alpha beta gamma delta epsilon zeta eta theta")
+  }
+
   test("CurateJob: leakage report and tokenizer artifacts materialize and are sane") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
