@@ -698,6 +698,97 @@ object EventStreams {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
 
+  /** One micro-batch of the exactly-once JDBC warehouse sink — public
+    * so a retry is directly testable. Idempotence protocol (the
+    * batchId-ledger pattern; the reference absorbs the same
+    * at-least-once gap via warehouse-connector options,
+    * `/root/reference/ingest.py:813-819`):
+    *
+    *   1. `<table>_commits` is the commit ledger (one batch_id row per
+    *      durably applied batch, PRIMARY KEY); created on first use;
+    *   2. a batch whose id is already in the ledger is SKIPPED — a
+    *      replayed/retried micro-batch cannot double-append;
+    *   3. an uncommitted batch first DELETEs its own batch_id rows
+    *      from the data table (repairing a crashed half-written
+    *      attempt), appends all rows tagged with `batch_id`, and only
+    *      then inserts the ledger row — the commit point.
+    *
+    * Rows are thus applied exactly once as of each ledger insert; the
+    * only anomaly window is a crashed attempt's partial rows before
+    * its retry repairs them, which strict readers exclude by joining
+    * the ledger. Returns true when the batch was applied, false when
+    * skipped.
+    */
+  def jdbcIdempotentAppend(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      table: String,
+      props: java.util.Properties): Boolean = {
+    val ledger = table + "_commits"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url, props)
+      try f(c) finally c.close()
+    }
+    val committed = withConn { c =>
+      try {
+        val st = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+        try { st.setLong(1, batchId); st.executeQuery().next() } finally st.close()
+      } catch {
+        case _: java.sql.SQLException => // first use: create the ledger
+          val st = c.createStatement()
+          try st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+          catch { case _: java.sql.SQLException => () } // lost a create race: fine
+          finally st.close()
+          false
+      }
+    }
+    if (committed) false
+    else {
+      withConn { c =>
+        // probe existence first so a real DELETE failure propagates
+        // (the writer creates quoted-lowercase columns, so quote it)
+        val exists =
+          try {
+            val st = c.createStatement()
+            try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+            finally st.close()
+          } catch { case _: java.sql.SQLException => false } // first batch ever
+        if (exists) {
+          val st = c.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+          try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+        }
+      }
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("append").jdbc(url, table, props)
+      withConn { c =>
+        val st = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
+      true
+    }
+  }
+
+  /** Streaming warehouse sink with exactly-once EFFECTS over plain
+    * JDBC: checkpointed foreachBatch + [[jdbcIdempotentAppend]]'s
+    * batch-ledger, so Structured Streaming's at-least-once batch
+    * replay (checkpoint recovery, speculative retries) never
+    * double-appends.
+    */
+  def jdbcExactlyOnceSink(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        jdbcIdempotentAppend(batch.toDF(), batchId, url, table, props)
+        ()
+      }
+
   /** Continuous CDC apply: merge a change-log stream into a
     * materialized current-state table — the streaming twin of
     * [[graft.etl.Merge.upsert]] and the native generalization of the

@@ -575,6 +575,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("jdbcExactlyOnceSink: replayed micro-batches never double-append (batch ledger)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby-xo").toString)
+    val url = "jdbc:derby:memory:xodb;create=true"
+    val props = new java.util.Properties()
+    val ckpt = java.nio.file.Files.createTempDirectory("xo-ckpt").toString
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+    val q = EventStreams.jdbcExactlyOnceSink(agg, url, "xo_counts", props, ckpt).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:04:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 01:00:00", 2, "view", 0.0)) // closes the window
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.jdbc(url, "xo_counts", props)
+    val before = stored.count()
+    assert(before > 0)
+    val batchIds = stored.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // REPLAY every committed batch verbatim (the at-least-once retry):
+    // the ledger must skip each one, leaving the table bit-identical
+    val replayRows = spark.read.jdbc(url, "xo_counts", props).localCheckpoint()
+    for (bid <- batchIds) {
+      val applied = EventStreams.jdbcIdempotentAppend(
+        replayRows.filter(col("batch_id") === bid).drop("batch_id"),
+        bid, url, "xo_counts", props)
+      assert(!applied, s"replay of committed batch $bid must be skipped")
+    }
+    assert(spark.read.jdbc(url, "xo_counts", props).count() == before)
+    // CRASHED-attempt repair: partial rows for a NEW batch id land in
+    // the table without a ledger row; the retry must wipe them and
+    // apply the full batch exactly once
+    val next = batchIds.max + 100
+    replayRows.limit(1).withColumn("batch_id", lit(next))
+      .write.mode("append").jdbc(url, "xo_counts", props) // the "crash"
+    val fullBatch = replayRows.drop("batch_id") // retry carries ALL rows
+    assert(EventStreams.jdbcIdempotentAppend(fullBatch, next, url, "xo_counts", props))
+    val afterRepair = spark.read.jdbc(url, "xo_counts", props)
+      .filter(col("batch_id") === next).count()
+    assert(afterRepair == fullBatch.count(), "partial rows repaired, batch applied once")
+    // and a second retry of the same id is now a no-op
+    assert(!EventStreams.jdbcIdempotentAppend(fullBatch, next, url, "xo_counts", props))
+  }
+
   test("cdcApply: change stream merges continuously into the current-state table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
