@@ -440,8 +440,13 @@ object Graph {
     require(maxDegree >= 2, s"bipartiteProject: maxDegree >= 2 required, got $maxDegree")
     val e = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r")).distinct()
     val deg = e.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
-    val kept = e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))
-      .select(col("__l"), col("__r"))
+    // `kept` feeds BOTH sides of the pair self-join below — the
+    // two-consumer shape that otherwise replays the scan+distinct+
+    // degree-join chain twice and read bimodally in the bench (the
+    // q147 pattern). Pin it so consumers replay blocks, not lineage.
+    val kept = checkpointTracked(
+      e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))
+        .select(col("__l"), col("__r")))._1
     kept.select(col("__l"), col("__r").as("a"))
       .join(kept.select(col("__l"), col("__r").as("b")), Seq("__l"))
       .filter(col("a") < col("b"))
@@ -658,8 +663,11 @@ object Graph {
     require(maxDegree >= 2, s"cooccurrenceCosine: maxDegree >= 2 required, got $maxDegree")
     val e = edges.select(col(basketCol).as("__l"), col(itemCol).as("__r")).distinct()
     val deg = e.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
-    val kept = e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))
-      .select(col("__l"), col("__r"))
+    // `kept` has THREE consumers (both self-join sides + the per-item
+    // counts) — pin it once instead of replaying the chain three times.
+    val kept = checkpointTracked(
+      e.join(deg.filter(col("__d") <= maxDegree), Seq("__l"))
+        .select(col("__l"), col("__r")))._1
     val pairs = kept.select(col("__l"), col("__r").as("a"))
       .join(kept.select(col("__l"), col("__r").as("b")), Seq("__l"))
       .filter(col("a") < col("b"))
