@@ -961,4 +961,68 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Corpus-frequent chunk removal (the RefinedWeb / C4 "repeated
+    * line" filter, re-expressed for token-chunk units): every document
+    * is segmented into fixed-size token chunks, each chunk's document
+    * frequency is counted across the WHOLE corpus, and chunks that
+    * appear in >= `maxDf` distinct documents are dropped from every
+    * document before recomposition — boilerplate (navigation chrome,
+    * license footers, templated headers) is exactly the text that
+    * repeats verbatim across many pages.
+    *
+    * Output: one row per input document —
+    * (doc_id, n_chunks, n_dropped, kept_text) where kept_text is the
+    * surviving chunks re-joined in original order ('' when everything
+    * was boilerplate). Docs with no tokens are absent.
+    *
+    * Scale posture: chunking is one keyed aggregation on
+    * (doc, chunk_idx); the corpus df table is a hash aggregate keyed
+    * by the 60-bit chunk hash (8-byte keys through the shuffle, never
+    * the chunk text — the text rides only the doc-keyed side); the df
+    * join is an equi-join on that hash; recomposition is one final
+    * doc-keyed aggregate. No pair space exists at any point — cost is
+    * linear in corpus tokens, the property that lets this run as the
+    * FIRST stage at 100 TB where pairwise dedup would be the last.
+    */
+  def frequentChunkFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8,
+      maxDf: Int = 3): DataFrame = {
+    require(chunkTokens >= 1, s"frequentChunkFilter: chunkTokens >= 1, got $chunkTokens")
+    require(maxDf >= 2, s"frequentChunkFilter: maxDf >= 2, got $maxDf")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextHash.tokens(col(textCol))).as(Seq("pos", "w")))
+    // lazy localCheckpoint: chunks feeds BOTH the df aggregate and the
+    // df join below — unpinned, the chunking aggregation would run
+    // twice (the q147 multi-consumer shape)
+    val chunks = toks
+      .groupBy(col("doc_id"), (col("pos") / chunkTokens).cast("long").as("cidx"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("chunk"))
+      .withColumn("h", TextHash.hash64(col("chunk")))
+      .localCheckpoint(false)
+    // corpus-wide document frequency per chunk — only the 8-byte hash
+    // crosses this shuffle
+    val dfTab = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks
+      .join(dfTab, Seq("h"))
+      .withColumn("dropped", col("df") >= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("dropped").cast("long")).as("n_dropped"),
+        // collect_list skips nulls: only surviving chunks are gathered,
+        // then re-ordered by their original chunk index
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dropped"), struct(col("cidx"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("kept_text"))
+  }
 }

@@ -183,6 +183,58 @@ object LangModel {
     * reduces it to the per-doc argmax row
     * (doc_id, predicted, score_ppb, n_tokens).
     */
+  /** CCNet-style per-language quality bucketing (Wenzek et al.,
+    * LREC'20): train an add-one-smoothed unigram LM per language on a
+    * trusted slice, score every document by its mean token probability,
+    * and split each language's documents into `nBuckets` quality
+    * terciles (bucket 1 = head = most LM-like, the slice CCNet keeps
+    * for pretraining). Scoring by mean probability rather than mean
+    * log-probability keeps the whole pipeline in exact integer
+    * parts-per-billion (no libm) — a monotone-enough surrogate for the
+    * bucketing use and bit-replayable by any engine.
+    *
+    * Output: (doc_id, lang, n_tokens, mean_p_ppb, bucket), one row per
+    * scored doc whose language has training data; ties broken by
+    * doc_id so the tercile assignment is deterministic.
+    *
+    * Plan shape: one explode per stream; the (lang, token) count table
+    * is vocabulary-bounded after map-side partials; the per-lang
+    * (N, V) table is |langs| rows and broadcasts; scoring is a
+    * token-keyed LEFT equi-join (Zipf heads → AQE skew-join, the
+    * q63/q107 posture); one per-doc aggregate; the final ntile is a
+    * per-language window — the only full-sort, keyed by lang, over the
+    * doc-level (not token-level) relation.
+    */
+  def unigramQualityBuckets(
+      train: DataFrame, score: DataFrame,
+      id: Column, text: Column, lang: Column,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"unigramQualityBuckets: nBuckets >= 2, got $nBuckets")
+    val trainToks = train
+      .filter(text.isNotNull && lang.isNotNull)
+      .select(lang.as("lang"), explode(TextHash.tokens(text)).as("w"))
+    val cnt = trainToks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("__c"))
+    val nv = trainToks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("w")).as("__v"))
+    val toks = score
+      .filter(text.isNotNull && lang.isNotNull)
+      .select(id.as("doc_id"), lang.as("lang"), explode(TextHash.tokens(text)).as("w"))
+    val scored = toks
+      .join(broadcast(nv), Seq("lang"))
+      .join(cnt, Seq("lang", "w"), "left")
+      .select(col("doc_id"), col("lang"),
+        // add-one smoothing: unseen tokens get 1/(N+V)
+        expr("(coalesce(__c, 0L) + 1L) * 1000000000L div (__n + __v)").as("__ppb"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("__ppb")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_p_ppb"))
+    val terciles = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_p_ppb").desc, col("doc_id"))
+    scored.withColumn("bucket", ntile(nBuckets).over(terciles))
+  }
+
   def naiveBayesScores(
       train: DataFrame, score: DataFrame,
       label: Column, id: Column, text: Column): DataFrame = {

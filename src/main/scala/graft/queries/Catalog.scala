@@ -22,7 +22,8 @@ object Catalog {
     Training.all,
     Frontier.all,
     Horizon.all,
-    Zenith.all
+    Zenith.all,
+    Corpus.all
   )
 
   lazy val all: Seq[Q] = {

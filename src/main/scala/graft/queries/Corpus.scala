@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, LangModel}
+import Q._
+
+/** Round-11 corpus-curation surface: the two classic web-corpus
+  * stages the catalog lacked — corpus-frequency boilerplate removal
+  * (RefinedWeb/C4 "repeated line" filtering) and CCNet-style
+  * per-language LM quality bucketing.
+  */
+object Corpus {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** DuckDB replica of TextHash.tokens. */
+  private def toksSql(c: String) = OracleSql.tokens(c)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Corpus-frequent chunk removal: segment every document into
+    // 8-token chunks, count each chunk's document frequency across the
+    // whole corpus, drop chunks appearing in >= 3 distinct documents,
+    // recompose. The Spark plan keys the df aggregate + join by the
+    // 60-bit chunk hash (8-byte shuffle keys); the oracle groups by
+    // the chunk STRING itself — identical semantics (the hash is
+    // injective on this corpus; production keeps the hash because text
+    // must not ride the df shuffle at 100 TB).
+    Q(
+      "q265_chunk_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.frequentChunkFilter(
+            t(s, dir, "documents"), "doc_id", "text",
+            chunkTokens = 8, maxDf = 3)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, w, i FROM (
+            SELECT doc_id, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents))),
+        ch AS (
+          SELECT doc_id, (i - 1) // 8 AS cidx,
+                 string_agg(w, ' ' ORDER BY i) AS chunk
+          FROM tok GROUP BY doc_id, (i - 1) // 8),
+        d AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk)
+        SELECT ch.doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(string_agg(CASE WHEN d.df < 3 THEN ch.chunk END,
+                                   ' ' ORDER BY ch.cidx), '') AS kept_text
+        FROM ch JOIN d USING (chunk)
+        GROUP BY ch.doc_id ORDER BY ch.doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // CCNet-style per-language quality terciles: an add-one-smoothed
+    // unigram LM is trained per language on the trusted slice (sources
+    // src0-src4, the "Wikipedia" proxy), every document is scored by
+    // its mean token probability in exact integer ppb, and each
+    // language's docs are ntile(3)-bucketed — bucket 1 is the "head"
+    // CCNet keeps. Ties (same mean) break by doc_id in both engines.
+    Q(
+      "q266_lm_quality_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(
+          $"source".isin("src0", "src1", "src2", "src3", "src4"))
+        LangModel.unigramQualityBuckets(
+            train, docs, $"doc_id", $"text", $"lang", nBuckets = 3)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tr AS (
+          SELECT lang, unnest(${toksSql("text")}) AS w FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4')),
+        c AS (SELECT lang, w, COUNT(*) AS c FROM tr GROUP BY lang, w),
+        nv AS (SELECT lang, COUNT(*) AS n, COUNT(DISTINCT w) AS v
+               FROM tr GROUP BY lang),
+        tok AS (SELECT doc_id, lang, unnest(${toksSql("text")}) AS w
+                FROM documents),
+        p AS (
+          SELECT tok.doc_id, tok.lang,
+                 (COALESCE(c.c, 0) + 1) * 1000000000 // (nv.n + nv.v) AS ppb
+          FROM tok JOIN nv USING (lang)
+          LEFT JOIN c ON tok.lang = c.lang AND tok.w = c.w),
+        sc AS (
+          SELECT doc_id, lang, COUNT(*) AS n_tokens,
+                 CAST(CAST(SUM(ppb) AS BIGINT) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE) AS mean_p_ppb
+          FROM p GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_tokens, mean_p_ppb,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                 ORDER BY mean_p_ppb DESC, doc_id) AS INTEGER) AS bucket
+        FROM sc ORDER BY doc_id
+      """))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics coverage for the round-11 corpus-curation operators. */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("corpus-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  test("frequentChunkFilter drops exactly the chunks shared by >= maxDf docs, keeps order") {
+    import spark.implicits._
+    // chunkTokens = 2; "nav bar" is the planted boilerplate in all 3
+    // docs; each doc also has unique content chunks
+    val docs = Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "eta theta nav bar")).toDF("doc_id", "text")
+    val out = Dedup.frequentChunkFilter(docs, "doc_id", "text",
+        chunkTokens = 2, maxDf = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // doc 1: chunks [nav bar][alpha beta][gamma delta] -> drop first
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 1L)
+    assert(out(0).getString(3) == "alpha beta gamma delta")
+    // doc 2: [nav bar][epsilon zeta] -> keep the unique tail
+    assert(out(1).getLong(2) == 1L && out(1).getString(3) == "epsilon zeta")
+    // doc 3: boilerplate at the END — [eta theta][nav bar]
+    assert(out(2).getLong(2) == 1L && out(2).getString(3) == "eta theta")
+  }
+
+  test("frequentChunkFilter: a doc that is ALL boilerplate recomposes to ''") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam"), (2L, "spam spam"), (3L, "spam spam real text here x")
+    ).toDF("doc_id", "text")
+    val out = Dedup.frequentChunkFilter(docs, "doc_id", "text",
+        chunkTokens = 2, maxDf = 3)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getString(3) == "" && out(0).getLong(2) == 1L)
+    assert(out(2).getString(3) == "real text here x")
+  }
+
+  test("frequentChunkFilter: df below maxDf keeps everything; short tail chunk counted") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // df = 2 < maxDf = 3 -> nothing dropped; 3 tokens @ chunk 2 -> 2 chunks
+    val out = Dedup.frequentChunkFilter(docs, "doc_id", "text",
+        chunkTokens = 2, maxDf = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 0L &&
+      r.getString(3) == "a b c"))
+  }
+
+  test("unigramQualityBuckets: smoothed ppb math and per-lang terciles are exact") {
+    import spark.implicits._
+    // train (en): tokens [good, good, data] -> N=3, V=2
+    // p(good) = (2+1)*1e9 div 5 = 600000000; p(data) = (1+1)*1e9 div 5
+    //         = 400000000; unseen = (0+1)*1e9 div 5 = 200000000
+    val train = Seq((100L, "good good data", "en")).toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (1L, "good good", "en"),        // mean = 600000000
+      (2L, "good data", "en"),        // mean = 500000000
+      (3L, "junk junk", "en"),        // mean = 200000000
+      (4L, "hola", "es")              // lang with no training rows -> absent
+    ).toDF("doc_id", "text", "lang")
+    val out = LangModel.unigramQualityBuckets(
+        train, score, $"doc_id", $"text", $"lang", nBuckets = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(byId(1L) == ((2L, 6.0e8, 1)))
+    assert(byId(2L) == ((2L, 5.0e8, 2)))
+    assert(byId(3L) == ((2L, 2.0e8, 3)))
+  }
+
+  test("unigramQualityBuckets: ties in mean break by doc_id, buckets partition per lang") {
+    import spark.implicits._
+    val train = Seq((100L, "w w w", "en"), (200L, "x x", "de"))
+      .toDF("doc_id", "text", "lang")
+    // all en docs score identically -> ntile order falls back to doc_id
+    val score = Seq(
+      (1L, "w", "en"), (2L, "w", "en"), (3L, "w", "en"),
+      (10L, "x", "de")).toDF("doc_id", "text", "lang")
+    val out = LangModel.unigramQualityBuckets(
+        train, score, $"doc_id", $"text", $"lang", nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3, 10L -> 1))
+  }
+
+  test("guard rails: invalid chunkTokens / maxDf / nBuckets fail fast") {
+    import spark.implicits._
+    val d = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      Dedup.frequentChunkFilter(d, "doc_id", "text", chunkTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.frequentChunkFilter(d, "doc_id", "text", maxDf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      LangModel.unigramQualityBuckets(d, d, $"doc_id", $"text", $"lang", nBuckets = 1)
+    }
+  }
+}
