@@ -99,4 +99,61 @@ object Linkage {
             "(CAST(n_records AS DECIMAL(38,0)) * (n_records - 1))"))
           .as("reduction_ratio_ppm"))
   }
+
+  /** Fellegi–Sunter probabilistic linkage scoring (Fellegi & Sunter,
+    * JASA 1969) over a blocked candidate-pair relation that already
+    * carries one BOOLEAN agreement column per comparison field.
+    *
+    * u-probabilities (chance agreement among non-matches) are
+    * estimated from the candidate pairs themselves — the standard
+    * random-pair estimate, exact integer ppm, clamped to [1, 999999]
+    * so no ratio divides by zero; the m-probability (agreement among
+    * true matches) is the caller's documented parameter (FS practice
+    * when no labelled matches exist — CCNet-style fixed prior). Each
+    * field contributes the likelihood ratio m/u on agreement and
+    * (1−m)/(1−u) on disagreement, carried in exact integer units of
+    * 1e6; the pair score is the product of the per-field ratios taken
+    * as doubles in declaration order (identical expression trees on
+    * any engine), so score = Π(ratios)·1e6^|fields|. Classification:
+    * match ≥ matchMin, nonmatch ≤ nonmatchMax, else possible.
+    *
+    * Plan shape: the pair relation is lazily pinned (it feeds the
+    * 1-row u aggregate AND the scoring pass — the q147 multi-consumer
+    * shape); the u row broadcasts into the scoring scan; everything
+    * else is scan-stage codegen. Cost is linear in candidate pairs —
+    * blocking bounds the pair space upstream, this stage never
+    * enlarges it.
+    */
+  def fellegiSunterScores(
+      pairs: DataFrame,
+      fields: Seq[String],
+      mPpm: Long = 950000L,
+      matchMin: Double = 1e21,
+      nonmatchMax: Double = 1e18): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunterScores: at least one field")
+    require(mPpm >= 1L && mPpm <= 999999L,
+      s"fellegiSunterScores: mPpm in [1, 999999], got $mPpm")
+    val pinned = pairs.localCheckpoint(false)
+    val uRow = pinned.agg(
+      expr(s"greatest(1L, least(999999L, " +
+        s"sum(cast(${fields.head} as long)) * 1000000L div count(1)))")
+        .as(s"__u_${fields.head}"),
+      fields.tail.map(f =>
+        expr(s"greatest(1L, least(999999L, " +
+          s"sum(cast($f as long)) * 1000000L div count(1)))").as(s"__u_$f")): _*)
+    val withU = pinned.crossJoin(broadcast(uRow))
+    val ratios = fields.map { f =>
+      expr(s"CASE WHEN $f THEN ${mPpm * 1000000L} div __u_$f " +
+        s"ELSE ${(1000000L - mPpm) * 1000000L} div (1000000 - __u_$f) END")
+        .cast("double")
+    }
+    val score = ratios.reduceLeft(_ * _)
+    withU
+      .withColumn("score", score)
+      .withColumn("cls",
+        when(col("score") >= matchMin, "match")
+          .when(col("score") <= nonmatchMax, "nonmatch")
+          .otherwise("possible"))
+      .drop(fields.map(f => s"__u_$f"): _*)
+  }
 }

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, LangModel}
+import graft.ext.{Dedup, LangModel, Linkage}
+import graft.functions.LinkageFunctions
 import Q._
 
 /** Round-11 corpus-curation surface: the two classic web-corpus
@@ -98,6 +99,79 @@ object Corpus {
                CAST(NTILE(3) OVER (PARTITION BY lang
                  ORDER BY mean_p_ppb DESC, doc_id) AS INTEGER) AS bucket
         FROM sc ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Fellegi-Sunter probabilistic record linkage: candidate pairs are
+    // blocked on nation (never a cartesian), three agreement fields
+    // (market segment equality, account balance within 100, name
+    // Jaro-Winkler >= 0.98 in exact micro units) feed data-estimated
+    // u-probabilities + a fixed documented m = 0.95, and each pair's
+    // likelihood-ratio product classifies it match/possible/nonmatch.
+    // Output is the per-class census with the score envelope. The
+    // score is a product of three < 2^53 exact integers taken as
+    // doubles in declaration order — bit-identical on both engines.
+    Q(
+      "q267_fs_linkage",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey", $"c_name", $"c_nationkey",
+            $"c_acctbal", $"c_mktsegment")
+        val pairs = c.as("a").join(c.as("b"),
+            col("a.c_nationkey") === col("b.c_nationkey") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .select(
+            col("a.c_custkey").as("id_l"),
+            col("b.c_custkey").as("id_r"),
+            (col("a.c_mktsegment") === col("b.c_mktsegment")).as("f_seg"),
+            (abs(col("a.c_acctbal") - col("b.c_acctbal")) < 100.0).as("f_bal"),
+            (floor(LinkageFunctions.jaroWinkler(col("a.c_name"), col("b.c_name")) *
+              lit(1000000.0) + lit(0.5)).cast("long") >= 980000L).as("f_name"))
+        Linkage.fellegiSunterScores(pairs, Seq("f_seg", "f_bal", "f_name"),
+            mPpm = 950000L, matchMin = 1e21, nonmatchMax = 1e18)
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_pairs"),
+            min($"score").as("min_score"), max($"score").as("max_score"))
+          .orderBy($"cls")
+      },
+      Some("""
+        WITH p AS (
+          SELECT a.c_custkey AS id_l, b.c_custkey AS id_r,
+                 (a.c_mktsegment = b.c_mktsegment) AS f_seg,
+                 (abs(a.c_acctbal - b.c_acctbal) < 100.0) AS f_bal,
+                 (CAST(FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)
+                    * 1000000.0 + 0.5) AS BIGINT) >= 980000) AS f_name
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+        u AS (
+          SELECT
+            GREATEST(1, LEAST(999999,
+              CAST(SUM(CASE WHEN f_seg THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // COUNT(*))) AS u_seg,
+            GREATEST(1, LEAST(999999,
+              CAST(SUM(CASE WHEN f_bal THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // COUNT(*))) AS u_bal,
+            GREATEST(1, LEAST(999999,
+              CAST(SUM(CASE WHEN f_name THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // COUNT(*))) AS u_name
+          FROM p),
+        s AS (
+          SELECT
+            CAST(CASE WHEN f_seg THEN 950000000000 // u_seg
+                 ELSE 50000000000 // (1000000 - u_seg) END AS DOUBLE)
+            * CAST(CASE WHEN f_bal THEN 950000000000 // u_bal
+                 ELSE 50000000000 // (1000000 - u_bal) END AS DOUBLE)
+            * CAST(CASE WHEN f_name THEN 950000000000 // u_name
+                 ELSE 50000000000 // (1000000 - u_name) END AS DOUBLE) AS score
+          FROM p, u),
+        cl AS (
+          SELECT CASE WHEN score >= 1e21 THEN 'match'
+                      WHEN score <= 1e18 THEN 'nonmatch'
+                      ELSE 'possible' END AS cls, score
+          FROM s)
+        SELECT cls, COUNT(*) AS n_pairs,
+               MIN(score) AS min_score, MAX(score) AS max_score
+        FROM cl GROUP BY cls ORDER BY cls
       """))
   )
 }

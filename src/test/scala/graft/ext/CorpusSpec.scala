@@ -92,6 +92,36 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3, 10L -> 1))
   }
 
+  test("fellegiSunterScores: data-estimated u, exact ratio products, class thresholds") {
+    import spark.implicits._
+    // u_f1 = u_f2 = 500000 ppm; m = 950000 ->
+    // agree ratio = 950000000000 div 500000 = 1900000
+    // disagree    =  50000000000 div 500000 =  100000
+    val pairs = Seq(
+      (1L, 2L, true, true),   // 1.9e6 * 1.9e6 = 3.61e12
+      (1L, 3L, true, false),  // 1.9e6 * 1e5   = 1.9e11
+      (2L, 3L, false, true),  // 1.9e11
+      (3L, 4L, false, false)  // 1e5 * 1e5     = 1e10
+    ).toDF("id_l", "id_r", "f1", "f2")
+    val out = Linkage.fellegiSunterScores(pairs, Seq("f1", "f2"),
+        mPpm = 950000L, matchMin = 3e12, nonmatchMax = 2e10)
+      .orderBy($"id_l", $"id_r").collect()
+    assert(out.map(_.getDouble(4)).toSeq ==
+      Seq(3.61e12, 1.9e11, 1.9e11, 1.0e10))
+    assert(out.map(_.getString(5)).toSeq ==
+      Seq("match", "possible", "possible", "nonmatch"))
+  }
+
+  test("fellegiSunterScores: all-agree field clamps u to 999999 (no div-by-zero)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, true), (1L, 3L, true)).toDF("id_l", "id_r", "f1")
+    val out = Linkage.fellegiSunterScores(pairs, Seq("f1"),
+        matchMin = 1e12, nonmatchMax = 0.0).collect()
+    // 950000000000 div 999999 = 950000 exactly (floor)
+    assert(out.forall(_.getDouble(3) == 950000.0))
+    assert(out.forall(_.getString(4) == "possible"))
+  }
+
   test("guard rails: invalid chunkTokens / maxDf / nBuckets fail fast") {
     import spark.implicits._
     val d = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
