@@ -19,7 +19,10 @@ import scala.util.matching.Regex
   * `dateutil`'s exact fuzzy grammar is not reproduced bug-for-bug
   * (SURVEY.md §7.4.2) — the accepted-format contract is the regex table
   * below, covering ISO 8601 (space or 'T', optional fraction/offset),
-  * y/m/d and m/d/y with - or / separators, and English month names.
+  * y/m/d and m/d/y with -, / or . separators (with dateutil's
+  * day-first rescue when the first field can't be a month), English
+  * month names (space- or dash-delimited), and the undelimited
+  * compact YYYYMMDD[THHMMSS] forms.
   *
   * The clock is injectable for deterministic tests; production uses
   * wall-clock.
@@ -46,12 +49,16 @@ object LenientParse {
   private val timePart = """(?:[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?)?"""
   private val zonePart = """(Z|[+-]\d{2}:?\d{2})?"""
 
-  private val isoYmd: Regex = ("""^(\d{4})[-/](\d{1,2})[-/](\d{1,2})""" + timePart + zonePart + "$").r
-  private val mdy: Regex = ("""^(\d{1,2})[-/](\d{1,2})[-/](\d{4})""" + timePart + "$").r
+  private val isoYmd: Regex = ("""^(\d{4})[-/.](\d{1,2})[-/.](\d{1,2})""" + timePart + zonePart + "$").r
+  private val mdy: Regex = ("""^(\d{1,2})[-/.](\d{1,2})[-/.](\d{4})""" + timePart + "$").r
   private val monthName: Regex =
     """^([A-Za-z]{3,9})\.? (\d{1,2}),? (\d{4})(?: (\d{1,2}):(\d{2})(?::(\d{2}))?)?$""".r
   private val dayFirst: Regex =
-    """^(\d{1,2}) ([A-Za-z]{3,9})\.? (\d{4})(?: (\d{1,2}):(\d{2})(?::(\d{2}))?)?$""".r
+    """^(\d{1,2})[ -]([A-Za-z]{3,9})\.?[ -](\d{4})(?: (\d{1,2}):(\d{2})(?::(\d{2}))?)?$""".r
+  // dateutil also accepts the undelimited compact forms: YYYYMMDD and
+  // YYYYMMDD[T ]HHMMSS
+  private val compactYmd: Regex =
+    """^(\d{4})(\d{2})(\d{2})(?:[T ](\d{2})(\d{2})(\d{2}))?$""".r
   // fuzzy: a date-like token anywhere in the text
   private val embeddedYmd: Regex = ("""(\d{4})-(\d{1,2})-(\d{1,2})""" + timePart).r.unanchored
   private val embeddedMdy: Regex = """(\d{1,2})/(\d{1,2})/(\d{4})""".r.unanchored
@@ -83,13 +90,20 @@ object LenientParse {
     case isoYmd(y, mo, d, h, mi, sec, frac, zone) =>
       mk(y.toInt, mo.toInt, d.toInt, i(h), i(mi), i(sec), nanos(frac), zone)
     case mdy(mo, d, y, h, mi, sec, frac) =>
-      mk(y.toInt, mo.toInt, d.toInt, i(h), i(mi), i(sec), nanos(frac), null)
+      // dateutil's day-first rescue: "15/08/2026" has no valid month in
+      // position 1, so the day and month swap (parser.py's _parse)
+      val (m2, d2) =
+        if (mo.toInt > 12 && d.toInt <= 12) (d.toInt, mo.toInt)
+        else (mo.toInt, d.toInt)
+      mk(y.toInt, m2, d2, i(h), i(mi), i(sec), nanos(frac), null)
     case monthName(mon, d, y, h, mi, sec) =>
       months.get(mon.toLowerCase.take(3)).flatMap(m =>
         mk(y.toInt, m, d.toInt, i(h), i(mi), i(sec), 0, null))
     case dayFirst(d, mon, y, h, mi, sec) =>
       months.get(mon.toLowerCase.take(3)).flatMap(m =>
         mk(y.toInt, m, d.toInt, i(h), i(mi), i(sec), 0, null))
+    case compactYmd(y, mo, d, h, mi, sec) =>
+      mk(y.toInt, mo.toInt, d.toInt, i(h), i(mi), i(sec), 0, null)
     case _ => None
   }
 

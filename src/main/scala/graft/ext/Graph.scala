@@ -977,6 +977,56 @@ object Graph {
     */
   private val checkpointLock = new Object
 
+  /** Newman modularity of a node partition (Newman & Girvan, PRE'04):
+    * per community c, the contribution e_c/m − (d_c/2m)² where e_c is
+    * the count of edges internal to c, d_c the degree sum of c's
+    * nodes, m the undirected edge count — reported in exact truncated
+    * ppm via the single rational (4·m·e_c − d_c²)/(4m²) so no float
+    * division enters. Arithmetic rides DECIMAL(38,0): safe to
+    * m ≈ 1.5e9 edges per community-squared term (4m² ≤ 1e19·m²...
+    * precisely, d_c² ≤ 4m² and the ppm numerator ≤ 4m²·1e6 must stay
+    * under 1e38 ⇒ m ≤ ~1.5e15 — far past any single partition).
+    *
+    * Output: (community, e_c, d_c, q_ppm), one row per community;
+    * total modularity = Σ q_ppm / 1e6 (up to per-row truncation).
+    *
+    * Plan shape: edges and labels are lazily pinned (each feeds 2-3
+    * consumers — the q147 multi-consumer shape); degree is one
+    * keyed aggregate over exploded endpoints; e_c is two node-keyed
+    * equi-joins then a community-keyed aggregate; m broadcasts as a
+    * 1-row relation. Linear in edges, never a pair space.
+    */
+  def modularity(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .localCheckpoint(false)
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("node"),
+        col(labelCol).cast("long").as("community"))
+      .localCheckpoint(false)
+    val m1 = e.agg(count(lit(1)).as("m"))
+    val ec = e
+      .join(lab.select(col("node").as("u"), col("community").as("__ca")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("__cb")), Seq("v"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("e_c"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("deg")).as("d_c"))
+    dc.join(ec, Seq("community"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m1))
+      .select(col("community"), col("e_c"), col("d_c"),
+        expr("CAST((CAST(4 AS DECIMAL(38,0)) * m * e_c - " +
+          "CAST(d_c AS DECIMAL(38,0)) * d_c) * 1000000 div " +
+          "(CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)").as("q_ppm"))
+  }
+
   /** Lazy localCheckpoint + the persistent-RDD ids it registered, captured
     * under [[checkpointLock]] so concurrent graft checkpoints don't
     * mis-attribute each other's ids. Blocks materialize at the caller's

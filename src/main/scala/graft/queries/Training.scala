@@ -201,6 +201,30 @@ object Training {
        |      ORDER BY c DESC, lbl) AS rn FROM n$t)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Shared label-propagation CTE chain (brand-filtered bipartite
+    * projection → 4 LP rounds) — q205 consumes l4 directly, q268
+    * computes modularity over the same partition; one definition so
+    * the two oracles cannot drift.
+    */
+  private val LpChainSql: String =
+    s"""ip AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+       |deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
+       |         HAVING COUNT(*) <= 64),
+       |kept AS (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
+       |edges AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM kept a JOIN kept b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |bid AS MATERIALIZED (
+       |  SELECT u AS s, v AS d FROM edges
+       |  UNION SELECT v AS s, u AS d FROM edges),
+       |l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT s AS id FROM bid)),
+       |${(1 to 4).map(lpRoundSql).mkString(",\n")}""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // BPE tokenizer-training merge loop: 8 rounds of count-argmax-
@@ -613,24 +637,59 @@ object Training {
           .orderBy($"node")
       },
       Some(s"""
-        WITH ip AS (
-          SELECT DISTINCT l_orderkey, l_partkey
-          FROM lineitem JOIN part ON p_partkey = l_partkey
-          WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
-        deg0 AS (SELECT l_orderkey FROM ip GROUP BY l_orderkey
-                 HAVING COUNT(*) <= 64),
-        kept AS (SELECT ip.* FROM ip JOIN deg0 USING (l_orderkey)),
-        edges AS (
-          SELECT a.l_partkey AS u, b.l_partkey AS v
-          FROM kept a JOIN kept b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2),
-        bid AS MATERIALIZED (
-          SELECT u AS s, v AS d FROM edges
-          UNION SELECT v AS s, u AS d FROM edges),
-        l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT s AS id FROM bid)),
-        ${(1 to 4).map(lpRoundSql).mkString(",\n")}
+        WITH $LpChainSql
         SELECT id AS node, lbl AS community FROM l4 ORDER BY node
+      """)),
+    // ----------------------------------------------------------------
+    // Newman modularity of the q205 label-propagation partition over
+    // the same co-purchase graph: per community, internal-edge count,
+    // degree sum, and the exact-ppm contribution
+    // (4·m·e_c − d_c²)·1e6 div 4m² — integer end-to-end (Spark
+    // DECIMAL(38,0) div ↔ DuckDB HUGEINT //, both truncating toward
+    // zero). The community-quality gauge that tells you whether the
+    // partition is worth acting on.
+    Q(
+      "q268_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val pk = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+          .select($"p_partkey")
+        val ip = t(s, dir, "lineitem")
+          .join(pk, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey")
+        val edges = graft.ext.Graph.bipartiteProject(ip, "l_orderkey", "l_partkey",
+          maxDegree = 64)
+        val labels = graft.ext.Graph.labelPropagation(edges, "a", "b", rounds = 4)
+        graft.ext.Graph.modularity(edges, "a", "b", labels, "node", "community")
+          .orderBy($"community")
+      },
+      Some(s"""
+        WITH $LpChainSql,
+        lab AS MATERIALIZED (SELECT id AS node, lbl AS community FROM l4),
+        mm AS (SELECT COUNT(*) AS m FROM edges),
+        ecc AS (
+          SELECT la.community, COUNT(*) AS e_c
+          FROM edges e
+          JOIN lab la ON la.node = e.u
+          JOIN lab lb ON lb.node = e.v
+          WHERE la.community = lb.community
+          GROUP BY la.community),
+        degs AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+          GROUP BY node),
+        dcs AS (
+          SELECT lab.community, CAST(SUM(degs.deg) AS BIGINT) AS d_c
+          FROM degs JOIN lab USING (node) GROUP BY lab.community)
+        SELECT dcs.community,
+               CAST(COALESCE(ecc.e_c, 0) AS BIGINT) AS e_c, dcs.d_c,
+               CAST((CAST(4 AS HUGEINT) * mm.m * COALESCE(ecc.e_c, 0) -
+                     CAST(dcs.d_c AS HUGEINT) * dcs.d_c) * 1000000 //
+                    (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS q_ppm
+        FROM dcs LEFT JOIN ecc USING (community) CROSS JOIN mm
+        ORDER BY community
       """)),
     // ----------------------------------------------------------------
     // Calibration curve for the q201 Naive Bayes scores: held-out

@@ -181,6 +181,27 @@ class CleanseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally LenientParse.clockOverride = None
   }
 
+  test("lenient parser: widened dateutil grammar (compact, dotted, day-first rescue, dashed month)") {
+    val fixedNow = Instant.parse("2025-06-01T00:00:00Z")
+    LenientParse.clockOverride = Some(fixedNow)
+    try {
+      // compact YYYYMMDD and YYYYMMDDTHHMMSS
+      assert(LenientParse.date("20240301").toLocalDate.toString == "2024-03-01")
+      val tc = LenientParse.timestamp("20240301T103000")
+      assert(tc.toInstant == Instant.parse("2024-03-01T15:30:00Z"))
+      // dotted separators (y-first and m-first)
+      assert(LenientParse.date("2024.03.01").toLocalDate.toString == "2024-03-01")
+      assert(LenientParse.date("03.01.2024").toLocalDate.toString == "2024-03-01")
+      // dateutil's day-first rescue: 15 can't be a month
+      assert(LenientParse.date("15/03/2024").toLocalDate.toString == "2024-03-15")
+      // dash-delimited month name
+      assert(LenientParse.date("15-Mar-2024").toLocalDate.toString == "2024-03-15")
+      // still rejected: both fields impossible, bad compact digits
+      assert(LenientParse.timestamp("13/45/2024") == null)
+      assert(LenientParse.timestamp("20241345") == null)
+    } finally LenientParse.clockOverride = None
+  }
+
   test("final sweep nulls timestamps with out-of-alphabet string forms, clock for ETL_") {
     val fixed = lit(java.sql.Timestamp.from(Instant.parse("2025-01-01T00:00:00Z")))
     val df = spark.createDataFrame(

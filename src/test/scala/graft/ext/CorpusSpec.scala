@@ -122,6 +122,29 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getString(4) == "possible"))
   }
 
+  test("modularity: triangle + pendant edge hand case, exact ppm, truncation toward zero") {
+    import spark.implicits._
+    // triangle {1,2,3} + edge {4,5}; m = 4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "community")
+    val out = Graph.modularity(edges, "a", "b", labels, "node", "community")
+      .orderBy($"community").collect()
+    // c1: (4*4*3 - 36)*1e6 div 64 = 187500; c4: (16 - 4)*1e6 div 64 = 187500
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 3L, 6L, 187500L), (4L, 1L, 2L, 187500L)))
+    // total = 0.375, the textbook value for this graph
+
+    // negative contributions truncate toward zero on BOTH engines
+    val e2 = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val l2 = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)).toDF("node", "community")
+    val neg = Graph.modularity(e2, "a", "b", l2, "node", "community")
+      .orderBy($"community").collect()
+    // c10: (0 - 1)*1e6 div 16 = -62500; c20: (8 - 9)*1e6 div 16 = -62500
+    assert(neg.map(_.getLong(3)).toSeq == Seq(-62500L, -62500L))
+    assert(neg.map(_.getLong(1)).toSeq == Seq(0L, 1L)) // zero-internal community kept
+  }
+
   test("guard rails: invalid chunkTokens / maxDf / nBuckets fail fast") {
     import spark.implicits._
     val d = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
