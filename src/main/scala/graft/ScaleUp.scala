@@ -49,8 +49,17 @@ object ScaleUp {
     scaled(Tables.load(spark, sfDir, "lineitem"), "l_orderkey", factor)
       .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     // dimensions ride along unscaled (the realistic shape: fact growth
-    // against a fixed dim) so every catalog query can run at N×
-    Seq("part", "customer", "region", "nation", "supplier").foreach(t =>
+    // against a fixed dim) so every catalog query can run at N×.
+    // Exception: a q267 probe scales CUSTOMER itself — record linkage's
+    // worst case is entity growth, where blocked pair space grows
+    // quadratically within each block
+    val scaleCustomer = wanted("q267_fs_linkage")
+    if (scaleCustomer)
+      scaled(Tables.load(spark, sfDir, "customer"), "c_custkey", factor)
+        .write.mode("overwrite").parquet(s"$big/customer.parquet")
+    val dims = Seq("part", "region", "nation", "supplier") ++
+      (if (scaleCustomer) Nil else Seq("customer"))
+    dims.foreach(t =>
       Tables.load(spark, sfDir, t).write.mode("overwrite").parquet(s"$big/$t.parquet"))
 
     def time(dir: String, name: String): (Double, Long) = {

@@ -985,26 +985,37 @@ object Dedup {
     * linear in corpus tokens, the property that lets this run as the
     * FIRST stage at 100 TB where pairwise dedup would be the last.
     */
+  /** (doc_id, cidx, chunk, h): every document segmented into
+    * fixed-size token chunks with the 60-bit chunk hash — the unit
+    * relation shared by [[frequentChunkFilter]] and the streaming
+    * boilerplate gate (their chunking MUST be byte-identical or the
+    * stream's verdicts drift from the batch stage's).
+    */
+  private[graft] def chunkRelation(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkRelation: chunkTokens >= 1, got $chunkTokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextHash.tokens(col(textCol))).as(Seq("pos", "w")))
+      .groupBy(col("doc_id"), (col("pos") / chunkTokens).cast("long").as("cidx"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("chunk"))
+      .withColumn("h", TextHash.hash64(col("chunk")))
+  }
+
   def frequentChunkFilter(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       chunkTokens: Int = 8,
       maxDf: Int = 3): DataFrame = {
-    require(chunkTokens >= 1, s"frequentChunkFilter: chunkTokens >= 1, got $chunkTokens")
     require(maxDf >= 2, s"frequentChunkFilter: maxDf >= 2, got $maxDf")
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextHash.tokens(col(textCol))).as(Seq("pos", "w")))
     // lazy localCheckpoint: chunks feeds BOTH the df aggregate and the
     // df join below — unpinned, the chunking aggregation would run
     // twice (the q147 multi-consumer shape)
-    val chunks = toks
-      .groupBy(col("doc_id"), (col("pos") / chunkTokens).cast("long").as("cidx"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("chunk"))
-      .withColumn("h", TextHash.hash64(col("chunk")))
+    val chunks = chunkRelation(docs, idCol, textCol, chunkTokens)
       .localCheckpoint(false)
     // corpus-wide document frequency per chunk — only the 8-byte hash
     // crosses this shuffle

@@ -211,7 +211,13 @@ object Media {
       s"phashPairs: maxHamming in [0, 15] required, got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val chunked = base.withColumn("chunk", explode(array((0 until chunks).map { i =>
+    // lazy localCheckpoint: the fingerprint relation feeds BOTH sides
+    // of the chunk self-join, and the decode+hash pipeline above it is
+    // the expensive part (measured on q263: the un-pinned join
+    // re-executed the whole ImageIO decode per side — 24 s vs ~10 s).
+    // Pinning materializes only (media_id, dh): 16 bytes per item.
+    val pinned = base.localCheckpoint(false)
+    val chunked = pinned.withColumn("chunk", explode(array((0 until chunks).map { i =>
       struct(lit(i).as("idx"),
         shiftrightunsigned(col("dh"), i * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)).as("v"))

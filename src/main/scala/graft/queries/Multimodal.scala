@@ -388,24 +388,34 @@ object Multimodal {
         import org.apache.spark.sql.Column
         import graft.functions.MediaFunctions.pngEncode
         val docs = Tables.load(s, dir, "documents").select($"doc_id")
-        def px(variant: Boolean) =
+        // the md5-per-pixel synthesis runs ONCE and is pinned; the
+        // variant derives from the same packed array (exactly how the
+        // oracle's basepx CTE feeds both variants) — un-shared, the
+        // fixture generator dominated the query (measured ~6 s of
+        // md5 at sf0.1, paid twice)
+        val basePx = docs.select($"doc_id",
           transform(sequence(lit(0), lit(255)), { i =>
             val h = graft.ext.TextHash.hash64(
               concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
             def ch(sh: Int): Column =
               shiftrightunsigned(h, sh).bitwiseAND(lit(255L)).cast("int")
-            def adj(c: Column): Column =
-              if (variant) when(i < 32 && i % 16 < 4, least(lit(255), c + 40))
-                .otherwise(c)
-              else c
-            (shiftleft(adj(ch(0)), 16) + shiftleft(adj(ch(8)), 8) + adj(ch(16)))
-              .cast("int")
-          })
-        val media = docs
+            (shiftleft(ch(0), 16) + shiftleft(ch(8), 8) + ch(16)).cast("int")
+          }).as("px"))
+          .localCheckpoint(false)
+        def bump(p: Column, i: Column): Column =
+          when(i < 32 && i % 16 < 4,
+            shiftleft(least(lit(255),
+              shiftrightunsigned(p, 16).bitwiseAND(lit(255)) + 40), 16) +
+            shiftleft(least(lit(255),
+              shiftrightunsigned(p, 8).bitwiseAND(lit(255)) + 40), 8) +
+            least(lit(255), p.bitwiseAND(lit(255)) + 40))
+          .otherwise(p).cast("int")
+        val media = basePx
           .select(($"doc_id" * 2).as("media_id"),
-            pngEncode(px(variant = false), lit(16), lit(16)).as("payload"))
-          .unionAll(docs.select(($"doc_id" * 2 + 1).as("media_id"),
-            pngEncode(px(variant = true), lit(16), lit(16)).as("payload")))
+            pngEncode($"px", lit(16), lit(16)).as("payload"))
+          .unionAll(basePx.select(($"doc_id" * 2 + 1).as("media_id"),
+            pngEncode(transform($"px", (p, i) => bump(p, i)), lit(16), lit(16))
+              .as("payload")))
         Media.imagePhashPairs(media, "media_id", "payload", maxHamming = 4)
           .orderBy($"id_a", $"id_b")
       },

@@ -400,6 +400,85 @@ object EventStreams {
   }
 
   /** One admission decision from [[audioAdmissionGate]]. */
+  final case class BoilerplateVerdict(
+      doc_id: Long, n_chunks: Long, n_dropped: Long,
+      admitted: Boolean, kept_text: String)
+
+  /** Streaming boilerplate gate — [[graft.ext.Dedup.frequentChunkFilter]]
+    * (the q265 corpus-frequency stage) applied at ingest time: the
+    * frequent-chunk index is built ONCE from a static reference corpus
+    * with the SAME chunking + 60-bit hash as the batch stage, capped to
+    * broadcast size ([[leakageGate]]'s model-artifact discipline, with
+    * an explicit broadcast so the index ships once per executor), and
+    * each arriving document has its boilerplate chunks stripped before
+    * it enters the corpus. Documents whose dropped-chunk share exceeds
+    * `maxDroppedPpm` — or that carry no tokens at all — are rejected
+    * outright (a page that is mostly navigation chrome is not worth
+    * keeping even after stripping).
+    *
+    * The stream-side chunking is pure scan-stage column algebra
+    * (slice/transform over the token array — no per-batch shuffle);
+    * membership + recomposition run in the state function against the
+    * broadcast index. State is one Boolean per doc_id for re-delivery
+    * dedup (NoTimeout: admission decisions must not expire).
+    */
+  def boilerplateGate(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8,
+      maxDf: Int = 3,
+      maxDroppedPpm: Long = 500000L,
+      maxIndexChunks: Int = 1000000): Dataset[BoilerplateVerdict] = {
+    import docs.sparkSession.implicits._
+    require(maxDf >= 2, s"boilerplateGate: maxDf >= 2, got $maxDf")
+    require(maxDroppedPpm >= 0L && maxDroppedPpm <= 1000000L,
+      s"boilerplateGate: maxDroppedPpm in [0, 1e6], got $maxDroppedPpm")
+    val freqRows = graft.ext.Dedup.chunkRelation(corpus, idCol, textCol, chunkTokens)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf)
+      .select(col("h"))
+      .collect()
+    require(freqRows.length <= maxIndexChunks,
+      s"boilerplateGate: frequent-chunk index ${freqRows.length} entries exceeds " +
+        s"maxIndexChunks=$maxIndexChunks — the index is a broadcast-sized model " +
+        "artifact, not a corpus; raise maxDf or the cap")
+    val indexBc = docs.sparkSession.sparkContext.broadcast(
+      freqRows.map(_.getLong(0)).toSet)
+    val ct = chunkTokens
+    // scan-stage chunking, byte-identical to Dedup.chunkRelation's
+    // (slice over the token array in original order, space re-join)
+    val toks = graft.ext.TextHash.tokens(col(textCol))
+    val chunksExpr = when(size(toks) > 0,
+      transform(
+        sequence(lit(0), ((size(toks) + (ct - 1)) / ct).cast("int") - 1),
+        i => array_join(slice(toks, i * ct + 1, lit(ct)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), chunksExpr.as("chunks"))
+      .as[(Long, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, BoilerplateVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (docId, rows, state) =>
+          if (state.exists || !rows.hasNext) Iterator.empty
+          else {
+            state.update(true)
+            val chunks = rows.next()._2
+            val kept = chunks.filterNot(c =>
+              indexBc.value.contains(graft.ext.TextHash.hash64Local(c)))
+            val n = chunks.length.toLong
+            val dropped = n - kept.length
+            val droppedPpm = if (n > 0) dropped * 1000000L / n else 1000000L
+            Iterator.single(BoilerplateVerdict(
+              docId, n, dropped,
+              admitted = n > 0 && droppedPpm <= maxDroppedPpm,
+              kept_text = kept.mkString(" ")))
+          }
+      }
+  }
+
   final case class AudioVerdict(
       media_id: Long, admitted: Boolean, reason: String,
       duration_ms: Long, clip_ppm: Long)

@@ -349,6 +349,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("boilerplate gate: verdicts twin the batch q265 stage, over-chrome + empty docs rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // chunkTokens = 2; "nav bar" appears in 4 corpus docs (df >= 3)
+    val corpus = Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "eta theta nav bar"),
+      (4L, "nav bar")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val gate = EventStreams.boilerplateGate(
+      input.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      chunkTokens = 2, maxDf = 3, maxDroppedPpm = 500000L)
+    val q = gate.writeStream.format("memory").queryName("bp_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val arrivals = Seq(
+        (1L, "nav bar alpha beta gamma delta"),
+        (2L, "nav bar epsilon zeta"),
+        (3L, "eta theta nav bar"),
+        (4L, "nav bar"),            // 100% chrome -> rejected
+        (5L, ""))                   // no tokens -> rejected
+      input.addData(arrivals: _*); q.processAllAvailable()
+      input.addData(arrivals.take(2): _*); q.processAllAvailable() // re-delivery
+      val got = spark.sql(
+        "SELECT doc_id, n_chunks, n_dropped, admitted, kept_text FROM bp_gate")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+      assert(got.size == 5, "one verdict per doc, re-delivery emits nothing")
+      assert(got(1L) == ((3L, 1L, true, "alpha beta gamma delta")))
+      assert(got(2L) == ((2L, 1L, true, "epsilon zeta"))) // 500000 ppm boundary
+      assert(got(3L) == ((2L, 1L, true, "eta theta")))
+      assert(got(4L) == ((1L, 1L, false, "")))
+      assert(got(5L) == ((0L, 0L, false, "")))
+      // batch twin: stripped text equals the q265 stage on the corpus
+      val batch = graft.ext.Dedup.frequentChunkFilter(
+          corpus, "doc_id", "text", chunkTokens = 2, maxDf = 3)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      for (id <- 1L to 4L)
+        assert(got(id)._4 == batch(id), s"kept_text twin for doc $id")
+    } finally q.stop()
+  }
+
   test("streaming fingerprint: running bucket XOR equals the batch fingerprint of the fed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
