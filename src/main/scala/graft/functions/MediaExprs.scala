@@ -612,4 +612,242 @@ object MediaFunctions {
       GraftExprBridge.expression(height)))
   def imageIoDecode(bytes: Column): Column =
     GraftExprBridge.column(ImageIoDecode(GraftExprBridge.expression(bytes)))
+  def aviEncode(frames: Column, width: Column, height: Column): Column =
+    GraftExprBridge.column(AviEncode(
+      GraftExprBridge.expression(frames),
+      GraftExprBridge.expression(width),
+      GraftExprBridge.expression(height)))
+  def aviFrames(bytes: Column, every: Column): Column =
+    GraftExprBridge.column(AviFrames(
+      GraftExprBridge.expression(bytes),
+      GraftExprBridge.expression(every)))
+}
+
+/** Minimal AVI (RIFF) container encoder over UNCOMPRESSED 24-bit DIB
+  * frames ('00db' chunks, biCompression = BI_RGB): array of packed
+  * 0xRRGGBB int arrays → playable AVI bytes (hdrl with avih + one
+  * vids/DIB stream, movi with one '00db' per frame, rows bottom-up
+  * BGR with 4-byte stride padding — the DIB layout). The fixture-side
+  * twin of [[AviFrames]]: formula-derived frames go through REAL
+  * container bytes so every field of the decoder's RIFF walk is
+  * exercised by the oracle.
+  */
+case class AviEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(ArrayType(IntegerType, _), _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"avi_encode requires (array<array<int>>, int, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on shape mismatch. */
+  def encode(framesAd: ArrayData, w: Int, h: Int): Array[Byte] = {
+    val nf = framesAd.numElements()
+    if (w <= 0 || h <= 0 || nf <= 0 || w.toLong * h * nf > (1L << 24)) return null
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+    var f = 0
+    while (f < nf) {
+      val fr = framesAd.getArray(f)
+      if (fr == null || fr.numElements() != w.toLong * h) return null
+      f += 1
+    }
+    val moviSize = 4 + nf * (8 + frameBytes)
+    // RIFF(12) + LIST hdrl(12 + avih(64) + LIST strl(12 + strh(64) + strf(48)))
+    val hdrlContent = 4 + 64 + (8 + 4 + 64 + 48)
+    val total = 12 + (8 + hdrlContent) + (8 + moviSize)
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(hdrlContent); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(40000).putInt(0).putInt(0).putInt(0)     // usec/frame, maxbps, pad, flags
+    b.putInt(nf).putInt(0).putInt(1).putInt(frameBytes) // frames, initial, streams, bufsize
+    b.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // w, h, reserved[4]
+    fourcc("LIST"); b.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    b.putInt(0).putShort(0).putShort(0).putInt(0)     // flags, prio, lang, initial
+    b.putInt(1).putInt(25).putInt(0).putInt(nf)       // scale, rate, start, length
+    b.putInt(frameBytes).putInt(-1).putInt(0)         // bufsize, quality, samplesize
+    b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+    f = 0
+    while (f < nf) {
+      val fr = framesAd.getArray(f)
+      fourcc("00db"); b.putInt(frameBytes)
+      var row = h - 1 // DIB rows are bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val p = fr.getInt(row * w + x)
+          b.put((p & 0xff).toByte)          // B
+          b.put(((p >> 8) & 0xff).toByte)   // G
+          b.put(((p >> 16) & 0xff).toByte)  // R
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    b.array()
+  }
+
+  override protected def nullSafeEval(fr: Any, w: Any, h: Any): Any =
+    encode(fr.asInstanceOf[ArrayData], w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("aviEncode", this, classOf[AviEncode].getName)
+    nullSafeCodeGen(ctx, ev, (fr, w, h) => s"""
+      ${ev.value} = $ref.encode($fr, $w, $h);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): AviEncode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** REAL video-container decode for uncompressed AVI: RIFF walk
+  * (WORD-aligned chunk skipping, the [[WavDecode]] discipline) →
+  * 'strf' BITMAPINFOHEADER validation (BI_RGB, 24 bpp only) → 'movi'
+  * scan taking every k-th '00db'/'01db' frame → per-frame Rec. 709
+  * integer gray rasters in top-down row order. Retires the video row
+  * of [[graft.multimodal.Media.decodeStub]] for the uncompressed
+  * format; compressed codecs (H.264, MJPEG) remain out of scope — the
+  * JDK ships no video codec, and THAT stub stays honestly documented.
+  *
+  * Output: struct(width, height, n_frames, frames array<struct<idx,
+  * gray>>) where n_frames counts ALL frames in the container and
+  * frames carries the sampled subset. Robustness contract identical
+  * to PnmDecode/WavDecode/ImageIoDecode: any malformation — bad
+  * magic, truncated chunk, compressed stream, frame-size mismatch —
+  * is NULL, not an error; a pixel-volume bomb guard (2²⁴) reads the
+  * header before any allocation.
+  */
+case class AviFrames(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frames", ArrayType(StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("gray", ArrayType(IntegerType, containsNull = false),
+        nullable = false))), containsNull = false), nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"avi_frames requires (binary, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on any malformation. */
+  def decode(bytes: Array[Byte], every: Int): InternalRow = {
+    if (bytes == null || bytes.length < 24 || every <= 0) return null
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return null
+    try {
+      // pass 1: find strf (inside hdrl/strl) for the geometry
+      var w = -1; var h = -1
+      def walk(start: Int, end: Int, depth: Int)(chunk: (String, Int, Int) => Boolean): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fcc(p)
+          val size = b.getInt(p + 4)
+          if (size < 0 || p + 8 + size > bytes.length) return false
+          if (id == "LIST" && depth < 4) {
+            if (!walk(p + 12, p + 8 + size, depth + 1)(chunk)) return false
+          } else if (!chunk(id, p + 8, size)) return false
+          p += 8 + size + (size & 1) // WORD-aligned chunk skip
+        }
+        true
+      }
+      val geomOk = walk(12, bytes.length, 0) { (id, off, size) =>
+        if (id == "strf" && size >= 40) {
+          if (b.getInt(off) < 40) false
+          else {
+            w = b.getInt(off + 4); h = b.getInt(off + 8)
+            val planes = b.getShort(off + 12); val bpp = b.getShort(off + 14)
+            val comp = b.getInt(off + 16)
+            planes == 1 && bpp == 24 && comp == 0
+          }
+        } else true
+      }
+      if (!geomOk || w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+      val stride = (w * 3 + 3) & ~3
+      val frameBytes = stride * h
+      // pass 2: every k-th '00db'/'01db' frame, bottom-up → top-down
+      val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+      var nFrames = 0
+      val framesOk = walk(12, bytes.length, 0) { (id, off, size) =>
+        if (id != "00db" && id != "01db") true
+        else if (size != frameBytes) false // geometry and payload disagree
+        else {
+          if (nFrames % every == 0) {
+            if ((sampled.length + 1).toLong * w * h > (1L << 24)) return null
+            val gray = new Array[Int](w * h)
+            var row = 0
+            while (row < h) {
+              val src = off + (h - 1 - row) * stride
+              var x = 0
+              while (x < w) {
+                val bl = bytes(src + x * 3) & 0xff
+                val g = bytes(src + x * 3 + 1) & 0xff
+                val r = bytes(src + x * 3 + 2) & 0xff
+                gray(row * w + x) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
+                x += 1
+              }
+              row += 1
+            }
+            sampled += ((nFrames, gray))
+          }
+          nFrames += 1
+          true
+        }
+      }
+      if (!framesOk || nFrames == 0) return null
+      val frames = sampled.map { case (idx, gray) =>
+        new GenericInternalRow(Array[Any](idx, new GenericArrayData(gray)))
+      }.toArray[Any]
+      new GenericInternalRow(Array[Any](w, h, nFrames, new GenericArrayData(frames)))
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  override protected def nullSafeEval(bytes: Any, every: Any): Any =
+    decode(bytes.asInstanceOf[Array[Byte]], every.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("aviFrames", this, classOf[AviFrames].getName)
+    nullSafeCodeGen(ctx, ev, (bytes, every) => s"""
+      ${ev.value} = (InternalRow) $ref.decode($bytes, $every);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AviFrames =
+    copy(left = newLeft, right = newRight)
 }

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.ImageIoDecode]] (javax.imageio ships in
   * java.desktop); [[imageDecode]] unifies both behind one struct.
   * AUDIO (RIFF/WAVE PCM) decodes for real via
-  * [[graft.functions.WavDecode]]. Only VIDEO (H.264 frame grab) and
-  * PCM resampling still need codec libraries this container lacks, so
-  * [[Media.decodeStub]] stands in for those, deriving features from
-  * md5 of the payload; a real deployment swaps that one function for
-  * the JNI/FFI call — every signature, schema and partitioning
-  * decision stays.
+  * [[graft.functions.WavDecode]]. VIDEO decodes for real via
+  * [[graft.functions.AviFrames]] for uncompressed AVI (RIFF walk +
+  * DIB frame rasters + in-decode frame sampling). Only COMPRESSED
+  * video codecs (H.264/MJPEG frame grab) and PCM resampling still
+  * need codec libraries this container lacks, so [[Media.decodeStub]]
+  * stands in for those, deriving features from md5 of the payload; a
+  * real deployment swaps that one function for the JNI/FFI call —
+  * every signature, schema and partitioning decision stays.
   */
 object Media {
 
@@ -349,6 +351,34 @@ object Media {
     * builder for tests and in-plan payload synthesis (the raster is
     * appended via PackBytes).
     */
+  /** Per-sampled-frame luma statistics over uncompressed AVI payloads,
+    * decoded for REAL by [[graft.functions.AviFrames]] (RIFF walk,
+    * BITMAPINFOHEADER validation, bottom-up DIB rows) — the video row
+    * of the decode family: every k-th frame's integer gray raster
+    * yields (mean, min, max) luma, the shot/exposure screen a video
+    * curation pass runs before anything expensive. Frame sampling
+    * happens INSIDE the decode expression (un-sampled frames are never
+    * materialized), and everything is scan-stage codegen: no shuffle
+    * exists in this operator at any corpus size.
+    */
+  def videoFrameStats(
+      df: DataFrame, idCol: String, bytesCol: String, every: Int = 2): DataFrame = {
+    import graft.functions.MediaFunctions._
+    require(every >= 1, s"videoFrameStats: every >= 1, got $every")
+    df.select(col(idCol).cast("long").as("media_id"),
+        aviFrames(col(bytesCol).cast("binary"), lit(every)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("media_id"),
+        col("__v.width").as("width"), col("__v.height").as("height"),
+        col("__v.n_frames").as("n_frames"), explode(col("__v.frames")).as("__f"))
+      .select(col("media_id"), col("__f.idx").as("frame_idx"),
+        col("width"), col("height"), col("n_frames"),
+        expr("aggregate(__f.gray, 0L, (a, x) -> a + x) div size(__f.gray)")
+          .as("mean_luma"),
+        array_min(col("__f.gray")).cast("long").as("min_luma"),
+        array_max(col("__f.gray")).cast("long").as("max_luma"))
+  }
+
   def wavHeader(nSamples: Int, sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
     val blockAlign = channels * (bits / 8)
     val dataSize = nSamples * blockAlign

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Media
@@ -460,6 +460,55 @@ object Multimodal {
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 4
         ORDER BY id_a, id_b
+      """)),
+    // ----------------------------------------------------------------
+    // REAL video-container decode: each doc synthesizes a 6-frame
+    // 16×16 uncompressed AVI (cheap integer pixel formula — no md5 in
+    // this fixture) whose bytes go through AviEncode → the AviFrames
+    // RIFF walk samples every 2nd frame → per-frame integer luma
+    // stats. The oracle re-derives the sampled frames from the SAME
+    // formula and replays the Rec. 709 + mean/min/max math exactly —
+    // any mis-parse of the container (stride, bottom-up rows, chunk
+    // alignment, header fields) breaks the hash match.
+    Q(
+      "q269_avi_frame_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.aviEncode
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val frames = transform(sequence(lit(0), lit(5)), f =>
+          transform(sequence(lit(0), lit(255)), { i =>
+            def ch(a: Int, b: Int, c: Int): Column =
+              (($"doc_id" * a + f * b + i * c) % 256).cast("int")
+            (shiftleft(ch(3, 7, 11), 16) + shiftleft(ch(5, 11, 3), 8) +
+              ch(7, 3, 5)).cast("int")
+          }))
+        val media = docs.select($"doc_id".as("media_id"),
+          aviEncode(frames, lit(16), lit(16)).as("payload"))
+        Media.videoFrameStats(media, "media_id", "payload", every = 2)
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        WITH fx AS (
+          SELECT doc_id, f, i,
+                 (doc_id*3 + f*7 + i*11) % 256 AS r,
+                 (doc_id*5 + f*11 + i*3) % 256 AS g,
+                 (doc_id*7 + f*3 + i*5) % 256 AS bb
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, 6)) AS f)
+          CROSS JOIN (SELECT unnest(range(0, 256)) AS i)
+          WHERE f % 2 = 0),
+        lum AS (
+          SELECT doc_id, f, (2126*r + 7152*g + 722*bb) // 10000 AS p
+          FROM fx)
+        SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               CAST(6 AS INTEGER) AS n_frames,
+               CAST(CAST(SUM(p) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_luma,
+               CAST(MIN(p) AS BIGINT) AS min_luma,
+               CAST(MAX(p) AS BIGINT) AS max_luma
+        FROM lum GROUP BY doc_id, f
+        ORDER BY media_id, frame_idx
       """))
   )
 }

@@ -504,4 +504,96 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.length == 8, pairs.mkString(","))
     assert(planted.forall(_._3 == 0L))
   }
+
+  test("aviEncode/aviFrames: stride-padded round-trip, top-down rows, frame sampling") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{aviEncode, aviFrames}
+    // w=3 (stride 12, 3 pad bytes/row), h=2, 2 frames of known pixels:
+    // frame f pixel j packs (10f+j) into all three channels -> luma 10f+j
+    def px(f: Int) = Seq.tabulate(6)(j => (10 * f + j) * 0x010101)
+    val df = Seq((1L, Seq(px(0), px(1)))).toDF("id", "frames")
+      .select($"id", aviFrames(
+        aviEncode($"frames", lit(3), lit(2)), lit(1)).as("v"))
+    val r = df.collect().head.getStruct(1)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 2)
+    val frames = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(frames.map(_.getInt(0)) == Seq(0, 1))
+    // gray of 0x010101·k is (2126k + 7152k + 722k)/10000 = k
+    assert(frames(0).getSeq[Int](1) == Seq(0, 1, 2, 3, 4, 5))
+    assert(frames(1).getSeq[Int](1) == Seq(10, 11, 12, 13, 14, 15))
+
+    // 6 frames, every = 2 -> idx 0,2,4 sampled; n_frames still 6
+    val sampled = Seq((1L, Seq.tabulate(6)(px)))
+      .toDF("id", "frames")
+      .select(aviFrames(aviEncode($"frames", lit(3), lit(2)), lit(2)).as("v"))
+      .collect().head.getStruct(0)
+    assert(sampled.getInt(2) == 6)
+    assert(sampled.getSeq[org.apache.spark.sql.Row](3).map(_.getInt(0)) == Seq(0, 2, 4))
+  }
+
+  test("aviFrames: malformations and header bombs decode to null, not errors") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.aviFrames
+    val enc = graft.functions.AviEncode(null, null, null)
+    def avi(w: Int, h: Int, frames: Seq[Seq[Int]]): Array[Byte] = {
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        frames.map(f => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          f.toArray).asInstanceOf[Any]).toArray)
+      enc.encode(ad, w, h)
+    }
+    val good = avi(3, 2, Seq(Seq.tabulate(6)(identity)))
+    assert(good != null)
+    def find(hay: Array[Byte], s: String): Int = {
+      val pat = s.getBytes("US-ASCII")
+      hay.indices.indexWhere(i => i + 4 <= hay.length &&
+        pat.indices.forall(k => hay(i + k) == pat(k)))
+    }
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    val bb = (a: Array[Byte]) =>
+      java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val strf = find(good, "strf")
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "truncated" -> good.take(good.length - 5),
+      "bad magic" -> patched(c => c(0) = 'X'.toByte),
+      "not avi" -> patched(c => c(8) = 'W'.toByte),
+      "compressed bpp" -> patched(c => bb(c).putShort(strf + 8 + 14, 16.toShort)),
+      "nonzero compression" -> patched(c => bb(c).putInt(strf + 8 + 16, 1)),
+      // header bomb: huge geometry, every frame chunk now mismatched
+      "bomb" -> patched { c =>
+        bb(c).putInt(strf + 8 + 4, 1 << 14); bb(c).putInt(strf + 8 + 8, 1 << 14)
+      },
+      "frame size mismatch" -> patched { c =>
+        val db = find(c, "00db"); bb(c).putInt(db + 4, 7)
+      })
+    val out = cases.map(_._2).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+      .select($"id", aviFrames($"payload", lit(1)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    cases.zipWithIndex.foreach { case ((name, _), i) =>
+      assert(out(i.toLong), s"case '$name' must decode to null")
+    }
+    // every <= 0 is null too
+    val z = Seq((1L, good)).toDF("id", "payload")
+      .select(aviFrames($"payload", lit(0)).as("v")).collect().head
+    assert(z.isNullAt(0))
+  }
+
+  test("videoFrameStats: per-frame luma stats over real container decode") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.aviEncode
+    // frame 0: luma 0..5 (mean 15 div 6 = 2); frame 1: 10..15 (mean 12)
+    def px(f: Int) = Seq.tabulate(6)(j => (10 * f + j) * 0x010101)
+    val media = Seq((7L, Seq(px(0), px(1)))).toDF("media_id", "frames")
+      .select($"media_id", aviEncode($"frames", lit(3), lit(2)).as("payload"))
+    val out = Media.videoFrameStats(media, "media_id", "payload", every = 1)
+      .orderBy($"frame_idx").collect()
+    assert(out.map(r => (r.getInt(1), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq ==
+      Seq((0, 2L, 0L, 5L), (1, 12L, 10L, 15L)))
+    assert(out.forall(r => r.getInt(2) == 3 && r.getInt(3) == 2 && r.getInt(4) == 2))
+    // corrupt payloads drop, never throw
+    val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Media.videoFrameStats(bad, "media_id", "payload").count() == 0)
+  }
 }
