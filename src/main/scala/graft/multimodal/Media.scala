@@ -379,6 +379,32 @@ object Media {
         array_max(col("__f.gray")).cast("long").as("max_luma"))
   }
 
+  /** Key-frame perceptual near-dup over uncompressed AVI payloads —
+    * the video row of the near-dup family (image q243/q263, audio
+    * q254): the FIRST sampled frame is the key frame (the classic
+    * key-frame-fingerprinting shortcut — temporal alignment is a
+    * separate problem; the key frame catches re-encodes, resizes and
+    * re-containers of the same footage), its 8×8 luma grid dHash goes
+    * through the shared pigeonhole Hamming machinery. Decode + hash
+    * are scan-stage; pairs carry 16-byte fingerprints only.
+    */
+  def videoKeyframeNeardupPairs(
+      df: DataFrame, idCol: String, bytesCol: String,
+      every: Int = 2, maxHamming: Int = 4): DataFrame = {
+    import graft.functions.MediaFunctions._
+    require(every >= 1, s"videoKeyframeNeardupPairs: every >= 1, got $every")
+    val base = df
+      .select(col(idCol).as("media_id"),
+        aviFrames(col(bytesCol).cast("binary"), lit(every)).as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v.frames")) > 0)
+      .select(col("media_id"),
+        dHash64(lumaGrid2d(
+          element_at(col("__v.frames"), 1).getField("gray"),
+          col("__v.width"), col("__v.height"))).as("dh"))
+      .filter(col("dh").isNotNull)
+    dhashNeardupPairs(base, maxHamming)
+  }
+
   def wavHeader(nSamples: Int, sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
     val blockAlign = channels * (bits / 8)
     val dataSize = nSamples * blockAlign

@@ -16,6 +16,84 @@ object Multimodal {
 
   private def hSql(v: String): String = OracleSql.hash64(v)
 
+  /** q263/q270 fixture: the md5-per-pixel 16×16 image per doc,
+    * synthesized ONCE and pinned (it feeds both the base and the
+    * bumped-variant branch — un-shared, the generator dominated the
+    * query: ~6 s of md5 at sf0.1, paid twice).
+    */
+  private def pngBasePx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select($"doc_id",
+      transform(sequence(lit(0), lit(255)), { i =>
+        val h = graft.ext.TextHash.hash64(
+          concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
+        def ch(sh: Int): Column =
+          shiftrightunsigned(h, sh).bitwiseAND(lit(255L)).cast("int")
+        (shiftleft(ch(0), 16) + shiftleft(ch(8), 8) + ch(16)).cast("int")
+      }).as("px"))
+      .localCheckpoint(false)
+  }
+
+  /** The planted near-dup perturbation: +40-capped on every channel of
+    * the top-left corner pixels — exactly the oracle's variant CASE.
+    */
+  private def bumpPx(p: Column, i: Column): Column =
+    when(i < 32 && i % 16 < 4,
+      shiftleft(least(lit(255),
+        shiftrightunsigned(p, 16).bitwiseAND(lit(255)) + 40), 16) +
+      shiftleft(least(lit(255),
+        shiftrightunsigned(p, 8).bitwiseAND(lit(255)) + 40), 8) +
+      least(lit(255), p.bitwiseAND(lit(255)) + 40))
+    .otherwise(p).cast("int")
+
+  /** Shared dHash-pairs oracle over the md5 pixel fixture - q263
+    * consumes it through the PNG encode/ImageIO decode path, q270
+    * through AVI encode + RIFF-walk key-frame extraction; one
+    * definition, two decode paths checked against it.
+    */
+  private val PhashPairsOracle: String = s"""
+        WITH basepx AS MATERIALIZED (
+          SELECT doc_id, i,
+                 h % 256 AS r, (h // 256) % 256 AS g, (h // 65536) % 256 AS b
+          FROM (SELECT doc_id, i,
+                       ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
+                FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i))),
+        px AS (
+          SELECT doc_id*2 AS media_id, i,
+                 (2126*r + 7152*g + 722*b) // 10000 AS p
+          FROM basepx
+          UNION ALL
+          SELECT doc_id*2+1, i,
+                 CASE WHEN i < 32 AND i % 16 < 4
+                   THEN (2126*LEAST(255, r+40) + 7152*LEAST(255, g+40)
+                         + 722*LEAST(255, b+40)) // 10000
+                   ELSE (2126*r + 7152*g + 722*b) // 10000 END
+          FROM basepx),
+        cells AS (
+          SELECT media_id,
+                 (((i // 16) * 8) // 16) * 8 + (((i % 16) * 8) // 16) AS c,
+                 SUM(p) // COUNT(*) AS lum
+          FROM px GROUP BY 1, 2),
+        g8 AS (SELECT media_id, list(lum ORDER BY c) AS g FROM cells GROUP BY media_id),
+        hash AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN g[CAST((i//8)*8 + ((i%8)+1)%8 + 1 AS INT)] > g[CAST(i+1 AS INT)]
+              THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
+              ELSE 0 END) AS BIGINT) AS dh
+          FROM g8 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+        chunked AS (
+          SELECT media_id, dh, c, (dh >> CAST(c*12 AS INTEGER)) & 4095 AS v
+          FROM hash CROSS JOIN (SELECT unnest(range(0, 5)) AS c)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.dh AS ha, b.dh AS hb
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        ORDER BY id_a, id_b
+      """
+
   val all: Seq[Q] = Seq(
     Q(
       "q45_multimodal_features",
@@ -385,82 +463,18 @@ object Multimodal {
       "q263_png_phash_neardup",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.Column
         import graft.functions.MediaFunctions.pngEncode
-        val docs = Tables.load(s, dir, "documents").select($"doc_id")
-        // the md5-per-pixel synthesis runs ONCE and is pinned; the
-        // variant derives from the same packed array (exactly how the
-        // oracle's basepx CTE feeds both variants) — un-shared, the
-        // fixture generator dominated the query (measured ~6 s of
-        // md5 at sf0.1, paid twice)
-        val basePx = docs.select($"doc_id",
-          transform(sequence(lit(0), lit(255)), { i =>
-            val h = graft.ext.TextHash.hash64(
-              concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
-            def ch(sh: Int): Column =
-              shiftrightunsigned(h, sh).bitwiseAND(lit(255L)).cast("int")
-            (shiftleft(ch(0), 16) + shiftleft(ch(8), 8) + ch(16)).cast("int")
-          }).as("px"))
-          .localCheckpoint(false)
-        def bump(p: Column, i: Column): Column =
-          when(i < 32 && i % 16 < 4,
-            shiftleft(least(lit(255),
-              shiftrightunsigned(p, 16).bitwiseAND(lit(255)) + 40), 16) +
-            shiftleft(least(lit(255),
-              shiftrightunsigned(p, 8).bitwiseAND(lit(255)) + 40), 8) +
-            least(lit(255), p.bitwiseAND(lit(255)) + 40))
-          .otherwise(p).cast("int")
+        val basePx = pngBasePx(s, dir)
         val media = basePx
           .select(($"doc_id" * 2).as("media_id"),
             pngEncode($"px", lit(16), lit(16)).as("payload"))
           .unionAll(basePx.select(($"doc_id" * 2 + 1).as("media_id"),
-            pngEncode(transform($"px", (p, i) => bump(p, i)), lit(16), lit(16))
+            pngEncode(transform($"px", (p, i) => bumpPx(p, i)), lit(16), lit(16))
               .as("payload")))
         Media.imagePhashPairs(media, "media_id", "payload", maxHamming = 4)
           .orderBy($"id_a", $"id_b")
       },
-      Some(s"""
-        WITH basepx AS MATERIALIZED (
-          SELECT doc_id, i,
-                 h % 256 AS r, (h // 256) % 256 AS g, (h // 65536) % 256 AS b
-          FROM (SELECT doc_id, i,
-                       ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
-                FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i))),
-        px AS (
-          SELECT doc_id*2 AS media_id, i,
-                 (2126*r + 7152*g + 722*b) // 10000 AS p
-          FROM basepx
-          UNION ALL
-          SELECT doc_id*2+1, i,
-                 CASE WHEN i < 32 AND i % 16 < 4
-                   THEN (2126*LEAST(255, r+40) + 7152*LEAST(255, g+40)
-                         + 722*LEAST(255, b+40)) // 10000
-                   ELSE (2126*r + 7152*g + 722*b) // 10000 END
-          FROM basepx),
-        cells AS (
-          SELECT media_id,
-                 (((i // 16) * 8) // 16) * 8 + (((i % 16) * 8) // 16) AS c,
-                 SUM(p) // COUNT(*) AS lum
-          FROM px GROUP BY 1, 2),
-        g8 AS (SELECT media_id, list(lum ORDER BY c) AS g FROM cells GROUP BY media_id),
-        hash AS (
-          SELECT media_id,
-            CAST(SUM(CASE WHEN g[CAST((i//8)*8 + ((i%8)+1)%8 + 1 AS INT)] > g[CAST(i+1 AS INT)]
-              THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-                   ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
-              ELSE 0 END) AS BIGINT) AS dh
-          FROM g8 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
-        chunked AS (
-          SELECT media_id, dh, c, (dh >> CAST(c*12 AS INTEGER)) & 4095 AS v
-          FROM hash CROSS JOIN (SELECT unnest(range(0, 5)) AS c)),
-        cand AS (
-          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.dh AS ha, b.dh AS hb
-          FROM chunked a JOIN chunked b
-            ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
-        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= 4
-        ORDER BY id_a, id_b
-      """)),
+      Some(PhashPairsOracle)),
     // ----------------------------------------------------------------
     // REAL video-container decode: each doc synthesizes a 6-frame
     // 16×16 uncompressed AVI (cheap integer pixel formula — no md5 in
@@ -509,6 +523,36 @@ object Multimodal {
                CAST(MAX(p) AS BIGINT) AS max_luma
         FROM lum GROUP BY doc_id, f
         ORDER BY media_id, frame_idx
-      """))
+      """)),
+    // ----------------------------------------------------------------
+    // Video key-frame near-dup, completing the family (image q243/q263,
+    // audio q254): each doc becomes a 3-frame AVI whose key frame is
+    // the SAME md5 image as q263 (base / bumped variant) with cheap
+    // filler tails; every=2 samples frames {0, 2}; the first sampled
+    // frame's grid dHash goes through the pigeonhole machinery. The
+    // oracle is q263's VERBATIM (one shared definition) — the exact
+    // same expected pairs must emerge from a completely different
+    // container path (AviEncode bytes → RIFF walk → DIB rasters → key
+    // frame), so any stride/row-order/chunk mis-parse breaks the match.
+    Q(
+      "q270_video_keyframe_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.aviEncode
+        val basePx = pngBasePx(s, dir)
+        def filler(k: Int): Column =
+          transform(sequence(lit(0), lit(255)),
+            i => (((i * 7 + k * 31) % 256) * lit(0x010101)).cast("int"))
+        def clip(key: Column): Column =
+          aviEncode(array(key, filler(1), filler(2)), lit(16), lit(16))
+        val media = basePx
+          .select(($"doc_id" * 2).as("media_id"), clip($"px").as("payload"))
+          .unionAll(basePx.select(($"doc_id" * 2 + 1).as("media_id"),
+            clip(transform($"px", (p, i) => bumpPx(p, i))).as("payload")))
+        Media.videoKeyframeNeardupPairs(media, "media_id", "payload",
+            every = 2, maxHamming = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(PhashPairsOracle))
   )
 }

@@ -548,6 +548,68 @@ object EventStreams {
       }
   }
 
+  final case class VideoVerdict(
+      media_id: Long, admitted: Boolean, reason: String,
+      n_frames: Long, mean_luma: Long)
+
+  /** Streaming video admission gate — the q269 decode screen applied
+    * at ingest time, completing the image/audio/video admission
+    * family: each incoming container goes through the same pure-JVM
+    * [[graft.functions.AviFrames]] RIFF walk in the scan stage and is
+    * admitted or rejected BEFORE entering the corpus:
+    *
+    *   - `undecodable` — the RIFF walk failed (bad magic, compressed
+    *     stream, truncated or geometry-mismatched frames);
+    *   - `too_short`   — fewer container frames than `minFrames`;
+    *   - `exposure`    — mean sampled-frame luma outside
+    *     [minLuma, maxLuma] (the all-black / blown-out screen);
+    *   - `ok`          — admitted.
+    *
+    * The luma mean is the SAME integer formula as the batch
+    * [[graft.multimodal.Media.videoFrameStats]] (per-frame sums in
+    * long, floor division) — the twin contract. One Boolean per
+    * media_id for re-delivery dedup, NoTimeout, the
+    * [[audioAdmissionGate]] discipline.
+    */
+  def videoAdmissionGate(
+      videos: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      every: Int = 2,
+      minFrames: Int = 2,
+      minLuma: Long = 16L,
+      maxLuma: Long = 240L): Dataset[VideoVerdict] = {
+    import videos.sparkSession.implicits._
+    import graft.functions.MediaFunctions._
+    val scored = videos
+      .select(col(idCol).cast("long").as("media_id"),
+        aviFrames(col(bytesCol).cast("binary"), lit(every)).as("__v"))
+      .select(col("media_id"),
+        col("__v").isNotNull.as("__ok"),
+        coalesce(col("__v.n_frames").cast("long"), lit(0L)).as("n_frames"),
+        coalesce(
+          expr("aggregate(__v.frames, 0L, (a, f) -> a + " +
+            "aggregate(f.gray, 0L, (b, x) -> b + x) div size(f.gray)) " +
+            "div size(__v.frames)"),
+          lit(0L)).as("mean_luma"))
+      .withColumn("reason",
+        when(!col("__ok"), "undecodable")
+          .when(col("n_frames") < minFrames, "too_short")
+          .when(col("mean_luma") < minLuma || col("mean_luma") > maxLuma,
+            "exposure")
+          .otherwise("ok"))
+      .select(col("media_id"), (col("reason") === "ok").as("admitted"),
+        col("reason"), col("n_frames"), col("mean_luma"))
+      .as[VideoVerdict]
+    scored.groupByKey(_.media_id)
+      .flatMapGroupsWithState[Boolean, VideoVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          if (state.exists || !rows.hasNext) Iterator.empty
+          else { state.update(true); Iterator.single(rows.next()) }
+      }
+  }
+
   /** One per-bucket update from [[runningFingerprint]]. */
   final case class BucketFingerprint(bucket: Long, n_rows: Long, xor_fp: Long)
 

@@ -580,6 +580,35 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.isNullAt(0))
   }
 
+  test("videoKeyframeNeardupPairs: planted key-frame pairs found, corrupt dropped, no cartesian") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.aviEncode
+    // 4 videos: 0/1 share a key frame (1 gets a +2 luma corner nudge),
+    // 2/3 have unrelated random-ish key frames; fillers identical
+    def key(seed: Int) = Seq.tabulate(256) { j =>
+      val v = (seed * 37 + j * j * 13 + (j >> 2) * 101) % 256
+      v * 0x010101
+    }
+    def nudged(base: Seq[Int]) = base.zipWithIndex.map { case (p, j) =>
+      if (j < 16) math.min(255, (p & 0xff) + 2) * 0x010101 else p
+    }
+    val filler = Seq.tabulate(256)(j => (j % 256) * 0x010101)
+    val clips = Seq(
+      (0L, Seq(key(1), filler)), (1L, Seq(nudged(key(1)), filler)),
+      (2L, Seq(key(77), filler)), (3L, Seq(key(191), filler)))
+    val media = clips.toDF("media_id", "frames")
+      .select($"media_id", aviEncode($"frames", lit(16), lit(16)).as("payload"))
+      .unionAll(Seq((9L, Array[Byte](1, 2))).toDF("media_id", "payload"))
+    val pairs = graft.multimodal.Media.videoKeyframeNeardupPairs(
+        media, "media_id", "payload", every = 1, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), pairs.mkString(","))
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L))
+    val plan = graft.multimodal.Media.videoKeyframeNeardupPairs(
+      media, "media_id", "payload").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("videoFrameStats: per-frame luma stats over real container decode") {
     import spark.implicits._
     import graft.functions.MediaFunctions.aviEncode

@@ -393,6 +393,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("video admission gate: verdicts twin the batch q269 stats, re-delivery inert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.MediaFunctions.aviEncode
+    import org.apache.spark.sql.functions.lit
+    def avi(frames: Seq[Seq[Int]]): Array[Byte] =
+      Seq(Tuple1(frames)).toDF("frames")
+        .select(aviEncode($"frames", lit(2), lit(2)).as("p"))
+        .collect().head.getAs[Array[Byte]](0)
+    val mid = Seq.fill(4)(0x505050)   // luma 80
+    val dark = Seq.fill(4)(0x000000)  // luma 0
+    val good = (1L, avi(Seq(mid, mid, mid)))
+    val short = (2L, avi(Seq(mid)))
+    val black = (3L, avi(Seq(dark, dark, dark)))
+    val corrupt = (4L, Array[Byte](9, 9, 9))
+    val vids = Seq(good, short, black, corrupt)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val gate = EventStreams.videoAdmissionGate(
+      input.toDS().toDF("media_id", "payload"), "media_id", "payload",
+      every = 2, minFrames = 2, minLuma = 16L, maxLuma = 240L)
+    val q = gate.writeStream.format("memory").queryName("video_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(vids: _*); q.processAllAvailable()
+      input.addData(good, corrupt); q.processAllAvailable() // re-delivery
+      val got = spark.sql(
+        "SELECT media_id, admitted, reason, n_frames, mean_luma FROM video_gate")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got.size == 4, "one verdict per video, re-delivery emits nothing")
+      assert(got(1L) == ((true, "ok", 3L, 80L)))
+      assert(got(2L) == ((false, "too_short", 1L, 80L)))
+      assert(got(3L) == ((false, "exposure", 3L, 0L)))
+      assert(got(4L)._2 == "undecodable" && !got(4L)._1)
+      // batch twin: the gate's mean is the floor-mean of the q269
+      // per-frame means over the same sampled frames
+      val batch = graft.multimodal.Media.videoFrameStats(
+          Seq(good).toDF("media_id", "payload"), "media_id", "payload", every = 2)
+        .collect().map(_.getLong(5))
+      assert(got(1L)._4 == batch.sum / batch.length)
+    } finally q.stop()
+  }
+
   test("streaming fingerprint: running bucket XOR equals the batch fingerprint of the fed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
