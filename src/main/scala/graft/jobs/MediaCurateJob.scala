@@ -20,11 +20,13 @@ import graft.ext.Graph
   *      stub-sized assets carry no training signal); audio: minimum
   *      duration and maximum rail-pinned clip share (q253's screen,
   *      the same integer formulas as the streaming admission gate);
+  *      video: minimum frame count and mean-luma exposure band
+  *      (q269's screen / the streaming video gate's verdicts);
   *   3. perceptual near-dup — dHash over the 8×8 luma grid (images,
-  *      q243) / 64-window amplitude envelope (audio, q254), pigeonhole
-  *      Hamming bucketing, pair graph → connected components → the
-  *      LOWEST media_id of each component survives (the q64 canonical-
-  *      survivor rule);
+  *      q243) / 64-window amplitude envelope (audio, q254) /
+  *      key-frame grid (video, q270), pigeonhole Hamming bucketing,
+  *      pair graph → connected components → the LOWEST media_id of
+  *      each component survives (the q64 canonical-survivor rule);
   *   4. outputs — survivors with kind + per-item stats under
   *      `dest/media/<kind>`, and a per-(kind, stage) count summary
   *      under `dest/reports/media_summary` (the monotone-count
@@ -33,6 +35,7 @@ import graft.ext.Graph
   * Usage (all thresholds optional):
   *   --source DIR --dest DIR [--format parquet]
   *   [--min-dim 8] [--min-duration-ms 10] [--max-clip-ppm 200000]
+  *   [--min-frames 2] [--min-luma 16] [--max-luma 240] [--every 2]
   *   [--max-hamming 4]
   *
   * Scale posture: every stage is an already-proven catalog operator —
@@ -44,7 +47,7 @@ object MediaCurateJob {
 
   final case class Report(
       input: Long, decodable: Long, afterQa: Long, afterNearDup: Long,
-      images: Long, audio: Long)
+      images: Long, audio: Long, videos: Long)
 
   def run(spark: SparkSession, conf: Map[String, String]): Report = {
     val source = conf("source")
@@ -54,6 +57,10 @@ object MediaCurateJob {
     val minDurationMs = conf.getOrElse("min-duration-ms", "10").toLong
     val maxClipPpm = conf.getOrElse("max-clip-ppm", "200000").toLong
     val maxHamming = conf.getOrElse("max-hamming", "4").toInt
+    val minFrames = conf.getOrElse("min-frames", "2").toInt
+    val minLuma = conf.getOrElse("min-luma", "16").toLong
+    val maxLuma = conf.getOrElse("max-luma", "240").toLong
+    val every = conf.getOrElse("every", "2").toInt
 
     val media = spark.read.parquet(source)
       .select(col("media_id").cast("long").as("media_id"),
@@ -67,8 +74,10 @@ object MediaCurateJob {
     val input = kindCounts.valuesIterator.sum
     val nImg = kindCounts.getOrElse("image", 0L)
     val nAud = kindCounts.getOrElse("audio", 0L)
+    val nVid = kindCounts.getOrElse("video", 0L)
     val img = media.filter(col("kind") === "image")
     val aud = media.filter(col("kind") === "audio")
+    val vid = media.filter(col("kind") === "video")
 
     // 1. decode screen + per-item stats. Container-agnostic: raw PNM
     //    through the byte-exact parser, PNG/JPEG/BMP/GIF through the
@@ -86,19 +95,37 @@ object MediaCurateJob {
         when(col("n_samples") > 0L, expr("clip_count * 1000000L div n_samples"))
           .otherwise(lit(0L)))
       .localCheckpoint()
+    val vidStats = vid
+      .select(col("media_id"),
+        graft.functions.MediaFunctions.aviFrames(
+          col("payload"), lit(every)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("media_id"),
+        col("__v.width").as("width"), col("__v.height").as("height"),
+        col("__v.n_frames").cast("long").as("n_frames"),
+        // mean of per-frame floor-mean luma — the videoAdmissionGate
+        // formula, so the job's gate and the stream's agree clip-for-clip
+        expr("aggregate(__v.frames, 0L, (a, f) -> a + " +
+          "aggregate(f.gray, 0L, (b, x) -> b + x) div size(f.gray)) " +
+          "div size(__v.frames)").as("mean_luma"))
+      .localCheckpoint()
     // each stage count computed ONCE into a local val and reused by
     // both the Report and the summary rows below
     val nImgStats = imgStats.count()
     val nAudStats = audStats.count()
-    val decodable = nImgStats + nAudStats
+    val nVidStats = vidStats.count()
+    val decodable = nImgStats + nAudStats + nVidStats
 
     // 2. QA gates
     val imgOk = imgStats.filter(col("width") >= minDim && col("height") >= minDim)
     val audOk = audStats.filter(col("duration_ms") >= minDurationMs &&
       col("clip_ppm") <= maxClipPpm)
+    val vidOk = vidStats.filter(col("n_frames") >= minFrames &&
+      col("mean_luma") >= minLuma && col("mean_luma") <= maxLuma)
     val nImgOk = imgOk.count()
     val nAudOk = audOk.count()
-    val afterQa = nImgOk + nAudOk
+    val nVidOk = vidOk.count()
+    val afterQa = nImgOk + nAudOk + nVidOk
 
     // 3. perceptual near-dup among QA survivors; lowest id per
     //    component survives. Components only see ids that appear in a
@@ -111,17 +138,23 @@ object MediaCurateJob {
     }
     val imgKeptMedia = img.join(imgOk.select("media_id"), Seq("media_id"))
     val audKeptMedia = aud.join(audOk.select("media_id"), Seq("media_id"))
+    val vidKeptMedia = vid.join(vidOk.select("media_id"), Seq("media_id"))
     val imgFinal = dropDupes(imgOk,
       Media.imagePhashPairs(imgKeptMedia, "media_id", "payload", maxHamming))
     val audFinal = dropDupes(audOk,
       Media.audioNeardupPairs(audKeptMedia, "media_id", "payload", maxHamming))
+    val vidFinal = dropDupes(vidOk,
+      Media.videoKeyframeNeardupPairs(vidKeptMedia, "media_id", "payload",
+        every, maxHamming))
     val images = imgFinal.count()
     val audio = audFinal.count()
+    val videos = vidFinal.count()
 
     // 4. outputs: survivors with their stats, one directory per kind,
     //    plus the per-(kind, stage) summary
     imgFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/image")
     audFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/audio")
+    vidFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/video")
     val summary = Seq(
       ("image", "0_input", nImg),
       ("image", "1_decodable", nImgStats),
@@ -130,13 +163,18 @@ object MediaCurateJob {
       ("audio", "0_input", nAud),
       ("audio", "1_decodable", nAudStats),
       ("audio", "2_qa", nAudOk),
-      ("audio", "3_neardup", audio))
+      ("audio", "3_neardup", audio),
+      ("video", "0_input", nVid),
+      ("video", "1_decodable", nVidStats),
+      ("video", "2_qa", nVidOk),
+      ("video", "3_neardup", videos))
     import spark.implicits._
     summary.toDF("kind", "stage", "n")
       .coalesce(1).write.mode("overwrite").format(fmt)
       .save(s"$dest/reports/media_summary")
 
-    Report(input, decodable, afterQa, images + audio, images, audio)
+    Report(input, decodable, afterQa, images + audio + videos,
+      images, audio, videos)
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,7 +184,7 @@ object MediaCurateJob {
       val r = run(spark, conf)
       println(s"""{"job":"media-curate","input":${r.input},"decodable":${r.decodable},""" +
         s""""qa":${r.afterQa},"neardup":${r.afterNearDup},""" +
-        s""""images":${r.images},"audio":${r.audio}}""")
+        s""""images":${r.images},"audio":${r.audio},"videos":${r.videos}}""")
     } finally spark.stop()
   }
 }

@@ -323,8 +323,25 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.zipWithIndex.map { case (v, j) =>
         if (j < 8) (v + 6000).min(32767) else v }
 
+    def avi(frames: Seq[Seq[Int]]): Array[Byte] = {
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        frames.map(f => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          f.toArray).asInstanceOf[Any]).toArray)
+      graft.functions.AviEncode(null, null, null).encode(ad, 16, 16)
+    }
+    def vidKey(seed: Int): Seq[Int] = Seq.tabulate(256) { j =>
+      // md5-derived so distinct seeds give UNCORRELATED images — a
+      // shifted polynomial in j is the same dHash up to wraparound
+      ((graft.ext.TextHash.hash64Local(s"vid$seed:$j") % 256L).toInt) * 0x010101
+    }
+    def nudgedKey(base: Seq[Int]): Seq[Int] = base.zipWithIndex.map { case (p, j) =>
+      if (j < 16) math.min(255, (p & 0xff) + 2) * 0x010101 else p
+    }
+    val vidFiller = Seq.tabulate(256)(j => (j % 256) * 0x010101)
+
     val base10 = imgPixels(1)
     val base20 = noise(1)
+    val base30 = vidKey(1)
     val corpus = Seq(
       (10L, "image", pgm(base10)),                   // survivor
       (11L, "image", pgm(patched(base10))),          // near-dup of 10 -> dropped
@@ -337,15 +354,26 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (22L, "audio", wav(noise(2))),                 // distinct survivor
       (23L, "audio", wav(Seq(5, -5, 5, -5))),        // too short
       (24L, "audio", wav(Seq.fill(256)(32767))),     // fully clipped
-      (25L, "audio", Array[Byte](9, 9)))             // undecodable
+      (25L, "audio", Array[Byte](9, 9)),             // undecodable
+      (30L, "video", avi(Seq(base30, vidFiller, vidFiller))),   // survivor
+      (31L, "video", avi(Seq(nudgedKey(base30), vidFiller, vidFiller))), // near-dup -> dropped
+      (32L, "video", avi(Seq(vidKey(77), vidFiller, vidFiller))), // distinct survivor
+      (33L, "video", avi(Seq(base30))),              // too few frames
+      (34L, "video", avi(Seq.fill(3)(Seq.fill(256)(0)))), // all-black -> exposure
+      (35L, "video", Array[Byte](8, 8, 8)))          // undecodable
     val src = tmp() + "/media_src"
     corpus.toDF("media_id", "kind", "payload").write.parquet(src)
     val dest = tmp()
     val conf = Map("source" -> src, "dest" -> dest,
-      "min-dim" -> "8", "min-duration-ms" -> "10", "max-clip-ppm" -> "300000")
+      "min-dim" -> "8", "min-duration-ms" -> "10", "max-clip-ppm" -> "300000",
+      "min-frames" -> "2", "min-luma" -> "16", "max-luma" -> "240",
+      "every" -> "2")
     val r = MediaCurateJob.run(spark, conf)
-    assert(r.input == 11L && r.decodable == 9L && r.afterQa == 6L)
-    assert(r.afterNearDup == 4L && r.images == 2L && r.audio == 2L)
+    assert(r.input == 17L && r.decodable == 14L && r.afterQa == 9L)
+    assert(r.afterNearDup == 6L && r.images == 2L && r.audio == 2L && r.videos == 2L)
+    val vidOut = spark.read.parquet(s"$dest/media/video")
+    assert(vidOut.select("media_id").collect().map(_.getLong(0)).toSet == Set(30L, 32L))
+    assert(vidOut.columns.contains("n_frames") && vidOut.columns.contains("mean_luma"))
     val img = spark.read.parquet(s"$dest/media/image")
     assert(img.select("media_id").collect().map(_.getLong(0)).toSet == Set(10L, 12L))
     assert(img.columns.contains("width") && img.columns.contains("height"))
@@ -358,6 +386,8 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sumy(("image", "2_qa")) == 3L && sumy(("image", "3_neardup")) == 2L)
     assert(sumy(("audio", "0_input")) == 6L && sumy(("audio", "1_decodable")) == 5L)
     assert(sumy(("audio", "2_qa")) == 3L && sumy(("audio", "3_neardup")) == 2L)
+    assert(sumy(("video", "0_input")) == 6L && sumy(("video", "1_decodable")) == 5L)
+    assert(sumy(("video", "2_qa")) == 3L && sumy(("video", "3_neardup")) == 2L)
     // counts are monotone per kind, and a re-run is deterministic
     val dest2 = tmp()
     val r2 = MediaCurateJob.run(spark, conf + ("dest" -> dest2))
