@@ -401,4 +401,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q265 chunk boilerplate: hash-keyed df join, never a cartesian") {
+    val p = planOf("q265_chunk_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q266 LM quality buckets: the per-lang (N, V) row broadcasts into the token scan") {
+    val p = planOf("q266_lm_quality_buckets")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q267 FS linkage: nation-blocked equi-join + one 1-row u broadcast, no cartesian") {
+    val p = planOf("q267_fs_linkage")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the single-row u-probability broadcast
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"expected at most the 1-row u broadcast, got $bnl:\n$p")
+  }
+
+  test("q268 modularity: node-keyed equi-joins + 1-row m broadcast, no cartesian") {
+    val p = planOf("q268_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"expected at most the 1-row m broadcast, got $bnl:\n$p")
+  }
+
+  test("q269/q270 video decode stays scan-stage; key-frame pairs never go cartesian") {
+    val p269 = planOf("q269_avi_frame_stats")
+    assert(!p269.contains("CartesianProduct") && !p269.contains("Join"), p269)
+    val p270 = planOf("q270_video_keyframe_neardup")
+    assert(!p270.contains("CartesianProduct"), p270)
+    assert(!p270.contains("BroadcastNestedLoopJoin"), p270)
+  }
 }
