@@ -226,5 +226,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_imageio_decode(bytes) - decode PNG/JPEG/BMP/GIF via JDK javax.imageio: " +
           "struct(fmt, width, height, gray)"),
       (args: Seq[Expression]) => graft.functions.ImageIoDecode(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_avi_encode"),
+      info("graft_avi_encode",
+        "graft_avi_encode(frames, width, height) - uncompressed 24-bit DIB AVI bytes " +
+          "from array<array<int>> packed 0xRRGGBB frames"),
+      (args: Seq[Expression]) => graft.functions.AviEncode(args(0), args(1), args(2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_avi_frames"),
+      info("graft_avi_frames",
+        "graft_avi_frames(bytes, every) - RIFF walk of an uncompressed AVI: " +
+          "struct(width, height, n_frames, frames) sampling every k-th frame"),
+      (args: Seq[Expression]) => graft.functions.AviFrames(args(0), args(1))))
   }
 }

@@ -413,6 +413,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.isNullAt(0))
   }
 
+  test("graft_avi_encode/graft_avi_frames: SQL round-trip through the real container") {
+    // one 2x1 frame: pixel luma 7 and 9 (0x010101-packed grays)
+    val r = spark.sql(
+      "SELECT graft_avi_frames(graft_avi_encode(" +
+        "array(array(7 * 65793, 9 * 65793)), 2, 1), 1) AS v").collect().head
+    val v = r.getStruct(0)
+    assert(v.getInt(0) == 2 && v.getInt(1) == 1 && v.getInt(2) == 1)
+    val frame = v.getSeq[org.apache.spark.sql.Row](3).head
+    assert(frame.getInt(0) == 0 && frame.getSeq[Int](1) == Seq(7, 9))
+    // malformed bytes are null through the SQL surface too
+    assert(spark.sql("SELECT graft_avi_frames(X'DEADBEEF', 1) AS v")
+      .collect().head.isNullAt(0))
+  }
+
   test("graft_km_fold_ppm: n=0 step poisons the tail with nulls instead of crashing") {
     // malformed input is data, not an error (the pnm_decode contract):
     // a zero at-risk count has no product-limit factor — that step and
