@@ -962,6 +962,63 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Within-document repeated-span removal — the TRANSFORM complement
+    * of the repetition metrics (q69) and the cross-doc span finder
+    * (q245): every token position covered by a DUPLICATE n-gram window
+    * (one whose n-gram already occurred earlier in the same document)
+    * is removed, keeping the first occurrence — the intra-document
+    * half of exact-substring deduplication (Lee et al., ACL'22), the
+    * "stuck-key / copy-paste loop" cleanup every web corpus needs.
+    *
+    * Semantics (exists-coverage, engine-replayable): with grams
+    * g(p) = toks[p..p+n-1], dup(p) ⇔ ∃q<p: g(q)=g(p); position j is
+    * removed ⇔ ∃ dup window w with w ≤ j ≤ w+n-1. Docs with fewer
+    * than n tokens pass through unchanged.
+    *
+    * Output: (doc_id, n_tokens, n_removed, kept_text).
+    *
+    * Scale posture: every window/aggregate is keyed by doc_id (plus
+    * the in-doc gram for first-occurrence ranking) — state is bounded
+    * by the longest document, never the corpus; one doc-keyed shuffle
+    * end-to-end, no pair space, no corpus-wide gram table.
+    */
+  def dedupSpansWithinDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, s"dedupSpansWithinDoc: n >= 2, got $n")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextHash.tokens(col(textCol))).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = toks
+      .withColumn("__g", concat_ws("\u0001",
+        col("w") +: (1 until n).map(j => lead(col("w"), j).over(byPos)): _*))
+      // trailing positions have no full window; lead() is null there and
+      // concat_ws silently skips nulls, so gate on window count instead
+      .withColumn("__T", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("__isWin", col("pos") <= col("__T") - n)
+    val dupWin = gram.filter(col("__isWin"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("__g")).orderBy(col("pos"))))
+      .filter(col("__rk") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1)))
+        .as("pos"))
+      .distinct()
+    toks
+      .join(dupWin.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rm").isNull, struct(col("pos"), col("w"))))),
+            x => x.getField("w")), " ").as("kept_text"))
+  }
+
   /** Corpus-frequent chunk removal (the RefinedWeb / C4 "repeated
     * line" filter, re-expressed for token-chunk units): every document
     * is segmented into fixed-size token chunks, each chunk's document

@@ -172,6 +172,66 @@ object Corpus {
         SELECT cls, COUNT(*) AS n_pairs,
                MIN(score) AS min_score, MAX(score) AS max_score
         FROM cl GROUP BY cls ORDER BY cls
+      """)),
+    // ----------------------------------------------------------------
+    // Within-document repeated-span removal: the corpus plants
+    // repetition (every 3rd doc echoes its first 8 tokens; every
+    // doc_id%3==2 doc doubles itself), then every token covered by a
+    // duplicate 3-gram window is cut, keeping first occurrences — the
+    // intra-doc half of exact-substring dedup. The oracle replays the
+    // gram/first-occurrence/coverage machinery position-for-position.
+    Q(
+      "q271_dedup_within_doc",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val echo = array_join(
+          slice(graft.ext.TextHash.tokens($"text"), 1, 8), " ")
+        val aug = d.select($"doc_id",
+          when($"doc_id" % 3 === 0, concat_ws(" ", $"text", echo))
+            .when($"doc_id" % 3 === 2, concat_ws(" ", $"text", $"text"))
+            .otherwise($"text").as("text"))
+        Dedup.dedupSpansWithinDoc(aug, "doc_id", "text", n = 3)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text || ' ' ||
+                        array_to_string(list_slice(${toksSql("text")}, 1, 8), ' ')
+                      WHEN doc_id % 3 = 2 THEN text || ' ' || text
+                      ELSE text END AS text
+          FROM documents),
+        tok AS (
+          SELECT doc_id, w, i FROM (
+            SELECT doc_id, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM aug))),
+        tc AS (SELECT doc_id, COUNT(*) AS t FROM tok GROUP BY doc_id),
+        gram AS (
+          SELECT doc_id, i,
+                 w || chr(1) || LEAD(w, 1) OVER win
+                   || chr(1) || LEAD(w, 2) OVER win AS g
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        winr AS (
+          SELECT gram.doc_id, i, g FROM gram JOIN tc USING (doc_id)
+          WHERE i <= t - 2),
+        dup AS (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i, ROW_NUMBER() OVER (
+              PARTITION BY doc_id, g ORDER BY i) AS rk FROM winr)
+          WHERE rk > 1),
+        rm AS (
+          SELECT DISTINCT doc_id, i + o AS i
+          FROM dup CROSS JOIN (SELECT unnest(range(0, 3)) AS o)),
+        j AS (
+          SELECT tok.doc_id, tok.i, tok.w, rm.i IS NOT NULL AS rmv
+          FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.i = rm.i)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN rmv THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT rmv THEN w END,
+                                   ' ' ORDER BY i), '') AS kept_text
+        FROM j GROUP BY doc_id ORDER BY doc_id
       """))
   )
 }

@@ -145,6 +145,26 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(neg.map(_.getLong(1)).toSeq == Seq(0L, 1L)) // zero-internal community kept
   }
 
+  test("dedupSpansWithinDoc: coverage semantics, overlap chains, short docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),        // dup window at 3 -> remove 3,4,5
+      (2L, "x y x y x y"),        // n=3: grams xyx(0) yxy(1) xyx(2dup) yxy(3dup)
+      (3L, "p q"),                // shorter than n -> untouched
+      (4L, "u v w x y z")).toDF("doc_id", "text") // no repeats -> untouched
+    val out = Dedup.dedupSpansWithinDoc(docs, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6L, 3L, "a b c")))
+    // dup windows 2 and 3 cover positions 2..5 -> kept "x y"
+    assert(out(2L) == ((6L, 4L, "x y")))
+    assert(out(3L) == ((2L, 0L, "p q")))
+    assert(out(4L) == ((6L, 0L, "u v w x y z")))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpansWithinDoc(docs, "doc_id", "text", n = 1)
+    }
+  }
+
   test("guard rails: invalid chunkTokens / maxDf / nBuckets fail fast") {
     import spark.implicits._
     val d = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
