@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import java.security.MessageDigest
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video carried as opaque
@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   * AUDIO (RIFF/WAVE PCM) decodes for real via
   * [[graft.functions.WavDecode]]. VIDEO decodes for real via
   * [[graft.functions.AviFrames]] for uncompressed AVI (RIFF walk +
-  * DIB frame rasters + in-decode frame sampling). Only COMPRESSED
-  * video codecs (H.264/MJPEG frame grab) and PCM resampling still
-  * need codec libraries this container lacks, so [[Media.decodeStub]]
-  * stands in for those, deriving features from md5 of the payload; a
-  * real deployment swaps that one function for the JNI/FFI call —
-  * every signature, schema and partitioning decision stays.
+  * DIB frame rasters + in-decode frame sampling). PCM RESAMPLING is
+  * real integer linear interpolation ([[audioResample]]). Only
+  * COMPRESSED video codecs (H.264/MJPEG frame grab) still need codec
+  * libraries this container lacks, so [[Media.decodeStub]] stands in
+  * for those, deriving features from md5 of the payload; a real
+  * deployment swaps that one function for the JNI/FFI call — every
+  * signature, schema and partitioning decision stays.
   */
 object Media {
 
@@ -272,6 +273,63 @@ object Media {
             i => (element_at(col("__s"), i) < 0) =!=
               (element_at(col("__s"), i + 1) < 0))).cast("long"))
           .as("zero_crossings"))
+  }
+
+  /** REAL integer PCM resampling — the standard audio-prep stage
+    * (convert everything to one target rate before featurization),
+    * previously a documented stub: linear interpolation on the exact
+    * rational grid, pure integer arithmetic so any engine replays it
+    * bit-for-bit. Output sample j sits at source position
+    * j·src/dst: idx = (j·src) div dst, rem = (j·src) mod dst,
+    * out[j] = s[idx] + (s[idx+1] − s[idx])·rem div dst (truncating
+    * toward zero on both Spark `div` and DuckDB `//`);
+    * n_out = (n_in − 1)·dst div src + 1, so the last output lands
+    * exactly on the last input. Works for up- and down-sampling.
+    * Everything is scan-stage HOF column algebra over the decoded
+    * raster — no new expression, no shuffle, no allocation beyond the
+    * output array.
+    *
+    * Output: (media_id, src_rate, n_in, n_out, sum_out, min_out,
+    * max_out) — the exact integer summary of the resampled signal
+    * (the array itself stays inside the plan; consumers chain more
+    * column algebra on `__resampled` via [[resampleExpr]]).
+    */
+  def audioResample(
+      df: DataFrame, idCol: String, bytesCol: String, dstRate: Int): DataFrame = {
+    import graft.functions.AudioFunctions._
+    require(dstRate >= 1, s"audioResample: dstRate >= 1, got $dstRate")
+    df.select(col(idCol).as("media_id"),
+        wavDecode(col(bytesCol).cast("binary")).as("__wav"))
+      .filter(col("__wav").isNotNull && col("__wav.n_samples") >= 1)
+      .select(col("media_id"),
+        col("__wav.sample_rate").as("src_rate"),
+        col("__wav.n_samples").cast("long").as("n_in"),
+        resampleExpr(col("__wav.samples"), col("__wav.sample_rate"), dstRate)
+          .as("__r"))
+      .select(col("media_id"), col("src_rate"), col("n_in"),
+        size(col("__r")).cast("long").as("n_out"),
+        aggregate(col("__r"), lit(0L), (a, x) => a + x.cast("long")).as("sum_out"),
+        array_min(col("__r")).cast("long").as("min_out"),
+        array_max(col("__r")).cast("long").as("max_out"))
+  }
+
+  /** The resampling grid as a reusable column: array<int> → array<int>
+    * at `dstRate` given the source rate column. See [[audioResample]]
+    * for the exact integer contract.
+    */
+  def resampleExpr(samples: Column, srcRate: Column, dstRate: Int): Column = {
+    val s = samples
+    val nIn = size(s)
+    // j ranges over 0 .. (n_in-1)*dst div src
+    val lastJ = ((nIn - 1).cast("long") * dstRate) / srcRate.cast("long")
+    transform(sequence(lit(0L), lastJ.cast("long")), { j =>
+      val posNum = j * srcRate.cast("long")
+      val idx = (posNum / dstRate).cast("int")
+      val rem = posNum % dstRate
+      val a = element_at(s, idx + 1)
+      val b = element_at(s, least(idx + 2, nIn))
+      (a + (((b - a).cast("long") * rem) / dstRate).cast("int")).cast("int")
+    })
   }
 
   /** Audio near-duplicate pairs: decode (WavDecode) → 64-window

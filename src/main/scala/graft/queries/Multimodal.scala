@@ -34,6 +34,27 @@ object Multimodal {
       .localCheckpoint(false)
   }
 
+  /** q253/q272 fixture: one 8 kHz / 16-bit / 256-sample WAV per doc,
+    * md5-derived samples wrapped in REAL RIFF bytes (the oracle's sm
+    * CTE re-derives the samples from the same formula).
+    */
+  private def mdWavMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MediaFunctions.packBytes
+    val docs = Tables.load(s, dir, "documents").select($"doc_id")
+    val header = lit(graft.multimodal.Media.wavHeader(
+      nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
+    val samples = transform(sequence(lit(0), lit(255)), { i =>
+      val raw = (graft.ext.TextHash.hash64(
+        concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
+        % 80001 - 40000).cast("int")
+      greatest(lit(-32768), least(lit(32767), raw))
+    })
+    val payload = concat(header, packBytes(
+      flatten(transform(samples, x => array(x, shiftright(x, 8))))))
+    docs.select($"doc_id".as("media_id"), payload.as("payload"))
+  }
+
   /** The planted near-dup perturbation: +40-capped on every channel of
     * the top-left corner pixels — exactly the oracle's variant CASE.
     */
@@ -284,20 +305,7 @@ object Multimodal {
       "q253_wav_stats",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.MediaFunctions.packBytes
-        val docs = Tables.load(s, dir, "documents").select($"doc_id")
-        val header = lit(graft.multimodal.Media.wavHeader(
-          nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
-        val samples = transform(sequence(lit(0), lit(255)), { i =>
-          val raw = (graft.ext.TextHash.hash64(
-            concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
-            % 80001 - 40000).cast("int")
-          greatest(lit(-32768), least(lit(32767), raw))
-        })
-        val payload = concat(header, packBytes(
-          flatten(transform(samples, x => array(x, shiftright(x, 8))))))
-        val media = docs.select($"doc_id".as("media_id"), payload.as("payload"))
-        graft.multimodal.Media.audioStats(media, "media_id", "payload")
+        graft.multimodal.Media.audioStats(mdWavMedia(s, dir), "media_id", "payload")
           .orderBy($"media_id")
       },
       Some(s"""
@@ -553,6 +561,44 @@ object Multimodal {
             every = 2, maxHamming = 4)
           .orderBy($"id_a", $"id_b")
       },
-      Some(PhashPairsOracle))
+      Some(PhashPairsOracle)),
+    // ----------------------------------------------------------------
+    // REAL integer PCM resampling: the q253 WAV corpus is resampled
+    // 8000 → 6000 Hz by linear interpolation on the exact rational
+    // grid (idx/rem integer split, toward-zero lerp), previously a
+    // documented stub. The oracle re-derives the source samples from
+    // the shared md5 formula and replays every output sample's
+    // interpolation — a one-sample drift anywhere in the grid breaks
+    // the sum/min/max triple.
+    Q(
+      "q272_audio_resample",
+      (s, dir) => {
+        import s.implicits._
+        Media.audioResample(mdWavMedia(s, dir), "media_id", "payload",
+            dstRate = 6000)
+          .orderBy($"media_id")
+      },
+      Some(s"""
+        WITH sm AS MATERIALIZED (
+          SELECT doc_id AS media_id, i,
+                 GREATEST(-32768, LEAST(32767,
+                   ${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                     % 80001 - 40000)) AS s
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)),
+        lst AS (SELECT media_id, list(s ORDER BY i) AS ss FROM sm GROUP BY 1),
+        rs AS (
+          SELECT media_id, j,
+                 ss[CAST((j*8000)//6000 AS INT) + 1] +
+                 CAST(((ss[LEAST(CAST((j*8000)//6000 AS INT) + 2, len(ss))] -
+                        ss[CAST((j*8000)//6000 AS INT) + 1])
+                       * ((j*8000) % 6000)) // 6000 AS INT) AS o
+          FROM lst CROSS JOIN (SELECT unnest(range(0, 192)) AS j))
+        SELECT media_id, 8000 AS src_rate, CAST(256 AS BIGINT) AS n_in,
+               COUNT(*) AS n_out,
+               CAST(CAST(SUM(o) AS BIGINT) AS BIGINT) AS sum_out,
+               CAST(MIN(o) AS BIGINT) AS min_out,
+               CAST(MAX(o) AS BIGINT) AS max_out
+        FROM rs GROUP BY media_id ORDER BY media_id
+      """))
   )
 }

@@ -611,6 +611,31 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("audioResample: exact rational grid, up/down, toward-zero lerp, corrupt dropped") {
+    import spark.implicits._
+    def wav(samples: Seq[Int], rate: Int): Array[Byte] =
+      graft.multimodal.Media.wavHeader(samples.length, rate, 1, 16) ++
+        samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    // downsample 8000 -> 4000: every other sample, no interpolation
+    val down = Seq((1L, wav((0 until 16).map(_ * 100), 8000)))
+      .toDF("media_id", "payload")
+    val d = graft.multimodal.Media.audioResample(down, "media_id", "payload", 4000)
+      .collect().head
+    assert(d.getLong(2) == 16L && d.getLong(3) == 8L)           // n_in, n_out
+    assert(d.getLong(4) == (0 until 16 by 2).map(_ * 100).sum)  // evens only
+    // upsample 8000 -> 16000: midpoints lerp, negative diffs truncate toward zero
+    val up = Seq((2L, wav(Seq(10, -5), 8000))).toDF("media_id", "payload")
+    val u = graft.multimodal.Media.audioResample(up, "media_id", "payload", 16000)
+      .collect().head
+    // out = [10, 10 + (-15*8000) div 16000 = 3, -5]
+    assert(u.getLong(3) == 3L && u.getLong(4) == 8L)
+    assert(u.getLong(5) == -5L && u.getLong(6) == 10L)
+    // corrupt payloads drop, never throw
+    val bad = Seq((3L, Array[Byte](1))).toDF("media_id", "payload")
+    assert(graft.multimodal.Media.audioResample(bad, "media_id", "payload", 4000)
+      .count() == 0)
+  }
+
   test("videoFrameStats: per-frame luma stats over real container decode") {
     import spark.implicits._
     import graft.functions.MediaFunctions.aviEncode
