@@ -721,14 +721,18 @@ case class AviEncode(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-/** REAL video-container decode for uncompressed AVI: RIFF walk
-  * (WORD-aligned chunk skipping, the [[WavDecode]] discipline) →
-  * 'strf' BITMAPINFOHEADER validation (BI_RGB, 24 bpp only) → 'movi'
-  * scan taking every k-th '00db'/'01db' frame → per-frame Rec. 709
-  * integer gray rasters in top-down row order. Retires the video row
-  * of [[graft.multimodal.Media.decodeStub]] for the uncompressed
-  * format; compressed codecs (H.264, MJPEG) remain out of scope — the
-  * JDK ships no video codec, and THAT stub stays honestly documented.
+/** REAL video-container decode for AVI: RIFF walk (WORD-aligned chunk
+  * skipping, the [[WavDecode]] discipline) → 'strf' BITMAPINFOHEADER
+  * validation (24 bpp; BI_RGB or MJPG) → 'movi' scan taking every
+  * k-th frame → per-frame Rec. 709 integer gray rasters in top-down
+  * row order. Two codec paths: '00db' raw bottom-up DIB rows
+  * (bit-exact, the oracle-checkable fixture format) and — when the
+  * stream declares MJPG — '00dc' per-frame JPEG through the
+  * JDK-builtin reader (real Motion-JPEG; deterministic within a JDK,
+  * so spec-checked rather than oracle-replayed). Retires the video
+  * row of [[graft.multimodal.Media.decodeStub]] for both formats;
+  * only inter-frame codecs the JDK lacks (H.264-class) remain
+  * honestly stubbed.
   *
   * Output: struct(width, height, n_frames, frames array<struct<idx,
   * gray>>) where n_frames counts ALL frames in the container and
@@ -769,7 +773,7 @@ case class AviFrames(left: Expression, right: Expression)
     if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return null
     try {
       // pass 1: find strf (inside hdrl/strl) for the geometry
-      var w = -1; var h = -1
+      var w = -1; var h = -1; var mjpeg = false
       def walk(start: Int, end: Int, depth: Int)(chunk: (String, Int, Int) => Boolean): Boolean = {
         var p = start
         while (p + 8 <= end) {
@@ -790,36 +794,75 @@ case class AviFrames(left: Expression, right: Expression)
             w = b.getInt(off + 4); h = b.getInt(off + 8)
             val planes = b.getShort(off + 12); val bpp = b.getShort(off + 14)
             val comp = b.getInt(off + 16)
-            planes == 1 && bpp == 24 && comp == 0
+            // BI_RGB uncompressed DIB, or MJPG (per-frame JPEG — the
+            // JDK ships a JPEG reader, so Motion-JPEG decodes for real)
+            mjpeg = comp == 0x47504A4D
+            planes == 1 && bpp == 24 && (comp == 0 || mjpeg)
           }
         } else true
       }
       if (!geomOk || w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
       val stride = (w * 3 + 3) & ~3
       val frameBytes = stride * h
-      // pass 2: every k-th '00db'/'01db' frame, bottom-up → top-down
+      // pass 2: every k-th frame — '00db'/'01db' raw DIB (bottom-up →
+      // top-down), or '00dc'/'01dc' JPEG when the stream declares MJPG
       val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
       var nFrames = 0
+      def dibGray(off: Int): Array[Int] = {
+        val gray = new Array[Int](w * h)
+        var row = 0
+        while (row < h) {
+          val src = off + (h - 1 - row) * stride
+          var x = 0
+          while (x < w) {
+            val bl = bytes(src + x * 3) & 0xff
+            val g = bytes(src + x * 3 + 1) & 0xff
+            val r = bytes(src + x * 3 + 2) & 0xff
+            gray(row * w + x) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
+            x += 1
+          }
+          row += 1
+        }
+        gray
+      }
+      // per-frame JPEG through the JDK reader; null (via None) on any
+      // decoder failure or a frame whose geometry disagrees with strf
+      def jpegGray(off: Int, size: Int): Option[Array[Int]] = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, size))
+        if (img == null || img.getWidth != w || img.getHeight != h) None
+        else {
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val bl = rgb & 0xff
+              gray(y * w + x) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
+              x += 1
+            }
+            y += 1
+          }
+          Some(gray)
+        }
+      }
       val framesOk = walk(12, bytes.length, 0) { (id, off, size) =>
-        if (id != "00db" && id != "01db") true
-        else if (size != frameBytes) false // geometry and payload disagree
+        val isDib = id == "00db" || id == "01db"
+        val isJpg = mjpeg && (id == "00dc" || id == "01dc")
+        if (!isDib && !isJpg) true
+        else if (isDib && size != frameBytes) false // geometry and payload disagree
         else {
           if (nFrames % every == 0) {
             if ((sampled.length + 1).toLong * w * h > (1L << 24)) return null
-            val gray = new Array[Int](w * h)
-            var row = 0
-            while (row < h) {
-              val src = off + (h - 1 - row) * stride
-              var x = 0
-              while (x < w) {
-                val bl = bytes(src + x * 3) & 0xff
-                val g = bytes(src + x * 3 + 1) & 0xff
-                val r = bytes(src + x * 3 + 2) & 0xff
-                gray(row * w + x) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
-                x += 1
+            val gray =
+              if (isDib) dibGray(off)
+              else jpegGray(off, size) match {
+                case Some(g) => g
+                case None => return null
               }
-              row += 1
-            }
             sampled += ((nFrames, gray))
           }
           nFrames += 1

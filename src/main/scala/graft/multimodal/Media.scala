@@ -20,14 +20,15 @@ import org.apache.spark.sql.functions._
   * java.desktop); [[imageDecode]] unifies both behind one struct.
   * AUDIO (RIFF/WAVE PCM) decodes for real via
   * [[graft.functions.WavDecode]]. VIDEO decodes for real via
-  * [[graft.functions.AviFrames]] for uncompressed AVI (RIFF walk +
-  * DIB frame rasters + in-decode frame sampling). PCM RESAMPLING is
-  * real integer linear interpolation ([[audioResample]]). Only
-  * COMPRESSED video codecs (H.264/MJPEG frame grab) still need codec
-  * libraries this container lacks, so [[Media.decodeStub]] stands in
-  * for those, deriving features from md5 of the payload; a real
-  * deployment swaps that one function for the JNI/FFI call — every
-  * signature, schema and partitioning decision stays.
+  * [[graft.functions.AviFrames]] for AVI — uncompressed DIB frames
+  * bit-exactly, and Motion-JPEG ('MJPG') frames through the
+  * JDK-builtin JPEG reader. PCM RESAMPLING is real integer linear
+  * interpolation ([[audioResample]]). Only inter-frame codecs the JDK
+  * lacks (H.264-class) still need external libraries, so
+  * [[Media.decodeStub]] stands in for those, deriving features from
+  * md5 of the payload; a real deployment swaps that one function for
+  * the JNI/FFI call — every signature, schema and partitioning
+  * decision stays.
   */
 object Media {
 

@@ -611,6 +611,71 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("aviFrames: real Motion-JPEG frames decode through the JDK reader") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.aviFrames
+    // hand-built MJPG AVI: same hdrl shape as AviEncode but
+    // biCompression = 'MJPG' and one '00dc' JPEG chunk per frame
+    def jpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      javax.imageio.ImageIO.write(img, "jpg", ios); ios.flush(); ios.close()
+      out.toByteArray
+    }
+    def mjpgAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      val padded = frames.map(f => f ++ Array.fill[Byte](f.length & 1)(0))
+      val moviSize = 4 + padded.map(8 + _.length).sum
+      val hdrl = 4 + 64 + (8 + 4 + 64 + 48)
+      val total = 12 + (8 + hdrl) + (8 + moviSize)
+      val b = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String) = b.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); b.putInt(total - 8); fcc("AVI ")
+      fcc("LIST"); b.putInt(hdrl); fcc("hdrl")
+      fcc("avih"); b.putInt(56)
+      b.putInt(40000).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      b.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(4 + 64 + 48); fcc("strl")
+      fcc("strh"); b.putInt(56)
+      fcc("vids"); fcc("MJPG")
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+      b.putInt(1).putInt(25).putInt(0).putInt(frames.length)
+      b.putInt(0).putInt(-1).putInt(0)
+      b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fcc("strf"); b.putInt(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      fcc("MJPG") // biCompression fourcc
+      b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(moviSize); fcc("movi")
+      frames.zip(padded).foreach { case (f, pad) =>
+        fcc("00dc"); b.putInt(f.length); b.put(pad)
+      }
+      b.array()
+    }
+    // two flat frames: mid gray (0x808080 -> luma 128), dark (0x202020 -> 32)
+    val payload = mjpgAvi(Seq(jpeg(0x808080, 16, 16), jpeg(0x202020, 16, 16)), 16, 16)
+    val r = Seq((1L, payload)).toDF("id", "p")
+      .select(aviFrames($"p", lit(1)).as("v")).collect().head.getStruct(0)
+    assert(r.getInt(0) == 16 && r.getInt(1) == 16 && r.getInt(2) == 2)
+    val fr = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(fr.map(_.getInt(0)) == Seq(0, 1))
+    // flat-color JPEG round-trips near-exactly; allow codec tolerance
+    def grays(i: Int) = fr(i).getSeq[Int](1)
+    assert(grays(0).forall(g => math.abs(g - 128) <= 3), grays(0).take(8))
+    assert(grays(1).forall(g => math.abs(g - 32) <= 3), grays(1).take(8))
+    // a corrupt JPEG chunk nulls the whole decode (malformation is data)
+    val broken = payload.clone()
+    val dc = payload.indexOfSlice("00dc".getBytes("US-ASCII"))
+    broken(dc + 12) = 0x7f.toByte // stomp JPEG SOI region
+    val z = Seq((1L, broken)).toDF("id", "p")
+      .select(aviFrames($"p", lit(1)).as("v")).collect().head
+    assert(z.isNullAt(0))
+  }
+
   test("audioResample: exact rational grid, up/down, toward-zero lerp, corrupt dropped") {
     import spark.implicits._
     def wav(samples: Seq[Int], rate: Int): Array[Byte] =
