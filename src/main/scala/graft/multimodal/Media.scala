@@ -52,11 +52,13 @@ object Media {
   private def hash64(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s"0:$s".getBytes("UTF-8").clone()).take(15), 16)
 
-  /** CODEC STUB — deterministic fake decode. Real codecs (JPEG decode,
-    * PCM resample, H.264 frame grab) are not available in this
-    * environment; the fake derives `dim` floats in [0,1) from the md5 of
-    * the payload so the distributed pipeline around it is fully
-    * verifiable. Swap this single function for the real FFI call.
+  /** CODEC STUB — deterministic fake decode, now covering ONLY
+    * inter-frame video codecs the JDK lacks (H.264-class); JPEG/PNG/
+    * BMP/GIF/PNM images, WAV audio, PCM resampling, and DIB/MJPEG AVI
+    * all decode for real elsewhere in this object. The fake derives
+    * `dim` floats in [0,1) from the md5 of the payload so the
+    * distributed pipeline around it is fully verifiable. Swap this
+    * single function for the real FFI call.
     */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val h = md5Hex(bytes)
