@@ -43,10 +43,18 @@ object Pipeline {
     * ('01234' -> 1234) and pay a full extra scan. [[FileSource]], whose
     * consumers need typed columns for conform/cleanse, opts in below.
     */
-  def readOptions(format: String): Map[String, String] =
-    if (format == "csv") Map("header" -> "true") else Map.empty
-  def writeOptions(format: String): Map[String, String] =
-    if (format == "csv") Map("header" -> "true") else Map.empty
+  def readOptions(format: String): Map[String, String] = format match {
+    case "csv" => Map("header" -> "true")
+    // Spark 4 built-in XML source (the spark-xml merge): the row tag
+    // must match [[writeOptions]]'s or a round-trip reads zero rows
+    case "xml" => Map("rowTag" -> "row")
+    case _ => Map.empty
+  }
+  def writeOptions(format: String): Map[String, String] = format match {
+    case "csv" => Map("header" -> "true")
+    case "xml" => Map("rowTag" -> "row")
+    case _ => Map.empty
+  }
 
   /** Format-parameterized file source — the reference's RAW zone is Delta
     * (sync.py:112-114, ingest.py:636-650); this sandbox has no Delta jars,

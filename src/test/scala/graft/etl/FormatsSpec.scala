@@ -19,6 +19,18 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sample = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
 
+  test("XML round-trip with explicit schema (Spark 4 built-in source)") {
+    val dir = Files.createTempDirectory("graft_xml").toString + "/t"
+    val src = sample
+    src.write.options(Pipeline.writeOptions("xml")).format("xml").save(dir)
+    val back = Pipeline.FileSource(dir, "xml", schema = Some(src.schema)).load(spark)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val a = src.orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val b = back.orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(a == b)
+  }
+
   test("ORC round-trip preserves rows and types") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/t"
     val src = sample
