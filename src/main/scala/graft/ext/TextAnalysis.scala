@@ -35,6 +35,34 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.functions.TextFunctions.langId(text, stopwords)
 
+  /** Unicode-script character census — the multilingual-curation
+    * complement to [[langId]] (stopword lists only see SPACE-DELIMITED
+    * languages; script ratios catch CJK, Cyrillic and mixed-script
+    * mojibake regardless of tokenization). Counts characters in fixed
+    * CODEPOINT RANGES (not named script classes — Java regex and RE2
+    * spell those differently; ranges replay identically on any
+    * engine): Latin letters A-z, CJK Unified Ideographs U+4E00-9FFF,
+    * Cyrillic U+0400-04FF, with everything else (digits, punctuation,
+    * space, other scripts) as the remainder. Output columns:
+    * n_chars, n_latin, n_han, n_cyrillic, and the dominant script
+    * ('latin' | 'han' | 'cyrillic' | 'other', max count with that
+    * fixed precedence on ties). One scan-stage pass, codegen regex.
+    */
+  def scriptCensus(text: Column): Column = {
+    def cnt(keep: String) =
+      length(regexp_replace(text, s"[^$keep]", "")).cast("long")
+    val latin = cnt("A-Za-z")
+    val han = cnt("一-鿿")
+    val cyr = cnt("Ѐ-ӿ")
+    val other = length(text).cast("long") - latin - han - cyr
+    val m = greatest(latin, han, cyr, other)
+    struct(
+      length(text).cast("long").as("n_chars"),
+      latin.as("n_latin"), han.as("n_han"), cyr.as("n_cyrillic"),
+      when(latin === m, "latin").when(han === m, "han")
+        .when(cyr === m, "cyrillic").otherwise("other").as("dominant"))
+  }
+
   /** Quality score in [0,1]: weighted mix of length band, mean word
     * length band, alpha ratio and digit penalty — the standard
     * cheap-filter shape for pretraining corpora.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, LangModel, Linkage}
+import graft.ext.{Dedup, LangModel, Linkage, TextAnalysis}
 import graft.functions.LinkageFunctions
 import Q._
 
@@ -232,6 +232,61 @@ object Corpus {
                COALESCE(string_agg(CASE WHEN NOT rmv THEN w END,
                                    ' ' ORDER BY i), '') AS kept_text
         FROM j GROUP BY doc_id ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Unicode-script census: zh docs get planted CJK, a slice of en
+    // docs planted Cyrillic, then per-doc codepoint-range counts and
+    // the dominant script — the multilingual complement to q40's
+    // stopword lang-id (which only sees space-delimited languages).
+    // Ranges, not named script classes: Java regex and RE2 spell those
+    // differently, but [A-Za-z] / [U+4E00-9FFF] / [U+0400-04FF] replay
+    // identically on both engines.
+    Q(
+      "q273_script_census",
+      (s, dir) => {
+        import s.implicits._
+        val aug = t(s, dir, "documents").select($"doc_id", $"lang",
+          when($"lang" === "zh", concat($"text", lit(" 数据处理系统核心")))
+            .when($"lang" === "en" && $"doc_id" % 7 === 0,
+              concat($"text", lit(" Привет мир")))
+            .otherwise($"text").as("text"))
+        aug.select($"doc_id", $"lang",
+            TextAnalysis.scriptCensus($"text").as("__c"))
+          .select($"doc_id", $"lang",
+            $"__c.n_chars".as("n_chars"), $"__c.n_latin".as("n_latin"),
+            $"__c.n_han".as("n_han"), $"__c.n_cyrillic".as("n_cyrillic"),
+            $"__c.dominant".as("dominant"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, lang,
+                 CASE WHEN lang = 'zh' THEN text || ' 数据处理系统核心'
+                      WHEN lang = 'en' AND doc_id % 7 = 0
+                        THEN text || ' Привет мир'
+                      ELSE text END AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) AS n_latin,
+                 CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                   AS BIGINT) AS n_han,
+                 CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+                   AS BIGINT) AS n_cyrillic
+          FROM aug),
+        d AS (
+          SELECT *, n_chars - n_latin - n_han - n_cyrillic AS n_other,
+                 GREATEST(n_latin, n_han, n_cyrillic,
+                          n_chars - n_latin - n_han - n_cyrillic) AS m
+          FROM c)
+        SELECT doc_id, lang, n_chars, n_latin, n_han, n_cyrillic,
+               CASE WHEN n_latin = m THEN 'latin'
+                    WHEN n_han = m THEN 'han'
+                    WHEN n_cyrillic = m THEN 'cyrillic'
+                    ELSE 'other' END AS dominant
+        FROM d ORDER BY doc_id
       """))
   )
 }

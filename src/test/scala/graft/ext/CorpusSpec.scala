@@ -165,6 +165,26 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scriptCensus: codepoint-range counts and dominant-script argmax with precedence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),        // latin 10, other 1 (space)
+      (2L, "数据处理系统 ok"),     // han 6, latin 2, other 1
+      (3L, "Привет мир!"),        // cyrillic 9, other 2
+      (4L, "12345 678")           // all other
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", TextAnalysis.scriptCensus($"text").as("c"))
+      .select($"doc_id", $"c.n_chars", $"c.n_latin", $"c.n_han",
+        $"c.n_cyrillic", $"c.dominant")
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((11L, 10L, 0L, 0L, "latin")))
+    assert(out(2L) == ((9L, 2L, 6L, 0L, "han")))
+    assert(out(3L) == ((11L, 0L, 0L, 9L, "cyrillic")))
+    assert(out(4L) == ((9L, 0L, 0L, 0L, "other")))
+  }
+
   test("guard rails: invalid chunkTokens / maxDf / nBuckets fail fast") {
     import spark.implicits._
     val d = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
