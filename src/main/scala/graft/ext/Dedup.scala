@@ -962,6 +962,49 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Duplication-mass-weighted canonical sampling — the sampling rule
+    * that follows exact dedup in corpus assembly: each exact-duplicate
+    * cluster keeps ONE canonical document (min id over the canonical
+    * text hash), and the canonical is admitted with probability
+    * min(1, base·√m) where m is the cluster size — duplication count
+    * is a popularity signal worth SUBLINEAR upweighting, never the
+    * linear oversampling that keeping all copies would give (the
+    * Pile/RedPajama-style dedup-then-reweight recipe). Sampling is the
+    * deterministic hash threshold (the q68 discipline): admitted ⇔
+    * hash64("ws:" ++ key) mod 1e6 < threshold_ppm, so re-runs and the
+    * oracle agree row-for-row with no RNG state.
+    *
+    * Output: one row per CLUSTER —
+    * (doc_id, cluster_size, threshold_ppm, sampled).
+    *
+    * Scale posture: one hash aggregation keyed by the 60-bit canonical
+    * hash (the q33 shape) and a scan-stage threshold — no join, no
+    * pair space, no driver state; √ is exact here (m < 2^52 makes
+    * floor(sqrt(double)) the integer square root on any engine).
+    */
+  def weightedCanonicalSample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      basePpm: Long = 200000L): DataFrame = {
+    require(basePpm >= 1L && basePpm <= 1000000L,
+      s"weightedCanonicalSample: basePpm in [1, 1e6], got $basePpm")
+    val key = TextHash.hash64(TextAnalysis.canonicalize(col(textCol)))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), key.as("__k"))
+      .groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cluster_size"))
+      .withColumn("threshold_ppm",
+        least(lit(1000000L),
+          floor(sqrt(col("cluster_size").cast("double"))).cast("long") * basePpm))
+      .withColumn("sampled",
+        pmod(TextHash.hash64(concat(lit("ws:"), col("__k").cast("string"))),
+          lit(1000000L)) < col("threshold_ppm"))
+      .select(col("doc_id"), col("cluster_size"),
+        col("threshold_ppm"), col("sampled"))
+  }
+
   /** Within-document repeated-span removal — the TRANSFORM complement
     * of the repetition metrics (q69) and the cross-doc span finder
     * (q245): every token position covered by a DUPLICATE n-gram window

@@ -287,6 +287,50 @@ object Corpus {
                     WHEN n_cyrillic = m THEN 'cyrillic'
                     ELSE 'other' END AS dominant
         FROM d ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // Dedup-then-reweight sampling: exact-duplicate clusters (planted:
+    // every 10th doc gains one copy, every 20th two) collapse to their
+    // canonical doc, admitted with probability min(1, base·⌊√m⌋) via
+    // the deterministic hash threshold — duplication mass upweights
+    // SUBLINEARLY instead of the linear oversampling kept copies
+    // would give. The oracle replays hash, grouping, √ floor, and the
+    // threshold bit for every cluster.
+    Q(
+      "q274_dedup_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        val aug = d
+          .unionAll(d.filter($"doc_id" % 10 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+          .unionAll(d.filter($"doc_id" % 20 === 0)
+            .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        Dedup.weightedCanonicalSample(aug, "doc_id", "text", basePpm = 200000L)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 10 = 0
+          UNION ALL SELECT doc_id + 2000000, text FROM documents
+            WHERE doc_id % 20 = 0),
+        keyed AS (
+          SELECT doc_id, ${OracleSql.hash64(OracleSql.canonical("text"))} AS k
+          FROM aug WHERE text IS NOT NULL),
+        g AS (
+          SELECT k, MIN(doc_id) AS doc_id, COUNT(*) AS cluster_size
+          FROM keyed GROUP BY k),
+        th AS (
+          SELECT *, LEAST(1000000,
+            CAST(FLOOR(SQRT(CAST(cluster_size AS DOUBLE))) AS BIGINT) * 200000)
+            AS threshold_ppm
+          FROM g)
+        SELECT doc_id, cluster_size, threshold_ppm,
+               (${OracleSql.hash64("'ws:' || CAST(k AS VARCHAR)")} % 1000000)
+                 < threshold_ppm AS sampled
+        FROM th ORDER BY doc_id
       """))
   )
 }

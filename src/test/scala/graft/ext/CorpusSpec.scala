@@ -185,6 +185,35 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((9L, 0L, 0L, 0L, "other")))
   }
 
+  test("weightedCanonicalSample: canonical per cluster, sqrt-floor weights, hash-bit sampling") {
+    import spark.implicits._
+    // one 4-copy cluster, one singleton; basePpm=1e6 clamps -> all sampled
+    val docs = (Seq.tabulate(4)(i => (10L + i, "same text here")) :+
+      (1L, "a different doc")).toDF("doc_id", "text")
+    val out = Dedup.weightedCanonicalSample(docs, "doc_id", "text", basePpm = 1000000L)
+      .orderBy($"doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 1000000L), (10L, 4L, 1000000L)))
+    assert(out.forall(_.getBoolean(3)))
+    // sqrt floor: m=4 doubles the base; the sampled bit replays the hash
+    val w = Dedup.weightedCanonicalSample(docs, "doc_id", "text", basePpm = 200000L)
+      .orderBy($"doc_id").collect()
+    assert(w.map(_.getLong(2)).toSeq == Seq(200000L, 400000L))
+    val keyOf = (t: String) => graft.ext.TextHash.hash64Local(
+      java.text.Normalizer.normalize(
+        t.toLowerCase.replaceAll("\\s+", " ").trim,
+        java.text.Normalizer.Form.NFC))
+    w.foreach { r =>
+      val txt = if (r.getLong(0) == 1L) "a different doc" else "same text here"
+      val expect = graft.ext.TextHash.hash64Local(s"ws:${keyOf(txt)}") % 1000000L <
+        r.getLong(2)
+      assert(r.getBoolean(3) == expect, s"row $r")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.weightedCanonicalSample(docs, "doc_id", "text", basePpm = 0L)
+    }
+  }
+
   test("guard rails: invalid chunkTokens / maxDf / nBuckets fail fast") {
     import spark.implicits._
     val d = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
