@@ -77,9 +77,31 @@ object Pipeline {
           // lenient parsers are built to consume. Callers with typed
           // raw zones pass `schema` explicitly. (Header probe assumes
           // unquoted identifier headers — true of every RAW table
-          // SyncJob writes.)
-          val header = spark.read.text(path).head().getString(0)
+          // SyncJob writes — and FAILS LOUDLY when that assumption
+          // breaks: an empty source, a quoted header that could embed
+          // the delimiter, or a first data row with fewer fields than
+          // the probed header would each otherwise produce a silently
+          // misaligned all-string schema.)
+          val probe = spark.read.text(path).take(2)
+          require(probe.nonEmpty,
+            s"FileSource(csv): $path has no rows — cannot probe a header; " +
+              "pass an explicit schema")
+          val header = probe(0).getString(0)
+          require(!header.contains("\""),
+            s"FileSource(csv): quoted header in $path — a quoted identifier " +
+              "may embed the delimiter and misalign the probed schema; " +
+              "pass an explicit schema")
           val names = header.split(",", -1).map(_.trim)
+          if (probe.length > 1) {
+            // raw split count == fields + embedded quoted commas, so a
+            // well-formed row never splits into FEWER parts than the
+            // header has columns
+            val dataParts = probe(1).getString(0).split(",", -1).length
+            require(dataParts >= names.length,
+              s"FileSource(csv): first data row splits into $dataParts " +
+                s"parts but the probed header has ${names.length} columns " +
+                s"($path) — header/data mismatch; pass an explicit schema")
+          }
           val s = StructType(names.map(n => StructField(n, StringType, nullable = true)))
           reader.schema(s).format(format).load(path)
         case None => reader.format(format).load(path)

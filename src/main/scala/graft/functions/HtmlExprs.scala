@@ -55,8 +55,14 @@ case class HtmlExtract(child: Expression) extends UnaryExpression {
     val out = new java.lang.StringBuilder(n)
     var pendingSpace = false
 
+    // EXACTLY RE2's \s class — measured against DuckDB regexp_replace:
+    // {\t \n \f \r space}, NOT \x0B and NOT Character.isWhitespace
+    // (a strict superset: U+3000, U+2028/29, U+001C-1F) and NOT
+    // U+00A0 — any wider set breaks oracle parity on CJK web text.
+    def isWsRe2(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
     def emit(c: Char): Unit = {
-      if (Character.isWhitespace(c) || c == ' ') pendingSpace = true
+      if (isWsRe2(c)) pendingSpace = true
       else {
         if (pendingSpace && out.length > 0) out.append(' ')
         pendingSpace = false
@@ -143,7 +149,12 @@ case class HtmlExtract(child: Expression) extends UnaryExpression {
                 else (name.substring(1), 10)
               try {
                 val cp = Integer.parseInt(digits, radix)
-                if (Character.isValidCodePoint(cp) && cp > 0) cp else -1
+                // isValidCodePoint accepts U+D800-DFFF; a decoded lone
+                // surrogate would be ill-formed after UTF8String
+                // conversion — leave such references verbatim instead
+                if (Character.isValidCodePoint(cp) && cp > 0 &&
+                  (cp < 0xD800 || cp > 0xDFFF)) cp
+                else -1
               } catch { case _: NumberFormatException => -1 }
             case _ => -1
           }

@@ -321,17 +321,27 @@ object Media {
     * for the exact integer contract.
     */
   def resampleExpr(samples: Column, srcRate: Column, dstRate: Int): Column = {
+    // TRUE integral division (Catalyst IntegralDivide == SQL `div`,
+    // truncating toward zero like DuckDB `//`): Column `/` on longs is
+    // double division, whose exactness would silently depend on
+    // WavDecode's sample-count bound keeping products below 2^53 —
+    // this keeps the bit-for-bit claim unconditional.
+    def ldiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftExprBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftExprBridge.expression(a.cast("long")),
+          org.apache.spark.sql.GraftExprBridge.expression(b.cast("long"))))
     val s = samples
     val nIn = size(s)
     // j ranges over 0 .. (n_in-1)*dst div src
-    val lastJ = ((nIn - 1).cast("long") * dstRate) / srcRate.cast("long")
+    val lastJ = ldiv((nIn - 1).cast("long") * dstRate, srcRate.cast("long"))
     transform(sequence(lit(0L), lastJ.cast("long")), { j =>
       val posNum = j * srcRate.cast("long")
-      val idx = (posNum / dstRate).cast("int")
+      val idx = ldiv(posNum, lit(dstRate)).cast("int")
       val rem = posNum % dstRate
       val a = element_at(s, idx + 1)
       val b = element_at(s, least(idx + 2, nIn))
-      (a + (((b - a).cast("long") * rem) / dstRate).cast("int")).cast("int")
+      (a + ldiv((b - a).cast("long") * rem, lit(dstRate)).cast("int")).cast("int")
     })
   }
 

@@ -101,15 +101,19 @@ object Corpus {
         FROM sc ORDER BY doc_id
       """)),
     // ----------------------------------------------------------------
-    // Fellegi-Sunter probabilistic record linkage: candidate pairs are
-    // blocked on nation (never a cartesian), three agreement fields
-    // (market segment equality, account balance within 100, name
-    // Jaro-Winkler >= 0.98 in exact micro units) feed data-estimated
-    // u-probabilities + a fixed documented m = 0.95, and each pair's
-    // likelihood-ratio product classifies it match/possible/nonmatch.
-    // Output is the per-class census with the score envelope. The
-    // score is a product of three < 2^53 exact integers taken as
-    // doubles in declaration order — bit-identical on both engines.
+    // Fellegi-Sunter probabilistic record linkage: candidate pairs
+    // come from COMPOSITE blocking (nation x name 2-char suffix) via
+    // Linkage.blockedPairs, whose preflight require()s the largest
+    // block under the cap so the pair space can never silently go
+    // quadratic on a hub key (nation-only blocking measured 43x at
+    // 10x entities). Three agreement fields (market segment equality,
+    // account balance within 100, name Jaro-Winkler >= 0.98 in exact
+    // micro units) feed data-estimated u-probabilities + a fixed
+    // documented m = 0.95, and each pair's likelihood-ratio product
+    // classifies it match/possible/nonmatch. Output is the per-class
+    // census with the score envelope. The score is a product of three
+    // < 2^53 exact integers taken as doubles in declaration order —
+    // bit-identical on both engines.
     Q(
       "q267_fs_linkage",
       (s, dir) => {
@@ -117,15 +121,18 @@ object Corpus {
         val c = t(s, dir, "customer")
           .select($"c_custkey", $"c_name", $"c_nationkey",
             $"c_acctbal", $"c_mktsegment")
-        val pairs = c.as("a").join(c.as("b"),
-            col("a.c_nationkey") === col("b.c_nationkey") &&
-              col("a.c_custkey") < col("b.c_custkey"))
+        val ids = Linkage.blockedPairs(c, $"c_custkey",
+          Seq($"c_nationkey", right($"c_name", lit(2))), maxBlockRows = 4096L)
+        val pairs = ids
+          .join(c.select($"c_custkey".as("id_l"), $"c_mktsegment".as("seg_l"),
+            $"c_acctbal".as("bal_l"), $"c_name".as("name_l")), Seq("id_l"))
+          .join(c.select($"c_custkey".as("id_r"), $"c_mktsegment".as("seg_r"),
+            $"c_acctbal".as("bal_r"), $"c_name".as("name_r")), Seq("id_r"))
           .select(
-            col("a.c_custkey").as("id_l"),
-            col("b.c_custkey").as("id_r"),
-            (col("a.c_mktsegment") === col("b.c_mktsegment")).as("f_seg"),
-            (abs(col("a.c_acctbal") - col("b.c_acctbal")) < 100.0).as("f_bal"),
-            (floor(LinkageFunctions.jaroWinkler(col("a.c_name"), col("b.c_name")) *
+            col("id_l"), col("id_r"),
+            (col("seg_l") === col("seg_r")).as("f_seg"),
+            (abs(col("bal_l") - col("bal_r")) < 100.0).as("f_bal"),
+            (floor(LinkageFunctions.jaroWinkler(col("name_l"), col("name_r")) *
               lit(1000000.0) + lit(0.5)).cast("long") >= 980000L).as("f_name"))
         Linkage.fellegiSunterScores(pairs, Seq("f_seg", "f_bal", "f_name"),
             mPpm = 950000L, matchMin = 1e21, nonmatchMax = 1e18)
@@ -142,7 +149,9 @@ object Corpus {
                  (CAST(FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)
                     * 1000000.0 + 0.5) AS BIGINT) >= 980000) AS f_name
           FROM customer a JOIN customer b
-            ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+            ON a.c_nationkey = b.c_nationkey
+           AND right(a.c_name, 2) = right(b.c_name, 2)
+           AND a.c_custkey < b.c_custkey),
         u AS (
           SELECT
             GREATEST(1, LEAST(999999,

@@ -56,6 +56,39 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.agg(sum("l_quantity")).head.getDouble(0))
   }
 
+  test("CSV header probe: empty / quoted-header / misaligned sources fail loudly") {
+    def writeCsv(lines: String*): String = {
+      val dir = Files.createTempDirectory("graft-csvprobe")
+      Files.write(dir.resolve("part-0.csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      dir.toString
+    }
+    // happy path: header-probed all-string schema, verbatim values
+    val ok = Pipeline.FileSource(writeCsv("id,name", "1,ann", "02,bo"), "csv")
+      .load(spark).orderBy("id").collect()
+    assert(ok.map(_.getString(0)).toSeq == Seq("02", "1")) // verbatim strings
+    // empty source: explicit error, not NoSuchElementException
+    val eEmpty = intercept[IllegalArgumentException] {
+      Pipeline.FileSource(writeCsv(), "csv").load(spark)
+    }
+    assert(eEmpty.getMessage.contains("no rows"))
+    // quoted header could embed the delimiter -> refuse, don't misalign
+    val eQuoted = intercept[IllegalArgumentException] {
+      Pipeline.FileSource(writeCsv("\"last, first\",id", "x,1"), "csv").load(spark)
+    }
+    assert(eQuoted.getMessage.contains("quoted header"))
+    // first data row with fewer fields than the header -> refuse
+    val eShort = intercept[IllegalArgumentException] {
+      Pipeline.FileSource(writeCsv("a,b,c", "1,2"), "csv").load(spark)
+    }
+    assert(eShort.getMessage.contains("header/data mismatch"))
+    // a quoted data row with embedded commas splits into MORE raw
+    // parts than the header has columns — allowed by the >= guard
+    val quotedData = Pipeline.FileSource(
+      writeCsv("id,name", "1,\"smith, j\""), "csv").load(spark).collect()
+    assert(quotedData.head.getString(1) == "smith, j")
+  }
+
   test("JSON lines round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft-json").toString + "/t"
     val src = sample

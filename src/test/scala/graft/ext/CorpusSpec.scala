@@ -112,6 +112,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("match", "possible", "possible", "nonmatch"))
   }
 
+  test("blockedPairs: composite key generates exactly the in-block pairs") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "us", "aa"), (2L, "us", "aa"), (3L, "us", "bb"),
+      (4L, "fr", "aa"), (5L, "fr", "aa"), (6L, "fr", "aa"))
+      .toDF("id", "nation", "sfx")
+    val out = Linkage.blockedPairs(recs, $"id", Seq($"nation", $"sfx"))
+      .orderBy($"id_l", $"id_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
+  test("blockedPairs: preflight trips loudly on a hub block") {
+    import spark.implicits._
+    // one hub key carrying 6 of 7 rows; cap 4 -> require fires BEFORE
+    // any pair is generated
+    val recs = (1L to 6L).map(i => (i, "hub")) :+ (7L, "solo")
+    val df = recs.toDF("id", "k")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.blockedPairs(df, $"id", Seq($"k"), maxBlockRows = 4L)
+    }
+    assert(e.getMessage.contains("largest block holds 6"))
+    assert(e.getMessage.contains("quadratically"))
+  }
+
+  test("blockedPairs: empty input passes preflight, yields no pairs") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("id", "k")
+    assert(Linkage.blockedPairs(df, $"id", Seq($"k"), maxBlockRows = 2L)
+      .count() == 0L)
+  }
+
   test("fellegiSunterScores: all-agree field clamps u to 999999 (no div-by-zero)") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, true), (1L, 3L, true)).toDF("id_l", "id_r", "f1")

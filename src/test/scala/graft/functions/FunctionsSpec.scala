@@ -408,6 +408,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x("<scripty>inner</scripty>") == "inner")
     // astral-plane numeric entity survives
     assert(x("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    // the collapse class is EXACTLY RE2's \s (measured against DuckDB):
+    // \x0B, U+00A0, U+2028, U+3000 are NOT whitespace there and pass
+    // through verbatim — the oracle-parity contract on CJK web text
+    assert(x("a\tb\nc\fd\re") == "a b c d e")
+    assert(x("ab") == "ab")
+    assert(x("a b") == "a b")
+    assert(x("a　b") == "a　b")
+    assert(x("a b") == "a b")
+    // surrogate-range numeric entities would be ill-formed lone
+    // surrogates after UTF8String conversion — left verbatim
+    assert(x("&#55296;x") == "&#55296;x")
+    assert(x("&#xD800;x") == "&#xD800;x")
+    assert(x("&#xDFFF;x") == "&#xDFFF;x")
+    assert(x("&#xE000;") == "") // first post-surrogate cp decodes
     // null in, null out
     assert(spark.sql("SELECT graft_html_extract(CAST(NULL AS STRING)) AS t")
       .collect().head.isNullAt(0))
