@@ -552,19 +552,19 @@ case class ImageIoDecode(child: Expression) extends UnaryExpression {
         val img = reader.read(0)
         val fmt = org.apache.spark.unsafe.types.UTF8String.fromString(
           reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        // one bulk grab instead of w*h virtual getRGB(x,y) calls — the
+        // Javadoc pins both to the same default-sRGB conversion, so the
+        // luma ints are bit-identical
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
         val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            gray(y * w + x) = ((2126L * r + 7152L * g + 722L * b) / 10000L).toInt
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < gray.length) {
+          val rgb = argb(i)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          gray(i) = ((2126L * r + 7152L * g + 722L * b) / 10000L).toInt
+          i += 1
         }
         new GenericInternalRow(Array[Any](fmt, w, h, new GenericArrayData(gray)))
       } finally reader.dispose()
@@ -832,19 +832,18 @@ case class AviFrames(left: Expression, right: Expression)
           new java.io.ByteArrayInputStream(bytes, off, size))
         if (img == null || img.getWidth != w || img.getHeight != h) None
         else {
+          // bulk ARGB grab — same default-sRGB ints as getRGB(x,y),
+          // one call per frame instead of one per pixel
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
           val gray = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val bl = rgb & 0xff
-              gray(y * w + x) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < gray.length) {
+            val rgb = argb(i)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val bl = rgb & 0xff
+            gray(i) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
+            i += 1
           }
           Some(gray)
         }
