@@ -1,0 +1,162 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The manifest-commit contract: atomic publication, snapshot-isolated
+  * readers, time travel, crash-mid-write recovery, and the q116
+  * snapshotDiff driven off two REAL committed versions instead of two
+  * in-memory frames.
+  */
+class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("snapshot-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-snap").toString
+
+  private def frame(ids: Range, tag: String) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, tag, i * 10.0)).toDF("id", "tag", "amt")
+  }
+
+  test("overwrite commits are versioned; latest read sees only the newest") {
+    val store = new SnapshotStore(tmp())
+    assert(store.latestVersion.isEmpty)
+    val v0 = store.commitOverwrite(frame(1 to 5, "a"))
+    val v1 = store.commitOverwrite(frame(1 to 3, "b"))
+    assert((v0, v1) == (0L, 1L) && store.versions == Seq(0L, 1L))
+    val latest = store.read(spark).select("tag").distinct().collect()
+    assert(latest.map(_.getString(0)).toSeq == Seq("b"))
+    assert(store.read(spark).count() == 3L)
+  }
+
+  test("a reader holding version N survives a concurrent overwrite intact") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 100, "old"))
+    // reader resolves v0 (file list pinned at plan time)...
+    val reader = store.read(spark, asOfVersion = Some(0L))
+    // ...writer replaces the table TWICE while the reader is in flight
+    store.commitOverwrite(frame(1 to 7, "new"))
+    store.commitOverwrite(frame(1 to 2, "newer"))
+    // the reader still materializes the complete, consistent v0 — not a
+    // mix, not a missing-file failure
+    val got = reader.agg(count(lit(1)), countDistinct(col("tag"))).head()
+    assert(got.getLong(0) == 100L && got.getLong(1) == 1L)
+    assert(reader.select("tag").distinct().head().getString(0) == "old")
+  }
+
+  test("time travel: every historical version stays readable as committed") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 4, "v0"))
+    store.commitAppend(frame(5 to 6, "v1"))
+    store.commitTruncate(frame(1 to 1, "x").schema)
+    store.commitOverwrite(frame(1 to 9, "v3"))
+    assert(store.read(spark, Some(0L)).count() == 4L)
+    val v1 = store.read(spark, Some(1L))
+    assert(v1.count() == 6L) // append = old files + new files
+    assert(v1.groupBy("tag").count().orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("v0", 4L), ("v1", 2L)))
+    val v2 = store.read(spark, Some(2L))
+    assert(v2.isEmpty && v2.schema.fieldNames.toSeq == Seq("id", "tag", "amt"))
+    assert(store.read(spark, Some(3L)).count() == 9L)
+  }
+
+  test("crash mid-write (files staged, manifest never published) leaves the old version live") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 10, "good"))
+    // the crash: stage() completes (data files on disk) but the process
+    // dies before publish() — exactly the window a bare parquet
+    // overwrite cannot survive
+    val stranded = store.stage(frame(1 to 999, "half"))
+    assert(stranded.nonEmpty)
+    assert(store.latestVersion.contains(0L)) // no new version appeared
+    val readBack = store.read(spark)
+    assert(readBack.count() == 10L &&
+      readBack.select("tag").distinct().head().getString(0) == "good")
+    // and vacuum reclaims the orphaned staging files
+    store.vacuum(keepLast = 1)
+    assert(store.read(spark).count() == 10L)
+    val dataFiles = Files.walk(Paths.get(root, "data"))
+    val remaining = try {
+      import scala.jdk.CollectionConverters._
+      dataFiles.iterator().asScala.count(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    } finally dataFiles.close()
+    val v0Files = store.read(spark).inputFiles.length
+    assert(remaining == v0Files) // orphans gone, v0's files intact
+  }
+
+  test("crash mid-publish (dot-temp manifest left behind) is invisible to version listing") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "ok"))
+    Files.write(Paths.get(root, "manifests", ".tmp-deadbeef"),
+      "graft-snapshot-v1\n".getBytes)
+    assert(store.versions == Seq(0L))
+    assert(store.read(spark).count() == 3L)
+  }
+
+  test("vacuum drops old versions' files but never a kept version's") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 8, "v0"))
+    store.commitOverwrite(frame(1 to 5, "v1"))
+    store.commitAppend(frame(6 to 7, "v2"))
+    store.vacuum(keepLast = 2)
+    assert(store.versions == Seq(1L, 2L))
+    assert(store.read(spark, Some(1L)).count() == 5L)
+    assert(store.read(spark, Some(2L)).count() == 7L)
+    val e = intercept[IllegalArgumentException] { store.read(spark, Some(0L)) }
+    assert(e.getMessage.contains("version 0 does not exist"))
+  }
+
+  test("append refuses a schema drift instead of corrupting the table") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 2, "a"))
+    val e = intercept[IllegalArgumentException] {
+      store.commitAppend(Seq((1L, 2L)).toDF("id", "wrong"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
+    import spark.implicits._
+    val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")
+    // same derivation shape as q116: ~deletes, updates, re-inserts
+    val cur = base.filter($"k" % 10 =!= 3)
+      .withColumn("p", when($"k" % 7 === 0, $"p" + 1.0).otherwise($"p"))
+      .unionByName(base.filter($"k" % 10 === 5).withColumn("k", $"k" + 1000L))
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(base)
+    store.commitOverwrite(cur)
+    val fromStore = Merge.snapshotDiff(
+        store.read(spark, Some(0L)), store.read(spark, Some(1L)), Seq("k"))
+      .orderBy("k").collect().toSeq
+    val inMemory = Merge.snapshotDiff(base, cur, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(fromStore == inMemory && fromStore.nonEmpty)
+  }
+
+  test("SnapshotSink drives processTable: append lands as a new version atop history") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    val src = Seq(("g1", "2021-01-01 00:00:00", "2021-01-02 00:00:00"))
+      .toDF("leadxrefguid", "createdate", "modifydate")
+    val srcDir = tmp()
+    src.write.mode("overwrite").parquet(s"$srcDir/lead_xref.parquet")
+    val wm = new Pipeline.WatermarkStore(tmp())
+    val rep = Pipeline.processTable(spark, "lead_xref",
+      Pipeline.ParquetSource(s"$srcDir/lead_xref.parquet"),
+      SnapshotStore.SnapshotSink(store),
+      Pipeline.Append(), wm, historicalLoad = true)
+    assert(rep.rowsWritten == 1L)
+    assert(store.latestVersion.contains(0L))
+    assert(store.read(spark).count() == 1L)
+  }
+}
