@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import graft.etl.JdbcQuarantine
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -859,13 +860,23 @@ object EventStreams {
     * its retry repairs them, which strict readers exclude by joining
     * the ledger. Returns true when the batch was applied, false when
     * skipped.
+    *
+    * `quarantine` opts into the reference's `on_error=CONTINUE`
+    * semantics (ingest.py:795-799): when the bulk append dies on a
+    * poison row, the batch's partial rows are wiped and re-applied
+    * row-wise via [[graft.etl.JdbcQuarantine.rowwiseAppend]] — good
+    * rows land, each reject files into the quarantine table with the
+    * database's error text. Quarantine rows carry the batch_id and are
+    * DELETE-repaired on retry exactly like data rows, so the ledger's
+    * exactly-once contract extends to them unchanged.
     */
   def jdbcIdempotentAppend(
       batch: DataFrame,
       batchId: Long,
       url: String,
       table: String,
-      props: java.util.Properties): Boolean = {
+      props: java.util.Properties,
+      quarantine: Option[String] = None): Boolean = {
     val ledger = table + "_commits"
     def withConn[A](f: java.sql.Connection => A): A = {
       val c = java.sql.DriverManager.getConnection(url, props)
@@ -899,9 +910,33 @@ object EventStreams {
           val st = c.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
           try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
         }
+        // a retried batch's quarantine rows are repaired with the same
+        // DELETE-by-batch_id discipline as its data rows
+        quarantine.foreach { q =>
+          try {
+            val st = c.prepareStatement(s"DELETE FROM $q WHERE batch_id = ?")
+            try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+          } catch { case _: java.sql.SQLException => () } // not created yet
+        }
       }
-      batch.withColumn("batch_id", lit(batchId))
-        .write.mode("append").jdbc(url, table, props)
+      val tagged = batch.withColumn("batch_id", lit(batchId))
+      try tagged.write.mode("append").jdbc(url, table, props)
+      catch {
+        case e: Throwable if quarantine.isDefined &&
+            JdbcQuarantine.rootSql(e).isDefined =>
+          // the reference's on_error=CONTINUE (ingest.py:795-799): the
+          // warehouse loads the good rows and files the bad ones;
+          // plain JDBC aborts the whole batch on one poison row.
+          // Fallback: wipe this batch's partial rows (some partitions'
+          // transactions may have committed before the failure), then
+          // re-apply ROW-WISE with per-row error capture — good rows
+          // land, rejects go to the quarantine table with the cause.
+          withConn { c =>
+            val st = c.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+            try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+          }
+          JdbcQuarantine.rowwiseAppend(tagged, url, table, quarantine.get, props)
+      }
       withConn { c =>
         val st = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
         try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
@@ -921,12 +956,13 @@ object EventStreams {
       url: String,
       table: String,
       props: java.util.Properties,
-      checkpointDir: String) =
+      checkpointDir: String,
+      quarantine: Option[String] = None) =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        jdbcIdempotentAppend(batch.toDF(), batchId, url, table, props)
+        jdbcIdempotentAppend(batch.toDF(), batchId, url, table, props, quarantine)
         ()
       }
 

@@ -583,4 +583,54 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tables" -> "lead_xref", "mode" -> "delta_insert"))
     assert(inc2.map(_._2.skippedEmpty) == Seq(true))
   }
+
+  test("quarantine: one poison row files with its cause, the other N-1 land, ledger stays exactly-once") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val props = new java.util.Properties()
+    // target with a real constraint to violate — quoted-lowercase
+    // columns, the identifiers the Spark JDBC writer emits
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE quar_tgt ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20), "batch_id" BIGINT)""")
+    conn.createStatement().executeUpdate(
+      """INSERT INTO quar_tgt VALUES (3, 'already-there', NULL)""")
+    conn.close()
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "poison"), (4L, "d"), (5L, "e"))
+      .toDF("id", "v")
+    // the bulk append dies on id=3 (duplicate key) — on_error=CONTINUE
+    // parity loads the 4 good rows and files the poison one with the
+    // database's own error text (ingest.py:795-799)
+    assert(EventStreams.jdbcIdempotentAppend(
+      batch, 7L, url, "quar_tgt", props, quarantine = Some("quar_rejects")))
+    val tgt = spark.read.jdbc(url, "quar_tgt", props)
+    assert(tgt.count() == 5L) // 1 pre-existing + 4 of the batch
+    assert(tgt.filter($"batch_id" === 7L).count() == 4L)
+    val rejects = spark.read.jdbc(url, "quar_rejects", props).collect()
+    assert(rejects.length == 1)
+    assert(rejects.head.getAs[Long]("BATCH_ID") == 7L)
+    assert(rejects.head.getAs[String]("ERR").toLowerCase.contains("duplicate key"))
+    assert(rejects.head.getAs[String]("PAYLOAD").contains("\"id\":3"))
+    // replay of the committed batch: skipped, nothing double-applied
+    assert(!EventStreams.jdbcIdempotentAppend(
+      batch, 7L, url, "quar_tgt", props, quarantine = Some("quar_rejects")))
+    assert(spark.read.jdbc(url, "quar_tgt", props).count() == 5L)
+    assert(spark.read.jdbc(url, "quar_rejects", props).count() == 1L)
+    // crashed-attempt retry (ledger row lost): DELETE-by-batch_id
+    // repairs data AND quarantine rows, so the retry converges to the
+    // same state instead of accreting rejects
+    val c2 = DriverManager.getConnection(url)
+    c2.createStatement().executeUpdate("DELETE FROM quar_tgt_commits WHERE batch_id = 7")
+    c2.close()
+    assert(EventStreams.jdbcIdempotentAppend(
+      batch, 7L, url, "quar_tgt", props, quarantine = Some("quar_rejects")))
+    assert(spark.read.jdbc(url, "quar_tgt", props).count() == 5L)
+    assert(spark.read.jdbc(url, "quar_rejects", props).count() == 1L)
+    // a non-database failure (bad URL) must PROPAGATE, not quarantine
+    assertThrows[Exception] {
+      EventStreams.jdbcIdempotentAppend(
+        batch, 8L, "jdbc:derby:memory:nosuchdb", "quar_tgt", props,
+        quarantine = Some("quar_rejects"))
+    }
+  }
 }
