@@ -2,7 +2,8 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
+import graft.etl.Pipeline
+import graft.ext.{Dedup, Dsir, LangModel, Packing, Sampling, TextAnalysis}
 
 /** End-to-end corpus curation: the library's training-data operators
   * composed into one runnable pipeline —
@@ -53,6 +54,14 @@ import graft.ext.{Dedup, LangModel, Packing, Sampling, TextAnalysis}
   *                            domain (q213's extraction — HOST-level,
   *                            where --blocklist is token-level)
   *                                                     (default: off)
+  *   [--dsir-target DIR]      DSIR importance resampling (q275, Xie et
+  *                            al. '23) toward the target corpus at DIR
+  *                            (same format, needs a `text` column):
+  *                            hashed-bigram importance ratios score
+  *                            every deduplicated doc, admission is the
+  *                            deterministic weighted hash threshold at
+  *                            --dsir-rate (default 0.5) expected rate
+  *                                                       (default: off)
   *   [--token-budget N --mix-weights s:w,...]  after dedup/balance,
   *                            assemble the final mix under a total
   *                            token budget with per-source weights
@@ -256,10 +265,28 @@ object CurateJob {
     val deduped = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
     val nNearDup = deduped.count()
 
+    // 3c. optional DSIR importance resampling (q275, Xie et al. '23):
+    //     steer the deduplicated corpus toward a small target domain
+    //     by hashed-bigram importance ratios — the data-SELECTION
+    //     stage between the content gates (what is good) and the
+    //     mixture stages below (how much of each source). Applied
+    //     after dedup so duplication mass can't masquerade as
+    //     target-likeness.
+    val focused = conf.get("dsir-target") match {
+      case Some(dir) =>
+        val target = spark.read.options(Pipeline.readOptions(fmt))
+          .format(fmt).load(dir)
+        val rate = conf.getOrElse("dsir-rate", "0.5").toDouble
+        Dsir.resample(deduped, col("doc_id"), col("text"),
+            target, col("text"), targetRate = rate)
+          .drop("n_feats", "dsir_ppm")
+      case None => deduped
+    }
+
     // 4. optional sqrt temperature flattening of a skewed stratum mix
     val balanced0 = conf.get("balance-by") match {
-      case Some(c) => Sampling.sqrtResample(deduped, col("doc_id"), col(c))
-      case None => deduped
+      case Some(c) => Sampling.sqrtResample(focused, col("doc_id"), col(c))
+      case None => focused
     }
 
     // 4b. optional token-budget mixture assembly (q208): the final mix

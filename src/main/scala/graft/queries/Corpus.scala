@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, LangModel, Linkage, TextAnalysis}
+import graft.ext.{Dedup, Dsir, LangModel, Linkage, TextAnalysis}
 import graft.functions.LinkageFunctions
 import Q._
 
@@ -340,6 +340,69 @@ object Corpus {
                (${OracleSql.hash64("'ws:' || CAST(k AS VARCHAR)")} % 1000000)
                  < threshold_ppm AS sampled
         FROM th ORDER BY doc_id
+      """)),
+    // ----------------------------------------------------------------
+    // DSIR importance resampling (Xie et al. '23): hashed-bigram
+    // censuses of a target domain (source src0) vs the raw remainder,
+    // Laplace-smoothed per-feature probability ratios as exact integer
+    // ppm (decimal triple product + truncating integral division —
+    // HUGEINT // on the oracle side), per-doc score = integer mean of
+    // occurrence ratios, admission via the deterministic weighted hash
+    // threshold. The oracle replays censuses, ratios, means, and the
+    // threshold bit for every row.
+    Q(
+      "q275_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        Dsir.resample(
+            d.filter($"source" =!= "src0").select($"doc_id", $"source", $"text"),
+            $"doc_id", $"text",
+            d.filter($"source" === "src0"), $"text",
+            targetRate = 0.3, n = 2, buckets = 4096L)
+          .select($"doc_id", $"source", $"n_feats", $"dsir_ppm")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT doc_id, source, text FROM documents WHERE source <> 'src0'),
+        rocc AS (
+          SELECT doc_id, unnest(${OracleSql.hashedShingleOccurrences("text", 2, 4096L)}) AS feat
+          FROM raw),
+        tocc AS (
+          SELECT unnest(${OracleSql.hashedShingleOccurrences("text", 2, 4096L)}) AS feat
+          FROM documents WHERE source = 'src0'),
+        rc AS (SELECT feat, CAST(COUNT(*) AS BIGINT) AS rc FROM rocc GROUP BY 1),
+        tc AS (SELECT feat, CAST(COUNT(*) AS BIGINT) AS tc FROM tocc GROUP BY 1),
+        tot AS (SELECT (SELECT COUNT(*) FROM rocc) AS rtot,
+                       (SELECT COUNT(*) FROM tocc) AS ttot),
+        ratio AS (
+          SELECT rc.feat,
+                 CAST((CAST(COALESCE(tc.tc, 0) + 1 AS HUGEINT)
+                        * (rtot + 4096) * 1000000)
+                      // (CAST(rc.rc + 1 AS HUGEINT) * (ttot + 4096))
+                   AS BIGINT) AS ratio_ppm
+          FROM rc LEFT JOIN tc USING (feat) CROSS JOIN tot),
+        perdoc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+          FROM rocc JOIN ratio USING (feat) GROUP BY 1),
+        scored AS (
+          SELECT r.doc_id, r.source,
+                 COALESCE(p.n_feats, 0) AS n_feats,
+                 COALESCE(p.dsir_ppm, 0) AS dsir_ppm
+          FROM raw r LEFT JOIN perdoc p USING (doc_id)),
+        w AS (
+          SELECT *, GREATEST(COALESCE(CAST(dsir_ppm AS DOUBLE), 0.0), 0.0) AS wt
+          FROM scored),
+        m AS (
+          SELECT ${OracleSql.dsum("wt")} / CAST(COUNT(*) AS DOUBLE) AS meanw
+          FROM w)
+        SELECT doc_id, source, n_feats, dsir_ppm
+        FROM w, m
+        WHERE ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} % 10000 <
+              CAST(floor(LEAST(1.0, 0.3 * wt / meanw) * 10000) AS BIGINT)
+        ORDER BY doc_id
       """))
   )
 }

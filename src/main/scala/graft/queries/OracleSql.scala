@@ -39,6 +39,20 @@ object OracleSql {
     s"""list_distinct(list_transform(${wordShingles3(textCol)},
        |  g -> ${hash64("g")} % ${TextHash.MinhashPrime}))""".stripMargin
 
+  /** Replica of functions.WordShingleHashes(text, n, mod, distinct =
+    * false): EVERY n-gram occurrence (multiplicity kept — the
+    * bag-of-features censuses need counts, not sets), hashed into `mod`
+    * buckets. range(1, L-(n-2)) is DuckDB's half-open [1, L-n+2) = the
+    * L-n+1 shingle start positions.
+    */
+  def hashedShingleOccurrences(textCol: String, n: Int, mod: Long): String = {
+    val toks = tokens(textCol)
+    s"""CASE WHEN len($toks) >= $n THEN
+       |  list_transform(range(1, len($toks) - ${n - 2}),
+       |    i -> ${hash64(s"array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')")} % $mod)
+       |ELSE [] END""".stripMargin
+  }
+
   /** Replica of functions.WordShingleHashes(text, 3, mod = 0): the full
     * 60-bit hash space (no modulus) — corpus-level document-frequency
     * operators use this so cross-doc collisions stay negligible.

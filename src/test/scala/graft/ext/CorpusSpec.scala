@@ -259,4 +259,46 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       LangModel.unigramQualityBuckets(d, d, $"doc_id", $"text", $"lang", nBuckets = 1)
     }
   }
+
+  test("Dsir: target-like docs outrank raw-like docs, ratios replay by hand") {
+    import spark.implicits._
+    // target speaks "alpha beta"; raw has one target-like doc and one
+    // alien doc plus one too short to bigram
+    val target = Seq((101L, "alpha beta alpha beta"), (102L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // pure target bigrams
+      (2L, "zig zag zig zag"),       // unseen in target
+      (3L, "solo")                   // < 2 tokens -> no features
+    ).toDF("doc_id", "text")
+    val B = 4096L
+    val out = Dsir.scores(raw, $"doc_id", $"text", target, $"text",
+        n = 2, buckets = B)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hand replica: per-feature ratio_ppm = (tc+1)(rtot+B)1e6 div
+    // ((rc+1)(ttot+B)); per-doc = mean over occurrences
+    def h(g: String) = graft.functions.WordShingleHashes.hashOf(g) % B
+    val tOcc = Seq("alpha beta", "beta alpha", "alpha beta", "alpha beta").map(h)
+    val rOcc = Seq("alpha beta", "beta alpha", "alpha beta",
+      "zig zag", "zag zig", "zig zag").map(h)
+    val tc = tOcc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rcm = rOcc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (rtot, ttot) = (rOcc.size.toLong, tOcc.size.toLong)
+    def ratio(f: Long): Long =
+      (BigInt(tc.getOrElse(f, 0L) + 1) * BigInt(rtot + B) * BigInt(1000000) /
+        (BigInt(rcm(f) + 1) * BigInt(ttot + B))).toLong
+    def docScore(occ: Seq[Long]): Long = occ.map(ratio).sum / occ.size
+    val exp1 = docScore(Seq("alpha beta", "beta alpha", "alpha beta").map(h))
+    val exp2 = docScore(Seq("zig zag", "zag zig", "zig zag").map(h))
+    assert(out.toSeq == Seq((1L, 3L, exp1), (2L, 3L, exp2), (3L, 0L, 0L)))
+    assert(exp1 > exp2, "target-like must outrank alien")
+    // resample keeps score columns and admits deterministically (rerun
+    // identical)
+    val s1 = Dsir.resample(raw, $"doc_id", $"text", target, $"text",
+      targetRate = 0.5, n = 2, buckets = B).orderBy($"doc_id").collect().toSeq
+    val s2 = Dsir.resample(raw, $"doc_id", $"text", target, $"text",
+      targetRate = 0.5, n = 2, buckets = B).orderBy($"doc_id").collect().toSeq
+    assert(s1 == s2)
+  }
 }

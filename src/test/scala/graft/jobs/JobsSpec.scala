@@ -584,6 +584,37 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc2.map(_._2.skippedEmpty) == Seq(true))
   }
 
+  test("CurateJob: --dsir-target steers the mix toward the target domain, deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target = one source's docs, carved out of the same corpus
+    val targetDir = tmp() + "/target"
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.filter($"source" === "src0").select($"text")
+      .write.mode("overwrite").parquet(targetDir)
+    val base = Map(
+      "source" -> "/root/testdata/sf0.001/documents.parquet",
+      "dest" -> tmp(), "min-words" -> "5", "threshold" -> "0.6",
+      "splits" -> "train:0.8,val:0.2",
+      "chunk-window" -> "40", "chunk-overlap" -> "10",
+      "shards" -> "4", "batch-size" -> "8")
+    val plain = CurateJob.run(spark, base)
+    val dsirDest = tmp()
+    val dsir = CurateJob.run(spark,
+      base + ("dest" -> dsirDest, "dsir-target" -> targetDir, "dsir-rate" -> "0.5"))
+    // the stage SELECTS: fewer (or equal) docs survive, pipeline intact
+    assert(dsir.afterNearDup == plain.afterNearDup, "dsir sits after dedup")
+    assert(dsir.afterBalance < plain.afterBalance,
+      s"dsir at rate 0.5 must thin the mix (${dsir.afterBalance} vs ${plain.afterBalance})")
+    assert(dsir.afterBalance > 0)
+    val kept = spark.read.parquet(s"$dsirDest/documents")
+    assert(!kept.columns.contains("dsir_ppm"), "score columns are internal")
+    // determinism: identical re-run, identical surviving set
+    val dsir2 = CurateJob.run(spark,
+      base + ("dest" -> tmp(), "dsir-target" -> targetDir, "dsir-rate" -> "0.5"))
+    assert(dsir2 == dsir)
+  }
+
   test("quarantine: one poison row files with its cause, the other N-1 land, ledger stays exactly-once") {
     import spark.implicits._
     import graft.streaming.EventStreams
