@@ -621,6 +621,16 @@ object MediaFunctions {
     GraftExprBridge.column(AviFrames(
       GraftExprBridge.expression(bytes),
       GraftExprBridge.expression(every)))
+  def aviEncodeMeta(codec: Column, width: Column, height: Column,
+      frameSizes: Column, keyEvery: Column): Column =
+    GraftExprBridge.column(AviEncodeMeta(Seq(
+      GraftExprBridge.expression(codec),
+      GraftExprBridge.expression(width),
+      GraftExprBridge.expression(height),
+      GraftExprBridge.expression(frameSizes),
+      GraftExprBridge.expression(keyEvery))))
+  def aviProbe(bytes: Column): Column =
+    GraftExprBridge.column(AviProbe(GraftExprBridge.expression(bytes)))
 }
 
 /** Minimal AVI (RIFF) container encoder over UNCOMPRESSED 24-bit DIB
@@ -892,4 +902,256 @@ case class AviFrames(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AviFrames =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fixture-side AVI container encoder with ARBITRARY codec fourcc and
+  * frame-size plan — the compressed-video twin of [[AviEncode]]: where
+  * AviEncode writes decodable DIB payloads, this writes a
+  * structurally-real container (RIFF/hdrl/strl/strf/movi/idx1) whose
+  * '00dc' frame payloads are opaque filler of the PLANNED sizes, plus a
+  * real 'idx1' index with AVIIF_KEYFRAME flags every `keyEvery`-th
+  * frame. [[AviProbe]] must recover exactly the planted codec,
+  * geometry, frame sizes, and keyframe census from these bytes — the
+  * container-level triage contract for codecs the JVM cannot decode
+  * (H.264-class), where admission/dedup decisions ride on metadata.
+  *
+  * Inputs: codec (exactly 4 ASCII chars, e.g. "H264", "MJPG"; "DIB "
+  * writes biCompression 0), width, height, frameSizes (bytes per
+  * frame), keyEvery (>0). Null / shape violations / >2²⁶ total bytes →
+  * null.
+  */
+case class AviEncodeMeta(children: Seq[Expression])
+    extends Expression {
+
+  require(children.length == 5,
+    "avi_encode_meta(codec, width, height, frame_sizes, key_every)")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(StringType, IntegerType, IntegerType,
+        ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"avi_encode_meta requires (string, int, int, array<int>, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on any shape violation. */
+  def encode(codecU: org.apache.spark.unsafe.types.UTF8String,
+      w: Int, h: Int, sizesAd: ArrayData, keyEvery: Int): Array[Byte] = {
+    if (codecU == null || sizesAd == null) return null
+    val codec = codecU.toString
+    val nf = sizesAd.numElements()
+    if (codec.length != 4 || !codec.forall(c => c >= 0x20 && c < 0x7f)) return null
+    if (w <= 0 || h <= 0 || nf <= 0 || nf > 4096 || keyEvery <= 0) return null
+    var payload = 0L
+    var i = 0
+    while (i < nf) {
+      val s = sizesAd.getInt(i)
+      if (s < 0) return null
+      payload += s + 8 + (s & 1)
+      i += 1
+    }
+    if (payload > (1L << 26)) return null
+    val comp = if (codec == "DIB ") 0
+    else codec.charAt(0) | (codec.charAt(1) << 8) | (codec.charAt(2) << 16) | (codec.charAt(3) << 24)
+    val moviSize = 4 + payload.toInt
+    val idxSize = 16 * nf
+    val hdrlContent = 4 + 64 + (8 + 4 + 64 + 48)
+    val total = 12 + (8 + hdrlContent) + (8 + moviSize) + (8 + idxSize)
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(hdrlContent); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(40000).putInt(0).putInt(0).putInt(0)
+    b.putInt(nf).putInt(0).putInt(1).putInt(0)
+    b.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc(codec)
+    b.putInt(0).putShort(0).putShort(0).putInt(0)
+    b.putInt(1).putInt(25).putInt(0).putInt(nf)
+    b.putInt(0).putInt(-1).putInt(0)
+    b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(comp).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+    val offsets = new Array[Int](nf)
+    i = 0
+    while (i < nf) {
+      offsets(i) = b.position() - (12 + (8 + hdrlContent) + 8) // rel. 'movi'
+      val s = sizesAd.getInt(i)
+      fourcc("00dc"); b.putInt(s)
+      // deterministic filler: byte j of frame i = (i*131 + j*7) mod 256
+      var j = 0
+      while (j < s) { b.put(((i * 131 + j * 7) & 0xff).toByte); j += 1 }
+      if ((s & 1) == 1) b.put(0.toByte) // WORD alignment pad
+      i += 1
+    }
+    fourcc("idx1"); b.putInt(idxSize)
+    i = 0
+    while (i < nf) {
+      fourcc("00dc")
+      b.putInt(if (i % keyEvery == 0) 0x10 else 0) // AVIIF_KEYFRAME
+      b.putInt(offsets(i))
+      b.putInt(sizesAd.getInt(i))
+      i += 1
+    }
+    b.array()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    encode(vs(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int],
+      vs(3).asInstanceOf[ArrayData], vs(4).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("aviEncodeMeta", this, classOf[AviEncodeMeta].getName)
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.map(_.isNull).mkString(" || ")
+    val resultCode =
+      s"""
+        ${gens.map(_.code).mkString("\n")}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!($anyNull)) {
+          ${ev.value} = $ref.encode(${gens(0).value}, ${gens(1).value},
+            ${gens(2).value}, ${gens(3).value}, ${gens(4).value});
+          ${ev.isNull} = (${ev.value} == null);
+        }
+      """
+    ev.copy(code = code"$resultCode")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AviEncodeMeta =
+    copy(children = newChildren)
+}
+
+/** Container-level video triage WITHOUT decoding — the operational
+  * answer for codecs the JVM cannot decompress offline (H.264-class):
+  * parse the fourcc, geometry, per-frame chunk sizes, and the 'idx1'
+  * keyframe census straight off the RIFF structure, so a curation
+  * pipeline can run codec censuses, size/shape QA gates, and
+  * exact-duplicate detection (a container fingerprint over the frame
+  * size sequence) on compressed video it cannot decode — by metadata
+  * instead of dropping the asset.
+  *
+  * Output: struct(codec, width, height, n_frames, n_keyframes,
+  * frame_sizes) where codec is "DIB" for biCompression 0 and the ASCII
+  * fourcc otherwise; n_keyframes counts AVIIF_KEYFRAME (0x10) entries
+  * in 'idx1', or -1 when the container carries no index (DIB fixtures
+  * from [[AviEncode]]). Robustness contract identical to [[AviFrames]]:
+  * any malformation → NULL; a frame-count bomb guard (2²⁰) bounds the
+  * array before any allocation. Works on ANY video stream the RIFF
+  * walk accepts, including those [[AviFrames]] decodes — triage and
+  * decode agree on geometry and frame count by construction.
+  */
+case class AviProbe(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codec", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_keyframes", IntegerType, nullable = false),
+    StructField("frame_sizes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"avi_probe requires binary, got $other")
+  }
+
+  /** Public so codegen can call it; null on any malformation. */
+  def probe(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 24) return null
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return null
+    try {
+      var w = -1; var h = -1; var comp = Int.MinValue
+      var nKey = -1
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(start: Int, end: Int, depth: Int)(chunk: (String, Int, Int) => Boolean): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fcc(p)
+          val size = b.getInt(p + 4)
+          if (size < 0 || p + 8 + size > bytes.length) return false
+          if (id == "LIST" && depth < 4) {
+            if (!walk(p + 12, p + 8 + size, depth + 1)(chunk)) return false
+          } else if (!chunk(id, p + 8, size)) return false
+          p += 8 + size + (size & 1)
+        }
+        true
+      }
+      val ok = walk(12, bytes.length, 0) { (id, off, size) =>
+        if (id == "strf" && size >= 40) {
+          if (b.getInt(off) < 40) false
+          else {
+            w = b.getInt(off + 4); h = b.getInt(off + 8)
+            comp = b.getInt(off + 16)
+            true
+          }
+        } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("db") || id.endsWith("dc"))) {
+          if (sizes.length >= (1 << 20)) false // frame-count bomb guard
+          else { sizes += size; true }
+        } else if (id == "idx1") {
+          if (size % 16 != 0) false
+          else {
+            var k = 0
+            var e = off
+            while (e + 16 <= off + size) {
+              if ((b.getInt(e + 4) & 0x10) != 0) k += 1
+              e += 16
+            }
+            nKey = k
+            true
+          }
+        } else true
+      }
+      if (!ok || w <= 0 || h <= 0 || comp == Int.MinValue || sizes.isEmpty) return null
+      val codec =
+        if (comp == 0) "DIB"
+        else new String(Array[Byte](
+          (comp & 0xff).toByte, ((comp >> 8) & 0xff).toByte,
+          ((comp >> 16) & 0xff).toByte, ((comp >> 24) & 0xff).toByte), "US-ASCII")
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(codec),
+        w, h, sizes.length, nKey,
+        new GenericArrayData(sizes.toArray[Any])))
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("aviProbe", this, classOf[AviProbe].getName)
+    nullSafeCodeGen(ctx, ev, bytes => s"""
+      ${ev.value} = (InternalRow) $ref.probe($bytes);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AviProbe =
+    copy(child = newChild)
 }

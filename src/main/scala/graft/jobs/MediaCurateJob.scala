@@ -155,6 +155,34 @@ object MediaCurateJob {
     imgFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/image")
     audFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/audio")
     vidFinal.write.mode("overwrite").format(fmt).save(s"$dest/media/video")
+
+    // 3b. container triage for the videos the DECODER cannot open
+    //     (H.264-class compressed codecs — no JVM decoder exists):
+    //     instead of dropping them at the decode screen, admit by
+    //     container METADATA (q276): AviProbe's codec/geometry/frame
+    //     census, a frame-count QA gate (no luma is available without
+    //     decoding — the exposure gate honestly does not apply), and
+    //     EXACT duplicate removal by container fingerprint (codec +
+    //     geometry + frame-size sequence; re-encodes are near-dup
+    //     territory and stay out of scope until a decoder exists).
+    //     Kept separate from the decoded survivors — downstream
+    //     consumers must be able to tell pixel-verified assets from
+    //     metadata-admitted ones.
+    val vidMeta = Media.videoContainerStats(vid, "media_id", "payload")
+      .join(vidStats.select("media_id"), Seq("media_id"), "left_anti")
+      .localCheckpoint() // feeds gate, dedup, write, and 3 counters
+    val nVidMeta = vidMeta.count()
+    val vidMetaOk = vidMeta.filter(col("n_frames") >= minFrames)
+    val nVidMetaOk = vidMetaOk.count()
+    val vidMetaFinal = vidMetaOk
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("container_fp")).orderBy(col("media_id"))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val nVidMetaFinal = vidMetaFinal.count()
+    vidMetaFinal.write.mode("overwrite").format(fmt)
+      .save(s"$dest/media/video_compressed")
+
     val summary = Seq(
       ("image", "0_input", nImg),
       ("image", "1_decodable", nImgStats),
@@ -167,7 +195,10 @@ object MediaCurateJob {
       ("video", "0_input", nVid),
       ("video", "1_decodable", nVidStats),
       ("video", "2_qa", nVidOk),
-      ("video", "3_neardup", videos))
+      ("video", "3_neardup", videos),
+      ("video_meta", "1_triaged", nVidMeta),
+      ("video_meta", "2_qa", nVidMetaOk),
+      ("video_meta", "3_exactdup", nVidMetaFinal))
     import spark.implicits._
     summary.toDF("kind", "stage", "n")
       .coalesce(1).write.mode("overwrite").format(fmt)

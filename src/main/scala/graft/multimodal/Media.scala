@@ -476,6 +476,39 @@ object Media {
     dhashNeardupPairs(base, maxHamming)
   }
 
+  /** Container-level video triage (no decode): per-video codec,
+    * geometry, frame/keyframe census, size stats, and a 60-bit
+    * container fingerprint — the operational QA surface for compressed
+    * codecs the JVM cannot decompress offline (H.264-class). The
+    * fingerprint hashes the codec + geometry + exact frame-size
+    * sequence (md5-60bit, the engine-wide [[graft.ext.TextHash]]
+    * scheme), which identifies byte-identical re-uploads and
+    * re-containered copies of the same encoded stream without touching
+    * a single pixel; a re-ENCODE changes the size sequence and is
+    * near-dup territory (the decode path's job, where a codec exists).
+    * Everything is scan-stage: probe + fingerprint per row, zero
+    * shuffle.
+    */
+  def videoContainerStats(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    import graft.functions.MediaFunctions._
+    df.select(col(idCol).cast("long").as("media_id"),
+        aviProbe(col(bytesCol).cast("binary")).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("media_id"),
+        col("__c.codec").as("codec"),
+        col("__c.width").as("width"), col("__c.height").as("height"),
+        col("__c.n_frames").as("n_frames"),
+        col("__c.n_keyframes").as("n_keyframes"),
+        expr("aggregate(__c.frame_sizes, 0L, (a, x) -> a + x)")
+          .as("total_frame_bytes"),
+        array_max(col("__c.frame_sizes")).as("max_frame_bytes"),
+        graft.ext.TextHash.hash64(
+          concat_ws(":", col("__c.codec"),
+            col("__c.width").cast("string"), col("__c.height").cast("string"),
+            array_join(col("__c.frame_sizes").cast("array<string>"), ",")))
+          .as("container_fp"))
+  }
+
   def wavHeader(nSamples: Int, sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
     val blockAlign = channels * (bits / 8)
     val dataSize = nSamples * blockAlign

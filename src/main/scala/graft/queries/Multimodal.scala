@@ -599,6 +599,64 @@ object Multimodal {
                CAST(MIN(o) AS BIGINT) AS min_out,
                CAST(MAX(o) AS BIGINT) AS max_out
         FROM rs GROUP BY media_id ORDER BY media_id
+      """)),
+    // ----------------------------------------------------------------
+    // Compressed-video container triage (no decode): each doc plants a
+    // structurally-real AVI — codec fourcc cycling H264/MJPG/DIB,
+    // formula-derived geometry, frame-size plan and keyframe cadence,
+    // with a real idx1 index — through AviEncodeMeta; AviProbe walks
+    // the RIFF structure and must recover every planted value; the
+    // container fingerprint (codec:w:h:size-sequence, md5-60bit)
+    // groups exact container dupes (doc_id % 50 shares a plan). The
+    // oracle replays the plan arithmetic, the keyframe census, and the
+    // fingerprint hash — any chunk/index mis-parse breaks the match.
+    Q(
+      "q276_video_container_triage",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.aviEncodeMeta
+        val k = ($"doc_id" % 50).cast("int")
+        val codec = when(k % 3 === 0, "H264")
+          .when(k % 3 === 1, "MJPG").otherwise("DIB ")
+        val sizes = transform(
+          sequence(lit(0), (lit(1) + k % 4).cast("int")),
+          i => (lit(64) + (k * 37 + i * 101) % 512).cast("int"))
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id".as("media_id"),
+            aviEncodeMeta(codec, (lit(16) + (k % 4) * 8).cast("int"),
+              (lit(16) + (k % 3) * 8).cast("int"), sizes,
+              (lit(1) + k % 3).cast("int")).as("payload"))
+        val stats = Media.videoContainerStats(media, "media_id", "payload")
+        stats.withColumn("dup_group",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"container_fp")))
+          .orderBy($"media_id")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, doc_id % 50 AS k FROM documents),
+        plan AS (
+          SELECT doc_id, k,
+                 CASE k % 3 WHEN 0 THEN 'H264' WHEN 1 THEN 'MJPG'
+                   ELSE 'DIB' END AS codec,
+                 16 + (k % 4) * 8 AS w, 16 + (k % 3) * 8 AS h,
+                 2 + k % 4 AS n, 1 + k % 3 AS ke,
+                 list_transform(range(0, CAST(2 + k % 4 AS BIGINT)),
+                   i -> 64 + (k * 37 + i * 101) % 512) AS sizes
+          FROM p),
+        s AS (
+          SELECT doc_id AS media_id, codec,
+                 CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                 CAST(n AS INTEGER) AS n_frames,
+                 CAST((n - 1) // ke + 1 AS INTEGER) AS n_keyframes,
+                 CAST(list_sum(sizes) AS BIGINT) AS total_frame_bytes,
+                 CAST(list_max(sizes) AS INTEGER) AS max_frame_bytes,
+                 ${OracleSql.hash64(
+      "codec || ':' || CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || " +
+        "':' || array_to_string(sizes, ',')")} AS container_fp
+          FROM plan)
+        SELECT *, COUNT(*) OVER (PARTITION BY container_fp) AS dup_group
+        FROM s ORDER BY media_id
       """))
   )
 }

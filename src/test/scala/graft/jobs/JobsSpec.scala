@@ -584,6 +584,47 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc2.map(_._2.skippedEmpty) == Seq(true))
   }
 
+  test("MediaCurateJob: compressed videos admitted by container metadata, exact-dup by fingerprint") {
+    import spark.implicits._
+    def h264(sizes: Seq[Int]): Array[Byte] =
+      graft.functions.AviEncodeMeta(Seq(null, null, null, null, null)).encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString("H264"), 32, 24,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sizes.toArray[Any]), 2)
+    def avi(frames: Seq[Seq[Int]]): Array[Byte] = {
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        frames.map(f => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          f.toArray).asInstanceOf[Any]).toArray)
+      graft.functions.AviEncode(null, null, null).encode(ad, 16, 16)
+    }
+    val grayFrame = Seq.tabulate(256)(_ => 128 * 0x010101)
+    val corpus = Seq(
+      (40L, "video", avi(Seq(grayFrame, grayFrame))),  // decodable DIB -> pixel path
+      (50L, "video", h264(Seq(100, 200, 300))),        // compressed survivor
+      (51L, "video", h264(Seq(100, 200, 300))),        // exact container dup of 50 -> dropped
+      (52L, "video", h264(Seq(100, 200, 301))),        // distinct stream -> survives
+      (53L, "video", h264(Seq(500))),                  // too few frames -> gated
+      (54L, "video", Array[Byte](3, 1, 4)))            // garbage: fails triage too
+    val src = tmp() + "/vid_src"
+    corpus.toDF("media_id", "kind", "payload").write.parquet(src)
+    val dest = tmp()
+    MediaCurateJob.run(spark, Map("source" -> src, "dest" -> dest,
+      "min-frames" -> "2", "min-luma" -> "16", "max-luma" -> "240",
+      "every" -> "2"))
+    val compressed = spark.read.parquet(s"$dest/media/video_compressed")
+    assert(compressed.select("media_id").collect().map(_.getLong(0)).toSet ==
+      Set(50L, 52L), "metadata path: dup and short containers dropped, garbage refused")
+    assert(compressed.filter($"media_id" === 50L).select("codec").head().getString(0) == "H264")
+    // the decodable DIB clip stays on the PIXEL path, not the metadata path
+    val pixel = spark.read.parquet(s"$dest/media/video")
+    assert(pixel.select("media_id").collect().map(_.getLong(0)).toSet == Set(40L))
+    val sumy = spark.read.parquet(s"$dest/reports/media_summary")
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+    assert(sumy(("video_meta", "1_triaged")) == 4L)
+    assert(sumy(("video_meta", "2_qa")) == 3L)
+    assert(sumy(("video_meta", "3_exactdup")) == 2L)
+  }
+
   test("CurateJob: --dsir-target steers the mix toward the target domain, deterministically") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -717,4 +717,98 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
     assert(Media.videoFrameStats(bad, "media_id", "payload").count() == 0)
   }
+
+  test("aviEncodeMeta/aviProbe: planted codec, geometry, sizes, keyframes round-trip") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{aviEncodeMeta, aviProbe}
+    val df = Seq((1L, "H264", 32, 24, Seq(100, 201, 50), 2))
+      .toDF("id", "codec", "w", "h", "sizes", "ke")
+    val out = df.select(aviProbe(aviEncodeMeta(
+        col("codec"), col("w"), col("h"), col("sizes"), col("ke"))).as("c"))
+      .select("c.codec", "c.width", "c.height", "c.n_frames",
+        "c.n_keyframes", "c.frame_sizes")
+      .head()
+    assert(out.getString(0) == "H264")
+    assert((out.getInt(1), out.getInt(2)) == (32, 24))
+    assert(out.getInt(3) == 3)
+    assert(out.getInt(4) == 2) // frames 0 and 2 keyed at ke=2
+    assert(out.getSeq[Int](5) == Seq(100, 201, 50))
+    // "DIB " plants biCompression 0 -> probe reports "DIB"
+    val dib = Seq(("DIB ", 8, 8, Seq(7), 1)).toDF("codec", "w", "h", "sizes", "ke")
+      .select(aviProbe(aviEncodeMeta(
+        col("codec"), col("w"), col("h"), col("sizes"), col("ke"))).as("c"))
+      .select("c.codec", "c.n_keyframes").head()
+    assert(dib.getString(0) == "DIB" && dib.getInt(1) == 1)
+    // odd frame size exercises the WORD-alignment pad on both sides
+    val odd = Seq(("MJPG", 4, 4, Seq(3, 5), 1)).toDF("codec", "w", "h", "sizes", "ke")
+      .select(aviProbe(aviEncodeMeta(
+        col("codec"), col("w"), col("h"), col("sizes"), col("ke"))).as("c"))
+      .select("c.frame_sizes").head()
+    assert(odd.getSeq[Int](0) == Seq(3, 5))
+  }
+
+  test("aviProbe: triage and decode agree on the decodable fixture; no idx1 reads -1") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{aviEncode, aviFrames, aviProbe}
+    val frames = transform(sequence(lit(0), lit(3)), f =>
+      transform(sequence(lit(0), lit(11)), i => (f * 16 + i).cast("int")))
+    val df = spark.range(1).select(
+      aviEncode(frames, lit(4), lit(3)).as("payload"))
+    val r = df.select(
+        aviProbe(col("payload")).as("c"),
+        aviFrames(col("payload"), lit(1)).as("v"))
+      .select("c.codec", "c.width", "c.height", "c.n_frames", "c.n_keyframes",
+        "c.frame_sizes", "v.width", "v.height", "v.n_frames")
+      .head()
+    assert(r.getString(0) == "DIB")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) == (r.getInt(6), r.getInt(7), r.getInt(8)))
+    assert(r.getInt(4) == -1) // AviEncode writes no idx1
+    // every DIB frame chunk is stride*h = 12*3
+    assert(r.getSeq[Int](5).forall(_ == 36))
+  }
+
+  test("aviProbe/aviEncodeMeta: malformations null out, never throw") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.{aviEncodeMeta, aviProbe}
+    val meta = graft.functions.AviEncodeMeta(Seq(null, null, null, null, null))
+    def enc(codec: String, w: Int, h: Int, sizes: Seq[Int], ke: Int): Array[Byte] =
+      meta.encode(org.apache.spark.unsafe.types.UTF8String.fromString(codec),
+        w, h, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sizes.toArray[Any]), ke)
+    // encoder-side shape violations
+    assert(enc("H2", 8, 8, Seq(1), 1) == null)       // bad fourcc length
+    assert(enc("H264", 0, 8, Seq(1), 1) == null)     // bad geometry
+    assert(enc("H264", 8, 8, Seq(-1), 1) == null)    // negative size
+    assert(enc("H264", 8, 8, Seq(1), 0) == null)     // bad cadence
+    assert(enc("H264", 8, 8, Seq(1 << 27), 1) == null) // payload bomb
+    val good = enc("H264", 8, 8, Seq(10, 20), 2)
+    assert(good != null)
+    val probe = graft.functions.AviProbe(null)
+    assert(probe.probe(good) != null)
+    // probe-side malformations
+    assert(probe.probe(Array[Byte](1, 2, 3)) == null)
+    assert(probe.probe(good.take(good.length - 3)) == null) // truncated
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(probe.probe(badMagic) == null)
+    // idx1 size not a multiple of 16 -> refuse
+    def find(hay: Array[Byte], s: String): Int = {
+      val pat = s.getBytes("US-ASCII")
+      hay.indices.indexWhere(i => i + 4 <= hay.length &&
+        pat.indices.forall(k => hay(i + k) == pat(k)))
+    }
+    val badIdx = good.clone()
+    val ip = find(badIdx, "idx1")
+    // shrinking the declared idx1 size desyncs the trailing walk too,
+    // so corrupt the ENTRY GRANULARITY instead: declared size 16n -> 8
+    java.nio.ByteBuffer.wrap(badIdx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(ip + 4, 8)
+    assert(probe.probe(badIdx) == null)
+    // null column in, null out
+    val r = Seq((1L)).toDF("id")
+      .select(aviProbe(lit(null).cast("binary")).as("c"),
+        aviEncodeMeta(lit(null).cast("string"), lit(8), lit(8),
+          lit(null).cast("array<int>"), lit(1)).as("e"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
