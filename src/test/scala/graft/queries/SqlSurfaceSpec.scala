@@ -21,9 +21,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
 
   override def beforeAll(): Unit = {
-    for (t <- Seq("region", "nation", "customer", "orders", "lineitem", "documents"))
+    for (t <- Seq("region", "nation", "customer", "orders", "lineitem",
+        "documents", "events"))
       graft.Tables.load(spark, dir, t).createOrReplaceTempView(t)
   }
+
+  private def catalog(name: String): org.apache.spark.sql.DataFrame =
+    Catalog.all.find(_.name == name).get.build(spark, dir)
   override def afterAll(): Unit = spark.stop()
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -126,5 +130,115 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     """).collect().head.getLong(0)
     val total = spark.table("documents").count()
     assert(lsh == total, s"every doc must carry a 16-element minhash sig ($lsh/$total)")
+  }
+
+  test("LLM surface in SQL text: the full MinHash-LSH dedup pair query equals q35") {
+    // the COMPLETE q35 pipeline — shingle, minhash, band, candidate
+    // self-join, exact-Jaccard verify — written as one SQL statement
+    // over the registered graft_* functions. 8 bands × 2 rows, same
+    // parameters as the catalog entry.
+    val bandExprs = (0 until 8).map { b =>
+      s"concat_ws('_', '$b', CAST(element_at(sig, ${2 * b + 1}) AS STRING), " +
+        s"CAST(element_at(sig, ${2 * b + 2}) AS STRING))"
+    }.mkString(", ")
+    val sql = spark.sql(s"""
+      WITH base AS (
+        SELECT doc_id,
+               graft_word_shingle_hashes(text, 3, 2147483647) AS shingles
+        FROM documents),
+      sigs AS (
+        SELECT doc_id, shingles,
+               graft_minhash_sig(shingles, 16) AS sig
+        FROM base),
+      banded AS (
+        SELECT doc_id, explode(array($bandExprs)) AS band FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT id_a, id_b,
+               CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 AS inter,
+               size(sa.shingles) AS na, size(sb.shingles) AS nb
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+      FROM verified
+      WHERE inter / (na + nb - inter) >= 0.5
+      ORDER BY id_a, id_b
+    """)
+    assert(rows(sql) == rows(catalog("q35_dedup_minhash_lsh")))
+    assert(rows(sql).nonEmpty)
+  }
+
+  test("LLM surface in SQL text: BM25 retrieval equals q86") {
+    val sql = spark.sql("""
+      WITH base AS (
+        SELECT doc_id,
+               filter(split(lower(text), ' '), x -> x != '') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      d AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM base),
+      stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(dl AS DECIMAL(38,10))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, explode(toks) AS term FROM d)
+        WHERE term IN ('join', 'vector', 'stream', 'window')
+        GROUP BY doc_id, dl, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT doc_id,
+               ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                  (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+                  (CAST(tf AS DOUBLE) +
+                   1.2 * ((1.0 - 0.75) + CAST(dl AS DOUBLE) / avgdl * 0.75)))
+                 AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+      SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(CAST(s AS DECIMAL(38,10))) AS DOUBLE) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20
+    """)
+    assert(rows(sql) == rows(catalog("q86_bm25_topk")))
+    assert(rows(sql).nonEmpty)
+  }
+
+  test("LLM surface in SQL text: the forward as-of join equals q113") {
+    // the union + ignore-nulls-last window formulation of as-of — the
+    // same algorithm AsOf.join plans, written as SQL text. The right
+    // side's value rides inside a struct so the matched row's NULL is
+    // surfaced, not skipped past (the DuckDB ASOF contract).
+    val sql = spark.sql("""
+      WITH clicks AS (
+        SELECT event_id, user_id, ts, CAST(NULL AS STRUCT<v: DOUBLE>) AS rv,
+               1 AS side
+        FROM events WHERE event_type = 'click'),
+      views AS (
+        SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts,
+               named_struct('v', MAX(value)) AS rv, 0 AS side
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts),
+      u AS (SELECT * FROM clicks UNION ALL SELECT * FROM views),
+      m AS (
+        SELECT event_id, user_id, ts, side,
+               last(rv, true) OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, side ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW).v
+                 AS next_view_value
+        FROM u)
+      SELECT event_id, user_id,
+             date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
+             next_view_value
+      FROM m WHERE side = 1
+      ORDER BY event_id
+    """)
+    assert(rows(sql) == rows(catalog("q113_asof_forward")))
+    assert(rows(sql).nonEmpty)
   }
 }
