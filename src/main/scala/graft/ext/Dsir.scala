@@ -98,20 +98,22 @@ object Dsir {
     val ratios = importanceRatiosPpm(
       featureCensus(rawKeyed, col("__text"), n, buckets),
       featureCensus(target, targetText, n, buckets), buckets)
-    val perDoc = rawKeyed
-      .select(col("__id"), explode(
+    // explode_outer keeps featureless docs as one null-feature row, so
+    // the per-doc aggregate covers EVERY id in one pass — no join back
+    // to the corpus for the zero-score rows (one keyed shuffle total,
+    // O(docs) wide after the in-partition combine)
+    rawKeyed
+      .select(col("__id"), explode_outer(
         TextFunctions.wordShingleHashes(col("__text"), n, mod = buckets, distinct = false))
         .as("feat"))
-      .join(broadcast(ratios), Seq("feat"))
+      .join(broadcast(ratios), Seq("feat"), "left")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("ratio_ppm")).as("__sum"))
-      .select(col("__id"), col("n_feats"),
-        ldiv(col("__sum"), col("n_feats")).cast("long").as("dsir_ppm"))
-    rawKeyed.select(col("__id"))
-      .join(perDoc, Seq("__id"), "left")
-      .select(col("__id").as("id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("dsir_ppm"), lit(0L)).as("dsir_ppm"))
+      .agg(count(col("ratio_ppm")).as("n_feats"),
+        sum(col("ratio_ppm")).as("__sum"))
+      .select(col("__id").as("id"), col("n_feats"),
+        when(col("n_feats") > 0,
+          ldiv(col("__sum"), col("n_feats")).cast("long"))
+          .otherwise(lit(0L)).as("dsir_ppm"))
   }
 
   /** Importance resampling: admit raw documents with probability

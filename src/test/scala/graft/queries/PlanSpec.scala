@@ -436,4 +436,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p270.contains("CartesianProduct"), p270)
     assert(!p270.contains("BroadcastNestedLoopJoin"), p270)
   }
+
+  test("q267 composite-blocked linkage: equi-joins only, never a cartesian") {
+    val p = planOf("q267_fs_linkage")
+    assert(!p.contains("CartesianProduct"), p)
+    // the block self-join and the two attribute re-joins are all keyed;
+    // the only nested-loop allowed is the 1-row u-probability broadcast
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"expected at most the 1-row stats broadcast, got $bnl:\n$p")
+  }
+
+  test("q275 DSIR: ratio table broadcasts; one id-keyed corpus join only") {
+    val p = planOf("q275_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc scoring must partial-aggregate map-side before its
+    // one-row-per-doc shuffle
+    assert(p.contains("HashAggregate"), p)
+    // the ONLY shuffle join allowed is attaching scores back to the
+    // corpus rows (id-keyed, O(docs)); the ratio lookup and both
+    // 1-row totals/mean relations must broadcast
+    val smj = "\\(\\d+\\) SortMergeJoin".r.findAllIn(p).size +
+      "\\(\\d+\\) ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"expected <= 1 shuffle join (score attach), got $smj:\n$p")
+  }
+
+  test("q276 container triage probes in the scan stage; dup grouping is the only window") {
+    val p = planOf("q276_video_container_triage")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly the dup-group window, got $windows:\n$p")
+  }
 }
