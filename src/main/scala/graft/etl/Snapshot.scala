@@ -231,4 +231,14 @@ object SnapshotStore {
       store.commitTruncate(schema)
     def overwrite(df: DataFrame): Long = store.commitOverwrite(df)
   }
+
+  /** [[Pipeline.Source]] over a [[SnapshotStore]]: reads one committed
+    * version (default latest) — the consumer side of the versioned RAW
+    * zone, pinned to its manifest for the whole downstream pipeline
+    * regardless of concurrent re-syncs.
+    */
+  final case class SnapshotSource(store: SnapshotStore,
+      asOfVersion: Option[Long] = None) extends Pipeline.Source {
+    def load(spark: SparkSession): DataFrame = store.read(spark, asOfVersion)
+  }
 }

@@ -78,6 +78,9 @@ private[jobs] object JobArgs {
   *     one task, sync.py:82. The col:n form derives lo/hi per table via
   *     a MIN/MAX query pushed to the database.)
   *   [--format parquet|orc|csv|json|delta]  (delta needs the jar)
+  *   [--snapshot on]  (RAW zone as a manifest-committed versioned table:
+  *     atomic overwrite + time travel on plain parquet — the Delta
+  *     semantics of sync.py:112-114 without the jar)
   *   [--jdbc-driver CLS --jdbc-user U --jdbc-password P --fetchsize N]
   */
 object SyncJob {
@@ -158,10 +161,25 @@ object SyncJob {
         }
         val df = Pipeline.JdbcSource(url, table, props, partition).load(spark)
         val sourceCount = pushedCount(url, props, table) // S2: counts in the DB
-        df.write.mode("overwrite").options(Pipeline.writeOptions(fmt))
-          .format(fmt).save(s"$dest/$table.$fmt") // the ONLY Spark extraction
-        val written = spark.read.options(Pipeline.readOptions(fmt))
-          .format(fmt).load(s"$dest/$table.$fmt").count()
+        // --snapshot on: the RAW zone becomes a manifest-committed
+        // versioned table (the reference's Delta overwrite semantics,
+        // sync.py:112-114, on plain parquet): the re-sync is ATOMIC —
+        // a reader racing it sees the previous complete version, and
+        // yesterday's sync stays readable by version
+        val written = if (conf.get("snapshot").contains("on")) {
+          require(fmt == "parquet",
+            "--snapshot: the manifest store is parquet-backed; drop --format")
+          val store = new graft.etl.SnapshotStore(s"$dest/$table")
+          val v = store.commitOverwrite(df) // the ONLY Spark extraction
+          val n = store.read(spark, Some(v)).count()
+          println(s"""{"job":"sync","table":"$table","snapshot_version":$v}""")
+          n
+        } else {
+          df.write.mode("overwrite").options(Pipeline.writeOptions(fmt))
+            .format(fmt).save(s"$dest/$table.$fmt") // the ONLY Spark extraction
+          spark.read.options(Pipeline.readOptions(fmt))
+            .format(fmt).load(s"$dest/$table.$fmt").count()
+        }
         if (written != sourceCount)
           System.err.println(s"""{"job":"sync","table":"$table","warn":"count drift $sourceCount -> $written"}""")
         println(s"""{"job":"sync","table":"$table","source_rows":$sourceCount,"written_rows":$written}""")
@@ -189,6 +207,8 @@ object SyncJob {
   *   --source-dir DIR --sink-dir DIR --watermark-dir DIR
   *   [--tables lead_assignment,lead_xref,lead] [--mode append|delta_insert]
   *   [--format parquet|orc|csv|json|delta] [--historical true] [--truncate true]
+  *   [--snapshot on]  (read the versioned RAW zone SyncJob --snapshot
+  *     writes, pinned to its latest manifest for the whole pipeline)
   */
 object IngestJob {
   def run(spark: SparkSession, conf: Map[String, String]): Seq[(String, Pipeline.Report)] = {
@@ -205,7 +225,14 @@ object IngestJob {
       spark,
       tables = tables,
       enabled = tables.map(_ -> true).toMap,
-      source = t => Pipeline.FileSource(s"$src/$t.$fmt", fmt),
+      // --snapshot on: consume the versioned RAW zone SyncJob --snapshot
+      // writes — the read pins the latest manifest for the whole
+      // conform/cleanse pipeline, immune to a concurrent re-sync
+      source = t =>
+        if (conf.get("snapshot").contains("on"))
+          graft.etl.SnapshotStore.SnapshotSource(
+            new graft.etl.SnapshotStore(s"$src/$t"))
+        else Pipeline.FileSource(s"$src/$t.$fmt", fmt),
       sink = t => Pipeline.FileSink(s"$dst/$t", fmt),
       mode = mode,
       watermarks = new Pipeline.WatermarkStore(conf.getOrElse("watermark-dir", s"$dst/_watermarks")),

@@ -584,6 +584,45 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc2.map(_._2.skippedEmpty) == Seq(true))
   }
 
+  test("SyncJob --snapshot: versioned RAW zone, atomic re-sync, IngestJob consumes the pin") {
+    import org.apache.spark.sql.functions.col
+    val raw = tmp()
+    // sync #1 -> version 0 of the RAW table
+    val out1 = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw,
+      "snapshot" -> "on"))
+    assert(out1 == Seq(("lead_xref", 25L, 25L)))
+    val store = new graft.etl.SnapshotStore(s"$raw/lead_xref")
+    assert(store.versions == Seq(0L))
+    // a reader pins v0...
+    val pinned = store.read(spark, Some(0L))
+    // ...while a database change + re-sync lands as version 1
+    val c = DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      "INSERT INTO lead_xref VALUES ('guid-new', '2024-02-01 10:00:00', '2024-02-02 09:30:00')")
+    c.close()
+    val out2 = SyncJob.run(spark, Map(
+      "jdbc-url" -> url, "tables" -> "lead_xref", "dest" -> raw,
+      "snapshot" -> "on"))
+    assert(out2 == Seq(("lead_xref", 26L, 26L)))
+    assert(store.versions == Seq(0L, 1L))
+    assert(pinned.count() == 25L, "pinned v0 reader unaffected by the re-sync")
+    assert(store.read(spark).count() == 26L)
+    // IngestJob --snapshot conforms the LATEST version
+    val staged = tmp()
+    val ing = IngestJob.run(spark, Map(
+      "source-dir" -> raw, "sink-dir" -> staged, "watermark-dir" -> tmp(),
+      "tables" -> "lead_xref", "snapshot" -> "on", "historical" -> "true"))
+    assert(ing.map(_._2.rowsWritten) == Seq(26L))
+    assert(spark.read.parquet(s"$staged/lead_xref")
+      .filter(col("LEAD_XREF_GUID") === "guid-new").count() == 1L)
+    // cleanup the extra row so later tests see the original 25
+    val c2 = DriverManager.getConnection(url)
+    c2.createStatement().executeUpdate(
+      "DELETE FROM lead_xref WHERE leadxrefguid = 'guid-new'")
+    c2.close()
+  }
+
   test("MediaCurateJob: compressed videos admitted by container metadata, exact-dup by fingerprint") {
     import spark.implicits._
     def h264(sizes: Seq[Int]): Array[Byte] =
