@@ -59,11 +59,31 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   graft-snapshot-v1
   *   <StructType.json on one line>
-  *   <relative/path/to/file1.parquet>
+  *   #stats<TAB><column>                    (optional)
+  *   <relative/path/to/file1.parquet>[<TAB>min<TAB>max]
   *   ...
   * }}}
+  *
+  * File statistics — the data-skipping half of the log-structured-table
+  * idea: a commit may designate one integer-typed `statsColumn`
+  * (int/long/date/timestamp — the dominant pruning keys: ids, event
+  * times, partition dates); each staged file's parquet FOOTER is read
+  * once at commit time (metadata only, no data pages) and its min/max
+  * recorded in the manifest line. [[SnapshotStore.readRange]] then
+  * prunes files whose [min,max] cannot intersect the predicate BEFORE
+  * Spark ever lists or opens them — at 10⁵ files per 100 TB table that
+  * is the difference between O(relevant files) and O(table) footer
+  * reads per query. Files without stats (older commits, all-null
+  * chunks, a different stats column) are always kept, so pruning is
+  * conservative by construction; the exact predicate is re-applied on
+  * the scan either way.
   */
 final class SnapshotStore(root: String) {
+
+  /** One manifest line: a data file and its optional stats-column
+    * min/max (absent → the file is never pruned).
+    */
+  final case class FileEntry(path: String, min: Option[Long], max: Option[Long])
 
   private val rootPath: Path = Paths.get(root)
   private val manifestDir: Path = rootPath.resolve("manifests")
@@ -93,28 +113,35 @@ final class SnapshotStore(root: String) {
 
   /** Full-snapshot overwrite: stage `df` as fresh immutable files, then
     * publish a manifest listing ONLY them. Returns the new version.
-    * Concurrent readers of any older version are untouched.
+    * Concurrent readers of any older version are untouched. With
+    * `statsColumn`, each staged file's footer min/max is recorded for
+    * [[readRange]] pruning (cluster the data first —
+    * `repartitionByRange(statsColumn)` — or the ranges overlap and
+    * nothing prunes).
     */
-  def commitOverwrite(df: DataFrame): Long = {
-    val staged = stage(df)
-    publish(staged, df.schema)
+  def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None): Long = {
+    val staged = stageEntries(df, statsColumn)
+    publishEntries(staged, df.schema, statsColumn)
   }
 
   /** Append: stage `df`'s files, publish a manifest listing the
     * previous version's files PLUS the new ones. The incoming schema
     * must match — a manifest table is one table, not a union of
-    * whatever arrived.
+    * whatever arrived. Old files keep their recorded stats; new files
+    * carry stats only when `statsColumn` matches the table's (a
+    * mismatched or absent column just yields never-pruned files).
     */
-  def commitAppend(df: DataFrame): Long = {
+  def commitAppend(df: DataFrame, statsColumn: Option[String] = None): Long = {
     latestVersion match {
-      case None => commitOverwrite(df)
+      case None => commitOverwrite(df, statsColumn)
       case Some(v) =>
-        val (schema, oldFiles) = readManifest(v)
+        val (schema, oldStats, oldFiles) = readManifest(v)
         require(DataType.equalsIgnoreNullability(schema, df.schema),
           s"SnapshotStore.commitAppend: schema mismatch vs version $v — " +
             s"table has ${schema.simpleString}, incoming ${df.schema.simpleString}")
-        val staged = stage(df)
-        publish(oldFiles ++ staged, schema)
+        val effective = statsColumn.orElse(oldStats)
+        val staged = stageEntries(df, effective)
+        publishEntries(oldFiles ++ staged, schema, effective)
     }
   }
 
@@ -122,7 +149,8 @@ final class SnapshotStore(root: String) {
     * so reads of the new version yield an empty frame with the right
     * shape while every older version stays readable.
     */
-  def commitTruncate(schema: StructType): Long = publish(Seq.empty, schema)
+  def commitTruncate(schema: StructType): Long =
+    publishEntries(Seq.empty, schema, None)
 
   /** Read a committed version (default: latest). The returned frame is
     * pinned to that version's immutable file list — safe to consume
@@ -132,13 +160,40 @@ final class SnapshotStore(root: String) {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.read: no committed versions at $root"))
-    val (schema, files) = readManifest(v)
-    if (files.isEmpty)
+    val (schema, _, entries) = readManifest(v)
+    scan(spark, schema, entries)
+  }
+
+  /** Range read with manifest-level data skipping: files whose recorded
+    * [min,max] cannot intersect [lo,hi] are pruned before Spark lists
+    * or opens them; files without stats are always kept; the exact
+    * predicate is applied on the surviving scan. Requires the version
+    * to have been committed with `statsColumn = Some(column)`.
+    */
+  def readRange(spark: SparkSession, column: String, lo: Long, hi: Long,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.orElse(latestVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore.readRange: no committed versions at $root"))
+    val (schema, statsCol, entries) = readManifest(v)
+    require(statsCol.contains(column),
+      s"SnapshotStore.readRange: version $v carries stats for " +
+        s"${statsCol.getOrElse("no column")}, not $column")
+    val kept = entries.filter(e => (e.min, e.max) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true // no stats -> conservatively scanned
+    })
+    scan(spark, schema, kept)
+      .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
+  }
+
+  private def scan(spark: SparkSession, schema: StructType,
+      entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(files.map(f => rootPath.resolve(f).toString): _*)
-  }
+        .parquet(entries.map(e => rootPath.resolve(e.path).toString): _*)
 
   /** Drop all but the last `keepLast` versions and delete data files no
     * kept manifest references — including half-staged orphans from
@@ -149,7 +204,8 @@ final class SnapshotStore(root: String) {
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     val referenced: Set[Path] =
-      keep.flatMap(v => readManifest(v)._2).map(f => rootPath.resolve(f).normalize).toSet
+      keep.flatMap(v => readManifest(v)._3.map(_.path))
+        .map(f => rootPath.resolve(f).normalize).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
     if (Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)
@@ -185,13 +241,68 @@ final class SnapshotStore(root: String) {
     } finally s.close()
   }
 
+  /** Footer-stats collection: one metadata-only parquet footer read per
+    * staged file (no data pages), min/max over its row groups for the
+    * int/long/date/timestamp stats column. None (never pruned) when the
+    * column is missing, non-integer, or has no non-null values.
+    */
+  private def stageEntries(df: DataFrame, statsColumn: Option[String]): Seq[FileEntry] = {
+    val paths = stage(df)
+    statsColumn match {
+      case None => paths.map(FileEntry(_, None, None))
+      case Some(c) =>
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        paths.map { rel =>
+          val stats = footerMinMax(
+            new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), c, conf)
+          FileEntry(rel, stats.map(_._1), stats.map(_._2))
+        }
+    }
+  }
+
+  private def footerMinMax(p: org.apache.hadoop.fs.Path, column: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val ranges = r.getFooter.getBlocks.asScala.flatMap { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .flatMap { col =>
+            val st = col.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.longValue, mx.longValue))
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                Some((mn.longValue, mx.longValue))
+              case _ => None // non-integer physical type: no pruning
+            }
+          }
+      }
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
+
+  /** Spec-compat publish of bare paths (no stats). */
+  private[etl] def publish(files: Seq[String], schema: StructType): Long =
+    publishEntries(files.map(FileEntry(_, None, None)), schema, None)
+
   /** Atomically publish the next version: dot-temp write, fsync, one
     * ATOMIC_MOVE. package-private for the crash-emulation spec.
     */
-  private[etl] def publish(files: Seq[String], schema: StructType): Long = {
+  private[etl] def publishEntries(entries: Seq[FileEntry], schema: StructType,
+      statsColumn: Option[String]): Long = {
     Files.createDirectories(manifestDir)
     val v = latestVersion.map(_ + 1L).getOrElse(0L)
-    val body = (Header +: schema.json +: files).mkString("\n") + "\n"
+    val statsLine = statsColumn.map(c => s"#stats\t$c").toSeq
+    val fileLines = entries.map {
+      case FileEntry(p, Some(mn), Some(mx)) => s"$p\t$mn\t$mx"
+      case FileEntry(p, _, _) => p
+    }
+    val body = ((Header +: schema.json +: statsLine) ++ fileLines)
+      .mkString("\n") + "\n"
     val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
     val ch = java.nio.channels.FileChannel.open(tmp,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -203,7 +314,7 @@ final class SnapshotStore(root: String) {
     v
   }
 
-  private def readManifest(v: Long): (StructType, Seq[String]) = {
+  private def readManifest(v: Long): (StructType, Option[String], Seq[FileEntry]) = {
     val p = manifestPath(v)
     require(Files.isRegularFile(p),
       s"SnapshotStore: version $v does not exist at $root " +
@@ -212,7 +323,18 @@ final class SnapshotStore(root: String) {
     require(lines.nonEmpty && lines.head == Header,
       s"SnapshotStore: ${p.getFileName} is not a $Header manifest")
     val schema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
-    (schema, lines.drop(2).filter(_.nonEmpty))
+    val rest = lines.drop(2).filter(_.nonEmpty)
+    val statsCol = rest.headOption.filter(_.startsWith("#stats\t"))
+      .map(_.stripPrefix("#stats\t"))
+    val entries = rest.dropWhile(_.startsWith("#")).map { line =>
+      line.split("\t", -1) match {
+        case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
+        case Array(path) => FileEntry(path, None, None)
+        case _ => throw new IllegalArgumentException(
+          s"SnapshotStore: malformed manifest line '${line.take(120)}'")
+      }
+    }
+    (schema, statsCol, entries)
   }
 }
 

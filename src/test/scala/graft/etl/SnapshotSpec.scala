@@ -125,6 +125,42 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("file stats: readRange prunes non-intersecting files, results stay exact") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // range-cluster so the 8 files carry disjoint id ranges — the
+    // layout a statsColumn commit is FOR
+    val data = (1L to 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id"))
+    store.commitOverwrite(data, statsColumn = Some("id"))
+    val full = store.read(spark)
+    assert(full.inputFiles.length == 8)
+    val pruned = store.readRange(spark, "id", 2500L, 2600L)
+    // manifest pruning: only the file(s) whose range intersects is read
+    assert(pruned.inputFiles.length < 8,
+      s"expected manifest-level pruning, scanned ${pruned.inputFiles.length} files")
+    // and the result is EXACTLY the predicate, not just the kept files
+    assert(pruned.count() == 101L)
+    assert(pruned.agg(min("id"), max("id")).head() ==
+      full.filter($"id".between(2500L, 2600L)).agg(min("id"), max("id")).head())
+    // an append INHERITS the table's stats column: the new in-range
+    // file is kept by its own recorded range, and an out-of-range
+    // append is itself prunable
+    store.commitAppend(Seq((2550L, "dup")).toDF("id", "v").coalesce(1))
+    val afterAppend = store.readRange(spark, "id", 2500L, 2600L)
+    assert(afterAppend.count() == 102L)
+    store.commitAppend(Seq((999999L, "far")).toDF("id", "v").coalesce(1))
+    val farPruned = store.readRange(spark, "id", 2500L, 2600L)
+    assert(farPruned.count() == 102L)
+    assert(farPruned.inputFiles.length == afterAppend.inputFiles.length,
+      "the out-of-range appended file must be pruned by its manifest stats")
+    // asking for a column the version has no stats for fails loudly
+    val e = intercept[IllegalArgumentException] {
+      store.readRange(spark, "v", 0L, 1L)
+    }
+    assert(e.getMessage.contains("carries stats for"))
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")
