@@ -125,24 +125,75 @@ final class SnapshotStore(root: String) {
   }
 
   /** Append: stage `df`'s files, publish a manifest listing the
-    * previous version's files PLUS the new ones. The incoming schema
-    * must match — a manifest table is one table, not a union of
-    * whatever arrived. Old files keep their recorded stats; new files
-    * carry stats only when `statsColumn` matches the table's (a
-    * mismatched or absent column just yields never-pruned files).
+    * previous version's files PLUS the new ones. By default the
+    * incoming schema must match — a manifest table is one table, not a
+    * union of whatever arrived. Old files keep their recorded stats;
+    * new files carry stats only when `statsColumn` matches the table's
+    * (a mismatched or absent column just yields never-pruned files).
+    *
+    * `mergeSchema = true` is append-side schema EVOLUTION (the other
+    * half of the reference's Delta posture — `sync.py:112-114` turns on
+    * `overwriteSchema` for full refreshes; `mergeSchema` is the same
+    * dial for incremental loads): top-level columns new to the table
+    * are appended as nullable fields (rows in older files read back
+    * null there), columns the increment lacks stay in the table (the
+    * new files read back null there), and a same-name column whose
+    * TYPE differs is refused loudly — silent coercion is how a
+    * versioned table rots. Evolution is name-based and top-level only,
+    * matching the reference's own conform step (`ingest.py:654-668`
+    * pads missing columns by name); nested struct surgery is out of
+    * contract. Works because a manifest read is `spark.read.schema(s)`
+    * over parquet: name-resolved, missing-column → null, extra-column
+    * → ignored — so ONE published schema reads every generation of
+    * files consistently with zero rewrites.
     */
-  def commitAppend(df: DataFrame, statsColumn: Option[String] = None): Long = {
+  def commitAppend(df: DataFrame, statsColumn: Option[String] = None,
+      mergeSchema: Boolean = false): Long = {
     latestVersion match {
       case None => commitOverwrite(df, statsColumn)
       case Some(v) =>
         val (schema, oldStats, oldFiles) = readManifest(v)
-        require(DataType.equalsIgnoreNullability(schema, df.schema),
-          s"SnapshotStore.commitAppend: schema mismatch vs version $v — " +
-            s"table has ${schema.simpleString}, incoming ${df.schema.simpleString}")
+        val published =
+          if (mergeSchema) mergeSchemas(schema, df.schema, v)
+          else {
+            require(DataType.equalsIgnoreNullability(schema, df.schema),
+              s"SnapshotStore.commitAppend: schema mismatch vs version $v — " +
+                s"table has ${schema.simpleString}, incoming ${df.schema.simpleString} " +
+                s"(pass mergeSchema = true to evolve)")
+            schema
+          }
         val effective = statsColumn.orElse(oldStats)
         val staged = stageEntries(df, effective)
-        publishEntries(oldFiles ++ staged, schema, effective)
+        publishEntries(oldFiles ++ staged, published, effective)
     }
+  }
+
+  /** Name-based top-level schema merge for evolving appends: table
+    * column order is preserved, genuinely new incoming columns go last
+    * (stable order — readers see columns where they were), and any
+    * field absent from one side is published nullable because some
+    * generation of files will null-pad it.
+    */
+  private def mergeSchemas(table: StructType, incoming: StructType,
+      atVersion: Long): StructType = {
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    val kept = table.fields.map { tf =>
+      inByName.get(tf.name) match {
+        case Some(inf) =>
+          require(DataType.equalsIgnoreNullability(tf.dataType, inf.dataType),
+            s"SnapshotStore.commitAppend(mergeSchema): column '${tf.name}' type " +
+              s"conflict vs version $atVersion — table has ${tf.dataType.simpleString}, " +
+              s"incoming ${inf.dataType.simpleString}; evolution adds columns, " +
+              "it never coerces types")
+          tf.copy(nullable = tf.nullable || inf.nullable)
+        case None => tf.copy(nullable = true) // new files lack it -> null-padded
+      }
+    }
+    val tableNames = table.fieldNames.toSet
+    val added = incoming.fields.collect {
+      case f if !tableNames.contains(f.name) => f.copy(nullable = true)
+    } // old files lack it -> null-padded
+    StructType(kept ++ added)
   }
 
   /** Truncate: publish an empty-file-list manifest carrying the schema,
@@ -185,6 +236,76 @@ final class SnapshotStore(root: String) {
     })
     scan(spark, schema, kept)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
+  }
+
+  /** Version-range change feed — the storage side of CDC (the same idea
+    * Delta exposes as a change data feed, rebuilt on manifest diffs):
+    * for each version v in `(fromVersion, toVersion]` emit the rows that
+    * commit changed, tagged `_change_type` ('insert' | 'delete') and
+    * `_commit_version`.
+    *
+    *   - An APPEND commit (v's file list contains all of v−1's) emits
+    *     only the added files' rows as inserts — O(increment), never a
+    *     rescan of the table. This is the hot path: at 100 TB a nightly
+    *     append feed reads one day's files, not the table.
+    *   - An OVERWRITE or TRUNCATE emits v−1's rows as deletes plus v's
+    *     rows as inserts — O(two snapshots), the honest cost of a full
+    *     replace (a consumer that only wants the new state should read
+    *     the version directly instead).
+    *
+    * Works across schema evolution: each version's rows are read with
+    * its own manifest schema, then unioned by name with null padding.
+    * `fromVersion = -1` starts the feed at the table's creation.
+    * Downstream exactly-once is the consumer's cursor problem — see
+    * [[SnapshotStore.VersionCursor]] for the at-least-once protocol the
+    * incremental ETL path uses.
+    */
+  def readChanges(spark: SparkSession, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = toVersion.orElse(latestVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore.readChanges: no committed versions at $root"))
+    val have = versions.toSet
+    require(fromVersion >= -1L && fromVersion <= to,
+      s"SnapshotStore.readChanges: bad range ($fromVersion, $to]")
+    val wanted = ((fromVersion + 1) to to).filter(have.contains)
+    require(wanted.nonEmpty || fromVersion == to,
+      s"SnapshotStore.readChanges: no versions in ($fromVersion, $to] " +
+        s"(vacuumed? have: ${versions.mkString(",")})")
+    val segments: Seq[DataFrame] = wanted.flatMap { v =>
+      val (schema, _, entries) = readManifest(v)
+      val prev: Option[(StructType, Seq[FileEntry])] =
+        if (v == 0L || !have.contains(v - 1)) None
+        else { val (s, _, e) = readManifest(v - 1); Some((s, e)) }
+      val prevPaths = prev.map(_._2.map(_.path).toSet).getOrElse(Set.empty)
+      val isAppend = prevPaths.subsetOf(entries.map(_.path).toSet)
+      def tag(df: DataFrame, tp: String) = df
+        .withColumn("_change_type", lit(tp))
+        .withColumn("_commit_version", lit(v))
+      if (isAppend) {
+        val added = entries.filterNot(e => prevPaths.contains(e.path))
+        if (added.isEmpty) Nil else Seq(tag(scan(spark, schema, added), "insert"))
+      } else {
+        val deletes = prev.toSeq.map { case (ps, pe) => tag(scan(spark, ps, pe), "delete") }
+        val inserts = if (entries.isEmpty) Nil
+                      else Seq(tag(scan(spark, schema, entries), "insert"))
+        deletes ++ inserts
+      }
+    }
+    segments match {
+      case Seq() =>
+        val (schema, _, _) = readManifest(to)
+        tagSchemaEmpty(spark, schema)
+      case ss => ss.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  private def tagSchemaEmpty(spark: SparkSession, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val full = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType), StructField("_commit_version", LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
   }
 
   private def scan(spark: SparkSession, schema: StructType,
@@ -347,11 +468,44 @@ object SnapshotStore {
     * empty manifest instead of deleting history; `overwrite` is the
     * full-refresh path (sync.py:112-114 parity).
     */
-  final case class SnapshotSink(store: SnapshotStore) extends Pipeline.Sink {
-    def append(df: DataFrame): Unit = store.commitAppend(df)
+  final case class SnapshotSink(store: SnapshotStore,
+      mergeSchema: Boolean = false) extends Pipeline.Sink {
+    def append(df: DataFrame): Unit =
+      store.commitAppend(df, mergeSchema = mergeSchema)
     def truncate(spark: SparkSession, schema: StructType): Unit =
       store.commitTruncate(schema)
     def overwrite(df: DataFrame): Long = store.commitOverwrite(df)
+  }
+
+  /** Checkpointed consumer position for [[SnapshotStore.readChanges]] —
+    * the version-keyed twin of [[Pipeline.WatermarkStore]]'s wall-clock
+    * protocol, with the same at-least-once contract: process the feed
+    * FIRST, advance the cursor AFTER, so a crash in between replays the
+    * last range instead of losing it. Unlike the wall-clock watermark
+    * there is no overlap re-send in steady state — versions are exact,
+    * so steady-state delivery is exactly-once. Written dot-temp +
+    * ATOMIC_MOVE like a manifest: a crashed advance leaves the old
+    * cursor, never a torn one.
+    */
+  final class VersionCursor(dir: String) {
+    private def path(table: String): Path =
+      Paths.get(dir, s"last_version_$table.txt")
+
+    /** Last consumed version; -1 before any consumption (so the first
+      * `readChanges(last, ...)` feed starts at the table's creation).
+      */
+    def last(table: String): Long =
+      if (Files.isRegularFile(path(table)))
+        new String(Files.readAllBytes(path(table)), StandardCharsets.UTF_8).trim.toLong
+      else -1L
+
+    def advance(table: String, version: Long): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      val tmp = Paths.get(dir, s".tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, path(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** [[Pipeline.Source]] over a [[SnapshotStore]]: reads one committed

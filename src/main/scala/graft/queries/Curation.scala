@@ -467,6 +467,46 @@ object Curation {
                     THEN CAST(nch AS INTEGER) ELSE 0 END AS n_changed
         FROM j WHERE ins OR del OR nch > 0
         ORDER BY o_orderkey
+      """)),
+    // ----------------------------------------------------------------
+    // Change feed over REAL committed snapshot versions: create →
+    // append → full replace against a manifest store, then read the
+    // version-range changelog back (insert/delete rows tagged with
+    // their commit). The append segment is O(increment) by
+    // construction — SnapshotSpec pins that it scans only the files
+    // the commit added; the overwrite honestly pays delete(old) +
+    // insert(new), the Delta-CDF replace semantics. The oracle replays
+    // the same three derivations and the same feed algebra in SQL.
+    Q(
+      "q277_change_feed",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders").select($"o_orderkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.filter($"o_orderkey" % 10 < 5)) // v0: create
+        store.commitAppend(o.filter($"o_orderkey" % 10 === 7))  // v1: append
+        store.commitOverwrite(o.filter($"o_orderkey" % 3 === 0)) // v2: replace
+        store.readChanges(s, fromVersion = -1L)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      Some("""
+        WITH v0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 5),
+        v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 7),
+        v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        feed AS (
+          SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+                 o_orderkey FROM v0
+          UNION ALL SELECT 1, 'insert', o_orderkey FROM v1
+          UNION ALL SELECT 2, 'delete', o_orderkey FROM v0
+          UNION ALL SELECT 2, 'delete', o_orderkey FROM v1
+          UNION ALL SELECT 2, 'insert', o_orderkey FROM v2)
+        SELECT _commit_version, _change_type, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM feed GROUP BY 1, 2
+        ORDER BY _commit_version, _change_type
       """))
   )
 }

@@ -125,6 +125,63 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("overwrite replaces the schema per version; time travel reads each version's own") {
+    // sync.py:113 parity: the reference's full refresh sets
+    // overwriteSchema=true — a new snapshot may carry a new shape while
+    // history keeps the old one
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 4, "old"))
+    store.commitOverwrite(Seq((1L, 7), (2L, 9)).toDF("id", "score"))
+    assert(store.read(spark).schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(store.read(spark).agg(sum("score")).head().getLong(0) == 16L)
+    val v0 = store.read(spark, Some(0L))
+    assert(v0.schema.fieldNames.toSeq == Seq("id", "tag", "amt") && v0.count() == 4L)
+  }
+
+  test("mergeSchema append evolves the table: new column null-pads history, dropped column null-pads the increment") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 3, "v0")) // (id, tag, amt)
+    // increment adds `lang` and lacks `amt`
+    val inc = Seq((10L, "v1", "en"), (11L, "v1", "fr")).toDF("id", "tag", "lang")
+    store.commitAppend(inc, mergeSchema = true)
+    val got = store.read(spark)
+    // stable order: table columns first, new column appended last
+    assert(got.schema.fieldNames.toSeq == Seq("id", "tag", "amt", "lang"))
+    assert(got.count() == 5L)
+    // old rows: lang is null; new rows: amt is null — and nothing else moved
+    assert(got.filter($"tag" === "v0" && $"lang".isNull).count() == 3L)
+    assert(got.filter($"tag" === "v1" && $"amt".isNull && $"lang".isNotNull).count() == 2L)
+    assert(got.agg(sum("amt")).head().getDouble(0) == 60.0)
+    // time travel still reads v0 with its original 3-column shape
+    assert(store.read(spark, Some(0L)).schema.fieldNames.toSeq == Seq("id", "tag", "amt"))
+    // a further PLAIN append must match the EVOLVED schema now
+    val e = intercept[IllegalArgumentException] { store.commitAppend(frame(4 to 4, "x")) }
+    assert(e.getMessage.contains("schema mismatch"))
+    // and a type conflict is refused even under mergeSchema
+    val t = intercept[IllegalArgumentException] {
+      store.commitAppend(Seq((1L, "t", "not-a-number", "en"))
+        .toDF("id", "tag", "amt", "lang"), mergeSchema = true)
+    }
+    assert(t.getMessage.contains("type conflict"))
+  }
+
+  test("mergeSchema append keeps manifest stats pruning working across the evolution") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    val base = (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    store.commitOverwrite(base, statsColumn = Some("id"))
+    store.commitAppend(Seq((900000L, "far", "x")).toDF("id", "v", "extra")
+      .coalesce(1), mergeSchema = true)
+    val pruned = store.readRange(spark, "id", 100L, 150L)
+    assert(pruned.count() == 51L)
+    assert(pruned.inputFiles.length == 1,
+      s"evolved append must stay prunable, scanned ${pruned.inputFiles.length} files")
+    assert(pruned.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+  }
+
   test("file stats: readRange prunes non-intersecting files, results stay exact") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
@@ -159,6 +216,77 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       store.readRange(spark, "v", 0L, 1L)
     }
     assert(e.getMessage.contains("carries stats for"))
+  }
+
+  test("change feed: appends are O(increment) inserts, overwrites are delete+insert, truncate is deletes") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 3, "v0"))          // v0: create
+    store.commitAppend(frame(10 to 11, "v1"))            // v1: append
+    store.commitOverwrite(frame(20 to 20, "v2"))         // v2: replace
+    store.commitTruncate(frame(1 to 1, "x").schema)      // v3: truncate
+    def feed(from: Long, to: Option[Long] = None) =
+      store.readChanges(spark, from, to)
+        .groupBy("_commit_version", "_change_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // full history from table creation
+    assert(feed(-1L) == Set(
+      (0L, "insert", 3L),               // create = insert-only
+      (1L, "insert", 2L),               // append = ONLY the added rows
+      (2L, "delete", 5L), (2L, "insert", 1L), // overwrite = old out, new in
+      (3L, "delete", 1L)))              // truncate = deletes, no inserts
+    // an append-only slice never re-reads the base snapshot
+    val appendOnly = store.readChanges(spark, 0L, Some(1L))
+    assert(appendOnly.select("tag").distinct().head().getString(0) == "v1")
+    assert(appendOnly.inputFiles.length ==
+      store.read(spark, Some(1L)).inputFiles.length -
+      store.read(spark, Some(0L)).inputFiles.length,
+      "append feed must scan only the files the commit added")
+    // empty range yields an empty, correctly-shaped frame
+    val empty = store.readChanges(spark, 3L, Some(3L))
+    assert(empty.isEmpty && empty.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+  }
+
+  test("change feed spans schema evolution with null padding per generation") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 2, "v0"))
+    store.commitAppend(Seq((9L, "v1", "en")).toDF("id", "tag", "lang"),
+      mergeSchema = true)
+    val feed = store.readChanges(spark, -1L)
+    assert(feed.columns.toSeq ==
+      Seq("id", "tag", "amt", "_change_type", "_commit_version", "lang"))
+    assert(feed.filter($"_commit_version" === 0L && $"lang".isNull).count() == 2L)
+    assert(feed.filter($"_commit_version" === 1L && $"lang" === "en" &&
+      $"amt".isNull).count() == 1L)
+  }
+
+  test("VersionCursor drives incremental consumption: process-then-advance, steady-state exactly-once") {
+    val store = new SnapshotStore(tmp())
+    val cursor = new SnapshotStore.VersionCursor(tmp())
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    store.commitAppend(frame(4 to 5, "v1"))
+    // round 1: consume everything since creation
+    assert(cursor.last("t") == -1L)
+    val latest1 = store.latestVersion.get
+    val batch1 = store.readChanges(spark, cursor.last("t"), Some(latest1))
+    assert(batch1.count() == 5L) // 3 create-inserts + 2 append-inserts
+    cursor.advance("t", latest1)
+    // nothing new -> empty feed, no reprocessing
+    assert(store.readChanges(spark, cursor.last("t"),
+      Some(store.latestVersion.get)).isEmpty)
+    // round 2: one more append, only its rows arrive
+    store.commitAppend(frame(6 to 6, "v2"))
+    val latest2 = store.latestVersion.get
+    val batch2 = store.readChanges(spark, cursor.last("t"), Some(latest2))
+    assert(batch2.count() == 1L &&
+      batch2.select("tag").head().getString(0) == "v2")
+    cursor.advance("t", latest2)
+    assert(cursor.last("t") == latest2)
+    // crash-between-process-and-advance replays the SAME range (at-least-once)
+    val replay = store.readChanges(spark, latest1, Some(latest2))
+    assert(replay.count() == 1L)
   }
 
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
