@@ -85,7 +85,24 @@ final class SnapshotStore(root: String) {
     */
   final case class FileEntry(path: String, min: Option[Long], max: Option[Long])
 
-  private val rootPath: Path = Paths.get(root)
+  /** Accepts both a plain filesystem path and a `file:` URI — the
+    * session catalog qualifies a `CREATE TABLE ... OPTIONS (path ...)`
+    * location to a URI before handing it back to the provider.
+    */
+  private val rootPath: Path = {
+    val asUri = try { val u = new java.net.URI(root); Option(u.getScheme).map(_ => u) }
+                catch { case _: java.net.URISyntaxException => None }
+    asUri match {
+      case Some(u) if u.getScheme == "file" =>
+        // file:/tmp/x and file:///tmp/x both carry the path component
+        Paths.get(Option(u.getPath).getOrElse(u.getSchemeSpecificPart))
+      case Some(u) if u.getScheme != null && u.getScheme.length > 1 =>
+        throw new IllegalArgumentException(
+          s"SnapshotStore: unsupported filesystem scheme '${u.getScheme}' in $root " +
+            "(this store is java.nio-based; use a local/NFS-mounted root)")
+      case _ => Paths.get(root)
+    }
+  }
   private val manifestDir: Path = rootPath.resolve("manifests")
   private val dataDir: Path = rootPath.resolve("data")
   private val Header = "graft-snapshot-v1"
@@ -119,9 +136,10 @@ final class SnapshotStore(root: String) {
     * `repartitionByRange(statsColumn)` — or the ranges overlap and
     * nothing prunes).
     */
-  def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None): Long = {
+  def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None,
+      txn: Option[Long] = None): Long = {
     val staged = stageEntries(df, statsColumn)
-    publishEntries(staged, df.schema, statsColumn)
+    publishEntries(staged, df.schema, statsColumn, txn)
   }
 
   /** Append: stage `df`'s files, publish a manifest listing the
@@ -148,9 +166,9 @@ final class SnapshotStore(root: String) {
     * files consistently with zero rewrites.
     */
   def commitAppend(df: DataFrame, statsColumn: Option[String] = None,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false, txn: Option[Long] = None): Long = {
     latestVersion match {
-      case None => commitOverwrite(df, statsColumn)
+      case None => commitOverwrite(df, statsColumn, txn)
       case Some(v) =>
         val (schema, oldStats, oldFiles) = readManifest(v)
         val published =
@@ -164,9 +182,52 @@ final class SnapshotStore(root: String) {
           }
         val effective = statsColumn.orElse(oldStats)
         val staged = stageEntries(df, effective)
-        publishEntries(oldFiles ++ staged, published, effective)
+        publishEntries(oldFiles ++ staged, published, effective, txn)
     }
   }
+
+  /** Compaction — the OPTIMIZE of the log-structured-table world: read
+    * the latest version, rewrite its rows into `targetFiles` files
+    * (range-clustered on `clusterBy` when given, else on the table's
+    * stats column when it has one — clustering is what makes the
+    * manifest min/max DISJOINT, i.e. what makes pruning bite), and
+    * publish the rewrite as a new version flagged `#rewrite`:
+    * dataChange = false. The change feed and the streaming source skip
+    * rewrite versions entirely — the rows didn't change, only their
+    * layout — so routine small-file maintenance never re-delivers a
+    * table to downstream consumers (the failure mode a naive CDC has
+    * when compaction looks like an overwrite). Older versions stay
+    * readable until [[vacuum]]; stats are re-collected from the new
+    * files' footers, so pruning often IMPROVES after a clustered
+    * compaction (streaming appends arrive time-ordered, not
+    * key-ordered).
+    */
+  def compactLatest(spark: SparkSession, targetFiles: Int,
+      clusterBy: Option[String] = None): Long = {
+    require(targetFiles >= 1, s"compactLatest: targetFiles must be >= 1, got $targetFiles")
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.compactLatest: no committed versions at $root"))
+    val m = readFullManifest(v)
+    val cluster = clusterBy.orElse(m.statsColumn)
+    val df = scan(spark, m.schema, m.entries)
+    val laid = cluster match {
+      case Some(c) => df.repartitionByRange(targetFiles,
+        org.apache.spark.sql.functions.col(c))
+      case None => df.repartition(targetFiles)
+    }
+    val staged = stageEntries(laid, m.statsColumn)
+    publishEntries(staged, m.schema, m.statsColumn, m.txn, rewrite = true)
+  }
+
+  /** Highest streaming batch id committed into this table — the newest
+    * version carrying a `#txn` marker wins (versions are serial, so a
+    * later manifest is a later commit). O(versions-scanned-back) driver
+    * text reads; in steady state the latest manifest has it.
+    */
+  def lastTxn: Option[Long] =
+    versions.reverseIterator
+      .map(v => readFullManifest(v).txn)
+      .collectFirst { case Some(id) => id }
 
   /** Name-based top-level schema merge for evolving appends: table
     * column order is preserved, genuinely new incoming columns go last
@@ -274,23 +335,26 @@ final class SnapshotStore(root: String) {
       s"SnapshotStore.readChanges: no versions in ($fromVersion, $to] " +
         s"(vacuumed? have: ${versions.mkString(",")})")
     val segments: Seq[DataFrame] = wanted.flatMap { v =>
-      val (schema, _, entries) = readManifest(v)
-      val prev: Option[(StructType, Seq[FileEntry])] =
-        if (v == 0L || !have.contains(v - 1)) None
-        else { val (s, _, e) = readManifest(v - 1); Some((s, e)) }
-      val prevPaths = prev.map(_._2.map(_.path).toSet).getOrElse(Set.empty)
-      val isAppend = prevPaths.subsetOf(entries.map(_.path).toSet)
-      def tag(df: DataFrame, tp: String) = df
-        .withColumn("_change_type", lit(tp))
-        .withColumn("_commit_version", lit(v))
-      if (isAppend) {
-        val added = entries.filterNot(e => prevPaths.contains(e.path))
-        if (added.isEmpty) Nil else Seq(tag(scan(spark, schema, added), "insert"))
-      } else {
-        val deletes = prev.toSeq.map { case (ps, pe) => tag(scan(spark, ps, pe), "delete") }
-        val inserts = if (entries.isEmpty) Nil
-                      else Seq(tag(scan(spark, schema, entries), "insert"))
-        deletes ++ inserts
+      val m = readFullManifest(v)
+      if (m.rewrite) Nil // dataChange=false: same rows, new layout
+      else {
+        val prev: Option[(StructType, Seq[FileEntry])] =
+          if (v == 0L || !have.contains(v - 1)) None
+          else { val p = readFullManifest(v - 1); Some((p.schema, p.entries)) }
+        val prevPaths = prev.map(_._2.map(_.path).toSet).getOrElse(Set.empty)
+        val isAppend = prevPaths.subsetOf(m.entries.map(_.path).toSet)
+        def tag(df: DataFrame, tp: String) = df
+          .withColumn("_change_type", lit(tp))
+          .withColumn("_commit_version", lit(v))
+        if (isAppend) {
+          val added = m.entries.filterNot(e => prevPaths.contains(e.path))
+          if (added.isEmpty) Nil else Seq(tag(scan(spark, m.schema, added), "insert"))
+        } else {
+          val deletes = prev.toSeq.map { case (ps, pe) => tag(scan(spark, ps, pe), "delete") }
+          val inserts = if (m.entries.isEmpty) Nil
+                        else Seq(tag(scan(spark, m.schema, m.entries), "insert"))
+          deletes ++ inserts
+        }
       }
     }
     segments match {
@@ -299,6 +363,73 @@ final class SnapshotStore(root: String) {
         tagSchemaEmpty(spark, schema)
       case ss => ss.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+  }
+
+  /** Resolved manifest of a committed version (default latest) for the
+    * format integration layer: (schema, statsColumn, file entries with
+    * root-absolute paths).
+    */
+  private[graft] def manifestAt(asOfVersion: Option[Long] = None)
+      : (StructType, Option[String], Seq[(String, Option[Long], Option[Long])]) = {
+    val v = asOfVersion.orElse(latestVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore.manifestAt: no committed versions at $root"))
+    val (schema, statsCol, entries) = readManifest(v)
+    (schema, statsCol,
+      entries.map(e => (rootPath.resolve(e.path).toString, e.min, e.max)))
+  }
+
+  /** Schema of a committed version (default latest) without planning a
+    * scan — the streaming source pins this at query start.
+    */
+  def tableSchema(asOfVersion: Option[Long] = None): StructType = {
+    val v = asOfVersion.orElse(latestVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore.tableSchema: no committed versions at $root"))
+    readManifest(v)._1
+  }
+
+  /** Insert-only increments in `(fromVersion, toVersion]` read with a
+    * PINNED schema — the micro-batch body of the streaming source,
+    * where the engine owns the offsets and a stream has ONE schema for
+    * its lifetime (later evolved columns null-pad under the pinned
+    * shape; columns added after the stream started are simply not
+    * visible to it until restart).
+    *
+    * Appends contribute exactly their added files. A non-append commit
+    * (overwrite/truncate rewrote history) is governed by `onOverwrite`:
+    *   - "fail" (default): refuse loudly — a downstream that assumed
+    *     append-only must not silently miss a table rewrite;
+    *   - "emitNew": re-emit the replacing snapshot's rows (downstream
+    *     dedups or upserts — the ignore-deletes posture);
+    *   - "skip": emit nothing for that commit (consumer only wants
+    *     genuine appends).
+    */
+  def readInserts(spark: SparkSession, fromVersion: Long, toVersion: Long,
+      pinned: StructType, onOverwrite: String = "fail"): DataFrame = {
+    require(Set("fail", "emitNew", "skip").contains(onOverwrite),
+      s"SnapshotStore.readInserts: unknown onOverwrite '$onOverwrite'")
+    val have = versions.toSet
+    val segments = ((fromVersion + 1) to toVersion).filter(have.contains).flatMap { v =>
+      val m = readFullManifest(v)
+      val prevPaths: Set[String] =
+        if (v == 0L || !have.contains(v - 1)) Set.empty
+        else readFullManifest(v - 1).entries.map(_.path).toSet
+      if (m.rewrite) Nil // compaction: same rows, new layout — never re-delivered
+      else if (prevPaths.subsetOf(m.entries.map(_.path).toSet)) {
+        val added = m.entries.filterNot(e => prevPaths.contains(e.path))
+        if (added.isEmpty) Nil else Seq(scan(spark, pinned, added))
+      } else onOverwrite match {
+        case "fail" => throw new IllegalStateException(
+          s"SnapshotStore.readInserts: version $v is not an append " +
+            s"(overwrite/truncate rewrote the table); restart the stream " +
+            s"from the new state or set onOverwrite=emitNew|skip")
+        case "emitNew" => if (m.entries.isEmpty) Nil else Seq(scan(spark, pinned, m.entries))
+        case "skip" => Nil
+      }
+    }
+    if (segments.isEmpty) scan(spark, pinned, Seq.empty)
+    else segments.reduce(_.unionByName(_))
   }
 
   private def tagSchemaEmpty(spark: SparkSession, schema: StructType): DataFrame = {
@@ -414,10 +545,13 @@ final class SnapshotStore(root: String) {
     * ATOMIC_MOVE. package-private for the crash-emulation spec.
     */
   private[etl] def publishEntries(entries: Seq[FileEntry], schema: StructType,
-      statsColumn: Option[String]): Long = {
+      statsColumn: Option[String], txn: Option[Long] = None,
+      rewrite: Boolean = false): Long = {
     Files.createDirectories(manifestDir)
     val v = latestVersion.map(_ + 1L).getOrElse(0L)
-    val statsLine = statsColumn.map(c => s"#stats\t$c").toSeq
+    val statsLine = statsColumn.map(c => s"#stats\t$c").toSeq ++
+      txn.map(id => s"#txn\t$id").toSeq ++
+      (if (rewrite) Seq("#rewrite") else Nil)
     val fileLines = entries.map {
       case FileEntry(p, Some(mn), Some(mx)) => s"$p\t$mn\t$mx"
       case FileEntry(p, _, _) => p
@@ -436,6 +570,21 @@ final class SnapshotStore(root: String) {
   }
 
   private def readManifest(v: Long): (StructType, Option[String], Seq[FileEntry]) = {
+    val m = readFullManifest(v)
+    (m.schema, m.statsColumn, m.entries)
+  }
+
+  /** Full parsed manifest. `txn` is the streaming sink's committed
+    * batch id — the idempotence marker that makes micro-batch replay a
+    * no-op (see [[SnapshotStore.lastTxn]]). `rewrite` marks a
+    * dataChange=false commit (compaction): same rows, new layout —
+    * change feeds skip it.
+    */
+  private[graft] final case class Manifest(schema: StructType,
+      statsColumn: Option[String], txn: Option[Long], rewrite: Boolean,
+      entries: Seq[FileEntry])
+
+  private[graft] def readFullManifest(v: Long): Manifest = {
     val p = manifestPath(v)
     require(Files.isRegularFile(p),
       s"SnapshotStore: version $v does not exist at $root " +
@@ -445,8 +594,12 @@ final class SnapshotStore(root: String) {
       s"SnapshotStore: ${p.getFileName} is not a $Header manifest")
     val schema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val rest = lines.drop(2).filter(_.nonEmpty)
-    val statsCol = rest.headOption.filter(_.startsWith("#stats\t"))
+    val headerLines = rest.takeWhile(_.startsWith("#"))
+    val statsCol = headerLines.find(_.startsWith("#stats\t"))
       .map(_.stripPrefix("#stats\t"))
+    val txn = headerLines.find(_.startsWith("#txn\t"))
+      .map(_.stripPrefix("#txn\t").toLong)
+    val rewrite = headerLines.contains("#rewrite")
     val entries = rest.dropWhile(_.startsWith("#")).map { line =>
       line.split("\t", -1) match {
         case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
@@ -455,7 +608,7 @@ final class SnapshotStore(root: String) {
           s"SnapshotStore: malformed manifest line '${line.take(120)}'")
       }
     }
-    (schema, statsCol, entries)
+    Manifest(schema, statsCol, txn, rewrite, entries)
   }
 }
 

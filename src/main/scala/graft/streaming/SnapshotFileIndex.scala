@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan,
+  LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType,
+  ShortType, StructType, TimestampType}
+import graft.etl.SnapshotStore
+
+/** [[FileIndex]] over one committed snapshot version — the piece that
+  * turns manifest file statistics into QUERY-TIME data skipping (the
+  * log-structured-table architecture: the transaction log owns the file
+  * list, a custom file index hands Spark only the files a query's
+  * predicates can touch, and the ordinary vectorized parquet scan does
+  * the rest).
+  *
+  * `listFiles(_, dataFilters)` is where Catalyst calls back during
+  * physical planning with the query's own scan predicates: conjuncts
+  * over the manifest's stats column are folded into one [lo, hi] bound
+  * and files whose recorded min/max cannot intersect are dropped BEFORE
+  * the scan plans a single split. Unlike [[SnapshotStore.readRange]]
+  * (call-time pruning through an explicit API) this prunes ANY
+  * DataFrame/SQL filter automatically — `spark.read.format(...).load()
+  * .filter($"id" === k)` skips to the one file holding k with no
+  * cooperation from the query author. Everything unparseable is
+  * ignored, files without stats always survive, and Spark re-applies
+  * the exact predicate on the scanned rows — pruning is conservative by
+  * construction, correctness never depends on it.
+  *
+  * Driver-side cost: O(files) FileStatus lookups once at index
+  * creation (same as Spark's own directory listing) and O(files)
+  * interval checks per query — no data IO.
+  */
+final class SnapshotFileIndex(
+    spark: SparkSession,
+    store: SnapshotStore,
+    asOfVersion: Option[Long] = None) extends FileIndex {
+
+  private val (tableSchema, statsColumn, entries) = store.manifestAt(asOfVersion)
+
+  /** One listing round-trip per file at creation; statuses are reused
+    * across every query planned against this index.
+    */
+  private val statuses: Seq[(FileStatus, Option[Long], Option[Long])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.map { case (p, mn, mx) =>
+      val hp = new Path(p)
+      (hp.getFileSystem(conf).getFileStatus(hp), mn, mx)
+    }
+  }
+
+  def dataSchema: StructType = tableSchema
+
+  override def rootPaths: Seq[Path] = statuses.map(_._1.getPath)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statsColumn match {
+      case Some(c) =>
+        val (lo, hi) = bounds(c, dataFilters)
+        statuses.filter {
+          case (_, Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true // no stats -> conservatively scanned
+        }
+      case None => statuses
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+  }
+
+  /** Fold the scan conjuncts that constrain `column` into one closed
+    * interval; anything unrecognized widens back toward (-inf, +inf).
+    * Date/timestamp literals arrive as their physical ints/longs (days,
+    * micros) — the same encoding the commit recorded from the footers.
+    */
+  private def bounds(column: String, filters: Seq[Expression]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v, LongType) => Some(v.asInstanceOf[Long])
+      case Literal(v, IntegerType) => Some(v.asInstanceOf[Int].toLong)
+      case Literal(v, ShortType) => Some(v.asInstanceOf[Short].toLong)
+      case Literal(v, ByteType) => Some(v.asInstanceOf[Byte].toLong)
+      case Literal(v, DateType) => Some(v.asInstanceOf[Int].toLong)
+      case Literal(v, TimestampType) => Some(v.asInstanceOf[Long])
+      case _ => None
+    }
+    def isCol(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == column
+      case _ => false
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, v) if isCol(a) => lit(v).foreach { x => lo = lo max x; hi = hi min x }
+      case EqualTo(v, a) if isCol(a) => lit(v).foreach { x => lo = lo max x; hi = hi min x }
+      case GreaterThan(a, v) if isCol(a) => lit(v).foreach(x => lo = lo max (x + 1))
+      case GreaterThanOrEqual(a, v) if isCol(a) => lit(v).foreach(x => lo = lo max x)
+      case LessThan(a, v) if isCol(a) => lit(v).foreach(x => hi = hi min (x - 1))
+      case LessThanOrEqual(a, v) if isCol(a) => lit(v).foreach(x => hi = hi min x)
+      case GreaterThan(v, a) if isCol(a) => lit(v).foreach(x => hi = hi min (x - 1))
+      case GreaterThanOrEqual(v, a) if isCol(a) => lit(v).foreach(x => hi = hi min x)
+      case LessThan(v, a) if isCol(a) => lit(v).foreach(x => lo = lo max (x + 1))
+      case LessThanOrEqual(v, a) if isCol(a) => lit(v).foreach(x => lo = lo max x)
+      case In(a, vs) if isCol(a) && vs.nonEmpty =>
+        val xs = vs.flatMap(lit)
+        if (xs.length == vs.length) { lo = lo max xs.min; hi = hi min xs.max }
+      case _: IsNotNull => () // implied by any bound; no information
+      case _ => () // unrecognized conjunct: no pruning from it
+    }
+    filters.foreach(walk)
+    (lo, hi)
+  }
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._1.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
+
+  override def toString: String =
+    s"SnapshotFileIndex[${statuses.length} files" +
+      statsColumn.map(c => s", stats on $c").getOrElse("") + "]"
+}

@@ -289,6 +289,46 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replay.count() == 1L)
   }
 
+  test("compaction rewrites layout without changing data: pruning improves, feed skips it, history intact") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // streaming-style arrival: four appends, each spanning the WHOLE key
+    // range -> every file overlaps every range query, nothing prunes
+    (0 until 4).foreach { r =>
+      store.commitAppend(
+        (1L to 4000L).filter(_ % 4 == r).map(i => (i, s"r$r")).toDF("id", "v")
+          .coalesce(1),
+        statsColumn = Some("id"))
+    }
+    val before = store.readRange(spark, "id", 100L, 150L)
+    assert(before.inputFiles.length == 4, "overlapping files: no pruning yet")
+    val preVersions = store.versions
+    val preFeedRows = store.readChanges(spark, -1L).count()
+
+    val cv = store.compactLatest(spark, targetFiles = 4)
+    // same rows, fewer-or-equal files, DISJOINT ranges -> pruning bites
+    val after = store.read(spark)
+    assert(after.count() == 4000L)
+    assert(after.orderBy("id").collect().toSeq ==
+      store.read(spark, Some(preVersions.last)).orderBy("id").collect().toSeq)
+    val pruned = store.readRange(spark, "id", 100L, 150L)
+    assert(pruned.inputFiles.length == 1,
+      s"clustered compaction must yield disjoint ranges, scanned ${pruned.inputFiles.length}")
+    assert(pruned.count() == 51L)
+    // dataChange=false: the change feed emits NOTHING for the rewrite
+    val feed = store.readChanges(spark, -1L)
+    assert(feed.filter(col("_commit_version") === cv).isEmpty)
+    assert(feed.count() == preFeedRows)
+    // and an incremental consumer positioned before the rewrite sees nothing new
+    assert(store.readChanges(spark, preVersions.last, Some(cv)).isEmpty)
+    // pre-compaction versions stay readable until vacuum
+    assert(store.read(spark, Some(preVersions.head)).count() == 1000L)
+    // an append AFTER the compaction feeds normally
+    store.commitAppend(Seq((9999L, "tail")).toDF("id", "v").coalesce(1))
+    val tail = store.readChanges(spark, cv)
+    assert(tail.count() == 1L && tail.head().getLong(0) == 9999L)
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")

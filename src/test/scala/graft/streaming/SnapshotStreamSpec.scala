@@ -1,0 +1,300 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.etl.SnapshotStore
+
+/** The snapshot store as a registered Structured Streaming source:
+  * version offsets, checkpointed exactly-once delivery across query
+  * restarts, O(increment) append batches, and the onOverwrite policy.
+  */
+class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.GraftSession.local("snapstream-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-snapstream").toString
+
+  private def frame(ids: Range, tag: String) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  /** Drain everything currently committed into a parquet sink, then
+    * stop — one AvailableNow run against a shared checkpoint.
+    */
+  private def drain(root: String, out: String, cp: String,
+      onOverwrite: String = "fail"): Unit = {
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("onOverwrite", onOverwrite)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("format resolves by short name and pins the manifest schema") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    val stream = spark.readStream.format("graft-snapshot").option("path", root).load()
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "tag"))
+  }
+
+  test("checkpointed AvailableNow runs deliver each version exactly once across restarts") {
+    import spark.implicits._
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    store.commitAppend(frame(10 to 11, "v1"))
+    // run 1: everything committed so far
+    drain(root, out, cp)
+    assert(spark.read.parquet(out).count() == 5L)
+    // run 2: nothing new -> nothing re-delivered (offsets held the line)
+    drain(root, out, cp)
+    assert(spark.read.parquet(out).count() == 5L)
+    // a new append lands; run 3 delivers ONLY its rows
+    store.commitAppend(frame(20 to 20, "v2"))
+    drain(root, out, cp)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 6L)
+    assert(got.groupBy("tag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("v0", 3L), ("v1", 2L), ("v2", 1L)))
+    assert(got.filter($"tag" === "v2").select("id").head().getLong(0) == 20L)
+  }
+
+  test("an overwrite fails the append-only stream loudly by default") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 2, "v0"))
+    drain(root, out, cp)
+    store.commitOverwrite(frame(1 to 4, "v1")) // table rewrite
+    val e = intercept[StreamingQueryException] { drain(root, out, cp) }
+    assert(e.getCause.getMessage.contains("not an append"))
+  }
+
+  test("onOverwrite=emitNew re-emits the replacing snapshot instead of failing") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 2, "v0"))
+    drain(root, out, cp, onOverwrite = "emitNew")
+    store.commitOverwrite(frame(5 to 8, "v1"))
+    drain(root, out, cp, onOverwrite = "emitNew")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 6L) // 2 from v0 + the 4 replacing rows
+    assert(got.groupBy("tag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("v0", 2L), ("v1", 4L)))
+  }
+
+  test("batch read by format equals the store API, and versionAsOf time-travels") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 5, "v0"))
+    store.commitAppend(frame(6 to 8, "v1"))
+    val latest = spark.read.format("graft-snapshot").option("path", root).load()
+    assert(latest.count() == 8L)
+    assert(latest.orderBy("id").collect().toSeq ==
+      store.read(spark).orderBy("id").collect().toSeq)
+    val v0 = spark.read.format("graft-snapshot")
+      .option("path", root).option("versionAsOf", "0").load()
+    assert(v0.count() == 5L &&
+      v0.select("tag").distinct().head().getString(0) == "v0")
+  }
+
+  test("batch format prunes files at planning time from the query's own predicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    val data = (1L to 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("id"))
+    store.commitOverwrite(data, statsColumn = Some("id"))
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val all = spark.read.format("graft-snapshot").option("path", root).load()
+    assert(scannedFiles(all) == 8L)
+    // an ordinary .filter — no readRange cooperation — skips files
+    val slice = all.filter($"id".between(2500L, 2600L))
+    assert(slice.count() == 101L)
+    assert(scannedFiles(all.filter($"id".between(2500L, 2600L))) < 8L,
+      "manifest stats must prune non-intersecting files at planning time")
+    // point lookup: one file
+    assert(scannedFiles(all.filter($"id" === 4242L)) == 1L)
+    // a predicate on a non-stats column prunes nothing but stays exact
+    assert(scannedFiles(all.filter($"v" === "v77")) == 8L)
+    assert(all.filter($"v" === "v77").count() == 1L)
+  }
+
+  test("file-index bounds folding handles conjuncts, flipped operands and IN-lists") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      EqualTo, GreaterThan, In, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.LongType
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    import spark.implicits._
+    val data = (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+    store.commitOverwrite(data, statsColumn = Some("id"))
+    val index = new SnapshotFileIndex(spark, store)
+    val id = AttributeReference("id", LongType)()
+    def files(filters: org.apache.spark.sql.catalyst.expressions.Expression*): Int =
+      index.listFiles(Nil, filters).head.files.length
+    assert(files() == 4)
+    assert(files(GreaterThan(id, Literal(3500L))) == 1)          // tail file only
+    assert(files(LessThanOrEqual(Literal(3500L), id)) == 1)      // flipped operands
+    assert(files(GreaterThan(id, Literal(900L)),
+                 LessThanOrEqual(id, Literal(1100L))) == 2)      // straddles a boundary
+    assert(files(EqualTo(id, Literal(2L))) == 1)
+    assert(files(In(id, Seq(Literal(5L), Literal(7L)))) == 1)
+    // contradictory bounds -> empty scan, not an error
+    assert(files(GreaterThan(id, Literal(5000L))) == 0)
+    // unrecognized conjunct alone prunes nothing
+    assert(files(EqualTo(AttributeReference("v", LongType)(), Literal(1L))) == 4)
+  }
+
+  test("batch write by format: overwrite/append/mergeSchema/statsColumn/ErrorIfExists/Ignore") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    frame(1 to 4, "v0").write.format("graft-snapshot")
+      .option("path", root).mode("overwrite").save()
+    assert(store.read(spark).count() == 4L)
+    frame(5 to 6, "v1").write.format("graft-snapshot")
+      .option("path", root).mode("append").save()
+    assert(store.versions == Seq(0L, 1L) && store.read(spark).count() == 6L)
+    // evolving append through the option
+    Seq((7L, "v2", "en")).toDF("id", "tag", "lang")
+      .write.format("graft-snapshot").option("path", root)
+      .option("mergeSchema", "true").mode("append").save()
+    assert(store.read(spark).schema.fieldNames.toSeq == Seq("id", "tag", "lang"))
+    assert(store.read(spark).filter($"lang".isNull).count() == 6L)
+    // ErrorIfExists refuses a live table; Ignore is a no-op on one
+    val e = intercept[IllegalStateException] {
+      frame(1 to 1, "x").write.format("graft-snapshot")
+        .option("path", root).mode("errorifexists").save()
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+    frame(1 to 9, "x").write.format("graft-snapshot")
+      .option("path", root).mode("ignore").save()
+    assert(store.read(spark).count() == 7L) // unchanged
+    // statsColumn at write time feeds the reader's planning-time pruning
+    val root2 = tmp()
+    (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .write.format("graft-snapshot").option("path", root2)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val pruned = new SnapshotStore(root2).readRange(spark, "id", 1L, 10L)
+    assert(pruned.inputFiles.length == 1 && pruned.count() == 10L)
+  }
+
+  test("streaming sink commits each micro-batch as a version; batch-id replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    // e2e happy path: two micro-batches -> two versions
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "tag")
+      .writeStream.format("graft-snapshot")
+      .option("path", root).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "a")); q.processAllAvailable()
+      input.addData((3L, "b")); q.processAllAvailable()
+    } finally q.stop()
+    assert(store.versions.length == 2 && store.read(spark).count() == 3L)
+    assert(store.lastTxn.contains(1L))
+    // engine-style replay of an already-committed batch id: NO new version
+    val sink = new SnapshotStreamSink(store,
+      org.apache.spark.sql.streaming.OutputMode.Append(), None, false)
+    sink.addBatch(1L, frame(90 to 99, "dup"))
+    assert(store.versions.length == 2 && store.read(spark).count() == 3L)
+    // a genuinely new batch id commits
+    sink.addBatch(2L, frame(4 to 4, "c"))
+    assert(store.versions.length == 3 && store.read(spark).count() == 4L)
+  }
+
+  test("streaming sink in Complete mode publishes each result as a full replace") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    val sink = new SnapshotStreamSink(store,
+      org.apache.spark.sql.streaming.OutputMode.Complete(), None, false)
+    sink.addBatch(0L, frame(1 to 5, "agg0"))
+    sink.addBatch(1L, frame(1 to 2, "agg1"))
+    assert(store.read(spark).count() == 2L) // latest result, not a union
+    assert(store.read(spark, Some(0L)).count() == 5L) // history intact
+  }
+
+  test("a compaction mid-stream is invisible: default fail-on-rewrite stream delivers nothing and keeps going") {
+    import spark.implicits._
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    store.commitAppend(frame(4 to 6, "v1"))
+    drain(root, out, cp) // position the stream past v1
+    assert(spark.read.parquet(out).count() == 6L)
+    // routine maintenance: compaction is NOT a data change...
+    store.compactLatest(spark, targetFiles = 1)
+    // ...so the strict append-only stream neither fails nor re-delivers
+    drain(root, out, cp)
+    assert(spark.read.parquet(out).count() == 6L)
+    // and a later append still flows
+    store.commitAppend(frame(7 to 7, "v2"))
+    drain(root, out, cp)
+    assert(spark.read.parquet(out).count() == 7L)
+    assert(spark.read.parquet(out).filter($"tag" === "v2").count() == 1L)
+    // the sink's txn marker survives a compaction of its table
+    val sroot = tmp()
+    val sstore = new SnapshotStore(sroot)
+    val sink = new SnapshotStreamSink(sstore,
+      org.apache.spark.sql.streaming.OutputMode.Append(), None, false)
+    sink.addBatch(0L, frame(1 to 2, "b0"))
+    sstore.compactLatest(spark, targetFiles = 1)
+    assert(sstore.lastTxn.contains(0L))
+    sink.addBatch(0L, frame(50 to 59, "dup")) // replay after compaction: still a no-op
+    assert(sstore.read(spark).count() == 2L)
+  }
+
+  test("SQL surface: CREATE TABLE ... USING graft-snapshot reads through the catalog") {
+    val root = tmp()
+    new SnapshotStore(root).commitOverwrite(frame(1 to 6, "sql"))
+    spark.sql(s"CREATE TABLE snap_sql USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_sql").head().getLong(0) == 6L)
+      assert(spark.sql("SELECT SUM(id) AS s FROM snap_sql WHERE tag = 'sql'")
+        .head().getLong(0) == 21L)
+    } finally spark.sql("DROP TABLE snap_sql")
+  }
+
+  test("startingVersion skips history: the first batch begins after it") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 100, "bulk"))
+    store.commitAppend(frame(200 to 201, "tail"))
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("startingVersion", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2L)
+    assert(got.select("tag").distinct().head().getString(0) == "tail")
+  }
+}
