@@ -186,6 +186,40 @@ final class SnapshotStore(root: String) {
     }
   }
 
+  /** Commit history as a DataFrame — the ops surface over the manifest
+    * log: one row per version with its publication time (the manifest
+    * file's mtime: the atomic rename IS the commit instant — the same
+    * clock Delta's timestamp time travel reads), file count, byte
+    * total, and the rewrite/txn markers.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    versions.map { v =>
+      val m = readFullManifest(v)
+      val committedAt = new java.sql.Timestamp(
+        Files.getLastModifiedTime(manifestPath(v)).toMillis)
+      val bytes = m.entries.map { e =>
+        val p = rootPath.resolve(e.path)
+        if (Files.isRegularFile(p)) Files.size(p) else 0L
+      }.sum
+      (v, committedAt, m.entries.length, bytes, m.rewrite,
+        m.txn, m.statsColumn, m.schema.fieldNames.length)
+    }.toDF("version", "committed_at", "n_files", "bytes", "is_rewrite",
+      "txn", "stats_column", "n_columns")
+  }
+
+  /** Version visible at `ts` — the newest manifest published at or
+    * before it (timestamp time travel's resolution step). Errors when
+    * the table didn't exist yet at `ts`.
+    */
+  def versionAt(ts: java.time.Instant): Long = {
+    val at = versions.reverse.find(v =>
+      !Files.getLastModifiedTime(manifestPath(v)).toInstant.isAfter(ts))
+    at.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.versionAt: no version committed at or before $ts " +
+        s"at $root (earliest: ${versions.headOption.getOrElse("none")})"))
+  }
+
   /** Compaction — the OPTIMIZE of the log-structured-table world: read
     * the latest version, rewrite its rows into `targetFiles` files
     * (range-clustered on `clusterBy` when given, else on the table's

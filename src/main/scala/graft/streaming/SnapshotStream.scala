@@ -70,7 +70,19 @@ final class SnapshotSourceProvider extends StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val store = storeFor(parameters)
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val byVersion = parameters.get("versionAsOf").map(_.toLong)
+    val byTime = parameters.get("timestampAsOf").map { s =>
+      // ISO-8601 instant, or the oracle-canonical 'yyyy-MM-dd HH:mm:ss' (UTC)
+      val inst = try java.time.Instant.parse(s) catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+      }
+      store.versionAt(inst)
+    }
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
+    val asOf = byVersion.orElse(byTime)
     val spark = sqlContext.sparkSession
     val index = new SnapshotFileIndex(spark, store, asOf)
     HadoopFsRelation(

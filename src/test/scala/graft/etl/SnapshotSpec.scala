@@ -329,6 +329,28 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tail.count() == 1L && tail.head().getLong(0) == 9999L)
   }
 
+  test("history and timestamp time travel resolve from manifest publication times") {
+    val store = new SnapshotStore(tmp())
+    val before = java.time.Instant.now().minusSeconds(1)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    Thread.sleep(1100) // mtime resolution on some filesystems is 1s
+    val betweenCommits = java.time.Instant.now()
+    Thread.sleep(1100)
+    store.commitAppend(frame(4 to 5, "v1"))
+    store.compactLatest(spark, targetFiles = 1)
+    val h = store.history(spark).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getBoolean(4)).toSeq == Seq(false, false, true)) // is_rewrite
+    assert(h.forall(r => r.getInt(2) > 0 && r.getLong(3) > 0L)) // files, bytes
+    assert(h.map(_.getTimestamp(1).getTime).toSeq.sorted ==
+      h.map(_.getTimestamp(1).getTime).toSeq) // monotone commit times
+    // timestamp resolution: between the commits -> v0; now -> latest
+    assert(store.versionAt(betweenCommits) == 0L)
+    assert(store.versionAt(java.time.Instant.now()) == 2L)
+    val e = intercept[IllegalArgumentException] { store.versionAt(before) }
+    assert(e.getMessage.contains("no version committed at or before"))
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")

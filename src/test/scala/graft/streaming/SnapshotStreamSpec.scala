@@ -107,6 +107,17 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("path", root).option("versionAsOf", "0").load()
     assert(v0.count() == 5L &&
       v0.select("tag").distinct().head().getString(0) == "v0")
+    // timestamp time travel: "now" resolves to the latest version
+    val byTime = spark.read.format("graft-snapshot")
+      .option("path", root)
+      .option("timestampAsOf", java.time.Instant.now().toString).load()
+    assert(byTime.count() == 8L)
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("path", root)
+        .option("versionAsOf", "0")
+        .option("timestampAsOf", java.time.Instant.now().toString).load()
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
   }
 
   test("batch format prunes files at planning time from the query's own predicates") {
