@@ -507,6 +507,74 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM feed GROUP BY 1, 2
         ORDER BY _commit_version, _change_type
+      """)),
+    // ----------------------------------------------------------------
+    // Registered-format read with planning-time file skipping: commit
+    // orders range-clustered with id stats, read back through
+    // spark.read.format("graft-snapshot"), and aggregate under an
+    // ordinary .filter — the custom FileIndex prunes files from the
+    // query's own predicate (SnapshotStreamSpec pins the observed
+    // numFiles); the oracle replays the filter + aggregate directly,
+    // so a pruning bug that dropped or double-read a file breaks the
+    // hash. Buckets make the result multi-row and order-checkable.
+    Q(
+      "q278_format_pruned_read",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+        new graft.etl.SnapshotStore(root).commitOverwrite(
+          o.repartitionByRange(8, $"o_orderkey"), statsColumn = Some("o_orderkey"))
+        val lo = 1000L; val hi = 20000L
+        s.read.format("graft-snapshot").option("path", root).load()
+          .filter($"o_orderkey".between(lo, hi))
+          .groupBy(($"o_orderkey" % 7L).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_orderkey").as("key_sum"),
+            sum($"o_custkey").as("cust_sum"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000
+        GROUP BY 1 ORDER BY bucket
+      """)),
+    // ----------------------------------------------------------------
+    // Compaction invariance of the change feed: three appends, then a
+    // range-clustered compaction (dataChange=false). The feed must
+    // contain EXACTLY the three appends' rows — a compaction that
+    // leaked into the feed (the naive-CDC failure where maintenance
+    // looks like an overwrite) adds delete+insert rows and breaks all
+    // three gates. The oracle replays the appends and nothing else.
+    Q(
+      "q279_feed_compaction_invariance",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders").select($"o_orderkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitAppend(o.filter($"o_orderkey" % 3 === 0),
+          statsColumn = Some("o_orderkey"))
+        store.commitAppend(o.filter($"o_orderkey" % 3 === 1))
+        store.commitAppend(o.filter($"o_orderkey" % 3 === 2))
+        store.compactLatest(s, targetFiles = 4)
+        store.readChanges(s, fromVersion = -1L)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .orderBy($"_commit_version")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT CAST(o_orderkey % 3 AS BIGINT) AS _commit_version,
+                 'insert' AS _change_type, o_orderkey
+          FROM orders)
+        SELECT _commit_version, _change_type, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM feed GROUP BY 1, 2
+        ORDER BY _commit_version
       """))
   )
 }

@@ -22,6 +22,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("q278 format read keeps parquet pushdown AND plans through the snapshot file index") {
+    val p = planOf("q278_format_pruned_read")
+    // filter reaches the parquet reader (row-group skipping)...
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)") ||
+      p.contains("GreaterThanOrEqual(o_orderkey"), p)
+    // ...and the scan's file listing is OUR index (manifest file skipping)
+    assert(p.contains("SnapshotFileIndex"), p)
+    // column pruning: only the two referenced columns are read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_custkey"), readSchema)
+  }
+
   test("q02 pushes filters into the parquet scan and prunes columns") {
     val p = planOf("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
