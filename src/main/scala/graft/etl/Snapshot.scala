@@ -137,7 +137,7 @@ final class SnapshotStore(root: String) {
     * nothing prunes).
     */
   def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None,
-      txn: Option[Long] = None): Long = {
+      txn: Option[(String, Long)] = None): Long = {
     val staged = stageEntries(df, statsColumn)
     publishEntries(staged, df.schema, statsColumn, txn)
   }
@@ -166,7 +166,7 @@ final class SnapshotStore(root: String) {
     * files consistently with zero rewrites.
     */
   def commitAppend(df: DataFrame, statsColumn: Option[String] = None,
-      mergeSchema: Boolean = false, txn: Option[Long] = None): Long = {
+      mergeSchema: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     latestVersion match {
       case None => commitOverwrite(df, statsColumn, txn)
       case Some(v) =>
@@ -203,9 +203,10 @@ final class SnapshotStore(root: String) {
         if (Files.isRegularFile(p)) Files.size(p) else 0L
       }.sum
       (v, committedAt, m.entries.length, bytes, m.rewrite,
-        m.txn, m.statsColumn, m.schema.fieldNames.length)
+        m.txn.map(_._1), m.txn.map(_._2), m.statsColumn,
+        m.schema.fieldNames.length)
     }.toDF("version", "committed_at", "n_files", "bytes", "is_rewrite",
-      "txn", "stats_column", "n_columns")
+      "txn_app", "txn", "stats_column", "n_columns")
   }
 
   /** Version visible at `ts` — the newest manifest published at or
@@ -253,15 +254,19 @@ final class SnapshotStore(root: String) {
     publishEntries(staged, m.schema, m.statsColumn, m.txn, rewrite = true)
   }
 
-  /** Highest streaming batch id committed into this table — the newest
-    * version carrying a `#txn` marker wins (versions are serial, so a
-    * later manifest is a later commit). O(versions-scanned-back) driver
-    * text reads; in steady state the latest manifest has it.
+  /** Highest streaming batch id committed into this table by `appId` —
+    * the newest version carrying that app's `#txn` marker wins
+    * (versions are serial, so a later manifest is a later commit).
+    * Scoping by app is what lets TWO independent streams feed one table
+    * without colliding idempotence ledgers (each query names its own
+    * `txnAppId`, the Delta transaction-identifier idea).
+    * O(versions-scanned-back) driver text reads; in steady state each
+    * app's marker is near the tail.
     */
-  def lastTxn: Option[Long] =
+  def lastTxn(appId: String = "default"): Option[Long] =
     versions.reverseIterator
       .map(v => readFullManifest(v).txn)
-      .collectFirst { case Some(id) => id }
+      .collectFirst { case Some((app, id)) if app == appId => id }
 
   /** Name-based top-level schema merge for evolving appends: table
     * column order is preserved, genuinely new incoming columns go last
@@ -444,6 +449,19 @@ final class SnapshotStore(root: String) {
     require(Set("fail", "emitNew", "skip").contains(onOverwrite),
       s"SnapshotStore.readInserts: unknown onOverwrite '$onOverwrite'")
     val have = versions.toSet
+    // A vacuumed version inside the requested range MUST fail loudly:
+    // silently skipping it loses data, and treating its successor's
+    // missing predecessor as "append of everything" would re-deliver a
+    // full snapshot mid-stream. The recovery recipe is explicit — a
+    // fresh/repositioned stream starts at startingVersion = earliest-1,
+    // which legitimately emits the earliest surviving version as its
+    // initial snapshot (its predecessor predates the table's history).
+    val missing = ((fromVersion + 1) to toVersion).filterNot(have.contains)
+    require(missing.isEmpty,
+      s"SnapshotStore.readInserts: versions ${missing.mkString(",")} in " +
+        s"($fromVersion, $toVersion] were vacuumed; restart the stream with " +
+        s"startingVersion=${versions.headOption.map(_ - 1).getOrElse(-1L)} " +
+        "(earliest surviving version becomes the initial snapshot)")
     val segments = ((fromVersion + 1) to toVersion).filter(have.contains).flatMap { v =>
       val m = readFullManifest(v)
       val prevPaths: Set[String] =
@@ -579,12 +597,12 @@ final class SnapshotStore(root: String) {
     * ATOMIC_MOVE. package-private for the crash-emulation spec.
     */
   private[etl] def publishEntries(entries: Seq[FileEntry], schema: StructType,
-      statsColumn: Option[String], txn: Option[Long] = None,
+      statsColumn: Option[String], txn: Option[(String, Long)] = None,
       rewrite: Boolean = false): Long = {
     Files.createDirectories(manifestDir)
     val v = latestVersion.map(_ + 1L).getOrElse(0L)
     val statsLine = statsColumn.map(c => s"#stats\t$c").toSeq ++
-      txn.map(id => s"#txn\t$id").toSeq ++
+      txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil)
     val fileLines = entries.map {
       case FileEntry(p, Some(mn), Some(mx)) => s"$p\t$mn\t$mx"
@@ -615,7 +633,7 @@ final class SnapshotStore(root: String) {
     * change feeds skip it.
     */
   private[graft] final case class Manifest(schema: StructType,
-      statsColumn: Option[String], txn: Option[Long], rewrite: Boolean,
+      statsColumn: Option[String], txn: Option[(String, Long)], rewrite: Boolean,
       entries: Seq[FileEntry])
 
   private[graft] def readFullManifest(v: Long): Manifest = {
@@ -632,7 +650,13 @@ final class SnapshotStore(root: String) {
     val statsCol = headerLines.find(_.startsWith("#stats\t"))
       .map(_.stripPrefix("#stats\t"))
     val txn = headerLines.find(_.startsWith("#txn\t"))
-      .map(_.stripPrefix("#txn\t").toLong)
+      .flatMap { line =>
+        line.stripPrefix("#txn\t").split("\t", -1) match {
+          case Array(app, id) => Some((app, id.toLong))
+          case Array(id) => Some(("default", id.toLong)) // legacy 1-field line
+          case _ => None
+        }
+      }
     val rewrite = headerLines.contains("#rewrite")
     val entries = rest.dropWhile(_.startsWith("#")).map { line =>
       line.split("\t", -1) match {

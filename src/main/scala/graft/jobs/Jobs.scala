@@ -263,10 +263,36 @@ object IngestJob {
   * so the job needs no table statistics.
   *
   *   --src DIR --dest DIR [--target-mb 128] [--format parquet|orc|csv|json]
+  *
+  * `--snapshot on` compacts a snapshot-store table IN PLACE instead:
+  * the rewrite publishes as a `#rewrite` (dataChange=false) version —
+  * readers, change feeds and streams are undisturbed — and
+  * `--vacuum-keep N` optionally reclaims pre-compaction versions
+  * afterwards (the maintenance pairing: compact, then drop the layouts
+  * nobody should read anymore).
+  *
+  *   --src STORE_ROOT --snapshot on [--target-mb 128]
+  *     [--cluster-by COL] [--vacuum-keep N]
   */
 object CompactJob {
   def run(spark: SparkSession, conf: Map[String, String]): (Long, Int) = {
     val src = conf("src")
+    val targetBytes0 = conf.getOrElse("target-mb", "128").toLong * 1024L * 1024L
+    if (conf.get("snapshot").contains("on")) {
+      val store = new graft.etl.SnapshotStore(src)
+      val (_, _, entries) = store.manifestAt()
+      val bytes = entries.map { case (p, _, _) =>
+        val f = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L
+      }.sum
+      val parts = math.max(1L, (bytes + targetBytes0 - 1) / targetBytes0).toInt
+      val v = store.compactLatest(spark, parts, conf.get("cluster-by"))
+      conf.get("vacuum-keep").map(_.toInt).foreach(store.vacuum)
+      val rows = store.read(spark).count()
+      println(s"""{"job":"compact","snapshot":true,"src_bytes":$bytes,""" +
+        s""""out_files":$parts,"version":$v,"rows":$rows}""")
+      return (rows, parts)
+    }
     val dest = conf("dest")
     val fmt = JobArgs.checkFormat(conf.getOrElse("format", "parquet"))
     val targetBytes = conf.getOrElse("target-mb", "128").toLong * 1024L * 1024L

@@ -141,7 +141,8 @@ final class SnapshotSourceProvider extends StreamSourceProvider
       s"graft-snapshot sink: unsupported output mode $outputMode (Append|Complete)")
     new SnapshotStreamSink(storeFor(parameters), outputMode,
       parameters.get("statsColumn"),
-      parameters.get("mergeSchema").exists(_.toBoolean))
+      parameters.get("mergeSchema").exists(_.toBoolean),
+      parameters.getOrElse("txnAppId", "default"))
   }
 
   override def sourceSchema(
@@ -169,15 +170,18 @@ final class SnapshotStreamSink(
     store: SnapshotStore,
     outputMode: OutputMode,
     statsColumn: Option[String],
-    mergeSchema: Boolean) extends Sink {
+    mergeSchema: Boolean,
+    txnAppId: String = "default") extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    if (store.lastTxn.exists(_ >= batchId)) return // checkpoint replay: already committed
+    // checkpoint replay of a batch THIS app already committed: no-op
+    if (store.lastTxn(txnAppId).exists(_ >= batchId)) return
     val batch = GraftStreamBridge.asBatchFrame(data)
     if (outputMode == OutputMode.Complete())
-      store.commitOverwrite(batch, statsColumn, txn = Some(batchId))
+      store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)))
     else
-      store.commitAppend(batch, statsColumn, mergeSchema, txn = Some(batchId))
+      store.commitAppend(batch, statsColumn, mergeSchema,
+        txn = Some((txnAppId, batchId)))
   }
 
   override def toString: String = s"SnapshotStreamSink[$store, $outputMode]"

@@ -170,6 +170,33 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq((1L, "payload_1"), (2L, "payload_2"), (3L, "payload_3")))
   }
 
+  test("CompactJob --snapshot: in-place rewrite version + vacuum, readers and feed undisturbed") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new graft.etl.SnapshotStore(root)
+    // micro-batch accretion: 6 appends, one small file each
+    (0 until 6).foreach { r =>
+      store.commitAppend(
+        (1L to 3000L).filter(_ % 6 == r).map(i => (i, s"p$i")).toDF("id", "p")
+          .coalesce(1),
+        statsColumn = Some("id"))
+    }
+    assert(store.read(spark).inputFiles.length == 6)
+    val feedBefore = store.readChanges(spark, -1L).count()
+    val (rows, parts) = CompactJob.run(spark, Map(
+      "src" -> root, "snapshot" -> "on", "target-mb" -> "1024",
+      "vacuum-keep" -> "1"))
+    assert(rows == 3000L && parts == 1)
+    assert(store.read(spark).inputFiles.length == 1)
+    // vacuum kept only the compacted version; it holds ALL the rows
+    assert(store.versions.length == 1)
+    assert(store.read(spark).count() == 3000L)
+    // the rewrite version is flagged: a post-vacuum feed over the single
+    // surviving version emits nothing (dataChange=false)
+    assert(feedBefore == 3000L)
+    assert(store.readChanges(spark, store.versions.head - 1).isEmpty)
+  }
+
   test("CurateJob: full pipeline runs end-to-end, counts monotone, batches split-fenced") {
     val dest = tmp()
     val conf = Map(

@@ -229,7 +229,7 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       input.addData((3L, "b")); q.processAllAvailable()
     } finally q.stop()
     assert(store.versions.length == 2 && store.read(spark).count() == 3L)
-    assert(store.lastTxn.contains(1L))
+    assert(store.lastTxn().contains(1L))
     // engine-style replay of an already-committed batch id: NO new version
     val sink = new SnapshotStreamSink(store,
       org.apache.spark.sql.streaming.OutputMode.Append(), None, false)
@@ -276,9 +276,56 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.streaming.OutputMode.Append(), None, false)
     sink.addBatch(0L, frame(1 to 2, "b0"))
     sstore.compactLatest(spark, targetFiles = 1)
-    assert(sstore.lastTxn.contains(0L))
+    assert(sstore.lastTxn().contains(0L))
     sink.addBatch(0L, frame(50 to 59, "dup")) // replay after compaction: still a no-op
     assert(sstore.read(spark).count() == 2L)
+  }
+
+  test("a vacuumed version inside the stream's range fails loudly with the recovery recipe") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 2, "v0"))
+    drain(root, out, cp) // checkpointed at v0
+    store.commitAppend(frame(3 to 3, "v1"))
+    store.commitAppend(frame(4 to 4, "v2"))
+    store.vacuum(keepLast = 1) // v0, v1 gone; stream is positioned at v0
+    val e = intercept[StreamingQueryException] { drain(root, out, cp) }
+    assert(e.getCause.getMessage.contains("were vacuumed"))
+    assert(e.getCause.getMessage.contains("startingVersion=1"),
+      e.getCause.getMessage) // earliest surviving is v2 -> recipe says 1
+    // and the recipe works: a FRESH stream from startingVersion=1 gets
+    // the earliest surviving version as its initial snapshot
+    val out2 = tmp(); val cp2 = tmp()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("startingVersion", "1").load()
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", cp2)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out2).count() == 4L) // full v2 snapshot
+  }
+
+  test("two sinks with distinct txnAppIds keep independent idempotence ledgers") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    val a = new SnapshotStreamSink(store,
+      org.apache.spark.sql.streaming.OutputMode.Append(), None, false, "appA")
+    val b = new SnapshotStreamSink(store,
+      org.apache.spark.sql.streaming.OutputMode.Append(), None, false, "appB")
+    a.addBatch(0L, frame(1 to 2, "a0"))
+    // B's batch 0 must NOT be skipped by A's marker
+    b.addBatch(0L, frame(10 to 10, "b0"))
+    assert(store.read(spark).count() == 3L)
+    // replays stay per-app no-ops
+    a.addBatch(0L, frame(90 to 99, "dupA"))
+    b.addBatch(0L, frame(90 to 99, "dupB"))
+    assert(store.read(spark).count() == 3L)
+    assert(store.lastTxn("appA").contains(0L) && store.lastTxn("appB").contains(0L))
+    // interleaved progress: A@1 then B@1, both land, both ledgers advance
+    a.addBatch(1L, frame(3 to 3, "a1"))
+    b.addBatch(1L, frame(11 to 11, "b1"))
+    assert(store.read(spark).count() == 5L)
+    assert(store.lastTxn("appA").contains(1L) && store.lastTxn("appB").contains(1L))
   }
 
   test("SQL surface: CREATE TABLE ... USING graft-snapshot reads through the catalog") {
