@@ -37,14 +37,24 @@ import scala.jdk.CollectionConverters._
   *     only ADD files + a new manifest. Time travel (`asOfVersion`) is
   *     the same mechanism pointed backwards.
   *
-  * Concurrency contract: many readers, ONE writer (the reference's ETL
-  * is a single nightly job per table — sync.py drives tables
-  * sequentially). Two racing writers would contend on the same next
-  * version name; the loser's `ATOMIC_MOVE` onto an existing target
-  * either throws or last-writer-wins by filesystem — serializing
-  * writers is the caller's job, as it is for the reference. Optimistic
-  * multi-writer CAS is exactly the part of Delta this layer does not
-  * re-implement.
+  * Concurrency contract: many readers, OPTIMISTIC writers. Publication
+  * is a compare-and-swap on the version number: the manifest body is
+  * written to a dot-temp file, fsynced, then `link(2)`-ed onto
+  * `v%012d.manifest` — `Files.createLink` fails atomically with
+  * `FileAlreadyExistsException` when the target exists (the one POSIX
+  * primitive that is create-if-absent ATOMIC, unlike `rename(2)` which
+  * silently replaces). So two racing writers NEVER silently lose a
+  * commit: exactly one wins the version, the loser sees
+  * [[SnapshotStore.ConcurrentCommitException]]. Appends then
+  * rebase-retry automatically (appends commute — re-read the new
+  * latest, re-list its files, publish the next version; the staged
+  * data files are version-independent), while overwrites, truncates
+  * and compactions surface the conflict loudly — replacing a table
+  * someone just changed is a decision, not a retry. This is the
+  * optimistic-concurrency half of Delta's commit protocol, sized to
+  * what the engine's own compositions need: a streaming sink appending
+  * while `CompactJob --snapshot` rewrites layout is exactly a racing
+  * writer pair.
   *
   * Scale posture: a manifest is O(files), not O(rows) — at 100 TB with
   * ~1 GB files that is ~10^5 lines of metadata per version, read once
@@ -59,10 +69,19 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   graft-snapshot-v1
   *   <StructType.json on one line>
-  *   #stats<TAB><column>                    (optional)
+  *   #ts<TAB><commit epoch millis>          (optional header lines...)
+  *   #stats<TAB><column>
+  *   #txn<TAB><app><TAB><batchId>
+  *   #rewrite
   *   <relative/path/to/file1.parquet>[<TAB>min<TAB>max]
   *   ...
   * }}}
+  *
+  * The `#ts` header is the commit instant embedded IN the log entry —
+  * what Delta does for timestamp time travel — so a filesystem
+  * copy/restore of the store (which rewrites mtimes) never shifts
+  * `timestampAsOf` resolution; [[history]]/[[versionAt]] fall back to
+  * manifest mtime only for pre-`#ts` manifests.
   *
   * File statistics — the data-skipping half of the log-structured-table
   * idea: a commit may designate one integer-typed `statsColumn`
@@ -167,23 +186,71 @@ final class SnapshotStore(root: String) {
     */
   def commitAppend(df: DataFrame, statsColumn: Option[String] = None,
       mergeSchema: Boolean = false, txn: Option[(String, Long)] = None): Long = {
-    latestVersion match {
-      case None => commitOverwrite(df, statsColumn, txn)
-      case Some(v) =>
-        val (schema, oldStats, oldFiles) = readManifest(v)
-        val published =
-          if (mergeSchema) mergeSchemas(schema, df.schema, v)
-          else {
-            require(DataType.equalsIgnoreNullability(schema, df.schema),
-              s"SnapshotStore.commitAppend: schema mismatch vs version $v — " +
-                s"table has ${schema.simpleString}, incoming ${df.schema.simpleString} " +
-                s"(pass mergeSchema = true to evolve)")
-            schema
-          }
-        val effective = statsColumn.orElse(oldStats)
-        val staged = stageEntries(df, effective)
-        publishEntries(oldFiles ++ staged, published, effective, txn)
+    // Stats AUTHORITY: the table's stats column is a table property.
+    // Old manifest entries' min/max were computed for the OLD column —
+    // relabeling them under a new `#stats` name would make readRange /
+    // SnapshotFileIndex prune with wrong ranges and silently drop rows.
+    // A conflicting request fails loudly; introducing stats on a table
+    // that has none is safe (old entries carry no min/max and are
+    // conservatively never pruned).
+    def effectiveStats(oldStats: Option[String]): Option[String] = oldStats match {
+      case Some(tableCol) =>
+        require(statsColumn.forall(_ == tableCol),
+          s"SnapshotStore.commitAppend: stats column is a table property — " +
+            s"table collects '$tableCol', commit requested '${statsColumn.get}'; " +
+            "change it via commitOverwrite(statsColumn=...) or " +
+            "compactLatest(clusterBy=...)")
+        Some(tableCol)
+      case None => statsColumn
     }
+    // Appends COMMUTE, so a lost CAS race rebases: re-read the new
+    // latest, re-validate the schema against it, re-list its files, and
+    // publish the next version. The staged data files are immutable and
+    // version-independent — staging happens ONCE, only the manifest
+    // composition retries. Bounded attempts: a pathological storm of
+    // writers should surface, not spin.
+    var staged: Option[(Seq[FileEntry], Option[String])] = None
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val (published, effective, oldFiles, expected) = latestVersion match {
+          case None => (df.schema, statsColumn, Seq.empty[FileEntry], 0L)
+          case Some(v) =>
+            val (schema, oldStats, old) = readManifest(v)
+            val pub =
+              if (mergeSchema) mergeSchemas(schema, df.schema, v)
+              else {
+                require(DataType.equalsIgnoreNullability(schema, df.schema),
+                  s"SnapshotStore.commitAppend: schema mismatch vs version $v — " +
+                    s"table has ${schema.simpleString}, incoming ${df.schema.simpleString} " +
+                    s"(pass mergeSchema = true to evolve)")
+                schema
+              }
+            (pub, effectiveStats(oldStats), old, v + 1L)
+        }
+        val entries = staged match {
+          case Some((files, col)) if col == effective => files
+          case Some((files, _)) =>
+            // A rebase changed the effective stats column (a racer
+            // introduced one): our recorded min/max are for the
+            // wrong column — strip them, conservative by design.
+            files.map(_.copy(min = None, max = None))
+          case None =>
+            val e = stageEntries(df, effective)
+            staged = Some((e, effective))
+            e
+        }
+        return publishEntries(oldFiles ++ entries, published, effective, txn,
+          expectedVersion = Some(expected))
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= 8) throw new ConcurrentCommitException(
+            s"SnapshotStore.commitAppend: lost the commit race $attempt times " +
+              s"at $root — giving up (${e.getMessage})")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit history as a DataFrame — the ops surface over the manifest
@@ -196,8 +263,8 @@ final class SnapshotStore(root: String) {
     import spark.implicits._
     versions.map { v =>
       val m = readFullManifest(v)
-      val committedAt = new java.sql.Timestamp(
-        Files.getLastModifiedTime(manifestPath(v)).toMillis)
+      val committedAt = new java.sql.Timestamp(m.ts.getOrElse(
+        Files.getLastModifiedTime(manifestPath(v)).toMillis))
       val bytes = m.entries.map { e =>
         val p = rootPath.resolve(e.path)
         if (Files.isRegularFile(p)) Files.size(p) else 0L
@@ -214,8 +281,7 @@ final class SnapshotStore(root: String) {
     * the table didn't exist yet at `ts`.
     */
   def versionAt(ts: java.time.Instant): Long = {
-    val at = versions.reverse.find(v =>
-      !Files.getLastModifiedTime(manifestPath(v)).toInstant.isAfter(ts))
+    val at = versions.reverse.find(v => commitMillis(v) <= ts.toEpochMilli)
     at.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.versionAt: no version committed at or before $ts " +
         s"at $root (earliest: ${versions.headOption.getOrElse("none")})"))
@@ -251,7 +317,174 @@ final class SnapshotStore(root: String) {
       case None => df.repartition(targetFiles)
     }
     val staged = stageEntries(laid, m.statsColumn)
-    publishEntries(staged, m.schema, m.statsColumn, m.txn, rewrite = true)
+    // Pinned to the version whose rows were rewritten: if ANY commit
+    // landed while the compaction ran, publishing the rewrite would
+    // silently drop it under a dataChange=false flag — the CAS makes
+    // that race a loud failure instead (re-run the compaction).
+    publishEntries(staged, m.schema, m.statsColumn, m.txn, rewrite = true,
+      expectedVersion = Some(v + 1L))
+  }
+
+  /** Copy-on-write MERGE (upsert) into the latest version — the
+    * composition that makes the warehouse-merge path O(changed files)
+    * instead of O(table): candidate files are pruned by their manifest
+    * stats range against the delta's OWN key range (one tiny agg over
+    * the delta), ONLY those files are rewritten through
+    * [[Merge.upsert]], and the published manifest is untouched files +
+    * rewritten files. Untouched files keep their path identity, so the
+    * change feed emits only the touched files' rows (file-set diff) and
+    * readers of older versions are unaffected.
+    *
+    * Pruning soundness: when the table's stats column is one of `keys`,
+    * a file whose [min,max] cannot intersect the delta's [min,max] on
+    * that column contains no row matching ANY delta key — skipping it
+    * loses nothing. Files without stats, and every file when the stats
+    * column is not a key (or the table has none), are conservatively
+    * rewritten — correct, just the honest O(table) cost the manifest
+    * stats exist to avoid.
+    *
+    * Publication is CAS-pinned to the version the rewrite read: a
+    * commit racing in between fails this merge LOUDLY (the touched-file
+    * set is stale; blind rebase could resurrect rows a racer changed) —
+    * re-run the merge against the new state.
+    */
+  def mergeInto(spark: SparkSession, delta: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "SnapshotStore.mergeInto: no key columns")
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.mergeInto: no committed versions at $root"))
+    val m = readFullManifest(v)
+    require(DataType.equalsIgnoreNullability(m.schema, delta.schema),
+      s"SnapshotStore.mergeInto: delta schema ${delta.schema.simpleString} " +
+        s"must match table schema ${m.schema.simpleString}")
+    val pruneCol = m.statsColumn.filter(keys.contains)
+    val (touched, untouched) = pruneCol match {
+      case Some(c) =>
+        val r = delta.agg(
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c))).head()
+        if (r.isNullAt(0)) (Seq.empty[FileEntry], m.entries) // empty delta
+        else {
+          val (lo, hi) = (toStatsLong(r.get(0)), toStatsLong(r.get(1)))
+          m.entries.partition(e => (e.min, e.max) match {
+            case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+            case _ => true // no stats -> conservatively rewritten
+          })
+        }
+      case None => (m.entries, Seq.empty[FileEntry])
+    }
+    val merged = Merge.upsert(scan(spark, m.schema, touched), delta, keys)
+    val staged = stageEntries(merged, m.statsColumn)
+    publishEntries(untouched ++ staged, m.schema, m.statsColumn,
+      expectedVersion = Some(v + 1L))
+  }
+
+  /** Copy-on-write DELETE of the rows where `predicate` is TRUE (NULL
+    * keeps the row — SQL DELETE semantics). Candidate files are pruned
+    * at the manifest by folding the predicate's conjuncts over the
+    * stats column into one [lo, hi] interval (same fold the format's
+    * FileIndex applies at planning time); files that cannot contain a
+    * matching row keep their path identity, only intersecting files are
+    * rewritten with the predicate's complement. CAS-pinned like
+    * [[mergeInto]].
+    */
+  def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.deleteWhere: no committed versions at $root"))
+    val m = readFullManifest(v)
+    val (touched, untouched) = m.statsColumn match {
+      case Some(c) =>
+        // Resolve the user's Column against the table schema (a no-data
+        // analysis pass), then fold the RESOLVED conjuncts — the
+        // Column-API tree itself is unresolved ColumnNodes, not
+        // catalyst expressions.
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], m.schema).filter(predicate)
+        val conds = probe.queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+        val (lo, hi) = predicateBounds(c, conds)
+        m.entries.partition(e => (e.min, e.max) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true
+        })
+      case None => (m.entries, Seq.empty[FileEntry])
+    }
+    val kept = scan(spark, m.schema, touched)
+      .filter(not(coalesce(predicate, lit(false))))
+    val staged = stageEntries(kept, m.statsColumn)
+    publishEntries(untouched ++ staged, m.schema, m.statsColumn,
+      expectedVersion = Some(v + 1L))
+  }
+
+  /** Fold resolved predicate conjuncts that constrain `column` into one
+    * closed [lo, hi] interval — the delete-side twin of the format
+    * FileIndex's planning-time fold. Foldable operands (literals,
+    * coercion casts of literals) evaluate to their internal int/long
+    * encoding — the same encoding the parquet footers recorded (days
+    * for dates, micros for timestamps). Anything unrecognized
+    * (disjunctions, other columns, non-foldable operands) widens
+    * conservatively toward (-inf, +inf): pruning may miss, it never
+    * lies.
+    */
+  private def predicateBounds(column: String,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def lit(e: Expression): Option[Long] =
+      if (!e.foldable) None
+      else e.eval(null) match {
+        case x: Long => Some(x)
+        case x: Int => Some(x.toLong)
+        case x: Short => Some(x.toLong)
+        case x: Byte => Some(x.toLong)
+        case _ => None
+      }
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case _ => false
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, x) if isCol(a) => lit(x).foreach { y => lo = lo max y; hi = hi min y }
+      case EqualTo(x, a) if isCol(a) => lit(x).foreach { y => lo = lo max y; hi = hi min y }
+      case GreaterThan(a, x) if isCol(a) => lit(x).foreach(y => lo = lo max (y + 1))
+      case GreaterThanOrEqual(a, x) if isCol(a) => lit(x).foreach(y => lo = lo max y)
+      case LessThan(a, x) if isCol(a) => lit(x).foreach(y => hi = hi min (y - 1))
+      case LessThanOrEqual(a, x) if isCol(a) => lit(x).foreach(y => hi = hi min y)
+      case GreaterThan(x, a) if isCol(a) => lit(x).foreach(y => hi = hi min (y - 1))
+      case GreaterThanOrEqual(x, a) if isCol(a) => lit(x).foreach(y => hi = hi min y)
+      case LessThan(x, a) if isCol(a) => lit(x).foreach(y => lo = lo max (y + 1))
+      case LessThanOrEqual(x, a) if isCol(a) => lit(x).foreach(y => lo = lo max y)
+      case In(a, vs) if isCol(a) && vs.nonEmpty =>
+        val xs = vs.flatMap(lit)
+        if (xs.length == vs.length) { lo = lo max xs.min; hi = hi min xs.max }
+      case _ => () // unrecognized: no pruning from it
+    }
+    preds.foreach(walk)
+    (lo, hi)
+  }
+
+  /** Stats-column values as the manifest's long encoding (date → days,
+    * timestamp → micros — the same physical encoding the parquet
+    * footers recorded).
+    */
+  private def toStatsLong(v: Any): Long = v match {
+    case x: Long => x
+    case x: Int => x.toLong
+    case x: Short => x.toLong
+    case x: Byte => x.toLong
+    case x: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x).toLong
+    case x: java.time.LocalDate =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(x).toLong
+    case x: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x)
+    case x: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x)
+    case other => throw new IllegalArgumentException(
+      s"SnapshotStore: stats column value $other is not an integer-encodable type")
   }
 
   /** Highest streaming batch id committed into this table by `appId` —
@@ -344,14 +577,23 @@ final class SnapshotStore(root: String) {
     * commit changed, tagged `_change_type` ('insert' | 'delete') and
     * `_commit_version`.
     *
+    * The feed is a FILE-SET DIFF between consecutive manifests — sound
+    * because data files are immutable and write-once, so a commit's
+    * changed rows are exactly its removed files' rows (deletes) plus
+    * its added files' rows (inserts):
+    *
     *   - An APPEND commit (v's file list contains all of v−1's) emits
     *     only the added files' rows as inserts — O(increment), never a
     *     rescan of the table. This is the hot path: at 100 TB a nightly
     *     append feed reads one day's files, not the table.
-    *   - An OVERWRITE or TRUNCATE emits v−1's rows as deletes plus v's
-    *     rows as inserts — O(two snapshots), the honest cost of a full
-    *     replace (a consumer that only wants the new state should read
-    *     the version directly instead).
+    *   - A copy-on-write MERGE/DELETE ([[mergeInto]]/[[deleteWhere]])
+    *     emits only the TOUCHED files' rows — deletes of the rewritten
+    *     files' old rows, inserts of their replacements; files both
+    *     manifests share never enter the feed. O(changed files).
+    *   - An OVERWRITE or TRUNCATE shares no files: v−1's rows as
+    *     deletes plus v's rows as inserts — O(two snapshots), the
+    *     honest cost of a full replace (a consumer that only wants the
+    *     new state should read the version directly instead).
     *
     * Works across schema evolution: each version's rows are read with
     * its own manifest schema, then unioned by name with null padding.
@@ -369,31 +611,46 @@ final class SnapshotStore(root: String) {
     val have = versions.toSet
     require(fromVersion >= -1L && fromVersion <= to,
       s"SnapshotStore.readChanges: bad range ($fromVersion, $to]")
-    val wanted = ((fromVersion + 1) to to).filter(have.contains)
-    require(wanted.nonEmpty || fromVersion == to,
-      s"SnapshotStore.readChanges: no versions in ($fromVersion, $to] " +
-        s"(vacuumed? have: ${versions.mkString(",")})")
-    val segments: Seq[DataFrame] = wanted.flatMap { v =>
+    // A vacuumed version inside the range fails LOUDLY (mirroring
+    // readInserts): silently skipping it loses changes, and treating
+    // its successor's missing predecessor as "insert of everything"
+    // would re-deliver a full snapshot mid-feed. Repositioning to
+    // earliest-1 is the explicit recovery — there the earliest
+    // surviving version legitimately becomes the initial snapshot.
+    val missing = ((fromVersion + 1) to to).filterNot(have.contains)
+    require(missing.isEmpty,
+      s"SnapshotStore.readChanges: versions ${missing.mkString(",")} in " +
+        s"($fromVersion, $to] were vacuumed; reposition the cursor to " +
+        s"${versions.headOption.map(_ - 1).getOrElse(-1L)} " +
+        "(earliest surviving version becomes the initial snapshot)")
+    val segments: Seq[DataFrame] = ((fromVersion + 1) to to).flatMap { v =>
       val m = readFullManifest(v)
       if (m.rewrite) Nil // dataChange=false: same rows, new layout
       else {
         val prev: Option[(StructType, Seq[FileEntry])] =
-          if (v == 0L || !have.contains(v - 1)) None
+          if (!have.contains(v - 1)) None
           else { val p = readFullManifest(v - 1); Some((p.schema, p.entries)) }
         val prevPaths = prev.map(_._2.map(_.path).toSet).getOrElse(Set.empty)
-        val isAppend = prevPaths.subsetOf(m.entries.map(_.path).toSet)
+        val curPaths = m.entries.map(_.path).toSet
         def tag(df: DataFrame, tp: String) = df
           .withColumn("_change_type", lit(tp))
           .withColumn("_commit_version", lit(v))
-        if (isAppend) {
-          val added = m.entries.filterNot(e => prevPaths.contains(e.path))
-          if (added.isEmpty) Nil else Seq(tag(scan(spark, m.schema, added), "insert"))
-        } else {
-          val deletes = prev.toSeq.map { case (ps, pe) => tag(scan(spark, ps, pe), "delete") }
-          val inserts = if (m.entries.isEmpty) Nil
-                        else Seq(tag(scan(spark, m.schema, m.entries), "insert"))
-          deletes ++ inserts
+        // FILE-SET DIFF: data files are immutable and write-once, so
+        // the rows a commit changed are exactly the rows of the files
+        // it removed (deletes) plus the files it added (inserts). An
+        // append removes nothing — O(increment) inserts. A full
+        // overwrite shares no files — delete(old snapshot) +
+        // insert(new snapshot). A copy-on-write MERGE/DELETE sits in
+        // between: only the TOUCHED files' rows enter the feed, the
+        // untouched ones (same path in both manifests) never do.
+        val removed = prev.toSeq.flatMap { case (ps, pe) =>
+          val gone = pe.filterNot(e => curPaths.contains(e.path))
+          if (gone.isEmpty) Nil else Seq(tag(scan(spark, ps, gone), "delete"))
         }
+        val added = m.entries.filterNot(e => prevPaths.contains(e.path))
+        val inserts =
+          if (added.isEmpty) Nil else Seq(tag(scan(spark, m.schema, added), "insert"))
+        removed ++ inserts
       }
     }
     segments match {
@@ -439,8 +696,10 @@ final class SnapshotStore(root: String) {
     * (overwrite/truncate rewrote history) is governed by `onOverwrite`:
     *   - "fail" (default): refuse loudly — a downstream that assumed
     *     append-only must not silently miss a table rewrite;
-    *   - "emitNew": re-emit the replacing snapshot's rows (downstream
-    *     dedups or upserts — the ignore-deletes posture);
+    *   - "emitNew": emit the commit's ADDED files' rows (downstream
+    *     dedups or upserts — the ignore-deletes posture). For a full
+    *     overwrite that is the replacing snapshot; for a copy-on-write
+    *     MERGE it is just the rewritten files — O(changed files);
     *   - "skip": emit nothing for that commit (consumer only wants
     *     genuine appends).
     */
@@ -476,7 +735,9 @@ final class SnapshotStore(root: String) {
           s"SnapshotStore.readInserts: version $v is not an append " +
             s"(overwrite/truncate rewrote the table); restart the stream " +
             s"from the new state or set onOverwrite=emitNew|skip")
-        case "emitNew" => if (m.entries.isEmpty) Nil else Seq(scan(spark, pinned, m.entries))
+        case "emitNew" =>
+          val added = m.entries.filterNot(e => prevPaths.contains(e.path))
+          if (added.isEmpty) Nil else Seq(scan(spark, pinned, added))
         case "skip" => Nil
       }
     }
@@ -593,15 +854,26 @@ final class SnapshotStore(root: String) {
   private[etl] def publish(files: Seq[String], schema: StructType): Long =
     publishEntries(files.map(FileEntry(_, None, None)), schema, None)
 
-  /** Atomically publish the next version: dot-temp write, fsync, one
-    * ATOMIC_MOVE. package-private for the crash-emulation spec.
+  /** Atomically publish ONE version via compare-and-swap: dot-temp
+    * write, fsync, then `Files.createLink` onto the version name —
+    * `link(2)` is atomic create-if-absent, so exactly one of any number
+    * of racing writers wins the version and every loser gets a loud
+    * [[ConcurrentCommitException]] (never the silent last-writer-wins a
+    * POSIX `rename(2)` would give). `expectedVersion` pins the version
+    * the caller composed its file list against — when another commit
+    * landed in between, the composition is stale and must be rebuilt
+    * (appends rebase in [[commitAppend]]; overwrites/compactions
+    * propagate the failure). A crash between link and tmp-delete
+    * strands a dot-temp file — ignored by readers, reclaimed by
+    * [[vacuum]]. package-private for the crash-emulation spec.
     */
   private[etl] def publishEntries(entries: Seq[FileEntry], schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)] = None,
-      rewrite: Boolean = false): Long = {
+      rewrite: Boolean = false, expectedVersion: Option[Long] = None): Long = {
     Files.createDirectories(manifestDir)
-    val v = latestVersion.map(_ + 1L).getOrElse(0L)
-    val statsLine = statsColumn.map(c => s"#stats\t$c").toSeq ++
+    val v = expectedVersion.getOrElse(latestVersion.map(_ + 1L).getOrElse(0L))
+    val statsLine = Seq(s"#ts\t${System.currentTimeMillis()}") ++
+      statsColumn.map(c => s"#stats\t$c").toSeq ++
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil)
     val fileLines = entries.map {
@@ -617,7 +889,17 @@ final class SnapshotStore(root: String) {
       ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
       ch.force(true)
     } finally ch.close()
-    Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(v), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"SnapshotStore: version $v was committed by a concurrent writer at " +
+            s"$root — this commit composed against a stale snapshot " +
+            "(appends rebase automatically; overwrites/compactions must be " +
+            "re-decided against the new table state)")
+    }
+    Files.deleteIfExists(tmp)
     v
   }
 
@@ -634,7 +916,7 @@ final class SnapshotStore(root: String) {
     */
   private[graft] final case class Manifest(schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)], rewrite: Boolean,
-      entries: Seq[FileEntry])
+      entries: Seq[FileEntry], ts: Option[Long] = None)
 
   private[graft] def readFullManifest(v: Long): Manifest = {
     val p = manifestPath(v)
@@ -658,6 +940,8 @@ final class SnapshotStore(root: String) {
         }
       }
     val rewrite = headerLines.contains("#rewrite")
+    val ts = headerLines.find(_.startsWith("#ts\t"))
+      .map(_.stripPrefix("#ts\t").toLong)
     val entries = rest.dropWhile(_.startsWith("#")).map { line =>
       line.split("\t", -1) match {
         case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
@@ -666,9 +950,26 @@ final class SnapshotStore(root: String) {
           s"SnapshotStore: malformed manifest line '${line.take(120)}'")
       }
     }
-    Manifest(schema, statsCol, txn, rewrite, entries)
+    Manifest(schema, statsCol, txn, rewrite, entries, ts)
   }
+
+  /** Commit instant of version `v`: the `#ts` embedded in the manifest
+    * (survives filesystem copy/restore), mtime fallback for manifests
+    * published before the header existed.
+    */
+  private def commitMillis(v: Long): Long =
+    readFullManifest(v).ts.getOrElse(
+      Files.getLastModifiedTime(manifestPath(v)).toMillis)
 }
+
+/** A commit lost the version CAS: another writer published the version
+  * this commit composed against. Appends rebase-retry automatically in
+  * [[SnapshotStore.commitAppend]]; overwrites, compactions and
+  * copy-on-write merges surface it — their composition is stale and
+  * must be re-decided against the new table state.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
 
 object SnapshotStore {
 

@@ -351,6 +351,191 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no version committed at or before"))
   }
 
+  test("racing appenders: the CAS loser rebases and BOTH commits land — no silent lost commit") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 10, "base"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(ids: Range, tag: String) = new Thread(() => {
+      try { barrier.await(); store.commitAppend(frame(ids, tag)) }
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(appender(11 to 20, "a"), appender(21 to 35, "b"))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must both succeed: ${errs.peek()}")
+    assert(store.versions == Seq(0L, 1L, 2L), "exactly one version per append")
+    val got = store.read(spark)
+    assert(got.count() == 35L)
+    assert(got.agg(sum("id")).head().getLong(0) == (1L to 35L).sum)
+    assert(got.groupBy("tag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("base", 10L), ("a", 10L), ("b", 15L)))
+  }
+
+  test("a compaction racing an append loses LOUDLY — never silently drops the racer's rows") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 100, "v0"))
+    // emulate a compaction that resolved v0 and is mid-rewrite...
+    val m = store.readFullManifest(0L)
+    val compacted = store.stage(store.read(spark, Some(0L)).coalesce(1))
+      .map(p => store.FileEntry(p, None, None))
+    // ...while an append lands v1
+    store.commitAppend(frame(101 to 105, "racer"))
+    // the compaction's pinned publish must fail, not replace v1
+    val e = intercept[ConcurrentCommitException] {
+      store.publishEntries(compacted, m.schema, None, rewrite = true,
+        expectedVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the racer's commit is intact
+    assert(store.latestVersion.contains(1L))
+    assert(store.read(spark).count() == 105L)
+    // same loser contract for an overwrite composed against a stale version
+    val staged2 = store.stage(Seq((1L, "x", 0.0)).toDF("id", "tag", "amt"))
+      .map(p => store.FileEntry(p, None, None))
+    intercept[ConcurrentCommitException] {
+      store.publishEntries(staged2, m.schema, None, expectedVersion = Some(1L))
+    }
+    assert(store.read(spark).count() == 105L)
+  }
+
+  test("timestamp travel survives a filesystem copy/restore: #ts beats mtime") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    Thread.sleep(1100)
+    val between = java.time.Instant.now()
+    Thread.sleep(1100)
+    store.commitAppend(frame(4 to 5, "v1"))
+    // copy the WHOLE store to a new location — every file gets a fresh
+    // mtime (the failure mode: mtime-based resolution would now put
+    // both commits "at" the copy instant)
+    val copied = tmp()
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+      val dst = Paths.get(copied).resolve(Paths.get(root).relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    val restored = new SnapshotStore(copied)
+    assert(restored.versionAt(between) == 0L, "embedded #ts must drive resolution")
+    assert(restored.versionAt(java.time.Instant.now()) == 1L)
+    assert(restored.read(spark, Some(restored.versionAt(between))).count() == 3L)
+    // history's committed_at comes from #ts too: still strictly before the copy
+    val h = restored.history(spark).orderBy("version").collect()
+    assert(h.map(_.getTimestamp(1).toInstant).forall(_.isBefore(between.plusSeconds(2))))
+  }
+
+  test("append stats column is a table property: a conflicting request fails loudly") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "other").coalesce(1),
+      statsColumn = Some("id"))
+    // relabeling old entries' min/max under a different column would
+    // prune with wrong ranges and silently drop rows — refused instead
+    val e = intercept[IllegalArgumentException] {
+      store.commitAppend(Seq((200L, 7L)).toDF("id", "other").coalesce(1),
+        statsColumn = Some("other"))
+    }
+    assert(e.getMessage.contains("table property"))
+    // same column: fine; table keeps pruning correctly
+    store.commitAppend(Seq((5000L, 1L)).toDF("id", "other").coalesce(1),
+      statsColumn = Some("id"))
+    assert(store.readRange(spark, "id", 4000L, 6000L).count() == 1L)
+    // introducing stats on a stats-less table is safe (old files just never prune)
+    val store2 = new SnapshotStore(tmp())
+    store2.commitOverwrite((1L to 50L).map(i => (i, "x")).toDF("id", "v").coalesce(1))
+    store2.commitAppend(Seq((9000L, "far")).toDF("id", "v").coalesce(1),
+      statsColumn = Some("id"))
+    assert(store2.readRange(spark, "id", 1L, 100L).count() == 50L)
+  }
+
+  test("change feed refuses a vacuumed range loudly instead of re-delivering a snapshot") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 4, "v0"))
+    store.commitAppend(frame(5 to 6, "v1"))
+    store.commitAppend(frame(7 to 7, "v2"))
+    store.vacuum(keepLast = 2)
+    val e = intercept[IllegalArgumentException] {
+      store.readChanges(spark, -1L)
+    }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("reposition"))
+    // the prescribed reposition works: earliest-1 makes the earliest
+    // surviving version the initial snapshot, then normal increments
+    val feed = store.readChanges(spark, 0L)
+    assert(feed.filter(col("_commit_version") === 1L).count() == 6L)
+    assert(feed.filter(col("_commit_version") === 2L).count() == 1L)
+  }
+
+  test("copy-on-write merge rewrites ONLY stats-intersecting files; untouched files keep their identity") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // base leaves a gap at 2550/2551 so the delta can INSERT new keys
+    // without widening its prune interval beyond the update band
+    val base = (1L to 8000L).filterNot(i => i == 2550L || i == 2551L)
+      .map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "amt")
+      .repartitionByRange(8, col("id"))
+    store.commitOverwrite(base, statsColumn = Some("id"))
+    val beforePaths = store.readFullManifest(0L).entries.map(_.path).toSet
+    // delta: 99 updates + 2 inserts, all inside [2500, 2600]
+    val delta = (2500L to 2600L).map(i => (i, "UPD", -1.0)).toDF("id", "v", "amt")
+    val v1 = store.mergeInto(spark, delta, Seq("id"))
+    assert(v1 == 1L)
+    // result ≡ full-table upsert
+    val expect = Merge.upsert(store.read(spark, Some(0L)), delta, Seq("id"))
+    val got = store.read(spark)
+    assert(got.count() == 8000L)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.filter($"v" === "UPD").count() == 101L)
+    // untouched files: same PATHS in the new manifest (identity, not a
+    // rewrite). The narrow band touches at most 2 of the 8
+    // range-clustered files (range sampling may straddle a boundary).
+    val afterEntries = store.readFullManifest(1L).entries
+    val surviving = afterEntries.map(_.path).toSet.intersect(beforePaths)
+    assert(surviving.size >= 6,
+      s"at most 2 of 8 range-clustered files may be touched, survived ${surviving.size}")
+    // change feed emits ONLY the touched files' rows (+ their rewrites)
+    val feed = store.readChanges(spark, 0L)
+    val nDel = feed.filter($"_change_type" === "delete").count()
+    val nIns = feed.filter($"_change_type" === "insert").count()
+    assert(nDel <= 2 * 8000L / 8 + 200L, s"feed re-delivered too much: $nDel deletes")
+    assert(nIns == nDel + 2L, "rewrites plus exactly the 2 new keys")
+    assert(feed.filter($"_change_type" === "insert" && $"v" === "UPD").count() == 101L)
+    // time travel: v0 still reads the pre-merge table
+    assert(store.read(spark, Some(0L)).filter($"v" === "UPD").count() == 0L)
+  }
+
+  test("copy-on-write delete prunes by predicate bounds; NULL predicate rows are kept") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    val base = (1L to 4000L)
+      .map(i => (i, if (i % 100 == 0) null else s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    store.commitOverwrite(base, statsColumn = Some("id"))
+    val beforePaths = store.readFullManifest(0L).entries.map(_.path).toSet
+    val v1 = store.deleteWhere(spark, $"id".between(1200L, 1300L) && $"v".isNotNull)
+    assert(v1 == 1L)
+    val got = store.read(spark)
+    // 101 in-band ids; 1200 and 1300 carry NULL v -> predicate NULL -> KEPT
+    assert(got.count() == 4000L - 99L)
+    assert(got.filter($"id".between(1200L, 1300L)).count() == 2L)
+    assert(got.filter($"id" === 1200L || $"id" === 1300L).count() == 2L)
+    // only intersecting files were rewritten (at most 2 if the band
+    // straddles a sampled range boundary)
+    val surviving = store.readFullManifest(1L).entries.map(_.path).toSet
+      .intersect(beforePaths)
+    assert(surviving.size >= 2,
+      s"at most 2 of 4 files may be touched, survived ${surviving.size}")
+    // feed: touched files out, their filtered rewrites in — net -99 rows
+    val feed = store.readChanges(spark, 0L)
+    val nDel = feed.filter($"_change_type" === "delete").count()
+    val nIns = feed.filter($"_change_type" === "insert").count()
+    assert(nDel <= 2 * 4000L / 4 + 200L, s"feed re-delivered too much: $nDel deletes")
+    assert(nIns == nDel - 99L)
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")
