@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL DML parity for the snapshot store: INSERT INTO / INSERT
+    // OVERWRITE on `USING graft-snapshot` tables commit manifest
+    // versions instead of falling through to a bare parquet write
+    ext.injectResolutionRule(session =>
+      new graft.streaming.SnapshotInsertRule(session))
+
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),
       info("graft_cosine_sim", "graft_cosine_sim(a, b) - cosine similarity of two float/double arrays"),

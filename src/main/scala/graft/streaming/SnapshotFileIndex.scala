@@ -37,8 +37,8 @@ import graft.etl.SnapshotStore
   */
 final class SnapshotFileIndex(
     spark: SparkSession,
-    store: SnapshotStore,
-    asOfVersion: Option[Long] = None) extends FileIndex {
+    private[graft] val store: SnapshotStore,
+    private[graft] val asOfVersion: Option[Long] = None) extends FileIndex {
 
   private val (tableSchema, statsColumn, entries) = store.manifestAt(asOfVersion)
 
@@ -109,6 +109,18 @@ final class SnapshotFileIndex(
       case In(a, vs) if isCol(a) && vs.nonEmpty =>
         val xs = vs.flatMap(lit)
         if (xs.length == vs.length) { lo = lo max xs.min; hi = hi min xs.max }
+      // IN-lists longer than spark.sql.optimizer.inSetConversionThreshold
+      // (default 10) arrive optimized to InSet with raw internal values —
+      // without this branch a common predicate shape silently loses all
+      // manifest skipping
+      case InSet(a, hset) if isCol(a) && hset.nonEmpty =>
+        val xs = hset.toSeq.collect {
+          case x: Long => x
+          case x: Int => x.toLong
+          case x: Short => x.toLong
+          case x: Byte => x.toLong
+        }
+        if (xs.length == hset.size) { lo = lo max xs.min; hi = hi min xs.max }
       case _: IsNotNull => () // implied by any bound; no information
       case _ => () // unrecognized conjunct: no pruning from it
     }

@@ -37,9 +37,29 @@ import graft.etl.SnapshotStore
   * Options: `path` (store root, required), `onOverwrite`
   * (fail|emitNew|skip, default fail), `startingVersion` (long, default
   * -1 = from table creation; the first batch of a fresh query reads
-  * everything after it). The stream's schema is pinned at query start
-  * (latest manifest, or the user-provided schema): later evolved
-  * columns null-pad under the pinned shape until the query restarts.
+  * everything after it), `maxVersionsPerTrigger` / `maxBytesPerTrigger`
+  * (admission control — see below). The stream's schema is pinned at
+  * query start (latest manifest, or the user-provided schema): later
+  * evolved columns null-pad under the pinned shape until the query
+  * restarts.
+  *
+  * ADMISSION CONTROL — the catch-up problem: a consumer restarting
+  * after a week of backlog would otherwise read the WHOLE backlog as
+  * ONE micro-batch (at 100 TB: unbounded memory and first-trigger
+  * latency). `maxVersionsPerTrigger` caps each batch at that many
+  * manifest versions past the last delivered offset;
+  * `maxBytesPerTrigger` additionally stops extending the batch once
+  * the versions' ADDED file bytes (manifest metadata — no data IO)
+  * exceed the budget, always admitting at least one version so the
+  * stream progresses. Both are per-trigger caps on `getOffset`; the
+  * offsets the engine logs are exactly the capped ones, so
+  * exactly-once checkpoint recovery is untouched — a restart mid
+  * catch-up resumes from the last logged version and keeps paying out
+  * in bounded batches. The last-delivered floor is persisted under the
+  * query's own `metadataPath` (dot-temp + atomic rename), because on a
+  * fully-committed restart `getOffset` runs before any `getBatch`
+  * could re-teach the source its position — without the floor a capped
+  * offset could regress below the engine's committed offset.
   *
   * V1 `Source` SPI deliberately: its `getBatch` returns a DataFrame, so
   * the micro-batch IS the ordinary distributed parquet scan over the
@@ -162,7 +182,14 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     val pinned = schema.getOrElse(store.tableSchema())
     val onOverwrite = parameters.getOrElse("onOverwrite", "fail")
     val startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L)
-    new SnapshotStreamSource(sqlContext, store, pinned, onOverwrite, startingVersion)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxVersions.foreach(v => require(v >= 1L,
+      s"graft-snapshot source: maxVersionsPerTrigger must be >= 1, got $v"))
+    maxBytes.foreach(b => require(b >= 1L,
+      s"graft-snapshot source: maxBytesPerTrigger must be >= 1, got $b"))
+    new SnapshotStreamSource(sqlContext, store, pinned, onOverwrite,
+      startingVersion, maxVersions, maxBytes, metadataPath)
   }
 }
 
@@ -173,15 +200,29 @@ final class SnapshotStreamSink(
     mergeSchema: Boolean,
     txnAppId: String = "default") extends Sink {
 
+  /** Highest batch id THIS sink instance committed (or found committed
+    * on its first scan). `lastTxn` walks manifests newest-first — O(1)
+    * when the app's marker is near the tail, but O(versions × files)
+    * driver text IO when it ISN'T there at all (first batch of a new
+    * app against a long batch-written history — every manifest read in
+    * full). One scan per sink lifetime is enough: a txnAppId has a
+    * single writer by contract, so after the first lookup the cache is
+    * authoritative and each commit advances it locally.
+    */
+  private var cachedTxn: Option[Long] = None
+  private var scanned = false
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (!scanned) { cachedTxn = store.lastTxn(txnAppId); scanned = true }
     // checkpoint replay of a batch THIS app already committed: no-op
-    if (store.lastTxn(txnAppId).exists(_ >= batchId)) return
+    if (cachedTxn.exists(_ >= batchId)) return
     val batch = GraftStreamBridge.asBatchFrame(data)
     if (outputMode == OutputMode.Complete())
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)))
     else
       store.commitAppend(batch, statsColumn, mergeSchema,
         txn = Some((txnAppId, batchId)))
+    cachedTxn = Some(batchId)
   }
 
   override def toString: String = s"SnapshotStreamSink[$store, $outputMode]"
@@ -192,18 +233,109 @@ final class SnapshotStreamSource(
     store: SnapshotStore,
     pinned: StructType,
     onOverwrite: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    metadataPath: String = "") extends Source {
+
+  private val rateLimited = maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  /** The floor: highest version ever handed to the engine. In-memory
+    * for the running query; persisted under `metadataPath` (local
+    * checkpoints; dot-temp + atomic rename) so a fully-committed
+    * restart's FIRST `getOffset` — which runs before any `getBatch`
+    * could re-teach the position — never returns a capped offset below
+    * the engine's committed one. The floor only ever RAISES the base a
+    * capped offset counts from; `getBatch` always reads the engine's
+    * own (start, end] range, so a stale floor can delay but never skip
+    * or duplicate data.
+    */
+  private var floor: Long = math.max(startingVersion, persistedFloor.getOrElse(Long.MinValue))
+
+  private def floorFile: Option[java.nio.file.Path] =
+    if (!rateLimited || metadataPath.isEmpty) None
+    else {
+      val asUri = try { val u = new java.net.URI(metadataPath)
+        Option(u.getScheme).map(_ => u) }
+      catch { case _: java.net.URISyntaxException => None }
+      asUri match {
+        case Some(u) if u.getScheme == "file" =>
+          Some(java.nio.file.Paths.get(
+            Option(u.getPath).getOrElse(u.getSchemeSpecificPart), "graft-floor"))
+        case Some(u) if u.getScheme != null && u.getScheme.length > 1 =>
+          None // non-local checkpoint: in-memory floor only (still safe)
+        case _ => Some(java.nio.file.Paths.get(metadataPath, "graft-floor"))
+      }
+    }
+
+  private def persistedFloor: Option[Long] = floorFile.flatMap { p =>
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else try Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    catch { case _: NumberFormatException => None } // torn write: safe fallback
+  }
+
+  private def advanceFloor(v: Long): Unit = {
+    if (v <= floor) return
+    floor = v
+    floorFile.foreach { p =>
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.getParent.resolve(s".tmp-floor-${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Total bytes of the files version `v` ADDED over its predecessor —
+    * manifest metadata + file-status only, no data IO. Conservative for
+    * rewrite versions (their bytes count against the budget though they
+    * emit no rows — batches only ever get smaller).
+    */
+  private def addedBytes(v: Long): Long = {
+    val cur = store.manifestAt(Some(v))._3
+    val prevPaths: Set[String] =
+      if (!store.versions.contains(v - 1)) Set.empty
+      else store.manifestAt(Some(v - 1))._3.map(_._1).toSet
+    cur.filterNot(e => prevPaths.contains(e._1)).map { e =>
+      val p = java.nio.file.Paths.get(e._1)
+      if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p) else 0L
+    }.sum
+  }
 
   override def schema: StructType = pinned
 
-  /** Latest committed version — a manifest listing, no data IO. */
-  override def getOffset: Option[Offset] =
-    store.latestVersion.map(LongOffset(_))
+  /** Latest committed version, capped by the per-trigger admission
+    * budget counted from the last delivered offset — manifest metadata
+    * only, no data IO.
+    */
+  override def getOffset: Option[Offset] = {
+    val latest = store.latestVersion.getOrElse(return None)
+    if (!rateLimited) return Some(LongOffset(latest))
+    val base = math.max(floor, startingVersion)
+    // caught up (base == latest; base > latest cannot happen — the
+    // floor only ever records versions that exist): re-announce the
+    // latest offset, which equals the engine's committed one → no batch
+    if (latest <= base) return Some(LongOffset(latest))
+    var target = base
+    val capByCount = maxVersionsPerTrigger.map(base + _).getOrElse(Long.MaxValue)
+    var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    while (target < latest && target < capByCount && budget > 0L) {
+      target += 1L
+      budget -= addedBytes(target)
+    }
+    advanceFloor(target)
+    Some(LongOffset(target))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    advanceFloor(to)
     val batch = store.readInserts(
-      sqlContext.sparkSession, from, versionOf(end), pinned, onOverwrite)
+      sqlContext.sparkSession, from, to, pinned, onOverwrite)
     GraftStreamBridge.asStreamingFrame(batch, pinned)
   }
 

@@ -34,4 +34,12 @@ object GraftStreamBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** `Dataset.ofRows` is `private[sql]` — the INSERT INTO command needs
+    * it to execute the statement's (already-analyzed) source query as
+    * an ordinary DataFrame.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -339,6 +339,133 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_sql")
   }
 
+  private def nBatches(cp: String): Int = {
+    val d = java.nio.file.Paths.get(cp, "offsets")
+    if (!Files.isDirectory(d)) 0
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(p =>
+          p.getFileName.toString.forall(_.isDigit))
+      } finally s.close()
+    }
+  }
+
+  test("maxVersionsPerTrigger bounds catch-up batches; exactly-once survives a mid-catch-up restart") {
+    import spark.implicits._
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    store.commitAppend(frame(10 to 11, "v1"))
+    store.commitAppend(frame(20 to 20, "v2"))
+    def capped(trigger: Trigger) = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root).option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(trigger).start()
+      if (trigger == Trigger.Once()) q.awaitTermination()
+      else { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+    }
+    // run 1: ONE trigger (Trigger.Once) admits exactly ONE version
+    capped(Trigger.Once())
+    assert(nBatches(cp) == 1, s"one capped batch expected, got ${nBatches(cp)}")
+    assert(spark.read.parquet(out).count() == 3L, "only v0's rows in batch 0")
+    // restart MID-CATCH-UP: the backlog keeps paying out one version
+    // per batch, nothing re-delivered, nothing skipped
+    capped(Trigger.ProcessingTime(0))
+    assert(nBatches(cp) == 3, s"3 versions -> 3 batches total, got ${nBatches(cp)}")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 6L)
+    assert(got.groupBy("tag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("v0", 3L), ("v1", 2L), ("v2", 1L)))
+    // caught up: another run delivers nothing new
+    capped(Trigger.ProcessingTime(0))
+    assert(spark.read.parquet(out).count() == 6L)
+    // and new appends keep flowing under the cap
+    store.commitAppend(frame(30 to 31, "v3"))
+    store.commitAppend(frame(40 to 40, "v4"))
+    capped(Trigger.ProcessingTime(0))
+    assert(nBatches(cp) == 5)
+    assert(spark.read.parquet(out).count() == 9L)
+  }
+
+  test("maxBytesPerTrigger stops extending a batch once the added bytes exceed the budget") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    (0 until 4).foreach(r => store.commitAppend(frame(r * 10 to r * 10 + 5, s"v$r")))
+    // a 1-byte budget admits exactly one version per trigger (always at
+    // least one -> the stream still progresses)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert(nBatches(cp) == 4, s"4 versions at 1 byte/trigger -> 4 batches, got ${nBatches(cp)}")
+    assert(spark.read.parquet(out).count() == 24L)
+    // a huge budget takes everything in one batch
+    val out2 = tmp(); val cp2 = tmp()
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("maxBytesPerTrigger", (1L << 40).toString)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", cp2)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    assert(nBatches(cp2) == 1)
+    assert(spark.read.parquet(out2).count() == 24L)
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE commit manifest versions through the catalog") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 3, "v0"))
+    spark.sql(s"CREATE TABLE snap_ins USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // INSERT INTO appends as ONE new version (positional, with coercion:
+      // int literals land in the bigint column)
+      spark.sql("INSERT INTO snap_ins VALUES (100, 'ins'), (101, 'ins')")
+      assert(store.versions == Seq(0L, 1L), "one INSERT = one version")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ins").head().getLong(0) == 5L)
+      assert(spark.sql("SELECT SUM(id) AS s FROM snap_ins WHERE tag = 'ins'")
+        .head().getLong(0) == 201L)
+      // the store API sees the same table (no bare files written around
+      // the manifest)
+      assert(store.read(spark).count() == 5L)
+      val referenced = store.read(spark).inputFiles.length
+      val onDisk = {
+        val w = Files.walk(java.nio.file.Paths.get(root, "data"))
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.count(p =>
+            Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        } finally w.close()
+      }
+      assert(onDisk == referenced,
+        s"INSERT must not strand unmanaged files: $onDisk on disk, $referenced referenced")
+      // INSERT INTO ... SELECT
+      spark.sql("INSERT INTO snap_ins SELECT id + 1000, 'sel' FROM snap_ins WHERE tag = 'v0'")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ins").head().getLong(0) == 8L)
+      // INSERT OVERWRITE replaces as a new version; history stays readable
+      spark.sql("INSERT OVERWRITE snap_ins VALUES (7, 'ow')")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ins").head().getLong(0) == 1L)
+      assert(store.read(spark, Some(1L)).count() == 5L, "time travel intact")
+      // change feed saw the SQL commits like any others
+      assert(store.readChanges(spark, 0L, Some(1L))
+        .select("tag").distinct().head().getString(0) == "ins")
+      // column-count mismatch fails loudly, committing nothing
+      val before = store.versions.length
+      intercept[Exception] { spark.sql("INSERT INTO snap_ins VALUES (1)") }
+      assert(store.versions.length == before)
+    } finally spark.sql("DROP TABLE snap_ins")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
