@@ -488,11 +488,20 @@ object Media {
     * near-dup territory (the decode path's job, where a codec exists).
     * Everything is scan-stage: probe + fingerprint per row, zero
     * shuffle.
+    *
+    * Container-independent: both probes emit the same struct, each
+    * NULLs on the other's magic (RIFF vs ftyp), so one coalesce triages
+    * an AVI + MP4/MOV mixed corpus in a single pass — and because the
+    * fingerprint hashes codec + geometry + frame-size sequence (not
+    * container framing), a re-CONTAINERED copy of the same encoded
+    * stream (AVI→MP4 remux) lands in the same dup group.
     */
   def videoContainerStats(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     import graft.functions.MediaFunctions._
+    import graft.functions.Mp4Functions.mp4Probe
     df.select(col(idCol).cast("long").as("media_id"),
-        aviProbe(col(bytesCol).cast("binary")).as("__c"))
+        coalesce(aviProbe(col(bytesCol).cast("binary")),
+          mp4Probe(col(bytesCol).cast("binary"))).as("__c"))
       .filter(col("__c").isNotNull)
       .select(col("media_id"),
         col("__c.codec").as("codec"),

@@ -657,6 +657,75 @@ object Multimodal {
           FROM plan)
         SELECT *, COUNT(*) OVER (PARTITION BY container_fp) AS dup_group
         FROM s ORDER BY media_id
+      """)),
+    // ----------------------------------------------------------------
+    // MP4/MOV + AVI mixed-corpus triage through ONE pass: even docs
+    // plant a structurally-real ISO BMFF file (ftyp/mdat/moov with full
+    // stsd/stsz/stss sample tables; codec cycling avc1/hvc1/mp4v) via
+    // Mp4EncodeMeta, odd docs an AVI (H264/MJPG with idx1); the
+    // container-independent videoContainerStats coalesces AviProbe and
+    // Mp4Probe — each NULLs on the other's magic — and must recover
+    // codec, geometry, per-frame sizes and the keyframe census (stss
+    // entry count ≡ idx1 flag count ≡ ceil(n/ke)) from either box
+    // grammar. The oracle replays the plan arithmetic per container
+    // arm; a box-walk mis-parse of either format breaks the hash.
+    Q(
+      "q280_mp4_container_triage",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MediaFunctions.aviEncodeMeta
+        import graft.functions.Mp4Functions.mp4EncodeMeta
+        val k = ($"doc_id" % 50).cast("int")
+        val isMp4 = $"doc_id" % 2 === 0
+        val mp4Codec = when(k % 3 === 0, "avc1")
+          .when(k % 3 === 1, "hvc1").otherwise("mp4v")
+        val aviCodec = when(k % 2 === 0, "H264").otherwise("MJPG")
+        val w = (lit(16) + (k % 4) * 8).cast("int")
+        val h = (lit(16) + (k % 3) * 8).cast("int")
+        val ke = (lit(1) + k % 3).cast("int")
+        val sizes = transform(
+          sequence(lit(0), (lit(1) + k % 4).cast("int")),
+          i => (lit(64) + (k * 37 + i * 101) % 512).cast("int"))
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id".as("media_id"),
+            when(isMp4, mp4EncodeMeta(mp4Codec, w, h, sizes, ke))
+              .otherwise(aviEncodeMeta(aviCodec, w, h, sizes, ke))
+              .as("payload"))
+        val stats = Media.videoContainerStats(media, "media_id", "payload")
+        stats.withColumn("dup_group",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"container_fp")))
+          .orderBy($"media_id")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, doc_id % 50 AS k FROM documents),
+        plan AS (
+          SELECT doc_id, k,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   CASE k % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                     ELSE 'mp4v' END
+                 ELSE
+                   CASE k % 2 WHEN 0 THEN 'H264' ELSE 'MJPG' END
+                 END AS codec,
+                 16 + (k % 4) * 8 AS w, 16 + (k % 3) * 8 AS h,
+                 2 + k % 4 AS n, 1 + k % 3 AS ke,
+                 list_transform(range(0, CAST(2 + k % 4 AS BIGINT)),
+                   i -> 64 + (k * 37 + i * 101) % 512) AS sizes
+          FROM p),
+        s AS (
+          SELECT doc_id AS media_id, codec,
+                 CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                 CAST(n AS INTEGER) AS n_frames,
+                 CAST((n - 1) // ke + 1 AS INTEGER) AS n_keyframes,
+                 CAST(list_sum(sizes) AS BIGINT) AS total_frame_bytes,
+                 CAST(list_max(sizes) AS INTEGER) AS max_frame_bytes,
+                 ${OracleSql.hash64(
+      "codec || ':' || CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || " +
+        "':' || array_to_string(sizes, ',')")} AS container_fp
+          FROM plan)
+        SELECT *, COUNT(*) OVER (PARTITION BY container_fp) AS dup_group
+        FROM s ORDER BY media_id
       """))
   )
 }

@@ -664,13 +664,22 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.functions.AviEncode(null, null, null).encode(ad, 16, 16)
     }
     val grayFrame = Seq.tabulate(256)(_ => 128 * 0x010101)
+    def mp4(codec: String, sizes: Seq[Int]): Array[Byte] =
+      graft.functions.Mp4EncodeMeta(Seq(null, null, null, null, null)).encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(codec), 32, 24,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sizes.toArray[Any]), 2)
     val corpus = Seq(
       (40L, "video", avi(Seq(grayFrame, grayFrame))),  // decodable DIB -> pixel path
       (50L, "video", h264(Seq(100, 200, 300))),        // compressed survivor
       (51L, "video", h264(Seq(100, 200, 300))),        // exact container dup of 50 -> dropped
       (52L, "video", h264(Seq(100, 200, 301))),        // distinct stream -> survives
       (53L, "video", h264(Seq(500))),                  // too few frames -> gated
-      (54L, "video", Array[Byte](3, 1, 4)))            // garbage: fails triage too
+      (54L, "video", Array[Byte](3, 1, 4)),            // garbage: fails triage too
+      (55L, "video", mp4("avc1", Seq(900, 901, 902))), // MP4: admitted by metadata
+      (56L, "video", mp4("hvc1", Seq(100, 200, 300))), // MP4 w/ AVI-50's plan but
+                                                       //   its own codec -> distinct fp
+      (57L, "video", mp4("avc1", Seq(900, 901, 902)))) // exact MP4 dup of 55 -> dropped
     val src = tmp() + "/vid_src"
     corpus.toDF("media_id", "kind", "payload").write.parquet(src)
     val dest = tmp()
@@ -679,16 +688,18 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every" -> "2"))
     val compressed = spark.read.parquet(s"$dest/media/video_compressed")
     assert(compressed.select("media_id").collect().map(_.getLong(0)).toSet ==
-      Set(50L, 52L), "metadata path: dup and short containers dropped, garbage refused")
+      Set(50L, 52L, 55L, 56L),
+      "metadata path: AVI + MP4 admitted, dups and short containers dropped, garbage refused")
     assert(compressed.filter($"media_id" === 50L).select("codec").head().getString(0) == "H264")
+    assert(compressed.filter($"media_id" === 55L).select("codec").head().getString(0) == "avc1")
     // the decodable DIB clip stays on the PIXEL path, not the metadata path
     val pixel = spark.read.parquet(s"$dest/media/video")
     assert(pixel.select("media_id").collect().map(_.getLong(0)).toSet == Set(40L))
     val sumy = spark.read.parquet(s"$dest/reports/media_summary")
       .collect().map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
-    assert(sumy(("video_meta", "1_triaged")) == 4L)
-    assert(sumy(("video_meta", "2_qa")) == 3L)
-    assert(sumy(("video_meta", "3_exactdup")) == 2L)
+    assert(sumy(("video_meta", "1_triaged")) == 7L)
+    assert(sumy(("video_meta", "2_qa")) == 6L)
+    assert(sumy(("video_meta", "3_exactdup")) == 4L)
   }
 
   test("CurateJob: --dsir-target steers the mix toward the target domain, deterministically") {

@@ -811,4 +811,108 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("mp4EncodeMeta/mp4Probe: planted codec, geometry, sizes, keyframes round-trip") {
+    import spark.implicits._
+    import graft.functions.Mp4Functions.{mp4EncodeMeta, mp4Probe}
+    val df = Seq((1L, "avc1", 640, 360, Seq(1000, 2100, 50, 7), 3))
+      .toDF("id", "codec", "w", "h", "sizes", "ke")
+    val out = df.select(mp4Probe(mp4EncodeMeta(
+        col("codec"), col("w"), col("h"), col("sizes"), col("ke"))).as("c"))
+      .select("c.codec", "c.width", "c.height", "c.n_frames",
+        "c.n_keyframes", "c.frame_sizes")
+      .head()
+    assert(out.getString(0) == "avc1")
+    assert((out.getInt(1), out.getInt(2)) == (640, 360))
+    assert(out.getInt(3) == 4)
+    assert(out.getInt(4) == 2) // samples 1 and 4 sync at ke=3
+    assert(out.getSeq[Int](5) == Seq(1000, 2100, 50, 7))
+    // every sample sync at ke=1
+    val all = Seq(("hvc1", 8, 8, Seq(5, 6), 1)).toDF("codec", "w", "h", "sizes", "ke")
+      .select(mp4Probe(mp4EncodeMeta(
+        col("codec"), col("w"), col("h"), col("sizes"), col("ke"))).as("c"))
+      .select("c.n_keyframes").head()
+    assert(all.getInt(0) == 2)
+    // the probes are mutually exclusive by magic: AVI bytes null under
+    // mp4Probe and vice versa
+    import graft.functions.MediaFunctions.{aviEncodeMeta, aviProbe}
+    val cross = Seq(("H264", 16, 16, Seq(9), 1)).toDF("codec", "w", "h", "sizes", "ke")
+      .select(
+        mp4Probe(aviEncodeMeta(
+          col("codec"), col("w"), col("h"), col("sizes"), col("ke"))).as("m"),
+        aviProbe(mp4EncodeMeta(
+          lit("avc1"), col("w"), col("h"), col("sizes"), col("ke"))).as("a"))
+      .head()
+    assert(cross.isNullAt(0) && cross.isNullAt(1))
+  }
+
+  test("mp4Probe/mp4EncodeMeta: malformations null out, never throw") {
+    import spark.implicits._
+    import graft.functions.Mp4Functions.{mp4EncodeMeta, mp4Probe}
+    val meta = graft.functions.Mp4EncodeMeta(Seq(null, null, null, null, null))
+    def enc(codec: String, w: Int, h: Int, sizes: Seq[Int], ke: Int): Array[Byte] =
+      meta.encode(org.apache.spark.unsafe.types.UTF8String.fromString(codec),
+        w, h, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sizes.toArray[Any]), ke)
+    assert(enc("av", 8, 8, Seq(1), 1) == null)         // bad fourcc length
+    assert(enc("avc1", 0, 8, Seq(1), 1) == null)       // bad geometry
+    assert(enc("avc1", 8, 1 << 17, Seq(1), 1) == null) // height > u16
+    assert(enc("avc1", 8, 8, Seq(-1), 1) == null)      // negative size
+    assert(enc("avc1", 8, 8, Seq(1), 0) == null)       // bad cadence
+    assert(enc("avc1", 8, 8, Seq(1 << 27), 1) == null) // payload bomb
+    val good = enc("avc1", 320, 240, Seq(10, 20, 30), 2)
+    assert(good != null)
+    val probe = graft.functions.Mp4Probe(null)
+    assert(probe.probe(good) != null)
+    // probe-side malformations
+    assert(probe.probe(Array[Byte](1, 2, 3)) == null)
+    assert(probe.probe(good.take(good.length - 3)) == null) // truncated moov
+    val badMagic = good.clone(); badMagic(4) = 'X'.toByte   // not ftyp
+    assert(probe.probe(badMagic) == null)
+    // a box size smaller than its header desyncs the walk -> refuse
+    def find(hay: Array[Byte], s: String): Int = {
+      val pat = s.getBytes("US-ASCII")
+      hay.indices.indexWhere(i => i + 4 <= hay.length &&
+        pat.indices.forall(k => hay(i + k) == pat(k)))
+    }
+    val badBox = good.clone()
+    java.nio.ByteBuffer.wrap(badBox).putInt(find(badBox, "stsz") - 4, 4)
+    assert(probe.probe(badBox) == null)
+    // stss claiming more entries than its box holds -> refuse
+    val badStss = good.clone()
+    java.nio.ByteBuffer.wrap(badStss).putInt(find(badStss, "stss") + 8, 1 << 10)
+    assert(probe.probe(badStss) == null)
+    // null column in, null out
+    val r = Seq((1L)).toDF("id")
+      .select(mp4Probe(lit(null).cast("binary")).as("c"),
+        mp4EncodeMeta(lit(null).cast("string"), lit(8), lit(8),
+          lit(null).cast("array<int>"), lit(1)).as("e"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("videoContainerStats triages a mixed AVI+MP4 corpus in one pass; remuxed copies share a fingerprint") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.aviEncodeMeta
+    import graft.functions.Mp4Functions.mp4EncodeMeta
+    // same codec/geometry/size plan through BOTH containers: a remux
+    // (same encoded stream, new container) must land in one dup group
+    val plan = Seq((1L, 0), (2L, 1)) // 1 = AVI, 2 = MP4
+      .toDF("media_id", "c")
+    val media = plan.select($"media_id",
+      when($"c" === 0,
+        aviEncodeMeta(lit("H264"), lit(32), lit(24),
+          array(lit(100), lit(200)), lit(2)))
+      .otherwise(
+        mp4EncodeMeta(lit("H264"), lit(32), lit(24),
+          array(lit(100), lit(200)), lit(2))).as("payload"))
+    val stats = Media.videoContainerStats(media, "media_id", "payload")
+      .orderBy("media_id").collect()
+    assert(stats.length == 2)
+    assert(stats.map(_.getAs[String]("codec")).toSeq == Seq("H264", "H264"))
+    assert(stats.map(_.getAs[Long]("container_fp")).distinct.length == 1,
+      "an AVI->MP4 remux of the same stream must share the container fingerprint")
+    assert(stats.forall(r => r.getAs[Int]("width") == 32 &&
+      r.getAs[Int]("n_frames") == 2 && r.getAs[Int]("n_keyframes") == 1))
+  }
 }

@@ -480,4 +480,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
     assert(windows == 1, s"expected exactly the dup-group window, got $windows:\n$p")
   }
+
+  test("q280 mixed-container triage: both probes ride one scan stage, no join, one window") {
+    val p = planOf("q280_mp4_container_triage")
+    // AVI + MP4 arms are a per-row coalesce inside the projection —
+    // container dispatch must not fork the plan into a union or join
+    assert(!p.contains("CartesianProduct") && !p.contains("Join") &&
+      !p.contains("Union"), p)
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly the dup-group window, got $windows:\n$p")
+  }
 }
