@@ -3,7 +3,8 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType,
+  IntegerType, LongType, ShortType, StringType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Manifest-committed snapshot table over plain parquet — the testable
@@ -83,6 +84,21 @@ import scala.jdk.CollectionConverters._
   * `timestampAsOf` resolution; [[history]]/[[versionAt]] fall back to
   * manifest mtime only for pre-`#ts` manifests.
   *
+  * PARTITION COLUMNS (`#partcols` header): a table committed with
+  * `partitionBy` stages its files hive-style (`data/<uuid>/day=X/...`),
+  * so each file's partition values live IN its manifest path — no
+  * per-file value list needed. The registered format surfaces them
+  * through `SnapshotFileIndex.partitionSchema`, which buys the two
+  * halves of the 100 TB layout story at once: PARTITION PRUNING at
+  * planning time (`WHERE day = x` plans only that day's files — the
+  * PartitionedSink's O(day) read, now with time travel) and
+  * [[commitReplacePartitions]], dynamic-partition overwrite as ONE
+  * atomic version (only touched partitions' files are replaced;
+  * untouched partitions keep their file identity, so the change feed
+  * stays O(touched partitions)). Partition values are not duplicated
+  * inside the data files (hive layout); the non-format read/feed paths
+  * re-attach them from the path per partition group.
+  *
   * File statistics — the data-skipping half of the log-structured-table
   * idea: a commit may designate one integer-typed `statsColumn`
   * (int/long/date/timestamp — the dominant pruning keys: ids, event
@@ -156,9 +172,89 @@ final class SnapshotStore(root: String) {
     * nothing prunes).
     */
   def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None,
+      txn: Option[(String, Long)] = None, partitionBy: Seq[String] = Nil): Long = {
+    if (partitionBy.isEmpty) {
+      val staged = stageEntries(df, statsColumn)
+      publishEntries(staged, df.schema, statsColumn, txn)
+    } else {
+      val schema = normalizePartitionedSchema(df.schema, partitionBy)
+      val staged = stagePartitioned(df, partitionBy, statsColumn)
+      publishEntries(staged, schema, statsColumn, txn, partCols = partitionBy)
+    }
+  }
+
+  /** Dynamic-partition overwrite as ONE atomic version: stage `df`
+    * hive-partitioned, then publish a manifest keeping every old file
+    * whose partition tuple the increment did NOT touch, plus the staged
+    * files — the `PartitionedSink` O(day) refresh with versioned
+    * semantics (readers of older versions see the pre-replace
+    * partitions; the change feed emits only the touched partitions'
+    * file diffs). CAS-pinned: the kept-file list composes against the
+    * version read here, so a racing commit fails this one loudly.
+    */
+  def commitReplacePartitions(df: DataFrame,
       txn: Option[(String, Long)] = None): Long = {
-    val staged = stageEntries(df, statsColumn)
-    publishEntries(staged, df.schema, statsColumn, txn)
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.commitReplacePartitions: no committed versions at $root " +
+        "(commitOverwrite(partitionBy=...) creates the table)"))
+    val m = readFullManifest(v)
+    require(m.partCols.nonEmpty,
+      s"SnapshotStore.commitReplacePartitions: version $v is not partitioned")
+    requireSameColumns(m.schema, df.schema, v)
+    val staged = stagePartitioned(df, m.partCols, m.statsColumn)
+    val touched = staged.map(e => partitionTupleOf(e.path, m.partCols)).toSet
+    val kept = m.entries.filterNot(e =>
+      touched.contains(partitionTupleOf(e.path, m.partCols)))
+    publishEntries(kept ++ staged, m.schema, m.statsColumn, txn,
+      partCols = m.partCols, expectedVersion = Some(v + 1L))
+  }
+
+  /** Raw `col=value` partition tuple of a manifest path (decoded), in
+    * partition-column order. "" for a segment that is unexpectedly
+    * absent (malformed path — compares unequal to everything real).
+    */
+  private[graft] def partitionTupleOf(relPath: String, partCols: Seq[String]): Seq[String] = {
+    val segs = relPath.split('/')
+    partCols.map { c =>
+      segs.collectFirst {
+        case s if s.startsWith(c + "=") =>
+          SnapshotStore.unescapePathValue(s.substring(c.length + 1))
+      }.getOrElse("")
+    }
+  }
+
+  /** Manifest schema for a partitioned table: data columns in frame
+    * order, partition columns LAST in partitionBy order — matching the
+    * file-source read-back order, so read → transform → append
+    * round-trips without a column shuffle.
+    */
+  private def normalizePartitionedSchema(schema: StructType,
+      partCols: Seq[String]): StructType = {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    partCols.foreach { c =>
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"SnapshotStore: partition column '$c' is not in the frame " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      f.dataType match {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+             _: StringType | _: DateType | _: BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"SnapshotStore: partition column '$c' has unsupported type " +
+            s"${other.simpleString} (int/long/short/byte/string/date/boolean)")
+      }
+    }
+    StructType(schema.fields.filterNot(f => partCols.contains(f.name)) ++
+      partCols.map(byName))
+  }
+
+  private def requireSameColumns(table: StructType, incoming: StructType,
+      v: Long): Unit = {
+    val t = table.fields.map(f => f.name -> f.dataType).sortBy(_._1)
+    val i = incoming.fields.map(f => f.name -> f.dataType).sortBy(_._1)
+    require(t.length == i.length && t.zip(i).forall { case ((tn, tt), (in, it)) =>
+      tn == in && DataType.equalsIgnoreNullability(tt, it) },
+      s"SnapshotStore: schema mismatch vs version $v — table has " +
+        s"${table.simpleString}, incoming ${incoming.simpleString}")
   }
 
   /** Append: stage `df`'s files, publish a manifest listing the
@@ -209,40 +305,55 @@ final class SnapshotStore(root: String) {
     // version-independent — staging happens ONCE, only the manifest
     // composition retries. Bounded attempts: a pathological storm of
     // writers should surface, not spin.
-    var staged: Option[(Seq[FileEntry], Option[String])] = None
+    var staged: Option[(Seq[FileEntry], Option[String], Seq[String])] = None
     var attempt = 0
     while (true) {
       attempt += 1
       try {
-        val (published, effective, oldFiles, expected) = latestVersion match {
-          case None => (df.schema, statsColumn, Seq.empty[FileEntry], 0L)
+        val (published, effective, oldFiles, parts, expected) = latestVersion match {
+          case None => (df.schema, statsColumn, Seq.empty[FileEntry], Seq.empty[String], 0L)
           case Some(v) =>
-            val (schema, oldStats, old) = readManifest(v)
+            val m = readFullManifest(v)
             val pub =
-              if (mergeSchema) mergeSchemas(schema, df.schema, v)
+              if (m.partCols.nonEmpty) {
+                require(!mergeSchema, "SnapshotStore.commitAppend: mergeSchema " +
+                  "is not supported on a partitioned table (overwrite to evolve)")
+                requireSameColumns(m.schema, df.schema, v)
+                m.schema
+              } else if (mergeSchema) mergeSchemas(m.schema, df.schema, v)
               else {
-                require(DataType.equalsIgnoreNullability(schema, df.schema),
+                require(DataType.equalsIgnoreNullability(m.schema, df.schema),
                   s"SnapshotStore.commitAppend: schema mismatch vs version $v — " +
-                    s"table has ${schema.simpleString}, incoming ${df.schema.simpleString} " +
+                    s"table has ${m.schema.simpleString}, incoming ${df.schema.simpleString} " +
                     s"(pass mergeSchema = true to evolve)")
-                schema
+                m.schema
               }
-            (pub, effectiveStats(oldStats), old, v + 1L)
+            (pub, effectiveStats(m.statsColumn), m.entries, m.partCols, v + 1L)
         }
         val entries = staged match {
-          case Some((files, col)) if col == effective => files
-          case Some((files, _)) =>
+          case Some((files, col, p)) if p != parts =>
+            // a racer REPLACED the table with a different partition
+            // layout mid-append: our staged files have the wrong
+            // directory shape — this is an overwrite conflict, not a
+            // commutable append
+            throw new ConcurrentCommitException(
+              s"SnapshotStore.commitAppend: table partitioning changed " +
+                s"(${p.mkString(",")} -> ${parts.mkString(",")}) while this " +
+                "append was staging; re-run against the new layout")
+          case Some((files, col, _)) if col == effective => files
+          case Some((files, _, _)) =>
             // A rebase changed the effective stats column (a racer
             // introduced one): our recorded min/max are for the
             // wrong column — strip them, conservative by design.
             files.map(_.copy(min = None, max = None))
           case None =>
-            val e = stageEntries(df, effective)
-            staged = Some((e, effective))
+            val e = if (parts.isEmpty) stageEntries(df, effective)
+                    else stagePartitioned(df, parts, effective)
+            staged = Some((e, effective, parts))
             e
         }
         return publishEntries(oldFiles ++ entries, published, effective, txn,
-          expectedVersion = Some(expected))
+          partCols = parts, expectedVersion = Some(expected))
       } catch {
         case e: ConcurrentCommitException =>
           if (attempt >= 8) throw new ConcurrentCommitException(
@@ -310,19 +421,23 @@ final class SnapshotStore(root: String) {
       s"SnapshotStore.compactLatest: no committed versions at $root"))
     val m = readFullManifest(v)
     val cluster = clusterBy.orElse(m.statsColumn)
-    val df = scan(spark, m.schema, m.entries)
+    val df = scan(spark, m.schema, m.entries, m.partCols)
     val laid = cluster match {
       case Some(c) => df.repartitionByRange(targetFiles,
         org.apache.spark.sql.functions.col(c))
       case None => df.repartition(targetFiles)
     }
-    val staged = stageEntries(laid, m.statsColumn)
+    // partitioned tables re-stage hive-style: targetFiles bounds the
+    // files per PARTITION (each partition directory compacts separately)
+    val staged =
+      if (m.partCols.isEmpty) stageEntries(laid, m.statsColumn)
+      else stagePartitioned(laid, m.partCols, m.statsColumn)
     // Pinned to the version whose rows were rewritten: if ANY commit
     // landed while the compaction ran, publishing the rewrite would
     // silently drop it under a dataChange=false flag — the CAS makes
     // that race a loud failure instead (re-run the compaction).
     publishEntries(staged, m.schema, m.statsColumn, m.txn, rewrite = true,
-      expectedVersion = Some(v + 1L))
+      expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
   /** Copy-on-write MERGE (upsert) into the latest version — the
@@ -372,10 +487,12 @@ final class SnapshotStore(root: String) {
         }
       case None => (m.entries, Seq.empty[FileEntry])
     }
-    val merged = Merge.upsert(scan(spark, m.schema, touched), delta, keys)
-    val staged = stageEntries(merged, m.statsColumn)
+    val merged = Merge.upsert(scan(spark, m.schema, touched, m.partCols), delta, keys)
+    val staged =
+      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
+      else stagePartitioned(merged, m.partCols, m.statsColumn)
     publishEntries(untouched ++ staged, m.schema, m.statsColumn,
-      expectedVersion = Some(v + 1L))
+      expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
   /** Copy-on-write DELETE of the rows where `predicate` is TRUE (NULL
@@ -410,11 +527,13 @@ final class SnapshotStore(root: String) {
         })
       case None => (m.entries, Seq.empty[FileEntry])
     }
-    val kept = scan(spark, m.schema, touched)
+    val kept = scan(spark, m.schema, touched, m.partCols)
       .filter(not(coalesce(predicate, lit(false))))
-    val staged = stageEntries(kept, m.statsColumn)
+    val staged =
+      if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn)
+      else stagePartitioned(kept, m.partCols, m.statsColumn)
     publishEntries(untouched ++ staged, m.schema, m.statsColumn,
-      expectedVersion = Some(v + 1L))
+      expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
   /** Fold resolved predicate conjuncts that constrain `column` into one
@@ -544,8 +663,13 @@ final class SnapshotStore(root: String) {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.read: no committed versions at $root"))
-    val (schema, _, entries) = readManifest(v)
-    scan(spark, schema, entries)
+    val m = readFullManifest(v)
+    if (m.partCols.isEmpty) scan(spark, m.schema, m.entries)
+    else
+      // partitioned: plan through the format's FileIndex — ONE relation
+      // with real partition pruning, not a union per partition
+      spark.read.format("graft-snapshot")
+        .option("path", root).option("versionAsOf", v.toString).load()
   }
 
   /** Range read with manifest-level data skipping: files whose recorded
@@ -559,15 +683,15 @@ final class SnapshotStore(root: String) {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.readRange: no committed versions at $root"))
-    val (schema, statsCol, entries) = readManifest(v)
-    require(statsCol.contains(column),
+    val m = readFullManifest(v)
+    require(m.statsColumn.contains(column),
       s"SnapshotStore.readRange: version $v carries stats for " +
-        s"${statsCol.getOrElse("no column")}, not $column")
-    val kept = entries.filter(e => (e.min, e.max) match {
+        s"${m.statsColumn.getOrElse("no column")}, not $column")
+    val kept = m.entries.filter(e => (e.min, e.max) match {
       case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
       case _ => true // no stats -> conservatively scanned
     })
-    scan(spark, schema, kept)
+    scan(spark, m.schema, kept, m.partCols)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
@@ -627,10 +751,10 @@ final class SnapshotStore(root: String) {
       val m = readFullManifest(v)
       if (m.rewrite) Nil // dataChange=false: same rows, new layout
       else {
-        val prev: Option[(StructType, Seq[FileEntry])] =
+        val prev: Option[Manifest] =
           if (!have.contains(v - 1)) None
-          else { val p = readFullManifest(v - 1); Some((p.schema, p.entries)) }
-        val prevPaths = prev.map(_._2.map(_.path).toSet).getOrElse(Set.empty)
+          else Some(readFullManifest(v - 1))
+        val prevPaths = prev.map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
         val curPaths = m.entries.map(_.path).toSet
         def tag(df: DataFrame, tp: String) = df
           .withColumn("_change_type", lit(tp))
@@ -643,13 +767,15 @@ final class SnapshotStore(root: String) {
         // insert(new snapshot). A copy-on-write MERGE/DELETE sits in
         // between: only the TOUCHED files' rows enter the feed, the
         // untouched ones (same path in both manifests) never do.
-        val removed = prev.toSeq.flatMap { case (ps, pe) =>
-          val gone = pe.filterNot(e => curPaths.contains(e.path))
-          if (gone.isEmpty) Nil else Seq(tag(scan(spark, ps, gone), "delete"))
+        val removed = prev.toSeq.flatMap { p =>
+          val gone = p.entries.filterNot(e => curPaths.contains(e.path))
+          if (gone.isEmpty) Nil
+          else Seq(tag(scan(spark, p.schema, gone, p.partCols), "delete"))
         }
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
         val inserts =
-          if (added.isEmpty) Nil else Seq(tag(scan(spark, m.schema, added), "insert"))
+          if (added.isEmpty) Nil
+          else Seq(tag(scan(spark, m.schema, added, m.partCols), "insert"))
         removed ++ inserts
       }
     }
@@ -666,14 +792,23 @@ final class SnapshotStore(root: String) {
     * root-absolute paths).
     */
   private[graft] def manifestAt(asOfVersion: Option[Long] = None)
-      : (StructType, Option[String], Seq[(String, Option[Long], Option[Long])]) = {
+      : (StructType, Option[String], Seq[(String, Option[Long], Option[Long])],
+         Seq[String]) = {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.manifestAt: no committed versions at $root"))
-    val (schema, statsCol, entries) = readManifest(v)
-    (schema, statsCol,
-      entries.map(e => (rootPath.resolve(e.path).toString, e.min, e.max)))
+    val m = readFullManifest(v)
+    (m.schema, m.statsColumn,
+      m.entries.map(e => (rootPath.resolve(e.path).toString, e.min, e.max)),
+      m.partCols)
   }
+
+  /** Partition tuple of an ABSOLUTE data-file path (format-layer use):
+    * decoded `col=value` strings in partition-column order.
+    */
+  private[graft] def partitionTupleOfAbsolute(abs: String,
+      partCols: Seq[String]): Seq[String] =
+    partitionTupleOf(rootPath.relativize(Paths.get(abs)).toString, partCols)
 
   /** Schema of a committed version (default latest) without planning a
     * scan — the streaming source pins this at query start.
@@ -729,7 +864,7 @@ final class SnapshotStore(root: String) {
       if (m.rewrite) Nil // compaction: same rows, new layout — never re-delivered
       else if (prevPaths.subsetOf(m.entries.map(_.path).toSet)) {
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
-        if (added.isEmpty) Nil else Seq(scan(spark, pinned, added))
+        if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols))
       } else onOverwrite match {
         case "fail" => throw new IllegalStateException(
           s"SnapshotStore.readInserts: version $v is not an append " +
@@ -737,7 +872,7 @@ final class SnapshotStore(root: String) {
             s"from the new state or set onOverwrite=emitNew|skip")
         case "emitNew" =>
           val added = m.entries.filterNot(e => prevPaths.contains(e.path))
-          if (added.isEmpty) Nil else Seq(scan(spark, pinned, added))
+          if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols))
         case "skip" => Nil
       }
     }
@@ -752,13 +887,42 @@ final class SnapshotStore(root: String) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
   }
 
+  /** Explicit-file-list scan. Partitioned tables (hive layout: values
+    * in paths, not files) re-attach partition columns per partition
+    * group — one union arm per TOUCHED partition, which is exactly the
+    * increment size on the feed paths that use this (readChanges /
+    * readInserts / CoW candidates); whole-table reads of partitioned
+    * stores go through the format's FileIndex instead ([[read]]).
+    */
   private def scan(spark: SparkSession, schema: StructType,
-      entries: Seq[FileEntry]): DataFrame =
+      entries: Seq[FileEntry], partCols: Seq[String] = Nil): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
+    else if (partCols.isEmpty)
       spark.read.schema(schema)
         .parquet(entries.map(e => rootPath.resolve(e.path).toString): _*)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partCols.contains(f.name)))
+      val fieldByName = schema.fields.map(f => f.name -> f).toMap
+      entries.groupBy(e => partitionTupleOf(e.path, partCols)).toSeq
+        .sortBy(_._1.mkString("/"))
+        .map { case (tuple, group) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(group.map(e => rootPath.resolve(e.path).toString): _*)
+          val withParts = partCols.zip(tuple).foldLeft(base) {
+            case (df, (c, v)) =>
+              val f = fieldByName(c)
+              val value =
+                if (v == SnapshotStore.HiveNullPartition) lit(null)
+                else lit(v)
+              df.withColumn(c, value.cast(f.dataType))
+          }
+          withParts.select(schema.fieldNames.toSeq.map(col): _*)
+        }
+        .reduce(_.unionByName(_))
+    }
 
   /** Drop all but the last `keepLast` versions and delete data files no
     * kept manifest references — including half-staged orphans from
@@ -804,6 +968,40 @@ final class SnapshotStore(root: String) {
         .map(p => rootPath.relativize(p).toString)
         .toSeq.sorted
     } finally s.close()
+  }
+
+  /** Hive-partitioned staging: `partitionBy` writes
+    * `data/<uuid>/col=value/.../part-*.parquet`, so every staged file's
+    * partition tuple is carried by its manifest path. Stats are
+    * collected per file exactly as in the flat path.
+    */
+  private def stagePartitioned(df: DataFrame, partCols: Seq[String],
+      statsColumn: Option[String]): Seq[FileEntry] = {
+    normalizePartitionedSchema(df.schema, partCols) // validates cols + types
+    val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
+    df.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partCols: _*).parquet(sub.toString)
+    val walk = Files.walk(sub)
+    val paths = try {
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => rootPath.relativize(p).toString)
+        .toSeq.sorted
+    } finally walk.close()
+    statsColumn match {
+      case None => paths.map(FileEntry(_, None, None))
+      case Some(c) =>
+        require(!partCols.contains(c),
+          s"SnapshotStore: stats column '$c' cannot be a partition column " +
+            "(partition values are path metadata, not file contents)")
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        paths.map { rel =>
+          val stats = footerMinMax(
+            new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), c, conf)
+          FileEntry(rel, stats.map(_._1), stats.map(_._2))
+        }
+    }
   }
 
   /** Footer-stats collection: one metadata-only parquet footer read per
@@ -869,11 +1067,13 @@ final class SnapshotStore(root: String) {
     */
   private[etl] def publishEntries(entries: Seq[FileEntry], schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)] = None,
-      rewrite: Boolean = false, expectedVersion: Option[Long] = None): Long = {
+      rewrite: Boolean = false, expectedVersion: Option[Long] = None,
+      partCols: Seq[String] = Nil): Long = {
     Files.createDirectories(manifestDir)
     val v = expectedVersion.getOrElse(latestVersion.map(_ + 1L).getOrElse(0L))
     val statsLine = Seq(s"#ts\t${System.currentTimeMillis()}") ++
       statsColumn.map(c => s"#stats\t$c").toSeq ++
+      (if (partCols.nonEmpty) Seq(s"#partcols\t${partCols.mkString(",")}") else Nil) ++
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil)
     val fileLines = entries.map {
@@ -916,7 +1116,8 @@ final class SnapshotStore(root: String) {
     */
   private[graft] final case class Manifest(schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)], rewrite: Boolean,
-      entries: Seq[FileEntry], ts: Option[Long] = None)
+      entries: Seq[FileEntry], ts: Option[Long] = None,
+      partCols: Seq[String] = Nil)
 
   private[graft] def readFullManifest(v: Long): Manifest = {
     val p = manifestPath(v)
@@ -942,6 +1143,8 @@ final class SnapshotStore(root: String) {
     val rewrite = headerLines.contains("#rewrite")
     val ts = headerLines.find(_.startsWith("#ts\t"))
       .map(_.stripPrefix("#ts\t").toLong)
+    val partCols = headerLines.find(_.startsWith("#partcols\t"))
+      .map(_.stripPrefix("#partcols\t").split(",").toSeq).getOrElse(Nil)
     val entries = rest.dropWhile(_.startsWith("#")).map { line =>
       line.split("\t", -1) match {
         case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
@@ -950,7 +1153,7 @@ final class SnapshotStore(root: String) {
           s"SnapshotStore: malformed manifest line '${line.take(120)}'")
       }
     }
-    Manifest(schema, statsCol, txn, rewrite, entries, ts)
+    Manifest(schema, statsCol, txn, rewrite, entries, ts, partCols)
   }
 
   /** Commit instant of version `v`: the `#ts` embedded in the manifest
@@ -972,6 +1175,30 @@ final class ConcurrentCommitException(msg: String)
   extends IllegalStateException(msg)
 
 object SnapshotStore {
+
+  /** Hive's sentinel directory name for a NULL partition value. */
+  val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Undo the hive path escaping `partitionBy` applies to special
+    * characters in partition values (percent-encoded, e.g. `%3A` for
+    * ':'). Malformed escapes pass through literally — a tuple that
+    * compares unequal, never an exception.
+    */
+  def unescapePathValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** [[Pipeline.Sink]] over a [[SnapshotStore]] — drop-in for the
     * ParquetSink/FileSink positions in `processTable`, upgrading the

@@ -280,7 +280,7 @@ object CompactJob {
     val targetBytes0 = conf.getOrElse("target-mb", "128").toLong * 1024L * 1024L
     if (conf.get("snapshot").contains("on")) {
       val store = new graft.etl.SnapshotStore(src)
-      val (_, _, entries) = store.manifestAt()
+      val (_, _, entries, _) = store.manifestAt()
       val bytes = entries.map { case (p, _, _) =>
         val f = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L

@@ -575,6 +575,99 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM feed GROUP BY 1, 2
         ORDER BY _commit_version
+      """)),
+    // ----------------------------------------------------------------
+    // Copy-on-write MERGE on a real committed store: upsert a delta
+    // (spread updates + brand-new keys) into the latest version via
+    // SnapshotStore.mergeInto — candidate files pruned by manifest
+    // stats against the delta's key range, ONLY those rewritten,
+    // untouched files republished by identity (SnapshotSpec pins the
+    // path identity and the touched-only change feed; this oracle pins
+    // the RESULT ≡ a full-table upsert). Readback groups by row
+    // provenance so a dropped update, resurrected old row, or lost
+    // insert each breaks a different group.
+    Q(
+      "q281_snapshot_cow_merge",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-cow").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        val delta = o.filter($"o_orderkey" % 1000 < 20)
+          .withColumn("ver", lit("upd"))
+          .unionByName(o.filter($"o_orderkey" % 1000 >= 980)
+            .select(($"o_orderkey" + 200000000L).as("o_orderkey"),
+              $"o_custkey", lit("new").as("ver")))
+        store.mergeInto(s, delta, Seq("o_orderkey"))
+        store.read(s)
+          .groupBy($"ver")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            sum($"o_custkey").as("cust_sum"))
+          .orderBy($"ver")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        merged AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 1000 < 20 THEN 'upd' ELSE 'base' END AS ver
+          FROM o
+          UNION ALL
+          SELECT o_orderkey + 200000000, o_custkey, 'new'
+          FROM o WHERE o_orderkey % 1000 >= 980)
+        SELECT ver, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM merged GROUP BY 1 ORDER BY ver
+      """)),
+    // ----------------------------------------------------------------
+    // Partitioned snapshot store: create hive-partitioned (values in
+    // paths, not files), dynamic-partition REPLACE one day as one
+    // atomic version, read back through the registered format — the
+    // WHERE day IN (...) prunes whole partitions at planning time
+    // (SnapshotStreamSpec pins the numFiles) and the replaced day's
+    // rows must be the NEW generation while its neighbors are
+    // untouched. The oracle replays the derivation + replace in SQL;
+    // a partition-value mis-parse, a replace that leaked into other
+    // days, or a pruning bug that dropped files all break the hash.
+    Q(
+      "q282_partitioned_store_read",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            ($"o_orderkey" % 7).cast("int").as("day"))
+        val root = java.nio.file.Files.createTempDirectory("graft-part").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o, statsColumn = Some("o_orderkey"),
+          partitionBy = Seq("day"))
+        store.commitReplacePartitions(
+          o.filter($"day" === 3)
+            .withColumn("o_custkey", $"o_custkey" + 1000000L))
+        s.read.format("graft-snapshot").option("path", root).load()
+          .filter($"day".isin(2, 3))
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            sum($"o_custkey").as("cust_sum"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(o_orderkey % 7 AS INTEGER) AS day
+          FROM orders),
+        cur AS (
+          SELECT o_orderkey,
+                 CASE WHEN day = 3 THEN o_custkey + 1000000 ELSE o_custkey END
+                   AS o_custkey,
+                 day
+          FROM o)
+        SELECT day, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM cur WHERE day IN (2, 3) GROUP BY 1 ORDER BY day
       """))
   )
 }

@@ -3,12 +3,13 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan,
-  LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, BoundReference, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal,
+  Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType,
-  ShortType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
+  LongType, ShortType, StructType, TimestampType}
 import graft.etl.SnapshotStore
 
 /** [[FileIndex]] over one committed snapshot version — the piece that
@@ -40,7 +41,8 @@ final class SnapshotFileIndex(
     private[graft] val store: SnapshotStore,
     private[graft] val asOfVersion: Option[Long] = None) extends FileIndex {
 
-  private val (tableSchema, statsColumn, entries) = store.manifestAt(asOfVersion)
+  private val (tableSchema, statsColumn, entries, partCols) =
+    store.manifestAt(asOfVersion)
 
   /** One listing round-trip per file at creation; statuses are reused
     * across every query planned against this index.
@@ -53,24 +55,81 @@ final class SnapshotFileIndex(
     }
   }
 
-  def dataSchema: StructType = tableSchema
+  override val partitionSchema: StructType =
+    StructType(partCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotFileIndex: partition column '$c' missing from table schema"))))
+
+  /** Columns physically stored in the data files — the table schema
+    * minus the hive-layout partition columns (their values live in the
+    * file paths; [[listFiles]] hands them to Spark per directory).
+    */
+  def dataSchema: StructType =
+    if (partCols.isEmpty) tableSchema
+    else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
+
+  /** Decoded partition values of each file as an [[InternalRow]] under
+    * [[partitionSchema]] — computed once at index build.
+    */
+  private val partitionValues: Seq[InternalRow] =
+    if (partCols.isEmpty) Nil
+    else statuses.map { case (st, _, _) =>
+      val tuple = store.partitionTupleOfAbsolute(st.getPath.toUri.getPath, partCols)
+      InternalRow.fromSeq(partitionSchema.fields.zip(tuple).map {
+        case (f, raw) => internalValue(raw, f.dataType)
+      })
+    }
+
+  private def internalValue(raw: String, dt: DataType): Any =
+    if (raw == graft.etl.SnapshotStore.HiveNullPartition) null
+    else dt match {
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+    }
 
   override def rootPaths: Seq[Path] = statuses.map(_._1.getPath)
 
-  override def partitionSchema: StructType = StructType(Nil)
-
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statsColumn match {
+    // manifest-stats pruning from the query's data predicates
+    val statsKept: Seq[Int] = statsColumn match {
       case Some(c) =>
         val (lo, hi) = bounds(c, dataFilters)
-        statuses.filter {
+        statuses.indices.filter(i => statuses(i) match {
           case (_, Some(mn), Some(mx)) => mx >= lo && mn <= hi
           case _ => true // no stats -> conservatively scanned
-        }
-      case None => statuses
+        })
+      case None => statuses.indices
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+    if (partCols.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty,
+        statsKept.map(statuses(_)._1).toArray))
+    else {
+      // PARTITION PRUNING: Catalyst hands the partition-column
+      // conjuncts separately; evaluate them against each file's decoded
+      // partition row (the same bind-and-eval the built-in
+      // PartitioningAwareFileIndex does), then group surviving files by
+      // partition value — one PartitionDirectory per live partition.
+      val pruned: Seq[Int] =
+        if (partitionFilters.isEmpty) statsKept
+        else {
+          val predicate = partitionFilters.reduce(And)
+          val bound = Predicate.createInterpreted(predicate.transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldNames.indexOf(a.name)
+              BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+          })
+          statsKept.filter(i => bound.eval(partitionValues(i)))
+        }
+      pruned.groupBy(partitionValues(_)).toSeq.map { case (row, idxs) =>
+        PartitionDirectory(row, idxs.map(statuses(_)._1).toArray)
+      }
+    }
   }
 
   /** Fold the scan conjuncts that constrain `column` into one closed

@@ -107,7 +107,7 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     val index = new SnapshotFileIndex(spark, store, asOf)
     HadoopFsRelation(
       location = index,
-      partitionSchema = StructType(Nil),
+      partitionSchema = index.partitionSchema,
       dataSchema = index.dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
@@ -127,17 +127,34 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     val store = storeFor(parameters)
     val stats = parameters.get("statsColumn")
     val merge = parameters.get("mergeSchema").exists(_.toBoolean)
+    // `df.write.partitionBy(...)` arrives JSON-encoded under the
+    // writer's internal key; an explicit `partitionBy` option (comma
+    // separated) is accepted too
+    val parts: Seq[String] =
+      parameters.get("partitionBy").map(_.split(",").map(_.trim).toSeq)
+        .orElse(parameters.get("__partition_columns").map(
+          _.stripPrefix("[").stripSuffix("]")
+            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+            .filter(_.nonEmpty)))
+        .getOrElse(Nil)
     mode match {
-      case SaveMode.Overwrite => store.commitOverwrite(data, stats)
-      case SaveMode.Append => store.commitAppend(data, stats, mergeSchema = merge)
+      case SaveMode.Overwrite => store.commitOverwrite(data, stats, partitionBy = parts)
+      case SaveMode.Append =>
+        require(parts.isEmpty || store.latestVersion.isEmpty,
+          "graft-snapshot: partitionBy applies when the table is created; " +
+            "appends inherit the table's partitioning")
+        if (store.latestVersion.isEmpty && parts.nonEmpty)
+          store.commitOverwrite(data, stats, partitionBy = parts)
+        else store.commitAppend(data, stats, mergeSchema = merge)
       case SaveMode.ErrorIfExists =>
         if (store.latestVersion.isDefined)
           throw new IllegalStateException(
             s"graft-snapshot: table already has committed versions " +
               s"(latest ${store.latestVersion.get}); use mode overwrite/append")
-        store.commitOverwrite(data, stats)
+        store.commitOverwrite(data, stats, partitionBy = parts)
       case SaveMode.Ignore =>
-        if (store.latestVersion.isEmpty) store.commitOverwrite(data, stats)
+        if (store.latestVersion.isEmpty)
+          store.commitOverwrite(data, stats, partitionBy = parts)
     }
     createRelation(sqlContext, parameters)
   }

@@ -536,6 +536,97 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nIns == nDel - 99L)
   }
 
+  test("partitioned table: hive staging round-trips, appends feed O(increment), replace-partitions is ONE version") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    def days(ds: Range, tag: String) = ds.flatMap(d =>
+      (1 to 10).map(i => (d * 100L + i, tag, d))).toDF("id", "tag", "day")
+    // create partitioned: values live in paths, not files
+    store.commitOverwrite(days(1 to 3, "v0"), partitionBy = Seq("day"))
+    val got = store.read(spark)
+    assert(got.count() == 30L)
+    // partition column round-trips with its type
+    assert(got.schema("day").dataType.typeName == "integer")
+    assert(got.filter($"day" === 2).count() == 10L)
+    assert(got.groupBy("day").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1, 10L), (2, 10L), (3, 10L)))
+    // a per-day append inherits the layout; the feed is O(increment)
+    store.commitAppend(days(4 to 4, "v1"))
+    assert(store.read(spark).count() == 40L)
+    val feed1 = store.readChanges(spark, 0L)
+    assert(feed1.count() == 10L)
+    assert(feed1.select("day").distinct().head().getInt(0) == 4)
+    // dynamic-partition replace: day 2 rewritten + day 5 added, ONE
+    // version, untouched partitions keep their file identity
+    val before = store.readFullManifest(store.latestVersion.get)
+      .entries.map(_.path).toSet
+    val v2 = store.commitReplacePartitions(
+      days(2 to 2, "fix").unionByName(days(5 to 5, "new")))
+    assert(v2 == 2L && store.versions == Seq(0L, 1L, 2L))
+    val after = store.read(spark)
+    assert(after.count() == 50L)
+    assert(after.filter($"day" === 2 && $"tag" === "fix").count() == 10L)
+    assert(after.filter($"day" === 2 && $"tag" === "v0").count() == 0L)
+    assert(after.filter($"day" === 5).count() == 10L)
+    assert(after.filter($"day" === 1 && $"tag" === "v0").count() == 10L)
+    val untouched = store.readFullManifest(2L).entries.map(_.path).toSet
+      .intersect(before)
+    assert(untouched.nonEmpty, "untouched partitions must keep file identity")
+    assert(untouched.forall(p => !p.contains("day=2") && !p.contains("day=5")))
+    // the feed for the replace is O(touched partitions)
+    val feed2 = store.readChanges(spark, 1L)
+    assert(feed2.filter($"_change_type" === "delete").count() == 10L)
+    assert(feed2.filter($"_change_type" === "insert").count() == 20L)
+    assert(feed2.filter($"_change_type" === "delete")
+      .select("day").distinct().head().getInt(0) == 2)
+    // time travel reads the pre-replace day 2
+    assert(store.read(spark, Some(1L))
+      .filter($"day" === 2 && $"tag" === "v0").count() == 10L)
+    // schema guard: appending without the partition column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      store.commitAppend(Seq((1L, "x")).toDF("id", "tag"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // string partition values with special characters round-trip the escaping
+    val store2 = new SnapshotStore(tmp())
+    store2.commitOverwrite(
+      Seq((1L, "a:b"), (2L, "plain"), (3L, null))
+        .toDF("id", "src"), partitionBy = Seq("src"))
+    val got2 = store2.read(spark)
+    assert(got2.filter($"src" === "a:b").count() == 1L)
+    assert(got2.filter($"src".isNull).select("id").head().getLong(0) == 3L)
+  }
+
+  test("partitioned table: compaction and copy-on-write delete keep the hive layout") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // two appends per day -> fragmented partitions
+    (0 until 2).foreach { r =>
+      val df = (1 to 2).flatMap(d =>
+        (1 to 8).map(i => (d * 1000L + r * 100 + i, d))).toDF("id", "day")
+        .repartition(4)
+      if (store.latestVersion.isEmpty)
+        store.commitOverwrite(df, partitionBy = Seq("day"))
+      else store.commitAppend(df)
+    }
+    val beforeFiles = store.read(spark).inputFiles.length
+    val cv = store.compactLatest(spark, targetFiles = 1)
+    val compacted = store.read(spark)
+    assert(compacted.count() == 32L)
+    assert(compacted.inputFiles.length < beforeFiles)
+    assert(compacted.groupBy("day").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet == Set((1, 16L), (2, 16L)))
+    // feed skips the rewrite
+    assert(store.readChanges(spark, cv - 1, Some(cv)).isEmpty)
+    // CoW delete on a partitioned table keeps partition values intact
+    store.deleteWhere(spark, $"id" % 2 === 0)
+    val afterDel = store.read(spark)
+    assert(afterDel.count() == 16L)
+    assert(afterDel.groupBy("day").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet == Set((1, 8L), (2, 8L)))
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")

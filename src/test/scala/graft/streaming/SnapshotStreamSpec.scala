@@ -466,6 +466,58 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_ins")
   }
 
+  test("partitioned format read: WHERE day = x plans only that day's files; partition + stats pruning compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    // 4 days × 2 files per day (range-clustered on id inside each day)
+    val df = (1 to 4).flatMap(d =>
+      (1L to 2000L).map(i => (d * 10000L + i, d))).toDF("id", "day")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("day"),
+        org.apache.spark.sql.functions.col("id"))
+    store.commitOverwrite(df, statsColumn = Some("id"), partitionBy = Seq("day"))
+    val perDay = store.readFullManifest(0L).entries
+      .groupBy(e => store.partitionTupleOf(e.path, Seq("day"))).map(_._2.size)
+    assert(perDay.sum == store.read(spark).inputFiles.length)
+
+    def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      df.collect()
+      val s = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.head
+      (s.metrics("numFiles").value, df.count())
+    }
+    val all = spark.read.format("graft-snapshot").option("path", root).load()
+    assert(all.count() == 8000L)
+    assert(all.schema.fieldNames.toSeq == Seq("id", "day"))
+    val total = all.inputFiles.length.toLong
+    // partition pruning: one day's files only
+    val day2Files = store.readFullManifest(0L).entries.count(e =>
+      store.partitionTupleOf(e.path, Seq("day")) == Seq("2"))
+    val (nf2, n2) = scanned(all.filter($"day" === 2))
+    assert(n2 == 2000L)
+    assert(nf2 == day2Files.toLong,
+      s"WHERE day=2 must plan exactly that day's $day2Files files, planned $nf2")
+    assert(nf2 < total)
+    // partition + manifest-stats pruning compose: day filter picks the
+    // partition, the id range then drops files inside it
+    val (nfBoth, nBoth) = scanned(
+      all.filter($"day" === 2 && $"id".between(20001L, 20050L)))
+    assert(nBoth == 50L)
+    assert(nfBoth <= nf2)
+    // IS NULL / other-day filters stay exact
+    assert(all.filter($"day" === 9).count() == 0L)
+    // SQL through the catalog sees and prunes partitions too
+    spark.sql(s"CREATE TABLE snap_part USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_part WHERE day = 3")
+        .head().getLong(0) == 2000L)
+      assert(spark.sql(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s FROM snap_part WHERE day = 1 AND id <= 10005")
+        .head().getLong(0) == (10001L to 10005L).sum)
+    } finally spark.sql("DROP TABLE snap_part")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
