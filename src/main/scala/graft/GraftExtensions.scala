@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // versions instead of falling through to a bare parquet write
     ext.injectResolutionRule(session =>
       new graft.streaming.SnapshotInsertRule(session))
+    // ...and row-level DML: DELETE / UPDATE / MERGE as copy-on-write
+    // manifest commits (V1 tables otherwise refuse all three)
+    ext.injectResolutionRule(session =>
+      new graft.streaming.SnapshotDmlRule(session))
 
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),

@@ -536,6 +536,55 @@ final class SnapshotStore(root: String) {
       expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
+  /** Copy-on-write UPDATE: rows where `predicate` is TRUE get the
+    * `assignments` applied (SQL semantics — NULL predicate leaves the
+    * row unchanged); candidate files are pruned by the predicate's
+    * folded stats bounds exactly like [[deleteWhere]], only
+    * intersecting files are rewritten, untouched files keep their path
+    * identity. Assignment values may reference any table column (they
+    * resolve against the rewritten scan). Updating a PARTITION column
+    * is supported — re-staging is hive-partitioned, so changed rows
+    * physically move to their new partition directory. CAS-pinned.
+    */
+  def updateWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "SnapshotStore.updateWhere: no assignments")
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.updateWhere: no committed versions at $root"))
+    val m = readFullManifest(v)
+    assignments.keys.foreach(k => require(m.schema.fieldNames.contains(k),
+      s"SnapshotStore.updateWhere: no column '$k' in ${m.schema.fieldNames.mkString(", ")}"))
+    val (touched, untouched) = m.statsColumn match {
+      case Some(c) =>
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], m.schema).filter(predicate)
+        val conds = probe.queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+        val (lo, hi) = predicateBounds(c, conds)
+        m.entries.partition(e => (e.min, e.max) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true
+        })
+      case None => (m.entries, Seq.empty[FileEntry])
+    }
+    val hit = coalesce(predicate, lit(false))
+    val updated = scan(spark, m.schema, touched, m.partCols).select(
+      m.schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(value) =>
+            when(hit, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val staged =
+      if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn)
+      else stagePartitioned(updated, m.partCols, m.statsColumn)
+    publishEntries(untouched ++ staged, m.schema, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols)
+  }
+
   /** Fold resolved predicate conjuncts that constrain `column` into one
     * closed [lo, hi] interval — the delete-side twin of the format
     * FileIndex's planning-time fold. Foldable operands (literals,
@@ -581,7 +630,7 @@ final class SnapshotStore(root: String) {
         if (xs.length == vs.length) { lo = lo max xs.min; hi = hi min xs.max }
       case _ => () // unrecognized: no pruning from it
     }
-    preds.foreach(walk)
+    preds.map(SnapshotStore.inlineReplaceable).foreach(walk)
     (lo, hi)
   }
 
@@ -1178,6 +1227,30 @@ object SnapshotStore {
 
   /** Hive's sentinel directory name for a NULL partition value. */
   val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Normalize an analyzed predicate to plain comparable conjuncts:
+    * RuntimeReplaceable nodes (BETWEEN & co.) become their replacement,
+    * and With/CommonExpressionRef common-subexpression factoring is
+    * inlined — the forms the bounds fold and the DML re-bind can
+    * actually walk. Purely structural; the expression is never
+    * executed in this form.
+    */
+  private[graft] def inlineReplaceable(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef,
+      RuntimeReplaceable, With}
+    val replaced = e.transformUp {
+      case r: RuntimeReplaceable => r.replacement
+    }
+    replaced.transformUp {
+      case With(child, defs) =>
+        val byId = defs.map(d => d.id -> d.child).toMap
+        child.transformUp {
+          case ref: CommonExpressionRef if byId.contains(ref.id) => byId(ref.id)
+        }
+    }
+  }
 
   /** Undo the hive path escaping `partitionBy` applies to special
     * characters in partition values (percent-encoded, e.g. `%3A` for

@@ -668,6 +668,62 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM cur WHERE day IN (2, 3) GROUP BY 1 ORDER BY day
+      """)),
+    // ----------------------------------------------------------------
+    // SQL row-level DML lifecycle on a snapshot catalog table: DELETE,
+    // UPDATE, and canonical-upsert MERGE each land as ONE copy-on-write
+    // manifest version (V1 tables otherwise refuse all three); the
+    // MERGE source reads the table's own post-UPDATE state, so the
+    // oracle must replay the statements IN ORDER — any statement
+    // applied to the wrong snapshot, leaked into untouched rows, or
+    // lost breaks a provenance group.
+    Q(
+      "q283_sql_dml_lifecycle",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-dml").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS g283_dml")
+        s.sql(s"CREATE TABLE g283_dml USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          s.sql("DELETE FROM g283_dml WHERE o_orderkey % 10 = 3")
+          s.sql("UPDATE g283_dml SET ver = 'upd' WHERE o_orderkey % 7 = 0")
+          s.sql("""
+            MERGE INTO g283_dml USING
+              (SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+                      'new' AS ver
+               FROM g283_dml WHERE o_orderkey % 100 = 5) s
+            ON g283_dml.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+          store.read(s)
+            .groupBy($"ver")
+            .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+              sum($"o_custkey").as("cust_sum"))
+            .orderBy($"ver")
+        } finally s.sql("DROP TABLE IF EXISTS g283_dml")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, 'base' AS ver FROM orders),
+        d AS (SELECT * FROM o WHERE o_orderkey % 10 <> 3),
+        u AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'upd' ELSE ver END AS ver
+          FROM d),
+        m AS (
+          SELECT * FROM u
+          UNION ALL
+          SELECT o_orderkey + 300000000, o_custkey, 'new'
+          FROM u WHERE o_orderkey % 100 = 5)
+        SELECT ver, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM m GROUP BY 1 ORDER BY ver
       """))
   )
 }

@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable,
+  InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan,
+  MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -46,6 +51,192 @@ final class SnapshotInsertRule(session: SparkSession) extends Rule[LogicalPlan] 
           "(versionAsOf/timestampAsOf reads are immutable snapshots)")
       InsertIntoSnapshotCommand(index.store, index.dataSchema, query, overwrite,
         byName, catalogTable.map(_.identifier.unquotedString))
+  }
+}
+
+/** Resolution rule: SQL row-level DML — `DELETE FROM`, `UPDATE`,
+  * `MERGE INTO` — on `graft-snapshot` catalog tables, rewritten to the
+  * store's copy-on-write operations while the target is still a plain
+  * `LogicalRelation` (Spark's own path refuses: V1 tables "do not
+  * support DELETE/UPDATE/MERGE"). Each statement becomes ONE manifest
+  * version with the CoW cost model: candidate files pruned by manifest
+  * stats against the predicate/delta, only touched files rewritten,
+  * untouched files republished by identity — so the change feed emits
+  * only touched rows and time travel keeps the pre-DML table.
+  *
+  *   - `DELETE FROM t WHERE p`            → [[SnapshotStore.deleteWhere]]
+  *   - `UPDATE t SET c = e, ... WHERE p`  → [[SnapshotStore.updateWhere]]
+  *   - `MERGE INTO t USING s ON t.k = s.k
+  *      WHEN MATCHED THEN UPDATE SET *
+  *      WHEN NOT MATCHED THEN INSERT *`   → [[SnapshotStore.mergeInto]]
+  *
+  * MERGE accepts the canonical upsert shape only (equi-join ON over
+  * same-named columns; unconditional star actions, pre- or
+  * post-expansion) — richer clause sets fail loudly with a pointer to
+  * the DataFrame API. Conditions referencing subqueries are refused
+  * (they cannot be re-bound against the rewrite scan).
+  */
+final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def snapshotTarget(plan: LogicalPlan): Option[(SnapshotFileIndex, Option[String])] =
+    plan.collectFirst {
+      case LogicalRelation(h: HadoopFsRelation, _, ct, _, _)
+          if h.location.isInstanceOf[SnapshotFileIndex] =>
+        (h.location.asInstanceOf[SnapshotFileIndex],
+          ct.map(_.identifier.unquotedString))
+    }
+
+  /** Re-expressible predicate as an opaque [[Column]]: attribute
+    * references become unresolved names that re-bind against the
+    * rewrite scan by name. A Column field is invisible to
+    * `QueryPlan.expressions`, so the command node stays `resolved`
+    * (an unresolved Expression field would fail CheckAnalysis).
+    * Subqueries cannot re-bind — refused loudly.
+    */
+  private def rebindable(e: Expression): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      "graft-snapshot DML: subqueries in the condition are not supported " +
+        "(rewrite with a literal predicate, or use the DataFrame API)")
+    // Inline RuntimeReplaceable + With/CommonExpressionRef (the
+    // analyzer's forms of BETWEEN etc.) FIRST: a With node cannot
+    // carry unresolved children, and the re-analysis of the rewrite
+    // scan will just re-factor the duplication anyway.
+    val inlined = SnapshotStore.inlineReplaceable(e)
+    org.apache.spark.sql.GraftExprBridge.column(
+      inlined.transform { case a: AttributeReference => UnresolvedAttribute(a.name) })
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(target, condition)
+        if condition.resolved && snapshotTarget(target).isDefined =>
+      val (index, name) = snapshotTarget(target).get
+      require(index.asOfVersion.isEmpty,
+        "graft-snapshot: cannot DELETE from a time-traveled relation")
+      DeleteFromSnapshotCommand(index.store, rebindable(condition), name)
+
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && snapshotTarget(target).isDefined =>
+      val (index, name) = snapshotTarget(target).get
+      require(index.asOfVersion.isEmpty,
+        "graft-snapshot: cannot UPDATE a time-traveled relation")
+      val sets = assignments.map {
+        case Assignment(k: AttributeReference, v) => k.name -> rebindable(v)
+        case Assignment(k: UnresolvedAttribute, v) => k.name -> rebindable(v)
+        case other => throw new IllegalArgumentException(
+          s"graft-snapshot UPDATE: unsupported assignment target $other " +
+            "(top-level columns only)")
+      }.toMap
+      UpdateSnapshotCommand(index.store, sets,
+        condition.map(rebindable), name)
+
+    // a source reading the TARGET table itself is fine: the source plan
+    // is pinned to the pre-merge manifest (snapshot isolation), and the
+    // merge commit only adds files
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution)
+        if m.childrenResolved && cond.resolved && snapshotTarget(target).isDefined =>
+      val (index, name) = snapshotTarget(target).get
+      require(index.asOfVersion.isEmpty,
+        "graft-snapshot: cannot MERGE into a time-traveled relation")
+      require(notMatchedBySource.isEmpty && !withSchemaEvolution,
+        "graft-snapshot MERGE: WHEN NOT MATCHED BY SOURCE / schema evolution " +
+          "are not supported (use the DataFrame API: Merge.upsert / applyChangeLog)")
+      // the canonical upsert shape, before OR after the analyzer
+      // expands star actions to per-column assignments
+      def starLike(actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+          isUpdate: Boolean): Boolean = actions match {
+        case Seq(UpdateStarAction(None)) if isUpdate => true
+        case Seq(InsertStarAction(None)) if !isUpdate => true
+        case Seq(UpdateAction(None, as, _)) if isUpdate => allIdentity(as)
+        case Seq(InsertAction(None, as)) if !isUpdate => allIdentity(as)
+        case _ => false
+      }
+      require(starLike(matched, isUpdate = true) && starLike(notMatched, isUpdate = false),
+        "graft-snapshot MERGE: only the canonical upsert is supported — " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+          "(use the DataFrame API for conditional/partial clauses)")
+      def stripCast(e: Expression): Expression = e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+        case o => o
+      }
+      val keys = splitConjuncts(cond).map { conjunct =>
+        (conjunct match {
+          case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+            case (a: AttributeReference, b: AttributeReference)
+                if a.name == b.name => Some(a.name)
+            case _ => None
+          }
+          case _ => None
+        }).getOrElse(throw new IllegalArgumentException(
+          s"graft-snapshot MERGE: ON must be a conjunction of same-named " +
+            s"equi-conditions (t.k = s.k), got ${conjunct.sql}"))
+      }
+      MergeIntoSnapshotCommand(index.store, index.dataSchema, source, keys, name)
+  }
+
+  /** Post-expansion star: every assignment is `col = <source col of the
+    * same name>`.
+    */
+  private def allIdentity(as: Seq[Assignment]): Boolean =
+    as.nonEmpty && as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name == v.name
+      case _ => false
+    }
+}
+
+final case class DeleteFromSnapshotCommand(
+    store: SnapshotStore,
+    condition: Column,
+    tableName: Option[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    store.deleteWhere(session, condition)
+    tableName.foreach(session.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+final case class UpdateSnapshotCommand(
+    store: SnapshotStore,
+    assignments: Map[String, Column],
+    condition: Option[Column],
+    tableName: Option[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    store.updateWhere(session,
+      condition.getOrElse(lit(true)), assignments)
+    tableName.foreach(session.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+final case class MergeIntoSnapshotCommand(
+    store: SnapshotStore,
+    tableSchema: StructType,
+    source: LogicalPlan,
+    keys: Seq[String],
+    tableName: Option[String]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftStreamBridge.ofRows(session, source)
+    val have = src.columns.toSet
+    val missing = tableSchema.fieldNames.filterNot(have.contains)
+    require(missing.isEmpty,
+      s"graft-snapshot MERGE: source lacks table columns ${missing.mkString(", ")}")
+    val shaped = src.select(tableSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    store.mergeInto(session, shaped, keys)
+    tableName.foreach(session.catalog.refreshTable)
+    Seq.empty
   }
 }
 

@@ -518,6 +518,69 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_part")
   }
 
+  test("SQL DELETE/UPDATE/MERGE are copy-on-write manifest commits with time travel intact") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+      statsColumn = Some("id"))
+    val basePaths = store.readFullManifest(0L).entries.map(_.path).toSet
+    spark.sql(s"CREATE TABLE snap_dml USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // DELETE: one version, banded predicate touches few files (CoW)
+      spark.sql("DELETE FROM snap_dml WHERE id BETWEEN 100 AND 150 AND v IS NOT NULL")
+      assert(store.versions == Seq(0L, 1L))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_dml").head().getLong(0) == 7949L)
+      val afterDelete = store.readFullManifest(1L).entries.map(_.path).toSet
+      assert(afterDelete.intersect(basePaths).size >= 6,
+        "banded DELETE must rewrite only stats-intersecting files")
+      // UPDATE: assignments may reference other columns; NULL-safe WHERE
+      spark.sql("UPDATE snap_dml SET v = concat(v, '!') WHERE id % 1000 = 7")
+      assert(store.versions.length == 3)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_dml WHERE v LIKE '%!'")
+        .head().getLong(0) == 8L)
+      // MERGE: canonical upsert (update a key, insert a new one)
+      spark.sql("""
+        MERGE INTO snap_dml USING
+          (SELECT CAST(4242 AS BIGINT) AS id, 'merged' AS v
+           UNION ALL SELECT 900001, 'inserted') s
+        ON snap_dml.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(store.versions.length == 4)
+      assert(spark.sql("SELECT v FROM snap_dml WHERE id = 4242").head().getString(0) == "merged")
+      assert(spark.sql("SELECT v FROM snap_dml WHERE id = 900001").head().getString(0) == "inserted")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_dml").head().getLong(0) == 7950L)
+      // every pre-DML version still reads as committed
+      assert(store.read(spark, Some(0L)).count() == 8000L)
+      assert(store.read(spark, Some(0L)).filter($"id" === 120L).count() == 1L)
+      // the change feed saw three row-level commits, touched files only
+      val feed = store.readChanges(spark, 0L)
+      assert(feed.filter($"_change_type" === "insert" && $"v" === "merged").count() == 1L)
+      // unsupported shapes fail loudly, committing nothing
+      val before = store.versions.length
+      val e1 = intercept[Exception] {
+        spark.sql("DELETE FROM snap_dml WHERE id IN (SELECT id FROM snap_dml WHERE v = 'x')")
+      }
+      assert(e1.getMessage.contains("subqueries"))
+      val e2 = intercept[Exception] {
+        spark.sql("""MERGE INTO snap_dml USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v) s
+          ON snap_dml.id = s.id
+          WHEN MATCHED THEN DELETE""")
+      }
+      assert(e2.getMessage.contains("canonical upsert"))
+      val e3 = intercept[Exception] {
+        spark.sql("""MERGE INTO snap_dml USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v) s
+          ON snap_dml.id > s.id
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      }
+      assert(e3.getMessage.contains("equi-conditions"))
+      assert(store.versions.length == before, "failed DML must commit nothing")
+    } finally spark.sql("DROP TABLE snap_dml")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
