@@ -976,20 +976,33 @@ final class SnapshotStore(root: String) {
   /** Drop all but the last `keepLast` versions and delete data files no
     * kept manifest references — including half-staged orphans from
     * crashed commits. Readers of kept versions are unaffected.
+    *
+    * `minAgeMillis` is the retention guard for CONCURRENT writers: an
+    * in-flight commit stages its files BEFORE publishing a manifest, so
+    * a vacuum racing it would see them as unreferenced orphans and eat
+    * the commit's data out from under it (the same reason Delta's
+    * VACUUM has a retention period). Unreferenced files younger than
+    * the threshold survive; crashed-commit garbage is reclaimed by the
+    * next vacuum once it ages past it. Default 0 keeps the
+    * single-writer behavior (reclaim immediately); any deployment that
+    * pairs a streaming sink with maintenance jobs should pass an hour+.
     */
-  def vacuum(keepLast: Int): Unit = {
+  def vacuum(keepLast: Int, minAgeMillis: Long = 0L): Unit = {
     require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")
+    require(minAgeMillis >= 0L, s"vacuum: minAgeMillis must be >= 0, got $minAgeMillis")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     val referenced: Set[Path] =
       keep.flatMap(v => readManifest(v)._3.map(_.path))
         .map(f => rootPath.resolve(f).normalize).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
     if (Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)
       try {
         walk.iterator().asScala.toSeq.reverse.foreach { p =>
-          if (Files.isRegularFile(p) && !referenced.contains(p.normalize))
+          if (Files.isRegularFile(p) && !referenced.contains(p.normalize) &&
+              Files.getLastModifiedTime(p).toMillis <= cutoff)
             Files.delete(p)
           else if (Files.isDirectory(p) && p != dataDir) {
             val ls = Files.list(p)

@@ -287,7 +287,7 @@ object CompactJob {
       }.sum
       val parts = math.max(1L, (bytes + targetBytes0 - 1) / targetBytes0).toInt
       val v = store.compactLatest(spark, parts, conf.get("cluster-by"))
-      conf.get("vacuum-keep").map(_.toInt).foreach(store.vacuum)
+      conf.get("vacuum-keep").map(_.toInt).foreach(k => store.vacuum(k))
       val rows = store.read(spark).count()
       println(s"""{"job":"compact","snapshot":true,"src_bytes":$bytes,""" +
         s""""out_files":$parts,"version":$v,"rows":$rows}""")

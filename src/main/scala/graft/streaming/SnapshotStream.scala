@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+  DataSourceRegister, RelationProvider, SchemaRelationProvider,
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import graft.etl.SnapshotStore
@@ -68,7 +69,8 @@ import graft.etl.SnapshotStore
   * per-partition parquet reader for zero gain here.)
   */
 final class SnapshotSourceProvider extends StreamSourceProvider
-    with RelationProvider with CreatableRelationProvider
+    with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
@@ -112,6 +114,30 @@ final class SnapshotSourceProvider extends StreamSourceProvider
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
+  }
+
+  /** Declared-schema creation — `CREATE TABLE t (id BIGINT, v STRING)
+    * USING graft-snapshot OPTIONS (path ...)`: an empty store is BORN
+    * with the declared shape (an empty version-0 manifest), so the
+    * SQL-first workflow `CREATE TABLE` → `INSERT INTO` works without a
+    * DataFrame write ever touching the table. Against an existing
+    * store the declared schema must match the manifest — a silently
+    * divergent catalog entry is how readers rot.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val store = storeFor(parameters)
+    store.latestVersion match {
+      case None => store.commitTruncate(schema)
+      case Some(v) =>
+        val table = store.tableSchema()
+        val t = table.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+        val d = schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+        require(t == d,
+          s"graft-snapshot: declared schema ${schema.simpleString} does not " +
+            s"match the store's version-$v schema ${table.simpleString}")
+    }
+    createRelation(sqlContext, parameters)
   }
 
   /** Batch write side — `df.write.format("graft-snapshot")
@@ -172,14 +198,15 @@ final class SnapshotSourceProvider extends StreamSourceProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
-    require(partitionColumns.isEmpty,
-      "graft-snapshot sink: partitionBy is not supported (use statsColumn clustering)")
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
       s"graft-snapshot sink: unsupported output mode $outputMode (Append|Complete)")
+    require(partitionColumns.isEmpty || outputMode == OutputMode.Append(),
+      "graft-snapshot sink: partitionBy requires Append mode")
     new SnapshotStreamSink(storeFor(parameters), outputMode,
       parameters.get("statsColumn"),
       parameters.get("mergeSchema").exists(_.toBoolean),
-      parameters.getOrElse("txnAppId", "default"))
+      parameters.getOrElse("txnAppId", "default"),
+      partitionColumns)
   }
 
   override def sourceSchema(
@@ -215,7 +242,8 @@ final class SnapshotStreamSink(
     outputMode: OutputMode,
     statsColumn: Option[String],
     mergeSchema: Boolean,
-    txnAppId: String = "default") extends Sink {
+    txnAppId: String = "default",
+    partitionBy: Seq[String] = Nil) extends Sink {
 
   /** Highest batch id THIS sink instance committed (or found committed
     * on its first scan). `lastTxn` walks manifests newest-first — O(1)
@@ -236,6 +264,11 @@ final class SnapshotStreamSink(
     val batch = GraftStreamBridge.asBatchFrame(data)
     if (outputMode == OutputMode.Complete())
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)))
+    else if (store.latestVersion.isEmpty && partitionBy.nonEmpty)
+      // `writeStream.partitionBy(...)`: the FIRST batch creates the
+      // table hive-partitioned; every later append inherits the layout
+      store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)),
+        partitionBy = partitionBy)
     else
       store.commitAppend(batch, statsColumn, mergeSchema,
         txn = Some((txnAppId, batchId)))

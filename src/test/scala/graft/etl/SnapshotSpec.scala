@@ -627,6 +627,26 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getInt(0), r.getLong(1))).toSet == Set((1, 8L), (2, 8L)))
   }
 
+  test("vacuum retention shields a racing commit's staged-but-unpublished files") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 5, "v0"))
+    // a concurrent writer mid-commit: files staged, manifest not yet
+    // published — a retention-less vacuum would eat its data
+    val staged = store.stage(frame(100 to 101, "inflight"))
+    store.vacuum(keepLast = 1, minAgeMillis = 60 * 60 * 1000L)
+    val stagedPath = Paths.get(root).resolve(staged.head)
+    assert(Files.isRegularFile(stagedPath),
+      "retention must shield a racing commit's fresh staged files")
+    // crashed-commit garbage is reclaimed once aged past the window
+    Files.setLastModifiedTime(stagedPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+    store.vacuum(keepLast = 1, minAgeMillis = 60 * 60 * 1000L)
+    assert(!Files.isRegularFile(stagedPath))
+    assert(store.read(spark).count() == 5L, "vacuum never touches referenced files")
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")

@@ -581,6 +581,54 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_dml")
   }
 
+  test("SQL-first lifecycle: CREATE TABLE with declared columns, INSERT, read — no DataFrame write needed") {
+    val root = tmp()
+    spark.sql(s"CREATE TABLE snap_ddl (id BIGINT, v STRING) " +
+      s"USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // the empty store was born with the declared shape (version 0)
+      val store = new SnapshotStore(root)
+      assert(store.versions == Seq(0L))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ddl").head().getLong(0) == 0L)
+      spark.sql("INSERT INTO snap_ddl VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT SUM(id) AS s FROM snap_ddl").head().getLong(0) == 3L)
+      assert(store.versions == Seq(0L, 1L))
+      // re-declaring a DIFFERENT schema over an existing store is refused
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE snap_ddl2 (wrong INT) " +
+          s"USING `graft-snapshot` OPTIONS (path '$root')")
+      }
+      assert(e.getMessage.contains("does not match"))
+    } finally spark.sql("DROP TABLE snap_ddl")
+  }
+
+  test("writeStream.partitionBy creates a hive-partitioned table; appends inherit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int)]
+    val q = input.toDF().toDF("id", "day")
+      .writeStream.format("graft-snapshot")
+      .option("path", root).option("checkpointLocation", cp)
+      .partitionBy("day")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1), (2L, 2)); q.processAllAvailable()
+      input.addData((3L, 1)); q.processAllAvailable()
+    } finally q.stop()
+    assert(store.versions.length == 2)
+    val got = store.read(spark)
+    assert(got.count() == 3L)
+    assert(got.filter($"day" === 1).count() == 2L)
+    // partition values live in the staged paths (hive layout)
+    assert(store.readFullManifest(1L).entries.forall(_.path.contains("day=")))
+    // format read prunes by the partition filter
+    val day1 = spark.read.format("graft-snapshot").option("path", root).load()
+      .filter($"day" === 1)
+    assert(day1.count() == 2L)
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
