@@ -68,6 +68,13 @@ final class SnapshotFileIndex(
     if (partCols.isEmpty) tableSchema
     else StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
+  /** Full logical schema INCLUDING partition columns — what SQL DML
+    * shapes its source queries against.
+    */
+  private[graft] def fullSchema: StructType = tableSchema
+
+  private[graft] def partitionCols: Seq[String] = partCols
+
   /** Decoded partition values of each file as an [[InternalRow]] under
     * [[partitionSchema]] — computed once at index build.
     */

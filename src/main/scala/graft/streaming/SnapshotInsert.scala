@@ -49,8 +49,9 @@ final class SnapshotInsertRule(session: SparkSession) extends Rule[LogicalPlan] 
       require(index.asOfVersion.isEmpty,
         "graft-snapshot: cannot INSERT into a time-traveled relation " +
           "(versionAsOf/timestampAsOf reads are immutable snapshots)")
-      InsertIntoSnapshotCommand(index.store, index.dataSchema, query, overwrite,
-        byName, catalogTable.map(_.identifier.unquotedString))
+      InsertIntoSnapshotCommand(index.store, index.fullSchema, query, overwrite,
+        byName, catalogTable.map(_.identifier.unquotedString),
+        index.partitionCols)
   }
 }
 
@@ -176,7 +177,7 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"graft-snapshot MERGE: ON must be a conjunction of same-named " +
             s"equi-conditions (t.k = s.k), got ${conjunct.sql}"))
       }
-      MergeIntoSnapshotCommand(index.store, index.dataSchema, source, keys, name)
+      MergeIntoSnapshotCommand(index.store, index.fullSchema, source, keys, name)
   }
 
   /** Post-expansion star: every assignment is `col = <source col of the
@@ -251,7 +252,8 @@ final case class InsertIntoSnapshotCommand(
     query: LogicalPlan,
     overwrite: Boolean,
     byName: Boolean,
-    tableName: Option[String]) extends LeafRunnableCommand {
+    tableName: Option[String],
+    partitionCols: Seq[String] = Nil) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -273,7 +275,10 @@ final case class InsertIntoSnapshotCommand(
           case (f, c) => col(c).cast(f.dataType).as(f.name)
         }: _*)
       }
-    if (overwrite) store.commitOverwrite(shaped)
+    // INSERT OVERWRITE on a partitioned table keeps the table's layout
+    // (a SQL writer has no partitionBy to pass; silently dropping the
+    // partitioning would kill every reader's pruning)
+    if (overwrite) store.commitOverwrite(shaped, partitionBy = partitionCols)
     else store.commitAppend(shaped)
     // the catalog caches the resolved LogicalRelation (and with it the
     // pre-insert SnapshotFileIndex): invalidate so readers re-plan

@@ -629,6 +629,46 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(day1.count() == 2L)
   }
 
+  test("SQL DML on a PARTITIONED table: INSERT appends hive-style, OVERWRITE keeps the layout, MERGE moves rows") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1 to 3).flatMap(d => (1 to 5).map(i => (d * 100L + i, d)))
+        .toDF("id", "day"),
+      partitionBy = Seq("day"))
+    spark.sql(s"CREATE TABLE snap_pdml USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // INSERT must carry the partition column and stage hive-style
+      spark.sql("INSERT INTO snap_pdml VALUES (401, 4), (402, 4)")
+      val v0Paths = store.readFullManifest(0L).entries.map(_.path).toSet
+      assert(store.readFullManifest(1L).entries
+        .filterNot(e => v0Paths.contains(e.path))
+        .forall(_.path.contains("day=4")))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_pdml WHERE day = 4")
+        .head().getLong(0) == 2L)
+      // MERGE that changes a row's PARTITION VALUE physically moves it
+      spark.sql("""
+        MERGE INTO snap_pdml USING
+          (SELECT CAST(101 AS BIGINT) AS id, 9 AS day) s
+        ON snap_pdml.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT day FROM snap_pdml WHERE id = 101").head().getInt(0) == 9)
+      assert(spark.read.format("graft-snapshot").option("path", root).load()
+        .filter($"day" === 9).count() == 1L)
+      assert(store.readFullManifest(store.latestVersion.get)
+        .entries.exists(_.path.contains("day=9")),
+        "a merged row with a new partition value must live in its new directory")
+      // INSERT OVERWRITE keeps the table partitioned
+      spark.sql("INSERT OVERWRITE snap_pdml VALUES (7, 1), (8, 2)")
+      val m = store.readFullManifest(store.latestVersion.get)
+      assert(m.partCols == Seq("day"), "OVERWRITE must not drop the partition layout")
+      assert(m.entries.forall(_.path.contains("day=")))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_pdml").head().getLong(0) == 2L)
+    } finally spark.sql("DROP TABLE snap_pdml")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
