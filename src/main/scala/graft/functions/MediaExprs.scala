@@ -356,7 +356,8 @@ case class PnmDecode(child: Expression) extends UnaryExpression {
       }
       i += 1
     }
-    new GenericInternalRow(Array[Any](fmt, w, h, maxval, new GenericArrayData(gray)))
+    new GenericInternalRow(Array[Any](fmt, w, h, maxval,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(gray)))
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -566,7 +567,8 @@ case class ImageIoDecode(child: Expression) extends UnaryExpression {
           gray(i) = ((2126L * r + 7152L * g + 722L * b) / 10000L).toInt
           i += 1
         }
-        new GenericInternalRow(Array[Any](fmt, w, h, new GenericArrayData(gray)))
+        new GenericInternalRow(Array[Any](fmt, w, h,
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(gray)))
       } finally reader.dispose()
     } catch {
       case scala.util.control.NonFatal(_) => null // decode failure is data
@@ -880,7 +882,11 @@ case class AviFrames(left: Expression, right: Expression)
       }
       if (!framesOk || nFrames == 0) return null
       val frames = sampled.map { case (idx, gray) =>
-        new GenericInternalRow(Array[Any](idx, new GenericArrayData(gray)))
+        new GenericInternalRow(Array[Any](idx,
+          // zero-boxing wrap: a GenericArrayData here boxed every pixel
+          // (~16 B/px of garbage per sampled frame - the measured GC
+          // pressure behind q269's full-catalog inflation)
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(gray)))
       }.toArray[Any]
       new GenericInternalRow(Array[Any](w, h, nFrames, new GenericArrayData(frames)))
     } catch {

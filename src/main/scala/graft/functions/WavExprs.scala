@@ -105,7 +105,10 @@ case class WavDecode(child: Expression) extends UnaryExpression {
           i += 1
         }
         return new GenericInternalRow(Array[Any](
-          sampleRate, channels, bits, out.length, new GenericArrayData(out)))
+          sampleRate, channels, bits, out.length,
+          // zero-boxing wrap for the PCM sample array (same GC story
+          // as the video frame grays)
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)))
       }
       pos = body + size.toInt + (size.toInt & 1) // WORD-aligned chunks
     }
