@@ -463,7 +463,8 @@ final class SnapshotStore(root: String) {
     * set is stale; blind rebase could resurrect rows a racer changed) —
     * re-run the merge against the new state.
     */
-  def mergeInto(spark: SparkSession, delta: DataFrame, keys: Seq[String]): Long = {
+  def mergeInto(spark: SparkSession, delta: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "SnapshotStore.mergeInto: no key columns")
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.mergeInto: no committed versions at $root"))
@@ -491,7 +492,7 @@ final class SnapshotStore(root: String) {
     val staged =
       if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
       else stagePartitioned(merged, m.partCols, m.statsColumn)
-    publishEntries(untouched ++ staged, m.schema, m.statsColumn,
+    publishEntries(untouched ++ staged, m.schema, m.statsColumn, txn,
       expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 

@@ -202,11 +202,16 @@ final class SnapshotSourceProvider extends StreamSourceProvider
       s"graft-snapshot sink: unsupported output mode $outputMode (Append|Complete)")
     require(partitionColumns.isEmpty || outputMode == OutputMode.Append(),
       "graft-snapshot sink: partitionBy requires Append mode")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(mergeKeys.isEmpty || outputMode == OutputMode.Append(),
+      "graft-snapshot sink: mergeKeys requires Append mode " +
+        "(each micro-batch upserts by key)")
     new SnapshotStreamSink(storeFor(parameters), outputMode,
       parameters.get("statsColumn"),
       parameters.get("mergeSchema").exists(_.toBoolean),
       parameters.getOrElse("txnAppId", "default"),
-      partitionColumns)
+      partitionColumns, mergeKeys)
   }
 
   override def sourceSchema(
@@ -243,7 +248,8 @@ final class SnapshotStreamSink(
     statsColumn: Option[String],
     mergeSchema: Boolean,
     txnAppId: String = "default",
-    partitionBy: Seq[String] = Nil) extends Sink {
+    partitionBy: Seq[String] = Nil,
+    mergeKeys: Seq[String] = Nil) extends Sink {
 
   /** Highest batch id THIS sink instance committed (or found committed
     * on its first scan). `lastTxn` walks manifests newest-first — O(1)
@@ -264,11 +270,20 @@ final class SnapshotStreamSink(
     val batch = GraftStreamBridge.asBatchFrame(data)
     if (outputMode == OutputMode.Complete())
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)))
-    else if (store.latestVersion.isEmpty && partitionBy.nonEmpty)
-      // `writeStream.partitionBy(...)`: the FIRST batch creates the
-      // table hive-partitioned; every later append inherits the layout
+    else if (store.latestVersion.isEmpty)
+      // the FIRST batch creates the table (hive-partitioned when
+      // `writeStream.partitionBy(...)` asked for it); later batches
+      // append or upsert against it
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)),
         partitionBy = partitionBy)
+    else if (mergeKeys.nonEmpty)
+      // STREAMING CDC APPLY: each micro-batch is a copy-on-write upsert
+      // by key — stats-pruned candidates, touched files rewritten,
+      // exactly-once via the same #txn ledger (a replayed batch whose
+      // merge already committed is a no-op; a merge that failed
+      // committed NOTHING, so the engine's replay re-runs it cleanly)
+      store.mergeInto(batch.sparkSession, batch, mergeKeys,
+        txn = Some((txnAppId, batchId)))
     else
       store.commitAppend(batch, statsColumn, mergeSchema,
         txn = Some((txnAppId, batchId)))

@@ -669,6 +669,45 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_pdml")
   }
 
+  test("streaming CDC apply: mergeKeys upserts each micro-batch copy-on-write, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.format("graft-snapshot")
+      .option("path", root).option("checkpointLocation", cp)
+      .option("mergeKeys", "id").option("statsColumn", "id")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      // batch 2 updates key 2 and inserts key 3
+      input.addData((2L, "B"), (3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    assert(store.versions.length == 2)
+    val got = store.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      "micro-batch 2 must upsert, not append a duplicate key 2")
+    // engine-style replay of a committed batch id: NO new version, no double-merge
+    val sink = new SnapshotStreamSink(store,
+      org.apache.spark.sql.streaming.OutputMode.Append(), Some("id"), false,
+      "default", Nil, Seq("id"))
+    sink.addBatch(1L, frame(90 to 99, "dup"))
+    assert(store.versions.length == 2)
+    assert(store.read(spark).count() == 3L)
+    // a genuinely new batch merges
+    import org.apache.spark.sql.functions.lit
+    sink.addBatch(2L, Seq((3L, "C"), (4L, "d")).toDF("id", "v"))
+    assert(store.versions.length == 3)
+    assert(store.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d")))
+    // history: every pre-merge state is still time-travelable
+    assert(store.read(spark, Some(0L)).count() == 2L)
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
