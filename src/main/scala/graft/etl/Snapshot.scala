@@ -656,6 +656,29 @@ final class SnapshotStore(root: String) {
       s"SnapshotStore: stats column value $other is not an integer-encodable type")
   }
 
+  /** RESTORE: republish version `toVersion`'s exact file list as the
+    * NEXT version — the table's state rolls back (or forward) with
+    * ZERO data copying, because files are immutable and the manifest
+    * owns visibility (Delta's RESTORE semantics). dataChange = true:
+    * rows visibly changed versus the current version, so the change
+    * feed emits the honest file-set diff (current-only files out,
+    * restored-only files in; files live in both manifests never move).
+    * History is preserved — the undone versions remain readable until
+    * [[vacuum]], and vacuum keeps any file a KEPT manifest references,
+    * including re-referenced restored files. CAS-pinned: a commit
+    * racing the restore fails it loudly (restoring over a state nobody
+    * decided on is how rollbacks eat data).
+    */
+  def restore(toVersion: Long): Long = {
+    val cur = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.restore: no committed versions at $root"))
+    require(toVersion != cur,
+      s"SnapshotStore.restore: version $toVersion is already current")
+    val m = readFullManifest(toVersion) // loud when vacuumed
+    publishEntries(m.entries, m.schema, m.statsColumn,
+      partCols = m.partCols, expectedVersion = Some(cur + 1L))
+  }
+
   /** Highest streaming batch id committed into this table by `appId` —
     * the newest version carrying that app's `#txn` marker wins
     * (versions are serial, so a later manifest is a later commit).

@@ -647,6 +647,37 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark).count() == 5L, "vacuum never touches referenced files")
   }
 
+  test("restore republishes an old version's files as the new state: zero copy, honest feed, vacuum-safe") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 6, "good"))      // v0
+    store.commitOverwrite(frame(1 to 2, "oops"))      // v1: the bad deploy
+    store.commitAppend(frame(50 to 50, "more"))       // v2
+    val rv = store.restore(0L)                        // v3 = v0's state
+    assert(rv == 3L)
+    val got = store.read(spark)
+    assert(got.count() == 6L)
+    assert(got.select("tag").distinct().head().getString(0) == "good")
+    // ZERO copy: the restored version references v0's files by identity
+    assert(store.readFullManifest(3L).entries.map(_.path).toSet ==
+      store.readFullManifest(0L).entries.map(_.path).toSet)
+    // the undone versions remain readable history
+    assert(store.read(spark, Some(1L)).count() == 2L)
+    assert(store.read(spark, Some(2L)).count() == 3L)
+    // the feed for the restore is the honest diff: bad state out, v0 back in
+    val feed = store.readChanges(spark, 2L)
+    assert(feed.filter($"_change_type" === "delete").count() == 3L)
+    assert(feed.filter($"_change_type" === "insert").count() == 6L)
+    // vacuum keeps the re-referenced files (v3 holds them) while
+    // dropping the undone versions' own files
+    store.vacuum(keepLast = 1)
+    assert(store.versions == Seq(3L))
+    assert(store.read(spark).count() == 6L)
+    // restoring the CURRENT version is refused; a vacuumed target is loud
+    intercept[IllegalArgumentException] { store.restore(3L) }
+    intercept[IllegalArgumentException] { store.restore(1L) }
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")
