@@ -475,9 +475,17 @@ final class SnapshotStore(root: String) {
     val pruneCol = m.statsColumn.filter(keys.contains)
     val (touched, untouched) = pruneCol match {
       case Some(c) =>
-        val r = delta.agg(
-          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)),
-          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c))).head()
+        import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+        val r = delta.agg(min(col(c)), max(col(c)),
+          count(when(col(c).isNull, lit(1)))).head()
+        // NULL merge keys are refused: footer min/max never cover
+        // nulls, so a null-key base row in a pruned file would escape
+        // the rewrite while one in a touched file would not — a
+        // nondeterministic upsert (and SQL MERGE's ON never matches
+        // null = null anyway; land null-key rows with commitAppend)
+        require(r.getLong(2) == 0L,
+          s"SnapshotStore.mergeInto: delta has ${r.getLong(2)} rows with a " +
+            s"NULL '$c' key — null merge keys are not supported")
         if (r.isNullAt(0)) (Seq.empty[FileEntry], m.entries) // empty delta
         else {
           val (lo, hi) = (toStatsLong(r.get(0)), toStatsLong(r.get(1)))

@@ -360,6 +360,11 @@ final class SnapshotStreamSource(
     * emit no rows — batches only ever get smaller).
     */
   private def addedBytes(v: Long): Long = {
+    // a vacuumed version inside the pending range: contribute nothing
+    // here — getBatch will fail LOUDLY with readInserts' recovery
+    // recipe, which beats an opaque missing-manifest error at offset
+    // time
+    if (!store.versions.contains(v)) return 0L
     val cur = store.manifestAt(Some(v))._3
     val prevPaths: Set[String] =
       if (!store.versions.contains(v - 1)) Set.empty

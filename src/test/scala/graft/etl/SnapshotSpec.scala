@@ -507,6 +507,21 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).filter($"v" === "UPD").count() == 0L)
   }
 
+  test("copy-on-write merge refuses NULL merge keys (pruning cannot see null rows)") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      statsColumn = Some("id"))
+    val delta = Seq((Some(5L), "upd"), (None, "null-key"))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      store.mergeInto(spark, delta, Seq("id"))
+    }
+    assert(e.getMessage.contains("NULL"))
+    assert(store.versions == Seq(0L), "a refused merge commits nothing")
+  }
+
   test("copy-on-write delete prunes by predicate bounds; NULL predicate rows are kept") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
