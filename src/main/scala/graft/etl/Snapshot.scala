@@ -664,6 +664,77 @@ final class SnapshotStore(root: String) {
       s"SnapshotStore: stats column value $other is not an integer-encodable type")
   }
 
+  /** CONVERT-in-place (Delta's CONVERT TO DELTA): adopt the parquet
+    * files ALREADY under `data/` into versioned management with ZERO
+    * rewrite — list them, optionally collect footer stats, publish the
+    * inventory as version 0. From then on every commit/read/feed/DML
+    * behaves as if the table had been born managed; the adopted files
+    * are generation zero. Hive-style `col=value` layouts adopt as
+    * partitioned tables when `partitionBy` names the columns (every
+    * file must carry all of them in its path — a missing segment is a
+    * malformed lake, refused loudly). Only an EMPTY store may adopt:
+    * converting over existing history is a decision vacuum+overwrite
+    * already expresses.
+    */
+  def convertInPlace(spark: SparkSession, statsColumn: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(latestVersion.isEmpty,
+      s"SnapshotStore.convertInPlace: store at $root already has versions " +
+        s"${versions.mkString(",")} — adoption is for unmanaged directories")
+    require(Files.isDirectory(dataDir),
+      s"SnapshotStore.convertInPlace: no data/ directory under $root to adopt")
+    val walk = Files.walk(dataDir)
+    val paths = try {
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => rootPath.relativize(p).toString)
+        .toSeq.sorted
+    } finally walk.close()
+    require(paths.nonEmpty,
+      s"SnapshotStore.convertInPlace: no parquet files under $dataDir")
+    partitionBy.foreach { c =>
+      val missing = paths.filterNot(_.split('/').exists(_.startsWith(c + "=")))
+      require(missing.isEmpty,
+        s"SnapshotStore.convertInPlace: ${missing.length} files lack a '$c=' " +
+          s"path segment (first: ${missing.headOption.getOrElse("")}) — " +
+          "not a hive-partitioned layout")
+    }
+    // schema from the files themselves (footer-merged), partition
+    // columns appended from the declared layout in the normalized
+    // (data-then-partition) order
+    val fileSchema = spark.read
+      .parquet(paths.map(p => rootPath.resolve(p).toString): _*).schema
+    val schema =
+      if (partitionBy.isEmpty) fileSchema
+      else {
+        // infer each partition column's type from its observed values:
+        // all-long → long, else string (the conservative hive default)
+        val asLong = partitionBy.map { c =>
+          val vals = paths.map(p => partitionTupleOf(p, Seq(c)).head).distinct
+          c -> vals.forall(v => v != SnapshotStore.HiveNullPartition &&
+            scala.util.Try(v.toLong).isSuccess)
+        }.toMap
+        StructType(fileSchema.fields ++ partitionBy.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            if (asLong(c)) LongType else StringType)))
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = statsColumn match {
+      case None => paths.map(FileEntry(_, None, None))
+      case Some(c) =>
+        require(!partitionBy.contains(c),
+          s"SnapshotStore.convertInPlace: stats column '$c' cannot be a partition column")
+        paths.map { rel =>
+          val stats = footerMinMax(
+            new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), c, conf)
+          FileEntry(rel, stats.map(_._1), stats.map(_._2))
+        }
+    }
+    publishEntries(entries, schema, statsColumn, partCols = partitionBy,
+      expectedVersion = Some(0L))
+  }
+
   /** RESTORE: republish version `toVersion`'s exact file list as the
     * NEXT version — the table's state rolls back (or forward) with
     * ZERO data copying, because files are immutable and the manifest

@@ -693,6 +693,54 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { store.restore(1L) }
   }
 
+  test("convertInPlace adopts an unmanaged parquet lake with zero rewrite; partitioned layouts included") {
+    import spark.implicits._
+    // an UNMANAGED lake: plain parquet written under data/ by someone else
+    val root = tmp()
+    val lake = (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    lake.write.parquet(s"$root/data/legacy")
+    val preFiles = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(Paths.get(root, "data"))
+      try w.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(p => Paths.get(root).relativize(p).toString).toSet
+      finally w.close()
+    }
+    val store = new SnapshotStore(root)
+    val v0 = store.convertInPlace(spark, statsColumn = Some("id"))
+    assert(v0 == 0L)
+    // ZERO rewrite: the manifest references the legacy files by identity
+    assert(store.readFullManifest(0L).entries.map(_.path).toSet == preFiles)
+    assert(store.read(spark).count() == 4000L)
+    // footer stats were collected during adoption: pruning works day one
+    assert(store.readRange(spark, "id", 10L, 20L).inputFiles.length == 1)
+    // and the table is fully managed from here: append, feed, time travel
+    store.commitAppend(Seq((99999L, "new")).toDF("id", "v").coalesce(1))
+    assert(store.readChanges(spark, 0L).count() == 1L)
+    assert(store.read(spark, Some(0L)).count() == 4000L)
+    // adopting over existing history is refused
+    val e = intercept[IllegalArgumentException] { store.convertInPlace(spark) }
+    assert(e.getMessage.contains("already has versions"))
+    // hive-partitioned lake adopts as a partitioned table
+    val root2 = tmp()
+    (1 to 3).flatMap(d => (1 to 10).map(i => (d * 100L + i, d)))
+      .toDF("id", "day").write.partitionBy("day").parquet(s"$root2/data/legacy")
+    val store2 = new SnapshotStore(root2)
+    store2.convertInPlace(spark, partitionBy = Seq("day"))
+    val got2 = store2.read(spark)
+    assert(got2.count() == 30L)
+    assert(got2.filter(col("day") === 2L).count() == 10L)
+    assert(store2.readFullManifest(0L).partCols == Seq("day"))
+    // declaring a partition column the layout lacks is loud
+    val root3 = tmp()
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root3/data/flat")
+    val e2 = intercept[IllegalArgumentException] {
+      new SnapshotStore(root3).convertInPlace(spark, partitionBy = Seq("day"))
+    }
+    assert(e2.getMessage.contains("not a hive-partitioned layout"))
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")
