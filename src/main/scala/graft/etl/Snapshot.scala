@@ -415,18 +415,28 @@ final class SnapshotStore(root: String) {
     * key-ordered).
     */
   def compactLatest(spark: SparkSession, targetFiles: Int,
-      clusterBy: Option[String] = None): Long = {
+      clusterBy: Option[String] = None, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, s"compactLatest: targetFiles must be >= 1, got $targetFiles")
+    require(zorderBy.isEmpty || clusterBy.isEmpty,
+      "compactLatest: clusterBy and zorderBy are mutually exclusive")
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.compactLatest: no committed versions at $root"))
     val m = readFullManifest(v)
-    val cluster = clusterBy.orElse(m.statsColumn)
+    val cluster = clusterBy.orElse(if (zorderBy.nonEmpty) None else m.statsColumn)
     val df = scan(spark, m.schema, m.entries, m.partCols)
-    val laid = cluster match {
-      case Some(c) => df.repartitionByRange(targetFiles,
-        org.apache.spark.sql.functions.col(c))
-      case None => df.repartition(targetFiles)
-    }
+    // Z-ORDER maintenance (Delta's OPTIMIZE ZORDER BY): interleave the
+    // named columns' range-bucket bits into one morton key and
+    // range-cluster on it — every rewritten file gets a COMPACT range
+    // in ALL the named dimensions at once, so the manifest stats (one
+    // column) AND the parquet footer stats (every column) both prune
+    // multi-dimensional range queries after routine maintenance.
+    val laid =
+      if (zorderBy.nonEmpty) graft.ext.Layout.zorderLayout(df, zorderBy, targetFiles)
+      else cluster match {
+        case Some(c) => df.repartitionByRange(targetFiles,
+          org.apache.spark.sql.functions.col(c))
+        case None => df.repartition(targetFiles)
+      }
     // partitioned tables re-stage hive-style: targetFiles bounds the
     // files per PARTITION (each partition directory compacts separately)
     val staged =

@@ -272,7 +272,8 @@ object IngestJob {
   * nobody should read anymore).
   *
   *   --src STORE_ROOT --snapshot on [--target-mb 128]
-  *     [--cluster-by COL] [--vacuum-keep N]
+  *     [--cluster-by COL | --zorder-by COL1,COL2] [--vacuum-keep N]
+  *     [--vacuum-min-age-ms MS]
   */
 object CompactJob {
   def run(spark: SparkSession, conf: Map[String, String]): (Long, Int) = {
@@ -286,8 +287,11 @@ object CompactJob {
         if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L
       }.sum
       val parts = math.max(1L, (bytes + targetBytes0 - 1) / targetBytes0).toInt
-      val v = store.compactLatest(spark, parts, conf.get("cluster-by"))
-      conf.get("vacuum-keep").map(_.toInt).foreach(k => store.vacuum(k))
+      val zorder = conf.get("zorder-by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val v = store.compactLatest(spark, parts, conf.get("cluster-by"), zorder)
+      conf.get("vacuum-keep").map(_.toInt).foreach(k =>
+        store.vacuum(k, conf.getOrElse("vacuum-min-age-ms", "0").toLong))
       val rows = store.read(spark).count()
       println(s"""{"job":"compact","snapshot":true,"src_bytes":$bytes,""" +
         s""""out_files":$parts,"version":$v,"rows":$rows}""")

@@ -741,6 +741,53 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("not a hive-partitioned layout"))
   }
 
+  test("z-order compaction: both clustered dimensions prune after maintenance, rows bit-identical") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // streaming-shaped arrival: every file spans BOTH key ranges
+    (0 until 4).foreach { r =>
+      store.commitAppend(
+        (1L to 4000L).filter(_ % 4 == r).map(i => (i, (i * 37L) % 4096L, s"v$i"))
+          .toDF("a", "b", "v").coalesce(1),
+        statsColumn = Some("a"))
+    }
+    val before = store.read(spark)
+    assert(before.inputFiles.length == 4)
+    val cv = store.compactLatest(spark, targetFiles = 8, zorderBy = Seq("a", "b"))
+    val after = store.read(spark)
+    assert(after.count() == 4000L)
+    assert(after.orderBy("a").collect().toSeq ==
+      before.orderBy("a").collect().toSeq, "z-order rewrite is bit-identical")
+    // manifest stats on 'a' prune a-range queries: a z-ordered file
+    // holds a compact a-range (not the full span every pre-compaction
+    // file had)
+    val aSlice = store.readRange(spark, "a", 100L, 200L)
+    assert(aSlice.count() == 101L)
+    assert(aSlice.inputFiles.length < 8,
+      s"z-order must give compact per-file a-ranges, scanned ${aSlice.inputFiles.length}")
+    // the second dimension prunes at the parquet footer: every file's
+    // b-range is also compact (max per-file extent well under the span)
+    import org.apache.parquet.hadoop.{ParquetFileReader => PFR}
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bExtents = after.inputFiles.map { f =>
+      val r = PFR.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val st = r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "b").map(_.getStatistics)
+        val lo = st.map(_.genericGetMin.asInstanceOf[Long]).min
+        val hi = st.map(_.genericGetMax.asInstanceOf[Long]).max
+        hi - lo
+      } finally r.close()
+    }
+    assert(bExtents.count(_ <= 4096 / 2) >= after.inputFiles.length / 2,
+      s"at least half the z-ordered files must hold a compact b-range, extents: ${bExtents.mkString(",")}")
+    // feed still skips the rewrite (dataChange = false)
+    assert(store.readChanges(spark, cv - 1, Some(cv)).isEmpty)
+  }
+
   test("q116's snapshotDiff over two REAL manifest versions matches the in-memory diff") {
     import spark.implicits._
     val base = (1L to 40L).map(k => (k, k % 5, k * 2.0)).toDF("k", "g", "p")
