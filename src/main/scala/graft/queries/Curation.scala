@@ -724,6 +724,97 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM m GROUP BY 1 ORDER BY ver
+      """)),
+    // ----------------------------------------------------------------
+    // Z-order compaction (OPTIMIZE ZORDER BY): two overlapping appends,
+    // then a zorder rewrite over (o_custkey, o_totalprice-bucket) —
+    // dataChange=false, so rows must be bit-identical through the
+    // morton re-layout AND the change feed must still contain exactly
+    // the two appends. The multi-dimensional aggregate read afterwards
+    // pays the rewritten layout; the oracle replays the append algebra
+    // and the aggregate directly — a z-key that permuted, dropped or
+    // duplicated rows breaks the hash.
+    Q(
+      "q284_zorder_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            ($"o_orderkey" % 1000L).as("bucket1k"))
+        val root = java.nio.file.Files.createTempDirectory("graft-zord").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitAppend(o.filter($"o_orderkey" % 2 === 0),
+          statsColumn = Some("o_orderkey"))
+        store.commitAppend(o.filter($"o_orderkey" % 2 === 1))
+        store.compactLatest(s, targetFiles = 8,
+          zorderBy = Seq("o_custkey", "bucket1k"))
+        val feed = store.readChanges(s, -1L)
+          .groupBy($"_commit_version")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        val slice = store.read(s)
+          .filter($"o_custkey" <= 200L && $"bucket1k".between(100L, 300L))
+          .agg(lit(-1L).as("_commit_version"), count(lit(1)).as("n"),
+            sum($"o_orderkey").as("key_sum"))
+        feed.unionByName(slice).orderBy($"_commit_version")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderkey % 1000 AS bucket1k
+          FROM orders),
+        feed AS (
+          SELECT CAST(o_orderkey % 2 AS BIGINT) AS _commit_version,
+                 o_orderkey FROM o),
+        agg AS (
+          SELECT _commit_version, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM feed GROUP BY 1),
+        slice AS (
+          SELECT CAST(-1 AS BIGINT) AS _commit_version, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM o WHERE o_custkey <= 200 AND bucket1k BETWEEN 100 AND 300)
+        SELECT * FROM agg UNION ALL SELECT * FROM slice
+        ORDER BY _commit_version
+      """)),
+    // ----------------------------------------------------------------
+    // CONVERT-in-place: an UNMANAGED parquet lake (written by a plain
+    // df.write under the store root) adopted into versioned management
+    // with zero rewrite — footer stats collected at adoption, then a
+    // managed append lands on top. The readback aggregates the adopted
+    // generation AND the post-adoption increment per generation tag;
+    // the oracle replays both. A mis-inventoried file (lost, doubled,
+    // wrong stats) breaks rows/hash.
+    Q(
+      "q285_convert_in_place",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("legacy").as("gen"))
+        val root = java.nio.file.Files.createTempDirectory("graft-adopt").toString
+        o.repartitionByRange(6, $"o_orderkey")
+          .write.parquet(s"$root/data/legacy")
+        val store = new graft.etl.SnapshotStore(root)
+        store.convertInPlace(s, statsColumn = Some("o_orderkey"))
+        store.commitAppend(
+          o.filter($"o_orderkey" % 100 === 0)
+            .select(($"o_orderkey" + 500000000L).as("o_orderkey"),
+              $"o_custkey", lit("managed").as("gen")))
+        store.read(s)
+          .groupBy($"gen")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            sum($"o_custkey").as("cust_sum"))
+          .orderBy($"gen")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        uni AS (
+          SELECT o_orderkey, o_custkey, 'legacy' AS gen FROM o
+          UNION ALL
+          SELECT o_orderkey + 500000000, o_custkey, 'managed'
+          FROM o WHERE o_orderkey % 100 = 0)
+        SELECT gen, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM uni GROUP BY 1 ORDER BY gen
       """))
   )
 }
