@@ -815,6 +815,44 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM uni GROUP BY 1 ORDER BY gen
+      """)),
+    // ----------------------------------------------------------------
+    // RESTORE through the change feed: good deploy (v0), bad deploy
+    // (v1 full replace), zero-copy rollback (v2 = restore(0)). The feed
+    // must show v1 as delete(good)+insert(bad) and the restore as the
+    // symmetric delete(bad)+insert(good) — restored rows re-enter the
+    // feed from v0's ORIGINAL files (file identity, no copy; the spec
+    // pins the identity, this oracle pins the row algebra). A restore
+    // that leaked the wrong generation or double-counted shared files
+    // breaks a group.
+    Q(
+      "q286_restore_feed",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders").select($"o_orderkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-rst").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.filter($"o_orderkey" % 3 === 0)) // v0: good
+        store.commitOverwrite(o.filter($"o_orderkey" % 5 === 0)) // v1: bad deploy
+        store.restore(0L)                                        // v2: rollback
+        store.readChanges(s, -1L)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      Some("""
+        WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0),
+        feed AS (
+          SELECT CAST(0 AS BIGINT) AS v, 'insert' AS t, o_orderkey FROM a
+          UNION ALL SELECT 1, 'delete', o_orderkey FROM a
+          UNION ALL SELECT 1, 'insert', o_orderkey FROM b
+          UNION ALL SELECT 2, 'delete', o_orderkey FROM b
+          UNION ALL SELECT 2, 'insert', o_orderkey FROM a)
+        SELECT v AS _commit_version, t AS _change_type, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM feed GROUP BY 1, 2
+        ORDER BY _commit_version, _change_type
       """))
   )
 }
