@@ -194,6 +194,12 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     * exactly-once on top of the engine's at-least-once replay, the same
     * ledger idea as the JDBC sink's batch_id repair but with zero
     * repair — the duplicate commit simply never happens.
+    *
+    * Two Append-mode variants: `writeStream.partitionBy(cols)` makes
+    * the FIRST batch create the table hive-partitioned (appends inherit
+    * the layout), and `option("mergeKeys", "k1,k2")` turns every
+    * micro-batch into a copy-on-write UPSERT by key — the streaming CDC
+    * apply path, with the same `#txn` exactly-once.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
