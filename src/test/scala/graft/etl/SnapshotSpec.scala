@@ -351,25 +351,36 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no version committed at or before"))
   }
 
-  test("racing appenders: the CAS loser rebases and BOTH commits land — no silent lost commit") {
+  test("racing appenders: CAS losers rebase and EVERY commit lands — no silent lost commit") {
     val store = new SnapshotStore(tmp())
     store.commitOverwrite(frame(1 to 10, "base"))
-    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    // 6 appenders × 3 rounds through one barrier per round: collisions
+    // are effectively certain, so the rebase-retry path executes for
+    // real, not just the deterministic single-loser case below
+    val writers = 6; val rounds = 3
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    def appender(ids: Range, tag: String) = new Thread(() => {
-      try { barrier.await(); store.commitAppend(frame(ids, tag)) }
-      catch { case t: Throwable => errs.add(t) }
-    })
-    val ts = Seq(appender(11 to 20, "a"), appender(21 to 35, "b"))
-    ts.foreach(_.start()); ts.foreach(_.join())
-    assert(errs.isEmpty, s"concurrent appends must both succeed: ${errs.peek()}")
-    assert(store.versions == Seq(0L, 1L, 2L), "exactly one version per append")
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          (0 until rounds).foreach { r =>
+            barrier.await()
+            val lo = 1000 + (w * rounds + r) * 100
+            store.commitAppend(frame(lo until lo + 10, s"w$w-r$r"))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"all concurrent appends must succeed: ${errs.peek()}")
+    assert(store.versions.length == 1 + writers * rounds,
+      s"exactly one version per append, got ${store.versions.length}")
     val got = store.read(spark)
-    assert(got.count() == 35L)
-    assert(got.agg(sum("id")).head().getLong(0) == (1L to 35L).sum)
+    assert(got.count() == 10L + writers * rounds * 10L)
+    // every writer's every round landed exactly once
     assert(got.groupBy("tag").count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet ==
-      Set(("base", 10L), ("a", 10L), ("b", 15L)))
+      .forall(_.getLong(1) == 10L))
+    assert(got.select("tag").distinct().count() == 1L + writers * rounds)
   }
 
   test("a compaction racing an append loses LOUDLY — never silently drops the racer's rows") {
