@@ -161,7 +161,39 @@ final class SnapshotStore(root: String) {
     } finally s.close()
   }
 
-  def latestVersion: Option[Long] = versions.lastOption
+  /** Cached latest-version pointer. Commit retries, streaming
+    * `getOffset` ticks and format reads all ask for the latest version;
+    * re-listing the manifest directory each time is O(versions) driver
+    * IO per call — a long-retention table under a per-minute streaming
+    * sink accumulates ~500k manifests/year. The cache turns the hot
+    * path into one or two `stat(2)` probes.
+    *
+    * Soundness: versions are DENSE above any committed version (every
+    * publish is latest+1; vacuum only deletes from the bottom), so
+    * probing `cached+1, cached+2, ...` until absent finds the true
+    * latest even when OTHER processes committed meanwhile — the cache
+    * can only ever be BEHIND, never ahead, and the forward probe closes
+    * the gap on every read. A publisher composing against a
+    * behind-cache value still cannot lose data: the `link(2)` CAS in
+    * [[publishEntries]] arbitrates, and the loser's retry re-reads
+    * through the probe. -1 = nothing cached; a cached version whose
+    * manifest vanished (out-of-band wipe) falls back to the listing.
+    */
+  @volatile private var cachedLatest: Long = -1L
+
+  def latestVersion: Option[Long] = {
+    val c = cachedLatest
+    if (c >= 0L && Files.isRegularFile(manifestPath(c))) {
+      var v = c
+      while (Files.isRegularFile(manifestPath(v + 1))) v += 1
+      if (v > c) cachedLatest = v // monotone: racing advances both land >= c
+      Some(v)
+    } else {
+      val fresh = versions.lastOption
+      cachedLatest = fresh.getOrElse(-1L)
+      fresh
+    }
+  }
 
   /** Full-snapshot overwrite: stage `df` as fresh immutable files, then
     * publish a manifest listing ONLY them. Returns the new version.
@@ -335,11 +367,13 @@ final class SnapshotStore(root: String) {
             // a racer REPLACED the table with a different partition
             // layout mid-append: our staged files have the wrong
             // directory shape — this is an overwrite conflict, not a
-            // commutable append
+            // commutable append. Non-retryable: the staged files keep
+            // the stale layout, so every rebase attempt would re-throw.
             throw new ConcurrentCommitException(
               s"SnapshotStore.commitAppend: table partitioning changed " +
                 s"(${p.mkString(",")} -> ${parts.mkString(",")}) while this " +
-                "append was staging; re-run against the new layout")
+                "append was staging; re-run against the new layout",
+              retryable = false)
           case Some((files, col, _)) if col == effective => files
           case Some((files, _, _)) =>
             // A rebase changed the effective stats column (a racer
@@ -355,6 +389,7 @@ final class SnapshotStore(root: String) {
         return publishEntries(oldFiles ++ entries, published, effective, txn,
           partCols = parts, expectedVersion = Some(expected))
       } catch {
+        case e: ConcurrentCommitException if !e.retryable => throw e
         case e: ConcurrentCommitException =>
           if (attempt >= 8) throw new ConcurrentCommitException(
             s"SnapshotStore.commitAppend: lost the commit race $attempt times " +
@@ -414,6 +449,14 @@ final class SnapshotStore(root: String) {
     * compaction (streaming appends arrive time-ordered, not
     * key-ordered).
     */
+  /** Spec hook: runs between a compaction's staging and its first
+    * publish attempt, where a real deployment's racing commits land —
+    * lets the rebase/loud-loser interleavings be tested
+    * DETERMINISTICALLY instead of probabilistically. No-op in
+    * production.
+    */
+  private[etl] var onCompactStaged: () => Unit = () => ()
+
   def compactLatest(spark: SparkSession, targetFiles: Int,
       clusterBy: Option[String] = None, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, s"compactLatest: targetFiles must be >= 1, got $targetFiles")
@@ -442,12 +485,64 @@ final class SnapshotStore(root: String) {
     val staged =
       if (m.partCols.isEmpty) stageEntries(laid, m.statsColumn)
       else stagePartitioned(laid, m.partCols, m.statsColumn)
-    // Pinned to the version whose rows were rewritten: if ANY commit
-    // landed while the compaction ran, publishing the rewrite would
-    // silently drop it under a dataChange=false flag — the CAS makes
-    // that race a loud failure instead (re-run the compaction).
-    publishEntries(staged, m.schema, m.statsColumn, m.txn, rewrite = true,
-      expectedVersion = Some(v + 1L), partCols = m.partCols)
+    // CONFLICT GRANULARITY (the second half of optimistic concurrency —
+    // Delta's protocol lets a dataChange=false rewrite commit when the
+    // concurrent commits didn't touch the files it rewrote): a
+    // compaction pinned to the version it read would LIVELOCK under a
+    // steady writer (a per-minute CDC-apply sink commits faster than a
+    // long OPTIMIZE runs — it could never land). So on losing the CAS,
+    // diff the new latest against the pinned version:
+    //
+    //   - every rewritten file still present, same layout → the racers
+    //     were appends (or CoW merges over OTHER files): REBASE as a
+    //     rewrite of the latest = (latest files − rewritten files) +
+    //     compacted files. Rows of the published version ≡ rows of the
+    //     latest (latest − pinned + compacted(pinned)), so the
+    //     dataChange=false flag stays honest and feeds still skip it.
+    //   - any rewritten file vanished (an overwrite/restore/CoW rewrote
+    //     or dropped one of them) or the partition layout changed → the
+    //     compacted rows are STALE: fail loudly, re-run against the new
+    //     state. Never lossy either way.
+    onCompactStaged() // spec hook: deterministic racing-commit injection
+    val rewrittenPaths = m.entries.map(_.path).toSet
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val lv = latestVersion.get // >= v: versions never disappear from the top
+      val latest = if (lv == v) m else readFullManifest(lv)
+      if (latest.partCols != m.partCols)
+        throw new ConcurrentCommitException(
+          s"SnapshotStore.compactLatest: table partitioning changed " +
+            s"(${m.partCols.mkString(",")} -> ${latest.partCols.mkString(",")}) " +
+            s"while compacting version $v — re-run against version $lv",
+          retryable = false)
+      val latestByPath = latest.entries.map(e => e.path -> e).toMap
+      val gone = rewrittenPaths.filterNot(latestByPath.contains)
+      if (gone.nonEmpty)
+        throw new ConcurrentCommitException(
+          s"SnapshotStore.compactLatest: ${gone.size} of the files compacted " +
+            s"from version $v were removed by a concurrent commit (latest $lv; " +
+            s"first: ${gone.head}) — the compacted rows are stale, re-run " +
+            "against the new table state", retryable = false)
+      // a racer may have INTRODUCED a stats column (append onto a
+      // stats-less table): our staged entries carry min/max for the
+      // pinned column only — strip when they disagree (conservative)
+      val stagedAdj =
+        if (latest.statsColumn == m.statsColumn) staged
+        else staged.map(_.copy(min = None, max = None))
+      val kept = latest.entries.filterNot(e => rewrittenPaths.contains(e.path))
+      try {
+        return publishEntries(kept ++ stagedAdj, latest.schema,
+          latest.statsColumn, latest.txn, rewrite = true,
+          expectedVersion = Some(lv + 1L), partCols = m.partCols)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= 8) throw new ConcurrentCommitException(
+            s"SnapshotStore.compactLatest: lost the commit race $attempt " +
+              s"times at $root — giving up (${e.getMessage})")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write MERGE (upsert) into the latest version — the
@@ -1004,6 +1099,14 @@ final class SnapshotStore(root: String) {
       pinned: StructType, onOverwrite: String = "fail"): DataFrame = {
     require(Set("fail", "emitNew", "skip").contains(onOverwrite),
       s"SnapshotStore.readInserts: unknown onOverwrite '$onOverwrite'")
+    // An inverted range means the CALLER's cursor regressed (e.g. a
+    // rate-limited offset counted from below the engine's committed
+    // one). Returning an empty frame would let the regression COMMIT —
+    // silent re-delivery on every later trigger. Fail loudly instead.
+    require(fromVersion <= toVersion,
+      s"SnapshotStore.readInserts: inverted range ($fromVersion, $toVersion] " +
+        "— the consumer's start offset is AHEAD of the requested end; its " +
+        "cursor/floor regressed")
     val have = versions.toSet
     // A vacuumed version inside the requested range MUST fail loudly:
     // silently skipping it loses data, and treating its successor's
@@ -1275,6 +1378,7 @@ final class SnapshotStore(root: String) {
             "re-decided against the new table state)")
     }
     Files.deleteIfExists(tmp)
+    if (v > cachedLatest) cachedLatest = v // we VERIFIED v exists (we made it)
     v
   }
 
@@ -1342,11 +1446,18 @@ final class SnapshotStore(root: String) {
 
 /** A commit lost the version CAS: another writer published the version
   * this commit composed against. Appends rebase-retry automatically in
-  * [[SnapshotStore.commitAppend]]; overwrites, compactions and
-  * copy-on-write merges surface it — their composition is stale and
-  * must be re-decided against the new table state.
+  * [[SnapshotStore.commitAppend]]; overwrites and copy-on-write merges
+  * surface it — their composition is stale and must be re-decided
+  * against the new table state; compactions rebase when the racers
+  * didn't touch their rewritten file set.
+  *
+  * `retryable = false` marks a conflict no amount of retrying can
+  * resolve (the table's partition LAYOUT changed under an append: the
+  * staged files have the wrong directory shape) — the rebase loops
+  * rethrow it on first sight instead of spinning out their attempt
+  * budget against a certainty.
   */
-final class ConcurrentCommitException(msg: String)
+final class ConcurrentCommitException(msg: String, val retryable: Boolean = true)
   extends IllegalStateException(msg)
 
 object SnapshotStore {

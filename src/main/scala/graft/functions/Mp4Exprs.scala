@@ -285,7 +285,10 @@ case class Mp4Probe(child: Expression) extends UnaryExpression {
             else {
               val entry = o + 8
               val esz = b.getInt(entry)
-              if (esz < 36 || entry + esz > end) false
+              // bound against the stsd box's OWN end (o + sz), not the
+              // enclosing stbl's: an entry overrunning stsd but staying
+              // inside stbl would read sibling-box bytes as codec bytes
+              if (esz < 36 || entry + esz > o + sz) false
               else {
                 codec = fcc(entry + 4).trim
                 w = b.getShort(entry + 32) & 0xffff

@@ -75,6 +75,12 @@ final class SnapshotFileIndex(
 
   private[graft] def partitionCols: Seq[String] = partCols
 
+  /** The table's stats column (a table PROPERTY — SQL writers must
+    * republish it or data skipping silently dies after one INSERT
+    * OVERWRITE).
+    */
+  private[graft] def statsCol: Option[String] = statsColumn
+
   /** Decoded partition values of each file as an [[InternalRow]] under
     * [[partitionSchema]] — computed once at index build.
     */

@@ -51,7 +51,7 @@ final class SnapshotInsertRule(session: SparkSession) extends Rule[LogicalPlan] 
           "(versionAsOf/timestampAsOf reads are immutable snapshots)")
       InsertIntoSnapshotCommand(index.store, index.fullSchema, query, overwrite,
         byName, catalogTable.map(_.identifier.unquotedString),
-        index.partitionCols)
+        index.partitionCols, index.statsCol)
   }
 }
 
@@ -253,7 +253,8 @@ final case class InsertIntoSnapshotCommand(
     overwrite: Boolean,
     byName: Boolean,
     tableName: Option[String],
-    partitionCols: Seq[String] = Nil) extends LeafRunnableCommand {
+    partitionCols: Seq[String] = Nil,
+    statsColumn: Option[String] = None) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -276,9 +277,12 @@ final case class InsertIntoSnapshotCommand(
         }: _*)
       }
     // INSERT OVERWRITE on a partitioned table keeps the table's layout
-    // (a SQL writer has no partitionBy to pass; silently dropping the
-    // partitioning would kill every reader's pruning)
-    if (overwrite) store.commitOverwrite(shaped, partitionBy = partitionCols)
+    // AND its stats column (a SQL writer has neither a partitionBy nor a
+    // statsColumn to pass; silently dropping either would kill every
+    // reader's pruning — partition or manifest-min/max — after one SQL
+    // overwrite). Append inherits the stats column inside commitAppend.
+    if (overwrite) store.commitOverwrite(shaped, statsColumn,
+      partitionBy = partitionCols)
     else store.commitAppend(shaped)
     // the catalog caches the resolved LogicalRelation (and with it the
     // pre-insert SnapshotFileIndex): invalidate so readers re-plan

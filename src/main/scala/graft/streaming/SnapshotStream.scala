@@ -282,14 +282,28 @@ final class SnapshotStreamSink(
       // append or upsert against it
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)),
         partitionBy = partitionBy)
-    else if (mergeKeys.nonEmpty)
+    else if (mergeKeys.nonEmpty) {
       // STREAMING CDC APPLY: each micro-batch is a copy-on-write upsert
       // by key — stats-pruned candidates, touched files rewritten,
       // exactly-once via the same #txn ledger (a replayed batch whose
       // merge already committed is a no-op; a merge that failed
-      // committed NOTHING, so the engine's replay re-runs it cleanly)
-      store.mergeInto(batch.sparkSession, batch, mergeKeys,
+      // committed NOTHING, so the engine's replay re-runs it cleanly).
+      // Shape onto the table's column ORDER first: mergeInto's schema
+      // check is positional, and a partitionBy first batch normalized
+      // the partition columns last — without the re-select any input
+      // whose partition column isn't already last dies from batch 2 on.
+      import org.apache.spark.sql.functions.col
+      val table = store.tableSchema()
+      val have = batch.columns.toSet
+      val missing = table.fieldNames.filterNot(have.contains)
+      require(missing.isEmpty,
+        s"graft-snapshot sink(mergeKeys): batch lacks table columns " +
+          missing.mkString(", "))
+      val shaped = batch.select(table.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      store.mergeInto(batch.sparkSession, shaped, mergeKeys,
         txn = Some((txnAppId, batchId)))
+    }
     else
       store.commitAppend(batch, statsColumn, mergeSchema,
         txn = Some((txnAppId, batchId)))
@@ -310,6 +324,19 @@ final class SnapshotStreamSource(
     metadataPath: String = "") extends Source {
 
   private val rateLimited = maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  // Admission control is only SAFE when the floor survives a restart:
+  // with a non-persistable metadataPath a fully-committed restart's
+  // first getOffset would count its cap from startingVersion, return an
+  // offset BELOW the engine's committed one, and every later trigger
+  // would silently re-deliver versions the checkpoint already owns.
+  // Refuse loudly instead (readInserts' inverted-range require is the
+  // second line of defense).
+  require(!rateLimited || metadataPath.isEmpty || floorFile.isDefined,
+    "graft-snapshot source: maxVersionsPerTrigger/maxBytesPerTrigger " +
+      s"require a local (file:) checkpoint to persist the delivery floor; " +
+      s"metadataPath '$metadataPath' has a non-local scheme — drop the rate " +
+      "limit or use a local checkpointLocation")
 
   /** The floor: highest version ever handed to the engine. In-memory
     * for the running query; persisted under `metadataPath` (local
@@ -334,7 +361,7 @@ final class SnapshotStreamSource(
           Some(java.nio.file.Paths.get(
             Option(u.getPath).getOrElse(u.getSchemeSpecificPart), "graft-floor"))
         case Some(u) if u.getScheme != null && u.getScheme.length > 1 =>
-          None // non-local checkpoint: in-memory floor only (still safe)
+          None // non-local checkpoint: refused at construction above
         case _ => Some(java.nio.file.Paths.get(metadataPath, "graft-floor"))
       }
     }

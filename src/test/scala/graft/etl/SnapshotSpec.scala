@@ -383,7 +383,7 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.select("tag").distinct().count() == 1L + writers * rounds)
   }
 
-  test("a compaction racing an append loses LOUDLY — never silently drops the racer's rows") {
+  test("a version-pinned publish racing a commit loses LOUDLY — the CAS primitive never silently drops the racer's rows") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
     store.commitOverwrite(frame(1 to 100, "v0"))
@@ -409,6 +409,123 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       store.publishEntries(staged2, m.schema, None, expectedVersion = Some(1L))
     }
     assert(store.read(spark).count() == 105L)
+  }
+
+  test("compaction REBASES over a racing append: dataChange=false lands, rows bit-identical, feed skips it") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 100, "base").repartition(4),
+      statsColumn = Some("id"))
+    val v0Paths = store.readFullManifest(0L).entries.map(_.path).toSet
+    // deterministic interleave: the append lands AFTER the compaction
+    // staged its rewrite, BEFORE its first publish attempt — exactly the
+    // round-13 livelock window (a CDC sink committing mid-OPTIMIZE)
+    store.onCompactStaged = () => {
+      store.onCompactStaged = () => ()
+      store.commitAppend(frame(1000 to 1004, "racer").coalesce(1))
+    }
+    val cv = store.compactLatest(spark, targetFiles = 2)
+    assert(cv == 2L, "v0 base, v1 racing append, v2 rebased rewrite")
+    val m2 = store.readFullManifest(cv)
+    assert(m2.rewrite, "the rebased publish keeps its dataChange=false flag")
+    // rows of the rewrite == rows of the table it rebased onto (v1)
+    val got = store.read(spark).orderBy("id").collect().toSeq
+    assert(got == store.read(spark, Some(1L)).orderBy("id").collect().toSeq)
+    assert(got.length == 105)
+    // the racer's file kept its path identity through the rebase
+    val racerFiles = store.readFullManifest(1L).entries.map(_.path).toSet -- v0Paths
+    assert(racerFiles.nonEmpty &&
+      racerFiles.subsetOf(m2.entries.map(_.path).toSet))
+    // ...and none of the compacted-away originals survived
+    assert(m2.entries.map(_.path).toSet.intersect(v0Paths).isEmpty)
+    // feeds skip the rewrite: a consumer positioned after the append sees nothing
+    assert(store.readChanges(spark, 1L, Some(cv)).isEmpty)
+    // stats survive the rebase: the clustered files prune
+    assert(store.readRange(spark, "id", 1L, 10L).count() == 10L)
+  }
+
+  test("compaction racing a CoW delete that rewrote one of its files still loses LOUDLY") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 100, "base").repartitionByRange(4, col("id")),
+      statsColumn = Some("id"))
+    store.onCompactStaged = () => {
+      store.onCompactStaged = () => ()
+      // rewrites the file holding id=5: one of the compaction's pinned files vanishes
+      store.deleteWhere(spark, col("id") === 5L)
+    }
+    val e = intercept[ConcurrentCommitException] {
+      store.compactLatest(spark, targetFiles = 2)
+    }
+    assert(!e.retryable && e.getMessage.contains("stale"))
+    // the delete's commit is intact; no rewrite version was published
+    assert(store.latestVersion.contains(1L))
+    assert(store.read(spark).count() == 99L)
+    // a re-run against the new state lands cleanly
+    val cv = store.compactLatest(spark, targetFiles = 2)
+    assert(store.readFullManifest(cv).rewrite && store.read(spark).count() == 99L)
+  }
+
+  test("OPTIMIZE lands under a steady appender: the livelock is gone, every append intact") {
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(frame(1 to 50, "base").repartition(4))
+    // a steady writer (the CDC-sink cadence) commits throughout the
+    // compaction's whole staging+publish window
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get() && i < 200) {
+          store.commitAppend(frame(1000 + i * 10 until 1010 + i * 10, s"a$i").coalesce(1))
+          appended.incrementAndGet(); i += 1
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    appender.start()
+    try {
+      val cv = store.compactLatest(spark, targetFiles = 2)
+      assert(store.readFullManifest(cv).rewrite)
+    } finally { stop.set(true); appender.join() }
+    assert(errs.isEmpty, s"appender must never be broken by OPTIMIZE: ${errs.peek()}")
+    assert(appended.get() > 0)
+    // nothing lost on either side: base + every append that committed
+    assert(store.read(spark).count() == 50L + 10L * appended.get())
+  }
+
+  test("latest-version cache never serves a stale version to a publisher: foreign commits seen via forward probe") {
+    val root = tmp()
+    // two store INSTANCES on one root = two processes with independent
+    // caches; each must observe the other's commits without re-listing
+    val a = new SnapshotStore(root)
+    val b = new SnapshotStore(root)
+    a.commitOverwrite(frame(1 to 5, "a0"))
+    assert(b.latestVersion.contains(0L))
+    // warm both caches, then alternate writers: a publisher whose cache
+    // is one behind must land on the CORRECT next version (probe, then
+    // CAS), never clobber or duplicate one
+    (1 to 10).foreach { i =>
+      val w = if (i % 2 == 0) a else b
+      w.commitAppend(frame(i * 100 until i * 100 + 3, s"w$i").coalesce(1))
+      assert(a.latestVersion == b.latestVersion,
+        s"both caches must converge after commit $i")
+      assert(a.latestVersion.contains(i.toLong))
+    }
+    assert(a.versions == (0L to 10L))
+    assert(a.read(spark).count() == 5L + 30L)
+    // racing publishers THROUGH the caches: CAS still arbitrates
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq(a, b).zipWithIndex.map { case (s, i) =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          s.commitAppend(frame(5000 + i * 10 until 5003 + i * 10, s"race$i").coalesce(1))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"both racing appends must land: ${errs.peek()}")
+    assert(a.versions == (0L to 12L) && a.read(spark).count() == 41L)
   }
 
   test("timestamp travel survives a filesystem copy/restore: #ts beats mtime") {

@@ -882,6 +882,15 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val badStss = good.clone()
     java.nio.ByteBuffer.wrap(badStss).putInt(find(badStss, "stss") + 8, 1 << 10)
     assert(probe.probe(badStss) == null)
+    // a VisualSampleEntry whose size overruns stsd but stays inside the
+    // enclosing stbl must null out, not read sibling-box bytes as codec
+    // bytes (the bound is the stsd box's own end, not the stbl's)
+    val badEntry = good.clone()
+    val stsdBox = find(badEntry, "stsd") - 4
+    val stsdSize = java.nio.ByteBuffer.wrap(badEntry).getInt(stsdBox)
+    java.nio.ByteBuffer.wrap(badEntry).putInt(stsdBox + 16, stsdSize)
+    assert(probe.probe(badEntry) == null,
+      "entry overrunning stsd into a sibling box must be a malformation")
     // null column in, null out
     val r = Seq((1L)).toDF("id")
       .select(mp4Probe(lit(null).cast("binary")).as("c"),

@@ -708,6 +708,78 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).count() == 2L)
   }
 
+  test("SQL INSERT OVERWRITE preserves the table's stats column: data skipping survives SQL writers") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 4000L).map(i => (i, "v0")).toDF("id", "tag").repartitionByRange(4, $"id"),
+      statsColumn = Some("id"))
+    spark.sql(s"CREATE TABLE snap_ow_stats USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql("INSERT OVERWRITE snap_ow_stats " +
+        "SELECT id, 'ow' AS tag FROM snap_ow_stats DISTRIBUTE BY id DIV 1000")
+      // the stats PROPERTY survived the SQL overwrite...
+      assert(store.readFullManifest(store.latestVersion.get).statsColumn.contains("id"),
+        "INSERT OVERWRITE must republish the table's stats column")
+      // ...with real per-file min/max: readRange doesn't throw and prunes
+      val pruned = store.readRange(spark, "id", 1L, 50L)
+      assert(pruned.count() == 50L)
+      // and a later append still collects against the same authority
+      spark.sql("INSERT INTO snap_ow_stats VALUES (9999, 'tail')")
+      assert(store.readFullManifest(store.latestVersion.get)
+        .entries.exists(e => e.min.isDefined && e.max.contains(9999L)))
+    } finally spark.sql("DROP TABLE snap_ow_stats")
+  }
+
+  test("mergeKeys sink reorders the batch onto the table schema: partitionBy + CDC upsert compose") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    // input order (day, id, v): the partition column is FIRST here, but
+    // the first batch's partitionBy normalizes it LAST in the table
+    // schema — batch 2 must reshape, not crash on the positional check
+    val q = input.toDF().toDF("day", "id", "v")
+      .writeStream.format("graft-snapshot")
+      .option("path", root).option("checkpointLocation", cp)
+      .option("mergeKeys", "id")
+      .partitionBy("day")
+      .outputMode("append").start()
+    try {
+      input.addData(("d1", 1L, "a"), ("d2", 2L, "b")); q.processAllAvailable()
+      input.addData(("d2", 2L, "B"), ("d1", 3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    assert(store.versions.length == 2)
+    val got = store.read(spark).orderBy("id")
+      .select("id", "v", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "a", "d1"), (2L, "B", "d2"), (3L, "c", "d1")),
+      "batch 2 must upsert through the hive layout, key 2 updated in place")
+  }
+
+  test("rate limiting refuses a non-persistable floor; an inverted readInserts range fails loudly") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 10, "v0"))
+    // non-local checkpoint scheme: the floor cannot be persisted, so a
+    // committed restart could silently re-deliver — refused at source
+    // construction, not discovered as duplicates in production
+    val e = intercept[IllegalArgumentException] {
+      new SnapshotStreamSource(spark.sqlContext, store, store.tableSchema(),
+        "fail", -1L, maxVersionsPerTrigger = Some(1L),
+        metadataPath = "hdfs://nn/checkpoints/src0")
+    }
+    assert(e.getMessage.contains("non-local"))
+    // the second line of defense: a regressed cursor (start ahead of
+    // end) must fail, never silently return an empty batch
+    val e2 = intercept[IllegalArgumentException] {
+      store.readInserts(spark, 5L, 3L, store.tableSchema())
+    }
+    assert(e2.getMessage.contains("inverted"))
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
