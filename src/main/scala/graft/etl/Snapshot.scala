@@ -74,9 +74,15 @@ import scala.jdk.CollectionConverters._
   *   #stats<TAB><column>
   *   #txn<TAB><app><TAB><batchId>
   *   #rewrite
-  *   <relative/path/to/file1.parquet>[<TAB>min<TAB>max]
+  *   <relative/path/to/file1.parquet>[<TAB>min<TAB>max[<TAB>dv1,dv2]]
   *   ...
   * }}}
+  *
+  * The optional 4th field lists the file's DELETION VECTORS —
+  * root-relative paths of position-list sidecar datasets written by
+  * merge-on-read deletes (`-` placeholders keep the stats slots when a
+  * stats-less file takes a DV). See [[deleteWhere]]'s
+  * `mergeOnRead = true`.
   *
   * The `#ts` header is the commit instant embedded IN the log entry —
   * what Delta does for timestamp time travel — so a filesystem
@@ -115,10 +121,17 @@ import scala.jdk.CollectionConverters._
   */
 final class SnapshotStore(root: String) {
 
-  /** One manifest line: a data file and its optional stats-column
-    * min/max (absent → the file is never pruned).
+  /** One manifest line: a data file, its optional stats-column min/max
+    * (absent → the file is never pruned), and the DELETION VECTORS that
+    * apply to it — root-relative paths of position-list sidecar datasets
+    * written by merge-on-read deletes ([[deleteWhere]] with
+    * `mergeOnRead = true`). A file with DVs is read through a
+    * position anti-join; a copy-on-write rewrite or compaction
+    * MATERIALIZES the deletes and publishes the replacement with
+    * `dv = Nil`.
     */
-  final case class FileEntry(path: String, min: Option[Long], max: Option[Long])
+  final case class FileEntry(path: String, min: Option[Long], max: Option[Long],
+      dv: Seq[String] = Nil)
 
   /** Accepts both a plain filesystem path and a `file:` URI — the
     * session catalog qualifies a `CREATE TABLE ... OPTIONS (path ...)`
@@ -517,13 +530,19 @@ final class SnapshotStore(root: String) {
             s"while compacting version $v — re-run against version $lv",
           retryable = false)
       val latestByPath = latest.entries.map(e => e.path -> e).toMap
-      val gone = rewrittenPaths.filterNot(latestByPath.contains)
+      val pinnedByPath = m.entries.map(e => e.path -> e).toMap
+      // IDENTITY means path AND deletion-vector set: a racer that
+      // MoR-tombstoned rows in one of the pinned files kept the path
+      // but changed its LIVE rows — republishing the compacted copy
+      // would resurrect the deleted rows under a dataChange=false flag.
+      val gone = rewrittenPaths.filterNot(p =>
+        latestByPath.get(p).exists(_.dv == pinnedByPath(p).dv))
       if (gone.nonEmpty)
         throw new ConcurrentCommitException(
           s"SnapshotStore.compactLatest: ${gone.size} of the files compacted " +
-            s"from version $v were removed by a concurrent commit (latest $lv; " +
-            s"first: ${gone.head}) — the compacted rows are stale, re-run " +
-            "against the new table state", retryable = false)
+            s"from version $v were removed or re-tombstoned by a concurrent " +
+            s"commit (latest $lv; first: ${gone.head}) — the compacted rows " +
+            "are stale, re-run against the new table state", retryable = false)
       // a racer may have INTRODUCED a stats column (append onto a
       // stats-less table): our staged entries carry min/max for the
       // pinned column only — strip when they disagree (conservative)
@@ -609,17 +628,33 @@ final class SnapshotStore(root: String) {
       expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
-  /** Copy-on-write DELETE of the rows where `predicate` is TRUE (NULL
-    * keeps the row — SQL DELETE semantics). Candidate files are pruned
-    * at the manifest by folding the predicate's conjuncts over the
-    * stats column into one [lo, hi] interval (same fold the format's
-    * FileIndex applies at planning time); files that cannot contain a
-    * matching row keep their path identity, only intersecting files are
-    * rewritten with the predicate's complement. CAS-pinned like
-    * [[mergeInto]].
+  /** DELETE of the rows where `predicate` is TRUE (NULL keeps the row —
+    * SQL DELETE semantics). Candidate files are pruned at the manifest
+    * by folding the predicate's conjuncts over the stats column into
+    * one [lo, hi] interval (same fold the format's FileIndex applies at
+    * planning time). Two physical strategies, CAS-pinned either way:
+    *
+    *   - COPY-ON-WRITE (default): intersecting files are rewritten with
+    *     the predicate's complement; non-intersecting files keep their
+    *     path identity. O(touched files) write — the right physics for
+    *     bulk deletes.
+    *   - MERGE-ON-READ (`mergeOnRead = true`): no data file is touched
+    *     at all. The matching rows' (file, position) pairs are written
+    *     to one position-list sidecar (`data/<uuid>.dv/`, an ordinary
+    *     distributed parquet write — never a driver collect) and each
+    *     affected file's manifest entry gains a DV reference; [[read]]
+    *     anti-joins them out at scan time, the change feed emits them
+    *     as honest deletes, and the next copy-on-write rewrite or
+    *     [[compactLatest]] MATERIALIZES and clears them. A scattered
+    *     1-row delete in a 100 TB table costs O(1 sidecar), not a 1 GB
+    *     file rewrite per hit file — the step that keeps row-level DML
+    *     usable at scale when keys aren't clustered (Delta/Iceberg's
+    *     deletion-vector idea on the manifest's terms). Stats stay
+    *     conservative upper bounds (deletes only remove rows).
     */
-  def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+  def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column,
+      mergeOnRead: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.deleteWhere: no committed versions at $root"))
     val m = readFullManifest(v)
@@ -641,13 +676,42 @@ final class SnapshotStore(root: String) {
         })
       case None => (m.entries, Seq.empty[FileEntry])
     }
-    val kept = scan(spark, m.schema, touched, m.partCols)
-      .filter(not(coalesce(predicate, lit(false))))
-    val staged =
-      if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn)
-      else stagePartitioned(kept, m.partCols, m.statsColumn)
-    publishEntries(untouched ++ staged, m.schema, m.statsColumn,
-      expectedVersion = Some(v + 1L), partCols = m.partCols)
+    val hit = coalesce(predicate, lit(false))
+    if (mergeOnRead) {
+      // positions of the matching LIVE rows (existing DVs applied via
+      // scan-side anti-join inside positionJoin's withPos arm — a row
+      // two MoR deletes both match must be tombstoned ONCE, or the
+      // change feed would emit its delete twice)
+      val live =
+        if (touched.forall(_.dv.isEmpty))
+          scanRaw(spark, m.schema, touched, m.partCols, withPos = true)
+        else positionJoin(spark, m.schema, touched, m.partCols,
+          touched.flatMap(_.dv).distinct, anti = true)
+      val hits = live.filter(hit)
+        .select(col("__file").as("file"), col("__pos").as("pos"))
+      val dvRel = {
+        val sub = dataDir.resolve(java.util.UUID.randomUUID.toString + ".dv")
+        hits.write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
+        rootPath.relativize(sub).toString
+      }
+      // which files actually took a tombstone — a tiny driver read of
+      // the sidecar's own column (O(touched files) rows at most)
+      val hitFiles = spark.read.parquet(rootPath.resolve(dvRel).toString)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val updated =
+        if (hitFiles.isEmpty) m.entries // no match: an honest empty commit
+        else m.entries.map(e =>
+          if (hitFiles.contains(e.path)) e.copy(dv = e.dv :+ dvRel) else e)
+      publishEntries(updated, m.schema, m.statsColumn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    } else {
+      val kept = scan(spark, m.schema, touched, m.partCols).filter(not(hit))
+      val staged =
+        if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn)
+        else stagePartitioned(kept, m.partCols, m.statsColumn)
+      publishEntries(untouched ++ staged, m.schema, m.statsColumn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    }
   }
 
   /** Copy-on-write UPDATE: rows where `predicate` is TRUE get the
@@ -922,6 +986,12 @@ final class SnapshotStore(root: String) {
         s"SnapshotStore.read: no committed versions at $root"))
     val m = readFullManifest(v)
     if (m.partCols.isEmpty) scan(spark, m.schema, m.entries)
+    else if (m.entries.exists(_.dv.nonEmpty))
+      // partitioned WITH live deletion vectors: the format's FileIndex
+      // cannot apply the position anti-join — take the union-arm scan
+      // (correct; loses planning-time pruning until a compaction
+      // materializes the deletes)
+      scan(spark, m.schema, m.entries, m.partCols)
     else
       // partitioned: plan through the format's FileIndex — ONE relation
       // with real partition pruning, not a union per partition
@@ -1029,11 +1099,33 @@ final class SnapshotStore(root: String) {
           if (gone.isEmpty) Nil
           else Seq(tag(scan(spark, p.schema, gone, p.partCols), "delete"))
         }
+        // MERGE-ON-READ deletes: a commit that touched no files but GREW
+        // a shared file's DV set tombstoned exactly the rows at the
+        // added positions (they were live before — the write path
+        // applies prior DVs). Emit them as honest deletes via a
+        // position semi-join: O(tombstones), never a table rescan.
+        val morDeletes = prev.toSeq.flatMap { p =>
+          val prevByPath = p.entries.map(e => e.path -> e).toMap
+          val grown = m.entries.flatMap { e =>
+            prevByPath.get(e.path).collect {
+              case pe if e.dv != pe.dv =>
+                (pe, e.dv.filterNot(pe.dv.contains))
+            }
+          }.filter(_._2.nonEmpty)
+          if (grown.isEmpty) Nil
+          else {
+            val addedDvs = grown.flatMap(_._2).distinct
+            Seq(tag(positionJoin(spark, p.schema, grown.map(_._1), p.partCols,
+              addedDvs, anti = false)
+              .select(p.schema.fieldNames.toSeq
+                .map(org.apache.spark.sql.functions.col): _*), "delete"))
+          }
+        }
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
         val inserts =
           if (added.isEmpty) Nil
           else Seq(tag(scan(spark, m.schema, added, m.partCols), "insert"))
-        removed ++ inserts
+        removed ++ morDeletes ++ inserts
       }
     }
     segments match {
@@ -1046,17 +1138,21 @@ final class SnapshotStore(root: String) {
 
   /** Resolved manifest of a committed version (default latest) for the
     * format integration layer: (schema, statsColumn, file entries with
-    * root-absolute paths).
+    * root-absolute paths + a live-DV flag, partition columns). The
+    * FileIndex REFUSES versions with live deletion vectors — a plain
+    * file scan cannot apply the position anti-join, and silently
+    * including tombstoned rows is how a reader lies.
     */
   private[graft] def manifestAt(asOfVersion: Option[Long] = None)
-      : (StructType, Option[String], Seq[(String, Option[Long], Option[Long])],
-         Seq[String]) = {
+      : (StructType, Option[String],
+         Seq[(String, Option[Long], Option[Long], Boolean)], Seq[String]) = {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.manifestAt: no committed versions at $root"))
     val m = readFullManifest(v)
     (m.schema, m.statsColumn,
-      m.entries.map(e => (rootPath.resolve(e.path).toString, e.min, e.max)),
+      m.entries.map(e =>
+        (rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty)),
       m.partCols)
   }
 
@@ -1123,18 +1219,26 @@ final class SnapshotStore(root: String) {
         "(earliest surviving version becomes the initial snapshot)")
     val segments = ((fromVersion + 1) to toVersion).filter(have.contains).flatMap { v =>
       val m = readFullManifest(v)
-      val prevPaths: Set[String] =
-        if (v == 0L || !have.contains(v - 1)) Set.empty
-        else readFullManifest(v - 1).entries.map(_.path).toSet
+      val prevEntries: Seq[FileEntry] =
+        if (v == 0L || !have.contains(v - 1)) Seq.empty
+        else readFullManifest(v - 1).entries
+      val prevPaths = prevEntries.map(_.path).toSet
+      // A merge-on-read delete keeps every path but GROWS a DV set —
+      // rows were removed, so it is NOT an append: same policy gate as
+      // an overwrite (fail by default; emitNew/skip emit no rows since
+      // deletes are not inserts either way).
+      val prevDv = prevEntries.map(e => e.path -> e.dv).toMap
+      val dvGrew = m.entries.exists(e => prevDv.get(e.path).exists(_ != e.dv))
       if (m.rewrite) Nil // compaction: same rows, new layout — never re-delivered
-      else if (prevPaths.subsetOf(m.entries.map(_.path).toSet)) {
+      else if (prevPaths.subsetOf(m.entries.map(_.path).toSet) && !dvGrew) {
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
         if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols))
       } else onOverwrite match {
         case "fail" => throw new IllegalStateException(
           s"SnapshotStore.readInserts: version $v is not an append " +
-            s"(overwrite/truncate rewrote the table); restart the stream " +
-            s"from the new state or set onOverwrite=emitNew|skip")
+            s"(an overwrite/truncate rewrote the table, or a merge-on-read " +
+            s"delete tombstoned rows); restart the stream from the new " +
+            s"state or set onOverwrite=emitNew|skip")
         case "emitNew" =>
           val added = m.entries.filterNot(e => prevPaths.contains(e.path))
           if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols))
@@ -1158,24 +1262,98 @@ final class SnapshotStore(root: String) {
     * increment size on the feed paths that use this (readChanges /
     * readInserts / CoW candidates); whole-table reads of partitioned
     * stores go through the format's FileIndex instead ([[read]]).
+    *
+    * Files carrying DELETION VECTORS read through a position anti-join
+    * against their sidecars — merge-on-read: the deletes cost
+    * O(tombstones) at scan time instead of O(touched files) at write
+    * time. Clean files take the plain path untouched, so a table with
+    * no MoR history pays nothing.
     */
   private def scan(spark: SparkSession, schema: StructType,
-      entries: Seq[FileEntry], partCols: Seq[String] = Nil): DataFrame =
-    if (entries.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else if (partCols.isEmpty)
-      spark.read.schema(schema)
-        .parquet(entries.map(e => rootPath.resolve(e.path).toString): _*)
+      entries: Seq[FileEntry], partCols: Seq[String] = Nil): DataFrame = {
+    val (dirty, clean) = entries.partition(_.dv.nonEmpty)
+    if (dirty.isEmpty) scanRaw(spark, schema, clean, partCols, withPos = false)
     else {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.col
+      val live = positionJoin(spark, schema, dirty, partCols,
+        dirty.flatMap(_.dv).distinct, anti = true)
+        .select(schema.fieldNames.toSeq.map(col): _*)
+      if (clean.isEmpty) live
+      else scanRaw(spark, schema, clean, partCols, withPos = false)
+        .unionByName(live)
+    }
+  }
+
+  /** Scan joined against DV position sidecars on (file, pos):
+    * `anti = true` keeps the LIVE rows (deletes applied — the read
+    * path), `anti = false` keeps exactly the listed positions (the
+    * change feed's honest-delete emission). The sidecar side is tiny by
+    * construction (O(tombstoned rows) — merge-on-read is for scattered
+    * small deltas; bulk deletes belong to copy-on-write), so AQE
+    * broadcasts it.
+    */
+  private def positionJoin(spark: SparkSession, schema: StructType,
+      entries: Seq[FileEntry], partCols: Seq[String], dvRels: Seq[String],
+      anti: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withPos = scanRaw(spark, schema, entries, partCols, withPos = true)
+    val dvs = spark.read
+      .parquet(dvRels.map(d => rootPath.resolve(d).toString): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    // keeps __file/__pos: callers project them away (scan/feed) or
+    // consume them (the MoR write path's stacked-delete dedup)
+    withPos.join(dvs,
+        withPos("__file") === col("__dv_file") &&
+          withPos("__pos") === col("__dv_pos"),
+        if (anti) "left_anti" else "left_semi")
+  }
+
+  /** The physical file-list scan. With `withPos`, every row carries
+    * `__file` (its data file's manifest-relative path) and `__pos` (its
+    * row index within that file) — derived from the file source's
+    * `_metadata` column plus a broadcast abs→rel lookup, both computed
+    * IN the scan (no extra pass).
+    */
+  private def scanRaw(spark: SparkSession, schema: StructType,
+      entries: Seq[FileEntry], partCols: Seq[String],
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    if (entries.isEmpty) {
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return if (!withPos) base
+        else base.withColumn("__file", lit(null).cast("string"))
+          .withColumn("__pos", lit(null).cast("long"))
+    }
+    def addPos(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df
+        // "file:///x" and "file:/x" both normalize to "/x" — the store
+        // is local/NFS by construction (rootPath refuses other schemes)
+        .withColumn("__abs", regexp_replace(
+          col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+        .withColumn("__pos", col("_metadata.row_index"))
+    def mapRel(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else {
+        import spark.implicits._
+        val lookup = entries
+          .map(e => (rootPath.resolve(e.path).normalize.toString, e.path))
+          .toDF("__abs", "__file")
+        df.join(broadcast(lookup), "__abs").drop("__abs")
+      }
+    if (partCols.isEmpty)
+      mapRel(addPos(spark.read.schema(schema)
+        .parquet(entries.map(e => rootPath.resolve(e.path).toString): _*)))
+    else {
       val dataSchema = StructType(
         schema.fields.filterNot(f => partCols.contains(f.name)))
       val fieldByName = schema.fields.map(f => f.name -> f).toMap
-      entries.groupBy(e => partitionTupleOf(e.path, partCols)).toSeq
+      val metaCols = if (withPos) Seq("__abs", "__pos") else Nil
+      val unioned = entries.groupBy(e => partitionTupleOf(e.path, partCols)).toSeq
         .sortBy(_._1.mkString("/"))
         .map { case (tuple, group) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(group.map(e => rootPath.resolve(e.path).toString): _*)
+          val base = addPos(spark.read.schema(dataSchema)
+            .parquet(group.map(e => rootPath.resolve(e.path).toString): _*))
           val withParts = partCols.zip(tuple).foldLeft(base) {
             case (df, (c, v)) =>
               val f = fieldByName(c)
@@ -1184,10 +1362,12 @@ final class SnapshotStore(root: String) {
                 else lit(v)
               df.withColumn(c, value.cast(f.dataType))
           }
-          withParts.select(schema.fieldNames.toSeq.map(col): _*)
+          withParts.select((schema.fieldNames.toSeq ++ metaCols).map(col): _*)
         }
         .reduce(_.unionByName(_))
+      mapRel(unioned)
     }
+  }
 
   /** Drop all but the last `keepLast` versions and delete data files no
     * kept manifest references — including half-staged orphans from
@@ -1208,9 +1388,15 @@ final class SnapshotStore(root: String) {
     require(minAgeMillis >= 0L, s"vacuum: minAgeMillis must be >= 0, got $minAgeMillis")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val keptManifests = keep.map(readFullManifest)
     val referenced: Set[Path] =
-      keep.flatMap(v => readManifest(v)._3.map(_.path))
+      keptManifests.flatMap(_.entries.map(_.path))
         .map(f => rootPath.resolve(f).normalize).toSet
+    // DV sidecars are DIRECTORIES of position files: keep everything
+    // under one referenced by a kept manifest entry
+    val dvDirs: Seq[Path] = keptManifests
+      .flatMap(_.entries.flatMap(_.dv)).distinct
+      .map(d => rootPath.resolve(d).normalize)
     val cutoff = System.currentTimeMillis() - minAgeMillis
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
     if (Files.isDirectory(dataDir)) {
@@ -1218,6 +1404,7 @@ final class SnapshotStore(root: String) {
       try {
         walk.iterator().asScala.toSeq.reverse.foreach { p =>
           if (Files.isRegularFile(p) && !referenced.contains(p.normalize) &&
+              !dvDirs.exists(d => p.normalize.startsWith(d)) &&
               Files.getLastModifiedTime(p).toMillis <= cutoff)
             Files.delete(p)
           else if (Files.isDirectory(p) && p != dataDir) {
@@ -1355,8 +1542,12 @@ final class SnapshotStore(root: String) {
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil)
     val fileLines = entries.map {
-      case FileEntry(p, Some(mn), Some(mx)) => s"$p\t$mn\t$mx"
-      case FileEntry(p, _, _) => p
+      // 4-field form only when DVs exist ('-' = no stats), so manifests
+      // without merge-on-read deletes stay byte-compatible with old readers
+      case FileEntry(p, mn, mx, dvs) if dvs.nonEmpty =>
+        s"$p\t${mn.getOrElse("-")}\t${mx.getOrElse("-")}\t${dvs.mkString(",")}"
+      case FileEntry(p, Some(mn), Some(mx), _) => s"$p\t$mn\t$mx"
+      case FileEntry(p, _, _, _) => p
     }
     val body = ((Header +: schema.json +: statsLine) ++ fileLines)
       .mkString("\n") + "\n"
@@ -1427,6 +1618,10 @@ final class SnapshotStore(root: String) {
     val entries = rest.dropWhile(_.startsWith("#")).map { line =>
       line.split("\t", -1) match {
         case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
+        case Array(path, mn, mx, dvs) =>
+          def stat(s: String) = if (s == "-") None else Some(s.toLong)
+          FileEntry(path, stat(mn), stat(mx),
+            dvs.split(",").toSeq.filter(_.nonEmpty))
         case Array(path) => FileEntry(path, None, None)
         case _ => throw new IllegalArgumentException(
           s"SnapshotStore: malformed manifest line '${line.take(120)}'")

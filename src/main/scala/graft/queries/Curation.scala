@@ -853,6 +853,54 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM feed GROUP BY 1, 2
         ORDER BY _commit_version, _change_type
+      """)),
+    // ----------------------------------------------------------------
+    // MERGE-ON-READ delete: two scattered deletes (every 500th key —
+    // hits most of the 8 range-clustered files, the worst case for
+    // copy-on-write) land as position-list deletion vectors touching
+    // ZERO data files (SnapshotSpec pins the file-set identity); the
+    // read applies them via the scan-time anti-join and the change
+    // feed emits each tombstoned row exactly once in its own commit.
+    // The oracle replays both as plain SQL: a row the anti-join missed
+    // (still visible), double-tombstoned (feed dup), or attributed to
+    // the wrong commit each breaks a different group.
+    Q(
+      "q287_mor_delete",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", ($"o_orderkey" % 5).as("bucket"))
+        val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        store.deleteWhere(s, $"o_orderkey" % 500 === 7, mergeOnRead = true) // v1
+        store.deleteWhere(s, $"o_orderkey" % 500 === 8, mergeOnRead = true) // v2
+        val live = store.read(s)
+          .groupBy($"bucket".as("grp"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .withColumn("side", lit("live"))
+        val dead = store.readChanges(s, 0L, Some(2L))
+          .groupBy($"_commit_version".as("grp"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .withColumn("side", lit("deleted"))
+        live.unionByName(dead)
+          .select($"side", $"grp", $"n", $"key_sum")
+          .orderBy($"side", $"grp")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_orderkey % 5 AS bucket FROM orders),
+        live AS (
+          SELECT 'live' AS side, CAST(bucket AS BIGINT) AS grp,
+                 COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM o WHERE o_orderkey % 500 NOT IN (7, 8) GROUP BY 2),
+        dead AS (
+          SELECT 'deleted' AS side,
+                 CAST(CASE WHEN o_orderkey % 500 = 7 THEN 1 ELSE 2 END AS BIGINT) AS grp,
+                 COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM o WHERE o_orderkey % 500 IN (7, 8) GROUP BY 2)
+        SELECT * FROM live UNION ALL SELECT * FROM dead
+        ORDER BY side, grp
       """))
   )
 }

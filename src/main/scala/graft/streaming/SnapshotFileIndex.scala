@@ -44,12 +44,22 @@ final class SnapshotFileIndex(
   private val (tableSchema, statsColumn, entries, partCols) =
     store.manifestAt(asOfVersion)
 
+  // A version with LIVE deletion vectors cannot plan through a plain
+  // file scan — it would silently include merge-on-read-tombstoned
+  // rows. Loud refusal with the two recovery paths; a compaction
+  // materializes the deletes and restores format/SQL readability.
+  require(!entries.exists(_._4),
+    s"graft-snapshot: this version has live merge-on-read deletion " +
+      "vectors, which a plain file scan cannot apply — run " +
+      "compactLatest(...) to materialize the deletes, or read through " +
+      "SnapshotStore.read/readRange (they apply DVs at scan time)")
+
   /** One listing round-trip per file at creation; statuses are reused
     * across every query planned against this index.
     */
   private val statuses: Seq[(FileStatus, Option[Long], Option[Long])] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    entries.map { case (p, mn, mx) =>
+    entries.map { case (p, mn, mx, _) =>
       val hp = new Path(p)
       (hp.getFileSystem(conf).getFileStatus(hp), mn, mx)
     }

@@ -492,6 +492,116 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark).count() == 50L + 10L * appended.get())
   }
 
+  test("merge-on-read delete: a 1-row delete in an 8-file table adds NO data file; DVs apply at scan; compaction clears them") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 800L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "amt")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    val files0 = store.readFullManifest(0L).entries.map(_.path).toSet
+    assert(files0.size == 8)
+    // scattered single-row delete: merge-on-read touches no data file
+    val v1 = store.deleteWhere(spark, col("id") === 5L, mergeOnRead = true)
+    val m1 = store.readFullManifest(v1)
+    assert(m1.entries.map(_.path).toSet == files0,
+      "MoR must rewrite or add NO data file")
+    assert(m1.entries.count(_.dv.nonEmpty) == 1,
+      "exactly the file holding id=5 takes a DV reference")
+    assert(store.read(spark).count() == 799L)
+    assert(store.read(spark).filter($"id" === 5L).isEmpty)
+    // readers of the prior version are untouched
+    assert(store.read(spark, Some(0L)).count() == 800L)
+    // MoR result ≡ CoW result on an identical twin table
+    val cow = new SnapshotStore(tmp())
+    cow.commitOverwrite(
+      (1L to 800L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "amt")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    cow.deleteWhere(spark, col("id") === 5L)
+    assert(store.read(spark).orderBy("id").collect().toSeq ==
+      cow.read(spark).orderBy("id").collect().toSeq)
+    // DVs STACK, and an already-dead row is never tombstoned twice
+    val v2 = store.deleteWhere(spark, col("id") <= 6L, mergeOnRead = true)
+    assert(store.read(spark).count() == 794L)
+    // the change feed emits the honest deletes — each row exactly once
+    val feed1 = store.readChanges(spark, 0L, Some(v1))
+    assert(feed1.count() == 1L)
+    val r1 = feed1.head()
+    assert(r1.getAs[Long]("id") == 5L &&
+      r1.getAs[String]("_change_type") == "delete")
+    val feed2 = store.readChanges(spark, v1, Some(v2))
+    assert(feed2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 6L), "id=5 was already dead — not re-emitted")
+    // manifest-stats pruning composes with the DV anti-join
+    assert(store.readRange(spark, "id", 1L, 10L).count() == 4L)
+    // an insert-only stream must not silently skip a delete commit
+    intercept[IllegalStateException] {
+      store.readInserts(spark, 0L, v2, store.tableSchema())
+    }
+    // the format read refuses live DVs loudly (a plain scan would lie)...
+    val fmtErr = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("path", root).load().count()
+    }
+    assert(fmtErr.getMessage.contains("deletion"))
+    // ...until compaction MATERIALIZES the deletes and clears the DVs
+    val cv = store.compactLatest(spark, targetFiles = 2)
+    val mc = store.readFullManifest(cv)
+    assert(mc.rewrite && mc.entries.forall(_.dv.isEmpty))
+    assert(store.read(spark).count() == 794L)
+    assert(store.readChanges(spark, v2, Some(cv)).isEmpty,
+      "materializing DVs is dataChange=false: same live rows")
+    assert(spark.read.format("graft-snapshot").option("path", root).load()
+      .count() == 794L)
+    // vacuum keeps DV sidecars of kept manifests, reclaims dropped ones
+    def dvFiles(): Long = {
+      val w = Files.walk(Paths.get(root, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.count(p => p.toString.contains(".dv") &&
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      } finally w.close()
+    }
+    assert(dvFiles() > 0)
+    store.vacuum(keepLast = 3) // keeps v2 (live DVs) and the rewrite
+    assert(store.read(spark, Some(v2)).count() == 794L,
+      "a kept DV-bearing version must stay readable after vacuum")
+    store.vacuum(keepLast = 1) // only the materialized rewrite survives
+    assert(dvFiles() == 0L, "unreferenced DV sidecars are reclaimed")
+    assert(store.read(spark).count() == 794L)
+  }
+
+  test("merge-on-read delete on a partitioned table: DV anti-join composes with hive partition re-attach") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    val df = (1L to 200L).map(i => (i, s"d${i % 4}", s"v$i"))
+      .toDF("id", "day", "v")
+    store.commitOverwrite(df, statsColumn = Some("id"), partitionBy = Seq("day"))
+    val files0 = store.readFullManifest(0L).entries.map(_.path).toSet
+    val v1 = store.deleteWhere(spark, $"id" === 7L || $"id" === 100L,
+      mergeOnRead = true)
+    val m1 = store.readFullManifest(v1)
+    assert(m1.entries.map(_.path).toSet == files0, "no data file touched")
+    val got = store.read(spark)
+    assert(got.count() == 198L && got.filter($"id".isin(7L, 100L)).isEmpty)
+    // partition values still re-attach on the DV-applied arm
+    assert(got.filter($"day" === "d3").count() ===
+      (1L to 200L).count(i => i % 4 == 3 && i != 7L && i != 100L).toLong)
+    // the feed's MoR deletes carry their partition values too
+    val feed = store.readChanges(spark, 0L, Some(v1))
+    assert(feed.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("day"),
+        r.getAs[String]("_change_type"))).toSeq ==
+      Seq((7L, "d3", "delete"), (100L, "d0", "delete")))
+    // CoW update afterwards: touched files rewritten fresh, rest keep DVs
+    val v2 = store.updateWhere(spark, $"id" === 8L, Map("v" -> lit("UPD")))
+    val after = store.read(spark)
+    assert(after.count() == 198L &&
+      after.filter($"v" === "UPD").count() == 1L &&
+      after.filter($"id".isin(7L, 100L)).isEmpty)
+  }
+
   test("latest-version cache never serves a stale version to a publisher: foreign commits seen via forward probe") {
     val root = tmp()
     // two store INSTANCES on one root = two processes with independent
