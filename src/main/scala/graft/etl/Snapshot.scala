@@ -628,6 +628,152 @@ final class SnapshotStore(root: String) {
       expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
+  /** General MERGE — the full WHEN-clause algebra
+    * (`WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`), first-match-wins
+    * per SQL, executed as ONE copy-on-write manifest version. This is
+    * what an op-coded CDC feed needs (`AND s.op = 'D' THEN DELETE`);
+    * the unconditional-star upsert keeps its cheaper single-shuffle
+    * path in [[mergeInto]].
+    *
+    * Physics — the same CoW cost model as [[mergeInto]]: candidate
+    * files are pruned by the source's key range against the manifest
+    * stats (sound because every MATCHED effect is confined to rows
+    * sharing a source key; pruned files can hold none), only candidates
+    * are rewritten through one full-outer join against the source, and
+    * untouched files keep their path identity — so the change feed
+    * emits only genuinely affected rows. NULL source keys never match
+    * (SQL three-valued equality) and flow to the NOT MATCHED arm —
+    * sound under pruning, since inserts are file-independent.
+    *
+    * Source keys must be UNIQUE per tuple: a target row matching two
+    * source rows is SQL's cardinality violation — refused loudly up
+    * front (one aggregate over the source) rather than surfacing as a
+    * nondeterministic update.
+    *
+    * Clause conditions/values address columns through the `__t_`/`__s_`
+    * prefix namespace — see [[SnapshotStore.MergeClause]].
+    */
+  def mergeClauses(spark: SparkSession, source: DataFrame, keys: Seq[String],
+      matched: Seq[SnapshotStore.MergeClause],
+      notMatched: Seq[SnapshotStore.MergeClause],
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, not, when}
+    import SnapshotStore.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
+    require(keys.nonEmpty, "SnapshotStore.mergeClauses: no key columns")
+    matched.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "SnapshotStore.mergeClauses: INSERT is not a MATCHED action")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: MergeInsert => ()
+      case other => throw new IllegalArgumentException(
+        s"SnapshotStore.mergeClauses: only INSERT is a NOT MATCHED action, got $other")
+    }
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.mergeClauses: no committed versions at $root"))
+    val m = readFullManifest(v)
+    val tableCols = m.schema.fieldNames.toSet
+    keys.foreach { k =>
+      require(tableCols.contains(k) && source.columns.contains(k),
+        s"SnapshotStore.mergeClauses: key '$k' must exist in the table and the source")
+    }
+    val starNeeded =
+      matched.exists { case MergeUpdate(_, s) => s.isEmpty; case _ => false } ||
+      notMatched.exists { case MergeInsert(_, s) => s.isEmpty; case _ => false }
+    if (starNeeded) {
+      val missing = m.schema.fieldNames.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"SnapshotStore.mergeClauses: star action needs every table column " +
+          s"in the source; missing ${missing.mkString(", ")}")
+    }
+    (matched ++ notMatched).foreach {
+      case MergeUpdate(_, sets) => sets.keys.foreach(k => require(
+        tableCols.contains(k), s"mergeClauses: UPDATE SET targets unknown column '$k'"))
+      case MergeInsert(_, sets) => sets.keys.foreach(k => require(
+        tableCols.contains(k), s"mergeClauses: INSERT targets unknown column '$k'"))
+      case _ => ()
+    }
+    // SQL cardinality rule: at most one source row per key tuple
+    require(source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).isEmpty,
+      "SnapshotStore.mergeClauses: multiple source rows share an ON key " +
+        "tuple — SQL MERGE cardinality violation (dedup the source first)")
+    // candidate pruning by the source's key range on the stats column
+    val pruneCol = m.statsColumn.filter(keys.contains)
+    val (touched, untouched) = pruneCol match {
+      case Some(c) =>
+        val r = source.agg(min(col(c)), max(col(c))).head()
+        if (r.isNullAt(0)) (Seq.empty[FileEntry], m.entries) // no matchable key
+        else {
+          val (lo, hi) = (toStatsLong(r.get(0)), toStatsLong(r.get(1)))
+          m.entries.partition(e => (e.min, e.max) match {
+            case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+            case _ => true
+          })
+        }
+      case None => (m.entries, Seq.empty[FileEntry])
+    }
+    // two-sided join under the prefix namespace
+    val t = scan(spark, m.schema, touched, m.partCols)
+      .select(m.schema.fieldNames.toSeq.map(n => col(n).as(s"__t_$n")): _*)
+      .withColumn("__t_ex", lit(true))
+    val s = source
+      .select(source.columns.toSeq.map(n => col(n).as(s"__s_$n")): _*)
+      .withColumn("__s_ex", lit(true))
+    val joined = t.join(s,
+      keys.map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _),
+      "full_outer")
+    val tEx = coalesce(col("__t_ex"), lit(false))
+    val sEx = coalesce(col("__s_ex"), lit(false))
+    // first-match-wins clause index; -1 = no clause applies
+    def firstMatch(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
+      clauses.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case ((cl, i), acc) =>
+          when(coalesce(cl.cond.getOrElse(lit(true)), lit(false)), lit(i))
+            .otherwise(acc)
+      }
+    val withActs = joined
+      .withColumn("__mact", when(tEx && sEx, firstMatch(matched)).otherwise(lit(-1)))
+      .withColumn("__nact", when(!tEx && sEx, firstMatch(notMatched)).otherwise(lit(-1)))
+    val deleteIdx = matched.zipWithIndex.collect { case (_: MergeDelete, i) => i }
+    val keepRow = when(tEx && !sEx, lit(true))
+      .when(tEx && sEx,
+        if (deleteIdx.isEmpty) lit(true)
+        else not(col("__mact").isInCollection(deleteIdx)))
+      .otherwise(col("__nact") >= 0) // an unmatched source row nobody inserts: dropped
+    def caseOver(act: org.apache.spark.sql.Column,
+        arms: Seq[(Int, org.apache.spark.sql.Column)],
+        default: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      arms.foldRight(default) { case ((i, value), acc) =>
+        when(act === i, value).otherwise(acc)
+      }
+    val outCols = m.schema.fields.toSeq.map { f =>
+      val tcol = col(s"__t_${f.name}")
+      val scol = col(s"__s_${f.name}")
+      val updatedVal = caseOver(col("__mact"),
+        matched.zipWithIndex.collect { case (MergeUpdate(_, sets), i) =>
+          i -> (if (sets.isEmpty) scol else sets.getOrElse(f.name, tcol))
+        }, tcol)
+      val insertedVal = caseOver(col("__nact"),
+        notMatched.zipWithIndex.collect { case (MergeInsert(_, sets), i) =>
+          i -> (if (sets.isEmpty) scol
+                else sets.getOrElse(f.name, lit(null)))
+        }, lit(null))
+      when(tEx && sEx, updatedVal)
+        .when(tEx, tcol)
+        .otherwise(insertedVal)
+        .cast(f.dataType).as(f.name)
+    }
+    val merged = withActs.filter(keepRow).select(outCols: _*)
+    val staged =
+      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
+      else stagePartitioned(merged, m.partCols, m.statsColumn)
+    publishEntries(untouched ++ staged, m.schema, m.statsColumn, txn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols)
+  }
+
   /** DELETE of the rows where `predicate` is TRUE (NULL keeps the row —
     * SQL DELETE semantics). Candidate files are pruned at the manifest
     * by folding the predicate's conjuncts over the stats column into
@@ -1659,6 +1805,24 @@ object SnapshotStore {
 
   /** Hive's sentinel directory name for a NULL partition value. */
   val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One WHEN clause of a general MERGE ([[SnapshotStore.mergeClauses]]).
+    * Conditions and set/insert values are opaque [[org.apache.spark.sql.Column]]s
+    * over the PREFIXED join namespace: `__t_<col>` is the target row's
+    * column, `__s_<col>` the source row's — the two-sided references a
+    * MERGE condition like `t.v <> s.v` needs, without attribute
+    * ambiguity. An empty `sets` map means the star action (`UPDATE SET *`
+    * / `INSERT *`: every table column from the same-named source
+    * column); a partial UPDATE keeps unassigned columns, a partial
+    * INSERT null-pads them. Clause order is first-match-wins, per SQL.
+    */
+  sealed trait MergeClause { def cond: Option[org.apache.spark.sql.Column] }
+  final case class MergeUpdate(cond: Option[org.apache.spark.sql.Column],
+      sets: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  final case class MergeDelete(cond: Option[org.apache.spark.sql.Column])
+      extends MergeClause
+  final case class MergeInsert(cond: Option[org.apache.spark.sql.Column],
+      sets: Map[String, org.apache.spark.sql.Column]) extends MergeClause
 
   /** Normalize an analyzed predicate to plain comparable conjuncts:
     * RuntimeReplaceable nodes (BETWEEN & co.) become their replacement,

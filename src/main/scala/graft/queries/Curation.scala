@@ -901,6 +901,72 @@ object Curation {
           FROM o WHERE o_orderkey % 500 IN (7, 8) GROUP BY 2)
         SELECT * FROM live UNION ALL SELECT * FROM dead
         ORDER BY side, grp
+      """)),
+    // ----------------------------------------------------------------
+    // General SQL MERGE — the op-coded CDC apply in ONE statement:
+    // conditional DELETE arm (s.op='D'), conditional partial UPDATE
+    // (two-sided clause order matters: D wins before the catch-all
+    // update), and a gated INSERT arm (absent 'D' keys must NOT insert).
+    // One copy-on-write commit; the oracle replays the clause algebra
+    // as plain SQL — a delete leaking into the update arm, a ghost 'D'
+    // inserting, or a clause applied out of order each breaks a group.
+    Q(
+      "q288_sql_merge_cdc",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-gmrg").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS g288_cdc")
+        s.sql(s"CREATE TABLE g288_cdc USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          // one op-coded change batch derived from the table itself
+          // (snapshot isolation pins the source to the pre-merge state):
+          // %997==1 -> delete, %997==2 -> update, +300M new keys -> insert,
+          // ghost deletes for absent keys -> no-op
+          s.sql("""
+            MERGE INTO g288_cdc USING (
+              SELECT o_orderkey, o_custkey, 'D' AS op
+              FROM g288_cdc WHERE o_orderkey % 997 = 1
+              UNION ALL
+              SELECT o_orderkey, o_custkey, 'U'
+              FROM g288_cdc WHERE o_orderkey % 997 = 2
+              UNION ALL
+              SELECT o_orderkey + 300000000, o_custkey, 'U'
+              FROM g288_cdc WHERE o_orderkey % 997 = 3
+              UNION ALL
+              SELECT o_orderkey + 600000000, o_custkey, 'D'
+              FROM g288_cdc WHERE o_orderkey % 997 = 4
+            ) s
+            ON g288_cdc.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET ver = 'upd'
+            WHEN NOT MATCHED AND s.op = 'U' THEN
+              INSERT (o_orderkey, o_custkey, ver) VALUES (s.o_orderkey, s.o_custkey, 'new')""")
+          store.read(s)
+            .groupBy($"ver")
+            .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+              sum($"o_custkey").as("cust_sum"))
+            .orderBy($"ver")
+        } finally s.sql("DROP TABLE IF EXISTS g288_cdc")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, 'base' AS ver FROM orders),
+        applied AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 997 = 2 THEN 'upd' ELSE ver END AS ver
+          FROM o WHERE o_orderkey % 997 <> 1
+          UNION ALL
+          SELECT o_orderkey + 300000000, o_custkey, 'new'
+          FROM o WHERE o_orderkey % 997 = 3)
+        SELECT ver, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM applied GROUP BY 1 ORDER BY ver
       """))
   )
 }

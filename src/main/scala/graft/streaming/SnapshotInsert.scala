@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable,
-  InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan,
-  MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
+  DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction,
+  LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -140,7 +140,9 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // merge commit only adds files
     case m @ MergeIntoTable(target, source, cond, matched, notMatched,
         notMatchedBySource, withSchemaEvolution)
-        if m.childrenResolved && cond.resolved && snapshotTarget(target).isDefined =>
+        if m.childrenResolved && cond.resolved &&
+          (matched ++ notMatched ++ notMatchedBySource).forall(actionResolved) &&
+          snapshotTarget(target).isDefined =>
       val (index, name) = snapshotTarget(target).get
       require(index.asOfVersion.isEmpty,
         "graft-snapshot: cannot MERGE into a time-traveled relation")
@@ -157,10 +159,6 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Seq(InsertAction(None, as)) if !isUpdate => allIdentity(as)
         case _ => false
       }
-      require(starLike(matched, isUpdate = true) && starLike(notMatched, isUpdate = false),
-        "graft-snapshot MERGE: only the canonical upsert is supported — " +
-          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-          "(use the DataFrame API for conditional/partial clauses)")
       def stripCast(e: Expression): Expression = e match {
         case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
         case o => o
@@ -177,8 +175,79 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"graft-snapshot MERGE: ON must be a conjunction of same-named " +
             s"equi-conditions (t.k = s.k), got ${conjunct.sql}"))
       }
-      MergeIntoSnapshotCommand(index.store, index.fullSchema, source, keys, name)
+      if (starLike(matched, isUpdate = true) && starLike(notMatched, isUpdate = false))
+        // canonical upsert: the cheaper single-shuffle union+window path
+        MergeIntoSnapshotCommand(index.store, index.fullSchema, source, keys, name)
+      else {
+        // GENERAL clause set (conditional/partial UPDATE, DELETE,
+        // conditional INSERT) → the store's full-outer-join CoW merge.
+        // Attribute references re-bind into the executor's __t_/__s_
+        // prefix namespace BY SIDE (exprId membership — names alone
+        // cannot disambiguate `t.v` from `s.v` in a condition).
+        val tAttrs = target.outputSet
+        val sAttrs = source.outputSet
+        def rebind2(e: Expression): Column = {
+          require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+            "graft-snapshot MERGE: subqueries in clause conditions/values " +
+              "are not supported")
+          val inlined = SnapshotStore.inlineReplaceable(e)
+          org.apache.spark.sql.GraftExprBridge.column(inlined.transform {
+            case a: AttributeReference if tAttrs.contains(a) =>
+              UnresolvedAttribute(s"__t_${a.name}")
+            case a: AttributeReference if sAttrs.contains(a) =>
+              UnresolvedAttribute(s"__s_${a.name}")
+          })
+        }
+        def setsOf(as: Seq[Assignment]): Map[String, Column] = as.map {
+          case Assignment(k: AttributeReference, value) => k.name -> rebind2(value)
+          case Assignment(k: UnresolvedAttribute, value) => k.name -> rebind2(value)
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot MERGE: unsupported assignment target $other " +
+              "(top-level columns only)")
+        }.toMap
+        val mClauses: Seq[SnapshotStore.MergeClause] = matched.map {
+          case UpdateStarAction(c) =>
+            SnapshotStore.MergeUpdate(c.map(rebind2), Map.empty)
+          case UpdateAction(c, as, _) =>
+            SnapshotStore.MergeUpdate(c.map(rebind2), setsOf(as))
+          case DeleteAction(c) =>
+            SnapshotStore.MergeDelete(c.map(rebind2))
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot MERGE: unsupported MATCHED action $other")
+        }
+        val nClauses: Seq[SnapshotStore.MergeClause] = notMatched.map {
+          case InsertStarAction(c) =>
+            SnapshotStore.MergeInsert(c.map(rebind2), Map.empty)
+          case InsertAction(c, as) =>
+            SnapshotStore.MergeInsert(c.map(rebind2), setsOf(as))
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot MERGE: unsupported NOT MATCHED action $other")
+        }
+        MergeClausesSnapshotCommand(index.store, source, keys,
+          mClauses, nClauses, name)
+      }
   }
+
+  /** Star actions carry no expressions to resolve (they expand
+    * instead); explicit actions must have fully-resolved conditions and
+    * assignments before the rewrite can re-bind them by SIDE — waiting
+    * another fixed-point iteration costs nothing, rewriting an
+    * unresolved tree mis-binds.
+    */
+  private def actionResolved(
+      a: org.apache.spark.sql.catalyst.plans.logical.MergeAction): Boolean =
+    a match {
+      case UpdateStarAction(c) => c.forall(_.resolved)
+      case InsertStarAction(c) => c.forall(_.resolved)
+      case UpdateAction(c, as, _) =>
+        c.forall(_.resolved) && as.forall(x => x.value.resolved &&
+          (x.key.resolved || x.key.isInstanceOf[UnresolvedAttribute]))
+      case InsertAction(c, as) =>
+        c.forall(_.resolved) && as.forall(x => x.value.resolved &&
+          (x.key.resolved || x.key.isInstanceOf[UnresolvedAttribute]))
+      case DeleteAction(c) => c.forall(_.resolved)
+      case _ => false
+    }
 
   /** Post-expansion star: every assignment is `col = <source col of the
     * same name>`.
@@ -236,6 +305,30 @@ final case class MergeIntoSnapshotCommand(
     val shaped = src.select(tableSchema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     store.mergeInto(session, shaped, keys)
+    tableName.foreach(session.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+/** The general SQL MERGE (conditional/partial clauses, DELETE action)
+  * → [[SnapshotStore.mergeClauses]]: one copy-on-write version,
+  * first-match-wins clause order, candidate files pruned by the
+  * source's key range. Clause Columns are opaque (resolved names in
+  * the `__t_`/`__s_` namespace), so the command analyzes clean.
+  */
+final case class MergeClausesSnapshotCommand(
+    store: SnapshotStore,
+    source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[SnapshotStore.MergeClause],
+    notMatched: Seq[SnapshotStore.MergeClause],
+    tableName: Option[String]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftStreamBridge.ofRows(session, source)
+    store.mergeClauses(session, src, keys, matched, notMatched)
     tableName.foreach(session.catalog.refreshTable)
     Seq.empty
   }

@@ -565,12 +565,6 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.sql("DELETE FROM snap_dml WHERE id IN (SELECT id FROM snap_dml WHERE v = 'x')")
       }
       assert(e1.getMessage.contains("subqueries"))
-      val e2 = intercept[Exception] {
-        spark.sql("""MERGE INTO snap_dml USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v) s
-          ON snap_dml.id = s.id
-          WHEN MATCHED THEN DELETE""")
-      }
-      assert(e2.getMessage.contains("canonical upsert"))
       val e3 = intercept[Exception] {
         spark.sql("""MERGE INTO snap_dml USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v) s
           ON snap_dml.id > s.id
@@ -579,6 +573,103 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e3.getMessage.contains("equi-conditions"))
       assert(store.versions.length == before, "failed DML must commit nothing")
     } finally spark.sql("DROP TABLE snap_dml")
+  }
+
+  test("SQL MERGE general clauses: an op-coded change log lands as ONE CoW commit, equal to its sequential replay") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+      statsColumn = Some("id"))
+    spark.sql(s"CREATE TABLE snap_gm USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // op-coded CDC batch: delete an existing key, update one, insert a
+      // new one, delete an ABSENT one (must be a no-op), and an update
+      // arriving for an absent key (falls to the INSERT arm)
+      spark.sql("""
+        MERGE INTO snap_gm USING (
+          SELECT CAST(5 AS BIGINT) AS id, CAST(NULL AS STRING) AS nv, 'D' AS op
+          UNION ALL SELECT 7, 'u7', 'U'
+          UNION ALL SELECT 900001, 'new1', 'U'
+          UNION ALL SELECT 900002, 'ghost', 'D'
+        ) s
+        ON snap_gm.id = s.id
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (id, v) VALUES (s.id, s.nv)""")
+      assert(store.versions == Seq(0L, 1L), "one statement = one version")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_gm").head().getLong(0) == 2000L,
+        "-1 delete +1 insert; the ghost delete and its non-insert op are no-ops")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_gm WHERE id = 5").head().getLong(0) == 0L)
+      assert(spark.sql("SELECT v FROM snap_gm WHERE id = 7").head().getString(0) == "u7")
+      assert(spark.sql("SELECT v FROM snap_gm WHERE id = 900001").head().getString(0) == "new1")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_gm WHERE id = 900002").head().getLong(0) == 0L)
+      // equals the sequential replay of the same ops as separate statements
+      val replay = new SnapshotStore(tmp())
+      replay.commitOverwrite(
+        (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+          .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+        statsColumn = Some("id"))
+      replay.deleteWhere(spark, $"id" === 5L)
+      replay.updateWhere(spark, $"id" === 7L,
+        Map("v" -> org.apache.spark.sql.functions.lit("u7")))
+      replay.commitAppend(Seq((900001L, "new1")).toDF("id", "v").coalesce(1))
+      assert(store.read(spark).orderBy("id").collect().toSeq ==
+        replay.read(spark).orderBy("id").collect().toSeq)
+      // a TWO-SIDED condition (t.v <> s.nv) gates the update arm
+      spark.sql("""
+        MERGE INTO snap_gm USING (
+          SELECT CAST(7 AS BIGINT) AS id, 'u7' AS nv
+          UNION ALL SELECT 8, 'u8'
+        ) s
+        ON snap_gm.id = s.id
+        WHEN MATCHED AND snap_gm.v <> s.nv THEN UPDATE SET v = s.nv""")
+      assert(spark.sql("SELECT v FROM snap_gm WHERE id = 8").head().getString(0) == "u8")
+      assert(spark.sql("SELECT v FROM snap_gm WHERE id = 7").head().getString(0) == "u7")
+      // partial INSERT null-pads unassigned columns
+      spark.sql("""
+        MERGE INTO snap_gm USING (SELECT CAST(900005 AS BIGINT) AS id) s
+        ON snap_gm.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""")
+      assert(spark.sql("SELECT v FROM snap_gm WHERE id = 900005").head().isNullAt(0))
+      // cardinality violation: duplicate source keys fail loudly, committing nothing
+      val before = store.versions.length
+      val e = intercept[Exception] {
+        spark.sql("""
+          MERGE INTO snap_gm USING (
+            SELECT CAST(7 AS BIGINT) AS id, 'a' AS nv
+            UNION ALL SELECT 7, 'b') s
+          ON snap_gm.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.nv""")
+      }
+      assert(e.getMessage.contains("cardinality"))
+      assert(store.versions.length == before)
+    } finally spark.sql("DROP TABLE snap_gm")
+    // candidate pruning on the general path: against a freshly
+    // range-clustered table, a narrow-key conditional MERGE must keep
+    // most base files by identity (the earlier table had been fully
+    // rewritten by a merge spanning the whole key range — honest CoW)
+    val root2 = tmp()
+    val store2 = new SnapshotStore(root2)
+    store2.commitOverwrite(
+      (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+      statsColumn = Some("id"))
+    spark.sql(s"CREATE TABLE snap_gm2 USING `graft-snapshot` OPTIONS (path '$root2')")
+    try {
+      spark.sql("""
+        MERGE INTO snap_gm2 USING (SELECT CAST(42 AS BIGINT) AS id, 'x' AS nv) s
+        ON snap_gm2.id = s.id
+        WHEN MATCHED AND snap_gm2.v <> s.nv THEN UPDATE SET v = s.nv
+        WHEN MATCHED THEN DELETE""")
+      assert(spark.sql("SELECT v FROM snap_gm2 WHERE id = 42").head().getString(0) == "x")
+      val prevPaths = store2.readFullManifest(0L).entries.map(_.path).toSet
+      val curPaths = store2.readFullManifest(1L).entries.map(_.path).toSet
+      assert(prevPaths.intersect(curPaths).size >= 6,
+        "a 1-key general MERGE must rewrite only stats-intersecting files")
+    } finally spark.sql("DROP TABLE snap_gm2")
   }
 
   test("SQL-first lifecycle: CREATE TABLE with declared columns, INSERT, read — no DataFrame write needed") {
