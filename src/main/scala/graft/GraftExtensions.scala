@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest commits (V1 tables otherwise refuse all three)
     ext.injectResolutionRule(session =>
       new graft.streaming.SnapshotDmlRule(session))
+    // ...and SQL time travel: VERSION AS OF / TIMESTAMP AS OF folded
+    // onto the format's reader options (the DSv2-only RelationTimeTravel
+    // path never reaches a V1 relation). Hint-resolution batch: it runs
+    // BEFORE the main resolution batch, so the rewrite lands before
+    // Spark's own lookup refuses time travel on a V1 table.
+    ext.injectHintResolutionRule(session =>
+      new graft.streaming.SnapshotTimeTravelRule(session))
 
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),
@@ -250,5 +257,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_avi_frames(bytes, every) - RIFF walk of an uncompressed AVI: " +
           "struct(width, height, n_frames, frames) sampling every k-th frame"),
       (args: Seq[Expression]) => graft.functions.AviFrames(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_mp4_frames"),
+      info("graft_mp4_frames",
+        "graft_mp4_frames(bytes, every) - ISO BMFF walk of a Motion-JPEG " +
+          "MP4/MOV: struct(width, height, n_frames, frames) sampling every " +
+          "k-th sample through the JDK JPEG reader"),
+      (args: Seq[Expression]) => graft.functions.Mp4Frames(args(0), args(1))))
   }
 }

@@ -34,56 +34,23 @@ object Mp4 {
     parts.foreach(b.put)
     b.array()
   }
-}
 
-/** Fixture-side MP4 encoder with ARBITRARY codec fourcc and frame-size
-  * plan: writes a structurally-real ISO BMFF file — `ftyp` (isom),
-  * `mdat` with the planned frame payloads (deterministic filler, same
-  * formula as [[AviEncodeMeta]]), and a `moov` whose single video track
-  * carries full sample tables: `stsd` with one VisualSampleEntry of the
-  * given fourcc ("avc1", "hvc1", "mp4v", ...) and geometry, `stts`/
-  * `stsc`/`stco` minimal-but-valid, `stsz` with the planned sizes, and
-  * `stss` marking every `keyEvery`-th sample as a sync sample.
-  * [[Mp4Probe]] must recover exactly the planted codec, geometry,
-  * sizes, and keyframe census. Inputs and bounds mirror
-  * [[AviEncodeMeta]]: codec must be 4 printable ASCII chars; null /
-  * shape violations / >2²⁶ total payload → null.
-  */
-case class Mp4EncodeMeta(children: Seq[Expression]) extends Expression {
-
-  require(children.length == 5,
-    "mp4_encode_meta(codec, width, height, frame_sizes, key_every)")
-
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-  override def foldable: Boolean = children.forall(_.foldable)
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    children.map(_.dataType) match {
-      case Seq(StringType, IntegerType, IntegerType,
-        ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"mp4_encode_meta requires (string, int, int, array<int>, int), got $other")
-    }
-
-  /** Public so codegen can call it; null on any shape violation. */
-  def encode(codecU: org.apache.spark.unsafe.types.UTF8String,
-      w: Int, h: Int, sizesAd: ArrayData, keyEvery: Int): Array[Byte] = {
-    import Mp4.box
-    if (codecU == null || sizesAd == null) return null
-    val codec = codecU.toString
-    val nf = sizesAd.numElements()
+  /** Structurally-real ISO BMFF container around REAL sample payloads —
+    * the fixture builder behind [[Mp4EncodeMeta]] (which feeds it
+    * deterministic filler) and the MJPEG-in-MP4 round-trip specs (which
+    * feed it actual JPEG frames for [[Mp4Frames]] to decode). One chunk
+    * holds all samples; sample tables are full and valid. Null on the
+    * same shape violations as [[Mp4EncodeMeta]].
+    */
+  def container(codec: String, w: Int, h: Int, samples: Seq[Array[Byte]],
+      keyEvery: Int): Array[Byte] = {
+    if (codec == null || samples == null) return null
+    val nf = samples.length
     if (codec.length != 4 || !codec.forall(c => c >= 0x20 && c < 0x7f)) return null
     if (w <= 0 || h <= 0 || w > 0xffff || h > 0xffff ||
       nf <= 0 || nf > 4096 || keyEvery <= 0) return null
-    var payload = 0L
-    var i = 0
-    while (i < nf) {
-      val s = sizesAd.getInt(i)
-      if (s < 0) return null
-      payload += s
-      i += 1
-    }
+    if (samples.exists(_ == null)) return null
+    val payload = samples.map(_.length.toLong).sum
     if (payload > (1L << 26)) return null
 
     val ftyp = {
@@ -95,14 +62,7 @@ case class Mp4EncodeMeta(children: Seq[Expression]) extends Expression {
     }
     val mdatBody = {
       val b = java.nio.ByteBuffer.allocate(payload.toInt)
-      var fi = 0
-      while (fi < nf) {
-        val s = sizesAd.getInt(fi)
-        var j = 0
-        // deterministic filler, byte j of frame i = (i*131 + j*7) mod 256
-        while (j < s) { b.put(((fi * 131 + j * 7) & 0xff).toByte); j += 1 }
-        fi += 1
-      }
+      samples.foreach(b.put)
       b.array()
     }
     val mdat = box("mdat", mdatBody)
@@ -134,7 +94,7 @@ case class Mp4EncodeMeta(children: Seq[Expression]) extends Expression {
     val stsd = box("stsd", u32s(0, 1), visualEntry)
     val stts = box("stts", u32s(0, 1, nf, 1))
     val stsc = box("stsc", u32s(0, 1, 1, nf, 1))
-    val sizes = Array.tabulate(nf)(sizesAd.getInt)
+    val sizes = samples.map(_.length).toArray
     val stsz = box("stsz", u32s(0 +: 0 +: nf +: sizes.toIndexedSeq: _*))
     val stco = box("stco", u32s(0, 1, chunkOffset))
     val syncs = (1 to nf by keyEvery).toArray // 1-based sample numbers
@@ -180,6 +140,66 @@ case class Mp4EncodeMeta(children: Seq[Expression]) extends Expression {
     System.arraycopy(mdat, 0, out, ftyp.length, mdat.length)
     System.arraycopy(moov, 0, out, ftyp.length + mdat.length, moov.length)
     out
+  }
+}
+
+/** Fixture-side MP4 encoder with ARBITRARY codec fourcc and frame-size
+  * plan: writes a structurally-real ISO BMFF file — `ftyp` (isom),
+  * `mdat` with the planned frame payloads (deterministic filler, same
+  * formula as [[AviEncodeMeta]]), and a `moov` whose single video track
+  * carries full sample tables: `stsd` with one VisualSampleEntry of the
+  * given fourcc ("avc1", "hvc1", "mp4v", ...) and geometry, `stts`/
+  * `stsc`/`stco` minimal-but-valid, `stsz` with the planned sizes, and
+  * `stss` marking every `keyEvery`-th sample as a sync sample.
+  * [[Mp4Probe]] must recover exactly the planted codec, geometry,
+  * sizes, and keyframe census. Inputs and bounds mirror
+  * [[AviEncodeMeta]]: codec must be 4 printable ASCII chars; null /
+  * shape violations / >2²⁶ total payload → null.
+  */
+case class Mp4EncodeMeta(children: Seq[Expression]) extends Expression {
+
+  require(children.length == 5,
+    "mp4_encode_meta(codec, width, height, frame_sizes, key_every)")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(StringType, IntegerType, IntegerType,
+        ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mp4_encode_meta requires (string, int, int, array<int>, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on any shape violation.
+    * Delegates the box assembly to [[Mp4.container]] with deterministic
+    * filler payloads (byte j of frame i = (i*131 + j*7) mod 256 — the
+    * [[AviEncodeMeta]] formula).
+    */
+  def encode(codecU: org.apache.spark.unsafe.types.UTF8String,
+      w: Int, h: Int, sizesAd: ArrayData, keyEvery: Int): Array[Byte] = {
+    if (codecU == null || sizesAd == null) return null
+    val nf = sizesAd.numElements()
+    if (nf <= 0 || nf > 4096) return null
+    var payload = 0L
+    var i = 0
+    while (i < nf) {
+      val s = sizesAd.getInt(i)
+      if (s < 0) return null
+      payload += s
+      i += 1
+    }
+    if (payload > (1L << 26)) return null
+    val samples = (0 until nf).map { fi =>
+      val s = sizesAd.getInt(fi)
+      val a = new Array[Byte](s)
+      var j = 0
+      while (j < s) { a(j) = ((fi * 131 + j * 7) & 0xff).toByte; j += 1 }
+      a
+    }
+    Mp4.container(codecU.toString, w, h, samples, keyEvery)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -364,6 +384,231 @@ case class Mp4Probe(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** REAL frame decode for MOTION-JPEG inside MP4/MOV — the ISO BMFF twin
+  * of [[AviFrames]]' MJPG branch, retiring one more row of the honest
+  * compressed-video stub: when `stsd` declares a JPEG codec (`jpeg`,
+  * QuickTime's Motion-JPEG; `mjpa`, Motion-JPEG A — both are per-frame
+  * JFIF payloads the JDK's built-in reader decodes), the sample extents
+  * recovered from the FULL sample tables (`stsz` sizes + `stsc`
+  * sample-to-chunk runs + `stco` chunk offsets — the published
+  * ISO/IEC 14496-12 mapping, not the one-chunk fixture shortcut) are
+  * routed through `ImageIO` to per-frame Rec. 709 integer gray rasters,
+  * every k-th sample, in the exact output struct of [[AviFrames]] — so
+  * the luma-stats / key-frame-near-dup / curation machinery is
+  * container-independent. Inter-frame codecs the JDK lacks
+  * (H.264-class) stay NULL here and are triaged by [[Mp4Probe]]
+  * metadata instead.
+  *
+  * Robustness contract identical to [[AviFrames]]: any malformation —
+  * bad magic, inconsistent sample tables, out-of-bounds extents, a
+  * frame whose decoded geometry disagrees with `stsd` — is NULL, never
+  * an error; sample-count (2²⁰) and pixel-volume (2²⁴) bomb guards
+  * bound allocation before any decode.
+  */
+case class Mp4Frames(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frames", ArrayType(StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("gray", ArrayType(IntegerType, containsNull = false),
+        nullable = false))), containsNull = false), nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mp4_frames requires (binary, int), got $other")
+    }
+
+  /** Public so codegen can call it; null on any malformation. */
+  def decode(bytes: Array[Byte], every: Int): InternalRow = {
+    if (bytes == null || bytes.length < 16 || every <= 0) return null
+    val b = java.nio.ByteBuffer.wrap(bytes) // ISO BMFF is BIG-endian
+    def fcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    if (b.getInt(0) < 8 || fcc(4) != "ftyp") return null
+    try {
+      var codec: String = null
+      var w = -1; var h = -1
+      var sizes: Array[Int] = null
+      var chunkOffsets: Array[Long] = null
+      var stscRuns: Array[(Int, Int)] = null // (first_chunk 1-based, samples_per_chunk)
+
+      def walk(start: Int, end: Int)(f: (String, Int, Int) => Boolean): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val size = b.getInt(p)
+          val id = fcc(p + 4)
+          if (size < 8 || p + size > end) return false
+          if (!f(id, p + 8, size - 8)) return false
+          p += size
+        }
+        p == end
+      }
+
+      def parseStbl(off: Int, end: Int): Boolean =
+        walk(off, end) { (id, o, sz) =>
+          if (id == "stsd" && sz >= 16) {
+            val n = b.getInt(o + 4)
+            if (n < 1) false
+            else {
+              val entry = o + 8
+              val esz = b.getInt(entry)
+              if (esz < 36 || entry + esz > o + sz) false
+              else {
+                codec = fcc(entry + 4).trim
+                w = b.getShort(entry + 32) & 0xffff
+                h = b.getShort(entry + 34) & 0xffff
+                true
+              }
+            }
+          } else if (id == "stsz" && sz >= 12) {
+            val fixed = b.getInt(o + 4)
+            val n = b.getInt(o + 8)
+            if (n < 0 || n > (1 << 20)) false // sample-count bomb guard
+            else if (fixed != 0) { sizes = Array.fill(n)(fixed); true }
+            else if (sz < 12 + 4L * n) false
+            else { sizes = Array.tabulate(n)(i => b.getInt(o + 12 + 4 * i)); true }
+          } else if (id == "stco" && sz >= 8) {
+            val n = b.getInt(o + 4)
+            if (n < 0 || n > (1 << 20) || sz < 8 + 4L * n) false
+            else {
+              chunkOffsets = Array.tabulate(n)(i =>
+                (b.getInt(o + 8 + 4 * i).toLong) & 0xffffffffL)
+              true
+            }
+          } else if (id == "stsc" && sz >= 8) {
+            val n = b.getInt(o + 4)
+            if (n < 0 || n > (1 << 20) || sz < 8 + 12L * n) false
+            else {
+              stscRuns = Array.tabulate(n)(i =>
+                (b.getInt(o + 8 + 12 * i), b.getInt(o + 8 + 12 * i + 4)))
+              true
+            }
+          } else true
+        }
+
+      def parseTrak(off: Int, end: Int): Boolean = {
+        var handler = ""
+        var stbl = -1; var stblEnd = -1
+        def scan(s: Int, e: Int): Boolean =
+          walk(s, e) { (id, o, sz) =>
+            id match {
+              case "mdia" | "minf" => scan(o, o + sz)
+              case "hdlr" if sz >= 12 => handler = fcc(o + 8); true
+              case "stbl" => stbl = o; stblEnd = o + sz; true
+              case _ => true
+            }
+          }
+        if (!scan(off, end)) return false
+        if (stbl >= 0 && (handler == "vide" || handler.isEmpty) && codec == null) {
+          if (!parseStbl(stbl, stblEnd)) return false
+        }
+        true
+      }
+
+      val ok = walk(0, bytes.length) { (id, o, sz) =>
+        if (id == "moov")
+          walk(o, o + sz) { (id2, o2, sz2) =>
+            if (id2 == "trak" && codec == null) parseTrak(o2, o2 + sz2)
+            else true
+          }
+        else true
+      }
+      if (!ok || codec == null || w <= 0 || h <= 0 ||
+        sizes == null || sizes.isEmpty ||
+        chunkOffsets == null || chunkOffsets.isEmpty ||
+        stscRuns == null || stscRuns.isEmpty) return null
+      // only per-frame JPEG codecs decode; everything else is Mp4Probe's
+      // metadata-triage territory
+      val lc = codec.toLowerCase(java.util.Locale.ROOT)
+      if (lc != "jpeg" && lc != "mjpa") return null
+      if (w.toLong * h > (1L << 24)) return null
+      // sample extents from the published stsc/stco/stsz mapping: for
+      // chunk c (1-based), samples_per_chunk is the run with the
+      // greatest first_chunk <= c; samples pack back-to-back from the
+      // chunk's stco offset in stsz order
+      if (stscRuns.head._1 != 1) return null // spec: first run covers chunk 1
+      var run = 0
+      var sample = 0
+      val offsets = new Array[Long](sizes.length)
+      var c = 1
+      while (c <= chunkOffsets.length && sample < sizes.length) {
+        while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= c) run += 1
+        val spc = stscRuns(run)._2
+        if (spc <= 0) return null
+        var off = chunkOffsets(c - 1)
+        var k = 0
+        while (k < spc && sample < sizes.length) {
+          if (sizes(sample) < 0 || off < 0 ||
+            off + sizes(sample) > bytes.length) return null
+          offsets(sample) = off
+          off += sizes(sample)
+          sample += 1; k += 1
+        }
+        c += 1
+      }
+      if (sample < sizes.length) return null // tables cover fewer samples
+      val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+      var fi = 0
+      while (fi < sizes.length) {
+        if (fi % every == 0) {
+          if ((sampled.length + 1).toLong * w * h > (1L << 24)) return null
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, offsets(fi).toInt, sizes(fi)))
+          if (img == null || img.getWidth != w || img.getHeight != h) return null
+          // bulk ARGB grab + Rec. 709 integer luma — the AviFrames formula
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) {
+            val rgb = argb(i)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val bl = rgb & 0xff
+            gray(i) = ((2126L * r + 7152L * g + 722L * bl) / 10000L).toInt
+            i += 1
+          }
+          sampled += ((fi, gray))
+        }
+        fi += 1
+      }
+      if (sampled.isEmpty) return null
+      val frames = sampled.map { case (idx, gray) =>
+        new GenericInternalRow(Array[Any](idx,
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(gray)))
+      }.toArray[Any]
+      new GenericInternalRow(Array[Any](w, h, sizes.length,
+        new GenericArrayData(frames)))
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  override protected def nullSafeEval(bytes: Any, every: Any): Any =
+    decode(bytes.asInstanceOf[Array[Byte]], every.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mp4Frames", this, classOf[Mp4Frames].getName)
+    nullSafeCodeGen(ctx, ev, (bytes, every) => s"""
+      ${ev.value} = (InternalRow) $ref.decode($bytes, $every);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Mp4Frames =
+    copy(left = newLeft, right = newRight)
+}
+
 object Mp4Functions {
   def mp4EncodeMeta(codec: Column, width: Column, height: Column,
       frameSizes: Column, keyEvery: Column): Column =
@@ -375,4 +620,7 @@ object Mp4Functions {
       GraftExprBridge.expression(keyEvery))))
   def mp4Probe(bytes: Column): Column =
     GraftExprBridge.column(Mp4Probe(GraftExprBridge.expression(bytes)))
+  def mp4Frames(bytes: Column, every: Column): Column =
+    GraftExprBridge.column(Mp4Frames(
+      GraftExprBridge.expression(bytes), GraftExprBridge.expression(every)))
 }

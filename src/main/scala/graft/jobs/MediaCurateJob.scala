@@ -97,8 +97,10 @@ object MediaCurateJob {
       .localCheckpoint()
     val vidStats = vid
       .select(col("media_id"),
-        graft.functions.MediaFunctions.aviFrames(
-          col("payload"), lit(every)).as("__v"))
+        // container-agnostic: AVI DIB/MJPG and Motion-JPEG MP4 all
+        // pass the DECODE screen; H.264-class MP4s fall through to the
+        // metadata-triage rail below
+        graft.multimodal.Media.videoFrames(col("payload"), every).as("__v"))
       .filter(col("__v").isNotNull)
       .select(col("media_id"),
         col("__v.width").as("width"), col("__v.height").as("height"),

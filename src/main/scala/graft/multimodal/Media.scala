@@ -432,12 +432,24 @@ object Media {
     * materialized), and everything is scan-stage codegen: no shuffle
     * exists in this operator at any corpus size.
     */
+  /** Container-agnostic frame decode: AVI (DIB or MJPG) through
+    * [[graft.functions.AviFrames]], Motion-JPEG MP4/MOV through
+    * [[graft.functions.Mp4Frames]] — each returns NULL instantly on the
+    * other's magic bytes (RIFF vs ftyp), so the coalesce costs one
+    * header check, and downstream machinery never knows the container.
+    */
+  def videoFrames(bytes: org.apache.spark.sql.Column,
+      every: Int): org.apache.spark.sql.Column = {
+    import graft.functions.MediaFunctions.aviFrames
+    import graft.functions.Mp4Functions.mp4Frames
+    coalesce(aviFrames(bytes, lit(every)), mp4Frames(bytes, lit(every)))
+  }
+
   def videoFrameStats(
       df: DataFrame, idCol: String, bytesCol: String, every: Int = 2): DataFrame = {
-    import graft.functions.MediaFunctions._
     require(every >= 1, s"videoFrameStats: every >= 1, got $every")
     df.select(col(idCol).cast("long").as("media_id"),
-        aviFrames(col(bytesCol).cast("binary"), lit(every)).as("__v"))
+        videoFrames(col(bytesCol).cast("binary"), every).as("__v"))
       .filter(col("__v").isNotNull)
       .select(col("media_id"),
         col("__v.width").as("width"), col("__v.height").as("height"),
@@ -466,7 +478,7 @@ object Media {
     require(every >= 1, s"videoKeyframeNeardupPairs: every >= 1, got $every")
     val base = df
       .select(col(idCol).as("media_id"),
-        aviFrames(col(bytesCol).cast("binary"), lit(every)).as("__v"))
+        videoFrames(col(bytesCol).cast("binary"), every).as("__v"))
       .filter(col("__v").isNotNull && size(col("__v.frames")) > 0)
       .select(col("media_id"),
         dHash64(lumaGrid2d(

@@ -664,6 +664,19 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.functions.AviEncode(null, null, null).encode(ad, 16, 16)
     }
     val grayFrame = Seq.tabulate(256)(_ => 128 * 0x010101)
+    // a REAL Motion-JPEG MP4 (gradient pattern: distinct dHash from the
+    // flat DIB clip, mid luma passes the exposure gate)
+    def jpegMp4(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, (((x * 16 + y * 3) % 192) + 32) * 0x010101)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      javax.imageio.ImageIO.write(img, "jpg", ios); ios.flush(); ios.close()
+      val f = out.toByteArray
+      graft.functions.Mp4.container("jpeg", 16, 16, Seq(f, f, f), 2)
+    }
     def mp4(codec: String, sizes: Seq[Int]): Array[Byte] =
       graft.functions.Mp4EncodeMeta(Seq(null, null, null, null, null)).encode(
         org.apache.spark.unsafe.types.UTF8String.fromString(codec), 32, 24,
@@ -679,7 +692,8 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (55L, "video", mp4("avc1", Seq(900, 901, 902))), // MP4: admitted by metadata
       (56L, "video", mp4("hvc1", Seq(100, 200, 300))), // MP4 w/ AVI-50's plan but
                                                        //   its own codec -> distinct fp
-      (57L, "video", mp4("avc1", Seq(900, 901, 902)))) // exact MP4 dup of 55 -> dropped
+      (57L, "video", mp4("avc1", Seq(900, 901, 902))), // exact MP4 dup of 55 -> dropped
+      (58L, "video", jpegMp4()))                       // MJPEG MP4: DECODES -> pixel path
     val src = tmp() + "/vid_src"
     corpus.toDF("media_id", "kind", "payload").write.parquet(src)
     val dest = tmp()
@@ -692,9 +706,12 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "metadata path: AVI + MP4 admitted, dups and short containers dropped, garbage refused")
     assert(compressed.filter($"media_id" === 50L).select("codec").head().getString(0) == "H264")
     assert(compressed.filter($"media_id" === 55L).select("codec").head().getString(0) == "avc1")
-    // the decodable DIB clip stays on the PIXEL path, not the metadata path
+    // decodable clips stay on the PIXEL path, not the metadata path:
+    // the DIB AVI and the MJPEG MP4 both pass the DECODE screen
     val pixel = spark.read.parquet(s"$dest/media/video")
-    assert(pixel.select("media_id").collect().map(_.getLong(0)).toSet == Set(40L))
+    assert(pixel.select("media_id").collect().map(_.getLong(0)).toSet ==
+      Set(40L, 58L),
+      "an MJPEG MP4 must be admitted through the decode screen, not triage")
     val sumy = spark.read.parquet(s"$dest/reports/media_summary")
       .collect().map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
     assert(sumy(("video_meta", "1_triaged")) == 7L)

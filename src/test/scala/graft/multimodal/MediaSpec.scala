@@ -676,6 +676,108 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.isNullAt(0))
   }
 
+  test("mp4Frames: Motion-JPEG in MP4 decodes for real; remuxed AVI-MJPG twin is gray-identical") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions.aviFrames
+    import graft.functions.Mp4Functions.{mp4Frames, mp4Probe}
+    def jpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      javax.imageio.ImageIO.write(img, "jpg", ios); ios.flush(); ios.close()
+      out.toByteArray
+    }
+    val frames = Seq(jpeg(0x808080, 16, 16), jpeg(0x202020, 16, 16),
+      jpeg(0xe0e0e0, 16, 16))
+    val mp4 = graft.functions.Mp4.container("jpeg", 16, 16, frames, 2)
+    assert(mp4 != null)
+    // decode every sample: planted flat lumas within codec tolerance
+    val r = Seq((1L, mp4)).toDF("id", "p")
+      .select(mp4Frames($"p", lit(1)).as("v")).collect().head.getStruct(0)
+    assert(r.getInt(0) == 16 && r.getInt(1) == 16 && r.getInt(2) == 3)
+    val fr = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(fr.map(_.getInt(0)) == Seq(0, 1, 2))
+    def grays(i: Int) = fr(i).getSeq[Int](1)
+    assert(grays(0).forall(g => math.abs(g - 128) <= 3), grays(0).take(8))
+    assert(grays(1).forall(g => math.abs(g - 32) <= 3), grays(1).take(8))
+    assert(grays(2).forall(g => math.abs(g - 224) <= 3), grays(2).take(8))
+    // every-2nd sampling: frames 0 and 2; n_frames still counts all
+    val s2 = Seq((1L, mp4)).toDF("id", "p")
+      .select(mp4Frames($"p", lit(2)).as("v")).collect().head.getStruct(0)
+    assert(s2.getInt(2) == 3 &&
+      s2.getSeq[org.apache.spark.sql.Row](3).map(_.getInt(0)) == Seq(0, 2))
+    // mp4Probe still triages the same container (sizes/keyframes intact)
+    val p = Seq((1L, mp4)).toDF("id", "p")
+      .select(mp4Probe($"p").as("v")).collect().head.getStruct(0)
+    assert(p.getString(0) == "jpeg" && p.getInt(3) == 3 && p.getInt(4) == 2)
+    // an H.264-class container does NOT decode (metadata triage only)
+    val avc = graft.functions.Mp4.container("avc1", 16, 16, frames, 2)
+    assert(Seq((1L, avc)).toDF("id", "p")
+      .select(mp4Frames($"p", lit(1)).as("v")).collect().head.isNullAt(0))
+    // a corrupt JPEG sample nulls the whole decode
+    val broken = mp4.clone()
+    val mdat = {
+      val pat = "mdat".getBytes("US-ASCII")
+      broken.indices.indexWhere(i => i + 4 <= broken.length &&
+        pat.indices.forall(k => broken(i + k) == pat(k)))
+    }
+    broken(mdat + 4) = 0x00.toByte // stomp the first sample's SOI marker
+    assert(Seq((1L, broken)).toDF("id", "p")
+      .select(mp4Frames($"p", lit(1)).as("v")).collect().head.isNullAt(0))
+    // container-agnostic rail: the same JPEG payloads remuxed into an
+    // MJPG AVI must decode GRAY-IDENTICAL (same bytes, same JDK reader)
+    def mjpgAvi(fs: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      val padded = fs.map(f => f ++ Array.fill[Byte](f.length & 1)(0))
+      val moviSize = 4 + padded.map(8 + _.length).sum
+      val hdrl = 4 + 64 + (8 + 4 + 64 + 48)
+      val total = 12 + (8 + hdrl) + (8 + moviSize)
+      val b = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String) = b.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); b.putInt(total - 8); fcc("AVI ")
+      fcc("LIST"); b.putInt(hdrl); fcc("hdrl")
+      fcc("avih"); b.putInt(56)
+      b.putInt(40000).putInt(0).putInt(0).putInt(0)
+      b.putInt(fs.length).putInt(0).putInt(1).putInt(0)
+      b.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(4 + 64 + 48); fcc("strl")
+      fcc("strh"); b.putInt(56)
+      fcc("vids"); fcc("MJPG")
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+      b.putInt(1).putInt(25).putInt(0).putInt(fs.length)
+      b.putInt(0).putInt(-1).putInt(0)
+      b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fcc("strf"); b.putInt(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      fcc("MJPG")
+      b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(moviSize); fcc("movi")
+      fs.zip(padded).foreach { case (f, pad) =>
+        fcc("00dc"); b.putInt(f.length); b.put(pad)
+      }
+      b.array()
+    }
+    val avi = mjpgAvi(frames, 16, 16)
+    val both = Seq((1L, avi), (2L, mp4)).toDF("id", "p")
+      .select($"id", graft.multimodal.Media.videoFrames($"p", 1).as("v"))
+      .collect().sortBy(_.getLong(0))
+    assert(both.forall(!_.isNullAt(1)), "videoFrames must decode BOTH containers")
+    val g1 = both(0).getStruct(1).getSeq[org.apache.spark.sql.Row](3)
+      .map(_.getSeq[Int](1))
+    val g2 = both(1).getStruct(1).getSeq[org.apache.spark.sql.Row](3)
+      .map(_.getSeq[Int](1))
+    assert(g1 == g2, "remux must be gray-identical: same JPEG bytes, same reader")
+    // videoFrameStats rides the agnostic rail end-to-end
+    val stats = graft.multimodal.Media.videoFrameStats(
+      Seq((7L, mp4)).toDF("media_id", "payload"), "media_id", "payload", every = 1)
+      .orderBy("frame_idx").collect()
+    assert(stats.length == 3 &&
+      math.abs(stats(0).getAs[Long]("mean_luma") - 128L) <= 3 &&
+      math.abs(stats(1).getAs[Long]("mean_luma") - 32L) <= 3)
+  }
+
   test("audioResample: exact rational grid, up/down, toward-zero lerp, corrupt dropped") {
     import spark.implicits._
     def wav(samples: Seq[Int], rate: Int): Array[Byte] =

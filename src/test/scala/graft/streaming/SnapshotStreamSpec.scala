@@ -672,6 +672,54 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_gm2")
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve onto the format's pinned manifests") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 100, "v0"))
+    Thread.sleep(1100)
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(1100)
+    store.commitAppend(frame(200 to 204, "v1"))
+    spark.sql(s"CREATE TABLE snap_tt USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // VERSION AS OF ≡ the option-based read, through plain SQL text
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_tt VERSION AS OF 0")
+        .head().getLong(0) == 100L)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_tt VERSION AS OF 1")
+        .head().getLong(0) == 105L)
+      assert(spark.sql(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s FROM snap_tt VERSION AS OF 0")
+        .head().getLong(0) ==
+        spark.read.format("graft-snapshot").option("path", root)
+          .option("versionAsOf", "0").load()
+          .agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0))
+      // ...and the FOR SYSTEM_VERSION spelling
+      assert(spark.sql(
+        "SELECT COUNT(*) AS n FROM snap_tt FOR SYSTEM_VERSION AS OF 0")
+        .head().getLong(0) == 100L)
+      // TIMESTAMP AS OF resolves through the manifests' #ts instants
+      val tsLit = new java.sql.Timestamp(betweenMillis).toInstant.toString
+      assert(spark.sql(
+        s"SELECT COUNT(*) AS n FROM snap_tt TIMESTAMP AS OF '$tsLit'")
+        .head().getLong(0) == 100L)
+      // the un-traveled table still reads latest
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_tt").head().getLong(0) == 105L)
+      // a bad version fails with the STORE's own message
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM snap_tt VERSION AS OF 99").collect()
+      }
+      assert(e.getMessage.contains("version 99 does not exist"))
+      // a non-snapshot table keeps Spark's own refusal
+      spark.sql("CREATE TABLE plain_tt (id BIGINT) USING parquet")
+      try {
+        intercept[Exception] {
+          spark.sql("SELECT * FROM plain_tt VERSION AS OF 0").collect()
+        }
+      } finally spark.sql("DROP TABLE plain_tt")
+    } finally spark.sql("DROP TABLE snap_tt")
+  }
+
   test("SQL-first lifecycle: CREATE TABLE with declared columns, INSERT, read — no DataFrame write needed") {
     val root = tmp()
     spark.sql(s"CREATE TABLE snap_ddl (id BIGINT, v STRING) " +
