@@ -586,9 +586,22 @@ final class SnapshotStore(root: String) {
     * commit racing in between fails this merge LOUDLY (the touched-file
     * set is stale; blind rebase could resurrect rows a racer changed) —
     * re-run the merge against the new state.
+    *
+    * MERGE-ON-READ (`mergeOnRead = true`): no candidate file is
+    * rewritten. The matched LIVE target rows (null-safe key equality —
+    * the same grouping [[Merge.upsert]]'s window applies) are
+    * tombstoned through one position-list DV sidecar and the WHOLE
+    * delta lands as one appended file set — replaced images and fresh
+    * inserts alike. A steady CDC upsert stream then costs O(delta) per
+    * micro-batch instead of rewriting every hit file, with
+    * [[compactLatest]] materializing the tombstones on maintenance
+    * cadence. The delta must be UNIQUE per key tuple under MoR
+    * (appending two images of one key would keep both; the CoW window
+    * picks an arbitrary winner — dedup upstream with
+    * [[graft.ext.Dedup.latestByKey]]), refused loudly otherwise.
     */
   def mergeInto(spark: SparkSession, delta: DataFrame, keys: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, mergeOnRead: Boolean = false): Long = {
     require(keys.nonEmpty, "SnapshotStore.mergeInto: no key columns")
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.mergeInto: no committed versions at $root"))
@@ -620,12 +633,34 @@ final class SnapshotStore(root: String) {
         }
       case None => (m.entries, Seq.empty[FileEntry])
     }
-    val merged = Merge.upsert(scan(spark, m.schema, touched, m.partCols), delta, keys)
-    val staged =
-      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
-      else stagePartitioned(merged, m.partCols, m.statsColumn)
-    publishEntries(untouched ++ staged, m.schema, m.statsColumn, txn,
-      expectedVersion = Some(v + 1L), partCols = m.partCols)
+    if (mergeOnRead) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      require(delta.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).isEmpty,
+        "SnapshotStore.mergeInto(mergeOnRead): multiple delta rows share a " +
+          "key tuple — appending both would keep both; dedup the delta " +
+          "first (Dedup.latestByKey)")
+      val dkeys = delta.select(keys.map(k => col(k).as(s"__d_$k")): _*)
+      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
+        .join(dkeys, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
+          "left_semi")
+      val (dvRel, hitFiles) = writeDvSidecar(spark,
+        matchedRows.select(col("__file").as("file"), col("__pos").as("pos")))
+      val staged =
+        if (m.partCols.isEmpty) stageEntries(delta, m.statsColumn)
+        else stagePartitioned(delta, m.partCols, m.statsColumn)
+      val tombstoned = m.entries.map(e =>
+        if (hitFiles.contains(e.path)) e.copy(dv = e.dv :+ dvRel) else e)
+      publishEntries(tombstoned ++ staged, m.schema, m.statsColumn, txn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    } else {
+      val merged = Merge.upsert(scan(spark, m.schema, touched, m.partCols), delta, keys)
+      val staged =
+        if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
+        else stagePartitioned(merged, m.partCols, m.statsColumn)
+      publishEntries(untouched ++ staged, m.schema, m.statsColumn, txn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    }
   }
 
   /** General MERGE — the full WHEN-clause algebra
@@ -824,26 +859,10 @@ final class SnapshotStore(root: String) {
     }
     val hit = coalesce(predicate, lit(false))
     if (mergeOnRead) {
-      // positions of the matching LIVE rows (existing DVs applied via
-      // scan-side anti-join inside positionJoin's withPos arm — a row
-      // two MoR deletes both match must be tombstoned ONCE, or the
-      // change feed would emit its delete twice)
-      val live =
-        if (touched.forall(_.dv.isEmpty))
-          scanRaw(spark, m.schema, touched, m.partCols, withPos = true)
-        else positionJoin(spark, m.schema, touched, m.partCols,
-          touched.flatMap(_.dv).distinct, anti = true)
-      val hits = live.filter(hit)
+      val hits = liveWithPos(spark, m.schema, touched, m.partCols)
+        .filter(hit)
         .select(col("__file").as("file"), col("__pos").as("pos"))
-      val dvRel = {
-        val sub = dataDir.resolve(java.util.UUID.randomUUID.toString + ".dv")
-        hits.write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
-        rootPath.relativize(sub).toString
-      }
-      // which files actually took a tombstone — a tiny driver read of
-      // the sidecar's own column (O(touched files) rows at most)
-      val hitFiles = spark.read.parquet(rootPath.resolve(dvRel).toString)
-        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val (dvRel, hitFiles) = writeDvSidecar(spark, hits)
       val updated =
         if (hitFiles.isEmpty) m.entries // no match: an honest empty commit
         else m.entries.map(e =>
@@ -869,9 +888,22 @@ final class SnapshotStore(root: String) {
     * resolve against the rewritten scan). Updating a PARTITION column
     * is supported — re-staging is hive-partitioned, so changed rows
     * physically move to their new partition directory. CAS-pinned.
+    *
+    * MERGE-ON-READ (`mergeOnRead = true`): no candidate file is
+    * rewritten. The matching LIVE rows are tombstoned through one
+    * position-list DV sidecar (exactly [[deleteWhere]]'s physics) and
+    * their post-assignment images land as ONE appended file set — a
+    * scattered 1-row update costs O(delta) instead of O(touched
+    * files), the change feed emits the honest delete(old image) +
+    * insert(new image), and the next CoW rewrite or [[compactLatest]]
+    * materializes the tombstones. Assignments must be deterministic
+    * under MoR (matched rows are scanned once for positions and once
+    * for images — a `rand()` would tombstone one row and insert a
+    * different one).
     */
   def updateWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+      assignments: Map[String, org.apache.spark.sql.Column],
+      mergeOnRead: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "SnapshotStore.updateWhere: no assignments")
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
@@ -894,19 +926,46 @@ final class SnapshotStore(root: String) {
       case None => (m.entries, Seq.empty[FileEntry])
     }
     val hit = coalesce(predicate, lit(false))
-    val updated = scan(spark, m.schema, touched, m.partCols).select(
-      m.schema.fields.toSeq.map { f =>
-        assignments.get(f.name) match {
-          case Some(value) =>
-            when(hit, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
-    val staged =
-      if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn)
-      else stagePartitioned(updated, m.partCols, m.statsColumn)
-    publishEntries(untouched ++ staged, m.schema, m.statsColumn,
-      expectedVersion = Some(v + 1L), partCols = m.partCols)
+    if (mergeOnRead) {
+      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
+        .filter(hit)
+      val (dvRel, hitFiles) = writeDvSidecar(spark,
+        matchedRows.select(col("__file").as("file"), col("__pos").as("pos")))
+      if (hitFiles.isEmpty)
+        // no match: an honest empty commit (orphan sidecar -> vacuum)
+        publishEntries(m.entries, m.schema, m.statsColumn,
+          expectedVersion = Some(v + 1L), partCols = m.partCols)
+      else {
+        val images = matchedRows.select(
+          m.schema.fields.toSeq.map { f =>
+            assignments.get(f.name) match {
+              case Some(value) => value.cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*)
+        val staged =
+          if (m.partCols.isEmpty) stageEntries(images, m.statsColumn)
+          else stagePartitioned(images, m.partCols, m.statsColumn)
+        val tombstoned = m.entries.map(e =>
+          if (hitFiles.contains(e.path)) e.copy(dv = e.dv :+ dvRel) else e)
+        publishEntries(tombstoned ++ staged, m.schema, m.statsColumn,
+          expectedVersion = Some(v + 1L), partCols = m.partCols)
+      }
+    } else {
+      val updated = scan(spark, m.schema, touched, m.partCols).select(
+        m.schema.fields.toSeq.map { f =>
+          assignments.get(f.name) match {
+            case Some(value) =>
+              when(hit, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val staged =
+        if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn)
+        else stagePartitioned(updated, m.partCols, m.statsColumn)
+      publishEntries(untouched ++ staged, m.schema, m.statsColumn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    }
   }
 
   /** Fold resolved predicate conjuncts that constrain `column` into one
@@ -1452,6 +1511,37 @@ final class SnapshotStore(root: String) {
         withPos("__file") === col("__dv_file") &&
           withPos("__pos") === col("__dv_pos"),
         if (anti) "left_anti" else "left_semi")
+  }
+
+  /** Live rows of `entries` with `__file`/`__pos` attached: the plain
+    * positioned scan when no entry carries a deletion vector, the
+    * DV anti-join otherwise — the one definition of "what a MoR write
+    * may tombstone" shared by deleteWhere / updateWhere / mergeInto
+    * (a row two MoR writes both hit must be tombstoned ONCE, or the
+    * change feed would emit its delete twice).
+    */
+  private def liveWithPos(spark: SparkSession, schema: StructType,
+      entries: Seq[FileEntry], partCols: Seq[String]): DataFrame =
+    if (entries.forall(_.dv.isEmpty))
+      scanRaw(spark, schema, entries, partCols, withPos = true)
+    else positionJoin(spark, schema, entries, partCols,
+      entries.flatMap(_.dv).distinct, anti = true)
+
+  /** Write `hits` (columns `file`, `pos`) as one position-list DV
+    * sidecar — an ordinary distributed parquet write, never a driver
+    * collect — and return its manifest-relative path plus the set of
+    * data files that actually took a tombstone (a tiny driver read of
+    * the sidecar's own `file` column: O(touched files) rows at most).
+    * An all-miss sidecar is left orphaned for vacuum to reclaim.
+    */
+  private def writeDvSidecar(spark: SparkSession,
+      hits: DataFrame): (String, Set[String]) = {
+    val sub = dataDir.resolve(java.util.UUID.randomUUID.toString + ".dv")
+    hits.write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
+    val rel = rootPath.relativize(sub).toString
+    val hitFiles = spark.read.parquet(rootPath.resolve(rel).toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    (rel, hitFiles)
   }
 
   /** The physical file-list scan. With `withPos`, every row carries

@@ -967,6 +967,77 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM applied GROUP BY 1 ORDER BY ver
+      """)),
+    // ----------------------------------------------------------------
+    // MERGE-ON-READ upsert + update — the steady-CDC-stream physics:
+    // one MoR MERGE (scattered updates + inserts, %997 buckets hit most
+    // of the 8 range files) and one MoR UPDATE land as DV sidecars plus
+    // appended delta files, touching ZERO base data files (SnapshotSpec
+    // pins the file identity; this oracle pins the row algebra). The
+    // live read applies the tombstones via the scan anti-join; the feed
+    // must show each commit as honest delete(old image) + insert(new
+    // image) rows. A tombstone the anti-join missed (stale image
+    // visible), a double-applied delta, or a feed image attributed to
+    // the wrong arm each breaks a different group.
+    Q(
+      "q289_mor_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-moru").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        val base = store.read(s) // snapshot-isolated source of the delta
+        val delta = base.filter($"o_orderkey" % 997 === 2)
+          .select($"o_orderkey", $"o_custkey", lit("upd").as("ver"))
+          .unionByName(base.filter($"o_orderkey" % 997 === 3)
+            .select(($"o_orderkey" + 300000000L).as("o_orderkey"),
+              $"o_custkey", lit("new").as("ver")))
+        store.mergeInto(s, delta, Seq("o_orderkey"), mergeOnRead = true) // v1
+        // the update arm is disjoint from v1's inserts by construction:
+        // (k + 300000000) % 997 == (3 + 706) == 709, never 5
+        store.updateWhere(s, $"o_orderkey" % 997 === 5,
+          Map("ver" -> lit("upd2")), mergeOnRead = true)                 // v2
+        val live = store.read(s)
+          .groupBy($"ver".as("grp"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .withColumn("side", lit("live"))
+        val feed = store.readChanges(s, 0L)
+          .groupBy(concat($"_commit_version", lit("_"), $"_change_type").as("grp"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .withColumn("side", lit("feed"))
+        live.unionByName(feed)
+          .select($"side", $"grp", $"n", $"key_sum")
+          .orderBy($"side", $"grp")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, 'base' AS ver FROM orders),
+        upd AS (SELECT o_orderkey FROM o WHERE o_orderkey % 997 = 2),
+        nw AS (
+          SELECT o_orderkey + 300000000 AS o_orderkey
+          FROM o WHERE o_orderkey % 997 = 3),
+        up2 AS (SELECT o_orderkey FROM o WHERE o_orderkey % 997 = 5),
+        live AS (
+          SELECT 'live' AS side,
+                 CASE WHEN o_orderkey % 997 = 2 THEN 'upd'
+                      WHEN o_orderkey % 997 = 5 THEN 'upd2'
+                      ELSE 'base' END AS grp,
+                 o_orderkey
+          FROM o
+          UNION ALL SELECT 'live', 'new', o_orderkey FROM nw),
+        feed AS (
+          SELECT 'feed' AS side, '1_delete' AS grp, o_orderkey FROM upd
+          UNION ALL SELECT 'feed', '1_insert', o_orderkey FROM upd
+          UNION ALL SELECT 'feed', '1_insert', o_orderkey FROM nw
+          UNION ALL SELECT 'feed', '2_delete', o_orderkey FROM up2
+          UNION ALL SELECT 'feed', '2_insert', o_orderkey FROM up2),
+        uni AS (SELECT * FROM live UNION ALL SELECT * FROM feed)
+        SELECT side, grp, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM uni GROUP BY 1, 2 ORDER BY side, grp
       """))
   )
 }

@@ -213,11 +213,15 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     require(mergeKeys.isEmpty || outputMode == OutputMode.Append(),
       "graft-snapshot sink: mergeKeys requires Append mode " +
         "(each micro-batch upserts by key)")
+    val mergeOnRead = parameters.get("mergeOnRead").exists(_.toBoolean)
+    require(!mergeOnRead || mergeKeys.nonEmpty,
+      "graft-snapshot sink: mergeOnRead applies to the mergeKeys upsert " +
+        "path (plain appends never rewrite files)")
     new SnapshotStreamSink(storeFor(parameters), outputMode,
       parameters.get("statsColumn"),
       parameters.get("mergeSchema").exists(_.toBoolean),
       parameters.getOrElse("txnAppId", "default"),
-      partitionColumns, mergeKeys)
+      partitionColumns, mergeKeys, mergeOnRead)
   }
 
   override def sourceSchema(
@@ -255,7 +259,8 @@ final class SnapshotStreamSink(
     mergeSchema: Boolean,
     txnAppId: String = "default",
     partitionBy: Seq[String] = Nil,
-    mergeKeys: Seq[String] = Nil) extends Sink {
+    mergeKeys: Seq[String] = Nil,
+    mergeOnRead: Boolean = false) extends Sink {
 
   /** Highest batch id THIS sink instance committed (or found committed
     * on its first scan). `lastTxn` walks manifests newest-first — O(1)
@@ -301,8 +306,13 @@ final class SnapshotStreamSink(
           missing.mkString(", "))
       val shaped = batch.select(table.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
+      // `option("mergeOnRead", "true")` switches the physics: each
+      // batch tombstones the matched rows through one DV sidecar and
+      // appends its delta — O(delta) per trigger instead of rewriting
+      // every hit file, with OPTIMIZE materializing tombstones on
+      // maintenance cadence (the steady-CDC-stream configuration).
       store.mergeInto(batch.sparkSession, shaped, mergeKeys,
-        txn = Some((txnAppId, batchId)))
+        txn = Some((txnAppId, batchId)), mergeOnRead = mergeOnRead)
     }
     else
       store.commitAppend(batch, statsColumn, mergeSchema,

@@ -602,6 +602,123 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       after.filter($"id".isin(7L, 100L)).isEmpty)
   }
 
+  test("merge-on-read update: a scattered 1-row update keeps every data file and appends only the new image") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1L to 800L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "amt")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    val files0 = store.readFullManifest(0L).entries.map(_.path).toSet
+    val v1 = store.updateWhere(spark, $"id" === 5L,
+      Map("tag" -> lit("UPD")), mergeOnRead = true)
+    val m1 = store.readFullManifest(v1)
+    assert(files0.subsetOf(m1.entries.map(_.path).toSet),
+      "MoR update must keep every prior data file by identity")
+    val added = m1.entries.filterNot(e => files0.contains(e.path))
+    assert(added.nonEmpty && added.forall(_.dv.isEmpty),
+      "the new-image file set is appended clean")
+    assert(m1.entries.count(_.dv.nonEmpty) == 1,
+      "exactly the file holding id=5 takes a DV reference")
+    val got = store.read(spark)
+    assert(got.count() == 800L &&
+      got.filter($"id" === 5L).head().getAs[String]("tag") == "UPD")
+    assert(store.read(spark, Some(0L)).filter($"id" === 5L)
+      .head().getAs[String]("tag") == "t5", "prior version untouched")
+    // MoR result ≡ CoW result on an identical twin table
+    val cow = new SnapshotStore(tmp())
+    cow.commitOverwrite(
+      (1L to 800L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "amt")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    cow.updateWhere(spark, $"id" === 5L, Map("tag" -> lit("UPD")))
+    assert(store.read(spark).orderBy("id").collect().toSeq ==
+      cow.read(spark).orderBy("id").collect().toSeq)
+    // the feed emits the honest delete(old image) + insert(new image)
+    val feed = store.readChanges(spark, 0L, Some(v1))
+    assert(feed.orderBy("_change_type").collect().map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("tag"))).toSeq ==
+      Seq(("delete", 5L, "t5"), ("insert", 5L, "UPD")))
+    // stacked on a prior MoR: the already-replaced image is dead — a
+    // second update matches the NEW image (appended file), not the
+    // tombstoned one
+    val v2 = store.updateWhere(spark, $"tag" === "UPD",
+      Map("tag" -> lit("UPD2")), mergeOnRead = true)
+    assert(store.read(spark).filter($"id" === 5L)
+      .head().getAs[String]("tag") == "UPD2")
+    assert(store.readChanges(spark, v1, Some(v2)).count() == 2L,
+      "one delete + one insert — the v0 image was already dead")
+    // compaction materializes: DVs cleared, rows identical
+    val cv = store.compactLatest(spark, targetFiles = 2)
+    assert(store.readFullManifest(cv).entries.forall(_.dv.isEmpty))
+    assert(store.read(spark).count() == 800L)
+    // no-match MoR update: an honest empty commit, no DV, no file
+    val v3 = store.updateWhere(spark, $"id" === -1L,
+      Map("tag" -> lit("X")), mergeOnRead = true)
+    val m3 = store.readFullManifest(v3)
+    assert(m3.entries.map(_.path) ==
+      store.readFullManifest(cv).entries.map(_.path) &&
+      m3.entries.forall(_.dv.isEmpty))
+  }
+
+  test("merge-on-read merge: the CDC upsert appends its delta and tombstones matched keys without touching a file") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1L to 800L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "amt")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    val files0 = store.readFullManifest(0L).entries.map(_.path).toSet
+    val delta = Seq((5L, "u5", 5.5), (500L, "u500", 500.5),
+      (1001L, "n1", 1.0), (1002L, "n2", 2.0)).toDF("id", "tag", "amt")
+    val v1 = store.mergeInto(spark, delta, Seq("id"), mergeOnRead = true)
+    val m1 = store.readFullManifest(v1)
+    assert(files0.subsetOf(m1.entries.map(_.path).toSet),
+      "MoR merge must keep every prior data file by identity")
+    assert(m1.entries.count(_.dv.nonEmpty) == 2,
+      "exactly the files holding id=5 and id=500 take DV references")
+    val got = store.read(spark)
+    assert(got.count() == 802L)
+    assert(got.filter($"id" === 5L).head().getAs[String]("tag") == "u5")
+    assert(got.filter($"id" === 1001L).count() == 1L)
+    // MoR ≡ CoW mergeInto on an identical twin table
+    val cow = new SnapshotStore(tmp())
+    cow.commitOverwrite(
+      (1L to 800L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "amt")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    cow.mergeInto(spark, delta, Seq("id"))
+    assert(store.read(spark).orderBy("id").collect().toSeq ==
+      cow.read(spark).orderBy("id").collect().toSeq)
+    // the feed: deletes are the OLD images of matched keys, inserts the
+    // whole delta — each exactly once
+    val feed = store.readChanges(spark, 0L, Some(v1))
+    assert(feed.filter($"_change_type" === "delete")
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((5L, "t5"), (500L, "t500")))
+    assert(feed.filter($"_change_type" === "insert").count() == 4L)
+    // duplicate delta keys are refused loudly (appending both would keep both)
+    val dup = Seq((7L, "a", 1.0), (7L, "b", 2.0)).toDF("id", "tag", "amt")
+    val e = intercept[IllegalArgumentException] {
+      store.mergeInto(spark, dup, Seq("id"), mergeOnRead = true)
+    }
+    assert(e.getMessage.contains("dedup the delta"))
+    // null-safe key matching parity with the CoW window semantics
+    // (no stats column — null keys are legal on this table)
+    val nstore = new SnapshotStore(tmp())
+    val ncow = new SnapshotStore(tmp())
+    val base = Seq((Some(1L), "one"), (None, "old")).toDF("k", "v")
+    val nd = Seq((Option.empty[Long], "new")).toDF("k", "v")
+    nstore.commitOverwrite(base); ncow.commitOverwrite(base)
+    nstore.mergeInto(spark, nd, Seq("k"), mergeOnRead = true)
+    ncow.mergeInto(spark, nd, Seq("k"))
+    assert(nstore.read(spark).orderBy("v").collect().toSeq ==
+      ncow.read(spark).orderBy("v").collect().toSeq)
+    assert(nstore.read(spark).filter($"k".isNull)
+      .head().getAs[String]("v") == "new")
+  }
+
   test("latest-version cache never serves a stale version to a publisher: foreign commits seen via forward probe") {
     val root = tmp()
     // two store INSTANCES on one root = two processes with independent

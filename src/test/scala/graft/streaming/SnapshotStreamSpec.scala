@@ -847,6 +847,51 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).count() == 2L)
   }
 
+  test("streaming CDC apply with mergeOnRead: each micro-batch is O(delta) — no data file rewritten, OPTIMIZE settles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, $"id"),
+      statsColumn = Some("id"))
+    val files0 = store.readFullManifest(0L).entries.map(_.path).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.format("graft-snapshot")
+      .option("path", root).option("checkpointLocation", cp)
+      .option("mergeKeys", "id").option("mergeOnRead", "true")
+      .outputMode("append").start()
+    try {
+      input.addData((5L, "U5"), (401L, "n1")); q.processAllAvailable()
+      input.addData((5L, "U5b"), (350L, "U350")); q.processAllAvailable()
+    } finally q.stop()
+    // every base file survived BOTH micro-batches by identity
+    val mLast = store.readFullManifest(store.latestVersion.get)
+    assert(files0.subsetOf(mLast.entries.map(_.path).toSet),
+      "a MoR CDC stream must never rewrite a base data file")
+    val got = store.read(spark)
+    assert(got.count() == 401L)
+    assert(got.filter($"id" === 5L).head().getString(1) == "U5b",
+      "batch 2's image of key 5 wins (batch 1's is tombstoned)")
+    assert(got.filter($"id" === 350L).head().getString(1) == "U350")
+    // maintenance settles the tombstones: rows identical, DVs cleared
+    store.compactLatest(spark, targetFiles = 2)
+    val mc = store.readFullManifest(store.latestVersion.get)
+    assert(mc.entries.forall(_.dv.isEmpty))
+    assert(store.read(spark).count() == 401L &&
+      store.read(spark).filter($"id" === 5L).head().getString(1) == "U5b")
+    // mergeOnRead without mergeKeys is refused at sink construction
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("rate").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", root).option("checkpointLocation", tmp())
+        .option("mergeOnRead", "true").outputMode("append").start()
+    }
+    assert(e.getMessage.contains("mergeOnRead"))
+  }
+
   test("SQL INSERT OVERWRITE preserves the table's stats column: data skipping survives SQL writers") {
     import spark.implicits._
     val root = tmp()
