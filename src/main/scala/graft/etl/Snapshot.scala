@@ -686,12 +686,24 @@ final class SnapshotStore(root: String) {
     * front (one aggregate over the source) rather than surfacing as a
     * nondeterministic update.
     *
+    * `notMatchedBySource` (`WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE SET ... / DELETE`) completes the clause matrix — the
+    * full-state-sync shape (source = the desired table; absent rows
+    * deleted or flagged). Its effects reach target rows that share NO
+    * source key, so the key-range file pruning is UNSOUND for them:
+    * when any such clause is present, EVERY file is a candidate — the
+    * honest O(table) cost full-state sync inherently carries. `UPDATE
+    * SET *` is refused there (there is no source row to star from),
+    * and conditions/values must address target columns only (`__t_`);
+    * a source reference would evaluate against NULL.
+    *
     * Clause conditions/values address columns through the `__t_`/`__s_`
     * prefix namespace — see [[SnapshotStore.MergeClause]].
     */
   def mergeClauses(spark: SparkSession, source: DataFrame, keys: Seq[String],
       matched: Seq[SnapshotStore.MergeClause],
       notMatched: Seq[SnapshotStore.MergeClause],
+      notMatchedBySource: Seq[SnapshotStore.MergeClause] = Nil,
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, not, when}
     import SnapshotStore.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
@@ -705,6 +717,15 @@ final class SnapshotStore(root: String) {
       case _: MergeInsert => ()
       case other => throw new IllegalArgumentException(
         s"SnapshotStore.mergeClauses: only INSERT is a NOT MATCHED action, got $other")
+    }
+    notMatchedBySource.foreach {
+      case MergeUpdate(_, sets) => require(sets.nonEmpty,
+        "SnapshotStore.mergeClauses: UPDATE SET * is not a NOT MATCHED BY " +
+          "SOURCE action (there is no source row to star from)")
+      case _: MergeDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"SnapshotStore.mergeClauses: only UPDATE/DELETE are NOT MATCHED " +
+          s"BY SOURCE actions, got $other")
     }
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.mergeClauses: no committed versions at $root"))
@@ -723,7 +744,7 @@ final class SnapshotStore(root: String) {
         s"SnapshotStore.mergeClauses: star action needs every table column " +
           s"in the source; missing ${missing.mkString(", ")}")
     }
-    (matched ++ notMatched).foreach {
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
       case MergeUpdate(_, sets) => sets.keys.foreach(k => require(
         tableCols.contains(k), s"mergeClauses: UPDATE SET targets unknown column '$k'"))
       case MergeInsert(_, sets) => sets.keys.foreach(k => require(
@@ -735,8 +756,13 @@ final class SnapshotStore(root: String) {
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).isEmpty,
       "SnapshotStore.mergeClauses: multiple source rows share an ON key " +
         "tuple — SQL MERGE cardinality violation (dedup the source first)")
-    // candidate pruning by the source's key range on the stats column
-    val pruneCol = m.statsColumn.filter(keys.contains)
+    // candidate pruning by the source's key range on the stats column —
+    // UNSOUND when a NOT MATCHED BY SOURCE clause is present (its
+    // effects reach rows sharing no source key): every file is a
+    // candidate then
+    val pruneCol =
+      if (notMatchedBySource.nonEmpty) None
+      else m.statsColumn.filter(keys.contains)
     val (touched, untouched) = pruneCol match {
       case Some(c) =>
         val r = source.agg(min(col(c)), max(col(c))).head()
@@ -772,8 +798,15 @@ final class SnapshotStore(root: String) {
     val withActs = joined
       .withColumn("__mact", when(tEx && sEx, firstMatch(matched)).otherwise(lit(-1)))
       .withColumn("__nact", when(!tEx && sEx, firstMatch(notMatched)).otherwise(lit(-1)))
+      .withColumn("__bact", when(tEx && !sEx, firstMatch(notMatchedBySource))
+        .otherwise(lit(-1)))
     val deleteIdx = matched.zipWithIndex.collect { case (_: MergeDelete, i) => i }
-    val keepRow = when(tEx && !sEx, lit(true))
+    val deleteIdxB = notMatchedBySource.zipWithIndex.collect {
+      case (_: MergeDelete, i) => i
+    }
+    val keepRow = when(tEx && !sEx,
+        if (deleteIdxB.isEmpty) lit(true)
+        else not(col("__bact").isInCollection(deleteIdxB)))
       .when(tEx && sEx,
         if (deleteIdx.isEmpty) lit(true)
         else not(col("__mact").isInCollection(deleteIdx)))
@@ -796,8 +829,12 @@ final class SnapshotStore(root: String) {
           i -> (if (sets.isEmpty) scol
                 else sets.getOrElse(f.name, lit(null)))
         }, lit(null))
+      val orphanVal = caseOver(col("__bact"),
+        notMatchedBySource.zipWithIndex.collect {
+          case (MergeUpdate(_, sets), i) => i -> sets.getOrElse(f.name, tcol)
+        }, tcol)
       when(tEx && sEx, updatedVal)
-        .when(tEx, tcol)
+        .when(tEx, orphanVal)
         .otherwise(insertedVal)
         .cast(f.dataType).as(f.name)
     }

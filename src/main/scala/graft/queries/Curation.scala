@@ -1038,6 +1038,74 @@ object Curation {
         SELECT side, grp, COUNT(*) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM uni GROUP BY 1, 2 ORDER BY side, grp
+      """)),
+    // ----------------------------------------------------------------
+    // FULL-STATE SYNC — SQL MERGE with NOT MATCHED BY SOURCE: the
+    // source IS the desired table (present keys updated or inserted);
+    // target rows absent from it are deleted, except a conditional
+    // orphan arm that flags instead. One copy-on-write commit; every
+    // arm of the clause matrix (two matched orders, insert, two
+    // by-source orders) lands in a distinct group, so a row falling
+    // into the wrong arm — a matched row leaking into the by-source
+    // arms, a ghost insert, first-match-wins violated — breaks the
+    // hash. The oracle replays the set algebra as plain SQL.
+    Q(
+      "q290_merge_full_sync",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-fss").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS g290_fss")
+        s.sql(s"CREATE TABLE g290_fss USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          s.sql("""
+            MERGE INTO g290_fss USING (
+              SELECT o_orderkey, o_custkey, 'kept' AS ver
+              FROM g290_fss WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey + 300000000, o_custkey, 'new'
+              FROM g290_fss WHERE o_orderkey % 997 = 3
+            ) s
+            ON g290_fss.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND g290_fss.o_custkey % 2 = 0 THEN UPDATE SET *
+            WHEN MATCHED THEN UPDATE SET ver = 'kept_odd'
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND g290_fss.o_custkey % 10 = 7 THEN
+              UPDATE SET ver = 'orphan'
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+          store.read(s)
+            .groupBy($"ver")
+            .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+              sum($"o_custkey").as("cust_sum"))
+            .orderBy($"ver")
+        } finally s.sql("DROP TABLE IF EXISTS g290_fss")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, 'base' AS ver FROM orders),
+        synced AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_custkey % 2 = 0 THEN 'kept'
+                      ELSE 'kept_odd' END AS ver
+          FROM o WHERE o_orderkey % 3 = 0),
+        inserted AS (
+          SELECT o_orderkey + 300000000, o_custkey, 'new'
+          FROM o WHERE o_orderkey % 997 = 3),
+        orphans AS (
+          SELECT o_orderkey, o_custkey, 'orphan'
+          FROM o WHERE o_orderkey % 3 <> 0 AND o_custkey % 10 = 7),
+        res AS (
+          SELECT * FROM synced
+          UNION ALL SELECT * FROM inserted
+          UNION ALL SELECT * FROM orphans)
+        SELECT ver, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM res GROUP BY 1 ORDER BY ver
       """))
   )
 }

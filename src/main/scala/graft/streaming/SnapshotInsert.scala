@@ -70,12 +70,14 @@ final class SnapshotInsertRule(session: SparkSession) extends Rule[LogicalPlan] 
   *   - `MERGE INTO t USING s ON t.k = s.k
   *      WHEN MATCHED THEN UPDATE SET *
   *      WHEN NOT MATCHED THEN INSERT *`   → [[SnapshotStore.mergeInto]]
+  *   - general MERGE (conditional/partial UPDATE, DELETE, conditional
+  *     INSERT, `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`)
+  *                                        → [[SnapshotStore.mergeClauses]]
   *
-  * MERGE accepts the canonical upsert shape only (equi-join ON over
-  * same-named columns; unconditional star actions, pre- or
-  * post-expansion) — richer clause sets fail loudly with a pointer to
-  * the DataFrame API. Conditions referencing subqueries are refused
-  * (they cannot be re-bound against the rewrite scan).
+  * The ON clause must be a conjunction of same-named equi-conditions
+  * (t.k = s.k). Conditions referencing subqueries are refused (they
+  * cannot be re-bound against the rewrite scan), and NOT MATCHED BY
+  * SOURCE clauses may reference target columns only.
   */
 final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -146,9 +148,9 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       val (index, name) = snapshotTarget(target).get
       require(index.asOfVersion.isEmpty,
         "graft-snapshot: cannot MERGE into a time-traveled relation")
-      require(notMatchedBySource.isEmpty && !withSchemaEvolution,
-        "graft-snapshot MERGE: WHEN NOT MATCHED BY SOURCE / schema evolution " +
-          "are not supported (use the DataFrame API: Merge.upsert / applyChangeLog)")
+      require(!withSchemaEvolution,
+        "graft-snapshot MERGE: WITH SCHEMA EVOLUTION is not supported " +
+          "(evolve with commitAppend(mergeSchema = true) first)")
       // the canonical upsert shape, before OR after the analyzer
       // expands star actions to per-column assignments
       def starLike(actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
@@ -175,7 +177,8 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"graft-snapshot MERGE: ON must be a conjunction of same-named " +
             s"equi-conditions (t.k = s.k), got ${conjunct.sql}"))
       }
-      if (starLike(matched, isUpdate = true) && starLike(notMatched, isUpdate = false))
+      if (starLike(matched, isUpdate = true) && starLike(notMatched, isUpdate = false) &&
+          notMatchedBySource.isEmpty)
         // canonical upsert: the cheaper single-shuffle union+window path
         MergeIntoSnapshotCommand(index.store, index.fullSchema, source, keys, name)
       else {
@@ -223,8 +226,38 @@ final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case other => throw new IllegalArgumentException(
             s"graft-snapshot MERGE: unsupported NOT MATCHED action $other")
         }
+        // NOT MATCHED BY SOURCE arms see no source row: a source-side
+        // reference would silently evaluate against NULL — refused
+        // (SQL's own analyzer refuses it too; this guards the rebind)
+        def rebindTargetOnly(e: Expression): Column = {
+          e.foreach {
+            case a: AttributeReference if sAttrs.contains(a) =>
+              throw new IllegalArgumentException(
+                "graft-snapshot MERGE: a NOT MATCHED BY SOURCE clause " +
+                  s"cannot reference source column '${a.name}'")
+            case _ => ()
+          }
+          rebind2(e)
+        }
+        def setsOfTargetOnly(as: Seq[Assignment]): Map[String, Column] = as.map {
+          case Assignment(k: AttributeReference, value) =>
+            k.name -> rebindTargetOnly(value)
+          case Assignment(k: UnresolvedAttribute, value) =>
+            k.name -> rebindTargetOnly(value)
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot MERGE: unsupported assignment target $other " +
+              "(top-level columns only)")
+        }.toMap
+        val bClauses: Seq[SnapshotStore.MergeClause] = notMatchedBySource.map {
+          case UpdateAction(c, as, _) =>
+            SnapshotStore.MergeUpdate(c.map(rebindTargetOnly), setsOfTargetOnly(as))
+          case DeleteAction(c) =>
+            SnapshotStore.MergeDelete(c.map(rebindTargetOnly))
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot MERGE: unsupported NOT MATCHED BY SOURCE action $other")
+        }
         MergeClausesSnapshotCommand(index.store, source, keys,
-          mClauses, nClauses, name)
+          mClauses, nClauses, bClauses, name)
       }
   }
 
@@ -322,13 +355,14 @@ final case class MergeClausesSnapshotCommand(
     keys: Seq[String],
     matched: Seq[SnapshotStore.MergeClause],
     notMatched: Seq[SnapshotStore.MergeClause],
+    notMatchedBySource: Seq[SnapshotStore.MergeClause],
     tableName: Option[String]) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftStreamBridge.ofRows(session, source)
-    store.mergeClauses(session, src, keys, matched, notMatched)
+    store.mergeClauses(session, src, keys, matched, notMatched, notMatchedBySource)
     tableName.foreach(session.catalog.refreshTable)
     Seq.empty
   }

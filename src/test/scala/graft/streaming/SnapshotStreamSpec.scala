@@ -847,6 +847,59 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).count() == 2L)
   }
 
+  test("SQL MERGE with NOT MATCHED BY SOURCE: full-state sync in one statement equals the declarative result") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 100L).map(i => (i, s"v$i", "base")).toDF("id", "v", "st")
+        .repartitionByRange(4, $"id"),
+      statsColumn = Some("id"))
+    spark.sql(s"CREATE TABLE snap_fss USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // source = the DESIRED state: ids 1..40 (updated images) + 200..204
+      // (new); everything else in the target is stale — flagged when
+      // id % 10 == 7 (conditional orphan arm), deleted otherwise
+      spark.sql("""
+        MERGE INTO snap_fss USING (
+          SELECT id, concat('s', id) AS v, 'synced' AS st
+          FROM snap_fss WHERE id <= 40
+          UNION ALL
+          SELECT id, concat('s', id), 'synced'
+          FROM (SELECT explode(sequence(200L, 204L)) AS id)
+        ) s
+        ON snap_fss.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND snap_fss.id % 10 = 7 THEN
+          UPDATE SET st = 'orphan'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val got = store.read(spark)
+      // 40 synced + 5 inserted + orphans 47,57,67,77,87,97 kept flagged
+      assert(got.count() == 51L)
+      assert(got.filter($"st" === "synced").count() == 45L)
+      assert(got.filter($"st" === "orphan").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(47L, 57L, 67L, 77L, 87L, 97L))
+      assert(got.filter($"id" === 7L).head().getAs[String]("st") == "synced",
+        "a MATCHED row must never fall into the BY SOURCE arm")
+      assert(got.filter($"id" === 41L).isEmpty, "unflagged stale rows deleted")
+      // ONE commit; history intact
+      assert(store.latestVersion.contains(1L))
+      assert(store.read(spark, Some(0L)).count() == 100L)
+      // a source-side reference in a BY SOURCE arm is refused loudly
+      val e = intercept[Exception] {
+        spark.sql("""
+          MERGE INTO snap_fss USING (SELECT 1L AS id, 'x' AS v, 'y' AS st) s
+          ON snap_fss.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""")
+      }
+      assert(e.getMessage.contains("NOT MATCHED BY SOURCE") ||
+        e.getMessage.contains("notMatchedBySource") ||
+        e.getMessage.contains("UNRESOLVED"))
+    } finally spark.sql("DROP TABLE snap_fss")
+  }
+
   test("streaming CDC apply with mergeOnRead: each micro-batch is O(delta) — no data file rewritten, OPTIMIZE settles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
