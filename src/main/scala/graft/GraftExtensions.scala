@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's own lookup refuses time travel on a V1 table.
     ext.injectHintResolutionRule(session =>
       new graft.streaming.SnapshotTimeTravelRule(session))
+    // ...and the OPS statements Delta exposes that Spark has no grammar
+    // for: DESCRIBE HISTORY / OPTIMIZE [ZORDER BY] / VACUUM RETAIN /
+    // RESTORE ... AS OF / ALTER TABLE ADD COLUMNS (schema evolution as
+    // one O(manifest) commit). Unmatched text falls through untouched.
+    ext.injectParser((session, delegate) =>
+      new graft.streaming.SnapshotSqlParser(session, delegate))
 
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),

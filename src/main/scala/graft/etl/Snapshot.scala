@@ -471,15 +471,50 @@ final class SnapshotStore(root: String) {
   private[etl] var onCompactStaged: () => Unit = () => ()
 
   def compactLatest(spark: SparkSession, targetFiles: Int,
-      clusterBy: Option[String] = None, zorderBy: Seq[String] = Nil): Long = {
+      clusterBy: Option[String] = None, zorderBy: Seq[String] = Nil,
+      scope: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetFiles >= 1, s"compactLatest: targetFiles must be >= 1, got $targetFiles")
     require(zorderBy.isEmpty || clusterBy.isEmpty,
       "compactLatest: clusterBy and zorderBy are mutually exclusive")
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.compactLatest: no committed versions at $root"))
     val m = readFullManifest(v)
+    // SCOPED maintenance (Delta's `OPTIMIZE ... WHERE`): at 100 TB a
+    // whole-table rewrite is the wrong physics — maintenance must be
+    // incremental. The predicate selects PARTITIONS: it is evaluated
+    // once over the distinct partition tuples (O(partitions) driver
+    // rows, arbitrary predicate grammar via a real Spark filter — a
+    // non-partition-column reference fails analysis loudly); only the
+    // matching partitions' files are rewritten, everything else keeps
+    // its path identity, and the conflict-rebase below already reasons
+    // in terms of exactly the rewritten file set.
+    val scoped: Seq[FileEntry] = scope match {
+      case None => m.entries
+      case Some(p) =>
+        require(m.partCols.nonEmpty,
+          "compactLatest: scope (OPTIMIZE ... WHERE) selects partitions — " +
+            "this table is unpartitioned, compact it whole")
+        val byName = m.schema.fields.map(f => f.name -> f).toMap
+        val tuples = m.entries.map(e => partitionTupleOf(e.path, m.partCols)).distinct
+        import org.apache.spark.sql.functions.{col, lit, when}
+        val raw = spark.createDataFrame(
+          spark.sparkContext.parallelize(tuples.map(Row.fromSeq), 1),
+          StructType(m.partCols.map(c =>
+            org.apache.spark.sql.types.StructField(s"__raw_$c", StringType))))
+        val typed = m.partCols.foldLeft(raw)((df, c) =>
+          df.withColumn(c,
+            when(col(s"__raw_$c") === lit(SnapshotStore.HiveNullPartition), lit(null))
+              .otherwise(col(s"__raw_$c")).cast(byName(c).dataType)))
+        val selected = typed.filter(p)
+          .select(m.partCols.map(c => col(s"__raw_$c")): _*)
+          .collect().map(_.toSeq.map(String.valueOf)).toSet
+        require(selected.nonEmpty,
+          "compactLatest: the scope predicate matched no partition")
+        m.entries.filter(e =>
+          selected.contains(partitionTupleOf(e.path, m.partCols).map(String.valueOf)))
+    }
     val cluster = clusterBy.orElse(if (zorderBy.nonEmpty) None else m.statsColumn)
-    val df = scan(spark, m.schema, m.entries, m.partCols)
+    val df = scan(spark, m.schema, scoped, m.partCols)
     // Z-ORDER maintenance (Delta's OPTIMIZE ZORDER BY): interleave the
     // named columns' range-bucket bits into one morton key and
     // range-cluster on it — every rewritten file gets a COMPACT range
@@ -517,7 +552,7 @@ final class SnapshotStore(root: String) {
     //     compacted rows are STALE: fail loudly, re-run against the new
     //     state. Never lossy either way.
     onCompactStaged() // spec hook: deterministic racing-commit injection
-    val rewrittenPaths = m.entries.map(_.path).toSet
+    val rewrittenPaths = scoped.map(_.path).toSet
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1209,6 +1244,29 @@ final class SnapshotStore(root: String) {
       case f if !tableNames.contains(f.name) => f.copy(nullable = true)
     } // old files lack it -> null-padded
     StructType(kept ++ added)
+  }
+
+  /** Schema evolution without touching a file — the `ALTER TABLE ...
+    * ADD COLUMNS` physics: publish the SAME file list under a widened
+    * schema. Old files simply lack the new columns, and the parquet
+    * reader null-pads missing columns per file (the same mechanism
+    * `commitAppend(mergeSchema = true)` relies on), so the commit is
+    * O(manifest) regardless of table size. New columns are forced
+    * nullable (every existing row IS null there); name collisions are
+    * refused case-insensitively — Spark's resolver would otherwise
+    * produce ambiguous lookups.
+    */
+  def addColumns(newCols: StructType): Long = {
+    require(newCols.fields.nonEmpty, "SnapshotStore.addColumns: no columns")
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.addColumns: no committed versions at $root"))
+    val m = readFullManifest(v)
+    val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
+    newCols.fields.foreach(f => require(!existing.contains(f.name.toLowerCase),
+      s"SnapshotStore.addColumns: column '${f.name}' already exists"))
+    val widened = StructType(m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
+    publishEntries(m.entries, widened, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
   /** Truncate: publish an empty-file-list manifest carrying the schema,

@@ -1106,6 +1106,65 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM res GROUP BY 1 ORDER BY ver
+      """)),
+    // ----------------------------------------------------------------
+    // SQL OPS lifecycle — the maintenance statements Spark has no
+    // grammar for, end to end through the injected parser: INSERT (v1),
+    // OPTIMIZE ZORDER BY (v2, dataChange=false), ALTER TABLE ADD
+    // COLUMNS (v3, O(manifest) evolution), UPDATE on the evolved column
+    // (v4), RESTORE to the pre-optimize version (v5, narrow schema
+    // back), VACUUM RETAIN 3 (history pruned to v3..v5). The live read
+    // must be exactly v1's content; DESCRIBE HISTORY must show the
+    // 3 surviving versions with zero rewrites (the zorder rewrite was
+    // vacuumed). A restore that leaked the evolved rows, a vacuum that
+    // kept or dropped the wrong manifests, or an OPTIMIZE that changed
+    // rows each breaks a group.
+    Q(
+      "q291_sql_ops_lifecycle",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders").select($"o_orderkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-ops").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS g291_ops")
+        s.sql(s"CREATE TABLE g291_ops USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          s.sql("""INSERT INTO g291_ops
+            SELECT o_orderkey + 300000000 FROM g291_ops
+            WHERE o_orderkey % 100 = 5""")                               // v1
+          s.sql("OPTIMIZE g291_ops ZORDER BY (o_orderkey) TARGET 4 FILES") // v2
+          s.sql("ALTER TABLE g291_ops ADD COLUMNS (flag STRING)")          // v3
+          s.sql("UPDATE g291_ops SET flag = 'x' WHERE o_orderkey % 997 = 1") // v4
+          s.sql("RESTORE TABLE g291_ops TO VERSION AS OF 1")                // v5
+          s.sql("VACUUM g291_ops RETAIN 3 VERSIONS")
+          val live = s.sql("""
+            SELECT 'live' AS side, CAST(o_orderkey % 5 AS BIGINT) AS grp,
+                   COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+            FROM g291_ops GROUP BY 2""")
+          val hist = s.sql("DESCRIBE HISTORY g291_ops")
+            .agg(lit("hist").as("side"), lit(-1L).as("grp"),
+              count(lit(1)).as("n"),
+              sum(when($"is_rewrite", 1L).otherwise(0L)).as("key_sum"))
+          live.unionByName(hist).orderBy($"side", $"grp")
+        } finally s.sql("DROP TABLE IF EXISTS g291_ops")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey FROM orders),
+        uni AS (
+          SELECT o_orderkey FROM o
+          UNION ALL
+          SELECT o_orderkey + 300000000 FROM o WHERE o_orderkey % 100 = 5),
+        live AS (
+          SELECT 'live' AS side, CAST(o_orderkey % 5 AS BIGINT) AS grp,
+                 COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM uni GROUP BY 2),
+        hist AS (
+          SELECT 'hist', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+                 CAST(0 AS BIGINT))
+        SELECT * FROM live UNION ALL SELECT * FROM hist
+        ORDER BY side, grp
       """))
   )
 }

@@ -1,0 +1,299 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType, TimestampType}
+import graft.etl.SnapshotStore
+
+/** SQL parity for the snapshot store's OPS surface — the statements
+  * Delta exposes that core Spark SQL has no grammar for:
+  *
+  *   - `DESCRIBE HISTORY t`                       → [[SnapshotStore.history]]
+  *   - `OPTIMIZE t [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES]`
+  *                                                → [[SnapshotStore.compactLatest]]
+  *   - `VACUUM t RETAIN n VERSIONS`               → [[SnapshotStore.vacuum]]
+  *   - `RESTORE [TABLE] t TO VERSION AS OF v`
+  *     `RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts'`→ [[SnapshotStore.restore]]
+  *   - `ALTER TABLE t ADD COLUMNS (c TYPE, ...)`  → [[SnapshotStore.addColumns]]
+  *
+  * Injected via `SparkSessionExtensions.injectParser` (registered by
+  * `graft.GraftExtensions`): anything the ops grammar doesn't match
+  * falls through to the delegate untouched, so the engine's parser is a
+  * strict superset of Spark's. The target may be a catalog table name
+  * or a quoted store-root path (`'/path/to/store'`). Only `ALTER TABLE
+  * ADD COLUMNS` collides with grammar Spark already owns — that command
+  * resolves its target at execution and re-runs the DELEGATE's plan
+  * when the table is not a graft-snapshot table, so parquet/hive tables
+  * keep Spark's own ALTER semantics.
+  *
+  * Reference anchor: the reference's ops surface is Databricks-managed
+  * (Delta `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` on its RAW zone);
+  * these statements are that surface re-derived on the manifest store.
+  */
+final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import SnapshotSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DescHistoryRe(target) =>
+      DescribeHistoryCommand(target.trim)
+    case OptimizeRe(target, where, zorder, files) =>
+      val z = Option(zorder).map(_.split(",").map(stripIdent).toSeq).getOrElse(Nil)
+      OptimizeSnapshotCommand(target.trim, z, Option(files).map(_.toInt),
+        Option(where).map(_.trim))
+    case VacuumRe(target, keep) =>
+      VacuumSnapshotCommand(target.trim, keep.toInt)
+    case VacuumBareRe(target) =>
+      throw new IllegalArgumentException(
+        "graft-snapshot VACUUM requires an explicit retention " +
+          s"(VACUUM $target RETAIN n VERSIONS) — a default that silently " +
+          "erases time travel is how history disappears")
+    case RestoreVersionRe(target, v) =>
+      RestoreSnapshotCommand(target.trim, Some(v.toLong), None)
+    case RestoreTimestampRe(target, ts) =>
+      RestoreSnapshotCommand(target.trim, None, Some(ts))
+    case AddColumnsRe(target, cols) =>
+      // Spark owns this grammar for other providers: keep the
+      // delegate's plan as the non-snapshot fallback
+      AddColumnsSnapshotCommand(target.trim, cols, delegate.parsePlan(sqlText))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object SnapshotSqlParser {
+  // `(?is)`: case-insensitive, dot-matches-newline. Targets are a
+  // quoted path or a (possibly backticked, dotted) identifier. The
+  // DESCRIBE arm requires a target AFTER the HISTORY keyword, so plain
+  // `DESCRIBE history` (a table literally named history) still falls
+  // through to Spark.
+  private val T = """('[^']+'|"[^"]+"|[\w.`]+)"""
+  private[streaming] val DescHistoryRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private[streaming] val OptimizeRe =
+    (s"""(?is)\\s*OPTIMIZE\\s+$T""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?""" +
+      """(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""").r
+  private[streaming] val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+  private[streaming] val VacuumBareRe =
+    s"""(?is)\\s*VACUUM\\s+$T\\s*;?\\s*""".r
+  private[streaming] val RestoreVersionRe =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private[streaming] val RestoreTimestampRe =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
+  private[streaming] val AddColumnsRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+
+  private def stripIdent(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Resolve an ops-statement target to its store: a quoted path makes
+    * the store directly; an identifier resolves through the catalog and
+    * must be backed by a [[SnapshotFileIndex]]. Returns the catalog name
+    * (for cache refresh) when there is one.
+    */
+  private[streaming] def resolveStore(session: SparkSession,
+      target: String): (SnapshotStore, Option[String]) = {
+    val t = target.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      (new SnapshotStore(t.substring(1, t.length - 1)), None)
+    else {
+      val name = stripIdent(t)
+      val plan = session.table(name).queryExecution.analyzed
+      val index = plan.collectFirst {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if h.location.isInstanceOf[SnapshotFileIndex] =>
+          h.location.asInstanceOf[SnapshotFileIndex]
+      }.getOrElse(throw new IllegalArgumentException(
+        s"'$name' is not a graft-snapshot table — snapshot ops statements " +
+          "(DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE) apply to " +
+          "`USING graft-snapshot` tables or quoted store paths"))
+      require(index.asOfVersion.isEmpty,
+        s"'$name' is a time-traveled relation — ops statements apply to " +
+          "the live table")
+      (index.store, Some(name))
+    }
+  }
+
+  /** Non-snapshot fallback probe for ALTER: true when the target is a
+    * graft-snapshot table (quoted paths are always ours).
+    */
+  private[streaming] def isSnapshotTarget(session: SparkSession,
+      target: String): Boolean = {
+    val t = target.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\""))) true
+    else scala.util.Try {
+      session.table(stripIdent(t)).queryExecution.analyzed.collectFirst {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if h.location.isInstanceOf[SnapshotFileIndex] => ()
+      }.isDefined
+    }.getOrElse(false)
+  }
+
+  /** A catalog-backed table stores its schema in the metastore, and the
+    * relation provider REFUSES a divergent declared schema — any ops
+    * statement that changes the manifest schema (ALTER ADD COLUMNS,
+    * RESTORE across an evolution) must keep the catalog in step.
+    */
+  private[streaming] def syncCatalogSchema(session: SparkSession,
+      name: String, store: SnapshotStore): Unit = {
+    val ident = session.sessionState.sqlParser.parseTableIdentifier(name)
+    val catalog = session.sessionState.catalog
+    if (catalog.tableExists(ident)) {
+      // alterTable (not alterTableDataSchema): a RESTORE across an
+      // evolution NARROWS the schema, which the data-schema path
+      // refuses as a column drop — here the manifest is the authority
+      val meta = catalog.getTableMetadata(ident)
+      catalog.alterTable(meta.copy(schema = store.tableSchema()))
+    }
+    session.catalog.refreshTable(name)
+  }
+
+  private def attr(name: String, dt: org.apache.spark.sql.types.DataType) =
+    AttributeReference(name, dt, nullable = true)()
+
+  private[streaming] val historyOutput: Seq[Attribute] = Seq(
+    attr("version", LongType), attr("committed_at", TimestampType),
+    attr("n_files", IntegerType), attr("bytes", LongType),
+    attr("is_rewrite", BooleanType), attr("txn_app", StringType),
+    attr("txn", LongType), attr("stats_column", StringType),
+    attr("n_columns", IntegerType))
+}
+
+/** `DESCRIBE HISTORY t` — the commit log as rows, newest first. */
+final case class DescribeHistoryCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = SnapshotSqlParser.historyOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val (store, _) = SnapshotSqlParser.resolveStore(session, target)
+    store.history(session)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .collect().toSeq
+  }
+}
+
+/** `OPTIMIZE t [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES]` —
+  * small-file compaction (dataChange = false). `WHERE` scopes the
+  * rewrite to the matching PARTITIONS (incremental maintenance — the
+  * only shape that works at 100 TB). Without an explicit TARGET the
+  * file count follows the table's bytes at a 128 MiB default target
+  * file size — the bin-packing default, never fewer than one file.
+  */
+final case class OptimizeSnapshotCommand(target: String,
+    zorderBy: Seq[String], targetFiles: Option[Int],
+    where: Option[String] = None)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("target_files", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    val tf = targetFiles.getOrElse {
+      val latest = store.history(session)
+        .orderBy(org.apache.spark.sql.functions.col("version").desc).head()
+      math.max(1L, (latest.getAs[Long]("bytes") + (128L << 20) - 1) / (128L << 20))
+        .toInt
+    }
+    val scope = where.map(w => org.apache.spark.sql.GraftExprBridge.column(
+      session.sessionState.sqlParser.parseExpression(w)))
+    val v = store.compactLatest(session, targetFiles = tf,
+      zorderBy = zorderBy, scope = scope)
+    name.foreach(session.catalog.refreshTable)
+    Seq(Row(v, tf))
+  }
+}
+
+/** `VACUUM t RETAIN n VERSIONS` — drop all but the last n versions and
+  * reclaim unreferenced files. The retention clause is mandatory: a
+  * default that silently erases time travel is how history disappears.
+  */
+final case class VacuumSnapshotCommand(target: String, retainVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("retained_versions", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(retainVersions >= 1,
+      s"VACUUM: RETAIN must be >= 1 version, got $retainVersions")
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    store.vacuum(keepLast = retainVersions)
+    name.foreach(session.catalog.refreshTable)
+    Seq(Row(store.versions.length))
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF v` / `TO TIMESTAMP AS OF 'ts'` —
+  * zero-copy rollback by manifest republish.
+  */
+final case class RestoreSnapshotCommand(target: String,
+    toVersion: Option[Long], toTimestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    val v = toVersion.getOrElse {
+      val s = toTimestamp.get
+      val inst = try java.time.Instant.parse(s) catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+      }
+      store.versionAt(inst)
+    }
+    val nv = store.restore(v)
+    // a restore across a schema evolution changes the live schema
+    name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
+    Seq(Row(v, nv))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` on a snapshot table: one
+  * O(manifest) commit widening the schema (old files null-pad). Any
+  * other table re-runs the delegate parser's own plan, so non-snapshot
+  * ALTERs are untouched.
+  */
+final case class AddColumnsSnapshotCommand(target: String, colsDdl: String,
+    fallback: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(fallback)
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!SnapshotSqlParser.isSnapshotTarget(session, target)) {
+      org.apache.spark.sql.GraftStreamBridge.ofRows(session, fallback).collect()
+      return Seq.empty
+    }
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    val newCols = session.sessionState.sqlParser.parseTableSchema(colsDdl)
+    store.addColumns(newCols)
+    name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
+    Seq.empty
+  }
+}

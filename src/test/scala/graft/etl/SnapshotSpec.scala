@@ -719,6 +719,50 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[String]("v") == "new")
   }
 
+  test("scoped compaction: OPTIMIZE WHERE rewrites only the matching partitions' files") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    val df = (1L to 400L).map(i => (i, s"d${i % 4}", s"v$i")).toDF("id", "day", "v")
+    store.commitOverwrite(df, statsColumn = Some("id"), partitionBy = Seq("day"))
+    // fragment d1 and d2 with appends, and MoR-delete one row in each of
+    // d1 and d3 (the scoped rewrite must materialize ONLY d1's DV)
+    store.commitAppend(
+      Seq((1001L, "d1", "x1"), (1002L, "d2", "x2")).toDF("id", "day", "v"))
+    store.deleteWhere(spark, $"id" === 5L, mergeOnRead = true)   // d1 row
+    store.deleteWhere(spark, $"id" === 7L, mergeOnRead = true)   // d3 row
+    val before = store.readFullManifest(store.latestVersion.get)
+    val d1Before = before.entries.filter(_.path.contains("day=d1")).map(_.path).toSet
+    val otherBefore = before.entries.filterNot(_.path.contains("day=d1"))
+    val rows = store.read(spark).orderBy("id").collect().toSeq
+    val cv = store.compactLatest(spark, targetFiles = 1, scope = Some($"day" === "d1"))
+    val after = store.readFullManifest(cv)
+    assert(after.rewrite, "scoped OPTIMIZE is still dataChange=false")
+    // out-of-scope files keep identity — including d3's live DV
+    assert(otherBefore.map(e => (e.path, e.dv)).toSet.subsetOf(
+      after.entries.map(e => (e.path, e.dv)).toSet),
+      "files outside the scope must keep path AND deletion-vector identity")
+    // scoped files are gone, replaced by one compacted d1 file with no DV
+    assert(after.entries.map(_.path).toSet.intersect(d1Before).isEmpty)
+    val d1After = after.entries.filter(_.path.contains("day=d1"))
+    assert(d1After.length == 1 && d1After.forall(_.dv.isEmpty),
+      "the scope's DVs are materialized by the rewrite")
+    // rows bit-identical through the scoped rewrite
+    assert(store.read(spark).orderBy("id").collect().toSeq == rows)
+    // the feed still skips the rewrite version
+    assert(store.readChanges(spark, cv - 1, Some(cv)).isEmpty)
+    // an unpartitioned table refuses a scope; a no-match scope is loud
+    val flat = new SnapshotStore(tmp())
+    flat.commitOverwrite((1L to 10L).map(i => (i, i)).toDF("a", "b"))
+    val e1 = intercept[IllegalArgumentException] {
+      flat.compactLatest(spark, 1, scope = Some($"a" === 1L))
+    }
+    assert(e1.getMessage.contains("unpartitioned"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.compactLatest(spark, 1, scope = Some($"day" === "nope"))
+    }
+    assert(e2.getMessage.contains("matched no partition"))
+  }
+
   test("latest-version cache never serves a stale version to a publisher: foreign commits seen via forward probe") {
     val root = tmp()
     // two store INSTANCES on one root = two processes with independent

@@ -847,6 +847,89 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).count() == 2L)
   }
 
+  test("SQL ops statements: DESCRIBE HISTORY / OPTIMIZE ZORDER / ALTER ADD COLUMNS / RESTORE / VACUUM drive the store") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 400L).map(i => (i, i % 7)).toDF("id", "b")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    spark.sql(s"CREATE TABLE snap_ops USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql("INSERT INTO snap_ops SELECT id + 1000, id % 7 FROM snap_ops") // v1
+      // DESCRIBE HISTORY: one row per version, newest first
+      val hist = spark.sql("DESCRIBE HISTORY snap_ops").collect()
+      assert(hist.map(_.getAs[Long]("version")).toSeq == Seq(1L, 0L))
+      assert(hist.forall(_.getAs[Int]("n_files") > 0))
+      // ...and by quoted store path, without a catalog entry
+      assert(spark.sql(s"DESCRIBE HISTORY '$root'").count() == 2L)
+      // OPTIMIZE ZORDER BY: a rewrite version, rows bit-identical
+      val opt = spark.sql("OPTIMIZE snap_ops ZORDER BY (id, b) TARGET 2 FILES").head()
+      assert(opt.getAs[Long]("version") == 2L && opt.getAs[Int]("target_files") == 2)
+      assert(store.readFullManifest(2L).rewrite &&
+        store.readFullManifest(2L).entries.length == 2)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ops").head().getLong(0) == 800L)
+      // default TARGET follows bytes/128MiB -> 1 file for a tiny table
+      assert(spark.sql("OPTIMIZE snap_ops").head().getAs[Int]("target_files") == 1)
+      // OPTIMIZE ... WHERE parses and reaches the scoped path (this
+      // table is unpartitioned -> the store's own loud refusal)
+      val eW = intercept[Exception] { spark.sql("OPTIMIZE snap_ops WHERE b = 1") }
+      assert(eW.getMessage.contains("unpartitioned"))
+      // ...and on a partitioned table it compacts ONLY the named partition
+      val root2 = tmp()
+      val store2 = new SnapshotStore(root2)
+      store2.commitOverwrite(Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"),
+        partitionBy = Seq("day"))
+      store2.commitAppend(Seq((3L, "d1")).toDF("id", "day"))
+      val d2Files = store2.readFullManifest(1L).entries
+        .filter(_.path.contains("day=d2")).map(_.path).toSet
+      spark.sql(s"CREATE TABLE snap_ops2 USING `graft-snapshot` OPTIONS (path '$root2')")
+      try {
+        spark.sql("OPTIMIZE snap_ops2 WHERE day = 'd1' TARGET 1 FILES")
+        val m2 = store2.readFullManifest(store2.latestVersion.get)
+        assert(m2.entries.count(_.path.contains("day=d1")) == 1)
+        assert(m2.entries.filter(_.path.contains("day=d2")).map(_.path).toSet
+          == d2Files, "out-of-scope partition keeps file identity")
+        assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ops2").head().getLong(0) == 3L)
+      } finally spark.sql("DROP TABLE snap_ops2")
+      // ALTER TABLE ADD COLUMNS: O(manifest) schema evolution; old rows
+      // null-pad, the catalog stays in step, inserts take the new shape
+      spark.sql("ALTER TABLE snap_ops ADD COLUMNS (tag STRING, w DOUBLE)")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ops WHERE tag IS NULL")
+        .head().getLong(0) == 800L)
+      spark.sql("INSERT INTO snap_ops VALUES (9999, 0, 'tagged', 1.5)")
+      assert(spark.sql("SELECT tag FROM snap_ops WHERE id = 9999")
+        .head().getString(0) == "tagged")
+      // RESTORE: zero-copy rollback to the pre-evolution state
+      val rst = spark.sql("RESTORE TABLE snap_ops TO VERSION AS OF 1").head()
+      assert(rst.getAs[Long]("restored_to") == 1L)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ops").head().getLong(0) == 800L)
+      assert(store.tableSchema().fieldNames.toSeq == Seq("id", "b"),
+        "restore returns the narrow schema")
+      // VACUUM requires explicit retention...
+      val bare = intercept[Exception] { spark.sql("VACUUM snap_ops") }
+      assert(bare.getMessage.contains("RETAIN"))
+      // ...and with one, drops history
+      assert(spark.sql("VACUUM snap_ops RETAIN 2 VERSIONS").head().getInt(0) == 2)
+      assert(store.versions.length == 2)
+      // ops on a non-snapshot table are refused loudly
+      val e = intercept[Exception] {
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("plain_v")
+        spark.sql("DESCRIBE HISTORY plain_v").collect()
+      }
+      assert(e.getMessage.contains("graft-snapshot"))
+      // ALTER ADD COLUMNS on a non-snapshot table falls back to Spark's own
+      spark.sql("DROP TABLE IF EXISTS plain_pq")
+      spark.sql(s"CREATE TABLE plain_pq (id INT) USING parquet LOCATION '${tmp()}/pq'")
+      try {
+        spark.sql("INSERT INTO plain_pq VALUES (1)")
+        spark.sql("ALTER TABLE plain_pq ADD COLUMNS (extra STRING)")
+        assert(spark.sql("SELECT extra FROM plain_pq").head().isNullAt(0))
+      } finally spark.sql("DROP TABLE plain_pq")
+    } finally spark.sql("DROP TABLE snap_ops")
+  }
+
   test("SQL MERGE with NOT MATCHED BY SOURCE: full-state sync in one statement equals the declarative result") {
     import spark.implicits._
     val root = tmp()
