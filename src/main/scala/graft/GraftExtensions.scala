@@ -55,6 +55,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // one O(manifest) commit). Unmatched text falls through untouched.
     ext.injectParser((session, delegate) =>
       new graft.streaming.SnapshotSqlParser(session, delegate))
+    // ...and the change feed as a SQL table-valued function:
+    // `SELECT * FROM table_changes('t-or-path', from [, to])` — rows
+    // with _change_type/_commit_version, same algebra as the CDC stream
+    // (Delta's table_changes re-derived on the manifest store)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table_or_path, fromVersion[, toVersion]) - change rows " +
+          "of a graft-snapshot table in (from, to]"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "table_changes(table_or_path, fromVersion[, toVersion])")
+        val target = args.head match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes expects a literal table name or store path, got $other")
+        }
+        val from = longArg(args(1), "table_changes")
+        val to = args.lift(2).map(longArg(_, "table_changes"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val store = graft.streaming.SnapshotSqlParser
+          .storeForNameOrPath(spark, target)
+        store.readChanges(spark, from, to).queryExecution.logical
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),

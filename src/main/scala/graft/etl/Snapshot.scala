@@ -698,6 +698,93 @@ final class SnapshotStore(root: String) {
     }
   }
 
+  /** Op-coded change apply — the CDC replication primitive: one commit
+    * applying a change batch where each row carries an op marker
+    * (`"U"` replaces/inserts the key, `"D"` removes it), the store-level
+    * twin of [[Merge.applyChangeLog]] (q125). This is what a change-FEED
+    * consumer needs that [[mergeInto]] cannot do: propagate DELETES.
+    * `changes` must be the table schema plus `opCol`, UNIQUE per key
+    * tuple (collapse multi-version batches upstream — the streaming
+    * sink does).
+    *
+    * Same physics menu as the other row-level ops, one version either
+    * way: COPY-ON-WRITE rewrites the key-range-pruned candidate files
+    * through the single-shuffle union+window apply; MERGE-ON-READ
+    * tombstones every matched live row (updates AND deletes) through
+    * one DV sidecar and appends only the `"U"` images — O(delta) per
+    * batch, zero files rewritten, the configuration a steady
+    * replication stream runs. Deleting an absent key is a no-op, as
+    * MERGE semantics require. Pruning is sound for deletes too: a file
+    * whose stats range cannot intersect the batch's key range holds no
+    * row any change (update or delete) could touch.
+    */
+  def applyChanges(spark: SparkSession, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op", txn: Option[(String, Long)] = None,
+      mergeOnRead: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    require(keys.nonEmpty, "SnapshotStore.applyChanges: no key columns")
+    require(changes.columns.contains(opCol),
+      s"SnapshotStore.applyChanges: changes lacks op column '$opCol'")
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.applyChanges: no committed versions at $root"))
+    val m = readFullManifest(v)
+    val dataCols = changes.schema.fields.filterNot(_.name == opCol)
+    require(DataType.equalsIgnoreNullability(
+        StructType(dataCols), m.schema),
+      s"SnapshotStore.applyChanges: changes schema (minus '$opCol') " +
+        s"${StructType(dataCols).simpleString} must match table schema " +
+        s"${m.schema.simpleString}")
+    require(changes.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).isEmpty,
+      "SnapshotStore.applyChanges: multiple change rows share a key tuple " +
+        "— collapse to the final state per key first (Dedup.latestByKey)")
+    val pruneCol = m.statsColumn.filter(keys.contains)
+    val (touched, untouched) = pruneCol match {
+      case Some(c) =>
+        val r = changes.agg(min(col(c)), max(col(c)),
+          count(when(col(c).isNull, lit(1)))).head()
+        require(r.getLong(2) == 0L,
+          s"SnapshotStore.applyChanges: ${r.getLong(2)} rows carry a NULL " +
+            s"'$c' key — null keys are not supported under stats pruning")
+        if (r.isNullAt(0)) (Seq.empty[FileEntry], m.entries)
+        else {
+          val (lo, hi) = (toStatsLong(r.get(0)), toStatsLong(r.get(1)))
+          m.entries.partition(e => (e.min, e.max) match {
+            case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+            case _ => true
+          })
+        }
+      case None => (m.entries, Seq.empty[FileEntry])
+    }
+    if (mergeOnRead) {
+      val dkeys = changes.select(keys.map(k => col(k).as(s"__d_$k")): _*)
+      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
+        .join(dkeys, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
+          "left_semi")
+      val (dvRel, hitFiles) = writeDvSidecar(spark,
+        matchedRows.select(col("__file").as("file"), col("__pos").as("pos")))
+      val images = changes.filter(Merge.validatedOp(col(opCol)) === "U")
+        .select(m.schema.fieldNames.toSeq.map(col): _*)
+      val staged =
+        if (m.partCols.isEmpty) stageEntries(images, m.statsColumn)
+        else stagePartitioned(images, m.partCols, m.statsColumn)
+      val tombstoned = m.entries.map(e =>
+        if (hitFiles.contains(e.path)) e.copy(dv = e.dv :+ dvRel) else e)
+      publishEntries(tombstoned ++ staged, m.schema, m.statsColumn, txn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    } else {
+      val shaped = changes.select(
+        (m.schema.fieldNames.toSeq :+ opCol).map(col): _*)
+      val applied = Merge.applyChangeLog(
+        scan(spark, m.schema, touched, m.partCols), shaped, keys, opCol)
+      val staged =
+        if (m.partCols.isEmpty) stageEntries(applied, m.statsColumn)
+        else stagePartitioned(applied, m.partCols, m.statsColumn)
+      publishEntries(untouched ++ staged, m.schema, m.statsColumn, txn,
+        expectedVersion = Some(v + 1L), partCols = m.partCols)
+    }
+  }
+
   /** General MERGE — the full WHEN-clause algebra
     * (`WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE`,
     * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`), first-match-wins

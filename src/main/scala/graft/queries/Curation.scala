@@ -1165,6 +1165,70 @@ object Curation {
                  CAST(0 AS BIGINT))
         SELECT * FROM live UNION ALL SELECT * FROM hist
         ORDER BY side, grp
+      """)),
+    // ----------------------------------------------------------------
+    // CDC primitives under oracle: ONE op-coded applyChanges commit
+    // (the change-APPLY half of replication — deletes included, which
+    // a plain upsert cannot do) in merge-on-read physics, then the
+    // change feed read back through the SQL table-valued function
+    // `table_changes('t', from)` by CATALOG NAME (the read half).
+    // MoR renders row-exact deletes + appended images, so the feed
+    // algebra is deterministic; a delete leaking into the insert arm,
+    // a ghost 'D' materializing, or the TVF resolving the wrong store
+    // each breaks a group.
+    Q(
+      "q292_apply_changes_tvf",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        val base = store.read(s)
+        val changes = base.filter($"o_orderkey" % 997 === 1)
+          .select($"o_orderkey", $"o_custkey", $"ver", lit("D").as("op"))
+          .unionByName(base.filter($"o_orderkey" % 997 === 2)
+            .select($"o_orderkey", $"o_custkey", lit("upd").as("ver"),
+              lit("U").as("op")))
+          .unionByName(base.filter($"o_orderkey" % 997 === 3)
+            .select(($"o_orderkey" + 600000000L).as("o_orderkey"),
+              $"o_custkey", $"ver", lit("D").as("op"))) // ghost deletes
+        store.applyChanges(s, changes, Seq("o_orderkey"), opCol = "op",
+          mergeOnRead = true) // v1
+        // settle the tombstones so the plain format scan may read the
+        // table (the FileIndex refuses live DVs); the rewrite version
+        // is dataChange=false, so the feed below is unchanged by it
+        store.compactLatest(s, targetFiles = 4) // v2
+        s.sql("DROP TABLE IF EXISTS g292_tvf")
+        s.sql(s"CREATE TABLE g292_tvf USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          val feed = s.sql("""
+            SELECT concat('feed_', _change_type) AS grp,
+                   COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+            FROM table_changes('g292_tvf', 0) GROUP BY 1""")
+          val live = s.sql("""
+            SELECT concat('live_', ver) AS grp,
+                   COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+            FROM g292_tvf GROUP BY 1""")
+          feed.unionByName(live).orderBy($"grp")
+        } finally s.sql("DROP TABLE IF EXISTS g292_tvf")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey FROM orders),
+        del AS (SELECT o_orderkey FROM o WHERE o_orderkey % 997 = 1),
+        upd AS (SELECT o_orderkey FROM o WHERE o_orderkey % 997 = 2),
+        rows_all AS (
+          SELECT 'feed_delete' AS grp, o_orderkey FROM del
+          UNION ALL SELECT 'feed_delete', o_orderkey FROM upd
+          UNION ALL SELECT 'feed_insert', o_orderkey FROM upd
+          UNION ALL SELECT 'live_base', o_orderkey FROM o
+            WHERE o_orderkey % 997 NOT IN (1, 2)
+          UNION ALL SELECT 'live_upd', o_orderkey FROM upd)
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM rows_all GROUP BY 1 ORDER BY grp
       """))
   )
 }

@@ -143,6 +143,20 @@ object SnapshotSqlParser {
     }
   }
 
+  /** Name-or-path resolution for the `table_changes` TVF: a registered
+    * catalog table resolves through [[resolveStore]]'s index probe; an
+    * unregistered string is taken as a store-root path.
+    */
+  private[graft] def storeForNameOrPath(session: SparkSession,
+      target: String): SnapshotStore = {
+    val asTable = scala.util.Try {
+      session.sessionState.catalog.tableExists(
+        session.sessionState.sqlParser.parseTableIdentifier(target))
+    }.getOrElse(false)
+    if (asTable) resolveStore(session, target)._1
+    else new SnapshotStore(target)
+  }
+
   /** Non-snapshot fallback probe for ALTER: true when the target is a
     * graft-snapshot table (quoted paths are always ours).
     */

@@ -217,19 +217,26 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     require(!mergeOnRead || mergeKeys.nonEmpty,
       "graft-snapshot sink: mergeOnRead applies to the mergeKeys upsert " +
         "path (plain appends never rewrite files)")
+    val applyChangeFeed = parameters.get("applyChangeFeed").exists(_.toBoolean)
+    require(!applyChangeFeed || mergeKeys.nonEmpty,
+      "graft-snapshot sink: applyChangeFeed needs mergeKeys (the key the " +
+        "change rows replace/delete by)")
     new SnapshotStreamSink(storeFor(parameters), outputMode,
       parameters.get("statsColumn"),
       parameters.get("mergeSchema").exists(_.toBoolean),
       parameters.getOrElse("txnAppId", "default"),
-      partitionColumns, mergeKeys, mergeOnRead)
+      partitionColumns, mergeKeys, mergeOnRead, applyChangeFeed)
   }
 
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(storeFor(parameters).tableSchema()))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(storeFor(parameters).tableSchema())
+    val cdc = parameters.get("readChangeFeed").exists(_.toBoolean)
+    (shortName(), if (cdc) SnapshotStreamSource.cdcSchema(base) else base)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -238,7 +245,15 @@ final class SnapshotSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val store = storeFor(parameters)
-    val pinned = schema.getOrElse(store.tableSchema())
+    val cdc = parameters.get("readChangeFeed").exists(_.toBoolean)
+    // under readChangeFeed the engine hands back the WIDENED schema
+    // from sourceSchema — strip the meta columns to recover the pinned
+    // table shape the change frames are shaped onto
+    val pinned = schema.map(s =>
+      if (!cdc) s
+      else StructType(s.fields.filterNot(f =>
+        f.name == "_change_type" || f.name == "_commit_version")))
+      .getOrElse(store.tableSchema())
     val onOverwrite = parameters.getOrElse("onOverwrite", "fail")
     val startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L)
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
@@ -248,7 +263,7 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     maxBytes.foreach(b => require(b >= 1L,
       s"graft-snapshot source: maxBytesPerTrigger must be >= 1, got $b"))
     new SnapshotStreamSource(sqlContext, store, pinned, onOverwrite,
-      startingVersion, maxVersions, maxBytes, metadataPath)
+      startingVersion, maxVersions, maxBytes, metadataPath, cdc)
   }
 }
 
@@ -260,7 +275,8 @@ final class SnapshotStreamSink(
     txnAppId: String = "default",
     partitionBy: Seq[String] = Nil,
     mergeKeys: Seq[String] = Nil,
-    mergeOnRead: Boolean = false) extends Sink {
+    mergeOnRead: Boolean = false,
+    applyChangeFeed: Boolean = false) extends Sink {
 
   /** Highest batch id THIS sink instance committed (or found committed
     * on its first scan). `lastTxn` walks manifests newest-first — O(1)
@@ -281,12 +297,58 @@ final class SnapshotStreamSink(
     val batch = GraftStreamBridge.asBatchFrame(data)
     if (outputMode == OutputMode.Complete())
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)))
-    else if (store.latestVersion.isEmpty)
+    else if (store.latestVersion.isEmpty) {
       // the FIRST batch creates the table (hive-partitioned when
       // `writeStream.partitionBy(...)` asked for it); later batches
-      // append or upsert against it
+      // append or upsert against it. EXCEPT under applyChangeFeed: a
+      // change batch is not a table image — silently enthroning it
+      // (meta columns and all) would corrupt the replica's schema
+      require(!applyChangeFeed,
+        "graft-snapshot sink(applyChangeFeed): the target table does not " +
+          "exist — create it first (CREATE TABLE / commitTruncate) so the " +
+          "change rows have a schema to apply against")
       store.commitOverwrite(batch, statsColumn, txn = Some((txnAppId, batchId)),
         partitionBy = partitionBy)
+    }
+    else if (mergeKeys.nonEmpty && applyChangeFeed) {
+      // CHANGE-FEED APPLY — the consumer half of CDC replication: the
+      // batch is change ROWS (a readChangeFeed stream's shape — table
+      // columns + `_change_type` [+ `_commit_version`]). Collapse to
+      // the FINAL state per key first: within the newest commit that
+      // touched a key, an insert beats a delete (a commit emitting
+      // delete(old)+insert(new) for one key IS an update); a key whose
+      // final change is a bare delete becomes a 'D'. One op-coded
+      // commit applies it — deletes included, which plain mergeKeys
+      // upserting cannot do — with the same #txn exactly-once.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, desc, lit, row_number, when}
+      require(batch.columns.contains("_change_type"),
+        "graft-snapshot sink(applyChangeFeed): batch lacks _change_type " +
+          "(read the upstream with option(\"readChangeFeed\", \"true\"))")
+      val table = store.tableSchema()
+      val have = batch.columns.toSet
+      val missing = table.fieldNames.filterNot(have.contains)
+      require(missing.isEmpty,
+        s"graft-snapshot sink(applyChangeFeed): batch lacks table columns " +
+          missing.mkString(", "))
+      val ver =
+        if (have.contains("_commit_version")) col("_commit_version")
+        else lit(0L)
+      val w = Window.partitionBy(mergeKeys.map(col): _*)
+        .orderBy(desc("__ver"),
+          when(col("_change_type") === "insert", lit(0)).otherwise(lit(1)))
+      val finalState = batch.withColumn("__ver", ver)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("__op",
+          when(col("_change_type") === "insert", lit("U")).otherwise(lit("D")))
+      val shaped = finalState.select(
+        table.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)) :+
+          col("__op"): _*)
+      store.applyChanges(batch.sparkSession, shaped, mergeKeys,
+        opCol = "__op", txn = Some((txnAppId, batchId)),
+        mergeOnRead = mergeOnRead)
+    }
     else if (mergeKeys.nonEmpty) {
       // STREAMING CDC APPLY: each micro-batch is a copy-on-write upsert
       // by key — stats-pruned candidates, touched files rewritten,
@@ -323,6 +385,15 @@ final class SnapshotStreamSink(
   override def toString: String = s"SnapshotStreamSink[$store, $outputMode]"
 }
 
+object SnapshotStreamSource {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  /** The change-feed stream shape: table columns + the feed's meta. */
+  def cdcSchema(table: StructType): StructType = StructType(
+    table.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+}
+
 final class SnapshotStreamSource(
     sqlContext: SQLContext,
     store: SnapshotStore,
@@ -331,7 +402,8 @@ final class SnapshotStreamSource(
     startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "",
+    readChangeFeed: Boolean = false) extends Source {
 
   private val rateLimited = maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
@@ -418,7 +490,8 @@ final class SnapshotStreamSource(
     }.sum
   }
 
-  override def schema: StructType = pinned
+  override def schema: StructType =
+    if (readChangeFeed) SnapshotStreamSource.cdcSchema(pinned) else pinned
 
   /** Latest committed version, capped by the per-trigger admission
     * budget counted from the last delivered offset — manifest metadata
@@ -447,9 +520,30 @@ final class SnapshotStreamSource(
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
     advanceFloor(to)
-    val batch = store.readInserts(
-      sqlContext.sparkSession, from, to, pinned, onOverwrite)
-    GraftStreamBridge.asStreamingFrame(batch, pinned)
+    if (readChangeFeed) {
+      // CDC stream: every commit in (from, to] as change ROWS —
+      // appends emit inserts, CoW/MoR row-level DML emits its honest
+      // deletes+inserts, an overwrite emits delete(old)+insert(new)
+      // (the CDC-correct rendering — no onOverwrite policy needed),
+      // rewrites emit nothing. Vacuumed predecessors fail loudly with
+      // readChanges' own recovery recipe.
+      import org.apache.spark.sql.functions.{col, lit}
+      val spark = sqlContext.sparkSession
+      val out = SnapshotStreamSource.cdcSchema(pinned)
+      val raw = store.readChanges(spark, from, Some(to))
+      // older versions' schemas may lack later-evolved columns: pad to
+      // the pinned shape exactly like the insert stream does
+      val padded = out.fields.foldLeft(raw)((df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType)))
+      val shaped = padded.select(out.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      GraftStreamBridge.asStreamingFrame(shaped, out)
+    } else {
+      val batch = store.readInserts(
+        sqlContext.sparkSession, from, to, pinned, onOverwrite)
+      GraftStreamBridge.asStreamingFrame(batch, pinned)
+    }
   }
 
   /** Offsets come back as [[SerializedOffset]] after a checkpoint

@@ -719,6 +719,52 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[String]("v") == "new")
   }
 
+  test("applyChanges: one op-coded commit propagates deletes; CoW ≡ MoR ≡ the sequential replay") {
+    import spark.implicits._
+    def fresh(): SnapshotStore = {
+      val s = new SnapshotStore(tmp())
+      s.commitOverwrite(
+        (1L to 800L).map(i => (i, s"t$i")).toDF("id", "v")
+          .repartitionByRange(8, $"id"),
+        statsColumn = Some("id"))
+      s
+    }
+    val changes = Seq(
+      (5L, "u5", "U"),      // update
+      (500L, "", "D"),      // delete
+      (1001L, "n1", "U"),   // insert
+      (9999L, "", "D")      // ghost delete: no-op
+    ).toDF("id", "v", "op")
+    val cow = fresh(); val mor = fresh(); val seq = fresh()
+    cow.applyChanges(spark, changes, Seq("id"), opCol = "op")
+    mor.applyChanges(spark, changes, Seq("id"), opCol = "op", mergeOnRead = true)
+    seq.deleteWhere(spark, $"id" === 500L)
+    seq.mergeInto(spark,
+      Seq((5L, "u5"), (1001L, "n1")).toDF("id", "v"), Seq("id"))
+    val expect = seq.read(spark).orderBy("id").collect().toSeq
+    assert(cow.read(spark).orderBy("id").collect().toSeq == expect)
+    assert(mor.read(spark).orderBy("id").collect().toSeq == expect)
+    assert(expect.length == 800L) // 800 - 1 delete + 1 insert, ghost no-op
+    // MoR touched NO data file; exactly the files holding 5 and 500 took DVs
+    val m1 = mor.readFullManifest(mor.latestVersion.get)
+    val files0 = mor.readFullManifest(0L).entries.map(_.path).toSet
+    assert(files0.subsetOf(m1.entries.map(_.path).toSet))
+    assert(m1.entries.count(_.dv.nonEmpty) == 2)
+    // ONE commit each
+    assert(cow.latestVersion.contains(1L) && mor.latestVersion.contains(1L))
+    // duplicate keys and an invalid op are refused; nothing commits
+    val dup = Seq((7L, "a", "U"), (7L, "b", "D")).toDF("id", "v", "op")
+    intercept[IllegalArgumentException] {
+      cow.applyChanges(spark, dup, Seq("id"), opCol = "op")
+    }
+    val bad = Seq((7L, "a", "X")).toDF("id", "v", "op")
+    intercept[Exception] {
+      mor.applyChanges(spark, bad, Seq("id"), opCol = "op", mergeOnRead = true)
+    }
+    assert(cow.latestVersion.contains(1L) && mor.latestVersion.contains(1L),
+      "a refused apply must commit nothing")
+  }
+
   test("scoped compaction: OPTIMIZE WHERE rewrites only the matching partitions' files") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

@@ -847,6 +847,80 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).count() == 2L)
   }
 
+  test("CDC replication loop: readChangeFeed stream + applyChangeFeed sink converge the replica, deletes included") {
+    import spark.implicits._
+    val srcRoot = tmp(); val dstRoot = tmp(); val cp = tmp()
+    val src = new SnapshotStore(srcRoot)
+    val dst = new SnapshotStore(dstRoot)
+    src.commitOverwrite(
+      (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, $"id"),
+      statsColumn = Some("id"))
+    // mutations BEFORE the first replication run: a MoR delete, a CoW
+    // update, an append — the feed renders all three honestly
+    src.deleteWhere(spark, $"id" === 7L, mergeOnRead = true)
+    src.updateWhere(spark, $"id" === 9L,
+      Map("v" -> org.apache.spark.sql.functions.lit("nine")))
+    src.commitAppend(Seq((201L, "tail")).toDF("id", "v"))
+    // the replica target must EXIST (a change batch is not a table image)
+    dst.commitTruncate(src.tableSchema())
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", srcRoot).option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("graft-snapshot")
+        .option("path", dstRoot).option("checkpointLocation", cp)
+        .option("mergeKeys", "id").option("applyChangeFeed", "true")
+        .option("mergeOnRead", "true")
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination()
+    }
+    replicate()
+    def rows(s: SnapshotStore) =
+      s.read(spark).orderBy("id").collect().toSeq
+    assert(rows(dst) == rows(src), "replica must equal the source")
+    assert(dst.read(spark).filter($"id" === 7L).isEmpty,
+      "the source's delete propagated")
+    // more mutations, second incremental run from the same checkpoint:
+    // only the NEW versions replay
+    src.deleteWhere(spark, $"id" <= 3L)
+    src.mergeInto(spark, Seq((9L, "nine2"), (300L, "new")).toDF("id", "v"),
+      Seq("id"), mergeOnRead = true)
+    val dstVersionsBefore = dst.versions.length
+    replicate()
+    assert(rows(dst) == rows(src), "second run converges the new changes")
+    assert(dst.versions.length == dstVersionsBefore + 1,
+      "one incremental batch, one replica commit")
+    // exactly-once: an idle re-run replays nothing
+    replicate()
+    assert(rows(dst) == rows(src))
+    // the batch TVF reads the same algebra: per-type counts over the
+    // full feed match the replication arithmetic
+    val tvf = spark.sql(
+      s"SELECT _change_type AS t, COUNT(*) AS n FROM " +
+        s"table_changes('$srcRoot', -1) GROUP BY 1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the TVF is the API feed verbatim (CoW commits render as per-FILE
+    // diffs, so counts include rewritten files' unchanged rows)...
+    val api = src.readChanges(spark, -1L).groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tvf == api)
+    // ...and its net algebra reconstructs the live table size exactly
+    assert(tvf("insert") - tvf("delete") == src.read(spark).count())
+    // an applyChangeFeed sink without a pre-created target fails loudly
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("graft-snapshot")
+        .option("path", srcRoot).option("readChangeFeed", "true").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", tmp()).option("checkpointLocation", tmp())
+        .option("mergeKeys", "id").option("applyChangeFeed", "true")
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      bad.awaitTermination()
+    }
+    assert(e.getMessage.contains("create it first") ||
+      e.getCause != null && e.getCause.getMessage.contains("create it first"))
+  }
+
   test("SQL ops statements: DESCRIBE HISTORY / OPTIMIZE ZORDER / ALTER ADD COLUMNS / RESTORE / VACUUM drive the store") {
     import spark.implicits._
     val root = tmp()
