@@ -131,7 +131,7 @@ final class SnapshotStore(root: String) {
     * `dv = Nil`.
     */
   final case class FileEntry(path: String, min: Option[Long], max: Option[Long],
-      dv: Seq[String] = Nil)
+      dv: Seq[String] = Nil, extra: Seq[(String, Long, Long)] = Nil)
 
   /** Accepts both a plain filesystem path and a `file:` URI — the
     * session catalog qualifies a `CREATE TABLE ... OPTIONS (path ...)`
@@ -392,7 +392,7 @@ final class SnapshotStore(root: String) {
             // A rebase changed the effective stats column (a racer
             // introduced one): our recorded min/max are for the
             // wrong column — strip them, conservative by design.
-            files.map(_.copy(min = None, max = None))
+            files.map(_.copy(min = None, max = None, extra = Nil))
           case None =>
             val e = if (parts.isEmpty) stageEntries(df, effective)
                     else stagePartitioned(df, parts, effective)
@@ -513,7 +513,8 @@ final class SnapshotStore(root: String) {
         m.entries.filter(e =>
           selected.contains(partitionTupleOf(e.path, m.partCols).map(String.valueOf)))
     }
-    val cluster = clusterBy.orElse(if (zorderBy.nonEmpty) None else m.statsColumn)
+    val cluster = clusterBy.orElse(
+      if (zorderBy.nonEmpty) None else statsParts(m.statsColumn).headOption)
     val df = scan(spark, m.schema, scoped, m.partCols)
     // Z-ORDER maintenance (Delta's OPTIMIZE ZORDER BY): interleave the
     // named columns' range-bucket bits into one morton key and
@@ -583,7 +584,7 @@ final class SnapshotStore(root: String) {
       // pinned column only — strip when they disagree (conservative)
       val stagedAdj =
         if (latest.statsColumn == m.statsColumn) staged
-        else staged.map(_.copy(min = None, max = None))
+        else staged.map(_.copy(min = None, max = None, extra = Nil))
       val kept = latest.entries.filterNot(e => rewrittenPaths.contains(e.path))
       try {
         return publishEntries(kept ++ stagedAdj, latest.schema,
@@ -644,7 +645,7 @@ final class SnapshotStore(root: String) {
     require(DataType.equalsIgnoreNullability(m.schema, delta.schema),
       s"SnapshotStore.mergeInto: delta schema ${delta.schema.simpleString} " +
         s"must match table schema ${m.schema.simpleString}")
-    val pruneCol = m.statsColumn.filter(keys.contains)
+    val pruneCol = statsParts(m.statsColumn).headOption.filter(keys.contains)
     val (touched, untouched) = pruneCol match {
       case Some(c) =>
         import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
@@ -738,7 +739,7 @@ final class SnapshotStore(root: String) {
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).isEmpty,
       "SnapshotStore.applyChanges: multiple change rows share a key tuple " +
         "— collapse to the final state per key first (Dedup.latestByKey)")
-    val pruneCol = m.statsColumn.filter(keys.contains)
+    val pruneCol = statsParts(m.statsColumn).headOption.filter(keys.contains)
     val (touched, untouched) = pruneCol match {
       case Some(c) =>
         val r = changes.agg(min(col(c)), max(col(c)),
@@ -884,7 +885,7 @@ final class SnapshotStore(root: String) {
     // candidate then
     val pruneCol =
       if (notMatchedBySource.nonEmpty) None
-      else m.statsColumn.filter(keys.contains)
+      else statsParts(m.statsColumn).headOption.filter(keys.contains)
     val (touched, untouched) = pruneCol match {
       case Some(c) =>
         val r = source.agg(min(col(c)), max(col(c))).head()
@@ -998,24 +999,7 @@ final class SnapshotStore(root: String) {
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.deleteWhere: no committed versions at $root"))
     val m = readFullManifest(v)
-    val (touched, untouched) = m.statsColumn match {
-      case Some(c) =>
-        // Resolve the user's Column against the table schema (a no-data
-        // analysis pass), then fold the RESOLVED conjuncts — the
-        // Column-API tree itself is unresolved ColumnNodes, not
-        // catalyst expressions.
-        val probe = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], m.schema).filter(predicate)
-        val conds = probe.queryExecution.analyzed.collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
-        val (lo, hi) = predicateBounds(c, conds)
-        m.entries.partition(e => (e.min, e.max) match {
-          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-          case _ => true
-        })
-      case None => (m.entries, Seq.empty[FileEntry])
-    }
+    val (touched, untouched) = predicateCandidates(spark, m, predicate)
     val hit = coalesce(predicate, lit(false))
     if (mergeOnRead) {
       val hits = liveWithPos(spark, m.schema, touched, m.partCols)
@@ -1070,20 +1054,7 @@ final class SnapshotStore(root: String) {
     val m = readFullManifest(v)
     assignments.keys.foreach(k => require(m.schema.fieldNames.contains(k),
       s"SnapshotStore.updateWhere: no column '$k' in ${m.schema.fieldNames.mkString(", ")}"))
-    val (touched, untouched) = m.statsColumn match {
-      case Some(c) =>
-        val probe = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], m.schema).filter(predicate)
-        val conds = probe.queryExecution.analyzed.collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
-        val (lo, hi) = predicateBounds(c, conds)
-        m.entries.partition(e => (e.min, e.max) match {
-          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-          case _ => true
-        })
-      case None => (m.entries, Seq.empty[FileEntry])
-    }
+    val (touched, untouched) = predicateCandidates(spark, m, predicate)
     val hit = coalesce(predicate, lit(false))
     if (mergeOnRead) {
       val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
@@ -1124,6 +1095,41 @@ final class SnapshotStore(root: String) {
         else stagePartitioned(updated, m.partCols, m.statsColumn)
       publishEntries(untouched ++ staged, m.schema, m.statsColumn,
         expectedVersion = Some(v + 1L), partCols = m.partCols)
+    }
+  }
+
+  /** Candidate split for a predicate-driven row-level op (DELETE /
+    * UPDATE): resolve the user's Column against the table schema (a
+    * no-data analysis pass), fold its conjuncts into one [lo, hi]
+    * interval per STATS COLUMN — primary and secondary alike — and keep
+    * a file as a candidate only if EVERY recorded interval intersects.
+    * With a comma-list stats property this prunes on all clustered
+    * dimensions at once (the z-order payoff at the DML layer); files
+    * missing stats for a column conservatively survive that column's
+    * test.
+    */
+  private def predicateCandidates(spark: SparkSession, m: Manifest,
+      predicate: org.apache.spark.sql.Column)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val cols = statsParts(m.statsColumn)
+    if (cols.isEmpty) return (m.entries, Seq.empty[FileEntry])
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], m.schema).filter(predicate)
+    val conds = probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val boundsByCol = cols.map(c => c -> predicateBounds(c, conds)).toMap
+    def intervalOf(e: FileEntry, c: String): Option[(Long, Long)] =
+      if (c == cols.head) e.min.zip(e.max)
+      else e.extra.collectFirst { case (`c`, mn, mx) => (mn, mx) }
+    m.entries.partition { e =>
+      cols.forall { c =>
+        intervalOf(e, c) match {
+          case Some((mn, mx)) =>
+            val (lo, hi) = boundsByCol(c); mx >= lo && mn <= hi
+          case None => true // no stats for this column -> cannot prune on it
+        }
+      }
     }
   }
 
@@ -1253,16 +1259,12 @@ final class SnapshotStore(root: String) {
             if (asLong(c)) LongType else StringType)))
       }
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = statsColumn match {
-      case None => paths.map(FileEntry(_, None, None))
-      case Some(c) =>
-        require(!partitionBy.contains(c),
-          s"SnapshotStore.convertInPlace: stats column '$c' cannot be a partition column")
-        paths.map { rel =>
-          val stats = footerMinMax(
-            new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), c, conf)
-          FileEntry(rel, stats.map(_._1), stats.map(_._2))
-        }
+    val entries = statsParts(statsColumn) match {
+      case Seq() => paths.map(FileEntry(_, None, None))
+      case cols =>
+        cols.foreach(c => require(!partitionBy.contains(c),
+          s"SnapshotStore.convertInPlace: stats column '$c' cannot be a partition column"))
+        paths.map(rel => entryWithStats(rel, cols, conf))
     }
     publishEntries(entries, schema, statsColumn, partCols = partitionBy,
       expectedVersion = Some(0L))
@@ -1398,12 +1400,16 @@ final class SnapshotStore(root: String) {
       throw new IllegalArgumentException(
         s"SnapshotStore.readRange: no committed versions at $root"))
     val m = readFullManifest(v)
-    require(m.statsColumn.contains(column),
+    val cols = statsParts(m.statsColumn)
+    require(cols.contains(column),
       s"SnapshotStore.readRange: version $v carries stats for " +
         s"${m.statsColumn.getOrElse("no column")}, not $column")
-    val kept = m.entries.filter(e => (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => true // no stats -> conservatively scanned
+    def interval(e: FileEntry): Option[(Long, Long)] =
+      if (column == cols.head) e.min.zip(e.max)
+      else e.extra.collectFirst { case (`column`, mn, mx) => (mn, mx) }
+    val kept = m.entries.filter(e => interval(e) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats -> conservatively scanned
     })
     scan(spark, m.schema, kept, m.partCols)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
@@ -1532,14 +1538,16 @@ final class SnapshotStore(root: String) {
     */
   private[graft] def manifestAt(asOfVersion: Option[Long] = None)
       : (StructType, Option[String],
-         Seq[(String, Option[Long], Option[Long], Boolean)], Seq[String]) = {
+         Seq[(String, Option[Long], Option[Long], Boolean,
+           Seq[(String, Long, Long)])], Seq[String]) = {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.manifestAt: no committed versions at $root"))
     val m = readFullManifest(v)
     (m.schema, m.statsColumn,
       m.entries.map(e =>
-        (rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty)),
+        (rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty,
+          e.extra)),
       m.partCols)
   }
 
@@ -1872,18 +1880,14 @@ final class SnapshotStore(root: String) {
         .map(p => rootPath.relativize(p).toString)
         .toSeq.sorted
     } finally walk.close()
-    statsColumn match {
-      case None => paths.map(FileEntry(_, None, None))
-      case Some(c) =>
-        require(!partCols.contains(c),
+    statsParts(statsColumn) match {
+      case Seq() => paths.map(FileEntry(_, None, None))
+      case cols =>
+        cols.foreach(c => require(!partCols.contains(c),
           s"SnapshotStore: stats column '$c' cannot be a partition column " +
-            "(partition values are path metadata, not file contents)")
+            "(partition values are path metadata, not file contents)"))
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        paths.map { rel =>
-          val stats = footerMinMax(
-            new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), c, conf)
-          FileEntry(rel, stats.map(_._1), stats.map(_._2))
-        }
+        paths.map(rel => entryWithStats(rel, cols, conf))
     }
   }
 
@@ -1894,40 +1898,74 @@ final class SnapshotStore(root: String) {
     */
   private def stageEntries(df: DataFrame, statsColumn: Option[String]): Seq[FileEntry] = {
     val paths = stage(df)
-    statsColumn match {
-      case None => paths.map(FileEntry(_, None, None))
-      case Some(c) =>
+    statsParts(statsColumn) match {
+      case Seq() => paths.map(FileEntry(_, None, None))
+      case cols =>
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        paths.map { rel =>
-          val stats = footerMinMax(
-            new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), c, conf)
-          FileEntry(rel, stats.map(_._1), stats.map(_._2))
-        }
+        paths.map(rel => entryWithStats(rel, cols, conf))
     }
   }
 
+  /** The stats property as its column list: `"a"` → Seq(a); `"a,b,c"` →
+    * Seq(a, b, c). The FIRST column is the PRIMARY — the clustering /
+    * readRange / merge-key-pruning authority carried in the entry's
+    * min/max fields; the rest are SECONDARY, pruning-only, carried in
+    * `extra` (the comma-list form is what makes every z-order dimension
+    * skippable at planning time, not just one).
+    */
+  private def statsParts(statsColumn: Option[String]): Seq[String] =
+    statsColumn.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def entryWithStats(rel: String, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): FileEntry = {
+    val stats = footerStatsMulti(
+      new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), cols, conf)
+    val primary = stats.get(cols.head)
+    val extra = cols.tail.flatMap(c => stats.get(c).map(r => (c, r._1, r._2)))
+    FileEntry(rel, primary.map(_._1), primary.map(_._2), Nil, extra)
+  }
+
   private def footerMinMax(p: org.apache.hadoop.fs.Path, column: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] =
+    footerStatsMulti(p, Seq(column), conf).get(column)
+
+  /** Min/max of several integer-physical columns from ONE metadata-only
+    * footer read — the multi-column variant behind comma-list stats
+    * properties. Columns missing, non-integer, or all-null are simply
+    * absent from the result (never pruned).
+    */
+  private def footerStatsMulti(p: org.apache.hadoop.fs.Path,
+      columns: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, (Long, Long)] = {
+    if (columns.isEmpty) return Map.empty
+    val wanted = columns.toSet
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val ranges = r.getFooter.getBlocks.asScala.flatMap { block =>
         block.getColumns.asScala
-          .find(_.getPath.toDotString == column)
+          .filter(c => wanted.contains(c.getPath.toDotString))
           .flatMap { col =>
             val st = col.getStatistics
             if (st == null || !st.hasNonNullValue) None
             else (st.genericGetMin, st.genericGetMax) match {
               case (mn: java.lang.Long, mx: java.lang.Long) =>
-                Some((mn.longValue, mx.longValue))
+                Some((col.getPath.toDotString, mn.longValue, mx.longValue))
               case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                Some((mn.longValue, mx.longValue))
+                Some((col.getPath.toDotString, mn.longValue, mx.longValue))
               case _ => None // non-integer physical type: no pruning
             }
           }
       }
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      val byCol = ranges.groupBy(_._1)
+      // a column absent from ANY row group (late-added via evolution)
+      // still aggregates over the groups that HAVE it — conservative,
+      // because the groups without it hold only nulls for that column
+      columns.flatMap { c =>
+        byCol.get(c).map(rs =>
+          c -> (rs.map(_._2).min, rs.map(_._3).max))
+      }.toMap
     } finally r.close()
   }
 
@@ -1959,13 +1997,21 @@ final class SnapshotStore(root: String) {
       (if (partCols.nonEmpty) Seq(s"#partcols\t${partCols.mkString(",")}") else Nil) ++
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil)
-    val fileLines = entries.map {
-      // 4-field form only when DVs exist ('-' = no stats), so manifests
-      // without merge-on-read deletes stay byte-compatible with old readers
-      case FileEntry(p, mn, mx, dvs) if dvs.nonEmpty =>
-        s"$p\t${mn.getOrElse("-")}\t${mx.getOrElse("-")}\t${dvs.mkString(",")}"
-      case FileEntry(p, Some(mn), Some(mx), _) => s"$p\t$mn\t$mx"
-      case FileEntry(p, _, _, _) => p
+    val fileLines = entries.map { e =>
+      // grow-only line grammar: 3 fields (path, min, max) for the common
+      // case, a 4th only when DVs exist, a 5th only when SECONDARY stats
+      // exist ('-' = absent) — so manifests without the newer features
+      // stay byte-compatible with old readers
+      if (e.extra.nonEmpty)
+        s"${e.path}\t${e.min.getOrElse("-")}\t${e.max.getOrElse("-")}\t" +
+          s"${if (e.dv.nonEmpty) e.dv.mkString(",") else "-"}\t" +
+          e.extra.map { case (c, mn, mx) => s"$c=$mn:$mx" }.mkString(",")
+      else if (e.dv.nonEmpty)
+        s"${e.path}\t${e.min.getOrElse("-")}\t${e.max.getOrElse("-")}\t${e.dv.mkString(",")}"
+      else (e.min, e.max) match {
+        case (Some(mn), Some(mx)) => s"${e.path}\t$mn\t$mx"
+        case _ => e.path
+      }
     }
     val body = ((Header +: schema.json +: statsLine) ++ fileLines)
       .mkString("\n") + "\n"
@@ -2033,13 +2079,24 @@ final class SnapshotStore(root: String) {
       .map(_.stripPrefix("#ts\t").toLong)
     val partCols = headerLines.find(_.startsWith("#partcols\t"))
       .map(_.stripPrefix("#partcols\t").split(",").toSeq).getOrElse(Nil)
+    def stat(s: String) = if (s == "-") None else Some(s.toLong)
+    def dvsOf(s: String) = if (s == "-") Nil else s.split(",").toSeq.filter(_.nonEmpty)
+    def extraOf(s: String): Seq[(String, Long, Long)] =
+      if (s == "-" || s.isEmpty) Nil
+      else s.split(",").toSeq.map { kv =>
+        val eq = kv.indexOf('='); val colon = kv.lastIndexOf(':')
+        require(eq > 0 && colon > eq,
+          s"SnapshotStore: malformed secondary-stats field '$kv'")
+        (kv.substring(0, eq), kv.substring(eq + 1, colon).toLong,
+          kv.substring(colon + 1).toLong)
+      }
     val entries = rest.dropWhile(_.startsWith("#")).map { line =>
       line.split("\t", -1) match {
         case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
         case Array(path, mn, mx, dvs) =>
-          def stat(s: String) = if (s == "-") None else Some(s.toLong)
-          FileEntry(path, stat(mn), stat(mx),
-            dvs.split(",").toSeq.filter(_.nonEmpty))
+          FileEntry(path, stat(mn), stat(mx), dvsOf(dvs))
+        case Array(path, mn, mx, dvs, extra) =>
+          FileEntry(path, stat(mn), stat(mx), dvsOf(dvs), extraOf(extra))
         case Array(path) => FileEntry(path, None, None)
         case _ => throw new IllegalArgumentException(
           s"SnapshotStore: malformed manifest line '${line.take(120)}'")

@@ -282,7 +282,7 @@ object CompactJob {
     if (conf.get("snapshot").contains("on")) {
       val store = new graft.etl.SnapshotStore(src)
       val (_, _, entries, _) = store.manifestAt()
-      val bytes = entries.map { case (p, _, _, _) =>
+      val bytes = entries.map { case (p, _, _, _, _) =>
         val f = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L
       }.sum

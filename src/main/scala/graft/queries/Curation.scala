@@ -1229,6 +1229,56 @@ object Curation {
         SELECT grp, COUNT(*) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM rows_all GROUP BY 1 ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // MULTI-COLUMN manifest stats — statsColumn as a comma list: the
+    // FIRST column is the clustering/merge authority, the rest collect
+    // per-file min/max into the manifest too, so after OPTIMIZE ZORDER
+    // every clustered dimension skips files at PLANNING time (one
+    // dimension used to plan-prune; the others only row-group-pruned
+    // inside already-opened files). The readback slices each dimension
+    // separately plus a conjunction; the oracle replays them as plain
+    // SQL — a slice that lost rows to over-pruning (the bug class this
+    // feature risks) breaks its group.
+    Q(
+      "q293_multicol_stats",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            ($"o_orderkey" % 1000L).as("bucket1k"))
+        val root = java.nio.file.Files.createTempDirectory("graft-mstat").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey,bucket1k"))
+        store.compactLatest(s, targetFiles = 16,
+          zorderBy = Seq("o_orderkey", "bucket1k"))
+        val t = s.read.format("graft-snapshot").option("path", root).load()
+        val byKey = t.filter($"o_orderkey" <= 30000L)
+          .select(lit("by_key").as("grp"), $"o_custkey")
+        val byBucket = t.filter($"bucket1k".between(100L, 199L))
+          .select(lit("by_bucket").as("grp"), $"o_custkey")
+        val both = t.filter($"o_orderkey" > 30000L && $"bucket1k" < 50L)
+          .select(lit("both").as("grp"), $"o_custkey")
+        byKey.unionByName(byBucket).unionByName(both)
+          .groupBy($"grp")
+          .agg(count(lit(1)).as("n"), sum($"o_custkey").as("cust_sum"))
+          .orderBy($"grp")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderkey % 1000 AS bucket1k
+          FROM orders),
+        slices AS (
+          SELECT 'by_key' AS grp, o_custkey FROM o WHERE o_orderkey <= 30000
+          UNION ALL
+          SELECT 'by_bucket', o_custkey FROM o WHERE bucket1k BETWEEN 100 AND 199
+          UNION ALL
+          SELECT 'both', o_custkey FROM o
+          WHERE o_orderkey > 30000 AND bucket1k < 50)
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM slices GROUP BY 1 ORDER BY grp
       """))
   )
 }

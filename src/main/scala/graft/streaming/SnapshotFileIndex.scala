@@ -55,15 +55,26 @@ final class SnapshotFileIndex(
       "SnapshotStore.read/readRange (they apply DVs at scan time)")
 
   /** One listing round-trip per file at creation; statuses are reused
-    * across every query planned against this index.
+    * across every query planned against this index. The per-file map
+    * carries EVERY stats column's interval (primary + the comma-list
+    * secondaries), so planning-time skipping works on all clustered
+    * dimensions at once.
     */
-  private val statuses: Seq[(FileStatus, Option[Long], Option[Long])] = {
+  private val statuses: Seq[(FileStatus, Map[String, (Long, Long)])] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    entries.map { case (p, mn, mx, _) =>
+    val primary = statsColumn.map(_.split(",").head.trim)
+    entries.map { case (p, mn, mx, _, extra) =>
       val hp = new Path(p)
-      (hp.getFileSystem(conf).getFileStatus(hp), mn, mx)
+      val stats = primary.flatMap(c =>
+        mn.zip(mx).map(r => c -> r)).toMap ++
+        extra.map { case (c, a, b) => c -> (a, b) }.toMap
+      (hp.getFileSystem(conf).getFileStatus(hp), stats)
     }
   }
+
+  private val statsCols: Seq[String] =
+    statsColumn.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   override val partitionSchema: StructType =
     StructType(partCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(
@@ -96,7 +107,7 @@ final class SnapshotFileIndex(
     */
   private val partitionValues: Seq[InternalRow] =
     if (partCols.isEmpty) Nil
-    else statuses.map { case (st, _, _) =>
+    else statuses.map { case (st, _) =>
       val tuple = store.partitionTupleOfAbsolute(st.getPath.toUri.getPath, partCols)
       InternalRow.fromSeq(partitionSchema.fields.zip(tuple).map {
         case (f, raw) => internalValue(raw, f.dataType)
@@ -119,16 +130,24 @@ final class SnapshotFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // manifest-stats pruning from the query's data predicates
-    val statsKept: Seq[Int] = statsColumn match {
-      case Some(c) =>
-        val (lo, hi) = bounds(c, dataFilters)
-        statuses.indices.filter(i => statuses(i) match {
-          case (_, Some(mn), Some(mx)) => mx >= lo && mn <= hi
-          case _ => true // no stats -> conservatively scanned
-        })
-      case None => statuses.indices
-    }
+    // manifest-stats pruning from the query's data predicates — one
+    // interval fold per stats column; a file survives only if EVERY
+    // recorded interval intersects its column's fold
+    val statsKept: Seq[Int] =
+      if (statsCols.isEmpty) statuses.indices
+      else {
+        val boundsByCol = statsCols.map(c => c -> bounds(c, dataFilters)).toMap
+        statuses.indices.filter { i =>
+          val st = statuses(i)._2
+          statsCols.forall { c =>
+            st.get(c) match {
+              case Some((mn, mx)) =>
+                val (lo, hi) = boundsByCol(c); mx >= lo && mn <= hi
+              case None => true // no stats -> conservatively scanned
+            }
+          }
+        }
+      }
     if (partCols.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty,
         statsKept.map(statuses(_)._1).toArray))
@@ -220,4 +239,71 @@ final class SnapshotFileIndex(
   override def toString: String =
     s"SnapshotFileIndex[${statuses.length} files" +
       statsColumn.map(c => s", stats on $c").getOrElse("") + "]"
+}
+
+/** Fallback relation for versions with LIVE merge-on-read deletion
+  * vectors: a plain file scan cannot apply them (it would silently
+  * include tombstoned rows — the refusal [[SnapshotFileIndex]] throws),
+  * so the format plans this [[org.apache.spark.sql.sources.TableScan]]
+  * instead, whose scan IS [[SnapshotStore.read]] — the DV-applying
+  * position anti-join. SQL readers therefore stay correct between a MoR
+  * write and the next OPTIMIZE, trading the index's planning-time file
+  * skipping for correctness inside that window; compaction materializes
+  * the tombstones and the next resolution plans the pruned
+  * HadoopFsRelation path again. Pinned to the version resolved at
+  * construction — same snapshot isolation as the file index.
+  */
+final class SnapshotDvRelation(
+    spark: SparkSession,
+    private[graft] val store: SnapshotStore,
+    asOf: Option[Long]) extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+
+  /** The USER's travel spec (None = the live table) — what the DML
+    * rails gate on; the scan itself pins the resolved version below.
+    */
+  private[graft] val asOfVersion: Option[Long] = asOf
+  private val pinned: Option[Long] = asOf.orElse(store.latestVersion)
+  private val (tableSchema, statsColumn, _, partCols) =
+    store.manifestAt(pinned)
+
+  private[graft] def fullSchema: StructType = tableSchema
+  private[graft] def partitionCols: Seq[String] = partCols
+  private[graft] def statsCol: Option[String] = statsColumn
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+  override def schema: StructType = tableSchema
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    store.read(spark, pinned)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd
+
+  override def toString: String =
+    s"SnapshotDvRelation[v${pinned.getOrElse(-1L)}, live DVs applied at scan]"
+}
+
+/** The one definition of "this relation is a snapshot table" the SQL
+  * rails share — both physical shapes (the pruned file-index path and
+  * the live-DV fallback) resolve to the same target surface, so DML,
+  * INSERT, and the ops statements keep working inside a MoR window.
+  */
+private[graft] final case class SnapshotTargetInfo(
+    store: SnapshotStore,
+    fullSchema: StructType,
+    partitionCols: Seq[String],
+    statsCol: Option[String],
+    asOfVersion: Option[Long])
+
+private[graft] object SnapshotTargetInfo {
+  def of(relation: org.apache.spark.sql.sources.BaseRelation)
+      : Option[SnapshotTargetInfo] = relation match {
+    case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+        if h.location.isInstanceOf[SnapshotFileIndex] =>
+      val i = h.location.asInstanceOf[SnapshotFileIndex]
+      Some(SnapshotTargetInfo(i.store, i.fullSchema, i.partitionCols,
+        i.statsCol, i.asOfVersion))
+    case d: SnapshotDvRelation =>
+      Some(SnapshotTargetInfo(d.store, d.fullSchema, d.partitionCols,
+        d.statsCol, d.asOfVersion))
+    case _ => None
+  }
 }

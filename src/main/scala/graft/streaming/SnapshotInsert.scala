@@ -36,10 +36,10 @@ final class SnapshotInsertRule(session: SparkSession) extends Rule[LogicalPlan] 
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case i @ InsertIntoStatement(
-        lr @ LogicalRelation(h: HadoopFsRelation, _, catalogTable, _, _),
+        lr @ LogicalRelation(rel, _, catalogTable, _, _),
         partitionSpec, userCols, query, overwrite, ifPartitionNotExists, byName)
-        if h.location.isInstanceOf[SnapshotFileIndex] && query.resolved =>
-      val index = h.location.asInstanceOf[SnapshotFileIndex]
+        if SnapshotTargetInfo.of(rel).isDefined && query.resolved =>
+      val index = SnapshotTargetInfo.of(rel).get
       require(partitionSpec.isEmpty && !ifPartitionNotExists,
         "graft-snapshot: INSERT ... PARTITION is not supported " +
           "(the store clusters by statsColumn; partition columns prune at scan)")
@@ -81,12 +81,11 @@ final class SnapshotInsertRule(session: SparkSession) extends Rule[LogicalPlan] 
   */
 final class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def snapshotTarget(plan: LogicalPlan): Option[(SnapshotFileIndex, Option[String])] =
+  private def snapshotTarget(plan: LogicalPlan): Option[(SnapshotTargetInfo, Option[String])] =
     plan.collectFirst {
-      case LogicalRelation(h: HadoopFsRelation, _, ct, _, _)
-          if h.location.isInstanceOf[SnapshotFileIndex] =>
-        (h.location.asInstanceOf[SnapshotFileIndex],
-          ct.map(_.identifier.unquotedString))
+      case LogicalRelation(rel, _, ct, _, _)
+          if SnapshotTargetInfo.of(rel).isDefined =>
+        (SnapshotTargetInfo.of(rel).get, ct.map(_.identifier.unquotedString))
     }
 
   /** Re-expressible predicate as an opaque [[Column]]: attribute

@@ -129,9 +129,9 @@ object SnapshotSqlParser {
       val name = stripIdent(t)
       val plan = session.table(name).queryExecution.analyzed
       val index = plan.collectFirst {
-        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if h.location.isInstanceOf[SnapshotFileIndex] =>
-          h.location.asInstanceOf[SnapshotFileIndex]
+        case LogicalRelation(rel, _, _, _, _)
+            if SnapshotTargetInfo.of(rel).isDefined =>
+          SnapshotTargetInfo.of(rel).get
       }.getOrElse(throw new IllegalArgumentException(
         s"'$name' is not a graft-snapshot table — snapshot ops statements " +
           "(DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE) apply to " +
@@ -167,8 +167,8 @@ object SnapshotSqlParser {
         (t.startsWith("\"") && t.endsWith("\""))) true
     else scala.util.Try {
       session.table(stripIdent(t)).queryExecution.analyzed.collectFirst {
-        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if h.location.isInstanceOf[SnapshotFileIndex] => ()
+        case LogicalRelation(rel, _, _, _, _)
+            if SnapshotTargetInfo.of(rel).isDefined => ()
       }.isDefined
     }.getOrElse(false)
   }

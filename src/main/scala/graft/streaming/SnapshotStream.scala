@@ -106,6 +106,12 @@ final class SnapshotSourceProvider extends StreamSourceProvider
       "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
     val asOf = byVersion.orElse(byTime)
     val spark = sqlContext.sparkSession
+    // a version with LIVE merge-on-read deletion vectors cannot plan
+    // through a plain file scan — fall back to the DV-applying
+    // TableScan relation (correct rows, no planning-time skipping)
+    // until compaction materializes the tombstones
+    if (store.manifestAt(asOf)._3.exists(_._4))
+      return new SnapshotDvRelation(spark, store, asOf)
     val index = new SnapshotFileIndex(spark, store, asOf)
     HadoopFsRelation(
       location = index,

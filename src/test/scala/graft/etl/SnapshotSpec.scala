@@ -540,12 +540,16 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] {
       store.readInserts(spark, 0L, v2, store.tableSchema())
     }
-    // the format read refuses live DVs loudly (a plain scan would lie)...
-    val fmtErr = intercept[IllegalArgumentException] {
-      spark.read.format("graft-snapshot").option("path", root).load().count()
-    }
-    assert(fmtErr.getMessage.contains("deletion"))
-    // ...until compaction MATERIALIZES the deletes and clears the DVs
+    // the format read stays CORRECT under live DVs: it plans the
+    // DV-applying fallback relation (a plain file scan would lie by
+    // including tombstoned rows), so SQL readers work between the MoR
+    // write and the next OPTIMIZE
+    assert(spark.read.format("graft-snapshot").option("path", root).load()
+      .count() == 794L)
+    assert(spark.read.format("graft-snapshot").option("path", root)
+      .option("versionAsOf", v1).load().count() == 799L,
+      "time travel through the fallback pins its own version")
+    // compaction MATERIALIZES the deletes and clears the DVs
     val cv = store.compactLatest(spark, targetFiles = 2)
     val mc = store.readFullManifest(cv)
     assert(mc.rewrite && mc.entries.forall(_.dv.isEmpty))

@@ -847,6 +847,93 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark, Some(0L)).count() == 2L)
   }
 
+  test("comma-list stats property: EVERY listed column skips files at planning time; readRange and DML prune on secondaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    // id and bucket are independently clustered after a z-order layout:
+    // range-partition on id first, then OPTIMIZE ZORDER over both
+    store.commitOverwrite(
+      (1L to 6400L).map(i => (i, i % 80, s"v$i")).toDF("id", "bucket", "v")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id,bucket"))
+    store.compactLatest(spark, targetFiles = 16, zorderBy = Seq("id", "bucket"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val all = spark.read.format("graft-snapshot").option("path", root).load()
+    assert(scannedFiles(all) == 16L)
+    // a filter on the PRIMARY column skips files...
+    assert(scannedFiles(all.filter($"id".between(1L, 400L))) < 16L)
+    // ...and a filter on the SECONDARY column skips files too — the
+    // multi-column payoff: after z-order BOTH dimensions have compact
+    // per-file ranges and BOTH prune at planning time
+    val byBucket = all.filter($"bucket" === 3L)
+    assert(byBucket.count() == 80L)
+    assert(scannedFiles(all.filter($"bucket" === 3L)) < 16L,
+      "secondary stats column must skip files at planning time")
+    // readRange accepts the secondary column
+    assert(store.readRange(spark, "bucket", 3L, 3L).count() == 80L)
+    // DML candidate pruning intersects ALL stats columns: a delete
+    // constrained on the secondary rewrites only intersecting files
+    val before = store.readFullManifest(store.latestVersion.get)
+      .entries.map(_.path).toSet
+    store.deleteWhere(spark, $"bucket" === 3L && $"id" <= 800L)
+    val after = store.readFullManifest(store.latestVersion.get)
+      .entries.map(_.path).toSet
+    assert(before.intersect(after).nonEmpty,
+      "files outside the (id AND bucket) bounds must keep identity")
+    assert(store.read(spark).count() == 6400L - 10L)
+    // the stats property is one authority string: a conflicting append
+    // request fails loudly, a matching one keeps BOTH columns' stats
+    intercept[IllegalArgumentException] {
+      store.commitAppend(Seq((9001L, 1L, "x")).toDF("id", "bucket", "v"),
+        statsColumn = Some("id"))
+    }
+    store.commitAppend(Seq((9001L, 1L, "x")).toDF("id", "bucket", "v"))
+    val tail = store.readFullManifest(store.latestVersion.get)
+      .entries.filterNot(e => after.contains(e.path))
+    assert(tail.exists(e => e.min.contains(9001L) &&
+      e.extra.exists { case (c, mn, mx) => c == "bucket" && mn == 1L && mx == 1L }),
+      "appends keep collecting stats for every listed column")
+  }
+
+  test("live-DV versions stay fully usable through SQL: SELECT applies DVs, DML and OPTIMIZE still resolve") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 800L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, $"id"),
+      statsColumn = Some("id"))
+    store.deleteWhere(spark, $"id" === 5L, mergeOnRead = true)
+    spark.sql(s"CREATE TABLE snap_dv USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // SELECT plans the DV-applying fallback — tombstoned rows excluded
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_dv").head().getLong(0) == 799L)
+      assert(spark.sql("SELECT * FROM snap_dv WHERE id = 5").isEmpty)
+      // DESCRIBE HISTORY resolves through the fallback relation too
+      assert(spark.sql("DESCRIBE HISTORY snap_dv").count() == 2L)
+      // CoW DML on a live-DV table: the rewrite scan applies the DVs,
+      // so the tombstoned row cannot resurrect through the UPDATE
+      spark.sql("UPDATE snap_dv SET v = 'six' WHERE id = 6")
+      assert(spark.sql("SELECT v FROM snap_dv WHERE id = 6").head().getString(0) == "six")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_dv").head().getLong(0) == 799L)
+      assert(spark.sql("SELECT * FROM snap_dv WHERE id = 5").isEmpty,
+        "the CoW rewrite must not resurrect the MoR-deleted row")
+      // OPTIMIZE settles the remaining tombstones; the next resolution
+      // plans the pruned file-index path again
+      spark.sql("OPTIMIZE snap_dv TARGET 2 FILES")
+      assert(store.readFullManifest(store.latestVersion.get)
+        .entries.forall(_.dv.isEmpty))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_dv").head().getLong(0) == 799L)
+    } finally spark.sql("DROP TABLE snap_dv")
+  }
+
   test("CDC replication loop: readChangeFeed stream + applyChangeFeed sink converge the replica, deletes included") {
     import spark.implicits._
     val srcRoot = tmp(); val dstRoot = tmp(); val cp = tmp()
