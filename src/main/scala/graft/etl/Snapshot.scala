@@ -1360,10 +1360,22 @@ final class SnapshotStore(root: String) {
 
   /** Truncate: publish an empty-file-list manifest carrying the schema,
     * so reads of the new version yield an empty frame with the right
-    * shape while every older version stays readable.
+    * shape while every older version stays readable. With `partitionBy`
+    * / `statsColumn` this is also the SQL-first way a table is BORN
+    * with its layout and stats properties (`CREATE TABLE ... USING
+    * graft-snapshot OPTIONS (path ..., partitionBy 'day', statsColumn
+    * 'id')`) — later appends inherit both.
     */
-  def commitTruncate(schema: StructType): Long =
-    publishEntries(Seq.empty, schema, None)
+  def commitTruncate(schema: StructType, statsColumn: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Long = {
+    val normalized =
+      if (partitionBy.isEmpty) schema
+      else normalizePartitionedSchema(schema, partitionBy)
+    statsParts(statsColumn).foreach(c => require(!partitionBy.contains(c),
+      s"SnapshotStore.commitTruncate: stats column '$c' cannot be a " +
+        "partition column"))
+    publishEntries(Seq.empty, normalized, statsColumn, partCols = partitionBy)
+  }
 
   /** Read a committed version (default: latest). The returned frame is
     * pinned to that version's immutable file list — safe to consume

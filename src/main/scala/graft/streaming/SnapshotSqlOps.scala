@@ -14,6 +14,7 @@ import graft.etl.SnapshotStore
   * Delta exposes that core Spark SQL has no grammar for:
   *
   *   - `DESCRIBE HISTORY t`                       → [[SnapshotStore.history]]
+  *   - `DESCRIBE DETAIL t`                        → one-row live summary
   *   - `OPTIMIZE t [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES]`
   *                                                → [[SnapshotStore.compactLatest]]
   *   - `VACUUM t RETAIN n VERSIONS`               → [[SnapshotStore.vacuum]]
@@ -43,6 +44,8 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescHistoryRe(target) =>
       DescribeHistoryCommand(target.trim)
+    case DescDetailRe(target) =>
+      DescribeDetailCommand(target.trim)
     case OptimizeRe(target, where, zorder, files) =>
       val z = Option(zorder).map(_.split(",").map(stripIdent).toSeq).getOrElse(Nil)
       OptimizeSnapshotCommand(target.trim, z, Option(files).map(_.toInt),
@@ -92,6 +95,8 @@ object SnapshotSqlParser {
   private val T = """('[^']+'|"[^"]+"|[\w.`]+)"""
   private[streaming] val DescHistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private[streaming] val DescDetailRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private[streaming] val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$T""" +
       """(?:\s+WHERE\s+(.+?))?""" +
@@ -212,6 +217,36 @@ final case class DescribeHistoryCommand(target: String)
     store.history(session)
       .orderBy(org.apache.spark.sql.functions.col("version").desc)
       .collect().toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the live table's one-row summary: format,
+  * version, file/byte totals, live-DV count, partition columns and the
+  * stats property (Delta's DESCRIBE DETAIL on the manifest's terms).
+  */
+final case class DescribeDetailCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    def attr(n: String, dt: org.apache.spark.sql.types.DataType) =
+      AttributeReference(n, dt, nullable = true)()
+    Seq(attr("format", StringType), attr("version", LongType),
+      attr("n_files", IntegerType), attr("bytes", LongType),
+      attr("n_live_dv_files", IntegerType),
+      attr("partition_columns", StringType), attr("stats_columns", StringType),
+      attr("n_columns", IntegerType), attr("committed_at", TimestampType))
+  }
+  override def run(session: SparkSession): Seq[Row] = {
+    val (store, _) = SnapshotSqlParser.resolveStore(session, target)
+    val v = store.latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"DESCRIBE DETAIL: no committed versions"))
+    val m = store.readFullManifest(v)
+    val latest = store.history(session)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc).head()
+    Seq(Row("graft-snapshot", v, m.entries.length,
+      latest.getAs[Long]("bytes"), m.entries.count(_.dv.nonEmpty),
+      m.partCols.mkString(","), m.statsColumn.getOrElse(""),
+      m.schema.fieldNames.length,
+      latest.getAs[java.sql.Timestamp]("committed_at")))
   }
 }
 

@@ -134,7 +134,13 @@ final class SnapshotSourceProvider extends StreamSourceProvider
       parameters: Map[String, String], schema: StructType): BaseRelation = {
     val store = storeFor(parameters)
     store.latestVersion match {
-      case None => store.commitTruncate(schema)
+      case None =>
+        // the SQL-first birth may declare the table's layout and stats
+        // properties too: CREATE TABLE ... OPTIONS (path ...,
+        // partitionBy 'day', statsColumn 'id,bucket')
+        val parts = parameters.get("partitionBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        store.commitTruncate(schema, parameters.get("statsColumn"), parts)
       case Some(v) =>
         val table = store.tableSchema()
         val t = table.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq

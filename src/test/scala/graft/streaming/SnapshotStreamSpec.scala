@@ -1074,6 +1074,31 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       // ...and with one, drops history
       assert(spark.sql("VACUUM snap_ops RETAIN 2 VERSIONS").head().getInt(0) == 2)
       assert(store.versions.length == 2)
+      // SQL-first PARTITIONED birth: layout + stats declared in OPTIONS,
+      // no DataFrame write ever touches the table
+      val root3 = tmp()
+      spark.sql(s"CREATE TABLE snap_ops3 (id BIGINT, day STRING) " +
+        s"USING `graft-snapshot` OPTIONS (path '$root3', " +
+        "partitionBy 'day', statsColumn 'id')")
+      try {
+        spark.sql("INSERT INTO snap_ops3 VALUES (1, 'd1'), (2, 'd2'), (3, 'd1')")
+        val store3 = new SnapshotStore(root3)
+        val m3 = store3.readFullManifest(store3.latestVersion.get)
+        assert(m3.partCols == Seq("day") &&
+          m3.entries.forall(_.path.contains("day=")),
+          "SQL-declared partitioning must land hive-style")
+        assert(m3.statsColumn.contains("id") &&
+          m3.entries.exists(_.min.isDefined),
+          "SQL-declared stats property must collect footer stats")
+        assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ops3 WHERE day = 'd1'")
+          .head().getLong(0) == 2L)
+        // DESCRIBE DETAIL: the one-row live summary
+        val d = spark.sql("DESCRIBE DETAIL snap_ops3").head()
+        assert(d.getAs[String]("format") == "graft-snapshot" &&
+          d.getAs[String]("partition_columns") == "day" &&
+          d.getAs[String]("stats_columns") == "id" &&
+          d.getAs[Int]("n_files") == m3.entries.length)
+      } finally spark.sql("DROP TABLE snap_ops3")
       // ops on a non-snapshot table are refused loudly
       val e = intercept[Exception] {
         spark.sql("SELECT 1 AS x").createOrReplaceTempView("plain_v")
