@@ -472,7 +472,8 @@ final class SnapshotStore(root: String) {
 
   def compactLatest(spark: SparkSession, targetFiles: Int,
       clusterBy: Option[String] = None, zorderBy: Seq[String] = Nil,
-      scope: Option[org.apache.spark.sql.Column] = None): Long = {
+      scope: Option[org.apache.spark.sql.Column] = None,
+      onlySmallerThanBytes: Option[Long] = None): Long = {
     require(targetFiles >= 1, s"compactLatest: targetFiles must be >= 1, got $targetFiles")
     require(zorderBy.isEmpty || clusterBy.isEmpty,
       "compactLatest: clusterBy and zorderBy are mutually exclusive")
@@ -488,7 +489,7 @@ final class SnapshotStore(root: String) {
     // matching partitions' files are rewritten, everything else keeps
     // its path identity, and the conflict-rebase below already reasons
     // in terms of exactly the rewritten file set.
-    val scoped: Seq[FileEntry] = scope match {
+    val scopedByPartition: Seq[FileEntry] = scope match {
       case None => m.entries
       case Some(p) =>
         require(m.partCols.nonEmpty,
@@ -512,6 +513,28 @@ final class SnapshotStore(root: String) {
           "compactLatest: the scope predicate matched no partition")
         m.entries.filter(e =>
           selected.contains(partitionTupleOf(e.path, m.partCols).map(String.valueOf)))
+    }
+    // SMALL-FILE selection (Delta's bin-packing default made explicit):
+    // only files under the threshold are rewritten; right-sized files
+    // keep their path identity — EXCEPT files carrying live DVs, which
+    // are always candidates (compaction is how tombstones materialize,
+    // and skipping a big DV'd file would leave the table refusing the
+    // plain scan path forever). Composes with `scope`.
+    val scoped = onlySmallerThanBytes match {
+      case None => scopedByPartition
+      case Some(threshold) =>
+        require(threshold >= 1L,
+          s"compactLatest: onlySmallerThanBytes must be >= 1, got $threshold")
+        val small = scopedByPartition.filter { e =>
+          e.dv.nonEmpty || {
+            val p = rootPath.resolve(e.path)
+            Files.isRegularFile(p) && Files.size(p) < threshold
+          }
+        }
+        require(small.nonEmpty,
+          s"compactLatest: no file under $threshold bytes (and no live DVs) " +
+            "in scope — nothing to compact")
+        small
     }
     val cluster = clusterBy.orElse(
       if (zorderBy.nonEmpty) None else statsParts(m.statsColumn).headOption)

@@ -46,10 +46,11 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       DescribeHistoryCommand(target.trim)
     case DescDetailRe(target) =>
       DescribeDetailCommand(target.trim)
-    case OptimizeRe(target, where, zorder, files) =>
+    case OptimizeRe(target, where, zorder, files, smallerMb) =>
       val z = Option(zorder).map(_.split(",").map(stripIdent).toSeq).getOrElse(Nil)
       OptimizeSnapshotCommand(target.trim, z, Option(files).map(_.toInt),
-        Option(where).map(_.trim))
+        Option(where).map(_.trim),
+        Option(smallerMb).map(_.toLong * (1L << 20)))
     case VacuumRe(target, keep) =>
       VacuumSnapshotCommand(target.trim, keep.toInt)
     case VacuumBareRe(target) =>
@@ -101,7 +102,8 @@ object SnapshotSqlParser {
     (s"""(?is)\\s*OPTIMIZE\\s+$T""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?""" +
-      """(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""").r
+      """(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
+      """(?:\s+SMALLER\s+THAN\s+(\d+)\s*MB)?\s*;?\s*""").r
   private[streaming] val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private[streaming] val VacuumBareRe =
@@ -250,16 +252,20 @@ final case class DescribeDetailCommand(target: String)
   }
 }
 
-/** `OPTIMIZE t [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES]` —
-  * small-file compaction (dataChange = false). `WHERE` scopes the
-  * rewrite to the matching PARTITIONS (incremental maintenance — the
-  * only shape that works at 100 TB). Without an explicit TARGET the
-  * file count follows the table's bytes at a 128 MiB default target
-  * file size — the bin-packing default, never fewer than one file.
+/** `OPTIMIZE t [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES]
+  * [SMALLER THAN n MB]` — small-file compaction (dataChange = false).
+  * `WHERE` scopes the rewrite to the matching PARTITIONS and
+  * `SMALLER THAN` to the under-sized files within them (live-DV files
+  * are always candidates — compaction is how tombstones materialize):
+  * incremental maintenance in both dimensions, the only OPTIMIZE shape
+  * that works at 100 TB. Without an explicit TARGET the file count
+  * follows the table's bytes at a 128 MiB default target file size —
+  * the bin-packing default, never fewer than one file.
   */
 final case class OptimizeSnapshotCommand(target: String,
     zorderBy: Seq[String], targetFiles: Option[Int],
-    where: Option[String] = None)
+    where: Option[String] = None,
+    onlySmallerThanBytes: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -275,7 +281,8 @@ final case class OptimizeSnapshotCommand(target: String,
     val scope = where.map(w => org.apache.spark.sql.GraftExprBridge.column(
       session.sessionState.sqlParser.parseExpression(w)))
     val v = store.compactLatest(session, targetFiles = tf,
-      zorderBy = zorderBy, scope = scope)
+      zorderBy = zorderBy, scope = scope,
+      onlySmallerThanBytes = onlySmallerThanBytes)
     name.foreach(session.catalog.refreshTable)
     Seq(Row(v, tf))
   }

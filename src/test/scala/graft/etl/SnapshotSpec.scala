@@ -813,6 +813,50 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("matched no partition"))
   }
 
+  test("small-file compaction: SMALLER THAN rewrites only under-sized files; DV'd files always settle") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    // one right-sized file (50k rows) + six tiny append files
+    store.commitOverwrite(
+      (1L to 50000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      statsColumn = Some("id"))
+    (1 to 6).foreach(k => store.commitAppend(
+      Seq((50000L + k, s"t$k")).toDF("id", "v").coalesce(1)))
+    val m0 = store.readFullManifest(store.latestVersion.get)
+    assert(m0.entries.length == 7)
+    // size the threshold between the tiny files and the big one
+    val sizes = m0.entries.map(e => e.path ->
+      java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(e.path)))
+    val big = sizes.maxBy(_._2)
+    val threshold = big._2 // strict <, so the big file is excluded
+    val rows = store.read(spark).orderBy("id").collect().toSeq
+    val cv = store.compactLatest(spark, targetFiles = 1,
+      onlySmallerThanBytes = Some(threshold))
+    val m1 = store.readFullManifest(cv)
+    assert(m1.rewrite)
+    assert(m1.entries.map(_.path).contains(big._1),
+      "the right-sized file must keep its identity")
+    assert(m1.entries.length == 2, "six tiny files bin-packed into one")
+    assert(store.read(spark).orderBy("id").collect().toSeq == rows)
+    assert(store.readChanges(spark, cv - 1, Some(cv)).isEmpty)
+    // a live-DV file is ALWAYS a candidate, whatever its size —
+    // compaction is how tombstones materialize
+    store.deleteWhere(spark, $"id" === 7L, mergeOnRead = true)
+    val cv2 = store.compactLatest(spark, targetFiles = 1,
+      onlySmallerThanBytes = Some(threshold))
+    val m2 = store.readFullManifest(cv2)
+    assert(!m2.entries.map(_.path).contains(big._1),
+      "the DV'd big file must be rewritten (tombstones materialized)")
+    assert(m2.entries.forall(_.dv.isEmpty))
+    assert(store.read(spark).count() == rows.length - 1L)
+    // nothing under the threshold and no DVs: loud, not a silent no-op
+    val e = intercept[IllegalArgumentException] {
+      store.compactLatest(spark, 1, onlySmallerThanBytes = Some(1L))
+    }
+    assert(e.getMessage.contains("nothing to compact"))
+  }
+
   test("latest-version cache never serves a stale version to a publisher: foreign commits seen via forward probe") {
     val root = tmp()
     // two store INSTANCES on one root = two processes with independent

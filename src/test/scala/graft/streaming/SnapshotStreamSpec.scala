@@ -1033,6 +1033,11 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ops").head().getLong(0) == 800L)
       // default TARGET follows bytes/128MiB -> 1 file for a tiny table
       assert(spark.sql("OPTIMIZE snap_ops").head().getAs[Int]("target_files") == 1)
+      // OPTIMIZE ... SMALLER THAN parses through to the small-file
+      // selection (every file here is tiny, so the rewrite lands)
+      val vSmall = spark.sql("OPTIMIZE snap_ops TARGET 1 FILES SMALLER THAN 1 MB")
+        .head().getAs[Long]("version")
+      assert(store.readFullManifest(vSmall).entries.length == 1)
       // OPTIMIZE ... WHERE parses and reaches the scoped path (this
       // table is unpartitioned -> the store's own loud refusal)
       val eW = intercept[Exception] { spark.sql("OPTIMIZE snap_ops WHERE b = 1") }
