@@ -1381,6 +1381,50 @@ final class SnapshotStore(root: String) {
       expectedVersion = Some(v + 1L), partCols = m.partCols)
   }
 
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — a table
+    * property enforced IN-PLAN on every subsequent write (see
+    * `withConstraintChecks`). Existing data must already satisfy it —
+    * one DV-aware validation scan here, because a constraint the table
+    * already violates is a lie every future reader would believe. The
+    * expression is stored as SQL text and re-parsed per write, so it
+    * survives restarts and follows the table, not the session.
+    */
+  def addConstraint(spark: SparkSession, name: String, check: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(name.nonEmpty && name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"SnapshotStore.addConstraint: bad constraint name '$name'")
+    require(!check.contains("\t") && !check.contains("\n"),
+      "SnapshotStore.addConstraint: the CHECK text cannot contain tabs/newlines")
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.addConstraint: no committed versions at $root"))
+    val m = readFullManifest(v)
+    require(!m.constraints.exists(_._1 == name),
+      s"SnapshotStore.addConstraint: constraint '$name' already exists")
+    val expr = org.apache.spark.sql.GraftExprBridge.column(
+      spark.sessionState.sqlParser.parseExpression(check))
+    val violations = read(spark, Some(v))
+      .filter(not(coalesce(expr, lit(true)))).count()
+    require(violations == 0L,
+      s"SnapshotStore.addConstraint: $violations existing rows violate " +
+        s"CHECK ($check) — clean the data first")
+    publishEntries(m.entries, m.schema, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols,
+      constraintsOverride = Some(m.constraints :+ (name -> check)))
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT name` — O(manifest). */
+  def dropConstraint(name: String): Long = {
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.dropConstraint: no committed versions at $root"))
+    val m = readFullManifest(v)
+    require(m.constraints.exists(_._1 == name),
+      s"SnapshotStore.dropConstraint: no constraint '$name' " +
+        s"(have: ${m.constraints.map(_._1).mkString(", ")})")
+    publishEntries(m.entries, m.schema, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols,
+      constraintsOverride = Some(m.constraints.filterNot(_._1 == name)))
+  }
+
   /** Truncate: publish an empty-file-list manifest carrying the schema,
     * so reads of the new version yield an empty frame with the right
     * shape while every older version stays readable. With `partitionBy`
@@ -1884,9 +1928,32 @@ final class SnapshotStore(root: String) {
     * garbage, never corrupts a version. package-private so the spec can
     * emulate exactly that crash.
     */
+  /** In-plan CHECK enforcement: wrap the staged frame so any row
+    * violating a table constraint raises MID-WRITE — one pass, inside
+    * whole-stage codegen, no separate validation job (the same shape
+    * Delta's invariant-check operator takes). SQL CHECK semantics: a
+    * NULL result passes. Applied at the two staging choke points every
+    * data write funnels through, so no commit shape can smuggle a
+    * violating row past the property.
+    */
+  private def withConstraintChecks(df: DataFrame): DataFrame = {
+    val cs = latestVersion.map(v => readFullManifest(v).constraints).getOrElse(Nil)
+    if (cs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{lit, raise_error, when}
+      cs.foldLeft(df) { case (d, (name, text)) =>
+        val expr = org.apache.spark.sql.GraftExprBridge.column(
+          d.sparkSession.sessionState.sqlParser.parseExpression(text))
+        d.filter(when(expr || expr.isNull, lit(true)).otherwise(
+          raise_error(lit(
+            s"graft-snapshot CHECK constraint '$name' violated: $text"))))
+      }
+    }
+  }
+
   private[etl] def stage(df: DataFrame): Seq[String] = {
     val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
+    withConstraintChecks(df).write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
     val s = Files.list(sub)
     try {
       s.iterator().asScala
@@ -1905,7 +1972,7 @@ final class SnapshotStore(root: String) {
       statsColumn: Option[String]): Seq[FileEntry] = {
     normalizePartitionedSchema(df.schema, partCols) // validates cols + types
     val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
-    df.write.mode(SaveMode.ErrorIfExists)
+    withConstraintChecks(df).write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partCols: _*).parquet(sub.toString)
     val walk = Files.walk(sub)
     val paths = try {
@@ -2024,14 +2091,23 @@ final class SnapshotStore(root: String) {
   private[etl] def publishEntries(entries: Seq[FileEntry], schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)] = None,
       rewrite: Boolean = false, expectedVersion: Option[Long] = None,
-      partCols: Seq[String] = Nil): Long = {
+      partCols: Seq[String] = Nil,
+      constraintsOverride: Option[Seq[(String, String)]] = None): Long = {
     Files.createDirectories(manifestDir)
     val v = expectedVersion.getOrElse(latestVersion.map(_ + 1L).getOrElse(0L))
+    // CHECK constraints are a table PROPERTY that must survive every
+    // commit shape (append, CoW, compaction, restore, overwrite) —
+    // inherited from the current latest manifest here, at the one
+    // choke point every publish passes, so no write path can silently
+    // drop them; only addConstraint/dropConstraint override
+    val constraints = constraintsOverride.getOrElse(
+      latestVersion.map(lv => readFullManifest(lv).constraints).getOrElse(Nil))
     val statsLine = Seq(s"#ts\t${System.currentTimeMillis()}") ++
       statsColumn.map(c => s"#stats\t$c").toSeq ++
       (if (partCols.nonEmpty) Seq(s"#partcols\t${partCols.mkString(",")}") else Nil) ++
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
-      (if (rewrite) Seq("#rewrite") else Nil)
+      (if (rewrite) Seq("#rewrite") else Nil) ++
+      constraints.map { case (n, e) => s"#constraint\t$n\t$e" }
     val fileLines = entries.map { e =>
       // grow-only line grammar: 3 fields (path, min, max) for the common
       // case, a 4th only when DVs exist, a 5th only when SECONDARY stats
@@ -2086,7 +2162,8 @@ final class SnapshotStore(root: String) {
   private[graft] final case class Manifest(schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)], rewrite: Boolean,
       entries: Seq[FileEntry], ts: Option[Long] = None,
-      partCols: Seq[String] = Nil)
+      partCols: Seq[String] = Nil,
+      constraints: Seq[(String, String)] = Nil)
 
   private[graft] def readFullManifest(v: Long): Manifest = {
     val p = manifestPath(v)
@@ -2114,6 +2191,12 @@ final class SnapshotStore(root: String) {
       .map(_.stripPrefix("#ts\t").toLong)
     val partCols = headerLines.find(_.startsWith("#partcols\t"))
       .map(_.stripPrefix("#partcols\t").split(",").toSeq).getOrElse(Nil)
+    val constraints = headerLines.filter(_.startsWith("#constraint\t")).map { l =>
+      val parts = l.stripPrefix("#constraint\t").split("\t", 2)
+      require(parts.length == 2,
+        s"SnapshotStore: malformed #constraint line '${l.take(120)}'")
+      (parts(0), parts(1))
+    }
     def stat(s: String) = if (s == "-") None else Some(s.toLong)
     def dvsOf(s: String) = if (s == "-") Nil else s.split(",").toSeq.filter(_.nonEmpty)
     def extraOf(s: String): Seq[(String, Long, Long)] =
@@ -2137,7 +2220,7 @@ final class SnapshotStore(root: String) {
           s"SnapshotStore: malformed manifest line '${line.take(120)}'")
       }
     }
-    Manifest(schema, statsCol, txn, rewrite, entries, ts, partCols)
+    Manifest(schema, statsCol, txn, rewrite, entries, ts, partCols, constraints)
   }
 
   /** Commit instant of version `v`: the `#ts` embedded in the manifest

@@ -1279,6 +1279,69 @@ object Curation {
         SELECT grp, COUNT(*) AS n,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM slices GROUP BY 1 ORDER BY grp
+      """)),
+    // ----------------------------------------------------------------
+    // CHECK constraints — write-time data-quality enforcement as a
+    // table property: after ADD CONSTRAINT, a valid insert lands, a
+    // violating insert fails IN-PLAN and commits nothing (the caught
+    // exception leaves the version count unchanged — a half-applied
+    // batch would change the sums), and after DROP the same rows land.
+    // The oracle replays the surviving set as plain SQL; an enforcement
+    // leak in either direction (violating rows committed, or valid rows
+    // blocked) breaks the groups.
+    Q(
+      "q294_check_constraints",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", lit("base").as("ver"))
+        val root = java.nio.file.Files.createTempDirectory("graft-ck").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS g294_ck")
+        s.sql(s"CREATE TABLE g294_ck USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          s.sql("ALTER TABLE g294_ck ADD CONSTRAINT key_pos CHECK (o_orderkey >= 0)")
+          s.sql("""INSERT INTO g294_ck
+            SELECT o_orderkey + 300000000, o_custkey, 'ok'
+            FROM g294_ck WHERE o_orderkey % 100 = 5""")
+          val vOk = store.latestVersion.get
+          try {
+            s.sql("""INSERT INTO g294_ck
+              SELECT -o_orderkey - 1, o_custkey, 'bad'
+              FROM g294_ck WHERE o_orderkey % 100 = 7""")
+          } catch { case _: Exception => () } // refused: commits nothing
+          require(store.latestVersion.contains(vOk),
+            "q294: a refused insert must not publish a version")
+          s.sql("ALTER TABLE g294_ck DROP CONSTRAINT key_pos")
+          s.sql("""INSERT INTO g294_ck
+            SELECT -o_orderkey - 1, o_custkey, 'neg'
+            FROM g294_ck WHERE o_orderkey % 100 = 7 AND o_orderkey >= 0""")
+          store.read(s)
+            .groupBy($"ver")
+            .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+            .orderBy($"ver")
+        } finally s.sql("DROP TABLE IF EXISTS g294_ck")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, 'base' AS ver FROM orders),
+        ok AS (
+          SELECT o_orderkey + 300000000 AS o_orderkey, 'ok' AS ver
+          FROM o WHERE o_orderkey % 100 = 5),
+        neg AS (
+          -- 300000000 % 100 = 0, so the 'ok' keys stay = 5 mod 100 and
+          -- only base keys land in the post-DROP negative insert
+          SELECT -o_orderkey - 1 AS o_orderkey, 'neg' AS ver
+          FROM o WHERE o_orderkey % 100 = 7),
+        uni AS (
+          SELECT o_orderkey, ver FROM o
+          UNION ALL SELECT o_orderkey, ver FROM ok
+          UNION ALL SELECT o_orderkey, ver FROM neg)
+        SELECT ver, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM uni GROUP BY 1 ORDER BY ver
       """))
   )
 }

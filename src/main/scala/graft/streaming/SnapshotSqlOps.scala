@@ -21,6 +21,8 @@ import graft.etl.SnapshotStore
   *   - `RESTORE [TABLE] t TO VERSION AS OF v`
   *     `RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts'`→ [[SnapshotStore.restore]]
   *   - `ALTER TABLE t ADD COLUMNS (c TYPE, ...)`  → [[SnapshotStore.addColumns]]
+  *   - `ALTER TABLE t ADD CONSTRAINT n CHECK (e)` → [[SnapshotStore.addConstraint]]
+  *   - `ALTER TABLE t DROP CONSTRAINT n`          → [[SnapshotStore.dropConstraint]]
   *
   * Injected via `SparkSessionExtensions.injectParser` (registered by
   * `graft.GraftExtensions`): anything the ops grammar doesn't match
@@ -66,8 +68,24 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       // Spark owns this grammar for other providers: keep the
       // delegate's plan as the non-snapshot fallback
       AddColumnsSnapshotCommand(target.trim, cols, delegate.parsePlan(sqlText))
+    case AddConstraintRe(target, name, check) =>
+      AlterConstraintSnapshotCommand(target.trim, name,
+        Some(check.trim), fallbackOf(sqlText))
+    case DropConstraintRe(target, name) =>
+      AlterConstraintSnapshotCommand(target.trim, name, None,
+        fallbackOf(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
+
+  /** Delegate plan for grammar Spark MAY also own (constraint DDL is
+    * DSv2-side in newer Spark) — None when the delegate cannot parse
+    * it, so a non-snapshot target fails at RUN time with a clear
+    * message instead of a parse error on a valid snapshot statement.
+    */
+  private def fallbackOf(sqlText: String): Option[LogicalPlan] =
+    try Some(delegate.parsePlan(sqlText)) catch {
+      case _: ParseException => None
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -117,6 +135,12 @@ object SnapshotSqlParser {
   private[streaming] val AddColumnsRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+  private[streaming] val AddConstraintRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private[streaming] val DropConstraintRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -235,7 +259,8 @@ final case class DescribeDetailCommand(target: String)
       attr("n_files", IntegerType), attr("bytes", LongType),
       attr("n_live_dv_files", IntegerType),
       attr("partition_columns", StringType), attr("stats_columns", StringType),
-      attr("n_columns", IntegerType), attr("committed_at", TimestampType))
+      attr("n_columns", IntegerType), attr("constraints", StringType),
+      attr("committed_at", TimestampType))
   }
   override def run(session: SparkSession): Seq[Row] = {
     val (store, _) = SnapshotSqlParser.resolveStore(session, target)
@@ -248,7 +273,37 @@ final case class DescribeDetailCommand(target: String)
       latest.getAs[Long]("bytes"), m.entries.count(_.dv.nonEmpty),
       m.partCols.mkString(","), m.statsColumn.getOrElse(""),
       m.schema.fieldNames.length,
+      m.constraints.map { case (n, c) => s"$n: CHECK ($c)" }.mkString("; "),
       latest.getAs[java.sql.Timestamp]("committed_at")))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT
+  * name` on a snapshot table: a table property enforced in-plan on
+  * every subsequent write; ADD validates existing data first. A
+  * non-snapshot target re-runs the delegate's plan when the delegate
+  * parses the statement at all, and fails with a clear message
+  * otherwise.
+  */
+final case class AlterConstraintSnapshotCommand(target: String, name: String,
+    check: Option[String], fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = fallback.toSeq
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!SnapshotSqlParser.isSnapshotTarget(session, target)) {
+      val plan = fallback.getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE ... CONSTRAINT: '$target' is not a graft-snapshot " +
+          "table and Spark's own parser does not accept this statement"))
+      org.apache.spark.sql.GraftStreamBridge.ofRows(session, plan).collect()
+      return Seq.empty
+    }
+    val (store, nameOpt) = SnapshotSqlParser.resolveStore(session, target)
+    check match {
+      case Some(c) => store.addConstraint(session, name, c)
+      case None => store.dropConstraint(name)
+    }
+    nameOpt.foreach(session.catalog.refreshTable)
+    Seq.empty
   }
 }
 

@@ -934,6 +934,62 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_dv")
   }
 
+  test("CHECK constraints: a table property enforced in-plan on every write shape") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      statsColumn = Some("id"))
+    spark.sql(s"CREATE TABLE snap_ck USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql("ALTER TABLE snap_ck ADD CONSTRAINT positive CHECK (id > 0)")
+      // a constraint the data already violates is refused up front
+      val pre = intercept[Exception] {
+        spark.sql("ALTER TABLE snap_ck ADD CONSTRAINT tiny CHECK (id < 50)")
+      }
+      assert(pre.getMessage.contains("existing rows violate"))
+      // valid writes land; violating writes fail LOUDLY and commit NOTHING
+      spark.sql("INSERT INTO snap_ck VALUES (101, 'ok')")
+      val vAfterOk = store.latestVersion.get
+      val bad = intercept[Exception] {
+        spark.sql("INSERT INTO snap_ck VALUES (-1, 'nope')")
+      }
+      assert(bad.getMessage.contains("positive") ||
+        bad.getCause != null && bad.getCause.getMessage.contains("positive"))
+      assert(store.latestVersion.contains(vAfterOk),
+        "a refused write must not publish a version")
+      // NULL passes — SQL CHECK three-valued semantics
+      spark.sql("ALTER TABLE snap_ck ADD CONSTRAINT shortv CHECK (length(v) <= 6)")
+      spark.sql("INSERT INTO snap_ck VALUES (102, NULL)")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ck").head().getLong(0) == 102L)
+      // the property follows the table through UPDATE, MERGE, OVERWRITE,
+      // and OPTIMIZE — every shape funnels through the same staging gate
+      intercept[Exception] {
+        spark.sql("UPDATE snap_ck SET id = -5 WHERE id = 7")
+      }
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE snap_ck VALUES (0, 'zero')")
+      }
+      spark.sql("OPTIMIZE snap_ck TARGET 1 FILES")
+      intercept[Exception] {
+        store.commitAppend(Seq((-9L, "api")).toDF("id", "v"))
+      }
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ck").head().getLong(0) == 102L)
+      // DESCRIBE DETAIL surfaces both constraints
+      val detail = spark.sql("DESCRIBE DETAIL snap_ck").head()
+        .getAs[String]("constraints")
+      assert(detail.contains("positive") && detail.contains("shortv"))
+      // DROP releases the gate
+      spark.sql("ALTER TABLE snap_ck DROP CONSTRAINT positive")
+      spark.sql("INSERT INTO snap_ck VALUES (-1, 'now ok')")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM snap_ck").head().getLong(0) == 103L)
+      intercept[Exception] { // shortv still enforced
+        spark.sql("INSERT INTO snap_ck VALUES (200, 'toolong!')")
+      }
+    } finally spark.sql("DROP TABLE snap_ck")
+  }
+
   test("CDC replication loop: readChangeFeed stream + applyChangeFeed sink converge the replica, deletes included") {
     import spark.implicits._
     val srcRoot = tmp(); val dstRoot = tmp(); val cp = tmp()
