@@ -223,6 +223,15 @@ object SnapshotSqlParser {
     session.catalog.refreshTable(name)
   }
 
+  /** Byte total of the LATEST version's files — O(files) FileStatus
+    * lookups, never the O(versions × files) history walk.
+    */
+  private[streaming] def latestBytes(store: SnapshotStore): Long =
+    store.manifestAt()._3.map { e =>
+      val p = java.nio.file.Paths.get(e._1)
+      if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p) else 0L
+    }.sum
+
   private def attr(name: String, dt: org.apache.spark.sql.types.DataType) =
     AttributeReference(name, dt, nullable = true)()
 
@@ -267,14 +276,12 @@ final case class DescribeDetailCommand(target: String)
     val v = store.latestVersion.getOrElse(throw new IllegalArgumentException(
       s"DESCRIBE DETAIL: no committed versions"))
     val m = store.readFullManifest(v)
-    val latest = store.history(session)
-      .orderBy(org.apache.spark.sql.functions.col("version").desc).head()
     Seq(Row("graft-snapshot", v, m.entries.length,
-      latest.getAs[Long]("bytes"), m.entries.count(_.dv.nonEmpty),
+      SnapshotSqlParser.latestBytes(store), m.entries.count(_.dv.nonEmpty),
       m.partCols.mkString(","), m.statsColumn.getOrElse(""),
       m.schema.fieldNames.length,
       m.constraints.map { case (n, c) => s"$n: CHECK ($c)" }.mkString("; "),
-      latest.getAs[java.sql.Timestamp]("committed_at")))
+      new java.sql.Timestamp(m.ts.getOrElse(0L))))
   }
 }
 
@@ -328,10 +335,10 @@ final case class OptimizeSnapshotCommand(target: String,
   override def run(session: SparkSession): Seq[Row] = {
     val (store, name) = SnapshotSqlParser.resolveStore(session, target)
     val tf = targetFiles.getOrElse {
-      val latest = store.history(session)
-        .orderBy(org.apache.spark.sql.functions.col("version").desc).head()
-      math.max(1L, (latest.getAs[Long]("bytes") + (128L << 20) - 1) / (128L << 20))
-        .toInt
+      // latest version's bytes only — O(files), not the O(versions ×
+      // files) a history() walk would pay on a long-retention table
+      val bytes = SnapshotSqlParser.latestBytes(store)
+      math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
     }
     val scope = where.map(w => org.apache.spark.sql.GraftExprBridge.column(
       session.sessionState.sqlParser.parseExpression(w)))
