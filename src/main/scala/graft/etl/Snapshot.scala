@@ -131,7 +131,29 @@ final class SnapshotStore(root: String) {
     * `dv = Nil`.
     */
   final case class FileEntry(path: String, min: Option[Long], max: Option[Long],
-      dv: Seq[String] = Nil, extra: Seq[(String, Long, Long)] = Nil)
+      dv: Seq[String] = Nil, extra: Seq[(String, Long, Long)] = Nil,
+      bytes: Option[Long] = None)
+
+  /** Spec hook: observes every per-file `stat(2)` fallback taken when a
+    * manifest entry carries no recorded byte size — lets a spec PROVE
+    * the metadata paths (rate-limit budget, OPTIMIZE target, DESCRIBE
+    * DETAIL) run zero filesystem stats once sizes are manifest data.
+    * No-op in production.
+    */
+  private[graft] var onFileStat: String => Unit = _ => ()
+
+  /** Byte size of a data file: the manifest's recorded size when the
+    * entry carries one (written at commit time in the same pass as the
+    * footer stats — O(0) extra IO), a one-off `stat(2)` fallback for
+    * entries committed before sizes were manifest metadata. On an
+    * object store the difference is one HEAD request per file per
+    * metadata consumer tick vs none.
+    */
+  private[graft] def entryBytes(e: FileEntry): Long = e.bytes.getOrElse {
+    onFileStat(e.path)
+    val p = rootPath.resolve(e.path)
+    if (Files.isRegularFile(p)) Files.size(p) else 0L
+  }
 
   /** Accepts both a plain filesystem path and a `file:` URI — the
     * session catalog qualifies a `CREATE TABLE ... OPTIONS (path ...)`
@@ -424,10 +446,7 @@ final class SnapshotStore(root: String) {
       val m = readFullManifest(v)
       val committedAt = new java.sql.Timestamp(m.ts.getOrElse(
         Files.getLastModifiedTime(manifestPath(v)).toMillis))
-      val bytes = m.entries.map { e =>
-        val p = rootPath.resolve(e.path)
-        if (Files.isRegularFile(p)) Files.size(p) else 0L
-      }.sum
+      val bytes = m.entries.map(entryBytes).sum
       (v, committedAt, m.entries.length, bytes, m.rewrite,
         m.txn.map(_._1), m.txn.map(_._2), m.statsColumn,
         m.schema.fieldNames.length)
@@ -509,8 +528,6 @@ final class SnapshotStore(root: String) {
         val selected = typed.filter(p)
           .select(m.partCols.map(c => col(s"__raw_$c")): _*)
           .collect().map(_.toSeq.map(String.valueOf)).toSet
-        require(selected.nonEmpty,
-          "compactLatest: the scope predicate matched no partition")
         m.entries.filter(e =>
           selected.contains(partitionTupleOf(e.path, m.partCols).map(String.valueOf)))
     }
@@ -525,17 +542,16 @@ final class SnapshotStore(root: String) {
       case Some(threshold) =>
         require(threshold >= 1L,
           s"compactLatest: onlySmallerThanBytes must be >= 1, got $threshold")
-        val small = scopedByPartition.filter { e =>
-          e.dv.nonEmpty || {
-            val p = rootPath.resolve(e.path)
-            Files.isRegularFile(p) && Files.size(p) < threshold
-          }
+        scopedByPartition.filter { e =>
+          e.dv.nonEmpty || entryBytes(e) < threshold
         }
-        require(small.nonEmpty,
-          s"compactLatest: no file under $threshold bytes (and no live DVs) " +
-            "in scope — nothing to compact")
-        small
     }
+    // An empty candidate set is the INTENDED steady state of scheduled
+    // maintenance (the table is already compacted / the scope matched
+    // nothing this cadence): an honest no-op — return the current
+    // version, publish nothing. Delta's OPTIMIZE behaves the same; a
+    // maintenance job must not error once it has succeeded.
+    if (scoped.isEmpty) return v
     val cluster = clusterBy.orElse(
       if (zorderBy.nonEmpty) None else statsParts(m.statsColumn).headOption)
     val df = scan(spark, m.schema, scoped, m.partCols)
@@ -1283,7 +1299,7 @@ final class SnapshotStore(root: String) {
       }
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = statsParts(statsColumn) match {
-      case Seq() => paths.map(FileEntry(_, None, None))
+      case Seq() => paths.map(p => FileEntry(p, None, None, bytes = stagedBytes(p)))
       case cols =>
         cols.foreach(c => require(!partitionBy.contains(c),
           s"SnapshotStore.convertInPlace: stats column '$c' cannot be a partition column"))
@@ -1306,12 +1322,56 @@ final class SnapshotStore(root: String) {
     * racing the restore fails it loudly (restoring over a state nobody
     * decided on is how rollbacks eat data).
     */
-  def restore(toVersion: Long): Long = {
+  def restore(toVersion: Long): Long = restoreImpl(toVersion, None)
+
+  def restore(spark: SparkSession, toVersion: Long): Long =
+    restoreImpl(toVersion, Some(spark))
+
+  /** CHECK constraints are INHERITED across every commit shape —
+    * including this one — so a restore must prove the OLD version's
+    * rows still satisfy the CURRENT constraint set (bad rows at v1,
+    * cleaned at v2, constraint added at v3: RESTORE TO v1 would
+    * otherwise republish the bad rows under a property that claims
+    * them impossible). One DV-aware validation scan, exactly
+    * [[addConstraint]]'s; a constraint that cannot even RESOLVE
+    * against the restored schema (references a column the old version
+    * lacks) is refused with the drop-it-first recipe. Tables without
+    * constraints keep the zero-scan signature.
+    */
+  private def restoreImpl(toVersion: Long, spark: Option[SparkSession]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val cur = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.restore: no committed versions at $root"))
     require(toVersion != cur,
       s"SnapshotStore.restore: version $toVersion is already current")
     val m = readFullManifest(toVersion) // loud when vacuumed
+    val constraints = readFullManifest(cur).constraints
+    if (constraints.nonEmpty) {
+      val s = spark.getOrElse(throw new IllegalArgumentException(
+        s"SnapshotStore.restore: this table declares CHECK constraints " +
+          s"(${constraints.map(_._1).mkString(", ")}) — pass a SparkSession " +
+          "(restore(spark, v)) so the restored rows can be re-validated"))
+      constraints.foreach { case (name, check) =>
+        val expr = org.apache.spark.sql.GraftExprBridge.column(
+          s.sessionState.sqlParser.parseExpression(check))
+        val violations =
+          try read(s, Some(toVersion))
+            .filter(not(coalesce(expr, lit(true)))).count()
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"SnapshotStore.restore: constraint '$name' CHECK ($check) " +
+                  s"does not resolve against version $toVersion's schema " +
+                  s"(${m.schema.fieldNames.mkString(", ")}) — drop the " +
+                  s"constraint first (${e.getMessage})")
+          }
+        require(violations == 0L,
+          s"SnapshotStore.restore: $violations rows of version $toVersion " +
+            s"violate constraint '$name' CHECK ($check) — restoring would " +
+            "republish data the table property claims impossible; drop the " +
+            "constraint first or restore a different version")
+      }
+    }
     publishEntries(m.entries, m.schema, m.statsColumn,
       partCols = m.partCols, expectedVersion = Some(cur + 1L))
   }
@@ -1616,19 +1676,28 @@ final class SnapshotStore(root: String) {
     * including tombstoned rows is how a reader lies.
     */
   private[graft] def manifestAt(asOfVersion: Option[Long] = None)
-      : (StructType, Option[String],
-         Seq[(String, Option[Long], Option[Long], Boolean,
-           Seq[(String, Long, Long)])], Seq[String]) = {
+      : (StructType, Option[String], Seq[SnapshotStore.EntryInfo], Seq[String]) = {
     val v = asOfVersion.orElse(latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.manifestAt: no committed versions at $root"))
     val m = readFullManifest(v)
     (m.schema, m.statsColumn,
-      m.entries.map(e =>
-        (rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty,
-          e.extra)),
+      m.entries.map(e => SnapshotStore.EntryInfo(
+        rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty,
+        e.extra, e.bytes)),
       m.partCols)
   }
+
+  /** Byte size of a format-layer entry: the manifest's recorded size
+    * when present, a counted `stat(2)` fallback otherwise — the same
+    * contract as [[entryBytes]] for absolute-path consumers.
+    */
+  private[graft] def infoBytes(info: SnapshotStore.EntryInfo): Long =
+    info.bytes.getOrElse {
+      onFileStat(info.absPath)
+      val p = Paths.get(info.absPath)
+      if (Files.isRegularFile(p)) Files.size(p) else 0L
+    }
 
   /** Partition tuple of an ABSOLUTE data-file path (format-layer use):
     * decoded `col=value` strings in partition-column order.
@@ -1983,7 +2052,7 @@ final class SnapshotStore(root: String) {
         .toSeq.sorted
     } finally walk.close()
     statsParts(statsColumn) match {
-      case Seq() => paths.map(FileEntry(_, None, None))
+      case Seq() => paths.map(p => FileEntry(p, None, None, bytes = stagedBytes(p)))
       case cols =>
         cols.foreach(c => require(!partCols.contains(c),
           s"SnapshotStore: stats column '$c' cannot be a partition column " +
@@ -2001,7 +2070,7 @@ final class SnapshotStore(root: String) {
   private def stageEntries(df: DataFrame, statsColumn: Option[String]): Seq[FileEntry] = {
     val paths = stage(df)
     statsParts(statsColumn) match {
-      case Seq() => paths.map(FileEntry(_, None, None))
+      case Seq() => paths.map(p => FileEntry(p, None, None, bytes = stagedBytes(p)))
       case cols =>
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
         paths.map(rel => entryWithStats(rel, cols, conf))
@@ -2019,13 +2088,25 @@ final class SnapshotStore(root: String) {
     statsColumn.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Size of a freshly-staged file, recorded INTO its manifest entry —
+    * collected in the same commit-time pass as the footer stats, so
+    * every later metadata consumer (rate-limit byte budget, OPTIMIZE's
+    * default target, DESCRIBE DETAIL, history) reads manifest data
+    * instead of paying one stat/HEAD per file per tick.
+    */
+  private def stagedBytes(rel: String): Option[Long] = {
+    val p = rootPath.resolve(rel)
+    if (Files.isRegularFile(p)) Some(Files.size(p)) else None
+  }
+
   private def entryWithStats(rel: String, cols: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): FileEntry = {
     val stats = footerStatsMulti(
       new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), cols, conf)
     val primary = stats.get(cols.head)
     val extra = cols.tail.flatMap(c => stats.get(c).map(r => (c, r._1, r._2)))
-    FileEntry(rel, primary.map(_._1), primary.map(_._2), Nil, extra)
+    FileEntry(rel, primary.map(_._1), primary.map(_._2), Nil, extra,
+      stagedBytes(rel))
   }
 
   private def footerMinMax(p: org.apache.hadoop.fs.Path, column: String,
@@ -2108,22 +2189,7 @@ final class SnapshotStore(root: String) {
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil) ++
       constraints.map { case (n, e) => s"#constraint\t$n\t$e" }
-    val fileLines = entries.map { e =>
-      // grow-only line grammar: 3 fields (path, min, max) for the common
-      // case, a 4th only when DVs exist, a 5th only when SECONDARY stats
-      // exist ('-' = absent) — so manifests without the newer features
-      // stay byte-compatible with old readers
-      if (e.extra.nonEmpty)
-        s"${e.path}\t${e.min.getOrElse("-")}\t${e.max.getOrElse("-")}\t" +
-          s"${if (e.dv.nonEmpty) e.dv.mkString(",") else "-"}\t" +
-          e.extra.map { case (c, mn, mx) => s"$c=$mn:$mx" }.mkString(",")
-      else if (e.dv.nonEmpty)
-        s"${e.path}\t${e.min.getOrElse("-")}\t${e.max.getOrElse("-")}\t${e.dv.mkString(",")}"
-      else (e.min, e.max) match {
-        case (Some(mn), Some(mx)) => s"${e.path}\t$mn\t$mx"
-        case _ => e.path
-      }
-    }
+    val fileLines = entries.map(fileLine)
     val body = ((Header +: schema.json +: statsLine) ++ fileLines)
       .mkString("\n") + "\n"
     val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
@@ -2146,6 +2212,32 @@ final class SnapshotStore(root: String) {
     Files.deleteIfExists(tmp)
     if (v > cachedLatest) cachedLatest = v // we VERIFIED v exists (we made it)
     v
+  }
+
+  /** One manifest entry line. Grow-only grammar: 3 fields (path, min,
+    * max) for the legacy common case, a 4th when DVs exist, a 5th when
+    * SECONDARY stats exist, a 6th when the file's BYTE SIZE is recorded
+    * ('-' = absent slot) — manifests without the newer features stay
+    * byte-compatible with old readers, and every field after the path
+    * is independently optional.
+    */
+  private def fileLine(e: FileEntry): String = {
+    val width =
+      if (e.bytes.nonEmpty) 6
+      else if (e.extra.nonEmpty) 5
+      else if (e.dv.nonEmpty) 4
+      else if (e.min.nonEmpty && e.max.nonEmpty) 3
+      else 1
+    val fields = Seq(
+      e.path,
+      e.min.map(_.toString).getOrElse("-"),
+      e.max.map(_.toString).getOrElse("-"),
+      if (e.dv.nonEmpty) e.dv.mkString(",") else "-",
+      if (e.extra.nonEmpty)
+        e.extra.map { case (c, mn, mx) => s"$c=$mn:$mx" }.mkString(",")
+      else "-",
+      e.bytes.map(_.toString).getOrElse("-"))
+    fields.take(width).mkString("\t")
   }
 
   private def readManifest(v: Long): (StructType, Option[String], Seq[FileEntry]) = {
@@ -2197,6 +2289,12 @@ final class SnapshotStore(root: String) {
         s"SnapshotStore: malformed #constraint line '${l.take(120)}'")
       (parts(0), parts(1))
     }
+    val entries = rest.dropWhile(_.startsWith("#")).map(parseFileLine)
+    Manifest(schema, statsCol, txn, rewrite, entries, ts, partCols, constraints)
+  }
+
+  /** Parse one entry line of the grow-only grammar (see [[fileLine]]). */
+  private def parseFileLine(line: String): FileEntry = {
     def stat(s: String) = if (s == "-") None else Some(s.toLong)
     def dvsOf(s: String) = if (s == "-") Nil else s.split(",").toSeq.filter(_.nonEmpty)
     def extraOf(s: String): Seq[(String, Long, Long)] =
@@ -2208,19 +2306,19 @@ final class SnapshotStore(root: String) {
         (kv.substring(0, eq), kv.substring(eq + 1, colon).toLong,
           kv.substring(colon + 1).toLong)
       }
-    val entries = rest.dropWhile(_.startsWith("#")).map { line =>
-      line.split("\t", -1) match {
-        case Array(path, mn, mx) => FileEntry(path, Some(mn.toLong), Some(mx.toLong))
-        case Array(path, mn, mx, dvs) =>
-          FileEntry(path, stat(mn), stat(mx), dvsOf(dvs))
-        case Array(path, mn, mx, dvs, extra) =>
-          FileEntry(path, stat(mn), stat(mx), dvsOf(dvs), extraOf(extra))
-        case Array(path) => FileEntry(path, None, None)
-        case _ => throw new IllegalArgumentException(
-          s"SnapshotStore: malformed manifest line '${line.take(120)}'")
-      }
+    line.split("\t", -1) match {
+      case Array(path, mn, mx) => FileEntry(path, stat(mn), stat(mx))
+      case Array(path, mn, mx, dvs) =>
+        FileEntry(path, stat(mn), stat(mx), dvsOf(dvs))
+      case Array(path, mn, mx, dvs, extra) =>
+        FileEntry(path, stat(mn), stat(mx), dvsOf(dvs), extraOf(extra))
+      case Array(path, mn, mx, dvs, extra, bytes) =>
+        FileEntry(path, stat(mn), stat(mx), dvsOf(dvs), extraOf(extra),
+          stat(bytes))
+      case Array(path) => FileEntry(path, None, None)
+      case _ => throw new IllegalArgumentException(
+        s"SnapshotStore: malformed manifest line '${line.take(120)}'")
     }
-    Manifest(schema, statsCol, txn, rewrite, entries, ts, partCols, constraints)
   }
 
   /** Commit instant of version `v`: the `#ts` embedded in the manifest
@@ -2252,6 +2350,15 @@ object SnapshotStore {
 
   /** Hive's sentinel directory name for a NULL partition value. */
   val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Format-layer view of one manifest entry: absolute data-file path,
+    * primary stats interval, live-DV flag, secondary stats, and the
+    * commit-time byte size (None on pre-size manifests — consumers fall
+    * back through [[SnapshotStore.infoBytes]]'s counted stat).
+    */
+  private[graft] final case class EntryInfo(absPath: String,
+      min: Option[Long], max: Option[Long], hasDv: Boolean,
+      extra: Seq[(String, Long, Long)], bytes: Option[Long])
 
   /** One WHEN clause of a general MERGE ([[SnapshotStore.mergeClauses]]).
     * Conditions and set/insert values are opaque [[org.apache.spark.sql.Column]]s

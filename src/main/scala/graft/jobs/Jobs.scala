@@ -282,10 +282,7 @@ object CompactJob {
     if (conf.get("snapshot").contains("on")) {
       val store = new graft.etl.SnapshotStore(src)
       val (_, _, entries, _) = store.manifestAt()
-      val bytes = entries.map { case (p, _, _, _, _) =>
-        val f = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L
-      }.sum
+      val bytes = entries.map(store.infoBytes).sum
       val parts = math.max(1L, (bytes + targetBytes0 - 1) / targetBytes0).toInt
       val zorder = conf.get("zorder-by")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -48,7 +48,7 @@ final class SnapshotFileIndex(
   // file scan — it would silently include merge-on-read-tombstoned
   // rows. Loud refusal with the two recovery paths; a compaction
   // materializes the deletes and restores format/SQL readability.
-  require(!entries.exists(_._4),
+  require(!entries.exists(_.hasDv),
     s"graft-snapshot: this version has live merge-on-read deletion " +
       "vectors, which a plain file scan cannot apply — run " +
       "compactLatest(...) to materialize the deletes, or read through " +
@@ -63,12 +63,20 @@ final class SnapshotFileIndex(
   private val statuses: Seq[(FileStatus, Map[String, (Long, Long)])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val primary = statsColumn.map(_.split(",").head.trim)
-    entries.map { case (p, mn, mx, _, extra) =>
-      val hp = new Path(p)
+    entries.map { e =>
+      val hp = new Path(e.absPath)
       val stats = primary.flatMap(c =>
-        mn.zip(mx).map(r => c -> r)).toMap ++
-        extra.map { case (c, a, b) => c -> (a, b) }.toMap
-      (hp.getFileSystem(conf).getFileStatus(hp), stats)
+        e.min.zip(e.max).map(r => c -> r)).toMap ++
+        e.extra.map { case (c, a, b) => c -> (a, b) }.toMap
+      // entries with a manifest-recorded size skip the per-file listing
+      // round trip entirely — the FileStatus is synthesized from
+      // manifest metadata (the only fields the scan planner reads are
+      // path and length); pre-size manifests keep the listing fallback
+      val status = e.bytes match {
+        case Some(len) => new FileStatus(len, false, 1, 128L << 20, 0L, hp)
+        case None => hp.getFileSystem(conf).getFileStatus(hp)
+      }
+      (status, stats)
     }
   }
 

@@ -48,11 +48,9 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       DescribeHistoryCommand(target.trim)
     case DescDetailRe(target) =>
       DescribeDetailCommand(target.trim)
-    case OptimizeRe(target, where, zorder, files, smallerMb) =>
-      val z = Option(zorder).map(_.split(",").map(stripIdent).toSeq).getOrElse(Nil)
-      OptimizeSnapshotCommand(target.trim, z, Option(files).map(_.toInt),
-        Option(where).map(_.trim),
-        Option(smallerMb).map(_.toLong * (1L << 20)))
+    case OptimizeHeadRe(target, tail) =>
+      val (where, z, files, smallerBytes) = parseOptimizeTail(tail)
+      OptimizeSnapshotCommand(target.trim, z, files, where, smallerBytes)
     case VacuumRe(target, keep) =>
       VacuumSnapshotCommand(target.trim, keep.toInt)
     case VacuumBareRe(target) =>
@@ -116,12 +114,8 @@ object SnapshotSqlParser {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
   private[streaming] val DescDetailRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
-  private[streaming] val OptimizeRe =
-    (s"""(?is)\\s*OPTIMIZE\\s+$T""" +
-      """(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?""" +
-      """(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
-      """(?:\s+SMALLER\s+THAN\s+(\d+)\s*MB)?\s*;?\s*""").r
+  private[streaming] val OptimizeHeadRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$T((?s).*)""".r
   private[streaming] val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private[streaming] val VacuumBareRe =
@@ -144,6 +138,102 @@ object SnapshotSqlParser {
 
   private def stripIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Mask the contents of single/double-quoted strings and backticked
+    * identifiers with NUL bytes (same length, so indices map 1:1 onto
+    * the original text). Doubled quotes inside a string are the SQL
+    * escape and stay inside it. Clause-keyword recognition runs on the
+    * MASKED text, so a predicate containing the literal string
+    * 'ZORDER BY' (or `TARGET`, `WHERE`...) can never mis-split an
+    * OPTIMIZE statement — the nit a bare regex-over-SQL grammar has.
+    */
+  private[streaming] def maskQuoted(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q == 0) {
+        sb.append(c)
+        if (c == '\'' || c == '"' || c == '`') q = c
+      } else if (c == q) {
+        if (c != '`' && i + 1 < s.length && s.charAt(i + 1) == q) {
+          sb.append(' ').append(' '); i += 1 // escaped quote
+        } else { sb.append(c); q = 0 }
+      } else sb.append(' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val OptWhereKw = """(?i)\bWHERE\b""".r
+  private val OptZorderKw = """(?i)\bZORDER\s+BY\b""".r
+  private val OptTargetKw = """(?i)\bTARGET\s+(\d+)\s+FILES\b""".r
+  private val OptSmallerKw = """(?i)\bSMALLER\s+THAN\s+(\d+)\s*MB\b""".r
+
+  /** Quote-aware clause split of everything after `OPTIMIZE <target>`:
+    * keyword positions are found on the masked text, clause BODIES are
+    * sliced from the original. Clauses may appear in any order, at most
+    * once each; unparseable leftovers are refused loudly (OPTIMIZE is
+    * this parser's own grammar — falling through to Spark would only
+    * produce a less useful error).
+    */
+  private[streaming] def parseOptimizeTail(tail0: String)
+      : (Option[String], Seq[String], Option[Int], Option[Long]) = {
+    val tail = tail0.replaceAll("(?s)\\s*;?\\s*$", "")
+    if (tail.trim.isEmpty) return (None, Nil, None, None)
+    val masked = maskQuoted(tail)
+    final case class Kw(name: String, start: Int, bodyStart: Int,
+        num: Option[String])
+    val hits = (
+      OptWhereKw.findAllMatchIn(masked).map(m =>
+        Kw("WHERE", m.start, m.end, None)) ++
+      OptZorderKw.findAllMatchIn(masked).map(m =>
+        Kw("ZORDER", m.start, m.end, None)) ++
+      OptTargetKw.findAllMatchIn(masked).map(m =>
+        Kw("TARGET", m.start, m.end, Some(m.group(1)))) ++
+      OptSmallerKw.findAllMatchIn(masked).map(m =>
+        Kw("SMALLER", m.start, m.end, Some(m.group(1))))
+    ).toSeq.sortBy(_.start)
+    require(hits.nonEmpty && tail.substring(0, hits.head.start).trim.isEmpty,
+      s"OPTIMIZE: cannot parse clause text '${tail.trim.take(80)}' — " +
+        "expected [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES] " +
+        "[SMALLER THAN n MB]")
+    val dup = hits.groupBy(_.name).collectFirst { case (n, hs) if hs.length > 1 => n }
+    // a WHERE body legitimately swallows later keyword hits only when
+    // they sit inside it — handled below by slicing to the NEXT hit;
+    // two top-level spellings of one clause are a user error
+    require(dup.isEmpty, s"OPTIMIZE: duplicate ${dup.get} clause")
+    var where: Option[String] = None
+    var zorder: Seq[String] = Nil
+    var files: Option[Int] = None
+    var smaller: Option[Long] = None
+    hits.zipWithIndex.foreach { case (kw, i) =>
+      val end = if (i + 1 < hits.length) hits(i + 1).start else tail.length
+      val body = tail.substring(kw.bodyStart, end).trim
+      kw.name match {
+        case "WHERE" =>
+          require(body.nonEmpty, "OPTIMIZE ... WHERE: empty predicate")
+          where = Some(body)
+        case "ZORDER" =>
+          val ZCols = """(?s)\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?""".r
+          body match {
+            case ZCols(cols) => zorder = cols.split(",").map(stripIdent).toSeq
+            case _ => throw new IllegalArgumentException(
+              s"OPTIMIZE ... ZORDER BY: cannot parse column list '$body'")
+          }
+        case "TARGET" =>
+          require(body.isEmpty,
+            s"OPTIMIZE: unexpected text after TARGET n FILES: '$body'")
+          files = Some(kw.num.get.toInt)
+        case "SMALLER" =>
+          require(body.isEmpty,
+            s"OPTIMIZE: unexpected text after SMALLER THAN n MB: '$body'")
+          smaller = Some(kw.num.get.toLong * (1L << 20))
+      }
+    }
+    (where, zorder, files, smaller)
+  }
 
   /** Resolve an ops-statement target to its store: a quoted path makes
     * the store directly; an identifier resolves through the catalog and
@@ -196,12 +286,24 @@ object SnapshotSqlParser {
     val t = target.trim
     if ((t.startsWith("'") && t.endsWith("'")) ||
         (t.startsWith("\"") && t.endsWith("\""))) true
-    else scala.util.Try {
+    else try {
       session.table(stripIdent(t)).queryExecution.analyzed.collectFirst {
         case LogicalRelation(rel, _, _, _, _)
             if SnapshotTargetInfo.of(rel).isDefined => ()
       }.isDefined
-    }.getOrElse(false)
+    } catch {
+      // ONLY "no such table/view" means "not ours — take the delegate's
+      // fallback". Any other resolution failure (e.g. the provider's
+      // loud catalog/manifest schema-divergence refusal) must
+      // propagate: swallowing it would route an ALTER to Spark's
+      // catalog-only path, widening the catalog schema WITHOUT a
+      // manifest commit and deepening the very divergence that threw.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            (e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+             e.getCondition.contains("UNRESOLVED_RELATION")) => false
+      case _: org.apache.spark.sql.catalyst.parser.ParseException => false
+    }
   }
 
   /** A catalog-backed table stores its schema in the metastore, and the
@@ -223,14 +325,13 @@ object SnapshotSqlParser {
     session.catalog.refreshTable(name)
   }
 
-  /** Byte total of the LATEST version's files — O(files) FileStatus
-    * lookups, never the O(versions × files) history walk.
+  /** Byte total of the LATEST version's files — manifest metadata only
+    * (commit-time recorded sizes; counted stat fallback for pre-size
+    * manifests), never the O(versions × files) history walk and never
+    * an O(files) HEAD storm.
     */
   private[streaming] def latestBytes(store: SnapshotStore): Long =
-    store.manifestAt()._3.map { e =>
-      val p = java.nio.file.Paths.get(e._1)
-      if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p) else 0L
-    }.sum
+    store.manifestAt()._3.map(store.infoBytes).sum
 
   private def attr(name: String, dt: org.apache.spark.sql.types.DataType) =
     AttributeReference(name, dt, nullable = true)()
@@ -381,14 +482,19 @@ final case class RestoreSnapshotCommand(target: String,
     val (store, name) = SnapshotSqlParser.resolveStore(session, target)
     val v = toVersion.getOrElse {
       val s = toTimestamp.get
+      // Spark convention: a zone-less timestamp literal resolves in the
+      // SESSION timezone, not hardcoded UTC — a non-UTC session must
+      // not restore to a version offset by the UTC delta
+      val zone = java.time.ZoneId.of(
+        session.sessionState.conf.sessionLocalTimeZone)
       val inst = try java.time.Instant.parse(s) catch {
         case _: java.time.format.DateTimeParseException =>
           java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC)
+            .atZone(zone).toInstant
       }
       store.versionAt(inst)
     }
-    val nv = store.restore(v)
+    val nv = store.restore(session, v)
     // a restore across a schema evolution changes the live schema
     name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
     Seq(Row(v, nv))

@@ -94,11 +94,16 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     val store = storeFor(parameters)
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     val byTime = parameters.get("timestampAsOf").map { s =>
-      // ISO-8601 instant, or the oracle-canonical 'yyyy-MM-dd HH:mm:ss' (UTC)
+      // ISO-8601 instant (zone carried in the literal), or a zone-less
+      // 'yyyy-MM-dd HH:mm:ss' resolved in the SESSION timezone — the
+      // Spark convention for timestamp literals (UTC sessions, the
+      // oracle configuration, behave exactly as before)
+      val zone = java.time.ZoneId.of(
+        sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone)
       val inst = try java.time.Instant.parse(s) catch {
         case _: java.time.format.DateTimeParseException =>
           java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC)
+            .atZone(zone).toInstant
       }
       store.versionAt(inst)
     }
@@ -110,7 +115,7 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     // through a plain file scan — fall back to the DV-applying
     // TableScan relation (correct rows, no planning-time skipping)
     // until compaction materializes the tombstones
-    if (store.manifestAt(asOf)._3.exists(_._4))
+    if (store.manifestAt(asOf)._3.exists(_.hasDv))
       return new SnapshotDvRelation(spark, store, asOf)
     val index = new SnapshotFileIndex(spark, store, asOf)
     HadoopFsRelation(
@@ -343,9 +348,18 @@ final class SnapshotStreamSink(
       require(missing.isEmpty,
         s"graft-snapshot sink(applyChangeFeed): batch lacks table columns " +
           missing.mkString(", "))
-      val ver =
-        if (have.contains("_commit_version")) col("_commit_version")
-        else lit(0L)
+      // ORDERING AUTHORITY: without _commit_version every change in the
+      // batch would collapse into one pseudo-commit where insert always
+      // beats delete — a foreign feed carrying insert-then-delete for a
+      // key would make the replica KEEP a row the source deleted.
+      // readChangeFeed always carries the column; a feed that lacks it
+      // has no defined order and is refused loudly.
+      require(have.contains("_commit_version"),
+        "graft-snapshot sink(applyChangeFeed): batch lacks _commit_version " +
+          "— change ordering is undefined without it (an insert-then-delete " +
+          "key would resolve to the insert); read the upstream with " +
+          "option(\"readChangeFeed\", \"true\"), which carries it")
+      val ver = col("_commit_version")
       val w = Window.partitionBy(mergeKeys.map(col): _*)
         .orderBy(desc("__ver"),
           when(col("_change_type") === "insert", lit(0)).otherwise(lit(1)))
@@ -482,9 +496,11 @@ final class SnapshotStreamSource(
   }
 
   /** Total bytes of the files version `v` ADDED over its predecessor —
-    * manifest metadata + file-status only, no data IO. Conservative for
-    * rewrite versions (their bytes count against the budget though they
-    * emit no rows — batches only ever get smaller).
+    * manifest metadata ONLY (sizes are recorded at commit time; the
+    * stat fallback fires only for pre-size manifests), no data IO and
+    * no per-file HEAD storm per trigger tick. Conservative for rewrite
+    * versions (their bytes count against the budget though they emit no
+    * rows — batches only ever get smaller).
     */
   private def addedBytes(v: Long): Long = {
     // a vacuumed version inside the pending range: contribute nothing
@@ -495,11 +511,9 @@ final class SnapshotStreamSource(
     val cur = store.manifestAt(Some(v))._3
     val prevPaths: Set[String] =
       if (!store.versions.contains(v - 1)) Set.empty
-      else store.manifestAt(Some(v - 1))._3.map(_._1).toSet
-    cur.filterNot(e => prevPaths.contains(e._1)).map { e =>
-      val p = java.nio.file.Paths.get(e._1)
-      if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p) else 0L
-    }.sum
+      else store.manifestAt(Some(v - 1))._3.map(_.absPath).toSet
+    cur.filterNot(e => prevPaths.contains(e.absPath))
+      .map(store.infoBytes).sum
   }
 
   override def schema: StructType =

@@ -800,17 +800,18 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark).orderBy("id").collect().toSeq == rows)
     // the feed still skips the rewrite version
     assert(store.readChanges(spark, cv - 1, Some(cv)).isEmpty)
-    // an unpartitioned table refuses a scope; a no-match scope is loud
+    // an unpartitioned table refuses a scope (misuse, loud); a no-match
+    // scope is the steady state of SCHEDULED maintenance — an honest
+    // no-op: current version returned, nothing published
     val flat = new SnapshotStore(tmp())
     flat.commitOverwrite((1L to 10L).map(i => (i, i)).toDF("a", "b"))
     val e1 = intercept[IllegalArgumentException] {
       flat.compactLatest(spark, 1, scope = Some($"a" === 1L))
     }
     assert(e1.getMessage.contains("unpartitioned"))
-    val e2 = intercept[IllegalArgumentException] {
-      store.compactLatest(spark, 1, scope = Some($"day" === "nope"))
-    }
-    assert(e2.getMessage.contains("matched no partition"))
+    val vNoop = store.latestVersion.get
+    assert(store.compactLatest(spark, 1, scope = Some($"day" === "nope")) == vNoop)
+    assert(store.latestVersion.contains(vNoop), "no-op must publish nothing")
   }
 
   test("small-file compaction: SMALLER THAN rewrites only under-sized files; DV'd files always settle") {
@@ -850,11 +851,13 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the DV'd big file must be rewritten (tombstones materialized)")
     assert(m2.entries.forall(_.dv.isEmpty))
     assert(store.read(spark).count() == rows.length - 1L)
-    // nothing under the threshold and no DVs: loud, not a silent no-op
-    val e = intercept[IllegalArgumentException] {
-      store.compactLatest(spark, 1, onlySmallerThanBytes = Some(1L))
-    }
-    assert(e.getMessage.contains("nothing to compact"))
+    // nothing under the threshold and no DVs: the INTENDED steady state
+    // of a scheduled OPTIMIZE cadence — an honest no-op (current
+    // version returned, no commit), never an error every maintenance
+    // run after the first would trip over
+    val before = store.latestVersion.get
+    assert(store.compactLatest(spark, 1, onlySmallerThanBytes = Some(1L)) == before)
+    assert(store.latestVersion.contains(before), "no-op must publish nothing")
   }
 
   test("latest-version cache never serves a stale version to a publisher: foreign commits seen via forward probe") {
@@ -1297,6 +1300,76 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inMemory = Merge.snapshotDiff(base, cur, Seq("k"))
       .orderBy("k").collect().toSeq
     assert(fromStore == inMemory && fromStore.nonEmpty)
+  }
+
+  test("RESTORE re-validates inherited CHECK constraints against the restored rows") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // v0: bad rows (negative amounts); v1: cleaned; v2: constraint added
+    store.commitOverwrite(Seq((1L, -5.0), (2L, 3.0)).toDF("id", "amt"))
+    store.commitOverwrite(Seq((1L, 5.0), (2L, 3.0)).toDF("id", "amt"))
+    store.addConstraint(spark, "amt_pos", "amt >= 0")
+    // restoring v0 would republish rows the table property claims
+    // impossible — refused with the drop-it-first recipe
+    val e = intercept[IllegalArgumentException] { store.restore(spark, 0L) }
+    assert(e.getMessage.contains("violate constraint 'amt_pos'"))
+    assert(store.latestVersion.contains(2L), "refused restore published nothing")
+    // a satisfying historical version restores fine (v1)
+    val rv = store.restore(spark, 1L)
+    assert(rv == 3L && store.read(spark).count() == 2L)
+    // session-less restore on a constraint-carrying table is refused
+    // (cannot validate), never silently skipped
+    val e2 = intercept[IllegalArgumentException] { store.restore(1L) }
+    assert(e2.getMessage.contains("SparkSession"))
+    // a constraint referencing a column the restored schema LACKS cannot
+    // even resolve: refused loudly, with the constraint named
+    val store2 = new SnapshotStore(tmp())
+    store2.commitOverwrite(Seq((1L, 1.0)).toDF("id", "amt"))
+    store2.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType))))
+    store2.addConstraint(spark, "flag_ok", "flag IS NULL OR flag >= 0")
+    val e3 = intercept[IllegalArgumentException] { store2.restore(spark, 0L) }
+    assert(e3.getMessage.contains("does not resolve"))
+  }
+
+  test("file sizes are manifest metadata: commit records them; metadata consumers run zero stat(2) calls") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(3), statsColumn = Some("id"))
+    store.commitAppend(Seq((1001L, "t")).toDF("id", "v").coalesce(1))
+    val m = store.readFullManifest(store.latestVersion.get)
+    assert(m.entries.nonEmpty && m.entries.forall(_.bytes.nonEmpty),
+      "every staged entry must carry its commit-time size")
+    m.entries.foreach { e =>
+      assert(e.bytes.contains(
+        Files.size(Paths.get(root).resolve(e.path))),
+        s"recorded size must equal the file's real size for ${e.path}")
+    }
+    // sizes must ROUND-TRIP through compaction too
+    val cv = store.compactLatest(spark, targetFiles = 2)
+    assert(store.readFullManifest(cv).entries.forall(_.bytes.nonEmpty))
+    // with sizes in the manifest, the metadata consumers (history,
+    // small-file OPTIMIZE selection) never stat a data file
+    store.onFileStat = p => fail(s"unexpected stat(2) fallback for $p")
+    try {
+      assert(store.history(spark).count() >= 3L)
+      val before = store.latestVersion.get
+      store.compactLatest(spark, 1, onlySmallerThanBytes = Some(1L)) // no-op path
+      assert(store.latestVersion.contains(before))
+    } finally store.onFileStat = _ => ()
+    // a legacy manifest entry WITHOUT a size falls back to one counted stat
+    val legacy = new SnapshotStore(tmp())
+    val staged = legacy.stage(Seq((1L, "x")).toDF("id", "v"))
+    legacy.publish(staged, Seq((1L, "x")).toDF("id", "v").schema) // bare paths: no sizes
+    var stats = 0
+    legacy.onFileStat = _ => stats += 1
+    try {
+      legacy.history(spark).collect()
+      assert(stats == staged.length, "pre-size manifests pay exactly one stat per file")
+    } finally legacy.onFileStat = _ => ()
   }
 
   test("SnapshotSink drives processTable: append lands as a new version atop history") {

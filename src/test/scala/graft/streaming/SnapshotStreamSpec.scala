@@ -1347,6 +1347,93 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("inverted"))
   }
 
+  test("OPTIMIZE clause split is quote-aware: a predicate containing 'ZORDER BY' as a string literal cannot mis-split") {
+    // unit surface: the tokenizer itself
+    assert(SnapshotSqlParser.parseOptimizeTail(
+      " WHERE note = 'use ZORDER BY id' TARGET 2 FILES") ==
+      (Some("note = 'use ZORDER BY id'"), Nil, Some(2), None))
+    assert(SnapshotSqlParser.parseOptimizeTail(
+      " WHERE day = 'TARGET 9 FILES' SMALLER THAN 3 MB;") ==
+      (Some("day = 'TARGET 9 FILES'"), Nil, None, Some(3L << 20)))
+    assert(SnapshotSqlParser.parseOptimizeTail(
+      " ZORDER BY (a, `b`) TARGET 4 FILES") ==
+      (None, Seq("a", "b"), Some(4), None))
+    assert(SnapshotSqlParser.parseOptimizeTail("") == (None, Nil, None, None))
+    // doubled-quote SQL escape stays inside the string
+    assert(SnapshotSqlParser.parseOptimizeTail(
+      " WHERE note = 'it''s ZORDER BY o''clock'") ==
+      (Some("note = 'it''s ZORDER BY o''clock'"), Nil, None, None))
+    // garbage is loud, not silently dropped
+    val eBad = intercept[IllegalArgumentException] {
+      SnapshotSqlParser.parseOptimizeTail(" FROBNICATE 3")
+    }
+    assert(eBad.getMessage.contains("cannot parse clause text"))
+    // end-to-end: the scoped rewrite reaches exactly the partition whose
+    // VALUE contains the keyword text
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(
+      Seq((1L, "use ZORDER BY id"), (2L, "plain")).toDF("id", "note"),
+      partitionBy = Seq("note"))
+    store.commitAppend(Seq((3L, "use ZORDER BY id")).toDF("id", "note"))
+    val rows = store.read(spark).orderBy("id").collect().toSeq
+    spark.sql(s"OPTIMIZE '$root' WHERE note = 'use ZORDER BY id' TARGET 1 FILES")
+    val m = store.readFullManifest(store.latestVersion.get)
+    assert(m.rewrite, "the scoped OPTIMIZE must have committed a rewrite")
+    assert(store.read(spark).orderBy("id").collect().toSeq == rows)
+    assert(m.entries.count(_.path.contains("note=plain")) == 1,
+      "the untouched partition keeps its single original file")
+  }
+
+  test("applyChangeFeed sink refuses a change batch without _commit_version (ordering undefined)") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    val sink = new SnapshotStreamSink(store, org.apache.spark.sql.streaming.OutputMode.Append(),
+      None, false, "t", Nil, mergeKeys = Seq("id"), mergeOnRead = false,
+      applyChangeFeed = true)
+    // insert-then-delete for one key with no version column: the final
+    // state is undefined — refused loudly instead of keeping the insert
+    val batch = Seq((2L, "x", "insert"), (2L, "x", "delete"))
+      .toDF("id", "v", "_change_type")
+    val e = intercept[IllegalArgumentException] { sink.addBatch(0L, batch) }
+    assert(e.getMessage.contains("_commit_version"))
+    assert(store.latestVersion.contains(0L), "refusal must commit nothing")
+  }
+
+  test("RESTORE TO TIMESTAMP resolves zone-less literals in the SESSION timezone") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(Seq((1L, "v0")).toDF("id", "v"))
+    store.commitAppend(Seq((2L, "v1")).toDF("id", "v"))
+    store.commitAppend(Seq((3L, "v2")).toDF("id", "v"))
+    // pin the commit instants by rewriting the #ts headers (manifests
+    // are plain text; the instant is log data, not filesystem state)
+    def setTs(v: Long, iso: String): Unit = {
+      val p = java.nio.file.Paths.get(root, "manifests", f"v$v%012d.manifest")
+      val body = new String(java.nio.file.Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.map(l => if (l.startsWith("#ts\t"))
+          s"#ts\t${java.time.Instant.parse(iso).toEpochMilli}" else l)
+        .mkString("\n") + "\n"
+      java.nio.file.Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    }
+    setTs(0L, "2026-01-01T00:00:00Z")
+    setTs(1L, "2026-01-02T00:00:00Z")
+    setTs(2L, "2026-01-03T00:00:00Z")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // 2026-01-02 08:59 Tokyo = 2026-01-01 23:59 UTC -> version 0;
+      // hardcoded-UTC parsing would have resolved version 1
+      spark.sql(s"RESTORE '$root' TO TIMESTAMP AS OF '2026-01-02 08:59:00'")
+      assert(store.read(spark).count() == 1L, "restored to v0 (session-tz resolution)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
