@@ -140,7 +140,7 @@ object SnapshotSqlParser {
     s.trim.stripPrefix("`").stripSuffix("`")
 
   /** Mask the contents of single/double-quoted strings and backticked
-    * identifiers with NUL bytes (same length, so indices map 1:1 onto
+    * identifiers with spaces (same length, so indices map 1:1 onto
     * the original text). Doubled quotes inside a string are the SQL
     * escape and stay inside it. Clause-keyword recognition runs on the
     * MASKED text, so a predicate containing the literal string
@@ -158,9 +158,9 @@ object SnapshotSqlParser {
         if (c == '\'' || c == '"' || c == '`') q = c
       } else if (c == q) {
         if (c != '`' && i + 1 < s.length && s.charAt(i + 1) == q) {
-          sb.append(' ').append(' '); i += 1 // escaped quote
+          sb.append(' ').append(' '); i += 1 // escaped quote
         } else { sb.append(c); q = 0 }
-      } else sb.append(' ')
+      } else sb.append(' ')
       i += 1
     }
     sb.toString
