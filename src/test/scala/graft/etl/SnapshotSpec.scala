@@ -1372,6 +1372,148 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally legacy.onFileStat = _ => ()
   }
 
+  test("log-structured manifests: a 1-row append writes O(1) manifest bytes; checkpoints on cadence; chains reconstruct") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    def manifestBytes(v: Long): Long =
+      Files.size(Paths.get(root, "manifests", f"v$v%012d.manifest"))
+    // v0: a 64-file table (the checkpoint) — its manifest is O(files)
+    store.commitOverwrite((1L to 6400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(64), statsColumn = Some("id"))
+    val checkpointBytes = manifestBytes(0L)
+    // appends are DELTAS: size independent of the table's 64 files
+    val v1 = store.commitAppend(Seq((9001L, "x")).toDF("id", "v").coalesce(1))
+    assert(v1 == 1L)
+    assert(manifestBytes(1L) < checkpointBytes / 8,
+      s"a 1-row append wrote ${manifestBytes(1L)} bytes against a " +
+        s"$checkpointBytes-byte checkpoint — not O(increment)")
+    // the delta carries everything a version needs: reads, stats, schema
+    assert(store.read(spark).count() == 6401L)
+    assert(store.readFullManifest(1L).entries.length == 65)
+    // cadence: shrink the interval so the spec can see a checkpoint land
+    store.checkpointInterval = 4
+    (2 to 4).foreach(k => store.commitAppend(
+      Seq((9000L + k, s"x$k")).toDF("id", "v").coalesce(1)))
+    assert(store.readHeader(2L).isDelta && store.readHeader(3L).isDelta)
+    assert(!store.readHeader(4L).isDelta,
+      "version 4 must be a full checkpoint at interval 4")
+    assert(manifestBytes(4L) > manifestBytes(3L) * 4)
+    // a FRESH store instance (empty memo, a second process) reconstructs
+    // any version from checkpoint + tail alone
+    val other = new SnapshotStore(root)
+    assert(other.read(spark, Some(3L)).count() == 6403L)
+    assert(other.readFullManifest(3L).entries.map(_.path).toSet ==
+      store.readFullManifest(3L).entries.map(_.path).toSet)
+    // row-level DML records a DV change as a tiny remove+add delta
+    store.deleteWhere(spark, $"id" === 17L, mergeOnRead = true)
+    val vDel = store.latestVersion.get
+    assert(store.readHeader(vDel).isDelta)
+    assert(manifestBytes(vDel) < checkpointBytes / 8,
+      "a MoR delete must publish O(touched files) records, not the table")
+    assert(store.read(spark).count() == 6403L)
+    // an overwrite's delta would be BIGGER than the full list: it
+    // publishes a checkpoint regardless of cadence
+    store.commitOverwrite(Seq((1L, "z")).toDF("id", "v"))
+    assert(!store.readHeader(store.latestVersion.get).isDelta)
+    // vacuum materializes the oldest KEPT version as a checkpoint so
+    // dropping its predecessors never strands an unreadable delta chain
+    val root2 = tmp()
+    val store2 = new SnapshotStore(root2)
+    store2.checkpointInterval = 100 // keep everything a delta after v0
+    store2.commitOverwrite(frame(1 to 4, "base"))
+    (1 to 5).foreach(k => store2.commitAppend(frame(k * 10 to k * 10, s"a$k")))
+    assert(store2.readHeader(3L).isDelta)
+    store2.vacuum(keepLast = 3) // keeps v3..v5; v3 was a delta
+    assert(!store2.readHeader(3L).isDelta,
+      "the oldest kept version must be self-contained after vacuum")
+    assert(store2.read(spark, Some(3L)).count() == 7L)
+    // a FRESH instance (no memo) reads the vacuumed store end to end
+    assert(new SnapshotStore(root2).read(spark, Some(5L)).count() == 9L)
+  }
+
+  test("racing row-level DML over disjoint key ranges: both land via rebase; a shared-file racer loses loudly") {
+    import spark.implicits._
+    import java.util.concurrent.{CyclicBarrier, ConcurrentLinkedQueue, TimeUnit}
+    val store = new SnapshotStore(tmp())
+    // two range-clustered files: [1..100], [101..200]
+    store.commitOverwrite((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), statsColumn = Some("id"))
+    def race(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Seq[Throwable] = {
+      val barrier = new CyclicBarrier(2)
+      store.onRowOpStaged = () => { barrier.await(30, TimeUnit.SECONDS); () }
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      def upsert(lo: Long, hi: Long, tag: String) = new Thread(() => {
+        try {
+          val delta = (lo to hi).map(i => (i, s"$tag$i")).toDF("id", "v")
+          store.mergeInto(spark, delta, Seq("id"), mergeOnRead = true)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val a = upsert(aLo, aHi, "a"); val b = upsert(bLo, bHi, "b")
+      a.start(); b.start(); a.join(120000); b.join(120000)
+      store.onRowOpStaged = () => ()
+      import scala.jdk.CollectionConverters._
+      errs.asScala.toSeq
+    }
+    // DISJOINT key ranges (the partition-sharded CDC applier shape):
+    // both must land — the CAS loser rebases over the winner's files
+    val errs1 = race(1L, 10L, 101L, 110L)
+    assert(errs1.isEmpty, s"both disjoint upserts must land: $errs1")
+    assert(store.latestVersion.contains(2L), "exactly one version each")
+    val got = store.read(spark)
+    assert(got.count() == 200L, "exact totals — no duplicate, no loss")
+    assert(got.groupBy($"id").count().filter($"count" > 1L).isEmpty)
+    assert(got.filter($"id" === 5L).head().getString(1) == "a5")
+    assert(got.filter($"id" === 105L).head().getString(1) == "b105")
+    // OVERLAPPING ranges hit the same file: the loser must fail LOUDLY
+    // (its tombstone set is stale), never silently double-apply
+    val errs2 = race(1L, 10L, 5L, 15L)
+    assert(errs2.length == 1, s"exactly one loud loser, got $errs2")
+    assert(errs2.head.isInstanceOf[ConcurrentCommitException])
+    assert(errs2.head.getMessage.contains("re-tombstoned") ||
+      errs2.head.getMessage.contains("removed"))
+    assert(store.read(spark).count() == 200L)
+  }
+
+  test("row-level DML rebases over a racing append outside its key range; an in-range append conflicts loudly") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), statsColumn = Some("id"))
+    // a racer APPENDS far outside the merge's key range between staging
+    // and publish: the merge rebases, both commits land
+    store.onRowOpStaged = () => {
+      store.onRowOpStaged = () => () // once
+      store.commitAppend(Seq((1000L, "r")).toDF("id", "v").coalesce(1))
+    }
+    store.mergeInto(spark, Seq((5L, "m5")).toDF("id", "v"), Seq("id"))
+    assert(store.latestVersion.contains(2L))
+    val rows = store.read(spark)
+    assert(rows.count() == 101L)
+    assert(rows.filter($"id" === 5L).head().getString(1) == "m5")
+    assert(rows.filter($"id" === 1000L).count() == 1L)
+    // a racer appends INSIDE the range: the merge should have read that
+    // file — rebasing could duplicate the key, so it fails loudly
+    store.onRowOpStaged = () => {
+      store.onRowOpStaged = () => ()
+      store.commitAppend(Seq((6L, "r6")).toDF("id", "v").coalesce(1))
+    }
+    val e = intercept[ConcurrentCommitException] {
+      store.mergeInto(spark, Seq((6L, "m6")).toDF("id", "v"), Seq("id"))
+    }
+    store.onRowOpStaged = () => ()
+    assert(e.getMessage.contains("stats range"))
+    // CoW DELETE rebases over an out-of-bounds append the same way
+    store.onRowOpStaged = () => {
+      store.onRowOpStaged = () => ()
+      store.commitAppend(Seq((2000L, "z")).toDF("id", "v").coalesce(1))
+    }
+    store.deleteWhere(spark, $"id" === 7L)
+    store.onRowOpStaged = () => ()
+    assert(store.read(spark).filter($"id" === 7L).isEmpty)
+    assert(store.read(spark).filter($"id" === 2000L).count() == 1L)
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

@@ -1434,6 +1434,50 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("TWO concurrent partition-sharded CDC appliers converge one replica: rebase makes the q292 loop shardable") {
+    import spark.implicits._
+    val srcRoot = tmp(); val dstRoot = tmp()
+    val src = new SnapshotStore(srcRoot)
+    val dst = new SnapshotStore(dstRoot)
+    // source is range-clustered on the key; the replica declares the
+    // same stats column so each applier's commits are range-scoped —
+    // what lets the CAS loser REBASE instead of failing
+    src.commitOverwrite((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id"), statsColumn = Some("id"))
+    dst.commitTruncate(src.tableSchema(), statsColumn = Some("id"))
+    def applier(shard: String, pred: org.apache.spark.sql.Column, cp: String) = {
+      spark.readStream.format("graft-snapshot")
+        .option("path", srcRoot).option("readChangeFeed", "true").load()
+        .filter(pred)
+        .writeStream.format("graft-snapshot")
+        .option("path", dstRoot).option("checkpointLocation", cp)
+        .option("mergeKeys", "id").option("applyChangeFeed", "true")
+        .option("mergeOnRead", "true").option("txnAppId", shard)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val cpA = tmp(); val cpB = tmp()
+    def drainBoth(): Unit = {
+      // started together, so their micro-batch commits RACE on the
+      // replica — the disjoint-range rebase is what lets both land
+      val a = applier("low", $"id" <= 100L, cpA)
+      val b = applier("high", $"id" > 100L, cpB)
+      a.awaitTermination(); b.awaitTermination()
+    }
+    drainBoth()
+    assert(dst.read(spark).orderBy("id").collect().toSeq ==
+      src.read(spark).orderBy("id").collect().toSeq,
+      "replica must converge to the source after the initial sync")
+    // ongoing changes on BOTH shards: updates and a delete per shard
+    src.mergeInto(spark, Seq((5L, "u5"), (105L, "u105")).toDF("id", "v"),
+      Seq("id"), mergeOnRead = true)
+    src.deleteWhere(spark, $"id" === 7L || $"id" === 107L, mergeOnRead = true)
+    drainBoth()
+    assert(dst.read(spark).orderBy("id").collect().toSeq ==
+      src.read(spark).orderBy("id").collect().toSeq,
+      "replica must converge after updates AND deletes on both shards")
+    assert(dst.read(spark).count() == 198L)
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
