@@ -240,13 +240,17 @@ final class SnapshotStore(root: String) {
     */
   def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None,
       txn: Option[(String, Long)] = None, partitionBy: Seq[String] = Nil): Long = {
+    // a full replace starts the physical layout over: the new files
+    // store the frame's own (logical) names, so the mapping resets
     if (partitionBy.isEmpty) {
       val staged = stageEntries(df, statsColumn)
-      publishEntries(staged, df.schema, statsColumn, txn)
+      publishEntries(staged, df.schema, statsColumn, txn,
+        mappingOverride = Some((Map.empty, Nil)))
     } else {
       val schema = normalizePartitionedSchema(df.schema, partitionBy)
       val staged = stagePartitioned(df, partitionBy, statsColumn)
-      publishEntries(staged, schema, statsColumn, txn, partCols = partitionBy)
+      publishEntries(staged, schema, statsColumn, txn, partCols = partitionBy,
+        mappingOverride = Some((Map.empty, Nil)))
     }
   }
 
@@ -268,7 +272,7 @@ final class SnapshotStore(root: String) {
     require(m.partCols.nonEmpty,
       s"SnapshotStore.commitReplacePartitions: version $v is not partitioned")
     requireSameColumns(m.schema, df.schema, v)
-    val staged = stagePartitioned(df, m.partCols, m.statsColumn)
+    val staged = stagePartitioned(df, m.partCols, m.statsColumn, m.colMap)
     val touched = staged.map(e => partitionTupleOf(e.path, m.partCols)).toSet
     val kept = m.entries.filterNot(e =>
       touched.contains(partitionTupleOf(e.path, m.partCols)))
@@ -377,13 +381,16 @@ final class SnapshotStore(root: String) {
     // stats property, partition layout, constraints — never the file
     // list) and publication writes a `+`-only delta. The previous full
     // list is materialized only at checkpoint cadence, amortized 1/K.
-    var staged: Option[(Seq[FileEntry], Option[String], Seq[String])] = None
+    var staged: Option[(Seq[FileEntry], Option[String], Seq[String],
+      Map[String, String])] = None
     var attempt = 0
     while (true) {
       attempt += 1
       try {
-        val (published, effective, parts, expected) = latestVersion match {
-          case None => (df.schema, statsColumn, Seq.empty[String], 0L)
+        val (published, effective, parts, expected, mapping) = latestVersion match {
+          case None =>
+            (df.schema, statsColumn, Seq.empty[String], 0L,
+              (Map.empty[String, String], Seq.empty[String]))
           case Some(v) =>
             val h = readHeader(v)
             val pub =
@@ -400,10 +407,18 @@ final class SnapshotStore(root: String) {
                     s"(pass mergeSchema = true to evolve)")
                 h.schema
               }
-            (pub, effectiveStats(h.statsColumn), h.partCols, v + 1L)
+            // evolution may ADD columns whose names collide with a
+            // RETIRED physical column still present in old files — the
+            // mapping extension assigns them a fresh physical name so
+            // old values can never resurrect under the new column
+            val addedNames = pub.fieldNames.filterNot(
+              h.schema.fieldNames.contains).toSeq
+            val extended = extendMapping(h.colMap, h.retired, h.schema, addedNames)
+            (pub, effectiveStats(h.statsColumn), h.partCols, v + 1L,
+              (extended, h.retired))
         }
         val entries = staged match {
-          case Some((files, col, p)) if p != parts =>
+          case Some((files, col, p, _)) if p != parts =>
             // a racer REPLACED the table with a different partition
             // layout mid-append: our staged files have the wrong
             // directory shape — this is an overwrite conflict, not a
@@ -414,16 +429,24 @@ final class SnapshotStore(root: String) {
                 s"(${p.mkString(",")} -> ${parts.mkString(",")}) while this " +
                 "append was staging; re-run against the new layout",
               retryable = false)
-          case Some((files, col, _)) if col == effective => files
-          case Some((files, _, _)) =>
+          case Some((files, _, _, cm)) if cm != mapping._1 =>
+            // a racer RENAMED/DROPPED a column mid-append: the staged
+            // files carry stale physical names — same non-commutable
+            // shape as a partition-layout change
+            throw new ConcurrentCommitException(
+              "SnapshotStore.commitAppend: the table's column mapping " +
+                "changed while this append was staging; re-run against " +
+                "the new schema", retryable = false)
+          case Some((files, col, _, _)) if col == effective => files
+          case Some((files, _, _, _)) =>
             // A rebase changed the effective stats column (a racer
             // introduced one): our recorded min/max are for the
             // wrong column — strip them, conservative by design.
             files.map(_.copy(min = None, max = None, extra = Nil))
           case None =>
-            val e = if (parts.isEmpty) stageEntries(df, effective)
-                    else stagePartitioned(df, parts, effective)
-            staged = Some((e, effective, parts))
+            val e = if (parts.isEmpty) stageEntries(df, effective, mapping._1)
+                    else stagePartitioned(df, parts, effective, mapping._1)
+            staged = Some((e, effective, parts, mapping._1))
             e
         }
         return {
@@ -431,7 +454,7 @@ final class SnapshotStore(root: String) {
             publishEntries(entries, published, effective, txn,
               partCols = parts, expectedVersion = Some(0L))
           else publishAppend(entries, published, effective, txn, parts,
-            expectedVersion = expected)
+            expectedVersion = expected, mapping = Some(mapping))
         }
       } catch {
         case e: ConcurrentCommitException if !e.retryable => throw e
@@ -564,7 +587,7 @@ final class SnapshotStore(root: String) {
     if (scoped.isEmpty) return v
     val cluster = clusterBy.orElse(
       if (zorderBy.nonEmpty) None else statsParts(m.statsColumn).headOption)
-    val df = scan(spark, m.schema, scoped, m.partCols)
+    val df = scan(spark, m.schema, scoped, m.partCols, m.colMap)
     // Z-ORDER maintenance (Delta's OPTIMIZE ZORDER BY): interleave the
     // named columns' range-bucket bits into one morton key and
     // range-cluster on it — every rewritten file gets a COMPACT range
@@ -581,8 +604,8 @@ final class SnapshotStore(root: String) {
     // partitioned tables re-stage hive-style: targetFiles bounds the
     // files per PARTITION (each partition directory compacts separately)
     val staged =
-      if (m.partCols.isEmpty) stageEntries(laid, m.statsColumn)
-      else stagePartitioned(laid, m.partCols, m.statsColumn)
+      if (m.partCols.isEmpty) stageEntries(laid, m.statsColumn, m.colMap)
+      else stagePartitioned(laid, m.partCols, m.statsColumn, m.colMap)
     // CONFLICT GRANULARITY (the second half of optimistic concurrency —
     // Delta's protocol lets a dataChange=false rewrite commit when the
     // concurrent commits didn't touch the files it rewrote): a
@@ -735,21 +758,21 @@ final class SnapshotStore(root: String) {
           "key tuple — appending both would keep both; dedup the delta " +
           "first (Dedup.latestByKey)")
       val dkeys = delta.select(keys.map(k => col(k).as(s"__d_$k")): _*)
-      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
+      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols, m.colMap)
         .join(dkeys, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
           "left_semi")
       val (dvRel, hitFiles) = writeDvSidecar(spark,
         matchedRows.select(col("__file").as("file"), col("__pos").as("pos")))
       val staged =
-        if (m.partCols.isEmpty) stageEntries(delta, m.statsColumn)
-        else stagePartitioned(delta, m.partCols, m.statsColumn)
+        if (m.partCols.isEmpty) stageEntries(delta, m.statsColumn, m.colMap)
+        else stagePartitioned(delta, m.partCols, m.statsColumn, m.colMap)
       publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, staged, txn,
         conflicts)
     } else {
-      val merged = Merge.upsert(scan(spark, m.schema, touched, m.partCols), delta, keys)
+      val merged = Merge.upsert(scan(spark, m.schema, touched, m.partCols, m.colMap), delta, keys)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
-        else stagePartitioned(merged, m.partCols, m.statsColumn)
+        if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn, m.colMap)
+        else stagePartitioned(merged, m.partCols, m.statsColumn, m.colMap)
       publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, txn,
         conflicts)
     }
@@ -817,7 +840,7 @@ final class SnapshotStore(root: String) {
     val conflicts = keyRangeConflicts(m.statsColumn, pruneCol, deltaRange)
     if (mergeOnRead) {
       val dkeys = changes.select(keys.map(k => col(k).as(s"__d_$k")): _*)
-      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
+      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols, m.colMap)
         .join(dkeys, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
           "left_semi")
       val (dvRel, hitFiles) = writeDvSidecar(spark,
@@ -825,18 +848,18 @@ final class SnapshotStore(root: String) {
       val images = changes.filter(Merge.validatedOp(col(opCol)) === "U")
         .select(m.schema.fieldNames.toSeq.map(col): _*)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(images, m.statsColumn)
-        else stagePartitioned(images, m.partCols, m.statsColumn)
+        if (m.partCols.isEmpty) stageEntries(images, m.statsColumn, m.colMap)
+        else stagePartitioned(images, m.partCols, m.statsColumn, m.colMap)
       publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, staged, txn,
         conflicts)
     } else {
       val shaped = changes.select(
         (m.schema.fieldNames.toSeq :+ opCol).map(col): _*)
       val applied = Merge.applyChangeLog(
-        scan(spark, m.schema, touched, m.partCols), shaped, keys, opCol)
+        scan(spark, m.schema, touched, m.partCols, m.colMap), shaped, keys, opCol)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(applied, m.statsColumn)
-        else stagePartitioned(applied, m.partCols, m.statsColumn)
+        if (m.partCols.isEmpty) stageEntries(applied, m.statsColumn, m.colMap)
+        else stagePartitioned(applied, m.partCols, m.statsColumn, m.colMap)
       publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, txn,
         conflicts)
     }
@@ -966,7 +989,7 @@ final class SnapshotStore(root: String) {
     // conflicts with every added file.
     val conflicts = keyRangeConflicts(m.statsColumn, pruneCol, sourceRange)
     // two-sided join under the prefix namespace
-    val t = scan(spark, m.schema, touched, m.partCols)
+    val t = scan(spark, m.schema, touched, m.partCols, m.colMap)
       .select(m.schema.fieldNames.toSeq.map(n => col(n).as(s"__t_$n")): _*)
       .withColumn("__t_ex", lit(true))
     val s = source
@@ -1029,8 +1052,8 @@ final class SnapshotStore(root: String) {
     }
     val merged = withActs.filter(keepRow).select(outCols: _*)
     val staged =
-      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn)
-      else stagePartitioned(merged, m.partCols, m.statsColumn)
+      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn, m.colMap)
+      else stagePartitioned(merged, m.partCols, m.statsColumn, m.colMap)
     publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, txn,
       conflicts)
   }
@@ -1076,17 +1099,17 @@ final class SnapshotStore(root: String) {
     val conflicts: Seq[FileEntry] => Seq[FileEntry] = added =>
       predicateCandidates(spark, m.copy(entries = added), predicate)._1
     if (mergeOnRead) {
-      val hits = liveWithPos(spark, m.schema, touched, m.partCols)
+      val hits = liveWithPos(spark, m.schema, touched, m.partCols, m.colMap)
         .filter(hit)
         .select(col("__file").as("file"), col("__pos").as("pos"))
       val (dvRel, hitFiles) = writeDvSidecar(spark, hits)
       publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, Nil, None,
         conflicts)
     } else {
-      val kept = scan(spark, m.schema, touched, m.partCols).filter(not(hit))
+      val kept = scan(spark, m.schema, touched, m.partCols, m.colMap).filter(not(hit))
       val staged =
-        if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn)
-        else stagePartitioned(kept, m.partCols, m.statsColumn)
+        if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn, m.colMap)
+        else stagePartitioned(kept, m.partCols, m.statsColumn, m.colMap)
       publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, None,
         conflicts)
     }
@@ -1130,7 +1153,7 @@ final class SnapshotStore(root: String) {
     val conflicts: Seq[FileEntry] => Seq[FileEntry] = added =>
       predicateCandidates(spark, m.copy(entries = added), predicate)._1
     if (mergeOnRead) {
-      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols)
+      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols, m.colMap)
         .filter(hit)
       val (dvRel, hitFiles) = writeDvSidecar(spark,
         matchedRows.select(col("__file").as("file"), col("__pos").as("pos")))
@@ -1146,13 +1169,13 @@ final class SnapshotStore(root: String) {
             }
           }: _*)
         val staged =
-          if (m.partCols.isEmpty) stageEntries(images, m.statsColumn)
-          else stagePartitioned(images, m.partCols, m.statsColumn)
+          if (m.partCols.isEmpty) stageEntries(images, m.statsColumn, m.colMap)
+          else stagePartitioned(images, m.partCols, m.statsColumn, m.colMap)
         publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, staged,
           None, conflicts)
       }
     } else {
-      val updated = scan(spark, m.schema, touched, m.partCols).select(
+      val updated = scan(spark, m.schema, touched, m.partCols, m.colMap).select(
         m.schema.fields.toSeq.map { f =>
           assignments.get(f.name) match {
             case Some(value) =>
@@ -1161,8 +1184,8 @@ final class SnapshotStore(root: String) {
           }
         }: _*)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn)
-        else stagePartitioned(updated, m.partCols, m.statsColumn)
+        if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn, m.colMap)
+        else stagePartitioned(updated, m.partCols, m.statsColumn, m.colMap)
       publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, None,
         conflicts)
     }
@@ -1477,7 +1500,7 @@ final class SnapshotStore(root: String) {
         paths.map(rel => entryWithStats(rel, cols, conf))
     }
     publishEntries(entries, schema, statsColumn, partCols = partitionBy,
-      expectedVersion = Some(0L))
+      expectedVersion = Some(0L), mappingOverride = Some((Map.empty, Nil)))
   }
 
   /** RESTORE: republish version `toVersion`'s exact file list as the
@@ -1544,7 +1567,11 @@ final class SnapshotStore(root: String) {
       }
     }
     publishEntries(m.entries, m.schema, m.statsColumn,
-      partCols = m.partCols, expectedVersion = Some(cur + 1L))
+      partCols = m.partCols, expectedVersion = Some(cur + 1L),
+      // the restored version's COLUMN MAPPING describes its schema and
+      // files — it travels with them; `retired` is grow-only, so the
+      // current (superset) list is kept
+      mappingOverride = Some((m.colMap, readHeader(cur).retired)))
   }
 
   /** Highest streaming batch id committed into this table by `appId` —
@@ -1589,6 +1616,116 @@ final class SnapshotStore(root: String) {
     StructType(kept ++ added)
   }
 
+  /** Assign PHYSICAL names for columns being added to an evolving
+    * table: a name colliding (case-insensitively) with any current
+    * physical, any current logical, or a RETIRED physical still present
+    * in old data files gets a fresh `name__k` physical and a mapping
+    * entry — otherwise re-adding a dropped column would read the old
+    * column's values back out of the old files.
+    */
+  private def extendMapping(colMap: Map[String, String], retired: Seq[String],
+      existing: StructType, added: Seq[String]): Map[String, String] = {
+    if (added.isEmpty) return colMap
+    var used = existing.fields.map(f =>
+        colMap.getOrElse(f.name, f.name).toLowerCase).toSet ++
+      existing.fieldNames.map(_.toLowerCase) ++ retired.map(_.toLowerCase)
+    var out = colMap
+    added.foreach { n =>
+      val phys =
+        if (!used.contains(n.toLowerCase)) n
+        else Iterator.from(2).map(k => s"${n}__$k")
+          .dropWhile(p => used.contains(p.toLowerCase)).next()
+      used += phys.toLowerCase
+      if (phys != n) out += (n -> phys)
+    }
+    out
+  }
+
+  /** Column names a constraint's CHECK text references (unresolved
+    * attribute walk — no data touched). What RENAME/DROP COLUMN gate
+    * on: a property whose text names the column must be dropped first,
+    * or every later write fails at parse with a confusing error.
+    */
+  private def constraintRefs(spark: SparkSession,
+      constraints: Seq[(String, String)]): Seq[(String, Set[String])] =
+    constraints.map { case (n, text) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(text).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name.toLowerCase
+      }.toSet
+      (n, refs)
+    }
+
+  private def refuseReferenced(spark: SparkSession, m: Manifest,
+      col: String, op: String): Unit = {
+    require(!m.partCols.contains(col),
+      s"SnapshotStore.$op: '$col' is a partition column — partition layout " +
+        "is path metadata; rewrite the table (commitOverwrite) to change it")
+    require(!statsParts(m.statsColumn).contains(col),
+      s"SnapshotStore.$op: '$col' is a stats column — change the stats " +
+        "property first (commitOverwrite/compactLatest with a new statsColumn)")
+    constraintRefs(spark, m.constraints).foreach { case (n, refs) =>
+      require(!refs.contains(col.toLowerCase),
+        s"SnapshotStore.$op: constraint '$n' references '$col' — drop the " +
+          "constraint first (ALTER TABLE ... DROP CONSTRAINT)")
+    }
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN old TO new` — O(manifest), zero
+    * file rewrites, via COLUMN MAPPING (Delta's 'name' mode idea): the
+    * schema's logical name changes, the manifest records
+    * `new → physical(old)`, files keep storing the physical name, and
+    * every read path renames at scan time. Old versions time-travel
+    * with their own names. Refused for partition/stats/constraint-
+    * referenced columns (drop the property first — silently breaking a
+    * property the table declares is how readers rot). Streams pin
+    * their schema at start: a rename mid-stream needs a restart.
+    */
+  def renameColumn(spark: SparkSession, oldName: String, newName: String): Long = {
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.renameColumn: no committed versions at $root"))
+    val m = readFullManifest(v)
+    require(m.schema.fieldNames.contains(oldName),
+      s"SnapshotStore.renameColumn: no column '$oldName' " +
+        s"(have: ${m.schema.fieldNames.mkString(", ")})")
+    require(!m.schema.fieldNames.exists(n =>
+        n != oldName && n.equalsIgnoreCase(newName)),
+      s"SnapshotStore.renameColumn: column '$newName' already exists")
+    refuseReferenced(spark, m, oldName, "renameColumn")
+    val phys = m.colMap.getOrElse(oldName, oldName)
+    val renamed = StructType(m.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val colMap = (m.colMap - oldName) ++
+      (if (phys != newName) Map(newName -> phys) else Map.empty)
+    publishEntries(m.entries, renamed, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
+      mappingOverride = Some((colMap, m.retired)))
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN c` — O(manifest), zero file rewrites:
+    * the logical schema narrows, the physical column stays inside old
+    * files (ignored by the schema-projected scan), and its physical
+    * name is RETIRED so a later ADD COLUMNS of the same name maps to a
+    * fresh physical instead of resurrecting the dropped values. Same
+    * property gates as rename.
+    */
+  def dropColumn(spark: SparkSession, name: String): Long = {
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.dropColumn: no committed versions at $root"))
+    val m = readFullManifest(v)
+    require(m.schema.fieldNames.contains(name),
+      s"SnapshotStore.dropColumn: no column '$name' " +
+        s"(have: ${m.schema.fieldNames.mkString(", ")})")
+    require(m.schema.fields.length > 1,
+      s"SnapshotStore.dropColumn: cannot drop the only column")
+    refuseReferenced(spark, m, name, "dropColumn")
+    val phys = m.colMap.getOrElse(name, name)
+    val narrowed = StructType(m.schema.fields.filterNot(_.name == name))
+    publishEntries(m.entries, narrowed, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
+      mappingOverride = Some((m.colMap - name, (m.retired :+ phys).distinct)))
+  }
+
   /** Schema evolution without touching a file — the `ALTER TABLE ...
     * ADD COLUMNS` physics: publish the SAME file list under a widened
     * schema. Old files simply lack the new columns, and the parquet
@@ -1597,7 +1734,9 @@ final class SnapshotStore(root: String) {
     * O(manifest) regardless of table size. New columns are forced
     * nullable (every existing row IS null there); name collisions are
     * refused case-insensitively — Spark's resolver would otherwise
-    * produce ambiguous lookups.
+    * produce ambiguous lookups. A name matching a RETIRED physical
+    * column gets a fresh physical via the mapping, so dropped values
+    * never resurrect.
     */
   def addColumns(newCols: StructType): Long = {
     require(newCols.fields.nonEmpty, "SnapshotStore.addColumns: no columns")
@@ -1608,8 +1747,11 @@ final class SnapshotStore(root: String) {
     newCols.fields.foreach(f => require(!existing.contains(f.name.toLowerCase),
       s"SnapshotStore.addColumns: column '${f.name}' already exists"))
     val widened = StructType(m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
+    val colMap = extendMapping(m.colMap, m.retired, m.schema,
+      newCols.fieldNames.toSeq)
     publishEntries(m.entries, widened, m.statsColumn,
-      expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m))
+      expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
+      mappingOverride = Some((colMap, m.retired)))
   }
 
   /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — a table
@@ -1672,7 +1814,8 @@ final class SnapshotStore(root: String) {
     statsParts(statsColumn).foreach(c => require(!partitionBy.contains(c),
       s"SnapshotStore.commitTruncate: stats column '$c' cannot be a " +
         "partition column"))
-    publishEntries(Seq.empty, normalized, statsColumn, partCols = partitionBy)
+    publishEntries(Seq.empty, normalized, statsColumn, partCols = partitionBy,
+      mappingOverride = Some((Map.empty, Nil)))
   }
 
   /** Read a committed version (default: latest). The returned frame is
@@ -1684,13 +1827,13 @@ final class SnapshotStore(root: String) {
       throw new IllegalArgumentException(
         s"SnapshotStore.read: no committed versions at $root"))
     val m = readFullManifest(v)
-    if (m.partCols.isEmpty) scan(spark, m.schema, m.entries)
+    if (m.partCols.isEmpty) scan(spark, m.schema, m.entries, colMap = m.colMap)
     else if (m.entries.exists(_.dv.nonEmpty))
       // partitioned WITH live deletion vectors: the format's FileIndex
       // cannot apply the position anti-join — take the union-arm scan
       // (correct; loses planning-time pruning until a compaction
       // materializes the deletes)
-      scan(spark, m.schema, m.entries, m.partCols)
+      scan(spark, m.schema, m.entries, m.partCols, m.colMap)
     else
       // partitioned: plan through the format's FileIndex — ONE relation
       // with real partition pruning, not a union per partition
@@ -1721,7 +1864,7 @@ final class SnapshotStore(root: String) {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true // no stats -> conservatively scanned
     })
-    scan(spark, m.schema, kept, m.partCols)
+    scan(spark, m.schema, kept, m.partCols, m.colMap)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
@@ -1800,7 +1943,7 @@ final class SnapshotStore(root: String) {
         val removed = prev.toSeq.flatMap { p =>
           val gone = p.entries.filterNot(e => curPaths.contains(e.path))
           if (gone.isEmpty) Nil
-          else Seq(tag(scan(spark, p.schema, gone, p.partCols), "delete"))
+          else Seq(tag(scan(spark, p.schema, gone, p.partCols, p.colMap), "delete"))
         }
         // MERGE-ON-READ deletes: a commit that touched no files but GREW
         // a shared file's DV set tombstoned exactly the rows at the
@@ -1827,7 +1970,7 @@ final class SnapshotStore(root: String) {
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
         val inserts =
           if (added.isEmpty) Nil
-          else Seq(tag(scan(spark, m.schema, added, m.partCols), "insert"))
+          else Seq(tag(scan(spark, m.schema, added, m.partCols, m.colMap), "insert"))
         removed ++ morDeletes ++ inserts
       }
     }
@@ -1857,6 +2000,17 @@ final class SnapshotStore(root: String) {
         rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty,
         e.extra, e.bytes)),
       m.partCols)
+  }
+
+  /** True when the version carries an active COLUMN MAPPING — the
+    * format layer's gate: a plain file scan would surface PHYSICAL
+    * names, so mapped versions plan through the TableScan fallback
+    * relation (whose scan is [[read]] — mapping applied), exactly like
+    * live-DV versions.
+    */
+  private[graft] def hasColumnMapping(asOfVersion: Option[Long] = None): Boolean = {
+    val v = asOfVersion.orElse(latestVersion).getOrElse(return false)
+    readHeader(v).colMap.nonEmpty
   }
 
   /** Byte size of a format-layer entry: the manifest's recorded size
@@ -1946,7 +2100,7 @@ final class SnapshotStore(root: String) {
       if (m.rewrite) Nil // compaction: same rows, new layout — never re-delivered
       else if (prevPaths.subsetOf(m.entries.map(_.path).toSet) && !dvGrew) {
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
-        if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols))
+        if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols, m.colMap))
       } else onOverwrite match {
         case "fail" => throw new IllegalStateException(
           s"SnapshotStore.readInserts: version $v is not an append " +
@@ -1955,7 +2109,7 @@ final class SnapshotStore(root: String) {
             s"state or set onOverwrite=emitNew|skip")
         case "emitNew" =>
           val added = m.entries.filterNot(e => prevPaths.contains(e.path))
-          if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols))
+          if (added.isEmpty) Nil else Seq(scan(spark, pinned, added, m.partCols, m.colMap))
         case "skip" => Nil
       }
     }
@@ -1984,16 +2138,18 @@ final class SnapshotStore(root: String) {
     * no MoR history pays nothing.
     */
   private def scan(spark: SparkSession, schema: StructType,
-      entries: Seq[FileEntry], partCols: Seq[String] = Nil): DataFrame = {
+      entries: Seq[FileEntry], partCols: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     val (dirty, clean) = entries.partition(_.dv.nonEmpty)
-    if (dirty.isEmpty) scanRaw(spark, schema, clean, partCols, withPos = false)
+    if (dirty.isEmpty)
+      scanRaw(spark, schema, clean, partCols, withPos = false, colMap)
     else {
       import org.apache.spark.sql.functions.col
       val live = positionJoin(spark, schema, dirty, partCols,
-        dirty.flatMap(_.dv).distinct, anti = true)
+        dirty.flatMap(_.dv).distinct, anti = true, colMap)
         .select(schema.fieldNames.toSeq.map(col): _*)
       if (clean.isEmpty) live
-      else scanRaw(spark, schema, clean, partCols, withPos = false)
+      else scanRaw(spark, schema, clean, partCols, withPos = false, colMap)
         .unionByName(live)
     }
   }
@@ -2008,9 +2164,9 @@ final class SnapshotStore(root: String) {
     */
   private def positionJoin(spark: SparkSession, schema: StructType,
       entries: Seq[FileEntry], partCols: Seq[String], dvRels: Seq[String],
-      anti: Boolean): DataFrame = {
+      anti: Boolean, colMap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val withPos = scanRaw(spark, schema, entries, partCols, withPos = true)
+    val withPos = scanRaw(spark, schema, entries, partCols, withPos = true, colMap)
     val dvs = spark.read
       .parquet(dvRels.map(d => rootPath.resolve(d).toString): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
@@ -2030,11 +2186,12 @@ final class SnapshotStore(root: String) {
     * change feed would emit its delete twice).
     */
   private def liveWithPos(spark: SparkSession, schema: StructType,
-      entries: Seq[FileEntry], partCols: Seq[String]): DataFrame =
+      entries: Seq[FileEntry], partCols: Seq[String],
+      colMap: Map[String, String] = Map.empty): DataFrame =
     if (entries.forall(_.dv.isEmpty))
-      scanRaw(spark, schema, entries, partCols, withPos = true)
+      scanRaw(spark, schema, entries, partCols, withPos = true, colMap)
     else positionJoin(spark, schema, entries, partCols,
-      entries.flatMap(_.dv).distinct, anti = true)
+      entries.flatMap(_.dv).distinct, anti = true, colMap)
 
   /** Write `hits` (columns `file`, `pos`) as one position-list DV
     * sidecar — an ordinary distributed parquet write, never a driver
@@ -2061,7 +2218,7 @@ final class SnapshotStore(root: String) {
     */
   private def scanRaw(spark: SparkSession, schema: StructType,
       entries: Seq[FileEntry], partCols: Seq[String],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, colMap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     if (entries.isEmpty) {
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -2069,6 +2226,18 @@ final class SnapshotStore(root: String) {
         else base.withColumn("__file", lit(null).cast("string"))
           .withColumn("__pos", lit(null).cast("long"))
     }
+    // COLUMN MAPPING read half: files store PHYSICAL names — request
+    // the physical schema from parquet, rename back to logical right
+    // after the scan (one projection, no data movement)
+    def phys(c: String) = colMap.getOrElse(c, c)
+    def physSchema(logical: StructType): StructType =
+      if (colMap.isEmpty) logical
+      else StructType(logical.fields.map(f => f.copy(name = phys(f.name))))
+    def toLogical(df: DataFrame, logical: StructType,
+        metaCols: Seq[String]): DataFrame =
+      if (colMap.isEmpty) df
+      else df.select(logical.fields.toSeq.map(f =>
+        col(phys(f.name)).as(f.name)) ++ metaCols.map(col): _*)
     def addPos(df: DataFrame): DataFrame =
       if (!withPos) df
       else df
@@ -2086,19 +2255,21 @@ final class SnapshotStore(root: String) {
           .toDF("__abs", "__file")
         df.join(broadcast(lookup), "__abs").drop("__abs")
       }
+    val posCols = if (withPos) Seq("__abs", "__pos") else Nil
     if (partCols.isEmpty)
-      mapRel(addPos(spark.read.schema(schema)
-        .parquet(entries.map(e => rootPath.resolve(e.path).toString): _*)))
+      mapRel(toLogical(addPos(spark.read.schema(physSchema(schema))
+        .parquet(entries.map(e => rootPath.resolve(e.path).toString): _*)),
+        schema, posCols))
     else {
       val dataSchema = StructType(
         schema.fields.filterNot(f => partCols.contains(f.name)))
       val fieldByName = schema.fields.map(f => f.name -> f).toMap
-      val metaCols = if (withPos) Seq("__abs", "__pos") else Nil
       val unioned = entries.groupBy(e => partitionTupleOf(e.path, partCols)).toSeq
         .sortBy(_._1.mkString("/"))
         .map { case (tuple, group) =>
-          val base = addPos(spark.read.schema(dataSchema)
-            .parquet(group.map(e => rootPath.resolve(e.path).toString): _*))
+          val base = toLogical(addPos(spark.read.schema(physSchema(dataSchema))
+            .parquet(group.map(e => rootPath.resolve(e.path).toString): _*)),
+            dataSchema, posCols)
           val withParts = partCols.zip(tuple).foldLeft(base) {
             case (df, (c, v)) =>
               val f = fieldByName(c)
@@ -2107,7 +2278,7 @@ final class SnapshotStore(root: String) {
                 else lit(v)
               df.withColumn(c, value.cast(f.dataType))
           }
-          withParts.select((schema.fieldNames.toSeq ++ metaCols).map(col): _*)
+          withParts.select((schema.fieldNames.toSeq ++ posCols).map(col): _*)
         }
         .reduce(_.unionByName(_))
       mapRel(unioned)
@@ -2208,9 +2379,25 @@ final class SnapshotStore(root: String) {
     }
   }
 
-  private[etl] def stage(df: DataFrame): Seq[String] = {
+  /** Rename logical columns to their PHYSICAL names before a staged
+    * write — the write half of column mapping: files always store
+    * physical names, so a rename never rewrites a file and a re-added
+    * name never aliases a retired physical column.
+    */
+  private def toPhysical(df: DataFrame,
+      colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(colMap.getOrElse(c, c))): _*)
+    }
+
+  private[etl] def stage(df: DataFrame,
+      colMap: Map[String, String] = Map.empty): Seq[String] = {
     val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
-    withConstraintChecks(df).write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
+    toPhysical(withConstraintChecks(df), colMap)
+      .write.mode(SaveMode.ErrorIfExists).parquet(sub.toString)
     val s = Files.list(sub)
     try {
       s.iterator().asScala
@@ -2226,10 +2413,13 @@ final class SnapshotStore(root: String) {
     * collected per file exactly as in the flat path.
     */
   private def stagePartitioned(df: DataFrame, partCols: Seq[String],
-      statsColumn: Option[String]): Seq[FileEntry] = {
+      statsColumn: Option[String],
+      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
     normalizePartitionedSchema(df.schema, partCols) // validates cols + types
     val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
-    withConstraintChecks(df).write.mode(SaveMode.ErrorIfExists)
+    // partition columns are never remapped (rename/drop refuse them)
+    toPhysical(withConstraintChecks(df), colMap)
+      .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partCols: _*).parquet(sub.toString)
     val walk = Files.walk(sub)
     val paths = try {
@@ -2246,7 +2436,7 @@ final class SnapshotStore(root: String) {
           s"SnapshotStore: stats column '$c' cannot be a partition column " +
             "(partition values are path metadata, not file contents)"))
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        paths.map(rel => entryWithStats(rel, cols, conf))
+        paths.map(rel => entryWithStats(rel, cols, conf, colMap))
     }
   }
 
@@ -2255,13 +2445,14 @@ final class SnapshotStore(root: String) {
     * int/long/date/timestamp stats column. None (never pruned) when the
     * column is missing, non-integer, or has no non-null values.
     */
-  private def stageEntries(df: DataFrame, statsColumn: Option[String]): Seq[FileEntry] = {
-    val paths = stage(df)
+  private def stageEntries(df: DataFrame, statsColumn: Option[String],
+      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    val paths = stage(df, colMap)
     statsParts(statsColumn) match {
       case Seq() => paths.map(p => FileEntry(p, None, None, bytes = stagedBytes(p)))
       case cols =>
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        paths.map(rel => entryWithStats(rel, cols, conf))
+        paths.map(rel => entryWithStats(rel, cols, conf, colMap))
     }
   }
 
@@ -2288,11 +2479,16 @@ final class SnapshotStore(root: String) {
   }
 
   private def entryWithStats(rel: String, cols: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): FileEntry = {
+      conf: org.apache.hadoop.conf.Configuration,
+      colMap: Map[String, String] = Map.empty): FileEntry = {
+    // footers store PHYSICAL names; the manifest's stats keys stay
+    // logical so readRange/pruning never see the mapping
+    def phys(c: String) = colMap.getOrElse(c, c)
     val stats = footerStatsMulti(
-      new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString), cols, conf)
-    val primary = stats.get(cols.head)
-    val extra = cols.tail.flatMap(c => stats.get(c).map(r => (c, r._1, r._2)))
+      new org.apache.hadoop.fs.Path(rootPath.resolve(rel).toString),
+      cols.map(phys), conf)
+    val primary = stats.get(phys(cols.head))
+    val extra = cols.tail.flatMap(c => stats.get(phys(c)).map(r => (c, r._1, r._2)))
     FileEntry(rel, primary.map(_._1), primary.map(_._2), Nil, extra,
       stagedBytes(rel))
   }
@@ -2409,15 +2605,26 @@ final class SnapshotStore(root: String) {
       rewrite: Boolean = false, expectedVersion: Option[Long] = None,
       partCols: Seq[String] = Nil,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      prev: Option[Manifest] = None): Long = {
+      prev: Option[Manifest] = None,
+      mappingOverride: Option[(Map[String, String], Seq[String])] = None): Long = {
     val v = expectedVersion.getOrElse(latestVersion.map(_ + 1L).getOrElse(0L))
-    // CHECK constraints are a table PROPERTY that must survive every
-    // commit shape (append, CoW, compaction, restore, overwrite) —
-    // inherited from the predecessor version here, at the one choke
-    // point every publish passes, so no write path can silently drop
-    // them; only addConstraint/dropConstraint override
-    val constraints = constraintsOverride.getOrElse(
-      if (v == 0L) Nil else readHeader(v - 1L).constraints)
+    // CHECK constraints and the COLUMN MAPPING are table PROPERTIES
+    // that must survive every commit shape (append, CoW, compaction,
+    // restore) — inherited from the predecessor version here, at the
+    // one choke point every publish passes, so no write path can
+    // silently drop them; only the DDL ops (and full replaces, which
+    // reset the mapping) override
+    lazy val prevProps: (Seq[(String, String)], Map[String, String], Seq[String]) =
+      if (v == 0L) (Nil, Map.empty, Nil)
+      else prev match {
+        case Some(pm) if pm.version == v - 1L =>
+          (pm.constraints, pm.colMap, pm.retired)
+        case _ =>
+          val h = readHeader(v - 1L); (h.constraints, h.colMap, h.retired)
+      }
+    val constraints = constraintsOverride.getOrElse(prevProps._1)
+    val (colMap, retired) =
+      mappingOverride.getOrElse((prevProps._2, prevProps._3))
     val (bodyLines, isDelta) =
       if (isCheckpointVersion(v)) (entries.map(fileLine), false)
       else {
@@ -2439,11 +2646,11 @@ final class SnapshotStore(root: String) {
       }
     val now = System.currentTimeMillis()
     writeManifest(v, schema, statsColumn, txn, rewrite, partCols,
-      constraints, bodyLines, isDelta, now)
+      constraints, bodyLines, isDelta, now, colMap, retired)
     // we KNOW v's content — memoize it so the read most callers issue
     // next (and every delta composed against v) is free
     cachePut(v, Manifest(schema, statsColumn, txn, rewrite, entries,
-      Some(now), partCols, constraints, v))
+      Some(now), partCols, constraints, v, colMap, retired))
     v
   }
 
@@ -2456,17 +2663,20 @@ final class SnapshotStore(root: String) {
     */
   private def publishAppend(adds: Seq[FileEntry], schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)],
-      partCols: Seq[String], expectedVersion: Long): Long = {
+      partCols: Seq[String], expectedVersion: Long,
+      mapping: Option[(Map[String, String], Seq[String])] = None): Long = {
     val v = expectedVersion
     if (isCheckpointVersion(v)) {
       val prevM = readFullManifest(v - 1L)
       return publishEntries(prevM.entries ++ adds, schema, statsColumn, txn,
-        expectedVersion = Some(v), partCols = partCols, prev = Some(prevM))
+        expectedVersion = Some(v), partCols = partCols, prev = Some(prevM),
+        mappingOverride = mapping)
     }
-    val constraints = readHeader(v - 1L).constraints
+    val h = readHeader(v - 1L)
+    val (colMap, retired) = mapping.getOrElse((h.colMap, h.retired))
     writeManifest(v, schema, statsColumn, txn, rewrite = false, partCols,
-      constraints, adds.map(e => s"+\t${fileLine(e)}"), isDelta = true,
-      System.currentTimeMillis())
+      h.constraints, adds.map(e => s"+\t${fileLine(e)}"), isDelta = true,
+      System.currentTimeMillis(), colMap, retired)
     // no cachePut: composing v's full list would defeat the O(increment)
     // write; the first reader reconstructs (and memoizes) it
     v
@@ -2475,14 +2685,19 @@ final class SnapshotStore(root: String) {
   private def manifestBody(schema: StructType, statsColumn: Option[String],
       txn: Option[(String, Long)], rewrite: Boolean, partCols: Seq[String],
       constraints: Seq[(String, String)], bodyLines: Seq[String],
-      isDelta: Boolean, ts: Long): String = {
+      isDelta: Boolean, ts: Long,
+      colMap: Map[String, String], retired: Seq[String]): String = {
     val headerLines = Seq(s"#ts\t$ts") ++
       (if (isDelta) Seq("#delta") else Nil) ++
       statsColumn.map(c => s"#stats\t$c").toSeq ++
       (if (partCols.nonEmpty) Seq(s"#partcols\t${partCols.mkString(",")}") else Nil) ++
       txn.map { case (app, id) => s"#txn\t$app\t$id" }.toSeq ++
       (if (rewrite) Seq("#rewrite") else Nil) ++
-      constraints.map { case (n, e) => s"#constraint\t$n\t$e" }
+      constraints.map { case (n, e) => s"#constraint\t$n\t$e" } ++
+      (if (colMap.nonEmpty)
+        Seq(s"#colmap\t${colMap.toSeq.sorted.map { case (l, ph) => s"$l=$ph" }.mkString(",")}")
+      else Nil) ++
+      (if (retired.nonEmpty) Seq(s"#retired\t${retired.mkString(",")}") else Nil)
     ((Header +: schema.json +: headerLines) ++ bodyLines).mkString("\n") + "\n"
   }
 
@@ -2494,7 +2709,8 @@ final class SnapshotStore(root: String) {
   private def rewriteAsCheckpoint(v: Long, m: Manifest): Unit = {
     val body = manifestBody(m.schema, m.statsColumn, m.txn, m.rewrite,
       m.partCols, m.constraints, m.entries.map(fileLine), isDelta = false,
-      ts = m.ts.getOrElse(Files.getLastModifiedTime(manifestPath(v)).toMillis))
+      ts = m.ts.getOrElse(Files.getLastModifiedTime(manifestPath(v)).toMillis),
+      colMap = m.colMap, retired = m.retired)
     val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE,
@@ -2505,10 +2721,11 @@ final class SnapshotStore(root: String) {
       statsColumn: Option[String], txn: Option[(String, Long)],
       rewrite: Boolean, partCols: Seq[String],
       constraints: Seq[(String, String)], bodyLines: Seq[String],
-      isDelta: Boolean, ts: Long): Unit = {
+      isDelta: Boolean, ts: Long,
+      colMap: Map[String, String], retired: Seq[String]): Unit = {
     Files.createDirectories(manifestDir)
     val body = manifestBody(schema, statsColumn, txn, rewrite, partCols,
-      constraints, bodyLines, isDelta, ts)
+      constraints, bodyLines, isDelta, ts, colMap, retired)
     val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
     val ch = java.nio.channels.FileChannel.open(tmp,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -2570,7 +2787,9 @@ final class SnapshotStore(root: String) {
       entries: Seq[FileEntry], ts: Option[Long] = None,
       partCols: Seq[String] = Nil,
       constraints: Seq[(String, String)] = Nil,
-      version: Long = -1L)
+      version: Long = -1L,
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil)
 
   /** Per-version header (everything except the file list) — what the
     * O(1) metadata paths (txn ledger scans, timestamp resolution,
@@ -2580,7 +2799,9 @@ final class SnapshotStore(root: String) {
   private[graft] final case class ManifestHeader(schema: StructType,
       statsColumn: Option[String], txn: Option[(String, Long)],
       rewrite: Boolean, ts: Option[Long], partCols: Seq[String],
-      constraints: Seq[(String, String)], isDelta: Boolean)
+      constraints: Seq[(String, String)], isDelta: Boolean,
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil)
 
   private def parseHeader(v: Long, schemaLine: String,
       headerLines: Seq[String]): ManifestHeader = {
@@ -2606,8 +2827,22 @@ final class SnapshotStore(root: String) {
         s"SnapshotStore: malformed #constraint line '${l.take(120)}'")
       (parts(0), parts(1))
     }
+    // COLUMN MAPPING (Delta's 'name'-mode idea): `#colmap` lists the
+    // logical→physical renames in force for this version's files;
+    // `#retired` lists physical names still present INSIDE current data
+    // files but no longer mapped (dropped columns) — what stops a
+    // later ADD COLUMNS from resurrecting old values under a reused name
+    val colMap = headerLines.find(_.startsWith("#colmap\t"))
+      .map(_.stripPrefix("#colmap\t").split(",").toSeq.filter(_.nonEmpty).map { kv =>
+        val eq = kv.indexOf('=')
+        require(eq > 0, s"SnapshotStore: malformed #colmap field '$kv'")
+        (kv.substring(0, eq), kv.substring(eq + 1))
+      }.toMap).getOrElse(Map.empty[String, String])
+    val retired = headerLines.find(_.startsWith("#retired\t"))
+      .map(_.stripPrefix("#retired\t").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
     ManifestHeader(schema, statsCol, txn, rewrite, ts, partCols, constraints,
-      headerLines.contains("#delta"))
+      headerLines.contains("#delta"), colMap, retired)
   }
 
   /** Header-only read: a buffered scan that STOPS at the first entry
@@ -2672,7 +2907,7 @@ final class SnapshotStore(root: String) {
   private def toManifest(v: Long, h: ManifestHeader,
       entries: Seq[FileEntry]): Manifest =
     Manifest(h.schema, h.statsColumn, h.txn, h.rewrite, entries, h.ts,
-      h.partCols, h.constraints, v)
+      h.partCols, h.constraints, v, h.colMap, h.retired)
 
   /** Apply one delta's records: removals first (path-keyed), then the
     * added entries appended — a DV/stats CHANGE to an existing file is

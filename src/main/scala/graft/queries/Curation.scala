@@ -1342,6 +1342,77 @@ object Curation {
         SELECT ver, COUNT(*) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM uni GROUP BY 1 ORDER BY ver
+      """)),
+    // ----------------------------------------------------------------
+    // COLUMN MAPPING — ALTER TABLE RENAME/DROP COLUMN as O(manifest)
+    // commits (Delta's 'name'-mode idea): a rename changes only the
+    // logical name (zero file rewrites — writes keep storing the
+    // physical name), a drop retires the physical column inside old
+    // files, and RE-ADDING the dropped name maps to a FRESH physical so
+    // the dropped values can never resurrect (they read back null →
+    // the -1 bucket). Time travel keeps each version's own names. The
+    // oracle replays the whole evolution as plain SQL; a mapping leak
+    // in any direction (values lost on rename, resurrected on re-add,
+    // wrong version's names) breaks a sum.
+    Q(
+      "q295_column_mapping",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey".as("cust"),
+            ($"o_orderkey" % 7).as("flag"))
+        val root = java.nio.file.Files.createTempDirectory("graft-cm").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(4, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS g295_cm")
+        s.sql(s"CREATE TABLE g295_cm USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          s.sql("ALTER TABLE g295_cm RENAME COLUMN cust TO buyer")      // v1
+          s.sql("""INSERT INTO g295_cm
+            SELECT o_orderkey + 500000000, buyer + 1, flag
+            FROM g295_cm WHERE o_orderkey % 100 = 3""")                 // v2
+          s.sql("ALTER TABLE g295_cm DROP COLUMN flag")                 // v3
+          s.sql("ALTER TABLE g295_cm ADD COLUMNS (flag BIGINT)")        // v4
+          s.sql("""INSERT INTO g295_cm
+            SELECT o_orderkey + 900000000, buyer, 99 FROM g295_cm
+            WHERE o_orderkey % 100 = 9 AND o_orderkey < 500000000""")   // v5
+          val live = s.table("g295_cm")
+            .groupBy(lit("live").as("seg"))
+            .agg(count(lit(1)).as("n"),
+              sum($"buyer").as("buyer_sum"),
+              sum(coalesce($"flag", lit(-1L))).as("flag_sum"))
+          val v0 = s.sql("SELECT * FROM g295_cm VERSION AS OF 0")
+            .groupBy(lit("v0").as("seg"))
+            .agg(count(lit(1)).as("n"),
+              sum($"cust").as("buyer_sum"),
+              sum(coalesce($"flag", lit(-1L))).as("flag_sum"))
+          live.unionByName(v0).orderBy("seg")
+        } finally s.sql("DROP TABLE IF EXISTS g295_cm")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey AS cust, o_orderkey % 7 AS flag
+          FROM orders),
+        ins1 AS (SELECT cust + 1 AS buyer
+          FROM o WHERE o_orderkey % 100 = 3),
+        ins2 AS (SELECT cust AS buyer
+          FROM o WHERE o_orderkey % 100 = 9),
+        live AS (
+          -- base + ins1 rows: flag was dropped then re-added -> null -> -1
+          SELECT cust AS buyer, -1 AS flag FROM o
+          UNION ALL SELECT buyer, -1 FROM ins1
+          UNION ALL SELECT buyer, 99 FROM ins2),
+        agg AS (
+          SELECT 'live' AS seg, COUNT(*) AS n,
+                 CAST(SUM(buyer) AS BIGINT) AS buyer_sum,
+                 CAST(SUM(flag) AS BIGINT) AS flag_sum
+          FROM live
+          UNION ALL
+          SELECT 'v0', COUNT(*), CAST(SUM(cust) AS BIGINT),
+                 CAST(SUM(flag) AS BIGINT)
+          FROM o)
+        SELECT * FROM agg ORDER BY seg
       """))
   )
 }

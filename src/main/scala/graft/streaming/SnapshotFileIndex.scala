@@ -54,6 +54,14 @@ final class SnapshotFileIndex(
       "compactLatest(...) to materialize the deletes, or read through " +
       "SnapshotStore.read/readRange (they apply DVs at scan time)")
 
+  // A version with an ACTIVE COLUMN MAPPING (renamed/re-added columns)
+  // stores physical names in its files — a plain file scan would
+  // surface the wrong column names. The provider routes such versions
+  // through the TableScan fallback; reaching here is a wiring bug.
+  require(!store.hasColumnMapping(asOfVersion.orElse(store.latestVersion)),
+    "graft-snapshot: this version has an active column mapping — it must " +
+      "plan through the store's mapping-aware scan (SnapshotDvRelation)")
+
   /** One listing round-trip per file at creation; statuses are reused
     * across every query planned against this index. The per-file map
     * carries EVERY stats column's interval (primary + the comma-list

@@ -66,6 +66,14 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       // Spark owns this grammar for other providers: keep the
       // delegate's plan as the non-snapshot fallback
       AddColumnsSnapshotCommand(target.trim, cols, delegate.parsePlan(sqlText))
+    case RenameColumnRe(target, from, to) =>
+      AlterColumnSnapshotCommand(target.trim,
+        rename = Some((stripIdent(from), stripIdent(to))), drops = Nil,
+        fallback = fallbackOf(sqlText))
+    case DropColumnRe(target, cols) =>
+      AlterColumnSnapshotCommand(target.trim, rename = None,
+        drops = cols.split(",").map(stripIdent).toSeq,
+        fallback = fallbackOf(sqlText))
     case AddConstraintRe(target, name, check) =>
       AlterConstraintSnapshotCommand(target.trim, name,
         Some(check.trim), fallbackOf(sqlText))
@@ -129,6 +137,12 @@ object SnapshotSqlParser {
   private[streaming] val AddColumnsRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+  private[streaming] val RenameColumnRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*""").r
+  private[streaming] val DropColumnRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+DROP\s+COLUMNS?\s*\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?\s*;?\s*""").r
   private[streaming] val AddConstraintRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
@@ -498,6 +512,34 @@ final case class RestoreSnapshotCommand(target: String,
     // a restore across a schema evolution changes the live schema
     name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
     Seq(Row(v, nv))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` on a
+  * snapshot table: one O(manifest) commit via COLUMN MAPPING — zero
+  * file rewrites, old versions time-travel with their own names, and
+  * a re-added name never resurrects dropped values (retired-physical
+  * tracking). Non-snapshot targets re-run the delegate's own plan.
+  */
+final case class AlterColumnSnapshotCommand(target: String,
+    rename: Option[(String, String)], drops: Seq[String],
+    fallback: Option[LogicalPlan]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = fallback.toSeq
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!SnapshotSqlParser.isSnapshotTarget(session, target)) {
+      val plan = fallback.getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE ... COLUMN: '$target' is not a graft-snapshot table " +
+          "and Spark's own parser does not accept this statement"))
+      org.apache.spark.sql.GraftStreamBridge.ofRows(session, plan).collect()
+      return Seq.empty
+    }
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    rename match {
+      case Some((from, to)) => store.renameColumn(session, from, to)
+      case None => drops.foreach(c => store.dropColumn(session, c))
+    }
+    name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
+    Seq.empty
   }
 }
 

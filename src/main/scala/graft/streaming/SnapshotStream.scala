@@ -114,8 +114,11 @@ final class SnapshotSourceProvider extends StreamSourceProvider
     // a version with LIVE merge-on-read deletion vectors cannot plan
     // through a plain file scan — fall back to the DV-applying
     // TableScan relation (correct rows, no planning-time skipping)
-    // until compaction materializes the tombstones
-    if (store.manifestAt(asOf)._3.exists(_.hasDv))
+    // until compaction materializes the tombstones. Same fallback for
+    // an ACTIVE COLUMN MAPPING (renamed/re-added columns): the files
+    // store physical names only the store's own scan knows to rename.
+    if (store.manifestAt(asOf)._3.exists(_.hasDv) ||
+        store.hasColumnMapping(asOf))
       return new SnapshotDvRelation(spark, store, asOf)
     val index = new SnapshotFileIndex(spark, store, asOf)
     HadoopFsRelation(

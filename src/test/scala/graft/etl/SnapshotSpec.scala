@@ -1514,6 +1514,60 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark).filter($"id" === 2000L).count() == 1L)
   }
 
+  test("RENAME/DROP COLUMN via column mapping: zero file rewrites, time travel keeps old names, dropped values never resurrect") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      Seq((1L, "a1", 10.0), (2L, "a2", 20.0)).toDF("id", "name", "amt"),
+      statsColumn = Some("id"))
+    val filesBefore = store.readFullManifest(0L).entries.map(_.path).toSet
+    // RENAME: logical name changes, files untouched
+    val v1 = store.renameColumn(spark, "name", "label")
+    assert(store.readFullManifest(v1).entries.map(_.path).toSet == filesBefore,
+      "rename must be O(manifest) — zero file rewrites")
+    val renamed = store.read(spark).orderBy("id")
+    assert(renamed.columns.toSeq == Seq("id", "label", "amt"))
+    assert(renamed.select("label").collect().map(_.getString(0)).toSeq ==
+      Seq("a1", "a2"), "values follow the rename")
+    // time travel: the old version keeps its own name
+    assert(store.read(spark, Some(0L)).columns.contains("name"))
+    // appends after the rename stage under the mapping and read back
+    store.commitAppend(Seq((3L, "a3", 30.0)).toDF("id", "label", "amt"))
+    assert(store.read(spark).filter($"label" === "a3").count() == 1L)
+    // DML through the new name: CoW update rewrites correctly
+    store.updateWhere(spark, $"id" === 1L, Map("label" -> lit("A1")))
+    assert(store.read(spark).filter($"label" === "A1").count() == 1L)
+    // DROP: schema narrows, files stay; re-adding the SAME name maps to
+    // a fresh physical column — the dropped values must NOT come back
+    val vDrop = store.dropColumn(spark, "label")
+    assert(!store.read(spark).columns.contains("label"))
+    assert(store.readFullManifest(vDrop).retired.nonEmpty)
+    store.addColumns(StructType(Seq(StructField("label", LongType))))
+    val readded = store.read(spark)
+    assert(readded.columns.contains("label"))
+    assert(readded.filter($"label".isNotNull).count() == 0L,
+      "a re-added column must be all-null, never the dropped values")
+    store.commitAppend(Seq((9L, 90.0, 7L)).toDF("id", "amt", "label"))
+    assert(store.read(spark).filter($"label" === 7L).count() == 1L)
+    // old versions read their own schema throughout the evolution
+    assert(store.read(spark, Some(v1)).filter($"label" === "a1").count() == 1L)
+    // property gates: partition / stats / constraint-referenced columns refuse
+    val gated = new SnapshotStore(tmp())
+    gated.commitOverwrite(Seq((1L, "d1", 5.0)).toDF("id", "day", "x"),
+      statsColumn = Some("id"), partitionBy = Seq("day"))
+    assert(intercept[IllegalArgumentException] {
+      gated.renameColumn(spark, "day", "dt")
+    }.getMessage.contains("partition column"))
+    assert(intercept[IllegalArgumentException] {
+      gated.dropColumn(spark, "id")
+    }.getMessage.contains("stats column"))
+    gated.addConstraint(spark, "x_pos", "x >= 0")
+    assert(intercept[IllegalArgumentException] {
+      gated.renameColumn(spark, "x", "y")
+    }.getMessage.contains("constraint 'x_pos'"))
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

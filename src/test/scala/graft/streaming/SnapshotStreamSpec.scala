@@ -1478,6 +1478,33 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dst.read(spark).count() == 198L)
   }
 
+  test("SQL ALTER TABLE RENAME/DROP COLUMN: catalog stays in step, SELECT and time travel span the evolution") {
+    import spark.implicits._
+    val root = tmp()
+    spark.sql(s"CREATE TABLE snap_cm (id BIGINT, name STRING, amt DOUBLE) " +
+      s"USING `graft-snapshot` OPTIONS (path '$root')")
+    spark.sql("INSERT INTO snap_cm VALUES (1, 'a1', 10.0), (2, 'a2', 20.0)")
+    val store = new SnapshotStore(root)
+    val files = store.readFullManifest(store.latestVersion.get).entries.map(_.path).toSet
+    spark.sql("ALTER TABLE snap_cm RENAME COLUMN name TO label")
+    assert(store.readFullManifest(store.latestVersion.get)
+      .entries.map(_.path).toSet == files, "rename rewrites no file")
+    // catalog schema followed; SELECT reads values under the new name
+    assert(spark.table("snap_cm").columns.toSeq == Seq("id", "label", "amt"))
+    assert(spark.sql("SELECT label FROM snap_cm WHERE id = 1").head().getString(0) == "a1")
+    // INSERT through the new name still lands (physical mapping on write)
+    spark.sql("INSERT INTO snap_cm VALUES (3, 'a3', 30.0)")
+    assert(spark.sql("SELECT count(*) FROM snap_cm WHERE label = 'a3'").head().getLong(0) == 1L)
+    // time travel across the evolution keeps each version's own names
+    val preRename = spark.sql("SELECT * FROM snap_cm VERSION AS OF 1")
+    assert(preRename.columns.contains("name") && !preRename.columns.contains("label"))
+    // DROP COLUMN narrows; a non-snapshot table still takes Spark's path
+    spark.sql("ALTER TABLE snap_cm DROP COLUMN label")
+    assert(spark.table("snap_cm").columns.toSeq == Seq("id", "amt"))
+    assert(spark.sql("SELECT SUM(amt) FROM snap_cm").head().getDouble(0) == 60.0)
+    spark.sql("DROP TABLE snap_cm")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
