@@ -83,13 +83,18 @@ object Merge {
     }
     require(mismatches.isEmpty,
       s"applyChangeLog: schemas differ (base vs changes) — ${mismatches.mkString("; ")}")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio"))
-    changes.withColumn("__op", validatedOp(col(opCol))).drop(opCol)
-      .withColumn("__prio", lit(0))
-      .unionByName(base.withColumn("__op", lit("U")).withColumn("__prio", lit(1)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__op") =!= "D")
-      .drop("__prio", "__rn", "__op")
+    // internal column names must not collide with the CALLER's op
+    // column (the streaming sink passes opCol = "__op"): withColumn
+    // would otherwise REPLACE it and the following drop would erase
+    // the ops before the union — deletes silently become keeps
+    val (opI, prioI, rnI) = ("__cl_op", "__cl_prio", "__cl_rn")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(prioI))
+    changes.withColumn(opI, validatedOp(col(opCol))).drop(opCol)
+      .withColumn(prioI, lit(0))
+      .unionByName(base.withColumn(opI, lit("U")).withColumn(prioI, lit(1)))
+      .withColumn(rnI, row_number().over(w))
+      .filter(col(rnI) === 1 && col(opI) =!= "D")
+      .drop(prioI, rnI, opI)
   }
 
   /** SCD type-2 history from a change log: collapse consecutive

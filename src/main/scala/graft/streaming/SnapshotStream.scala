@@ -310,6 +310,36 @@ final class SnapshotStreamSink(
   private var cachedTxn: Option[Long] = None
   private var scanned = false
 
+  /** Schema evolution for the MERGE sinks (mergeKeys / applyChangeFeed):
+    * a batch carrying columns the target table lacks means the SOURCE
+    * evolved — after a restart re-pins the stream's schema, the change
+    * rows arrive wider than the replica. Silently dropping the new
+    * column would desynchronize the replication loop forever, and
+    * refusing would wedge it; with `mergeSchema = true` the replica
+    * EVOLVES (one O(manifest) ADD COLUMNS commit — old rows null-pad),
+    * mirroring `commitAppend(mergeSchema)`. A concurrent shard applier
+    * may win the widening race — "already exists" then just means done.
+    * Returns the (possibly widened) target schema.
+    */
+  private def evolveForBatch(batch: DataFrame,
+      metaCols: Set[String]): StructType = {
+    val table = store.tableSchema()
+    val extra = batch.schema.fields.filterNot(f =>
+      table.fieldNames.contains(f.name) || metaCols.contains(f.name))
+    if (extra.isEmpty) return table
+    require(mergeSchema,
+      s"graft-snapshot sink: batch carries columns the table lacks " +
+        s"(${extra.map(_.name).mkString(", ")}) — the source evolved; set " +
+        "option(\"mergeSchema\", \"true\") to evolve the target, or drop " +
+        "them upstream")
+    try store.addColumns(StructType(extra.map(_.copy(nullable = true))))
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("already exists") => () // a racer widened first
+    }
+    store.tableSchema()
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (!scanned) { cachedTxn = store.lastTxn(txnAppId); scanned = true }
     // checkpoint replay of a batch THIS app already committed: no-op
@@ -345,7 +375,8 @@ final class SnapshotStreamSink(
       require(batch.columns.contains("_change_type"),
         "graft-snapshot sink(applyChangeFeed): batch lacks _change_type " +
           "(read the upstream with option(\"readChangeFeed\", \"true\"))")
-      val table = store.tableSchema()
+      val table = evolveForBatch(batch,
+        metaCols = Set("_change_type", "_commit_version", "__ver", "__rn", "__op"))
       val have = batch.columns.toSet
       val missing = table.fieldNames.filterNot(have.contains)
       require(missing.isEmpty,
@@ -389,7 +420,7 @@ final class SnapshotStreamSink(
       // the partition columns last — without the re-select any input
       // whose partition column isn't already last dies from batch 2 on.
       import org.apache.spark.sql.functions.col
-      val table = store.tableSchema()
+      val table = evolveForBatch(batch, metaCols = Set.empty)
       val have = batch.columns.toSet
       val missing = table.fieldNames.filterNot(have.contains)
       require(missing.isEmpty,

@@ -1505,6 +1505,86 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE snap_cm")
   }
 
+  test("CDC replication under schema evolution: the replica's applyChangeFeed sink evolves with the source") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val srcRoot = tmp(); val dstRoot = tmp(); val cp = tmp()
+    val src = new SnapshotStore(srcRoot)
+    val dst = new SnapshotStore(dstRoot)
+    src.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      statsColumn = Some("id"))
+    dst.commitTruncate(src.tableSchema(), statsColumn = Some("id"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", srcRoot).option("readChangeFeed", "true").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", dstRoot).option("checkpointLocation", cp)
+        .option("mergeKeys", "id").option("applyChangeFeed", "true")
+        .option("mergeSchema", "true")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val dstPreEvolution = dst.latestVersion.get
+    assert(dst.read(spark).orderBy("id").collect().toSeq ==
+      src.read(spark).orderBy("id").collect().toSeq)
+    // the SOURCE evolves mid-stream: new column + rows carrying it
+    src.addColumns(StructType(Seq(StructField("extra", LongType))))
+    src.commitAppend(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+    src.mergeInto(spark, Seq((1L, "a1", 10L)).toDF("id", "v", "extra"),
+      Seq("id"), mergeOnRead = true)
+    // a NEW AvailableNow run re-pins the stream schema (now evolved);
+    // the sink must EVOLVE the replica rather than refuse or silently
+    // drop the new column
+    drain()
+    assert(dst.tableSchema().fieldNames.toSeq == src.tableSchema().fieldNames.toSeq)
+    assert(dst.read(spark).orderBy("id").collect().toSeq ==
+      src.read(spark).orderBy("id").collect().toSeq,
+      "replica must converge with the evolved schema and values")
+    // pre-evolution versions still time-travel on BOTH sides
+    assert(!src.read(spark, Some(0L)).columns.contains("extra"))
+    assert(!dst.read(spark, Some(dstPreEvolution)).columns.contains("extra"))
+    // without mergeSchema the widened batch is refused loudly, not dropped
+    val dst2Root = tmp()
+    val dst2 = new SnapshotStore(dst2Root)
+    dst2.commitTruncate(StructType(src.tableSchema().fields.filterNot(_.name == "extra")))
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("path", srcRoot).option("readChangeFeed", "true").load()
+      .writeStream.format("graft-snapshot")
+      .option("path", dst2Root).option("checkpointLocation", tmp())
+      .option("mergeKeys", "id").option("applyChangeFeed", "true")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[StreamingQueryException] { q2.awaitTermination() }
+    assert(e.getMessage.contains("mergeSchema") ||
+      Option(e.getCause).exists(_.getMessage.contains("mergeSchema")))
+  }
+
+  test("CTAS: CREATE TABLE ... USING graft-snapshot AS SELECT births the table with layout and stats properties") {
+    import spark.implicits._
+    val root = tmp()
+    Seq((1L, "d1", 10.0), (2L, "d2", 20.0), (3L, "d1", 30.0))
+      .toDF("id", "day", "amt").createOrReplaceTempView("ctas_src")
+    spark.sql("DROP TABLE IF EXISTS snap_ctas")
+    spark.sql(s"""CREATE TABLE snap_ctas USING `graft-snapshot`
+      OPTIONS (path '$root', partitionBy 'day', statsColumn 'id')
+      AS SELECT id, day, amt FROM ctas_src""")
+    val store = new SnapshotStore(root)
+    // CTAS lands version 0 with the declared layout + stats properties
+    assert(store.latestVersion.contains(0L))
+    val m = store.readFullManifest(0L)
+    assert(m.partCols == Seq("day"), "partitionBy option must reach the store")
+    assert(m.statsColumn.contains("id"), "statsColumn option must reach the store")
+    assert(m.entries.forall(_.path.contains("day=")), "hive-partitioned staging")
+    assert(m.entries.forall(e => e.min.nonEmpty && e.max.nonEmpty),
+      "stats collected at CTAS time")
+    // the catalog reads it back; later appends inherit the layout
+    assert(spark.sql("SELECT SUM(amt) FROM snap_ctas").head().getDouble(0) == 60.0)
+    spark.sql("INSERT INTO snap_ctas VALUES (4, 40.0, 'd2')")
+    assert(spark.sql("SELECT COUNT(*) FROM snap_ctas WHERE day = 'd2'")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TABLE snap_ctas")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
