@@ -1574,6 +1574,45 @@ final class SnapshotStore(root: String) {
       mappingOverride = Some((m.colMap, readHeader(cur).retired)))
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): birth
+    * THIS (empty) store as a zero-copy fork of `source` at `version`
+    * (default its latest) — ONE manifest commit referencing the
+    * source's data files and DV sidecars by ABSOLUTE path, no data
+    * movement at any table size. Schema, stats property, partition
+    * layout, CHECK constraints and the column mapping all travel. From
+    * then on the two histories are independent: the clone's
+    * appends/DML/compaction stage under the CLONE's root and never
+    * touch a source file (immutability — nobody rewrites in place),
+    * and a FULL compaction of the clone rewrites every referenced file
+    * locally, materializing it into a deep copy.
+    *
+    * HAZARD (inherent to shallow clones, same as Delta's): VACUUM on
+    * the SOURCE only inspects its own manifests — it can reclaim files
+    * a shallow clone still references. Clones are for dev/test forks
+    * and short-lived experiments; materialize (compact) before relying
+    * on one past the source's retention.
+    */
+  def cloneFrom(source: SnapshotStore, version: Option[Long] = None): Long = {
+    require(latestVersion.isEmpty,
+      s"SnapshotStore.cloneFrom: store at $root already has versions " +
+        s"${versions.mkString(",")} — a clone births a NEW store")
+    require(source.rootPath.normalize != rootPath.normalize,
+      "SnapshotStore.cloneFrom: a store cannot clone itself (use restore " +
+        "for in-place time travel)")
+    val v = version.orElse(source.latestVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore.cloneFrom: source has no committed versions"))
+    val m = source.readFullManifest(v)
+    def abs(rel: String): String = source.rootPath.resolve(rel).toString
+    // FileEntry is store-inner (path-dependent): rebuild under THIS store
+    val entries: Seq[FileEntry] = m.entries.map(e =>
+      FileEntry(abs(e.path), e.min, e.max, e.dv.map(abs), e.extra, e.bytes))
+    publishEntries(entries, m.schema, m.statsColumn,
+      partCols = m.partCols, expectedVersion = Some(0L),
+      constraintsOverride = Some(m.constraints),
+      mappingOverride = Some((m.colMap, m.retired)))
+  }
+
   /** Highest streaming batch id committed into this table by `appId` —
     * the newest version carrying that app's `#txn` marker wins
     * (versions are serial, so a later manifest is a later commit).

@@ -1413,6 +1413,56 @@ object Curation {
                  CAST(SUM(flag) AS BIGINT)
           FROM o)
         SELECT * FROM agg ORDER BY seg
+      """)),
+    // ----------------------------------------------------------------
+    // SHALLOW CLONE — the zero-copy table fork (Delta's CREATE TABLE
+    // SHALLOW CLONE): one manifest commit referencing the source's
+    // files by absolute path, after which the two histories diverge
+    // independently — the source's CoW delete rewrites ITS files while
+    // the clone keeps reading the pinned originals (immutability), and
+    // the clone's append never surfaces in the source. The oracle
+    // replays the divergence as plain SQL; a leak in either direction
+    // (shared mutation, missed fork pinning) breaks a group.
+    Q(
+      "q296_shallow_clone",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val rootA = java.nio.file.Files.createTempDirectory("graft-cla").toString
+        val rootB = java.nio.file.Files.createTempDirectory("graft-clb").toString
+        val a = new graft.etl.SnapshotStore(rootA)
+        a.commitOverwrite(o.repartitionByRange(4, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        val b = new graft.etl.SnapshotStore(rootB)
+        b.cloneFrom(a) // zero-copy fork at a's latest
+        // diverge: A deletes a third; B appends a shifted slice
+        a.deleteWhere(s, $"o_orderkey" % 3 === 0)
+        b.commitAppend(o.filter($"o_orderkey" % 100 === 7)
+          .select(($"o_orderkey" + 700000000L).as("o_orderkey"), $"o_custkey"))
+        def agg(df: org.apache.spark.sql.DataFrame, seg: String) =
+          df.groupBy(lit(seg).as("seg"))
+            .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        agg(a.read(s), "a_live")
+          .unionByName(agg(b.read(s), "b_live"))
+          .unionByName(agg(b.read(s, Some(0L)), "b_v0"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey FROM orders),
+        a_live AS (SELECT o_orderkey FROM o WHERE o_orderkey % 3 <> 0),
+        b_live AS (
+          SELECT o_orderkey FROM o
+          UNION ALL
+          SELECT o_orderkey + 700000000 FROM o WHERE o_orderkey % 100 = 7),
+        agg AS (
+          SELECT 'a_live' AS seg, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM a_live
+          UNION ALL
+          SELECT 'b_live', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM b_live
+          UNION ALL
+          SELECT 'b_v0', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM o)
+        SELECT * FROM agg ORDER BY seg
       """))
   )
 }

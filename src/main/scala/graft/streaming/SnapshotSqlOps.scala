@@ -58,6 +58,9 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
         "graft-snapshot VACUUM requires an explicit retention " +
           s"(VACUUM $target RETAIN n VERSIONS) — a default that silently " +
           "erases time travel is how history disappears")
+    case ShallowCloneRe(target, source, v, location) =>
+      ShallowCloneSnapshotCommand(target.trim, source.trim,
+        Option(v).map(_.toLong), Option(location))
     case RestoreVersionRe(target, v) =>
       RestoreSnapshotCommand(target.trim, Some(v.toLong), None)
     case RestoreTimestampRe(target, ts) =>
@@ -128,6 +131,10 @@ object SnapshotSqlParser {
     s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private[streaming] val VacuumBareRe =
     s"""(?is)\\s*VACUUM\\s+$T\\s*;?\\s*""".r
+  private[streaming] val ShallowCloneRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private[streaming] val RestoreVersionRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -480,6 +487,38 @@ final case class VacuumSnapshotCommand(target: String, retainVersions: Int)
     store.vacuum(keepLast = retainVersions)
     name.foreach(session.catalog.refreshTable)
     Seq(Row(store.versions.length))
+  }
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF v] [LOCATION 'p']` —
+  * zero-copy table fork: one manifest commit referencing the source's
+  * files by absolute path ([[SnapshotStore.cloneFrom]]). A catalog-name
+  * target requires LOCATION (the clone needs its own store root) and is
+  * registered in the catalog; a quoted-path target clones straight to
+  * that path. Histories diverge independently afterwards.
+  */
+final case class ShallowCloneSnapshotCommand(target: String, source: String,
+    version: Option[Long], location: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (src, _) = SnapshotSqlParser.resolveStore(session, source)
+    val t = target.trim
+    val quotedPath = (t.startsWith("'") && t.endsWith("'")) ||
+      (t.startsWith("\"") && t.endsWith("\""))
+    val root = if (quotedPath) t.substring(1, t.length - 1)
+      else location.getOrElse(throw new IllegalArgumentException(
+        s"SHALLOW CLONE: catalog target '$target' needs LOCATION '<path>' " +
+          "(the clone is a new store; its root cannot be inferred)"))
+    val clone = new SnapshotStore(root)
+    clone.cloneFrom(src, version)
+    if (!quotedPath)
+      session.sql(s"CREATE TABLE $target USING `graft-snapshot` " +
+        s"OPTIONS (path '${root.replace("'", "''")}')")
+    val m = clone.readFullManifest(0L)
+    Seq(Row(version.getOrElse(src.latestVersion.get), m.entries.length))
   }
 }
 

@@ -580,6 +580,26 @@ final class SnapshotStreamSource(
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
     advanceFloor(to)
+    // The stream's schema is PINNED at query start; columns the table
+    // gains later are legitimately invisible until restart, and a
+    // pinned column absent from an EARLY version (catch-up batches:
+    // born later, null-pads) is fine. What is NOT fine: a pinned
+    // column absent from the batch-end version AND from the live
+    // table — it was RENAMED or DROPPED mid-stream, and silently
+    // null-padding it would deliver wrong rows forever. Loud, with the
+    // recovery recipe. A vacuumed batch-end version skips the guard —
+    // the read below fails with its own (better) recovery message.
+    scala.util.Try(store.tableSchema(Some(to))).foreach { endSchema =>
+      val end = endSchema.fieldNames.toSet
+      lazy val live = store.tableSchema().fieldNames.toSet
+      val gone = pinned.fieldNames
+        .filterNot(end.contains).filterNot(live.contains)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-snapshot source: columns ${gone.mkString(", ")} of the " +
+            s"stream's pinned schema were renamed or dropped by version $to " +
+            "— restart the stream to re-pin the evolved schema")
+    }
     if (readChangeFeed) {
       // CDC stream: every commit in (from, to] as change ROWS —
       // appends emit inserts, CoW/MoR row-level DML emits its honest

@@ -1568,6 +1568,52 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("constraint 'x_pos'"))
   }
 
+  test("SHALLOW CLONE: a zero-copy fork whose history diverges independently; properties travel; compaction materializes") {
+    import spark.implicits._
+    val rootA = tmp(); val rootB = tmp()
+    val a = new SnapshotStore(rootA)
+    a.commitOverwrite((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")), statsColumn = Some("id"))
+    a.addConstraint(spark, "id_pos", "id >= 0")
+    a.commitAppend(Seq((1001L, "x")).toDF("id", "v").coalesce(1))
+    val b = new SnapshotStore(rootB)
+    b.cloneFrom(a) // at a's latest (v2)
+    // ZERO copy: the clone's manifest references a's files by identity
+    val aFiles = a.readFullManifest(a.latestVersion.get).entries
+      .map(e => java.nio.file.Paths.get(rootA).resolve(e.path).toString).toSet
+    val bEntries = b.readFullManifest(0L).entries.map(_.path).toSet
+    assert(bEntries == aFiles, "clone must reference the source files, not copies")
+    assert(b.read(spark).orderBy("id").collect().toSeq ==
+      a.read(spark).orderBy("id").collect().toSeq)
+    // properties travel: the clone enforces the source's constraint
+    assert(intercept[Exception] {
+      b.commitAppend(Seq((-5L, "bad")).toDF("id", "v").coalesce(1))
+    }.getMessage.contains("id_pos"))
+    // histories DIVERGE: a CoW delete on the source rewrites source
+    // files; the clone still reads its pinned v0 (immutability)
+    a.deleteWhere(spark, $"id" <= 500L)
+    b.commitAppend(Seq((2000L, "b-only")).toDF("id", "v").coalesce(1))
+    assert(a.read(spark).count() == 501L)
+    assert(b.read(spark).count() == 1002L)
+    assert(b.read(spark).filter($"id" === 7L).count() == 1L,
+      "the clone keeps rows the source deleted")
+    assert(a.read(spark).filter($"id" === 2000L).isEmpty,
+      "the source never sees the clone's appends")
+    // stats traveled: the clone's range read prunes on the cloned stats
+    assert(b.readRange(spark, "id", 1L, 10L).count() == 10L)
+    // a FULL compaction of the clone materializes it: every entry local
+    val cv = b.compactLatest(spark, targetFiles = 2)
+    assert(b.readFullManifest(cv).entries.forall(e => !e.path.startsWith("/")),
+      "materialized clone must hold only clone-local (relative) files")
+    assert(b.read(spark).count() == 1002L)
+    // cloning onto a non-empty store is refused; self-clone is refused
+    assert(intercept[IllegalArgumentException] { b.cloneFrom(a) }
+      .getMessage.contains("births a NEW store"))
+    val c = new SnapshotStore(tmp())
+    assert(intercept[IllegalArgumentException] { c.cloneFrom(c) }
+      .getMessage.contains("cannot clone itself"))
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

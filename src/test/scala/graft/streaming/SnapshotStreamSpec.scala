@@ -1585,6 +1585,58 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE snap_ctas")
   }
 
+  test("a mid-stream RENAME/DROP of a pinned column fails the stream loudly — never silent nulls") {
+    import spark.implicits._
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    // a RUNNING query pins (id, v); the rename lands between triggers —
+    // a restart would re-pin automatically, so mid-run is the only
+    // window where silent null-padding could strike
+    val q = spark.readStream.format("graft-snapshot").option("path", root).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      store.renameColumn(spark, "v", "w")
+      store.commitAppend(Seq((2L, "b")).toDF("id", "w"))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("renamed or dropped") &&
+        m.contains("restart the stream")), msgs(e).mkString(" | "))
+    } finally q.stop()
+  }
+
+  test("SQL SHALLOW CLONE: CREATE TABLE ... SHALLOW CLONE with VERSION AS OF and LOCATION registers a zero-copy fork") {
+    import spark.implicits._
+    val srcRoot = tmp(); val cloneRoot = s"${tmp()}/clone"
+    val src = new SnapshotStore(srcRoot)
+    src.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.commitAppend(Seq((3L, "c")).toDF("id", "v"))
+    spark.sql("DROP TABLE IF EXISTS snap_clone_src")
+    spark.sql(s"CREATE TABLE snap_clone_src USING `graft-snapshot` OPTIONS (path '$srcRoot')")
+    spark.sql("DROP TABLE IF EXISTS snap_clone2")
+    // clone at VERSION AS OF 0 — the fork pins history, not the live head
+    val row = spark.sql("CREATE TABLE snap_clone2 SHALLOW CLONE snap_clone_src " +
+      s"VERSION AS OF 0 LOCATION '$cloneRoot'").head()
+    assert(row.getAs[Long]("cloned_version") == 0L)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_clone2").head().getLong(0) == 2L)
+    // diverge through SQL: the clone takes writes, the source is untouched
+    spark.sql("INSERT INTO snap_clone2 VALUES (9, 'z')")
+    assert(spark.sql("SELECT COUNT(*) FROM snap_clone2").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_clone_src").head().getLong(0) == 3L)
+    assert(new SnapshotStore(srcRoot).latestVersion.contains(1L),
+      "the source history gains no version from the clone's writes")
+    // a catalog target without LOCATION is refused with the recipe
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE snap_clone3 SHALLOW CLONE snap_clone_src")
+    }
+    assert(e.getMessage.contains("LOCATION"))
+    spark.sql("DROP TABLE snap_clone2"); spark.sql("DROP TABLE snap_clone_src")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
