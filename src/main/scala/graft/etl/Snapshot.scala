@@ -1765,6 +1765,54 @@ final class SnapshotStore(root: String) {
       mappingOverride = Some((m.colMap - name, (m.retired :+ phys).distinct)))
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` — TYPE WIDENING as
+    * one O(manifest) commit, zero file rewrites: Spark's parquet reader
+    * (4.x) upcasts narrow physical types to a wider requested schema
+    * natively (int32 files read back as long/double/decimal, float as
+    * double), so publishing the SAME file list under the widened schema
+    * is exact; files staged afterwards store the wide type and the two
+    * generations coexist under one logical schema (Delta's
+    * type-widening matrix re-derived). Only WIDENINGS in the allowlist
+    * are accepted — a narrowing or cross-family change would silently
+    * corrupt reads and is refused loudly. Manifest stats stay valid:
+    * min/max are recorded as longs, and integral widenings preserve
+    * them; the stats/partition/constraint property gates of
+    * rename/drop do NOT apply (the column keeps its name and order,
+    * only its width grows).
+    */
+  def widenColumnType(name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.widenColumnType: no committed versions at $root"))
+    val m = readFullManifest(v)
+    val f = m.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore.widenColumnType: no column '$name' " +
+          s"(have: ${m.schema.fieldNames.mkString(", ")})"))
+    require(!m.partCols.contains(name),
+      s"SnapshotStore.widenColumnType: '$name' is a partition column — " +
+        "partition values are typed path metadata; rewrite the table to " +
+        "change them")
+    val ok: Set[DataType] = f.dataType match {
+      case ByteType => Set(ShortType, IntegerType, LongType, DoubleType)
+      case ShortType => Set(IntegerType, LongType, DoubleType)
+      case IntegerType => Set(LongType, DoubleType)
+      case FloatType => Set(DoubleType)
+      case other => Set.empty
+    }
+    require(ok.contains(newType),
+      s"SnapshotStore.widenColumnType: ${f.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a supported WIDENING for '$name' " +
+        s"(allowed: ${if (ok.isEmpty) "none — only byte/short/int/float widen"
+          else ok.map(_.simpleString).mkString(", ")})")
+    val widened = StructType(m.schema.fields.map(fl =>
+      if (fl.name == name) fl.copy(dataType = newType) else fl))
+    publishEntries(m.entries, widened, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
+      mappingOverride = Some((m.colMap, m.retired)))
+  }
+
   /** Schema evolution without touching a file — the `ALTER TABLE ...
     * ADD COLUMNS` physics: publish the SAME file list under a widened
     * schema. Old files simply lack the new columns, and the parquet

@@ -1463,6 +1463,51 @@ object Curation {
           UNION ALL
           SELECT 'b_v0', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM o)
         SELECT * FROM agg ORDER BY seg
+      """)),
+    // ----------------------------------------------------------------
+    // TYPE WIDENING — ALTER COLUMN TYPE as an O(manifest) commit: the
+    // narrow-int generation of files upcasts at scan time (Spark's
+    // parquet reader reads int32 under a BIGINT schema natively), the
+    // post-widening insert carries values beyond int range, and the two
+    // generations aggregate together under one logical schema. The
+    // oracle replays the widened union as plain SQL; a lost upcast or a
+    // truncated wide value breaks the sums.
+    Q(
+      "q297_type_widening",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey".cast("int").as("k"),
+            $"o_custkey".cast("int").as("c"))
+        val root = java.nio.file.Files.createTempDirectory("graft-tw").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(4, $"k"),
+          statsColumn = Some("k"))
+        s.sql("DROP TABLE IF EXISTS g297_tw")
+        s.sql(s"CREATE TABLE g297_tw USING `graft-snapshot` OPTIONS (path '$root')")
+        try {
+          s.sql("ALTER TABLE g297_tw ALTER COLUMN k TYPE BIGINT")
+          s.sql("""INSERT INTO g297_tw
+            SELECT CAST(k AS BIGINT) + 5000000000, c
+            FROM g297_tw WHERE k % 100 = 3""")
+          s.table("g297_tw")
+            .groupBy(when($"k" > 4000000000L, 1).otherwise(0).as("wide"))
+            .agg(count(lit(1)).as("n"), sum($"k").as("key_sum"),
+              sum($"c").as("cust_sum"))
+            .orderBy("wide")
+        } finally s.sql("DROP TABLE IF EXISTS g297_tw")
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(o_custkey AS INT) AS c FROM orders),
+        uni AS (
+          SELECT k, c, 0 AS wide FROM o
+          UNION ALL
+          SELECT k + 5000000000, c, 1 FROM o WHERE k % 100 = 3)
+        SELECT wide, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(SUM(c) AS BIGINT) AS cust_sum
+        FROM uni GROUP BY 1 ORDER BY wide
       """))
   )
 }

@@ -69,6 +69,9 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       // Spark owns this grammar for other providers: keep the
       // delegate's plan as the non-snapshot fallback
       AddColumnsSnapshotCommand(target.trim, cols, delegate.parsePlan(sqlText))
+    case AlterColumnTypeRe(target, colName, ddlType) =>
+      AlterColumnTypeSnapshotCommand(target.trim, stripIdent(colName),
+        ddlType.trim, fallbackOf(sqlText))
     case RenameColumnRe(target, from, to) =>
       AlterColumnSnapshotCommand(target.trim,
         rename = Some((stripIdent(from), stripIdent(to))), drops = Nil,
@@ -144,6 +147,9 @@ object SnapshotSqlParser {
   private[streaming] val AddColumnsRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+  private[streaming] val AlterColumnTypeRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+(?:ALTER|CHANGE)\s+COLUMN\s+([\w`]+)\s+TYPE\s+([\w(),\s]+?)\s*;?\s*""").r
   private[streaming] val RenameColumnRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*""").r
@@ -551,6 +557,32 @@ final case class RestoreSnapshotCommand(target: String,
     // a restore across a schema evolution changes the live schema
     name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
     Seq(Row(v, nv))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` on a snapshot table:
+  * TYPE WIDENING as one O(manifest) commit — old narrow files upcast
+  * at scan time (Spark's parquet reader does this natively), new files
+  * store the wide type. Non-snapshot targets re-run the delegate's plan.
+  */
+final case class AlterColumnTypeSnapshotCommand(target: String,
+    column: String, ddlType: String, fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = fallback.toSeq
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!SnapshotSqlParser.isSnapshotTarget(session, target)) {
+      val plan = fallback.getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE ... ALTER COLUMN TYPE: '$target' is not a " +
+          "graft-snapshot table and Spark's own parser does not accept " +
+          "this statement"))
+      org.apache.spark.sql.GraftStreamBridge.ofRows(session, plan).collect()
+      return Seq.empty
+    }
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    store.widenColumnType(column,
+      session.sessionState.sqlParser.parseDataType(ddlType))
+    name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
+    Seq.empty
   }
 }
 

@@ -1614,6 +1614,40 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("cannot clone itself"))
   }
 
+  test("type widening: ALTER COLUMN TYPE is O(manifest); narrow files upcast at scan; narrowing refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1 to 100).map(i => (i, i.toFloat / 2)).toDF("id", "score")
+        .repartitionByRange(2, col("id")), statsColumn = Some("id"))
+    val files0 = store.readFullManifest(0L).entries.map(_.path).toSet
+    val v1 = store.widenColumnType("id", LongType)
+    val v2 = store.widenColumnType("score", DoubleType)
+    assert(store.readFullManifest(v2).entries.map(_.path).toSet == files0,
+      "widening must rewrite no file")
+    val widened = store.read(spark)
+    assert(widened.schema("id").dataType == LongType)
+    assert(widened.schema("score").dataType == DoubleType)
+    assert(widened.filter($"id" === 7L).head().getDouble(1) == 3.5)
+    // appends now carry the WIDE type, including values beyond int range
+    store.commitAppend(Seq((5000000000L, 9.25)).toDF("id", "score").coalesce(1))
+    assert(store.read(spark).filter($"id" === 5000000000L).count() == 1L)
+    // manifest stats stay valid across generations: range read prunes +
+    // returns exact rows from both narrow and wide files
+    assert(store.readRange(spark, "id", 1L, 10L).count() == 10L)
+    assert(store.readRange(spark, "id", 4999999999L, 5000000001L).count() == 1L)
+    // time travel: the old version keeps its own narrow types
+    assert(store.read(spark, Some(0L)).schema("id").dataType == IntegerType)
+    // narrowing and cross-family changes are refused loudly
+    assert(intercept[IllegalArgumentException] {
+      store.widenColumnType("id", IntegerType)
+    }.getMessage.contains("not a supported WIDENING"))
+    assert(intercept[IllegalArgumentException] {
+      store.widenColumnType("score", StringType)
+    }.getMessage.contains("not a supported WIDENING"))
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
