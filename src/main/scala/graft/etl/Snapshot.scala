@@ -132,7 +132,7 @@ final class SnapshotStore(root: String) {
     */
   final case class FileEntry(path: String, min: Option[Long], max: Option[Long],
       dv: Seq[String] = Nil, extra: Seq[(String, Long, Long)] = Nil,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None, bloom: Option[String] = None)
 
   /** Spec hook: observes every per-file `stat(2)` fallback taken when a
     * manifest entry carries no recorded byte size — lets a spec PROVE
@@ -241,16 +241,23 @@ final class SnapshotStore(root: String) {
   def commitOverwrite(df: DataFrame, statsColumn: Option[String] = None,
       txn: Option[(String, Long)] = None, partitionBy: Seq[String] = Nil): Long = {
     // a full replace starts the physical layout over: the new files
-    // store the frame's own (logical) names, so the mapping resets
+    // store the frame's own (logical) names, so the mapping resets;
+    // the BLOOM property survives when its column does (the index is
+    // per-file — the fresh files collect their own filters)
+    val bloomCol = latestVersion.map(readHeader).flatMap(_.bloomColumn)
+      .filter(df.columns.contains)
     if (partitionBy.isEmpty) {
-      val staged = stageEntries(df, statsColumn)
+      val staged = stageEntries(df, statsColumn, bloomColumn = bloomCol)
       publishEntries(staged, df.schema, statsColumn, txn,
-        mappingOverride = Some((Map.empty, Nil)))
+        mappingOverride = Some((Map.empty, Nil)),
+        bloomOverride = Some(bloomCol))
     } else {
       val schema = normalizePartitionedSchema(df.schema, partitionBy)
-      val staged = stagePartitioned(df, partitionBy, statsColumn)
+      val staged = stagePartitioned(df, partitionBy, statsColumn,
+        bloomColumn = bloomCol.filterNot(partitionBy.contains))
       publishEntries(staged, schema, statsColumn, txn, partCols = partitionBy,
-        mappingOverride = Some((Map.empty, Nil)))
+        mappingOverride = Some((Map.empty, Nil)),
+        bloomOverride = Some(bloomCol.filterNot(partitionBy.contains)))
     }
   }
 
@@ -272,7 +279,7 @@ final class SnapshotStore(root: String) {
     require(m.partCols.nonEmpty,
       s"SnapshotStore.commitReplacePartitions: version $v is not partitioned")
     requireSameColumns(m.schema, df.schema, v)
-    val staged = stagePartitioned(df, m.partCols, m.statsColumn, m.colMap)
+    val staged = stagePartitioned(df, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
     val touched = staged.map(e => partitionTupleOf(e.path, m.partCols)).toSet
     val kept = m.entries.filterNot(e =>
       touched.contains(partitionTupleOf(e.path, m.partCols)))
@@ -383,6 +390,7 @@ final class SnapshotStore(root: String) {
     // list is materialized only at checkpoint cadence, amortized 1/K.
     var staged: Option[(Seq[FileEntry], Option[String], Seq[String],
       Map[String, String])] = None
+    var bloomCol: Option[String] = None
     var attempt = 0
     while (true) {
       attempt += 1
@@ -414,6 +422,7 @@ final class SnapshotStore(root: String) {
             val addedNames = pub.fieldNames.filterNot(
               h.schema.fieldNames.contains).toSeq
             val extended = extendMapping(h.colMap, h.retired, h.schema, addedNames)
+            bloomCol = h.bloomColumn
             (pub, effectiveStats(h.statsColumn), h.partCols, v + 1L,
               (extended, h.retired))
         }
@@ -444,8 +453,9 @@ final class SnapshotStore(root: String) {
             // wrong column — strip them, conservative by design.
             files.map(_.copy(min = None, max = None, extra = Nil))
           case None =>
-            val e = if (parts.isEmpty) stageEntries(df, effective, mapping._1)
-                    else stagePartitioned(df, parts, effective, mapping._1)
+            val e = if (parts.isEmpty)
+                stageEntries(df, effective, mapping._1, bloomCol)
+              else stagePartitioned(df, parts, effective, mapping._1, bloomCol)
             staged = Some((e, effective, parts, mapping._1))
             e
         }
@@ -604,8 +614,8 @@ final class SnapshotStore(root: String) {
     // partitioned tables re-stage hive-style: targetFiles bounds the
     // files per PARTITION (each partition directory compacts separately)
     val staged =
-      if (m.partCols.isEmpty) stageEntries(laid, m.statsColumn, m.colMap)
-      else stagePartitioned(laid, m.partCols, m.statsColumn, m.colMap)
+      if (m.partCols.isEmpty) stageEntries(laid, m.statsColumn, m.colMap, m.bloomColumn)
+      else stagePartitioned(laid, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
     // CONFLICT GRANULARITY (the second half of optimistic concurrency —
     // Delta's protocol lets a dataChange=false rewrite commit when the
     // concurrent commits didn't touch the files it rewrote): a
@@ -749,7 +759,19 @@ final class SnapshotStore(root: String) {
         }
       case None => (m.entries, Seq.empty[FileEntry], None)
     }
-    val conflicts = keyRangeConflicts(m.statsColumn, pruneCol, deltaRange)
+    // BLOOM key-set pruning composes with the range split: when the
+    // delta is a small point set on the bloom column (scattered CDC
+    // upserts), files whose filter excludes every key drop out — the
+    // unclustered-key pruning the range stats cannot give
+    val bloomHs: Option[Set[Long]] =
+      m.bloomColumn.filter(keys.contains)
+        .flatMap(bc => deltaKeyHashes(delta, bc))
+    val touchedB = bloomHs match {
+      case Some(hs) => touched.filter(e => bloomKeep(e, hs))
+      case None => touched
+    }
+    val conflicts = composeBloomConflicts(
+      keyRangeConflicts(m.statsColumn, pruneCol, deltaRange), bloomHs)
     if (mergeOnRead) {
       import org.apache.spark.sql.functions.{col, count, lit}
       require(delta.groupBy(keys.map(col): _*)
@@ -758,22 +780,22 @@ final class SnapshotStore(root: String) {
           "key tuple — appending both would keep both; dedup the delta " +
           "first (Dedup.latestByKey)")
       val dkeys = delta.select(keys.map(k => col(k).as(s"__d_$k")): _*)
-      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols, m.colMap)
+      val matchedRows = liveWithPos(spark, m.schema, touchedB, m.partCols, m.colMap)
         .join(dkeys, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
           "left_semi")
       val (dvRel, hitFiles) = writeDvSidecar(spark,
         matchedRows.select(col("__file").as("file"), col("__pos").as("pos")))
       val staged =
-        if (m.partCols.isEmpty) stageEntries(delta, m.statsColumn, m.colMap)
-        else stagePartitioned(delta, m.partCols, m.statsColumn, m.colMap)
+        if (m.partCols.isEmpty) stageEntries(delta, m.statsColumn, m.colMap, m.bloomColumn)
+        else stagePartitioned(delta, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
       publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, staged, txn,
         conflicts)
     } else {
-      val merged = Merge.upsert(scan(spark, m.schema, touched, m.partCols, m.colMap), delta, keys)
+      val merged = Merge.upsert(scan(spark, m.schema, touchedB, m.partCols, m.colMap), delta, keys)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn, m.colMap)
-        else stagePartitioned(merged, m.partCols, m.statsColumn, m.colMap)
-      publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, txn,
+        if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn, m.colMap, m.bloomColumn)
+        else stagePartitioned(merged, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
+      publishRowOp(m, touchedB.map(_.path).toSet, Map.empty, staged, txn,
         conflicts)
     }
   }
@@ -837,10 +859,22 @@ final class SnapshotStore(root: String) {
         }
       case None => (m.entries, Seq.empty[FileEntry], None)
     }
-    val conflicts = keyRangeConflicts(m.statsColumn, pruneCol, deltaRange)
+    // BLOOM key-set pruning composes with the range split: when the
+    // delta is a small point set on the bloom column (scattered CDC
+    // upserts), files whose filter excludes every key drop out — the
+    // unclustered-key pruning the range stats cannot give
+    val bloomHs: Option[Set[Long]] =
+      m.bloomColumn.filter(keys.contains)
+        .flatMap(bc => deltaKeyHashes(changes, bc))
+    val touchedB = bloomHs match {
+      case Some(hs) => touched.filter(e => bloomKeep(e, hs))
+      case None => touched
+    }
+    val conflicts = composeBloomConflicts(
+      keyRangeConflicts(m.statsColumn, pruneCol, deltaRange), bloomHs)
     if (mergeOnRead) {
       val dkeys = changes.select(keys.map(k => col(k).as(s"__d_$k")): _*)
-      val matchedRows = liveWithPos(spark, m.schema, touched, m.partCols, m.colMap)
+      val matchedRows = liveWithPos(spark, m.schema, touchedB, m.partCols, m.colMap)
         .join(dkeys, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
           "left_semi")
       val (dvRel, hitFiles) = writeDvSidecar(spark,
@@ -848,19 +882,19 @@ final class SnapshotStore(root: String) {
       val images = changes.filter(Merge.validatedOp(col(opCol)) === "U")
         .select(m.schema.fieldNames.toSeq.map(col): _*)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(images, m.statsColumn, m.colMap)
-        else stagePartitioned(images, m.partCols, m.statsColumn, m.colMap)
+        if (m.partCols.isEmpty) stageEntries(images, m.statsColumn, m.colMap, m.bloomColumn)
+        else stagePartitioned(images, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
       publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, staged, txn,
         conflicts)
     } else {
       val shaped = changes.select(
         (m.schema.fieldNames.toSeq :+ opCol).map(col): _*)
       val applied = Merge.applyChangeLog(
-        scan(spark, m.schema, touched, m.partCols, m.colMap), shaped, keys, opCol)
+        scan(spark, m.schema, touchedB, m.partCols, m.colMap), shaped, keys, opCol)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(applied, m.statsColumn, m.colMap)
-        else stagePartitioned(applied, m.partCols, m.statsColumn, m.colMap)
-      publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, txn,
+        if (m.partCols.isEmpty) stageEntries(applied, m.statsColumn, m.colMap, m.bloomColumn)
+        else stagePartitioned(applied, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
+      publishRowOp(m, touchedB.map(_.path).toSet, Map.empty, staged, txn,
         conflicts)
     }
   }
@@ -1052,8 +1086,8 @@ final class SnapshotStore(root: String) {
     }
     val merged = withActs.filter(keepRow).select(outCols: _*)
     val staged =
-      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn, m.colMap)
-      else stagePartitioned(merged, m.partCols, m.statsColumn, m.colMap)
+      if (m.partCols.isEmpty) stageEntries(merged, m.statsColumn, m.colMap, m.bloomColumn)
+      else stagePartitioned(merged, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
     publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, txn,
       conflicts)
   }
@@ -1108,8 +1142,8 @@ final class SnapshotStore(root: String) {
     } else {
       val kept = scan(spark, m.schema, touched, m.partCols, m.colMap).filter(not(hit))
       val staged =
-        if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn, m.colMap)
-        else stagePartitioned(kept, m.partCols, m.statsColumn, m.colMap)
+        if (m.partCols.isEmpty) stageEntries(kept, m.statsColumn, m.colMap, m.bloomColumn)
+        else stagePartitioned(kept, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
       publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, None,
         conflicts)
     }
@@ -1169,8 +1203,8 @@ final class SnapshotStore(root: String) {
             }
           }: _*)
         val staged =
-          if (m.partCols.isEmpty) stageEntries(images, m.statsColumn, m.colMap)
-          else stagePartitioned(images, m.partCols, m.statsColumn, m.colMap)
+          if (m.partCols.isEmpty) stageEntries(images, m.statsColumn, m.colMap, m.bloomColumn)
+          else stagePartitioned(images, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
         publishRowOp(m, Set.empty, hitFiles.map(_ -> dvRel).toMap, staged,
           None, conflicts)
       }
@@ -1184,8 +1218,8 @@ final class SnapshotStore(root: String) {
           }
         }: _*)
       val staged =
-        if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn, m.colMap)
-        else stagePartitioned(updated, m.partCols, m.statsColumn, m.colMap)
+        if (m.partCols.isEmpty) stageEntries(updated, m.statsColumn, m.colMap, m.bloomColumn)
+        else stagePartitioned(updated, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
       publishRowOp(m, touched.map(_.path).toSet, Map.empty, staged, None,
         conflicts)
     }
@@ -1331,6 +1365,20 @@ final class SnapshotStore(root: String) {
       }
     }
 
+  /** Tighten an added-file conflict test with the BLOOM point set: a
+    * racer-added file that range-wise could hold the op's keys still
+    * cannot conflict when its filter excludes every key — finer rebase
+    * granularity for hash/unclustered sharding. A filterless added
+    * file conservatively conflicts (via the range test's own keep).
+    */
+  private def composeBloomConflicts(
+      base: Seq[FileEntry] => Seq[FileEntry],
+      bloomHs: Option[Set[Long]]): Seq[FileEntry] => Seq[FileEntry] =
+    bloomHs match {
+      case None => base
+      case Some(hs) => added => base(added).filter(e => bloomKeep(e, hs))
+    }
+
   /** Candidate split for a predicate-driven row-level op (DELETE /
     * UPDATE): resolve the user's Column against the table schema (a
     * no-data analysis pass), fold its conjuncts into one [lo, hi]
@@ -1345,7 +1393,8 @@ final class SnapshotStore(root: String) {
       predicate: org.apache.spark.sql.Column)
       : (Seq[FileEntry], Seq[FileEntry]) = {
     val cols = statsParts(m.statsColumn)
-    if (cols.isEmpty) return (m.entries, Seq.empty[FileEntry])
+    if (cols.isEmpty && m.bloomColumn.isEmpty)
+      return (m.entries, Seq.empty[FileEntry])
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], m.schema).filter(predicate)
     val conds = probe.queryExecution.analyzed.collect {
@@ -1355,6 +1404,12 @@ final class SnapshotStore(root: String) {
     def intervalOf(e: FileEntry, c: String): Option[(Long, Long)] =
       if (c == cols.head) e.min.zip(e.max)
       else e.extra.collectFirst { case (`c`, mn, mx) => (mn, mx) }
+    // point-set skipping on the BLOOM column composes with the range
+    // fold: a scattered point delete/update skips every file whose
+    // filter says the value cannot be there — the unclustered-column
+    // pruning range stats cannot give
+    val bloomHs: Option[Set[Long]] =
+      m.bloomColumn.flatMap(bc => bloomHashesOf(bc, conds))
     m.entries.partition { e =>
       cols.forall { c =>
         intervalOf(e, c) match {
@@ -1362,7 +1417,7 @@ final class SnapshotStore(root: String) {
             val (lo, hi) = boundsByCol(c); mx >= lo && mn <= hi
           case None => true // no stats for this column -> cannot prune on it
         }
-      }
+      } && bloomHs.forall(hs => bloomKeep(e, hs))
     }
   }
 
@@ -1872,6 +1927,111 @@ final class SnapshotStore(root: String) {
       constraintsOverride = Some(m.constraints :+ (name -> check)))
   }
 
+  /** Set (or clear) the table's BLOOM FILTER column — the point-lookup
+    * file-skipping property for a column the table is NOT clustered by
+    * (see [[Bloom]]): every file staged FROM NOW ON carries a 512-byte
+    * membership filter over the column in its manifest entry, and
+    * point predicates (`=`, `IN`), point deletes/updates and
+    * small-key-set merges prune files the value cannot be in — the
+    * needle-in-haystack physics range stats cannot give an unclustered
+    * column. Existing files carry no filter (conservatively always
+    * kept) until a compaction rewrites them; collection costs one extra
+    * scan of the STAGED files' one column per commit — the price of
+    * the index, paid only while the property is set.
+    */
+  def setBloomFilter(column: Option[String]): Long = {
+    val v = latestVersion.getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore.setBloomFilter: no committed versions at $root"))
+    val m = readFullManifest(v)
+    column.foreach { c =>
+      require(m.schema.fieldNames.contains(c),
+        s"SnapshotStore.setBloomFilter: no column '$c' " +
+          s"(have: ${m.schema.fieldNames.mkString(", ")})")
+      require(!m.partCols.contains(c),
+        s"SnapshotStore.setBloomFilter: '$c' is a partition column — its " +
+          "values are path metadata, already exact at planning time")
+    }
+    publishEntries(m.entries, m.schema, m.statsColumn,
+      expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
+      bloomOverride = Some(column))
+  }
+
+  /** Per-file bloom filters for freshly staged files: one distributed
+    * pass over the staged files' bloom column — (file, xxhash64(value))
+    * pairs aggregated into one fixed-size filter per file, collected as
+    * O(staged files) driver rows. The SAME xxhash64 the query-time
+    * membership test re-derives for literals, so both sides agree by
+    * construction.
+    */
+  private def collectBlooms(spark: SparkSession, rels: Seq[String],
+      physCol: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace, xxhash64}
+    if (rels.isEmpty) return Map.empty
+    val absToRel = rels.map(r =>
+      rootPath.resolve(r).normalize.toString -> r).toMap
+    val pairs = spark.read
+      .parquet(rels.map(r => rootPath.resolve(r).toString): _*)
+      .where(col(physCol).isNotNull)
+      .select(regexp_replace(col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("f"),
+        xxhash64(col(physCol)).as("h"))
+    pairs.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .aggregateByKey(Bloom.empty())(
+        (b, h) => { Bloom.add(b, h); b }, Bloom.merge)
+      .collect()
+      .flatMap { case (abs, bits) =>
+        absToRel.get(java.nio.file.Paths.get(abs).normalize.toString)
+          .map(_ -> Bloom.encode(bits))
+      }.toMap
+  }
+
+  /** Attach blooms to freshly staged entries when the property is set.
+    * Files the collection pass returned nothing for (all-null or empty)
+    * keep `None` — conservatively never pruned.
+    */
+  private def withBlooms(spark: SparkSession, entries: Seq[FileEntry],
+      bloomColumn: Option[String],
+      colMap: Map[String, String]): Seq[FileEntry] =
+    bloomColumn match {
+      case None => entries
+      case Some(c) =>
+        val blooms = collectBlooms(spark, entries.map(_.path),
+          colMap.getOrElse(c, c))
+        entries.map(e => e.copy(bloom = blooms.get(e.path)))
+    }
+
+  private def bloomHashesOf(column: String,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Set[Long]] = Bloom.pointHashes(column, preds)
+
+  /** Keep-test for one file against a pinned point set: a file with no
+    * recorded filter is always kept; one with a filter survives only if
+    * ANY pinned value might be in it.
+    */
+  private def bloomKeep(e: FileEntry, hs: Set[Long]): Boolean =
+    e.bloom.forall { enc =>
+      val bits = Bloom.decode(enc)
+      hs.exists(Bloom.mightContain(bits, _))
+    }
+
+  /** The delta's distinct key hashes, capped: a small point-set delta
+    * (scattered CDC deletes/upserts — the bloom's reason to exist)
+    * collects its hashes for file skipping; a bulk delta (> cap
+    * distinct keys, where a bloom would pass most files anyway) or one
+    * carrying NULL keys (null-safe merge equality CAN match null rows,
+    * which blooms never index) disables bloom pruning — sound either
+    * way.
+    */
+  private def deltaKeyHashes(delta: DataFrame, column: String,
+      cap: Int = 4096): Option[Set[Long]] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    if (!delta.where(col(column).isNull).isEmpty) return None
+    val rows = delta.select(xxhash64(col(column)).as("h"))
+      .distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.map(_.getLong(0)).toSet)
+  }
+
   /** `ALTER TABLE ... DROP CONSTRAINT name` — O(manifest). */
   def dropConstraint(name: String): Long = {
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
@@ -2085,8 +2245,14 @@ final class SnapshotStore(root: String) {
     (m.schema, m.statsColumn,
       m.entries.map(e => SnapshotStore.EntryInfo(
         rootPath.resolve(e.path).toString, e.min, e.max, e.dv.nonEmpty,
-        e.extra, e.bytes)),
+        e.extra, e.bytes, e.bloom)),
       m.partCols)
+  }
+
+  /** The version's BLOOM FILTER column property (format-layer probe). */
+  private[graft] def bloomColumnAt(asOfVersion: Option[Long] = None): Option[String] = {
+    val v = asOfVersion.orElse(latestVersion).getOrElse(return None)
+    readHeader(v).bloomColumn
   }
 
   /** True when the version carries an active COLUMN MAPPING — the
@@ -2501,7 +2667,8 @@ final class SnapshotStore(root: String) {
     */
   private def stagePartitioned(df: DataFrame, partCols: Seq[String],
       statsColumn: Option[String],
-      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      colMap: Map[String, String] = Map.empty,
+      bloomColumn: Option[String] = None): Seq[FileEntry] = {
     normalizePartitionedSchema(df.schema, partCols) // validates cols + types
     val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
     // partition columns are never remapped (rename/drop refuse them)
@@ -2516,7 +2683,7 @@ final class SnapshotStore(root: String) {
         .map(p => rootPath.relativize(p).toString)
         .toSeq.sorted
     } finally walk.close()
-    statsParts(statsColumn) match {
+    val entries = statsParts(statsColumn) match {
       case Seq() => paths.map(p => FileEntry(p, None, None, bytes = stagedBytes(p)))
       case cols =>
         cols.foreach(c => require(!partCols.contains(c),
@@ -2525,6 +2692,7 @@ final class SnapshotStore(root: String) {
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
         paths.map(rel => entryWithStats(rel, cols, conf, colMap))
     }
+    withBlooms(df.sparkSession, entries, bloomColumn, colMap)
   }
 
   /** Footer-stats collection: one metadata-only parquet footer read per
@@ -2533,14 +2701,16 @@ final class SnapshotStore(root: String) {
     * column is missing, non-integer, or has no non-null values.
     */
   private def stageEntries(df: DataFrame, statsColumn: Option[String],
-      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      colMap: Map[String, String] = Map.empty,
+      bloomColumn: Option[String] = None): Seq[FileEntry] = {
     val paths = stage(df, colMap)
-    statsParts(statsColumn) match {
+    val entries = statsParts(statsColumn) match {
       case Seq() => paths.map(p => FileEntry(p, None, None, bytes = stagedBytes(p)))
       case cols =>
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
         paths.map(rel => entryWithStats(rel, cols, conf, colMap))
     }
+    withBlooms(df.sparkSession, entries, bloomColumn, colMap)
   }
 
   /** The stats property as its column list: `"a"` → Seq(a); `"a,b,c"` →
@@ -2693,7 +2863,8 @@ final class SnapshotStore(root: String) {
       partCols: Seq[String] = Nil,
       constraintsOverride: Option[Seq[(String, String)]] = None,
       prev: Option[Manifest] = None,
-      mappingOverride: Option[(Map[String, String], Seq[String])] = None): Long = {
+      mappingOverride: Option[(Map[String, String], Seq[String])] = None,
+      bloomOverride: Option[Option[String]] = None): Long = {
     val v = expectedVersion.getOrElse(latestVersion.map(_ + 1L).getOrElse(0L))
     // CHECK constraints and the COLUMN MAPPING are table PROPERTIES
     // that must survive every commit shape (append, CoW, compaction,
@@ -2701,17 +2872,20 @@ final class SnapshotStore(root: String) {
     // one choke point every publish passes, so no write path can
     // silently drop them; only the DDL ops (and full replaces, which
     // reset the mapping) override
-    lazy val prevProps: (Seq[(String, String)], Map[String, String], Seq[String]) =
-      if (v == 0L) (Nil, Map.empty, Nil)
+    lazy val prevProps: (Seq[(String, String)], Map[String, String],
+        Seq[String], Option[String]) =
+      if (v == 0L) (Nil, Map.empty, Nil, None)
       else prev match {
         case Some(pm) if pm.version == v - 1L =>
-          (pm.constraints, pm.colMap, pm.retired)
+          (pm.constraints, pm.colMap, pm.retired, pm.bloomColumn)
         case _ =>
-          val h = readHeader(v - 1L); (h.constraints, h.colMap, h.retired)
+          val h = readHeader(v - 1L)
+          (h.constraints, h.colMap, h.retired, h.bloomColumn)
       }
     val constraints = constraintsOverride.getOrElse(prevProps._1)
     val (colMap, retired) =
       mappingOverride.getOrElse((prevProps._2, prevProps._3))
+    val bloomColumn = bloomOverride.getOrElse(prevProps._4)
     val (bodyLines, isDelta) =
       if (isCheckpointVersion(v)) (entries.map(fileLine), false)
       else {
@@ -2733,11 +2907,11 @@ final class SnapshotStore(root: String) {
       }
     val now = System.currentTimeMillis()
     writeManifest(v, schema, statsColumn, txn, rewrite, partCols,
-      constraints, bodyLines, isDelta, now, colMap, retired)
+      constraints, bodyLines, isDelta, now, colMap, retired, bloomColumn)
     // we KNOW v's content — memoize it so the read most callers issue
     // next (and every delta composed against v) is free
     cachePut(v, Manifest(schema, statsColumn, txn, rewrite, entries,
-      Some(now), partCols, constraints, v, colMap, retired))
+      Some(now), partCols, constraints, v, colMap, retired, bloomColumn))
     v
   }
 
@@ -2763,7 +2937,7 @@ final class SnapshotStore(root: String) {
     val (colMap, retired) = mapping.getOrElse((h.colMap, h.retired))
     writeManifest(v, schema, statsColumn, txn, rewrite = false, partCols,
       h.constraints, adds.map(e => s"+\t${fileLine(e)}"), isDelta = true,
-      System.currentTimeMillis(), colMap, retired)
+      System.currentTimeMillis(), colMap, retired, h.bloomColumn)
     // no cachePut: composing v's full list would defeat the O(increment)
     // write; the first reader reconstructs (and memoizes) it
     v
@@ -2773,7 +2947,8 @@ final class SnapshotStore(root: String) {
       txn: Option[(String, Long)], rewrite: Boolean, partCols: Seq[String],
       constraints: Seq[(String, String)], bodyLines: Seq[String],
       isDelta: Boolean, ts: Long,
-      colMap: Map[String, String], retired: Seq[String]): String = {
+      colMap: Map[String, String], retired: Seq[String],
+      bloomColumn: Option[String]): String = {
     val headerLines = Seq(s"#ts\t$ts") ++
       (if (isDelta) Seq("#delta") else Nil) ++
       statsColumn.map(c => s"#stats\t$c").toSeq ++
@@ -2784,7 +2959,8 @@ final class SnapshotStore(root: String) {
       (if (colMap.nonEmpty)
         Seq(s"#colmap\t${colMap.toSeq.sorted.map { case (l, ph) => s"$l=$ph" }.mkString(",")}")
       else Nil) ++
-      (if (retired.nonEmpty) Seq(s"#retired\t${retired.mkString(",")}") else Nil)
+      (if (retired.nonEmpty) Seq(s"#retired\t${retired.mkString(",")}") else Nil) ++
+      bloomColumn.map(c => s"#bloomcol\t$c").toSeq
     ((Header +: schema.json +: headerLines) ++ bodyLines).mkString("\n") + "\n"
   }
 
@@ -2797,7 +2973,7 @@ final class SnapshotStore(root: String) {
     val body = manifestBody(m.schema, m.statsColumn, m.txn, m.rewrite,
       m.partCols, m.constraints, m.entries.map(fileLine), isDelta = false,
       ts = m.ts.getOrElse(Files.getLastModifiedTime(manifestPath(v)).toMillis),
-      colMap = m.colMap, retired = m.retired)
+      colMap = m.colMap, retired = m.retired, bloomColumn = m.bloomColumn)
     val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE,
@@ -2809,10 +2985,11 @@ final class SnapshotStore(root: String) {
       rewrite: Boolean, partCols: Seq[String],
       constraints: Seq[(String, String)], bodyLines: Seq[String],
       isDelta: Boolean, ts: Long,
-      colMap: Map[String, String], retired: Seq[String]): Unit = {
+      colMap: Map[String, String], retired: Seq[String],
+      bloomColumn: Option[String]): Unit = {
     Files.createDirectories(manifestDir)
     val body = manifestBody(schema, statsColumn, txn, rewrite, partCols,
-      constraints, bodyLines, isDelta, ts, colMap, retired)
+      constraints, bodyLines, isDelta, ts, colMap, retired, bloomColumn)
     val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
     val ch = java.nio.channels.FileChannel.open(tmp,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -2843,7 +3020,8 @@ final class SnapshotStore(root: String) {
     */
   private def fileLine(e: FileEntry): String = {
     val width =
-      if (e.bytes.nonEmpty) 6
+      if (e.bloom.nonEmpty) 7
+      else if (e.bytes.nonEmpty) 6
       else if (e.extra.nonEmpty) 5
       else if (e.dv.nonEmpty) 4
       else if (e.min.nonEmpty && e.max.nonEmpty) 3
@@ -2856,7 +3034,8 @@ final class SnapshotStore(root: String) {
       if (e.extra.nonEmpty)
         e.extra.map { case (c, mn, mx) => s"$c=$mn:$mx" }.mkString(",")
       else "-",
-      e.bytes.map(_.toString).getOrElse("-"))
+      e.bytes.map(_.toString).getOrElse("-"),
+      e.bloom.getOrElse("-"))
     fields.take(width).mkString("\t")
   }
 
@@ -2876,7 +3055,8 @@ final class SnapshotStore(root: String) {
       constraints: Seq[(String, String)] = Nil,
       version: Long = -1L,
       colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil)
+      retired: Seq[String] = Nil,
+      bloomColumn: Option[String] = None)
 
   /** Per-version header (everything except the file list) — what the
     * O(1) metadata paths (txn ledger scans, timestamp resolution,
@@ -2888,7 +3068,8 @@ final class SnapshotStore(root: String) {
       rewrite: Boolean, ts: Option[Long], partCols: Seq[String],
       constraints: Seq[(String, String)], isDelta: Boolean,
       colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil)
+      retired: Seq[String] = Nil,
+      bloomColumn: Option[String] = None)
 
   private def parseHeader(v: Long, schemaLine: String,
       headerLines: Seq[String]): ManifestHeader = {
@@ -2928,8 +3109,10 @@ final class SnapshotStore(root: String) {
     val retired = headerLines.find(_.startsWith("#retired\t"))
       .map(_.stripPrefix("#retired\t").split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
+    val bloomCol = headerLines.find(_.startsWith("#bloomcol\t"))
+      .map(_.stripPrefix("#bloomcol\t"))
     ManifestHeader(schema, statsCol, txn, rewrite, ts, partCols, constraints,
-      headerLines.contains("#delta"), colMap, retired)
+      headerLines.contains("#delta"), colMap, retired, bloomCol)
   }
 
   /** Header-only read: a buffered scan that STOPS at the first entry
@@ -2994,7 +3177,7 @@ final class SnapshotStore(root: String) {
   private def toManifest(v: Long, h: ManifestHeader,
       entries: Seq[FileEntry]): Manifest =
     Manifest(h.schema, h.statsColumn, h.txn, h.rewrite, entries, h.ts,
-      h.partCols, h.constraints, v, h.colMap, h.retired)
+      h.partCols, h.constraints, v, h.colMap, h.retired, h.bloomColumn)
 
   /** Apply one delta's records: removals first (path-keyed), then the
     * added entries appended — a DV/stats CHANGE to an existing file is
@@ -3065,6 +3248,9 @@ final class SnapshotStore(root: String) {
       case Array(path, mn, mx, dvs, extra, bytes) =>
         FileEntry(path, stat(mn), stat(mx), dvsOf(dvs), extraOf(extra),
           stat(bytes))
+      case Array(path, mn, mx, dvs, extra, bytes, bloom) =>
+        FileEntry(path, stat(mn), stat(mx), dvsOf(dvs), extraOf(extra),
+          stat(bytes), if (bloom == "-") None else Some(bloom))
       case Array(path) => FileEntry(path, None, None)
       case _ => throw new IllegalArgumentException(
         s"SnapshotStore: malformed manifest line '${line.take(120)}'")
@@ -3108,7 +3294,8 @@ object SnapshotStore {
     */
   private[graft] final case class EntryInfo(absPath: String,
       min: Option[Long], max: Option[Long], hasDv: Boolean,
-      extra: Seq[(String, Long, Long)], bytes: Option[Long])
+      extra: Seq[(String, Long, Long)], bytes: Option[Long],
+      bloom: Option[String])
 
   /** One WHEN clause of a general MERGE ([[SnapshotStore.mergeClauses]]).
     * Conditions and set/insert values are opaque [[org.apache.spark.sql.Column]]s

@@ -1508,6 +1508,57 @@ object Curation {
         SELECT wide, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
                CAST(SUM(c) AS BIGINT) AS cust_sum
         FROM uni GROUP BY 1 ORDER BY wide
+      """)),
+    // ----------------------------------------------------------------
+    // BLOOM FILE SKIPPING — point lookups and point DML on an
+    // UNCLUSTERED column: uid = hash(o_orderkey) scatters across every
+    // range-clustered file, so range stats can never prune it; the
+    // per-file 512-byte bloom in the manifest can. The query sets the
+    // property, restages via OPTIMIZE (files gain filters), runs a
+    // bloom-pruned point DELETE and a point lookup, and aggregates the
+    // survivors — the SPEC pins the numFiles drop, the oracle pins that
+    // pruning never changed a ROW (a false-negative bloom would lose
+    // the deleted row's siblings or skip a matching file).
+    Q(
+      "q298_bloom_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey",
+            ($"o_orderkey" * 2654435761L % 1000003L).as("uid"),
+            $"o_custkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-bl").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(8, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        store.setBloomFilter(Some("uid"))
+        store.compactLatest(s, targetFiles = 8) // restage WITH filters
+        // bloom-pruned point DML: delete one scattered uid, update another
+        val del = 777L * 2654435761L % 1000003L
+        val upd = 1234L * 2654435761L % 1000003L
+        store.deleteWhere(s, $"uid" === del)
+        store.updateWhere(s, $"uid" === upd,
+          Map("o_custkey" -> lit(999999L)), mergeOnRead = true)
+        val live = store.read(s)
+        live.groupBy(($"o_custkey" === 999999L).cast("int").as("updated"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+          .orderBy("updated")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 o_orderkey * 2654435761 % 1000003 AS uid,
+                 o_custkey
+          FROM orders),
+        del AS (SELECT 777 * 2654435761 % 1000003 AS u),
+        upd AS (SELECT 1234 * 2654435761 % 1000003 AS u),
+        live AS (
+          SELECT o_orderkey,
+                 CASE WHEN uid = (SELECT u FROM upd) THEN 1 ELSE 0 END AS updated
+          FROM o WHERE uid <> (SELECT u FROM del))
+        SELECT updated, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM live GROUP BY 1 ORDER BY updated
       """))
   )
 }

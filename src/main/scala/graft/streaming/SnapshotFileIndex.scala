@@ -92,6 +92,14 @@ final class SnapshotFileIndex(
     statsColumn.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Per-file bloom filters (decoded lazily once) + the property —
+    * planning-time POINT skipping on the unclustered bloom column,
+    * composing with the range-stats fold below.
+    */
+  private val bloomColumn: Option[String] = store.bloomColumnAt(asOfVersion)
+  private lazy val blooms: Seq[Option[Array[Long]]] =
+    entries.map(_.bloom.map(graft.etl.Bloom.decode))
+
   override val partitionSchema: StructType =
     StructType(partCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(
       throw new IllegalStateException(
@@ -149,7 +157,7 @@ final class SnapshotFileIndex(
     // manifest-stats pruning from the query's data predicates — one
     // interval fold per stats column; a file survives only if EVERY
     // recorded interval intersects its column's fold
-    val statsKept: Seq[Int] =
+    val rangeKept: Seq[Int] =
       if (statsCols.isEmpty) statuses.indices
       else {
         val boundsByCol = statsCols.map(c => c -> bounds(c, dataFilters)).toMap
@@ -164,6 +172,17 @@ final class SnapshotFileIndex(
           }
         }
       }
+    // point-set skipping on the bloom column: `WHERE user_id = x` on a
+    // column the table is NOT clustered by skips every file whose
+    // filter excludes x (filterless files conservatively survive)
+    val statsKept: Seq[Int] = bloomColumn
+      .flatMap(bc => graft.etl.Bloom.pointHashes(bc, dataFilters)) match {
+      case Some(hs) => rangeKept.filter(i => blooms(i) match {
+        case Some(bits) => hs.exists(graft.etl.Bloom.mightContain(bits, _))
+        case None => true
+      })
+      case None => rangeKept
+    }
     if (partCols.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty,
         statsKept.map(statuses(_)._1).toArray))

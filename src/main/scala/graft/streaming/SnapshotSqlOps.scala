@@ -72,6 +72,10 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
     case AlterColumnTypeRe(target, colName, ddlType) =>
       AlterColumnTypeSnapshotCommand(target.trim, stripIdent(colName),
         ddlType.trim, fallbackOf(sqlText))
+    case SetBloomRe(target, colName) =>
+      SetBloomSnapshotCommand(target.trim, Some(stripIdent(colName)))
+    case DropBloomRe(target) =>
+      SetBloomSnapshotCommand(target.trim, None)
     case RenameColumnRe(target, from, to) =>
       AlterColumnSnapshotCommand(target.trim,
         rename = Some((stripIdent(from), stripIdent(to))), drops = Nil,
@@ -150,6 +154,12 @@ object SnapshotSqlParser {
   private[streaming] val AlterColumnTypeRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+(?:ALTER|CHANGE)\s+COLUMN\s+([\w`]+)\s+TYPE\s+([\w(),\s]+?)\s*;?\s*""").r
+  private[streaming] val SetBloomRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+SET\s+BLOOMFILTER\s+COLUMN\s+([\w`]+)\s*;?\s*""").r
+  private[streaming] val DropBloomRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
+      """\s+DROP\s+BLOOMFILTER\s*;?\s*""").r
   private[streaming] val RenameColumnRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T""" +
       """\s+RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*""").r
@@ -557,6 +567,22 @@ final case class RestoreSnapshotCommand(target: String,
     // a restore across a schema evolution changes the live schema
     name.foreach(SnapshotSqlParser.syncCatalogSchema(session, _, store))
     Seq(Row(v, nv))
+  }
+}
+
+/** `ALTER TABLE t SET BLOOMFILTER COLUMN c` / `DROP BLOOMFILTER` —
+  * the point-lookup file-skipping property for an UNCLUSTERED column:
+  * files staged from now on carry a 512-byte membership filter in
+  * their manifest entries; point predicates, point deletes/updates and
+  * small-key-set merges skip files the value cannot be in.
+  */
+final case class SetBloomSnapshotCommand(target: String,
+    column: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (store, name) = SnapshotSqlParser.resolveStore(session, target)
+    store.setBloomFilter(column)
+    name.foreach(session.catalog.refreshTable)
+    Seq.empty
   }
 }
 

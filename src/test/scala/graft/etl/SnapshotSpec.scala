@@ -1648,6 +1648,57 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("not a supported WIDENING"))
   }
 
+  test("bloom filters: point lookups and point DML skip files on an UNCLUSTERED column; conservative without filters") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // uid is hash-scattered: every file's uid RANGE spans the whole
+    // domain, so range stats can never prune a uid point lookup —
+    // exactly the column class the bloom property exists for
+    def uidOf(i: Long): Long = i * 2654435761L % 1000003L
+    val df = (1L to 8000L).map(i => (i, uidOf(i), s"v$i")).toDF("id", "uid", "v")
+    store.commitOverwrite(df.repartitionByRange(8, col("id")),
+      statsColumn = Some("id"))
+    store.setBloomFilter(Some("uid"))
+    // pre-property files carry no filter (conservatively kept); a
+    // compaction restages them WITH filters
+    store.compactLatest(spark, targetFiles = 8)
+    val m0 = store.readFullManifest(store.latestVersion.get)
+    assert(m0.entries.length == 8 && m0.entries.forall(_.bloom.nonEmpty),
+      "every rewritten file must carry a bloom filter")
+    // CoW point DELETE: only the files whose filter might hold the value
+    // are rewritten — the rest keep path identity
+    val u = uidOf(5000L)
+    store.deleteWhere(spark, $"uid" === u)
+    val m1 = store.readFullManifest(store.latestVersion.get)
+    val kept = m1.entries.map(_.path).toSet
+      .intersect(m0.entries.map(_.path).toSet)
+    assert(kept.size >= 6,
+      s"a point delete must keep most files by identity (kept ${kept.size}/8)")
+    assert(store.read(spark).count() == 7999L)
+    assert(store.read(spark).filter($"uid" === u).isEmpty)
+    // MoR point upsert by the bloom key: only hit files take a DV
+    store.mergeInto(spark,
+      Seq((9999L, uidOf(3000L), "upd")).toDF("id", "uid", "v"),
+      keys = Seq("uid"), mergeOnRead = true)
+    val m2 = store.readFullManifest(store.latestVersion.get)
+    assert(m2.entries.count(_.dv.nonEmpty) <= 2,
+      "bloom key pruning must confine the tombstone join to hit files")
+    val got = store.read(spark).filter($"uid" === uidOf(3000L)).collect()
+    assert(got.length == 1 && got.head.getString(2) == "upd")
+    // NULL keys disable bloom pruning (null-safe equality CAN match):
+    // correctness first — the merge still lands
+    store.commitAppend(Seq((8888L, Option.empty[Long], "n")).toDF("id", "uid", "v"))
+    store.mergeInto(spark,
+      Seq((8888L, Option.empty[Long], "n2")).toDF("id", "uid", "v"),
+      keys = Seq("uid"), mergeOnRead = true)
+    assert(store.read(spark).filter($"uid".isNull).head().getString(2) == "n2")
+    // dropping the property stops collection for future files
+    store.setBloomFilter(None)
+    store.commitAppend(Seq((7777L, uidOf(7777L), "x")).toDF("id", "uid", "v"))
+    val m3 = store.readFullManifest(store.latestVersion.get)
+    assert(m3.entries.exists(_.bloom.isEmpty))
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

@@ -1637,6 +1637,47 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE snap_clone2"); spark.sql("DROP TABLE snap_clone_src")
   }
 
+  test("bloom filters prune at PLANNING time through the format: SET BLOOMFILTER COLUMN + point predicate observe fewer files") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    def uidOf(i: Long): Long = i * 2654435761L % 1000003L
+    store.commitOverwrite(
+      (1L to 8000L).map(i => (i, uidOf(i), s"v$i")).toDF("id", "uid", "v")
+        .repartitionByRange(8, $"id"), statsColumn = Some("id"))
+    spark.sql("DROP TABLE IF EXISTS snap_bloom")
+    spark.sql(s"CREATE TABLE snap_bloom USING `graft-snapshot` OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE snap_bloom SET BLOOMFILTER COLUMN uid")
+    spark.sql("OPTIMIZE snap_bloom TARGET 8 FILES") // restage WITH filters
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.count()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      (scans.map(_.metrics("numFiles").value).sum, n)
+    }
+    spark.catalog.refreshTable("snap_bloom")
+    // a uid point lookup: range stats cannot prune (uid scatters across
+    // every file) — the bloom must
+    val (nf, rows) = scannedFiles(
+      spark.table("snap_bloom").filter($"uid" === uidOf(4321L)))
+    assert(rows == 1L)
+    assert(nf < 8L, s"bloom skipping must plan fewer than all 8 files, got $nf")
+    // IN-lists prune too; a value in NO file scans (almost) nothing
+    val (nfIn, rowsIn) = scannedFiles(spark.table("snap_bloom")
+      .filter($"uid".isin(uidOf(11L), uidOf(22L), uidOf(33L))))
+    assert(rowsIn == 3L && nfIn < 8L)
+    val (nfMiss, rowsMiss) = scannedFiles(
+      spark.table("snap_bloom").filter($"uid" === -1L))
+    assert(rowsMiss == 0L && nfMiss <= 1L,
+      s"an absent value should bloom-skip essentially everything, got $nfMiss")
+    // DROP BLOOMFILTER: the property leaves; future files are filterless
+    spark.sql("ALTER TABLE snap_bloom DROP BLOOMFILTER")
+    assert(store.readHeader(store.latestVersion.get).bloomColumn.isEmpty)
+    spark.sql("DROP TABLE snap_bloom")
+  }
+
   test("startingVersion skips history: the first batch begins after it") {
     val root = tmp(); val out = tmp(); val cp = tmp()
     val store = new SnapshotStore(root)
