@@ -1661,11 +1661,13 @@ final class SnapshotStore(root: String) {
     def abs(rel: String): String = source.rootPath.resolve(rel).toString
     // FileEntry is store-inner (path-dependent): rebuild under THIS store
     val entries: Seq[FileEntry] = m.entries.map(e =>
-      FileEntry(abs(e.path), e.min, e.max, e.dv.map(abs), e.extra, e.bytes))
+      FileEntry(abs(e.path), e.min, e.max, e.dv.map(abs), e.extra, e.bytes,
+        e.bloom))
     publishEntries(entries, m.schema, m.statsColumn,
       partCols = m.partCols, expectedVersion = Some(0L),
       constraintsOverride = Some(m.constraints),
-      mappingOverride = Some((m.colMap, m.retired)))
+      mappingOverride = Some((m.colMap, m.retired)),
+      bloomOverride = Some(m.bloomColumn))
   }
 
   /** Highest streaming batch id committed into this table by `appId` —

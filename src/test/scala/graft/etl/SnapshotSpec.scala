@@ -1601,6 +1601,16 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the source never sees the clone's appends")
     // stats traveled: the clone's range read prunes on the cloned stats
     assert(b.readRange(spark, "id", 1L, 10L).count() == 10L)
+    // per-file blooms and the property travel too
+    val blSrc = new SnapshotStore(tmp())
+    blSrc.commitOverwrite(Seq((1L, 10L)).toDF("id", "uid"))
+    blSrc.setBloomFilter(Some("uid"))
+    blSrc.commitAppend(Seq((2L, 20L)).toDF("id", "uid").coalesce(1))
+    val blClone = new SnapshotStore(tmp())
+    blClone.cloneFrom(blSrc)
+    val cm = blClone.readFullManifest(0L)
+    assert(cm.bloomColumn.contains("uid") && cm.entries.exists(_.bloom.nonEmpty),
+      "the bloom property and per-file filters must travel with the clone")
     // a FULL compaction of the clone materializes it: every entry local
     val cv = b.compactLatest(spark, targetFiles = 2)
     assert(b.readFullManifest(cv).entries.forall(e => !e.path.startsWith("/")),
