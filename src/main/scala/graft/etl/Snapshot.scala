@@ -1765,6 +1765,18 @@ final class SnapshotStore(root: String) {
         s"SnapshotStore.$op: constraint '$n' references '$col' — drop the " +
           "constraint first (ALTER TABLE ... DROP CONSTRAINT)")
     }
+    // The bloom property names a LOGICAL column and per-file filters
+    // hold that column's value hashes. Renaming it would leave the
+    // property dangling (pruning silently off) and a rename chain that
+    // re-binds the name (a->x, then y->a) would apply old files' blooms
+    // to a DIFFERENT column's data — false-negative skips, wrong rows.
+    // Refused like partition/stats/constraint columns: drop the
+    // property first, then rename/drop, then re-set it.
+    m.bloomColumn.foreach { bc =>
+      require(!bc.equalsIgnoreCase(col),
+        s"SnapshotStore.$op: '$col' is the bloom-filter column — drop the " +
+          s"property first (setBloomFilter(None)), then $op, then re-set it")
+    }
   }
 
   /** `ALTER TABLE ... RENAME COLUMN old TO new` — O(manifest), zero
@@ -1865,7 +1877,25 @@ final class SnapshotStore(root: String) {
           else ok.map(_.simpleString).mkString(", ")})")
     val widened = StructType(m.schema.fields.map(fl =>
       if (fl.name == name) fl.copy(dataType = newType) else fl))
-    publishEntries(m.entries, widened, m.statsColumn,
+    // xxhash64 hashes byte/short/int over the SAME 4-byte path but long
+    // and double over 8 bytes, so a widening past int changes every
+    // hash (xxhash64(5:int) != xxhash64(5:long)). If the widened column
+    // is the bloom column, old files' filters — built at the narrow
+    // width — would return FALSE NEGATIVES against wide-typed query
+    // literals and pruning would silently skip matching files. Publish
+    // with those blooms STRIPPED: filterless entries are always kept
+    // (conservative), and compaction / fresh writes rebuild filters at
+    // the wide type. byte->short/int and short->int keep their blooms —
+    // those widenings are hash-compatible.
+    val hashWidthChanges = newType match {
+      case LongType | DoubleType => true
+      case _ => false
+    }
+    val entriesOut =
+      if (hashWidthChanges && m.bloomColumn.contains(name))
+        m.entries.map(_.copy(bloom = None))
+      else m.entries
+    publishEntries(entriesOut, widened, m.statsColumn,
       expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
       mappingOverride = Some((m.colMap, m.retired)))
   }
@@ -1953,7 +1983,15 @@ final class SnapshotStore(root: String) {
         s"SnapshotStore.setBloomFilter: '$c' is a partition column — its " +
           "values are path metadata, already exact at planning time")
     }
-    publishEntries(m.entries, m.schema, m.statsColumn,
+    // Re-pointing the property at a DIFFERENT column must not leave old
+    // entries carrying filters built over the previous column's values —
+    // probing those with the new column's hashes would false-negative.
+    // Strip blooms on any change of target; filterless files are always
+    // kept (conservative) until compaction/new writes rebuild them.
+    val entriesOut =
+      if (column == m.bloomColumn) m.entries
+      else m.entries.map(_.copy(bloom = None))
+    publishEntries(entriesOut, m.schema, m.statsColumn,
       expectedVersion = Some(v + 1L), partCols = m.partCols, prev = Some(m),
       bloomOverride = Some(column))
   }

@@ -71,6 +71,13 @@ final class SnapshotFileIndex(
   private val statuses: Seq[(FileStatus, Map[String, (Long, Long)])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val primary = statsColumn.map(_.split(",").head.trim)
+    // Synthesized statuses carry the manifest's COMMIT timestamp, not 0:
+    // `_metadata.file_modification_time` is a queryable column, and the
+    // version's commit time is the meaningful answer a log-structured
+    // table can give without a per-file listing round trip (the actual
+    // fs mtime is an implementation detail the manifest owns anyway).
+    val commitTs: Long = asOfVersion.orElse(store.latestVersion)
+      .flatMap(v => store.readHeader(v).ts).getOrElse(0L)
     entries.map { e =>
       val hp = new Path(e.absPath)
       val stats = primary.flatMap(c =>
@@ -81,7 +88,7 @@ final class SnapshotFileIndex(
       // manifest metadata (the only fields the scan planner reads are
       // path and length); pre-size manifests keep the listing fallback
       val status = e.bytes match {
-        case Some(len) => new FileStatus(len, false, 1, 128L << 20, 0L, hp)
+        case Some(len) => new FileStatus(len, false, 1, 128L << 20, commitTs, hp)
         case None => hp.getFileSystem(conf).getFileStatus(hp)
       }
       (status, stats)

@@ -222,6 +222,25 @@ object SnapshotSqlParser {
     val masked = maskQuoted(tail)
     final case class Kw(name: String, start: Int, bodyStart: Int,
         num: Option[String])
+    // Parenthesis depth at each masked-text position: keyword hits
+    // inside parens belong to a clause body (a subquery's WHERE in
+    // `OPTIMIZE t WHERE k IN (SELECT k FROM u WHERE f)`), not to this
+    // grammar — only DEPTH-0 hits are clause starts, for both the
+    // duplicate check and the body slicing below. SQL nests only via
+    // parentheses, so depth 0 is exactly "top level" on quote-masked
+    // text.
+    val depth = new Array[Int](masked.length + 1)
+    var d = 0
+    var p = 0
+    while (p < masked.length) {
+      depth(p) = d
+      masked.charAt(p) match {
+        case '(' => d += 1
+        case ')' => d = math.max(0, d - 1)
+        case _ =>
+      }
+      p += 1
+    }
     val hits = (
       OptWhereKw.findAllMatchIn(masked).map(m =>
         Kw("WHERE", m.start, m.end, None)) ++
@@ -231,15 +250,12 @@ object SnapshotSqlParser {
         Kw("TARGET", m.start, m.end, Some(m.group(1)))) ++
       OptSmallerKw.findAllMatchIn(masked).map(m =>
         Kw("SMALLER", m.start, m.end, Some(m.group(1))))
-    ).toSeq.sortBy(_.start)
+    ).toSeq.filter(k => depth(k.start) == 0).sortBy(_.start)
     require(hits.nonEmpty && tail.substring(0, hits.head.start).trim.isEmpty,
       s"OPTIMIZE: cannot parse clause text '${tail.trim.take(80)}' — " +
         "expected [WHERE p] [ZORDER BY (c,...)] [TARGET n FILES] " +
         "[SMALLER THAN n MB]")
     val dup = hits.groupBy(_.name).collectFirst { case (n, hs) if hs.length > 1 => n }
-    // a WHERE body legitimately swallows later keyword hits only when
-    // they sit inside it — handled below by slicing to the NEXT hit;
-    // two top-level spellings of one clause are a user error
     require(dup.isEmpty, s"OPTIMIZE: duplicate ${dup.get} clause")
     var where: Option[String] = None
     var zorder: Seq[String] = Nil

@@ -1709,6 +1709,77 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m3.entries.exists(_.bloom.isEmpty))
   }
 
+  test("bloom integrity across schema evolution: hash-width widening strips filters; rename/drop of the bloom column refused; re-pointing the property strips") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // uid is INT here: xxhash64 hashes int and long DIFFERENTLY
+    // (4-byte vs 8-byte path), so filters built over int values are
+    // false-negative against long-typed query literals after widening
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1 to 4000).map(i => (i.toLong, i * 7)).toDF("id", "uid")
+        .repartitionByRange(4, col("id")), statsColumn = Some("id"))
+    store.setBloomFilter(Some("uid"))
+    store.compactLatest(spark, targetFiles = 4)
+    val mPre = store.readFullManifest(store.latestVersion.get)
+    assert(mPre.entries.forall(_.bloom.nonEmpty))
+    // widen uid -> LONG: old filters hashed int values; keeping them
+    // would silently skip files on long-literal lookups. They must be
+    // STRIPPED (conservative: no filter -> always scanned)
+    val vW = store.widenColumnType("uid", LongType)
+    val mW = store.readFullManifest(vW)
+    assert(mW.schema("uid").dataType == LongType)
+    assert(mW.entries.forall(_.bloom.isEmpty),
+      "hash-width widening of the bloom column must strip stale filters")
+    assert(store.read(spark).filter($"uid" === 21L).count() == 1L,
+      "point lookup after widening must still find the row")
+    // point DML through the bloom path stays correct too
+    store.deleteWhere(spark, $"uid" === 7777L * 7L)
+    assert(store.read(spark).filter($"uid" === 7777L * 7L).isEmpty)
+    // fresh writes rebuild filters at the wide type and they work
+    store.commitAppend(Seq((9001L, 5000000000L)).toDF("id", "uid").coalesce(1))
+    val mNew = store.readFullManifest(store.latestVersion.get)
+    assert(mNew.entries.exists(_.bloom.nonEmpty),
+      "post-widening appends must carry filters at the wide type")
+    assert(store.read(spark).filter($"uid" === 5000000000L).count() == 1L)
+    // hash-COMPATIBLE widening keeps filters: byte/short/int share the
+    // 4-byte hash path, so short -> int preserves every hash
+    val s2 = new SnapshotStore(tmp())
+    s2.commitOverwrite(Seq((1L, 5.toShort)).toDF("id", "k"))
+    s2.setBloomFilter(Some("k"))
+    s2.compactLatest(spark, targetFiles = 1)
+    val vC = s2.widenColumnType("k", IntegerType)
+    assert(s2.readFullManifest(vC).entries.forall(_.bloom.nonEmpty),
+      "short -> int is hash-compatible; filters must survive")
+    assert(s2.read(spark).filter($"k" === 5).count() == 1L)
+    // RENAME/DROP of the bloom column: refused like partition/stats —
+    // a dangling or re-bound #bloomcol silently mis-prunes
+    assert(intercept[IllegalArgumentException] {
+      store.renameColumn(spark, "uid", "user_id")
+    }.getMessage.contains("bloom-filter column"))
+    assert(intercept[IllegalArgumentException] {
+      store.dropColumn(spark, "uid")
+    }.getMessage.contains("bloom-filter column"))
+    // drop the property first -> rename proceeds, then re-set
+    store.setBloomFilter(None)
+    store.renameColumn(spark, "uid", "user_id")
+    store.setBloomFilter(Some("user_id"))
+    assert(store.read(spark).filter($"user_id" === 21L).count() == 1L)
+    // re-pointing the property at ANOTHER column strips filters built
+    // over the old column's values (probing them with the new column's
+    // hashes would false-negative)
+    val s3 = new SnapshotStore(tmp())
+    s3.commitOverwrite(Seq((1L, 10L, 99L)).toDF("id", "a", "b"))
+    s3.setBloomFilter(Some("a"))
+    s3.compactLatest(spark, targetFiles = 1)
+    assert(s3.readFullManifest(s3.latestVersion.get).entries.forall(_.bloom.nonEmpty))
+    s3.setBloomFilter(Some("b"))
+    val m3 = s3.readFullManifest(s3.latestVersion.get)
+    assert(m3.bloomColumn.contains("b") && m3.entries.forall(_.bloom.isEmpty),
+      "re-pointing the bloom property must strip filters built on the old column")
+    assert(s3.read(spark).filter($"b" === 99L).count() == 1L)
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

@@ -120,6 +120,23 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.getMessage.contains("mutually exclusive"))
   }
 
+  test("_metadata.file_modification_time through the file index reports the commit timestamp, not epoch 0") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    val before = System.currentTimeMillis()
+    store.commitOverwrite(frame(1 to 5, "v0"))
+    val after = System.currentTimeMillis()
+    // manifest-synthesized FileStatus (size recorded -> no listing round
+    // trip) must carry the version's commit #ts: it is a queryable
+    // metadata column, and epoch 0 is a lie
+    val mts = spark.read.format("graft-snapshot").option("path", root).load()
+      .select(org.apache.spark.sql.functions.col("_metadata.file_modification_time"))
+      .distinct().collect().map(_.getTimestamp(0).getTime)
+    assert(mts.nonEmpty && mts.forall(t => t >= before - 1000 && t <= after + 1000),
+      s"file_modification_time must be the commit ts (got ${mts.mkString(",")})")
+  }
+
   test("batch format prunes files at planning time from the query's own predicates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -1359,6 +1376,20 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       " ZORDER BY (a, `b`) TARGET 4 FILES") ==
       (None, Seq("a", "b"), Some(4), None))
     assert(SnapshotSqlParser.parseOptimizeTail("") == (None, Nil, None, None))
+    // a NESTED keyword inside parentheses belongs to the clause body,
+    // not the grammar: a subquery's WHERE is neither a duplicate nor a
+    // body terminator
+    assert(SnapshotSqlParser.parseOptimizeTail(
+      " WHERE k IN (SELECT k FROM u WHERE f = 1)") ==
+      (Some("k IN (SELECT k FROM u WHERE f = 1)"), Nil, None, None))
+    assert(SnapshotSqlParser.parseOptimizeTail(
+      " WHERE k IN (SELECT k FROM u WHERE f = 1) TARGET 2 FILES") ==
+      (Some("k IN (SELECT k FROM u WHERE f = 1)"), Nil, Some(2), None))
+    // two TOP-LEVEL spellings of one clause are still a user error
+    val eDup = intercept[IllegalArgumentException] {
+      SnapshotSqlParser.parseOptimizeTail(" WHERE a = 1 WHERE b = 2")
+    }
+    assert(eDup.getMessage.contains("duplicate WHERE"))
     // doubled-quote SQL escape stays inside the string
     assert(SnapshotSqlParser.parseOptimizeTail(
       " WHERE note = 'it''s ZORDER BY o''clock'") ==
