@@ -1,0 +1,241 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Read-only replay of a Delta Lake transaction log (`_delta_log/`) —
+  * the adoption bridge for tables that already live in Delta format
+  * (reference: `sync.py:112-114` writes its RAW zone with
+  * `format("delta")`; `ingest.py:636-650` reads it back). Implemented
+  * from the PUBLIC Delta transaction-log protocol specification alone:
+  * version files `%020d.json` hold one JSON action per line
+  * (`metaData` / `protocol` / `add` / `remove` / `txn` / `commitInfo`),
+  * checkpoints are parquet files of the same actions as struct columns
+  * (classic `%020d.checkpoint.parquet` or multi-part
+  * `%020d.checkpoint.%010d.%010d.parquet`), `add.path` is a
+  * RFC 2396-encoded path relative to the table root, and the table
+  * state at version V is the reconciliation "newest add/remove per
+  * path wins" over checkpoint + later deltas.
+  *
+  * This is a READER for migration, not a Delta client: it produces the
+  * live file list + schema + partition columns so
+  * [[SnapshotStore.convertFromDelta]] can publish them as a zero-copy
+  * version 0 (the CONVERT counterpart of [[SnapshotStore.cloneFrom]]).
+  * Tables using reader features a plain file-list replay cannot honor
+  * — deletion vectors, column mapping, v2 checkpoints — are REFUSED
+  * loudly: silently ignoring a DV would resurrect deleted rows.
+  */
+object DeltaConvert {
+
+  /** Reconciled table state at the log's latest version. File paths
+    * are DECODED and relative to the delta root; `bytes` is the add
+    * action's recorded size.
+    */
+  final case class DeltaState(version: Long, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[(String, Option[Long])],
+      configuration: Map[String, String])
+
+  private val mapper = new ObjectMapper
+
+  private val JsonFile = """(\d{20})\.json""".r
+  private val ClassicCkpt = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiCkpt = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val OtherCkpt = """(\d{20})\.checkpoint\..*""".r
+
+  /** Reader features a file-list replay can honor. Everything else —
+    * deletionVectors, columnMapping, typeWidening, v2Checkpoint — is
+    * refused; honoring them requires interpreting per-file state this
+    * reader does not carry over.
+    */
+  private val SupportedReaderFeatures =
+    Set("timestampntz", "vacuumprotocolcheck")
+
+  def replay(spark: SparkSession, deltaRoot: String): DeltaState = {
+    val root = Paths.get(deltaRoot).toAbsolutePath.normalize
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir),
+      s"DeltaConvert: no _delta_log/ under $deltaRoot — not a Delta table")
+    val names = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }
+    val jsonVersions = names.collect { case JsonFile(v) => v.toLong }.sorted
+    val classic = names.collect { case ClassicCkpt(v) => v.toLong }
+    val multi = names.collect { case MultiCkpt(v, i, n) =>
+      (v.toLong, i.toInt, n.toInt) }
+    // v2/uuid-named checkpoints change the action encoding (sidecars) —
+    // refuse rather than replay a partial state
+    val unknownCkpt = names.collect {
+      case n @ OtherCkpt(_) if ClassicCkpt.unapplySeq(n).isEmpty &&
+        MultiCkpt.unapplySeq(n).isEmpty => n
+    }
+    require(unknownCkpt.isEmpty,
+      s"DeltaConvert: unsupported checkpoint format " +
+        s"(${unknownCkpt.head}) — only classic and multi-part parquet " +
+        "checkpoints are supported")
+    // newest COMPLETE checkpoint: classic, or a multi-part set with all
+    // n parts present
+    val multiComplete = multi.groupBy { case (v, _, n) => (v, n) }.collect {
+      case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet => v
+    }
+    val ckptVersion: Option[Long] =
+      (classic ++ multiComplete).sorted.lastOption
+    require(jsonVersions.nonEmpty || ckptVersion.nonEmpty,
+      s"DeltaConvert: _delta_log/ under $deltaRoot holds no version files")
+    val latest = (jsonVersions ++ ckptVersion).max
+    // contiguity: every version after the checkpoint (or from 0) must
+    // have its delta file — a gap means an incomplete copy of the log
+    val needed = (ckptVersion.map(_ + 1L).getOrElse(0L) to latest)
+    val have = jsonVersions.toSet
+    val gaps = needed.filterNot(have.contains)
+    require(gaps.isEmpty,
+      s"DeltaConvert: log is missing version file(s) " +
+        s"${gaps.take(5).map(v => f"$v%020d.json").mkString(", ")} — " +
+        "incomplete _delta_log copy")
+
+    // mutable replay state: newest action per decoded path wins
+    val adds = scala.collection.mutable.LinkedHashMap[String, Option[Long]]()
+    var metaData: Option[JsonNode] = None
+    var protocol: Option[(Int, Seq[String])] = None
+
+    def refuseDv(node: JsonNode): Unit = {
+      val dv = node.get("deletionVector")
+      require(dv == null || dv.isNull,
+        "DeltaConvert: table has live DELETION VECTORS — a file-list " +
+          "replay would resurrect deleted rows; compact the source table " +
+          "(e.g. REORG/OPTIMIZE in a Delta client) before adoption")
+    }
+    def applyAdd(path: String, size: Option[Long], node: JsonNode): Unit = {
+      refuseDv(node)
+      adds.update(decodePath(path), size)
+    }
+    def applyRemove(path: String): Unit = adds.remove(decodePath(path))
+    def applyMeta(node: JsonNode): Unit = metaData = Some(node)
+    def applyProtocol(minReader: Int, features: Seq[String]): Unit =
+      protocol = Some((minReader, features))
+
+    // 1) checkpoint (already reconciled: each path appears at most once)
+    ckptVersion.foreach { cv =>
+      val parts: Seq[String] =
+        if (classic.contains(cv)) Seq(f"$cv%020d.checkpoint.parquet")
+        else {
+          val n = multi.collect { case (`cv`, _, nn) => nn }.max
+          (1 to n).map(i => f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet")
+        }
+      val df = spark.read.parquet(parts.map(p => logDir.resolve(p).toString): _*)
+      val cols = df.schema.fieldNames.toSet
+      def field(r: Row, n: String): Option[Row] =
+        if (!cols.contains(n)) None
+        else Option(r.getAs[Row](n))
+      // struct rows → the same JSON shape the delta files carry, via
+      // Spark's own renderer — one parser for both log encodings
+      val wanted = Seq("add", "remove", "metaData", "protocol").filter(cols)
+      df.selectExpr(wanted.map(c => s"to_json($c) AS $c"): _*)
+        .collect().foreach { r =>
+          wanted.zipWithIndex.foreach { case (c, i) =>
+            if (!r.isNullAt(i)) {
+              val node = mapper.readTree(r.getString(i))
+              c match {
+                case "add" => applyAdd(node.get("path").asText(),
+                  Option(node.get("size")).filterNot(_.isNull).map(_.asLong()), node)
+                case "remove" => applyRemove(node.get("path").asText())
+                case "metaData" => applyMeta(node)
+                case "protocol" => applyProtocol(
+                  Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+                  Option(node.get("readerFeatures")).filterNot(_.isNull)
+                    .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+              }
+            }
+          }
+        }
+    }
+
+    // 2) JSON deltas after the checkpoint, ascending, lines in order
+    jsonVersions.filter(v => ckptVersion.forall(v > _)).foreach { v =>
+      val lines = Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
+      lines.filter(_.trim.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        val it = action.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getKey match {
+            case "add" => applyAdd(e.getValue.get("path").asText(),
+              Option(e.getValue.get("size")).filterNot(_.isNull).map(_.asLong()),
+              e.getValue)
+            case "remove" => applyRemove(e.getValue.get("path").asText())
+            case "metaData" => applyMeta(e.getValue)
+            case "protocol" => applyProtocol(
+              Option(e.getValue.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+              Option(e.getValue.get("readerFeatures")).filterNot(_.isNull)
+                .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+            case _ => () // txn / commitInfo / cdc / domainMetadata: no table state
+          }
+        }
+      }
+    }
+
+    // protocol gate: readers must refuse tables whose features they
+    // cannot honor — that rule IS the protocol's forward-compat story
+    protocol.foreach { case (minReader, features) =>
+      require(minReader <= 3,
+        s"DeltaConvert: minReaderVersion $minReader is newer than this " +
+          "reader understands")
+      if (minReader >= 3) {
+        val unsupported = features.map(_.toLowerCase)
+          .filterNot(SupportedReaderFeatures.contains)
+        require(unsupported.isEmpty,
+          s"DeltaConvert: unsupported reader feature(s) " +
+            s"${unsupported.mkString(", ")} — a file-list replay cannot " +
+            "honor them")
+      }
+    }
+    val meta = metaData.getOrElse(throw new IllegalArgumentException(
+      "DeltaConvert: log has no metaData action — corrupt or empty table"))
+    Option(meta.get("format")).flatMap(f => Option(f.get("provider")))
+      .map(_.asText()).foreach(p => require(p == "parquet",
+        s"DeltaConvert: table format '$p' is not parquet"))
+    val configuration = Option(meta.get("configuration"))
+      .filterNot(_.isNull).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none",
+      s"DeltaConvert: columnMapping.mode=$cmMode — files store physical " +
+        "column ids/names a plain scan cannot re-map; rewrite the source " +
+        "with logical names before adoption")
+    val schema = DataType.fromJson(meta.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(meta.get("partitionColumns")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    DeltaState(latest, schema, partCols, adds.toSeq, configuration)
+  }
+
+  /** RFC 2396 percent-decoding of a log-recorded relative path. Paths
+    * with a scheme (absolute cross-table references) are refused —
+    * adoption covers self-contained tables.
+    */
+  private[etl] def decodePath(p: String): String = {
+    require(!p.contains("://"),
+      s"DeltaConvert: absolute/external file reference '$p' — only " +
+        "self-contained tables (relative paths) can be adopted")
+    if (!p.contains('%')) return p
+    // percent sequences encode UTF-8 BYTES — decode at the byte level,
+    // then re-assemble, or multi-byte characters shear
+    val out = new java.io.ByteArrayOutputStream(p.length)
+    val raw = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i) == '%' && i + 2 < raw.length) {
+        out.write(Integer.parseInt(
+          new String(raw, i + 1, 2, java.nio.charset.StandardCharsets.US_ASCII),
+          16))
+        i += 3
+      } else { out.write(raw(i)); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

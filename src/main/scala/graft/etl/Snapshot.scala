@@ -1558,6 +1558,79 @@ final class SnapshotStore(root: String) {
       expectedVersion = Some(0L), mappingOverride = Some((Map.empty, Nil)))
   }
 
+  /** CONVERT FROM DELTA: adopt an existing Delta Lake table — the
+    * reference's actual at-rest RAW format (`sync.py:112-114` writes
+    * `format("delta")`) and therefore the first table a migrating user
+    * points this engine at — as a ZERO-COPY version 0. The public
+    * Delta transaction-log protocol is replayed read-only by
+    * [[DeltaConvert.replay]] (JSON actions + parquet checkpoint →
+    * reconciled live file list + schema + partition columns) and the
+    * files are published by ABSOLUTE path, exactly the
+    * [[cloneFrom]] shape: the Delta table is never touched, its
+    * history stays intact, and this store's history begins
+    * independently at the adopted state. Unsupported reader features
+    * (deletion vectors, column mapping, v2 checkpoints) are refused
+    * loudly inside the replay. `statsColumn` triggers the same
+    * footer-stats collection as [[convertInPlace]]; partitioned
+    * tables adopt when the files use the hive `col=value` layout
+    * Delta's writers produce (a flat layout carries partition values
+    * only in log actions this manifest cannot hold — refused).
+    */
+  def convertFromDelta(spark: SparkSession, deltaRoot: String,
+      statsColumn: Option[String] = None): Long = {
+    require(latestVersion.isEmpty,
+      s"SnapshotStore.convertFromDelta: store at $root already has versions " +
+        s"${versions.mkString(",")} — adoption births a NEW store")
+    val st = DeltaConvert.replay(spark, deltaRoot)
+    val deltaPath = Paths.get(deltaRoot).toAbsolutePath.normalize
+    require(deltaPath != rootPath.normalize,
+      "SnapshotStore.convertFromDelta: the store root cannot be the Delta " +
+        "table itself — adopt into a fresh directory (files are referenced, " +
+        "not copied)")
+    require(st.files.nonEmpty,
+      s"SnapshotStore.convertFromDelta: Delta table at $deltaRoot has no " +
+        "live files")
+    st.partitionColumns.foreach { c =>
+      require(st.schema.fieldNames.contains(c),
+        s"SnapshotStore.convertFromDelta: partition column '$c' missing " +
+          "from the table schema — corrupt metaData")
+      val missing = st.files.map(_._1)
+        .filterNot(_.split('/').exists(_.startsWith(c + "=")))
+      require(missing.isEmpty,
+        s"SnapshotStore.convertFromDelta: ${missing.length} files lack a " +
+          s"'$c=' path segment (first: ${missing.headOption.getOrElse("")}) — " +
+          "non-hive layouts carry partition values only in the Delta log " +
+          "and cannot adopt zero-copy")
+    }
+    // data columns first, partition columns last — the normalized order
+    // every read path and partitioned append of this store assumes
+    val schema =
+      if (st.partitionColumns.isEmpty) st.schema
+      else StructType(
+        st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)) ++
+          st.partitionColumns.map(c => st.schema(c)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cols = statsParts(statsColumn)
+    cols.foreach(c => require(!st.partitionColumns.contains(c),
+      s"SnapshotStore.convertFromDelta: stats column '$c' cannot be a " +
+        "partition column"))
+    val entries = st.files.map { case (rel, size) =>
+      val abs = deltaPath.resolve(rel).toString
+      require(Files.isRegularFile(Paths.get(abs)),
+        s"SnapshotStore.convertFromDelta: log references missing file " +
+          s"$rel — vacuumed or partially copied table")
+      cols match {
+        case Seq() => FileEntry(abs, None, None, bytes = size)
+        case cs =>
+          val e = entryWithStats(abs, cs, conf)
+          if (e.bytes.isEmpty) e.copy(bytes = size) else e
+      }
+    }
+    publishEntries(entries, schema, statsColumn,
+      partCols = st.partitionColumns, expectedVersion = Some(0L),
+      mappingOverride = Some((Map.empty, Nil)))
+  }
+
   /** RESTORE: republish version `toVersion`'s exact file list as the
     * NEXT version — the table's state rolls back (or forward) with
     * ZERO data copying, because files are immutable and the manifest
@@ -1641,11 +1714,16 @@ final class SnapshotStore(root: String) {
     * and a FULL compaction of the clone rewrites every referenced file
     * locally, materializing it into a deep copy.
     *
-    * HAZARD (inherent to shallow clones, same as Delta's): VACUUM on
-    * the SOURCE only inspects its own manifests — it can reclaim files
-    * a shallow clone still references. Clones are for dev/test forks
-    * and short-lived experiments; materialize (compact) before relying
-    * on one past the source's retention.
+    * The classic shallow-clone HAZARD — source VACUUM reclaiming files
+    * a clone still reads — is CLOSED here, unlike Delta: every clone
+    * registers a CLONE-OUT EDGE in the source's `clones/` ledger (one
+    * tiny file per clone, O(1), grow-only, no manifest contention) and
+    * [[vacuum]] refuses to delete a file a registered live clone still
+    * references unless called with `force = true`. The pin is exact —
+    * any still-reachable clone version counts — so it releases when the
+    * clone's directory is deleted, or when the clone materializes
+    * (compactLatest) AND vacuums away its source-referencing history;
+    * either way the source's next vacuum self-cleans the ledger entry.
     */
   def cloneFrom(source: SnapshotStore, version: Option[Long] = None): Long = {
     require(latestVersion.isEmpty,
@@ -1657,6 +1735,11 @@ final class SnapshotStore(root: String) {
     val v = version.orElse(source.latestVersion).getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore.cloneFrom: source has no committed versions"))
+    // register the clone-out edge BEFORE publishing the clone's v0, so
+    // a racing source vacuum can never observe the clone mid-birth
+    // without its pin (an aborted publish leaves a ledger entry that
+    // pins the pinned VERSION's files until removed — loud, never lossy)
+    source.registerCloneOut(rootPath.normalize.toString, v)
     val m = source.readFullManifest(v)
     def abs(rel: String): String = source.rootPath.resolve(rel).toString
     // FileEntry is store-inner (path-dependent): rebuild under THIS store
@@ -1668,6 +1751,71 @@ final class SnapshotStore(root: String) {
       constraintsOverride = Some(m.constraints),
       mappingOverride = Some((m.colMap, m.retired)),
       bloomOverride = Some(m.bloomColumn))
+  }
+
+  private val clonesDir: Path = rootPath.resolve("clones")
+
+  /** One clone-out ledger entry: `<cloneRoot>\t<pinnedVersion>`.
+    * Unique filename per registration (atomic move), so concurrent
+    * clones never contend and the source's manifest log is untouched.
+    */
+  private def registerCloneOut(cloneRoot: String, version: Long): Unit = {
+    Files.createDirectories(clonesDir)
+    val id = java.lang.Long.toHexString(System.nanoTime()) + "-" +
+      Integer.toHexString(scala.util.Random.nextInt(Int.MaxValue))
+    val tmpF = clonesDir.resolve(s".$id.tmp")
+    Files.write(tmpF, s"$cloneRoot\t$version\n".getBytes("UTF-8"))
+    Files.move(tmpF, clonesDir.resolve(s"$id.clone"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Data-file paths under THIS store's root that registered clones
+    * still reference, resolved against the live clone stores — plus
+    * ledger self-cleaning: entries whose clone directory is gone, or
+    * whose clone no longer references any of our files (materialized
+    * by compaction), are deleted. A ledger entry whose clone has no
+    * committed versions yet (mid-birth or aborted publish) pins the
+    * files of its recorded source VERSION — resolvable from our own
+    * manifest without touching the clone.
+    */
+  private def cloneReferencedPaths(): Map[Path, String] = {
+    if (!Files.isDirectory(clonesDir)) return Map.empty
+    val refs = {
+      val s = Files.list(clonesDir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".clone"))
+        .toSeq
+      finally s.close()
+    }
+    val vs = versions.toSet
+    refs.flatMap { ref =>
+      val line = new String(Files.readAllBytes(ref), "UTF-8").trim
+      val Array(cloneRoot, pinned) = line.split("\t", 2)
+      if (!Files.isDirectory(Paths.get(cloneRoot))) {
+        Files.deleteIfExists(ref) // clone deleted -> pin released
+        Nil
+      } else {
+        val clone = new SnapshotStore(cloneRoot)
+        val cloneVs = clone.versions
+        if (cloneVs.isEmpty) {
+          // mid-birth or aborted: pin the recorded source version's
+          // files if we still hold that manifest; a ledger entry whose
+          // version is already vacuumed away cannot be resolved -> pin
+          // nothing here, the refusal message names the ref file
+          if (vs.contains(pinned.toLong))
+            readFullManifest(pinned.toLong).entries
+              .map(e => rootPath.resolve(e.path).normalize -> cloneRoot)
+          else Nil
+        } else {
+          val mine = cloneVs.flatMap(v => clone.readFullManifest(v).entries)
+            .flatMap(e => Seq(e.path) ++ e.dv)
+            .map(p => Paths.get(p).normalize)
+            .filter(p => p.isAbsolute && p.startsWith(rootPath.normalize))
+            .map(_ -> cloneRoot)
+          if (mine.isEmpty) Files.deleteIfExists(ref) // materialized
+          mine
+        }
+      }
+    }.toMap
   }
 
   /** Highest streaming batch id committed into this table by `appId` —
@@ -1998,10 +2146,13 @@ final class SnapshotStore(root: String) {
 
   /** Per-file bloom filters for freshly staged files: one distributed
     * pass over the staged files' bloom column — (file, xxhash64(value))
-    * pairs aggregated into one fixed-size filter per file, collected as
-    * O(staged files) driver rows. The SAME xxhash64 the query-time
-    * membership test re-derives for literals, so both sides agree by
-    * construction.
+    * pairs aggregated into the file's DISTINCT hash set (capped at
+    * [[Bloom.MaxDistinct]]+1: the cap marker), then built into a
+    * capacity-sized filter on the driver, O(staged files) rows
+    * collected. Files past the cap publish NO filter (saturation
+    * honesty — a filter that excludes nothing only costs probes).
+    * The SAME xxhash64 the query-time membership test re-derives for
+    * literals, so both sides agree by construction.
     */
   private def collectBlooms(spark: SparkSession, rels: Seq[String],
       physCol: String): Map[String, String] = {
@@ -2015,14 +2166,22 @@ final class SnapshotStore(root: String) {
       .select(regexp_replace(col("_metadata.file_path"),
         "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("f"),
         xxhash64(col(physCol)).as("h"))
+    val cap = Bloom.MaxDistinct
     pairs.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
       .map(r => (r.getString(0), r.getLong(1)))
-      .aggregateByKey(Bloom.empty())(
-        (b, h) => { Bloom.add(b, h); b }, Bloom.merge)
+      .aggregateByKey(new scala.collection.mutable.HashSet[Long]())(
+        (s, h) => { if (s.size <= cap) s += h; s },
+        (a, b) => { val it = b.iterator
+          while (a.size <= cap && it.hasNext) a += it.next(); a })
       .collect()
-      .flatMap { case (abs, bits) =>
-        absToRel.get(java.nio.file.Paths.get(abs).normalize.toString)
-          .map(_ -> Bloom.encode(bits))
+      .flatMap { case (abs, hs) =>
+        if (hs.size > cap) None // saturation honesty: no filter at all
+        else absToRel.get(java.nio.file.Paths.get(abs).normalize.toString)
+          .map { rel =>
+            val bits = Bloom.sized(hs.size)
+            hs.foreach(Bloom.add(bits, _))
+            rel -> Bloom.encode(bits)
+          }
       }.toMap
   }
 
@@ -2052,7 +2211,9 @@ final class SnapshotStore(root: String) {
   private def bloomKeep(e: FileEntry, hs: Set[Long]): Boolean =
     e.bloom.forall { enc =>
       val bits = Bloom.decode(enc)
-      hs.exists(Bloom.mightContain(bits, _))
+      // legacy manifests may carry saturated filters (written before
+      // saturation honesty): skip the probes, keep the file
+      Bloom.saturated(bits) || hs.exists(Bloom.mightContain(bits, _))
     }
 
   /** The delta's distinct key hashes, capped: a small point-set delta
@@ -2592,12 +2753,20 @@ final class SnapshotStore(root: String) {
     * single-writer behavior (reclaim immediately); any deployment that
     * pairs a streaming sink with maintenance jobs should pass an hour+.
     */
-  def vacuum(keepLast: Int, minAgeMillis: Long = 0L): Unit = {
+  def vacuum(keepLast: Int, minAgeMillis: Long = 0L,
+      force: Boolean = false): Unit = {
     require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")
     require(minAgeMillis >= 0L, s"vacuum: minAgeMillis must be >= 0, got $minAgeMillis")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     val keptManifests = keep.map(readFullManifest)
+    // CLONE-OUT pins: files a registered shallow clone still references
+    // must survive retention pruning (the ledger this store writes at
+    // cloneFrom time — doing better than Delta's documented hazard).
+    // Resolved BEFORE any deletion so a refusal leaves the store
+    // untouched; force = the operator accepts breaking those clones.
+    val clonePins: Map[Path, String] =
+      if (force) Map.empty else cloneReferencedPaths()
     // Log-structured retention invariant: the OLDEST KEPT version must
     // be self-contained — a delta whose chain reaches below the kept
     // range would become unreadable once its predecessors are deleted.
@@ -2618,6 +2787,29 @@ final class SnapshotStore(root: String) {
       .flatMap(_.entries.flatMap(_.dv)).distinct
       .map(d => rootPath.resolve(d).normalize)
     val cutoff = System.currentTimeMillis() - minAgeMillis
+    if (clonePins.nonEmpty && Files.isDirectory(dataDir)) {
+      // would this vacuum delete a clone-pinned file? check BEFORE
+      // touching anything — refusal must leave the store intact
+      val walk = Files.walk(dataDir)
+      val broken = try {
+        walk.iterator().asScala.filter { p =>
+          Files.isRegularFile(p) && !referenced.contains(p.normalize) &&
+            !dvDirs.exists(d => p.normalize.startsWith(d)) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff &&
+            clonePins.contains(p.normalize)
+        }.toSeq
+      } finally walk.close()
+      if (broken.nonEmpty) {
+        val byClone = broken.map(p => clonePins(p.normalize)).distinct
+        throw new IllegalStateException(
+          s"SnapshotStore.vacuum: retention would delete ${broken.length} " +
+            s"file(s) still referenced by shallow clone(s) " +
+            s"${byClone.mkString(", ")} — materialize the clone and retire " +
+            "its source-referencing history (clone.compactLatest + " +
+            "clone.vacuum), delete its directory, or vacuum(force = true) " +
+            "to break it deliberately")
+      }
+    }
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
     // the memo must not outlive the files: a cached manifest for a
     // dropped version would let a reader (or a restore!) resolve a

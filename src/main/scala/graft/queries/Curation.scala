@@ -1559,6 +1559,87 @@ object Curation {
         SELECT updated, COUNT(*) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM live GROUP BY 1 ORDER BY updated
+      """)),
+    // ----------------------------------------------------------------
+    // CONVERT FROM DELTA — the migration path off the reference's
+    // actual at-rest format (its RAW zone is literal Delta Lake;
+    // reference sync.py:112-114). The query fabricates a real Delta
+    // table from the PUBLIC log protocol — parquet data files plus a
+    // hand-written _delta_log with an add/add → add → remove history —
+    // adopts it zero-copy via the read-only log replay
+    // (DeltaConvert.replay → SnapshotStore.convertFromDelta), appends
+    // through the adopted store, and aggregates. The oracle replays
+    // the SAME reconciliation in SQL (live files = thirds 0 and 2 of
+    // orders, the removed third absent, plus the post-adoption
+    // append): a mis-replayed remove action, a resurrected tombstone,
+    // or a mis-decoded path changes the sums.
+    Q(
+      "q299_delta_adoption",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val delta = java.nio.file.Files.createTempDirectory("graft-dl").toString
+        def dataFile(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+          val stage = java.nio.file.Files.createTempDirectory("graft-dl-st")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val ls = java.nio.file.Files.list(stage)
+          val src = try {
+            val it = ls.iterator()
+            Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+          } finally ls.close()
+          val dst = java.nio.file.Paths.get(delta).resolve(name)
+          java.nio.file.Files.move(src, dst)
+          java.nio.file.Files.size(dst)
+        }
+        val s1 = dataFile("part-1.parquet", o.filter($"o_orderkey" % 3 === 0))
+        val s2 = dataFile("part-2.parquet", o.filter($"o_orderkey" % 3 === 1))
+        val s3 = dataFile("part-3.parquet", o.filter($"o_orderkey" % 3 === 2))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+        def q(x: String) = mapper.writeValueAsString(x)
+        val schemaJson = s.read.parquet(s"$delta/part-1.parquet").schema.json
+        def add(p: String, sz: Long) =
+          s"""{"add":{"path":${q(p)},"partitionValues":{},"size":$sz,""" +
+            s""""modificationTime":0,"dataChange":true}}"""
+        def commit(v: Long, lines: Seq[String]): Unit = {
+          val logDir = java.nio.file.Paths.get(delta).resolve("_delta_log")
+          java.nio.file.Files.createDirectories(logDir)
+          java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+            lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
+        commit(0L, Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"q299","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":${q(schemaJson)},""" +
+            s""""partitionColumns":[],"configuration":{},"createdTime":0}}""",
+          add("part-1.parquet", s1), add("part-2.parquet", s2)))
+        commit(1L, Seq(add("part-3.parquet", s3)))
+        commit(2L, Seq(s"""{"remove":{"path":"part-2.parquet",""" +
+          s""""deletionTimestamp":0,"dataChange":true}}"""))
+        val store = new graft.etl.SnapshotStore(
+          java.nio.file.Files.createTempDirectory("graft-dla").toString)
+        store.convertFromDelta(s, delta, statsColumn = Some("o_orderkey"))
+        // the adopted store is a full citizen: append lands atop v0
+        store.commitAppend(o.filter($"o_orderkey" % 100 === 7)
+          .select(($"o_orderkey" + 900000000L).as("o_orderkey"), $"o_custkey"))
+        store.read(s)
+          .groupBy(($"o_orderkey" % 3).cast("int").as("third"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            sum($"o_custkey").as("cust_sum"))
+          .orderBy("third")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        live AS (
+          SELECT o_orderkey, o_custkey FROM o WHERE o_orderkey % 3 <> 1
+          UNION ALL
+          SELECT o_orderkey + 900000000, o_custkey FROM o
+          WHERE o_orderkey % 100 = 7)
+        SELECT CAST(o_orderkey % 3 AS INT) AS third, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM live GROUP BY 1 ORDER BY third
       """))
   )
 }

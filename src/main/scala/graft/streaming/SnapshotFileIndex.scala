@@ -105,7 +105,8 @@ final class SnapshotFileIndex(
     */
   private val bloomColumn: Option[String] = store.bloomColumnAt(asOfVersion)
   private lazy val blooms: Seq[Option[Array[Long]]] =
-    entries.map(_.bloom.map(graft.etl.Bloom.decode))
+    entries.map(_.bloom.map(graft.etl.Bloom.decode)
+      .filterNot(graft.etl.Bloom.saturated)) // legacy saturated: no probes
 
   override val partitionSchema: StructType =
     StructType(partCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(

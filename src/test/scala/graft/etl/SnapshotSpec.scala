@@ -1665,15 +1665,17 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // domain, so range stats can never prune a uid point lookup —
     // exactly the column class the bloom property exists for
     def uidOf(i: Long): Long = i * 2654435761L % 1000003L
+    // 500 distinct uids per file — the 4096-bit/k=6 design density
+    // (the saturation-honesty knee is ~950/file; see the saturation test)
     val df = (1L to 8000L).map(i => (i, uidOf(i), s"v$i")).toDF("id", "uid", "v")
-    store.commitOverwrite(df.repartitionByRange(8, col("id")),
+    store.commitOverwrite(df.repartitionByRange(16, col("id")),
       statsColumn = Some("id"))
     store.setBloomFilter(Some("uid"))
     // pre-property files carry no filter (conservatively kept); a
     // compaction restages them WITH filters
-    store.compactLatest(spark, targetFiles = 8)
+    store.compactLatest(spark, targetFiles = 16)
     val m0 = store.readFullManifest(store.latestVersion.get)
-    assert(m0.entries.length == 8 && m0.entries.forall(_.bloom.nonEmpty),
+    assert(m0.entries.length == 16 && m0.entries.forall(_.bloom.nonEmpty),
       "every rewritten file must carry a bloom filter")
     // CoW point DELETE: only the files whose filter might hold the value
     // are rewritten — the rest keep path identity
@@ -1682,8 +1684,8 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m1 = store.readFullManifest(store.latestVersion.get)
     val kept = m1.entries.map(_.path).toSet
       .intersect(m0.entries.map(_.path).toSet)
-    assert(kept.size >= 6,
-      s"a point delete must keep most files by identity (kept ${kept.size}/8)")
+    assert(kept.size >= 13,
+      s"a point delete must keep most files by identity (kept ${kept.size}/16)")
     assert(store.read(spark).count() == 7999L)
     assert(store.read(spark).filter($"uid" === u).isEmpty)
     // MoR point upsert by the bloom key: only hit files take a DV
@@ -1718,9 +1720,9 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val store = new SnapshotStore(tmp())
     store.commitOverwrite(
       (1 to 4000).map(i => (i.toLong, i * 7)).toDF("id", "uid")
-        .repartitionByRange(4, col("id")), statsColumn = Some("id"))
+        .repartitionByRange(8, col("id")), statsColumn = Some("id"))
     store.setBloomFilter(Some("uid"))
-    store.compactLatest(spark, targetFiles = 4)
+    store.compactLatest(spark, targetFiles = 8)
     val mPre = store.readFullManifest(store.latestVersion.get)
     assert(mPre.entries.forall(_.bloom.nonEmpty))
     // widen uid -> LONG: old filters hashed int values; keeping them
@@ -1778,6 +1780,309 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m3.bloomColumn.contains("b") && m3.entries.forall(_.bloom.isEmpty),
       "re-pointing the bloom property must strip filters built on the old column")
     assert(s3.read(spark).filter($"b" === 99L).count() == 1L)
+  }
+
+  test("clone-aware vacuum: source vacuum refuses while a clone references files; materialize or delete releases the pin; FORCE breaks deliberately") {
+    import spark.implicits._
+    val a = new SnapshotStore(tmp())
+    a.commitOverwrite((1L to 800L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")), statsColumn = Some("id"))
+    val rootB = tmp()
+    val b = new SnapshotStore(rootB)
+    b.cloneFrom(a)
+    // source replaces everything; retention alone would reclaim the v0
+    // files the clone still reads
+    a.commitOverwrite(Seq((9999L, "new")).toDF("id", "v"))
+    val e = intercept[IllegalStateException] { a.vacuum(keepLast = 1) }
+    assert(e.getMessage.contains(java.nio.file.Paths.get(rootB).normalize.toString) &&
+      e.getMessage.contains("force"))
+    // refusal left everything intact: the clone still reads its pin
+    assert(b.read(spark).count() == 800L)
+    // materializing the clone AND retiring its source-referencing
+    // history releases the pin -> vacuum proceeds (the pin is exact:
+    // any still-reachable clone version counts)
+    b.compactLatest(spark, targetFiles = 2)
+    intercept[IllegalStateException] { a.vacuum(keepLast = 1) } // v0 still pins
+    b.vacuum(keepLast = 1)
+    a.vacuum(keepLast = 1)
+    assert(a.read(spark).count() == 1L)
+    assert(b.read(spark).count() == 800L, "materialized clone survives source vacuum")
+    // a clone whose DIRECTORY was deleted releases its pin too
+    val rootC = tmp()
+    val c = new SnapshotStore(rootC)
+    a.commitAppend(Seq((10000L, "x")).toDF("id", "v").coalesce(1))
+    c.cloneFrom(a)
+    a.commitOverwrite(Seq((1L, "z")).toDF("id", "v"))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(f => Files.delete(f))
+      finally walk.close()
+    }
+    rmTree(java.nio.file.Paths.get(rootC))
+    a.vacuum(keepLast = 1) // no refusal: the dead clone self-cleaned
+    // FORCE: the operator deliberately breaks a live clone
+    val d = new SnapshotStore(tmp())
+    d.cloneFrom(a)
+    a.commitOverwrite(Seq((2L, "w")).toDF("id", "v"))
+    a.vacuum(keepLast = 1, force = true)
+    assert(intercept[Exception] { d.read(spark).count() } != null,
+      "force-vacuumed clone must fail loudly, not silently return wrong rows")
+  }
+
+  test("bloom capacity honesty: filters size to the file's distinct count; past the cap NO filter publishes; legacy saturation math holds") {
+    import spark.implicits._
+    // legacy unit surface: fixed 512-byte filters saturate past ~950
+    // values — the read path skips probing those
+    val bits = Bloom.empty()
+    assert(!Bloom.saturated(bits))
+    (1 to 400).foreach(i => Bloom.add(bits, i.toLong * 0x9E3779B97F4A7C15L))
+    assert(!Bloom.saturated(bits), "400 values must NOT saturate (the design point)")
+    (401 to 5000).foreach(i => Bloom.add(bits, i.toLong * 0x9E3779B97F4A7C15L))
+    assert(Bloom.saturated(bits), "5000 values must saturate a legacy filter")
+    // adaptive sizing: m = 12n rounded to a power of two, 512 B floor,
+    // 128 KB cap; past MaxDistinct sized() refuses
+    assert(Bloom.sized(1).length * 64 == 4096)
+    assert(Bloom.sized(400).length * 64 == 8192)
+    assert(Bloom.sized(6000).length * 64 == 131072)
+    assert(!Bloom.saturated({
+      val b = Bloom.sized(6000)
+      (1 to 6000).foreach(i => Bloom.add(b, i.toLong * 0x9E3779B97F4A7C15L))
+      b
+    }), "an adaptively-sized filter never saturates at its design load")
+    intercept[IllegalArgumentException] { Bloom.sized(Bloom.MaxDistinct + 1) }
+    // store surface: a 6000-distinct file gets a filter SIZED for it
+    // and point lookups prune; a file past MaxDistinct publishes no
+    // filter at all (conservatively always scanned); lookups stay
+    // exact either way
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1L to 6000L).map(i => (i, i * 2654435761L % 99999989L)).toDF("id", "uid")
+        .coalesce(1), statsColumn = Some("id"))
+    store.setBloomFilter(Some("uid"))
+    store.compactLatest(spark, targetFiles = 1)
+    val m = store.readFullManifest(store.latestVersion.get)
+    assert(m.entries.forall(e => e.bloom.nonEmpty &&
+      Bloom.decode(e.bloom.get).length * 64 == 131072),
+      "a mid-cardinality file must carry a filter sized to its load")
+    val probe = 1234L * 2654435761L % 99999989L
+    assert(store.read(spark).filter($"uid" === probe).count() == 1L)
+    // past the cap: > MaxDistinct distinct values in one file
+    val big = new SnapshotStore(tmp())
+    val n = Bloom.MaxDistinct + 1000L
+    big.commitOverwrite(
+      spark.range(1L, n + 1L).select($"id", ($"id" * 2654435761L).as("uid"))
+        .coalesce(1), statsColumn = Some("id"))
+    big.setBloomFilter(Some("uid"))
+    big.compactLatest(spark, targetFiles = 1)
+    val mBig = big.readFullManifest(big.latestVersion.get)
+    assert(mBig.entries.forall(_.bloom.isEmpty),
+      "past MaxDistinct the file must publish NO filter (saturation honesty)")
+    assert(big.read(spark).filter($"uid" === 777L * 2654435761L).count() == 1L)
+  }
+
+  // ---- convertFromDelta fixtures: hand-written _delta_log per the ----
+  // ---- PUBLIC Delta transaction-log protocol spec                 ----
+
+  /** Writes `df` as ONE parquet file at `tableDir/name`, returns size. */
+  private def deltaDataFile(tableDir: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val stage = Files.createTempDirectory("graft-dl-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator()
+    val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Paths.get(tableDir).resolve(name)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    Files.size(dst)
+  }
+
+  private def jsonQuote(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  private def deltaMeta(schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String] = Nil, conf: Map[String, String] = Map.empty): String = {
+    val pc = partCols.map(jsonQuote).mkString("[", ",", "]")
+    val cf = conf.map { case (k, v) => s"${jsonQuote(k)}:${jsonQuote(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jsonQuote(schema.json)},"partitionColumns":$pc,""" +
+      s""""configuration":$cf,"createdTime":0}}"""
+  }
+
+  private def deltaProto(minReader: Int = 1, features: Seq[String] = Nil): String =
+    if (features.isEmpty)
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":2}}"""
+    else s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7,""" +
+      s""""readerFeatures":${features.map(jsonQuote).mkString("[", ",", "]")},""" +
+      s""""writerFeatures":[]}}"""
+
+  private def deltaAdd(path: String, size: Long,
+      partVals: Map[String, String] = Map.empty): String = {
+    val pv = partVals.map { case (k, v) => s"${jsonQuote(k)}:${jsonQuote(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"add":{"path":${jsonQuote(path)},"partitionValues":$pv,"size":$size,""" +
+      s""""modificationTime":0,"dataChange":true}}"""
+  }
+
+  private def deltaRemove(path: String): String =
+    s"""{"remove":{"path":${jsonQuote(path)},"deletionTimestamp":0,""" +
+      s""""dataChange":true}}"""
+
+  private def deltaCommit(tableDir: String, v: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(tableDir).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** Classic single-file parquet checkpoint from the same action lines
+    * (schema inferred by the JSON reader — the replayer re-renders each
+    * struct with to_json, so exact physical shape is immaterial).
+    */
+  private def deltaCheckpoint(tableDir: String, v: Long,
+      lines: Seq[String]): Unit = {
+    import spark.implicits._
+    val logDir = Paths.get(tableDir).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val stage = Files.createTempDirectory("graft-dl-ckpt")
+    spark.read.json(lines.toDS).coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val it = Files.list(stage).iterator()
+    val src = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(src, logDir.resolve(f"$v%020d.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$v,"size":${lines.length}}""".getBytes("UTF-8"))
+  }
+
+  test("convertFromDelta: JSON replay honors add/remove and encoded paths; adoption is zero-copy and the store lives on") {
+    import spark.implicits._
+    val delta = tmp()
+    val f1 = deltaDataFile(delta, "part-f1.parquet", frame(1 to 10, "a"))
+    val f2 = deltaDataFile(delta, "part-f2.parquet", frame(11 to 20, "b"))
+    // a path Delta would percent-encode (space)
+    val f3 = deltaDataFile(delta, "part f3.parquet", frame(21 to 30, "c"))
+    val schema = spark.read.parquet(s"$delta/part-f1.parquet").schema
+    deltaCommit(delta, 0L, Seq(deltaProto(), deltaMeta(schema),
+      deltaAdd("part-f1.parquet", f1), deltaAdd("part-f2.parquet", f2)))
+    deltaCommit(delta, 1L, Seq(deltaAdd("part%20f3.parquet", f3)))
+    deltaCommit(delta, 2L, Seq(deltaRemove("part-f2.parquet")))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta, statsColumn = Some("id"))
+    // live = f1 + f3; the removed f2 must not surface
+    val got = store.read(spark)
+    assert(got.count() == 20L)
+    assert(got.select("tag").distinct().collect().map(_.getString(0)).toSet ==
+      Set("a", "c"))
+    // zero copy: entries reference the delta table's files by identity
+    val m = store.readFullManifest(0L)
+    assert(m.entries.map(_.path).toSet ==
+      Set(s"$delta/part-f1.parquet", s"$delta/part f3.parquet"))
+    // footer stats landed -> range read prunes and returns exact rows
+    assert(store.readRange(spark, "id", 22L, 25L).count() == 4L)
+    // the adopted store is a full citizen: append + point filter work
+    store.commitAppend(frame(100 to 101, "post").toDF())
+    assert(store.read(spark).count() == 22L)
+    assert(store.read(spark).filter($"id" === 100L).count() == 1L)
+    // the Delta table itself was never touched
+    val logFiles = Files.list(Paths.get(delta, "_delta_log"))
+    try assert(logFiles.count() == 3) finally logFiles.close()
+  }
+
+  test("convertFromDelta: checkpoint replay — reconciled parquet state plus later JSON deltas, pre-checkpoint logs gone") {
+    val delta = tmp()
+    val f1 = deltaDataFile(delta, "f1.parquet", frame(1 to 5, "old"))
+    val f2 = deltaDataFile(delta, "f2.parquet", frame(6 to 10, "keep"))
+    val f3 = deltaDataFile(delta, "f3.parquet", frame(11 to 15, "keep"))
+    val f4 = deltaDataFile(delta, "f4.parquet", frame(16 to 20, "tail"))
+    val schema = spark.read.parquet(s"$delta/f2.parquet").schema
+    // checkpoint at v2 holds the RECONCILED state: meta + protocol +
+    // live adds (f2, f3) + f1's remove TOMBSTONE (must not resurrect)
+    deltaCheckpoint(delta, 2L, Seq(deltaProto(), deltaMeta(schema),
+      deltaAdd("f2.parquet", f2), deltaAdd("f3.parquet", f3),
+      deltaRemove("f1.parquet")))
+    // pre-checkpoint JSONs were CLEANED UP (Delta's log retention) —
+    // replay must start from the checkpoint, not demand version 0
+    deltaCommit(delta, 3L, Seq(deltaAdd("f4.parquet", f4)))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta)
+    val got = store.read(spark)
+    assert(got.count() == 15L)
+    assert(got.select("tag").distinct().collect().map(_.getString(0)).toSet ==
+      Set("keep", "tail"))
+    // a gap AFTER the checkpoint is an incomplete log -> loud refusal
+    val delta2 = tmp()
+    val g1 = deltaDataFile(delta2, "g1.parquet", frame(1 to 3, "x"))
+    deltaCommit(delta2, 0L, Seq(deltaProto(), deltaMeta(schema),
+      deltaAdd("g1.parquet", g1)))
+    deltaCommit(delta2, 2L, Seq(deltaAdd("g1.parquet", g1)))
+    val e = intercept[IllegalArgumentException] {
+      new SnapshotStore(tmp()).convertFromDelta(spark, delta2)
+    }
+    assert(e.getMessage.contains("missing version file"))
+  }
+
+  test("convertFromDelta: hive-partitioned tables adopt with pruning; unsupported features are refused loudly") {
+    import spark.implicits._
+    val delta = tmp()
+    val d1 = deltaDataFile(delta, "day=1/p1.parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val d2 = deltaDataFile(delta, "day=2/p2.parquet",
+      Seq((3L, "c")).toDF("id", "v"))
+    val dataSchema = spark.read.parquet(s"$delta/day=1/p1.parquet").schema
+    val full = org.apache.spark.sql.types.StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType))
+    deltaCommit(delta, 0L, Seq(deltaProto(), deltaMeta(full, Seq("day")),
+      deltaAdd("day=1/p1.parquet", d1, Map("day" -> "1")),
+      deltaAdd("day=2/p2.parquet", d2, Map("day" -> "2"))))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta)
+    assert(store.tableSchema().fieldNames.toSeq == Seq("id", "v", "day"),
+      "partition column must normalize to LAST")
+    assert(store.read(spark).count() == 3L)
+    assert(store.read(spark).filter($"day" === 1L).count() == 2L)
+    assert(store.read(spark).filter($"day" === 2L)
+      .select("v").head().getString(0) == "c")
+    // refusals: deletion-vector reader feature
+    def refused(lines: Seq[Seq[String]], needle: String): Unit = {
+      val t = tmp()
+      val sz = deltaDataFile(t, "r.parquet", frame(1 to 2, "r"))
+      val sch = spark.read.parquet(s"$t/r.parquet").schema
+      lines.zipWithIndex.foreach { case (ls, i) =>
+        deltaCommit(t, i.toLong, ls.map(_
+          .replace("__SIZE__", sz.toString)
+          .replace("__SCHEMA__", jsonQuote(sch.json).drop(1).dropRight(1))))
+      }
+      val msg = intercept[IllegalArgumentException] {
+        new SnapshotStore(tmp()).convertFromDelta(spark, t)
+      }.getMessage
+      assert(msg.toLowerCase.contains(needle.toLowerCase),
+        s"expected refusal mentioning '$needle', got: $msg")
+    }
+    val metaTmpl = (sch: org.apache.spark.sql.types.StructType) => deltaMeta(sch)
+    val plainSchema = frame(1 to 2, "r").schema
+    refused(Seq(Seq(deltaProto(3, Seq("deletionVectors")),
+      deltaMeta(plainSchema), deltaAdd("r.parquet", 1L))),
+      "unsupported reader feature")
+    // column mapping
+    refused(Seq(Seq(deltaProto(2),
+      deltaMeta(plainSchema, Nil, Map("delta.columnMapping.mode" -> "name")),
+      deltaAdd("r.parquet", 1L))), "columnMapping")
+    // an add carrying a live deletion vector (JSON level)
+    refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
+      """{"add":{"path":"r.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"deletionVector":""" +
+        """{"storageType":"u","pathOrInlineDv":"x","offset":1,""" +
+        """"sizeInBytes":40,"cardinality":6}}}""")), "DELETION VECTORS")
+    // an absolute/external file reference
+    refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
+      deltaAdd("s3://bucket/x.parquet", 1L))), "self-contained")
+    // a log whose add references a vacuumed-away file
+    refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
+      deltaAdd("gone.parquet", 1L))), "missing file")
   }
 
   test("SnapshotSink drives processTable: append lands as a new version atop history") {

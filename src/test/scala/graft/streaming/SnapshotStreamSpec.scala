@@ -1674,13 +1674,15 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = tmp()
     val store = new SnapshotStore(root)
     def uidOf(i: Long): Long = i * 2654435761L % 1000003L
+    // 500 distinct uids per file — the design density (saturation
+    // honesty drops filters past ~950/file)
     store.commitOverwrite(
       (1L to 8000L).map(i => (i, uidOf(i), s"v$i")).toDF("id", "uid", "v")
-        .repartitionByRange(8, $"id"), statsColumn = Some("id"))
+        .repartitionByRange(16, $"id"), statsColumn = Some("id"))
     spark.sql("DROP TABLE IF EXISTS snap_bloom")
     spark.sql(s"CREATE TABLE snap_bloom USING `graft-snapshot` OPTIONS (path '$root')")
     spark.sql("ALTER TABLE snap_bloom SET BLOOMFILTER COLUMN uid")
-    spark.sql("OPTIMIZE snap_bloom TARGET 8 FILES") // restage WITH filters
+    spark.sql("OPTIMIZE snap_bloom TARGET 16 FILES") // restage WITH filters
     def scannedFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val n = df.count()
       val scans = df.queryExecution.executedPlan.collect {
@@ -1694,11 +1696,11 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (nf, rows) = scannedFiles(
       spark.table("snap_bloom").filter($"uid" === uidOf(4321L)))
     assert(rows == 1L)
-    assert(nf < 8L, s"bloom skipping must plan fewer than all 8 files, got $nf")
+    assert(nf < 16L, s"bloom skipping must plan fewer than all 16 files, got $nf")
     // IN-lists prune too; a value in NO file scans (almost) nothing
     val (nfIn, rowsIn) = scannedFiles(spark.table("snap_bloom")
       .filter($"uid".isin(uidOf(11L), uidOf(22L), uidOf(33L))))
-    assert(rowsIn == 3L && nfIn < 8L)
+    assert(rowsIn == 3L && nfIn < 16L)
     val (nfMiss, rowsMiss) = scannedFiles(
       spark.table("snap_bloom").filter($"uid" === -1L))
     assert(rowsMiss == 0L && nfMiss <= 1L,
