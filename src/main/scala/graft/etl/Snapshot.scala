@@ -2011,36 +2011,74 @@ final class SnapshotStore(root: String) {
       s"SnapshotStore.widenColumnType: '$name' is a partition column — " +
         "partition values are typed path metadata; rewrite the table to " +
         "change them")
-    val ok: Set[DataType] = f.dataType match {
-      case ByteType => Set(ShortType, IntegerType, LongType, DoubleType)
-      case ShortType => Set(IntegerType, LongType, DoubleType)
-      case IntegerType => Set(LongType, DoubleType)
-      case FloatType => Set(DoubleType)
-      case other => Set.empty
+    // The FULL widening matrix the Spark 4.1 parquet reader upcasts
+    // natively (probe-verified per cell: int32/int64/float pages read
+    // back under the wider requested schema, decimals rescale, dates
+    // surface as midnight NTZ): the integer chain, float -> double,
+    // int/long -> decimal with enough INTEGER digits (int 10, long 20
+    // — Delta's type-widening rules re-derived; byte/short pages carry
+    // an INT(8/16) annotation the reader refuses to upcast to decimal,
+    // so those cells are NOT offered), decimal -> decimal growing
+    // precision and/or scale as long as integer digits never shrink,
+    // and date -> timestamp_ntz. Everything else — any narrowing, any
+    // cross-family change, decimal digit loss — is refused loudly: it
+    // would silently corrupt reads.
+    val isWidening: Boolean = (f.dataType, newType) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale &&
+          (b.precision > a.precision || b.scale > a.scale)
+      case (DateType, TimestampNTZType) => true
+      case _ => false
     }
-    require(ok.contains(newType),
+    require(isWidening,
       s"SnapshotStore.widenColumnType: ${f.dataType.simpleString} -> " +
         s"${newType.simpleString} is not a supported WIDENING for '$name' " +
-        s"(allowed: ${if (ok.isEmpty) "none — only byte/short/int/float widen"
-          else ok.map(_.simpleString).mkString(", ")})")
+        "(allowed: byte/short/int/long up the integer chain, float -> " +
+        "double, integer family -> decimal with enough integer digits, " +
+        "decimal growth, date -> timestamp_ntz)")
+    // STATS columns record min/max as the INTEGER-physical encoding
+    // (ints as longs, dates as days). A non-integer widening changes
+    // what query literals fold to — date->ntz literals are MICROS
+    // against day-encoded stats, which would WRONGLY PRUNE files — and
+    // decimal/double columns collect no footer stats at all (pruning
+    // silently dies). Refused like rename/drop: change the property
+    // first.
+    if (statsParts(m.statsColumn).contains(name)) {
+      val statsSafe = newType match {
+        case ShortType | IntegerType | LongType => true // same long encoding
+        case _ => false
+      }
+      require(statsSafe,
+        s"SnapshotStore.widenColumnType: '$name' is a stats column and " +
+          s"${newType.simpleString} changes the recorded min/max encoding " +
+          "— change the stats property first (compactLatest with a new " +
+          "statsColumn), then widen")
+    }
     val widened = StructType(m.schema.fields.map(fl =>
       if (fl.name == name) fl.copy(dataType = newType) else fl))
-    // xxhash64 hashes byte/short/int over the SAME 4-byte path but long
-    // and double over 8 bytes, so a widening past int changes every
-    // hash (xxhash64(5:int) != xxhash64(5:long)). If the widened column
-    // is the bloom column, old files' filters — built at the narrow
-    // width — would return FALSE NEGATIVES against wide-typed query
-    // literals and pruning would silently skip matching files. Publish
-    // with those blooms STRIPPED: filterless entries are always kept
-    // (conservative), and compaction / fresh writes rebuild filters at
-    // the wide type. byte->short/int and short->int keep their blooms —
-    // those widenings are hash-compatible.
-    val hashWidthChanges = newType match {
-      case LongType | DoubleType => true
+    // xxhash64 hashes byte/short/int over the SAME 4-byte path; long,
+    // double, decimal and timestamp hash differently, so any widening
+    // past int changes every hash (xxhash64(5:int) != xxhash64(5:long)).
+    // If the widened column is the bloom column, old files' filters —
+    // built at the narrow width — would return FALSE NEGATIVES against
+    // wide-typed query literals and pruning would silently skip
+    // matching files. Publish with those blooms STRIPPED: filterless
+    // entries are always kept (conservative), and compaction / fresh
+    // writes rebuild filters at the wide type. byte->short/int and
+    // short->int keep their blooms — those widenings are
+    // hash-compatible.
+    val hashCompatible = newType match {
+      case ShortType | IntegerType => true
       case _ => false
     }
     val entriesOut =
-      if (hashWidthChanges && m.bloomColumn.contains(name))
+      if (!hashCompatible && m.bloomColumn.contains(name))
         m.entries.map(_.copy(bloom = None))
       else m.entries
     publishEntries(entriesOut, widened, m.statsColumn,
@@ -2368,6 +2406,33 @@ final class SnapshotStore(root: String) {
         s"($fromVersion, $to] were vacuumed; reposition the cursor to " +
         s"${versions.headOption.map(_ - 1).getOrElse(-1L)} " +
         "(earliest surviving version becomes the initial snapshot)")
+    // COLUMN-MAPPING coherence across the range: a RENAME mid-feed must
+    // not fork one logical column into two null-padded halves, and a
+    // DROP + re-ADD of the same name must not surface the retired
+    // column's values under the re-bound identity. The PHYSICAL name is
+    // the stable identity (rename only re-labels; re-add mints a fresh
+    // physical), so each historical segment renders onto the FEED-END
+    // schema: columns re-labeled to the end version's logical names by
+    // physical identity, columns whose physical is retired at `to`
+    // DROPPED (the feed's shape is the table's current shape plus the
+    // CDC columns — Delta's CDF-under-column-mapping semantics, and
+    // what applyChangeFeed replicas need).
+    val endHeader = readHeader(to)
+    val physToEndLogical: Map[String, String] =
+      endHeader.schema.fieldNames.map(l =>
+        endHeader.colMap.getOrElse(l, l) -> l).toMap
+    def relabel(df: DataFrame, schema: StructType,
+        colMap: Map[String, String]): DataFrame = {
+      val (keep, drop) = schema.fieldNames.partition(c =>
+        physToEndLogical.contains(colMap.getOrElse(c, c)))
+      val renames = keep.flatMap { c =>
+        val endName = physToEndLogical(colMap.getOrElse(c, c))
+        if (endName != c) Some(c -> endName) else None
+      }
+      val dropped = if (drop.isEmpty) df else df.drop(drop.toSeq: _*)
+      renames.foldLeft(dropped) { case (d, (from, toName)) =>
+        d.withColumnRenamed(from, toName) }
+    }
     val segments: Seq[DataFrame] = ((fromVersion + 1) to to).flatMap { v =>
       val m = readFullManifest(v)
       if (m.rewrite) Nil // dataChange=false: same rows, new layout
@@ -2391,7 +2456,8 @@ final class SnapshotStore(root: String) {
         val removed = prev.toSeq.flatMap { p =>
           val gone = p.entries.filterNot(e => curPaths.contains(e.path))
           if (gone.isEmpty) Nil
-          else Seq(tag(scan(spark, p.schema, gone, p.partCols, p.colMap), "delete"))
+          else Seq(tag(relabel(scan(spark, p.schema, gone, p.partCols, p.colMap),
+            p.schema, p.colMap), "delete"))
         }
         // MERGE-ON-READ deletes: a commit that touched no files but GREW
         // a shared file's DV set tombstoned exactly the rows at the
@@ -2409,16 +2475,18 @@ final class SnapshotStore(root: String) {
           if (grown.isEmpty) Nil
           else {
             val addedDvs = grown.flatMap(_._2).distinct
-            Seq(tag(positionJoin(spark, p.schema, grown.map(_._1), p.partCols,
-              addedDvs, anti = false)
+            Seq(tag(relabel(positionJoin(spark, p.schema, grown.map(_._1),
+              p.partCols, addedDvs, anti = false)
               .select(p.schema.fieldNames.toSeq
-                .map(org.apache.spark.sql.functions.col): _*), "delete"))
+                .map(org.apache.spark.sql.functions.col): _*),
+              p.schema, p.colMap), "delete"))
           }
         }
         val added = m.entries.filterNot(e => prevPaths.contains(e.path))
         val inserts =
           if (added.isEmpty) Nil
-          else Seq(tag(scan(spark, m.schema, added, m.partCols, m.colMap), "insert"))
+          else Seq(tag(relabel(scan(spark, m.schema, added, m.partCols, m.colMap),
+            m.schema, m.colMap), "insert"))
         removed ++ morDeletes ++ inserts
       }
     }

@@ -1387,7 +1387,20 @@ object Curation {
             .agg(count(lit(1)).as("n"),
               sum($"cust").as("buyer_sum"),
               sum(coalesce($"flag", lit(-1L))).as("flag_sum"))
-          live.unionByName(v0).orderBy("seg")
+          // the CHANGE FEED spanning the whole evolution renders onto
+          // the end-of-range shape by PHYSICAL identity: pre-rename
+          // inserts surface under 'buyer' (a forked uid/buyer pair
+          // would null them), and the dropped flag generation's values
+          // never resurrect under the re-added column (NULL -> -1) —
+          // so the insert-only feed aggregates EXACTLY like the live
+          // table
+          val feed = s.sql(s"SELECT * FROM table_changes('$root', -1)")
+            .filter($"_change_type" === "insert")
+            .groupBy(lit("feed_ins").as("seg"))
+            .agg(count(lit(1)).as("n"),
+              sum($"buyer").as("buyer_sum"),
+              sum(coalesce($"flag", lit(-1L))).as("flag_sum"))
+          feed.unionByName(live).unionByName(v0).orderBy("seg")
         } finally s.sql("DROP TABLE IF EXISTS g295_cm")
       },
       Some("""
@@ -1407,6 +1420,10 @@ object Curation {
           SELECT 'live' AS seg, COUNT(*) AS n,
                  CAST(SUM(buyer) AS BIGINT) AS buyer_sum,
                  CAST(SUM(flag) AS BIGINT) AS flag_sum
+          FROM live
+          UNION ALL
+          SELECT 'feed_ins', COUNT(*), CAST(SUM(buyer) AS BIGINT),
+                 CAST(SUM(flag) AS BIGINT)
           FROM live
           UNION ALL
           SELECT 'v0', COUNT(*), CAST(SUM(cust) AS BIGINT),
@@ -1490,10 +1507,18 @@ object Curation {
           s.sql("""INSERT INTO g297_tw
             SELECT CAST(k AS BIGINT) + 5000000000, c
             FROM g297_tw WHERE k % 100 = 3""")
+          // DECIMAL widening: every file written so far stores c as
+          // INT32 — the grouped sum below reads ALL pre-widening files
+          // through the widened decimal column (reader upcast), plus
+          // one post-widening decimal row carrying a fraction
+          s.sql("ALTER TABLE g297_tw ALTER COLUMN c TYPE DECIMAL(14,2)")
+          s.sql("""INSERT INTO g297_tw
+            SELECT CAST(9000000001 AS BIGINT) AS k,
+                   CAST(0.25 AS DECIMAL(14,2)) AS c""")
           s.table("g297_tw")
             .groupBy(when($"k" > 4000000000L, 1).otherwise(0).as("wide"))
             .agg(count(lit(1)).as("n"), sum($"k").as("key_sum"),
-              sum($"c").as("cust_sum"))
+              sum($"c").cast("double").as("cust_sum"))
             .orderBy("wide")
         } finally s.sql("DROP TABLE IF EXISTS g297_tw")
       },
@@ -1502,11 +1527,14 @@ object Curation {
           SELECT CAST(o_orderkey AS BIGINT) AS k,
                  CAST(o_custkey AS INT) AS c FROM orders),
         uni AS (
-          SELECT k, c, 0 AS wide FROM o
+          SELECT k, CAST(c AS DECIMAL(14,2)) AS c, 0 AS wide FROM o
           UNION ALL
-          SELECT k + 5000000000, c, 1 FROM o WHERE k % 100 = 3)
+          SELECT k + 5000000000, CAST(c AS DECIMAL(14,2)), 1 FROM o
+          WHERE k % 100 = 3
+          UNION ALL
+          SELECT 9000000001, CAST(0.25 AS DECIMAL(14,2)), 1)
         SELECT wide, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
-               CAST(SUM(c) AS BIGINT) AS cust_sum
+               CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS cust_sum
         FROM uni GROUP BY 1 ORDER BY wide
       """)),
     // ----------------------------------------------------------------

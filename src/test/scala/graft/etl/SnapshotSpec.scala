@@ -1658,6 +1658,89 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("not a supported WIDENING"))
   }
 
+  test("type-widening matrix: decimal precision/scale growth, integer->decimal, date->timestamp_ntz; stats-encoding and narrowing refusals") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // decimal growth: precision, then scale too — narrow-decimal files
+    // read back rescaled under the widened schema, exactly
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      (1 to 50).map(i => (i.toLong, BigDecimal(i * 1000000) + BigDecimal("0.25")))
+        .toDF("id", "amt")
+        .select($"id", $"amt".cast(DecimalType(10, 2)).as("amt")),
+      statsColumn = Some("id"))
+    store.widenColumnType("amt", DecimalType(20, 2))
+    store.widenColumnType("amt", DecimalType(24, 6))
+    assert(store.read(spark).schema("amt").dataType == DecimalType(24, 6))
+    assert(store.read(spark).filter($"id" === 3L).head().getDecimal(1) ==
+      new java.math.BigDecimal("3000000.250000"))
+    // post-widening append carries values the narrow type cannot hold
+    store.commitAppend(Seq((99L, BigDecimal("123456789012345678.123456")))
+      .toDF("id", "amt")
+      .select($"id", $"amt".cast(DecimalType(24, 6)).as("amt")).coalesce(1))
+    assert(store.read(spark)
+      .filter($"amt" > BigDecimal("1e17")).count() == 1L)
+    // integer digits must never shrink; plain narrowing refused
+    assert(intercept[IllegalArgumentException] {
+      store.widenColumnType("amt", DecimalType(25, 8)) // 17 int digits < 18
+    }.getMessage.contains("not a supported WIDENING"))
+    assert(intercept[IllegalArgumentException] {
+      store.widenColumnType("amt", DecimalType(12, 2))
+    }.getMessage.contains("not a supported WIDENING"))
+    // integer family -> decimal: enough integer digits or refused
+    val s2 = new SnapshotStore(tmp())
+    s2.commitOverwrite(Seq((1L, 2000000000, 5.toShort)).toDF("id", "v", "w"))
+    assert(intercept[IllegalArgumentException] {
+      s2.widenColumnType("v", DecimalType(9, 0)) // int needs 10
+    }.getMessage.contains("not a supported WIDENING"))
+    s2.widenColumnType("v", DecimalType(12, 2))
+    // byte/short pages carry an INT(8/16) annotation the parquet reader
+    // refuses to upcast to decimal — that cell is honestly NOT offered
+    assert(intercept[IllegalArgumentException] {
+      s2.widenColumnType("w", DecimalType(5, 0))
+    }.getMessage.contains("not a supported WIDENING"))
+    assert(s2.read(spark).head().getDecimal(1) ==
+      new java.math.BigDecimal("2000000000.00"))
+    // long -> decimal(20,0)
+    s2.widenColumnType("id", DecimalType(20, 0))
+    assert(s2.read(spark).schema("id").dataType == DecimalType(20, 0))
+    assert(s2.read(spark).count() == 1L)
+    // date -> timestamp_ntz: old files surface midnight NTZ
+    val s3 = new SnapshotStore(tmp())
+    s3.commitOverwrite(Seq((1L, java.sql.Date.valueOf("2024-03-05")))
+      .toDF("id", "d"))
+    s3.widenColumnType("d", TimestampNTZType)
+    assert(s3.read(spark).head().get(1).toString == "2024-03-05T00:00")
+    // a STATS column may widen only within the integer chain — any
+    // other widening changes the min/max encoding query literals fold
+    // against (date->ntz literals are MICROS vs day-encoded stats:
+    // wrong pruning) or kills stats collection (decimal/double)
+    val s4 = new SnapshotStore(tmp())
+    s4.commitOverwrite(
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), statsColumn = Some("k"))
+    s4.widenColumnType("k", LongType) // integer chain: fine
+    assert(s4.readRange(spark, "k", 5L, 7L).count() == 3L)
+    assert(intercept[IllegalArgumentException] {
+      s4.widenColumnType("k", DecimalType(20, 0))
+    }.getMessage.contains("stats column"))
+    val s5 = new SnapshotStore(tmp())
+    s5.commitOverwrite(
+      Seq((java.sql.Date.valueOf("2024-01-02"), 1L)).toDF("d", "x"),
+      statsColumn = Some("d"))
+    assert(intercept[IllegalArgumentException] {
+      s5.widenColumnType("d", TimestampNTZType)
+    }.getMessage.contains("stats column"))
+    // widening the BLOOM column to decimal strips filters (hash width)
+    val s6 = new SnapshotStore(tmp())
+    s6.commitOverwrite(Seq((1L, 42)).toDF("id", "u"))
+    s6.setBloomFilter(Some("u"))
+    s6.compactLatest(spark, targetFiles = 1)
+    val vW = s6.widenColumnType("u", DecimalType(12, 0))
+    assert(s6.readFullManifest(vW).entries.forall(_.bloom.isEmpty))
+    assert(s6.read(spark).filter($"u" === BigDecimal(42)).count() == 1L)
+  }
+
   test("bloom filters: point lookups and point DML skip files on an UNCLUSTERED column; conservative without filters") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

@@ -825,6 +825,72 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE snap_pdml")
   }
 
+  test("change feed spans RENAME/DROP COLUMN coherently: end-of-range shape via physical identity, dropped values never resurrect, renames emit no rows") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    // v0: overwrite with the ORIGINAL names
+    store.commitOverwrite(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("id", "uid", "note").repartitionByRange(3, org.apache.spark.sql.functions.col("id")),
+      statsColumn = Some("id"))
+    // v1: CoW delete BEFORE the rename — its feed segment scans
+    // pre-rename manifests (logical name 'uid')
+    store.deleteWhere(spark, $"id" === 2L)
+    // v2: the rename itself — zero file changes, zero feed rows
+    store.renameColumn(spark, "uid", "user_id")
+    // v3: post-rename append under the NEW name
+    store.commitAppend(Seq((9L, 90L, "z")).toDF("id", "user_id", "note")
+      .coalesce(1))
+    val feed = store.readChanges(spark, -1L)
+    // ONE logical column: the physical identity maps pre-rename 'uid'
+    // onto the feed-end name — no forked uid/user_id null-padding
+    assert(feed.schema.fieldNames.contains("user_id") &&
+      !feed.schema.fieldNames.contains("uid"),
+      s"feed must render history under the end-of-range names, got " +
+        feed.schema.fieldNames.mkString(","))
+    // pre-rename rows carry their values UNDER the new name
+    val v0Inserts = feed.filter($"_commit_version" === 0L &&
+      $"_change_type" === "insert")
+    assert(v0Inserts.count() == 3L &&
+      v0Inserts.filter($"user_id".isNull).isEmpty)
+    assert(feed.filter($"_commit_version" === 2L).isEmpty,
+      "a rename commit changes no rows and must emit nothing")
+    assert(feed.filter($"_commit_version" === 3L &&
+      $"user_id" === 90L).count() == 1L)
+    // v4: drop 'note'; v5: append without it — the feed renders the
+    // END-OF-RANGE shape (Delta's CDF-under-column-mapping semantics):
+    // the dropped column leaves the feed entirely, it never null-pads
+    // nor leaks its retired physical
+    store.dropColumn(spark, "note")
+    store.commitAppend(Seq((11L, 110L)).toDF("id", "user_id").coalesce(1))
+    val feed2 = store.readChanges(spark, -1L)
+    assert(!feed2.schema.fieldNames.contains("note"),
+      "a column dropped inside the range must not appear in the feed")
+    assert(feed2.filter($"_commit_version" === 5L).count() == 1L)
+    // re-adding the dropped name maps to a FRESH physical: ONE 'note'
+    // column whose pre-re-add history is NULL — the retired physical's
+    // values never resurrect under the re-bound identity
+    store.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))))
+    store.commitAppend(Seq((12L, 120L, "fresh")).toDF("id", "user_id", "note")
+      .coalesce(1))
+    val feed3 = store.readChanges(spark, -1L)
+    assert(feed3.schema.fieldNames.count(_ == "note") == 1)
+    val freshRow = feed3.filter($"_commit_version" === 7L).head()
+    assert(freshRow.getString(feed3.schema.fieldIndex("note")) == "fresh")
+    assert(feed3.filter($"_commit_version" === 0L && $"id" === 1L &&
+      $"_change_type" === "insert").head()
+      .isNullAt(feed3.schema.fieldIndex("note")),
+      "pre-re-add history must be NULL under the fresh physical, never " +
+        "the retired column's values")
+    // a feed range ENDING before the rename keeps the old names: each
+    // cursor renders onto its own end version
+    val early = store.readChanges(spark, -1L, Some(1L))
+    assert(early.schema.fieldNames.contains("uid") &&
+      !early.schema.fieldNames.contains("user_id"))
+  }
+
   test("streaming CDC apply: mergeKeys upserts each micro-batch copy-on-write, exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
