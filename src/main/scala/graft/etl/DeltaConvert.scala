@@ -53,7 +53,8 @@ object DeltaConvert {
   private val SupportedReaderFeatures =
     Set("timestampntz", "vacuumprotocolcheck")
 
-  def replay(spark: SparkSession, deltaRoot: String): DeltaState = {
+  def replay(spark: SparkSession, deltaRoot: String,
+      versionAsOf: Option[Long] = None): DeltaState = {
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
     val logDir = root.resolve("_delta_log")
     require(Files.isDirectory(logDir),
@@ -63,10 +64,21 @@ object DeltaConvert {
       try s.iterator().asScala.map(_.getFileName.toString).toVector
       finally s.close()
     }
-    val jsonVersions = names.collect { case JsonFile(v) => v.toLong }.sorted
+    // TIME-TRAVEL adoption: replay stops at `versionAsOf` — log files
+    // past it are simply invisible (same reconciliation, shorter log)
+    val allJson = names.collect { case JsonFile(v) => v.toLong }.sorted
+    versionAsOf.foreach { v =>
+      val ceiling = (allJson ++ names.collect { case ClassicCkpt(cv) => cv.toLong })
+        .reduceOption(_ max _).getOrElse(-1L)
+      require(v >= 0 && v <= ceiling,
+        s"DeltaConvert: versionAsOf $v is outside the log's range [0, $ceiling]")
+    }
+    val jsonVersions = allJson.filter(v => versionAsOf.forall(v <= _))
     val classic = names.collect { case ClassicCkpt(v) => v.toLong }
+      .filter(v => versionAsOf.forall(v <= _))
     val multi = names.collect { case MultiCkpt(v, i, n) =>
       (v.toLong, i.toInt, n.toInt) }
+      .filter { case (v, _, _) => versionAsOf.forall(v <= _) }
     // v2/uuid-named checkpoints change the action encoding (sidecars) —
     // refuse rather than replay a partial state
     val unknownCkpt = names.collect {

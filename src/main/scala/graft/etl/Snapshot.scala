@@ -1575,13 +1575,17 @@ final class SnapshotStore(root: String) {
     * tables adopt when the files use the hive `col=value` layout
     * Delta's writers produce (a flat layout carries partition values
     * only in log actions this manifest cannot hold — refused).
+    * `versionAsOf` adopts the table AS OF an historical Delta version
+    * (CLONE ... VERSION AS OF semantics): the replay simply stops
+    * there, provided the log still covers it.
     */
   def convertFromDelta(spark: SparkSession, deltaRoot: String,
-      statsColumn: Option[String] = None): Long = {
+      statsColumn: Option[String] = None,
+      versionAsOf: Option[Long] = None): Long = {
     require(latestVersion.isEmpty,
       s"SnapshotStore.convertFromDelta: store at $root already has versions " +
         s"${versions.mkString(",")} — adoption births a NEW store")
-    val st = DeltaConvert.replay(spark, deltaRoot)
+    val st = DeltaConvert.replay(spark, deltaRoot, versionAsOf)
     val deltaPath = Paths.get(deltaRoot).toAbsolutePath.normalize
     require(deltaPath != rootPath.normalize,
       "SnapshotStore.convertFromDelta: the store root cannot be the Delta " +

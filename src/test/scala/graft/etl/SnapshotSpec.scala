@@ -2072,6 +2072,20 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the Delta table itself was never touched
     val logFiles = Files.list(Paths.get(delta, "_delta_log"))
     try assert(logFiles.count() == 3) finally logFiles.close()
+    // TIME-TRAVEL adoption: versionAsOf stops the replay — v1 still
+    // holds the later-removed f2, and v0 predates f3
+    val atV1 = new SnapshotStore(tmp())
+    atV1.convertFromDelta(spark, delta, versionAsOf = Some(1L))
+    assert(atV1.read(spark).count() == 30L)
+    assert(atV1.read(spark).select("tag").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a", "b", "c"))
+    val atV0 = new SnapshotStore(tmp())
+    atV0.convertFromDelta(spark, delta, versionAsOf = Some(0L))
+    assert(atV0.read(spark).count() == 20L)
+    assert(intercept[IllegalArgumentException] {
+      new SnapshotStore(tmp()).convertFromDelta(spark, delta,
+        versionAsOf = Some(9L))
+    }.getMessage.contains("outside the log's range"))
   }
 
   test("convertFromDelta: checkpoint replay — reconciled parquet state plus later JSON deltas, pre-checkpoint logs gone") {
