@@ -61,6 +61,10 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
     case ShallowCloneRe(target, source, v, location) =>
       ShallowCloneSnapshotCommand(target.trim, source.trim,
         Option(v).map(_.toLong), Option(location))
+    case ConvertFromDeltaRe(target, deltaPath, v, statsCol, location) =>
+      ConvertFromDeltaSnapshotCommand(target.trim, deltaPath,
+        Option(v).map(_.toLong), Option(statsCol).map(stripIdent),
+        Option(location))
     case RestoreVersionRe(target, v) =>
       RestoreSnapshotCommand(target.trim, Some(v.toLong), None)
     case RestoreTimestampRe(target, ts) =>
@@ -141,6 +145,11 @@ object SnapshotSqlParser {
   private[streaming] val ShallowCloneRe =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private[streaming] val ConvertFromDeltaRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+FROM\\s+DELTA\\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+STATS\s+COLUMN\s+([\w`,]+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private[streaming] val RestoreVersionRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
@@ -551,6 +560,39 @@ final case class ShallowCloneSnapshotCommand(target: String, source: String,
         s"OPTIONS (path '${root.replace("'", "''")}')")
     val m = clone.readFullManifest(0L)
     Seq(Row(version.getOrElse(src.latestVersion.get), m.entries.length))
+  }
+}
+
+/** `CREATE TABLE t FROM DELTA '<path>' [VERSION AS OF n]
+  * [STATS COLUMN c] [LOCATION '<root>']` — SQL rail for
+  * [[SnapshotStore.convertFromDelta]]: adopt an existing Delta Lake
+  * table (optionally at an historical version) as a zero-copy
+  * version 0, the migration statement a user coming off the
+  * reference's Delta-format RAW zone runs on day one. Same target
+  * shape as SHALLOW CLONE: a catalog name needs LOCATION (the adopted
+  * store's own root), a quoted path adopts straight there.
+  */
+final case class ConvertFromDeltaSnapshotCommand(target: String,
+    deltaPath: String, version: Option[Long], statsColumn: Option[String],
+    location: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("adopted_version", LongType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = target.trim
+    val quotedPath = (t.startsWith("'") && t.endsWith("'")) ||
+      (t.startsWith("\"") && t.endsWith("\""))
+    val root = if (quotedPath) t.substring(1, t.length - 1)
+      else location.getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE ... FROM DELTA: catalog target '$target' needs " +
+          "LOCATION '<path>' (the adopted store is new; its root cannot " +
+          "be inferred)"))
+    val store = new graft.etl.SnapshotStore(root)
+    val v = store.convertFromDelta(session, deltaPath, statsColumn, version)
+    if (!quotedPath)
+      session.sql(s"CREATE TABLE $target USING `graft-snapshot` " +
+        s"OPTIONS (path '${root.replace("'", "''")}')")
+    Seq(Row(v, store.readFullManifest(v).entries.length))
   }
 }
 

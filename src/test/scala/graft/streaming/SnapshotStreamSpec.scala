@@ -1706,6 +1706,64 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SQL CONVERT FROM DELTA: CREATE TABLE ... FROM DELTA adopts a Delta table zero-copy, with VERSION AS OF and STATS COLUMN") {
+    import spark.implicits._
+    // minimal public-protocol Delta fixture: two single-file commits +
+    // a remove, log hand-written
+    val delta = tmp()
+    def dataFile(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+      val stage = Files.createTempDirectory("graft-sqldl")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val ls = Files.list(stage)
+      val src = try {
+        val it = ls.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally ls.close()
+      val dst = java.nio.file.Paths.get(delta).resolve(name)
+      Files.move(src, dst); Files.size(dst)
+    }
+    val s1 = dataFile("a.parquet", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val s2 = dataFile("b.parquet", (11L to 15L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val schemaJson = mapper.writeValueAsString(
+      spark.read.parquet(s"$delta/a.parquet").schema.json)
+    val logDir = java.nio.file.Paths.get(delta).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${0L}%020d.json"), (
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":$schemaJson,"partitionColumns":[],"configuration":{},""" +
+      s""""createdTime":0}}""" + "\n" +
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$s1,""" +
+      s""""modificationTime":0,"dataChange":true}}""" + "\n" +
+      s"""{"add":{"path":"b.parquet","partitionValues":{},"size":$s2,""" +
+      s""""modificationTime":0,"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    Files.write(logDir.resolve(f"${1L}%020d.json"),
+      ("""{"remove":{"path":"b.parquet","deletionTimestamp":0,""" +
+        """"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    spark.sql("DROP TABLE IF EXISTS snap_from_delta")
+    val row = spark.sql(s"CREATE TABLE snap_from_delta FROM DELTA '$delta' " +
+      s"STATS COLUMN id LOCATION '${tmp()}'").collect().head
+    assert(row.getLong(0) == 0L && row.getInt(1) == 1)
+    assert(spark.table("snap_from_delta").count() == 10L)
+    // the adopted table is a live citizen through SQL
+    spark.sql("INSERT INTO snap_from_delta SELECT CAST(99 AS BIGINT), 'x'")
+    assert(spark.table("snap_from_delta").count() == 11L)
+    // VERSION AS OF adopts the pre-remove state to a quoted path
+    val rootV0 = tmp()
+    val row0 = spark.sql(s"CREATE TABLE '$rootV0' FROM DELTA '$delta' " +
+      "VERSION AS OF 0").collect().head
+    assert(row0.getInt(1) == 2)
+    assert(new SnapshotStore(rootV0).read(spark).count() == 15L)
+    // a catalog target without LOCATION is refused with the recipe
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE snap_from_delta2 FROM DELTA '$delta'")
+    }
+    assert(e.getMessage.contains("LOCATION"))
+    spark.sql("DROP TABLE snap_from_delta")
+  }
+
   test("SQL SHALLOW CLONE: CREATE TABLE ... SHALLOW CLONE with VERSION AS OF and LOCATION registers a zero-copy fork") {
     import spark.implicits._
     val srcRoot = tmp(); val cloneRoot = s"${tmp()}/clone"
