@@ -1782,7 +1782,7 @@ final class SnapshotStore(root: String) {
     * files of its recorded source VERSION — resolvable from our own
     * manifest without touching the clone.
     */
-  private def cloneReferencedPaths(): Map[Path, String] = {
+  private def cloneReferencedPaths(clean: Boolean = true): Map[Path, String] = {
     if (!Files.isDirectory(clonesDir)) return Map.empty
     val refs = {
       val s = Files.list(clonesDir)
@@ -1795,7 +1795,7 @@ final class SnapshotStore(root: String) {
       val line = new String(Files.readAllBytes(ref), "UTF-8").trim
       val Array(cloneRoot, pinned) = line.split("\t", 2)
       if (!Files.isDirectory(Paths.get(cloneRoot))) {
-        Files.deleteIfExists(ref) // clone deleted -> pin released
+        if (clean) Files.deleteIfExists(ref) // clone deleted -> pin released
         Nil
       } else {
         val clone = new SnapshotStore(cloneRoot)
@@ -1815,7 +1815,7 @@ final class SnapshotStore(root: String) {
             .map(p => Paths.get(p).normalize)
             .filter(p => p.isAbsolute && p.startsWith(rootPath.normalize))
             .map(_ -> cloneRoot)
-          if (mine.isEmpty) Files.deleteIfExists(ref) // materialized
+          if (mine.isEmpty && clean) Files.deleteIfExists(ref) // materialized
           mine
         }
       }
@@ -2825,6 +2825,42 @@ final class SnapshotStore(root: String) {
     * single-writer behavior (reclaim immediately); any deployment that
     * pairs a streaming sink with maintenance jobs should pass an hour+.
     */
+  /** DRY RUN of [[vacuum]] (Delta's `VACUUM ... DRY RUN`): the exact
+    * files the same-argument vacuum would delete, each tagged with the
+    * clone root that pins it (if any) — the operator's look-before-
+    * you-reclaim, and the way to see WHICH clone a refusal is about
+    * without triggering it. Read-only: no manifest, ledger, or data
+    * mutation (the real vacuum's oldest-kept checkpoint rewrite and
+    * stale-ledger cleanup do not happen here).
+    */
+  def vacuumPreview(keepLast: Int, minAgeMillis: Long = 0L)
+      : Seq[(String, Long, Option[String])] = {
+    require(keepLast >= 1, s"vacuumPreview: keepLast must be >= 1, got $keepLast")
+    require(minAgeMillis >= 0L,
+      s"vacuumPreview: minAgeMillis must be >= 0, got $minAgeMillis")
+    val vs = versions
+    val keep = vs.drop(math.max(0, vs.length - keepLast))
+    val keptManifests = keep.map(readFullManifest)
+    val referenced: Set[Path] =
+      keptManifests.flatMap(_.entries.map(_.path))
+        .map(f => rootPath.resolve(f).normalize).toSet
+    val dvDirs: Seq[Path] = keptManifests
+      .flatMap(_.entries.flatMap(_.dv)).distinct
+      .map(d => rootPath.resolve(d).normalize)
+    val pins = cloneReferencedPaths(clean = false)
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    if (!Files.isDirectory(dataDir)) return Nil
+    val walk = Files.walk(dataDir)
+    try {
+      walk.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) && !referenced.contains(p.normalize) &&
+          !dvDirs.exists(d => p.normalize.startsWith(d)) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.map(p => (rootPath.relativize(p).toString, Files.size(p),
+        pins.get(p.normalize))).toSeq
+    } finally walk.close()
+  }
+
   def vacuum(keepLast: Int, minAgeMillis: Long = 0L,
       force: Boolean = false): Unit = {
     require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")

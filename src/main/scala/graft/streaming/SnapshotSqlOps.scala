@@ -51,8 +51,8 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
     case OptimizeHeadRe(target, tail) =>
       val (where, z, files, smallerBytes) = parseOptimizeTail(tail)
       OptimizeSnapshotCommand(target.trim, z, files, where, smallerBytes)
-    case VacuumRe(target, keep) =>
-      VacuumSnapshotCommand(target.trim, keep.toInt)
+    case VacuumRe(target, keep, dry) =>
+      VacuumSnapshotCommand(target.trim, keep.toInt, dryRun = dry != null)
     case VacuumBareRe(target) =>
       throw new IllegalArgumentException(
         "graft-snapshot VACUUM requires an explicit retention " +
@@ -139,7 +139,7 @@ object SnapshotSqlParser {
   private[streaming] val OptimizeHeadRe =
     s"""(?is)\\s*OPTIMIZE\\s+$T((?s).*)""".r
   private[streaming] val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private[streaming] val VacuumBareRe =
     s"""(?is)\\s*VACUUM\\s+$T\\s*;?\\s*""".r
   private[streaming] val ShallowCloneRe =
@@ -517,17 +517,32 @@ final case class OptimizeSnapshotCommand(target: String,
   * reclaim unreferenced files. The retention clause is mandatory: a
   * default that silently erases time travel is how history disappears.
   */
-final case class VacuumSnapshotCommand(target: String, retainVersions: Int)
+final case class VacuumSnapshotCommand(target: String, retainVersions: Int,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("retained_versions", IntegerType, nullable = false)())
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("pinned_by_clone", StringType, nullable = true)())
+    else Seq(
+      AttributeReference("retained_versions", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     require(retainVersions >= 1,
       s"VACUUM: RETAIN must be >= 1 version, got $retainVersions")
     val (store, name) = SnapshotSqlParser.resolveStore(session, target)
-    store.vacuum(keepLast = retainVersions)
-    name.foreach(session.catalog.refreshTable)
-    Seq(Row(store.versions.length))
+    if (dryRun)
+      // look-before-you-reclaim (Delta's VACUUM ... DRY RUN): the exact
+      // files the real vacuum would delete, clone pins surfaced — NO
+      // mutation of manifests, data, or the clone ledger
+      store.vacuumPreview(keepLast = retainVersions)
+        .sortBy(_._1)
+        .map { case (path, bytes, pin) => Row(path, bytes, pin.orNull) }
+    else {
+      store.vacuum(keepLast = retainVersions)
+      name.foreach(session.catalog.refreshTable)
+      Seq(Row(store.versions.length))
+    }
   }
 }
 

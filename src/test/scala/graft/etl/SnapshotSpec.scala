@@ -1876,6 +1876,19 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // source replaces everything; retention alone would reclaim the v0
     // files the clone still reads
     a.commitOverwrite(Seq((9999L, "new")).toDF("id", "v"))
+    // DRY RUN first: the preview lists exactly the reclaimable files,
+    // every one tagged with the pinning clone, and mutates NOTHING
+    val preview = a.vacuumPreview(keepLast = 1)
+    val pinnedParquet = preview.filter(_._1.endsWith(".parquet"))
+    assert(pinnedParquet.length == 4 && pinnedParquet.forall(_._3.contains(
+      java.nio.file.Paths.get(rootB).normalize.toString)),
+      s"all 4 v0 data files must show as clone-pinned, got $preview")
+    assert(pinnedParquet.forall(_._2 > 0L))
+    // write-sidecar junk (_SUCCESS, .crc) is honestly reclaimable and
+    // never pinned (no manifest references it)
+    assert(preview.filterNot(_._1.endsWith(".parquet")).forall(_._3.isEmpty))
+    assert(a.read(spark, Some(0L)).count() == 800L,
+      "a dry run must not touch history")
     val e = intercept[IllegalStateException] { a.vacuum(keepLast = 1) }
     assert(e.getMessage.contains(java.nio.file.Paths.get(rootB).normalize.toString) &&
       e.getMessage.contains("force"))
@@ -1887,8 +1900,15 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.compactLatest(spark, targetFiles = 2)
     intercept[IllegalStateException] { a.vacuum(keepLast = 1) } // v0 still pins
     b.vacuum(keepLast = 1)
+    // released pin: the preview now shows the same files UNpinned
+    val preview2 = a.vacuumPreview(keepLast = 1)
+    assert(preview2.filter(_._1.endsWith(".parquet")).length == 4 &&
+      preview2.forall(_._3.isEmpty),
+      s"after materialize+retire the pins must be gone, got $preview2")
     a.vacuum(keepLast = 1)
     assert(a.read(spark).count() == 1L)
+    assert(a.vacuumPreview(keepLast = 1).isEmpty,
+      "after the vacuum nothing is reclaimable")
     assert(b.read(spark).count() == 800L, "materialized clone survives source vacuum")
     // a clone whose DIRECTORY was deleted releases its pin too
     val rootC = tmp()

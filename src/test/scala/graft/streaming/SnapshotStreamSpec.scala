@@ -1215,9 +1215,18 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       // VACUUM requires explicit retention...
       val bare = intercept[Exception] { spark.sql("VACUUM snap_ops") }
       assert(bare.getMessage.contains("RETAIN"))
+      // DRY RUN lists the reclaimable files without touching anything
+      val dry = spark.sql("VACUUM snap_ops RETAIN 2 VERSIONS DRY RUN").collect()
+      assert(dry.nonEmpty && dry.forall(r => r.getLong(1) >= 0L && r.isNullAt(2)))
+      assert(dry.exists(r => r.getString(0).endsWith(".parquet") && r.getLong(1) > 0L))
+      val versionsBefore = store.versions.length
+      assert(store.versions.length == versionsBefore,
+        "dry run must not drop versions")
       // ...and with one, drops history
       assert(spark.sql("VACUUM snap_ops RETAIN 2 VERSIONS").head().getInt(0) == 2)
       assert(store.versions.length == 2)
+      assert(spark.sql("VACUUM snap_ops RETAIN 2 VERSIONS DRY RUN").isEmpty,
+        "nothing reclaimable after the real vacuum")
       // SQL-first PARTITIONED birth: layout + stats declared in OPTIONS,
       // no DataFrame write ever touches the table
       val root3 = tmp()
