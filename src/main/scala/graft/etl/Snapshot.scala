@@ -1598,6 +1598,17 @@ final class SnapshotStore(root: String) {
       require(st.schema.fieldNames.contains(c),
         s"SnapshotStore.convertFromDelta: partition column '$c' missing " +
           "from the table schema — corrupt metaData")
+      // the manifest's partition machinery decodes path values into
+      // these types only; a timestamp/decimal-partitioned Delta table
+      // must be refused, not adopted into wrong decodes
+      st.schema(c).dataType match {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+             _: StringType | _: DateType | _: BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"SnapshotStore.convertFromDelta: partition column '$c' has " +
+            s"unsupported type ${other.simpleString} — supported: " +
+            "byte/short/int/long/string/date/boolean")
+      }
       val missing = st.files.map(_._1)
         .filterNot(_.split('/').exists(_.startsWith(c + "=")))
       require(missing.isEmpty,

@@ -2200,6 +2200,12 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a log whose add references a vacuumed-away file
     refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
       deltaAdd("gone.parquet", 1L))), "missing file")
+    // a partition column of a type the path decoder cannot represent
+    val tsPart = org.apache.spark.sql.types.StructType(
+      plainSchema.fields :+ org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType))
+    refused(Seq(Seq(deltaProto(), deltaMeta(tsPart, Seq("ts")),
+      deltaAdd("r.parquet", 1L))), "unsupported type")
   }
 
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
