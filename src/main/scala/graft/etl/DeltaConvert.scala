@@ -91,14 +91,28 @@ object DeltaConvert {
         "checkpoints are supported")
     // newest COMPLETE checkpoint: classic, or a multi-part set with all
     // n parts present
-    val multiComplete = multi.groupBy { case (v, _, n) => (v, n) }.collect {
-      case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet => v
-    }
+    // record the part count n OF THE COMPLETE SET: when two multi-part
+    // sets exist for one version with different n, building the part
+    // list from the global max n would read a nonexistent/incomplete set
+    val multiComplete: Map[Long, Int] =
+      multi.groupBy { case (v, _, n) => (v, n) }.collect {
+        case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
+          (v, n)
+      }.groupBy(_._1).map { case (v, sets) => v -> sets.map(_._2).max }
     val ckptVersion: Option[Long] =
-      (classic ++ multiComplete).sorted.lastOption
+      (classic ++ multiComplete.keys).sorted.lastOption
     require(jsonVersions.nonEmpty || ckptVersion.nonEmpty,
       s"DeltaConvert: _delta_log/ under $deltaRoot holds no version files")
     val latest = (jsonVersions ++ ckptVersion).max
+    // the reconstructible ceiling must BE the requested version: with a
+    // gap at exactly versionAsOf (earlier versions contiguous), the
+    // replay would silently return an earlier state labeled as v
+    versionAsOf.foreach { v =>
+      require(latest == v,
+        s"DeltaConvert: versionAsOf $v is not reconstructible — the log's " +
+          s"newest version at or below it is $latest (missing " +
+          f"$v%020d.json)")
+    }
     // contiguity: every version after the checkpoint (or from 0) must
     // have its delta file — a gap means an incomplete copy of the log
     val needed = (ckptVersion.map(_ + 1L).getOrElse(0L) to latest)
@@ -135,7 +149,7 @@ object DeltaConvert {
       val parts: Seq[String] =
         if (classic.contains(cv)) Seq(f"$cv%020d.checkpoint.parquet")
         else {
-          val n = multi.collect { case (`cv`, _, nn) => nn }.max
+          val n = multiComplete(cv)
           (1 to n).map(i => f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet")
         }
       val df = spark.read.parquet(parts.map(p => logDir.resolve(p).toString): _*)
@@ -231,7 +245,12 @@ object DeltaConvert {
     * adoption covers self-contained tables.
     */
   private[etl] def decodePath(p: String): String = {
-    require(!p.contains("://"),
+    // refuse ANY non-relative reference: scheme'd URIs (both `s3://…`
+    // and single-slash `file:/…`) and scheme-less absolute paths
+    // (`/other/table/part.parquet` is valid per the Delta spec and
+    // would otherwise resolve verbatim outside the table root)
+    require(!p.startsWith("/") &&
+        !p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
       s"DeltaConvert: absolute/external file reference '$p' — only " +
         "self-contained tables (relative paths) can be adopted")
     if (!p.contains('%')) return p

@@ -1753,7 +1753,12 @@ final class SnapshotStore(root: String) {
     // register the clone-out edge BEFORE publishing the clone's v0, so
     // a racing source vacuum can never observe the clone mid-birth
     // without its pin (an aborted publish leaves a ledger entry that
-    // pins the pinned VERSION's files until removed — loud, never lossy)
+    // pins the pinned VERSION's files until removed — loud, never lossy).
+    // The clone ROOT must exist before the ledger entry does:
+    // cloneReferencedPaths treats a nonexistent clone directory as
+    // "clone deleted" and self-cleans the entry, so registering first
+    // would open exactly the birth-window race the ledger closes.
+    Files.createDirectories(rootPath)
     source.registerCloneOut(rootPath.normalize.toString, v)
     val m = source.readFullManifest(v)
     def abs(rel: String): String = source.rootPath.resolve(rel).toString
@@ -2438,15 +2443,18 @@ final class SnapshotStore(root: String) {
         endHeader.colMap.getOrElse(l, l) -> l).toMap
     def relabel(df: DataFrame, schema: StructType,
         colMap: Map[String, String]): DataFrame = {
-      val (keep, drop) = schema.fieldNames.partition(c =>
+      // ONE projection, not a withColumnRenamed chain: sequential renames
+      // collide when one rename's target equals another kept column's
+      // segment-time name (a legal two-step chain — b→c then a→b across
+      // the range — would rename BOTH columns in the second step).
+      val keep = schema.fieldNames.filter(c =>
         physToEndLogical.contains(colMap.getOrElse(c, c)))
-      val renames = keep.flatMap { c =>
-        val endName = physToEndLogical(colMap.getOrElse(c, c))
-        if (endName != c) Some(c -> endName) else None
-      }
-      val dropped = if (drop.isEmpty) df else df.drop(drop.toSeq: _*)
-      renames.foldLeft(dropped) { case (d, (from, toName)) =>
-        d.withColumnRenamed(from, toName) }
+      val noChange = keep.length == schema.fieldNames.length &&
+        keep.forall(c => physToEndLogical(colMap.getOrElse(c, c)) == c)
+      if (noChange) df
+      else df.select(keep.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .as(physToEndLogical(colMap.getOrElse(c, c)))): _*)
     }
     val segments: Seq[DataFrame] = ((fromVersion + 1) to to).flatMap { v =>
       val m = readFullManifest(v)
@@ -2702,17 +2710,33 @@ final class SnapshotStore(root: String) {
   private def positionJoin(spark: SparkSession, schema: StructType,
       entries: Seq[FileEntry], partCols: Seq[String], dvRels: Seq[String],
       anti: Boolean, colMap: Map[String, String] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val withPos = scanRaw(spark, schema, entries, partCols, withPos = true, colMap)
-    val dvs = spark.read
-      .parquet(dvRels.map(d => rootPath.resolve(d).toString): _*)
-      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val withPos = scanRaw(spark, schema, entries, partCols, withPos = true,
+      colMap, keepAbs = true)
+    // Join on ABSOLUTE file identity, not the manifest-relative path: a
+    // sidecar's `file` values are relative to the store that WROTE it,
+    // and a shallow clone references the source's sidecars while its own
+    // entries (and its later sidecars' `file` values) are absolute —
+    // matching raw strings across the two stores would miss every
+    // tombstone and resurrect the source's deleted rows in the clone.
+    // Each sidecar's owning root is recoverable from its own path
+    // (<root>/data/<uuid>.dv), so relative values absolutize per sidecar.
+    val dvs = dvRels.map { d =>
+      val p = Paths.get(d)
+      val abs = (if (p.isAbsolute) p else rootPath.resolve(d)).normalize
+      val owner = abs.getParent.getParent.toString
+      spark.read.parquet(abs.toString).select(
+        when(col("file").startsWith("/"), col("file"))
+          .otherwise(concat(lit(owner + "/"), col("file"))).as("__dv_abs"),
+        col("pos").as("__dv_pos"))
+    }.reduce(_.unionByName(_))
     // keeps __file/__pos: callers project them away (scan/feed) or
     // consume them (the MoR write path's stacked-delete dedup)
     withPos.join(dvs,
-        withPos("__file") === col("__dv_file") &&
+        withPos("__abs") === col("__dv_abs") &&
           withPos("__pos") === col("__dv_pos"),
         if (anti) "left_anti" else "left_semi")
+      .drop("__abs")
   }
 
   /** Live rows of `entries` with `__file`/`__pos` attached: the plain
@@ -2755,13 +2779,18 @@ final class SnapshotStore(root: String) {
     */
   private def scanRaw(spark: SparkSession, schema: StructType,
       entries: Seq[FileEntry], partCols: Seq[String],
-      withPos: Boolean, colMap: Map[String, String] = Map.empty): DataFrame = {
+      withPos: Boolean, colMap: Map[String, String] = Map.empty,
+      keepAbs: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     if (entries.isEmpty) {
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      return if (!withPos) base
+      val posed =
+        if (!withPos) base
         else base.withColumn("__file", lit(null).cast("string"))
           .withColumn("__pos", lit(null).cast("long"))
+      return if (withPos && keepAbs)
+        posed.withColumn("__abs", lit(null).cast("string"))
+      else posed
     }
     // COLUMN MAPPING read half: files store PHYSICAL names — request
     // the physical schema from parquet, rename back to logical right
@@ -2790,7 +2819,8 @@ final class SnapshotStore(root: String) {
         val lookup = entries
           .map(e => (rootPath.resolve(e.path).normalize.toString, e.path))
           .toDF("__abs", "__file")
-        df.join(broadcast(lookup), "__abs").drop("__abs")
+        val joined = df.join(broadcast(lookup), "__abs")
+        if (keepAbs) joined else joined.drop("__abs")
       }
     val posCols = if (withPos) Seq("__abs", "__pos") else Nil
     if (partCols.isEmpty)

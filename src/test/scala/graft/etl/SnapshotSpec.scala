@@ -2208,6 +2208,155 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       deltaAdd("r.parquet", 1L))), "unsupported type")
   }
 
+  test("readChanges relabel survives a two-step rename chain (b->c then a->b): one projection, no duplicate columns") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    store.commitOverwrite(
+      Seq((1L, 10L, "x1"), (2L, 20L, "x2")).toDF("id", "a", "b"),
+      statsColumn = Some("id"))
+    // the chain: b->c FIRST frees the name, then a->b takes it — legal,
+    // and at feed-end physical "a" is logical "b", physical "b" is "c".
+    // A sequential withColumnRenamed relabel of the v0 segment would
+    // rename a->b (two "b" columns) then rename BOTH b's to c.
+    store.renameColumn(spark, "b", "c")
+    val v2 = store.renameColumn(spark, "a", "b")
+    val feed = store.readChanges(spark, -1L, Some(v2))
+    val dataCols = feed.columns.filterNot(_.startsWith("_")).sorted.toSeq
+    assert(dataCols == Seq("b", "c", "id"),
+      s"feed must carry exactly the end-of-range schema, got $dataCols")
+    assert(feed.columns.distinct.length == feed.columns.length,
+      "no duplicate columns after relabel")
+    val r1 = feed.filter($"id" === 1L).select("b", "c").head()
+    assert(r1.getLong(0) == 10L && r1.getString(1) == "x1",
+      "values must follow PHYSICAL identity: b=old a, c=old b")
+  }
+
+  test("DeltaConvert refusals: scheme-less absolute add paths, single-slash URIs, non-reconstructible versionAsOf") {
+    val plainSchema = frame(1 to 2, "r").schema
+    def refusedMsg(mk: String => Seq[(Long, Seq[String])]): String = {
+      val t = tmp()
+      val sz = deltaDataFile(t, "r.parquet", frame(1 to 2, "r"))
+      mk(sz.toString).foreach { case (v, ls) => deltaCommit(t, v, ls) }
+      intercept[IllegalArgumentException] {
+        new SnapshotStore(tmp()).convertFromDelta(spark, t)
+      }.getMessage
+    }
+    // a scheme-less ABSOLUTE path is legal per the Delta spec but points
+    // outside the table root — adoption must refuse, not resolve verbatim
+    assert(refusedMsg(sz => Seq(0L -> Seq(deltaProto(), deltaMeta(plainSchema),
+      deltaAdd("/other/table/x.parquet", sz.toLong))))
+      .contains("self-contained"))
+    // single-slash URI form (file:/x) is a scheme'd reference too
+    assert(refusedMsg(sz => Seq(0L -> Seq(deltaProto(), deltaMeta(plainSchema),
+      deltaAdd("file:/tmp/x.parquet", sz.toLong))))
+      .contains("self-contained"))
+    // versionAsOf pointing INTO a gap (0,1 present, 2 missing, 3 present):
+    // the ceiling is fine but v2 is not reconstructible — must fail loudly
+    // instead of silently returning v1's state labeled as v2
+    val t = tmp()
+    val sz = deltaDataFile(t, "f0.parquet", frame(1 to 3, "a"))
+    val sz1 = deltaDataFile(t, "f1.parquet", frame(4 to 6, "b"))
+    deltaCommit(t, 0L, Seq(deltaProto(), deltaMeta(plainSchema),
+      deltaAdd("f0.parquet", sz)))
+    deltaCommit(t, 1L, Seq(deltaAdd("f1.parquet", sz1)))
+    deltaCommit(t, 3L, Seq(deltaRemove("f0.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      new SnapshotStore(tmp()).convertFromDelta(spark, t, versionAsOf = Some(2L))
+    }
+    assert(e.getMessage.contains("not reconstructible"), e.getMessage)
+    // a versionAsOf that IS reconstructible under the same gapped log works
+    val ok = new SnapshotStore(tmp())
+    ok.convertFromDelta(spark, t, versionAsOf = Some(1L))
+    assert(ok.read(spark).count() == 6L)
+  }
+
+  test("DeltaConvert multi-part checkpoint: part list comes from the COMPLETE set, not the global max part count") {
+    val delta = tmp()
+    val f1 = deltaDataFile(delta, "f1.parquet", frame(1 to 5, "old"))
+    val f2 = deltaDataFile(delta, "f2.parquet", frame(6 to 10, "keep"))
+    val f3 = deltaDataFile(delta, "f3.parquet", frame(11 to 15, "keep"))
+    val schema = spark.read.parquet(s"$delta/f2.parquet").schema
+    val lines = Seq(deltaProto(), deltaMeta(schema),
+      deltaAdd("f2.parquet", f2), deltaAdd("f3.parquet", f3),
+      deltaRemove("f1.parquet"))
+    // complete n=2 set: both parts share the UNION schema so the
+    // replayer's multi-file read sees every action column
+    import spark.implicits._
+    val unionSchema = spark.read.json(lines.toDS).schema
+    val logDir = Paths.get(delta).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    def writePart(ls: Seq[String], name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-dl-mp")
+      spark.read.schema(unionSchema).json(ls.toDS).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val it = Files.list(stage).iterator()
+      val src = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(src, logDir.resolve(name))
+    }
+    writePart(lines.take(3), f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writePart(lines.drop(3), f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    // an INCOMPLETE n=3 set for the same version (only part 1 exists):
+    // building the part list from max n would read nonexistent files
+    writePart(lines.take(1), f"${2L}%020d.checkpoint.${1}%010d.${3}%010d.parquet")
+    deltaCommit(delta, 3L, Seq(deltaRemove("f3.parquet")))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta)
+    val got = store.read(spark)
+    assert(got.count() == 5L)
+    assert(got.select("tag").distinct().head().getString(0) == "keep")
+  }
+
+  test("clone birth window: a ledger entry with an existing-but-empty clone dir pins its recorded version; only a DELETED dir self-cleans") {
+    import spark.implicits._
+    val rootA = tmp()
+    val a = new SnapshotStore(rootA)
+    a.commitOverwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), statsColumn = Some("id"))
+    a.commitOverwrite(Seq((999L, "new")).toDF("id", "v"))
+    // mid-birth state as cloneFrom now produces it: root dir EXISTS
+    // (created before registering) but no version is committed yet
+    val midBirth = Files.createTempDirectory("graft-midbirth")
+    val clonesDir = Paths.get(rootA).resolve("clones")
+    Files.createDirectories(clonesDir)
+    Files.write(clonesDir.resolve("test-midbirth.clone"),
+      s"${midBirth.toAbsolutePath.normalize}\t0\n".getBytes("UTF-8"))
+    // the pin holds: v0's file is not reclaimable, the ledger entry
+    // survives (an empty dir is a BIRTH, not a deletion)
+    val e = intercept[IllegalStateException] { a.vacuum(keepLast = 1) }
+    assert(e.getMessage.contains("force"))
+    assert(Files.exists(clonesDir.resolve("test-midbirth.clone")),
+      "a mid-birth entry must never self-clean")
+    assert(a.read(spark, Some(0L)).count() == 100L)
+    // deleting the clone DIRECTORY releases the pin and self-cleans
+    Files.delete(midBirth)
+    a.vacuum(keepLast = 1)
+    assert(!Files.exists(clonesDir.resolve("test-midbirth.clone")),
+      "a deleted clone dir must self-clean the entry")
+    assert(a.read(spark).count() == 1L)
+  }
+
+  test("clone of a MoR-dirty source applies the source's deletion vectors: deleted rows never resurrect in the clone") {
+    import spark.implicits._
+    val src = new SnapshotStore(tmp())
+    src.commitOverwrite((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), statsColumn = Some("id"))
+    src.deleteWhere(spark, $"id" <= 10L, mergeOnRead = true)
+    assert(src.read(spark).count() == 40L)
+    assert(src.readFullManifest(src.latestVersion.get)
+      .entries.exists(_.dv.nonEmpty), "precondition: the source is MoR-dirty")
+    val clone = new SnapshotStore(tmp())
+    clone.cloneFrom(src)
+    assert(clone.read(spark).count() == 40L,
+      "the clone must apply the source's DV sidecars (file-identity join)")
+    assert(clone.read(spark).filter($"id" <= 10L).isEmpty,
+      "tombstoned rows must not resurrect in the clone")
+    // and the clone's own MoR delete stacks on top of the cloned DVs
+    clone.deleteWhere(spark, $"id" === 20L, mergeOnRead = true)
+    assert(clone.read(spark).count() == 39L)
+    assert(src.read(spark).count() == 40L, "source unaffected")
+  }
+
   test("SnapshotSink drives processTable: append lands as a new version atop history") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
