@@ -30,13 +30,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaConvert {
 
-  /** Reconciled table state at the log's latest version. File paths
-    * are DECODED and relative to the delta root; `bytes` is the add
-    * action's recorded size.
+  /** One live file of the reconciled state: `path` DECODED and
+    * relative to the delta root, `bytes` the add action's recorded
+    * size, `dvPositions` the file's deleted row indexes (decoded from
+    * the add's deletion-vector descriptor; empty when the file carries
+    * none).
+    */
+  final case class DeltaFile(path: String, bytes: Option[Long],
+      dvPositions: Array[Long])
+
+  /** Reconciled table state at the log's latest version. `colMap` is
+    * the logical→physical column mapping when the table runs
+    * `columnMapping.mode=name` (empty otherwise) — the same shape the
+    * snapshot store's own rename machinery keeps, so adoption maps it
+    * straight through.
     */
   final case class DeltaState(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[(String, Option[Long])],
-      configuration: Map[String, String])
+      partitionColumns: Seq[String], files: Seq[DeltaFile],
+      configuration: Map[String, String],
+      colMap: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper
 
@@ -45,13 +57,15 @@ object DeltaConvert {
   private val MultiCkpt = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
   private val OtherCkpt = """(\d{20})\.checkpoint\..*""".r
 
-  /** Reader features a file-list replay can honor. Everything else —
-    * deletionVectors, columnMapping, typeWidening, v2Checkpoint — is
-    * refused; honoring them requires interpreting per-file state this
-    * reader does not carry over.
+  /** Reader features this replay can honor: deletion vectors are
+    * decoded and TRANSLATED (see [[DeltaDv]]) rather than refused.
+    * Everything else — typeWidening, v2Checkpoint — is refused;
+    * honoring them requires interpreting per-file state this reader
+    * does not carry over.
     */
   private val SupportedReaderFeatures =
-    Set("timestampntz", "vacuumprotocolcheck")
+    Set("timestampntz", "vacuumprotocolcheck", "deletionvectors",
+      "columnmapping")
 
   def replay(spark: SparkSession, deltaRoot: String,
       versionAsOf: Option[Long] = None): DeltaState = {
@@ -123,21 +137,17 @@ object DeltaConvert {
         s"${gaps.take(5).map(v => f"$v%020d.json").mkString(", ")} — " +
         "incomplete _delta_log copy")
 
-    // mutable replay state: newest action per decoded path wins
-    val adds = scala.collection.mutable.LinkedHashMap[String, Option[Long]]()
+    // mutable replay state: newest action per decoded path wins; the
+    // deletion-vector DESCRIPTOR travels with the add (decoded lazily
+    // at the end, so removed files' DVs are never touched)
+    val adds = scala.collection.mutable
+      .LinkedHashMap[String, (Option[Long], Option[JsonNode])]()
     var metaData: Option[JsonNode] = None
     var protocol: Option[(Int, Seq[String])] = None
 
-    def refuseDv(node: JsonNode): Unit = {
-      val dv = node.get("deletionVector")
-      require(dv == null || dv.isNull,
-        "DeltaConvert: table has live DELETION VECTORS — a file-list " +
-          "replay would resurrect deleted rows; compact the source table " +
-          "(e.g. REORG/OPTIMIZE in a Delta client) before adoption")
-    }
     def applyAdd(path: String, size: Option[Long], node: JsonNode): Unit = {
-      refuseDv(node)
-      adds.update(decodePath(path), size)
+      val dv = Option(node.get("deletionVector")).filterNot(_.isNull)
+      adds.update(decodePath(path), (size, dv))
     }
     def applyRemove(path: String): Unit = adds.remove(decodePath(path))
     def applyMeta(node: JsonNode): Unit = metaData = Some(node)
@@ -228,16 +238,56 @@ object DeltaConvert {
       .filterNot(_.isNull).map(_.fields().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
+    // columnMapping: 'name' mode maps straight onto the store's own
+    // logical→physical mapping (files store physical NAMES, exactly
+    // what the store's rename machinery reads through); 'id' mode
+    // resolves parquet FIELD IDS — a different read path — refused.
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none",
-      s"DeltaConvert: columnMapping.mode=$cmMode — files store physical " +
-        "column ids/names a plain scan cannot re-map; rewrite the source " +
-        "with logical names before adoption")
-    val schema = DataType.fromJson(meta.get("schemaString").asText())
+    require(cmMode == "none" || cmMode == "name",
+      s"DeltaConvert: columnMapping.mode=$cmMode — id-mode files are " +
+        "resolved by parquet field id, which a name-based scan cannot " +
+        "re-map; rewrite the source with name mapping or logical names " +
+        "before adoption")
+    val rawSchema = DataType.fromJson(meta.get("schemaString").asText())
       .asInstanceOf[StructType]
+    val PhysKey = "delta.columnMapping.physicalName"
+    val colMap: Map[String, String] =
+      if (cmMode == "none") Map.empty
+      else rawSchema.fields.toSeq.flatMap { f =>
+        if (f.metadata.contains(PhysKey))
+          Some(f.name -> f.metadata.getString(PhysKey))
+        else None
+      }.toMap
+    // nested mapped fields would need per-level re-mapping the store's
+    // flat colMap cannot express — refuse rather than misread
+    if (cmMode == "name") {
+      def nestedMapped(dt: DataType): Boolean = dt match {
+        case s: StructType => s.fields.exists(f =>
+          f.metadata.contains(PhysKey) || nestedMapped(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => nestedMapped(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          nestedMapped(m.keyType) || nestedMapped(m.valueType)
+        case _ => false
+      }
+      rawSchema.fields.foreach(f => require(!nestedMapped(f.dataType),
+        s"DeltaConvert: column '${f.name}' carries NESTED column-mapping " +
+          "metadata — nested physical renames cannot be adopted"))
+    }
+    // the adopted schema is the clean LOGICAL one: mapping metadata
+    // lives in the store's colMap, not in field metadata
+    val schema = StructType(rawSchema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val partCols = Option(meta.get("partitionColumns")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    DeltaState(latest, schema, partCols, adds.toSeq, configuration)
+    require(cmMode == "none" || partCols.isEmpty,
+      "DeltaConvert: a PARTITIONED column-mapped table stores physical " +
+        "names in its directory layout — the store's logical-name hive " +
+        "decoding cannot adopt it; rewrite unmapped or unpartitioned")
+    val files = adds.toSeq.map { case (path, (size, dv)) =>
+      DeltaFile(path, size,
+        dv.map(DeltaDv.readDescriptor(root, _)).getOrElse(Array.empty[Long]))
+    }
+    DeltaState(latest, schema, partCols, files, configuration, colMap)
   }
 
   /** RFC 2396 percent-decoding of a log-recorded relative path. Paths

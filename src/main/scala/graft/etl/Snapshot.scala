@@ -1568,9 +1568,16 @@ final class SnapshotStore(root: String) {
     * files are published by ABSOLUTE path, exactly the
     * [[cloneFrom]] shape: the Delta table is never touched, its
     * history stays intact, and this store's history begins
-    * independently at the adopted state. Unsupported reader features
-    * (deletion vectors, column mapping, v2 checkpoints) are refused
-    * loudly inside the replay. `statsColumn` triggers the same
+    * independently at the adopted state. Live DELETION VECTORS — the
+    * modern Databricks default for DELETE/UPDATE — are decoded from
+    * the public DV format ([[DeltaDv]]) and TRANSLATED into one native
+    * position-list sidecar under THIS store's root, so the adopted
+    * table reads its live rows exactly (merge-on-read, O(tombstones));
+    * the translation is driver-side and bounded by the table's
+    * tombstone count, the same order as replaying the log itself.
+    * Remaining unsupported reader features (column mapping handled
+    * separately, v2 checkpoints, type widening) are refused loudly
+    * inside the replay. `statsColumn` triggers the same
     * footer-stats collection as [[convertInPlace]]; partitioned
     * tables adopt when the files use the hive `col=value` layout
     * Delta's writers produce (a flat layout carries partition values
@@ -1609,7 +1616,7 @@ final class SnapshotStore(root: String) {
             s"unsupported type ${other.simpleString} — supported: " +
             "byte/short/int/long/string/date/boolean")
       }
-      val missing = st.files.map(_._1)
+      val missing = st.files.map(_.path)
         .filterNot(_.split('/').exists(_.startsWith(c + "=")))
       require(missing.isEmpty,
         s"SnapshotStore.convertFromDelta: ${missing.length} files lack a " +
@@ -1629,21 +1636,41 @@ final class SnapshotStore(root: String) {
     cols.foreach(c => require(!st.partitionColumns.contains(c),
       s"SnapshotStore.convertFromDelta: stats column '$c' cannot be a " +
         "partition column"))
-    val entries = st.files.map { case (rel, size) =>
-      val abs = deltaPath.resolve(rel).toString
+    // translate the live deletion vectors into ONE native position-list
+    // sidecar under this store's root: same merge-on-read semantics,
+    // same O(tombstones) scan cost, and the adopted store owns the
+    // sidecar's lifecycle (the Delta table stays untouched)
+    val dvRows: Seq[(String, Long)] = st.files.flatMap { f =>
+      val abs = deltaPath.resolve(f.path).toString
+      f.dvPositions.map(p => (abs, p))
+    }
+    val dvRel: Option[String] =
+      if (dvRows.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(writeDvSidecar(spark,
+          dvRows.toDF("file", "pos").coalesce(1))._1)
+      }
+    val entries = st.files.map { f =>
+      val abs = deltaPath.resolve(f.path).toString
       require(Files.isRegularFile(Paths.get(abs)),
         s"SnapshotStore.convertFromDelta: log references missing file " +
-          s"$rel — vacuumed or partially copied table")
-      cols match {
-        case Seq() => FileEntry(abs, None, None, bytes = size)
+          s"${f.path} — vacuumed or partially copied table")
+      val dv = if (f.dvPositions.isEmpty) Nil else dvRel.toSeq
+      val base = cols match {
+        case Seq() => FileEntry(abs, None, None, bytes = f.bytes)
         case cs =>
-          val e = entryWithStats(abs, cs, conf)
-          if (e.bytes.isEmpty) e.copy(bytes = size) else e
+          val e = entryWithStats(abs, cs, conf, st.colMap)
+          if (e.bytes.isEmpty) e.copy(bytes = f.bytes) else e
       }
+      base.copy(dv = dv)
     }
+    // a name-mapped table adopts its logical→physical mapping into the
+    // store's own colMap — reads resolve logical names, files keep
+    // their physical ones, later renames chain on top
     publishEntries(entries, schema, statsColumn,
       partCols = st.partitionColumns, expectedVersion = Some(0L),
-      mappingOverride = Some((Map.empty, Nil)))
+      mappingOverride = Some((st.colMap, Nil)))
   }
 
   /** RESTORE: republish version `toVersion`'s exact file list as the

@@ -2029,6 +2029,11 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       s""""modificationTime":0,"dataChange":true}}"""
   }
 
+  /** An add action carrying a deletion-vector descriptor. */
+  private def deltaAddDv(path: String, size: Long, dvJson: String): String =
+    s"""{"add":{"path":${jsonQuote(path)},"partitionValues":{},"size":$size,""" +
+      s""""modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}"""
+
   private def deltaRemove(path: String): String =
     s"""{"remove":{"path":${jsonQuote(path)},"deletionTimestamp":0,""" +
       s""""dataChange":true}}"""
@@ -2181,19 +2186,15 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val metaTmpl = (sch: org.apache.spark.sql.types.StructType) => deltaMeta(sch)
     val plainSchema = frame(1 to 2, "r").schema
-    refused(Seq(Seq(deltaProto(3, Seq("deletionVectors")),
+    // a reader feature the replay genuinely cannot honor
+    refused(Seq(Seq(deltaProto(3, Seq("v2Checkpoint")),
       deltaMeta(plainSchema), deltaAdd("r.parquet", 1L))),
       "unsupported reader feature")
-    // column mapping
+    // column mapping mode 'id' (parquet field-id resolution) refused;
+    // 'name' mode adopts — covered by its own test
     refused(Seq(Seq(deltaProto(2),
-      deltaMeta(plainSchema, Nil, Map("delta.columnMapping.mode" -> "name")),
+      deltaMeta(plainSchema, Nil, Map("delta.columnMapping.mode" -> "id")),
       deltaAdd("r.parquet", 1L))), "columnMapping")
-    // an add carrying a live deletion vector (JSON level)
-    refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
-      """{"add":{"path":"r.parquet","partitionValues":{},"size":1,""" +
-        """"modificationTime":0,"dataChange":true,"deletionVector":""" +
-        """{"storageType":"u","pathOrInlineDv":"x","offset":1,""" +
-        """"sizeInBytes":40,"cardinality":6}}}""")), "DELETION VECTORS")
     // an absolute/external file reference
     refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
       deltaAdd("s3://bucket/x.parquet", 1L))), "self-contained")
@@ -2206,6 +2207,116 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.types.TimestampType))
     refused(Seq(Seq(deltaProto(), deltaMeta(tsPart, Seq("ts")),
       deltaAdd("r.parquet", 1L))), "unsupported type")
+  }
+
+  test("convertFromDelta translates DELETION VECTORS: u-storage and inline DVs become native sidecars, stacked deletes honor newest-add-wins") {
+    import spark.implicits._
+    val delta = tmp()
+    val root = Paths.get(delta)
+    val f1 = deltaDataFile(delta, "f1.parquet", frame(1 to 10, "a"))
+    val f2 = deltaDataFile(delta, "f2.parquet", frame(11 to 20, "b"))
+    val schema = spark.read.parquet(s"$delta/f1.parquet").schema
+    deltaCommit(delta, 0L, Seq(deltaProto(3, Seq("deletionVectors")),
+      deltaMeta(schema), deltaAdd("f1.parquet", f1),
+      deltaAdd("f2.parquet", f2)))
+    // v1: a Databricks-style DELETE touches f1 rows 0 and 2 (ids 1, 3)
+    // via a u-storage DV file, and f2 row 1 (id 12) via an inline DV
+    val (p1, o1, s1, c1) = DeltaDv.writeUuidFile(root, Array(0L, 2L))
+    val (pi, si, ci) = DeltaDv.inlineDescriptor(Array(1L))
+    deltaCommit(delta, 1L, Seq(
+      deltaAddDv("f1.parquet", f1,
+        s"""{"storageType":"u","pathOrInlineDv":"$p1","offset":$o1,""" +
+          s""""sizeInBytes":$s1,"cardinality":$c1}"""),
+      deltaAddDv("f2.parquet", f2,
+        s"""{"storageType":"i","pathOrInlineDv":"$pi",""" +
+          s""""sizeInBytes":$si,"cardinality":$ci}""")))
+    // v2: a second DELETE grows f1's DV to rows {0,2,4} (Delta replaces
+    // the whole descriptor — newest add wins)
+    val (p2, o2, s2, c2) = DeltaDv.writeUuidFile(root, Array(0L, 2L, 4L))
+    deltaCommit(delta, 2L, Seq(
+      deltaAddDv("f1.parquet", f1,
+        s"""{"storageType":"u","pathOrInlineDv":"$p2","offset":$o2,""" +
+          s""""sizeInBytes":$s2,"cardinality":$c2}""")))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta, statsColumn = Some("id"))
+    val got = store.read(spark)
+    assert(got.count() == 16L, "20 rows - 3 (f1 DV) - 1 (f2 inline DV)")
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 20L).toSet -- Set(1L, 3L, 5L, 12L)),
+      "exactly the DV'd positions are dead")
+    // the sidecar is NATIVE: it lives under the adopted store's root,
+    // and the Delta table gained nothing but the fixture's own files
+    val m = store.readFullManifest(0L)
+    assert(m.entries.count(_.dv.nonEmpty) == 2)
+    assert(m.entries.flatMap(_.dv).forall(d => !Paths.get(d).isAbsolute),
+      "the translated sidecar must be store-local")
+    // the adopted store is a full MoR citizen: stack a native delete
+    store.deleteWhere(spark, $"id" === 11L, mergeOnRead = true)
+    assert(store.read(spark).count() == 15L)
+    // time-travel adoption BEFORE the deletes sees all 20 rows
+    val atV0 = new SnapshotStore(tmp())
+    atV0.convertFromDelta(spark, delta, versionAsOf = Some(0L))
+    assert(atV0.read(spark).count() == 20L)
+    // and compaction clears the translated DVs
+    store.compactLatest(spark, targetFiles = 1)
+    val mc = store.readFullManifest(store.latestVersion.get)
+    assert(mc.entries.forall(_.dv.isEmpty))
+    assert(store.read(spark).count() == 15L)
+  }
+
+  test("convertFromDelta adopts columnMapping=name tables: physical files read under logical names, mapping chains with later renames") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val delta = tmp()
+    // files store PHYSICAL names, exactly what a mapped Delta writer lays down
+    val fSize = deltaDataFile(delta, "m1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-10ab", "col-20cd"))
+    val physSchema = spark.read.parquet(s"$delta/m1.parquet").schema
+    def mapped(name: String, phys: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(
+      mapped("id", "col-10ab", 1L, physSchema("col-10ab").dataType),
+      mapped("v", "col-20cd", 2L, physSchema("col-20cd").dataType)))
+    deltaCommit(delta, 0L, Seq(deltaProto(3, Seq("columnMapping")),
+      deltaMeta(logical, Nil, Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      deltaAdd("m1.parquet", fSize)))
+    // a DV on top of the mapping: DELETE of physical row 1 (id=2)
+    val (pi, si, ci) = DeltaDv.inlineDescriptor(Array(1L))
+    deltaCommit(delta, 1L, Seq(deltaAddDv("m1.parquet", fSize,
+      s"""{"storageType":"i","pathOrInlineDv":"$pi",""" +
+        s""""sizeInBytes":$si,"cardinality":$ci}""")))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta, statsColumn = Some("id"))
+    val got = store.read(spark)
+    assert(got.columns.toSeq == Seq("id", "v"), "logical names surface")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (3L, "c")), "values resolve through the mapping, DV applied")
+    // footer stats resolved the PHYSICAL name: range read prunes/works
+    assert(store.readRange(spark, "id", 3L, 9L).count() == 1L)
+    // a rename CHAINS on the adopted mapping (physical identity stable)
+    store.renameColumn(spark, "v", "label")
+    assert(store.read(spark).filter($"label" === "c").count() == 1L)
+    // appends through the mapping read back
+    store.commitAppend(Seq((9L, "z")).toDF("id", "label"))
+    assert(store.read(spark).count() == 3L)
+    // id-mode refused loudly (covered in the refusal battery too);
+    // partitioned + mapped refused loudly
+    val pd = tmp()
+    val pSize = deltaDataFile(pd, "day=1/p.parquet",
+      Seq((1L, "a")).toDF("col-10ab", "col-20cd"))
+    deltaCommit(pd, 0L, Seq(deltaProto(3, Seq("columnMapping")),
+      deltaMeta(StructType(logical.fields :+ mapped("day", "col-30ef", 3L,
+        org.apache.spark.sql.types.LongType)), Seq("day"), Map(
+        "delta.columnMapping.mode" -> "name")),
+      deltaAdd("day=1/p.parquet", pSize, Map("col-30ef" -> "1"))))
+    assert(intercept[IllegalArgumentException] {
+      new SnapshotStore(tmp()).convertFromDelta(spark, pd)
+    }.getMessage.contains("PARTITIONED column-mapped"))
   }
 
   test("readChanges relabel survives a two-step rename chain (b->c then a->b): one projection, no duplicate columns") {
