@@ -1673,6 +1673,158 @@ final class SnapshotStore(root: String) {
       mappingOverride = Some((st.colMap, Nil)))
   }
 
+  /** EXPORT TO DELTA: write a Delta Lake transaction log
+    * (`_delta_log/`) beside this store's own manifests so STOCK Delta
+    * readers can consume the table in place — the write-side interop
+    * twin of [[convertFromDelta]], closing the round trip for
+    * downstream consumers that still read the reference's RAW zone
+    * with a Delta client (`sync.py:112-114`). Public protocol only
+    * ([[DeltaExport]]): no Delta library involved.
+    *
+    * Every surviving store version `v` exports as Delta version `v` —
+    * time travel carries over. The mapping per version: file-set diff
+    * → `add`/`remove` actions (an entry whose DV set changed re-adds
+    * with the new descriptor, Delta's newest-add-wins); native
+    * position-list DVs → Delta roaring descriptors (inline when
+    * small); column mapping → name-mode field metadata; `rewrite`
+    * commits → `dataChange: false`. `protocol` and `metaData` are
+    * emitted in EVERY exported commit — spec-legal (newest wins), and
+    * it makes re-export stateless and idempotent. A store whose oldest
+    * surviving version is > 0 (vacuumed) exports a classic CHECKPOINT
+    * there — exactly what Delta's own log retention produces.
+    *
+    * INCREMENTAL by construction: an existing `_delta_log` is extended
+    * from its newest version — call again after commits to mirror them
+    * (O(new versions), never a rewrite). Guards: a store referencing
+    * EXTERNAL files (un-materialized clone or adoption) refuses —
+    * `compactLatest` first (a Delta log must be self-contained);
+    * CHECK constraints do not travel (documented, Delta expresses
+    * them as writer-enforced configuration this export does not
+    * claim). Vacuuming this store later deletes files old exported
+    * versions reference — the same retention trade stock Delta makes.
+    *
+    * Returns the newest exported Delta version.
+    */
+  def exportToDelta(spark: SparkSession): Long = {
+    val vs = versions
+    require(vs.nonEmpty,
+      s"SnapshotStore.exportToDelta: no committed versions at $root")
+    val logDir = rootPath.resolve("_delta_log")
+    val JsonFile = """(\d{20})\.json""".r
+    val CkptFile = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
+    val already: Long =
+      if (!Files.isDirectory(logDir)) -1L
+      else {
+        val s = Files.list(logDir)
+        val names = try s.iterator().asScala.map(_.getFileName.toString).toVector
+        finally s.close()
+        (names.collect { case JsonFile(v) => v.toLong } ++
+          names.collect { case CkptFile(v, _) => v.toLong })
+          .reduceOption(_ max _).getOrElse(-1L)
+      }
+    val todo = vs.filter(_ > already)
+    if (todo.isEmpty) return already
+    Files.createDirectories(logDir)
+    // deterministic table id: stable across incremental exports
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("graft-delta-export:" + rootPath.normalize.toString).getBytes("UTF-8"))
+    // positions per (sidecar, file), loaded once per sidecar — bounded
+    // by the table's tombstone count (merge-on-read is for scattered
+    // small deltas; bulk deletes are copy-on-write)
+    val dvCache = scala.collection.mutable.Map[String, Map[String, Array[Long]]]()
+    def positionsFor(e: FileEntry): Array[Long] =
+      e.dv.flatMap { rel =>
+        dvCache.getOrElseUpdate(rel,
+          spark.read.parquet(rootPath.resolve(rel).toString)
+            .select("file", "pos").collect()
+            .groupBy(_.getString(0))
+            .map { case (f, rs) => f -> rs.map(_.getLong(1)) })
+          .getOrElse(e.path, Array.empty[Long])
+      }.distinct.sorted.toArray
+    def addFor(m: Manifest, e: FileEntry): String = {
+      require(!Paths.get(e.path).isAbsolute,
+        s"SnapshotStore.exportToDelta: entry ${e.path} references a file " +
+          "outside this store (shallow clone or adoption) — a Delta log " +
+          "must be self-contained; compactLatest first to materialize")
+      val pv = m.partCols.map { c =>
+        val v = partitionTupleOf(e.path, Seq(c)).head
+        c -> (if (v == SnapshotStore.HiveNullPartition) None else Some(v))
+      }
+      val dv = if (e.dv.isEmpty) None else {
+        val ps = positionsFor(e)
+        if (ps.isEmpty) None else Some(DeltaExport.dvDescriptor(rootPath, ps))
+      }
+      DeltaExport.addLine(e.path, pv,
+        e.bytes.orElse(stagedBytes(e.path)).getOrElse(0L),
+        m.ts.getOrElse(0L), dataChange = !m.rewrite, dv)
+    }
+    todo.foreach { v =>
+      val m = readFullManifest(v)
+      val header = Seq(
+        DeltaExport.protocolLine(
+          dv = m.entries.exists(_.dv.nonEmpty), mapping = m.colMap.nonEmpty),
+        DeltaExport.metaLine(tableId, m.schema, m.partCols, m.colMap,
+          m.ts.getOrElse(0L)))
+      if (v == todo.head && v > 0 && v != already + 1) {
+        // no clean diff base at the log tip (vacuumed prefix on a fresh
+        // export, or a vacuum ate versions past the exported tip and
+        // left a numbering gap): the first exported version must be
+        // self-contained — a classic checkpoint, exactly what Delta's
+        // own log retention produces (readers start at the newest
+        // complete checkpoint; gaps before it are expected)
+        val lines = header ++ m.entries.map(e => addFor(m, e))
+        import spark.implicits._
+        val unionSchema = spark.read.json(lines.toDS).schema
+        val stage = Files.createTempDirectory("graft-delta-ckpt")
+        spark.read.schema(unionSchema).json(lines.toDS).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val it = Files.list(stage)
+        val part = try it.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally it.close()
+        Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.write(logDir.resolve("_last_checkpoint"),
+          s"""{"version":$v,"size":${lines.length}}""".getBytes("UTF-8"))
+      } else {
+        // diff base: the prior manifest when it survives; when vacuum
+        // dropped already-exported versions, the exported log itself
+        // (replayed, metadata-only) — otherwise stale files would stay
+        // live in the Delta view
+        val fromManifest = vs.contains(v - 1)
+        val prevByPath: Map[String, FileEntry] =
+          if (fromManifest)
+            readFullManifest(v - 1).entries.map(e => e.path -> e).toMap
+          else Map.empty
+        val prevLive: Set[String] =
+          if (fromManifest) prevByPath.keySet
+          else if (v == todo.head && v == already + 1 && already >= 0)
+            DeltaConvert.replay(spark, rootPath.toString).files
+              .map(_.path).toSet
+          else Set.empty
+        val curPaths = m.entries.map(_.path).toSet
+        val removes = prevLive.filterNot(curPaths.contains).toSeq.sorted
+          .map(p => DeltaExport.removeLine(p, m.ts.getOrElse(0L),
+            dataChange = !m.rewrite))
+        // re-add when new, when the DV set changed (Delta
+        // newest-add-wins), or when the diff base is the replayed log
+        // (re-adding an identical file is spec-legal and harmless)
+        val adds = m.entries.filter(e =>
+          if (!fromManifest) true
+          else prevByPath.get(e.path) match {
+            case None => true
+            case Some(pe) => pe.dv != e.dv
+          }).map(e => addFor(m, e))
+        val tmpF = logDir.resolve(f".$v%020d.json.tmp")
+        Files.write(tmpF, (header ++ removes ++ adds)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        Files.move(tmpF, logDir.resolve(f"$v%020d.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    todo.last
+  }
+
   /** RESTORE: republish version `toVersion`'s exact file list as the
     * NEXT version — the table's state rolls back (or forward) with
     * ZERO data copying, because files are immutable and the manifest

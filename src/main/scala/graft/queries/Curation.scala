@@ -1668,6 +1668,145 @@ object Curation {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM live GROUP BY 1 ORDER BY third
+      """)),
+    // ----------------------------------------------------------------
+    // DELTA DELETION-VECTOR ADOPTION — the modern-default shape of the
+    // reference's RAW zone (a Databricks DELETE/UPDATE writes DVs, not
+    // rewritten files). The query fabricates a Delta table whose adds
+    // carry REAL deletion vectors in both public storage forms —
+    // u-storage (roaring bitmap framed in a versioned .bin with CRC)
+    // and inline (Z85) — adopts it, and aggregates the LIVE rows. Row
+    // order inside each data file is pinned by an explicit sort, so
+    // the tombstoned POSITIONS (row indexes 0..k-1) are exactly the k
+    // smallest keys of that file — which is what the oracle deletes
+    // via row_number. A mis-decoded bitmap, a CRC skip, an offset
+    // error, or a resurrection through the translated sidecar all
+    // change the sums. Impl: etl/DeltaDv.scala + convertFromDelta's
+    // sidecar translation.
+    Q(
+      "q300_delta_dv_adoption",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val delta = java.nio.file.Files.createTempDirectory("graft-dv").toString
+        val deltaP = java.nio.file.Paths.get(delta)
+        def dataFile(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+          val stage = java.nio.file.Files.createTempDirectory("graft-dv-st")
+          // ONE partition, explicit in-file sort: row index i = the
+          // i-th smallest o_orderkey — the positions the DVs tombstone
+          df.repartition(1).sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite").parquet(stage.toString)
+          val ls = java.nio.file.Files.list(stage)
+          val src = try {
+            val it = ls.iterator()
+            Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+          } finally ls.close()
+          val dst = deltaP.resolve(name)
+          java.nio.file.Files.move(src, dst)
+          java.nio.file.Files.size(dst)
+        }
+        val sz1 = dataFile("even.parquet", o.filter($"o_orderkey" % 2 === 0))
+        val sz2 = dataFile("odd.parquet", o.filter($"o_orderkey" % 2 === 1))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+        def jq(x: String) = mapper.writeValueAsString(x)
+        val schemaJson = s.read.parquet(s"$delta/even.parquet").schema.json
+        def add(p: String, sz: Long, dv: Option[String]) =
+          s"""{"add":{"path":${jq(p)},"partitionValues":{},"size":$sz,""" +
+            s""""modificationTime":0,"dataChange":true""" +
+            dv.map(d => s""","deletionVector":$d""").getOrElse("") + "}}"
+        def commit(v: Long, lines: Seq[String]): Unit = {
+          val logDir = deltaP.resolve("_delta_log")
+          java.nio.file.Files.createDirectories(logDir)
+          java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+            lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
+        commit(0L, Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["deletionVectors"],""" +
+            """"writerFeatures":["deletionVectors"]}}""",
+          s"""{"metaData":{"id":"q300","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":${jq(schemaJson)},""" +
+            s""""partitionColumns":[],"configuration":{},"createdTime":0}}""",
+          add("even.parquet", sz1, None), add("odd.parquet", sz2, None)))
+        // the DELETE: u-storage DV kills the 7 smallest even keys,
+        // inline DV kills the 5 smallest odd keys
+        val (up, uo, us, uc) = graft.etl.DeltaDv.writeUuidFile(
+          deltaP, (0L until 7L).toArray)
+        val (ip, is, ic) = graft.etl.DeltaDv.inlineDescriptor(
+          (0L until 5L).toArray)
+        commit(1L, Seq(
+          add("even.parquet", sz1, Some(
+            s"""{"storageType":"u","pathOrInlineDv":"$up","offset":$uo,""" +
+              s""""sizeInBytes":$us,"cardinality":$uc}""")),
+          add("odd.parquet", sz2, Some(
+            s"""{"storageType":"i","pathOrInlineDv":"$ip",""" +
+              s""""sizeInBytes":$is,"cardinality":$ic}"""))))
+        val store = new graft.etl.SnapshotStore(
+          java.nio.file.Files.createTempDirectory("graft-dva").toString)
+        store.convertFromDelta(s, delta, statsColumn = Some("o_orderkey"))
+        store.read(s)
+          .groupBy(($"o_orderkey" % 2).cast("int").as("parity"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            min($"o_orderkey").as("key_min"))
+          .orderBy("parity")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 row_number() OVER (PARTITION BY o_orderkey % 2
+                                    ORDER BY o_orderkey) AS rn
+          FROM orders),
+        live AS (
+          SELECT * FROM o
+          WHERE NOT (o_orderkey % 2 = 0 AND rn <= 7)
+            AND NOT (o_orderkey % 2 = 1 AND rn <= 5))
+        SELECT CAST(o_orderkey % 2 AS INT) AS parity, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               MIN(o_orderkey) AS key_min
+        FROM live GROUP BY 1 ORDER BY parity
+      """)),
+    // ----------------------------------------------------------------
+    // DELTA EXPORT ROUND TRIP — the write-side interop: the snapshot
+    // store's history (overwrite → MoR DELETE with a native DV →
+    // RENAME under column mapping) exports as a stock _delta_log
+    // beside its own manifests (exportToDelta), and the exported table
+    // is then re-adopted through the public-protocol replay into a
+    // SECOND store that computes the answer. The chain proves the
+    // exported log carries the DV (as a roaring descriptor), the
+    // mapping (name-mode field metadata), and the live file set —
+    // a drop anywhere (a tombstone lost in export, a physical name
+    // misbound, a stale file left live) changes the result. Impl:
+    // etl/DeltaExport.scala + SnapshotStore.exportToDelta.
+    Q(
+      "q301_delta_export_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-dxp").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(4, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))
+        store.deleteWhere(s, $"o_orderkey" % 7 === 3L, mergeOnRead = true)
+        store.renameColumn(s, "o_custkey", "cust")
+        store.exportToDelta(s)
+        val adopted = new graft.etl.SnapshotStore(
+          java.nio.file.Files.createTempDirectory("graft-dxa").toString)
+        adopted.convertFromDelta(s, root, statsColumn = Some("o_orderkey"))
+        adopted.read(s)
+          .groupBy(($"o_orderkey" % 4).cast("int").as("q"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            sum($"cust").as("cust_sum"))
+          .orderBy("q")
+      },
+      Some("""
+        SELECT CAST(o_orderkey % 4 AS INT) AS q, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM orders WHERE o_orderkey % 7 <> 3
+        GROUP BY 1 ORDER BY q
       """))
   )
 }

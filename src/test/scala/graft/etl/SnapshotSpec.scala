@@ -2319,6 +2319,91 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("PARTITIONED column-mapped"))
   }
 
+  test("exportToDelta: the store's history reads back through the Delta protocol — appends, MoR DVs, renames, time travel, file identity") {
+    import spark.implicits._
+    val rootS = tmp()
+    val store = new SnapshotStore(rootS)
+    store.commitOverwrite(frame(1 to 10, "a").coalesce(1),
+      statsColumn = Some("id"))                       // v0
+    store.commitAppend(frame(11 to 15, "b").coalesce(1)) // v1
+    store.deleteWhere(spark, $"id" === 3L || $"id" === 12L,
+      mergeOnRead = true)                              // v2: DV
+    store.renameColumn(spark, "tag", "label")          // v3: column mapping
+    val latest = store.exportToDelta(spark)
+    assert(latest == 3L)
+    // self-interop 1: the raw replay sees the right live state
+    val st = DeltaConvert.replay(spark, rootS)
+    assert(st.version == 3L)
+    assert(st.schema.fieldNames.toSeq == Seq("id", "label", "amt"))
+    assert(st.colMap.get("label").exists(_ != "label"),
+      "the rename must export as name-mode mapping (physical name differs)")
+    assert(st.files.map(_.dvPositions.length).sum == 2,
+      "both tombstones must export as Delta DVs")
+    // self-interop 2: adopt the exported log into a fresh store —
+    // rows match and the files are the SAME ones (zero copy both ways)
+    val adopted = new SnapshotStore(tmp())
+    adopted.convertFromDelta(spark, rootS)
+    val got = adopted.read(spark)
+    assert(got.columns.toSeq == Seq("id", "label", "amt"))
+    assert(got.count() == 13L)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 15L).toSet -- Set(3L, 12L)))
+    val adoptedPaths = adopted.readFullManifest(0L).entries.map(_.path).toSet
+    val storePaths = store.readFullManifest(3L).entries
+      .map(e => Paths.get(rootS).resolve(e.path).toString).toSet
+    assert(adoptedPaths == storePaths, "file identity across the round trip")
+    // time travel carries over: delta version 1 predates the delete
+    val atV1 = new SnapshotStore(tmp())
+    atV1.convertFromDelta(spark, rootS, versionAsOf = Some(1L))
+    assert(atV1.read(spark).count() == 15L)
+    // INCREMENTAL: commit more, re-export extends the log in place
+    store.commitAppend(Seq((99L, "z", 9.0)).toDF("id", "label", "amt"))
+    assert(store.exportToDelta(spark) == 4L)
+    assert(DeltaConvert.replay(spark, rootS).files.map(_.path).toSet
+      .size == store.readFullManifest(4L).entries.length)
+    val again = new SnapshotStore(tmp())
+    again.convertFromDelta(spark, rootS)
+    assert(again.read(spark).count() == 14L)
+    // idempotent no-op when nothing new
+    assert(store.exportToDelta(spark) == 4L)
+  }
+
+  test("exportToDelta bridges vacuumed history with a classic checkpoint; external references refuse") {
+    import spark.implicits._
+    val rootS = tmp()
+    val store = new SnapshotStore(rootS)
+    store.commitOverwrite(frame(1 to 6, "x").coalesce(1))  // v0
+    store.commitAppend(frame(7 to 9, "y").coalesce(1))     // v1
+    store.commitOverwrite(frame(1 to 4, "z").coalesce(1))  // v2
+    store.vacuum(keepLast = 1) // only v2 survives
+    assert(store.exportToDelta(spark) == 2L)
+    val logDir = Paths.get(rootS).resolve("_delta_log")
+    assert(Files.isRegularFile(
+      logDir.resolve(f"${2L}%020d.checkpoint.parquet")),
+      "a vacuumed prefix must export as a checkpoint")
+    val adopted = new SnapshotStore(tmp())
+    adopted.convertFromDelta(spark, rootS)
+    assert(adopted.read(spark).count() == 4L)
+    // gap PAST the exported tip: more commits, vacuum eats them, then
+    // export — a fresh checkpoint bridges the numbering gap
+    store.commitAppend(frame(10 to 11, "w").coalesce(1))   // v3
+    store.commitOverwrite(frame(1 to 2, "v").coalesce(1))  // v4
+    store.vacuum(keepLast = 1) // only v4 survives; 3 never exported
+    assert(store.exportToDelta(spark) == 4L)
+    assert(Files.isRegularFile(
+      logDir.resolve(f"${4L}%020d.checkpoint.parquet")))
+    val adopted2 = new SnapshotStore(tmp())
+    adopted2.convertFromDelta(spark, rootS)
+    assert(adopted2.read(spark).count() == 2L)
+    // a replay-based diff base: export tip == already + 1 after vacuum
+    // is exercised by the incremental test above; here the refusal —
+    // an un-materialized clone cannot export
+    val cl = new SnapshotStore(tmp())
+    cl.cloneFrom(store)
+    assert(intercept[IllegalArgumentException] { cl.exportToDelta(spark) }
+      .getMessage.contains("self-contained"))
+  }
+
   test("readChanges relabel survives a two-step rename chain (b->c then a->b): one projection, no duplicate columns") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
