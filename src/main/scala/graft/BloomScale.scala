@@ -19,7 +19,7 @@ object BloomScale {
     val spark = GraftSession.local("graft-bloom-scale", cores = 32)
     import spark.implicits._
 
-    def measure(f: Int): (Double, Double, Long) = {
+    def measure(f: Int): (Double, Double, Long, Double) = {
       val root = java.nio.file.Files.createTempDirectory(s"graft-bs$f").toString
       val store = new graft.etl.SnapshotStore(root)
       val rows = f * 500L // 500 distinct uids per file: the design density
@@ -29,7 +29,13 @@ object BloomScale {
           .repartitionByRange(f, $"id"),
         statsColumn = Some("id"))
       store.setBloomFilter(Some("uid"))
+      // build cost: compaction restages every file WITH filters — the
+      // two-pass distributed bloom build (exact countDistinct sizing +
+      // executor-side OR-merge; the driver holds only the manifest
+      // payload, never hash sets)
+      val tb0 = System.nanoTime()
       store.compactLatest(spark, targetFiles = f)
+      val buildMs = (System.nanoTime() - tb0) / 1e6
       val df = spark.read.format("graft-snapshot").option("path", root).load()
       val hit = 777L * 2654435761L % 999999937L
       def time(value: Long): Double =
@@ -40,16 +46,17 @@ object BloomScale {
         }.min
       val manifestBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
         root, "manifests", f"v${store.latestVersion.get}%012d.manifest"))
-      (time(hit), time(-1L), manifestBytes)
+      (time(hit), time(-1L), manifestBytes, buildMs)
     }
-    val (hit1, miss1, mb1) = measure(files)
-    val (hit10, miss10, mb10) = measure(files * 10)
+    val (hit1, miss1, mb1, b1) = measure(files)
+    val (hit10, miss10, mb10, b10) = measure(files * 10)
     println(
       s"""{"probe":"bloom_probe_scale","files_1x":$files,""" +
       s""""hit_ms_1x":${f"$hit1%.1f"},"miss_ms_1x":${f"$miss1%.1f"},""" +
-      s""""manifest_bytes_1x":$mb1,"files_10x":${files * 10},""" +
+      s""""manifest_bytes_1x":$mb1,"build_ms_1x":${f"$b1%.0f"},""" +
+      s""""files_10x":${files * 10},""" +
       s""""hit_ms_10x":${f"$hit10%.1f"},"miss_ms_10x":${f"$miss10%.1f"},""" +
-      s""""manifest_bytes_10x":$mb10}""")
+      s""""manifest_bytes_10x":$mb10,"build_ms_10x":${f"$b10%.0f"}}""")
     spark.stop()
   }
 }

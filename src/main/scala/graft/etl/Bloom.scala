@@ -102,6 +102,37 @@ object Bloom {
     true
   }
 
+  /** FOLD a power-of-two filter down to half its size by OR-ing the
+    * two halves. Because every probe index is `(h1 + i·h2) mod m` with
+    * m a power of two, `x mod m mod (m/2) = x mod (m/2)` — so the fold
+    * is BIT-IDENTICAL to having built the filter at m/2 from the same
+    * values. This is what lets a build pass size filters down (or a
+    * merge pass reconcile differently-sized filters) without re-reading
+    * any data: fold(sized(m)) ≡ sized(m/2), exactly.
+    */
+  def fold(bits: Array[Long]): Array[Long] = {
+    require(bits.length > 1 && Integer.bitCount(bits.length) == 1,
+      s"Bloom.fold: need a power-of-two filter above the floor, got " +
+        s"${bits.length} words")
+    val half = bits.length / 2
+    val out = new Array[Long](half)
+    var i = 0
+    while (i < half) { out(i) = bits(i) | bits(i + half); i += 1 }
+    out
+  }
+
+  /** Fold `bits` down until it matches `words` (a smaller or equal
+    * power-of-two word count).
+    */
+  def foldTo(bits: Array[Long], words: Int): Array[Long] = {
+    require(words >= Bits / 64 && words <= bits.length &&
+      Integer.bitCount(words) == 1,
+      s"Bloom.foldTo: cannot fold ${bits.length} words to $words")
+    var cur = bits
+    while (cur.length > words) cur = fold(cur)
+    cur
+  }
+
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     require(a.length == b.length,
       s"Bloom.merge: differently-sized filters (${a.length} vs ${b.length} " +

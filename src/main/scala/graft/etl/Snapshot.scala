@@ -2391,27 +2391,54 @@ final class SnapshotStore(root: String) {
     * The SAME xxhash64 the query-time membership test re-derives for
     * literals, so both sides agree by construction.
     */
+  /** Per-file bloom filters for freshly-staged files, built FULLY
+    * DISTRIBUTED in two passes so the driver never materializes hash
+    * sets (a full-table OPTIMIZE restaging 10⁴+ files would otherwise
+    * collect multi-GB of them):
+    *
+    *  1. exact `countDistinct(hash)` per file — a map-side-combined
+    *     hash aggregate whose driver result is ONE (path, long) row
+    *     per file. The exact count sizes each filter (m = 12n) and
+    *     keeps the saturation honesty exact: files past
+    *     [[Bloom.MaxDistinct]] publish NO filter, never an estimate's
+    *     borderline guess.
+    *  2. per-partition local build at the FINAL per-file size (the
+    *     counts broadcast), OR-merged across partitions executor-side
+    *     (`reduceByKey`) — the shuffle carries only filter-sized blobs
+    *     and the driver receives exactly the manifest payload it is
+    *     about to write, nothing transient.
+    *
+    * The fold identity (`Bloom.fold(sized(m)) ≡ sized(m/2)`,
+    * spec-pinned) is what makes size-at-build sound: any power-of-two
+    * sizing decision commutes with the hash indices, so building at
+    * the final size directly equals building big and folding down.
+    */
+  /** Above this staged-file count the build switches from the one-pass
+    * capped-set path to the two-pass distributed path. The bound keeps
+    * the one-pass path's worst-case driver transient under ~90 MB
+    * (128 files × MaxDistinct hashes × 8 B) — an ordinary commit's
+    * handful of files never pays the second scan, and a full-table
+    * OPTIMIZE restage of 10⁴+ files never materializes hash sets on
+    * the driver.
+    */
+  private val BloomOnePassMaxFiles = 128
+
   private def collectBlooms(spark: SparkSession, rels: Seq[String],
       physCol: String): Map[String, String] = {
-    import org.apache.spark.sql.functions.{col, regexp_replace, xxhash64}
+    import org.apache.spark.sql.functions.{col, countDistinct, regexp_replace, xxhash64}
     if (rels.isEmpty) return Map.empty
     val absToRel = rels.map(r =>
       rootPath.resolve(r).normalize.toString -> r).toMap
-    val pairs = spark.read
+    def pairs = spark.read
       .parquet(rels.map(r => rootPath.resolve(r).toString): _*)
       .where(col(physCol).isNotNull)
       .select(regexp_replace(col("_metadata.file_path"),
         "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("f"),
         xxhash64(col(physCol)).as("h"))
     val cap = Bloom.MaxDistinct
-    pairs.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
-      .map(r => (r.getString(0), r.getLong(1)))
-      .aggregateByKey(new scala.collection.mutable.HashSet[Long]())(
-        (s, h) => { if (s.size <= cap) s += h; s },
-        (a, b) => { val it = b.iterator
-          while (a.size <= cap && it.hasNext) a += it.next(); a })
-      .collect()
-      .flatMap { case (abs, hs) =>
+    def fromSets(sets: Array[(String, scala.collection.mutable.HashSet[Long])])
+        : Map[String, String] =
+      sets.flatMap { case (abs, hs) =>
         if (hs.size > cap) None // saturation honesty: no filter at all
         else absToRel.get(java.nio.file.Paths.get(abs).normalize.toString)
           .map { rel =>
@@ -2420,6 +2447,56 @@ final class SnapshotStore(root: String) {
             rel -> Bloom.encode(bits)
           }
       }.toMap
+    if (rels.length <= BloomOnePassMaxFiles) {
+      // ONE scan; per-file hash sets capped at MaxDistinct+1 and the
+      // file count capped by the branch — the driver transient is
+      // bounded by construction
+      fromSets(pairs
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
+        .map(r => (r.getString(0), r.getLong(1)))
+        .aggregateByKey(new scala.collection.mutable.HashSet[Long]())(
+          (s, h) => { if (s.size <= cap) s += h; s },
+          (a, b) => { val it = b.iterator
+            while (a.size <= cap && it.hasNext) a += it.next(); a })
+        .collect())
+    } else {
+      // TWO passes, fully distributed — a full-table OPTIMIZE restage
+      // of 10⁴+ files never ships hash sets to the driver:
+      //  1. exact countDistinct(hash) per file (map-side-combined; one
+      //     (path, long) driver row per file) sizes each filter and
+      //     keeps saturation honesty exact;
+      //  2. per-partition local build at the FINAL size (counts
+      //     broadcast), OR-merged executor-side — the shuffle carries
+      //     filter-sized blobs and the driver receives exactly the
+      //     manifest payload it is about to write.
+      // Sizing at build is sound by the fold identity
+      // (Bloom.foldTo: fold(sized(m)) ≡ sized(m/2^k), spec-pinned).
+      val counts: Map[String, Long] = pairs
+        .groupBy(col("f")).agg(countDistinct(col("h")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizesByAbs: Map[String, Int] =
+        counts.collect { case (f, n) if n <= cap => f -> n.toInt }
+      if (sizesByAbs.isEmpty) return Map.empty // every file saturated
+      val bSizes = spark.sparkContext.broadcast(sizesByAbs)
+      val built = pairs
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap[String, Array[Long]]()
+          it.foreach { r =>
+            val f = r.getString(0)
+            bSizes.value.get(f).foreach { n =>
+              Bloom.add(acc.getOrElseUpdate(f, Bloom.sized(n)), r.getLong(1))
+            }
+          }
+          acc.iterator
+        }
+        .reduceByKey(Bloom.merge)
+        .collect()
+      built.flatMap { case (abs, bits) =>
+        absToRel.get(java.nio.file.Paths.get(abs).normalize.toString)
+          .map(rel => rel -> Bloom.encode(bits))
+      }.toMap
+    }
   }
 
   /** Attach blooms to freshly staged entries when the property is set.

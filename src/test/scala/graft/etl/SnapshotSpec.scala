@@ -1954,6 +1954,17 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       b
     }), "an adaptively-sized filter never saturates at its design load")
     intercept[IllegalArgumentException] { Bloom.sized(Bloom.MaxDistinct + 1) }
+    // FOLD identity: OR-ing the halves of a power-of-two filter is
+    // bit-identical to having built it at half size — the algebra that
+    // makes size-at-build (and any power-of-two downsizing) sound
+    val vals = (1 to 3000).map(i => i.toLong * 0x9E3779B97F4A7C15L)
+    val wide = Bloom.sized(6000)    // 2x the size the values need
+    val narrow = Bloom.sized(1500)  // what foldTo should land on
+    vals.foreach(Bloom.add(wide, _))
+    vals.foreach(Bloom.add(narrow, _))
+    assert(Bloom.foldTo(wide, narrow.length).sameElements(narrow),
+      "fold(sized(m)) must equal sized(m/2^k) bit-for-bit")
+    intercept[IllegalArgumentException] { Bloom.foldTo(narrow, wide.length) }
     // store surface: a 6000-distinct file gets a filter SIZED for it
     // and point lookups prune; a file past MaxDistinct publishes no
     // filter at all (conservatively always scanned); lookups stay
@@ -1982,6 +1993,26 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mBig.entries.forall(_.bloom.isEmpty),
       "past MaxDistinct the file must publish NO filter (saturation honesty)")
     assert(big.read(spark).filter($"uid" === 777L * 2654435761L).count() == 1L)
+  }
+
+  test("distributed bloom build (file count past the one-pass bound): filters size per file and point lookups stay exact") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmp())
+    val files = 130 // > BloomOnePassMaxFiles -> the two-pass path
+    store.commitOverwrite(
+      spark.range(1L, files * 40L + 1L)
+        .select($"id", ($"id" * 2654435761L % 999999937L).as("uid"))
+        .repartitionByRange(files, $"id"),
+      statsColumn = Some("id"))
+    store.setBloomFilter(Some("uid"))
+    store.compactLatest(spark, targetFiles = files)
+    val m = store.readFullManifest(store.latestVersion.get)
+    assert(m.entries.length == files)
+    assert(m.entries.forall(_.bloom.nonEmpty),
+      "every 40-distinct file must carry a (floor-sized) filter")
+    val probe = 777L * 2654435761L % 999999937L
+    assert(store.read(spark).filter($"uid" === probe).count() == 1L)
+    assert(store.read(spark).filter($"uid" === -5L).isEmpty)
   }
 
   // ---- convertFromDelta fixtures: hand-written _delta_log per the ----
