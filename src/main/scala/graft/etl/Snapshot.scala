@@ -119,7 +119,8 @@ import scala.jdk.CollectionConverters._
   * conservative by construction; the exact predicate is re-applied on
   * the scan either way.
   */
-final class SnapshotStore(root: String) {
+final class SnapshotStore(root: String,
+    backend: StoreBackend = StoreBackend.Nio) {
 
   /** One manifest line: a data file, its optional stats-column min/max
     * (absent → the file is never pruned), and the DELETION VECTORS that
@@ -183,18 +184,11 @@ final class SnapshotStore(root: String) {
   /** All committed versions, ascending. Only fully-published manifests
     * count — dot-temp files from a crashed publish are filtered out.
     */
-  def versions: Seq[Long] = {
-    if (!Files.isDirectory(manifestDir)) return Seq.empty
-    val s = Files.list(manifestDir)
-    try {
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toLong
-        }
-        .toSeq.sorted
-    } finally s.close()
-  }
+  def versions: Seq[Long] =
+    backend.list(manifestDir)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong
+      }.sorted
 
   /** Cached latest-version pointer. Commit retries, streaming
     * `getOffset` ticks and format reads all ask for the latest version;
@@ -1959,13 +1953,10 @@ final class SnapshotStore(root: String) {
     * clones never contend and the source's manifest log is untouched.
     */
   private def registerCloneOut(cloneRoot: String, version: Long): Unit = {
-    Files.createDirectories(clonesDir)
     val id = java.lang.Long.toHexString(System.nanoTime()) + "-" +
       Integer.toHexString(scala.util.Random.nextInt(Int.MaxValue))
-    val tmpF = clonesDir.resolve(s".$id.tmp")
-    Files.write(tmpF, s"$cloneRoot\t$version\n".getBytes("UTF-8"))
-    Files.move(tmpF, clonesDir.resolve(s"$id.clone"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    backend.publishAtomic(clonesDir.resolve(s"$id.clone"),
+      s"$cloneRoot\t$version\n".getBytes("UTF-8"))
   }
 
   /** Data-file paths under THIS store's root that registered clones
@@ -1978,19 +1969,14 @@ final class SnapshotStore(root: String) {
     * manifest without touching the clone.
     */
   private def cloneReferencedPaths(clean: Boolean = true): Map[Path, String] = {
-    if (!Files.isDirectory(clonesDir)) return Map.empty
-    val refs = {
-      val s = Files.list(clonesDir)
-      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".clone"))
-        .toSeq
-      finally s.close()
-    }
+    val refs = backend.list(clonesDir).filter(_.endsWith(".clone"))
+      .map(clonesDir.resolve)
     val vs = versions.toSet
     refs.flatMap { ref =>
-      val line = new String(Files.readAllBytes(ref), "UTF-8").trim
+      val line = new String(backend.readBytes(ref), "UTF-8").trim
       val Array(cloneRoot, pinned) = line.split("\t", 2)
       if (!Files.isDirectory(Paths.get(cloneRoot))) {
-        if (clean) Files.deleteIfExists(ref) // clone deleted -> pin released
+        if (clean) backend.delete(ref) // clone deleted -> pin released
         Nil
       } else {
         val clone = new SnapshotStore(cloneRoot)
@@ -2010,7 +1996,7 @@ final class SnapshotStore(root: String) {
             .map(p => Paths.get(p).normalize)
             .filter(p => p.isAbsolute && p.startsWith(rootPath.normalize))
             .map(_ -> cloneRoot)
-          if (mine.isEmpty && clean) Files.deleteIfExists(ref) // materialized
+          if (mine.isEmpty && clean) backend.delete(ref) // materialized
           mine
         }
       }
@@ -3215,7 +3201,7 @@ final class SnapshotStore(root: String) {
             "to break it deliberately")
       }
     }
-    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    drop.foreach(v => backend.delete(manifestPath(v)))
     // the memo must not outlive the files: a cached manifest for a
     // dropped version would let a reader (or a restore!) resolve a
     // version whose data files this vacuum is about to delete
@@ -3609,12 +3595,11 @@ final class SnapshotStore(root: String) {
   private def rewriteAsCheckpoint(v: Long, m: Manifest): Unit = {
     val body = manifestBody(m.schema, m.statsColumn, m.txn, m.rewrite,
       m.partCols, m.constraints, m.entries.map(fileLine), isDelta = false,
-      ts = m.ts.getOrElse(Files.getLastModifiedTime(manifestPath(v)).toMillis),
+      ts = m.ts.getOrElse(backend.modifiedMillis(manifestPath(v))),
       colMap = m.colMap, retired = m.retired, bloomColumn = m.bloomColumn)
-    val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // content-equivalent replace: racing readers see old or new body,
+    // both resolving to the same manifest — plain PUT on object stores
+    backend.replaceAtomic(manifestPath(v), body.getBytes(StandardCharsets.UTF_8))
   }
 
   private def writeManifest(v: Long, schema: StructType,
@@ -3624,27 +3609,18 @@ final class SnapshotStore(root: String) {
       isDelta: Boolean, ts: Long,
       colMap: Map[String, String], retired: Seq[String],
       bloomColumn: Option[String]): Unit = {
-    Files.createDirectories(manifestDir)
     val body = manifestBody(schema, statsColumn, txn, rewrite, partCols,
       constraints, bodyLines, isDelta, ts, colMap, retired, bloomColumn)
-    val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
-      ch.force(true)
-    } finally ch.close()
-    try Files.createLink(manifestPath(v), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new ConcurrentCommitException(
-          s"SnapshotStore: version $v was committed by a concurrent writer at " +
-            s"$root — this commit composed against a stale snapshot " +
-            "(appends rebase automatically; overwrites/compactions must be " +
-            "re-decided against the new table state)")
-    }
-    Files.deleteIfExists(tmp)
+    // THE commit CAS — durable create-if-absent through the backend
+    // seam (link(2) on the nio backend; a conditional PUT on an object
+    // store). The loser of a race gets `false`, never a torn body.
+    if (!backend.publishAtomic(manifestPath(v),
+        body.getBytes(StandardCharsets.UTF_8)))
+      throw new ConcurrentCommitException(
+        s"SnapshotStore: version $v was committed by a concurrent writer at " +
+          s"$root — this commit composed against a stale snapshot " +
+          "(appends rebase automatically; overwrites/compactions must be " +
+          "re-decided against the new table state)")
     if (v > cachedLatest) cachedLatest = v // we VERIFIED v exists (we made it)
   }
 
@@ -3759,10 +3735,11 @@ final class SnapshotStore(root: String) {
     */
   private[graft] def readHeader(v: Long): ManifestHeader = {
     val p = manifestPath(v)
-    require(Files.isRegularFile(p),
+    require(backend.exists(p),
       s"SnapshotStore: version $v does not exist at $root " +
         s"(have: ${versions.mkString(",")})")
-    val br = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(backend.open(p), StandardCharsets.UTF_8))
     try {
       val first = br.readLine()
       require(first == Header,
@@ -3788,10 +3765,11 @@ final class SnapshotStore(root: String) {
 
   private def parseRaw(v: Long): RawManifest = {
     val p = manifestPath(v)
-    require(Files.isRegularFile(p),
+    require(backend.exists(p),
       s"SnapshotStore: version $v does not exist at $root " +
         s"(have: ${versions.mkString(",")})")
-    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    val lines = new String(backend.readBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.toSeq
     require(lines.nonEmpty && lines.head == Header,
       s"SnapshotStore: ${p.getFileName} is not a $Header manifest")
     val rest = lines.drop(2).filter(_.nonEmpty)

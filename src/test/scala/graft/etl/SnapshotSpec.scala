@@ -2015,6 +2015,36 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read(spark).filter($"uid" === -5L).isEmpty)
   }
 
+  test("StoreBackend seam: the store runs end-to-end through the trait; an append publishes exactly ONE metadata object") {
+    import spark.implicits._
+    val counting = new StoreBackend.Counting()
+    val store = new SnapshotStore(tmp(), counting)
+    store.commitOverwrite(frame(1 to 20, "a").coalesce(1),
+      statsColumn = Some("id"))
+    val before = counting.calls("publishAtomic")
+    store.commitAppend(frame(21 to 25, "b").coalesce(1))
+    assert(counting.calls("publishAtomic") == before + 1,
+      "an append must publish exactly one metadata object (one CAS)")
+    assert(store.read(spark).count() == 25L)
+    // MoR delete, time travel, feed, vacuum — all through the seam
+    store.deleteWhere(spark, $"id" === 5L, mergeOnRead = true)
+    assert(store.read(spark).count() == 24L)
+    assert(store.read(spark, Some(0L)).count() == 20L)
+    assert(store.readChanges(spark, 1L).count() == 1L)
+    store.vacuum(keepLast = 1)
+    assert(counting.calls("delete") >= 2, "vacuum deletes through the seam")
+    assert(store.read(spark).count() == 24L)
+    assert(counting.calls("readBytes") + counting.calls("open") > 0)
+    // the CAS loser surfaces as ConcurrentCommitException: two stores on
+    // ONE root — the second commit of the same version loses the publish
+    val shared = tmp()
+    val w1 = new SnapshotStore(shared, counting)
+    val w2 = new SnapshotStore(shared, counting)
+    w1.commitOverwrite(frame(1 to 3, "x").coalesce(1))
+    w2.commitAppend(frame(4 to 5, "y").coalesce(1)) // rebases to v1
+    assert(w1.read(spark).count() == 5L)
+  }
+
   // ---- convertFromDelta fixtures: hand-written _delta_log per the ----
   // ---- PUBLIC Delta transaction-log protocol spec                 ----
 
