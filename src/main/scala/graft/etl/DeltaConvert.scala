@@ -67,6 +67,25 @@ object DeltaConvert {
     Set("timestampntz", "vacuumprotocolcheck", "deletionvectors",
       "columnmapping")
 
+  /** The protocol gate, shared with the streaming tail: readers must
+    * refuse tables whose features they cannot honor — that rule IS the
+    * protocol's forward-compat story.
+    */
+  private[graft] def checkProtocol(minReader: Int,
+      features: Seq[String]): Unit = {
+    require(minReader <= 3,
+      s"DeltaConvert: minReaderVersion $minReader is newer than this " +
+        "reader understands")
+    if (minReader >= 3) {
+      val unsupported = features.map(_.toLowerCase)
+        .filterNot(SupportedReaderFeatures.contains)
+      require(unsupported.isEmpty,
+        s"DeltaConvert: unsupported reader feature(s) " +
+          s"${unsupported.mkString(", ")} — a file-list replay cannot " +
+          "honor them")
+    }
+  }
+
   def replay(spark: SparkSession, deltaRoot: String,
       versionAsOf: Option[Long] = None): DeltaState = {
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
@@ -214,21 +233,7 @@ object DeltaConvert {
       }
     }
 
-    // protocol gate: readers must refuse tables whose features they
-    // cannot honor — that rule IS the protocol's forward-compat story
-    protocol.foreach { case (minReader, features) =>
-      require(minReader <= 3,
-        s"DeltaConvert: minReaderVersion $minReader is newer than this " +
-          "reader understands")
-      if (minReader >= 3) {
-        val unsupported = features.map(_.toLowerCase)
-          .filterNot(SupportedReaderFeatures.contains)
-        require(unsupported.isEmpty,
-          s"DeltaConvert: unsupported reader feature(s) " +
-            s"${unsupported.mkString(", ")} — a file-list replay cannot " +
-            "honor them")
-      }
-    }
+    protocol.foreach { case (mr, fs) => checkProtocol(mr, fs) }
     val meta = metaData.getOrElse(throw new IllegalArgumentException(
       "DeltaConvert: log has no metaData action — corrupt or empty table"))
     Option(meta.get("format")).flatMap(f => Option(f.get("provider")))
@@ -294,7 +299,7 @@ object DeltaConvert {
     * with a scheme (absolute cross-table references) are refused —
     * adoption covers self-contained tables.
     */
-  private[etl] def decodePath(p: String): String = {
+  private[graft] def decodePath(p: String): String = {
     // refuse ANY non-relative reference: scheme'd URIs (both `s3://…`
     // and single-slash `file:/…`) and scheme-less absolute paths
     // (`/other/table/part.parquet` is valid per the Delta spec and

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.etl.DeltaConvert
+
+/** CONTINUOUS DELTA TAILING — the migration-in-flight bridge: a
+  * Structured Streaming SOURCE that follows a live Delta table's
+  * `_delta_log/` versions as offsets, so a replica (a graft snapshot
+  * store, a warehouse, anything `writeStream` reaches) converges while
+  * the legacy pipeline still writes Delta (the reference's RAW zone,
+  * `sync.py:112-114`). The streaming twin of
+  * [[graft.etl.SnapshotStore.convertFromDelta]]: adopt once for the
+  * snapshot, then `readStream.format("graft-delta")
+  * .option("path", deltaRoot).option("startingVersion", adoptedV)` for
+  * everything after — each Delta commit arrives as one exactly-once
+  * micro-batch (offsets checkpoint with the query; `getBatch` re-reads
+  * a replayed range deterministically from the immutable log).
+  *
+  * Insert-only by contract, loudly: the tail delivers each version's
+  * `dataChange = true` ADD files. `dataChange = false` add/remove
+  * pairs (OPTIMIZE rewrites) emit nothing — same rows, new layout. A
+  * data-changing REMOVE (overwrite/DELETE) fails the query by default
+  * (`onDelete = "fail"`; `"skip"` opts out) — silently treating a
+  * shrinking table as append-only is how replicas diverge. An add
+  * carrying a DELETION VECTOR mid-tail is row-level DML, refused the
+  * same way (re-adopt + change-feed replication is the DML path). A
+  * `metaData` schema change mid-tail fails loudly (restart re-pins,
+  * exactly the snapshot source's rule); a `protocol` upgrade to
+  * features this reader cannot honor fails through the shared
+  * [[DeltaConvert.checkProtocol]] gate. A MISSING version file inside
+  * the range (log cleaned past the checkpointed offset) fails with a
+  * re-adopt recipe rather than skipping data.
+  */
+final class DeltaTailSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta source: option 'path' (the Delta table root) is required"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val st = DeltaConvert.replay(sqlContext.sparkSession, rootOf(parameters))
+    (shortName(), schema.getOrElse(st.schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val st = DeltaConvert.replay(sqlContext.sparkSession, root)
+    val onDelete = parameters.getOrElse("onDelete", "fail")
+    require(onDelete == "fail" || onDelete == "skip",
+      s"graft-delta source: onDelete must be 'fail' or 'skip', got '$onDelete'")
+    // default = tail from NOW (the adopt-then-tail flow passes the
+    // adopted version); -1 replays the whole log as the first batch
+    val startingVersion =
+      parameters.get("startingVersion").map(_.toLong).getOrElse(st.version)
+    new DeltaTailSource(sqlContext, root, schema.getOrElse(st.schema),
+      st.colMap, st.partitionColumns, startingVersion, onDelete)
+  }
+}
+
+final class DeltaTailSource(
+    sqlContext: SQLContext,
+    deltaRoot: String,
+    pinned: StructType,
+    colMap: Map[String, String],
+    partCols: Seq[String],
+    startingVersion: Long,
+    onDelete: String) extends Source {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+  private val root = Paths.get(deltaRoot).toAbsolutePath.normalize
+  private val logDir = root.resolve("_delta_log")
+  private val JsonFile = """(\d{20})\.json""".r
+
+  override def schema: StructType = pinned
+
+  /** Newest version file in the log — one directory list, no data IO. */
+  override def getOffset: Option[Offset] = {
+    val s = Files.list(logDir)
+    val max = try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case JsonFile(v) => v.toLong }
+      .foldLeft(-1L)(_ max _)
+    finally s.close()
+    if (max < 0) None else Some(LongOffset(max))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    val spark = sqlContext.sparkSession
+    // (path, partitionValues) of every data-changing add in the range
+    val adds = ((from + 1) to to).flatMap { v =>
+      val f = logDir.resolve(f"$v%020d.json")
+      require(Files.isRegularFile(f),
+        s"graft-delta source: version file ${f.getFileName} is missing — " +
+          "the log was cleaned past this stream's checkpointed offset; " +
+          "re-adopt the table (convertFromDelta) and restart the tail " +
+          "from the adopted version")
+      Files.readAllLines(f).asScala.filter(_.trim.nonEmpty).flatMap { line =>
+        val action = mapper.readTree(line)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Map[String, Option[String]])]
+        val it = action.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getKey match {
+            case "add" =>
+              val node = e.getValue
+              val dataChange = Option(node.get("dataChange"))
+                .forall(_.asBoolean(true))
+              val dv = Option(node.get("deletionVector")).filterNot(_.isNull)
+              require(dv.isEmpty,
+                s"graft-delta source: version $v adds a DELETION VECTOR — " +
+                  "row-level DML cannot stream as inserts; re-adopt the " +
+                  "table and replicate through a change feed instead")
+              if (dataChange) {
+                val pv: Map[String, Option[String]] =
+                  Option(node.get("partitionValues")).filterNot(_.isNull)
+                    .map(_.fields().asScala.map(kv =>
+                      kv.getKey -> (if (kv.getValue.isNull) None
+                      else Some(kv.getValue.asText()))).toMap)
+                    .getOrElse(Map.empty)
+                out += ((DeltaConvert.decodePath(
+                  node.get("path").asText()), pv))
+              }
+            case "remove" =>
+              val dataChange = Option(e.getValue.get("dataChange"))
+                .forall(_.asBoolean(true))
+              require(!dataChange || onDelete == "skip",
+                s"graft-delta source: version $v REMOVES " +
+                  s"${e.getValue.get("path").asText()} with dataChange — " +
+                  "the tail is insert-only; pass onDelete='skip' to ignore " +
+                  "deletes deliberately, or replicate through a change feed")
+            case "metaData" =>
+              val node = e.getValue
+              val newSchema = DataType.fromJson(
+                node.get("schemaString").asText()).asInstanceOf[StructType]
+              val stripped = StructType(newSchema.fields.map(f =>
+                f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+              require(stripped == StructType(pinned.fields.map(f =>
+                f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
+                s"graft-delta source: version $v changes the table schema — " +
+                  "restart the stream to re-pin it")
+            case "protocol" =>
+              val node = e.getValue
+              DeltaConvert.checkProtocol(
+                Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+                Option(node.get("readerFeatures")).filterNot(_.isNull)
+                  .map(_.elements().asScala.map(_.asText()).toSeq)
+                  .getOrElse(Nil))
+            case _ => () // txn / commitInfo / cdc: no tail state
+          }
+        }
+        out
+      }
+    }
+    GraftStreamBridge.asStreamingFrame(readAdds(adds), pinned)
+  }
+
+  /** Read the added files under the pinned LOGICAL schema: physical
+    * names requested from parquet when the table is name-mapped,
+    * partition values re-attached from the add actions' own
+    * `partitionValues` (authoritative — no path parsing).
+    */
+  private def readAdds(
+      adds: Seq[(String, Map[String, Option[String]])]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = sqlContext.sparkSession
+    val dataFields = pinned.fields.filterNot(f => partCols.contains(f.name))
+    def phys(c: String) = colMap.getOrElse(c, c)
+    val physSchema = StructType(dataFields.map(f => f.copy(name = phys(f.name))))
+    if (adds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+    val groups = adds.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${v.getOrElse("")}" }.mkString("/"))
+    groups.map { case (pv, paths) =>
+      val base = spark.read.schema(physSchema)
+        .parquet(paths.map(p => root.resolve(p._1).toString).distinct: _*)
+        .select(dataFields.toSeq.map(f => col(phys(f.name)).as(f.name)): _*)
+      val withParts = partCols.foldLeft(base) { (df, c) =>
+        val f = pinned(c)
+        // a physical-name key is legal under column mapping
+        val raw = pv.getOrElse(c, pv.getOrElse(phys(c), None))
+        df.withColumn(c, raw.map(lit(_)).getOrElse(lit(null)).cast(f.dataType))
+      }
+      withParts.select(pinned.fieldNames.toSeq.map(col): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"DeltaTailSource[$deltaRoot]"
+}

@@ -1860,4 +1860,182 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == 2L)
     assert(got.select("tag").distinct().head().getString(0) == "tail")
   }
+
+  // ---- graft-delta: continuous tailing of a live Delta table ----
+
+  private def deltaFixture(): (String, org.apache.spark.sql.types.StructType) = {
+    val delta = tmp()
+    val sz = deltaWrite(delta, "f0.parquet", frame(1 to 3, "v0"))
+    val schema = spark.read.parquet(s"$delta/f0.parquet").schema
+    deltaCommit(delta, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"tail","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${jq(schema.json)},""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      deltaAddLine("f0.parquet", sz)))
+    (delta, schema)
+  }
+
+  private def jq(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  private def deltaWrite(delta: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val stage = Files.createTempDirectory("graft-tail-st")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val ls = Files.list(stage)
+    val src = try {
+      val it = ls.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    } finally ls.close()
+    val dst = java.nio.file.Paths.get(delta).resolve(name)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    Files.size(dst)
+  }
+
+  private def deltaAddLine(p: String, sz: Long,
+      dataChange: Boolean = true): String =
+    s"""{"add":{"path":${jq(p)},"partitionValues":{},"size":$sz,""" +
+      s""""modificationTime":0,"dataChange":$dataChange}}"""
+
+  private def deltaCommit(delta: String, v: Long, lines: Seq[String]): Unit = {
+    val logDir = java.nio.file.Paths.get(delta).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  private def drainDelta(delta: String, out: String, cp: String,
+      startingVersion: Long = -1L, onDelete: String = "fail"): Unit = {
+    val q = spark.readStream.format("graft-delta")
+      .option("path", delta).option("startingVersion", startingVersion)
+      .option("onDelete", onDelete)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("graft-delta tail: appends to a live Delta table arrive as exactly-once micro-batches across restarts") {
+    import spark.implicits._
+    val (delta, _) = deltaFixture()
+    val out = tmp(); val cp = tmp()
+    // run 1 replays the whole log as the initial batch
+    drainDelta(delta, out, cp)
+    assert(spark.read.parquet(out).count() == 3L)
+    // two appends -> two new versions; one drain delivers both, once
+    deltaCommit(delta, 1L, Seq(
+      deltaAddLine("f1.parquet", deltaWrite(delta, "f1.parquet",
+        frame(10 to 12, "v1")))))
+    deltaCommit(delta, 2L, Seq(
+      deltaAddLine("f2.parquet", deltaWrite(delta, "f2.parquet",
+        frame(20 to 20, "v2")))))
+    drainDelta(delta, out, cp)
+    val afterTwo = spark.read.parquet(out)
+    assert(afterTwo.count() == 7L, "3 + 3 + 1, each exactly once")
+    assert(afterTwo.groupBy("id").count().filter($"count" > 1L).isEmpty,
+      "no row delivered twice")
+    // nothing new -> nothing re-delivered
+    drainDelta(delta, out, cp)
+    assert(spark.read.parquet(out).count() == 7L)
+    // a restart from the same checkpoint picks up only the NEW version
+    deltaCommit(delta, 3L, Seq(
+      deltaAddLine("f3.parquet", deltaWrite(delta, "f3.parquet",
+        frame(30 to 31, "v3")))))
+    drainDelta(delta, out, cp)
+    assert(spark.read.parquet(out).count() == 9L)
+    // OPTIMIZE-shaped rewrite (dataChange=false add+remove) emits NOTHING
+    deltaCommit(delta, 4L, Seq(
+      deltaAddLine("f4.parquet", deltaWrite(delta, "f4.parquet",
+        frame(1 to 3, "v0")), dataChange = false),
+      s"""{"remove":{"path":"f0.parquet","deletionTimestamp":0,""" +
+        s""""dataChange":false}}"""))
+    drainDelta(delta, out, cp)
+    assert(spark.read.parquet(out).count() == 9L,
+      "a rewrite is the same rows in a new layout — the tail stays silent")
+    // startingVersion = adopt-then-tail: a fresh stream from version 3
+    // sees nothing old
+    val out2 = tmp(); val cp2 = tmp()
+    drainDelta(delta, out2, cp2, startingVersion = 4L)
+    deltaCommit(delta, 5L, Seq(
+      deltaAddLine("f5.parquet", deltaWrite(delta, "f5.parquet",
+        frame(40 to 40, "v5")))))
+    drainDelta(delta, out2, cp2, startingVersion = 4L)
+    val tail2 = spark.read.parquet(out2)
+    assert(tail2.count() == 1L && tail2.head().getLong(0) == 40L)
+  }
+
+  test("graft-delta tail fails loudly mid-log: data-changing removes, deletion vectors, schema changes, unsupported protocol") {
+    val (delta, schema) = deltaFixture()
+    // a running tail must fail LOUDLY when the log turns a corner it
+    // cannot honor — one continuous query per case, the corner committed
+    // mid-run
+    def failsMidRun(lines: Seq[String], needle: String): Unit = {
+      val d2 = tmp()
+      val sz = deltaWrite(d2, "g0.parquet", frame(1 to 2, "x"))
+      deltaCommit(d2, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"t2","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":${jq(spark.read
+            .parquet(s"$d2/g0.parquet").schema.json)},""" +
+          s""""partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        deltaAddLine("g0.parquet", sz)))
+      val q = spark.readStream.format("graft-delta")
+        .option("path", d2).option("startingVersion", -1L)
+        .load()
+        .writeStream.format("memory")
+        .queryName(s"tailfail${System.nanoTime()}")
+        .option("checkpointLocation", tmp()).start()
+      try {
+        q.processAllAvailable() // v0 delivered, the stream is pinned
+        deltaCommit(d2, 1L, lines)
+        val e = intercept[Exception] { q.processAllAvailable() }
+        val msgs = (Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+            ++ q.exception.iterator.flatMap(x =>
+              Iterator.iterate(x: Throwable)(_.getCause).takeWhile(_ != null)
+                .map(t => Option(t.getMessage).getOrElse(""))))
+          .mkString(" | ")
+        assert(msgs.toLowerCase.contains(needle.toLowerCase),
+          s"expected failure mentioning '$needle', got: $msgs")
+      } finally q.stop()
+    }
+    // a data-changing remove (DELETE/overwrite) refuses by default
+    failsMidRun(Seq(
+      s"""{"remove":{"path":"g0.parquet","deletionTimestamp":0,""" +
+        s""""dataChange":true}}"""), "insert-only")
+    // an add carrying a (valid) deletion vector is row-level DML
+    val (idv, isz, icard) = graft.etl.DeltaDv.inlineDescriptor(Array(0L))
+    failsMidRun(Seq(
+      s"""{"add":{"path":"g0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"i","pathOrInlineDv":"$idv","sizeInBytes":$isz,""" +
+        s""""cardinality":$icard}}}"""), "DELETION VECTOR")
+    // a mid-run schema change requires a restart to re-pin
+    val widened = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$delta/f0.parquet").schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))
+    failsMidRun(Seq(
+      s"""{"metaData":{"id":"t2","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${jq(widened.json)},""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":0}}"""),
+      "changes the table schema")
+    // a protocol upgrade past what the reader honors
+    failsMidRun(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}"""),
+      "unsupported reader feature")
+    // onDelete=skip opts out deliberately
+    val out = tmp(); val cp = tmp()
+    drainDelta(delta, out, cp, onDelete = "skip")
+    deltaCommit(delta, 1L, Seq(
+      s"""{"remove":{"path":"f0.parquet","deletionTimestamp":0,""" +
+        s""""dataChange":true}}"""))
+    drainDelta(delta, out, cp, onDelete = "skip")
+    assert(spark.read.parquet(out).count() == 3L, "skip: no new rows, no failure")
+  }
 }
