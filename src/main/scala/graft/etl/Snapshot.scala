@@ -1700,9 +1700,26 @@ final class SnapshotStore(root: String,
     * Returns the newest exported Delta version.
     */
   def exportToDelta(spark: SparkSession): Long = {
-    val vs = versions
-    require(vs.nonEmpty,
+    val all = versions
+    require(all.nonEmpty,
       s"SnapshotStore.exportToDelta: no committed versions at $root")
+    // export the self-contained SUFFIX of history: versions referencing
+    // files outside this root (un-materialized adoption or clone
+    // prefix) cannot enter a Delta log; once a compaction materializes
+    // the table, everything from there on exports. External refs can
+    // only be a prefix (adoption/clone birth an EMPTY store), so the
+    // suffix is contiguous; the LATEST version must qualify or there
+    // is nothing honest to export.
+    def selfContained(v: Long): Boolean = {
+      val m = readFullManifest(v)
+      m.entries.forall(e => !Paths.get(e.path).isAbsolute &&
+        e.dv.forall(d => !Paths.get(d).isAbsolute))
+    }
+    require(selfContained(all.last),
+      s"SnapshotStore.exportToDelta: the latest version references files " +
+        "outside this store (shallow clone or adoption) — a Delta log " +
+        "must be self-contained; compactLatest first to materialize")
+    val vs = all.reverse.takeWhile(selfContained).reverse
     val logDir = rootPath.resolve("_delta_log")
     val JsonFile = """(\d{20})\.json""".r
     val CkptFile = """(\d{20})\.checkpoint(\..*)?\.parquet""".r

@@ -65,6 +65,8 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       ConvertFromDeltaSnapshotCommand(target.trim, deltaPath,
         Option(v).map(_.toLong), Option(statsCol).map(stripIdent),
         Option(location))
+    case ExportToDeltaRe(target) =>
+      ExportToDeltaSnapshotCommand(target.trim)
     case RestoreVersionRe(target, v) =>
       RestoreSnapshotCommand(target.trim, Some(v.toLong), None)
     case RestoreTimestampRe(target, ts) =>
@@ -151,6 +153,8 @@ object SnapshotSqlParser {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+STATS\s+COLUMN\s+([\w`,]+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private[streaming] val ExportToDeltaRe =
+    s"""(?is)\\s*EXPORT\\s+TABLE\\s+$T\\s+TO\\s+DELTA\\s*;?\\s*""".r
   private[streaming] val RestoreVersionRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -608,6 +612,22 @@ final case class ConvertFromDeltaSnapshotCommand(target: String,
       session.sql(s"CREATE TABLE $target USING `graft-snapshot` " +
         s"OPTIONS (path '${root.replace("'", "''")}')")
     Seq(Row(v, store.readFullManifest(v).entries.length))
+  }
+}
+
+/** `EXPORT TABLE t TO DELTA` — SQL rail for
+  * [[SnapshotStore.exportToDelta]]: write (or incrementally extend) a
+  * stock Delta transaction log beside the store's own manifests, so
+  * downstream Delta readers consume the table in place. Idempotent;
+  * re-run after commits to mirror them.
+  */
+final case class ExportToDeltaSnapshotCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("exported_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (store, _) = SnapshotSqlParser.resolveStore(session, target)
+    Seq(Row(store.exportToDelta(session)))
   }
 }
 

@@ -1752,8 +1752,9 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("""{"remove":{"path":"b.parquet","deletionTimestamp":0,""" +
         """"dataChange":true}}""" + "\n").getBytes("UTF-8"))
     spark.sql("DROP TABLE IF EXISTS snap_from_delta")
+    val snapRoot = tmp()
     val row = spark.sql(s"CREATE TABLE snap_from_delta FROM DELTA '$delta' " +
-      s"STATS COLUMN id LOCATION '${tmp()}'").collect().head
+      s"STATS COLUMN id LOCATION '$snapRoot'").collect().head
     assert(row.getLong(0) == 0L && row.getInt(1) == 1)
     assert(spark.table("snap_from_delta").count() == 10L)
     // the adopted table is a live citizen through SQL
@@ -1770,6 +1771,22 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"CREATE TABLE snap_from_delta2 FROM DELTA '$delta'")
     }
     assert(e.getMessage.contains("LOCATION"))
+    // the round trip in SQL: EXPORT TABLE ... TO DELTA writes a stock
+    // log beside the adopted store. An adopted store still references
+    // the ORIGINAL Delta table's files — export refuses until a
+    // compaction materializes it, then exports the self-contained
+    // suffix as a checkpoint + deltas
+    val refusal = intercept[Exception] {
+      spark.sql("EXPORT TABLE snap_from_delta TO DELTA")
+    }
+    assert(refusal.getMessage.contains("self-contained"))
+    new SnapshotStore(snapRoot).compactLatest(spark, targetFiles = 1)
+    val exported = spark.sql("EXPORT TABLE snap_from_delta TO DELTA")
+      .head().getLong(0)
+    assert(exported == 2L, "adoption v0 + INSERT v1 + compaction v2")
+    val back = new SnapshotStore(tmp())
+    back.convertFromDelta(spark, snapRoot)
+    assert(back.read(spark).count() == 11L)
     spark.sql("DROP TABLE snap_from_delta")
   }
 
