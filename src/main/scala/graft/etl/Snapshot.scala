@@ -212,9 +212,9 @@ final class SnapshotStore(root: String,
 
   def latestVersion: Option[Long] = {
     val c = cachedLatest
-    if (c >= 0L && Files.isRegularFile(manifestPath(c))) {
+    if (c >= 0L && backend.exists(manifestPath(c))) {
       var v = c
-      while (Files.isRegularFile(manifestPath(v + 1))) v += 1
+      while (backend.exists(manifestPath(v + 1))) v += 1
       if (v > c) cachedLatest = v // monotone: racing advances both land >= c
       Some(v)
     } else {
@@ -482,7 +482,7 @@ final class SnapshotStore(root: String,
     versions.map { v =>
       val m = readFullManifest(v)
       val committedAt = new java.sql.Timestamp(m.ts.getOrElse(
-        Files.getLastModifiedTime(manifestPath(v)).toMillis))
+        backend.modifiedMillis(manifestPath(v))))
       val bytes = m.entries.map(entryBytes).sum
       (v, committedAt, m.entries.length, bytes, m.rewrite,
         m.txn.map(_._1), m.txn.map(_._2), m.statsColumn,
@@ -3894,8 +3894,7 @@ final class SnapshotStore(root: String,
     * published before the header existed.
     */
   private def commitMillis(v: Long): Long =
-    readHeader(v).ts.getOrElse(
-      Files.getLastModifiedTime(manifestPath(v)).toMillis)
+    readHeader(v).ts.getOrElse(backend.modifiedMillis(manifestPath(v)))
 }
 
 /** A commit lost the version CAS: another writer published the version

@@ -110,6 +110,46 @@ object StoreBackend {
       Files.getLastModifiedTime(path).toMillis
   }
 
+  /** A REAL alternative backend — metadata objects live in a heap map,
+    * never on disk — proving the seam genuinely abstracts (the store
+    * runs its whole surface with zero manifest files). Shaped like an
+    * object store: `publishAtomic` = putIfAbsent (a conditional PUT),
+    * `replaceAtomic` = put, `list` = prefix scan. The data plane (the
+    * parquet files Spark writes) stays wherever the root points; only
+    * the metadata plane moves.
+    */
+  final class InMemory extends StoreBackend {
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+    private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+
+    def readBytes(path: Path): Array[Byte] = {
+      val v = objects.get(key(path))
+      if (v == null) throw new java.nio.file.NoSuchFileException(key(path))
+      v._1
+    }
+    def open(path: Path): java.io.InputStream =
+      new java.io.ByteArrayInputStream(readBytes(path))
+    def publishAtomic(path: Path, bytes: Array[Byte]): Boolean =
+      objects.putIfAbsent(key(path),
+        (bytes, System.currentTimeMillis())) == null
+    def replaceAtomic(path: Path, bytes: Array[Byte]): Unit =
+      objects.put(key(path), (bytes, System.currentTimeMillis()))
+    def list(dir: Path): Seq[String] = {
+      val prefix = key(dir) + "/"
+      objects.keySet().asScala.iterator
+        .filter(k => k.startsWith(prefix) && !k.drop(prefix.length).contains('/'))
+        .map(_.drop(prefix.length)).toVector
+    }
+    def exists(path: Path): Boolean = objects.containsKey(key(path))
+    def delete(path: Path): Unit = objects.remove(key(path))
+    def modifiedMillis(path: Path): Long = {
+      val v = objects.get(key(path))
+      if (v == null) throw new java.nio.file.NoSuchFileException(key(path))
+      v._2
+    }
+  }
+
   /** Spec/bench double: counts primitive calls so tests can pin the
     * metadata-plane IO contract (e.g. "an append publishes exactly one
     * object") without parsing strace output.

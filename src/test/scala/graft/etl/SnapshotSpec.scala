@@ -2045,6 +2045,32 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w1.read(spark).count() == 5L)
   }
 
+  test("InMemory backend: the whole store surface runs with ZERO manifest files on disk (object-store shape)") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root, new StoreBackend.InMemory)
+    store.commitOverwrite(frame(1 to 30, "a").coalesce(1),
+      statsColumn = Some("id"))
+    store.commitAppend(frame(31 to 35, "b").coalesce(1))
+    store.deleteWhere(spark, $"id" === 2L, mergeOnRead = true)
+    assert(store.read(spark).count() == 34L)
+    assert(store.read(spark, Some(0L)).count() == 30L)
+    assert(store.readRange(spark, "id", 31L, 40L).count() == 5L)
+    assert(store.readChanges(spark, 1L).count() == 1L)
+    store.vacuum(keepLast = 2)
+    assert(store.versions == Seq(1L, 2L))
+    // the proof: data files exist on disk, manifests NEVER did
+    assert(Files.isDirectory(Paths.get(root, "data")))
+    assert(!Files.exists(Paths.get(root, "manifests")),
+      "an in-memory metadata plane must write no manifest files")
+    // and a CAS race still arbitrates through putIfAbsent semantics
+    val mem = new StoreBackend.InMemory
+    val p = Paths.get(root, "probe")
+    assert(mem.publishAtomic(p, Array[Byte](1)))
+    assert(!mem.publishAtomic(p, Array[Byte](2)), "second publish must lose")
+    assert(mem.readBytes(p).sameElements(Array[Byte](1)))
+  }
+
   // ---- convertFromDelta fixtures: hand-written _delta_log per the ----
   // ---- PUBLIC Delta transaction-log protocol spec                 ----
 
