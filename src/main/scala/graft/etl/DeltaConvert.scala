@@ -86,8 +86,15 @@ object DeltaConvert {
     }
   }
 
+  /** `decodeDvs = false` skips eager deletion-vector decoding for
+    * metadata-only consumers (the streaming tail needs schema/mapping/
+    * version, never the snapshot's tombstones — decoding every live
+    * file's `.bin` at stream startup would be pure wasted IO);
+    * `dvPositions` comes back empty for every file.
+    */
   def replay(spark: SparkSession, deltaRoot: String,
-      versionAsOf: Option[Long] = None): DeltaState = {
+      versionAsOf: Option[Long] = None,
+      decodeDvs: Boolean = true): DeltaState = {
     val root = Paths.get(deltaRoot).toAbsolutePath.normalize
     val logDir = root.resolve("_delta_log")
     require(Files.isDirectory(logDir),
@@ -100,8 +107,20 @@ object DeltaConvert {
     // TIME-TRAVEL adoption: replay stops at `versionAsOf` — log files
     // past it are simply invisible (same reconciliation, shorter log)
     val allJson = names.collect { case JsonFile(v) => v.toLong }.sorted
+    // COMPLETE multi-part sets count toward the range ceiling too: a
+    // version reconstructible solely from its multi-part checkpoint
+    // (retention cleaned the jsons) is a legal versionAsOf target
+    def completeMultiVersions(ms: Seq[(Long, Int, Int)]): Map[Long, Int] =
+      ms.groupBy { case (v, _, n) => (v, n) }.collect {
+        case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
+          (v, n)
+      }.groupBy(_._1).map { case (v, sets) => v -> sets.map(_._2).max }
+    val allMulti = names.collect { case MultiCkpt(v, i, n) =>
+      (v.toLong, i.toInt, n.toInt) }
     versionAsOf.foreach { v =>
-      val ceiling = (allJson ++ names.collect { case ClassicCkpt(cv) => cv.toLong })
+      val ceiling = (allJson ++
+        names.collect { case ClassicCkpt(cv) => cv.toLong } ++
+        completeMultiVersions(allMulti).keys)
         .reduceOption(_ max _).getOrElse(-1L)
       require(v >= 0 && v <= ceiling,
         s"DeltaConvert: versionAsOf $v is outside the log's range [0, $ceiling]")
@@ -109,8 +128,7 @@ object DeltaConvert {
     val jsonVersions = allJson.filter(v => versionAsOf.forall(v <= _))
     val classic = names.collect { case ClassicCkpt(v) => v.toLong }
       .filter(v => versionAsOf.forall(v <= _))
-    val multi = names.collect { case MultiCkpt(v, i, n) =>
-      (v.toLong, i.toInt, n.toInt) }
+    val multi = allMulti
       .filter { case (v, _, _) => versionAsOf.forall(v <= _) }
     // v2/uuid-named checkpoints change the action encoding (sidecars) —
     // refuse rather than replay a partial state
@@ -127,11 +145,7 @@ object DeltaConvert {
     // record the part count n OF THE COMPLETE SET: when two multi-part
     // sets exist for one version with different n, building the part
     // list from the global max n would read a nonexistent/incomplete set
-    val multiComplete: Map[Long, Int] =
-      multi.groupBy { case (v, _, n) => (v, n) }.collect {
-        case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
-          (v, n)
-      }.groupBy(_._1).map { case (v, sets) => v -> sets.map(_._2).max }
+    val multiComplete: Map[Long, Int] = completeMultiVersions(multi)
     val ckptVersion: Option[Long] =
       (classic ++ multiComplete.keys).sorted.lastOption
     require(jsonVersions.nonEmpty || ckptVersion.nonEmpty,
@@ -284,13 +298,11 @@ object DeltaConvert {
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val partCols = Option(meta.get("partitionColumns")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    require(cmMode == "none" || partCols.isEmpty,
-      "DeltaConvert: a PARTITIONED column-mapped table stores physical " +
-        "names in its directory layout — the store's logical-name hive " +
-        "decoding cannot adopt it; rewrite unmapped or unpartitioned")
     val files = adds.toSeq.map { case (path, (size, dv)) =>
       DeltaFile(path, size,
-        dv.map(DeltaDv.readDescriptor(root, _)).getOrElse(Array.empty[Long]))
+        if (!decodeDvs) Array.empty[Long]
+        else dv.map(DeltaDv.readDescriptor(root, _))
+          .getOrElse(Array.empty[Long]))
     }
     DeltaState(latest, schema, partCols, files, configuration, colMap)
   }

@@ -261,16 +261,27 @@ object DeltaDv {
     * descriptor JSON fields — the export-side counterpart of
     * [[readDescriptor]] (used by the Delta-log export path and the
     * adoption specs' fixtures).
+    *
+    * CONTENT-ADDRESSED: the UUID is derived from the serialized bitmap
+    * (name-based, not random), so re-exporting an UNCHANGED deletion
+    * vector reuses the existing `.bin` instead of minting a fresh
+    * orphan per pass — repeated export-after-vacuum cycles (whose
+    * replay-base commit re-adds every entry) stay O(distinct DVs) on
+    * disk. The spec only requires the name be a UUID; determinism is a
+    * writer's choice, invisible to readers.
     */
   def writeUuidFile(tableRoot: Path, positions: Array[Long])
       : (String, Int, Int, Long) = {
-    val uuid = java.util.UUID.randomUUID
     val data = serialize(positions)
-    val framed = frame(data)
-    val bytes = new Array[Byte](1 + framed.length)
-    bytes(0) = 1
-    System.arraycopy(framed, 0, bytes, 1, framed.length)
-    Files.write(tableRoot.resolve(s"deletion_vector_$uuid.bin"), bytes)
+    val uuid = java.util.UUID.nameUUIDFromBytes(data)
+    val file = tableRoot.resolve(s"deletion_vector_$uuid.bin")
+    if (!Files.exists(file)) {
+      val framed = frame(data)
+      val bytes = new Array[Byte](1 + framed.length)
+      bytes(0) = 1
+      System.arraycopy(framed, 0, bytes, 1, framed.length)
+      Files.write(file, bytes)
+    }
     (encodeUuid(uuid), 1, data.length, positions.distinct.length.toLong)
   }
 

@@ -72,21 +72,31 @@ object DeltaExport {
       s""""configuration":$conf,"createdTime":$createdTime}}"""
   }
 
-  /** Deletion-vector descriptor JSON for `positions`: inline for small
-    * bitmaps, a `"u"`-storage `.bin` at the table root otherwise.
+  /** Deletion-vector descriptor FIELDS
+    * `(storageType, pathOrInlineDv, offset, sizeInBytes, cardinality)`:
+    * inline for small bitmaps, a `"u"`-storage `.bin` at the table
+    * root otherwise ([[DeltaDv.writeUuidFile]] is content-addressed,
+    * so re-exporting an unchanged DV reuses the same file).
     */
-  def dvDescriptor(tableRoot: java.nio.file.Path,
-      positions: Array[Long]): String = {
+  def dvDescriptorFields(tableRoot: java.nio.file.Path,
+      positions: Array[Long]): (String, String, Option[Int], Int, Long) = {
     val data = DeltaDv.serialize(positions)
     if (data.length <= 4096) {
       val (inline, size, card) = DeltaDv.inlineDescriptor(positions)
-      s"""{"storageType":"i","pathOrInlineDv":${q(inline)},""" +
-        s""""sizeInBytes":$size,"cardinality":$card}"""
+      ("i", inline, None, size, card)
     } else {
       val (pth, off, size, card) = DeltaDv.writeUuidFile(tableRoot, positions)
-      s"""{"storageType":"u","pathOrInlineDv":${q(pth)},"offset":$off,""" +
-        s""""sizeInBytes":$size,"cardinality":$card}"""
+      ("u", pth, Some(off), size, card)
     }
+  }
+
+  /** Deletion-vector descriptor JSON for an `add` action line. */
+  def dvDescriptor(tableRoot: java.nio.file.Path,
+      positions: Array[Long]): String = {
+    val (st, p, off, size, card) = dvDescriptorFields(tableRoot, positions)
+    s"""{"storageType":${q(st)},"pathOrInlineDv":${q(p)},""" +
+      off.map(o => s""""offset":$o,""").getOrElse("") +
+      s""""sizeInBytes":$size,"cardinality":$card}"""
   }
 
   def addLine(path: String, partitionValues: Seq[(String, Option[String])],
@@ -105,4 +115,107 @@ object DeltaExport {
       dataChange: Boolean): String =
     s"""{"remove":{"path":${q(encodePath(path))},""" +
       s""""deletionTimestamp":$deletionTimestamp,"dataChange":$dataChange}}"""
+
+  // ---- classic parquet checkpoint: FIXED schema, not JSON inference ----
+  //
+  // Stock Delta readers read checkpoints with the protocol's own action
+  // schema: `add.partitionValues` MUST be map<string,string> (JSON
+  // inference would type the literal `{"dt":"2024-01-01"}` as a struct,
+  // or drop the column entirely for all-unpartitioned rows), and
+  // checkpoint `add.dataChange` must be false. One explicit StructType
+  // and typed Row renderers keep the parquet footer spec-shaped.
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
+    LongType, MapType, StringType, StructField}
+
+  private val dvStructType = org.apache.spark.sql.types.StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
+  /** The classic-checkpoint parquet schema: one nullable struct column
+    * per action kind, field shapes straight from the Delta protocol
+    * spec's action definitions.
+    */
+  val checkpointSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      StructField("txn", org.apache.spark.sql.types.StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", org.apache.spark.sql.types.StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("tags",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("deletionVector", dvStructType),
+        StructField("stats", StringType)))),
+      StructField("remove", org.apache.spark.sql.types.StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", org.apache.spark.sql.types.StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", org.apache.spark.sql.types.StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options",
+            MapType(StringType, StringType, valueContainsNull = true))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", org.apache.spark.sql.types.StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
+
+  /** Top-level checkpoint row: exactly one non-null action column. */
+  def ckptRow(add: Row = null, remove: Row = null, meta: Row = null,
+      protocol: Row = null): Row = Row(null, add, remove, meta, protocol)
+
+  /** `protocol` struct row — same values as [[protocolLine]]. */
+  def protocolRow(dv: Boolean, mapping: Boolean): Row =
+    if (!dv && !mapping) Row(1, 2, null, null)
+    else {
+      val features = (if (dv) Seq("deletionVectors") else Nil) ++
+        (if (mapping) Seq("columnMapping") else Nil)
+      Row(3, 7, features, features)
+    }
+
+  /** `metaData` struct row — same values as [[metaLine]]. */
+  def metaRow(tableId: java.util.UUID, schema: StructType,
+      partCols: Seq[String], colMap: Map[String, String],
+      createdTime: Long): Row = {
+    val conf: Map[String, String] =
+      if (colMap.isEmpty) Map.empty
+      else Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> schema.length.toString)
+    Row(tableId.toString, null, null, Row("parquet", Map.empty[String, String]),
+      schemaString(schema, colMap), partCols, conf, createdTime)
+  }
+
+  /** `add` struct row for a checkpoint: `dataChange` is false by spec
+    * (a checkpoint restates the table, it changes nothing).
+    */
+  def addRow(path: String, partitionValues: Seq[(String, Option[String])],
+      size: Long, modificationTime: Long,
+      dv: Option[(String, String, Option[Int], Int, Long)]): Row = {
+    val pv: Map[String, String] =
+      partitionValues.map { case (k, v) => k -> v.orNull }.toMap
+    val dvRow = dv.map { case (st, p, off, sz, card) =>
+      Row(st, p, off.map(Int.box).orNull, sz, card)
+    }.orNull
+    Row(encodePath(path), pv, size, modificationTime, false, null, dvRow, null)
+  }
 }

@@ -1587,6 +1587,15 @@ final class SnapshotStore(root: String,
       s"SnapshotStore.convertFromDelta: store at $root already has versions " +
         s"${versions.mkString(",")} — adoption births a NEW store")
     val st = DeltaConvert.replay(spark, deltaRoot, versionAsOf)
+    // ADOPTION-specific: a partitioned column-mapped table stores
+    // physical names in its directory layout, which this store's
+    // logical-name hive decoding cannot re-map (the streaming tail
+    // takes partition values from the add actions and is unaffected)
+    require(st.colMap.isEmpty || st.partitionColumns.isEmpty,
+      "SnapshotStore.convertFromDelta: a PARTITIONED column-mapped table " +
+        "stores physical names in its directory layout — the store's " +
+        "logical-name hive decoding cannot adopt it; rewrite unmapped or " +
+        "unpartitioned")
     val deltaPath = Paths.get(deltaRoot).toAbsolutePath.normalize
     require(deltaPath != rootPath.normalize,
       "SnapshotStore.convertFromDelta: the store root cannot be the Delta " +
@@ -1752,20 +1761,22 @@ final class SnapshotStore(root: String,
             .map { case (f, rs) => f -> rs.map(_.getLong(1)) })
           .getOrElse(e.path, Array.empty[Long])
       }.distinct.sorted.toArray
-    def addFor(m: Manifest, e: FileEntry): String = {
+    def pvFor(m: Manifest, e: FileEntry): Seq[(String, Option[String])] = {
       require(!Paths.get(e.path).isAbsolute,
         s"SnapshotStore.exportToDelta: entry ${e.path} references a file " +
           "outside this store (shallow clone or adoption) — a Delta log " +
           "must be self-contained; compactLatest first to materialize")
-      val pv = m.partCols.map { c =>
+      m.partCols.map { c =>
         val v = partitionTupleOf(e.path, Seq(c)).head
         c -> (if (v == SnapshotStore.HiveNullPartition) None else Some(v))
       }
+    }
+    def addFor(m: Manifest, e: FileEntry): String = {
       val dv = if (e.dv.isEmpty) None else {
         val ps = positionsFor(e)
         if (ps.isEmpty) None else Some(DeltaExport.dvDescriptor(rootPath, ps))
       }
-      DeltaExport.addLine(e.path, pv,
+      DeltaExport.addLine(e.path, pvFor(m, e),
         e.bytes.orElse(stagedBytes(e.path)).getOrElse(0L),
         m.ts.getOrElse(0L), dataChange = !m.rewrite, dv)
     }
@@ -1782,13 +1793,30 @@ final class SnapshotStore(root: String,
         // left a numbering gap): the first exported version must be
         // self-contained — a classic checkpoint, exactly what Delta's
         // own log retention produces (readers start at the newest
-        // complete checkpoint; gaps before it are expected)
-        val lines = header ++ m.entries.map(e => addFor(m, e))
-        import spark.implicits._
-        val unionSchema = spark.read.json(lines.toDS).schema
+        // complete checkpoint; gaps before it are expected). Written
+        // under the protocol's FIXED action schema (partitionValues as
+        // map<string,string>, checkpoint dataChange=false) — JSON
+        // inference over the rendered lines would struct-type the
+        // partition map and break stock checkpoint readers.
+        val rows: Seq[org.apache.spark.sql.Row] = Seq(
+          DeltaExport.ckptRow(protocol = DeltaExport.protocolRow(
+            dv = m.entries.exists(_.dv.nonEmpty),
+            mapping = m.colMap.nonEmpty)),
+          DeltaExport.ckptRow(meta = DeltaExport.metaRow(tableId, m.schema,
+            m.partCols, m.colMap, m.ts.getOrElse(0L)))) ++
+          m.entries.map { e =>
+            val dvF = if (e.dv.isEmpty) None else {
+              val ps = positionsFor(e)
+              if (ps.isEmpty) None
+              else Some(DeltaExport.dvDescriptorFields(rootPath, ps))
+            }
+            DeltaExport.ckptRow(add = DeltaExport.addRow(e.path, pvFor(m, e),
+              e.bytes.orElse(stagedBytes(e.path)).getOrElse(0L),
+              m.ts.getOrElse(0L), dvF))
+          }
         val stage = Files.createTempDirectory("graft-delta-ckpt")
-        spark.read.schema(unionSchema).json(lines.toDS).coalesce(1)
-          .write.mode("overwrite").parquet(stage.toString)
+        spark.createDataFrame(rows.asJava, DeltaExport.checkpointSchema)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
         val it = Files.list(stage)
         val part = try it.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -1796,7 +1824,7 @@ final class SnapshotStore(root: String,
         Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Files.write(logDir.resolve("_last_checkpoint"),
-          s"""{"version":$v,"size":${lines.length}}""".getBytes("UTF-8"))
+          s"""{"version":$v,"size":${rows.length}}""".getBytes("UTF-8"))
       } else {
         // diff base: the prior manifest when it survives; when vacuum
         // dropped already-exported versions, the exported log itself
@@ -1810,8 +1838,9 @@ final class SnapshotStore(root: String,
         val prevLive: Set[String] =
           if (fromManifest) prevByPath.keySet
           else if (v == todo.head && v == already + 1 && already >= 0)
-            DeltaConvert.replay(spark, rootPath.toString).files
-              .map(_.path).toSet
+            // metadata-only: the diff needs live PATHS, never tombstones
+            DeltaConvert.replay(spark, rootPath.toString, decodeDvs = false)
+              .files.map(_.path).toSet
           else Set.empty
         val curPaths = m.entries.map(_.path).toSet
         val removes = prevLive.filterNot(curPaths.contains).toSeq.sorted
@@ -1970,10 +1999,20 @@ final class SnapshotStore(root: String,
     * clones never contend and the source's manifest log is untouched.
     */
   private def registerCloneOut(cloneRoot: String, version: Long): Unit = {
-    val id = java.lang.Long.toHexString(System.nanoTime()) + "-" +
-      Integer.toHexString(scala.util.Random.nextInt(Int.MaxValue))
-    backend.publishAtomic(clonesDir.resolve(s"$id.clone"),
-      s"$cloneRoot\t$version\n".getBytes("UTF-8"))
+    val payload = s"$cloneRoot\t$version\n".getBytes("UTF-8")
+    // the CAS result is load-bearing: a silently-dropped entry means a
+    // later source vacuum reclaims files the clone references. An id
+    // collision (stale leftover, nanoTime+random repeat) just retries
+    // under a fresh id; only repeated failure is a real backend fault.
+    val published = (0 until 3).exists { _ =>
+      val id = java.lang.Long.toHexString(System.nanoTime()) + "-" +
+        Integer.toHexString(scala.util.Random.nextInt(Int.MaxValue))
+      backend.publishAtomic(clonesDir.resolve(s"$id.clone"), payload)
+    }
+    require(published,
+      s"SnapshotStore.registerCloneOut: could not publish a clone-out " +
+        s"ledger entry under $clonesDir after 3 attempts — without the " +
+        "pin a source vacuum may reclaim the clone's files")
   }
 
   /** Data-file paths under THIS store's root that registered clones

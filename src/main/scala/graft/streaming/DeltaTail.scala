@@ -51,7 +51,9 @@ final class DeltaTailSourceProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val st = DeltaConvert.replay(sqlContext.sparkSession, rootOf(parameters))
+    // metadata-only replay: schema resolution never needs tombstones
+    val st = DeltaConvert.replay(sqlContext.sparkSession, rootOf(parameters),
+      decodeDvs = false)
     (shortName(), schema.getOrElse(st.schema))
   }
 
@@ -62,16 +64,59 @@ final class DeltaTailSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val st = DeltaConvert.replay(sqlContext.sparkSession, root)
+    val st = DeltaConvert.replay(sqlContext.sparkSession, root,
+      decodeDvs = false)
     val onDelete = parameters.getOrElse("onDelete", "fail")
     require(onDelete == "fail" || onDelete == "skip",
       s"graft-delta source: onDelete must be 'fail' or 'skip', got '$onDelete'")
     // default = tail from NOW (the adopt-then-tail flow passes the
-    // adopted version); -1 replays the whole log as the first batch
-    val startingVersion =
-      parameters.get("startingVersion").map(_.toLong).getOrElse(st.version)
+    // adopted version); -1 replays the whole log as the first batch.
+    // The RESOLVED default is pinned under metadataPath on first start:
+    // re-resolving "now" after a crash-restart would move the floor
+    // past versions whose batch WAL'd but never committed, silently
+    // dropping them — the stream's zero point is query state, exactly
+    // like the checkpointed offsets it anchors.
+    val startingVersion = DeltaTailSource.pinStartingVersion(
+      sqlContext, metadataPath,
+      parameters.get("startingVersion").map(_.toLong).getOrElse(st.version))
     new DeltaTailSource(sqlContext, root, schema.getOrElse(st.schema),
       st.colMap, st.partitionColumns, startingVersion, onDelete)
+  }
+}
+
+object DeltaTailSource {
+
+  /** Resolve the stream's zero-point version: the value persisted under
+    * `metadataPath` when one exists (restart), otherwise `resolved`
+    * written there first (initial start — temp file + rename, the
+    * checkpoint filesystem's own atomicity).
+    */
+  private[streaming] def pinStartingVersion(sqlContext: SQLContext,
+      metadataPath: String, resolved: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(metadataPath)
+    val fs = dir.getFileSystem(
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    val file = new Path(dir, "startingVersion")
+    def readPinned(): Long = {
+      val in = fs.open(file)
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine().trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(file)) readPinned()
+    else {
+      fs.mkdirs(dir)
+      val tmp = new Path(dir,
+        s".startingVersion.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(s"$resolved\n".getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, file)) resolved
+      else { // lost a (theoretical) race: the winner's pin governs
+        fs.delete(tmp, false)
+        readPinned()
+      }
+    }
   }
 }
 
@@ -82,7 +127,11 @@ final class DeltaTailSource(
     colMap: Map[String, String],
     partCols: Seq[String],
     startingVersion: Long,
-    onDelete: String) extends Source {
+    onDelete: String) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+    ReadLimit}
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
   private val root = Paths.get(deltaRoot).toAbsolutePath.normalize
@@ -92,14 +141,44 @@ final class DeltaTailSource(
   override def schema: StructType = pinned
 
   /** Newest version file in the log — one directory list, no data IO. */
-  override def getOffset: Option[Offset] = {
+  private def liveMax(): Option[Long] = {
     val s = Files.list(logDir)
     val max = try s.iterator().asScala.map(_.getFileName.toString)
       .collect { case JsonFile(v) => v.toLong }
       .foldLeft(-1L)(_ max _)
     finally s.close()
-    if (max < 0) None else Some(LongOffset(max))
+    if (max < 0) None else Some(max)
   }
+
+  // AvailableNow contract: the log tip is LATCHED at query start and
+  // the run drains to exactly there — a live writer committing during
+  // the drain cannot keep the "finite" run alive forever. Supporting
+  // the trigger natively also means a restart with a pending
+  // (WAL'd-but-uncommitted) batch replays it AND continues to the
+  // latched tip in the same run, instead of the engine's single-batch
+  // fallback that stops after the replay.
+  private var availableNowCap: Option[Option[Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(liveMax())
+
+  override def getOffset: Option[Offset] =
+    availableNowCap.getOrElse(liveMax()).map(LongOffset(_))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    getOffset.orNull
+
+  override def reportLatestOffset(): OffsetV2 =
+    liveMax().map(LongOffset(_)).orNull
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def commit(end: OffsetV2): Unit = ()
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
@@ -158,6 +237,21 @@ final class DeltaTailSource(
                 f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
                 s"graft-delta source: version $v changes the table schema — " +
                   "restart the stream to re-pin it")
+              // the PHYSICAL mapping is pinned too: a drop + re-add of a
+              // column keeps the logical schema identical but moves its
+              // physicalName, and reading old physical names from new
+              // files returns silent NULLs — exactly the divergence the
+              // schema guard exists to stop
+              val PhysKey = "delta.columnMapping.physicalName"
+              val newMap: Map[String, String] =
+                newSchema.fields.toSeq.flatMap(f =>
+                  if (f.metadata.contains(PhysKey))
+                    Some(f.name -> f.metadata.getString(PhysKey))
+                  else None).toMap
+              require(newMap == colMap,
+                s"graft-delta source: version $v changes the COLUMN " +
+                  "MAPPING (a column was dropped and re-added, or " +
+                  "physically renamed) — restart the stream to re-pin it")
             case "protocol" =>
               val node = e.getValue
               DeltaConvert.checkProtocol(

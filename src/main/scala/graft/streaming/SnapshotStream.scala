@@ -463,7 +463,11 @@ final class SnapshotStreamSource(
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     metadataPath: String = "",
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+    ReadLimit}
 
   private val rateLimited = maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
@@ -553,12 +557,39 @@ final class SnapshotStreamSource(
   override def schema: StructType =
     if (readChangeFeed) SnapshotStreamSource.cdcSchema(pinned) else pinned
 
-  /** Latest committed version, capped by the per-trigger admission
-    * budget counted from the last delivered offset — manifest metadata
-    * only, no data IO.
+  // AvailableNow contract: the store's tip is LATCHED at query start —
+  // the run drains to exactly there (in capped batches when
+  // rate-limited) and terminates, even while commits keep landing.
+  // Native support also lets a restart with a pending batch replay it
+  // AND continue in one run (the engine's fallback stops after the
+  // replay).
+  private var availableNowCap: Option[Option[Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    getOffset.orNull
+
+  override def reportLatestOffset(): OffsetV2 =
+    store.latestVersion.map(LongOffset(_)).orNull
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def commit(end: OffsetV2): Unit = ()
+
+  /** Latest committed version (latched during an AvailableNow run),
+    * capped by the per-trigger admission budget counted from the last
+    * delivered offset — manifest metadata only, no data IO.
     */
   override def getOffset: Option[Offset] = {
-    val latest = store.latestVersion.getOrElse(return None)
+    val latest = availableNowCap.getOrElse(store.latestVersion)
+      .getOrElse(return None)
     if (!rateLimited) return Some(LongOffset(latest))
     val base = math.max(floor, startingVersion)
     // caught up (base == latest; base > latest cannot happen — the

@@ -72,8 +72,10 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       DeltaDv.readDescriptor(root, node)
     }.getMessage.contains("CRC"))
-    // cardinality lies -> refused
-    val (p2, o2, s2, _) = DeltaDv.writeUuidFile(root, ps)
+    // cardinality lies -> refused (FRESH positions: writeUuidFile is
+    // content-addressed, so re-minting `ps` would resolve to the file
+    // the corruption step above just damaged)
+    val (p2, o2, s2, _) = DeltaDv.writeUuidFile(root, Array(2L, 5L, 8L))
     val lying = mapper.readTree(
       s"""{"storageType":"u","pathOrInlineDv":"$p2",""" +
         s""""offset":$o2,"sizeInBytes":$s2,"cardinality":99}""")

@@ -2491,6 +2491,84 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("self-contained"))
   }
 
+  test("exportToDelta replay-base diff survives a PARTITIONED column-mapped export: the adoption-only guard must not wedge re-export") {
+    import spark.implicits._
+    val rootS = tmp()
+    val store = new SnapshotStore(rootS)
+    store.commitOverwrite(frame(1 to 4, "x"), partitionBy = Seq("tag")) // v0
+    store.renameColumn(spark, "amt", "value")                          // v1: colMap
+    assert(store.exportToDelta(spark) == 1L)
+    // vacuum eats the exported tip's predecessors AND the tip itself
+    // stays only as the Delta log: the next export's diff base is the
+    // REPLAYED exported log (partitioned + mapped — the shape that used
+    // to throw the adoption guard and wedge every retry)
+    store.commitAppend(Seq((9L, "y", 9.0)).toDF("id", "tag", "value")) // v2
+    store.vacuum(keepLast = 1) // only v2 survives; v1 lives in the log only
+    assert(store.exportToDelta(spark) == 2L)
+    val st = DeltaConvert.replay(spark, rootS)
+    assert(st.version == 2L && st.partitionColumns == Seq("tag") &&
+      st.colMap.nonEmpty, "partitioned + mapped state exports intact")
+    assert(st.files.map(_.path).toSet ==
+      store.readFullManifest(2L).entries.map(_.path).toSet,
+      "the replay-base diff reconciled to the live file set")
+  }
+
+  test("exportToDelta checkpoints are STOCK-shaped: fixed action schema, map-typed partitionValues, dataChange=false; DV .bin files content-addressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MapType, StringType, StructType}
+    import scala.jdk.CollectionConverters._
+    // writeUuidFile is content-addressed: identical positions reuse the
+    // same .bin instead of minting a fresh orphan per export pass
+    val dvRoot = Files.createTempDirectory("graft-dv-dedup")
+    val (pa, _, _, _) = DeltaDv.writeUuidFile(dvRoot, Array(5L, 7L, 9L))
+    val (pb, _, _, _) = DeltaDv.writeUuidFile(dvRoot, Array(5L, 7L, 9L))
+    assert(pa == pb, "identical DVs must share one uuid")
+    val bins = { val s = Files.list(dvRoot)
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".bin"))
+      finally s.close() }
+    assert(bins == 1, "re-minting an identical DV must not orphan a second .bin")
+
+    // a PARTITIONED store with a MoR tombstone and vacuumed history:
+    // the exported checkpoint must carry the protocol's OWN action
+    // schema — JSON inference would struct-type partitionValues and
+    // break stock checkpoint readers exactly here
+    val rootS = tmp()
+    val store = new SnapshotStore(rootS)
+    store.commitOverwrite(frame(1 to 6, "x"), partitionBy = Seq("tag")) // v0
+    store.commitOverwrite(
+      Seq((1L, "p", 1.0), (2L, "p", 2.0), (3L, "q", 3.0))
+        .toDF("id", "tag", "amt"), partitionBy = Seq("tag"))           // v1
+    store.deleteWhere(spark, $"id" === 2L, mergeOnRead = true)         // v2: DV
+    store.vacuum(keepLast = 1)
+    assert(store.exportToDelta(spark) == 2L)
+    val ckpt = Paths.get(rootS).resolve("_delta_log")
+      .resolve(f"${2L}%020d.checkpoint.parquet")
+    assert(Files.isRegularFile(ckpt), "vacuumed history exports a checkpoint")
+    val df = spark.read.parquet(ckpt.toString)
+    val addT = df.schema("add").dataType.asInstanceOf[StructType]
+    assert(addT("partitionValues").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true),
+      "add.partitionValues must be map<string,string>, not an inferred struct")
+    val adds = df.filter($"add".isNotNull)
+    assert(adds.count() >= 2L, "one add per partition file")
+    assert(adds.filter($"add.dataChange" === true).isEmpty,
+      "checkpoint adds restate the table — dataChange is false by spec")
+    assert(adds.select($"add.partitionValues".getItem("tag")).collect()
+      .map(_.getString(0)).toSet == Set("p", "q"),
+      "partition values are map entries keyed by the partition column")
+    assert(adds.filter($"add.deletionVector".isNotNull).count() == 1L,
+      "the MoR tombstone exports as a typed deletionVector struct")
+    assert(df.filter($"metaData".isNotNull).count() == 1L)
+    assert(df.filter($"protocol".isNotNull)
+      .select($"protocol.minReaderVersion").head().getInt(0) == 3,
+      "a DV-carrying table exports reader version 3")
+    // the fixed-schema checkpoint still round-trips through adoption
+    val adopted = new SnapshotStore(tmp())
+    adopted.convertFromDelta(spark, rootS)
+    assert(adopted.read(spark).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("readChanges relabel survives a two-step rename chain (b->c then a->b): one projection, no duplicate columns") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())
@@ -2588,6 +2666,13 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = store.read(spark)
     assert(got.count() == 5L)
     assert(got.select("tag").distinct().head().getString(0) == "keep")
+    // versionAsOf aimed at a version reconstructible ONLY from the
+    // multi-part checkpoint (its jsons retention-cleaned) is a legal
+    // target: the range ceiling counts complete multi-part sets too
+    val atCkpt = new SnapshotStore(tmp())
+    atCkpt.convertFromDelta(spark, delta, versionAsOf = Some(2L))
+    assert(atCkpt.read(spark).count() == 10L,
+      "checkpoint state at v2: f2 + f3 live, f1 removed")
   }
 
   test("clone birth window: a ledger entry with an existing-but-empty clone dir pins its recorded version; only a DELETED dir self-cleans") {

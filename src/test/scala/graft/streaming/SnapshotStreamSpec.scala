@@ -2055,4 +2055,158 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     drainDelta(delta, out, cp, onDelete = "skip")
     assert(spark.read.parquet(out).count() == 3L, "skip: no new rows, no failure")
   }
+
+  test("graft-delta tail: the stream's zero point is PINNED in query state — a crash between offset WAL and commit cannot lose versions") {
+    import spark.implicits._
+    val (delta, _) = deltaFixture() // v0: ids 1..3
+    deltaCommit(delta, 1L, Seq(
+      deltaAddLine("f1.parquet", deltaWrite(delta, "f1.parquet",
+        frame(10 to 10, "v1")))))
+    val out = tmp(); val cp = tmp()
+    def run(startingVersion: Option[Long]): Unit = {
+      var r = spark.readStream.format("graft-delta").option("path", delta)
+      startingVersion.foreach(v => r = r.option("startingVersion", v))
+      val q = r.load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1 tails from version 0: batch 0 delivers version 1's row
+    run(Some(0L))
+    assert(spark.read.parquet(out).select("id").head().getLong(0) == 10L)
+    // the RESOLVED zero point is durable query state under the source's
+    // metadata directory, exactly like the offsets it anchors
+    val pin = java.nio.file.Paths.get(cp, "sources", "0", "startingVersion")
+    assert(Files.isRegularFile(pin) &&
+      new String(Files.readAllBytes(pin), "UTF-8").trim == "0")
+    // CRASH between the offset WAL and the batch commit: batch 0's
+    // offset survives; its commit marker, any no-data follow-up batch,
+    // and the sink's output do not
+    def pruneDir(dir: java.nio.file.Path, keep: Set[String]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector.filterNot(p =>
+        keep.contains(p.getFileName.toString)).foreach(Files.delete)
+      finally s.close()
+    }
+    pruneDir(java.nio.file.Paths.get(cp, "commits"), Set.empty)
+    pruneDir(java.nio.file.Paths.get(cp, "offsets"), Set("0"))
+    deleteRecursively(java.nio.file.Paths.get(out))
+    // the table advances meanwhile
+    deltaCommit(delta, 2L, Seq(
+      deltaAddLine("f2.parquet", deltaWrite(delta, "f2.parquet",
+        frame(20 to 20, "v2")))))
+    // restart WITHOUT startingVersion: a re-resolved default ("now" =
+    // version 2) would replay batch 0 as an empty range and silently
+    // drop version 1 forever — the pinned zero point must govern. ONE
+    // AvailableNow run both replays the crashed batch AND drains to the
+    // latched tip (native SupportsTriggerAvailableNow, no single-batch
+    // fallback)
+    run(None)
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 20L),
+      "the replayed batch redelivers version 1, then version 2 follows")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  test("graft-delta tail pins the COLUMN MAPPING: drop + re-add under the same logical name fails loudly instead of reading NULLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
+      StructField, StructType}
+    val delta = tmp()
+    // files store PHYSICAL names; the schemaString maps them to logical
+    val sz = deltaWrite(delta, "m0.parquet",
+      Seq((1L, "a")).toDF("col-aa", "col-bb"))
+    def mapped(name: String, phys: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    def metaLine(fields: Seq[StructField], maxId: Int): String =
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${jq(StructType(fields).json)},""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}"""
+    deltaCommit(delta, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(Seq(mapped("id", "col-aa", 1L, LongType),
+        mapped("v", "col-bb", 2L, StringType)), 2),
+      deltaAddLine("m0.parquet", sz)))
+    val name = s"cmpin${System.nanoTime()}"
+    val q = spark.readStream.format("graft-delta")
+      .option("path", delta).option("startingVersion", -1L)
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      // the mapped tail reads physical files under LOGICAL names
+      val got = spark.table(name).collect()
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a")))
+      // v1: drop `v`, re-add the SAME logical name over a FRESH physical
+      // column — the stripped logical schema is unchanged, but reading
+      // col-bb from new files would return silent NULLs
+      deltaCommit(delta, 1L, Seq(
+        metaLine(Seq(mapped("id", "col-aa", 1L, LongType),
+          mapped("v", "col-cc", 3L, StringType)), 3)))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = (Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+          ++ q.exception.iterator.flatMap(x =>
+            Iterator.iterate(x: Throwable)(_.getCause).takeWhile(_ != null)
+              .map(t => Option(t.getMessage).getOrElse(""))))
+        .mkString(" | ")
+      assert(msgs.contains("COLUMN MAPPING"),
+        s"expected a column-mapping pin failure, got: $msgs")
+    } finally q.stop()
+  }
+
+  test("graft-delta tail reads PARTITIONED name-mapped tables: partition values come from the add actions, not the hive layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
+      StructField, StructType}
+    val delta = tmp()
+    // physical column name on disk AND a physical-name partition dir —
+    // the layout the snapshot store's adoption refuses, but the tail
+    // never parses paths: partitionValues on the add are authoritative
+    val sz = deltaWrite(delta, "col-dd=1/p0.parquet",
+      Seq((100L)).toDF("col-aa"))
+    def mapped(name: String, phys: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(
+      mapped("id", "col-aa", 1L, LongType),
+      mapped("day", "col-dd", 2L, LongType)))
+    deltaCommit(delta, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"pm","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${jq(logical.json)},""" +
+        s""""partitionColumns":["day"],"configuration":{""" +
+        s""""delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+      s"""{"add":{"path":"col-dd=1/p0.parquet",""" +
+        s""""partitionValues":{"col-dd":"1"},"size":$sz,""" +
+        s""""modificationTime":0,"dataChange":true}}"""))
+    val out = tmp(); val cp = tmp()
+    drainDelta(delta, out, cp)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("id", "day"), "logical names surface")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 1L)),
+      "the physical-name partition key resolves through the mapping")
+  }
 }
