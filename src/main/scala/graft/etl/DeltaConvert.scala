@@ -34,10 +34,13 @@ object DeltaConvert {
     * relative to the delta root, `bytes` the add action's recorded
     * size, `dvPositions` the file's deleted row indexes (decoded from
     * the add's deletion-vector descriptor; empty when the file carries
-    * none).
+    * none), `partitionValues` the add action's own partition tuple
+    * (authoritative — the CDC tail attributes a removed file's rows
+    * without parsing its path).
     */
   final case class DeltaFile(path: String, bytes: Option[Long],
-      dvPositions: Array[Long])
+      dvPositions: Array[Long],
+      partitionValues: Map[String, Option[String]] = Map.empty)
 
   /** Reconciled table state at the log's latest version. `colMap` is
     * the logical→physical column mapping when the table runs
@@ -173,14 +176,20 @@ object DeltaConvert {
     // mutable replay state: newest action per decoded path wins; the
     // deletion-vector DESCRIPTOR travels with the add (decoded lazily
     // at the end, so removed files' DVs are never touched)
-    val adds = scala.collection.mutable
-      .LinkedHashMap[String, (Option[Long], Option[JsonNode])]()
+    val adds = scala.collection.mutable.LinkedHashMap[String,
+      (Option[Long], Option[JsonNode], Map[String, Option[String]])]()
     var metaData: Option[JsonNode] = None
     var protocol: Option[(Int, Seq[String])] = None
 
     def applyAdd(path: String, size: Option[Long], node: JsonNode): Unit = {
       val dv = Option(node.get("deletionVector")).filterNot(_.isNull)
-      adds.update(decodePath(path), (size, dv))
+      val pv: Map[String, Option[String]] =
+        Option(node.get("partitionValues")).filterNot(_.isNull)
+          .map(_.fields().asScala.map(kv => kv.getKey ->
+            (if (kv.getValue.isNull) None else Some(kv.getValue.asText())))
+            .toMap)
+          .getOrElse(Map.empty)
+      adds.update(decodePath(path), (size, dv, pv))
     }
     def applyRemove(path: String): Unit = adds.remove(decodePath(path))
     def applyMeta(node: JsonNode): Unit = metaData = Some(node)
@@ -298,11 +307,12 @@ object DeltaConvert {
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val partCols = Option(meta.get("partitionColumns")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    val files = adds.toSeq.map { case (path, (size, dv)) =>
+    val files = adds.toSeq.map { case (path, (size, dv, pv)) =>
       DeltaFile(path, size,
         if (!decodeDvs) Array.empty[Long]
         else dv.map(DeltaDv.readDescriptor(root, _))
-          .getOrElse(Array.empty[Long]))
+          .getOrElse(Array.empty[Long]),
+        pv)
     }
     DeltaState(latest, schema, partCols, files, configuration, colMap)
   }

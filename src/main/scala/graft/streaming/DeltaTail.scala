@@ -46,6 +46,14 @@ final class DeltaTailSourceProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta source: option 'path' (the Delta table root) is required"))
 
+  private def readChangeFeedOf(parameters: Map[String, String]): Boolean = {
+    val cdc = parameters.get("readChangeFeed").exists(_.toBoolean)
+    require(!cdc || !parameters.contains("onDelete"),
+      "graft-delta source: onDelete is the insert-only contract's knob — " +
+        "a change-feed tail DELIVERS deletes; drop one of the options")
+    cdc
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -54,7 +62,10 @@ final class DeltaTailSourceProvider extends StreamSourceProvider
     // metadata-only replay: schema resolution never needs tombstones
     val st = DeltaConvert.replay(sqlContext.sparkSession, rootOf(parameters),
       decodeDvs = false)
-    (shortName(), schema.getOrElse(st.schema))
+    val table = schema.getOrElse(st.schema)
+    (shortName(),
+      if (readChangeFeedOf(parameters)) SnapshotStreamSource.cdcSchema(table)
+      else table)
   }
 
   override def createSource(
@@ -80,7 +91,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider
       sqlContext, metadataPath,
       parameters.get("startingVersion").map(_.toLong).getOrElse(st.version))
     new DeltaTailSource(sqlContext, root, schema.getOrElse(st.schema),
-      st.colMap, st.partitionColumns, startingVersion, onDelete)
+      st.colMap, st.partitionColumns, startingVersion, onDelete,
+      readChangeFeed = readChangeFeedOf(parameters))
   }
 }
 
@@ -127,7 +139,8 @@ final class DeltaTailSource(
     colMap: Map[String, String],
     partCols: Seq[String],
     startingVersion: Long,
-    onDelete: String) extends Source
+    onDelete: String,
+    readChangeFeed: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
@@ -138,7 +151,8 @@ final class DeltaTailSource(
   private val logDir = root.resolve("_delta_log")
   private val JsonFile = """(\d{20})\.json""".r
 
-  override def schema: StructType = pinned
+  override def schema: StructType =
+    if (readChangeFeed) SnapshotStreamSource.cdcSchema(pinned) else pinned
 
   /** Newest version file in the log — one directory list, no data IO. */
   private def liveMax(): Option[Long] = {
@@ -183,6 +197,7 @@ final class DeltaTailSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    if (readChangeFeed) return cdcBatch(from, to)
     val spark = sqlContext.sparkSession
     // (path, partitionValues) of every data-changing add in the range
     val adds = ((from + 1) to to).flatMap { v =>
@@ -227,38 +242,8 @@ final class DeltaTailSource(
                   s"${e.getValue.get("path").asText()} with dataChange — " +
                   "the tail is insert-only; pass onDelete='skip' to ignore " +
                   "deletes deliberately, or replicate through a change feed")
-            case "metaData" =>
-              val node = e.getValue
-              val newSchema = DataType.fromJson(
-                node.get("schemaString").asText()).asInstanceOf[StructType]
-              val stripped = StructType(newSchema.fields.map(f =>
-                f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-              require(stripped == StructType(pinned.fields.map(f =>
-                f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
-                s"graft-delta source: version $v changes the table schema — " +
-                  "restart the stream to re-pin it")
-              // the PHYSICAL mapping is pinned too: a drop + re-add of a
-              // column keeps the logical schema identical but moves its
-              // physicalName, and reading old physical names from new
-              // files returns silent NULLs — exactly the divergence the
-              // schema guard exists to stop
-              val PhysKey = "delta.columnMapping.physicalName"
-              val newMap: Map[String, String] =
-                newSchema.fields.toSeq.flatMap(f =>
-                  if (f.metadata.contains(PhysKey))
-                    Some(f.name -> f.metadata.getString(PhysKey))
-                  else None).toMap
-              require(newMap == colMap,
-                s"graft-delta source: version $v changes the COLUMN " +
-                  "MAPPING (a column was dropped and re-added, or " +
-                  "physically renamed) — restart the stream to re-pin it")
-            case "protocol" =>
-              val node = e.getValue
-              DeltaConvert.checkProtocol(
-                Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-                Option(node.get("readerFeatures")).filterNot(_.isNull)
-                  .map(_.elements().asScala.map(_.asText()).toSeq)
-                  .getOrElse(Nil))
+            case "metaData" => pinGuard(e.getValue, v)
+            case "protocol" => protocolGuard(e.getValue)
             case _ => () // txn / commitInfo / cdc: no tail state
           }
         }
@@ -297,6 +282,215 @@ final class DeltaTailSource(
       }
       withParts.select(pinned.fieldNames.toSeq.map(col): _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** Mid-stream metaData guard: the logical schema AND the physical
+    * column mapping are pinned at query start. A drop + re-add of a
+    * column keeps the logical schema identical but moves its
+    * physicalName, and reading old physical names from new files
+    * returns silent NULLs — exactly the divergence this guard stops.
+    */
+  private def pinGuard(node: com.fasterxml.jackson.databind.JsonNode,
+      v: Long): Unit = {
+    val newSchema = DataType.fromJson(
+      node.get("schemaString").asText()).asInstanceOf[StructType]
+    val stripped = StructType(newSchema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    require(stripped == StructType(pinned.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
+      s"graft-delta source: version $v changes the table schema — " +
+        "restart the stream to re-pin it")
+    val PhysKey = "delta.columnMapping.physicalName"
+    val newMap: Map[String, String] =
+      newSchema.fields.toSeq.flatMap(f =>
+        if (f.metadata.contains(PhysKey))
+          Some(f.name -> f.metadata.getString(PhysKey))
+        else None).toMap
+    require(newMap == colMap,
+      s"graft-delta source: version $v changes the COLUMN " +
+        "MAPPING (a column was dropped and re-added, or " +
+        "physically renamed) — restart the stream to re-pin it")
+  }
+
+  private def protocolGuard(
+      node: com.fasterxml.jackson.databind.JsonNode): Unit =
+    DeltaConvert.checkProtocol(
+      Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+      Option(node.get("readerFeatures")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil))
+
+  // ---- CHANGE-FEED tailing (readChangeFeed=true): the DML bridge ----
+  //
+  // Row-level DML on the source table — DV deletes, full-file removes,
+  // updates (Delta renders them as remove+add / DV-growth + fresh adds)
+  // — streams as honest change rows (`_change_type` insert/delete +
+  // `_commit_version`) instead of refusing. Feed it to the
+  // graft-snapshot sink's applyChangeFeed and a replica CONVERGES
+  // through deletes and updates, closing the loop the insert-only
+  // contract's error messages point at.
+  //
+  // The renderer needs each file's pre-version DV set and partition
+  // tuple to attribute changes, so the source keeps per-file STATE —
+  // rebuilt DETERMINISTICALLY from the immutable log (replay at the
+  // batch's `from` version) whenever the cached state doesn't match,
+  // which makes replayed ranges after a crash byte-identical.
+
+  /** path → (partition tuple, deleted positions) at `stateVersion`. */
+  private var fileState: scala.collection.mutable.LinkedHashMap[String,
+    (Map[String, Option[String]], Array[Long])] = _
+  private var stateVersion: Long = Long.MinValue
+
+  private def ensureState(from: Long): Unit = {
+    if (stateVersion == from && fileState != null) return
+    fileState = scala.collection.mutable.LinkedHashMap.empty
+    if (from >= 0L) {
+      val st = DeltaConvert.replay(sqlContext.sparkSession, deltaRoot,
+        versionAsOf = Some(from))
+      st.files.foreach(f =>
+        fileState.update(f.path, (f.partitionValues, f.dvPositions)))
+    }
+    stateVersion = from
+  }
+
+  private def cdcBatch(from: Long, to: Long): DataFrame = {
+    ensureState(from)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    ((from + 1) to to).foreach { v =>
+      val f = logDir.resolve(f"$v%020d.json")
+      require(Files.isRegularFile(f),
+        s"graft-delta source: version file ${f.getFileName} is missing — " +
+          "the log was cleaned past this stream's checkpointed offset; " +
+          "re-adopt the table (convertFromDelta) and restart the tail " +
+          "from the adopted version")
+      // net action per path WITHIN the version (a DV delete is a
+      // remove + re-add of the same file; the re-add wins)
+      val adds = scala.collection.mutable.LinkedHashMap[String,
+        (Array[Long], Map[String, Option[String]], Boolean)]()
+      val removes = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+      Files.readAllLines(f).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        val it = action.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getKey match {
+            case "add" =>
+              val node = e.getValue
+              val dataChange = Option(node.get("dataChange"))
+                .forall(_.asBoolean(true))
+              val dv = Option(node.get("deletionVector")).filterNot(_.isNull)
+                .map(graft.etl.DeltaDv.readDescriptor(root, _))
+                .getOrElse(Array.empty[Long])
+              val pv: Map[String, Option[String]] =
+                Option(node.get("partitionValues")).filterNot(_.isNull)
+                  .map(_.fields().asScala.map(kv =>
+                    kv.getKey -> (if (kv.getValue.isNull) None
+                    else Some(kv.getValue.asText()))).toMap)
+                  .getOrElse(Map.empty)
+              adds.update(DeltaConvert.decodePath(
+                node.get("path").asText()), (dv, pv, dataChange))
+            case "remove" =>
+              val dataChange = Option(e.getValue.get("dataChange"))
+                .forall(_.asBoolean(true))
+              removes.update(DeltaConvert.decodePath(
+                e.getValue.get("path").asText()), dataChange)
+            case "metaData" => pinGuard(e.getValue, v)
+            case "protocol" => protocolGuard(e.getValue)
+            case _ => () // txn / commitInfo / cdc / domainMetadata
+          }
+        }
+      }
+      // removed outright: every still-live row of the file is a delete
+      removes.foreach { case (p, dc) =>
+        if (!adds.contains(p)) {
+          val (pv, oldDv) = fileState.getOrElse(p,
+            throw new IllegalStateException(
+              s"graft-delta source: version $v removes $p, which the " +
+                "replayed state does not hold — corrupt or rewritten log"))
+          if (dc) frames += changeRows(p, pv, exclude = oldDv,
+            change = "delete", version = v)
+          fileState.remove(p)
+        }
+      }
+      adds.foreach { case (p, (newDv, pv, dc)) =>
+        fileState.get(p) match {
+          case Some((_, oldDv)) =>
+            // same file, new DV: the DV DIFF is the change set — newly
+            // dead positions delete, resurrected ones (RESTORE) insert
+            val old = oldDv.toSet
+            val neu = newDv.toSet
+            val dead = newDv.filterNot(old.contains)
+            val revived = oldDv.filterNot(neu.contains)
+            if (dc && dead.nonEmpty)
+              frames += changeRows(p, pv, include = Some(dead),
+                change = "delete", version = v)
+            if (dc && revived.nonEmpty)
+              frames += changeRows(p, pv, include = Some(revived),
+                change = "insert", version = v)
+            fileState.update(p, (pv, newDv))
+          case None =>
+            // fresh file: its live rows insert (a rewrite's dc=false
+            // adds update state silently — OPTIMIZE emits nothing, but
+            // a later remove of the compacted file must attribute)
+            if (dc) frames += changeRows(p, pv, exclude = newDv,
+              change = "insert", version = v)
+            fileState.update(p, (pv, newDv))
+        }
+      }
+      stateVersion = v
+    }
+    val out = SnapshotStreamSource.cdcSchema(pinned)
+    val batch =
+      if (frames.isEmpty)
+        sqlContext.sparkSession.createDataFrame(
+          sqlContext.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], out)
+      else frames.reduce(_.unionByName(_))
+    GraftStreamBridge.asStreamingFrame(batch, out)
+  }
+
+  /** Rows of one data file under the pinned logical schema + change
+    * metadata, position-filtered: `include` keeps exactly those row
+    * indexes (a DV diff — scattered and small by merge-on-read
+    * discipline), otherwise all rows EXCEPT `exclude` (the file's DV).
+    * Positions ride the scan's own `_metadata.row_index`; membership is
+    * a broadcast semi/anti join, never a literal IN over thousands of
+    * positions.
+    */
+  private def changeRows(p: String, pv: Map[String, Option[String]],
+      exclude: Array[Long] = Array.empty,
+      include: Option[Array[Long]] = None,
+      change: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val spark = sqlContext.sparkSession
+    import spark.implicits._
+    val dataFields = pinned.fields.filterNot(f => partCols.contains(f.name))
+    def phys(c: String) = colMap.getOrElse(c, c)
+    val physSchema = StructType(dataFields.map(f => f.copy(name = phys(f.name))))
+    var df = spark.read.schema(physSchema)
+      .parquet(root.resolve(p).toString)
+      .withColumn("__pos", col("_metadata.row_index"))
+    include match {
+      case Some(ps) =>
+        df = df.join(broadcast(ps.toSeq.toDF("__pos")), Seq("__pos"), "semi")
+      case None =>
+        if (exclude.nonEmpty)
+          df = df.join(broadcast(exclude.toSeq.toDF("__pos")),
+            Seq("__pos"), "anti")
+    }
+    val logical = df.select(dataFields.toSeq.map(f =>
+      col(phys(f.name)).as(f.name)): _*)
+    val withParts = partCols.foldLeft(logical) { (acc, c) =>
+      val fld = pinned(c)
+      val raw = pv.getOrElse(c, pv.getOrElse(phys(c), None))
+      acc.withColumn(c,
+        raw.map(lit(_)).getOrElse(lit(null)).cast(fld.dataType))
+    }
+    withParts
+      .withColumn("_change_type", lit(change))
+      .withColumn("_commit_version", lit(version))
+      .select(SnapshotStreamSource.cdcSchema(pinned)
+        .fieldNames.toSeq.map(col): _*)
   }
 
   private def versionOf(o: Offset): Long = o match {

@@ -2173,6 +2173,108 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("graft-delta CHANGE-FEED tail: DV deletes, file removes, and rewrites stream as honest change rows; the loop converges a replica store") {
+    import spark.implicits._
+    val delta = tmp()
+    val f0sz = deltaWrite(delta, "f0.parquet", frame(1 to 5, "a"))
+    val f1sz = deltaWrite(delta, "f1.parquet", frame(6 to 10, "b"))
+    val schema = spark.read.parquet(s"$delta/f0.parquet").schema
+    deltaCommit(delta, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"cdc","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${jq(schema.json)},""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      deltaAddLine("f0.parquet", f0sz), deltaAddLine("f1.parquet", f1sz)))
+    def dvAdd(path: String, sz: Long, positions: Array[Long]): String = {
+      val (d, s, c) = graft.etl.DeltaDv.inlineDescriptor(positions)
+      s"""{"add":{"path":"$path","partitionValues":{},"size":$sz,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"i","pathOrInlineDv":"$d","sizeInBytes":$s,""" +
+        s""""cardinality":$c}}}"""
+    }
+    val out = tmp(); val cp = tmp()
+    def drainCdc(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", delta).option("startingVersion", -1L)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def changes(v: Long): Set[(String, Long)] = spark.read.parquet(out)
+      .filter($"_commit_version" === v)
+      .collect().map(r =>
+        (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    drainCdc()
+    assert(changes(0L) == (1L to 10L).map(("insert", _)).toSet)
+    // v1: DELETE ids 2,4 — Delta renders a DV delete as remove +
+    // re-add of the same file carrying the grown vector
+    deltaCommit(delta, 1L, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,""" +
+        """"dataChange":true}}""",
+      dvAdd("f0.parquet", f0sz, Array(1L, 3L))))
+    // v2: the DV GROWS {1,3}→{1,3,4} — only the newly-dead position
+    // streams (the DIFF, not the whole vector)
+    deltaCommit(delta, 2L, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,""" +
+        """"dataChange":true}}""",
+      dvAdd("f0.parquet", f0sz, Array(1L, 3L, 4L))))
+    drainCdc()
+    assert(changes(1L) == Set(("delete", 2L), ("delete", 4L)))
+    assert(changes(2L) == Set(("delete", 5L)),
+      "a grown DV streams its diff only")
+    // v3: a full-file remove deletes every still-live row of the file
+    deltaCommit(delta, 3L, Seq(
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,""" +
+        """"dataChange":true}}"""))
+    // v4: OPTIMIZE (dataChange=false rewrite) — emits NOTHING, but the
+    // state must advance through it
+    val f2sz = deltaWrite(delta, "f2.parquet",
+      Seq((1L, "a"), (3L, "a")).toDF("id", "tag"))
+    deltaCommit(delta, 4L, Seq(
+      deltaAddLine("f2.parquet", f2sz, dataChange = false),
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,""" +
+        """"dataChange":false}}"""))
+    // v5: removing the COMPACTED file attributes through the rewrite
+    deltaCommit(delta, 5L, Seq(
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":0,""" +
+        """"dataChange":true}}"""))
+    // v6: fresh appends still stream as inserts
+    val f3sz = deltaWrite(delta, "f3.parquet", frame(20 to 21, "c"))
+    deltaCommit(delta, 6L, Seq(deltaAddLine("f3.parquet", f3sz)))
+    drainCdc()
+    assert(changes(3L) == (6L to 10L).map(("delete", _)).toSet)
+    assert(changes(4L).isEmpty, "a rewrite is the same rows — silent")
+    assert(changes(5L) == Set(("delete", 1L), ("delete", 3L)),
+      "the remove of a compacted file attributes through the rewrite")
+    assert(changes(6L) == Set(("insert", 20L), ("insert", 21L)))
+    // REPLICATION LOOP over the whole history: graft-delta change feed
+    // into the graft-snapshot applyChangeFeed sink — the replica
+    // converges through every delete/rewrite to the live two rows
+    val dstRoot = tmp(); val dst = new SnapshotStore(dstRoot)
+    dst.commitTruncate(schema)
+    val q = spark.readStream.format("graft-delta")
+      .option("path", delta).option("startingVersion", -1L)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("graft-snapshot")
+      .option("path", dstRoot).option("checkpointLocation", tmp())
+      .option("mergeKeys", "id").option("applyChangeFeed", "true")
+      .option("mergeOnRead", "true")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination()
+    assert(dst.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((20L, "c"), (21L, "c")),
+      "the replica equals the Delta table's live state")
+    // the insert-only knob and the change feed are different contracts
+    assert(intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-delta").option("path", delta)
+        .option("readChangeFeed", "true").option("onDelete", "skip").load()
+    }.getMessage.contains("insert-only"))
+  }
+
   test("graft-delta tail reads PARTITIONED name-mapped tables: partition values come from the add actions, not the hive layout") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
