@@ -274,9 +274,9 @@ final class SnapshotStore(root: String,
       s"SnapshotStore.commitReplacePartitions: version $v is not partitioned")
     requireSameColumns(m.schema, df.schema, v)
     val staged = stagePartitioned(df, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
-    val touched = staged.map(e => partitionTupleOf(e.path, m.partCols)).toSet
+    val touched = staged.map(e => partitionTupleOf(e.path, m.partCols, m.colMap)).toSet
     val kept = m.entries.filterNot(e =>
-      touched.contains(partitionTupleOf(e.path, m.partCols)))
+      touched.contains(partitionTupleOf(e.path, m.partCols, m.colMap)))
     publishEntries(kept ++ staged, m.schema, m.statsColumn, txn,
       partCols = m.partCols, expectedVersion = Some(v + 1L), prev = Some(m))
   }
@@ -284,13 +284,22 @@ final class SnapshotStore(root: String,
   /** Raw `col=value` partition tuple of a manifest path (decoded), in
     * partition-column order. "" for a segment that is unexpectedly
     * absent (malformed path — compares unequal to everything real).
+    *
+    * With `colMap`, a segment under the column's PHYSICAL name decodes
+    * too: an adopted column-mapped Delta table lays its directories out
+    * under physical names, while files this store stages itself use
+    * whatever the mapping said at write time — both conventions can
+    * coexist in one manifest, and tuples compare by VALUE.
     */
-  private[graft] def partitionTupleOf(relPath: String, partCols: Seq[String]): Seq[String] = {
+  private[graft] def partitionTupleOf(relPath: String, partCols: Seq[String],
+      colMap: Map[String, String] = Map.empty): Seq[String] = {
     val segs = relPath.split('/')
     partCols.map { c =>
+      val names = Seq(c) ++ colMap.get(c).filterNot(_ == c)
       segs.collectFirst {
-        case s if s.startsWith(c + "=") =>
-          SnapshotStore.unescapePathValue(s.substring(c.length + 1))
+        case s if names.exists(n => s.startsWith(n + "=")) =>
+          val n = names.find(n => s.startsWith(n + "=")).get
+          SnapshotStore.unescapePathValue(s.substring(n.length + 1))
       }.getOrElse("")
     }
   }
@@ -552,7 +561,8 @@ final class SnapshotStore(root: String,
           "compactLatest: scope (OPTIMIZE ... WHERE) selects partitions — " +
             "this table is unpartitioned, compact it whole")
         val byName = m.schema.fields.map(f => f.name -> f).toMap
-        val tuples = m.entries.map(e => partitionTupleOf(e.path, m.partCols)).distinct
+        val tuples = m.entries.map(e =>
+          partitionTupleOf(e.path, m.partCols, m.colMap)).distinct
         import org.apache.spark.sql.functions.{col, lit, when}
         val raw = spark.createDataFrame(
           spark.sparkContext.parallelize(tuples.map(Row.fromSeq), 1),
@@ -565,8 +575,8 @@ final class SnapshotStore(root: String,
         val selected = typed.filter(p)
           .select(m.partCols.map(c => col(s"__raw_$c")): _*)
           .collect().map(_.toSeq.map(String.valueOf)).toSet
-        m.entries.filter(e =>
-          selected.contains(partitionTupleOf(e.path, m.partCols).map(String.valueOf)))
+        m.entries.filter(e => selected.contains(
+          partitionTupleOf(e.path, m.partCols, m.colMap).map(String.valueOf)))
     }
     // SMALL-FILE selection (Delta's bin-packing default made explicit):
     // only files under the threshold are rewritten; right-sized files
@@ -1587,15 +1597,6 @@ final class SnapshotStore(root: String,
       s"SnapshotStore.convertFromDelta: store at $root already has versions " +
         s"${versions.mkString(",")} — adoption births a NEW store")
     val st = DeltaConvert.replay(spark, deltaRoot, versionAsOf)
-    // ADOPTION-specific: a partitioned column-mapped table stores
-    // physical names in its directory layout, which this store's
-    // logical-name hive decoding cannot re-map (the streaming tail
-    // takes partition values from the add actions and is unaffected)
-    require(st.colMap.isEmpty || st.partitionColumns.isEmpty,
-      "SnapshotStore.convertFromDelta: a PARTITIONED column-mapped table " +
-        "stores physical names in its directory layout — the store's " +
-        "logical-name hive decoding cannot adopt it; rewrite unmapped or " +
-        "unpartitioned")
     val deltaPath = Paths.get(deltaRoot).toAbsolutePath.normalize
     require(deltaPath != rootPath.normalize,
       "SnapshotStore.convertFromDelta: the store root cannot be the Delta " +
@@ -1619,11 +1620,15 @@ final class SnapshotStore(root: String,
             s"unsupported type ${other.simpleString} — supported: " +
             "byte/short/int/long/string/date/boolean")
       }
-      val missing = st.files.map(_.path)
-        .filterNot(_.split('/').exists(_.startsWith(c + "=")))
+      // a column-mapped table's directories use the PHYSICAL name —
+      // accept either (partitionTupleOf decodes both)
+      val names = Seq(c) ++ st.colMap.get(c).filterNot(_ == c)
+      val missing = st.files.map(_.path).filterNot(p =>
+        p.split('/').exists(s => names.exists(n => s.startsWith(n + "="))))
       require(missing.isEmpty,
         s"SnapshotStore.convertFromDelta: ${missing.length} files lack a " +
-          s"'$c=' path segment (first: ${missing.headOption.getOrElse("")}) — " +
+          s"'${names.map(_ + "=").mkString("'/'")}' path segment " +
+          s"(first: ${missing.headOption.getOrElse("")}) — " +
           "non-hive layouts carry partition values only in the Delta log " +
           "and cannot adopt zero-copy")
     }
@@ -1767,8 +1772,11 @@ final class SnapshotStore(root: String,
           "outside this store (shallow clone or adoption) — a Delta log " +
           "must be self-contained; compactLatest first to materialize")
       m.partCols.map { c =>
-        val v = partitionTupleOf(e.path, Seq(c)).head
-        c -> (if (v == SnapshotStore.HiveNullPartition) None else Some(v))
+        val v = partitionTupleOf(e.path, Seq(c), m.colMap).head
+        // partitionValues keys use the PHYSICAL name under column
+        // mapping — the convention Delta's own writers follow
+        m.colMap.getOrElse(c, c) ->
+          (if (v == SnapshotStore.HiveNullPartition) None else Some(v))
       }
     }
     def addFor(m: Manifest, e: FileEntry): String = {
@@ -2632,11 +2640,13 @@ final class SnapshotStore(root: String,
         s"SnapshotStore.read: no committed versions at $root"))
     val m = readFullManifest(v)
     if (m.partCols.isEmpty) scan(spark, m.schema, m.entries, colMap = m.colMap)
-    else if (m.entries.exists(_.dv.nonEmpty))
-      // partitioned WITH live deletion vectors: the format's FileIndex
-      // cannot apply the position anti-join — take the union-arm scan
-      // (correct; loses planning-time pruning until a compaction
-      // materializes the deletes)
+    else if (m.entries.exists(_.dv.nonEmpty) || m.colMap.nonEmpty)
+      // partitioned WITH live deletion vectors or an ACTIVE COLUMN
+      // MAPPING: the format's FileIndex can apply neither the position
+      // anti-join nor the physical-name projection, and its fallback
+      // relation scans through THIS method — take the union-arm scan
+      // directly (correct; loses planning-time pruning until a
+      // compaction materializes deletes / clears the mapping)
       scan(spark, m.schema, m.entries, m.partCols, m.colMap)
     else
       // partitioned: plan through the format's FileIndex — ONE relation
@@ -3129,7 +3139,8 @@ final class SnapshotStore(root: String,
       val dataSchema = StructType(
         schema.fields.filterNot(f => partCols.contains(f.name)))
       val fieldByName = schema.fields.map(f => f.name -> f).toMap
-      val unioned = entries.groupBy(e => partitionTupleOf(e.path, partCols)).toSeq
+      val unioned = entries
+        .groupBy(e => partitionTupleOf(e.path, partCols, colMap)).toSeq
         .sortBy(_._1.mkString("/"))
         .map { case (tuple, group) =>
           val base = toLogical(addPos(spark.read.schema(physSchema(dataSchema))
@@ -3350,10 +3361,14 @@ final class SnapshotStore(root: String,
       bloomColumn: Option[String] = None): Seq[FileEntry] = {
     normalizePartitionedSchema(df.schema, partCols) // validates cols + types
     val sub = dataDir.resolve(java.util.UUID.randomUUID.toString)
-    // partition columns are never remapped (rename/drop refuse them)
+    // a MAPPED partition column (adopted from a column-mapped Delta
+    // table — native rename/drop refuse partition columns) stages under
+    // its physical directory name, matching the adopted layout;
+    // partitionTupleOf decodes either name
     toPhysical(withConstraintChecks(df), colMap)
       .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(partCols: _*).parquet(sub.toString)
+      .partitionBy(partCols.map(c => colMap.getOrElse(c, c)): _*)
+      .parquet(sub.toString)
     val walk = Files.walk(sub)
     val paths = try {
       walk.iterator().asScala

@@ -2391,19 +2391,76 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // appends through the mapping read back
     store.commitAppend(Seq((9L, "z")).toDF("id", "label"))
     assert(store.read(spark).count() == 3L)
-    // id-mode refused loudly (covered in the refusal battery too);
-    // partitioned + mapped refused loudly
+    // id-mode refused loudly (covered in the refusal battery too)
+  }
+
+  test("rename on a PARTITIONED store: reads stay correct through the mapping-aware scan (no relation fallback recursion)") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.commitOverwrite(frame(1 to 4, "x"), partitionBy = Seq("tag"))
+    store.renameColumn(spark, "amt", "value")
+    // partitioned + mapped + no DVs: store.read must take the direct
+    // union-arm scan — the format's fallback relation scans THROUGH
+    // store.read, so routing there again would recurse forever
+    val got = store.read(spark)
+    assert(got.columns.toSeq == Seq("id", "value", "tag"))
+    assert(got.count() == 4L)
+    // the SQL format read terminates through the same fix
+    assert(spark.read.format("graft-snapshot").option("path", root)
+      .load().filter($"value" > 0.0).count() == 4L)
+  }
+
+  test("convertFromDelta adopts PARTITIONED column-mapped tables: physical directory names decode through the mapping, appends and partition ops compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    def mapped(name: String, phys: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
     val pd = tmp()
-    val pSize = deltaDataFile(pd, "day=1/p.parquet",
-      Seq((1L, "a")).toDF("col-10ab", "col-20cd"))
+    // the layout a real column-mapped Delta writer produces: PHYSICAL
+    // names in both the parquet schema and the partition directory
+    val p1 = deltaDataFile(pd, "col-30ef=1/p1.parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("col-10ab", "col-20cd"))
+    val p2 = deltaDataFile(pd, "col-30ef=2/p2.parquet",
+      Seq((3L, "c")).toDF("col-10ab", "col-20cd"))
+    val physSchema = spark.read.parquet(s"$pd/col-30ef=1/p1.parquet").schema
+    val logical = StructType(Seq(
+      mapped("id", "col-10ab", 1L, physSchema("col-10ab").dataType),
+      mapped("v", "col-20cd", 2L, physSchema("col-20cd").dataType),
+      mapped("day", "col-30ef", 3L, LongType)))
     deltaCommit(pd, 0L, Seq(deltaProto(3, Seq("columnMapping")),
-      deltaMeta(StructType(logical.fields :+ mapped("day", "col-30ef", 3L,
-        org.apache.spark.sql.types.LongType)), Seq("day"), Map(
-        "delta.columnMapping.mode" -> "name")),
-      deltaAdd("day=1/p.parquet", pSize, Map("col-30ef" -> "1"))))
-    assert(intercept[IllegalArgumentException] {
-      new SnapshotStore(tmp()).convertFromDelta(spark, pd)
-    }.getMessage.contains("PARTITIONED column-mapped"))
+      deltaMeta(logical, Seq("day"), Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3")),
+      deltaAdd("col-30ef=1/p1.parquet", p1, Map("col-30ef" -> "1")),
+      deltaAdd("col-30ef=2/p2.parquet", p2, Map("col-30ef" -> "2"))))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, pd, statsColumn = Some("id"))
+    val got = store.read(spark)
+    assert(got.columns.toSeq == Seq("id", "v", "day"),
+      "logical names surface, partition column last (normalized order)")
+    assert(got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)),
+      "partition VALUES decode from the physical directory name")
+    // appends stage under the physical directory convention and read back
+    store.commitAppend(Seq((9L, "z", 2L)).toDF("id", "v", "day"))
+    assert(store.read(spark).filter($"day" === 2L).count() == 2L)
+    // dynamic-partition overwrite touches exactly the staged partition
+    store.commitReplacePartitions(Seq((7L, "w", 1L)).toDF("id", "v", "day"))
+    val after = store.read(spark)
+    assert(after.filter($"day" === 1L).collect().map(_.getLong(0)).toSeq ==
+      Seq(7L), "day=1 replaced")
+    assert(after.filter($"day" === 2L).count() == 2L, "day=2 untouched")
+    // partition-scoped OPTIMIZE prunes by decoded tuple
+    store.compactLatest(spark, targetFiles = 1,
+      scope = Some($"day" === 2L))
+    val m = store.readFullManifest(store.latestVersion.get)
+    assert(store.read(spark).count() == 3L)
+    assert(store.read(spark).filter($"day" === 2L).count() == 2L)
   }
 
   test("exportToDelta: the store's history reads back through the Delta protocol — appends, MoR DVs, renames, time travel, file identity") {
