@@ -47,29 +47,56 @@ object DeltaExport {
     }).json
   }
 
-  def protocolLine(dv: Boolean, mapping: Boolean): String =
+  /** `cdf` adds the CHANGE DATA FEED writer capability: a writer-only
+    * feature — `minWriterVersion` 4 legacy when nothing else needs the
+    * feature vectors, `changeDataFeed` in `writerFeatures` (NEVER
+    * `readerFeatures` — reading CDF needs no reader capability)
+    * otherwise.
+    */
+  def protocolLine(dv: Boolean, mapping: Boolean,
+      cdf: Boolean = false): String =
     if (!dv && !mapping)
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (!cdf) """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     else {
-      val features = (if (dv) Seq("deletionVectors") else Nil) ++
+      val reader = (if (dv) Seq("deletionVectors") else Nil) ++
         (if (mapping) Seq("columnMapping") else Nil)
-      val fs = features.map(q).mkString("[", ",", "]")
+      val writer = reader ++ (if (cdf) Seq("changeDataFeed") else Nil)
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":$fs,"writerFeatures":$fs}}"""
+        s""""readerFeatures":${reader.map(q).mkString("[", ",", "]")},""" +
+        s""""writerFeatures":${writer.map(q).mkString("[", ",", "]")}}}"""
     }
+
+  def metaConf(schema: StructType, colMap: Map[String, String],
+      cdf: Boolean): Map[String, String] =
+    (if (colMap.isEmpty) Map.empty[String, String]
+     else Map("delta.columnMapping.mode" -> "name",
+       "delta.columnMapping.maxColumnId" -> schema.length.toString)) ++
+      (if (cdf) Map("delta.enableChangeDataFeed" -> "true") else Map.empty)
 
   def metaLine(tableId: java.util.UUID, schema: StructType,
       partCols: Seq[String], colMap: Map[String, String],
-      createdTime: Long): String = {
-    val conf =
-      if (colMap.isEmpty) "{}"
-      else s"""{${q("delta.columnMapping.mode")}:${q("name")},""" +
-        s"""${q("delta.columnMapping.maxColumnId")}:${q(schema.length.toString)}}"""
+      createdTime: Long, cdf: Boolean = false): String = {
+    val conf = metaConf(schema, colMap, cdf).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     s"""{"metaData":{"id":${q(tableId.toString)},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${q(schemaString(schema, colMap))},""" +
       s""""partitionColumns":${partCols.map(q).mkString("[", ",", "]")},""" +
       s""""configuration":$conf,"createdTime":$createdTime}}"""
+  }
+
+  /** `cdc` action line: one CHANGE DATA file of a commit. `dataChange`
+    * is false by spec — the rows describe the change, they are not
+    * table data.
+    */
+  def cdcLine(path: String, partitionValues: Seq[(String, Option[String])],
+      size: Long): String = {
+    val pv = partitionValues.map { case (k, v) =>
+      s"${q(k)}:${v.map(q).getOrElse("null")}"
+    }.mkString("{", ",", "}")
+    s"""{"cdc":{"path":${q(encodePath(path))},"partitionValues":$pv,""" +
+      s""""size":$size,"dataChange":false}}"""
   }
 
   /** Deletion-vector descriptor FIELDS
@@ -185,25 +212,22 @@ object DeltaExport {
       protocol: Row = null): Row = Row(null, add, remove, meta, protocol)
 
   /** `protocol` struct row — same values as [[protocolLine]]. */
-  def protocolRow(dv: Boolean, mapping: Boolean): Row =
-    if (!dv && !mapping) Row(1, 2, null, null)
+  def protocolRow(dv: Boolean, mapping: Boolean, cdf: Boolean = false): Row =
+    if (!dv && !mapping) Row(1, if (cdf) 4 else 2, null, null)
     else {
-      val features = (if (dv) Seq("deletionVectors") else Nil) ++
+      val reader = (if (dv) Seq("deletionVectors") else Nil) ++
         (if (mapping) Seq("columnMapping") else Nil)
-      Row(3, 7, features, features)
+      val writer = reader ++ (if (cdf) Seq("changeDataFeed") else Nil)
+      Row(3, 7, reader, writer)
     }
 
   /** `metaData` struct row — same values as [[metaLine]]. */
   def metaRow(tableId: java.util.UUID, schema: StructType,
       partCols: Seq[String], colMap: Map[String, String],
-      createdTime: Long): Row = {
-    val conf: Map[String, String] =
-      if (colMap.isEmpty) Map.empty
-      else Map("delta.columnMapping.mode" -> "name",
-        "delta.columnMapping.maxColumnId" -> schema.length.toString)
+      createdTime: Long, cdf: Boolean = false): Row =
     Row(tableId.toString, null, null, Row("parquet", Map.empty[String, String]),
-      schemaString(schema, colMap), partCols, conf, createdTime)
-  }
+      schemaString(schema, colMap), partCols, metaConf(schema, colMap, cdf),
+      createdTime)
 
   /** `add` struct row for a checkpoint: `dataChange` is false by spec
     * (a checkpoint restates the table, it changes nothing).

@@ -1712,8 +1712,24 @@ final class SnapshotStore(root: String,
     * versions reference — the same retention trade stock Delta makes.
     *
     * Returns the newest exported Delta version.
+    *
+    * `changeDataFeed = true` exports the store's CHANGE FEED as Delta
+    * CDF: `delta.enableChangeDataFeed=true` in the metadata, the
+    * `changeDataFeed` writer capability in the protocol, and for every
+    * exported commit with row-level changes a `cdc` action referencing
+    * a `_change_data/` parquet rendered from [[readChanges]] (per
+    * partition tuple; physical column names under mapping) — so stock
+    * Delta CDF readers (`table_changes`) consume the store's own
+    * delete/insert algebra. Append-only commits carry no cdc action
+    * (the protocol derives inserts from dataChange adds); rewrites
+    * derive "no change" from dataChange=false; a checkpoint-bridged
+    * gap carries no cdc (same retention trade as the checkpoint
+    * itself — CDF readers start after it).
     */
-  def exportToDelta(spark: SparkSession): Long = {
+  def exportToDelta(spark: SparkSession): Long =
+    exportToDelta(spark, changeDataFeed = false)
+
+  def exportToDelta(spark: SparkSession, changeDataFeed: Boolean): Long = {
     val all = versions
     require(all.nonEmpty,
       s"SnapshotStore.exportToDelta: no committed versions at $root")
@@ -1792,9 +1808,10 @@ final class SnapshotStore(root: String,
       val m = readFullManifest(v)
       val header = Seq(
         DeltaExport.protocolLine(
-          dv = m.entries.exists(_.dv.nonEmpty), mapping = m.colMap.nonEmpty),
+          dv = m.entries.exists(_.dv.nonEmpty), mapping = m.colMap.nonEmpty,
+          cdf = changeDataFeed),
         DeltaExport.metaLine(tableId, m.schema, m.partCols, m.colMap,
-          m.ts.getOrElse(0L)))
+          m.ts.getOrElse(0L), cdf = changeDataFeed))
       if (v == todo.head && v > 0 && v != already + 1) {
         // no clean diff base at the log tip (vacuumed prefix on a fresh
         // export, or a vacuum ate versions past the exported tip and
@@ -1809,9 +1826,10 @@ final class SnapshotStore(root: String,
         val rows: Seq[org.apache.spark.sql.Row] = Seq(
           DeltaExport.ckptRow(protocol = DeltaExport.protocolRow(
             dv = m.entries.exists(_.dv.nonEmpty),
-            mapping = m.colMap.nonEmpty)),
+            mapping = m.colMap.nonEmpty, cdf = changeDataFeed)),
           DeltaExport.ckptRow(meta = DeltaExport.metaRow(tableId, m.schema,
-            m.partCols, m.colMap, m.ts.getOrElse(0L)))) ++
+            m.partCols, m.colMap, m.ts.getOrElse(0L),
+            cdf = changeDataFeed))) ++
           m.entries.map { e =>
             val dvF = if (e.dv.isEmpty) None else {
               val ps = positionsFor(e)
@@ -1863,14 +1881,72 @@ final class SnapshotStore(root: String,
             case None => true
             case Some(pe) => pe.dv != e.dv
           }).map(e => addFor(m, e))
+        // CDF: a commit whose diff goes beyond pure new-file adds
+        // (shrinking file set, or a DV grew) is NOT derivable from
+        // add/remove dataChange — render the feed's own rows as cdc
+        val dvChanged = fromManifest && m.entries.exists(e =>
+          prevByPath.get(e.path).exists(pe => pe.dv != e.dv))
+        val cdc: Seq[String] =
+          if (!changeDataFeed || !fromManifest || m.rewrite) Nil
+          else if (removes.isEmpty && !dvChanged) Nil
+          else writeCdcFiles(spark, v, m)
         val tmpF = logDir.resolve(f".$v%020d.json.tmp")
-        Files.write(tmpF, (header ++ removes ++ adds)
+        Files.write(tmpF, (header ++ cdc ++ removes ++ adds)
           .mkString("", "\n", "\n").getBytes("UTF-8"))
         Files.move(tmpF, logDir.resolve(f"$v%020d.json"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
     todo.last
+  }
+
+  /** One commit's CHANGE DATA files for the CDF export: the store's
+    * own feed for `(v-1, v]`, one parquet per partition tuple (data
+    * columns under their PHYSICAL names + `_change_type`, partition
+    * values on the `cdc` action — mirroring the data files' own
+    * encoding), deterministically named so re-export overwrites
+    * instead of orphaning. Returns the rendered `cdc` action lines.
+    */
+  private def writeCdcFiles(spark: SparkSession, v: Long,
+      m: Manifest): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val changes = readChanges(spark, v - 1, Some(v))
+      .drop("_commit_version").cache()
+    try {
+      val dataCols = m.schema.fieldNames.filterNot(m.partCols.contains).toSeq
+      def phys(c: String) = m.colMap.getOrElse(c, c)
+      val tuples: Seq[Seq[String]] =
+        if (m.partCols.isEmpty) Seq(Nil)
+        else changes.select(m.partCols.map(col): _*).distinct().collect()
+          .map(_.toSeq.map(x =>
+            if (x == null) null else String.valueOf(x)).toSeq).toSeq
+      tuples.sortBy(t => t.map(String.valueOf).mkString("/")).zipWithIndex
+        .map { case (tuple, i) =>
+          val slice =
+            if (m.partCols.isEmpty) changes
+            else m.partCols.zip(tuple).foldLeft(changes) {
+              case (df, (c, tv)) =>
+                if (tv == null) df.filter(col(c).isNull)
+                else df.filter(col(c).cast("string") === tv)
+            }
+          val out = slice.select(dataCols.map(c => col(c).as(phys(c))) :+
+            col("_change_type"): _*)
+          val rel = f"_change_data/cdc-$v%020d-$i%05d.parquet"
+          val stage = Files.createTempDirectory("graft-cdc")
+          out.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val it = Files.list(stage)
+          val part = try it.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally it.close()
+          val dst = rootPath.resolve(rel)
+          Files.createDirectories(dst.getParent)
+          Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val pv = m.partCols.zip(tuple).map { case (c, tv) =>
+            m.colMap.getOrElse(c, c) -> Option(tv) }
+          DeltaExport.cdcLine(rel, pv, Files.size(dst))
+        }
+    } finally changes.unpersist()
   }
 
   /** RESTORE: republish version `toVersion`'s exact file list as the

@@ -65,8 +65,8 @@ final class SnapshotSqlParser(session: SparkSession, delegate: ParserInterface)
       ConvertFromDeltaSnapshotCommand(target.trim, deltaPath,
         Option(v).map(_.toLong), Option(statsCol).map(stripIdent),
         Option(location))
-    case ExportToDeltaRe(target) =>
-      ExportToDeltaSnapshotCommand(target.trim)
+    case ExportToDeltaRe(target, cdf) =>
+      ExportToDeltaSnapshotCommand(target.trim, changeDataFeed = cdf != null)
     case RestoreVersionRe(target, v) =>
       RestoreSnapshotCommand(target.trim, Some(v.toLong), None)
     case RestoreTimestampRe(target, ts) =>
@@ -154,7 +154,8 @@ object SnapshotSqlParser {
       """(?:\s+STATS\s+COLUMN\s+([\w`,]+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private[streaming] val ExportToDeltaRe =
-    s"""(?is)\\s*EXPORT\\s+TABLE\\s+$T\\s+TO\\s+DELTA\\s*;?\\s*""".r
+    (s"""(?is)\\s*EXPORT\\s+TABLE\\s+$T\\s+TO\\s+DELTA""" +
+      """(\s+WITH\s+CHANGE\s+FEED)?\s*;?\s*""").r
   private[streaming] val RestoreVersionRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -615,19 +616,20 @@ final case class ConvertFromDeltaSnapshotCommand(target: String,
   }
 }
 
-/** `EXPORT TABLE t TO DELTA` — SQL rail for
+/** `EXPORT TABLE t TO DELTA [WITH CHANGE FEED]` — SQL rail for
   * [[SnapshotStore.exportToDelta]]: write (or incrementally extend) a
   * stock Delta transaction log beside the store's own manifests, so
   * downstream Delta readers consume the table in place. Idempotent;
-  * re-run after commits to mirror them.
+  * re-run after commits to mirror them. `WITH CHANGE FEED` exports the
+  * store's change feed as Delta CDF (`cdc` actions + `_change_data/`).
   */
-final case class ExportToDeltaSnapshotCommand(target: String)
-    extends LeafRunnableCommand {
+final case class ExportToDeltaSnapshotCommand(target: String,
+    changeDataFeed: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("exported_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (store, _) = SnapshotSqlParser.resolveStore(session, target)
-    Seq(Row(store.exportToDelta(session)))
+    Seq(Row(store.exportToDelta(session, changeDataFeed)))
   }
 }
 

@@ -2626,6 +2626,84 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("exportToDelta CHANGE DATA FEED: DML commits carry cdc actions whose _change_data files equal the store's own feed") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rootS = tmp()
+    val store = new SnapshotStore(rootS)
+    store.commitOverwrite(frame(1 to 8, "x").coalesce(1),
+      statsColumn = Some("id"))                                 // v0
+    store.deleteWhere(spark, $"id" === 3L, mergeOnRead = true)  // v1: DV
+    store.commitAppend(frame(9 to 10, "y").coalesce(1))         // v2: adds only
+    store.updateWhere(spark, $"id" === 5L, Map("tag" -> lit("upd"))) // v3: CoW
+    assert(store.exportToDelta(spark, changeDataFeed = true) == 3L)
+    val logDir = Paths.get(rootS).resolve("_delta_log")
+    def lines(v: Long) =
+      Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
+    // the capability travels: config flag + WRITER-only feature
+    assert(lines(0L).exists(
+      _.contains("\"delta.enableChangeDataFeed\":\"true\"")))
+    assert(lines(1L).exists(l => l.contains("\"writerFeatures\"") &&
+      l.contains("changeDataFeed")))
+    assert(!lines(1L).exists(l => {
+      val r = l.indexOf("\"readerFeatures\"")
+      r >= 0 && l.substring(r, l.indexOf(']', r) max r)
+        .contains("changeDataFeed")
+    }), "CDF must not claim a READER capability")
+    // DML commits carry cdc; add-only commits derive natively
+    assert(lines(1L).exists(_.contains("\"cdc\"")) &&
+      lines(3L).exists(_.contains("\"cdc\"")))
+    assert(!lines(0L).exists(_.contains("\"cdc\"")) &&
+      !lines(2L).exists(_.contains("\"cdc\"")))
+    // the cdc file IS the feed, row for row
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    def cdcPaths(dir: java.nio.file.Path, v: Long): Seq[String] =
+      Files.readAllLines(dir.resolve(f"$v%020d.json")).asScala.toSeq
+        .flatMap(l => Option(mapper.readTree(l).get("cdc"))
+          .map(_.get("path").asText()))
+    def typed(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    (Seq(1L, 3L)).foreach { v =>
+      val got = typed(spark.read.parquet(
+        cdcPaths(logDir, v).map(p => s"$rootS/$p"): _*))
+      val want = typed(store.readChanges(spark, v - 1, Some(v)))
+      assert(got == want, s"version $v cdc file must equal the feed")
+    }
+    assert(typed(spark.read.parquet(
+      cdcPaths(logDir, 1L).map(p => s"$rootS/$p"): _*))
+      .contains((3L, "delete")))
+    // cdc actions carry no table state: adoption still reads clean
+    val adopted = new SnapshotStore(tmp())
+    adopted.convertFromDelta(spark, rootS)
+    assert(adopted.read(spark).count() == 9L)
+    // incremental: a later DML commit extends with its own cdc
+    store.deleteWhere(spark, $"id" === 9L)                      // v4: CoW
+    assert(store.exportToDelta(spark, changeDataFeed = true) == 4L)
+    assert(lines(4L).exists(_.contains("\"cdc\"")))
+    // PARTITIONED: one cdc file per touched partition tuple, partition
+    // values on the ACTION, data columns + _change_type in the file
+    val pr = tmp(); val ps = new SnapshotStore(pr)
+    ps.commitOverwrite(Seq((1L, "p", 1.0), (2L, "q", 2.0))
+      .toDF("id", "tag", "amt"), partitionBy = Seq("tag"))      // v0
+    // MoR: only partition p's file gains a DV — a CoW delete without
+    // stats would rewrite BOTH files and the feed would honestly
+    // include partition q's rewritten rows
+    ps.deleteWhere(spark, $"id" === 1L, mergeOnRead = true)     // v1: DV
+    assert(ps.exportToDelta(spark, changeDataFeed = true) == 1L)
+    val plog = Paths.get(pr).resolve("_delta_log")
+    val cdcNodes = Files.readAllLines(plog.resolve(f"${1L}%020d.json"))
+      .asScala.flatMap(l => Option(mapper.readTree(l).get("cdc")))
+    assert(cdcNodes.nonEmpty)
+    assert(cdcNodes.map(n =>
+      n.get("partitionValues").get("tag").asText()).toSet == Set("p"),
+      "only the touched partition carries change rows")
+    val pcols = spark.read.parquet(
+      s"$pr/${cdcNodes.head.get("path").asText()}").columns.toSeq
+    assert(pcols == Seq("id", "amt", "_change_type"),
+      "partition values live on the action, not in the file")
+  }
+
   test("readChanges relabel survives a two-step rename chain (b->c then a->b): one projection, no duplicate columns") {
     import spark.implicits._
     val store = new SnapshotStore(tmp())

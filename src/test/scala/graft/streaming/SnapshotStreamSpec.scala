@@ -1787,6 +1787,16 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = new SnapshotStore(tmp())
     back.convertFromDelta(spark, snapRoot)
     assert(back.read(spark).count() == 11L)
+    // WITH CHANGE FEED: a DML commit exports a cdc action + the CDF
+    // config flag (the full algebra is spec'd in SnapshotSpec)
+    new SnapshotStore(snapRoot).deleteWhere(spark,
+      org.apache.spark.sql.functions.col("id") === 1L, mergeOnRead = true)
+    assert(spark.sql("EXPORT TABLE snap_from_delta TO DELTA WITH CHANGE FEED")
+      .head().getLong(0) == 3L)
+    val v3 = Files.readAllLines(java.nio.file.Paths.get(snapRoot)
+      .resolve("_delta_log").resolve(f"${3L}%020d.json"))
+    assert(v3.toString.contains("\"cdc\"") &&
+      v3.toString.contains("delta.enableChangeDataFeed"))
     spark.sql("DROP TABLE snap_from_delta")
   }
 
