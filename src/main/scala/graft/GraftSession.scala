@@ -43,6 +43,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // schemas carrying `parquet.field.id` metadata (tables adopted
+      // from ID-mode column-mapped Delta) resolve parquet columns by
+      // field id; schemas without the metadata are unaffected
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       // testdata events.parquet stores TIMESTAMP(NANOS); read as long
       // (converted back to TimestampType in Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

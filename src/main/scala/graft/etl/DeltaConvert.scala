@@ -268,17 +268,18 @@ object DeltaConvert {
       .getOrElse(Map.empty[String, String])
     // columnMapping: 'name' mode maps straight onto the store's own
     // logical→physical mapping (files store physical NAMES, exactly
-    // what the store's rename machinery reads through); 'id' mode
-    // resolves parquet FIELD IDS — a different read path — refused.
+    // what the store's rename machinery reads through). 'id' mode
+    // resolves parquet FIELD IDS: the adopted schema keeps each
+    // field's `delta.columnMapping.id` as `parquet.field.id` metadata,
+    // which Spark's own parquet reader resolves natively
+    // (spark.sql.parquet.fieldId.read.enabled) — no custom scan.
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none" || cmMode == "name",
-      s"DeltaConvert: columnMapping.mode=$cmMode — id-mode files are " +
-        "resolved by parquet field id, which a name-based scan cannot " +
-        "re-map; rewrite the source with name mapping or logical names " +
-        "before adoption")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"DeltaConvert: unknown columnMapping.mode=$cmMode")
     val rawSchema = DataType.fromJson(meta.get("schemaString").asText())
       .asInstanceOf[StructType]
     val PhysKey = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
     val colMap: Map[String, String] =
       if (cmMode == "none") Map.empty
       else rawSchema.fields.toSeq.flatMap { f =>
@@ -301,10 +302,35 @@ object DeltaConvert {
         s"DeltaConvert: column '${f.name}' carries NESTED column-mapping " +
           "metadata — nested physical renames cannot be adopted"))
     }
-    // the adopted schema is the clean LOGICAL one: mapping metadata
-    // lives in the store's colMap, not in field metadata
-    val schema = StructType(rawSchema.fields.map(f =>
-      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    // the adopted schema is the clean LOGICAL one. Name mode: mapping
+    // metadata lives in the store's colMap, field metadata empty. Id
+    // mode: each field (nested included — parquet ids are per-node)
+    // keeps ONLY `parquet.field.id`, the key Spark's reader honors.
+    def toFieldId(m: org.apache.spark.sql.types.Metadata,
+        where: String): org.apache.spark.sql.types.Metadata = {
+      require(m.contains(IdKey),
+        s"DeltaConvert: id-mode table field '$where' lacks " +
+          s"$IdKey metadata — corrupt schemaString")
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", m.getLong(IdKey)).build()
+    }
+    def idType(dt: DataType, where: String): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f => f.copy(
+        dataType = idType(f.dataType, s"$where.${f.name}"),
+        metadata = toFieldId(f.metadata, s"$where.${f.name}"))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = idType(a.elementType, where))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = idType(m.keyType, where),
+          valueType = idType(m.valueType, where))
+      case other => other
+    }
+    val schema =
+      if (cmMode == "id") StructType(rawSchema.fields.map(f => f.copy(
+        dataType = idType(f.dataType, f.name),
+        metadata = toFieldId(f.metadata, f.name))))
+      else StructType(rawSchema.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val partCols = Option(meta.get("partitionColumns")).filterNot(_.isNull)
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val files = adds.toSeq.map { case (path, (size, dv, pv)) =>

@@ -272,6 +272,7 @@ final class SnapshotStore(root: String,
     val m = readFullManifest(v)
     require(m.partCols.nonEmpty,
       s"SnapshotStore.commitReplacePartitions: version $v is not partitioned")
+    refuseIdWrites(m.schema, "commitReplacePartitions")
     requireSameColumns(m.schema, df.schema, v)
     val staged = stagePartitioned(df, m.partCols, m.statsColumn, m.colMap, m.bloomColumn)
     val touched = staged.map(e => partitionTupleOf(e.path, m.partCols, m.colMap)).toSet
@@ -279,6 +280,42 @@ final class SnapshotStore(root: String,
       touched.contains(partitionTupleOf(e.path, m.partCols, m.colMap)))
     publishEntries(kept ++ staged, m.schema, m.statsColumn, txn,
       partCols = m.partCols, expectedVersion = Some(v + 1L), prev = Some(m))
+  }
+
+  /** A table adopted from an ID-mode column-mapped Delta table
+    * resolves parquet columns by FIELD ID (`parquet.field.id` field
+    * metadata + Spark's native fieldId read path). Files this store
+    * writes would not carry those ids, and a manifest mixing
+    * id-resolved and name-resolved files cannot be read with one
+    * schema — so new-data-file writes refuse until a FULL
+    * [[compactLatest]] materializes a native table (it reads by id,
+    * writes name-resolved files, and strips the id metadata).
+    */
+  private[etl] def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains("parquet.field.id"))
+
+  private def refuseIdWrites(schema: StructType, op: String): Unit =
+    require(!hasFieldIds(schema),
+      s"SnapshotStore.$op: this table was adopted from an ID-mode " +
+        "column-mapped Delta table — its files resolve columns by " +
+        "parquet field id, which files this store writes would not " +
+        "carry; compactLatest(spark, targetFiles) first to materialize " +
+        "a native table, then retry")
+
+  private def stripFieldIds(schema: StructType): StructType = {
+    def clean(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f => f.copy(
+        dataType = clean(f.dataType),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = clean(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = clean(m.keyType), valueType = clean(m.valueType))
+      case other => other
+    }
+    StructType(schema.fields.map(f => f.copy(dataType = clean(f.dataType),
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
   }
 
   /** Raw `col=value` partition tuple of a manifest path (decoded), in
@@ -404,6 +441,7 @@ final class SnapshotStore(root: String,
               (Map.empty[String, String], Seq.empty[String]))
           case Some(v) =>
             val h = readHeader(v)
+            refuseIdWrites(h.schema, "commitAppend")
             val pub =
               if (h.partCols.nonEmpty) {
                 require(!mergeSchema, "SnapshotStore.commitAppend: mergeSchema " +
@@ -545,6 +583,16 @@ final class SnapshotStore(root: String,
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.compactLatest: no committed versions at $root"))
     val m = readFullManifest(v)
+    // an ID-adopted table (parquet.field.id schema metadata) converts
+    // to native HERE — but only as a FULL rewrite: a partial one would
+    // mix id-resolved and name-resolved files under one schema
+    require(!hasFieldIds(m.schema) ||
+        (scope.isEmpty && onlySmallerThanBytes.isEmpty),
+      "SnapshotStore.compactLatest: this table resolves columns by " +
+        "parquet field id (ID-mode Delta adoption) — a PARTIAL " +
+        "compaction would mix id-resolved and name-resolved files; " +
+        "compact whole (no scope/onlySmallerThanBytes) to materialize " +
+        "a native table")
     // SCOPED maintenance (Delta's `OPTIMIZE ... WHERE`): at 100 TB a
     // whole-table rewrite is the wrong physics — maintenance must be
     // incremental. The predicate selects PARTITIONS: it is evaluated
@@ -673,7 +721,14 @@ final class SnapshotStore(root: String,
         else staged.map(_.copy(min = None, max = None, extra = Nil))
       val kept = latest.entries.filterNot(e => rewrittenPaths.contains(e.path))
       try {
-        return publishEntries(kept ++ stagedAdj, latest.schema,
+        // an ID-adopted table materializes NATIVE here: every file was
+        // rewritten name-resolved (kept is empty under the full-compact
+        // gate above), so the published schema drops the field-id
+        // metadata and reads go back to the name path
+        val pubSchema =
+          if (hasFieldIds(latest.schema)) stripFieldIds(latest.schema)
+          else latest.schema
+        return publishEntries(kept ++ stagedAdj, pubSchema,
           latest.statsColumn, latest.txn, rewrite = true,
           expectedVersion = Some(lv + 1L), partCols = m.partCols,
           prev = Some(latest))
@@ -734,6 +789,7 @@ final class SnapshotStore(root: String,
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.mergeInto: no committed versions at $root"))
     val m = readFullManifest(v)
+    refuseIdWrites(m.schema, "mergeInto")
     require(DataType.equalsIgnoreNullability(m.schema, delta.schema),
       s"SnapshotStore.mergeInto: delta schema ${delta.schema.simpleString} " +
         s"must match table schema ${m.schema.simpleString}")
@@ -834,6 +890,7 @@ final class SnapshotStore(root: String,
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.applyChanges: no committed versions at $root"))
     val m = readFullManifest(v)
+    refuseIdWrites(m.schema, "applyChanges")
     val dataCols = changes.schema.fields.filterNot(_.name == opCol)
     require(DataType.equalsIgnoreNullability(
         StructType(dataCols), m.schema),
@@ -1129,6 +1186,7 @@ final class SnapshotStore(root: String,
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.deleteWhere: no committed versions at $root"))
     val m = readFullManifest(v)
+    refuseIdWrites(m.schema, "deleteWhere")
     val (touched, untouched) = predicateCandidates(spark, m, predicate)
     val hit = coalesce(predicate, lit(false))
     // racer-added files that the predicate's stats bounds could reach
@@ -1184,6 +1242,7 @@ final class SnapshotStore(root: String,
     val v = latestVersion.getOrElse(throw new IllegalArgumentException(
       s"SnapshotStore.updateWhere: no committed versions at $root"))
     val m = readFullManifest(v)
+    refuseIdWrites(m.schema, "updateWhere")
     assignments.keys.foreach(k => require(m.schema.fieldNames.contains(k),
       s"SnapshotStore.updateWhere: no column '$k' in ${m.schema.fieldNames.mkString(", ")}"))
     val (touched, untouched) = predicateCandidates(spark, m, predicate)

@@ -2277,10 +2277,14 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     refused(Seq(Seq(deltaProto(3, Seq("v2Checkpoint")),
       deltaMeta(plainSchema), deltaAdd("r.parquet", 1L))),
       "unsupported reader feature")
-    // column mapping mode 'id' (parquet field-id resolution) refused;
-    // 'name' mode adopts — covered by its own test
+    // id-mode whose schemaString LACKS the field ids is corrupt — the
+    // adoption cannot resolve columns (well-formed id mode adopts;
+    // covered by its own test); an unknown mapping mode refuses too
     refused(Seq(Seq(deltaProto(2),
       deltaMeta(plainSchema, Nil, Map("delta.columnMapping.mode" -> "id")),
+      deltaAdd("r.parquet", 1L))), "delta.columnMapping.id")
+    refused(Seq(Seq(deltaProto(2),
+      deltaMeta(plainSchema, Nil, Map("delta.columnMapping.mode" -> "odd")),
       deltaAdd("r.parquet", 1L))), "columnMapping")
     // an absolute/external file reference
     refused(Seq(Seq(deltaProto(), deltaMeta(plainSchema),
@@ -2392,6 +2396,67 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.commitAppend(Seq((9L, "z")).toDF("id", "label"))
     assert(store.read(spark).count() == 3L)
     // id-mode refused loudly (covered in the refusal battery too)
+  }
+
+  test("convertFromDelta adopts ID-mode column-mapped tables: columns resolve by parquet FIELD ID; writes refuse until a full compaction materializes native") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
+      StructField, StructType}
+    val delta = tmp()
+    // the file's column NAMES match neither the logical nor the
+    // physical names — only the parquet FIELD IDS (written by Spark's
+    // own fieldId.write path from this metadata) identify the columns
+    val fileSchema = StructType(Seq(
+      StructField("anything_a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("anything_b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b"),
+        org.apache.spark.sql.Row(3L, "c")).asJava, fileSchema)
+    val sz = deltaDataFile(delta, "i1.parquet", df)
+    def idMapped(name: String, phys: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(
+      idMapped("id", "col-xx", 1L, LongType),
+      idMapped("v", "col-yy", 2L, StringType)))
+    deltaCommit(delta, 0L, Seq(deltaProto(3, Seq("columnMapping")),
+      deltaMeta(logical, Nil, Map(
+        "delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      deltaAdd("i1.parquet", sz)))
+    val store = new SnapshotStore(tmp())
+    store.convertFromDelta(spark, delta)
+    val got = store.read(spark)
+    assert(got.columns.toSeq == Seq("id", "v"), "logical names surface")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "values resolve by FIELD ID — name-based resolution would read NULLs")
+    // files this store writes would not carry the ids: new-data writes
+    // refuse with the compact-first recipe
+    assert(intercept[IllegalArgumentException] {
+      store.commitAppend(Seq((9L, "z")).toDF("id", "v"))
+    }.getMessage.contains("compactLatest"))
+    assert(intercept[IllegalArgumentException] {
+      store.deleteWhere(spark, $"id" === 1L)
+    }.getMessage.contains("field id"))
+    // a FULL compaction materializes native (ids stripped, name path);
+    // a partial one would mix resolution modes — refused
+    assert(intercept[IllegalArgumentException] {
+      store.compactLatest(spark, targetFiles = 1,
+        onlySmallerThanBytes = Some(1L))
+    }.getMessage.contains("PARTIAL"))
+    store.compactLatest(spark, targetFiles = 1)
+    assert(store.read(spark).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "native reads after compaction")
+    store.commitAppend(Seq((9L, "z")).toDF("id", "v"))
+    assert(store.read(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 9L), "writes flow once native")
   }
 
   test("rename on a PARTITIONED store: reads stay correct through the mapping-aware scan (no relation fallback recursion)") {
