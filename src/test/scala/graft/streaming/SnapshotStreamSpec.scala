@@ -2285,6 +2285,44 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("insert-only"))
   }
 
+  test("graft-delta tail reads ID-mode column-mapped tables: the pinned schema's field ids resolve columns Spark-natively") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
+      StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val delta = tmp()
+    // file columns named like NEITHER the logical nor physical names —
+    // only the parquet field ids identify them
+    val fileSchema = StructType(Seq(
+      StructField("zz1", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("zz2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val sz = deltaWrite(delta, "m0.parquet", spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(7L, "x")).asJava, fileSchema))
+    def idMapped(name: String, phys: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(
+      idMapped("id", "col-aa", 1L, LongType),
+      idMapped("v", "col-bb", 2L, StringType)))
+    deltaCommit(delta, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"im","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${jq(logical.json)},""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"id",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+      deltaAddLine("m0.parquet", sz)))
+    val out = tmp(); val cp = tmp()
+    drainDelta(delta, out, cp)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((7L, "x")), "values resolve by FIELD ID, not by any name")
+  }
+
   test("graft-delta tail reads PARTITIONED name-mapped tables: partition values come from the add actions, not the hive layout") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
