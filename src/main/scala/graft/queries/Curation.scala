@@ -1807,6 +1807,127 @@ object Curation {
                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         FROM orders WHERE o_orderkey % 7 <> 3
         GROUP BY 1 ORDER BY q
+      """)),
+    // ----------------------------------------------------------------
+    // DELTA ID-MODE ADOPTION — columnMapping.mode=id resolves parquet
+    // columns by FIELD ID, not by name. The query fabricates an
+    // id-mode table whose data file stores columns named like NEITHER
+    // the logical nor the physical names (only the parquet field ids,
+    // written by Spark's own fieldId.write path, identify them),
+    // adopts it, and aggregates — a name-resolved scan would read
+    // all-NULL columns and zero every sum. Impl: DeltaConvert.replay
+    // (delta.columnMapping.id → parquet.field.id metadata) + Spark's
+    // native spark.sql.parquet.fieldId.read path.
+    Q(
+      "q302_delta_idmode_adoption",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.MetadataBuilder
+        val o = graft.Tables.load(s, dir, "orders")
+        def fid(id: Long) =
+          new MetadataBuilder().putLong("parquet.field.id", id).build()
+        val delta = java.nio.file.Files.createTempDirectory("graft-idm").toString
+        val deltaP = java.nio.file.Paths.get(delta)
+        val stage = java.nio.file.Files.createTempDirectory("graft-idm-st")
+        o.select($"o_orderkey".as("zz_key", fid(1L)),
+            $"o_custkey".as("zz_cust", fid(2L)))
+          .repartition(1).write.mode("overwrite").parquet(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val src = try {
+          val it = ls.iterator()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally ls.close()
+        java.nio.file.Files.move(src, deltaP.resolve("d0.parquet"))
+        val sz = java.nio.file.Files.size(deltaP.resolve("d0.parquet"))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+        def jq(x: String) = mapper.writeValueAsString(x)
+        def mappedField(name: String, phys: String, id: Long, dt: String) =
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.DataType.fromDDL(dt),
+            nullable = true, new MetadataBuilder()
+              .putLong("delta.columnMapping.id", id)
+              .putString("delta.columnMapping.physicalName", phys).build())
+        val logical = org.apache.spark.sql.types.StructType(Seq(
+          mappedField("o_orderkey", "col-k", 1L, "BIGINT"),
+          mappedField("o_custkey", "col-c", 2L, "BIGINT")))
+        val logDir = deltaP.resolve("_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q302","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":${jq(logical.json)},""" +
+            s""""partitionColumns":[],"configuration":{""" +
+            s""""delta.columnMapping.mode":"id",""" +
+            s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+          s"""{"add":{"path":"d0.parquet","partitionValues":{},""" +
+            s""""size":$sz,"modificationTime":0,"dataChange":true}}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        val store = new graft.etl.SnapshotStore(
+          java.nio.file.Files.createTempDirectory("graft-idm-a").toString)
+        store.convertFromDelta(s, delta)
+        store.read(s)
+          .groupBy(($"o_orderkey" % 5).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"),
+            sum($"o_custkey").as("cust_sum"))
+          .orderBy("bucket")
+      },
+      Some("""
+        SELECT CAST(o_orderkey % 5 AS INT) AS bucket, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM orders GROUP BY 1 ORDER BY bucket
+      """)),
+    // ----------------------------------------------------------------
+    // DELTA CHANGE-DATA-FEED EXPORT — the store's feed as stock Delta
+    // CDF: two successive MERGE-ON-READ deletes export `cdc` actions
+    // whose `_change_data/` files a stock CDF reader would consume.
+    // The second delete GROWS the same files' deletion vectors, so its
+    // cdc file must hold ONLY the diff (the newly-dead rows), not the
+    // whole vector — re-emitting already-dead rows doubles the first
+    // bucket's sums. The query reads the exported cdc parquet straight
+    // off disk (no store API in the read path) and aggregates per
+    // commit. Impl: SnapshotStore.{exportToDelta,writeCdcFiles} +
+    // DeltaExport.cdcLine.
+    Q(
+      "q303_delta_cdf_export",
+      (s, dir) => {
+        import s.implicits._
+        val o = graft.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val root = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+        val store = new graft.etl.SnapshotStore(root)
+        store.commitOverwrite(o.repartitionByRange(4, $"o_orderkey"),
+          statsColumn = Some("o_orderkey"))                       // v0
+        store.deleteWhere(s, $"o_orderkey" % 9 === 4L, mergeOnRead = true)
+        store.deleteWhere(s, $"o_orderkey" % 9 === 7L, mergeOnRead = true)
+        store.exportToDelta(s, changeDataFeed = true)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+        val logDir = java.nio.file.Paths.get(root).resolve("_delta_log")
+        def cdcPaths(v: Long): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(logDir.resolve(f"$v%020d.json"))
+            .asScala.toSeq
+            .flatMap(l => Option(mapper.readTree(l).get("cdc"))
+              .map(n => s"$root/${n.get("path").asText()}"))
+        }
+        Seq(1L, 2L).map { v =>
+          s.read.parquet(cdcPaths(v): _*)
+            .filter($"_change_type" === "delete")
+            .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+            .select(lit(v).cast("int").as("commit_v"), $"n", $"key_sum",
+              lit("delete").as("change_type"))
+        }.reduce(_.unionByName(_)).orderBy("commit_v")
+      },
+      Some("""
+        SELECT 1 AS commit_v, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               'delete' AS change_type
+        FROM orders WHERE o_orderkey % 9 = 4
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT), 'delete'
+        FROM orders WHERE o_orderkey % 9 = 7
+        ORDER BY commit_v
       """))
   )
 }

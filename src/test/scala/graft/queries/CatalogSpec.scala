@@ -24,9 +24,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("catalog has 301 uniquely named queries, every one oracle-checked") {
-    assert(Catalog.all.size == 301)
-    assert(Catalog.all.map(_.name).distinct.size == 301)
+  test("catalog has 303 uniquely named queries, every one oracle-checked") {
+    assert(Catalog.all.size == 303)
+    assert(Catalog.all.map(_.name).distinct.size == 303)
     // since round 6 the approx sketches are self-verifying envelope
     // checks (exact twin + bounded-error verdict in the row), so no
     // catalog entry is allowed to lack an oracle
