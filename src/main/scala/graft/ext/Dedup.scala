@@ -203,7 +203,7 @@ object Dedup {
     cand
       .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", graft.functions.TextFunctions.longSetIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
       .select(col("id_a"), col("id_b"),
         (col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
@@ -250,10 +250,16 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxCandidatePairs: Long = 100000000L): DataFrame = {
+    // The shingle relation feeds FIVE consumers (postings→dfreq,
+    // postings→prefix join, and both verify-join sides) — without a pin
+    // each consumer re-runs tokenize+shingle-hash over the corpus text
+    // (the q171/q147 multi-consumer lesson). Pin it once: everything
+    // downstream reads 8-byte hash arrays, the text is scanned once.
     val sh = docs.select(
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions
         .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("shingles"))
+      .localCheckpoint(false)
     // Canonical order = rarest-first (ascending document frequency,
     // hash as tiebreak): prefixes then hold each document's most
     // selective shingles, so prefix-join candidates approach the true
@@ -296,7 +302,7 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", graft.functions.TextFunctions.longSetIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
       .select(col("id_a"), col("id_b"),
         (col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
@@ -331,10 +337,14 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxCandidatePairs: Long = 100000000L): DataFrame = {
+    // pinned for the same five-consumer reason as ngramJaccardPairs —
+    // and here `full = post` additionally rides the candidate join
+    // directly, so the unpinned chain re-tokenized the corpus per use
     val sh = docs.select(
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions
         .wordShingleHashes(col(textCol), shingleSize, TextHash.MinhashPrime).as("shingles"))
+      .localCheckpoint(false)
     val post = sh.select(col("doc_id"), size(col("shingles")).as("__n"),
       explode(col("shingles")).as("g"))
     val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -374,7 +384,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("id_small"), col("shingles").as("sh_a")), Seq("id_small"))
       .join(sh.select(col("doc_id").as("id_big"), col("shingles").as("sh_b")), Seq("id_big"))
       .select(col("id_small"), col("id_big"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        (graft.functions.TextFunctions.longSetIntersectCount(col("sh_a"), col("sh_b")).cast("double") /
           size(col("sh_a")).cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
   }
@@ -430,7 +440,7 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("id_new"), col("shingles").as("sh_a")), Seq("id_new"))
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", graft.functions.TextFunctions.longSetIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
       .select(col("id_new"), col("id_b"), col("in_batch"),
         (col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))

@@ -197,15 +197,21 @@ object Retrieval {
       transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
+    // tf feeds two consumers (the df gate + the kept join) and kept
+    // three (norms + both dot-join sides): unpinned, the tokenize→
+    // 3-gram-explode→aggregate chain re-ran up to six times. Pin each
+    // once — downstream reads (id, gram, tf) longs/strings, never text.
     val tf = docs.filter(text.isNotNull)
       .select(id.as("__id"), explode(grams).as("__g"))
       .groupBy(col("__id"), col("__g"))
       .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
     val kept = tf.join(
       tf.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf)
         .select(col("__g")),
       Seq("__g"))
+      .localCheckpoint(false)
     val norms = kept.groupBy(col("__id"))
       .agg(sqrt(sum(col("__tf") * col("__tf")).cast("double")).as("__n"))
     val dots = kept.select(col("__g"), col("__id").as("id_a"), col("__tf").as("__tfa"))

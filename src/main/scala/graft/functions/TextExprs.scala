@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -519,6 +519,78 @@ object CharClassStats {
   }
 }
 
+/** |distinct(a) ∩ distinct(b)| over two array<long> columns — the exact
+  * integer `size(array_intersect(a, b))` (the dedup verify kernel), as a
+  * primitive open-addressing probe instead of the generic builtin, which
+  * materializes the intersection ARRAY (boxed element writes) when only
+  * its size is ever consumed. One linear pass per side, zero boxing, no
+  * output array: the verify stage of the AllPairs family runs this once
+  * per candidate pair, so the constant factor is the stage.
+  * Input arrays must be containsNull=false (checked) — shingle/hash
+  * relations are; null ARRAYS propagate null like the builtin chain.
+  */
+case class LongSetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_set_intersect_count requires two array<long> (containsNull=false), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongSetIntersectCount.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LongSetIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongSetIntersectCount =
+    copy(left = l, right = r)
+}
+
+object LongSetIntersectCount {
+  /** Open-addressed probe: table the SMALLER side (dedup on insert),
+    * probe the larger, tombstone each hit so duplicate probes can't
+    * double-count. Exactly |distinct(a) ∩ distinct(b)|.
+    */
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val (s, p) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = s.numElements()
+    if (n == 0 || p.numElements() == 0) return 0
+    var cap = 4
+    while (cap < (n << 1)) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    // state: 0 = empty, 1 = present, 2 = already counted
+    val state = new Array[Byte](cap)
+    var i = 0
+    while (i < n) {
+      val v = s.getLong(i)
+      var idx = (java.lang.Long.hashCode(v) * 0x9e3775cd) & mask
+      while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+      if (state(idx) == 0) { table(idx) = v; state(idx) = 1 }
+      i += 1
+    }
+    var count = 0
+    val m = p.numElements()
+    i = 0
+    while (i < m) {
+      val v = p.getLong(i)
+      var idx = (java.lang.Long.hashCode(v) * 0x9e3775cd) & mask
+      while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+      if (state(idx) == 1) { state(idx) = 2; count += 1 }
+      i += 1
+    }
+    count
+  }
+}
+
 object TextFunctions {
   def minhashSig(hashed: Column, k: Int): Column =
     GraftExprBridge.column(MinhashSig(GraftExprBridge.expression(hashed), k))
@@ -540,4 +612,8 @@ object TextFunctions {
 
   def charClassStats(text: Column): Column =
     GraftExprBridge.column(CharClassStats(GraftExprBridge.expression(text)))
+
+  def longSetIntersectCount(a: Column, b: Column): Column =
+    GraftExprBridge.column(LongSetIntersectCount(
+      GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
 }

@@ -455,4 +455,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT graft_km_fold_ppm(CAST(NULL AS ARRAY<STRUCT<n: BIGINT, d: BIGINT>>)) AS s")
       .collect().head.isNullAt(0))
   }
+
+  test("LongSetIntersectCount == size(array_intersect) on random long sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // adversarial shapes: empty sides, disjoint, identical, duplicates in
+    // the probe side (builtin dedups — the count must too), tiny + big
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(40)
+      val m = rnd.nextInt(40)
+      val pool = 30 // small pool forces collisions and duplicates
+      val a = Seq.fill(n)(rnd.nextInt(pool).toLong)
+      val b = Seq.fill(m)(rnd.nextInt(pool).toLong)
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq(5L, 5L, 5L), Seq(5L, 5L)),
+      (Seq(Long.MaxValue, Long.MinValue, 0L), Seq(0L, Long.MinValue)))
+    val df = rows.toDF("a", "b")
+      // element-level containsNull=false, like the shingle relations
+      .select(expr("transform(a, x -> x)").as("a"), expr("transform(b, x -> x)").as("b"))
+    val got = df.select(
+      TextFunctions.longSetIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch: $r"))
+  }
 }
