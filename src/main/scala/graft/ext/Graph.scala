@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph connectivity for dedup clustering.
@@ -30,6 +30,40 @@ import org.apache.spark.sql.functions._
   * deterministic regardless of partitioning.
   */
 object Graph {
+
+  /** Pin a STATIC relation of an iterative operator in memory,
+    * pre-partitioned by the key its per-round join uses, and
+    * materialize it. InMemoryTableScan preserves the cached plan's
+    * output partitioning, so every round's join re-reads co-partitioned
+    * blocks and only the (node-sized) state relation is exchanged —
+    * a localCheckpoint under AQE reports UnknownPartitioning and would
+    * force a fresh edge-sized Exchange per round. Unpersist is the
+    * caller's job when the relation does not back the returned frame
+    * (otherwise the ContextCleaner + the session's 1min periodic GC
+    * reclaim it, the standing checkpoint-block contract).
+    */
+  private[ext] def pinByKey(df: DataFrame, keys: Column*): DataFrame =
+    pinByKeyTracked(df, keys: _*)._1
+
+  /** [[pinByKey]] + the persistent-RDD ids for callers that free the
+    * pin explicitly once the rounds are done (the CC/kCore shape).
+    */
+  private[ext] def pinByKeyTracked(df: DataFrame, keys: Column*): (DataFrame, Set[Int]) =
+    checkpointLock.synchronized {
+      // EAGER localCheckpoint: the plan executes first (AQE finalizes),
+      // so the LogicalRDD captures the real HashPartitioning — a lazy
+      // checkpoint records UnknownPartitioning and re-exchanges every
+      // round. Never persist() here: the CacheManager matches cached
+      // plans by equality ACROSS invocations, which would let a later
+      // run of the same query skip recomputing the inputs entirely.
+      // (The eager job runs under the lock — serializing concurrent
+      // graft checkpointers is the lock's whole purpose, and the id
+      // diff must bracket the persist registration.)
+      val sc = df.sparkSession.sparkContext
+      val pre = sc.getPersistentRDDs.keySet
+      val out = df.repartition(keys: _*).localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
+    }
 
   /** Connected components of an undirected graph given as an edge list.
     * Returns one row per node that appears in any edge: (id, comp) where
@@ -61,11 +95,13 @@ object Graph {
     def free(ids: Set[Int]): Unit = freeIds(sc, ids)
 
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-    // undirected: keep both orientations so one join propagates both ways
-    val (bidir, bidirIds) = checkpointed(
+    // undirected: keep both orientations so one join propagates both
+    // ways; pinned CO-PARTITIONED on the round join key so each round
+    // exchanges only the node-sized label state, never the edges
+    val (bidir, bidirIds) = pinByKeyTracked(
       e.union(e.select(col("d").as("s"), col("s").as("d")))
         .filter(col("s") =!= col("d"))
-        .distinct()) // eager: scanned once, re-read every round
+        .distinct(), col("s"))
     // Initial labels fold the first relax in: comp = min(id, neighbors).
     // The plain id-labeled start would spend a whole round reaching this.
     var (lbl, lblIds) = checkpointed(
@@ -175,10 +211,17 @@ object Graph {
     // blocks ARE the data); materialization happens at the count()
     // below, OUTSIDE the lock, per the lock's no-jobs contract
     val sc = edges.sparkSession.sparkContext
-    val e = checkpointTracked(
+    // static relations pinned CO-PARTITIONED on the per-round join key:
+    // each of the `iters` rounds then exchanges only the node-sized rank
+    // state, never the edge relation (guide-§2.4 shape — the edge
+    // Exchange used to run every round). deg is derived from the pinned
+    // edges (no exchange) and pinned itself: it feeds two joins per
+    // round plus the rank init.
+    val e = pinByKey(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-        .distinct())._1
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+        .distinct(), col("__src"))
+    val deg = checkpointLock.synchronized(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")).localCheckpoint())
     val n = deg.count()
     require(n > 0, "pageRank: no edges")
     require(rankUnit / n >= 100L,
@@ -598,9 +641,9 @@ object Graph {
     val sc = edges.sparkSession.sparkContext
     val e = edges.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).as("u"), col(bCol).as("v"))
-    val (bidir, bidirIds) = checkpointTracked(
+    val (bidir, bidirIds) = pinByKeyTracked(
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct())
+        .filter(col("u") =!= col("v")).distinct(), col("u"))
     var (frontier, frontierIds) = checkpointTracked(
       seeds.select(col(seedCol).as("id")).filter(col("id").isNotNull).distinct())
     var (dist, distIds) = checkpointTracked(
@@ -722,8 +765,8 @@ object Graph {
     val e = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val (bidir, bidirIds) = checkpointTracked(
-      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct())
+    val (bidir, bidirIds) = pinByKeyTracked(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct(), col("u"))
     var (active, activeIds) = checkpointTracked(bidir.select(col("u").as("node")).distinct())
     var n = active.count()
     var rounds = 0
@@ -778,10 +821,11 @@ object Graph {
     require(rounds >= 1 && rounds <= 64, s"labelPropagation: 1 <= rounds <= 64, got $rounds")
     val sc = edges.sparkSession.sparkContext
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-    val (bidir, bidirIds) = checkpointTracked(
+    // pinned on the round join key (the CC co-partition shape)
+    val (bidir, bidirIds) = pinByKeyTracked(
       e.union(e.select(col("d").as("s"), col("s").as("d")))
         .filter(col("s") =!= col("d"))
-        .distinct())
+        .distinct(), col("d"))
     var (lbl, lblIds) = checkpointTracked(
       bidir.select(col("s").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
@@ -840,10 +884,12 @@ object Graph {
       rankUnit <= 1000000000000L,
       s"personalizedPageRank: rankUnit must be a multiple of 1e6 in [1e6, 1e12], got $rankUnit")
     val sc = edges.sparkSession.sparkContext
-    val e = checkpointTracked(
+    // co-partitioned static relations — the pageRank pin shape
+    val e = pinByKey(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-        .distinct())._1
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+        .distinct(), col("__src"))
+    val deg = checkpointLock.synchronized(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")).localCheckpoint())
     val sd = seeds.select(col(seedCol).as("__src")).distinct()
       .join(deg.select(col("__src")), Seq("__src"), "left_semi")
     val nSeeds = sd.count()
@@ -928,10 +974,10 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(weightCol).isNotNull)
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
-    val (adj, adjIds) = checkpointTracked(
+    val (adj, adjIds) = pinByKeyTracked(
       e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
         .filter(col("u") =!= col("v"))
-        .groupBy(col("u"), col("v")).agg(min(col("w")).as("w")))
+        .groupBy(col("u"), col("v")).agg(min(col("w")).as("w")), col("u"))
     var (dist, distIds) = checkpointTracked(
       seeds.select(col(seedCol).cast("long").as("id")).filter(col("id").isNotNull)
         .distinct().select(col("id"), lit(0L).as("dist")))

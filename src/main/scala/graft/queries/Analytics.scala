@@ -221,11 +221,14 @@ object Analytics {
       "q123_pagerank",
       (s, dir) => {
         import s.implicits._
+        // pinned: both union orientations read the join+distinct chain,
+        // which otherwise executes twice (once per flip side)
         val pair = t(s, dir, "lineitem")
           .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
           .select(concat(lit("c"), $"o_custkey".cast("string")).as("a"),
             concat(lit("s"), $"l_suppkey".cast("string")).as("b"))
           .distinct()
+          .localCheckpoint()
         val edges = pair.select($"a".as("src"), $"b".as("dst"))
           .unionByName(pair.select($"b".as("src"), $"a".as("dst")))
         // rankUnit 10⁹: the graph has ~16k nodes at sf0.1 — the default
