@@ -714,10 +714,26 @@ object TextAnalysis {
         "sequential full-relation rounds and is sample-scoped by contract; " +
         "train on a hashSample and encode the corpus with bpeEncode " +
         "(or raise maxTrainDocs explicitly)")
+    // The training sample usually arrives as ONE scan partition (it is
+    // sample-scoped by contract, often a single small file), which would
+    // run every round's pair-count job single-threaded. Spread it across
+    // the cluster once at checkpoint — round-robin is fine, the rounds
+    // are pure per-row maps + a global aggregate.
     var (docs, docsIds) = Graph.checkpointTracked(
-      trainable.select(concat(lit(D), array_join(toks, D + D), lit(D)).as("s")))
+      trainable.select(concat(lit(D), array_join(toks, D + D), lit(D)).as("s"))
+        .repartition(math.min(8, ss.sparkContext.defaultParallelism)))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // One relation-wide job per round, not two: each round's best-pair
+    // collect is ALSO the action that materializes the (lazy) checkpoint
+    // of the replace from the previous round, so the separate count()
+    // pass is gone; the superseded generation's blocks are freed the
+    // moment the collect proves the new generation materialized. The
+    // FINAL round's replace is never consumed by anything (the merge
+    // table is the output), so it is not even constructed — together
+    // that is R+1 full passes over the training relation instead of
+    // 2R+1 for the same merges.
+    var pendingFree = Set.empty[Int]
     try {
       var r = 1
       var exhausted = false
@@ -734,23 +750,26 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("a"), col("b"))
           .limit(1)
-          .collect()
+          .collect() // materializes the current generation's checkpoint
+        Graph.freeIds(sc, pendingFree) // previous generation fully consumed
+        pendingFree = Set.empty
         if (best.isEmpty) exhausted = true
         else {
           val a = best.head.getString(0)
           val b = best.head.getString(1)
           merges += ((r.toLong, a, b, a + " " + b, best.head.getLong(2)))
-          val (next, nextIds) = Graph.checkpointTracked(docs.select(
-            replace(col("s"),
-              lit(D + a + D + D + b + D), lit(D + a + " " + b + D)).as("s")))
-          next.count() // materialize before freeing the round it reads
-          Graph.freeIds(sc, docsIds)
-          docs = next
-          docsIds = nextIds
+          if (r < rounds) {
+            val (next, nextIds) = Graph.checkpointTracked(docs.select(
+              replace(col("s"),
+                lit(D + a + D + D + b + D), lit(D + a + " " + b + D)).as("s")))
+            pendingFree = docsIds
+            docs = next
+            docsIds = nextIds
+          }
         }
         r += 1
       }
-    } finally Graph.freeIds(sc, docsIds)
+    } finally Graph.freeIds(sc, docsIds ++ pendingFree)
     import ss.implicits._
     merges.toSeq.toDF("round", "a", "b", "merged", "n")
   }

@@ -16,6 +16,20 @@ object Multimodal {
 
   private def hSql(v: String): String = OracleSql.hash64(v)
 
+  /** doc_id spine for the synthesized-media fixtures, spread across the
+    * cluster BEFORE the heavy per-row synthesize→encode→decode work:
+    * the documents scan is one small file = ONE scan partition, which
+    * would run every media pipeline single-threaded (measured on q263:
+    * the whole decode stage sat in 2 tasks on 32 cores). The shuffled
+    * rows are 8-byte ids; at real scale the scan is already wide and
+    * the round-robin is noise.
+    */
+  private def docIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select($"doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** q263/q270 fixture: the md5-per-pixel 16×16 image per doc,
     * synthesized ONCE and pinned (it feeds both the base and the
     * bumped-variant branch — un-shared, the generator dominated the
@@ -23,7 +37,7 @@ object Multimodal {
     */
   private def pngBasePx(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select($"doc_id",
+    docIds(s, dir).select($"doc_id",
       transform(sequence(lit(0), lit(255)), { i =>
         val h = graft.ext.TextHash.hash64(
           concat($"doc_id".cast("string"), lit(":"), i.cast("string")))
@@ -41,7 +55,7 @@ object Multimodal {
   private def mdWavMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.MediaFunctions.packBytes
-    val docs = Tables.load(s, dir, "documents").select($"doc_id")
+    val docs = docIds(s, dir)
     val header = lit(graft.multimodal.Media.wavHeader(
       nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
     val samples = transform(sequence(lit(0), lit(255)), { i =>
@@ -236,7 +250,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         import graft.functions.MediaFunctions.packBytes
-        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val docs = docIds(s, dir)
         def px(variant: Boolean) =
           transform(sequence(lit(0), lit(255)), { i =>
             val p = (graft.ext.TextHash.hash64(
@@ -346,7 +360,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         import graft.functions.MediaFunctions.packBytes
-        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val docs = docIds(s, dir)
         val header = lit(graft.multimodal.Media.wavHeader(
           nSamples = 256, sampleRate = 8000, channels = 1, bits = 16))
         def samples(variant: Boolean) =
@@ -497,7 +511,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         import graft.functions.MediaFunctions.aviEncode
-        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val docs = docIds(s, dir)
         val frames = transform(sequence(lit(0), lit(5)), f =>
           transform(sequence(lit(0), lit(255)), { i =>
             def ch(a: Int, b: Int, c: Int): Column =
