@@ -67,7 +67,24 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"chunk","part":${i + 1},"queries":$qsChunk}""")
     }
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":{},"n_queries":${results.size},"failed":$fs,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    // The driver parses the LAST stdout line from that same 2000-char
+    // window, so an empty `queries` map there starves its per-query and
+    // scaling comparison entirely (round 17's PERF ran with per_query={}).
+    // All 303 full query names need ~9 KB — they can never fit — so the
+    // final line carries as many entries as fit a 1900-char budget in
+    // DESCENDING cost order: the expensive queries are the ones the
+    // per-query comparison exists for, and the full map is still in
+    // target/bench_full.json and the chunk lines above.
+    val lineHead =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"failed":$fs,"sf":"$sfDir","full":"target/bench_full.json","queries":{"""
+    val sb = new StringBuilder(lineHead)
+    var first = true
+    for ((k, v) <- results.sortBy(-_._2)) {
+      val e = (if (first) "" else ",") + "\"" + k + "\":" + f"$v%.2f"
+      if (sb.length + e.length + 2 <= 1900) { sb.append(e); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }
