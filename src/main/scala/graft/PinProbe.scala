@@ -28,6 +28,8 @@ object PinProbe {
       println(s"\n==== $tag")
       println("  pinned.executedPlan.outputPartitioning = " +
         pinned.queryExecution.executedPlan.outputPartitioning)
+      println("  pinned.executedPlan.outputOrdering = " +
+        pinned.queryExecution.executedPlan.outputOrdering)
       // state side sized past the broadcast threshold so the per-round
       // join must co-partition — the graph-family shape (node state vs
       // pinned edges, SMJ/SHJ on s)
@@ -41,7 +43,7 @@ object PinProbe {
       println(s"  final join plan Exchange count = $nEx")
       finalPlan.linesIterator
         .filter(l => l.contains("Exchange") || l.contains("Scan") ||
-          l.contains("TableScan") || l.contains("AQEShuffleRead"))
+          l.contains("Sort") || l.contains("Join") || l.contains("AQEShuffleRead"))
         .foreach(l => println("   | " + l.trim.take(150)))
     }
 
@@ -54,6 +56,12 @@ object PinProbe {
     val b = edges.repartition(col("s")).localCheckpoint()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     report("B eager localCheckpoint, AQE off during pin", b)
+
+    // B2: B + sortWithinPartitions — ordering capture check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val b2 = edges.repartition(col("s")).sortWithinPartitions(col("s")).localCheckpoint()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    report("B2 eager sorted localCheckpoint, AQE off during pin", b2)
 
     // C: persist + count (InMemoryTableScan partitioning propagation)
     val c = edges.repartition(col("s"))

@@ -29,7 +29,8 @@ object ProbeJobs {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = Job(e.jobId, t0 = e.time,
-          desc = Option(e.properties.getProperty("spark.job.description")).getOrElse(""))
+          desc = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse(""))
         j.stages ++= e.stageIds
         jobs(e.jobId) = j
       }

@@ -33,14 +33,10 @@ object Graph {
 
   /** Pin a STATIC relation of an iterative operator in memory,
     * pre-partitioned by the key its per-round join uses, and
-    * materialize it. InMemoryTableScan preserves the cached plan's
-    * output partitioning, so every round's join re-reads co-partitioned
-    * blocks and only the (node-sized) state relation is exchanged —
-    * a localCheckpoint under AQE reports UnknownPartitioning and would
-    * force a fresh edge-sized Exchange per round. Unpersist is the
-    * caller's job when the relation does not back the returned frame
-    * (otherwise the ContextCleaner + the session's 1min periodic GC
-    * reclaim it, the standing checkpoint-block contract).
+    * materialize it. Unpersist is the caller's job when the relation
+    * does not back the returned frame (otherwise the ContextCleaner +
+    * the session's 1min periodic GC reclaim it, the standing
+    * checkpoint-block contract).
     */
   private[ext] def pinByKey(df: DataFrame, keys: Column*): DataFrame =
     pinByKeyTracked(df, keys: _*)._1
@@ -48,21 +44,95 @@ object Graph {
   /** [[pinByKey]] + the persistent-RDD ids for callers that free the
     * pin explicitly once the rounds are done (the CC/kCore shape).
     */
-  private[ext] def pinByKeyTracked(df: DataFrame, keys: Column*): (DataFrame, Set[Int]) =
-    checkpointLock.synchronized {
-      // EAGER localCheckpoint: the plan executes first (AQE finalizes),
-      // so the LogicalRDD captures the real HashPartitioning — a lazy
-      // checkpoint records UnknownPartitioning and re-exchanges every
-      // round. Never persist() here: the CacheManager matches cached
-      // plans by equality ACROSS invocations, which would let a later
-      // run of the same query skip recomputing the inputs entirely.
-      // (The eager job runs under the lock — serializing concurrent
-      // graft checkpointers is the lock's whole purpose, and the id
-      // diff must bracket the persist registration.)
-      val sc = df.sparkSession.sparkContext
+  private[ext] def pinByKeyTracked(df: DataFrame, keys: Column*): (DataFrame, Set[Int]) = {
+    val (out, ids, _) = pinByKeyTrackedN(df, keys: _*)
+    (out, ids)
+  }
+
+  /** [[pinByKeyTracked]] + the pin's derived partition count, for
+    * callers that build a SECOND pin of the same relation keyed
+    * differently (the HITS dual-key shape).
+    *
+    * Two passes. Pass 1 materializes the relation once under normal
+    * AQE planning and reads its real stored size; pass 2 re-keys the
+    * BLOCKS (not the lineage) into `clamp(bytes/advisory, 1,
+    * shuffle.partitions)` hash partitions, SORTED by the key, via
+    * [[pinEagerTracked]]. Partition-count rationale (guide §2): the
+    * co-partitioned per-round join must match the pin's partitioning
+    * exactly, so AQE can never coalesce those round stages — a pin at
+    * raw shuffle.partitions forced 3×32-task stages per round over an
+    * 0.4 MB sf0.1 graph (ProbeJobs: round wall ~0.5 s of pure task
+    * overhead, 2× the un-pinned shape). Deriving the count from the
+    * measured size — one partition per advisoryPartitionSizeInBytes,
+    * the same target AQE coalesces to — keeps rounds at the task
+    * count the data warrants at ANY scale, capped at
+    * shuffle.partitions (the per-deploy knob). The SORT is captured
+    * into the checkpoint's outputOrdering, so per-round sort-merge
+    * joins read the pinned side with no Exchange AND no Sort (the
+    * bucketed+sorted-table shape); partitioning alone measured 20-50%
+    * slower (q205/q153) — it traded the round's Exchange for an
+    * edge-sized per-round SortExec.
+    */
+  private[ext] def pinByKeyTrackedN(df: DataFrame, keys: Column*): (DataFrame, Set[Int], Int) = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val (flat, flatIds) = checkpointLock.synchronized {
       val pre = sc.getPersistentRDDs.keySet
-      val out = df.repartition(keys: _*).localCheckpoint()
+      val out = df.localCheckpoint()
       (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
+    }
+    val bytes = sc.getRDDStorageInfo
+      .filter(i => flatIds.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+    // AQE's own parallelismFirst coalescing policy, applied to the pin:
+    // partition target = bytes/parallelism clamped to [minPartitionSize,
+    // advisorySize], count capped at shuffle.partitions — big relations
+    // keep every core busy, small ones don't spray task-overhead across
+    // rounds (a raw shuffle.partitions pin measured 2× on sf0.1 graphs)
+    def confBytes(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val advisory = confBytes("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val minSize = confBytes("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
+    val maxN = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val target = math.max(minSize,
+      math.min(advisory, bytes / math.max(1, sc.defaultParallelism)))
+    val n = math.max(1L, math.min(maxN.toLong, (bytes + target - 1) / target)).toInt
+    val out = pinEagerTracked(
+      flat.repartition(n, keys: _*).sortWithinPartitions(keys: _*))
+    freeIds(sc, flatIds) // the sized pin replaces the flat one
+    (out._1, out._2, n)
+  }
+
+  /** EAGER localCheckpoint with AQE disabled while the pin's own plan
+    * is built and executed, so the LogicalRDD captures the plan's real
+    * output partitioning (`hashpartitioning(key, shuffle.partitions)`)
+    * and every downstream join keyed the same way skips its Exchange.
+    * Under AQE the executed plan is an AdaptiveSparkPlanExec, which
+    * reports UnknownPartitioning(0) into the checkpoint — round 17
+    * shipped that shape and its after-plans still re-exchanged the
+    * pinned relation every round (measured in [[graft.PinProbe]]:
+    * variant A re-exchanges, variant B does not). AQE is restored in a
+    * `finally`; the whole pin (a session-global conf flip + one Spark
+    * job) runs under [[checkpointLock]], which serializes graft
+    * checkpointers — concurrent NON-graft queries on the same session
+    * would plan AQE-less during the window (the bench and oracle
+    * drivers are single-threaded; callers sharing a session with alien
+    * query threads should serialize externally, the standing caveat).
+    * Never persist() here: the CacheManager matches cached plans by
+    * equality ACROSS invocations, which would let a later run of the
+    * same query skip recomputing the inputs entirely.
+    */
+  private[ext] def pinEagerTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    checkpointLock.synchronized {
+      val spark = df.sparkSession
+      val sc = spark.sparkContext
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val pre = sc.getPersistentRDDs.keySet
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val out = df.localCheckpoint()
+        (out, sc.getPersistentRDDs.keySet.diff(pre).toSet)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
 
   /** Connected components of an undirected graph given as an edge list.
@@ -81,10 +151,12 @@ object Graph {
     // can be "never", so each superseded round's blocks are unpersisted
     // EXPLICITLY the moment the next round is materialized. The
     // checkpoint is LAZY (eager = false): persist registration happens
-    // synchronously at the call — that's what the id diff captures,
-    // inside a JVM-wide lock held only for plan construction, never for
-    // a Spark job — while the blocks themselves materialize at the
-    // round's count() action, outside the lock. CAVEAT (unfixable at
+    // synchronously at the call — that's what the id diff captures —
+    // while the blocks themselves materialize at the round's count()
+    // action, outside the lock. (The EAGER pins in [[pinEagerTracked]]
+    // DO run their one materialization job under the lock: it also
+    // brackets the session-wide AQE flip, so concurrent graft
+    // checkpointers serialize across that job.) CAVEAT (unfixable at
     // the public-API level — RDD ids carry no ownership): a NON-graft
     // thread calling localCheckpoint on the same SparkContext inside
     // the (tiny) lock window would have its id mis-captured, and
@@ -205,23 +277,21 @@ object Graph {
     require(rankUnit >= 1000000L && rankUnit % 1000000L == 0L &&
       rankUnit <= 1000000000000L,
       s"pageRank: rankUnit must be a multiple of 1e6 in [1e6, 1e12], got $rankUnit")
-    // lazy checkpoint registered under the module lock (it would
-    // otherwise race connectedComponents' persistent-RDD id diff — a
-    // mis-captured id gets unpersisted from under us, and checkpointed
-    // blocks ARE the data); materialization happens at the count()
-    // below, OUTSIDE the lock, per the lock's no-jobs contract
     val sc = edges.sparkSession.sparkContext
-    // static relations pinned CO-PARTITIONED on the per-round join key:
-    // each of the `iters` rounds then exchanges only the node-sized rank
+    // static relations pinned CO-PARTITIONED on the per-round join key
+    // (eager AQE-less checkpoints — see [[pinEagerTracked]]): each of
+    // the `iters` rounds then exchanges only the node-sized rank
     // state, never the edge relation (guide-§2.4 shape — the edge
     // Exchange used to run every round). deg is derived from the pinned
-    // edges (no exchange) and pinned itself: it feeds two joins per
-    // round plus the rank init.
+    // edges (already clustered on __src, so its groupBy needs no
+    // exchange) and pinned itself: it feeds two joins per round plus
+    // the rank init, and the pin carries hashpartitioning(__src) into
+    // all of them.
     val e = pinByKey(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
         .distinct(), col("__src"))
-    val deg = checkpointLock.synchronized(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")).localCheckpoint())
+    val deg = pinEagerTracked(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))._1
     val n = deg.count()
     require(n > 0, "pageRank: no edges")
     require(rankUnit / n >= 100L,
@@ -295,38 +365,50 @@ object Graph {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val sc = edges.sparkSession.sparkContext
-    // blocks stay live: the returned lazy relation re-reads them (the
-    // pageRank contract — freeing here would pull the data out from
-    // under the caller's plan)
-    val e = checkpointTracked(
-      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct())._1
-    require(e.count() > 0, "hits: no edges")
+    // The distinct edge relation is pinned TWICE, once per half-round
+    // join key (auth rounds join on __s, hub rounds on __d): each
+    // half-round then reads co-partitioned edge blocks and shuffles
+    // only node-sized partial aggregates — round 17 measured the
+    // single unkeyed checkpoint re-exchanging the edges 2·iters times.
+    // eD derives from eS's blocks (one extra edge exchange at pin
+    // time, not a recompute of the dedup chain).
+    val (eS, eSIds, nPart) = pinByKeyTrackedN(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct(),
+      col("__s"))
+    val (eD, eDIds) = pinEagerTracked(
+      eS.repartition(nPart, col("__d")).sortWithinPartitions(col("__d")))
+    require(eS.count() > 0, "hits: no edges")
     // ℓ∞-normalize a raw (node, __r) relation to ppm via one
     // single-row broadcast of the max — no driver round-trip
     def norm(raw: DataFrame, as: String): DataFrame = raw
       .crossJoin(broadcast(raw.agg(max(col("__r")).as("__mx"))))
       .select(col("node"),
         expr("CAST(__r * 1000000 div __mx AS BIGINT)").as(as))
-    var hub = e.select(col("__s").as("node")).distinct()
+    var hub = eS.select(col("__s").as("node")).distinct()
       .withColumn("h", lit(1000000L))
     var auth: DataFrame = null
     // each half-round's raw aggregate feeds BOTH the max broadcast and
     // the normalized output (two consumers), so it is checkpointed
-    // before norm() — the q147/q218 multi-consumer-pin lesson; the
-    // superseded round's node-sized blocks are freed one round later
-    // (the round-i join reads round-(i−1) state during its own
-    // materialization), and the final round's blocks stay to back the
-    // returned lazy relation
+    // before norm() — the q147/q218 multi-consumer-pin lesson. Lazy +
+    // count, NOT an eager AQE-less pin: the node-sized round state
+    // re-exchanges onto the edge pin's partitioning each half-round
+    // (cheap), while the round job keeps AQE's partition coalescing —
+    // eager-pinning the state forced raw-shuffle-partition-count
+    // stages over node-sized data, pure task overhead at any SF where
+    // nodes are small. The superseded round's node-sized blocks are
+    // freed one round later (the round-i join reads round-(i−1) state
+    // during its own materialization), and the final round's blocks
+    // stay to back the returned lazy relation.
     var prevIds = Set.empty[Int]
     for (i <- 1 to iters) {
       val (rawA, idsA) = checkpointTracked(
-        e.join(hub.withColumnRenamed("node", "__s"), "__s")
+        eS.join(hub.withColumnRenamed("node", "__s"), "__s")
           .groupBy(col("__d").as("node"))
           .agg(sum(col("h").cast(dec)).as("__r")))
       rawA.count()
       auth = norm(rawA, "a")
       val (rawH, idsH) = checkpointTracked(
-        e.join(auth.withColumnRenamed("node", "__d"), "__d")
+        eD.join(auth.withColumnRenamed("node", "__d"), "__d")
           .groupBy(col("__s").as("node"))
           .agg(sum(col("a").cast(dec)).as("__r")))
       rawH.count()
@@ -334,6 +416,9 @@ object Graph {
       freeIds(sc, prevIds)
       prevIds = idsA ++ idsH
     }
+    // every round is materialized; the returned relation reads only the
+    // final rawA/rawH blocks, so the edge pins can go now
+    freeIds(sc, eSIds ++ eDIds)
     auth.select(lit("auth").as("side"), col("node"), col("a").as("score_ppm"))
       .unionByName(
         hub.select(lit("hub").as("side"), col("node"), col("h").as("score_ppm")))
@@ -387,7 +472,9 @@ object Graph {
       .join(gated.select(col("__f").as("state")).distinct(), Seq("state"), "left_anti")
       .select(col("state").as("__t"), col("state").as("__f"),
         lit(1000000000L).as("__p"))
-    val e = checkpointTracked(gated.unionByName(dangling))._1
+    // pinned on the per-round join key (the hits shape): rounds read
+    // co-partitioned transition blocks, shuffle only state-sized rows
+    val (e, eIds) = pinByKeyTracked(gated.unionByName(dangling), col("__f"))
     require(e.count() > 0, "stationaryDistribution: no transitions between known states")
     var pi = states.withColumn("pi_ppm", lit(1000000L))
     var prevIds = Set.empty[Int]
@@ -404,6 +491,9 @@ object Graph {
       freeIds(sc, prevIds)
       prevIds = ids
     }
+    // every round materialized; the result reads states + the final
+    // round's blocks, never the transition pin
+    freeIds(sc, eIds)
     states.join(pi, Seq("state"), "left")
       .select(col("state"), coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
   }
@@ -888,8 +978,8 @@ object Graph {
     val e = pinByKey(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
         .distinct(), col("__src"))
-    val deg = checkpointLock.synchronized(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")).localCheckpoint())
+    val deg = pinEagerTracked(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))._1
     val sd = seeds.select(col(seedCol).as("__src")).distinct()
       .join(deg.select(col("__src")), Seq("__src"), "left_semi")
     val nSeeds = sd.count()

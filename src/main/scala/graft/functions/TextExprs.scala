@@ -563,6 +563,10 @@ object LongSetIntersectCount {
     val (s, p) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = s.numElements()
     if (n == 0 || p.numElements() == 0) return 0
+    // n << 1 would wrap negative past 2^30 elements and the sizing loop
+    // would never grow cap; unreachable under the 2 GB array limit but
+    // guard it rather than hang
+    require(n <= (1 << 29), s"LongSetIntersectCount: array too large ($n elements)")
     var cap = 4
     while (cap < (n << 1)) cap <<= 1
     val mask = cap - 1
