@@ -91,7 +91,16 @@ object Profile {
         .cast("double").as(s"__sp_${a}__$b")
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
     val aggs = cols.map(s1) ++ cols.map(s2) ++ pairs.map { case (a, b) => sxy(a, b) }
-    val one = df.agg(count(lit(1)).cast("double").as("__n"), aggs: _*)
+    // The O(c²) decimal power sums are the cost (exact DECIMAL(38,10)
+    // accumulation allocates per add) and a small-file scan gives the
+    // aggregate only as many tasks as parquet splits (measured on q87:
+    // one 3-task CPU-bound stage on 32 cores). Project the columns to
+    // doubles FIRST (narrow rows — the cast the sums apply anyway) and
+    // spread them across the cluster; decimal sums are order-independent
+    // so the result is bit-identical.
+    val spread = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val one = spread.agg(count(lit(1)).cast("double").as("__n"), aggs: _*)
     val stacked = pairs.map { case (a, b) =>
       val n = col("__n")
       val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")

@@ -191,35 +191,60 @@ object Retrieval {
     require(maxDf >= 1, s"sparseCosinePairs: maxDf >= 1 required, got $maxDf")
     require(minCos > 0.0 && minCos <= 1.0,
       s"sparseCosinePairs: minCos in (0, 1] required, got $minCos")
-    val toks = TextHash.tokens(text)
     // shingles WITH multiplicity (unlike TextHash.wordShingles) — tf matters
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
-    // tf feeds two consumers (the df gate + the kept join) and kept
-    // three (norms + both dot-join sides): unpinned, the tokenize→
-    // 3-gram-explode→aggregate chain re-ran up to six times. Pin each
-    // once — downstream reads (id, gram, tf) longs/strings, never text.
+    def grams2(t: Column): Column = {
+      val toks = TextHash.tokens(t)
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    // ONE aggregation builds each gram's posting list AND its df, so
+    // the df gate is a size() filter and the Σdf² candidate space is
+    // generated IN-ROW from the ≤maxDf-entry array instead of by the
+    // former gram-keyed SMJ self-join (which sorted the full posting
+    // relation twice and joined it against itself — the round-17
+    // verdict's #3 cost). array_sort orders postings by id (ids are
+    // unique within a gram), so i<j enumeration yields id_a < id_b
+    // directly; the per-gram pair multiset and every integer tf
+    // product are identical to the join formulation, and longs sum
+    // order-independently. byGram is pinned once for its two consumers
+    // (pair generation + norms); everything downstream of the tokenize
+    // →3-gram-explode chain reads (id, tf) longs, never text.
+    // spread the doc rows BEFORE the tokenize→shingle explode: the
+    // documents fixture is one small file = one scan partition, which
+    // ran the whole chain single-threaded (ProbeJobs: a 2 s one-task
+    // stage); at real scale the scan is already wide and this shuffles
+    // (id, text) rows once. byGram is likewise re-spread before the
+    // pin so the pair-explode and norm stages read wide blocks.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val tf = docs.filter(text.isNotNull)
-      .select(id.as("__id"), explode(grams).as("__g"))
+      .select(id.as("__id"), text.as("__text"))
+      .repartition(par)
+      .select(col("__id"), explode(grams2(col("__text"))).as("__g"))
       .groupBy(col("__id"), col("__g"))
       .agg(count(lit(1)).as("__tf"))
+    val byGram = tf
+      .groupBy(col("__g"))
+      .agg(collect_list(struct(col("__id"), col("__tf"))).as("__ps"))
+      .filter(size(col("__ps")) <= maxDf)
+      .select(array_sort(col("__ps")).as("__ps"))
+      .repartition(par)
       .localCheckpoint(false)
-    val kept = tf.join(
-      tf.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf)
-        .select(col("__g")),
-      Seq("__g"))
-      .localCheckpoint(false)
-    val norms = kept.groupBy(col("__id"))
+    val norms = byGram
+      .select(explode(col("__ps")).as("__p"))
+      .select(col("__p.__id").as("__id"), col("__p.__tf").as("__tf"))
+      .groupBy(col("__id"))
       .agg(sqrt(sum(col("__tf") * col("__tf")).cast("double")).as("__n"))
-    val dots = kept.select(col("__g"), col("__id").as("id_a"), col("__tf").as("__tfa"))
-      .join(kept.select(col("__g"), col("__id").as("id_b"), col("__tf").as("__tfb")),
-        Seq("__g"))
-      .filter(col("id_a") < col("id_b"))
+    val dots = byGram
+      .select(explode(flatten(transform(col("__ps"), (a, i) =>
+        transform(slice(col("__ps"), i + lit(2), size(col("__ps"))), b =>
+          struct(a.getField("__id").as("id_a"), b.getField("__id").as("id_b"),
+            (a.getField("__tf") * b.getField("__tf")).as("__prod"))))))
+        .as("__pair"))
+      .select(col("__pair.*"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("__tfa") * col("__tfb")).as("__dot"))
+      .agg(sum(col("__prod")).as("__dot"))
     dots
       .join(norms.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
       .join(norms.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
