@@ -37,6 +37,47 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Centroids packed into an array column of (cent_id, cent_vec)
+    * structs sorted by cent_id, one row per `keys` group (no keys =
+    * one global row) — the broadcast side of the IN-ROW argmin/argmax
+    * below. The former shape — crossJoin against the k-row centroid
+    * relation + a row_number() window partitioned by vid — re-shuffled
+    * the whole n·k scored relation every k-means iteration just to
+    * pick each row's best centroid; packing the k centroids into one
+    * broadcast array makes the pick a per-row fold with no Exchange at
+    * all (guide §2.4), and collapses the job churn that made the ANN
+    * training chains scheduling-bound (52 sub-second one-task jobs
+    * measured on q244). */
+  private def centsPacked(cents: DataFrame, keys: String*): DataFrame = {
+    val packed = array_sort(collect_list(
+      struct(col("cent_id"), col("cent_vec")))).as("__cents")
+    if (keys.isEmpty) cents.groupBy().agg(packed)
+    else cents.groupBy(keys.map(col): _*).agg(packed)
+  }
+
+  /** In-row argmax-cosine cell over a packed centroid array:
+    * lexicographic array_max of (cc, -cent_id) structs reproduces the
+    * former row_number() over (cc DESC, cent_id ASC) rank-1 verdict
+    * EXACTLY — equal cosines break to the LOWEST cent_id (max of the
+    * negated id), a null cosine loses to any real one (a null struct
+    * field ranks lowest), and the all-null row falls back to the
+    * lowest cent_id, the same row the window's nulls-last ordering
+    * ranked first. Cosines evaluate on the identical expression tree,
+    * so every double is bit-equal to the crossJoin formulation's. */
+  private def argmaxCosCell(vec: Column, cents: Column): Column =
+    -array_max(transform(cents, c =>
+      struct(cosineSim(vec, c.getField("cent_vec")).as("cc"),
+        (-c.getField("cent_id")).as("nid")))).getField("nid")
+
+  /** In-row argmin micro-L2 code: array_min of (d, cent_id) structs ==
+    * the former row_number() over (d ASC, cent_id ASC) rank 1 — ties
+    * to the lowest cent_id, null distances rank first exactly like the
+    * window's asc-nulls-first default. */
+  private def argminL2Code(svec: Column, cents: Column): Column =
+    array_min(transform(cents, c =>
+      struct(sqDistMicro(svec, c.getField("cent_vec")).as("d"),
+        c.getField("cent_id").as("cid")))).getField("cid")
+
   /** Brute-force top-k by cosine against one query vector (itself a row
     * of `df` identified by `queryId`). The 1-row query side is
     * broadcast; the corpus is never shuffled (TakeOrderedAndProject).
@@ -95,19 +136,18 @@ object Similarity {
     */
   def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val base = vecs.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
     var cents = base.filter(col("vid") < k)
       .select(col("vid").as("cent_id"), col("vec").as("cent_vec"))
-    val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
     for (_ <- 1 to iters) {
-      val assigned = base.crossJoin(broadcast(cents))
-        .select(col("vid"), col("vec"), col("cent_id"),
-          cosineSim(col("vec"), col("cent_vec")).as("__cc"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("vid"), col("vec"), col("cent_id").as("cell"))
+      // in-row argmax against the packed broadcast centroids — the
+      // assignment step moves ZERO corpus bytes (the former window
+      // shuffled n·k scored rows per iteration); [[argmaxCosCell]]
+      // pins the rank-1 verdict bit-identical to the window form
+      val assigned = base.crossJoin(broadcast(centsPacked(cents)))
+        .select(col("vid"), col("vec"),
+          argmaxCosCell(col("vec"), col("__cents")).as("cell"))
       cents = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -171,16 +211,13 @@ object Similarity {
         derivedCells(n, targetCellSize)
       }
     val cents = broadcast(
-      kmeansCentroids(df, idCol, vecCol, cells, kmeansIters).localCheckpoint(false))
-    val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+      centsPacked(kmeansCentroids(df, idCol, vecCol, cells, kmeansIters))
+        .localCheckpoint(false))
     val assigned = df
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
       .crossJoin(cents)
-      .select(col("vid"), col("vec"), col("cent_id"),
-        cosineSim(col("vec"), col("cent_vec")).as("__cc"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vid"), col("vec"), col("cent_id").as("cell"))
+      .select(col("vid"), col("vec"),
+        argmaxCosCell(col("vec"), col("__cents")).as("cell"))
     assigned.as("a").join(assigned.as("b"), col("a.cell") === col("b.cell"))
       .filter(col("a.vid") < col("b.vid"))
       .select(col("a.cell").as("cell"), col("a.vid").as("id_a"), col("b.vid").as("id_b"),
@@ -206,16 +243,27 @@ object Similarity {
     // instead of re-deriving the training chain per use. Lazy, so the
     // query stays analyzable/plannable without side effects.
     val cents = broadcast(
-      kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters).localCheckpoint(false))
+      centsPacked(kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters))
+        .localCheckpoint(false))
+    // corpus side (keep=1): in-row argmax, zero shuffle; query side
+    // (keep=nProbe>1): explode the same packed array and keep the
+    // window rank — it runs over the handful of query rows only
     def nearestCells(df: DataFrame, idAs: String, vecAs: String, keep: Int) = {
-      val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
-      df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      val prepped = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
         .crossJoin(cents)
-        .select(col(idAs), col(vecAs), col("cent_id"),
-          cosineSim(col(vecAs), col("cent_vec")).as("__cc"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(idAs), col(vecAs), col("cent_id").as("cell"))
+      if (keep == 1)
+        prepped.select(col(idAs), col(vecAs),
+          argmaxCosCell(col(vecAs), col("__cents")).as("cell"))
+      else {
+        val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
+        prepped
+          .select(col(idAs), col(vecAs), explode(col("__cents")).as("__c"))
+          .select(col(idAs), col(vecAs), col("__c.cent_id").as("cent_id"),
+            cosineSim(col(vecAs), col("__c.cent_vec")).as("__cc"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= keep)
+          .select(col(idAs), col(vecAs), col("cent_id").as("cell"))
+      }
     }
     val assigned = nearestCells(corpus, "cid", "cvec", 1)
     val probes = nearestCells(queries, "qid", "qvec", nProbe)
@@ -418,35 +466,37 @@ object Similarity {
     floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v) * 1000000.0 + 0.5).cast("long")
 
-  /** Seeded Lloyd's k-means under squared-L2 over pre-sliced
-    * subvectors — the codebook trainer for [[pqTopK]]. Same
-    * determinism contract as [[kmeansCentroids]] (init = the k
-    * lowest-id vectors, exact-decimal means, ties to the lowest
-    * cent_id) but with micro-quantized L2 assignment, the metric PQ
-    * codebooks are trained under (subvector norms carry information —
-    * cosine would erase them).
+  /** Seeded Lloyd's k-means under squared-L2, training ALL `m`
+    * subspaces' codebooks in ONE grouped chain keyed by `subspace` —
+    * the codebook trainer for [[pqTopK]]. Same determinism contract as
+    * [[kmeansCentroids]] (init = the ksub lowest-id vectors per
+    * subspace, exact-decimal means, ties to the lowest cent_id) but
+    * with micro-quantized L2 assignment, the metric PQ codebooks are
+    * trained under (subvector norms carry information — cosine would
+    * erase them). Formerly each subspace trained as an independent
+    * chain (m× the jobs and m× the corpus scans per iteration, union'd
+    * after); carrying `subspace` through the SAME per-subspace
+    * aggregations yields identical per-subspace codebooks from one
+    * chain, and [[argminL2Code]] pins assignment bit-identical to the
+    * old per-vid window.
     */
-  private def kmeansSubCentroids(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def kmeansSubCentroidsAll(subs: DataFrame, ksub: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    var cents = sub.filter(col("vid") < ksub)
-      .select(col("vid").as("cent_id"), col("svec").as("cent_vec"))
-    val w = Window.partitionBy(col("vid")).orderBy(col("__d"), col("cent_id"))
+    var cents = subs.filter(col("vid") < ksub)
+      .select(col("subspace"), col("vid").as("cent_id"), col("svec").as("cent_vec"))
     for (_ <- 1 to iters) {
-      val assigned = sub.crossJoin(broadcast(cents))
-        .select(col("vid"), col("svec"), col("cent_id"),
-          sqDistMicro(col("svec"), col("cent_vec")).as("__d"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("vid"), col("svec"), col("cent_id").as("cell"))
+      val assigned = subs
+        .join(broadcast(centsPacked(cents, "subspace")), Seq("subspace"))
+        .select(col("subspace"), col("vid"), col("svec"),
+          argminL2Code(col("svec"), col("__cents")).as("cell"))
       cents = assigned
-        .select(col("cell"), posexplode(col("svec")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
+        .select(col("subspace"), col("cell"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("subspace"), col("cell"), col("pos"))
         .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
           count(lit(1)).cast("double")).as("m"))
-        .groupBy(col("cell"))
+        .groupBy(col("subspace"), col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cent_id"),
+        .select(col("subspace"), col("cell").as("cent_id"),
           transform(col("pm"), x => x.getField("m")).as("cent_vec"))
     }
     cents
@@ -510,11 +560,8 @@ object Similarity {
     */
   private def pqCodebooks(base: DataFrame, m: Int, subDim: Int, ksub: Int,
       iters: Int): DataFrame =
-    (0 until m).map { j =>
-      val sub = base.select(col("vid"),
-        slice(col("vec"), j * subDim + 1, subDim).as("svec"))
-      kmeansSubCentroids(sub, ksub, iters).withColumn("subspace", lit(j))
-    }.reduce(_ unionByName _).localCheckpoint(false)
+    kmeansSubCentroidsAll(pqSubspaces(base, "vid", m, subDim), ksub, iters)
+      .localCheckpoint(false)
 
   /** (id, subspace, svec) slices of a (vid, vec) relation — scan-stage. */
   private def pqSubspaces(base: DataFrame, idAs: String, m: Int, subDim: Int): DataFrame =
@@ -525,18 +572,11 @@ object Similarity {
   /** ENCODE: nearest codeword per (corpus vector, subspace) — micro-L2,
     * ties to the lowest code. Output (cid, subspace, code).
     */
-  private def pqEncode(base: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wEnc = Window.partitionBy(col("cid"), col("subspace"))
-      .orderBy(col("__d"), col("cent_id"))
+  private def pqEncode(base: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame =
     pqSubspaces(base, "cid", m, subDim)
-      .join(cb, Seq("subspace"))
-      .select(col("cid"), col("subspace"), col("cent_id"),
-        sqDistMicro(col("svec"), col("cent_vec")).as("__d"))
-      .withColumn("__rn", row_number().over(wEnc))
-      .filter(col("__rn") === 1)
-      .select(col("cid"), col("subspace"), col("cent_id").as("code"))
-  }
+      .join(broadcast(centsPacked(cb, "subspace")), Seq("subspace"))
+      .select(col("cid"), col("subspace"),
+        argminL2Code(col("svec"), col("__cents")).as("code"))
 
   /** Per-query ADC lookup table: micro-L2 distance to EVERY codeword —
     * (qid, subspace, code, dmicro), `m·ksub` rows per query.
@@ -578,18 +618,27 @@ object Similarity {
       nCells >= 1 && nProbe >= 1, "degenerate IVF+PQ shape")
     val base = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
     val qbase = queries.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
-    // coarse quantizer (the q55 index), trained once
+    // coarse quantizer (the q55 index), trained once; corpus
+    // assignment (keep=1) is the in-row argmax, the nProbe query side
+    // explodes the packed array and keeps the window rank (query rows
+    // are a handful)
     val cents = broadcast(
-      kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters).localCheckpoint(false))
+      centsPacked(kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters))
+        .localCheckpoint(false))
     def cells(df: DataFrame, idAs: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
-      df.select(col("vid").as(idAs), col("vec"))
-        .crossJoin(cents)
-        .select(col(idAs), col("cent_id"),
-          cosineSim(col("vec"), col("cent_vec")).as("__cc"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(idAs), col("cent_id").as("cell"))
+      val prepped = df.select(col("vid").as(idAs), col("vec")).crossJoin(cents)
+      if (keep == 1)
+        prepped.select(col(idAs), argmaxCosCell(col("vec"), col("__cents")).as("cell"))
+      else {
+        val w = Window.partitionBy(col(idAs)).orderBy(col("__cc").desc, col("cent_id"))
+        prepped
+          .select(col(idAs), col("vec"), explode(col("__cents")).as("__c"))
+          .select(col(idAs), col("__c.cent_id").as("cent_id"),
+            cosineSim(col("vec"), col("__c.cent_vec")).as("__cc"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= keep)
+          .select(col(idAs), col("cent_id").as("cell"))
+      }
     }
     val assigned = cells(base, "cid", 1)
     val probes = cells(qbase, "qid", nProbe)
@@ -640,22 +689,23 @@ object Similarity {
       k: Int,
       iters: Int = 2): DataFrame = {
     require(k >= 2 && k <= 65536, s"silhouetteScore: k in [2, 65536], got $k")
-    import org.apache.spark.sql.expressions.Window
     // no null screen: the fit ([[kmeansCentroids]]) sees the same
     // unfiltered relation, so scorer and trainer stay aligned (the
     // q55 contract — cosine of a null vector is null and drops in rank)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
-    val cents = broadcast(kmeansCentroids(df, idCol, vecCol, k, iters))
-    val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
-    val ranked = base.crossJoin(cents)
-      .select(col("vid"), col("cent_id"),
-        cosineSim(col("vec"), col("cent_vec")).as("__cc"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 2)
-    val perVec = ranked.groupBy(col("vid"))
-      .agg(max(when(col("__rn") === 1, col("cent_id"))).as("cell"),
-        max(when(col("__rn") === 1, col("__cc"))).as("__c1"),
-        max(when(col("__rn") === 2, col("__cc"))).as("__c2"))
+    val cents = broadcast(centsPacked(kmeansCentroids(df, idCol, vecCol, k, iters)))
+    // in-row rank-1/rank-2 over the packed centroid array: __b1 is the
+    // [[argmaxCosCell]] struct (same nulls-last/lowest-id verdicts as
+    // the former per-vid window), __c2 the best cosine among the k-1
+    // remaining centroids (k >= 2, so the filtered array is non-empty)
+    val perVec = base.crossJoin(cents)
+      .select(col("vid"), transform(col("__cents"), c =>
+        struct(cosineSim(col("vec"), c.getField("cent_vec")).as("cc"),
+          (-c.getField("cent_id")).as("nid"))).as("__sc"))
+      .select(col("vid"), col("__sc"), array_max(col("__sc")).as("__b1"))
+      .select(col("vid"), (-col("__b1.nid")).as("cell"), col("__b1.cc").as("__c1"),
+        array_max(filter(col("__sc"),
+          x => x.getField("nid") =!= col("__b1.nid"))).getField("cc").as("__c2"))
       .withColumn("__s",
         when(lit(1.0) - col("__c2") > 0.0,
           floor((col("__c1") - col("__c2")) / (lit(1.0) - col("__c2")) * 1000000.0 + 0.5)
