@@ -401,11 +401,16 @@ object Graph {
     // stay to back the returned lazy relation.
     var prevIds = Set.empty[Int]
     for (i <- 1 to iters) {
+      // rawA's checkpoint stays LAZY: its blocks materialize inside
+      // rawH's one action (the max broadcast and the join both read
+      // the same blocks — localCheckpoint computes them once), so a
+      // full round costs ONE driver action instead of two. Freeing
+      // round i−1 after rawH.count() is still safe: round i's rawA and
+      // rawH are both materialized by then.
       val (rawA, idsA) = checkpointTracked(
         eS.join(hub.withColumnRenamed("node", "__s"), "__s")
           .groupBy(col("__d").as("node"))
           .agg(sum(col("h").cast(dec)).as("__r")))
-      rawA.count()
       auth = norm(rawA, "a")
       val (rawH, idsH) = checkpointTracked(
         eD.join(auth.withColumnRenamed("node", "__d"), "__d")
@@ -457,8 +462,15 @@ object Graph {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val sc = trans.sparkSession.sparkContext
-    val t0 = trans.select(col(fromCol).cast("string").as("__f"),
-      col(toCol).cast("string").as("__t"), col(probPpbCol).cast("long").as("__p"))
+    // the projected transition relation feeds THREE chains before the
+    // rounds start (states' distinct, the known-state gate, and the
+    // dangling anti-join reads the gate again) — unpinned, the whole
+    // upstream derivation (for q261: a window over the events corpus)
+    // re-executed per consumer; pin it once (the q37 multi-consumer
+    // shape), freed with the transition pin after the rounds
+    val (t0, t0Ids) = checkpointTracked(
+      trans.select(col(fromCol).cast("string").as("__f"),
+        col(toCol).cast("string").as("__t"), col(probPpbCol).cast("long").as("__p")))
     // states = every from-state; transitions gated to known states;
     // a state whose every outgoing edge leaves the chain (dangling
     // after the gate) gets an implicit self-loop so its mass persists
@@ -492,8 +504,8 @@ object Graph {
       prevIds = ids
     }
     // every round materialized; the result reads states + the final
-    // round's blocks, never the transition pin
-    freeIds(sc, eIds)
+    // round's blocks, never the transition pin or the t0 projection
+    freeIds(sc, eIds ++ t0Ids)
     states.join(pi, Seq("state"), "left")
       .select(col("state"), coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
   }

@@ -1107,10 +1107,15 @@ object Profile {
     val M = 1000000L
     val clampX = (c: Column) =>
       greatest(least(c.cast("long"), lit(M)), lit(-M))
+    // the clamped design matrix feeds every IRLS round, the β₀ distinct
+    // AND the final accuracy pass (iters+2 consumers) — unpinned, the
+    // upstream derivation (q241 tokenizes the corpus in x2) re-executed
+    // per consumer; pin it once (the q37 multi-consumer shape)
     val base = df.filter(x1Col.isNotNull && x2Col.isNotNull && yCol.isNotNull)
       .select((groups.map(col) ++ Seq(
         clampX(x1Col).as("__x1"), clampX(x2Col).as("__x2"),
         when(yCol.cast("boolean"), lit(M)).otherwise(lit(0L)).as("__y"))): _*)
+      .localCheckpoint(false)
     // one IRLS round: join β in, integer link math, exact moments,
     // double Cramer, ppm β out
     def step(beta: DataFrame): DataFrame = {

@@ -260,7 +260,13 @@ object Signals {
         val p = t(s, dir, "part")
           .select($"p_partkey", $"p_name",
             concat_ws(" ", w.getItem(0), w.getItem(1)).as("__blk"))
-        p.as("a").join(p.as("b"),
+        // the probe side of the block self-join is one small parquet
+        // file = 1-3 scan tasks, which serialized the per-pair
+        // Jaro-Winkler evaluation on 32 cores (the q263 docIds
+        // starvation shape); round-robin the narrow (key, name, blk)
+        // rows first so the BHJ+JW stage runs cluster-wide — pair set
+        // and scores are partition-independent
+        p.repartition(s.sparkContext.defaultParallelism).as("a").join(p.as("b"),
             col("a.__blk") === col("b.__blk") &&
               col("a.p_partkey") < col("b.p_partkey"))
           .select(

@@ -658,8 +658,11 @@ object Training {
         val ip = t(s, dir, "lineitem")
           .join(pk, $"l_partkey" === $"p_partkey")
           .select($"l_orderkey", $"l_partkey")
+        // the projected edge relation feeds TWO operators (label
+        // propagation's internal pin + modularity's) — unpinned, the
+        // whole bipartite-projection chain re-executed per consumer
         val edges = graft.ext.Graph.bipartiteProject(ip, "l_orderkey", "l_partkey",
-          maxDegree = 64)
+          maxDegree = 64).localCheckpoint(false)
         val labels = graft.ext.Graph.labelPropagation(edges, "a", "b", rounds = 4)
         graft.ext.Graph.modularity(edges, "a", "b", labels, "node", "community")
           .orderBy($"community")
