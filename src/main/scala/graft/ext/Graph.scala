@@ -754,23 +754,34 @@ object Graph {
     try {
       var h = 1
       var frontierSize = 1L
+      // ONE action per round: the new dist union stays a LAZY
+      // checkpoint — its blocks materialize inside the NEXT round's
+      // frontier count (whose anti-join reads it), so the settle
+      // count the loop used to pay per round is gone. Frees defer one
+      // round (round i−2's state drops after round i's count proves
+      // round i−1's dist materialized); the final round's dist gets
+      // one settling count after the loop, before its inputs free.
+      var staleIds = Set.empty[Int]
       while (h <= maxHops && frontierSize > 0) {
         val (next, nextIds) = checkpointTracked(
           frontier.join(bidir, frontier("id") === bidir("u"))
             .select(col("v").as("id")).distinct()
             .join(dist, Seq("id"), "left_anti"))
         liveIds ++= nextIds
-        frontierSize = next.count() // materializes the round
+        frontierSize = next.count() // materializes the round (and dist)
+        freeIds(sc, staleIds)
+        liveIds --= staleIds
         val (nd, ndIds) = checkpointTracked(
           dist.unionAll(next.select(col("id"), lit(h).as("dist"))))
         liveIds ++= ndIds
-        nd.count() // settle before freeing the relations it read
-        freeIds(sc, frontierIds ++ distIds)
-        liveIds --= frontierIds ++ distIds
+        staleIds = frontierIds ++ distIds
         frontier = next; frontierIds = nextIds
         dist = nd; distIds = ndIds
         h += 1
       }
+      dist.count() // settle the final lazy union before its inputs free
+      freeIds(sc, staleIds)
+      liveIds --= staleIds
       dist
     } finally {
       // the returned frame's blocks (distIds) stay live; everything
@@ -1089,6 +1100,10 @@ object Graph {
     try {
       var h = 1
       var frontierSize = 1L
+      // one action per round — the bfsDistances lazy-dist discipline
+      // (see there): the new dist stays lazy, materialized by the next
+      // round's improved.count(); frees defer one round
+      var staleIds = Set.empty[Int]
       while (h <= maxHops && frontierSize > 0) {
         val relaxed = frontier.join(adj, frontier("id") === adj("u"))
           .select(col("v").as("id"), (col("dist") + col("w")).as("__cand"))
@@ -1098,18 +1113,21 @@ object Graph {
             .filter(col("__old").isNull || col("__cand") < col("__old"))
             .select(col("id"), col("__cand").as("dist")))
         liveIds ++= improvedIds
-        frontierSize = improved.count() // materializes the round
+        frontierSize = improved.count() // materializes the round (and dist)
+        freeIds(sc, staleIds)
+        liveIds --= staleIds
         val (nd, ndIds) = checkpointTracked(
           dist.join(improved.select(col("id")), Seq("id"), "left_anti")
             .unionAll(improved))
         liveIds ++= ndIds
-        nd.count() // settle before freeing the relations it read
-        freeIds(sc, frontierIds ++ distIds)
-        liveIds --= frontierIds ++ distIds
+        staleIds = frontierIds ++ distIds
         frontier = improved; frontierIds = improvedIds
         dist = nd; distIds = ndIds
         h += 1
       }
+      dist.count() // settle the final lazy union before its inputs free
+      freeIds(sc, staleIds)
+      liveIds --= staleIds
       returned = true
       dist.select(col("id").as("node"), col("dist"))
     } finally {
