@@ -352,6 +352,55 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run() == c1)
   }
 
+  test("kmeansCentroids in-row argmax == crossJoin+window rank-1 on ties and null vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.VectorFunctions.cosineSim
+    // (1,1) ties EXACTLY between the two initial centroids (1,0)/(0,1)
+    // — both cosines evaluate to the same double — and must break to
+    // the LOWEST cent_id; the null embedding must assign somewhere
+    // without contributing to any mean (posexplode drops it): the two
+    // verdicts the window form gave that the in-row fold must keep.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(2.0f, 0.0f)),
+      (4L, Array(0.0f, 3.0f)), (5L, null.asInstanceOf[Array[Float]]),
+      (6L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // reference: the pre-round-18 window formulation, verbatim
+    def ref(k: Int, iters: Int): Map[Long, Vector[Double]] = {
+      val base = df.select(col("vec_id").as("vid"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      var cents = base.filter(col("vid") < k)
+        .select(col("vid").as("cent_id"), col("vec").as("cent_vec"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("__cc").desc, col("cent_id"))
+      for (_ <- 1 to iters) {
+        val assigned = base.crossJoin(broadcast(cents))
+          .select(col("vid"), col("vec"), col("cent_id"),
+            cosineSim(col("vec"), col("cent_vec")).as("__cc"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vid"), col("vec"), col("cent_id").as("cell"))
+        cents = assigned
+          .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
+            count(lit(1)).cast("double")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell").as("cent_id"),
+            transform(col("pm"), x => x.getField("m")).as("cent_vec"))
+      }
+      cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    }
+    for (iters <- 1 to 3) {
+      val got = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+      assert(got == ref(2, iters), s"iters=$iters")
+    }
+  }
+
   test("semanticNearDupPairs derives nCells from corpus size; explicit count still honored") {
     import spark.implicits._
     // derivation math: ⌈n/target⌉, floor 2, ceiling 2^20
